@@ -1,0 +1,64 @@
+"""Source operators (SURVEY §2.1).
+
+SRC-04 GVF scan / SRC-05 GTF scan / SRC-06 processed-TSV scan, plus
+the engine-native parquet reader.  Spark's text readers decompress
+``.gz`` transparently, so the reference's explicit gunzip step
+(SRC-02, ``eggv/retrieve.py:49-75``) disappears.
+
+Scale posture: schemas are always explicit (no inference pass over
+100 TB); CSV scans split per `spark.sql.files.maxPartitionBytes`
+(the reference pinned 150 MB dask blocks, ``eggv/process.py:60``);
+parquet is the native interchange so later stages get predicate
+pushdown + column pruning + row-group skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from eggv_spark.schemas import GTF_SCHEMA, GVF_SCHEMA
+
+
+def read_gvf(spark: SparkSession, path: str) -> DataFrame:
+    """SRC-04: GVF scan — 9 fixed columns, '#' comment lines skipped.
+
+    Reference: ``eggv/process.py:25-61`` (dask ``read_csv`` with
+    ``comment='#'``, seqid pinned to string).
+    """
+    return spark.read.csv(
+        path, sep="\t", comment="#", header=False, schema=GVF_SCHEMA
+    )
+
+
+def read_gtf(spark: SparkSession, path: str) -> DataFrame:
+    """SRC-05: GTF scan — same shape, different column names.
+
+    Reference: ``eggv/process.py:64-97``.
+    """
+    return spark.read.csv(
+        path, sep="\t", comment="#", header=False, schema=GTF_SCHEMA
+    )
+
+
+def read_processed_tsv(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """SRC-06: headered TSV scan of pipeline intermediates.
+
+    Reference: ``eggv/annotate.py:23-52``.  ``NA`` round-trips to
+    null (the writer's ``nullValue``, see writers.write_tsv).
+    """
+    return spark.read.csv(
+        path,
+        sep="\t",
+        comment="#",
+        header=True,
+        schema=schema,
+        nullValue="NA",
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Native parquet table reader for the driver testdata layout."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
