@@ -1,0 +1,77 @@
+"""Event/time analytics operators (extension, SURVEY §7.4).
+
+Batch implementations over an event table (ts, user_id, event_type,
+value); the Structured Streaming variants live in
+``eggv_spark.streaming``.  All single-shuffle window/agg plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tumbling-window event counts + value sum.
+
+    Uses ``F.window`` (the same operator Structured Streaming uses,
+    so the batch and streaming plans share semantics).  One shuffle
+    on (window, keys); partial aggregation is map-side.
+    """
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), *extra_keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *extra_keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_minutes``.
+
+    Classic two-window formulation (lag -> boundary flag -> running
+    sum): one shuffle on user, everything else within-partition.
+    Skew note: a pathological single user serializes into one task —
+    at 100 TB either salt by (user, day) or use the streaming
+    ``session_window`` variant.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # Microsecond precision: a whole-second cast would floor gaps and
+    # misclassify boundaries within 1s of the threshold.
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    boundary = micros - F.lag(micros).over(w) > gap_minutes * 60 * 1_000_000
+    return df.withColumn(
+        "session_id",
+        F.sum(F.when(boundary, 1).otherwise(0)).over(w),
+    )
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Per-session aggregates over a sessionized frame."""
+    return (
+        sessionize(df, user_col=user_col)
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

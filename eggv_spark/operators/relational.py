@@ -1,0 +1,145 @@
+"""Generic relational operators (SURVEY §2.2-2.6 generalized).
+
+The reference hard-codes each transform inline over genomic frames;
+here the same primitives are exposed as a reusable, composable
+library so any table (genomic or otherwise) gets the identical
+semantics.  All pure Column expressions / DataFrame ops — Catalyst
+prunes, pushes down, and picks join strategies.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """PRJ-01: column projection (reference eggv/process.py:115)."""
+    return df.select(*columns)
+
+
+def rename(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """PRJ-02: column rename (reference eggv/process.py:118,224)."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def prefix_concat(df: DataFrame, col: str, prefix: str, out: str) -> DataFrame:
+    """STR-01: literal-prefix concat (reference eggv/process.py:122)."""
+    return df.withColumn(out, F.concat(F.lit(prefix), F.col(col).cast("string")))
+
+
+def concat_with_sep(
+    df: DataFrame, cols: Sequence[str], sep: str, out: str
+) -> DataFrame:
+    """STR-04: multi-column concat with separator
+    (reference eggv/process.py:142)."""
+    return df.withColumn(out, F.concat_ws(sep, *cols))
+
+
+def split_get(
+    df: DataFrame, col: str, sep: str, index: int, out: str
+) -> DataFrame:
+    """STR-05/06: split to array + null-safe element get
+    (reference eggv/process.py:163-175)."""
+    return df.withColumn(out, F.get(F.split(F.col(col), sep), index))
+
+
+def explode_split(
+    df: DataFrame, col: str, sep: str, out: str, keep_empty: bool = True
+) -> DataFrame:
+    """EXP-01: split-then-explode, replicating the other columns
+    (reference eggv/process.py:163).  ``keep_empty`` uses
+    explode_outer so null/empty inputs keep their row (the pandas
+    behavior the reference relies on)."""
+    exploded = F.explode_outer if keep_empty else F.explode
+    return df.withColumn(out, exploded(F.split(F.col(col), sep)))
+
+
+def fill_null(df: DataFrame, values: Mapping[str, object]) -> DataFrame:
+    """NUL-01: constant null fill (reference eggv/process.py:138-139)."""
+    return df.na.fill(dict(values))
+
+
+def drop_null_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """NUL-02: drop rows with null keys (reference eggv/process.py:128)."""
+    return df.na.drop(subset=list(keys))
+
+
+def cast_columns(df: DataFrame, types: Mapping[str, str]) -> DataFrame:
+    """CST-01: typed casts (reference eggv/process.py:131,151,227-228)."""
+    return df.withColumns({c: F.col(c).cast(t) for c, t in types.items()})
+
+
+def filter_eq(df: DataFrame, col: str, value: object) -> DataFrame:
+    """FLT-01: equality filter — sits over the scan so Catalyst pushes
+    it into parquet (reference eggv/process.py:199)."""
+    return df.filter(F.col(col) == value)
+
+
+def filter_isin(df: DataFrame, col: str, values: Iterable[object]) -> DataFrame:
+    """FLT-02: disjunction of equalities (reference
+    eggv/annotate.py:113-115)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def filter_not_in_and_notnull(
+    df: DataFrame, col: str, values: Iterable[object], notnull_col: str
+) -> DataFrame:
+    """FLT-03: negation ∧ not-null (reference eggv/annotate.py:139)."""
+    return df.filter(~F.col(col).isin(list(values)) & F.col(notnull_col).isNotNull())
+
+
+def left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column | str | Sequence[str],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """JOIN-01 generalized: left outer equi-join, optional explicit
+    broadcast of the small side (reference shuffles both sides,
+    eggv/annotate.py:70-77 — broadcasting is strictly better when the
+    right side fits on executors)."""
+    right_side = F.broadcast(right) if broadcast_right else right
+    return left.join(right_side, on, "left")
+
+
+def dedupe(df: DataFrame, keys: Optional[Sequence[str]] = None) -> DataFrame:
+    """DDP-01/03/04: global dedup, all columns or a key subset.
+    Spark plans a map-side partial aggregate before the shuffle, so
+    the reference's shuffle-avoiding local dedup
+    (eggv/process.py:289-294) is captured automatically."""
+    return df.dropDuplicates(list(keys)) if keys else df.dropDuplicates()
+
+
+def dedupe_first_by_key(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]
+) -> DataFrame:
+    """DDP-02, made deterministic: one row per key, FIRST under an
+    explicit ordering (the reference keeps an arbitrary
+    first-per-partition row, eggv/process.py:297-315 — SURVEY §7.5.4
+    flags that nondeterminism; an explicit tiebreak is the
+    reproducible version).
+
+    Window row_number + filter: one shuffle on ``keys``, no join.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str], k: int
+) -> DataFrame:
+    """Top-k rows per group via rank window — the scale-safe pattern
+    (single shuffle; no driver collect)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    )

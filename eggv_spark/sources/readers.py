@@ -60,5 +60,38 @@ def read_processed_tsv(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Native parquet table reader for the driver testdata layout."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Native parquet table reader for the driver testdata layout.
+
+    Handles parquet TIMESTAMP(NANOS) columns (which Spark's vectorized
+    reader rejects outright): they are read as raw nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+    microsecond timestamps.  The nanos columns are identified from the
+    parquet footer via pyarrow — a metadata-only read, no data pass.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # Integer division keeps full precision (a double division of
+    # ~1.7e18 ns would lose the microseconds).
+    return df.withColumns(
+        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos_cols}
+    )
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    import pyarrow as pa
+
+    return [
+        field.name
+        for field in schema
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    ]
