@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized through the noop sink (no driver
+collect — measures the distributed plan, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eggv_spark.session import get_session
+
+#: Headline queries: the flagship chain plus one representative per
+#: operator family (agg, window, join, dedup, explode, events).
+HEADLINE = [
+    "flagship_token_pipeline",
+    "agg_pricing_summary",
+    "join_left_broadcast",
+    "exp_explode",
+    "ddp_dedup_composite",
+    "ddp_first_by_key",
+    "win_topk_per_group",
+    "evt_tumbling_window",
+    "evt_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_session(
+        "eggv-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM + parquet footers once so per-query times measure
+    # execution, not first-touch JIT/IO.
+    registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
