@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eggv_spark.functions.extract import regexp_extract_null, strip_prefix_cast_long
+from eggv_spark.operators import dedupe as D
 from eggv_spark.operators import relational as R
+from eggv_spark.operators import similarity as S
+from eggv_spark.operators import text_analysis as T
 from eggv_spark.operators.events import sessionize, tumbling_window_counts
 from eggv_spark.sources.readers import read_table
 
@@ -283,6 +286,207 @@ def _evt_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text analysis (extension family)
+# ---------------------------------------------------------------------------
+
+def _txt_token_count(spark, sf_dir):
+    return T.with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_words", "n_distinct_tokens"
+    )
+
+
+def _txt_quality_score(spark, sf_dir):
+    return T.with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_len", "n_tokens", "mean_token_len",
+        "stopword_ratio", "alnum_ratio",
+    )
+
+
+def _txt_lang_id(spark, sf_dir):
+    return T.with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", "score_en", "score_fr", "score_es",
+        "score_de", "score_zh",
+    )
+
+
+def _txt_fingerprint(spark, sf_dir):
+    return T.with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "content_hash", "min_shingle_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family (extension)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark, sf_dir):
+    """Documents plus injected exact duplicates (every 10th doc
+    re-tagged with id+1,000,000) so dedup outputs are non-trivial —
+    the synthetic corpus itself has no exact dups."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.filter("doc_id % 10 = 0").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+
+
+_DUPDOCS_SQL = (
+    "SELECT doc_id, text FROM documents"
+    " UNION ALL"
+    " SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _ddp_exact_hash(spark, sf_dir):
+    return D.exact_dedupe(_docs_with_dups(spark, sf_dir))
+
+
+def _ddp_minhash_neardup(spark, sf_dir):
+    return D.minhash_neardup_pairs(_docs_with_dups(spark, sf_dir), threshold=0.7)
+
+
+def _ddp_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _ddp_simhash_neardup(spark, sf_dir):
+    return D.simhash_neardup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def _ddp_ngram_jaccard(spark, sf_dir):
+    """Standalone exact n-gram Jaccard on deterministic adjacent-id
+    pairs (the verification kernel of the near-dup pipeline)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = D.with_shingle_hashes(docs)
+    # Pairs whose id_b has no document drop out in the verify join
+    # (inner) — same as the oracle's JOIN.
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return D.jaccard_verify_pairs(pairs, shingled, threshold=0.0)
+
+
+def _ddp_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    with_dups = emb.unionByName(
+        emb.filter("vec_id % 25 = 0").withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1000000)
+        )
+    )
+    return D.embedding_neardup_pairs(with_dups, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (extension)
+# ---------------------------------------------------------------------------
+
+def _sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter("vec_id % 50 = 0"), k=5)
+
+
+def _sim_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the hash-heavy extension queries
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    " generate_series(1, greatest(len(t) - 2, 1)),"
+    " i -> array_to_string(list_slice(t, i, i + 2), ' ')))"
+)
+_BASEHASH_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _minhash_oracle() -> str:
+    consts = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    p = D.MINHASH_PRIME
+    return f"""
+WITH alldocs AS ({_DUPDOCS_SQL}),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM alldocs),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+hs AS (SELECT doc_id, shingles,
+       list_distinct(list_transform(shingles,
+         s -> {_BASEHASH_SQL.format(x='s')} % {p})) AS hashes FROM sh),
+consts(j, a, b) AS (VALUES {consts}),
+sig AS (SELECT doc_id, j,
+        list_min(list_transform(hashes, x -> (a * x + b) % {p})) AS m
+        FROM hs CROSS JOIN consts),
+bands AS (SELECT doc_id, j // {D.MINHASH_ROWS} AS band,
+          string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS band_key
+          FROM sig GROUP BY doc_id, j // {D.MINHASH_ROWS}),
+pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_key = r.band_key
+          AND l.doc_id < r.doc_id),
+verified AS (SELECT id_a, id_b,
+    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM pairs JOIN hs sa ON sa.doc_id = id_a JOIN hs sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.7
+"""
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    terms = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+h AS (SELECT doc_id, {_BASEHASH_SQL.format(x='token')} AS h FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _cosine_topk_oracle() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (SELECT q.query_id, c.neighbor_id,
+    round(list_dot_product(q.qv, c.cv)
+          / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+    FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+pairs AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b FROM documents a)
+SELECT id_a, id_b,
+ round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -312,6 +516,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_topk_per_group": _win_topk_per_group,
         "evt_tumbling_window": _evt_tumbling_window,
         "evt_sessionize": _evt_sessionize,
+        "txt_token_count": _txt_token_count,
+        "txt_quality_score": _txt_quality_score,
+        "txt_lang_id": _txt_lang_id,
+        "txt_fingerprint": _txt_fingerprint,
+        "ddp_exact_hash": _ddp_exact_hash,
+        "ddp_minhash_neardup": _ddp_minhash_neardup,
+        "ddp_simhash": _ddp_simhash,
+        "ddp_simhash_neardup": _ddp_simhash_neardup,
+        "ddp_ngram_jaccard": _ddp_ngram_jaccard,
+        "ddp_embedding_neardup": _ddp_embedding_neardup,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
     }
 
 
@@ -432,4 +648,63 @@ def oracle_sql() -> dict[str, str]:
             " CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch"
             " FROM sess GROUP BY user_id, session_id"
         ),
+        "txt_token_count": (
+            f"SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,"
+            " len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            "     t -> t <> '')) AS n_words,"
+            f" len(list_distinct({_TOKS_SQL})) AS n_distinct_tokens"
+            " FROM documents"
+        ),
+        "txt_quality_score": (
+            f"WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)"
+            " SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,"
+            " len(t) AS n_tokens,"
+            " round(list_sum(list_transform(t, s -> CAST(length(s) AS DOUBLE)))"
+            "       / greatest(len(t), 1), 4) AS mean_token_len,"
+            " round(CAST(len(list_filter(t, s -> list_contains("
+            f"   {list(T.STOPWORDS)}, s))) AS DOUBLE)"
+            "       / greatest(len(t), 1), 4) AS stopword_ratio,"
+            " round(CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+            "   AS DOUBLE) / greatest(length(text), 1), 4) AS alnum_ratio"
+            " FROM toks"
+        ),
+        "txt_lang_id": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),"
+            " s AS (SELECT doc_id,"
+            + ",".join(
+                f" len(list_filter(t, x -> list_contains("
+                f"{list(T.LANG_MARKERS[lang])}, x))) AS score_{lang}"
+                for lang in T.LANG_MARKERS
+            )
+            + " FROM toks)"
+            " SELECT doc_id, CASE"
+            " WHEN score_en >= score_fr AND score_en >= score_es"
+            "  AND score_en >= score_de AND score_en >= score_zh THEN 'en'"
+            " WHEN score_fr >= score_es AND score_fr >= score_de"
+            "  AND score_fr >= score_zh THEN 'fr'"
+            " WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'"
+            " WHEN score_de >= score_zh THEN 'de'"
+            " ELSE 'zh' END AS lang_pred,"
+            " score_en, score_fr, score_es, score_de, score_zh FROM s"
+        ),
+        "txt_fingerprint": (
+            f"WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),"
+            f" sh AS (SELECT doc_id, text, {_SHINGLES_SQL} AS shingles FROM toks)"
+            " SELECT doc_id,"
+            " md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,"
+            " list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_hash"
+            " FROM sh"
+        ),
+        "ddp_exact_hash": (
+            f"WITH alldocs AS ({_DUPDOCS_SQL})"
+            " SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,"
+            " min(doc_id) AS keeper_id, count(*) AS n_copies"
+            " FROM alldocs GROUP BY 1"
+        ),
+        "ddp_minhash_neardup": _minhash_oracle(),
+        "ddp_simhash": _simhash_oracle(),
+        "ddp_ngram_jaccard": _ngram_jaccard_oracle(),
+        "sim_cosine_topk": _cosine_topk_oracle(),
+        # ddp_simhash_neardup / ddp_embedding_neardup / sim_ivf_topk:
+        # LSH-bucketed candidate generation — rows-only check.
     }

@@ -1,0 +1,354 @@
+"""Deduplication operator family (extension, SURVEY §7.4 / north
+star): exact hash dedup, MinHash+LSH near-dup, SimHash, n-gram
+Jaccard verification, embedding-cosine near-dup.
+
+Scale design
+------------
+- Exact dedup: one map-side-combined shuffle on the content hash.
+- MinHash+LSH: per-row signature computation is shuffle-free Column
+  math; candidate generation shuffles once on (band, band_key) —
+  never the O(n²) cross join.  Bucket self-join output is bounded by
+  bucket sizes (skew guard: oversized buckets are salted out by
+  AQE's skew-join handling; truly adversarial buckets should be
+  capped upstream).
+- Verification joins shingle sets only for candidate pairs.
+- All hashing is md5-derived (deterministic, engine-portable) — NOT
+  Spark's ``hash()``/``xxhash64`` (not reproducible in the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eggv_spark.operators.text_analysis import shingles_col, tokens_col
+
+#: MinHash parameters: 16 permutations = 4 bands x 4 rows
+#: (LSH threshold ~ (1/b)^(1/r) = 0.71 jaccard).
+MINHASH_PRIME = 2147483647
+MINHASH_A = (
+    1103515245, 1229782938, 1076767861, 1476291629,
+    1117695901, 1442695041, 1865811235, 1540483477,
+    1013904223, 1196314165, 1293839219, 1669632769,
+    1386796291, 1152921505, 1926732743, 1073741827,
+)
+MINHASH_B = (
+    12345, 67891, 24683, 13579,
+    98765, 43210, 11111, 77777,
+    31415, 27182, 16180, 14142,
+    17320, 22360, 26457, 30000,
+)
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+
+
+def base_hash(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex chars of md5, as a
+    long.  Identical expression exists in DuckDB
+    (``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedupe(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct normalized
+    text, keeping the smallest id (deterministic keeper) and the
+    duplicate count.  Single hash-shuffle with map-side partial agg.
+    """
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.withColumn("content_hash", F.md5(normalized))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", shingle_size: int = 3
+) -> DataFrame:
+    """Distinct word-shingle set and its 32-bit hashes per document."""
+    shingles = shingles_col(tokens_col(text_col), shingle_size)
+    return df.withColumn("shingles", shingles).withColumn(
+        "shingle_hashes",
+        F.array_distinct(
+            F.transform(F.col("shingles"), lambda s: base_hash(s) % MINHASH_PRIME)
+        ),
+    )
+
+
+def with_minhash_signature(df: DataFrame) -> DataFrame:
+    """16-permutation MinHash signature over ``shingle_hashes``.
+    (a*x+b) mod p with a,x < 2^31 stays within int64.  Pure per-row
+    array math — no shuffle, no UDF."""
+    # Closure factory: Spark treats a multi-arg lambda (incl. default
+    # args) as an (element, index) lambda.
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingle_hashes"), _perm(a, b)))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    return df.withColumn("minhash_sig", sig)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join buckets -> distinct candidate
+    pairs (a < b).  The only shuffle is on the band key."""
+    bands = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash_sig").getItem(band * MINHASH_ROWS + r)
+                                for r in range(MINHASH_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs: join shingle sets
+    back (2 joins on the pair ids) and keep pairs >= threshold."""
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    jacc = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        4,
+    )
+    return (
+        joined.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> minhash ->
+    band-bucket join -> exact Jaccard verify.  The shingled frame is
+    persisted (two consumers: candidate generation + verification)."""
+    shingled = with_minhash_signature(
+        with_shingle_hashes(df, text_col, shingle_size)
+    ).persist()
+    pairs = lsh_candidate_pairs(shingled, id_col)
+    return jaccard_verify_pairs(pairs, shingled, threshold, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document: each token votes +1/-1 on each bit
+    of its 32-bit hash; the sign of the bit-sum forms the fingerprint.
+
+    Plan shape: explode tokens -> single groupBy(id) computing all 32
+    bit-sums as parallel agg expressions -> recombine.  One shuffle.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    ).withColumn("h", base_hash(F.col("token")))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: candidates via 4-byte band equality (any two
+    fingerprints within hamming distance 3 share at least one of 4
+    bytes), verified by exact popcount of the XOR.  Band join, not
+    O(n²)."""
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_val")
+
+    left, right = bands.alias("l"), bands.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float-array columns, accumulated
+    in double (sequential, engine-portable)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH prefilter: bucket by the
+    sign pattern of ``n_planes`` deterministic pseudo-random
+    hyperplanes, then exact-cosine-verify within buckets.
+
+    The hyperplanes are derived per (plane, dim) from the md5-based
+    ``base_hash`` so the construction is reproducible — no RNG state.
+    Near-identical vectors land in the same bucket with prob
+    ~(1-theta/pi)^planes; for dedup-grade thresholds (>=0.95) recall
+    is high while the join stays bucket-local.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = [
+        F.array(
+            *[
+                (
+                    (base_hash(F.lit(f"plane-{p}-{d}")) % 2001) - 1000
+                ).cast("double")
+                for d in range(dim)
+            ]
+        )
+        for p in range(n_planes)
+    ]
+    sign_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), plane, lambda x, w: x.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    bucket = F.concat_ws("", *[b.cast("string") for b in sign_bits])
+    bucketed = df.select(id_col, vec_col).withColumn("bucket", bucket)
+
+    left, right = bucketed.alias("l"), bucketed.alias("r")
+    cands = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col(f"l.{vec_col}").alias("v_a"),
+        F.col(f"r.{vec_col}").alias("v_b"),
+    )
+    cos = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 4)
+    return (
+        cands.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

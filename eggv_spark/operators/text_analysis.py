@@ -1,0 +1,155 @@
+"""Text-analysis operators (extension family, SURVEY §7.4 / repo
+north star): tokenization, token counting, quality scoring, language
+ID, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; embarrassingly
+parallel — no shuffle) so they run at scan speed over 100 TB of
+documents.  Every helper is deterministic and mirrors one-to-one to
+ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small fixed stopword list used by quality scoring (order matters
+#: only for documentation; membership tests are set semantics).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: Marker words per language for the n-gram/stopword language-ID
+#: heuristic.  Deterministic tie-break: first language in this order
+#: with the max score wins.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "las"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def tokens_col(text_col: str | Column) -> Column:
+    """Whitespace tokenization of lowercased text, empty tokens
+    dropped.  The shared front-end of every operator below."""
+    raw = F.split(F.lower(text_col), r"\s+")
+    return F.filter(raw, lambda t: t != "")
+
+
+def word_tokens_col(text_col: str | Column) -> Column:
+    """BPE-ish tokenization: split on any non-alphanumeric run, so
+    punctuation-glued words count separately."""
+    raw = F.split(F.lower(text_col), r"[^a-z0-9]+")
+    return F.filter(raw, lambda t: t != "")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens +
+    distinct-token count."""
+    toks = tokens_col(text_col)
+    words = word_tokens_col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks),
+            "n_words": F.size(words),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio,
+    alnum-space ratio, and a composite score.
+
+    Ratios are rounded to 4dp so cross-engine double comparisons are
+    stable.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    text_len = F.length(text_col)
+    alnum_len = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", ""))
+    mean_tok = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        4,
+    )
+    stop_ratio = F.round(
+        n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 4
+    )
+    alnum_ratio = F.round(
+        alnum_len.cast("double") / F.greatest(text_len, F.lit(1)).cast("double"), 4
+    )
+    return df.withColumns(
+        {
+            "text_len": text_len.cast("long"),
+            "n_tokens": n_tokens,
+            "mean_token_len": mean_tok,
+            "stopword_ratio": stop_ratio,
+            "alnum_ratio": alnum_ratio,
+        }
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: count marker-word hits per language,
+    argmax with a fixed-order tie-break (CASE chain — identical
+    semantics in the SQL oracle)."""
+    toks = tokens_col(text_col)
+
+    # NB: the lambda must take exactly one parameter — Spark treats a
+    # two-arg lambda (incl. default args) as (element, index).
+    def _contains(arr: Column):
+        return lambda t: F.array_contains(arr, t)
+
+    scores: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, _contains(arr)))
+
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            geq = scores[lang] >= scores[other]
+            cond = geq if cond is None else (cond & geq)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return df.withColumn("lang_pred", pred).withColumns(
+        {f"score_{lang}": scores[lang] for lang in langs}
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", shingle_size: int = 3
+) -> DataFrame:
+    """Document fingerprinting: (a) md5 of whitespace-normalized
+    lowercased text — the exact-dup key; (b) min shingle hash — a
+    1-permutation MinHash usable as a cheap near-dup prefilter."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    shingles = shingles_col(tokens_col(text_col), shingle_size)
+    return df.withColumns(
+        {
+            "content_hash": F.md5(normalized),
+            "min_shingle_hash": F.array_min(
+                F.transform(shingles, lambda s: F.md5(s))
+            ),
+        }
+    )
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array.  Documents
+    shorter than ``n`` tokens contribute their full token string as a
+    single shingle (so no document has an empty shingle set)."""
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.array_distinct(ngrams)

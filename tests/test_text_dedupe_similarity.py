@@ -1,0 +1,123 @@
+"""Unit tests for the extension operator families: text analysis,
+dedup (exact / MinHash-LSH / SimHash / Jaccard / embedding), and
+similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggv_spark.operators import dedupe as D
+from eggv_spark.operators import similarity as S
+from eggv_spark.operators import text_analysis as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "le chat et le chien et les oiseaux"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_counts(docs):
+    rows = {r.doc_id: r for r in T.with_token_counts(docs).collect()}
+    assert rows[1].n_tokens == 9
+    assert rows[1].n_distinct_tokens == 8  # 'the' twice
+    assert rows[3].n_tokens == 6
+
+
+def test_quality_score(docs):
+    rows = {r.doc_id: r for r in T.with_quality_score(docs).collect()}
+    assert rows[1].text_len == 43
+    assert rows[1].stopword_ratio == pytest.approx(2 / 9, abs=1e-4)
+    assert rows[1].alnum_ratio == 1.0
+
+
+def test_lang_id(docs):
+    rows = {r.doc_id: r for r in T.with_lang_id(docs).collect()}
+    assert rows[1].lang_pred == "en"
+    assert rows[5].lang_pred == "fr"
+    assert rows[5].score_fr >= 2
+
+
+def test_fingerprint_exact_dups_share_hash(docs):
+    rows = {r.doc_id: r for r in T.with_fingerprint(docs).collect()}
+    assert rows[1].content_hash == rows[4].content_hash
+    assert rows[1].content_hash != rows[2].content_hash
+    assert rows[1].min_shingle_hash == rows[4].min_shingle_hash
+
+
+def test_exact_dedupe(docs):
+    out = D.exact_dedupe(docs)
+    assert out.count() == 4  # 5 docs, one exact dup collapses
+    dup = out.filter("n_copies > 1").collect()
+    assert len(dup) == 1 and dup[0].keeper_id == 1 and dup[0].n_copies == 2
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup pair found via LSH
+    # docs 1/2 differ by last word: 7 shared of 9 union 3-shingles
+    if (1, 2) in pairs:
+        assert 0.5 <= pairs[(1, 2)] < 1.0
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    rows = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert rows[1] == rows[4]
+    assert 0 <= rows[1] < 2**32
+    pair_rows = D.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    assert any(r.id_a == 1 and r.id_b == 4 and r.hamming == 0 for r in pair_rows)
+
+
+def test_jaccard_verify(docs):
+    shingled = D.with_shingle_hashes(docs.select("doc_id", "text"))
+    pairs = docs.sparkSession.createDataFrame(
+        [(1, 4), (1, 3)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           D.jaccard_verify_pairs(pairs, shingled, 0.0).collect()}
+    assert out[(1, 4)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # near 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [1.0, 0.0, 0.0, 0.0]),   # identical to 1
+        (5, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(vectors):
+    out = S.brute_force_topk(vectors, vectors.filter("vec_id = 1"), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [4, 2]
+    assert rows[0].cosine == 1.0
+
+
+def test_embedding_neardup(vectors):
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in D.embedding_neardup_pairs(vectors, threshold=0.95).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_ivf_topk_finds_identical_vector(vectors):
+    out = S.ivf_topk(vectors, vectors.filter("vec_id = 1"), k=2,
+                     n_centroids=4, n_probe=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 4 and rows[0].cosine == 1.0
