@@ -392,6 +392,62 @@ def _sim_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# multimodal + streaming (extension)
+# ---------------------------------------------------------------------------
+
+def _mm_asset_stats(spark, sf_dir):
+    from eggv_spark.operators import multimodal as M
+
+    return M.asset_stats(M.synthesize_assets(_t(spark, sf_dir, "documents")))
+
+
+def _mm_feature_extract(spark, sf_dir):
+    from eggv_spark.operators import multimodal as M
+
+    feats = M.extract_features(M.synthesize_assets(_t(spark, sf_dir, "documents")))
+    # Project the feature vector to a scalar for stable comparison;
+    # the vector itself is exercised by unit tests.
+    return feats.select(
+        "asset_id", "modality", "n_bytes", "content_hash",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def _mm_video_frames(spark, sf_dir):
+    from eggv_spark.operators import multimodal as M
+
+    return M.sample_video_frames(M.synthesize_assets(_t(spark, sf_dir, "documents")))
+
+
+def _stream_tumbling(spark, sf_dir):
+    from eggv_spark.streaming import events_stream as ES
+
+    out = ES.run_available_now(
+        ES.streaming_tumbling_counts(ES.read_events_stream(spark, sf_dir))
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def _stream_session_windows(spark, sf_dir):
+    from eggv_spark.streaming import events_stream as ES
+
+    out = ES.run_available_now(
+        ES.streaming_session_windows(ES.read_events_stream(spark, sf_dir))
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("start_epoch"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL builders for the hash-heavy extension queries
 # ---------------------------------------------------------------------------
 
@@ -528,6 +584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_embedding_neardup": _ddp_embedding_neardup,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_ivf_topk": _sim_ivf_topk,
+        "mm_asset_stats": _mm_asset_stats,
+        "mm_feature_extract": _mm_feature_extract,
+        "mm_video_frames": _mm_video_frames,
+        "stream_tumbling_window": _stream_tumbling,
+        "stream_session_windows": _stream_session_windows,
     }
 
 
@@ -705,6 +766,24 @@ def oracle_sql() -> dict[str, str]:
         "ddp_simhash": _simhash_oracle(),
         "ddp_ngram_jaccard": _ngram_jaccard_oracle(),
         "sim_cosine_topk": _cosine_topk_oracle(),
-        # ddp_simhash_neardup / ddp_embedding_neardup / sim_ivf_topk:
-        # LSH-bucketed candidate generation — rows-only check.
+        "mm_asset_stats": (
+            "SELECT doc_id AS asset_id,"
+            " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
+            "  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+            # duckdb md5 is VARCHAR-only; hashes the same utf-8 bytes
+            " md5(text) AS content_hash"
+            " FROM documents"
+        ),
+        "stream_tumbling_window": (
+            # The streaming plan over all available input must equal
+            # the batch aggregation — the oracle IS the batch SQL.
+            "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_epoch,"
+            " count(*) AS n_events, round(sum(value), 4) AS sum_value"
+            " FROM events GROUP BY 1"
+        ),
+        # ddp_simhash_neardup / ddp_embedding_neardup / sim_ivf_topk /
+        # mm_feature_extract / mm_video_frames / stream_session_windows:
+        # LSH candidate generation, pandas-UDF decode plumbing, and
+        # session-window merge state — rows-only checks.
     }

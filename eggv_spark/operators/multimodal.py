@@ -1,0 +1,148 @@
+"""Multimodal column operators (extension, SURVEY §7.4).
+
+Data model: image/audio/video are opaque ``binary`` payload columns
+with typed metadata (MULTIMODAL_ASSET_SCHEMA) — parquet-native, so
+100 TB of assets shard/prune like any other table and the binary
+column is only read when projected.
+
+The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas``
+signatures, partitioning) is real and tested; the actual media
+decode is STUBBED: the container has no image/audio libraries, so
+``decode_payload`` raises ``NotImplementedError`` unless
+``fake=True``, which produces a deterministic md5-derived feature
+vector with the same shape a real decoder would emit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eggv_spark.schemas import MULTIMODAL_FEATURE_SCHEMA
+
+MODALITIES = ("image", "audio", "video")
+FEATURE_DIM = 8
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Build a deterministic multimodal asset table from the
+    ``documents`` fixture: payload = utf-8 bytes of the text, modality
+    cycles by id.  Stands in for real decoded media at the exact
+    schema real assets would use."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % len(MODALITIES)).cast("int") + 1,
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), modality).alias("mime_type"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def asset_stats(assets: DataFrame) -> DataFrame:
+    """Cheap metadata pass over binary payloads — pure Column exprs
+    (no decode): byte length + md5 content hash per asset."""
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
+
+
+def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
+    """Decode one media payload to a feature vector.
+
+    STUB: real decoding needs PIL/librosa/ffmpeg, which this
+    environment does not ship.  ``fake=True`` derives a deterministic
+    FEATURE_DIM-float vector from the md5 digest — shape-compatible
+    with a real embedding so the distributed plumbing is exercised
+    end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            f"real {modality} decoding requires media libraries not "
+            "available in this environment; pass fake=True for the "
+            "deterministic stand-in"
+        )
+    digest = hashlib.md5(payload).digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(
+    assets: DataFrame,
+    fake_decode: bool = True,
+    decoder: Callable[[bytes, str, bool], list[float]] = decode_payload,
+) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched
+    ``mapInPandas``.
+
+    Why mapInPandas (not a scalar pandas UDF): a real decoder wants
+    per-batch library setup (model weights, codec contexts), which
+    amortizes across each Arrow batch; and the 1->1 row mapping can
+    become 1->N (e.g. video frame sampling) without changing operator
+    shape.  Batch size follows
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "modality": batch["modality"],
+                    "n_bytes": batch["payload"].map(len).astype("int64"),
+                    "content_hash": batch["payload"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "feature": [
+                        decoder(p, m, fake_decode)
+                        for p, m in zip(batch["payload"], batch["modality"])
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        _extract, MULTIMODAL_FEATURE_SCHEMA
+    )
+
+
+def sample_video_frames(
+    assets: DataFrame, n_frames: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Frame sampling for video assets: 1->N row expansion inside
+    mapInPandas (the operator shape a real ffmpeg sampler would use;
+    frame payloads are deterministic digest slices under the stub)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"asset_id": [], "frame_idx": [], "frame_hash": []}
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                if not fake_decode:
+                    raise NotImplementedError("real frame sampling needs ffmpeg")
+                for i in range(n_frames):
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(
+                        hashlib.md5(payload + bytes([i])).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _sample, "asset_id long, frame_idx int, frame_hash string"
+        )
+    )

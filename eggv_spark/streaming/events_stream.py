@@ -1,0 +1,105 @@
+"""Structured Streaming variants of the event analytics operators
+(extension, SURVEY §7.4: the reference is batch-only; streams are a
+first-class extension here).
+
+Each builder returns a streaming DataFrame; ``run_available_now``
+executes it over the existing files with the availableNow trigger and
+returns the materialized result — which makes the streaming path
+testable in batch-style tests and driver queries, while the same
+plan runs unbounded in production (swap trigger + sink).
+
+Watermarks bound state: late events beyond the watermark are dropped
+instead of growing executor state without limit — mandatory at
+100 TB/day stream volumes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Streaming read schema for the events table.  ``ts`` arrives as a
+#: raw nanosecond long (see readers.read_table NANOS note) and is
+#: converted right after the scan.
+EVENTS_STREAM_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming scan of the events parquet (in
+    production this would be Kafka/file-drop; the plan is identical).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source requires a directory: stream the sf_dir
+    # with a glob pinned to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of
+    ``operators.events.tumbling_window_counts`` (same F.window
+    operator, same semantics on closed windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows via the native ``session_window``
+    operator — the streaming-safe formulation of
+    ``operators.events.sessionize`` (state bounded by the watermark).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def run_available_now(streaming_df: DataFrame, name: str | None = None) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.AvailableNow) into an in-memory sink and return the
+    result as a batch DataFrame."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"eggv-ckpt-{name}-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return streaming_df.sparkSession.table(name)
