@@ -32,6 +32,15 @@ def annotate_variants(
     Left (not inner) so unmapped variants survive for mapping
     statistics (reference ``eggv/annotate.py:55-94``).  Output
     columns follow ANNOTATED_SCHEMA.
+
+    Chromosome provenance matches the reference's pandas suffix
+    semantics exactly: when the variant side carries ``chromosome``
+    (full processed variants) the collision suffixes apply and
+    ``chromosome_l`` — the VARIANT side — is kept
+    (``eggv/annotate.py:79-84``); when the variant side is the
+    effects table (rsid, effect, transcript — the production path,
+    ``eggv/annotate.py:205-211``) the only ``chromosome`` column
+    comes from the GENE side (null for unmapped variants).
     """
     gene_side = genes.select(
         F.col("chromosome").alias("_gene_chromosome"),
@@ -48,8 +57,13 @@ def annotate_variants(
         variants["transcript"] == gene_side["transcript_id"],
         "left",
     )
+    chromosome = (
+        variants["chromosome"]
+        if "chromosome" in variants.columns
+        else F.col("_gene_chromosome").alias("chromosome")
+    )
     return joined.select(
-        variants["chromosome"],
+        chromosome,
         "rsid",
         F.col("effect").alias("variant_effect"),
         "transcript",

@@ -1,0 +1,157 @@
+"""Pipeline composition: retrieve -> process -> annotate -> complete.
+
+The reference orchestrates these stages as Dask future chains with
+per-chromosome sub-pipelines and async saves
+(``eggv/pipeline.py:147-233``).  Spark-first, that machinery
+simplifies:
+
+* The 24-chromosome hg38 fan-out becomes ONE glob read — Spark
+  splits every file into input partitions and schedules them across
+  executors, so per-file futures add nothing but driver complexity.
+* IO/compute overlap (reference ``eggv/pipeline.py:177-225``) is
+  replaced by ``persist()`` at the two shared-intermediate DAG points
+  (processed variants feed effects+metadata; the annotated join feeds
+  the intergenic/intragenic splits — same points the reference pins,
+  ``eggv/process.py:341`` and ``eggv/annotate.py:219-220``) and an
+  optional driver thread pool for concurrent sink jobs (Spark actions
+  from separate threads schedule concurrently).
+* Async TSV save + consolidation (``eggv/dfio.py``) is the native
+  partitioned sink; ``single_file=True`` exports one file.
+
+Every stage takes explicit (spark, layout) arguments — no singletons —
+so the same code runs local[N] tests and cluster jobs unchanged.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from eggv_spark import retrieve as R
+from eggv_spark.config import validate_config
+from eggv_spark.layout import DataLayout
+from eggv_spark.operators import annotate as A
+from eggv_spark.operators import genes as G
+from eggv_spark.operators import variants as V
+from eggv_spark.schemas import GENES_SCHEMA, VARIANT_EFFECTS_SCHEMA
+from eggv_spark.session import get_session
+from eggv_spark.sources import readers, writers
+
+
+def _save_concurrently(jobs: list[tuple[DataFrame, str]], single_file: bool) -> None:
+    """Run several sink actions at once from driver threads (the
+    Spark analog of the reference's async ``to_csv`` futures,
+    ``eggv/dfio.py:63-100``)."""
+    with ThreadPoolExecutor(max_workers=max(len(jobs), 1)) as pool:
+        futures = [
+            pool.submit(writers.write_tsv, df, path, single_file) for df, path in jobs
+        ]
+        for f in futures:
+            f.result()
+
+
+def run_variant_processing(
+    spark: SparkSession, layout: DataLayout, single_file: bool = False
+) -> dict[str, DataFrame]:
+    """GVF glob -> process -> {effects, metadata} TSVs
+    (reference ``eggv/process.py:318-424``)."""
+    raw = readers.read_gvf(spark, layout.variant_gvf_glob())
+    processed = V.process_gvf(raw).persist()
+    effects = V.isolate_variant_effects(processed)
+    meta = V.isolate_variant_metadata(processed)
+    _save_concurrently(
+        [(effects, layout.variant_effects()), (meta, layout.variant_meta())],
+        single_file,
+    )
+    processed.unpersist()
+    return {"effects": effects, "metadata": meta}
+
+
+def run_gene_processing(
+    spark: SparkSession, layout: DataLayout, single_file: bool = False
+) -> dict[str, DataFrame]:
+    """GTF -> transcript-level genes + gene-deduped copy
+    (reference ``eggv/process.py:427-534``)."""
+    processed = G.process_gtf(readers.read_gtf(spark, layout.gene_gtf())).persist()
+    deduped = G.dedupe_genes(processed)
+    _save_concurrently(
+        [(processed, layout.gene_meta()), (deduped, layout.gene_dedup())],
+        single_file,
+    )
+    processed.unpersist()
+    return {"genes": processed, "genes_dedup": deduped}
+
+
+def run_annotation(
+    spark: SparkSession, layout: DataLayout, single_file: bool = False
+) -> dict[str, DataFrame]:
+    """effects ⟕ genes -> intergenic/intragenic TSVs
+    (reference ``eggv/annotate.py:145-235``)."""
+    effects = readers.read_processed_tsv(
+        spark, layout.variant_effects(), VARIANT_EFFECTS_SCHEMA
+    )
+    genes = readers.read_processed_tsv(spark, layout.gene_meta(), GENES_SCHEMA)
+    result = A.run_annotation(effects, genes)
+    _save_concurrently(
+        [
+            (result["intergenic"], layout.annotated_intergenic()),
+            (result["intragenic"], layout.annotated_intragenic()),
+        ],
+        single_file,
+    )
+    result["annotated"].unpersist()
+    return result
+
+
+def run_retrieve_step(config: Mapping[str, Any]) -> DataLayout:
+    validate_config(config)
+    layout = DataLayout(config["directories"]["data"], config["species"])
+    layout.create()
+    force = bool(config.get("overwrite", False))
+    R.retrieve_genes(layout, force=force)
+    R.retrieve_variants(layout, force=force)
+    return layout
+
+
+def run_process_step(
+    config: Mapping[str, Any], spark: SparkSession | None = None
+) -> dict[str, DataFrame]:
+    validate_config(config)
+    spark = spark or session_from_config(config)
+    layout = DataLayout(config["directories"]["data"], config["species"])
+    out = run_gene_processing(spark, layout)
+    out |= run_variant_processing(spark, layout)
+    return out
+
+
+def run_annotate_step(
+    config: Mapping[str, Any], spark: SparkSession | None = None
+) -> dict[str, DataFrame]:
+    validate_config(config)
+    spark = spark or session_from_config(config)
+    layout = DataLayout(config["directories"]["data"], config["species"])
+    return run_annotation(spark, layout)
+
+
+def run_complete_pipeline(
+    config: Mapping[str, Any], spark: SparkSession | None = None
+) -> dict[str, DataFrame]:
+    """retrieve -> process -> annotate (reference flagship,
+    ``eggv/pipeline.py:317-329``)."""
+    run_retrieve_step(config)
+    spark = spark or session_from_config(config)
+    out = run_process_step(config, spark)
+    out |= run_annotate_step(config, spark)
+    return out
+
+
+def session_from_config(config: Mapping[str, Any]) -> SparkSession:
+    sp = config.get("spark", {})
+    return get_session(
+        app_name=sp.get("app_name", "eggv-spark"),
+        master=sp.get("master", "local[*]"),
+        shuffle_partitions=int(sp.get("shuffle_partitions", 200)),
+        extra_confs=sp.get("confs") or {},
+    )

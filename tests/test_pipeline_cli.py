@@ -1,0 +1,107 @@
+"""End-to-end pipeline + CLI tests.
+
+Mirrors the reference's full-pipeline assertions
+(``/root/reference/tests/test_annotate.py:108-121``) but drives the
+real stage functions over the on-disk layout: gzipped fixture builds
+-> process -> TSV intermediates -> annotate -> splits.  Retrieval is
+exercised through ``file://`` URLs (no network).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from click.testing import CliRunner
+
+from eggv_spark import pipeline, retrieve
+from eggv_spark.cli import cli
+from eggv_spark.config import load_config, validate_config
+from eggv_spark.layout import DataLayout
+from tests.fixtures import GTF_TEXT, GVF_TEXT
+
+
+@pytest.fixture(scope="module")
+def layout(tmp_path_factory):
+    """A populated mm10-style layout (single variant file) with the
+    gzipped fixture builds in place — Spark reads .gz natively."""
+    root = str(tmp_path_factory.mktemp("data"))
+    lay = DataLayout(root, "mm10")
+    lay.create()
+    with gzip.open(lay.variant_gvf(), "wt") as fh:
+        fh.write(GVF_TEXT)
+    with gzip.open(lay.gene_gtf(), "wt") as fh:
+        fh.write(GTF_TEXT)
+    return lay
+
+
+def test_retrieve_file_urls(tmp_path):
+    src = tmp_path / "src.gtf.gz"
+    with gzip.open(src, "wt") as fh:
+        fh.write(GTF_TEXT)
+    lay = DataLayout(str(tmp_path / "data"), "mm10")
+    lay.create()
+    out = retrieve.retrieve_genes(lay, url=f"file://{src}")
+    assert os.path.exists(out)
+    # Idempotent: second fetch (no force) keeps the existing file.
+    mtime = os.path.getmtime(out)
+    assert retrieve.retrieve_genes(lay, url=f"file://{src}") == out
+    assert os.path.getmtime(out) == mtime
+    # gunzip export utility round-trips.
+    plain = retrieve.gunzip(out)
+    assert open(plain).read() == GTF_TEXT
+
+
+def test_process_and_annotate_stages(spark, layout):
+    out = pipeline.run_gene_processing(spark, layout)
+    assert out["genes"].count() == 4  # 4 transcript rows in fixture
+    assert out["genes_dedup"].count() == 2  # 2 genes
+
+    out = pipeline.run_variant_processing(spark, layout)
+    assert out["effects"].count() == 5
+    assert out["metadata"].count() == 2
+
+    ann = pipeline.run_annotation(spark, layout)
+    assert ann["intergenic"].count() == 1
+    assert ann["intragenic"].count() == 4
+    # Production path: effects input has no chromosome, so annotated
+    # chromosome comes from the gene side (reference merge semantics,
+    # eggv/annotate.py:70-84) — present for mapped variants.
+    intra_rows = ann["intragenic"].collect()
+    assert {r.gene_id for r in intra_rows} == {
+        "ENSG00000700001",
+        "ENSG00000700002",
+    }
+    # Outputs landed as headered TSV directories.
+    assert os.path.isdir(layout.variant_effects())
+    assert os.path.isdir(layout.annotated_intragenic())
+
+
+def test_config_precedence_and_validation(tmp_path):
+    cfg_file = tmp_path / "c.yml"
+    cfg_file.write_text("species: hg38\nspark:\n  shuffle_partitions: 8\n")
+    cfg = load_config(str(cfg_file), {"spark": {"master": "local[2]"}})
+    # File overrides default; explicit override wins; untouched keys keep defaults.
+    assert cfg["species"] == "hg38"
+    assert cfg["spark"]["shuffle_partitions"] == 8
+    assert cfg["spark"]["master"] == "local[2]"
+    assert cfg["spark"]["app_name"] == "eggv-spark"
+    validate_config(cfg)
+    with pytest.raises(ValueError, match="species"):
+        validate_config(load_config())
+    with pytest.raises(ValueError, match="unknown species"):
+        validate_config(load_config(None, {"species": "hg19"}))
+
+
+def test_cli_rejects_missing_species():
+    result = CliRunner().invoke(cli, ["process"])
+    assert result.exit_code == 2
+    assert "species" in result.output
+
+
+def test_cli_help_lists_subcommands():
+    result = CliRunner().invoke(cli, ["--help"])
+    assert result.exit_code == 0
+    for cmd in ("retrieve", "process", "annotate", "complete"):
+        assert cmd in result.output
