@@ -21,11 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eggv_spark.functions.extract import regexp_extract_null, strip_prefix_cast_long
+from eggv_spark.operators import aggregates as AG
 from eggv_spark.operators import dedupe as D
 from eggv_spark.operators import relational as R
 from eggv_spark.operators import similarity as S
 from eggv_spark.operators import text_analysis as T
 from eggv_spark.operators.events import sessionize, tumbling_window_counts
+from eggv_spark.operators.rangejoin import asof_join, range_join
 from eggv_spark.sources.readers import read_table
 
 
@@ -201,6 +203,165 @@ def _join_left_broadcast(spark, sf_dir):
         broadcast_right=True,
     )
     return joined.select("o_orderkey", "c_name", "c_mktsegment")
+
+
+def _join_semi(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return R.semi_join(customer, urgent, "c_custkey")
+
+
+def _join_anti(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return R.anti_join(customer, orders, "c_custkey")
+
+
+def _rng_range_join(spark, sf_dir):
+    """Bucketed point-in-interval join: customer balances inside
+    supplier [acctbal, acctbal+1000] bands — equi-join on bins, exact
+    predicate post-filter (no cross join at any scale)."""
+    points = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    intervals = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("lo"),
+        (F.col("s_acctbal").cast("double") + 1000.0).alias("hi"),
+    )
+    return range_join(points, intervals, "bal", "lo", "hi", bin_width=1000).select(
+        "c_custkey", "s_suppkey"
+    )
+
+
+def _join_asof(spark, sf_dir):
+    """As-of join: each click event picks up the value of the same
+    user's most recent purchase at-or-before it (union + window — one
+    shuffle, no range explosion)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # One purchase row per (user, ts) so ties are deterministic in
+    # both engines.
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], "ts", ["pval"],
+                    tiebreak_col="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        F.round(F.col("asof_pval").cast("double"), 4).alias("asof_pval"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops / sort-limit (engine extensions, SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+def _set_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return R.distinct_union([c, s])
+
+
+def _set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return R.intersect_rows(c, s)
+
+
+def _set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return R.except_rows(c, s)
+
+
+def _srt_global_topk(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    return R.sort_limit(
+        df, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10
+    ).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# multi-level aggregation / analytic windows (extensions)
+# ---------------------------------------------------------------------------
+
+def _agg_rollup(spark, sf_dir):
+    return AG.rollup_agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": F.round(F.sum("l_quantity"), 2), "n_rows": F.count("*")},
+    )
+
+
+def _agg_cube(spark, sf_dir):
+    return AG.cube_agg(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"sum_price": F.round(F.sum("o_totalprice"), 2), "n_rows": F.count("*")},
+    )
+
+
+def _agg_grouping_sets(spark, sf_dir):
+    return AG.grouping_sets_agg(
+        _t(spark, sf_dir, "lineitem"),
+        [["l_returnflag"], ["l_linestatus"]],
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": F.round(F.sum("l_quantity"), 2), "n_rows": F.count("*")},
+    )
+
+
+def _agg_distinct_counts(spark, sf_dir):
+    return AG.distinct_counts(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+    ).select("o_orderpriority", "n_distinct")
+
+
+def _win_lag_lead(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    out = AG.with_lag_lead(
+        df, "o_totalprice", ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return out.select("o_custkey", "o_orderkey", "prev_value", "next_value")
+
+
+def _win_running_sum(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    out = AG.with_running_sum(
+        df, "o_totalprice", ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return out.select(
+        "o_custkey", "o_orderkey",
+        F.round("running_sum", 2).alias("running_sum"),
+    )
+
+
+def _win_moving_avg(spark, sf_dir):
+    # Averaged in exact integer cents: float sums drift by an ulp
+    # between engines (DuckDB windows aggregate via segment trees,
+    # reordering additions), which can flip a 2dp round.
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    out = AG.with_moving_avg(
+        df, "price_cents", ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], preceding=2,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("moving_avg") / 100.0, 4).alias("moving_avg"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -564,6 +725,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flt_isin": _flt_isin,
         "flt_neg_notnull": _flt_neg_notnull,
         "join_left_broadcast": _join_left_broadcast,
+        "join_semi": _join_semi,
+        "join_anti": _join_anti,
+        "rng_range_join": _rng_range_join,
+        "join_asof": _join_asof,
+        "set_union_distinct": _set_union_distinct,
+        "set_intersect": _set_intersect,
+        "set_except": _set_except,
+        "srt_global_topk": _srt_global_topk,
+        "agg_rollup": _agg_rollup,
+        "agg_cube": _agg_cube,
+        "agg_grouping_sets": _agg_grouping_sets,
+        "agg_distinct_counts": _agg_distinct_counts,
+        "win_lag_lead": _win_lag_lead,
+        "win_running_sum": _win_running_sum,
+        "win_moving_avg": _win_moving_avg,
         "ddp_dedup_all": _ddp_dedup_all,
         "ddp_dedup_keys": _ddp_dedup_keys,
         "ddp_first_by_key": _ddp_first_by_key,
@@ -655,6 +831,96 @@ def oracle_sql() -> dict[str, str]:
         "join_left_broadcast": (
             "SELECT o_orderkey, c_name, c_mktsegment FROM orders"
             " LEFT JOIN customer ON o_custkey = c_custkey"
+        ),
+        "join_semi": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN ("
+            " SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "join_anti": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("
+            " SELECT o_custkey FROM orders)"
+        ),
+        "rng_range_join": (
+            "SELECT c_custkey, s_suppkey FROM customer JOIN supplier"
+            " ON CAST(c_acctbal AS DOUBLE) >= CAST(s_acctbal AS DOUBLE)"
+            " AND CAST(c_acctbal AS DOUBLE) <= CAST(s_acctbal AS DOUBLE) + 1000.0"
+        ),
+        "join_asof": (
+            "WITH clicks AS ("
+            "  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'"
+            "), purchases AS ("
+            "  SELECT user_id, ts, max(value) AS pval FROM events"
+            "  WHERE event_type = 'purchase' GROUP BY user_id, ts"
+            ") SELECT c.event_id, c.user_id,"
+            " CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,"
+            " round(CAST(p.pval AS DOUBLE), 4) AS asof_pval"
+            " FROM clicks c ASOF LEFT JOIN purchases p"
+            " ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "set_union_distinct": (
+            "SELECT c_nationkey AS nationkey FROM customer"
+            " UNION SELECT s_nationkey FROM supplier"
+        ),
+        "set_intersect": (
+            "SELECT c_nationkey AS nationkey FROM customer"
+            " INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "set_except": (
+            "SELECT c_nationkey AS nationkey FROM customer"
+            " EXCEPT SELECT s_nationkey FROM supplier"
+        ),
+        "srt_global_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders"
+            " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "agg_rollup": (
+            "SELECT l_returnflag, l_linestatus,"
+            " round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,"
+            " CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT)"
+            "   AS grouping_level"
+            " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "agg_cube": (
+            "SELECT o_orderstatus, o_orderpriority,"
+            " round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_rows,"
+            " CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)"
+            "   AS grouping_level"
+            " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "agg_grouping_sets": (
+            "SELECT l_returnflag, l_linestatus,"
+            " round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,"
+            " CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT)"
+            "   AS grouping_level"
+            " FROM lineitem"
+            " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+        ),
+        "agg_distinct_counts": (
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct"
+            " FROM orders GROUP BY o_orderpriority"
+        ),
+        "win_lag_lead": (
+            "SELECT o_custkey, o_orderkey,"
+            " lag(o_totalprice) OVER w AS prev_value,"
+            " lead(o_totalprice) OVER w AS next_value"
+            " FROM orders WINDOW w AS ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"
+        ),
+        "win_running_sum": (
+            "SELECT o_custkey, o_orderkey,"
+            " round(sum(o_totalprice) OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
+            "  AS running_sum"
+            " FROM orders"
+        ),
+        "win_moving_avg": (
+            "SELECT o_custkey, o_orderkey,"
+            " round(avg(CAST(round(o_totalprice * 100) AS BIGINT)) OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+            "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4)"
+            "  AS moving_avg"
+            " FROM orders"
         ),
         "ddp_dedup_all": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"

@@ -43,6 +43,7 @@ def sessionize(
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to
     the previous event of the same user exceeds ``gap_minutes``.
@@ -53,7 +54,12 @@ def sessionize(
     at 100 TB either salt by (user, day) or use the streaming
     ``session_window`` variant.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # A unique tiebreak makes lag() deterministic under equal
+    # timestamps (same-ts events would otherwise order arbitrarily).
+    order = [ts_col] + (
+        [tiebreak_col] if tiebreak_col and tiebreak_col in df.columns else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
     # Microsecond precision: a whole-second cast would floor gaps and
     # misclassify boundaries within 1s of the threshold.
     micros = F.unix_micros(F.col(ts_col).cast("timestamp"))

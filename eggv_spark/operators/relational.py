@@ -132,6 +132,66 @@ def dedupe_first_by_key(
     )
 
 
+def union_all(dfs: Sequence[DataFrame], by_name: bool = True) -> DataFrame:
+    """Set op: UNION ALL of N frames (SURVEY §2.8 — the reference
+    keeps per-chromosome outputs as separate files,
+    eggv/process.py:394-424; a union is the natural single-table
+    view).  ``by_name`` aligns columns by name (order-insensitive),
+    the safe default when frames come from different writers.
+
+    Scale: union is a no-shuffle plan combinator — partitions of the
+    inputs are concatenated, never moved.
+    """
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df) if by_name else out.union(df)
+    return out
+
+
+def distinct_union(dfs: Sequence[DataFrame]) -> DataFrame:
+    """UNION (set semantics): union-all then global dedup — one
+    shuffle with map-side partial aggregation."""
+    return union_all(dfs).dropDuplicates()
+
+
+def intersect_rows(a: DataFrame, b: DataFrame, keep_all: bool = False) -> DataFrame:
+    """Set op INTERSECT [ALL] — hash-shuffled on all columns; at
+    scale prefer a semi-join on explicit keys when only keys matter."""
+    return a.intersectAll(b) if keep_all else a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame, keep_all: bool = False) -> DataFrame:
+    """Set op EXCEPT [ALL]."""
+    return a.exceptAll(b) if keep_all else a.subtract(b)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column | str | Sequence[str],
+              broadcast_right: bool = True) -> DataFrame:
+    """LEFT SEMI join — existence filter that never duplicates left
+    rows and never materializes right columns (the scale-safe
+    replacement for `WHERE key IN (subquery)`)."""
+    right_side = F.broadcast(right) if broadcast_right else right
+    return left.join(right_side, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str | Sequence[str],
+              broadcast_right: bool = True) -> DataFrame:
+    """LEFT ANTI join — `WHERE NOT EXISTS` as a join."""
+    right_side = F.broadcast(right) if broadcast_right else right
+    return left.join(right_side, on, "left_anti")
+
+
+def sort_limit(
+    df: DataFrame, order_by: Sequence[Column | str], k: int
+) -> DataFrame:
+    """Global ordered limit (top-k).  Spark plans
+    TakeOrderedAndProject: each partition keeps its local top-k, the
+    driver merges k·p rows — no global sort shuffle, safe at any
+    scale for small k.  ``order_by`` must include a unique tiebreak
+    for deterministic results."""
+    return df.orderBy(*order_by).limit(k)
+
+
 def top_k_per_group(
     df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str], k: int
 ) -> DataFrame:

@@ -1,0 +1,134 @@
+"""Unit tests for set ops, multi-level/window aggregation, range join,
+and as-of join (engine extensions beyond the reference, SURVEY §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eggv_spark.operators import aggregates as AG
+from eggv_spark.operators import relational as R
+from eggv_spark.operators.rangejoin import asof_join, interval_annotate, range_join
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")], ["k", "v"])
+    b = spark.createDataFrame([(2, "y"), (3, "z")], ["k", "v"])
+    assert R.union_all([a, b]).count() == 5
+    assert sorted(r.k for r in R.distinct_union([a, b]).collect()) == [1, 2, 3]
+    assert R.intersect_rows(a, b).collect() == [(2, "y")]
+    assert sorted(r.k for r in R.except_rows(a, b).collect()) == [1]
+    # exceptAll keeps multiplicity: two (2,y) minus one (2,y) leaves one.
+    assert sorted(r.k for r in R.except_rows(a, b, keep_all=True).collect()) == [1, 2]
+    assert sorted(r.k for r in R.semi_join(a, b, "k").collect()) == [2, 2]
+    assert sorted(r.k for r in R.anti_join(a, b, "k").collect()) == [1]
+
+
+def test_sort_limit_is_take_ordered(spark):
+    df = spark.range(1000).withColumn("v", (F.col("id") * 37) % 1000)
+    top = R.sort_limit(df, [F.col("v").desc(), F.col("id").asc()], 5)
+    assert [r.v for r in top.collect()] == [999, 998, 997, 996, 995]
+    # Scale check: the physical plan is TakeOrderedAndProject, not a
+    # global Sort + Limit (no full-sort shuffle).
+    assert "TakeOrderedAndProject" in top._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rollup_cube_grouping_sets(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g1", "g2", "v"]
+    )
+    aggs = {"total": F.sum("v")}
+    roll = AG.rollup_agg(df, ["g1", "g2"], aggs)
+    # rows: 3 leaf + 2 (g1) subtotals + 1 grand total
+    assert roll.count() == 6
+    grand = roll.filter("grouping_level = 3").collect()[0]
+    assert grand.total == 7
+    cube = AG.cube_agg(df, ["g1", "g2"], aggs)
+    # + 2 (g2) subtotal rows vs rollup
+    assert cube.count() == 8
+    gs = AG.grouping_sets_agg(df, [["g1"], ["g2"]], ["g1", "g2"], aggs)
+    assert gs.count() == 4  # 2 g1 groups + 2 g2 groups
+    g1_rows = {r.g1: r.total for r in gs.filter("g1 IS NOT NULL").collect()}
+    assert g1_rows == {"a": 3, "b": 4}
+
+
+def test_window_analytics(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        ["k", "seq", "v"],
+    )
+    out = AG.with_lag_lead(df, "v", ["k"], ["seq"])
+    rows = {(r.k, r.seq): (r.prev_value, r.next_value) for r in out.collect()}
+    assert rows[(1, 2)] == (10.0, 30.0)
+    assert rows[(1, 1)] == (None, 20.0)
+    assert rows[(2, 1)] == (None, None)
+
+    run = AG.with_running_sum(df, "v", ["k"], ["seq"])
+    sums = {(r.k, r.seq): r.running_sum for r in run.collect()}
+    assert sums[(1, 3)] == 60.0
+    mov = AG.with_moving_avg(df, "v", ["k"], ["seq"], preceding=1)
+    avgs = {(r.k, r.seq): r.moving_avg for r in mov.collect()}
+    assert avgs[(1, 3)] == 25.0  # (20+30)/2
+
+
+def test_distinct_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3)], ["k", "v"]
+    )
+    out = {r.k: r.n_distinct for r in AG.distinct_counts(df, ["k"], "v").collect()}
+    assert out == {"a": 2, "b": 1}
+
+
+def test_range_join_bucketing_exact(spark):
+    # Intervals deliberately spanning bin boundaries (width 10).
+    intervals = spark.createDataFrame(
+        [("c1", 5, 14, "iv1"), ("c1", 20, 20, "iv2"), ("c2", 5, 14, "iv3")],
+        ["chrom", "lo", "hi", "iv_id"],
+    )
+    points = spark.createDataFrame(
+        [("c1", 5, "p1"), ("c1", 14, "p2"), ("c1", 15, "p3"),
+         ("c1", 20, "p4"), ("c2", 9, "p5")],
+        ["chrom", "x", "pt_id"],
+    )
+    out = range_join(points, intervals, "x", "lo", "hi",
+                     bin_width=10, partition_keys=["chrom"])
+    pairs = {(r.pt_id, r.iv_id) for r in out.collect()}
+    # closed bounds; chrom co-key respected; p3=15 matches nothing.
+    assert pairs == {("p1", "iv1"), ("p2", "iv1"), ("p4", "iv2"), ("p5", "iv3")}
+    # No duplicate pairs from the bin explosion.
+    assert out.count() == len(pairs)
+
+
+def test_interval_annotate_genomic(spark):
+    genes = spark.createDataFrame(
+        [("chr7", 90000, 95000, "G1", "AAAX"), ("chr7", 96000, 97000, "G2", "BBBY")],
+        ["chromosome", "start", "end", "gene_id", "gene_name"],
+    )
+    variants = spark.createDataFrame(
+        [("chr7", 111, 5150), ("chr7", 222, 91000), ("chr7", 333, 96000)],
+        ["chromosome", "rsid", "start"],
+    )
+    out = interval_annotate(variants, genes, bin_width=100000)
+    hits = {(r.rsid, r.gene_id) for r in out.collect()}
+    assert hits == {(222, "G1"), (333, "G2")}
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0)],
+        ["sym", "t", "price"],
+    )
+    trades = spark.createDataFrame(
+        [(1, 5, "t0"), (1, 10, "t1"), (1, 25, "t2"), (2, 14, "t3")],
+        ["sym", "t", "trade_id"],
+    )
+    out = asof_join(trades, quotes, ["sym"], "t", ["price"], tiebreak_col="trade_id")
+    prices = {r.trade_id: r.asof_price for r in out.collect()}
+    # t0 predates all quotes -> null; t1 sees the equal-time quote;
+    # t2 sees the latest; t3 predates sym 2's only quote.
+    assert prices == {"t0": None, "t1": 100.0, "t2": 101.0, "t3": None}
+
+    strict = asof_join(trades, quotes, ["sym"], "t", ["price"],
+                       tiebreak_col="trade_id", strict=True)
+    sprices = {r.trade_id: r.asof_price for r in strict.collect()}
+    assert sprices["t1"] is None  # equal-time quote invisible under strict
+    assert sprices["t2"] == 101.0
