@@ -29,6 +29,11 @@ HEADLINE = [
     "win_topk_per_group",
     "evt_tumbling_window",
     "evt_sessionize",
+    "agg_rollup",
+    "win_running_sum",
+    "rng_range_join",
+    "join_asof",
+    "srt_global_topk",
 ]
 
 
