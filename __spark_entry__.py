@@ -26,7 +26,11 @@ from eggv_spark.operators import dedupe as D
 from eggv_spark.operators import relational as R
 from eggv_spark.operators import similarity as S
 from eggv_spark.operators import text_analysis as T
-from eggv_spark.operators.events import sessionize, tumbling_window_counts
+from eggv_spark.operators.events import (
+    sessionize,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
 from eggv_spark.operators.rangejoin import asof_join, range_join
 from eggv_spark.sources.readers import read_table
 
@@ -434,6 +438,29 @@ def _evt_tumbling_window(spark, sf_dir):
     )
 
 
+def _evt_sliding_window(spark, sf_dir):
+    counts = sliding_window_counts(
+        _t(spark, sf_dir, "events"), "ts", "1 hour", "30 minutes"
+    )
+    return counts.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def _join_salted_skew(spark, sf_dir):
+    """Salted shuffled join — must produce byte-identical results to
+    the plain join (the salt is plumbing, not semantics)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return R.salted_join(orders, customer, "o_custkey", n_salts=8).select(
+        "o_orderkey", "c_name"
+    )
+
+
 def _evt_sessionize(spark, sf_dir):
     sessions = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
     return (
@@ -595,6 +622,21 @@ def _stream_tumbling(spark, sf_dir):
     )
 
 
+def _stream_user_totals(spark, sf_dir):
+    from eggv_spark.streaming import events_stream as ES
+
+    out = ES.run_available_now(
+        ES.streaming_user_totals(ES.read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    # The memory sink appends one row per user per micro-batch; the
+    # final state per user is the row with the largest running count.
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+
+
 def _stream_session_windows(spark, sf_dir):
     from eggv_spark.streaming import events_stream as ES
 
@@ -747,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _agg_pricing_summary,
         "win_topk_per_group": _win_topk_per_group,
         "evt_tumbling_window": _evt_tumbling_window,
+        "evt_sliding_window": _evt_sliding_window,
+        "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
         "txt_token_count": _txt_token_count,
         "txt_quality_score": _txt_quality_score,
@@ -764,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_feature_extract": _mm_feature_extract,
         "mm_video_frames": _mm_video_frames,
         "stream_tumbling_window": _stream_tumbling,
+        "stream_user_totals": _stream_user_totals,
         "stream_session_windows": _stream_session_windows,
     }
 
@@ -956,6 +1001,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_epoch,"
             " count(*) AS n_events, round(sum(value), 4) AS sum_value"
             " FROM events GROUP BY 1"
+        ),
+        "evt_sliding_window": (
+            "WITH ev AS (SELECT value,"
+            "  CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS t30 FROM events),"
+            " w AS (SELECT value, unnest([t30, t30 - 1800]) AS window_epoch FROM ev)"
+            " SELECT window_epoch, count(*) AS n_events,"
+            " round(sum(value), 4) AS sum_value FROM w GROUP BY window_epoch"
+        ),
+        "join_salted_skew": (
+            "SELECT o_orderkey, c_name FROM orders"
+            " JOIN customer ON o_custkey = c_custkey"
+        ),
+        "stream_user_totals": (
+            "SELECT user_id, count(*) AS n_events,"
+            " round(sum(value), 4) AS sum_value FROM events GROUP BY user_id"
         ),
         "evt_sessionize": (
             "WITH lagged AS ("

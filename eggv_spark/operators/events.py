@@ -38,6 +38,33 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in
+    window/slide overlapping windows (×2 for 1h/30m).  Spark expands
+    the windows BEFORE the shuffle, so the cost model is the same as
+    a tumbling window at (window/slide)× the rows.
+    """
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"), *extra_keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *extra_keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap_minutes: int = 30,

@@ -181,6 +181,38 @@ def anti_join(left: DataFrame, right: DataFrame, on: Column | str | Sequence[str
     return left.join(right_side, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side's key
+    into ``n_salts`` sub-keys and replicate the right side once per
+    salt, so a hot key's rows spread across ``n_salts`` tasks instead
+    of serializing into one.
+
+    Use when a shuffled join MUST run (right side too big to
+    broadcast) and the key distribution is pathological.  AQE's skew
+    handling (``spark.sql.adaptive.skewJoin``) splits oversized
+    sort-merge partitions automatically — prefer that first; explicit
+    salting is the deterministic fallback and also composes with
+    window/aggregate consumers of the join output.
+
+    Cost: right side is replicated ×``n_salts`` through the shuffle —
+    keep ``n_salts`` ≈ (hot-key rows / target task rows), not huge.
+    """
+    salted_left = left.withColumn(
+        "_salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_left.join(salted_right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def sort_limit(
     df: DataFrame, order_by: Sequence[Column | str], k: int
 ) -> DataFrame:

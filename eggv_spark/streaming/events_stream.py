@@ -88,15 +88,55 @@ def streaming_session_windows(
     )
 
 
-def run_available_now(streaming_df: DataFrame, name: str | None = None) -> DataFrame:
+def streaming_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: per-user running event count + value
+    sum, state carried across micro-batches.
+
+    This is the arbitrary-state extension point the built-in windowed
+    aggregations can't express (e.g. per-entity counters, ML feature
+    state, CDC merge).  State is one small tuple per user — bounded
+    by key cardinality, not stream length; add a timeout
+    (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle keys
+    on unbounded key spaces.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    streaming_df: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink and return the
-    result as a batch DataFrame."""
+    result as a batch DataFrame.  Stateful ``applyInPandasWithState``
+    plans require ``output_mode='update'``."""
     name = name or f"stream_{uuid.uuid4().hex[:8]}"
     query = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"eggv-ckpt-{name}-"))
         .trigger(availableNow=True)
         .start()
