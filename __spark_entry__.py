@@ -20,7 +20,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eggv_spark.functions.extract import regexp_extract_null, strip_prefix_cast_long
+from eggv_spark.functions.extract import (
+    json_field,
+    json_struct,
+    regexp_extract_null,
+    strip_prefix_cast_long,
+)
 from eggv_spark.operators import aggregates as AG
 from eggv_spark.operators import dedupe as D
 from eggv_spark.operators import relational as R
@@ -161,6 +166,25 @@ def _nul_drop(spark, sf_dir):
         "o_orderkey", F.nullif("o_orderpriority", F.lit("5-LOW")).alias("priority")
     )
     return R.drop_null_keys(df, ["priority"])
+
+
+def _str_json_field(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        json_field("props", "$.k").cast("long").alias("k_val"),
+        json_field("props", "$.missing").alias("missing_val"),
+        json_struct("props", "k LONG").getField("k").alias("k_struct"),
+    )
+
+
+def _agg_pivot(spark, sf_dir):
+    return AG.pivot_counts(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -758,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_prefix_concat": _str_prefix_concat,
         "str_regexp_extract": _str_regexp_extract,
         "str_strip_cast": _str_strip_cast,
+        "str_json_field": _str_json_field,
+        "agg_pivot": _agg_pivot,
         "str_concat_ws": _str_concat_ws,
         "str_split_get": _str_split_get,
         "exp_explode": _exp_explode,
@@ -837,6 +863,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey,"
             " CAST(regexp_replace(c_name, '^Customer#', '') AS BIGINT) AS custkey_from_name"
             " FROM customer"
+        ),
+        "str_json_field": (
+            "SELECT event_id,"
+            " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,"
+            " json_extract_string(props, '$.missing') AS missing_val,"
+            " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct"
+            " FROM events"
+        ),
+        "agg_pivot": (
+            "SELECT user_id,"
+            " count(*) FILTER (event_type = 'click') AS click,"
+            " count(*) FILTER (event_type = 'error') AS error,"
+            " count(*) FILTER (event_type = 'purchase') AS purchase,"
+            " count(*) FILTER (event_type = 'signup') AS signup,"
+            " count(*) FILTER (event_type = 'view') AS view"
+            " FROM events GROUP BY user_id"
         ),
         "str_concat_ws": (
             "SELECT p_partkey, p_brand || ',' || p_type AS brand_type FROM part"

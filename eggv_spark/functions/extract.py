@@ -30,6 +30,29 @@ def regexp_extract_null(col: Column | str, pattern: str, group: int = 1) -> Colu
     return F.nullif(F.regexp_extract(col, pattern, group), F.lit(""))
 
 
+def json_field(col: Column | str, path: str) -> Column:
+    """Extract one field from a JSON string column
+    (``get_json_object``, JVM-side Jackson — no Python).
+
+    The structured-generalization of the reference's regex pulls out
+    of the semi-structured ``attr`` column (``eggv/process.py:125``):
+    where attrs are ``;``-keyed text, modern event payloads are JSON.
+    Returns NULL on missing path or malformed JSON (already the
+    pandas-compatible semantics — no wrapper needed).
+
+    For repeated multi-field extraction prefer :func:`json_struct`
+    (one parse instead of N).
+    """
+    return F.get_json_object(col, path)
+
+
+def json_struct(col: Column | str, schema: str) -> Column:
+    """Parse a JSON string column into a typed struct once
+    (``from_json`` with an explicit DDL schema — never schema
+    inference at scale).  Malformed documents yield a null struct."""
+    return F.from_json(col, schema)
+
+
 def strip_prefix_cast_long(col: Column | str, prefix_pattern: str) -> Column:
     """Remove a regex prefix then cast to long.
 

@@ -123,6 +123,23 @@ def with_moving_avg(
     return df.withColumn(out, F.avg(col).over(w))
 
 
+def pivot_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+) -> DataFrame:
+    """Pivot: one column per ``pivot_values`` entry with the group's
+    row count (0 when absent, matching SQL conditional counts).
+
+    ``pivot_values`` is REQUIRED: without it Spark runs an extra
+    distinct-values job over the full table before planning — never
+    acceptable on 100 TB inputs.
+    """
+    out = df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).count()
+    return out.na.fill({v: 0 for v in pivot_values})
+
+
 def distinct_counts(
     df: DataFrame, keys: Sequence[str], col: str
 ) -> DataFrame:

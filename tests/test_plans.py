@@ -77,6 +77,25 @@ def test_topk_avoids_global_sort(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_hive_partitioned_write_prunes_on_read(spark, tmp_path):
+    from eggv_spark.sources.writers import write_parquet
+
+    df = spark.createDataFrame(
+        [("chr1", 1, 10.0), ("chr1", 2, 20.0), ("chr2", 3, 30.0)],
+        ["chromosome", "rsid", "maf"],
+    )
+    path = str(tmp_path / "variants_parted")
+    write_parquet(df, path, partition_by=["chromosome"])
+
+    back = spark.read.parquet(path).filter(F.col("chromosome") == "chr1")
+    plan = _plan(back)
+    # The chromosome predicate prunes PARTITIONS (directories never
+    # opened), not just row groups — the access pattern per-chromosome
+    # consumers rely on at 100 TB.
+    assert "PartitionFilters: [isnotnull(chromosome" in plan
+    assert back.count() == 2
+
+
 def test_relational_chain_stays_in_codegen(spark):
     df = (
         read_table(spark, SF_DIR, "lineitem")

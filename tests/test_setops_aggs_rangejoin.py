@@ -70,6 +70,33 @@ def test_window_analytics(spark):
     assert avgs[(1, 3)] == 25.0  # (20+30)/2
 
 
+def test_pivot_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "view"), (2, "view")],
+        ["user_id", "event_type"],
+    )
+    out = AG.pivot_counts(df, ["user_id"], "event_type", ["click", "view", "error"])
+    rows = {r.user_id: (r.click, r.view, r.error) for r in out.collect()}
+    assert rows == {1: (2, 1, 0), 2: (0, 1, 0)}
+
+
+def test_json_field_null_semantics(spark):
+    from eggv_spark.functions.extract import json_field, json_struct
+
+    df = spark.createDataFrame(
+        [('{"k": 5, "tag": "x"}',), ('{"tag": "y"}',), ("not json",), (None,)],
+        ["props"],
+    )
+    out = df.select(
+        json_field("props", "$.k").cast("long").alias("k"),
+        json_struct("props", "k LONG, tag STRING").alias("s"),
+    ).collect()
+    assert [r.k for r in out] == [5, None, None, None]
+    assert out[0].s.tag == "x"
+    assert out[1].s.k is None
+    assert out[2].s is None or out[2].s.k is None  # malformed -> null
+
+
 def test_distinct_counts(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 1), ("a", 2), ("b", 3)], ["k", "v"]
