@@ -26,6 +26,7 @@ from eggv_spark.functions.extract import (
     regexp_extract_null,
     strip_prefix_cast_long,
 )
+from eggv_spark.functions import scalars as SC
 from eggv_spark.operators import aggregates as AG
 from eggv_spark.operators import dedupe as D
 from eggv_spark.operators import relational as R
@@ -175,6 +176,65 @@ def _str_json_field(spark, sf_dir):
         json_field("props", "$.k").cast("long").alias("k_val"),
         json_field("props", "$.missing").alias("missing_val"),
         json_struct("props", "k LONG").getField("k").alias("k_struct"),
+    )
+
+
+def _dt_date_parts(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    parts = SC.date_parts("o_orderdate")
+    return df.select(
+        "o_orderkey",
+        *[c.alias(n) for n, c in parts.items()],
+        SC.days_between(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_95"),
+    )
+
+
+def _str_attr_map(spark, sf_dir):
+    """GVF-style 'k=v;k=v' attr parsing via str_to_map — the
+    structured generalization of the reference's per-field regexes
+    (eggv/process.py:125-158).  The attr string is synthesized from
+    part columns, so the oracle is the original columns."""
+    df = _t(spark, sf_dir, "part").withColumn(
+        "attr",
+        F.concat_ws(
+            ";",
+            F.concat(F.lit("brand="), F.col("p_brand")),
+            F.concat(F.lit("type="), F.col("p_type")),
+            F.concat(F.lit("size="), F.col("p_size").cast("string")),
+        ),
+    )
+    return df.select(
+        "p_partkey",
+        SC.attr_field("attr", "type").alias("type_val"),
+        SC.attr_field("attr", "size").cast("long").alias("size_val"),
+        SC.attr_field("attr", "nope").alias("missing_val"),
+    )
+
+
+def _arr_vector_stats(spark, sf_dir):
+    df = _t(spark, sf_dir, "embeddings")
+    stats = SC.array_stats(F.col("embedding").cast("array<double>"))
+    return df.select(
+        "vec_id",
+        stats["n_dims"].alias("n_dims"),
+        F.round(stats["vec_sum"], 4).alias("vec_sum"),
+        F.round(stats["vec_mean"], 4).alias("vec_mean"),
+        F.round(stats["vec_min"].cast("double"), 4).alias("vec_min"),
+        F.round(stats["vec_max"].cast("double"), 4).alias("vec_max"),
+        stats["n_positive"].alias("n_positive"),
+    )
+
+
+def _agg_percentiles(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.95), 2).alias("p95"),
+        )
     )
 
 
@@ -783,6 +843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_regexp_extract": _str_regexp_extract,
         "str_strip_cast": _str_strip_cast,
         "str_json_field": _str_json_field,
+        "str_attr_map": _str_attr_map,
+        "dt_date_parts": _dt_date_parts,
+        "arr_vector_stats": _arr_vector_stats,
+        "agg_percentiles": _agg_percentiles,
         "agg_pivot": _agg_pivot,
         "str_concat_ws": _str_concat_ws,
         "str_split_get": _str_split_get,
@@ -870,6 +934,40 @@ def oracle_sql() -> dict[str, str]:
             " json_extract_string(props, '$.missing') AS missing_val,"
             " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct"
             " FROM events"
+        ),
+        "str_attr_map": (
+            "SELECT p_partkey, p_type AS type_val,"
+            " CAST(p_size AS BIGINT) AS size_val,"
+            " CAST(NULL AS VARCHAR) AS missing_val FROM part"
+        ),
+        "dt_date_parts": (
+            "SELECT o_orderkey,"
+            " CAST(year(o_orderdate) AS INT) AS year,"
+            " CAST(month(o_orderdate) AS INT) AS month,"
+            " CAST(day(o_orderdate) AS INT) AS day,"
+            " CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,"
+            " CAST(weekofyear(o_orderdate) AS INT) AS week,"
+            " CAST(quarter(o_orderdate) AS INT) AS quarter,"
+            " CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)"
+            "   AS INT) AS days_since_95"
+            " FROM orders"
+        ),
+        "arr_vector_stats": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings)"
+            " SELECT vec_id, CAST(len(v) AS INT) AS n_dims,"
+            " round(list_sum(v), 4) AS vec_sum,"
+            " round(list_sum(v) / len(v), 4) AS vec_mean,"
+            " round(list_min(v), 4) AS vec_min,"
+            " round(list_max(v), 4) AS vec_max,"
+            " CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_positive"
+            " FROM e"
+        ),
+        "agg_percentiles": (
+            "SELECT l_returnflag,"
+            " round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,"
+            " round(quantile_cont(l_extendedprice, 0.95), 2) AS p95"
+            " FROM lineitem GROUP BY l_returnflag"
         ),
         "agg_pivot": (
             "SELECT user_id,"
