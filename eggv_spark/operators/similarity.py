@@ -59,14 +59,98 @@ def brute_force_topk(
     )
 
 
-def _deterministic_centroid(c: int, dim: int) -> Column:
-    """Pseudo-random unit-free centroid c, derived from md5 — fully
-    deterministic, no RNG state to ship to executors."""
-    return F.array(
-        *[
-            ((base_hash(F.lit(f"centroid-{c}-{d}")) % 2001) - 1000).cast("double")
-            for d in range(dim)
-        ]
+def _centroid_values(c: int, dim: int) -> list[float]:
+    """Pseudo-random centroid c as plain floats, derived from md5 —
+    fully deterministic, computed once on the driver (same formula as
+    :func:`eggv_spark.operators.dedupe.base_hash`; keeping it
+    driver-side avoids inlining n_centroids × dim hash expressions
+    into the plan, which bloats codegen superlinearly)."""
+    import hashlib
+
+    return [
+        float(
+            int(hashlib.md5(f"centroid-{c}-{d}".encode()).hexdigest()[:8], 16)
+            % 2001
+            - 1000
+        )
+        for d in range(dim)
+    ]
+
+
+def _best_cells(vec: Column, centroid_array: Column, n: int) -> Column:
+    """IDs of the ``n`` nearest centroids by cosine.  The centroid set
+    is a single nested-array LITERAL and the cosine is written once
+    inside a higher-order transform — per-row work and plan size stay
+    independent of n_centroids × dim."""
+    scored = F.transform(
+        centroid_array,
+        lambda cen, i: F.struct(
+            F.round(cosine_col(vec, cen), 6).alias("cos"),
+            i.alias("cell"),
+        ),
+    )
+    ordered = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ordered, 1, n), lambda s: s.getField("cell"))
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF index build: assign every corpus row to its nearest
+    centroid cell — one map-side pass, no shuffle.
+
+    The result is the INDEX: at scale, persist it or write it
+    bucketed/partitioned by ``cell`` once and serve many query
+    batches off it (cell pruning ≈ partition pruning).  Re-deriving
+    it per query batch would recompute n_centroids cosines per corpus
+    row every time — the index build is precisely the part ANN
+    amortizes.
+    """
+    dim = dim or len(corpus.select(vec_col).first()[0])
+    centroid_array = F.lit([_centroid_values(c, dim) for c in range(n_centroids)])
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", F.get(_best_cells(F.col("c_vec"), centroid_array, 1), 0))
+
+
+def ivf_query(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Probe an :func:`ivf_index`: each query scores only its
+    ``n_probe`` nearest cells' rows (~n_probe/n_centroids of the
+    corpus) via a broadcast equi-join on cell, then window top-k."""
+    dim = dim or len(queries.select(vec_col).first()[0])
+    centroid_array = F.lit([_centroid_values(c, dim) for c in range(n_centroids)])
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn(
+            "cell", F.explode(_best_cells(F.col("q_vec"), centroid_array, n_probe))
+        )
+    )
+    scored = (
+        index.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -79,51 +163,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k.
-
-    Assignment and probing both use cosine against the deterministic
-    centroid set.  At scale the corpus would be written bucketed by
-    ``cell`` (partition pruning per query batch); here the cell join
-    performs the pruning.
-    """
+    """One-shot IVF ANN: build the index, persist it (it feeds every
+    downstream query stage — without the persist, Spark re-derives
+    the full assignment inside each query stage of the plan, turning
+    the amortized index build into per-stage work), then probe."""
     dim = len(corpus.select(vec_col).first()[0])
-    centroids = [
-        _deterministic_centroid(c, dim) for c in range(n_centroids)
-    ]
-
-    def best_cells(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(cosine_col(vec, cen), 6).alias("cos"),
-                    F.lit(c).alias("cell"),
-                )
-                for c, cen in enumerate(centroids)
-            ]
-        )
-        ordered = F.reverse(F.array_sort(scored))
-        return F.transform(F.slice(ordered, 1, n), lambda s: s.getField("cell"))
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell", F.get(best_cells(F.col("c_vec"), 1), 0))
-
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        ).withColumn("cell", F.explode(best_cells(F.col("q_vec"), n_probe)))
-    )
-
-    scored = (
-        c.join(q, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 4))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    index = ivf_index(corpus, n_centroids, vec_col, id_col, dim=dim).persist()
+    return ivf_query(
+        index, queries, k, n_centroids, n_probe, vec_col, id_col, dim=dim
     )

@@ -105,6 +105,20 @@ def test_distinct_counts(spark):
     assert out == {"a": 2, "b": 1}
 
 
+def test_dedupe_partition_local_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], ["k", "v"]
+    ).coalesce(1)
+    out = R.dedupe_partition_local(df)
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
+    # Key-subset mode keeps the first row per key within a partition.
+    out2 = R.dedupe_partition_local(df, keys=["k"])
+    assert out2.count() == 2
+    # Zero-shuffle contract: no Exchange anywhere in the plan.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_range_join_bucketing_exact(spark):
     # Intervals deliberately spanning bin boundaries (width 10).
     intervals = spark.createDataFrame(
