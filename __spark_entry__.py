@@ -293,6 +293,43 @@ def _join_left_broadcast(spark, sf_dir):
     return joined.select("o_orderkey", "c_name", "c_mktsegment")
 
 
+def _composite_shipping_priority(spark, sf_dir):
+    """Composite relational query (TPC-H Q3 shape): 3-way join with
+    selective filters on both outer tables, revenue aggregation, and
+    global top-k.  Exercises Catalyst's join ordering + broadcast
+    selection + partial aggregation in one plan — the 'does the whole
+    engine compose' check."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # customer (filtered dim) is broadcast; lineitem⋈orders is a
+    # fact-fact join — no hint, AQE picks broadcast at small SF and
+    # shuffle-hash/sort-merge at scale.
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return R.sort_limit(
+        agg, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10
+    ).select(
+        "l_orderkey",
+        # NTZ -> LTZ (session tz is UTC) -> epoch seconds.
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_epoch"),
+        "revenue",
+    )
+
+
 def _join_semi(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     urgent = _t(spark, sf_dir, "orders").filter(
@@ -836,6 +873,7 @@ FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_token_pipeline": _flagship,
+        "composite_shipping_priority": _composite_shipping_priority,
         "src_scan": _src_scan,
         "prj_projection": _prj_projection,
         "prj_rename_cast": _prj_rename_cast,
@@ -906,6 +944,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_token_pipeline": _FLAGSHIP_SQL,
+        "composite_shipping_priority": (
+            "SELECT l_orderkey,"
+            " CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM customer JOIN orders ON c_custkey = o_custkey"
+            " JOIN lineitem ON l_orderkey = o_orderkey"
+            " WHERE c_mktsegment = 'BUILDING'"
+            " AND o_orderdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY l_orderkey, o_orderdate"
+            " ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
         "src_scan": "SELECT r_regionkey, r_name FROM region",
         "prj_projection": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"

@@ -21,6 +21,7 @@ from eggv_spark.session import get_session
 #: operator family (agg, window, join, dedup, explode, events).
 HEADLINE = [
     "flagship_token_pipeline",
+    "composite_shipping_priority",
     "agg_pricing_summary",
     "join_left_broadcast",
     "exp_explode",

@@ -40,6 +40,12 @@ directories:
 ## If true, always retrieve data and overwrite local copies.
 overwrite: true
 
+## Source-URL overrides for the retrieve step (else public Ensembl
+## v95 URLs).  'variation' may be a per-chromosome template with {}.
+urls:
+  gene: ~
+  variation: ~
+
 ## Species pipeline to run (hg38 | mm10); may come from the CLI.
 species: ~
 """

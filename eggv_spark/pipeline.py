@@ -110,8 +110,11 @@ def run_retrieve_step(config: Mapping[str, Any]) -> DataLayout:
     layout = DataLayout(config["directories"]["data"], config["species"])
     layout.create()
     force = bool(config.get("overwrite", False))
-    R.retrieve_genes(layout, force=force)
-    R.retrieve_variants(layout, force=force)
+    # Optional source-URL overrides (mirrors, offline file:// tests);
+    # defaults are the public Ensembl v95 registry in layout.py.
+    urls = config.get("urls") or {}
+    R.retrieve_genes(layout, force=force, url=urls.get("gene"))
+    R.retrieve_variants(layout, force=force, url_template=urls.get("variation"))
     return layout
 
 

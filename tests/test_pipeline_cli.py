@@ -94,6 +94,36 @@ def test_config_precedence_and_validation(tmp_path):
         validate_config(load_config(None, {"species": "hg19"}))
 
 
+def test_cli_complete_pipeline_offline(spark, tmp_path):
+    """Full `eggv-spark complete` through the CLI: retrieve via
+    file:// overrides -> process -> annotate, all offline (reference
+    flagship lifecycle, SURVEY §3.1)."""
+    gvf_src = tmp_path / "v.gvf.gz"
+    gtf_src = tmp_path / "g.gtf.gz"
+    with gzip.open(gvf_src, "wt") as fh:
+        fh.write(GVF_TEXT)
+    with gzip.open(gtf_src, "wt") as fh:
+        fh.write(GTF_TEXT)
+    data_dir = tmp_path / "data"
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(
+        "species: mm10\n"
+        f"directories:\n  data: {data_dir}\n"
+        "urls:\n"
+        f"  gene: file://{gtf_src}\n"
+        f"  variation: file://{gvf_src}\n"
+        "spark:\n  master: local[4]\n  shuffle_partitions: 4\n"
+    )
+    result = CliRunner().invoke(cli, ["complete", "-c", str(cfg)])
+    assert result.exit_code == 0, result.output
+    lay = DataLayout(str(data_dir), "mm10")
+    for out_dir in (
+        lay.variant_effects(), lay.variant_meta(), lay.gene_meta(),
+        lay.annotated_intergenic(), lay.annotated_intragenic(),
+    ):
+        assert os.path.isdir(out_dir), out_dir
+
+
 def test_cli_rejects_missing_species():
     result = CliRunner().invoke(cli, ["process"])
     assert result.exit_code == 2
