@@ -59,6 +59,12 @@ def read_processed_tsv(
     )
 
 
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """JSON-lines scan with an explicit schema (inference over JSON is
+    a full extra pass — never at scale)."""
+    return spark.read.schema(schema).json(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Native parquet table reader for the driver testdata layout.
 

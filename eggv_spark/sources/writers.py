@@ -45,3 +45,29 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-clustered on ``bucket_by``
+    into ``n_buckets`` files at WRITE time.  Joins/aggregations of two
+    tables bucketed the same way need NO shuffle at read time — the
+    shuffle is paid once at write and amortized over every downstream
+    join (the scale play for repeatedly-joined fact tables, e.g.
+    variant effects ⋈ genes on transcript, or lineitem ⋈ orders).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange with non-columnar consumers)."""
+    df.write.mode(mode).json(path)

@@ -5,6 +5,8 @@ miniaturized)."""
 
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from eggv_spark.session import get_session
@@ -16,7 +18,12 @@ def spark():
         app_name="eggv-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "4g",
+            # static conf: must be set at session build (bucketed-table tests)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="eggv-warehouse-"),
+        },
     )
     yield session
     session.stop()

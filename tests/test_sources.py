@@ -1,0 +1,67 @@
+"""Source/sink tests: bucketed co-located joins, JSON round-trip,
+single-file TSV export."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from eggv_spark.sources.readers import read_json, read_processed_tsv
+from eggv_spark.sources.writers import (
+    write_bucketed_table,
+    write_json,
+    write_tsv,
+)
+from eggv_spark.schemas import VARIANT_EFFECTS_SCHEMA
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    effects = spark.createDataFrame(
+        [(i, "eff", f"T{i % 50}") for i in range(500)],
+        ["rsid", "effect", "transcript"],
+    )
+    genes = spark.createDataFrame(
+        [(f"T{i}", f"G{i}") for i in range(50)], ["transcript", "gene_id"]
+    )
+    write_bucketed_table(effects, "b_effects", ["transcript"], 8)
+    write_bucketed_table(genes, "b_genes", ["transcript"], 8)
+    try:
+        # Disable broadcast so the join would otherwise shuffle both
+        # sides; with matching bucketing it must shuffle NEITHER.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_effects").join(spark.table("b_genes"), "transcript")
+        assert joined.count() == 500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_effects")
+        spark.sql("DROP TABLE IF EXISTS b_genes")
+
+
+def test_json_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "intron_variant", "T1"), (2, None, "T2")],
+        VARIANT_EFFECTS_SCHEMA,
+    )
+    path = str(tmp_path / "effects_json")
+    write_json(df, path)
+    back = read_json(spark, path, VARIANT_EFFECTS_SCHEMA)
+    assert sorted((r.rsid, r.effect) for r in back.collect()) == [
+        (1, "intron_variant"), (2, None),
+    ]
+
+
+def test_single_file_tsv_export(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "T1"), (2, None, "T2")], VARIANT_EFFECTS_SCHEMA
+    ).repartition(4)
+    path = str(tmp_path / "single")
+    write_tsv(df, path, single_file=True)
+    files = glob.glob(os.path.join(path, "*.csv"))
+    assert len(files) == 1  # one data file (SNK-02 consolidation)
+    # NA null encoding round-trips to null on read.
+    back = read_processed_tsv(spark, path, VARIANT_EFFECTS_SCHEMA)
+    assert {r.rsid: r.effect for r in back.collect()} == {1: "a", 2: None}
