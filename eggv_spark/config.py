@@ -46,6 +46,11 @@ urls:
   gene: ~
   variation: ~
 
+## Intermediate/output interchange format: tsv mirrors the reference;
+## parquet is the native format at scale (pruning + pushdown on
+## every downstream read).
+format: tsv
+
 ## Species pipeline to run (hg38 | mm10); may come from the CLI.
 species: ~
 """

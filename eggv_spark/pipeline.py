@@ -40,22 +40,40 @@ from eggv_spark.session import get_session
 from eggv_spark.sources import readers, writers
 
 
-def _save_concurrently(jobs: list[tuple[DataFrame, str]], single_file: bool) -> None:
+def _save_concurrently(
+    jobs: list[tuple[DataFrame, str]], single_file: bool, fmt: str = "tsv"
+) -> None:
     """Run several sink actions at once from driver threads (the
     Spark analog of the reference's async ``to_csv`` futures,
     ``eggv/dfio.py:63-100``)."""
+
+    def _write(df: DataFrame, path: str) -> None:
+        if fmt == "parquet":
+            writers.write_parquet(df, path)
+        else:
+            writers.write_tsv(df, path, single_file)
+
     with ThreadPoolExecutor(max_workers=max(len(jobs), 1)) as pool:
-        futures = [
-            pool.submit(writers.write_tsv, df, path, single_file) for df, path in jobs
-        ]
+        futures = [pool.submit(_write, df, path) for df, path in jobs]
         for f in futures:
             f.result()
 
 
+def _read_stage(spark: SparkSession, path: str, schema, fmt: str) -> DataFrame:
+    """Re-read a pipeline intermediate in the configured interchange
+    format.  TSV mirrors the reference (SRC-06); parquet is the
+    native format at scale — column pruning + row-group skipping on
+    every downstream read (SURVEY §7.5.5)."""
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path)
+    return readers.read_processed_tsv(spark, path, schema)
+
+
 def run_variant_processing(
-    spark: SparkSession, layout: DataLayout, single_file: bool = False
+    spark: SparkSession, layout: DataLayout, single_file: bool = False,
+    fmt: str = "tsv",
 ) -> dict[str, DataFrame]:
-    """GVF glob -> process -> {effects, metadata} TSVs
+    """GVF glob -> process -> {effects, metadata} outputs
     (reference ``eggv/process.py:318-424``)."""
     raw = readers.read_gvf(spark, layout.variant_gvf_glob())
     processed = V.process_gvf(raw).persist()
@@ -63,14 +81,15 @@ def run_variant_processing(
     meta = V.isolate_variant_metadata(processed)
     _save_concurrently(
         [(effects, layout.variant_effects()), (meta, layout.variant_meta())],
-        single_file,
+        single_file, fmt,
     )
     processed.unpersist()
     return {"effects": effects, "metadata": meta}
 
 
 def run_gene_processing(
-    spark: SparkSession, layout: DataLayout, single_file: bool = False
+    spark: SparkSession, layout: DataLayout, single_file: bool = False,
+    fmt: str = "tsv",
 ) -> dict[str, DataFrame]:
     """GTF -> transcript-level genes + gene-deduped copy
     (reference ``eggv/process.py:427-534``)."""
@@ -78,28 +97,29 @@ def run_gene_processing(
     deduped = G.dedupe_genes(processed)
     _save_concurrently(
         [(processed, layout.gene_meta()), (deduped, layout.gene_dedup())],
-        single_file,
+        single_file, fmt,
     )
     processed.unpersist()
     return {"genes": processed, "genes_dedup": deduped}
 
 
 def run_annotation(
-    spark: SparkSession, layout: DataLayout, single_file: bool = False
+    spark: SparkSession, layout: DataLayout, single_file: bool = False,
+    fmt: str = "tsv",
 ) -> dict[str, DataFrame]:
-    """effects ⟕ genes -> intergenic/intragenic TSVs
+    """effects ⟕ genes -> intergenic/intragenic outputs
     (reference ``eggv/annotate.py:145-235``)."""
-    effects = readers.read_processed_tsv(
-        spark, layout.variant_effects(), VARIANT_EFFECTS_SCHEMA
+    effects = _read_stage(
+        spark, layout.variant_effects(), VARIANT_EFFECTS_SCHEMA, fmt
     )
-    genes = readers.read_processed_tsv(spark, layout.gene_meta(), GENES_SCHEMA)
+    genes = _read_stage(spark, layout.gene_meta(), GENES_SCHEMA, fmt)
     result = A.run_annotation(effects, genes)
     _save_concurrently(
         [
             (result["intergenic"], layout.annotated_intergenic()),
             (result["intragenic"], layout.annotated_intragenic()),
         ],
-        single_file,
+        single_file, fmt,
     )
     result["annotated"].unpersist()
     return result
@@ -124,8 +144,9 @@ def run_process_step(
     validate_config(config)
     spark = spark or session_from_config(config)
     layout = DataLayout(config["directories"]["data"], config["species"])
-    out = run_gene_processing(spark, layout)
-    out |= run_variant_processing(spark, layout)
+    fmt = config.get("format", "tsv")
+    out = run_gene_processing(spark, layout, fmt=fmt)
+    out |= run_variant_processing(spark, layout, fmt=fmt)
     return out
 
 
@@ -135,7 +156,7 @@ def run_annotate_step(
     validate_config(config)
     spark = spark or session_from_config(config)
     layout = DataLayout(config["directories"]["data"], config["species"])
-    return run_annotation(spark, layout)
+    return run_annotation(spark, layout, fmt=config.get("format", "tsv"))
 
 
 def run_complete_pipeline(

@@ -78,6 +78,16 @@ def test_process_and_annotate_stages(spark, layout):
     assert os.path.isdir(layout.annotated_intragenic())
 
 
+def test_pipeline_parquet_format(spark, layout):
+    """Same stages with parquet interchange (the at-scale format)."""
+    pipeline.run_gene_processing(spark, layout, fmt="parquet")
+    out = pipeline.run_variant_processing(spark, layout, fmt="parquet")
+    assert out["effects"].count() == 5
+    ann = pipeline.run_annotation(spark, layout, fmt="parquet")
+    assert ann["intergenic"].count() == 1
+    assert ann["intragenic"].count() == 4
+
+
 def test_config_precedence_and_validation(tmp_path):
     cfg_file = tmp_path / "c.yml"
     cfg_file.write_text("species: hg38\nspark:\n  shuffle_partitions: 8\n")
