@@ -676,6 +676,21 @@ def _ddp_ngram_jaccard(spark, sf_dir):
     return D.jaccard_verify_pairs(pairs, shingled, threshold=0.0)
 
 
+def _agg_gini(spark, sf_dir):
+    return AG.gini_by_group(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity"
+    )
+
+
+def _ddp_dup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved to duplicate clusters: iterative
+    connected components, then every doc mapped to its cluster's
+    keeper (min id)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = D.minhash_neardup_pairs(docs, threshold=0.7)
+    return D.dedup_keepers(pairs, docs.select("doc_id"))
+
+
 def _ddp_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     with_dups = emb.unionByName(
@@ -929,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_simhash": _ddp_simhash,
         "ddp_simhash_neardup": _ddp_simhash_neardup,
         "ddp_ngram_jaccard": _ddp_ngram_jaccard,
+        "ddp_dup_clusters": _ddp_dup_clusters,
+        "agg_gini": _agg_gini,
         "ddp_embedding_neardup": _ddp_embedding_neardup,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_ivf_topk": _sim_ivf_topk,
@@ -1278,6 +1295,37 @@ def oracle_sql() -> dict[str, str]:
             " FROM alldocs GROUP BY 1"
         ),
         "ddp_minhash_neardup": _minhash_oracle(),
+        "ddp_dup_clusters": (
+            # Connected components as a recursive transitive closure
+            # over the minhash near-dup pairs (+ self-loops), then
+            # min reachable id per node; unpaired docs keep their id.
+            f"WITH RECURSIVE np AS ({_minhash_oracle()}),"
+            " edges AS ("
+            "  SELECT id_a AS src, id_b AS dst FROM np"
+            "  UNION SELECT id_b, id_a FROM np"
+            "  UNION SELECT id_a, id_a FROM np"
+            "  UNION SELECT id_b, id_b FROM np"
+            " ),"
+            " reach(src, dst) AS ("
+            "  SELECT src, dst FROM edges"
+            "  UNION"
+            "  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src"
+            " ),"
+            f" alldocs AS ({_DUPDOCS_SQL})"
+            " SELECT d.doc_id,"
+            " coalesce(min(r.dst), d.doc_id) AS keeper_id"
+            " FROM alldocs d LEFT JOIN reach r ON r.src = d.doc_id"
+            " GROUP BY d.doc_id"
+        ),
+        "agg_gini": (
+            "WITH r AS (SELECT l_returnflag, l_quantity AS v,"
+            "  row_number() OVER (PARTITION BY l_returnflag"
+            "    ORDER BY l_quantity) AS rn FROM lineitem)"
+            " SELECT l_returnflag,"
+            " round(2.0 * sum(rn * v) / (count(*) * sum(v))"
+            "   - (count(*) + 1.0) / count(*), 4) AS gini"
+            " FROM r GROUP BY l_returnflag"
+        ),
         "ddp_simhash": _simhash_oracle(),
         "ddp_ngram_jaccard": _ngram_jaccard_oracle(),
         "sim_cosine_topk": _cosine_topk_oracle(),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,6 +139,37 @@ def pivot_counts(
     """
     out = df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).count()
     return out.na.fill({v: 0 for v in pivot_values})
+
+
+def gini_by_group(
+    df: DataFrame, keys: Sequence[str], col: str, out: str = "gini"
+) -> DataFrame:
+    """Gini coefficient per group via an Arrow-batched Pandas UDAF —
+    the custom-aggregate extension point for statistics the built-in
+    aggregates can't express.
+
+    UDAF mechanics: each group's values arrive as ONE pandas Series
+    (Arrow transfer, no per-row Python); the shuffle is the same
+    hash-partition a built-in aggregate uses, but partial (map-side)
+    aggregation is NOT possible for arbitrary UDAFs — at 100 TB
+    prefer a sort-based SQL formulation when one exists (the oracle
+    for this operator is exactly that formulation).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _gini(v: pd.Series) -> float:
+        import numpy as np
+
+        x = np.sort(v.to_numpy(dtype="float64"))
+        n = len(x)
+        total = x.sum()
+        if n == 0 or total == 0:
+            return 0.0
+        i = np.arange(1, n + 1)
+        return float(2.0 * (i * x).sum() / (n * total) - (n + 1.0) / n)
+
+    return df.groupBy(*keys).agg(F.round(_gini(F.col(col)), 4).alias(out))
 
 
 def distinct_counts(

@@ -306,13 +306,22 @@ def embedding_neardup_pairs(
     ~(1-theta/pi)^planes; for dedup-grade thresholds (>=0.95) recall
     is high while the join stays bucket-local.
     """
+    import hashlib
+
     dim = len(df.select(vec_col).first()[0])
+    # Hyperplane weights computed driver-side (same md5 formula as
+    # base_hash) and shipped as literals — plan size independent of
+    # n_planes × dim.
     planes = [
-        F.array(
-            *[
-                (
-                    (base_hash(F.lit(f"plane-{p}-{d}")) % 2001) - 1000
-                ).cast("double")
+        F.lit(
+            [
+                float(
+                    int(
+                        hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:8], 16
+                    )
+                    % 2001
+                    - 1000
+                )
                 for d in range(dim)
             ]
         )
@@ -333,7 +342,9 @@ def embedding_neardup_pairs(
         for plane in planes
     ]
     bucket = F.concat_ws("", *[b.cast("string") for b in sign_bits])
-    bucketed = df.select(id_col, vec_col).withColumn("bucket", bucket)
+    # Persisted: the self-join consumes it twice — without this the
+    # n_planes dot products per row run once per join side.
+    bucketed = df.select(id_col, vec_col).withColumn("bucket", bucket).persist()
 
     left, right = bucketed.alias("l"), bucketed.alias("r")
     cands = left.join(
@@ -351,4 +362,90 @@ def embedding_neardup_pairs(
         cands.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (iterative connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation.  Output: (node, component) with
+    ``component`` = the smallest node id reachable from ``node`` —
+    i.e. the canonical keeper of each duplicate cluster.
+
+    Each iteration joins every node's label against its neighbors'
+    and takes the min — labels converge in O(component diameter)
+    rounds (near-dup clusters are shallow: usually 2-3).  The label
+    frame is re-persisted per round and the loop exits early when a
+    round changes nothing (one lightweight count action per round).
+    At web scale this is the standard large-star/small-star regime;
+    diameter-bounded dedup graphs converge in a handful of rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keepers(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end cluster dedup decision: every id keeps ``keeper_id``
+    = min id of its near-dup cluster (itself when unpaired).  Feed
+    with :func:`minhash_neardup_pairs` / :func:`simhash_neardup_pairs`
+    / :func:`embedding_neardup_pairs` output."""
+    comps = connected_components(pairs)
+    return (
+        all_ids.select(id_col)
+        .join(comps, all_ids[id_col] == comps["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("keeper_id"),
+        )
     )

@@ -153,6 +153,34 @@ def test_interval_annotate_genomic(spark):
     assert hits == {(222, "G1"), (333, "G2")}
 
 
+def test_gini_udaf(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 1.0),      # perfect equality
+         ("b", 0.0), ("b", 0.0), ("b", 30.0)],    # extreme inequality
+        ["k", "v"],
+    )
+    out = {r.k: r.gini for r in AG.gini_by_group(df, ["k"], "v").collect()}
+    assert out["a"] == 0.0
+    assert abs(out["b"] - 2 / 3) < 1e-3  # (2*3*30)/(3*30) - 4/3
+
+
+def test_connected_components_and_keepers(spark):
+    from eggv_spark.operators.dedupe import connected_components, dedup_keepers
+
+    # Components: {1,2,3,4} (chain), {10,11}, singleton 99 unpaired.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    all_ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], ["doc_id"]
+    )
+    keep = {r.doc_id: r.keeper_id for r in dedup_keepers(pairs, all_ids).collect()}
+    assert keep == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_asof_join_semantics(spark):
     quotes = spark.createDataFrame(
         [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0)],
