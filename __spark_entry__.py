@@ -31,6 +31,7 @@ from eggv_spark.operators import aggregates as AG
 from eggv_spark.operators import dedupe as D
 from eggv_spark.operators import relational as R
 from eggv_spark.operators import similarity as S
+from eggv_spark.operators import tableops as TO
 from eggv_spark.operators import text_analysis as T
 from eggv_spark.operators.events import (
     sessionize,
@@ -676,6 +677,49 @@ def _ddp_ngram_jaccard(spark, sf_dir):
     return D.jaccard_verify_pairs(pairs, shingled, threshold=0.0)
 
 
+def _tbl_unpivot(spark, sf_dir):
+    return TO.unpivot(
+        _t(spark, sf_dir, "part"),
+        ["p_partkey"],
+        ["p_brand", "p_type", "p_name"],
+        "attribute",
+        "attr_value",
+    )
+
+
+def _tbl_merge_upsert(spark, sf_dir):
+    current = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    updates = (
+        current.filter("c_custkey % 7 = 0")
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .unionByName(
+            spark.range(1).select(
+                F.lit(9_000_001).alias("c_custkey"),
+                F.lit("Customer#new").alias("c_name"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return TO.merge_upsert(current, updates, ["c_custkey"])
+
+
+def _tbl_profile(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "priority_nullable", F.nullif("o_orderpriority", F.lit("5-LOW"))
+    )
+    return TO.profile_columns(
+        df, ["o_custkey", "o_orderstatus", "priority_nullable"]
+    )
+
+
+def _tbl_key_distribution(spark, sf_dir):
+    return TO.key_distribution(
+        _t(spark, sf_dir, "lineitem"), ["l_partkey"], top_n=10
+    )
+
+
 def _agg_gini(spark, sf_dir):
     return AG.gini_by_group(
         _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity"
@@ -946,6 +990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_ngram_jaccard": _ddp_ngram_jaccard,
         "ddp_dup_clusters": _ddp_dup_clusters,
         "agg_gini": _agg_gini,
+        "tbl_unpivot": _tbl_unpivot,
+        "tbl_merge_upsert": _tbl_merge_upsert,
+        "tbl_profile": _tbl_profile,
+        "tbl_key_distribution": _tbl_key_distribution,
         "ddp_embedding_neardup": _ddp_embedding_neardup,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_ivf_topk": _sim_ivf_topk,
@@ -1316,6 +1364,52 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(min(r.dst), d.doc_id) AS keeper_id"
             " FROM alldocs d LEFT JOIN reach r ON r.src = d.doc_id"
             " GROUP BY d.doc_id"
+        ),
+        "tbl_unpivot": (
+            "SELECT p_partkey, 'p_brand' AS attribute, p_brand AS attr_value FROM part"
+            " UNION ALL"
+            " SELECT p_partkey, 'p_type', p_type FROM part"
+            " UNION ALL"
+            " SELECT p_partkey, 'p_name', p_name FROM part"
+        ),
+        "tbl_merge_upsert": (
+            "WITH updates AS ("
+            "  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment"
+            "  FROM customer WHERE c_custkey % 7 = 0"
+            "  UNION ALL"
+            "  SELECT 9000001, 'Customer#new', 'NEW'"
+            ") SELECT * FROM updates"
+            " UNION ALL"
+            " SELECT c_custkey, c_name, c_mktsegment FROM customer"
+            " WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)"
+        ),
+        "tbl_profile": (
+            "WITH src AS (SELECT o_custkey, o_orderstatus,"
+            "  nullif(o_orderpriority, '5-LOW') AS priority_nullable FROM orders)"
+            " SELECT 'o_custkey' AS col_name, count(*) AS n_rows,"
+            "  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            "  count(DISTINCT o_custkey) AS n_distinct,"
+            "  CAST(min(o_custkey) AS VARCHAR) AS min_value,"
+            "  CAST(max(o_custkey) AS VARCHAR) AS max_value FROM src"
+            " UNION ALL"
+            " SELECT 'o_orderstatus', count(*),"
+            "  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+            "  count(DISTINCT o_orderstatus),"
+            "  CAST(min(o_orderstatus) AS VARCHAR),"
+            "  CAST(max(o_orderstatus) AS VARCHAR) FROM src"
+            " UNION ALL"
+            " SELECT 'priority_nullable', count(*),"
+            "  CAST(sum(CASE WHEN priority_nullable IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+            "  count(DISTINCT priority_nullable),"
+            "  CAST(min(priority_nullable) AS VARCHAR),"
+            "  CAST(max(priority_nullable) AS VARCHAR) FROM src"
+        ),
+        "tbl_key_distribution": (
+            "SELECT l_partkey, count(*) AS n_rows,"
+            " round(CAST(count(*) AS DOUBLE)"
+            "   / (SELECT count(*) FROM lineitem), 4) AS share"
+            " FROM lineitem GROUP BY l_partkey"
+            " ORDER BY n_rows DESC, l_partkey ASC LIMIT 10"
         ),
         "agg_gini": (
             "WITH r AS (SELECT l_returnflag, l_quantity AS v,"

@@ -1,0 +1,89 @@
+"""Table-maintenance / data-engineering operators: unpivot (melt),
+upsert merge, one-pass profiling, key-skew diagnostics.
+
+The operational complements of a production pipeline (SURVEY §7.4
+scope): reshaping for export, applying change sets to snapshots
+without a mutable table format, and the observability queries you run
+before choosing partitioning/salting strategies at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Melt: one row per (id, value column) — the inverse of pivot.
+    Spark's native ``unpivot`` (Expand operator: rows multiply by
+    len(value_cols) BEFORE any shuffle; no shuffle at all unless a
+    consumer adds one)."""
+    return df.unpivot(list(ids), list(value_cols), var_name, value_name)
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Upsert semantics without a mutable table format: rows in
+    ``updates`` replace same-key rows in ``current``; unmatched rows
+    from both sides survive.  (The batch equivalent of MERGE INTO for
+    plain-parquet pipelines — rewrite the partition, don't mutate.)
+
+    One shuffle on the key; implemented as updates ∪ (current ANTI
+    updates), so the update side is never joined row-by-row against
+    the full snapshot columns.
+    """
+    survivors = current.join(updates.select(*keys), list(keys), "left_anti")
+    return updates.unionByName(survivors)
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-PASS column profiling: null count, exact distinct count,
+    min/max (as strings) for every requested column, computed in a
+    single aggregate over the table (never one scan per column at
+    100 TB), then unpivoted to one row per column."""
+    aggs: list[Column] = [F.count("*").alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one_row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n_rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return one_row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def key_distribution(
+    df: DataFrame, keys: Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """Skew diagnostic: the ``top_n`` heaviest key groups with their
+    share of total rows — the query you run BEFORE deciding between
+    plain shuffle, AQE skew handling, and explicit salting."""
+    total = df.count()
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    top = counts.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys]).limit(top_n)
+    return top.withColumn(
+        "share", F.round(F.col("n_rows") / F.lit(float(total)), 4)
+    )
