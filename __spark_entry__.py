@@ -34,6 +34,7 @@ from eggv_spark.operators import similarity as S
 from eggv_spark.operators import tableops as TO
 from eggv_spark.operators import text_analysis as T
 from eggv_spark.operators.events import (
+    gapfill_hourly,
     sessionize,
     sliding_window_counts,
     tumbling_window_counts,
@@ -571,6 +572,26 @@ def _evt_sliding_window(spark, sf_dir):
     )
 
 
+def _evt_gapfill(spark, sf_dir):
+    out = gapfill_hourly(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def _mm_resize(spark, sf_dir):
+    from eggv_spark.operators import multimodal as M
+
+    resized = M.resize_images(M.synthesize_assets(_t(spark, sf_dir, "documents")))
+    return resized.select(
+        "asset_id", "width", "height",
+        F.length("resized").cast("long").alias("n_bytes"),
+        F.md5("resized").alias("resized_hash"),
+    )
+
+
 def _join_salted_skew(spark, sf_dir):
     """Salted shuffled join — must produce byte-identical results to
     the plain join (the salt is plumbing, not semantics)."""
@@ -977,6 +998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_topk_per_group": _win_topk_per_group,
         "evt_tumbling_window": _evt_tumbling_window,
         "evt_sliding_window": _evt_sliding_window,
+        "evt_gapfill": _evt_gapfill,
+        "mm_resize": _mm_resize,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
         "txt_token_count": _txt_token_count,
@@ -1262,6 +1285,20 @@ def oracle_sql() -> dict[str, str]:
             " w AS (SELECT value, unnest([t30, t30 - 1800]) AS window_epoch FROM ev)"
             " SELECT window_epoch, count(*) AS n_events,"
             " round(sum(value), 4) AS sum_value FROM w GROUP BY window_epoch"
+        ),
+        "evt_gapfill": (
+            "WITH counts AS ("
+            "  SELECT date_trunc('hour', ts) AS w, count(*) AS n_events,"
+            "  round(sum(value), 4) AS sum_value FROM events GROUP BY 1"
+            "), grid AS ("
+            "  SELECT unnest(generate_series("
+            "    (SELECT date_trunc('hour', min(ts)) FROM events),"
+            "    (SELECT date_trunc('hour', max(ts)) FROM events),"
+            "    INTERVAL 1 HOUR)) AS w"
+            ") SELECT CAST(floor(epoch(g.w)) AS BIGINT) AS window_epoch,"
+            " coalesce(c.n_events, 0) AS n_events,"
+            " coalesce(c.sum_value, 0.0) AS sum_value"
+            " FROM grid g LEFT JOIN counts c ON g.w = c.w"
         ),
         "join_salted_skew": (
             "SELECT o_orderkey, c_name FROM orders"

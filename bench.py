@@ -35,6 +35,9 @@ HEADLINE = [
     "rng_range_join",
     "join_asof",
     "srt_global_topk",
+    "txt_token_count",
+    "ddp_exact_hash",
+    "sim_cosine_topk",
 ]
 
 

@@ -65,6 +65,39 @@ def sliding_window_counts(
     )
 
 
+def gapfill_hourly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Gap-filled hourly series: tumbling counts joined onto the FULL
+    hour grid from min to max timestamp, zeros where no events fell.
+
+    The grid is generated distributed (``sequence`` + ``explode`` off
+    a 1-row aggregate — no driver-side range materialization); the
+    counts side joins broadcast-right since the grid is tiny relative
+    to events.
+    """
+    counts = tumbling_window_counts(df, ts_col, window)
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    return (
+        grid.join(counts, "window_start", "left")
+        .select(
+            "window_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap_minutes: int = 30,

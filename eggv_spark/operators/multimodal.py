@@ -118,6 +118,48 @@ def extract_features(
     )
 
 
+def resize_images(
+    assets: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas, 1->1).
+
+    STUB decode (no PIL in this environment): the "resized" payload
+    is a deterministic digest expansion of (payload, w, h) with the
+    byte length a real w×h×3 RGB buffer would have — so downstream
+    size accounting, shuffle volume, and schema handling are
+    realistic even though pixels are fake.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target_len = width * height * 3
+        for batch in batches:
+            if not fake_decode:
+                raise NotImplementedError("real image resize needs PIL")
+            resized = []
+            for payload in batch["payload"]:
+                seed = hashlib.md5(payload + f"{width}x{height}".encode()).digest()
+                resized.append((seed * (target_len // len(seed) + 1))[:target_len])
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _resize, "asset_id long, width int, height int, resized binary"
+        )
+    )
+
+
 def sample_video_frames(
     assets: DataFrame, n_frames: int = 4, fake_decode: bool = True
 ) -> DataFrame:

@@ -50,6 +50,36 @@ def test_sliding_window_double_counts(spark):
     assert rows == [(0, 2, 5.0), (30, 1, 2.0), (30, 1, 3.0)]
 
 
+def test_gapfill_hourly_fills_missing_hours(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    df = spark.createDataFrame(
+        [(1, base, 1.0), (2, base + dt.timedelta(hours=3), 2.0)],
+        ["event_id", "ts", "value"],
+    )
+    from eggv_spark.operators.events import gapfill_hourly
+
+    rows = sorted(
+        (r.window_start.hour, r.n_events) for r in gapfill_hourly(df).collect()
+    )
+    # hours 10..13 present, 11 and 12 filled with zero
+    assert rows == [(10, 1), (11, 0), (12, 0), (13, 1)]
+
+
+def test_resize_images_shape(spark):
+    from eggv_spark.operators.multimodal import resize_images, synthesize_assets
+
+    docs = spark.createDataFrame(
+        [(0, "img doc", "s", "en"), (1, "audio doc", "s", "en")],
+        ["doc_id", "text", "source", "lang"],
+    )
+    out = resize_images(synthesize_assets(docs), width=4, height=2).collect()
+    assert len(out) == 1  # only doc 0 is modality 'image'
+    assert len(out[0].resized) == 4 * 2 * 3  # w*h*3 RGB bytes
+    # Deterministic: same input -> same bytes.
+    again = resize_images(synthesize_assets(docs), width=4, height=2).collect()
+    assert out[0].resized == again[0].resized
+
+
 def test_streaming_user_totals_stateful(spark, tmp_path):
     import pandas as pd
 
