@@ -29,11 +29,21 @@ _MAF_PATTERN = r"global_minor_allele_frequency=\d+\|([.0-9]+)"
 _EFFECT_PATTERN = r"Variant_effect=(.+?);"
 
 
-def process_gvf(df: DataFrame) -> DataFrame:
+def process_gvf(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
     """Raw GVF rows -> processed variants (one row per effect).
 
     Ops: PRJ-01/02, STR-01..06, NUL-01/02, CST-01, EXP-01
     (reference chain ``eggv/process.py:100-180``).
+
+    ``repartition_to``: gzip text is NOT splittable, so a scan of N
+    ``.gz`` files yields only N partitions — the regex chain would
+    run N-wide no matter the cluster size (the reference sidesteps
+    this by gunzipping to disk first and splitting at 150 MB,
+    ``eggv/retrieve.py:49-75`` + ``eggv/process.py:60``).  Setting
+    this redistributes rows AFTER the cheap 4-column projection and
+    BEFORE the regex extraction, trading one narrow shuffle for
+    full-width parallelism.  Leave None for splittable inputs
+    (parquet, plain text).
 
     Output schema: PROCESSED_VARIANTS_SCHEMA — (chromosome, rsid,
     start, end, observed, maf, effect, transcript).
@@ -46,6 +56,8 @@ def process_gvf(df: DataFrame) -> DataFrame:
         "end",
         "attr",
     )
+    if repartition_to:
+        df = df.repartition(repartition_to)
 
     # STR-02/03: rsid extraction; NUL-02: rows without an rsid drop.
     df = df.withColumn(

@@ -76,7 +76,10 @@ def run_variant_processing(
     """GVF glob -> process -> {effects, metadata} outputs
     (reference ``eggv/process.py:318-424``)."""
     raw = readers.read_gvf(spark, layout.variant_gvf_glob())
-    processed = V.process_gvf(raw).persist()
+    # Raw inputs are .gz (non-splittable): spread the regex-extraction
+    # work across the cluster regardless of file count.
+    width = spark.sparkContext.defaultParallelism * 2
+    processed = V.process_gvf(raw, repartition_to=width).persist()
     effects = V.isolate_variant_effects(processed)
     meta = V.isolate_variant_metadata(processed)
     _save_concurrently(

@@ -15,20 +15,60 @@ pushdown + column pruning + row-group skipping.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
 from eggv_spark.schemas import GTF_SCHEMA, GVF_SCHEMA
 
 
-def read_gvf(spark: SparkSession, path: str) -> DataFrame:
+def read_gvf(
+    spark: SparkSession, path: str, capture_corrupt: bool = False
+) -> DataFrame:
     """SRC-04: GVF scan — 9 fixed columns, '#' comment lines skipped.
 
     Reference: ``eggv/process.py:25-61`` (dask ``read_csv`` with
     ``comment='#'``, seqid pinned to string).
+
+    ``capture_corrupt``: malformed lines land in a ``_corrupt``
+    column instead of silently becoming all-null rows (Spark's
+    PERMISSIVE default) — at 100 TB you quarantine and count bad
+    records, never drop them invisibly.  Split with
+    :func:`split_corrupt`.
     """
-    return spark.read.csv(
-        path, sep="\t", comment="#", header=False, schema=GVF_SCHEMA
+    if not capture_corrupt:
+        return spark.read.csv(
+            path, sep="\t", comment="#", header=False, schema=GVF_SCHEMA
+        )
+    from pyspark.sql.types import StructField
+
+    schema = StructType(  # GVF columns + the quarantine column
+
+        GVF_SCHEMA.fields + [StructField("_corrupt", StringType(), True)]
     )
+    return spark.read.csv(
+        path,
+        sep="\t",
+        comment="#",
+        header=False,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good rows without the marker column, quarantined bad rows).
+
+    Spark refuses to filter on the internal corrupt-record column of
+    a lazily-parsed CSV (CANNOT_QUERY_INTERNAL_CORRUPT_RECORD) — the
+    frame must be materialized first, so it is cached here; both
+    splits then share the one parse.
+    """
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+    return good, bad
 
 
 def read_gtf(spark: SparkSession, path: str) -> DataFrame:

@@ -131,15 +131,62 @@ def run_available_now(
     """Execute a streaming plan over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink and return the
     result as a batch DataFrame.  Stateful ``applyInPandasWithState``
-    plans require ``output_mode='update'``."""
+    plans require ``output_mode='update'``.
+
+    Stateless plans (no aggregation) reject ``complete``; rather than
+    make every caller know which plans aggregate, the unsupported-mode
+    error falls back to ``append`` — the only valid mode there.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     name = name or f"stream_{uuid.uuid4().hex[:8]}"
-    query = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"eggv-ckpt-{name}-"))
-        .trigger(availableNow=True)
-        .start()
-    )
+
+    def _start(mode: str):
+        return (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"eggv-ckpt-{name}-"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        query = _start(output_mode)
+    except AnalysisException as e:
+        if output_mode == "complete" and "STREAMING_OUTPUT_MODE" in str(e):
+            query = _start("append")
+        else:
+            raise
     query.awaitTermination()
     return streaming_df.sparkSession.table(name)
+
+
+def streaming_variant_processing(
+    spark: SparkSession, gvf_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming twin of the GVF processing chain: the SAME
+    stateless operator (``operators.variants.process_gvf``) applied
+    to a file-source stream — new chromosome files entering
+    ``gvf_dir`` are processed incrementally as they land (the
+    streaming version of the reference's as_completed per-chromosome
+    loop, ``eggv/pipeline.py:177``).
+
+    Works because the whole §2.2 chain is stateless row-wise
+    expression work: batch and streaming share one code path, so
+    parity tests on the batch operator cover the streaming plan.
+    """
+    from eggv_spark.operators.variants import process_gvf
+    from eggv_spark.schemas import GVF_SCHEMA
+
+    raw = (
+        spark.readStream.schema(GVF_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("sep", "\t")
+        .option("comment", "#")
+        .csv(gvf_dir)
+    )
+    return process_gvf(raw)

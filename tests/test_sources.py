@@ -41,6 +41,49 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_genes")
 
 
+def test_corrupt_record_capture(spark, tmp_path):
+    from eggv_spark.sources.readers import read_gvf, split_corrupt
+
+    # 2nd line has 3 fields (malformed); 3rd has non-numeric start.
+    gvf = tmp_path / "bad.gvf"
+    gvf.write_text(
+        "##gvf-version 1.07\n"
+        "7\tdbSNP\tSNV\t100\t100\t.\t+\t.\tID=1;Dbxref=dbSNP_151:rs1\n"
+        "7\tdbSNP\tbroken\n"
+        "7\tdbSNP\tSNV\tnotanum\t100\t.\t+\t.\tID=2\n"
+    )
+    df = read_gvf(spark, str(gvf), capture_corrupt=True)
+    good, bad = split_corrupt(df)
+    assert good.count() == 1
+    assert bad.count() == 2
+    # default PERMISSIVE mode would have silently kept 3 rows
+    assert read_gvf(spark, str(gvf)).count() == 3
+
+
+def test_streaming_variant_processing_matches_batch(spark, tmp_path):
+    from eggv_spark.operators.variants import process_gvf
+    from eggv_spark.sources.readers import read_gvf
+    from eggv_spark.streaming.events_stream import (
+        run_available_now,
+        streaming_variant_processing,
+    )
+    from tests.fixtures import GVF_TEXT
+
+    gvf_dir = tmp_path / "stream_gvf"
+    gvf_dir.mkdir()
+    (gvf_dir / "chr7a.gvf").write_text(GVF_TEXT)
+    (gvf_dir / "chr7b.gvf").write_text(GVF_TEXT.replace("rs111", "rs333"))
+
+    out = run_available_now(
+        streaming_variant_processing(spark, str(gvf_dir), max_files_per_trigger=1),
+        output_mode="append",
+    )
+    batch = process_gvf(read_gvf(spark, str(gvf_dir)))
+    # Same operator, same rows — streaming == batch on the same files.
+    assert out.count() == batch.count() == 10
+    assert out.exceptAll(batch).count() == 0
+
+
 def test_json_round_trip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "intron_variant", "T1"), (2, None, "T2")],
