@@ -646,6 +646,203 @@ def _txt_fingerprint(spark, sf_dir):
     )
 
 
+def _txt_repetition(spark, sf_dir):
+    return T.with_repetition_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "dup_word_frac", "max_word_share",
+        "top_bigram_share",
+    )
+
+
+def _txt_pii_scrub(spark, sf_dir):
+    """PII redaction over deterministic synthesized text (the corpus
+    has no PII, so emails/phones/IPs are composed from customer
+    columns, then scrubbed)."""
+    c = _t(spark, sf_dir, "customer")
+    phone = F.concat(
+        F.lit("55-123-456-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    synth = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.concat(F.lit("user"), F.col("c_custkey"), F.lit("@example.com")),
+        phone,
+        F.concat(F.lit("10.0."), F.col("c_nationkey"), F.lit(".1")),
+    )
+    return c.select(
+        "c_custkey", SC.redact_pii(synth).alias("scrubbed")
+    )
+
+
+def _txt_url_parse(spark, sf_dir):
+    """URL decomposition via Spark's built-in parse_url over
+    deterministic synthesized URLs."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"),
+    )
+    parts = SC.url_parts(url)
+    return d.select(
+        "doc_id",
+        parts["url_host"].alias("url_host"),
+        parts["url_path"].alias("url_path"),
+        parts["url_proto"].alias("url_proto"),
+    )
+
+
+def _ddp_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: docs with doc_id % 10 == 0 play the
+    eval set; surviving training docs share no 5-gram with it."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return T.decontaminate(train, eval_set).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational completeness: outer/cross joins, subqueries, samples
+# ---------------------------------------------------------------------------
+
+def _join_full_outer(spark, sf_dir):
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    out = R.full_outer_join(
+        cust, supp, cust["c_nationkey"] == supp["s_nationkey"],
+        coalesce_keys={"nationkey": ("c_nationkey", "s_nationkey")},
+    )
+    return out.select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def _join_cross(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    a = region.select(
+        F.col("r_regionkey").alias("key_a"), F.col("r_name").alias("name_a")
+    )
+    b = region.select(
+        F.col("r_regionkey").alias("key_b"), F.col("r_name").alias("name_b")
+    )
+    return R.cross_join(a, b).select("key_a", "name_a", "key_b", "name_b")
+
+
+def _sub_exists(spark, sf_dir):
+    """Correlated EXISTS subquery — exercises Spark's subquery
+    planner (rewritten to a broadcast-able left-semi join)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_sub_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_sub_orders")
+    return spark.sql(
+        "SELECT c_custkey, c_name FROM v_sub_customer c"
+        " WHERE EXISTS (SELECT 1 FROM v_sub_orders o"
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
+    )
+
+
+def _sub_in(spark, sf_dir):
+    """Uncorrelated IN subquery (planned as left-semi join)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_sub_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_sub_lineitem")
+    return spark.sql(
+        "SELECT p_partkey, p_name FROM v_sub_part"
+        " WHERE p_partkey IN (SELECT l_partkey FROM v_sub_lineitem"
+        "  WHERE l_quantity >= 49)"
+    )
+
+
+def _sub_scalar(spark, sf_dir):
+    """Scalar subquery threshold — integer arithmetic so both engines
+    compute the identical cutoff (a float avg() would differ in the
+    last ulp between summation orders and flip boundary rows)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_sub_orders2")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_sub_customer2")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey FROM v_sub_orders2"
+        " WHERE o_custkey > (SELECT max(c_custkey) FROM v_sub_customer2) - 100"
+    )
+
+
+def _smp_systematic(spark, sf_dir):
+    li = R.systematic_sample(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", 100, 5
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _agg_conditional(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return AG.conditional_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_bigqty": (F.col("l_quantity") > 25, None),
+            "disc_revenue": (
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice"),
+            ),
+            "n_open_status": (F.col("l_linestatus") == "O", None),
+        },
+    )
+
+
+def _agg_string_agg(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    )
+    return AG.string_agg_sorted(joined, ["r_name"], "n_name", out="nations")
+
+
+def _win_ntile_rank(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return AG.with_distribution_ranks(
+        cust, ["c_mktsegment"], [F.col("c_acctbal"), F.col("c_custkey")], 4
+    ).select("c_custkey", "c_mktsegment", "tile", "pct_rank", "cume_dist")
+
+
+def _win_first_last(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+def _agg_approx(spark, sf_dir):
+    """Sketch aggregates (HLL++, approx percentiles) — approximate by
+    construction, so no value oracle; tests assert tolerance vs exact
+    and the driver records a rows-only check."""
+    return AG.approx_aggregates(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_orderkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family (extension)
 # ---------------------------------------------------------------------------
@@ -946,6 +1143,53 @@ FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
 """
 
 
+def _repetition_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+w AS (SELECT doc_id, len(t) AS n, unnest(t) AS word FROM toks),
+wc AS (SELECT doc_id, any_value(n) AS n, word, count(*) AS c
+       FROM w GROUP BY doc_id, word),
+wagg AS (SELECT doc_id, any_value(n) AS n, count(*) AS nd, max(c) AS maxc
+         FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+       list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1]) AS bgs
+       FROM toks),
+b AS (SELECT doc_id, len(bgs) AS nb, unnest(bgs) AS pair FROM bg),
+bc AS (SELECT doc_id, any_value(nb) AS nb, pair, count(*) AS c
+       FROM b GROUP BY doc_id, pair),
+bagg AS (SELECT doc_id, any_value(nb) AS nb, max(c) AS maxbc
+         FROM bc GROUP BY doc_id)
+SELECT w.doc_id, CAST(w.n AS INT) AS n_words,
+ round((w.n - w.nd) / CAST(greatest(w.n, 1) AS DOUBLE), 4) AS dup_word_frac,
+ round(w.maxc / CAST(greatest(w.n, 1) AS DOUBLE), 4) AS max_word_share,
+ round(coalesce(b.maxbc, 0)
+       / CAST(greatest(coalesce(b.nb, 0), 1) AS DOUBLE), 4) AS top_bigram_share
+FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id
+"""
+
+
+def _decontaminate_oracle() -> str:
+    # 5-gram shingles: mirror of shingles_col(n=5) — short docs keep
+    # one clamped shingle.
+    shingles5 = (
+        "list_distinct(list_transform("
+        " generate_series(1, greatest(len(t) - 4, 1)),"
+        " i -> array_to_string(list_slice(t, i, i + 4), ' ')))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({shingles5}) AS shingle FROM toks),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+contaminated AS (SELECT DISTINCT s.doc_id FROM sh s
+                 JOIN eval_sh e ON s.shingle = e.shingle
+                 WHERE s.doc_id % 10 <> 0)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id % 10 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1026,6 +1270,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_window": _stream_tumbling,
         "stream_user_totals": _stream_user_totals,
         "stream_session_windows": _stream_session_windows,
+        "txt_repetition": _txt_repetition,
+        "txt_pii_scrub": _txt_pii_scrub,
+        "txt_url_parse": _txt_url_parse,
+        "ddp_decontaminate": _ddp_decontaminate,
+        "join_full_outer": _join_full_outer,
+        "join_cross": _join_cross,
+        "sub_exists": _sub_exists,
+        "sub_in": _sub_in,
+        "sub_scalar": _sub_scalar,
+        "smp_systematic": _smp_systematic,
+        "agg_conditional": _agg_conditional,
+        "agg_string_agg": _agg_string_agg,
+        "win_ntile_rank": _win_ntile_rank,
+        "win_first_last": _win_first_last,
+        "agg_approx": _agg_approx,
     }
 
 
@@ -1476,8 +1735,119 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_events, round(sum(value), 4) AS sum_value"
             " FROM events GROUP BY 1"
         ),
+        "stream_session_windows": (
+            # session_window(ts, 30m): an event exactly at the open
+            # session's end (gap >= 1800s) starts a NEW session —
+            # note >= where batch sessionize uses > (half-open
+            # window [start, start+gap)).
+            "WITH lagged AS ("
+            "  SELECT user_id, ts, event_id,"
+            "   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER ("
+            "     PARTITION BY user_id ORDER BY ts, event_id"
+            "   ) >= 1800 THEN 1 ELSE 0 END AS boundary"
+            "  FROM events"
+            "), sess AS ("
+            "  SELECT user_id, ts,"
+            "   sum(boundary) OVER ("
+            "     PARTITION BY user_id ORDER BY ts, event_id"
+            "   ) AS sid"
+            "  FROM lagged"
+            ") SELECT user_id,"
+            " CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,"
+            " count(*) AS n_events"
+            " FROM sess GROUP BY user_id, sid"
+        ),
+        "txt_repetition": _repetition_oracle(),
+        "txt_pii_scrub": (
+            "SELECT c_custkey,"
+            " regexp_replace(regexp_replace(regexp_replace("
+            "   c_name || ' ' || 'user' || c_custkey || '@example.com'"
+            "   || ' ' || '55-123-456-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+            "   || ' ' || '10.0.' || c_nationkey || '.1',"
+            "  '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),"
+            "  '\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),"
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')"
+            " AS scrubbed FROM customer"
+        ),
+        "txt_url_parse": (
+            "WITH u AS (SELECT doc_id,"
+            "  'https://' || source || '.example.com/docs/' || doc_id"
+            "  || '?lang=' || lang AS url FROM documents)"
+            " SELECT doc_id,"
+            " regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS url_host,"
+            " regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS url_path,"
+            " regexp_extract(url, '^([a-z]+)://', 1) AS url_proto"
+            " FROM u"
+        ),
+        "ddp_decontaminate": _decontaminate_oracle(),
+        "join_full_outer": (
+            "WITH c AS (SELECT c_nationkey, count(*) AS n_cust"
+            "  FROM customer GROUP BY c_nationkey),"
+            " s AS (SELECT s_nationkey, count(*) AS n_supp"
+            "  FROM supplier GROUP BY s_nationkey)"
+            " SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,"
+            " coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp"
+            " FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey"
+        ),
+        "join_cross": (
+            "SELECT a.r_regionkey AS key_a, a.r_name AS name_a,"
+            " b.r_regionkey AS key_b, b.r_name AS name_b"
+            " FROM region a CROSS JOIN region b"
+        ),
+        "sub_exists": (
+            "SELECT c_custkey, c_name FROM customer c"
+            " WHERE EXISTS (SELECT 1 FROM orders o"
+            "  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
+        ),
+        "sub_in": (
+            "SELECT p_partkey, p_name FROM part"
+            " WHERE p_partkey IN (SELECT l_partkey FROM lineitem"
+            "  WHERE l_quantity >= 49)"
+        ),
+        "sub_scalar": (
+            "SELECT o_orderkey, o_custkey FROM orders"
+            " WHERE o_custkey > (SELECT max(c_custkey) FROM customer) - 100"
+        ),
+        "smp_systematic": (
+            "SELECT l_returnflag, count(*) AS n_rows,"
+            " round(sum(l_quantity), 2) AS sum_qty"
+            " FROM lineitem WHERE l_orderkey % 100 < 5"
+            " GROUP BY l_returnflag"
+        ),
+        "agg_conditional": (
+            "SELECT l_returnflag,"
+            " count(*) FILTER (WHERE l_quantity > 25) AS n_bigqty,"
+            " round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice"
+            "   ELSE 0.0 END), 2) AS disc_revenue,"
+            " count(*) FILTER (WHERE l_linestatus = 'O') AS n_open_status"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "agg_string_agg": (
+            "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations"
+            " FROM nation JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY r_name"
+        ),
+        "win_ntile_rank": (
+            "SELECT c_custkey, c_mktsegment,"
+            " CAST(ntile(4) OVER w AS INT) AS tile,"
+            " round(percent_rank() OVER w, 4) AS pct_rank,"
+            " round(cume_dist() OVER w, 4) AS cume_dist"
+            " FROM customer"
+            " WINDOW w AS (PARTITION BY c_mktsegment"
+            "  ORDER BY c_acctbal, c_custkey)"
+        ),
+        "win_first_last": (
+            "SELECT o_orderkey, o_custkey,"
+            " first_value(o_orderkey) OVER w AS first_order,"
+            " last_value(o_orderkey) OVER w AS last_order"
+            " FROM orders"
+            " WINDOW w AS (PARTITION BY o_custkey"
+            "  ORDER BY o_orderdate, o_orderkey"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
         # ddp_simhash_neardup / ddp_embedding_neardup / sim_ivf_topk /
-        # mm_feature_extract / mm_video_frames / stream_session_windows:
+        # mm_feature_extract / mm_video_frames / agg_approx:
         # LSH candidate generation, pandas-UDF decode plumbing, and
-        # session-window merge state — rows-only checks.
+        # approximate sketches — rows-only checks (tolerance asserted
+        # in tests/ instead).
     }

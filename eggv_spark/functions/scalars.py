@@ -80,3 +80,43 @@ def array_stats(a: Column | str) -> dict[str, Column]:
         "vec_max": F.array_max(c),
         "n_positive": F.size(F.filter(c, lambda x: x > 0)),
     }
+
+
+# ---- PII redaction --------------------------------------------------------
+
+#: Redaction patterns — deliberately limited to syntax valid in BOTH
+#: Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no
+#: lookaround.  Order matters: emails first so the phone rule can't
+#: eat digit runs inside an address.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / phone numbers / IPv4 literals from free text —
+    the standard pre-training PII pass.  A chain of JVM-side
+    ``regexp_replace`` calls: codegen'd, shuffle-free, scan-speed
+    over 100 TB of documents (extension family; reference has no
+    text ops beyond SURVEY §2.2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+# ---- URL decomposition ----------------------------------------------------
+
+def url_parts(col: Column | str) -> dict[str, Column]:
+    """Host / path / query-param extraction via Spark's built-in
+    ``parse_url`` (JVM java.net parsing — not regex).  The DuckDB
+    oracle mirrors it with anchored regexes; both null out on
+    component absence."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "url_host": F.parse_url(c, F.lit("HOST")),
+        "url_path": F.parse_url(c, F.lit("PATH")),
+        "url_proto": F.parse_url(c, F.lit("PROTOCOL")),
+    }

@@ -182,3 +182,69 @@ def distinct_counts(
         F.count_distinct(F.col(col)).alias("n_distinct"),
         F.approx_count_distinct(F.col(col)).alias("n_distinct_approx"),
     )
+
+
+def conditional_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    conds: dict[str, tuple[Column, Column | None]],
+) -> DataFrame:
+    """Filtered aggregation (``agg FILTER (WHERE ...)`` / CASE-WHEN
+    pattern): ``conds`` maps output name -> (predicate, value expr);
+    value None means COUNT of matching rows, else a 2dp SUM over the
+    predicate.  One pass, map-side partial agg — N conditions cost no
+    more shuffles than one."""
+    exprs = []
+    for name, (pred, val) in conds.items():
+        if val is None:
+            exprs.append(F.count(F.when(pred, 1)).alias(name))
+        else:
+            exprs.append(
+                F.round(F.sum(F.when(pred, val).otherwise(F.lit(0.0))), 2).alias(name)
+            )
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def string_agg_sorted(
+    df: DataFrame, keys: Sequence[str], col: str, sep: str = ",", out: str = "agg_list"
+) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect,
+    sort IN-ROW, join.  Sorting the collected array (not the input)
+    makes the result deterministic regardless of partitioning — a
+    shuffle-order-dependent listagg is a flaky listagg."""
+    return df.groupBy(*keys).agg(
+        F.array_join(F.array_sort(F.collect_list(F.col(col))), sep).alias(out)
+    )
+
+
+def with_distribution_ranks(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str], n_tiles: int = 4
+) -> DataFrame:
+    """ntile / percent_rank / cume_dist window trio — the standard
+    distribution-position analytics.  Partitioned windows only (a
+    global ORDER BY window is a one-partition bottleneck at scale);
+    ``order_by`` must carry a unique tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumns(
+        {
+            "tile": F.ntile(n_tiles).over(w),
+            "pct_rank": F.round(F.percent_rank().over(w), 4),
+            "cume_dist": F.round(F.cume_dist().over(w), 4),
+        }
+    )
+
+
+def approx_aggregates(
+    df: DataFrame, keys: Sequence[str], col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Sketch-based aggregates for the 100 TB path: HyperLogLog++
+    distinct count (``rsd`` = target relative error) and t-digest-ish
+    approximate median/p90 (``approx_percentile``).  Both are one-pass
+    mergeable sketches — constant memory per partition vs the exact
+    versions' full shuffle-and-sort.  Approximate by construction, so
+    driver verification is tolerance-based (tests), not value-hash."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(F.col(col), rsd).alias("n_distinct_approx"),
+        F.approx_percentile(F.col(col), F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile(F.col(col), F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+    )

@@ -271,3 +271,37 @@ def top_k_per_group(
         .filter(F.col("_rn") <= k)
         .withColumnRenamed("_rn", "rank")
     )
+
+
+def full_outer_join(
+    left: DataFrame, right: DataFrame, on: Column, coalesce_keys: dict[str, tuple[str, str]] | None = None
+) -> DataFrame:
+    """FULL OUTER join — both unmatched sides survive with nulls.
+    ``coalesce_keys`` maps output name -> (left col, right col) to
+    produce one non-null key column per pair (the standard full-outer
+    idiom).  Shuffle-hash/sort-merge both sides: broadcast cannot
+    implement full-outer (extension; reference joins are left-only,
+    ``eggv/annotate.py:62-76``)."""
+    out = left.join(right, on, "full_outer")
+    for name, (lc, rc) in (coalesce_keys or {}).items():
+        out = out.withColumn(name, F.coalesce(left[lc], right[rc]))
+    return out
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Explicit Cartesian product.  Only sane when one side is tiny —
+    Spark plans BroadcastNestedLoopJoin when a side fits the
+    broadcast threshold, which is the only formulation that survives
+    scale (a shuffled cartesian of two big tables never finishes)."""
+    return left.crossJoin(right)
+
+
+def systematic_sample(
+    df: DataFrame, key: str, modulus: int, keep: int
+) -> DataFrame:
+    """Deterministic systematic sample: keep rows where
+    ``key % modulus < keep`` (≈ keep/modulus of the data).  Unlike
+    ``df.sample()`` this is reproducible across engines, runs, AND
+    partitionings — the property that matters for train/eval splits
+    — and it's a pushable scan predicate, not a separate operator."""
+    return df.filter(F.pmod(F.col(key), F.lit(modulus)) < keep)

@@ -144,6 +144,121 @@ def with_fingerprint(
     )
 
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Count of the most-frequent element of an array, as a pure
+    Column expression: sort, then a single ``aggregate`` pass tracking
+    (prev, run, best).  O(n log n) per row, no shuffle, no UDF — the
+    per-document repetition stats below stay embarrassingly parallel
+    at 100 TB (an explode+groupBy formulation would shuffle one row
+    PER TOKEN — billions of rows for no reason)."""
+    sorted_ = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_, init, step, lambda acc: acc["best"])
+
+
+def bigrams_col(tokens: Column) -> Column:
+    """Adjacent word-pair array ('a b c' -> ['a b', 'b c']); empty
+    for documents with fewer than two tokens."""
+    n = F.size(tokens)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1):
+    documents dominated by repeated words/phrases are low-quality
+    training data.  Emits, per document:
+
+    - ``dup_word_frac``  — 1 - distinct/total words (word repetition)
+    - ``max_word_share`` — share of the single most common word
+    - ``top_bigram_share`` — share of the most common adjacent pair
+
+    All pure Column expressions — scan-speed, shuffle-free (see
+    :func:`_max_multiplicity`).  Ratios rounded 4dp for cross-engine
+    comparison.  Extension family (reference is genomics-only); the
+    canonical use is ``filter(dup_word_frac < 0.8)`` pre-training.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    bigrams = bigrams_col(toks)
+    nb = F.size(bigrams)
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    bdenom = F.greatest(nb, F.lit(1)).cast("double")
+    return df.withColumns(
+        {
+            "n_words": n,
+            "dup_word_frac": F.round((n - nd).cast("double") / denom, 4),
+            "max_word_share": F.round(
+                _max_multiplicity(toks).cast("double") / denom, 4
+            ),
+            "top_bigram_share": F.round(
+                _max_multiplicity(bigrams).cast("double") / bdenom, 4
+            ),
+        }
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Training-set decontamination: drop every training document
+    sharing ANY word ``shingle_size``-gram with the evaluation set
+    (the standard n-gram-overlap protocol used for LLM train/test
+    hygiene).
+
+    Plan shape: eval shingles are exploded + distinct'd (small — eval
+    sets are orders of magnitude smaller than train), then the train
+    side is probed with a LEFT SEMI join to find contaminated ids and
+    a LEFT ANTI join removes them.  Spark broadcasts the eval-shingle
+    side automatically under AQE when it fits; at 100 TB train scale
+    the probe is a broadcast-hash existence filter — no train-side
+    shuffle at all.
+    """
+    from pyspark.sql.functions import broadcast
+
+    eval_shingles = (
+        eval_set.select(
+            F.explode(shingles_col(tokens_col(text_col), shingle_size)).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+    )
+    train_shingles = train.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(text_col), shingle_size)).alias("shingle"),
+    )
+    contaminated = (
+        train_shingles.join(broadcast(eval_shingles), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def shingles_col(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array.  Documents
     shorter than ``n`` tokens contribute their full token string as a
