@@ -585,10 +585,13 @@ def _mm_resize(spark, sf_dir):
     from eggv_spark.operators import multimodal as M
 
     resized = M.resize_images(M.synthesize_assets(_t(spark, sf_dir, "documents")))
+    # Hash the HEX of the resized buffer (not the raw bytes): the
+    # DuckDB oracle's md5 is VARCHAR-only, and hex round-trips the
+    # payload losslessly into string space on both engines.
     return resized.select(
         "asset_id", "width", "height",
         F.length("resized").cast("long").alias("n_bytes"),
-        F.md5("resized").alias("resized_hash"),
+        F.md5(F.hex("resized")).alias("resized_hash"),
     )
 
 
@@ -1095,7 +1098,7 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.7
 """
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(src: str = "SELECT * FROM documents") -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(D.SIMHASH_BITS)
@@ -1105,11 +1108,110 @@ def _simhash_oracle() -> str:
         for j in range(D.SIMHASH_BITS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM ({src})),
 tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
 h AS (SELECT doc_id, {_BASEHASH_SQL.format(x='token')} AS h FROM tok),
 bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _simhash_neardup_oracle() -> str:
+    """All-pairs Hamming join over the simhash fingerprints.  Valid
+    as an EXACT oracle because 4 bands x 8 bits with threshold 3 < 4
+    gives perfect recall (pigeonhole: <=3 differing bits cannot touch
+    all 4 bands), so the banded Spark plan's output equals the full
+    quadratic join the oracle can afford at sf0.01."""
+    return f"""
+WITH sim AS ({_simhash_oracle(_DUPDOCS_SQL)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+ CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _embedding_neardup_oracle() -> str:
+    """Exact replica of the sign-LSH bucket construction: the
+    hyperplanes are deterministic (md5 of 'plane-{p}-{d}' — same
+    formula as dedupe.embedding_neardup_pairs), so the bucket-join +
+    cosine-verify output is reproducible in SQL with the planes
+    embedded as literals.  dim=64 per TESTDATA.md embeddings."""
+    import hashlib
+
+    dim, n_planes = 64, 8
+    planes = [
+        [
+            float(
+                int(hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:8], 16)
+                % 2001
+                - 1000
+            )
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH src AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL
+             SELECT vec_id + 1000000 AS vec_id, embedding
+             FROM embeddings WHERE vec_id % 25 = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM src),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM v),
+scored AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+    round(list_dot_product(a.v, c.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
+def _ivf_topk_oracle() -> str:
+    """IVF is deterministic end-to-end (md5-derived centroid
+    literals, 6dp-rounded cosine argmax with a max-cell tiebreak —
+    mirror of similarity._best_cells' reverse(array_sort(struct))),
+    so the probe result is reproducible in SQL: assign every vector
+    to its best cell, probe each query's 4 best cells, exact top-5
+    within the probed subset."""
+    from eggv_spark.operators.similarity import _centroid_values
+
+    dim, n_centroids, n_probe, k = 64, 16, 4, 5
+    cent_rows = ", ".join(
+        f"({c}, [" + ", ".join(repr(w) for w in _centroid_values(c, dim)) + "])"
+        for c in range(n_centroids)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cellcos AS (SELECT vec_id, v, cell,
+    round(list_dot_product(v, cv)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+          6) AS ccos
+    FROM v CROSS JOIN cent),
+ranked_cells AS (SELECT vec_id, v, cell, row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crank
+    FROM cellcos),
+assign AS (SELECT vec_id AS neighbor_id, v AS c_vec, cell
+           FROM ranked_cells WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, v AS q_vec, cell
+           FROM ranked_cells WHERE vec_id % 50 = 0 AND crank <= {n_probe}),
+scored AS (SELECT query_id, neighbor_id,
+    round(list_dot_product(q_vec, c_vec)
+          / (sqrt(list_dot_product(q_vec, q_vec))
+             * sqrt(list_dot_product(c_vec, c_vec))), 4) AS cosine
+    FROM assign JOIN probes USING (cell)
+    WHERE neighbor_id <> query_id),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1717,8 +1819,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM r GROUP BY l_returnflag"
         ),
         "ddp_simhash": _simhash_oracle(),
+        "ddp_simhash_neardup": _simhash_neardup_oracle(),
+        "ddp_embedding_neardup": _embedding_neardup_oracle(),
         "ddp_ngram_jaccard": _ngram_jaccard_oracle(),
         "sim_cosine_topk": _cosine_topk_oracle(),
+        "sim_ivf_topk": _ivf_topk_oracle(),
         "mm_asset_stats": (
             "SELECT doc_id AS asset_id,"
             " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
@@ -1727,6 +1832,35 @@ def oracle_sql() -> dict[str, str]:
             # duckdb md5 is VARCHAR-only; hashes the same utf-8 bytes
             " md5(text) AS content_hash"
             " FROM documents"
+        ),
+        "mm_feature_extract": (
+            # feature[i] = md5-digest byte i / 255 (the deterministic
+            # stub decode) — reproduced from the hex digest.
+            "SELECT doc_id AS asset_id,"
+            " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
+            "  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+            " md5(text) AS content_hash,"
+            " round(list_sum(list_transform(generate_series(0, 7),"
+            "  i -> CAST(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS INT)"
+            "       / 255.0)), 4) AS feature_sum"
+            " FROM documents"
+        ),
+        "mm_video_frames": (
+            "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,"
+            " md5(text || '#' || i) AS frame_hash"
+            " FROM documents, range(0, 4) AS t(i)"
+            " WHERE doc_id % 3 = 2"
+        ),
+        "mm_resize": (
+            # resized buffer = md5(payload || '64x64') digest repeated
+            # to 64*64*3 bytes; hex(resized) = that digest's hex
+            # (uppercased) repeated 768 times.
+            "SELECT doc_id AS asset_id, CAST(64 AS INT) AS width,"
+            " CAST(64 AS INT) AS height,"
+            " CAST(12288 AS BIGINT) AS n_bytes,"
+            " md5(repeat(upper(md5(text || '64x64')), 768)) AS resized_hash"
+            " FROM documents WHERE doc_id % 3 = 0"
         ),
         "stream_tumbling_window": (
             # The streaming plan over all available input must equal
@@ -1845,9 +1979,7 @@ def oracle_sql() -> dict[str, str]:
             "  ORDER BY o_orderdate, o_orderkey"
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
         ),
-        # ddp_simhash_neardup / ddp_embedding_neardup / sim_ivf_topk /
-        # mm_feature_extract / mm_video_frames / agg_approx:
-        # LSH candidate generation, pandas-UDF decode plumbing, and
-        # approximate sketches — rows-only checks (tolerance asserted
-        # in tests/ instead).
+        # agg_approx is the single remaining rows-only check: HLL++
+        # and approx_percentile sketches are approximate by
+        # construction (tolerance vs exact asserted in tests/).
     }

@@ -176,8 +176,11 @@ def sample_video_frames(
                 for i in range(n_frames):
                     out["asset_id"].append(asset_id)
                     out["frame_idx"].append(i)
+                    # printable-ASCII frame salt (not a raw byte): keeps
+                    # the stub hash reproducible in engines whose hash
+                    # functions reject NUL bytes in strings
                     out["frame_hash"].append(
-                        hashlib.md5(payload + bytes([i])).hexdigest()
+                        hashlib.md5(payload + f"#{i}".encode()).hexdigest()
                     )
             yield pd.DataFrame(out)
 
