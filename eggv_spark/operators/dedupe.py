@@ -276,17 +276,27 @@ def simhash_neardup_pairs(
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
+def dot_col(x: Column, y: Column) -> Column:
+    """Dot product of two float-array columns, accumulated in double
+    (sequential fold — engine-portable summation order)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    """L2 norm.  Precompute this ONCE per row before any pair join —
+    evaluating cosine_col per pair costs three dot products per pair
+    instead of one."""
+    return F.sqrt(dot_col(a, a))
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity between two float-array columns, accumulated
     in double (sequential, engine-portable)."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
 def embedding_neardup_pairs(
@@ -343,8 +353,15 @@ def embedding_neardup_pairs(
     ]
     bucket = F.concat_ws("", *[b.cast("string") for b in sign_bits])
     # Persisted: the self-join consumes it twice — without this the
-    # n_planes dot products per row run once per join side.
-    bucketed = df.select(id_col, vec_col).withColumn("bucket", bucket).persist()
+    # n_planes dot products per row run once per join side.  The L2
+    # norm rides along so the pair verify is one dot product, not
+    # three (bit-identical value, just not recomputed per pair).
+    bucketed = (
+        df.select(id_col, vec_col)
+        .withColumn("bucket", bucket)
+        .withColumn("nrm", norm_col(F.col(vec_col)))
+        .persist()
+    )
 
     left, right = bucketed.alias("l"), bucketed.alias("r")
     cands = left.join(
@@ -356,8 +373,10 @@ def embedding_neardup_pairs(
         F.col(f"r.{id_col}").alias("id_b"),
         F.col(f"l.{vec_col}").alias("v_a"),
         F.col(f"r.{vec_col}").alias("v_b"),
+        F.col("l.nrm").alias("n_a"),
+        F.col("r.nrm").alias("n_b"),
     )
-    cos = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 4)
+    cos = F.round(dot_col(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
     return (
         cands.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

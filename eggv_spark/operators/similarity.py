@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from eggv_spark.operators.dedupe import base_hash, cosine_col
+from eggv_spark.operators.dedupe import base_hash, cosine_col, dot_col, norm_col
 
 
 def brute_force_topk(
@@ -39,15 +39,27 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+        ).withColumn("q_norm", norm_col(F.col("q_vec")))
     )
+    # Norms once per row BEFORE the pair join: the naive per-pair
+    # cosine evaluates three dot products; with |corpus| × |queries|
+    # pairs that's 3× the flops of precomputing each side's norm once
+    # (bit-identical arithmetic — sqrt(dot(v,v)) is the same value,
+    # just not recomputed per pair).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_norm", norm_col(F.col("c_vec")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -112,9 +124,15 @@ def ivf_index(
     """
     dim = dim or len(corpus.select(vec_col).first()[0])
     centroid_array = F.lit([_centroid_values(c, dim) for c in range(n_centroids)])
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell", F.get(_best_cells(F.col("c_vec"), centroid_array, 1), 0))
+    # c_norm is part of the index: computed once at build, reused by
+    # every query batch's cosine (1 dot per probed pair, not 3).
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("cell", F.get(_best_cells(F.col("c_vec"), centroid_array, 1), 0))
+        .withColumn("c_norm", norm_col(F.col("c_vec")))
+    )
 
 
 def ivf_query(
@@ -132,17 +150,28 @@ def ivf_query(
     corpus) via a broadcast equi-join on cell, then window top-k."""
     dim = dim or len(queries.select(vec_col).first()[0])
     centroid_array = F.lit([_centroid_values(c, dim) for c in range(n_centroids)])
+    if "c_norm" not in index.columns:  # index built before norms existed
+        index = index.withColumn("c_norm", norm_col(F.col("c_vec")))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        ).withColumn(
+        )
+        .withColumn("q_norm", norm_col(F.col("q_vec")))
+        .withColumn(
             "cell", F.explode(_best_cells(F.col("q_vec"), centroid_array, n_probe))
         )
     )
     scored = (
         index.join(q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

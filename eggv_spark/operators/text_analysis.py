@@ -171,15 +171,18 @@ def _max_multiplicity(arr: Column) -> Column:
 
 def bigrams_col(tokens: Column) -> Column:
     """Adjacent word-pair array ('a b c' -> ['a b', 'b c']); empty
-    for documents with fewer than two tokens."""
-    n = F.size(tokens)
-    return F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    for documents with fewer than two tokens.
+
+    Built as zip_with over two shifted slices — NOT a transform with
+    a per-index ``slice(tokens, i, 2)``, which re-evaluates the whole
+    ``tokens`` expression (a regex split) per ELEMENT: O(n²) splits
+    per row, measured 25× slower on the documents table."""
+    n1 = F.greatest(F.size(tokens) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(tokens, 1, n1),
+        F.slice(tokens, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
 
 
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -262,9 +265,21 @@ def decontaminate(
 def shingles_col(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array.  Documents
     shorter than ``n`` tokens contribute their full token string as a
-    single shingle (so no document has an empty shingle set)."""
+    single shingle (so no document has an empty shingle set).
+
+    Implemented as arrays_zip over ``n`` shifted slices (one
+    evaluation of ``tokens`` per slice per ROW).  The obvious
+    ``transform(sequence(...), i -> slice(tokens, i, n))`` form
+    re-evaluates ``tokens`` — a regex split — per ELEMENT: O(n²)
+    splits per row, measured 25× slower (see bigrams_col)."""
+    length = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(tokens, k, length) for k in range(1, n + 1)])
     ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
-    return F.array_distinct(ngrams)
+    # empty token array: one empty-string shingle (back-compat with
+    # the sequence formulation and the DuckDB oracle's
+    # generate_series(1, greatest(len-2, 1)))
+    return F.when(F.size(tokens) == 0, F.array(F.lit(""))).otherwise(
+        F.array_distinct(ngrams)
+    )
