@@ -34,7 +34,9 @@ from eggv_spark.operators import similarity as S
 from eggv_spark.operators import tableops as TO
 from eggv_spark.operators import text_analysis as T
 from eggv_spark.operators.events import (
+    funnel_counts,
     gapfill_hourly,
+    retention_cohorts,
     sessionize,
     sliding_window_counts,
     tumbling_window_counts,
@@ -702,6 +704,32 @@ def _ddp_decontaminate(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return T.decontaminate(train, eval_set).select(
         "doc_id", "source", "n_chars"
+    )
+
+
+def _txt_tfidf(spark, sf_dir):
+    return T.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _evt_funnel(spark, sf_dir):
+    return funnel_counts(_t(spark, sf_dir, "events"))
+
+
+def _evt_retention(spark, sf_dir):
+    r = retention_cohorts(_t(spark, sf_dir, "events"))
+    return r.select(
+        F.col("cohort_week").cast("long").alias("cohort_epoch"),
+        "week_offset",
+        "n_users",
+    )
+
+
+def _stream_dedupe(spark, sf_dir):
+    from eggv_spark.streaming import events_stream as ES
+
+    return ES.run_available_now(
+        ES.streaming_exact_dedupe(ES.read_events_stream(spark, sf_dir)),
+        output_mode="append",
     )
 
 
@@ -1387,6 +1415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_ntile_rank": _win_ntile_rank,
         "win_first_last": _win_first_last,
         "agg_approx": _agg_approx,
+        "txt_tfidf": _txt_tfidf,
+        "evt_funnel": _evt_funnel,
+        "evt_retention": _evt_retention,
+        "stream_dedupe": _stream_dedupe,
     }
 
 
@@ -1978,6 +2010,51 @@ def oracle_sql() -> dict[str, str]:
             " WINDOW w AS (PARTITION BY o_custkey"
             "  ORDER BY o_orderdate, o_orderkey"
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "txt_tfidf": (
+            "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t FROM documents),"
+            " tf AS (SELECT doc_id, unnest(t) AS term FROM toks),"
+            " tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),"
+            " dfreq AS (SELECT term, count(*) AS ndt FROM tfc GROUP BY 1),"
+            " n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),"
+            " scored AS (SELECT doc_id, term, tf,"
+            "  round(tf * (ln((n_docs + 1) / CAST(ndt + 1 AS DOUBLE)) + 1), 4)"
+            "   AS tfidf"
+            "  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),"
+            " ranked AS (SELECT doc_id, term, tf, tfidf,"
+            "  CAST(row_number() OVER (PARTITION BY doc_id"
+            "   ORDER BY tfidf DESC, term ASC) AS INT) AS rank FROM scored)"
+            " SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3"
+        ),
+        "evt_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events"
+            "  WHERE event_type = 'view' GROUP BY 1),"
+            " s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e"
+            "  JOIN s1 ON e.user_id = s1.user_id"
+            "  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),"
+            " s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e"
+            "  JOIN s2 ON e.user_id = s2.user_id"
+            "  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)"
+            " SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,"
+            "  (SELECT count(*) FROM s1) AS n_users"
+            " UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)"
+            " UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3)"
+        ),
+        "evt_retention": (
+            "WITH first AS (SELECT user_id,"
+            "  date_trunc('week', min(ts)) AS cohort_week"
+            "  FROM events GROUP BY 1),"
+            " activity AS (SELECT DISTINCT user_id,"
+            "  date_trunc('week', ts) AS active_week FROM events)"
+            " SELECT CAST(floor(epoch(cohort_week)) AS BIGINT) AS cohort_epoch,"
+            "  CAST(datediff('day', cohort_week, active_week) // 7 AS INT)"
+            "   AS week_offset,"
+            "  count(DISTINCT user_id) AS n_users"
+            " FROM activity JOIN first USING (user_id)"
+            " GROUP BY cohort_week, week_offset"
+        ),
+        "stream_dedupe": (
+            "SELECT DISTINCT user_id, event_type FROM events"
         ),
         # agg_approx is the single remaining rows-only check: HLL++
         # and approx_percentile sketches are approximate by

@@ -141,3 +141,83 @@ def session_stats(df: DataFrame, user_col: str = "user_id") -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: how many users reached each step, where step
+    k counts only users whose earliest step-k event is strictly
+    after their qualifying step-(k-1) time.
+
+    Plan shape: one filtered min-aggregate per step (map-side
+    partial), chained by per-user equi-joins — each join's both
+    sides are already user-aggregated (one row per user), so at
+    1000-executor scale every stage after the first scans user-sized
+    data, not event-sized.  Extension family (reference has no event
+    analytics).
+    """
+    e = df.select(user_col, type_col, ts_col)
+    reached = (
+        e.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_prev"))
+    )
+    out = [(steps[0], reached)]
+    for step in steps[1:]:
+        nxt = (
+            e.filter(F.col(type_col) == step)
+            .join(reached.select(user_col, "t_prev"), user_col)
+            .filter(F.col(ts_col) > F.col("t_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t_prev"))
+        )
+        out.append((step, nxt))
+        reached = nxt
+    counts = [
+        d.agg(
+            F.lit(i).alias("step_idx"),
+            F.lit(name).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+        for i, (name, d) in enumerate(out)
+    ]
+    result = counts[0]
+    for c in counts[1:]:
+        result = result.unionByName(c)
+    return result
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity
+    week (cohort), counted per subsequent active week offset.
+
+    Two shuffles total: the per-user first-event min, and the final
+    (cohort, offset) count-distinct; the activity projection is
+    distinct'd per (user, week) first so the heavy event table
+    collapses before the join (at 100 TB the distinct is the
+    map-side combine that makes the join input user×weeks, not
+    events)."""
+    first = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    activity = df.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("active_week")
+    ).distinct()
+    joined = activity.join(first, user_col)
+    return (
+        joined.withColumn(
+            "week_offset",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -10,7 +10,7 @@ ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Small fixed stopword list used by quality scoring (order matters
@@ -282,4 +282,52 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
     # generate_series(1, greatest(len-2, 1)))
     return F.when(F.size(tokens) == 0, F.array(F.lit(""))).otherwise(
         F.array_distinct(ngrams)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf:
+    ``ln((N+1)/(df+1)) + 1``).
+
+    Plan shape: explode -> (doc, term) counts [one shuffle] ->
+    document frequencies [aggregated FROM the tf table, so the raw
+    token stream shuffles once, not twice] -> broadcast df + N back
+    onto tf -> window top-k per doc.  The df table is vocabulary-
+    sized (small), hence broadcast; N is a 1-row broadcast
+    cross-join so the whole computation stays in-plan (no driver
+    count collected into a literal)."""
+    terms = df.select(id_col, F.explode(tokens_col(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs_with_term"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1)
+                        / (F.col("n_docs_with_term") + 1)
+                    )
+                    + 1
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
     )

@@ -141,3 +141,13 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         for field in schema
         if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
     ]
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan (extension source format): columnar like parquet —
+    predicate pushdown, column pruning, and stripe-level skipping all
+    apply; schema optional since ORC files embed one."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

