@@ -733,6 +733,32 @@ def _stream_dedupe(spark, sf_dir):
     )
 
 
+def _txt_unigram_lm(spark, sf_dir):
+    return T.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _txt_quality_filter(spark, sf_dir):
+    out = T.quality_filter(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", "dup_word_frac", "stopword_ratio", "keep"
+    )
+
+
+def _stream_view_click(spark, sf_dir):
+    from eggv_spark.streaming import events_stream as ES
+
+    views = ES.read_events_stream(spark, sf_dir).filter("event_type = 'view'")
+    clicks = ES.read_events_stream(spark, sf_dir).filter("event_type = 'click'")
+    out = ES.run_available_now(
+        ES.streaming_view_click_join(views, clicks), output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        F.col("view_ts").cast("long").alias("view_epoch"),
+        F.col("click_ts").cast("long").alias("click_epoch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational completeness: outer/cross joins, subqueries, samples
 # ---------------------------------------------------------------------------
@@ -1419,6 +1445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_funnel": _evt_funnel,
         "evt_retention": _evt_retention,
         "stream_dedupe": _stream_dedupe,
+        "txt_unigram_lm": _txt_unigram_lm,
+        "txt_quality_filter": _txt_quality_filter,
+        "stream_view_click_join": _stream_view_click,
     }
 
 
@@ -2055,6 +2084,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_dedupe": (
             "SELECT DISTINCT user_id, event_type FROM events"
+        ),
+        "txt_unigram_lm": (
+            "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t FROM documents),"
+            " t AS (SELECT doc_id, unnest(t) AS term FROM toks),"
+            " counts AS (SELECT term, count(*) AS n_term FROM t GROUP BY 1),"
+            " total AS (SELECT sum(n_term) AS n_total FROM counts)"
+            " SELECT doc_id, count(*) AS n_tokens,"
+            " round(avg(ln(n_term / CAST(n_total AS DOUBLE))), 4) AS avg_logprob"
+            " FROM t JOIN counts USING (term) CROSS JOIN total"
+            " GROUP BY doc_id"
+        ),
+        "txt_quality_filter": (
+            "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t FROM documents),"
+            " w AS (SELECT doc_id, len(t) AS n, unnest(t) AS word FROM toks),"
+            " wc AS (SELECT doc_id, any_value(n) AS n, word, count(*) AS c"
+            "  FROM w GROUP BY doc_id, word),"
+            " wagg AS (SELECT doc_id, any_value(n) AS n, count(*) AS nd"
+            "  FROM wc GROUP BY doc_id),"
+            " stop AS (SELECT doc_id,"
+            "  len(list_filter(t, x -> list_contains("
+            "   ['the','a','of','and','to','in','is','on','for','with'], x)))"
+            "   AS n_stop, len(t) AS n FROM toks),"
+            " j AS (SELECT w.doc_id, CAST(w.n AS INT) AS n_tokens,"
+            "  round((w.n - w.nd) / CAST(greatest(w.n, 1) AS DOUBLE), 4)"
+            "   AS dup_word_frac,"
+            "  round(s.n_stop / CAST(greatest(s.n, 1) AS DOUBLE), 4)"
+            "   AS stopword_ratio"
+            "  FROM wagg w JOIN stop s ON w.doc_id = s.doc_id)"
+            " SELECT doc_id, n_tokens, dup_word_frac, stopword_ratio,"
+            " (dup_word_frac <= 0.75 AND n_tokens >= 10"
+            "  AND stopword_ratio >= 0.0) AS keep FROM j"
+        ),
+        "stream_view_click_join": (
+            "SELECT v.user_id,"
+            " CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,"
+            " CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch"
+            " FROM events v JOIN events c ON v.user_id = c.user_id"
+            " AND v.event_type = 'view' AND c.event_type = 'click'"
+            " AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE"
         ),
         # agg_approx is the single remaining rows-only check: HLL++
         # and approx_percentile sketches are approximate by

@@ -331,3 +331,49 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram language-model scoring: estimate p(w) from the
+    corpus itself, score each document by its mean token ln p(w) — a
+    perplexity proxy that flags out-of-distribution documents (the
+    cheap first-pass LM quality signal in training-data pipelines).
+
+    Plan: one explode+count to the vocabulary table (small —
+    broadcast), a 1-row total, then mean log-prob per doc.  Token
+    stream shuffles once."""
+    terms = df.select(id_col, F.explode(tokens_col(text_col)).alias("term"))
+    counts = terms.groupBy("term").agg(F.count("*").alias("n_term"))
+    total = counts.agg(F.sum("n_term").alias("n_total"))
+    scored = (
+        terms.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("n_term") / F.col("n_total")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.75,
+    min_tokens: int = 10,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Composite pre-training quality gate: repetition + length +
+    stopword signals computed in ONE pass (the individual with_*
+    operators compose into a single Project — no extra scans), plus
+    a ``keep`` flag.  Filter-style consumers do
+    ``quality_filter(df).filter('keep')``."""
+    scored = with_repetition_stats(with_quality_score(df, text_col), text_col)
+    keep = (
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    return scored.withColumn("keep", keep)

@@ -214,3 +214,36 @@ def streaming_exact_dedupe(
         .dropDuplicates(list(keys))
         .select(*keys)
     )
+
+
+def streaming_view_click_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's views at most ``within`` before it.  Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    Spark can expire buffered state — the two requirements that make
+    an unbounded stream-stream join feasible (without them state
+    grows forever)."""
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        ).withWatermark("view_ts", watermark)
+    )
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        ).withWatermark("click_ts", watermark)
+    )
+    return v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND click_ts > view_ts "
+            f"AND click_ts <= view_ts + interval {within}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_ts", "click_ts"
+    )

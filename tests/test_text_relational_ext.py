@@ -233,3 +233,61 @@ def test_streaming_dedupe_matches_batch_distinct(spark):
     )
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from eggv_spark.operators.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], ["doc_id", "text"]
+    )
+    # corpus: a×2, b×2, total 4 -> p(a)=p(b)=0.5
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == round(math.log(0.5), 4)
+    assert rows[2]["avg_logprob"] == round(math.log(0.5), 4)
+
+
+def test_quality_filter_keep_flag(spark):
+    from eggv_spark.operators.text_analysis import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    spammy = "buy buy buy buy buy buy buy buy buy buy buy buy"
+    df = spark.createDataFrame(
+        [(1, good), (2, spammy), (3, "too short")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["keep"] for r in quality_filter(df).collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from eggv_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_view_click_join,
+    )
+
+    views = read_events_stream(spark, SF_DIR).filter("event_type = 'view'")
+    clicks = read_events_stream(spark, SF_DIR).filter("event_type = 'click'")
+    out = run_available_now(
+        streaming_view_click_join(views, clicks), output_mode="append"
+    ).select("user_id", "view_ts", "click_ts")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    v = e.filter("event_type = 'view'").select("user_id", F.col("ts").alias("view_ts"))
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    batch = v.join(
+        c,
+        (v["user_id"] == c["c_user"])
+        & (c["click_ts"] > v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr("interval 10 minutes")),
+    ).select("user_id", "view_ts", "click_ts")
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
