@@ -733,6 +733,19 @@ def _stream_dedupe(spark, sf_dir):
     )
 
 
+def _agg_stats_moments(spark, sf_dir):
+    return AG.stats_agg(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_quantity", "l_extendedprice",
+    )
+
+
+def _agg_histogram(spark, sf_dir):
+    return AG.histogram_fixed(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 3_000_000
+    )
+
+
 def _txt_unigram_lm(spark, sf_dir):
     return T.unigram_logprob(_t(spark, sf_dir, "documents"))
 
@@ -1448,6 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_lm": _txt_unigram_lm,
         "txt_quality_filter": _txt_quality_filter,
         "stream_view_click_join": _stream_view_click,
+        "agg_stats_moments": _agg_stats_moments,
+        "agg_histogram": _agg_histogram,
     }
 
 
@@ -2115,6 +2130,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, n_tokens, dup_word_frac, stopword_ratio,"
             " (dup_word_frac <= 0.75 AND n_tokens >= 10"
             "  AND stopword_ratio >= 0.0) AS keep FROM j"
+        ),
+        "agg_stats_moments": (
+            "SELECT l_returnflag,"
+            " round(stddev_samp(l_quantity), 4) AS x_stddev,"
+            " round(var_samp(l_quantity), 4) AS x_var,"
+            " round(corr(l_quantity, l_extendedprice), 4) AS xy_corr,"
+            " round(covar_samp(l_quantity, l_extendedprice), 4) AS xy_covar,"
+            " round(skewness(l_quantity), 4) AS x_skew"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "agg_histogram": (
+            "SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 3000000"
+            "  AS bucket, count(*) AS n_rows"
+            " FROM orders GROUP BY 1"
         ),
         "stream_view_click_join": (
             "SELECT v.user_id,"

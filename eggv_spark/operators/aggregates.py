@@ -248,3 +248,41 @@ def approx_aggregates(
         F.approx_percentile(F.col(col), F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile(F.col(col), F.lit(0.9), F.lit(10000)).alias("p90_approx"),
     )
+
+
+def stats_agg(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
+    """Statistical aggregate family: sample stddev/variance of ``x``,
+    Pearson correlation and sample covariance of (``x``, ``y``), and
+    skewness of ``x``.  All single-pass mergeable moment sketches
+    (Welford-style) — map-side partial agg, one shuffle, constant
+    memory per partition at any scale.  Rounded 4dp: the moment
+    update order differs between engines at the last ulp."""
+    return df.groupBy(*keys).agg(
+        F.round(F.stddev_samp(x), 4).alias("x_stddev"),
+        F.round(F.var_samp(x), 4).alias("x_var"),
+        F.round(F.corr(x, y), 4).alias("xy_corr"),
+        F.round(F.covar_samp(x, y), 4).alias("xy_covar"),
+        F.round(F.skewness(x), 4).alias("x_skew"),
+    )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    col: str,
+    bucket_width_cents: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram of a 2-decimal currency column.  The
+    value is converted to exact integer cents BEFORE bucketing so the
+    bucket edge arithmetic is integer — a float ``floor(x / w)``
+    puts edge values in different buckets across engines (last-ulp
+    division differences), which would poison any cross-engine
+    comparison AND any re-run comparison after a partitioning change.
+    """
+    cents = F.round(F.col(col) * 100).cast("long")
+    return (
+        df.withColumn("_cents", cents)
+        .withColumn("bucket", F.expr(f"_cents div {bucket_width_cents}"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("n_rows"))
+    )

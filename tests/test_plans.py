@@ -112,3 +112,53 @@ def test_relational_chain_stays_in_codegen(spark):
     assert "*(1) HashAggregate" in plan and "partial_sum" in plan
     assert "*(1) Filter" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    from eggv_spark.operators.text_analysis import decontaminate
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(
+        decontaminate(
+            docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0")
+        )
+    )
+    # Both the contamination probe (semi) and the removal (anti) must
+    # be broadcast existence filters — the train side never shuffles.
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_joins_are_broadcast(spark):
+    from eggv_spark.operators.text_analysis import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(read_table(spark, SF_DIR, "documents")))
+    # vocabulary-side df table and the 1-row N both broadcast; the
+    # token stream itself shuffles exactly twice (tf agg + window).
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_aggregates_are_partial(spark):
+    from eggv_spark.operators.events import funnel_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    plan = _plan(funnel_counts(events))
+    # every min-per-user agg does map-side partial_min first
+    assert "partial_min" in plan
+
+
+def test_systematic_sample_predicate_reaches_scan(spark):
+    from eggv_spark.operators.relational import systematic_sample
+
+    plan = _plan(
+        systematic_sample(read_table(spark, SF_DIR, "lineitem"), "l_orderkey", 100, 5)
+    )
+    # pmod isn't a parquet-pushable predicate, but it must sit in the
+    # scan-adjacent Filter inside WholeStageCodegen (no extra stage).
+    assert "Filter" in plan and "Exchange" not in plan
