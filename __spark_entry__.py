@@ -746,6 +746,51 @@ def _agg_histogram(spark, sf_dir):
     )
 
 
+def _agg_argminmax(spark, sf_dir):
+    """min_by/max_by (argmin/argmax) aggregates — per nation, the
+    customer holding the min/max account balance.  Tie-safe: acctbal
+    ties broken by keying on (acctbal, custkey) struct order."""
+    c = _t(spark, sf_dir, "customer")
+    key_min = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    key_max = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("neg"))
+    return c.groupBy("c_nationkey").agg(
+        F.min_by("c_custkey", key_min).alias("poorest_cust"),
+        F.max_by("c_custkey", key_max).alias("richest_cust"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def _exp_posexplode(spark, sf_dir):
+    """posexplode: row expansion WITH the element ordinal (the
+    reference's explode loses position; ordinals matter for
+    order-sensitive downstreams like frame indices)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
+
+
+def _join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=>): null keys MATCH each other
+    instead of silently dropping — the semantics dimension tables
+    with unknown-member rows need."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 100 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 100 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+        "c_name",
+    )
+    return o.join(c, o["k"].eqNullSafe(c["k"])).select("o_orderkey", "c_name")
+
+
 def _txt_unigram_lm(spark, sf_dir):
     return T.unigram_logprob(_t(spark, sf_dir, "documents"))
 
@@ -1463,6 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_view_click_join": _stream_view_click,
         "agg_stats_moments": _agg_stats_moments,
         "agg_histogram": _agg_histogram,
+        "agg_argminmax": _agg_argminmax,
+        "exp_posexplode": _exp_posexplode,
+        "join_null_safe": _join_null_safe,
     }
 
 
@@ -2130,6 +2178,35 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, n_tokens, dup_word_frac, stopword_ratio,"
             " (dup_word_frac <= 0.75 AND n_tokens >= 10"
             "  AND stopword_ratio >= 0.0) AS keep FROM j"
+        ),
+        "agg_argminmax": (
+            "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,"
+            "  row_number() OVER (PARTITION BY c_nationkey"
+            "   ORDER BY c_acctbal ASC, c_custkey ASC) AS rn_min,"
+            "  row_number() OVER (PARTITION BY c_nationkey"
+            "   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn_max"
+            "  FROM customer)"
+            " SELECT c_nationkey,"
+            " max(CASE WHEN rn_min = 1 THEN c_custkey END) AS poorest_cust,"
+            " max(CASE WHEN rn_max = 1 THEN c_custkey END) AS richest_cust,"
+            " round(min(c_acctbal), 2) AS min_bal,"
+            " round(max(c_acctbal), 2) AS max_bal"
+            " FROM r GROUP BY c_nationkey"
+        ),
+        "exp_posexplode": (
+            "WITH s AS (SELECT p_partkey, string_split(p_name, ' ') AS w"
+            "  FROM part)"
+            " SELECT p_partkey, CAST(i - 1 AS INT) AS pos, w[i] AS word"
+            " FROM s, unnest(generate_series(1, len(w))) AS t(i)"
+        ),
+        "join_null_safe": (
+            "WITH o AS (SELECT o_orderkey,"
+            "  CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE o_custkey END AS k"
+            "  FROM orders),"
+            " c AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL"
+            "  ELSE c_custkey END AS k, c_name FROM customer)"
+            " SELECT o_orderkey, c_name FROM o JOIN c"
+            " ON o.k IS NOT DISTINCT FROM c.k"
         ),
         "agg_stats_moments": (
             "SELECT l_returnflag,"
