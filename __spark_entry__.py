@@ -746,6 +746,33 @@ def _agg_histogram(spark, sf_dir):
     )
 
 
+def _win_range_frame(spark, sf_dir):
+    """RANGE-frame window (value-range, not row-count): per user, the
+    count and value-sum of events in the trailing hour BEFORE each
+    event.  ROWS frames can't express this — the frame width varies
+    with event density.  Ordered on epoch seconds (integer) so both
+    engines bound the frame identically."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "epoch", F.col("ts").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    # windowed float SUMs drift an ulp between engines (DuckDB's
+    # segment-tree accumulation) — sum exact 1e-4 units instead
+    units = F.round(F.col("value") * 10000).cast("long")
+    return e.withColumn("units", units).select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        (F.sum("units").over(w) / 10000.0).alias("sum_trailing_hour"),
+    )
+
+
 def _agg_argminmax(spark, sf_dir):
     """min_by/max_by (argmin/argmax) aggregates — per nation, the
     customer holding the min/max account balance.  Tie-safe: acctbal
@@ -1511,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_argminmax": _agg_argminmax,
         "exp_posexplode": _exp_posexplode,
         "join_null_safe": _join_null_safe,
+        "win_range_frame": _win_range_frame,
     }
 
 
@@ -2178,6 +2206,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, n_tokens, dup_word_frac, stopword_ratio,"
             " (dup_word_frac <= 0.75 AND n_tokens >= 10"
             "  AND stopword_ratio >= 0.0) AS keep FROM j"
+        ),
+        "win_range_frame": (
+            "WITH e AS (SELECT event_id, user_id,"
+            "  CAST(round(value * 10000) AS BIGINT) AS units,"
+            "  CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events)"
+            " SELECT event_id, user_id,"
+            " count(*) OVER w AS n_trailing_hour,"
+            " sum(units) OVER w / 10000.0 AS sum_trailing_hour"
+            " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch"
+            "  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
         ),
         "agg_argminmax": (
             "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,"
