@@ -422,7 +422,7 @@ def connected_components(
         .persist()
     )
 
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -438,6 +438,12 @@ def connected_components(
             )
             .persist()
         )
+        # persist caches DATA but the logical plan still nests one
+        # level per round; truncate lineage periodically so planning
+        # cost stays flat and a late-stage executor loss doesn't
+        # recompute the whole iteration chain.
+        if i % 3 == 2:
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
