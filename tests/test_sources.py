@@ -108,3 +108,43 @@ def test_single_file_tsv_export(spark, tmp_path):
     # NA null encoding round-trips to null on read.
     back = read_processed_tsv(spark, path, VARIANT_EFFECTS_SCHEMA)
     assert {r.rsid: r.effect for r in back.collect()} == {1: "a", 2: None}
+
+
+def test_custom_gvf_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource API: per-file-partitioned GVF
+    connector returns typed rows, skips directives, and fails loudly
+    on malformed files."""
+    from eggv_spark.sources import gvf_datasource
+
+    gvf_datasource.register(spark)
+    for name in ("chr1.gvf", "chr2.gvf"):
+        (tmp_path / name).write_text(
+            "##gvf-version 1.07\n"
+            "7\tdbSNP\tSNV\t100\t101\t.\t+\t.\tID=1;Dbxref=dbSNP_151:rs1\n"
+        )
+    df = spark.read.format("eggv_gvf").load(str(tmp_path / "*.gvf"))
+    assert df.count() == 2
+    assert df.schema["start"].dataType.typeName() == "long"
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 2
+    row = df.orderBy("seqid").first()
+    assert (row["seqid"], row["start"], row["end"]) == ("7", 100, 101)
+
+
+def test_udtf_explode_effects(spark):
+    from eggv_spark.functions.scalars import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "ID=x;Variant_effect=missense_variant 0 mRNA NM_1,intron_variant 1 mRNA NM_2;Other=y")],
+        ["rsid", "attr"],
+    )
+    df.createOrReplaceTempView("v_udtf_attrs")
+    out = spark.sql(
+        "SELECT rsid, e.effect, e.idx, e.transcript"
+        " FROM v_udtf_attrs, LATERAL explode_effects(attr) e"
+    ).collect()
+    assert [(r["effect"], r["idx"], r["transcript"]) for r in out] == [
+        ("missense_variant", 0, "NM_1"),
+        ("intron_variant", 1, "NM_2"),
+    ]
