@@ -87,3 +87,67 @@ def key_distribution(
     return top.withColumn(
         "share", F.round(F.col("n_rows") / F.lit(float(total)), 4)
     )
+
+
+def compact_files(
+    spark, path: str, target_file_mb: int = 128, fmt: str = "parquet"
+) -> int:
+    """Small-file compaction: rewrite a table directory into files of
+    ~``target_file_mb`` each.  The small-files problem is the classic
+    silent killer at scale — a 100 TB table written by 10k tasks ×
+    1k partitions drowns the driver in file listings and the scan in
+    per-file open costs.  Returns the new file count.
+
+    Sizing is measured (input bytes), not guessed; AQE coalescing
+    handles the write-side partition merge."""
+    import math
+
+    df = spark.read.format(fmt).load(path)
+    n_bytes = _dir_bytes(path)
+    n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    # atomic-ish swap (same filesystem rename)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def incremental_append(
+    src: DataFrame, sink_path: str, watermark_col: str, fmt: str = "parquet"
+) -> int:
+    """High-water-mark incremental ingestion: append only src rows
+    with ``watermark_col`` strictly above the sink's current max —
+    the idempotent pull pattern for periodic batch ingestion (re-runs
+    ingest nothing; late data below the mark needs the streaming
+    path's watermark semantics instead).  Returns rows appended.
+
+    The high-water-mark read is a single max() over the sink's
+    watermark column — a column-pruned, stats-answerable scan."""
+    spark = src.sparkSession
+    try:
+        current = (
+            spark.read.format(fmt).load(sink_path).agg(
+                F.max(watermark_col)
+            ).first()[0]
+        )
+    except Exception:
+        current = None
+    fresh = src if current is None else src.filter(F.col(watermark_col) > current)
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").format(fmt).save(sink_path)
+    return n

@@ -45,3 +45,65 @@ def test_key_distribution(spark):
     rows = TO.key_distribution(df, ["k"], top_n=2).collect()
     assert (rows[0].k, rows[0].n_rows, rows[0].share) == (1, 8, 0.8)
     assert (rows[1].k, rows[1].n_rows, rows[1].share) == (2, 2, 0.2)
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from eggv_spark.operators.tableops import compact_files
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob as g
+
+    assert len(g.glob(path + "/*.parquet")) == 64
+    n = compact_files(spark, path, target_file_mb=128)
+    assert n == 1
+    assert len(g.glob(path + "/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
+
+
+def test_incremental_append_is_idempotent(spark, tmp_path):
+    from eggv_spark.operators.tableops import incremental_append
+
+    sink = str(tmp_path / "sink")
+    batch1 = spark.createDataFrame([(1, 10), (2, 20)], ["id", "wm"])
+    assert incremental_append(batch1, sink, "wm") == 2
+    # re-run same batch: nothing new
+    assert incremental_append(batch1, sink, "wm") == 0
+    # overlapping batch: only the strictly-newer row lands
+    batch2 = spark.createDataFrame([(2, 20), (3, 30)], ["id", "wm"])
+    assert incremental_append(batch2, sink, "wm") == 1
+    assert spark.read.parquet(sink).count() == 3
+
+
+def test_clustered_write_narrows_row_groups(spark, tmp_path):
+    from eggv_spark.sources.writers import write_clustered_parquet
+
+    path = str(tmp_path / "clustered")
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_clustered_parquet(df, path, ("o_custkey",), n_files=4)
+    # each output file covers a disjoint-ish custkey range: the max
+    # spread per file must be far below the global spread
+    import pyarrow.parquet as pq
+    import glob as g
+
+    spans = []
+    for f in g.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_custkey"
+            )
+            spans.append((col.statistics.min, col.statistics.max))
+    # range-partitioned + sorted: row-group key ranges must be
+    # pairwise disjoint, so a filter on o_custkey prunes all but one
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+    total_span = spans[-1][1] - spans[0][0]
+    mean_span = sum(hi - lo for lo, hi in spans) / len(spans)
+    assert mean_span < total_span / 2
