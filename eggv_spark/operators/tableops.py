@@ -151,3 +151,55 @@ def incremental_append(
     if n:
         fresh.write.mode("append").format(fmt).save(sink_path)
     return n
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    effective_col: str = "effective_ts",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply an update batch to a
+    versioned dimension, closing changed rows and opening new ones.
+
+    ``dim`` carries (key, attrs..., valid_from, valid_to) with open
+    rows having ``valid_to IS NULL``; ``updates`` carries (key,
+    attrs..., effective_ts).  Changed keys get their open row closed
+    at the update's effective time and a new open row appended;
+    unchanged and unmatched rows pass through untouched.  Pure
+    DataFrame transform (no table-format dependency): one broadcast-
+    able join against the update batch — the dimension side streams,
+    which is what makes SCD2 viable on a billion-row dimension.
+    """
+    upd = updates.select(
+        F.col(key).alias("_k"),
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+        F.col(effective_col).alias("_eff"),
+    )
+    joined = dim.join(F.broadcast(upd), dim[key] == F.col("_k"), "left")
+    change = F.col("_k").isNotNull() & F.col("valid_to").isNull() & (
+        ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"_new_{a}").alias(a) for a in attrs])
+        )
+    )
+    # existing rows: close the open row of changed keys
+    kept = joined.select(
+        key,
+        *attrs,
+        "valid_from",
+        F.when(change, F.col("_eff")).otherwise(F.col("valid_to")).alias("valid_to"),
+        change.alias("_changed"),
+    )
+    # new open versions for changed keys
+    opened = (
+        kept.filter("_changed")
+        .join(upd, kept[key] == upd["_k"])
+        .select(
+            key,
+            *[F.col(f"_new_{a}").alias(a) for a in attrs],
+            F.col("_eff").alias("valid_from"),
+            F.lit(None).cast(kept.schema["valid_to"].dataType).alias("valid_to"),
+        )
+    )
+    return kept.drop("_changed").unionByName(opened)

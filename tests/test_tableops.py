@@ -107,3 +107,28 @@ def test_clustered_write_narrows_row_groups(spark, tmp_path):
     total_span = spans[-1][1] - spans[0][0]
     mean_span = sum(hi - lo for lo, hi in spans) / len(spans)
     assert mean_span < total_span / 2
+
+
+def test_scd2_merge_versions_changed_keys(spark):
+    from eggv_spark.operators.tableops import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "alice", "NY", 100, None),   # open, will change
+            (2, "bob", "SF", 100, None),     # open, unchanged
+            (1, "alice", "LA", 50, 100),     # already-closed history
+        ],
+        ["id", "name", "city", "valid_from", "valid_to"],
+    )
+    updates = spark.createDataFrame(
+        [(1, "alice", "CHI", 200), (3, "carol", "DEN", 200)],
+        ["id", "name", "city", "effective_ts"],
+    )
+    out = scd2_merge(dim, updates, "id", ["name", "city"]).collect()
+    rows = {(r["id"], r["city"]): (r["valid_from"], r["valid_to"]) for r in out}
+    assert rows[(1, "NY")] == (100, 200)    # closed at update time
+    assert rows[(1, "CHI")] == (200, None)  # new open version
+    assert rows[(1, "LA")] == (50, 100)     # history untouched
+    assert rows[(2, "SF")] == (100, None)   # unchanged passes through
+    assert (3, "DEN") not in rows           # unmatched update keys are
+    assert len(rows) == 4                   # not inserted (merge, not upsert)
