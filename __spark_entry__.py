@@ -1271,43 +1271,37 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def _embedding_neardup_oracle() -> str:
-    """Exact replica of the sign-LSH bucket construction: the
-    hyperplanes are deterministic (md5 of 'plane-{p}-{d}' — same
-    formula as dedupe.embedding_neardup_pairs), so the bucket-join +
-    cosine-verify output is reproducible in SQL with the planes
-    embedded as literals.  dim=64 per TESTDATA.md embeddings."""
-    import hashlib
+    """Exact replica of the BANDED sign-LSH construction (4 tables x
+    8 planes, OR over tables): hyperplanes are deterministic (md5 of
+    'plane-{t}-{p}-{d}' — dedupe.signlsh_plane), so the candidate
+    union + cosine-verify output is reproducible in SQL with the
+    planes embedded as literals.  dim=64 per TESTDATA.md embeddings."""
+    from eggv_spark.operators.dedupe import signlsh_plane
 
-    dim, n_planes = 64, 8
-    planes = [
-        [
-            float(
-                int(hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:8], 16)
-                % 2001
-                - 1000
-            )
-            for d in range(dim)
-        ]
-        for p in range(n_planes)
-    ]
-    bucket = " || ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(w) for w in plane)
-        + "]) >= 0 THEN '1' ELSE '0' END)"
-        for plane in planes
-    )
+    dim, n_planes, n_tables = 64, 8, 4
+    buckets = []
+    for t in range(n_tables):
+        bucket = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(w) for w in signlsh_plane(t, p, dim))
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"{bucket} AS bucket{t}")
+    bucket_cols = ", ".join(buckets)
+    any_table = " OR ".join(f"a.bucket{t} = c.bucket{t}" for t in range(n_tables))
     return f"""
 WITH src AS (SELECT vec_id, embedding FROM embeddings
              UNION ALL
              SELECT vec_id + 1000000 AS vec_id, embedding
              FROM embeddings WHERE vec_id % 25 = 0),
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM src),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM v),
+b AS (SELECT vec_id, v, {bucket_cols} FROM v),
 scored AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
     round(list_dot_product(a.v, c.v)
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_table}))
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
 """
 
@@ -1436,7 +1430,73 @@ WHERE doc_id % 10 <> 0
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All implemented queries, in VERIFICATION-ROTATION order.
+
+    The external driver oracle-checks the first 50 entries of this dict
+    each round.  Round 1 verified the 50 reference-parity/core queries
+    (now at the back, regression-guarded by tests/test_reference_parity.py
+    and scripts/check_correctness.py which runs ALL entries locally).
+    Round 2 front-loads the 50 previously-unverified extension queries.
+    ``join_cross`` and ``agg_approx`` (rows-only check: HLL sketches are
+    not value-reproducible in DuckDB) sit at positions 51-52 and rotate
+    into the window next round.
+    """
     return {
+        # --- round-2 verification window: previously-unverified (50) ---
+        "txt_token_count": _txt_token_count,
+        "txt_quality_score": _txt_quality_score,
+        "txt_lang_id": _txt_lang_id,
+        "txt_fingerprint": _txt_fingerprint,
+        "txt_repetition": _txt_repetition,
+        "txt_pii_scrub": _txt_pii_scrub,
+        "txt_url_parse": _txt_url_parse,
+        "txt_tfidf": _txt_tfidf,
+        "txt_unigram_lm": _txt_unigram_lm,
+        "txt_quality_filter": _txt_quality_filter,
+        "ddp_exact_hash": _ddp_exact_hash,
+        "ddp_minhash_neardup": _ddp_minhash_neardup,
+        "ddp_simhash": _ddp_simhash,
+        "ddp_simhash_neardup": _ddp_simhash_neardup,
+        "ddp_ngram_jaccard": _ddp_ngram_jaccard,
+        "ddp_dup_clusters": _ddp_dup_clusters,
+        "ddp_embedding_neardup": _ddp_embedding_neardup,
+        "ddp_decontaminate": _ddp_decontaminate,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
+        "mm_asset_stats": _mm_asset_stats,
+        "mm_feature_extract": _mm_feature_extract,
+        "mm_video_frames": _mm_video_frames,
+        "stream_tumbling_window": _stream_tumbling,
+        "stream_user_totals": _stream_user_totals,
+        "stream_session_windows": _stream_session_windows,
+        "stream_dedupe": _stream_dedupe,
+        "stream_view_click_join": _stream_view_click,
+        "sub_exists": _sub_exists,
+        "sub_in": _sub_in,
+        "sub_scalar": _sub_scalar,
+        "evt_funnel": _evt_funnel,
+        "evt_retention": _evt_retention,
+        "agg_gini": _agg_gini,
+        "agg_conditional": _agg_conditional,
+        "agg_string_agg": _agg_string_agg,
+        "agg_stats_moments": _agg_stats_moments,
+        "agg_histogram": _agg_histogram,
+        "agg_argminmax": _agg_argminmax,
+        "tbl_unpivot": _tbl_unpivot,
+        "tbl_merge_upsert": _tbl_merge_upsert,
+        "tbl_profile": _tbl_profile,
+        "tbl_key_distribution": _tbl_key_distribution,
+        "win_ntile_rank": _win_ntile_rank,
+        "win_first_last": _win_first_last,
+        "win_range_frame": _win_range_frame,
+        "exp_posexplode": _exp_posexplode,
+        "join_full_outer": _join_full_outer,
+        "join_null_safe": _join_null_safe,
+        "smp_systematic": _smp_systematic,
+        # --- rotate into the window in round 3 ---
+        "join_cross": _join_cross,
+        "agg_approx": _agg_approx,
+        # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
         "src_scan": _src_scan,
@@ -1487,58 +1547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": _mm_resize,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
-        "txt_token_count": _txt_token_count,
-        "txt_quality_score": _txt_quality_score,
-        "txt_lang_id": _txt_lang_id,
-        "txt_fingerprint": _txt_fingerprint,
-        "ddp_exact_hash": _ddp_exact_hash,
-        "ddp_minhash_neardup": _ddp_minhash_neardup,
-        "ddp_simhash": _ddp_simhash,
-        "ddp_simhash_neardup": _ddp_simhash_neardup,
-        "ddp_ngram_jaccard": _ddp_ngram_jaccard,
-        "ddp_dup_clusters": _ddp_dup_clusters,
-        "agg_gini": _agg_gini,
-        "tbl_unpivot": _tbl_unpivot,
-        "tbl_merge_upsert": _tbl_merge_upsert,
-        "tbl_profile": _tbl_profile,
-        "tbl_key_distribution": _tbl_key_distribution,
-        "ddp_embedding_neardup": _ddp_embedding_neardup,
-        "sim_cosine_topk": _sim_cosine_topk,
-        "sim_ivf_topk": _sim_ivf_topk,
-        "mm_asset_stats": _mm_asset_stats,
-        "mm_feature_extract": _mm_feature_extract,
-        "mm_video_frames": _mm_video_frames,
-        "stream_tumbling_window": _stream_tumbling,
-        "stream_user_totals": _stream_user_totals,
-        "stream_session_windows": _stream_session_windows,
-        "txt_repetition": _txt_repetition,
-        "txt_pii_scrub": _txt_pii_scrub,
-        "txt_url_parse": _txt_url_parse,
-        "ddp_decontaminate": _ddp_decontaminate,
-        "join_full_outer": _join_full_outer,
-        "join_cross": _join_cross,
-        "sub_exists": _sub_exists,
-        "sub_in": _sub_in,
-        "sub_scalar": _sub_scalar,
-        "smp_systematic": _smp_systematic,
-        "agg_conditional": _agg_conditional,
-        "agg_string_agg": _agg_string_agg,
-        "win_ntile_rank": _win_ntile_rank,
-        "win_first_last": _win_first_last,
-        "agg_approx": _agg_approx,
-        "txt_tfidf": _txt_tfidf,
-        "evt_funnel": _evt_funnel,
-        "evt_retention": _evt_retention,
-        "stream_dedupe": _stream_dedupe,
-        "txt_unigram_lm": _txt_unigram_lm,
-        "txt_quality_filter": _txt_quality_filter,
-        "stream_view_click_join": _stream_view_click,
-        "agg_stats_moments": _agg_stats_moments,
-        "agg_histogram": _agg_histogram,
-        "agg_argminmax": _agg_argminmax,
-        "exp_posexplode": _exp_posexplode,
-        "join_null_safe": _join_null_safe,
-        "win_range_frame": _win_range_frame,
     }
 
 

@@ -110,10 +110,13 @@ def ivf_index(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF index build: assign every corpus row to its nearest
     centroid cell — one map-side pass, no shuffle.
+
+    ``dim`` must match the embedding width (no ``.first()`` probe —
+    index planning stays job-free on the driver).
 
     The result is the INDEX: at scale, persist it or write it
     bucketed/partitioned by ``cell`` once and serve many query
@@ -122,7 +125,6 @@ def ivf_index(
     row every time — the index build is precisely the part ANN
     amortizes.
     """
-    dim = dim or len(corpus.select(vec_col).first()[0])
     centroid_array = F.lit([_centroid_values(c, dim) for c in range(n_centroids)])
     # c_norm is part of the index: computed once at build, reused by
     # every query batch's cosine (1 dot per probed pair, not 3).
@@ -143,12 +145,12 @@ def ivf_query(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Probe an :func:`ivf_index`: each query scores only its
     ``n_probe`` nearest cells' rows (~n_probe/n_centroids of the
-    corpus) via a broadcast equi-join on cell, then window top-k."""
-    dim = dim or len(queries.select(vec_col).first()[0])
+    corpus) via a broadcast equi-join on cell, then window top-k.
+    ``dim`` must match the embedding width (no ``.first()`` probe)."""
     centroid_array = F.lit([_centroid_values(c, dim) for c in range(n_centroids)])
     if "c_norm" not in index.columns:  # index built before norms existed
         index = index.withColumn("c_norm", norm_col(F.col("c_vec")))
@@ -191,12 +193,13 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = 64,
 ) -> DataFrame:
     """One-shot IVF ANN: build the index, persist it (it feeds every
     downstream query stage — without the persist, Spark re-derives
     the full assignment inside each query stage of the plan, turning
-    the amortized index build into per-stage work), then probe."""
-    dim = len(corpus.select(vec_col).first()[0])
+    the amortized index build into per-stage work), then probe.
+    ``dim`` must match the embedding width (no ``.first()`` probe)."""
     index = ivf_index(corpus, n_centroids, vec_col, id_col, dim=dim).persist()
     return ivf_query(
         index, queries, k, n_centroids, n_probe, vec_col, id_col, dim=dim

@@ -111,13 +111,43 @@ def test_brute_force_topk(vectors):
 
 def test_embedding_neardup(vectors):
     pairs = {(r.id_a, r.id_b): r.cosine
-             for r in D.embedding_neardup_pairs(vectors, threshold=0.95).collect()}
+             for r in D.embedding_neardup_pairs(vectors, threshold=0.95,
+                                                dim=4).collect()}
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
     assert (1, 3) not in pairs
 
 
+def test_signlsh_bucket_cardinality_grows_with_planes(spark):
+    # 64 spread-out unit vectors in 8 dims: with 2 planes a table has
+    # at most 4 buckets; with 8 planes it must split finer.
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.7 + d) for d in range(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def n_buckets(n_planes):
+        return (
+            D.signlsh_buckets(df, dim=8, n_planes=n_planes, n_tables=1)
+            .select("bucket").distinct().count()
+        )
+
+    few, many = n_buckets(2), n_buckets(8)
+    assert few <= 4
+    assert many > few
+
+
+def test_signlsh_or_construction_unions_tables(vectors):
+    # Candidate set with 4 tables is a superset of any single table's.
+    base = D.signlsh_buckets(vectors, dim=4, n_planes=4, n_tables=4)
+    single = {(r.vec_id, r.bucket) for r in base.filter("tbl = 0").collect()}
+    all_tables = {(r.vec_id, r.tbl, r.bucket) for r in base.collect()}
+    assert len(all_tables) == 4 * len(single)
+
+
 def test_ivf_topk_finds_identical_vector(vectors):
     out = S.ivf_topk(vectors, vectors.filter("vec_id = 1"), k=2,
-                     n_centroids=4, n_probe=4)
+                     n_centroids=4, n_probe=4, dim=4)
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert rows[0].neighbor_id == 4 and rows[0].cosine == 1.0
