@@ -1130,16 +1130,25 @@ def _mm_asset_stats(spark, sf_dir):
 
 
 def _mm_feature_extract(spark, sf_dir):
+    """REAL image decode (fake=False): synthesize genuine binary-PPM
+    payloads, parse them with the stdlib P6 decoder inside the
+    Arrow-batched mapInPandas stage, and emit per-channel raster
+    stats.  Every feature value is dyadic (4x4 raster) so the DuckDB
+    oracle reproduces it exactly from the pixel formula."""
     from eggv_spark.operators import multimodal as M
 
-    feats = M.extract_features(M.synthesize_assets(_t(spark, sf_dir, "documents")))
-    # Project the feature vector to a scalar for stable comparison;
-    # the vector itself is exercised by unit tests.
+    imgs = M.synthesize_ppm_images(_t(spark, sf_dir, "documents"))
+    feats = M.extract_features(imgs, fake_decode=False)
     return feats.select(
         "asset_id", "modality", "n_bytes", "content_hash",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "feature_sum"
-        ),
+        F.get("feature", 0).cast("int").alias("width"),
+        F.get("feature", 1).cast("int").alias("height"),
+        F.round(F.get("feature", 3).cast("double"), 4).alias("mean_r"),
+        F.round(F.get("feature", 4).cast("double"), 4).alias("mean_g"),
+        F.round(F.get("feature", 5).cast("double"), 4).alias("mean_b"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("feature_sum"),
     )
 
 
@@ -1994,17 +2003,30 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "mm_feature_extract": (
-            # feature[i] = md5-digest byte i / 255 (the deterministic
-            # stub decode) — reproduced from the hex digest.
-            "SELECT doc_id AS asset_id,"
-            " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
-            "  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,"
-            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
-            " md5(text) AS content_hash,"
-            " round(list_sum(list_transform(generate_series(0, 7),"
-            "  i -> CAST(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS INT)"
-            "       / 255.0)), 4) AS feature_sum"
-            " FROM documents"
+            # REAL PPM decode replica: pixel i of doc d is
+            # (d*7 + i*13) % 256 (synthesize_ppm_images), features are
+            # the P6 raster stats (decode_ppm), content_hash is md5 of
+            # the lowercase hex of the full payload bytes.
+            "WITH px AS ("
+            " SELECT d.doc_id, i, (d.doc_id * 7 + i * 13) % 256 AS v"
+            " FROM documents d, generate_series(0, 47) t(i)),"
+            " st AS (SELECT doc_id,"
+            "  avg(v) FILTER (i % 3 = 0) AS mean_r,"
+            "  avg(v) FILTER (i % 3 = 1) AS mean_g,"
+            "  avg(v) FILTER (i % 3 = 2) AS mean_b,"
+            "  max(v) AS max_px, min(v) AS min_px,"
+            "  string_agg(lpad(to_hex(v), 2, '0'), '' ORDER BY i) AS hx"
+            " FROM px GROUP BY doc_id)"
+            " SELECT doc_id AS asset_id, 'image' AS modality,"
+            " CAST(59 AS BIGINT) AS n_bytes,"
+            " md5(lower(hex(encode('P6' || chr(10) || '4 4' || chr(10)"
+            "  || '255' || chr(10)) || unhex(hx)))) AS content_hash,"
+            " CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,"
+            " round(mean_r, 4) AS mean_r, round(mean_g, 4) AS mean_g,"
+            " round(mean_b, 4) AS mean_b,"
+            " round(4 + 4 + 255 + mean_r + mean_g + mean_b"
+            "  + max_px + min_px, 4) AS feature_sum"
+            " FROM st"
         ),
         "mm_video_frames": (
             "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,"

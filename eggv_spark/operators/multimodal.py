@@ -6,11 +6,18 @@ with typed metadata (MULTIMODAL_ASSET_SCHEMA) — parquet-native, so
 column is only read when projected.
 
 The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas``
-signatures, partitioning) is real and tested; the actual media
-decode is STUBBED: the container has no image/audio libraries, so
-``decode_payload`` raises ``NotImplementedError`` unless
-``fake=True``, which produces a deterministic md5-derived feature
-vector with the same shape a real decoder would emit.
+signatures, partitioning) is real and tested.  Decode status per
+modality:
+
+- **image: REAL for binary PPM (P6)** — :func:`decode_ppm` is a
+  stdlib-only parser (header tokenize incl. comments, raster stats);
+  no PIL needed.  :func:`synthesize_ppm_images` emits genuine P6
+  payloads (pure Column exprs) so the path is exercised with
+  ``fake=False`` end-to-end.
+- audio/video: STUBBED — the container has no librosa/ffmpeg, so
+  ``decode_payload`` raises ``NotImplementedError`` unless
+  ``fake=True``, which produces a deterministic md5-derived feature
+  vector with the same shape a real decoder would emit.
 """
 
 from __future__ import annotations
@@ -61,20 +68,93 @@ def asset_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_ppm_images(docs: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
+    """Deterministic REAL binary-PPM (P6) image assets from the
+    ``documents`` fixture: pixel byte ``i`` of doc ``d`` is
+    ``(d*7 + i*13) % 256``.  The payload is assembled entirely in
+    Column expressions (hex-assemble + ``unhex``) — genuine image
+    bytes, no UDF, reproducible in any engine from the same formula.
+    """
+    n = width * height * 3
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.lpad(
+                F.lower(F.hex((F.col("doc_id") * 7 + i * 13) % 256)), 2, "0"
+            ),
+        ),
+        "",
+    )
+    header = F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.concat(header, F.unhex(pix_hex)).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime_type"),
+    )
+
+
+def decode_ppm(payload: bytes) -> list[float]:
+    """REAL binary-PPM (P6) decode, stdlib only: tokenize the header
+    (magic, width, height, maxval; ``#`` comments allowed), slice the
+    raster, and emit FEATURE_DIM stats:
+    ``[width, height, maxval, mean_r, mean_g, mean_b, max_px, min_px]``.
+
+    The channel means divide by width*height — keep that a power of
+    two and every feature value is dyadic, i.e. exactly representable
+    in float32 AND reproducible by double-precision SQL engines.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    raster = payload[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    n = w * h
+    return [
+        float(w),
+        float(h),
+        float(maxval),
+        sum(raster[0::3]) / n,
+        sum(raster[1::3]) / n,
+        sum(raster[2::3]) / n,
+        float(max(raster)),
+        float(min(raster)),
+    ]
+
+
 def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one media payload to a feature vector.
 
-    STUB: real decoding needs PIL/librosa/ffmpeg, which this
-    environment does not ship.  ``fake=True`` derives a deterministic
-    FEATURE_DIM-float vector from the md5 digest — shape-compatible
-    with a real embedding so the distributed plumbing is exercised
-    end-to-end.
+    Binary-PPM image payloads (magic ``P6``) are decoded FOR REAL via
+    :func:`decode_ppm` regardless of ``fake``.  Other formats need
+    PIL/librosa/ffmpeg, which this environment does not ship:
+    ``fake=True`` derives a deterministic FEATURE_DIM-float vector
+    from the md5 digest — shape-compatible with a real embedding so
+    the distributed plumbing is exercised end-to-end.
     """
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
     if not fake:
         raise NotImplementedError(
             f"real {modality} decoding requires media libraries not "
             "available in this environment; pass fake=True for the "
-            "deterministic stand-in"
+            "deterministic stand-in (PPM images decode for real)"
         )
     digest = hashlib.md5(payload).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
@@ -103,8 +183,11 @@ def extract_features(
                     "asset_id": batch["asset_id"],
                     "modality": batch["modality"],
                     "n_bytes": batch["payload"].map(len).astype("int64"),
+                    # md5 of the LOWERCASE HEX of the payload, not the
+                    # raw bytes: engines whose md5 is VARCHAR-only
+                    # (DuckDB) can reproduce it via md5(lower(hex(b))).
                     "content_hash": batch["payload"].map(
-                        lambda b: hashlib.md5(b).hexdigest()
+                        lambda b: hashlib.md5(bytes(b).hex().encode()).hexdigest()
                     ),
                     "feature": [
                         decoder(p, m, fake_decode)

@@ -114,3 +114,45 @@ def test_streaming_user_totals_stateful(spark, tmp_path):
         .collect()
     }
     assert final == {1: (3, 7.0), 2: (1, 10.0)}
+
+
+def test_decode_ppm_real_parse():
+    from eggv_spark.operators.multimodal import decode_payload, decode_ppm
+
+    # 2x2 P6 with a header comment; pixels: RGB triplets 0..11
+    payload = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    w, h, maxval, mean_r, mean_g, mean_b, max_px, min_px = decode_ppm(payload)
+    assert (w, h, maxval) == (2.0, 2.0, 255.0)
+    assert mean_r == (0 + 3 + 6 + 9) / 4
+    assert mean_g == (1 + 4 + 7 + 10) / 4
+    assert mean_b == (2 + 5 + 8 + 11) / 4
+    assert (max_px, min_px) == (11.0, 0.0)
+    # decode_payload routes P6 to the REAL parser even with fake=False
+    assert decode_payload(payload, "image", fake=False) == decode_ppm(payload)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00")  # truncated raster
+    with _pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG...", "image", fake=False)
+
+
+def test_synthesized_ppm_decodes_for_real(spark):
+    from eggv_spark.operators.multimodal import (
+        extract_features,
+        synthesize_ppm_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "t", "s", "en")], ["doc_id", "text", "source", "lang"]
+    )
+    imgs = synthesize_ppm_images(docs)
+    payload = bytes(imgs.collect()[0].payload)
+    expected = b"P6\n4 4\n255\n" + bytes((3 * 7 + i * 13) % 256 for i in range(48))
+    assert payload == expected  # Column-expr assembly is byte-exact
+
+    feats = extract_features(imgs, fake_decode=False).collect()
+    assert len(feats) == 1
+    vec = feats[0].feature
+    assert vec[0] == 4.0 and vec[1] == 4.0 and vec[2] == 255.0
+    assert vec[3] == sum((3 * 7 + i * 13) % 256 for i in range(0, 48, 3)) / 16
