@@ -2204,7 +2204,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY cohort_week, week_offset"
         ),
         "stream_dedupe": (
-            "SELECT DISTINCT user_id, event_type FROM events"
+            "SELECT DISTINCT user_id, event_type, ts FROM events"
         ),
         "txt_unigram_lm": (
             "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t FROM documents),"

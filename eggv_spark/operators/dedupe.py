@@ -455,7 +455,15 @@ def connected_components(
     round changes nothing (one lightweight count action per round).
     At web scale this is the standard large-star/small-star regime;
     diameter-bounded dedup graphs converge in a handful of rounds.
+
+    If ``max_iterations`` rounds pass without convergence (a graph
+    with diameter > max_iterations — e.g. a long chain of pairwise
+    near-dups), the PARTIAL labels are still returned (every label is
+    a valid cluster member id, just possibly not yet the global min)
+    and a ``RuntimeWarning`` is emitted so callers can raise the
+    budget or switch to large-star/small-star.
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -471,6 +479,7 @@ def connected_components(
         .persist()
     )
 
+    converged = False
     for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -502,8 +511,18 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; returning partial labels (graph diameter exceeds "
+            "the iteration budget — raise max_iterations or use a "
+            "large-star/small-star decomposition)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -9,6 +9,7 @@ before choosing partitioning/salting strategies at scale.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -107,17 +108,27 @@ def compact_files(
     n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
-    # atomic-ish swap (same filesystem rename)
+    # Crash-safe swap: rename the live dir ASIDE first, then promote
+    # the new one, then delete the old.  A crash mid-sequence leaves
+    # either the original table (steps 0-1) or the compacted one
+    # (step 2+) at a recoverable path — never NO table at ``path``
+    # (the rmtree-then-move ordering had exactly that window).
+    # NOTE: driver-local filesystem semantics (os.rename/shutil); on a
+    # real cluster against HDFS/S3 use the Hadoop FileSystem API
+    # (spark._jvm.org.apache.hadoop.fs.FileSystem) — S3 "rename" is a
+    # copy, so there prefer a manifest/table format for the swap.
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = path.rstrip("/") + "__replaced"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 
 def _dir_bytes(path: str) -> int:
-    import os
-
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
@@ -137,6 +148,8 @@ def incremental_append(
 
     The high-water-mark read is a single max() over the sink's
     watermark column — a column-pruned, stats-answerable scan."""
+    from pyspark.errors import AnalysisException
+
     spark = src.sparkSession
     try:
         current = (
@@ -144,7 +157,13 @@ def incremental_append(
                 F.max(watermark_col)
             ).first()[0]
         )
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY "sink doesn't exist yet" means full load; any other
+        # failure (transient FS error, corrupt footer) must raise —
+        # treating it as "empty sink" would re-append everything and
+        # duplicate the table.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         current = None
     fresh = src if current is None else src.filter(F.col(watermark_col) > current)
     n = fresh.count()
@@ -167,10 +186,14 @@ def scd2_merge(
     rows having ``valid_to IS NULL``; ``updates`` carries (key,
     attrs..., effective_ts).  Changed keys get their open row closed
     at the update's effective time and a new open row appended;
-    unchanged and unmatched rows pass through untouched.  Pure
-    DataFrame transform (no table-format dependency): one broadcast-
-    able join against the update batch — the dimension side streams,
-    which is what makes SCD2 viable on a billion-row dimension.
+    BRAND-NEW keys (no existing dimension row) insert as new open
+    versions; unchanged and unmatched rows pass through untouched.
+    Pure DataFrame transform (no table-format dependency): one
+    broadcast-able join against the update batch — the dimension side
+    streams, which is what makes SCD2 viable on a billion-row
+    dimension.  (New-key detection anti-joins the update batch
+    against the dimension's KEY column only — a column-pruned scan,
+    the one extra pass new-key inserts inherently cost.)
     """
     upd = updates.select(
         F.col(key).alias("_k"),
@@ -202,4 +225,14 @@ def scd2_merge(
             F.lit(None).cast(kept.schema["valid_to"].dataType).alias("valid_to"),
         )
     )
-    return kept.drop("_changed").unionByName(opened)
+    # brand-new keys: no dimension row at all -> insert as open rows
+    inserted = (
+        upd.join(dim.select(F.col(key).alias("_k")), "_k", "left_anti")
+        .select(
+            F.col("_k").alias(key),
+            *[F.col(f"_new_{a}").alias(a) for a in attrs],
+            F.col("_eff").alias("valid_from"),
+            F.lit(None).cast(kept.schema["valid_to"].dataType).alias("valid_to"),
+        )
+    )
+    return kept.drop("_changed").unionByName(opened).unionByName(inserted)

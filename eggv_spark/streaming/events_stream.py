@@ -196,22 +196,45 @@ def streaming_exact_dedupe(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),
     watermark: str = "2 hours",
+    event_time: str = "ts",
 ) -> DataFrame:
-    """Streaming exact deduplication: first arrival per key wins,
-    with state bounded by the event-time watermark
-    (``dropDuplicatesWithinWatermark`` semantics via watermark +
-    dropDuplicates — late duplicates beyond the watermark age out of
-    state instead of growing it forever, the property that matters on
-    an unbounded 100 TB/day stream).
+    """Streaming exact deduplication of redelivered events: one row
+    per (keys..., event_time), e.g. at-least-once source retries.
 
-    Only the key columns are returned: WHICH row survives per key
-    depends on arrival order inside the micro-batch (same as batch
-    ``dropDuplicates``); the key set itself is deterministic and is
-    what the oracle checks.
+    State is bounded ONLY because the watermarked event-time column
+    is part of the ``dropDuplicates`` subset — Spark evicts
+    dropDuplicates state strictly by the event-time values stored in
+    the subset, so a subset WITHOUT the event-time column grows
+    without bound on an unbounded stream.  For first-per-key
+    semantics regardless of timestamp, use
+    :func:`streaming_dedupe_within_watermark` instead.
+
+    Deterministic output (the exact distinct key+time set), so the
+    batch oracle is a plain ``SELECT DISTINCT``.
     """
     return (
-        events.withWatermark("ts", watermark)
-        .dropDuplicates(list(keys))
+        events.withWatermark(event_time, watermark)
+        .dropDuplicates([*keys, event_time])
+        .select(*keys, event_time)
+    )
+
+
+def streaming_dedupe_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+    event_time: str = "ts",
+) -> DataFrame:
+    """First arrival per key, state bounded by the watermark via
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+): a duplicate
+    arriving within the watermark delay of the first occurrence is
+    dropped; one arriving later re-emits the key.  That re-emission
+    is the price of bounded state — WHICH rows appear depends on
+    micro-batch boundaries, so this variant is pytest-covered rather
+    than value-oracled."""
+    return (
+        events.withWatermark(event_time, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
 

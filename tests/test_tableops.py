@@ -130,5 +130,5 @@ def test_scd2_merge_versions_changed_keys(spark):
     assert rows[(1, "CHI")] == (200, None)  # new open version
     assert rows[(1, "LA")] == (50, 100)     # history untouched
     assert rows[(2, "SF")] == (100, None)   # unchanged passes through
-    assert (3, "DEN") not in rows           # unmatched update keys are
-    assert len(rows) == 4                   # not inserted (merge, not upsert)
+    assert rows[(3, "DEN")] == (200, None)  # brand-new key inserts open
+    assert len(rows) == 5

@@ -151,3 +151,26 @@ def test_ivf_topk_finds_identical_vector(vectors):
                      n_centroids=4, n_probe=4, dim=4)
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert rows[0].neighbor_id == 4 and rows[0].cosine == 1.0
+
+
+def test_connected_components_warns_without_convergence(spark):
+    import warnings
+
+    # a 6-node chain has diameter 5: 1 iteration cannot finish
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = D.connected_components(pairs, max_iterations=1)
+        labels = {r.node: r.component for r in partial.collect()}
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    # partial labels are still valid member ids, not yet the global min
+    assert all(comp <= node for node, comp in labels.items())
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        full = D.connected_components(pairs, max_iterations=10)
+        labels = {r.node: r.component for r in full.collect()}
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert set(labels.values()) == {1}

