@@ -733,6 +733,37 @@ def _stream_dedupe(spark, sf_dir):
     )
 
 
+def _txt_chunk(spark, sf_dir):
+    """Fixed-token-window chunking (training-example prep), 1->N."""
+    return T.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=32)
+
+
+def _txt_pack_sequences(spark, sf_dir):
+    """Sharded training-sequence packing by cumulative token offset."""
+    return T.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_tokens=256, n_shards=8
+    )
+
+
+def _smp_stratified(spark, sf_dir):
+    """Deterministic hash-stratified sample with per-stratum rates."""
+    sampled = R.stratified_sample_hash(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderkey",
+        {"1-URGENT": 50, "2-HIGH": 25},
+        default_pct=5,
+    )
+    return sampled.groupBy("o_orderpriority").agg(F.count("*").alias("n_rows"))
+
+
+def _agg_corr(spark, sf_dir):
+    return AG.corr_cov_agg(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_quantity", "l_extendedprice",
+    )
+
+
 def _agg_stats_moments(spark, sf_dir):
     return AG.stats_agg(
         _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
@@ -1505,6 +1536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotate into the window in round 3 ---
         "join_cross": _join_cross,
         "agg_approx": _agg_approx,
+        "txt_chunk": _txt_chunk,
+        "txt_pack_sequences": _txt_pack_sequences,
+        "smp_stratified": _smp_stratified,
+        "agg_corr": _agg_corr,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2275,6 +2310,47 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE c_custkey END AS k, c_name FROM customer)"
             " SELECT o_orderkey, c_name FROM o JOIN c"
             " ON o.k IS NOT DISTINCT FROM c.k"
+        ),
+        "txt_chunk": (
+            "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t FROM documents),"
+            " c AS (SELECT doc_id, t,"
+            "  CAST(greatest(ceil(len(t) / 32.0), 1) AS INT) AS n FROM toks),"
+            " e AS (SELECT doc_id, t,"
+            "  unnest(generate_series(0, n - 1)) AS i FROM c)"
+            " SELECT doc_id, CAST(i AS INT) AS chunk_idx,"
+            " array_to_string(list_slice(t, i * 32 + 1, i * 32 + 32), ' ')"
+            "  AS chunk_text,"
+            " CAST(len(list_slice(t, i * 32 + 1, i * 32 + 32)) AS INT)"
+            "  AS n_tokens"
+            " FROM e"
+        ),
+        "txt_pack_sequences": (
+            "WITH toks AS (SELECT doc_id,"
+            "  CAST(doc_id % 8 AS INT) AS shard,"
+            "  CAST(len(" + _TOKS_SQL + ") AS INT) AS n_tokens FROM documents),"
+            " w AS (SELECT doc_id, shard, n_tokens,"
+            "  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+            "   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset"
+            "  FROM toks)"
+            " SELECT doc_id, shard, n_tokens, start_offset,"
+            " CAST(floor(start_offset / 256.0) AS INT) AS bin_in_shard FROM w"
+        ),
+        "smp_stratified": (
+            "SELECT o_orderpriority, count(*) AS n_rows FROM orders"
+            " WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),"
+            "  1, 8)) AS BIGINT) % 100"
+            " < (CASE o_orderpriority WHEN '1-URGENT' THEN 50"
+            "    WHEN '2-HIGH' THEN 25 ELSE 5 END)"
+            " GROUP BY o_orderpriority"
+        ),
+        "agg_corr": (
+            "SELECT l_returnflag,"
+            " round(corr(l_quantity, l_extendedprice), 4) AS corr_xy,"
+            " round(covar_samp(l_quantity, l_extendedprice), 4)"
+            "  AS covar_samp_xy,"
+            " round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_xy,"
+            " count(*) AS n_rows"
+            " FROM lineitem GROUP BY l_returnflag"
         ),
         "agg_stats_moments": (
             "SELECT l_returnflag,"

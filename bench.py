@@ -45,6 +45,41 @@ HEADLINE = [
 ]
 
 
+def bench_pipeline(spark) -> dict | None:
+    """GB-scale end-to-end parity-pipeline bench: generate (once,
+    cached) a synthetic mm10-shaped GVF+GTF of $SPARK_GRAFT_PIPELINE_GB
+    (default 1.0; 0 disables), then time the full
+    process-genes -> process-variants -> annotate chain with parquet
+    interchange — the comparison axis for the reference's 28 min /
+    56 GB mm10 figure (eggv/process.py:433, GB/s reported)."""
+    target_gb = float(os.environ.get("SPARK_GRAFT_PIPELINE_GB", "1.0"))
+    if target_gb <= 0:
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from gen_bench_data import dir_bytes, ensure_bench_data
+
+    from eggv_spark import pipeline as P
+
+    base = os.environ.get(
+        "SPARK_GRAFT_PIPELINE_DIR", os.path.join(repo, ".bench_cache")
+    )
+    layout = ensure_bench_data(spark, base, target_gb)
+    input_gb = (
+        dir_bytes(layout.variant_gvf()) + dir_bytes(layout.gene_gtf())
+    ) / 1e9
+    start = time.perf_counter()
+    P.run_gene_processing(spark, layout, fmt="parquet")
+    P.run_variant_processing(spark, layout, fmt="parquet")
+    P.run_annotation(spark, layout, fmt="parquet")
+    sec = time.perf_counter() - start
+    return {
+        "sec": round(sec, 3),
+        "input_gb": round(input_gb, 3),
+        "gb_per_sec": round(input_gb / sec, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -54,7 +89,16 @@ def main() -> None:
         "eggv-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_confs={"spark.ui.enabled": "false"},
+        extra_confs={
+            "spark.ui.enabled": "false",
+            # local-mode default is a 1g driver heap shared by all 32
+            # executor threads — the GB-scale pipeline stage OOMs
+            # there.  Sized for cpus*maxPartitionBytes of in-flight
+            # text plus shuffle buffers (host has 128 GiB).
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -75,18 +119,21 @@ def main() -> None:
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    pipeline = bench_pipeline(spark)
+    if pipeline is not None:
+        timings["pipeline_complete"] = pipeline["sec"]
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if pipeline is not None:
+        out["pipeline"] = pipeline
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -286,3 +286,19 @@ def histogram_fixed(
         .groupBy(*keys, "bucket")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+def corr_cov_agg(
+    df: DataFrame, group_cols: Sequence[str], x: str, y: str
+) -> DataFrame:
+    """Per-group bivariate statistics: Pearson correlation and
+    sample/population covariance — single map-side-combinable
+    aggregate (Spark's corr/covar accumulate (n, Σx, Σy, Σxy, Σx²,
+    Σy²) partials, so the shuffle carries six doubles per group
+    regardless of row count)."""
+    return df.groupBy(*group_cols).agg(
+        F.round(F.corr(x, y), 4).alias("corr_xy"),
+        F.round(F.covar_samp(x, y), 4).alias("covar_samp_xy"),
+        F.round(F.covar_pop(x, y), 4).alias("covar_pop_xy"),
+        F.count("*").alias("n_rows"),
+    )

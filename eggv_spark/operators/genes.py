@@ -11,8 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eggv_spark.functions.extract import regexp_extract_null
-
 #: attr grammars (reference: eggv/process.py:202-212).  GTF attrs are
 #: `key "value";` pairs.
 _GENE_ID_PATTERN = r'gene_id "(ENS[A-Z]*\d+)"'
@@ -36,18 +34,31 @@ def process_gtf(df: DataFrame) -> DataFrame:
     """
     df = df.filter(F.col("feature") == "transcript")
 
-    return df.select(
+    # Raw extracts staged in their own projection (single regex eval
+    # per field; see variants.process_gvf for the measured rationale),
+    # null semantics applied on the slots in the next.
+    df = df.select(
         F.concat(F.lit("chr"), F.col("seqname").cast("string")).alias("chromosome"),
         F.col("start").cast("long").alias("start"),
         F.col("end").cast("long").alias("end"),
-        regexp_extract_null("attr", _TRANSCRIPT_ID_PATTERN).alias("transcript_id"),
-        regexp_extract_null("attr", _GENE_ID_PATTERN).alias("gene_id"),
-        F.coalesce(
-            regexp_extract_null("attr", _GENE_NAME_PATTERN), F.lit("NA")
-        ).alias("gene_name"),
-        F.coalesce(
-            regexp_extract_null("attr", _BIOTYPE_PATTERN), F.lit("NA")
-        ).alias("biotype"),
+        F.regexp_extract("attr", _TRANSCRIPT_ID_PATTERN, 1).alias("_tid_raw"),
+        F.regexp_extract("attr", _GENE_ID_PATTERN, 1).alias("_gid_raw"),
+        F.regexp_extract("attr", _GENE_NAME_PATTERN, 1).alias("_name_raw"),
+        F.regexp_extract("attr", _BIOTYPE_PATTERN, 1).alias("_bio_raw"),
+    )
+    empty = F.lit("")
+    return df.select(
+        "chromosome",
+        "start",
+        "end",
+        F.nullif(F.col("_tid_raw"), empty).alias("transcript_id"),
+        F.nullif(F.col("_gid_raw"), empty).alias("gene_id"),
+        F.coalesce(F.nullif(F.col("_name_raw"), empty), F.lit("NA")).alias(
+            "gene_name"
+        ),
+        F.coalesce(F.nullif(F.col("_bio_raw"), empty), F.lit("NA")).alias(
+            "biotype"
+        ),
     ).na.drop(subset=["gene_id", "transcript_id"])
 
 

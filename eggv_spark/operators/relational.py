@@ -305,3 +305,27 @@ def systematic_sample(
     partitionings — the property that matters for train/eval splits
     — and it's a pushable scan predicate, not a separate operator."""
     return df.filter(F.pmod(F.col(key), F.lit(modulus)) < keep)
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    pct_by_stratum: "dict[str, int]",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row when
+    ``md5-hash(key) % 100`` falls under its stratum's percentage.
+    Unlike ``df.sampleBy`` this is reproducible across engines, runs,
+    and partitionings (train/eval split property), and it stays a
+    pushable scan predicate — no shuffle, no RNG state.  The hash is
+    the engine-portable md5 formula (dedupe.base_hash), NOT Spark's
+    ``hash()`` (not reproducible in other engines).
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(pct_by_stratum.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    bucket = F.pmod(base_hash(F.col(key_col).cast("string")), F.lit(100))
+    return df.filter(bucket < rate)

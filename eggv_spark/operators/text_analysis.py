@@ -377,3 +377,85 @@ def quality_filter(
         & (F.col("stopword_ratio") >= min_stopword_ratio)
     )
     return scored.withColumn("keep", keep)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token-window chunking for training-example preparation:
+    each document becomes ceil(n_tokens / chunk_tokens) rows of at
+    most ``chunk_tokens`` whitespace tokens (1->N explode).
+
+    Shuffle-free: tokenize once, explode a chunk-index sequence, and
+    slice the token array per chunk — all Column expressions, so a
+    100 TB corpus chunks in a single map-side pass.
+    """
+    toks = tokens_col(text_col)
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))), F.lit(1)
+    ).cast("int")
+    staged = df.select(
+        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_n")
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens
+    )
+    return (
+        staged.select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed-capacity
+    token bins by cumulative offset in a concatenated token stream —
+    the contiguous-fill packing pretraining pipelines use (documents
+    keep their boundaries; a doc whose START offset falls in bin b
+    belongs to bin b).
+
+    Scale design: a single global cumulative sum would serialize on
+    one partition, so the stream is SHARDED by ``id % n_shards`` and
+    packed within each shard (how per-worker packing behaves in a
+    real loader).  One shuffle (window partition by shard); bins are
+    (shard, bin_in_shard) pairs.  Deterministic in the ids — no RNG.
+    """
+    n_tok = F.size(tokens_col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    return staged.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start,
+    ).withColumn(
+        "bin_in_shard", F.floor(F.col("start_offset") / seq_tokens).cast("int")
+    )

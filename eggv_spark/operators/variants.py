@@ -14,8 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eggv_spark.functions.extract import regexp_extract_null
-
 #: attr grammars (reference: eggv/process.py:125,134-135,145,158).
 #: The rsid digits are captured directly (the reference captures
 #: 'rs\d+' then strips the prefix — same result, one step).
@@ -27,6 +25,34 @@ _MAF_PATTERN = r"global_minor_allele_frequency=\d+\|([.0-9]+)"
 #: Kept for parity with eggv/process.py:158 (SURVEY §7.5.6), covered
 #: by test_effect_grammar_requires_trailing_semicolon.
 _EFFECT_PATTERN = r"Variant_effect=(.+?);"
+
+
+def extract_variant_fields(
+    df: DataFrame, repartition_to: int | None = None
+) -> DataFrame:
+    """Raw GVF rows -> typed per-VARIANT frame (chromosome, start,
+    end, rsid, observed, maf, effect-list) — everything in
+    :func:`process_gvf` EXCEPT the per-effect explode.  Shared by the
+    effect path (explodes next) and the metadata path (which must NOT
+    pay the explode: metadata is constant across a variant's effects,
+    so deduping post-explode rows is pure inflation —
+    :func:`process_gvf_metadata`)."""
+    return _extract_typed(df, repartition_to)
+
+
+def process_gvf_metadata(
+    df: DataFrame, repartition_to: int | None = None
+) -> DataFrame:
+    """Raw GVF rows -> one metadata row per rsid WITHOUT the effect
+    explode.  Value-identical to
+    ``isolate_variant_metadata(process_gvf(df))`` (every exploded
+    effect row carries the same metadata) but the rsid dedup shuffles
+    the un-inflated row count."""
+    return (
+        extract_variant_fields(df, repartition_to)
+        .select("chromosome", "start", "end", "rsid", "observed", "maf")
+        .dropDuplicates(["rsid"])
+    )
 
 
 def process_gvf(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
@@ -48,47 +74,7 @@ def process_gvf(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
     Output schema: PROCESSED_VARIANTS_SCHEMA — (chromosome, rsid,
     start, end, observed, maf, effect, transcript).
     """
-    # PRJ-01 projection + PRJ-02 rename + STR-01 'chr' prefix.
-    # Catalyst prunes the scan to these 4 columns automatically.
-    df = df.select(
-        F.concat(F.lit("chr"), F.col("seqid").cast("string")).alias("chromosome"),
-        "start",
-        "end",
-        "attr",
-    )
-    if repartition_to:
-        df = df.repartition(repartition_to)
-
-    # STR-02/03: rsid extraction; NUL-02: rows without an rsid drop.
-    df = df.withColumn(
-        "rsid", regexp_extract_null("attr", _RSID_PATTERN).cast("long")
-    ).na.drop(subset=["rsid"])
-
-    # STR-02 + NUL-01: alleles, '-' when absent; STR-04: observed.
-    df = df.withColumn(
-        "observed",
-        F.concat_ws(
-            ",",
-            F.coalesce(regexp_extract_null("attr", _VAR_ALLELE_PATTERN), F.lit("-")),
-            F.coalesce(regexp_extract_null("attr", _REF_ALLELE_PATTERN), F.lit("-")),
-        ),
-    )
-
-    # STR-02 + NUL-01 + CST-01: MAF, 0.0 when absent, float32.
-    df = df.withColumn(
-        "maf",
-        F.coalesce(
-            regexp_extract_null("attr", _MAF_PATTERN).cast("float"), F.lit(0.0)
-        ).cast("float"),
-    )
-
-    # STR-02 + NUL-01: effect list string, 'intergenic' when absent.
-    df = df.withColumn(
-        "effect",
-        F.coalesce(
-            regexp_extract_null("attr", _EFFECT_PATTERN), F.lit("intergenic")
-        ),
-    )
+    df = _extract_typed(df, repartition_to)
 
     # EXP-01: one row per effect.  The column was just coalesced to a
     # non-null non-empty string, so plain explode never drops rows;
@@ -107,6 +93,67 @@ def process_gvf(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
     return df.select(
         "chromosome", "rsid", "start", "end", "observed", "maf", "effect", "transcript"
     )
+
+
+def _extract_typed(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
+    """Projection + staged regex extraction + null/cast handling —
+    the pre-explode front of :func:`process_gvf`."""
+    # PRJ-01 projection + PRJ-02 rename + STR-01 'chr' prefix.
+    # Catalyst prunes the scan to these 4 columns automatically.
+    df = df.select(
+        F.concat(F.lit("chr"), F.col("seqid").cast("string")).alias("chromosome"),
+        "start",
+        "end",
+        "attr",
+    )
+    if repartition_to:
+        df = df.repartition(repartition_to)
+
+    # STR-02: ALL raw regex extracts in ONE projection, null handling
+    # on the materialized slots in the NEXT.  Load-bearing split: a
+    # nullif(regexp_extract(..)) single-expression form references the
+    # regex twice inside a conditional branch, which codegen cannot
+    # hoist — measured 12x slower on a 1 GB GVF (70 s -> 6 s for the
+    # two allele extracts alone).  Staging the raw extract as its own
+    # column evaluates each regex exactly once; CollapseProject keeps
+    # the stage because every *_raw slot is referenced twice by its
+    # nullif consumer.
+    df = df.select(
+        "chromosome",
+        "start",
+        "end",
+        F.regexp_extract("attr", _RSID_PATTERN, 1).alias("_rsid_raw"),
+        F.regexp_extract("attr", _VAR_ALLELE_PATTERN, 1).alias("_var_raw"),
+        F.regexp_extract("attr", _REF_ALLELE_PATTERN, 1).alias("_ref_raw"),
+        F.regexp_extract("attr", _MAF_PATTERN, 1).alias("_maf_raw"),
+        F.regexp_extract("attr", _EFFECT_PATTERN, 1).alias("_eff_raw"),
+    )
+
+    # STR-03 + NUL-01/02 + CST-01 on the slots (pandas str.extract
+    # null parity: '' capture folds to null, exactly
+    # regexp_extract_null's contract).
+    empty = F.lit("")
+    df = df.select(
+        "chromosome",
+        "start",
+        "end",
+        F.nullif(F.col("_rsid_raw"), empty).cast("long").alias("rsid"),
+        # STR-04: observed alleles, '-' when absent.
+        F.concat_ws(
+            ",",
+            F.coalesce(F.nullif(F.col("_var_raw"), empty), F.lit("-")),
+            F.coalesce(F.nullif(F.col("_ref_raw"), empty), F.lit("-")),
+        ).alias("observed"),
+        # MAF, 0.0 when absent, float32.
+        F.coalesce(
+            F.nullif(F.col("_maf_raw"), empty).cast("float"), F.lit(0.0)
+        ).cast("float").alias("maf"),
+        # Effect list string, 'intergenic' when absent.
+        F.coalesce(F.nullif(F.col("_eff_raw"), empty), F.lit("intergenic")).alias(
+            "effect"
+        ),
+    ).na.drop(subset=["rsid"])
+    return df
 
 
 def isolate_variant_effects(df: DataFrame) -> DataFrame:

