@@ -229,3 +229,14 @@ def test_gvf_regex_extracts_are_staged_single_eval(spark):
     for pattern in ("Variant_seq=", "Reference_seq=",
                     "global_minor_allele_frequency=", "Variant_effect="):
         assert plan.count(pattern) == 1, pattern
+
+
+def test_embedding_neardup_candidates_use_equijoin(spark):
+    from eggv_spark.operators.dedupe import embedding_neardup_pairs
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(embedding_neardup_pairs(emb, dim=64))
+    # Banded sign-LSH candidates come from a hash equi-join on
+    # (table, bucket) — never a nested-loop over all pairs.
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
