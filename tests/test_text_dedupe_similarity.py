@@ -174,3 +174,11 @@ def test_connected_components_warns_without_convergence(spark):
         labels = {r.node: r.component for r in full.collect()}
     assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
     assert set(labels.values()) == {1}
+
+
+def test_ivf_params_scale_with_corpus():
+    small, big = S.ivf_params(1000), S.ivf_params(1_000_000_000)
+    assert small["n_centroids"] < big["n_centroids"]
+    assert big["n_centroids"] == 31622
+    assert big["n_probe"] == 31622 // 8
+    assert S.ivf_params(0)["n_centroids"] >= 4
