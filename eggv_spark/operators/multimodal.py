@@ -14,10 +14,15 @@ modality:
   no PIL needed.  :func:`synthesize_ppm_images` emits genuine P6
   payloads (pure Column exprs) so the path is exercised with
   ``fake=False`` end-to-end.
-- audio/video: STUBBED — the container has no librosa/ffmpeg, so
-  ``decode_payload`` raises ``NotImplementedError`` unless
-  ``fake=True``, which produces a deterministic md5-derived feature
-  vector with the same shape a real decoder would emit.
+- **audio: REAL for 16-bit PCM WAV** — :func:`decode_wav` opens the
+  RIFF container with the stdlib ``wave`` module and computes PCM
+  stats; :func:`synthesize_wav_audio` emits genuine WAV payloads in
+  Column exprs.
+- video (and compressed image/audio codecs): STUBBED — the container
+  has no ffmpeg/PIL/librosa, so ``decode_payload`` raises
+  ``NotImplementedError`` unless ``fake=True``, which produces a
+  deterministic md5-derived feature vector with the same shape a
+  real decoder would emit.
 """
 
 from __future__ import annotations
@@ -66,6 +71,80 @@ def asset_stats(assets: DataFrame) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_hash"),
     )
+
+
+def _wav_header(n_samples: int, sample_rate: int) -> bytes:
+    """Canonical 44-byte PCM WAV header (RIFF/fmt/data), 16-bit mono."""
+    import struct
+
+    data_size = n_samples * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def synthesize_wav_audio(
+    docs: DataFrame, n_samples: int = 64, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL 16-bit mono PCM WAV assets from the
+    ``documents`` fixture: sample ``i`` of doc ``d`` is
+    ``((d*31 + i*17) % 4096) - 2048``.  The payload — a valid RIFF
+    container the stdlib ``wave`` module opens — is assembled in
+    Column expressions (constant header hex + per-sample
+    little-endian hex + ``unhex``); no UDF."""
+    header_hex = _wav_header(n_samples, sample_rate).hex()
+    i_d = F.col("doc_id")
+
+    def sample_hex(i: int):
+        # two's-complement 16-bit little-endian as 4 hex chars
+        v = (i_d * 31 + i * 17) % 4096 - 2048
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        lo, hi = u % 256, (u / 256).cast("int")
+        return F.concat(
+            F.lpad(F.lower(F.hex(lo)), 2, "0"), F.lpad(F.lower(F.hex(hi)), 2, "0")
+        )
+
+    samples_hex = F.concat(*[sample_hex(i) for i in range(n_samples)])
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(F.concat(F.lit(header_hex), samples_hex)).alias("payload"),
+        F.lit("audio/wav").alias("mime_type"),
+    )
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """REAL WAV decode via the stdlib ``wave`` module: parse the RIFF
+    container, unpack the PCM frames, emit FEATURE_DIM stats:
+    ``[n_channels, sample_rate, sample_width_bits, n_frames, mean,
+    rms, peak, zero_crossings]``."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch, width, rate, n_frames = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(n_frames)
+    if width != 2:
+        raise ValueError("only 16-bit PCM supported")
+    vals = struct.unpack(f"<{n_frames * n_ch}h", raw)
+    n = len(vals) or 1
+    mean = sum(vals) / n
+    rms = math.sqrt(sum(v * v for v in vals) / n)
+    peak = float(max(abs(v) for v in vals)) if vals else 0.0
+    zc = sum(1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0))
+    return [
+        float(n_ch), float(rate), float(width * 8), float(n_frames),
+        mean, rms, peak, float(zc),
+    ]
 
 
 def synthesize_ppm_images(docs: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
@@ -150,11 +229,14 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     """
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
     if not fake:
         raise NotImplementedError(
             f"real {modality} decoding requires media libraries not "
             "available in this environment; pass fake=True for the "
-            "deterministic stand-in (PPM images decode for real)"
+            "deterministic stand-in (PPM images and WAV audio decode "
+            "for real)"
         )
     digest = hashlib.md5(payload).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]

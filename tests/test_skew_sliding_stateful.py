@@ -156,3 +156,48 @@ def test_synthesized_ppm_decodes_for_real(spark):
     vec = feats[0].feature
     assert vec[0] == 4.0 and vec[1] == 4.0 and vec[2] == 255.0
     assert vec[3] == sum((3 * 7 + i * 13) % 256 for i in range(0, 48, 3)) / 16
+
+
+def test_decode_wav_real_parse():
+    import math
+    import struct
+
+    from eggv_spark.operators.multimodal import (
+        _wav_header,
+        decode_payload,
+        decode_wav,
+    )
+
+    samples = [0, 100, -100, 200]
+    payload = _wav_header(4, 8000) + struct.pack("<4h", *samples)
+    ch, rate, bits, n, mean, rms, peak, zc = decode_wav(payload)
+    assert (ch, rate, bits, n) == (1.0, 8000.0, 16.0, 4.0)
+    assert mean == 50.0
+    assert rms == math.sqrt((0 + 100**2 + 100**2 + 200**2) / 4)
+    assert peak == 200.0
+    assert zc == 2  # 100->-100 and -100->200
+    # decode_payload routes RIFF to the real parser
+    assert decode_payload(payload, "audio", fake=False) == decode_wav(payload)
+
+
+def test_synthesized_wav_decodes_for_real(spark):
+    import struct
+
+    from eggv_spark.operators.multimodal import (
+        _wav_header,
+        extract_features,
+        synthesize_wav_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "t", "s", "en")], ["doc_id", "text", "source", "lang"]
+    )
+    payload = bytes(synthesize_wav_audio(docs).collect()[0].payload)
+    expected = _wav_header(64, 8000) + struct.pack(
+        "<64h", *[(5 * 31 + i * 17) % 4096 - 2048 for i in range(64)]
+    )
+    assert payload == expected  # Column-expr assembly is byte-exact
+
+    feats = extract_features(synthesize_wav_audio(docs), fake_decode=False).collect()
+    vec = feats[0].feature
+    assert (vec[0], vec[1], vec[2], vec[3]) == (1.0, 8000.0, 16.0, 64.0)
