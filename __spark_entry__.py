@@ -733,6 +733,29 @@ def _stream_dedupe(spark, sf_dir):
     )
 
 
+def _mm_audio_decode(spark, sf_dir):
+    """REAL audio decode (fake=False): synthesize genuine 16-bit PCM
+    WAV payloads, open them with the stdlib wave module inside the
+    Arrow-batched stage, and emit PCM stats.  The sample formula is
+    reproduced by the DuckDB oracle (64-sample frames keep the mean
+    dyadic; rms is a double-precision sqrt on both engines)."""
+    from eggv_spark.operators import multimodal as M
+
+    feats = M.extract_features(
+        M.synthesize_wav_audio(_t(spark, sf_dir, "documents")), fake_decode=False
+    )
+    return feats.select(
+        "asset_id", "modality", "n_bytes",
+        F.get("feature", 0).cast("int").alias("n_channels"),
+        F.get("feature", 1).cast("int").alias("sample_rate"),
+        F.get("feature", 3).cast("int").alias("n_frames"),
+        F.round(F.get("feature", 4), 4).alias("mean_amp"),
+        F.round(F.get("feature", 5), 4).alias("rms"),
+        F.get("feature", 6).cast("int").alias("peak"),
+        F.get("feature", 7).cast("int").alias("zero_crossings"),
+    )
+
+
 def _txt_chunk(spark, sf_dir):
     """Fixed-token-window chunking (training-example prep), 1->N."""
     return T.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=32)
@@ -1477,9 +1500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (now at the back, regression-guarded by tests/test_reference_parity.py
     and scripts/check_correctness.py which runs ALL entries locally).
     Round 2 front-loads the 50 previously-unverified extension queries.
-    ``join_cross`` and ``agg_approx`` (rows-only check: HLL sketches are
-    not value-reproducible in DuckDB) sit at positions 51-52 and rotate
-    into the window next round.
+    The block after them — ``join_cross``, ``agg_approx`` (rows-only
+    check: HLL sketches are not value-reproducible in DuckDB), and the
+    queries added during round 2 — rotates into the window next round.
     """
     return {
         # --- round-2 verification window: previously-unverified (50) ---
@@ -1540,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pack_sequences": _txt_pack_sequences,
         "smp_stratified": _smp_stratified,
         "agg_corr": _agg_corr,
+        "mm_audio_decode": _mm_audio_decode,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2310,6 +2334,30 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE c_custkey END AS k, c_name FROM customer)"
             " SELECT o_orderkey, c_name FROM o JOIN c"
             " ON o.k IS NOT DISTINCT FROM c.k"
+        ),
+        "mm_audio_decode": (
+            # REAL WAV decode replica: sample i of doc d is
+            # (d*31 + i*17) % 4096 - 2048 (synthesize_wav_audio);
+            # stats mirror decode_wav.  n_bytes = 44-byte header +
+            # 64 16-bit samples.
+            "WITH s AS (SELECT d.doc_id, i,"
+            "  (d.doc_id * 31 + i * 17) % 4096 - 2048 AS v"
+            " FROM documents d, generate_series(0, 63) t(i)),"
+            " lagged AS (SELECT doc_id, v,"
+            "  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s),"
+            " a AS (SELECT doc_id, avg(v) AS mean_amp,"
+            "  sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms,"
+            "  max(abs(v)) AS peak,"
+            "  sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)"
+            "      THEN 1 ELSE 0 END) AS zc"
+            " FROM lagged GROUP BY doc_id)"
+            " SELECT doc_id AS asset_id, 'audio' AS modality,"
+            " CAST(172 AS BIGINT) AS n_bytes,"
+            " CAST(1 AS INT) AS n_channels, CAST(8000 AS INT) AS sample_rate,"
+            " CAST(64 AS INT) AS n_frames,"
+            " round(mean_amp, 4) AS mean_amp, round(rms, 4) AS rms,"
+            " CAST(peak AS INT) AS peak, CAST(zc AS INT) AS zero_crossings"
+            " FROM a"
         ),
         "txt_chunk": (
             "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t FROM documents),"

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     MapType,
@@ -129,13 +130,17 @@ MULTIMODAL_ASSET_SCHEMA = _struct(
     ("meta", MapType(StringType(), StringType())),
 )
 
-#: Extracted multimodal features (extension).
+#: Extracted multimodal features (extension).  ``feature`` is DOUBLE:
+#: real decoders emit exact stats (raster means, PCM rms) that the
+#: value oracle reproduces in double-precision SQL — float32
+#: truncation would break round(4) comparison for non-dyadic values
+#: like rms.
 MULTIMODAL_FEATURE_SCHEMA = _struct(
     ("asset_id", LongType()),
     ("modality", StringType()),
     ("n_bytes", LongType()),
     ("content_hash", StringType()),
-    ("feature", ArrayType(FloatType())),
+    ("feature", ArrayType(DoubleType())),
 )
 
 #: Events stream shape (driver testdata).
