@@ -125,7 +125,11 @@ def main() -> None:
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    pipeline = bench_pipeline(spark)
+    try:
+        pipeline = bench_pipeline(spark)
+    except Exception as exc:  # noqa: BLE001 — headline numbers must still print
+        print(f"pipeline bench failed: {exc}", file=sys.stderr)
+        pipeline = None
     if pipeline is not None:
         timings["pipeline_complete"] = pipeline["sec"]
 
