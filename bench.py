@@ -79,10 +79,18 @@ def bench_pipeline(spark) -> dict | None:
     P.run_variant_processing(spark, layout, fmt="parquet")
     P.run_annotation(spark, layout, fmt="parquet")
     sec = time.perf_counter() - start
+    # Reference comparison: the mm10 complete pipeline processes
+    # 23 GB of raw GVF in "28 min." on an HPC cluster
+    # (eggv/process.py:433, readme.rst:233-239, BASELINE.md) —
+    # 23/(28*60) ~= 0.0137 GB/s.
+    ref_gbps = 23.0 / (28 * 60)
+    gbps = input_gb / sec
     return {
         "sec": round(sec, 3),
         "input_gb": round(input_gb, 3),
-        "gb_per_sec": round(input_gb / sec, 4),
+        "gb_per_sec": round(gbps, 4),
+        "baseline_ref_gb_per_sec": round(ref_gbps, 4),
+        "speedup_vs_ref": round(gbps / ref_gbps, 2),
     }
 
 
