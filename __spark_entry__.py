@@ -733,6 +733,17 @@ def _stream_dedupe(spark, sf_dir):
     )
 
 
+def _tbl_validate(spark, sf_dir):
+    """One-pass Deequ-style constraint validation over orders."""
+    return TO.validate_constraints(
+        _t(spark, sf_dir, "orders"),
+        not_null=["o_custkey", "o_orderdate"],
+        unique="o_orderkey",
+        ranges={"o_totalprice": (0.0, 1_000_000.0)},
+        accepted={"o_orderstatus": ["O", "F", "P"]},
+    )
+
+
 def _mm_audio_decode(spark, sf_dir):
     """REAL audio decode (fake=False): synthesize genuine 16-bit PCM
     WAV payloads, open them with the stdlib wave module inside the
@@ -1564,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_stratified": _smp_stratified,
         "agg_corr": _agg_corr,
         "mm_audio_decode": _mm_audio_decode,
+        "tbl_validate": _tbl_validate,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2334,6 +2346,26 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE c_custkey END AS k, c_name FROM customer)"
             " SELECT o_orderkey, c_name FROM o JOIN c"
             " ON o.k IS NOT DISTINCT FROM c.k"
+        ),
+        "tbl_validate": (
+            "WITH a AS (SELECT"
+            " sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1,"
+            " sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v2,"
+            " count(o_orderkey) - count(DISTINCT o_orderkey) AS v3,"
+            " sum(CASE WHEN NOT o_totalprice BETWEEN 0.0 AND 1000000.0"
+            "     THEN 1 ELSE 0 END) AS v4,"
+            " sum(CASE WHEN o_orderstatus IS NOT NULL"
+            "     AND o_orderstatus NOT IN ('O', 'F', 'P')"
+            "     THEN 1 ELSE 0 END) AS v5"
+            " FROM orders)"
+            " SELECT c AS constraint, CAST(v AS BIGINT) AS violations,"
+            " v = 0 AS passed FROM a, (VALUES"
+            " ('not_null(o_custkey)', 1), ('not_null(o_orderdate)', 2),"
+            " ('unique(o_orderkey)', 3),"
+            " ('range(o_totalprice,[0.0,1000000.0])', 4),"
+            " ('accepted(o_orderstatus)', 5)) t(c, i),"
+            " LATERAL (SELECT CASE i WHEN 1 THEN v1 WHEN 2 THEN v2"
+            "  WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END AS v) s"
         ),
         "mm_audio_decode": (
             # REAL WAV decode replica: sample i of doc d is

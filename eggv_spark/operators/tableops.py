@@ -236,3 +236,59 @@ def scd2_merge(
         )
     )
     return kept.drop("_changed").unionByName(opened).unionByName(inserted)
+
+
+def validate_constraints(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: str | None = None,
+    ranges: "dict[str, tuple[float, float]] | None" = None,
+    accepted: "dict[str, Sequence[str]] | None" = None,
+) -> DataFrame:
+    """One-PASS data-quality validation (the Deequ pattern): every
+    declared constraint becomes an aggregate expression in a SINGLE
+    scan+agg, then unpivots to one row per constraint with its
+    violation count.  Never one job per check at 100 TB.
+
+    Semantics (each documented where it bites):
+    - ``not_null``: violations = rows where the column IS NULL.
+    - ``unique``: violations = non-null rows minus distinct values
+      (nulls are not counted as duplicates of each other — SQL
+      ``count(DISTINCT ..)`` semantics, matched by every engine).
+    - ``ranges``: violations = non-null values outside [lo, hi]
+      (nulls are the not_null check's job, not this one's).
+    - ``accepted``: violations = non-null values outside the set.
+    """
+    aggs: list[Column] = [F.count("*").alias("_n_rows")]
+    names: list[str] = []
+
+    def add(name: str, expr: Column) -> None:
+        names.append(name)
+        aggs.append(expr.cast("long").alias(f"_v_{len(names)}"))
+
+    for c in not_null:
+        add(f"not_null({c})",
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
+    if unique:
+        add(f"unique({unique})",
+            F.count(F.col(unique)) - F.count_distinct(F.col(unique)))
+    for c, (lo, hi) in (ranges or {}).items():
+        add(f"range({c},[{lo},{hi}])",
+            F.sum(F.when(~F.col(c).between(lo, hi), 1).otherwise(0)))
+    for c, vals in (accepted or {}).items():
+        add(f"accepted({c})",
+            F.sum(
+                F.when(F.col(c).isNotNull() & ~F.col(c).isin(*vals), 1)
+                .otherwise(0)
+            ))
+
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.coalesce(F.col(f"_v_{i + 1}"), F.lit(0)).alias("violations"),
+            (F.coalesce(F.col(f"_v_{i + 1}"), F.lit(0)) == 0).alias("passed"),
+        )
+        for i, name in enumerate(names)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")

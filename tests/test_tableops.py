@@ -132,3 +132,41 @@ def test_scd2_merge_versions_changed_keys(spark):
     assert rows[(2, "SF")] == (100, None)   # unchanged passes through
     assert rows[(3, "DEN")] == (200, None)  # brand-new key inserts open
     assert len(rows) == 5
+
+
+def test_validate_constraints_counts_violations(spark):
+    from eggv_spark.operators.tableops import validate_constraints
+
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", -5.0), (2, None, 50.0), (3, "Z", None)],
+        ["k", "status", "price"],
+    )
+    out = {r.constraint: (r.violations, r.passed)
+           for r in validate_constraints(
+               df,
+               not_null=["status"],
+               unique="k",
+               ranges={"price": (0.0, 100.0)},
+               accepted={"status": ["A", "B"]},
+           ).collect()}
+    assert out["not_null(status)"] == (1, False)
+    assert out["unique(k)"] == (1, False)          # k=2 twice
+    # null price is NOT a range violation (not_null's job)
+    assert out["range(price,[0.0,100.0])"] == (1, False)  # -5.0 only
+    assert out["accepted(status)"] == (1, False)   # 'Z' only, null excluded
+    clean = validate_constraints(df.limit(0), not_null=["status"]).collect()
+    assert clean[0].violations == 0 and clean[0].passed
+
+
+def test_validate_constraints_single_pass_plan(spark):
+    from eggv_spark.operators.tableops import validate_constraints
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = validate_constraints(
+        df, not_null=["o_custkey"], unique="o_orderkey",
+        ranges={"o_totalprice": (0.0, 1e6)},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # All constraints in ONE aggregate over one scan — a per-check
+    # job would show several scans.
+    assert plan.count("FileScan parquet") == 1
