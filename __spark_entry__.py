@@ -1184,6 +1184,15 @@ def _sim_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), k=5)
 
 
+def _sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: shuffle-free 8x16 encode of the
+    corpus + per-query asymmetric-distance LUT, fully deterministic
+    (md5 codebooks, 6dp argmin w/ index tiebreak) so the DuckDB
+    oracle reproduces codes, LUT, and ranking exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, emb.filter("vec_id % 50 = 0"), k_neighbors=5)
+
+
 # ---------------------------------------------------------------------------
 # multimodal + streaming (extension)
 # ---------------------------------------------------------------------------
@@ -1377,6 +1386,52 @@ scored AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
     FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_table}))
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
+def _pq_topk_oracle() -> str:
+    """Exact replica of the PQ encode + asymmetric-distance ranking:
+    md5-derived codebooks as literals; per-(vector, subspace) squared
+    L2 to every centroid, 6dp-rounded; argmin with lowest-index
+    tiebreak for codes; queries reuse the same distances as their
+    LUT; approx distance = sum of the query's LUT entries at the
+    corpus codes."""
+    from eggv_spark.operators.similarity import _pq_codebook
+
+    dim, m, k, kn = 64, 8, 16, 5
+    sub_dim = dim // m
+    rows = ", ".join(
+        f"({s}, {c}, ["
+        + ", ".join(repr(w) for w in _pq_codebook(s, k, sub_dim)[c])
+        + "])"
+        for s in range(m)
+        for c in range(k)
+    )
+    return f"""
+WITH cb(sub, c, cv) AS (VALUES {rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sd AS (SELECT vec_id, sub, c,
+    round(list_sum(list_transform(generate_series(1, {sub_dim}),
+        i -> (v[sub * {sub_dim} + i] - cv[i])
+             * (v[sub * {sub_dim} + i] - cv[i]))), 6) AS d
+    FROM v CROSS JOIN cb),
+enc AS (SELECT vec_id, sub, c AS code FROM (
+    SELECT vec_id, sub, c,
+        row_number() OVER (PARTITION BY vec_id, sub
+                           ORDER BY d ASC, c ASC) AS rn
+    FROM sd) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, sub, c, d FROM sd WHERE vec_id % 50 = 0),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        round(sum(q.d), 4) AS approx_dist
+    FROM enc e JOIN q ON q.sub = e.sub AND q.c = e.code
+        AND e.vec_id <> q.query_id
+    GROUP BY q.query_id, e.vec_id),
+ranked AS (SELECT query_id, neighbor_id, approx_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {kn}
 """
 
 
@@ -1576,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_corr": _agg_corr,
         "mm_audio_decode": _mm_audio_decode,
         "tbl_validate": _tbl_validate,
+        "sim_pq_topk": _sim_pq_topk,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2064,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "ddp_ngram_jaccard": _ngram_jaccard_oracle(),
         "sim_cosine_topk": _cosine_topk_oracle(),
         "sim_ivf_topk": _ivf_topk_oracle(),
+        "sim_pq_topk": _pq_topk_oracle(),
         "mm_asset_stats": (
             "SELECT doc_id AS asset_id,"
             " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"

@@ -224,3 +224,153 @@ def ivf_topk(
     return ivf_query(
         index, queries, k, n_centroids, n_probe, vec_col, id_col, dim=dim
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+def _pq_codebook(sub: int, k: int, sub_dim: int) -> list[list[float]]:
+    """Deterministic md5-derived codebook for subspace ``sub``: ``k``
+    centroids of ``sub_dim`` floats (same construction discipline as
+    :func:`_centroid_values` — reproducible in the oracle, no RNG)."""
+    import hashlib
+
+    return [
+        [
+            float(
+                int(hashlib.md5(f"pq-{sub}-{c}-{d}".encode()).hexdigest()[:8], 16)
+                % 2001
+                - 1000
+            )
+            for d in range(sub_dim)
+        ]
+        for c in range(k)
+    ]
+
+
+def _sub_sq_dist(vec: Column, sub: int, sub_dim: int, centroid: Column) -> Column:
+    """Squared L2 distance between one subvector of ``vec`` and a
+    centroid, accumulated in double with a sequential fold."""
+    subvec = F.slice(vec, sub * sub_dim + 1, sub_dim)
+    return F.aggregate(
+        F.zip_with(
+            subvec, centroid, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ index build: quantize every vector to ``m`` sub-codes (the
+    nearest of ``k`` centroids per subspace, 6dp-rounded distance
+    with a lowest-index tiebreak — deterministic).  Shuffle-free
+    map pass; the stored code array is m small ints per vector —
+    a ~dim*4/m byte compression, the representation that lets a
+    billion-vector index live in memory.
+    """
+    sub_dim = dim // m
+    codes = F.array(
+        *[
+            # argmin over k centroids: build (dist, idx) structs,
+            # array_min picks smallest dist (idx breaks ties upward)
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            F.round(
+                                _sub_sq_dist(
+                                    F.col(vec_col), sub, sub_dim,
+                                    F.lit(_pq_codebook(sub, k, sub_dim)[c]),
+                                ),
+                                6,
+                            ).alias("dist"),
+                            F.lit(c).alias("idx"),
+                        )
+                        for c in range(k)
+                    ]
+                )
+            ).getField("idx")
+            for sub in range(m)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), codes.alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance: each query
+    precomputes an m x k lookup table of exact subspace distances to
+    every centroid (Column exprs on the query side, BEFORE the
+    broadcast), then every corpus CODE row scores as m table lookups
+    — no full-vector math on the corpus side at query time.
+
+    Plan: shuffle-free encode of the corpus + broadcast of the
+    (small) query side + one window top-k — the standard
+    billion-scale ANN shape (compose with :func:`ivf_index` cells to
+    also prune WHICH codes each query scans).
+    """
+    sub_dim = dim // m
+    encoded = pq_encode(corpus, m, k, dim, vec_col, id_col)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _sub_sq_dist(
+                            F.col("q_vec"), sub, sub_dim,
+                            F.lit(_pq_codebook(sub, k, sub_dim)[c]),
+                        ),
+                        6,
+                    )
+                    for c in range(k)
+                ]
+            )
+            for sub in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("lut", lut)
+        .drop("q_vec")
+    )
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, table: F.element_at(table, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        encoded.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_dist", F.round(approx, 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

@@ -182,3 +182,25 @@ def test_ivf_params_scale_with_corpus():
     assert big["n_centroids"] == 31622
     assert big["n_probe"] == 31622 // 8
     assert S.ivf_params(0)["n_centroids"] >= 4
+
+
+def test_pq_topk_identical_vector_attains_min_distance(vectors):
+    out = S.pq_topk(vectors, vectors.filter("vec_id = 1"), k_neighbors=4,
+                    m=2, k=4, dim=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    # the identical vector (4) shares the query's codes, so its
+    # approx distance is the minimum attainable (others may TIE by
+    # quantizing to the same codes — then id order decides)
+    dist = {r.neighbor_id: r.approx_dist for r in rows}
+    assert dist[4] == min(dist.values())
+    assert rows[0].approx_dist <= rows[-1].approx_dist
+
+
+def test_pq_encode_is_deterministic_and_compact(vectors):
+    a = {r.neighbor_id: r.codes for r in
+         S.pq_encode(vectors, m=2, k=4, dim=4).collect()}
+    b = {r.neighbor_id: r.codes for r in
+         S.pq_encode(vectors, m=2, k=4, dim=4).collect()}
+    assert a == b
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in a.values())
+    assert a[1] == a[4]  # identical vectors share codes
