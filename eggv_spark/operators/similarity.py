@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (extension, SURVEY §7.4).
 
-Two paths:
+Three paths:
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
   query set against the full corpus; one pass, no shuffle of the big
   side, window top-k per query.  The correctness baseline.
@@ -9,8 +9,13 @@ Two paths:
   (partition pruning analog); each query probes only its P nearest
   centroids' rows.  Cuts the scanned fraction to ~P/C while keeping
   the same final exact-cosine ranking within probed cells.
+- ``pq_topk`` — product quantization: corpus vectors compress to m
+  sub-codes; queries rank by asymmetric distance through per-query
+  lookup tables.  The memory-footprint path (and IVF's standard
+  companion: cells prune WHICH codes scan, PQ prunes WHAT each scan
+  costs).
 
-Both stay in Column expressions (zip_with/aggregate higher-order
+All stay in Column expressions (zip_with/aggregate higher-order
 functions) — no Python UDFs in the hot path.
 """
 
