@@ -1227,9 +1227,19 @@ def _mm_feature_extract(spark, sf_dir):
 
 
 def _mm_video_frames(spark, sf_dir):
+    """REAL video decode (fake=False): synthesize genuine Y4M
+    (YUV4MPEG2, C444) payloads, parse header + FRAME markers with the
+    stdlib decoder inside mapInPandas, and emit per-frame hash + luma
+    mean.  4x4 frames make mean_y dyadic (sum/16), so the DuckDB
+    oracle reproduces every value exactly from the pixel formula."""
     from eggv_spark.operators import multimodal as M
 
-    return M.sample_video_frames(M.synthesize_assets(_t(spark, sf_dir, "documents")))
+    vids = M.synthesize_y4m_videos(_t(spark, sf_dir, "documents"))
+    frames = M.sample_video_frames(vids, n_frames=4, fake_decode=False)
+    return frames.select(
+        "asset_id", "frame_idx", "frame_hash",
+        F.round("mean_y", 4).alias("mean_y"),
+    )
 
 
 def _stream_tumbling(spark, sf_dir):
@@ -2157,10 +2167,19 @@ def oracle_sql() -> dict[str, str]:
             " FROM st"
         ),
         "mm_video_frames": (
-            "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,"
-            " md5(text || '#' || i) AS frame_hash"
-            " FROM documents, range(0, 4) AS t(i)"
-            " WHERE doc_id % 3 = 2"
+            # REAL Y4M decode replica: byte i of frame f of doc d is
+            # (d*7 + f*11 + i*13) % 256 over the 48-byte C444 frame
+            # (synthesize_y4m_videos); frame_hash is md5 of the
+            # lowercase frame hex; mean_y averages the 16-byte Y plane.
+            "WITH px AS ("
+            " SELECT d.doc_id, f, i,"
+            "  (d.doc_id * 7 + f * 11 + i * 13) % 256 AS v"
+            " FROM documents d, range(0, 4) tf(f), range(0, 48) ti(i))"
+            " SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,"
+            " md5(string_agg(lpad(lower(to_hex(v)), 2, '0'), ''"
+            "  ORDER BY i)) AS frame_hash,"
+            " round(avg(v) FILTER (i < 16), 4) AS mean_y"
+            " FROM px GROUP BY doc_id, f"
         ),
         "mm_resize": (
             # resized buffer = md5(payload || '64x64') digest repeated

@@ -18,8 +18,13 @@ modality:
   RIFF container with the stdlib ``wave`` module and computes PCM
   stats; :func:`synthesize_wav_audio` emits genuine WAV payloads in
   Column exprs.
-- video (and compressed image/audio codecs): STUBBED — the container
-  has no ffmpeg/PIL/librosa, so ``decode_payload`` raises
+- **video: REAL for uncompressed Y4M (YUV4MPEG2)** —
+  :func:`decode_y4m` parses the textual stream header + per-frame
+  ``FRAME`` markers and slices raw planar YUV frames (stdlib only);
+  :func:`synthesize_y4m_videos` emits genuine Y4M payloads in Column
+  exprs, so frame sampling runs with ``fake=False`` end-to-end.
+- compressed codecs (JPEG/MP3/H.264 …): STUBBED — the container has
+  no ffmpeg/PIL/librosa, so ``decode_payload`` raises
   ``NotImplementedError`` unless ``fake=True``, which produces a
   deterministic md5-derived feature vector with the same shape a
   real decoder would emit.
@@ -217,11 +222,100 @@ def decode_ppm(payload: bytes) -> list[float]:
     ]
 
 
+def _y4m_header(width: int, height: int, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """YUV4MPEG2 stream header, progressive, square pixels, C444
+    (full-resolution U/V planes, so a frame is exactly 3*W*H bytes)."""
+    return (
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 C444\n"
+    ).encode("ascii")
+
+
+def synthesize_y4m_videos(
+    docs: DataFrame, width: int = 4, height: int = 4, n_frames: int = 4
+) -> DataFrame:
+    """Deterministic REAL Y4M (YUV4MPEG2, C444) video assets from the
+    ``documents`` fixture: byte ``i`` of frame ``f`` of doc ``d`` is
+    ``(d*7 + f*11 + i*13) % 256`` over the 3*W*H-byte planar frame.
+    The payload — header, ``FRAME`` markers, raw planes — is assembled
+    in Column expressions (constant hex + per-byte hex + ``unhex``);
+    no UDF, reproducible in any engine from the same formula."""
+    frame_len = width * height * 3
+    marker_hex = b"FRAME\n".hex()
+
+    def frame_hex(f: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(frame_len - 1)),
+                lambda i: F.lpad(
+                    F.lower(F.hex((F.col("doc_id") * 7 + f * 11 + i * 13) % 256)),
+                    2,
+                    "0",
+                ),
+            ),
+            "",
+        )
+
+    body_hex = F.concat(
+        *[part for f in range(n_frames) for part in (F.lit(marker_hex), frame_hex(f))]
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.unhex(F.concat(F.lit(_y4m_header(width, height).hex()), body_hex)).alias(
+            "payload"
+        ),
+        F.lit("video/x-yuv4mpeg").alias("mime_type"),
+    )
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """REAL Y4M decode, stdlib only: parse the ``YUV4MPEG2`` header
+    tags (W/H/F/C), then walk ``FRAME`` markers slicing fixed-size raw
+    planar frames.  Returns ``(width, height, fps_num, fps_den,
+    frames)`` where each frame is the raw plane bytes (Y then U then V
+    for C444)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    width = height = 0
+    fps_num, fps_den, chroma = 25, 1, "420"
+    for tag in payload[:nl].decode("ascii").split()[1:]:
+        key, val = tag[0], tag[1:]
+        if key == "W":
+            width = int(val)
+        elif key == "H":
+            height = int(val)
+        elif key == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == "C":
+            chroma = val
+    sizes = {"444": 3 * width * height, "422": 2 * width * height,
+             "420": width * height * 3 // 2}
+    frame_len = sizes.get(chroma[:3])
+    if frame_len is None:
+        raise ValueError(f"unsupported chroma subsampling C{chroma}")
+    frames: list[bytes] = []
+    i = nl + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        j = payload.index(b"\n", i)
+        frame = payload[j + 1 : j + 1 + frame_len]
+        if len(frame) != frame_len:
+            raise ValueError("truncated Y4M frame")
+        frames.append(frame)
+        i = j + 1 + frame_len
+    return width, height, fps_num, fps_den, frames
+
+
 def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one media payload to a feature vector.
 
     Binary-PPM image payloads (magic ``P6``) are decoded FOR REAL via
-    :func:`decode_ppm` regardless of ``fake``.  Other formats need
+    :func:`decode_ppm` regardless of ``fake``; likewise WAV
+    (``RIFF``) via :func:`decode_wav` and Y4M video (``YUV4MPEG2``)
+    via :func:`decode_y4m`.  Compressed formats need
     PIL/librosa/ffmpeg, which this environment does not ship:
     ``fake=True`` derives a deterministic FEATURE_DIM-float vector
     from the md5 digest — shape-compatible with a real embedding so
@@ -231,6 +325,21 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
         return decode_ppm(payload)
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)
+    if payload.startswith(b"YUV4MPEG2"):
+        w, h, fps_num, fps_den, frames = decode_y4m(payload)
+        plane = w * h
+        n = len(frames) or 1
+
+        def plane_mean(offset: int) -> float:
+            return sum(
+                sum(fr[offset : offset + plane]) for fr in frames
+            ) / (plane * n)
+
+        return [
+            float(w), float(h), fps_num / fps_den, float(len(frames)),
+            plane_mean(0), plane_mean(plane), plane_mean(2 * plane),
+            sum(sum(fr) for fr in frames) / (3 * plane * n),
+        ]
     if not fake:
         raise NotImplementedError(
             f"real {modality} decoding requires media libraries not "
@@ -329,13 +438,39 @@ def sample_video_frames(
     assets: DataFrame, n_frames: int = 4, fake_decode: bool = True
 ) -> DataFrame:
     """Frame sampling for video assets: 1->N row expansion inside
-    mapInPandas (the operator shape a real ffmpeg sampler would use;
-    frame payloads are deterministic digest slices under the stub)."""
+    mapInPandas.
+
+    Y4M payloads (magic ``YUV4MPEG2``) are decoded FOR REAL via
+    :func:`decode_y4m` regardless of ``fake_decode``: up to
+    ``n_frames`` frames are sampled evenly across the stream
+    (``frame_idx`` is the SOURCE frame index), ``frame_hash`` is the
+    md5 of the lowercase hex of the raw frame bytes (engine-portable
+    — DuckDB reproduces it as ``md5(<hex string>)``), and ``mean_y``
+    is the decoded luma-plane mean.  Other containers need ffmpeg:
+    with ``fake_decode=True`` the hash is a deterministic digest
+    stand-in and ``mean_y`` is null."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out: dict[str, list] = {"asset_id": [], "frame_idx": [], "frame_hash": []}
+            out: dict[str, list] = {
+                "asset_id": [], "frame_idx": [], "frame_hash": [], "mean_y": []
+            }
             for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                payload = bytes(payload)
+                if payload.startswith(b"YUV4MPEG2"):
+                    w, h, _, _, frames = decode_y4m(payload)
+                    total = len(frames)
+                    k = min(n_frames, total)
+                    for j in range(k):
+                        fi = j * total // k
+                        frame = frames[fi]
+                        out["asset_id"].append(asset_id)
+                        out["frame_idx"].append(fi)
+                        out["frame_hash"].append(
+                            hashlib.md5(frame.hex().encode()).hexdigest()
+                        )
+                        out["mean_y"].append(sum(frame[: w * h]) / (w * h))
+                    continue
                 if not fake_decode:
                     raise NotImplementedError("real frame sampling needs ffmpeg")
                 for i in range(n_frames):
@@ -347,12 +482,14 @@ def sample_video_frames(
                     out["frame_hash"].append(
                         hashlib.md5(payload + f"#{i}".encode()).hexdigest()
                     )
+                    out["mean_y"].append(None)
             yield pd.DataFrame(out)
 
     return (
         assets.filter(F.col("modality") == "video")
         .select("asset_id", "payload")
         .mapInPandas(
-            _sample, "asset_id long, frame_idx int, frame_hash string"
+            _sample,
+            "asset_id long, frame_idx int, frame_hash string, mean_y double",
         )
     )

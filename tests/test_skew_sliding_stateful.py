@@ -201,3 +201,70 @@ def test_synthesized_wav_decodes_for_real(spark):
     feats = extract_features(synthesize_wav_audio(docs), fake_decode=False).collect()
     vec = feats[0].feature
     assert (vec[0], vec[1], vec[2], vec[3]) == (1.0, 8000.0, 16.0, 64.0)
+
+
+def test_decode_y4m_real_parse():
+    from eggv_spark.operators.multimodal import decode_payload, decode_y4m
+
+    # 2x2 C444, 2 frames of 12 bytes each
+    f0, f1 = bytes(range(12)), bytes(range(100, 112))
+    payload = (
+        b"YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C444\n"
+        + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    )
+    w, h, fn, fd, frames = decode_y4m(payload)
+    assert (w, h, fn, fd) == (2, 2, 30, 1)
+    assert frames == [f0, f1]
+    # decode_payload routes YUV4MPEG2 to the real parser
+    vec = decode_payload(payload, "video", fake=False)
+    assert vec[0:4] == [2.0, 2.0, 30.0, 2.0]
+    assert vec[4] == (sum(f0[0:4]) + sum(f1[0:4])) / 8  # mean_y
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_y4m(payload[:-4])  # truncated frame
+    with _pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x00\x01\xba mpeg", "video", fake=False)
+
+
+def test_synthesized_y4m_decodes_for_real(spark):
+    import hashlib
+
+    from eggv_spark.operators.multimodal import (
+        _y4m_header,
+        sample_video_frames,
+        synthesize_y4m_videos,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "t", "s", "en")], ["doc_id", "text", "source", "lang"]
+    )
+    vids = synthesize_y4m_videos(docs)
+    payload = bytes(vids.collect()[0].payload)
+    expected = _y4m_header(4, 4) + b"".join(
+        b"FRAME\n" + bytes((3 * 7 + f * 11 + i * 13) % 256 for i in range(48))
+        for f in range(4)
+    )
+    assert payload == expected  # Column-expr assembly is byte-exact
+
+    rows = sample_video_frames(vids, n_frames=4, fake_decode=False).collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    f2 = bytes((3 * 7 + 2 * 11 + i * 13) % 256 for i in range(48))
+    row2 = next(r for r in rows if r.frame_idx == 2)
+    assert row2.frame_hash == hashlib.md5(f2.hex().encode()).hexdigest()
+    assert row2.mean_y == sum(f2[:16]) / 16
+
+
+def test_video_frame_sampling_even_spacing(spark):
+    from eggv_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_y4m_videos,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t", "s", "en")], ["doc_id", "text", "source", "lang"]
+    )
+    vids = synthesize_y4m_videos(docs, n_frames=8)
+    rows = sample_video_frames(vids, n_frames=4, fake_decode=False).collect()
+    # 4 frames sampled evenly from 8 -> source indices 0, 2, 4, 6
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4, 6]
