@@ -302,3 +302,33 @@ def corr_cov_agg(
         F.round(F.covar_pop(x, y), 4).alias("covar_pop_xy"),
         F.count("*").alias("n_rows"),
     )
+
+
+def mode_agg(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent value, with
+    the SMALLEST value winning ties (SQL ``mode()`` leaves ties
+    undefined — useless for reproducible pipelines).
+
+    Two hash aggregations, both with map-side combine: the first
+    collapses the raw table to |groups × distinct values| before any
+    comparison happens, the second reduces each group's candidate set
+    with a single ``min`` over a (−count, value) struct — never a
+    window over raw rows, so nothing is sorted at data scale.
+    """
+    counts = df.groupBy(*keys, value_col).agg(F.count("*").alias("_n"))
+    best = F.min(
+        F.struct(
+            (-F.col("_n")).alias("neg_n"), F.col(value_col).alias("v")
+        )
+    )
+    return (
+        counts.groupBy(*keys)
+        .agg(best.alias("_best"))
+        .select(
+            *keys,
+            F.col("_best.v").alias("mode_value"),
+            (-F.col("_best.neg_n")).alias("mode_count"),
+        )
+    )

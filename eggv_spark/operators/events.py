@@ -221,3 +221,36 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-entity z-score outlier detection: each event's value
+    against its own entity's mean/stddev (sample), the first-pass
+    anomaly screen of metric pipelines.
+
+    Window aggregates over the full partition — ONE shuffle on the
+    entity key, no self-join, no second scan of the input.  The
+    anomaly flag compares the ROUNDED z to the threshold so the
+    boundary decision is bit-identical in any engine re-running the
+    same SQL (an unrounded float comparison could flip on summation
+    order).  Entities with a single event (stddev null) get null z
+    and a false flag.
+    """
+    w = Window.partitionBy(entity_col)
+    z = F.round(
+        (F.col(value_col) - F.avg(value_col).over(w))
+        / F.stddev_samp(value_col).over(w),
+        4,
+    )
+    return df.select(
+        "event_id",
+        entity_col,
+        value_col,
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -329,3 +329,30 @@ def stratified_sample_hash(
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
     bucket = F.pmod(base_hash(F.col(key_col).cast("string")), F.lit(100))
     return df.filter(bucket < rate)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, cap: int
+) -> DataFrame:
+    """Domain balancing: keep at most ``cap`` rows per group, chosen
+    by deterministic hash rank over the key (engine-portable md5, see
+    dedupe.base_hash) rather than arrival order — the standard
+    per-source cap of web-scale training mixtures (no single domain
+    may dominate), reproducible across runs and partitionings.
+
+    One shuffle (window partitioned on the group); the rank predicate
+    drops excess rows in the same stage they rank in, so downstream
+    stages only ever see ≤ cap rows per group.  A pathologically hot
+    group is the only skew risk — AQE's skew-join/partition splitting
+    handles the shuffle side, and the per-row state is one counter.
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    w = Window.partitionBy(group_col).orderBy(
+        base_hash(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("_cap_rank", F.row_number().over(w))
+        .filter(F.col("_cap_rank") <= cap)
+        .drop("_cap_rank")
+    )

@@ -379,3 +379,99 @@ def pq_topk(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) iteration
+# ---------------------------------------------------------------------------
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """E-step of Lloyd's k-means: assign every vector to its nearest
+    centroid by squared L2.  Centroids are the deterministic
+    md5-derived grid (:func:`_centroid_values`, shared with IVF), the
+    distance is 6dp-rounded with a lowest-cluster tie-break, so any
+    engine reproduces assignments exactly.
+
+    Shuffle-free map pass: the centroid set is ONE nested-array
+    literal and the argmin runs inside a higher-order transform, so
+    per-row work is O(n_clusters x dim) with no join and no state.
+
+    The md5 grid spans ±1000 (magnitude-blind under IVF's cosine,
+    decisive under L2), so it is rescaled to ±0.5 here to sit inside
+    a unit-ish embedding distribution — otherwise one
+    nearest-to-origin centroid swallows every vector.
+    """
+    cents = F.lit(
+        [[w / 2000.0 for w in _centroid_values(c, dim)] for c in range(n_clusters)]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        cents,
+        lambda cen, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, cen, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                6,
+            ).alias("d"),
+            i.alias("cluster"),
+        ),
+    )
+    best = F.get(F.array_sort(scored), 0)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best.getField("cluster").cast("int").alias("cluster_id"),
+        best.getField("d").alias("sq_dist"),
+    )
+
+
+def kmeans_iteration(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """One full Lloyd iteration (E-step assign + M-step recompute),
+    summarized per cluster: member count, inertia (sum of squared
+    distances — the quantity k-means minimizes), and the L2 norm of
+    the UPDATED centroid (mean of member vectors).  Iterating this
+    to convergence is the semantic-clustering front half of
+    SemDeDup-style dataset pruning.
+
+    Scale shape: assignment is map-only (see :func:`kmeans_assign`);
+    the M-step posexplodes to skinny (cluster, dim, value) rows whose
+    (cluster, dim) average gets map-side combine — the shuffle
+    carries n_clusters x dim rows per map partition, NOT the data —
+    and the count/inertia branch is one more combined aggregation.
+    The final join is n_clusters rows on both sides (broadcast).
+    """
+    assigned = kmeans_assign(corpus, n_clusters, vec_col, id_col, dim)
+    members = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum("sq_dist"), 2).alias("inertia"),
+    )
+    dims = (
+        assigned.select(
+            "cluster_id",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+        )
+        .groupBy("cluster_id", "d")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias(
+                "centroid_norm"
+            )
+        )
+    )
+    return members.join(F.broadcast(dims), "cluster_id")

@@ -240,3 +240,36 @@ def test_embedding_neardup_candidates_use_equijoin(spark):
     # (table, bucket) — never a nested-loop over all pairs.
     assert "NestedLoop" not in plan
     assert "Join" in plan
+
+
+def test_top_ngrams_avoids_global_sort_and_partial_aggregates(spark):
+    from eggv_spark.operators.text_analysis import top_ngrams
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(top_ngrams(docs, n=2, k=50))
+    # top-k is TakeOrderedAndProject (heap per partition + driver
+    # merge of k rows), never a global Sort shuffle of every n-gram
+    assert "TakeOrderedAndProject" in plan
+    # the count gets a map-side partial_count before the shuffle —
+    # the combiner that absorbs the Zipf head at corpus scale
+    assert "partial_count" in plan
+
+
+def test_cap_per_group_single_shuffle(spark):
+    from eggv_spark.operators.relational import cap_per_group
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(cap_per_group(docs, "source", "doc_id", 10))
+    # exactly one exchange: the window's hash partition on the group
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kmeans_estep_is_map_only(spark):
+    from eggv_spark.operators.similarity import kmeans_assign
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(kmeans_assign(emb, n_clusters=4))
+    # E-step must not shuffle or join: centroids are a literal,
+    # the argmin is per-row Column math
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -377,3 +377,85 @@ def test_corr_cov_agg_exact_on_linear_data(spark):
     assert row.corr_xy == 1.0       # perfectly linear
     assert row.covar_pop_xy == 16.5  # 2 * var_pop(0..9) = 2 * 8.25
     assert row.n_rows == 10
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    from eggv_spark.operators.relational import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "k long, s string"
+    )
+    capped = cap_per_group(df, "s", "k", 5)
+    sizes = {r.s: r.n for r in
+             capped.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"s0": 5, "s1": 5, "s2": 5}
+    once = {r.k for r in capped.collect()}
+    twice = {r.k for r in cap_per_group(df, "s", "k", 5).collect()}
+    assert once == twice  # hash rank, not arrival order
+    # a group smaller than the cap survives whole
+    assert cap_per_group(df.filter("k < 2"), "s", "k", 5).count() == 2
+
+
+def test_ngrams_col_and_top_ngrams(spark):
+    from eggv_spark.operators.text_analysis import ngrams_col, tokens_col, top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b x"), (3, "z")], "doc_id long, text string"
+    )
+    tri = df.select(
+        ngrams_col(tokens_col(F.col("text")), 3).alias("g")
+    ).collect()
+    assert tri[0].g == ["a b c", "b c a", "c a b"]
+    assert tri[2].g == []  # shorter than n
+    top = top_ngrams(df, n=2, k=2).collect()
+    assert [(r.ngram, r.n_occurrences) for r in top] == [("a b", 3), ("b c", 1)]
+
+
+def test_mode_agg_tie_breaks_smallest(spark):
+    from eggv_spark.operators.aggregates import mode_agg
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+         ("g2", "z")],
+        "grp string, v string",
+    )
+    rows = {r.grp: r for r in mode_agg(df, ["grp"], "v").collect()}
+    assert (rows["g1"].mode_value, rows["g1"].mode_count) == ("a", 2)  # tie a/b -> a
+    assert (rows["g2"].mode_value, rows["g2"].mode_count) == ("z", 1)
+
+
+def test_zscore_anomalies_flags_outlier(spark):
+    from eggv_spark.operators.events import zscore_anomalies
+
+    # enough inliers that the outlier can't inflate the stddev below
+    # its own z (with n=10, z_max caps at ~2.85 regardless of value)
+    vals = [10.0] * 19 + [1000.0]
+    df = spark.createDataFrame(
+        [(i, 7, v) for i, v in enumerate(vals)] + [(99, 8, 5.0)],
+        "event_id long, user_id long, value double",
+    )
+    rows = {r.event_id: r for r in zscore_anomalies(df).collect()}
+    assert rows[19].is_anomaly and rows[19].zscore > 3
+    assert not rows[0].is_anomaly
+    # singleton entity: stddev undefined -> null z, false flag
+    assert rows[99].zscore is None and rows[99].is_anomaly is False
+
+
+def test_kmeans_iteration_partitions_corpus(spark):
+    from eggv_spark.operators.similarity import kmeans_assign, kmeans_iteration
+
+    import math
+    data = [
+        (i, [math.sin(i * 0.7 + d) * 0.3 for d in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    assigned = kmeans_assign(df, n_clusters=4, dim=8)
+    assert assigned.count() == 40
+    out = kmeans_iteration(df, n_clusters=4, dim=8).collect()
+    assert sum(r.n_members for r in out) == 40   # every vector lands somewhere
+    assert len(out) > 1                          # not a single-cluster collapse
+    assert all(r.inertia >= 0 and r.centroid_norm >= 0 for r in out)
+    # deterministic across reruns
+    again = {(r.cluster_id, r.n_members) for r in
+             kmeans_iteration(df, n_clusters=4, dim=8).collect()}
+    assert {(r.cluster_id, r.n_members) for r in out} == again
