@@ -204,3 +204,42 @@ def test_pq_encode_is_deterministic_and_compact(vectors):
     assert a == b
     assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in a.values())
     assert a[1] == a[4]  # identical vectors share codes
+
+
+def test_star_cc_matches_propagation_and_handles_long_chains(spark):
+    import warnings
+
+    from eggv_spark.operators.dedupe import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # random-ish multi-component graph: star result == propagation result
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (5, 5)],
+        "id_a long, id_b long",
+    )
+    star = {(r.node, r.component)
+            for r in connected_components_star(pairs).collect()}
+    prop = {(r.node, r.component)
+            for r in connected_components(pairs).collect()}
+    # the propagation contract covers every node incl. self-loops;
+    # star drops pure self-loops (5,5) as non-edges — compare on the
+    # shared node set
+    star_nodes = {n for n, _ in star}
+    assert {(n, c) for n, c in prop if n in star_nodes} == star
+
+    # 40-link chain: diameter >> propagation's default budget, star
+    # converges without warning in O(log^2 n) rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> failure
+        labels = {r.node: r.component
+                  for r in connected_components_star(chain).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 41
+
+    # propagation DOES warn on the same chain (documents the contrast)
+    with pytest.warns(RuntimeWarning):
+        connected_components(chain, max_iterations=5)
