@@ -1193,6 +1193,16 @@ def _sim_pq_topk(spark, sf_dir):
     return S.pq_topk(emb, emb.filter("vec_id % 50 = 0"), k_neighbors=5)
 
 
+def _sim_range_search(spark, sf_dir):
+    """Radius similarity search through the IVF index: every corpus
+    neighbor with 4dp-rounded cosine >= 0.25 per query — unranked
+    filter output, no per-query window funnel."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_range_search(
+        emb, emb.filter("vec_id % 50 = 0"), threshold=0.25
+    )
+
+
 def _sim_kmeans_iter(spark, sf_dir):
     """One Lloyd k-means iteration over the embedding corpus
     (SemDeDup-style semantic clustering step): map-only E-step
@@ -1440,6 +1450,44 @@ scored AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
     FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_table}))
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
+def _range_search_oracle() -> str:
+    """IVF radius-search replica: same cell assignment/probing as the
+    top-k oracle, but the tail is a threshold filter on the rounded
+    cosine instead of a ranking window."""
+    from eggv_spark.operators.similarity import _centroid_values
+
+    dim, n_centroids, n_probe, threshold = 64, 16, 4, 0.25
+    cent_rows = ", ".join(
+        f"({c}, [" + ", ".join(repr(w) for w in _centroid_values(c, dim)) + "])"
+        for c in range(n_centroids)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cellcos AS (SELECT vec_id, v, cell,
+    round(list_dot_product(v, cv)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+          6) AS ccos
+    FROM v CROSS JOIN cent),
+ranked_cells AS (SELECT vec_id, v, cell, row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crank
+    FROM cellcos),
+assign AS (SELECT vec_id AS neighbor_id, v AS c_vec, cell
+           FROM ranked_cells WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, v AS q_vec, cell
+           FROM ranked_cells WHERE vec_id % 50 = 0 AND crank <= {n_probe})
+SELECT query_id, neighbor_id,
+    round(list_dot_product(q_vec, c_vec)
+          / (sqrt(list_dot_product(q_vec, q_vec))
+             * sqrt(list_dot_product(c_vec, c_vec))), 4) AS cosine
+    FROM assign JOIN probes USING (cell)
+    WHERE neighbor_id <> query_id
+      AND round(list_dot_product(q_vec, c_vec)
+          / (sqrt(list_dot_product(q_vec, q_vec))
+             * sqrt(list_dot_product(c_vec, c_vec))), 4) >= {threshold}
 """
 
 
@@ -1726,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_validate": _tbl_validate,
         "sim_pq_topk": _sim_pq_topk,
         "sim_kmeans_iter": _sim_kmeans_iter,
+        "sim_range_search": _sim_range_search,
         "smp_cap_per_group": _smp_cap_per_group,
         "txt_ngram_stats": _txt_ngram_stats,
         "evt_anomaly": _evt_anomaly,
@@ -2220,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": _ivf_topk_oracle(),
         "sim_pq_topk": _pq_topk_oracle(),
         "sim_kmeans_iter": _kmeans_iter_oracle(),
+        "sim_range_search": _range_search_oracle(),
         "smp_cap_per_group": (
             # cap_per_group replica: the rank hash is base_hash
             # (first 8 hex chars of md5 as a long).

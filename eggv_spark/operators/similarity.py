@@ -475,3 +475,54 @@ def kmeans_iteration(
         )
     )
     return members.join(F.broadcast(dims), "cluster_id")
+
+
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Radius (range) similarity search — the second standard ANN API
+    next to top-k: ALL corpus neighbors with cosine >= ``threshold``
+    for each query, not a fixed k.  Same cell-pruned scan shape as
+    :func:`ivf_query` (broadcast query fan-out over its n_probe best
+    cells, ~n_probe/n_centroids of the corpus scanned), but the
+    output is an unranked filter: no window, no per-query state, so
+    the operator stays embarrassingly parallel even when one query
+    has millions of in-radius neighbors (a top-k window would funnel
+    them through one partition).
+
+    The cosine is rounded to 4dp BEFORE the threshold compare so the
+    boundary decision is engine-portable (same policy as
+    events.zscore_anomalies).
+    """
+    index = ivf_index(corpus, n_centroids, vec_col, id_col, dim=dim).persist()
+    centroid_array = F.lit([_centroid_values(c, dim) for c in range(n_centroids)])
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn("q_norm", norm_col(F.col("q_vec")))
+        .withColumn(
+            "cell", F.explode(_best_cells(F.col("q_vec"), centroid_array, n_probe))
+        )
+    )
+    return (
+        index.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )

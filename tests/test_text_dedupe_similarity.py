@@ -243,3 +243,16 @@ def test_star_cc_matches_propagation_and_handles_long_chains(spark):
     # propagation DOES warn on the same chain (documents the contrast)
     with pytest.warns(RuntimeWarning):
         connected_components(chain, max_iterations=5)
+
+
+def test_ivf_range_search_finds_identical_vector(vectors):
+    from eggv_spark.operators.similarity import ivf_range_search
+
+    out = ivf_range_search(
+        vectors, vectors.filter("vec_id = 1"), threshold=0.99, dim=4
+    ).collect()
+    # vector 4 is vector 1's identical twin: same cell, cosine 1.0;
+    # self-match is excluded
+    ids = {r.neighbor_id for r in out}
+    assert 1 not in ids and 4 in ids
+    assert all(r.cosine >= 0.99 for r in out)
