@@ -1247,6 +1247,18 @@ def _agg_mode(spark, sf_dir):
     )
 
 
+def _stream_running_zscore(spark, sf_dir):
+    """Stateful streaming prefix z-score (applyInPandasWithState,
+    3-scalar state per user); over availableNow input it must equal
+    the batch running-window SQL — which is the oracle."""
+    from eggv_spark.streaming import events_stream as ES
+
+    return ES.run_available_now(
+        ES.streaming_running_zscore(ES.read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal + streaming (extension)
 # ---------------------------------------------------------------------------
@@ -1779,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_ngram_stats": _txt_ngram_stats,
         "evt_anomaly": _evt_anomaly,
         "agg_mode": _agg_mode,
+        "stream_running_zscore": _stream_running_zscore,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2295,6 +2308,18 @@ def oracle_sql() -> dict[str, str]:
             " FROM events)"
             " SELECT event_id, user_id, value, zscore,"
             " coalesce(abs(zscore) > 3.0, false) AS is_anomaly FROM z"
+        ),
+        "stream_running_zscore": (
+            # prefix-window twin of the stateful operator: stats over
+            # ROWS UNBOUNDED PRECEDING..CURRENT per (user, event-time)
+            "WITH w AS (SELECT event_id, user_id, value,"
+            "  avg(value) OVER win AS m,"
+            "  stddev_samp(value) OVER win AS sd"
+            " FROM events"
+            " WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            " SELECT event_id, user_id, value,"
+            " round((value - m) / nullif(sd, 0.0), 4) AS zscore FROM w"
         ),
         "agg_mode": (
             "SELECT o_orderstatus, o_orderpriority AS mode_value,"

@@ -270,3 +270,63 @@ def streaming_view_click_join(
     ).select(
         F.col("v_user").alias("user_id"), "view_ts", "click_ts"
     )
+
+
+def streaming_running_zscore(events: DataFrame) -> DataFrame:
+    """Stateful streaming anomaly scoring via
+    ``applyInPandasWithState``: each event's z-score against its
+    user's RUNNING mean/stddev over all events seen so far (prefix
+    stats, sample stddev, current row inclusive) — the online twin of
+    ``events.zscore_anomalies``'s full-history scan, and exactly a
+    batch ``avg/stddev_samp OVER (PARTITION BY user ORDER BY ts ROWS
+    UNBOUNDED PRECEDING)`` window, which is what the oracle checks.
+
+    State per user is three scalars (n, sum, sum-of-squares) —
+    bounded by key cardinality, not stream length.  Rows are ordered
+    by (ts, event_id) within each poll so scores are deterministic;
+    across micro-batches the operator assumes event-time-ordered
+    arrival per key (pair with a watermark + sorted file drops, the
+    standard contract for prefix-state operators).  The first event
+    of a user (stddev undefined) and zero-variance prefixes score
+    null.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id long, user_id long, value double, zscore double"
+    )
+    state_schema = "n long, s double, s2 double"
+
+    def score(key, pdf_iter, state: GroupState):
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out = {"event_id": [], "user_id": [], "value": [], "zscore": []}
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                n += 1
+                s += v
+                s2 += v * v
+                z = None
+                if n > 1:
+                    var = (s2 - s * s / n) / (n - 1)
+                    sd = math.sqrt(var) if var > 0 else 0.0
+                    if sd > 0:
+                        z = round((v - s / n) / sd, 4)
+                out["event_id"].append(eid)
+                out["user_id"].append(key[0])
+                out["value"].append(v)
+                out["zscore"].append(z)
+            yield pd.DataFrame(out)
+        state.update((n, s, s2))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -268,3 +268,51 @@ def test_video_frame_sampling_even_spacing(spark):
     rows = sample_video_frames(vids, n_frames=4, fake_decode=False).collect()
     # 4 frames sampled evenly from 8 -> source indices 0, 2, 4, 6
     assert sorted(r.frame_idx for r in rows) == [0, 2, 4, 6]
+
+
+def test_streaming_running_zscore_carries_prefix_state(spark, tmp_path):
+    import math
+
+    import pandas as pd
+
+    from eggv_spark.streaming.events_stream import (
+        run_available_now,
+        streaming_running_zscore,
+    )
+
+    src = tmp_path / "z_src"
+    src.mkdir()
+    # batch 1: user 1 events at t1..t3; batch 2: one more at t4 —
+    # its z must use the FULL 4-event prefix (state crossed batches)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 1],
+            "ts": [1, 2, 3],
+            "value": [10.0, 20.0, 30.0],
+        }
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {
+            "event_id": [4],
+            "user_id": [1],
+            "ts": [4],
+            "value": [100.0],
+        }
+    ).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = {r.event_id: r.zscore for r in run_available_now(
+        streaming_running_zscore(stream), output_mode="append"
+    ).collect()}
+    assert out[1] is None                      # single-event prefix
+    vals = [10.0, 20.0, 30.0, 100.0]
+    mean = sum(vals) / 4
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / 3)
+    assert out[4] == round((100.0 - mean) / sd, 4)
