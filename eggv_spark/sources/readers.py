@@ -108,26 +108,39 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataF
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Native parquet table reader for the driver testdata layout.
 
-    Handles parquet TIMESTAMP(NANOS) columns (which Spark's vectorized
-    reader rejects outright): they are read as raw nanosecond longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
-    microsecond timestamps.  The nanos columns are identified from the
-    parquet footer via pyarrow — a metadata-only read, no data pass.
+    Normalizes timestamp physical types so downstream operators see
+    one canonical type — TIMESTAMP (session-timezone), the type
+    watermarks/windows and BIGINT casts accept:
+
+    - TIMESTAMP(NANOS) footers (which Spark's vectorized reader
+      rejects outright) are read as raw nanosecond longs
+      (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+      microsecond timestamps.  Identified from the parquet footer via
+      pyarrow — a metadata-only read, no data pass.
+    - TIMESTAMP_NTZ columns (timezone-less micros footers) are cast
+      to TIMESTAMP; with the session timezone pinned to UTC
+      (session.py) the instant is unchanged.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
     path = f"{sf_dir}/{name}.parquet"
     nanos_cols = _nanos_timestamp_columns(path)
-    if not nanos_cols:
-        return spark.read.parquet(path)
-
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # Integer division keeps full precision (a double division of
-    # ~1.7e18 ns would lose the microseconds).
-    return df.withColumns(
-        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos_cols}
-    )
+    if nanos_cols:
+        # Integer division keeps full precision (a double division of
+        # ~1.7e18 ns would lose the microseconds).
+        df = df.withColumns(
+            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos_cols}
+        )
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    return df
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:

@@ -28,35 +28,39 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Streaming read schema for the events table.  ``ts`` arrives as a
-#: raw nanosecond long (see readers.read_table NANOS note) and is
-#: converted right after the scan.
-EVENTS_STREAM_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming scan of the events parquet (in
     production this would be Kafka/file-drop; the plan is identical).
+
+    The stream schema is taken from the parquet footer (batch reader
+    metadata probe — no data pass) and ``ts`` is normalized to
+    TIMESTAMP (session-timezone) exactly like the batch side
+    (readers.read_table): TIMESTAMP(NANOS) footers are read as raw
+    nanosecond longs and converted after the scan; TIMESTAMP_NTZ
+    footers are cast (watermarks require the timezone-aware type).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import TimestampNTZType
+
+    from eggv_spark.sources.readers import _nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    nanos = "ts" in _nanos_timestamp_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     # The file-stream source requires a directory: stream the sf_dir
     # with a glob pinned to the events file.
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(

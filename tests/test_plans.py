@@ -144,11 +144,7 @@ def test_tfidf_joins_are_broadcast(spark):
 def test_funnel_aggregates_are_partial(spark):
     from eggv_spark.operators.events import funnel_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    plan = _plan(funnel_counts(events))
+    plan = _plan(funnel_counts(read_table(spark, SF_DIR, "events")))
     # every min-per-user agg does map-side partial_min first
     assert "partial_min" in plan
 

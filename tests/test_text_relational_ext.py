@@ -17,6 +17,7 @@ from eggv_spark.operators.text_analysis import (
     decontaminate,
     with_repetition_stats,
 )
+from eggv_spark.sources.readers import read_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -299,10 +300,7 @@ def test_stream_stream_join_matches_batch(spark):
         streaming_view_click_join(views, clicks), output_mode="append"
     ).select("user_id", "view_ts", "click_ts")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e = read_table(spark, SF_DIR, "events")
     v = e.filter("event_type = 'view'").select("user_id", F.col("ts").alias("view_ts"))
     c = e.filter("event_type = 'click'").select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
