@@ -1259,6 +1259,40 @@ def _stream_running_zscore(spark, sf_dir):
     )
 
 
+def _txt_normalize(spark, sf_dir):
+    """Corpus text normalization: lowercase, control-char strip,
+    whitespace collapse, trim — shuffle-free Column expressions."""
+    return T.with_normalized_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "norm_text", "n_chars_norm", "chars_removed"
+    )
+
+
+def _agg_entropy(spark, sf_dir):
+    """Per-user Shannon entropy (bits) of the event-type
+    distribution — two map-side-combinable hash aggregations."""
+    return AG.entropy_agg(_t(spark, sf_dir, "events"), ["user_id"], "event_type")
+
+
+def _smp_domain_mix(spark, sf_dir):
+    """Equal-share domain rebalancing: cap each event type at
+    ceil(total/n_types) by deterministic md5 rank; the scalar cap is
+    computed in-plan (1-row broadcast, no driver round-trip).  On
+    this table the cap genuinely binds (the hot types are truncated
+    to the equal share; cold types pass through whole)."""
+    return R.domain_mix_sample(
+        _t(spark, sf_dir, "events").select("event_id", "event_type"),
+        "event_type",
+        "event_id",
+    )
+
+
+def _ddp_passage_dedup(spark, sf_dir):
+    """Corpus-level duplicated-passage removal (C4/RefinedWeb step):
+    4-token passages, global md5-keyed occurrence counts, duplicated
+    passages stripped, survivors reassembled in document order."""
+    return D.passage_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=4)
+
+
 # ---------------------------------------------------------------------------
 # multimodal + streaming (extension)
 # ---------------------------------------------------------------------------
@@ -1792,6 +1826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_anomaly": _evt_anomaly,
         "agg_mode": _agg_mode,
         "stream_running_zscore": _stream_running_zscore,
+        "txt_normalize": _txt_normalize,
+        "agg_entropy": _agg_entropy,
+        "smp_domain_mix": _smp_domain_mix,
+        "ddp_passage_dedup": _ddp_passage_dedup,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2328,6 +2366,59 @@ def oracle_sql() -> dict[str, str]:
             "  row_number() OVER (PARTITION BY o_orderstatus"
             "   ORDER BY count(*) DESC, o_orderpriority) AS rk"
             "  FROM orders GROUP BY 1, 2) WHERE rk = 1"
+        ),
+        "txt_normalize": (
+            "WITH n AS (SELECT doc_id,"
+            "  trim(regexp_replace(regexp_replace(lower(text),"
+            "   '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,"
+            "  length(text) AS raw_len"
+            " FROM documents)"
+            " SELECT doc_id, norm_text,"
+            " CAST(length(norm_text) AS INT) AS n_chars_norm,"
+            " CAST(raw_len - length(norm_text) AS INT) AS chars_removed"
+            " FROM n"
+        ),
+        "agg_entropy": (
+            # algebraic one-pass form: H = log2(N) - sum(n*log2 n)/N
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n"
+            " FROM events GROUP BY 1, 2)"
+            " SELECT user_id, CAST(sum(n) AS BIGINT) AS n_rows,"
+            " count(*) AS n_distinct_values,"
+            " round(log2(CAST(sum(n) AS DOUBLE))"
+            "  - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 4)"
+            "  AS entropy_bits"
+            " FROM c GROUP BY user_id"
+        ),
+        "smp_domain_mix": (
+            "WITH s AS (SELECT CAST(ceil(count(*) /"
+            "   count(DISTINCT event_type)) AS BIGINT) AS cap FROM events),"
+            " r AS (SELECT event_id, event_type,"
+            "  row_number() OVER (PARTITION BY event_type ORDER BY"
+            "   CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),"
+            "    1, 8)) AS BIGINT), event_id) AS rn"
+            "  FROM events)"
+            " SELECT event_id, event_type FROM r, s WHERE rn <= cap"
+        ),
+        "ddp_passage_dedup": (
+            "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t"
+            "  FROM documents),"
+            " c AS (SELECT doc_id, t,"
+            "  CAST(greatest(ceil(len(t) / 4.0), 1) AS INT) AS n FROM toks),"
+            " e AS (SELECT doc_id, t,"
+            "  unnest(generate_series(0, n - 1)) AS i FROM c),"
+            " ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,"
+            "  array_to_string(list_slice(t, i * 4 + 1, i * 4 + 4), ' ')"
+            "   AS chunk_text FROM e),"
+            " f AS (SELECT md5(chunk_text) AS h, count(*) AS n"
+            "  FROM ch GROUP BY 1),"
+            " j AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, f.n"
+            "  FROM ch JOIN f ON md5(ch.chunk_text) = f.h)"
+            " SELECT doc_id, count(*) AS n_chunks,"
+            " CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_dup_chunks,"
+            " coalesce(string_agg(CASE WHEN n = 1 THEN chunk_text END,"
+            "  ' ' ORDER BY chunk_idx), '') AS cleaned_text"
+            " FROM j GROUP BY doc_id"
         ),
         "mm_asset_stats": (
             "SELECT doc_id AS asset_id,"

@@ -332,3 +332,30 @@ def mode_agg(
             (-F.col("_best.neg_n")).alias("mode_count"),
         )
     )
+
+
+def entropy_agg(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group Shannon entropy (bits) of a categorical column's
+    empirical distribution — the standard diversity score for
+    training-mixture audits (0 = one value dominates a group;
+    log2(k) = uniform over k values).
+
+    Two hash aggregations, both map-side combinable: the first
+    collapses raw rows to |groups × distinct values| counts (the
+    Zipf head is absorbed before the shuffle), the second folds each
+    group's count vector into −Σ p·log2 p.  The shuffle carries one
+    long per (group, value) — never raw rows — so a 100 TB events
+    table reduces to megabytes between stages.
+    """
+    counts = df.groupBy(*keys, value_col).agg(F.count("*").alias("_n"))
+    total = F.sum("_n")
+    # entropy = log2(total) - sum(n*log2(n))/total  (algebraic form:
+    # one pass over the count vector, no per-row division by total)
+    ent = F.log2(total) - F.sum(F.col("_n") * F.log2("_n")) / total
+    return counts.groupBy(*keys).agg(
+        total.alias("n_rows"),
+        F.count("*").alias("n_distinct_values"),
+        F.round(ent, 4).alias("entropy_bits"),
+    )

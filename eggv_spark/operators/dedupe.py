@@ -651,3 +651,65 @@ def dedup_keepers(
             F.coalesce("component", F.col(id_col)).alias("keeper_id"),
         )
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated-passage removal (the C4/RefinedWeb
+    cleaning step): segment every document into fixed-token passages,
+    count each passage's EXACT occurrences across the whole corpus,
+    drop passages that appear more than once anywhere, and reassemble
+    the surviving passages in document order.  Returns one row per
+    document: (id, n_chunks, n_dup_chunks, cleaned_text).
+
+    Works for newline-delimited line dedup too — segmenting is
+    delegated to ``text_analysis.chunk_documents``, so any 1→N
+    segmentation with a per-doc ordinal plugs in.
+
+    Scale shape (100 TB): the global frequency table is keyed on the
+    passage's md5, not its text — the count shuffle and the
+    candidate join carry 16-byte keys instead of passage bodies, and
+    both aggregations get map-side partial combine (the duplicated
+    head — boilerplate, navbars, license blocks — collapses before
+    the exchange).  Three exchanges total: count, count⋈chunks (two
+    sides co-partitioned on the hash), per-doc reassembly.  The
+    window alternative (count OVER passage-partition) has the same
+    shuffle count but materializes per-row state; the agg+join form
+    lets AQE pick broadcast when the dup table is small.
+    """
+    from eggv_spark.operators.text_analysis import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.md5("chunk_text").alias("_h"),
+    )
+    freq = chunks.groupBy("_h").agg(F.count("*").alias("_n"))
+    joined = chunks.join(freq, "_h").drop("_h")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_n") == 1,
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ).getField("chunk_text"),
+            ).alias("cleaned_text"),
+        )
+    )

@@ -356,3 +356,39 @@ def cap_per_group(
         .filter(F.col("_cap_rank") <= cap)
         .drop("_cap_rank")
     )
+
+
+def domain_mix_sample(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Equal-share domain rebalancing: cap every domain at
+    ``ceil(total / n_domains)`` rows — the data-derived twin of
+    ``cap_per_group`` (whose cap is a constant).  Used to flatten a
+    skewed source mixture toward uniform before token-budget
+    sampling; rows within a domain are chosen by deterministic
+    engine-portable md5 rank (reproducible across runs, engines, and
+    partitionings — the train/eval-split property).
+
+    Scale shape: the (total, n_domains) scalar is ONE aggregated row
+    cross-broadcast into the plan (BroadcastNestedLoopJoin over a
+    1-row side — the standard in-plan-scalar pattern, no driver
+    round-trip, no collect); the per-domain rank is one shuffle
+    partitioned on the domain.  A pathologically hot domain is the
+    only skew risk — it's also exactly the domain the cap truncates.
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    scalar = df.agg(
+        F.ceil(
+            F.count("*") / F.count_distinct(F.col(group_col))
+        ).cast("long").alias("_cap")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        base_hash(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.crossJoin(F.broadcast(scalar))
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= F.col("_cap"))
+        .drop("_rank", "_cap")
+    )

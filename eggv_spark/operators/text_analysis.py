@@ -500,3 +500,30 @@ def top_ngrams(
         F.count("*").alias("n_occurrences")
     )
     return counts.orderBy(F.desc("n_occurrences"), "ngram").limit(k)
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text normalization, the first pass of every corpus-cleaning
+    pipeline: lowercase, replace control characters with spaces,
+    collapse whitespace runs, and trim.  Adds ``norm_text``,
+    ``n_chars_norm``, and ``chars_removed`` (original minus
+    normalized length — a cheap "how dirty was this" signal used to
+    route documents to heavier cleaning).
+
+    Pure Column expressions (whole-stage codegen, shuffle-free): a
+    100 TB corpus normalizes at scan speed with zero exchanges.  Every
+    regex is POSIX-portable so the DuckDB oracle runs the identical
+    program (DuckDB needs the explicit ``'g'`` flag; Spark's
+    regexp_replace is global by default).
+    """
+    cleaned = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[\x00-\x1f]", " "
+    )
+    norm = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumns(
+        {
+            "norm_text": norm,
+            "n_chars_norm": F.length(norm),
+            "chars_removed": F.length(F.col(text_col)) - F.length(norm),
+        }
+    )

@@ -256,3 +256,30 @@ def test_ivf_range_search_finds_identical_vector(vectors):
     ids = {r.neighbor_id for r in out}
     assert 1 not in ids and 4 in ids
     assert all(r.cosine >= 0.99 for r in out)
+
+
+def test_passage_dedup_strips_cross_doc_duplicates(spark):
+    from eggv_spark.operators.dedupe import passage_dedup
+
+    df = spark.createDataFrame(
+        [(2, "a b c d a b c d e f g h"), (3, "a b c d q r s t")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in passage_dedup(df, chunk_tokens=4).collect()}
+    # "a b c d" occurs 3 times corpus-wide (twice in doc 2, once in
+    # doc 3) -> stripped everywhere; unique passages survive in order
+    assert out[2].n_chunks == 3 and out[2].n_dup_chunks == 2
+    assert out[2].cleaned_text == "e f g h"
+    assert out[3].n_chunks == 2 and out[3].n_dup_chunks == 1
+    assert out[3].cleaned_text == "q r s t"
+
+
+def test_passage_dedup_all_duplicated_doc_yields_empty_text(spark):
+    from eggv_spark.operators.dedupe import passage_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in passage_dedup(df, chunk_tokens=4).collect()}
+    assert out[1].cleaned_text == "" and out[2].cleaned_text == ""
+    assert out[1].n_dup_chunks == 1

@@ -15,8 +15,11 @@ from eggv_spark.operators import aggregates as AG
 from eggv_spark.operators import relational as R
 from eggv_spark.operators.text_analysis import (
     decontaminate,
+    with_normalized_text,
     with_repetition_stats,
 )
+from eggv_spark.operators.aggregates import entropy_agg
+from eggv_spark.operators.relational import domain_mix_sample
 from eggv_spark.sources.readers import read_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -457,3 +460,55 @@ def test_kmeans_iteration_partitions_corpus(spark):
     again = {(r.cluster_id, r.n_members) for r in
              kmeans_iteration(df, n_clusters=4, dim=8).collect()}
     assert {(r.cluster_id, r.n_members) for r in out} == again
+
+
+def test_normalized_text_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello\tWORLD \x01 x  "), (2, "already clean")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in with_normalized_text(df)
+        .select("doc_id", "norm_text", "n_chars_norm", "chars_removed")
+        .collect()
+    }
+    assert out[1].norm_text == "hello world x"
+    assert out[1].n_chars_norm == 13
+    assert out[1].chars_removed == len("  Hello\tWORLD \x01 x  ") - 13
+    assert out[2].norm_text == "already clean"
+    assert out[2].chars_removed == 0
+
+
+def test_entropy_agg_hand_computed(spark):
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"),
+         (2, "a"), (2, "a"), (2, "a"), (2, "a"),
+         (3, "a"), (3, "b"), (3, "c"), (3, "d")],
+        "user_id long, event_type string",
+    )
+    out = {
+        r.user_id: r
+        for r in entropy_agg(ev, ["user_id"], "event_type").collect()
+    }
+    assert out[1].entropy_bits == 1.0       # uniform over 2
+    assert out[2].entropy_bits == 0.0       # single value
+    assert out[3].entropy_bits == 2.0       # uniform over 4
+    assert out[3].n_distinct_values == 4 and out[3].n_rows == 4
+
+
+def test_domain_mix_caps_hot_domains_only(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 8 else "small") for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = domain_mix_sample(df, "source", "doc_id")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # cap = ceil(10 / 2) = 5: the hot domain truncates, the cold one
+    # passes through whole
+    assert counts == {"big": 5, "small": 2}
+    # deterministic across reruns (md5 rank, no RNG)
+    again = sorted(r.doc_id for r in domain_mix_sample(
+        df, "source", "doc_id").collect())
+    assert sorted(r.doc_id for r in out.collect()) == again
