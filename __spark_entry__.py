@@ -1293,6 +1293,35 @@ def _ddp_passage_dedup(spark, sf_dir):
     return D.passage_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=4)
 
 
+def _smp_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling: per source, greedily take the
+    highest-stopword-ratio documents until 800 cumulative tokens —
+    the per-domain token-allocation fill of a pretraining mixture."""
+    scored = T.with_quality_score(_t(spark, sf_dir, "documents"))
+    return R.token_budget_sample(
+        scored.select("doc_id", "source", "n_tokens", "stopword_ratio"),
+        "source",
+        "doc_id",
+        "stopword_ratio",
+        "n_tokens",
+        budget=800,
+    )
+
+
+def _tbl_zorder_key(spark, sf_dir):
+    """Z-order (Morton) locality key over (l_partkey, l_suppkey):
+    the two-column data-skipping sort key, as a pure unrolled
+    shift/mask/or Column program (shuffle-free, codegen)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        TO.zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal + streaming (extension)
 # ---------------------------------------------------------------------------
@@ -1830,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_entropy": _agg_entropy,
         "smp_domain_mix": _smp_domain_mix,
         "ddp_passage_dedup": _ddp_passage_dedup,
+        "smp_token_budget": _smp_token_budget,
+        "tbl_zorder_key": _tbl_zorder_key,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2398,6 +2429,25 @@ def oracle_sql() -> dict[str, str]:
             "    1, 8)) AS BIGINT), event_id) AS rn"
             "  FROM events)"
             " SELECT event_id, event_type FROM r, s WHERE rn <= cap"
+        ),
+        "smp_token_budget": (
+            f"WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t"
+            "  FROM documents),"
+            " q AS (SELECT doc_id, source, len(t) AS n_tokens,"
+            "  round(CAST(len(list_filter(t, s -> list_contains("
+            f"   {list(T.STOPWORDS)}, s))) AS DOUBLE)"
+            "   / greatest(len(t), 1), 4) AS stopword_ratio FROM toks),"
+            " w AS (SELECT doc_id, source, n_tokens, stopword_ratio,"
+            "  CAST(sum(n_tokens) OVER (PARTITION BY source"
+            "   ORDER BY stopword_ratio DESC, doc_id"
+            "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens"
+            "  FROM q)"
+            " SELECT * FROM w WHERE cum_tokens <= 800"
+        ),
+        "tbl_zorder_key": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            + TO.zorder_key_sql("l_partkey", "l_suppkey")
+            + " AS zkey FROM lineitem"
         ),
         "ddp_passage_dedup": (
             "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t"

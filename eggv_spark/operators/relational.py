@@ -392,3 +392,37 @@ def domain_mix_sample(
         .filter(F.col("_rank") <= F.col("_cap"))
         .drop("_rank", "_cap")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    quality_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget mixture sampling: per domain, take documents in
+    descending quality order until the CUMULATIVE token count reaches
+    ``budget`` — how a pretraining mixture fills each source's token
+    allocation with its best documents (greedy prefix of the quality
+    ranking; a doc is kept iff the running total through it fits).
+
+    Deterministic: quality ties break on the id, so the selected set
+    is reproducible across runs, engines, and partitionings (the
+    train/eval-split property).  ``cum_tokens`` stays in the output —
+    downstream loaders use it for within-budget shard offsets.
+
+    One shuffle (window partitioned on the domain); the running sum
+    carries one long of state per row, and the budget predicate drops
+    excess rows in the ranking stage itself, so no second pass ever
+    sees the over-budget tail.
+    """
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.desc(quality_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "cum_tokens", F.sum(n_tokens_col).over(w)
+    ).filter(F.col("cum_tokens") <= budget)

@@ -292,3 +292,53 @@ def validate_constraints(
         for i, name in enumerate(names)
     ]
     return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key: bit-interleave two non-negative ints —
+    ``bits`` low bits each — into one 2·bits-bit locality key.  Rows
+    close in (x, y) land close in zkey, so range-clustering on the
+    key gives multi-column data skipping from ONE sort order (the
+    min/max footer of each file covers a tile in (x, y) space, where
+    a lexicographic sort covers a stripe).
+
+    The interleave is an unrolled pure-Column bit expression (2·bits
+    shift/mask/or terms) — whole-stage codegen, shuffle-free, and
+    expressible verbatim in ANSI SQL for the oracle.
+    """
+    xs = x.cast("long")
+    ys = y.cast("long")
+    k = F.lit(0).cast("long")
+    for i in range(bits):
+        k = k.bitwiseOR(
+            F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return k
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The DuckDB/ANSI twin of :func:`zorder_key` — the exact same
+    unrolled shift/mask/or program, for oracle parity."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_cluster(
+    df: DataFrame, x: str, y: str, n_partitions: int, bits: int = 16
+) -> DataFrame:
+    """Physically cluster a table on the Z-order key of two columns:
+    compute the key, range-repartition on it (sampled range exchange
+    — one shuffle), and sort within partitions so parquet writes get
+    tight per-file (x, y) min/max tiles for two-column skipping.
+    """
+    keyed = df.withColumn("_zkey", zorder_key(F.col(x), F.col(y)))
+    return (
+        keyed.repartitionByRange(n_partitions, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )

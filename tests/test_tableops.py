@@ -170,3 +170,52 @@ def test_validate_constraints_single_pass_plan(spark):
     # All constraints in ONE aggregate over one scan — a per-check
     # job would show several scans.
     assert plan.count("FileScan parquet") == 1
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from eggv_spark.operators.tableops import zorder_key
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0110)], "x long, y long"
+    )
+    got = df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).first().z
+    # x bits -> even positions, y bits -> odd:
+    # x=1010, y=0110 => z = 0b01101100 (x3=1@b6, y2=1@b5, y1=1@b3, x1=1@b2)
+    assert got == 0b01101100
+
+
+def test_zorder_cluster_skips_more_partitions_on_2d_box_query(spark):
+    """The point of Z-order: a small (x, y) box query intersects
+    FEWER per-partition min/max bounding boxes than a lexicographic
+    layout (whose stripes all span the full y range)."""
+    from eggv_spark.operators.tableops import zorder_cluster
+
+    import pyspark.sql.functions as F
+
+    n = 1024
+    df = spark.range(n).select(
+        (F.col("id") % 32).alias("x"),
+        F.floor(F.col("id") / 32).alias("y"),
+    )
+
+    def partitions_hit_by_box(frame, hi=8):
+        # min/max footer stats per partition (what parquet row-group
+        # skipping consults), probed with the box x<hi AND y<hi
+        parts = frame.withColumn(
+            "p", F.spark_partition_id()
+        ).groupBy("p").agg(
+            F.min("x").alias("x0"), F.min("y").alias("y0")
+        ).collect()
+        return sum(1 for r in parts if r.x0 < hi and r.y0 < hi)
+
+    z = partitions_hit_by_box(
+        zorder_cluster(df, "x", "y", n_partitions=16, bits=5)
+    )
+    lex = partitions_hit_by_box(
+        df.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+    )
+    # z-order: the 8x8 box is ~1 tile; lexicographic: every 2-wide x
+    # stripe with x0 < 8 spans all y, so ~4 stripes match
+    assert z < lex

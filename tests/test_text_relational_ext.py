@@ -512,3 +512,35 @@ def test_domain_mix_caps_hot_domains_only(spark):
     again = sorted(r.doc_id for r in domain_mix_sample(
         df, "source", "doc_id").collect())
     assert sorted(r.doc_id for r in out.collect()) == again
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from eggv_spark.operators.relational import token_budget_sample
+
+    rows = [
+        # domain a: qualities 0.9 (10 tok), 0.8 (15 tok), 0.7 (10 tok)
+        (1, "a", 10, 0.9), (2, "a", 15, 0.8), (3, "a", 10, 0.7),
+        # domain b: one doc alone exceeds the budget
+        (4, "b", 100, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, q double"
+    )
+    out = {r.doc_id: r for r in token_budget_sample(
+        df, "source", "doc_id", "q", "n_tokens", budget=30).collect()}
+    # a: 10 then 25 fit, third (35) exceeds; b: 100 > 30 -> nothing
+    assert set(out) == {1, 2}
+    assert out[1].cum_tokens == 10 and out[2].cum_tokens == 25
+
+
+def test_token_budget_sample_deterministic_on_quality_ties(spark):
+    from eggv_spark.operators.relational import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "a", 10, 0.5) for i in range(5)],
+        "doc_id long, source string, n_tokens long, q double",
+    )
+    picked = sorted(r.doc_id for r in token_budget_sample(
+        df, "source", "doc_id", "q", "n_tokens", budget=20).collect())
+    # ties broken by id ascending -> first two ids, reproducibly
+    assert picked == [0, 1]
