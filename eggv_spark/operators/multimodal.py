@@ -178,16 +178,11 @@ def synthesize_ppm_images(docs: DataFrame, width: int = 4, height: int = 4) -> D
     )
 
 
-def decode_ppm(payload: bytes) -> list[float]:
-    """REAL binary-PPM (P6) decode, stdlib only: tokenize the header
-    (magic, width, height, maxval; ``#`` comments allowed), slice the
-    raster, and emit FEATURE_DIM stats:
-    ``[width, height, maxval, mean_r, mean_g, mean_b, max_px, min_px]``.
-
-    The channel means divide by width*height — keep that a power of
-    two and every feature value is dyadic, i.e. exactly representable
-    in float32 AND reproducible by double-precision SQL engines.
-    """
+def _ppm_parse(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Header-parse a binary PPM (P6): tokenize magic/width/height/
+    maxval (``#`` comments allowed), slice the raster, and return
+    (w, h, maxval, raster).  Shared by the feature decoder and the
+    perceptual hash."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     tokens: list[int] = []
@@ -209,6 +204,20 @@ def decode_ppm(payload: bytes) -> list[float]:
     raster = payload[i : i + w * h * 3]
     if len(raster) != w * h * 3:
         raise ValueError("truncated PPM raster")
+    return w, h, maxval, raster
+
+
+def decode_ppm(payload: bytes) -> list[float]:
+    """REAL binary-PPM (P6) decode, stdlib only: tokenize the header
+    (magic, width, height, maxval; ``#`` comments allowed), slice the
+    raster, and emit FEATURE_DIM stats:
+    ``[width, height, maxval, mean_r, mean_g, mean_b, max_px, min_px]``.
+
+    The channel means divide by width*height — keep that a power of
+    two and every feature value is dyadic, i.e. exactly representable
+    in float32 AND reproducible by double-precision SQL engines.
+    """
+    w, h, maxval, raster = _ppm_parse(payload)
     n = w * h
     return [
         float(w),
@@ -492,4 +501,57 @@ def sample_video_frames(
             _sample,
             "asset_id long, frame_idx int, frame_hash string, mean_y double",
         )
+    )
+
+
+def ahash_ppm(payload: bytes) -> tuple[int, int]:
+    """Perceptual average-hash of a binary PPM: per-pixel brightness
+    (r+g+b, INTEGER — no division), threshold at the image mean, and
+    pack the bits MSB-first in raster order.  Returns
+    (n_pixels, hash).
+
+    All-integer formulation (``3n·brightness_i >= Σ brightness`` is
+    evaluated as ``brightness_i · n >= total``) so the hash is
+    bit-exact across engines — the DuckDB oracle reproduces it from
+    the synthetic pixel formula with integer shifts only, no float
+    threshold ambiguity.
+    """
+    w, h, _maxval, raster = _ppm_parse(payload)
+    n = w * h
+    sums = [
+        raster[3 * i] + raster[3 * i + 1] + raster[3 * i + 2]
+        for i in range(n)
+    ]
+    total = sum(sums)
+    hval = 0
+    for i, s in enumerate(sums):
+        hval = (hval << 1) | (1 if s * n >= total else 0)
+    return n, hval
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Per-image perceptual hash over REAL decoded bytes
+    (Arrow-batched ``mapInPandas``, stdlib P6 decoder — no fake
+    path): the pre-filter key for image near-dup detection.  Images
+    whose aHash collides are near-duplicate CANDIDATES; exact
+    verification (pixel distance) runs only within hash buckets —
+    the same bucket-then-verify shape as the text MinHash path, so
+    a billion-image corpus never forms all pairs.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            pairs = [ahash_ppm(bytes(p)) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "n_pixels": [p[0] for p in pairs],
+                    "ahash": [p[1] for p in pairs],
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(_hash, "asset_id long, n_pixels int, ahash long")
     )

@@ -316,3 +316,33 @@ def test_streaming_running_zscore_carries_prefix_state(spark, tmp_path):
     mean = sum(vals) / 4
     sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / 3)
     assert out[4] == round((100.0 - mean) / sd, 4)
+
+
+def test_ahash_ppm_hand_computed():
+    from eggv_spark.operators.multimodal import ahash_ppm
+
+    # 2x2 image: brightness sums 3, 3, 300, 300 -> mean 153/pixel;
+    # threshold s*n >= total: 3*4=12 < 606 (0), 300*4=1200 >= 606 (1)
+    raster = bytes([1, 1, 1, 1, 1, 1, 100, 100, 100, 100, 100, 100])
+    payload = b"P6\n2 2\n255\n" + raster
+    assert ahash_ppm(payload) == (4, 0b0011)
+
+
+def test_image_ahash_buckets_identical_images_together(spark):
+    from eggv_spark.operators.multimodal import image_ahash
+
+    # two byte-identical payloads + one different
+    raster_a = bytes(range(2 * 2 * 3))
+    raster_b = bytes(reversed(range(2 * 2 * 3)))
+    rows = [
+        (1, "image", b"P6\n2 2\n255\n" + raster_a),
+        (2, "image", b"P6\n2 2\n255\n" + raster_a),
+        (3, "image", b"P6\n2 2\n255\n" + raster_b),
+        (4, "audio", b"not an image"),   # filtered out by modality
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary"
+    )
+    out = {r.asset_id: r.ahash for r in image_ahash(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == out[2]   # identical pixels -> identical hash
