@@ -45,6 +45,9 @@ HEADLINE = [
     "sim_kmeans_iter",
     "txt_ngram_stats",
     "mm_video_frames",
+    "ddp_passage_dedup",
+    "tbl_zorder_key",
+    "smp_token_budget",
 ]
 
 
