@@ -114,21 +114,35 @@ def asof_join(
     value_cols: Sequence[str],
     tiebreak_col: str | None = None,
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: str | int | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    the same key and ``right.time <= left.time`` (``strict`` uses
-    ``<``).  Returns all left columns plus ``value_cols`` (null when
-    no prior right row exists).
+    """As-of join: for each left row, the nearest right row with the
+    same key at-or-before it (``direction="backward"``, the default:
+    ``right.time <= left.time``) or at-or-after it (``"forward"``:
+    ``right.time >= left.time``); ``strict`` excludes the equal-time
+    match.  Returns all left columns plus ``value_cols`` (null when
+    no matching right row exists).
+
+    ``tolerance`` bounds how far the match may be from the left time
+    (pandas ``merge_asof(tolerance=...)`` semantics): an INTERVAL
+    string (``"10 minutes"``) for timestamp time columns, a number
+    for numeric ones.  Matches outside the bound null out — computed
+    from the carried match time, no extra shuffle.
 
     Union + tagged window instead of a join: right rows carry
     ``_is_left = 0``, left rows ``1``; within (key) ordered by
-    (time, tie-order, tiebreak), ``last(value, ignorenulls)`` over
-    rows-up-to-current carries each right value forward onto the
-    left rows that follow it.  At equal times, right orders BEFORE
-    left (visible, inclusive semantics) unless ``strict``, where
-    right orders AFTER left (invisible) — strictness is purely a
-    tie-ordering flip, the frame never changes.
+    (time asc for backward / desc for forward, tie-order, tiebreak),
+    ``last(value, ignorenulls)`` over rows-up-to-current carries each
+    right value onto the left rows that follow it in traversal
+    order.  At equal times, right orders BEFORE left (visible,
+    inclusive semantics) unless ``strict``, where right orders AFTER
+    left (invisible) — strictness is purely a tie-ordering flip, the
+    frame never changes.  One shuffle total, no range explosion,
+    either direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = list(key_cols)
     vals = list(value_cols)
     lcols = left.columns
@@ -149,7 +163,8 @@ def asof_join(
     )
     unioned = tagged_r.unionByName(tagged_l)
 
-    order = [F.col("_t").asc(), F.col("_tie").asc()]
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    order = [t_order, F.col("_tie").asc()]
     if tiebreak_col is not None:
         order.append(F.col(f"_l_{tiebreak_col}").asc_nulls_first())
     w = (
@@ -165,6 +180,29 @@ def asof_join(
             for v in vals
         }
     )
+    if tolerance is not None:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        carried = carried.withColumn(
+            "_asof_t",
+            F.last(
+                F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True
+            ).over(w),
+        )
+        if isinstance(
+            left.schema[time_col].dataType, (TimestampType, TimestampNTZType)
+        ):
+            tol = F.expr(f"INTERVAL {tolerance}")
+        else:
+            tol = F.lit(tolerance)
+        in_tol = (
+            F.col("_asof_t") >= F.col("_t") - tol
+            if direction == "backward"
+            else F.col("_asof_t") <= F.col("_t") + tol
+        )
+        carried = carried.withColumns(
+            {f"_asof_{v}": F.when(in_tol, F.col(f"_asof_{v}")) for v in vals}
+        )
     return carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in vals],

@@ -201,3 +201,55 @@ def test_asof_join_semantics(spark):
     sprices = {r.trade_id: r.asof_price for r in strict.collect()}
     assert sprices["t1"] is None  # equal-time quote invisible under strict
     assert sprices["t2"] == 101.0
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from eggv_spark.operators.rangejoin import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 50), (2, 10)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 12, "a"), (1, 100, "b"), (2, 5, "c")], "k long, t long, v string"
+    )
+    fwd = {
+        (r.k, r.t): r.asof_v
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], direction="forward"
+        ).collect()
+    }
+    # forward: nearest right at-or-after
+    assert fwd == {(1, 10): "a", (1, 50): "b", (2, 10): None}
+
+    tol = {
+        (r.k, r.t): r.asof_v
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"],
+            direction="forward", tolerance=10,
+        ).collect()
+    }
+    # t=50 -> next right at 100 is 50 away: outside tolerance
+    assert tol == {(1, 10): "a", (1, 50): None, (2, 10): None}
+
+    back_tol = {
+        (r.k, r.t): r.asof_v
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], tolerance=4,
+        ).collect()
+    }
+    # backward: t=50 -> prior right at 12 is 38 away (out); t=10 has
+    # no prior for k=1; k=2 t=10 -> right at 5 is 5 away (out at 4)
+    assert back_tol == {(1, 10): None, (1, 50): None, (2, 10): None}
+
+
+def test_asof_join_forward_equal_time_inclusive_vs_strict(spark):
+    from eggv_spark.operators.rangejoin import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 10, "eq"), (1, 20, "later")],
+                                  "k long, t long, v string")
+    inc = asof_join(left, right, ["k"], "t", ["v"],
+                    direction="forward").first().asof_v
+    st = asof_join(left, right, ["k"], "t", ["v"],
+                   direction="forward", strict=True).first().asof_v
+    assert inc == "eq" and st == "later"
