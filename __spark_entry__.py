@@ -1333,6 +1333,29 @@ def _smp_token_budget(spark, sf_dir):
     )
 
 
+def _tbl_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: diff orders against a derived second
+    snapshot (keys %97 deleted, %89 repriced, %101 cloned to new
+    keys) and count keys per added/removed/changed/unchanged class.
+    Each side collapses to (key, md5) BEFORE the full-outer join, so
+    the shuffle carries digests, not row bodies."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.pmod("o_orderkey", F.lit(97)) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod("o_orderkey", F.lit(89)) == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.pmod("o_orderkey", F.lit(101)) == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    new = base.unionByName(added)
+    diff = TO.snapshot_diff(
+        orders, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("diff_status").agg(F.count("*").alias("n_keys"))
+
+
 def _mm_image_hash(spark, sf_dir):
     """Perceptual average-hash over REAL decoded PPM bytes
     (mapInPandas, stdlib P6 decoder, all-integer threshold math) plus
@@ -1904,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_zorder_key": _tbl_zorder_key,
         "mm_image_hash": _mm_image_hash,
         "join_asof_fwd": _join_asof_fwd,
+        "tbl_snapshot_diff": _tbl_snapshot_diff,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2491,6 +2515,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "tbl_snapshot_diff": (
+            # status depends only on WITHIN-engine hash equality, so
+            # double->string formatting differences are irrelevant
+            "WITH oldt AS (SELECT o_orderkey, md5(concat_ws(chr(31),"
+            "  coalesce(CAST(o_totalprice AS VARCHAR), '<NULL>'),"
+            "  coalesce(o_orderstatus, '<NULL>'))) AS h FROM orders),"
+            " base AS (SELECT o_orderkey,"
+            "  CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0"
+            "   ELSE o_totalprice END AS p, o_orderstatus"
+            "  FROM orders WHERE o_orderkey % 97 <> 0),"
+            " added AS (SELECT o_orderkey + 10000000 AS o_orderkey,"
+            "  o_totalprice AS p, o_orderstatus FROM orders"
+            "  WHERE o_orderkey % 101 = 0),"
+            " newt AS (SELECT o_orderkey, md5(concat_ws(chr(31),"
+            "  coalesce(CAST(p AS VARCHAR), '<NULL>'),"
+            "  coalesce(o_orderstatus, '<NULL>'))) AS h"
+            "  FROM (SELECT * FROM base UNION ALL SELECT * FROM added)),"
+            " j AS (SELECT oldt.h AS ho, newt.h AS hn"
+            "  FROM oldt FULL OUTER JOIN newt USING (o_orderkey))"
+            " SELECT CASE WHEN ho IS NULL THEN 'added'"
+            "  WHEN hn IS NULL THEN 'removed'"
+            "  WHEN ho <> hn THEN 'changed'"
+            "  ELSE 'unchanged' END AS diff_status, count(*) AS n_keys"
+            " FROM j GROUP BY 1"
         ),
         "join_asof_fwd": (
             "WITH clicks AS ("

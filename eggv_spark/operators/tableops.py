@@ -342,3 +342,48 @@ def zorder_cluster(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Table reconciliation between two snapshots: classify every key
+    as added / removed / changed / unchanged — the anti-entropy
+    check behind replication audits, CDC validation, and "did the
+    backfill do what we think" reviews.
+
+    Each side is first collapsed to (key, md5-of-compare-columns), so
+    the full-outer join that follows carries a 32-char digest per row
+    instead of the full row body — at 100 TB the shuffle moves keys
+    and hashes, never the wide columns.  One shuffle per side (the
+    join's co-partitioning); with both snapshots bucket-written on
+    the key it would be zero.  Nulls in compare columns hash via a
+    sentinel so NULL != '' and a NULL-to-value change is detected.
+    """
+    keys = list(key_cols)
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*keys, h.alias(alias))
+
+    joined = hashed(old, "_h_old").join(
+        hashed(new, "_h_new"), keys, "full_outer"
+    )
+    status = (
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") != F.col("_h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(*keys, status.alias("diff_status"))

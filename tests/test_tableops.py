@@ -219,3 +219,27 @@ def test_zorder_cluster_skips_more_partitions_on_2d_box_query(spark):
     # z-order: the 8x8 box is ~1 tile; lexicographic: every 2-wide x
     # stripe with x0 < 8 spans all y, so ~4 stripes match
     assert z < lex
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    from eggv_spark.operators.tableops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged
+         (2, "b", 21.0),      # changed value
+         (4, "d", 40.0),      # added
+         (3, "", 30.0)],      # NULL -> '' must count as changed
+        "k long, s string, v double",
+    )
+    got = {r.k: r.diff_status for r in snapshot_diff(
+        old, new, ["k"], ["s", "v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed", 4: "added"}
+
+    # removal
+    got2 = {r.k: r.diff_status for r in snapshot_diff(
+        new, old, ["k"], ["s", "v"]).collect()}
+    assert got2[4] == "removed"
