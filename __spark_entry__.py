@@ -1284,6 +1284,35 @@ def _stream_running_zscore(spark, sf_dir):
     )
 
 
+def _set_union_evolve(spark, sf_dir):
+    """Schema-evolution union: two feed generations of orders (the
+    newer one grew a status column) concatenated BY NAME with
+    null-fill — no shuffle, no positional mis-alignment."""
+    orders = _t(spark, sf_dir, "orders")
+    gen1 = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return R.union_evolve([gen1, gen2])
+
+
+def _stream_sliding(spark, sf_dir):
+    """Streaming hopping-window counts over availableNow input —
+    must equal the batch sliding-window SQL (the oracle)."""
+    from eggv_spark.streaming import events_stream as ES
+
+    out = ES.run_available_now(
+        ES.streaming_sliding_counts(ES.read_events_stream(spark, sf_dir))
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _txt_normalize(spark, sf_dir):
     """Corpus text normalization: lowercase, control-char strip,
     whitespace collapse, trim — shuffle-free Column expressions."""
@@ -1928,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_hash": _mm_image_hash,
         "join_asof_fwd": _join_asof_fwd,
         "tbl_snapshot_diff": _tbl_snapshot_diff,
+        "stream_sliding_window": _stream_sliding,
+        "set_union_evolve": _set_union_evolve,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2515,6 +2546,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "set_union_evolve": (
+            "SELECT o_orderkey, o_totalprice,"
+            " CAST(NULL AS VARCHAR) AS o_orderstatus"
+            " FROM orders WHERE o_orderkey % 2 = 0"
+            " UNION ALL"
+            " SELECT o_orderkey, o_totalprice, o_orderstatus"
+            " FROM orders WHERE o_orderkey % 2 = 1"
+        ),
+        "stream_sliding_window": (
+            # streaming availableNow over all input == batch hopping
+            # aggregation: each event lands in 2 windows (1h/30m)
+            "WITH ev AS (SELECT value,"
+            "  CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS t30"
+            "  FROM events),"
+            " w AS (SELECT value, unnest([t30, t30 - 1800]) AS window_epoch"
+            "  FROM ev)"
+            " SELECT window_epoch, count(*) AS n_events,"
+            " round(sum(value), 4) AS sum_value FROM w GROUP BY window_epoch"
         ),
         "tbl_snapshot_diff": (
             # status depends only on WITHIN-engine hash equality, so

@@ -426,3 +426,20 @@ def token_budget_sample(
     return df.withColumn(
         "cum_tokens", F.sum(n_tokens_col).over(w)
     ).filter(F.col("cum_tokens") <= budget)
+
+
+def union_evolve(dfs: "Sequence[DataFrame]") -> DataFrame:
+    """Schema-evolution-tolerant union: concatenate frames whose
+    schemas drifted across feed generations — columns are matched BY
+    NAME and columns missing from a generation null-fill, exactly how
+    a long-lived ingestion pipeline absorbs added fields.  (A
+    positional ``UNION ALL`` silently mis-aligns after any schema
+    change; this is the safe default for multi-generation raw zones.)
+
+    Pure plan combinator: no shuffle — the union is a metadata merge
+    and each input keeps its own partitioning until a downstream op
+    asks otherwise."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

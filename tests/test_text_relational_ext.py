@@ -544,3 +544,29 @@ def test_token_budget_sample_deterministic_on_quality_ties(spark):
         df, "source", "doc_id", "q", "n_tokens", budget=20).collect())
     # ties broken by id ascending -> first two ids, reproducibly
     assert picked == [0, 1]
+
+
+def test_union_evolve_aligns_by_name_and_null_fills(spark):
+    g1 = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    # same columns, DIFFERENT position + an extra one
+    g2 = spark.createDataFrame([(20.0, 2, "x")], "v double, k long, s string")
+    out = {r.k: (r.v, r.s) for r in R.union_evolve([g1, g2]).collect()}
+    # positional union would have put 20.0 into k; by-name keeps it in v
+    assert out == {1: (10.0, None), 2: (20.0, "x")}
+
+
+def test_streaming_sliding_matches_batch(spark):
+    from eggv_spark.operators.events import sliding_window_counts
+    from eggv_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_sliding_counts,
+    )
+
+    out = run_available_now(
+        streaming_sliding_counts(read_events_stream(spark, SF_DIR))
+    )
+    batch = sliding_window_counts(read_table(spark, SF_DIR, "events"))
+    got = {r.window_start: (r.n_events, r.sum_value) for r in out.collect()}
+    want = {r.window_start: (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want
