@@ -1284,6 +1284,29 @@ def _stream_running_zscore(spark, sf_dir):
     )
 
 
+def _stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment: streaming events pick up
+    their user's market segment from the static customer dim, then
+    aggregate events per segment — availableNow output must equal
+    the batch join+agg SQL."""
+    from eggv_spark.streaming import events_stream as ES
+
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = ES.streaming_static_enrich(
+        ES.read_events_stream(spark, sf_dir), dim, ("user_id", "c_custkey")
+    )
+    out = ES.run_available_now(
+        enriched.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ),
+        output_mode="complete",
+    )
+    return out
+
+
 def _set_union_evolve(spark, sf_dir):
     """Schema-evolution union: two feed generations of orders (the
     newer one grew a status column) concatenated BY NAME with
@@ -1959,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_snapshot_diff": _tbl_snapshot_diff,
         "stream_sliding_window": _stream_sliding,
         "set_union_evolve": _set_union_evolve,
+        "stream_static_enrich": _stream_static_enrich,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2546,6 +2570,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "stream_static_enrich": (
+            "SELECT c.c_mktsegment, count(*) AS n_events,"
+            " round(sum(e.value), 4) AS sum_value"
+            " FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+            " GROUP BY c.c_mktsegment"
         ),
         "set_union_evolve": (
             "SELECT o_orderkey, o_totalprice,"

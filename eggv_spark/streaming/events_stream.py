@@ -99,6 +99,21 @@ def streaming_sliding_counts(
     )
 
 
+def streaming_static_enrich(
+    events: DataFrame, dim: DataFrame, on: "tuple[str, str]"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins a STATIC dimension — the standard lookup pattern (events ×
+    user/account/geo dims).  No watermark needed: the static side
+    carries no event time, so there is no join state to bound; Spark
+    re-plans the static side per micro-batch, and a broadcast-sized
+    dim never shuffles the stream."""
+    left, right = on
+    return events.join(
+        F.broadcast(dim), events[left] == dim[right], "left"
+    )
+
+
 def streaming_session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

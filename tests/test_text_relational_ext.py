@@ -570,3 +570,25 @@ def test_streaming_sliding_matches_batch(spark):
     got = {r.window_start: (r.n_events, r.sum_value) for r in out.collect()}
     want = {r.window_start: (r.n_events, r.sum_value) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_static_enrich_matches_batch_and_broadcasts(spark):
+    from eggv_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_static_enrich,
+    )
+
+    dim = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = streaming_static_enrich(
+        read_events_stream(spark, SF_DIR), dim, ("user_id", "c_custkey")
+    )
+    out = run_available_now(stream, output_mode="append")
+    ev = read_table(spark, SF_DIR, "events")
+    batch = ev.join(dim, ev["user_id"] == dim["c_custkey"], "left")
+    # left join on a unique dim key: row count preserved exactly
+    assert out.count() == ev.count()
+    assert out.filter("c_mktsegment IS NOT NULL").count() == \
+        batch.filter("c_mktsegment IS NOT NULL").count()
