@@ -713,3 +713,44 @@ def passage_dedup(
             ).alias("cleaned_text"),
         )
     )
+
+
+def canonical_keepers(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    quality_scale: int = 10_000_000,
+) -> DataFrame:
+    """Cluster canonicalization by QUALITY: every id maps to the
+    highest-quality member of its near-dup cluster (min id on ties;
+    itself when unpaired) — the keeper selection step after near-dup
+    clustering, where pipelines keep the longest / highest-scoring
+    variant instead of an arbitrary min-id.
+
+    ``docs`` carries (id, integer quality).  The argmax is a
+    ``min_by`` over the composite key ``id - quality*quality_scale``
+    — one engine-portable BIGINT, so ties are impossible (the id is
+    unique within the key) and the DuckDB oracle reproduces the
+    selection with a plain ``arg_min``.  ``quality_scale`` must
+    exceed the max id; quality must stay below 2^63/scale.
+
+    Same shuffle shape as :func:`dedup_keepers` plus one extra
+    aggregate+join on the component id (cluster-count-sized, not
+    corpus-sized).
+    """
+    comps = connected_components_star(pairs)
+    labeled = (
+        docs.select(id_col, quality_col)
+        .join(comps, docs[id_col] == comps["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            quality_col,
+        )
+    )
+    key = F.col(id_col) - F.col(quality_col).cast("long") * quality_scale
+    best = labeled.groupBy("component").agg(
+        F.min_by(F.col(id_col), key).alias("keeper_id")
+    )
+    return labeled.join(best, "component").select(id_col, "keeper_id")

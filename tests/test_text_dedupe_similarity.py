@@ -283,3 +283,21 @@ def test_passage_dedup_all_duplicated_doc_yields_empty_text(spark):
     out = {r.doc_id: r for r in passage_dedup(df, chunk_tokens=4).collect()}
     assert out[1].cleaned_text == "" and out[2].cleaned_text == ""
     assert out[1].n_dup_chunks == 1
+
+
+def test_canonical_keepers_picks_highest_quality_not_min_id(spark):
+    from eggv_spark.operators.dedupe import canonical_keepers
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: doc 3 is the longest -> keeper despite max id
+        # cluster {10,11}: equal quality -> min id 10 wins
+        # doc 99: unpaired -> keeps itself
+        [(1, 5), (2, 8), (3, 20), (10, 7), (11, 7), (99, 1)],
+        "doc_id long, quality long",
+    )
+    got = {r.doc_id: r.keeper_id for r in canonical_keepers(
+        pairs, docs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10, 99: 99}
