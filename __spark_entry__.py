@@ -1219,6 +1219,17 @@ def _sim_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), k=5)
 
 
+def _sim_recall_eval(spark, sf_dir):
+    """ANN quality gauge: recall@5 of the IVF probe against the
+    exact brute-force top-5, per query — the metric that justifies
+    (or vetoes) an index at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id % 50 = 0")
+    return S.ann_recall(
+        S.brute_force_topk(emb, q, k=5), S.ivf_topk(emb, q, k=5), k=5
+    )
+
+
 def _sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN: shuffle-free 8x16 encode of the
     corpus + per-query asymmetric-distance LUT, fully deterministic
@@ -1994,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_evolve": _set_union_evolve,
         "stream_static_enrich": _stream_static_enrich,
         "ddp_canonical_docs": _ddp_canonical_docs,
+        "sim_recall_eval": _sim_recall_eval,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2511,6 +2523,19 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_topk": _pq_topk_oracle(),
         "sim_kmeans_iter": _kmeans_iter_oracle(),
         "sim_range_search": _range_search_oracle(),
+        "sim_recall_eval": (
+            # exact and IVF top-5 as nested CTEs (each oracle is a
+            # full deterministic SELECT), then per-query hit counting
+            f"WITH bf AS ({_cosine_topk_oracle()}),"
+            f" ivf AS ({_ivf_topk_oracle()})"
+            " SELECT b.query_id, CAST(count(i.neighbor_id) AS INT)"
+            "  AS n_hits,"
+            " round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5"
+            " FROM bf b LEFT JOIN ivf i"
+            "  ON b.query_id = i.query_id"
+            "  AND b.neighbor_id = i.neighbor_id"
+            " GROUP BY b.query_id"
+        ),
         "smp_cap_per_group": (
             # cap_per_group replica: the rank hash is base_hash
             # (first 8 hex chars of md5 as a long).

@@ -526,3 +526,30 @@ def ivf_range_search(
         .filter(F.col("cosine") >= threshold)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int
+) -> DataFrame:
+    """Recall@k of an approximate search against the exact top-k —
+    the quality gauge every ANN deployment needs next to its speedup
+    (an IVF/PQ/LSH index is only as good as the recall it buys).
+    Per query: how many of the EXACT top-k neighbors the approximate
+    result also returned, as n_hits and recall_at_k.
+
+    Both inputs use the (query_id, neighbor_id, cosine, rank) shape
+    of brute_force_topk / ivf_topk / pq_topk.  The comparison join
+    carries k rows per query per side — negligible next to the
+    searches themselves; the exact side drives the join so every
+    query appears even with zero hits.
+    """
+    hits = approx.select("query_id", "neighbor_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    joined = exact.select("query_id", "neighbor_id").join(
+        hits, ["query_id", "neighbor_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("_hit").cast("int").alias("n_hits"),
+        F.round(F.count("_hit") / float(k), 4).alias(f"recall_at_{k}"),
+    )

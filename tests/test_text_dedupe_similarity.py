@@ -301,3 +301,20 @@ def test_canonical_keepers_picks_highest_quality_not_min_id(spark):
     got = {r.doc_id: r.keeper_id for r in canonical_keepers(
         pairs, docs).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10, 99: 99}
+
+
+def test_ann_recall_hand_computed(spark):
+    from eggv_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # query 1: found both; query 2: found none of the exact set
+        [(1, 10), (1, 11), (2, 99), (2, 98)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r.query_id: (r.n_hits, r.recall_at_2) for r in ann_recall(
+        exact, approx, k=2).collect()}
+    assert got == {1: (2, 1.0), 2: (0, 0.0)}
