@@ -1215,8 +1215,12 @@ def _sim_cosine_topk(spark, sf_dir):
 
 
 def _sim_ivf_topk(spark, sf_dir):
+    """IVF probe at n_probe=8 of 16 cells: measured recall@5 = 0.84
+    on these near-random synthetic embeddings (vs 0.54 at 4 probes;
+    see sim_recall_eval).  At real scale n_centroids ~ sqrt(n), so 8
+    probes is a small corpus fraction, not half the cells."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), k=5)
+    return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), k=5, n_probe=8)
 
 
 def _sim_recall_eval(spark, sf_dir):
@@ -1226,7 +1230,9 @@ def _sim_recall_eval(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id % 50 = 0")
     return S.ann_recall(
-        S.brute_force_topk(emb, q, k=5), S.ivf_topk(emb, q, k=5), k=5
+        S.brute_force_topk(emb, q, k=5),
+        S.ivf_topk(emb, q, k=5, n_probe=8),
+        k=5,
     )
 
 
@@ -1793,11 +1799,11 @@ def _ivf_topk_oracle() -> str:
     literals, 6dp-rounded cosine argmax with a max-cell tiebreak —
     mirror of similarity._best_cells' reverse(array_sort(struct))),
     so the probe result is reproducible in SQL: assign every vector
-    to its best cell, probe each query's 4 best cells, exact top-5
+    to its best cell, probe each query's 8 best cells, exact top-5
     within the probed subset."""
     from eggv_spark.operators.similarity import _centroid_values
 
-    dim, n_centroids, n_probe, k = 64, 16, 4, 5
+    dim, n_centroids, n_probe, k = 64, 16, 8, 5
     cent_rows = ", ".join(
         f"({c}, [" + ", ".join(repr(w) for w in _centroid_values(c, dim)) + "])"
         for c in range(n_centroids)
