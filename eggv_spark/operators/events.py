@@ -254,3 +254,32 @@ def zscore_anomalies(
         z.alias("zscore"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def throttle_events(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    max_per_window: int = 10,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-entity rate limiting: keep at most ``max_per_window``
+    events per (entity, tumbling window), in arrival order — the
+    batch form of API throttling / per-user event capping, and the
+    abuse-damping step training pipelines run before user-level
+    aggregation (one hot account must not dominate a behavioral
+    feature).
+
+    Deterministic: arrival order is (ts, event_id) so replays keep
+    the identical survivor set.  One shuffle (window partitioned on
+    entity + time bucket); the rank predicate drops the excess in
+    the ranking stage, so downstream sees ≤ max rows per bucket.
+    """
+    bucket = F.window(F.col(ts_col), window)["start"].alias("_w")
+    w = Window.partitionBy(entity_col, "_w").orderBy(ts_col, "event_id")
+    return (
+        df.withColumn("_w", bucket)
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= max_per_window)
+        .drop("_rank", "_w")
+    )

@@ -592,3 +592,21 @@ def test_streaming_static_enrich_matches_batch_and_broadcasts(spark):
     assert out.count() == ev.count()
     assert out.filter("c_mktsegment IS NOT NULL").count() == \
         batch.filter("c_mktsegment IS NOT NULL").count()
+
+
+def test_throttle_events_caps_per_entity_window_in_arrival_order(spark):
+    from eggv_spark.operators.events import throttle_events
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 10:20:00"),   # third in hour -> dropped
+        (4, 1, "2024-01-01 11:00:00"),   # new window -> kept
+        (5, 2, "2024-01-01 10:30:00"),   # other user unaffected
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s"]
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    kept = sorted(r.event_id for r in throttle_events(
+        df, max_per_window=2, window="1 hour").collect())
+    assert kept == [1, 2, 4, 5]
