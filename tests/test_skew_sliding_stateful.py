@@ -346,3 +346,27 @@ def test_image_ahash_buckets_identical_images_together(spark):
     out = {r.asset_id: r.ahash for r in image_ahash(df).collect()}
     assert set(out) == {1, 2, 3}
     assert out[1] == out[2]   # identical pixels -> identical hash
+
+
+def test_audio_rms_segments_hand_computed(spark):
+    import math
+
+    from eggv_spark.operators.multimodal import (
+        _wav_header,
+        audio_rms_segments,
+    )
+    import struct
+
+    # 8 samples, window 4: seg0 = [100]*4, seg1 = [-200]*4
+    vals = [100] * 4 + [-200] * 4
+    payload = _wav_header(8, 8000) + struct.pack("<8h", *vals)
+    df = spark.createDataFrame(
+        [(1, "audio", payload), (2, "video", b"skip")],
+        "asset_id long, modality string, payload binary",
+    )
+    rows = {(r.asset_id, r.segment_idx): r for r in
+            audio_rms_segments(df, window_samples=4).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)].rms == 100.0 and rows[(1, 0)].peak == 100
+    assert rows[(1, 1)].rms == 200.0 and rows[(1, 1)].peak == 200
+    assert rows[(1, 0)].n_samples == 4
