@@ -391,6 +391,44 @@ def _join_asof(spark, sf_dir):
     )
 
 
+def _rng_interval_overlap(spark, sf_dir):
+    """Interval-interval overlap join: each lineitem's ship→receipt
+    window matched to every calendar month it touches — the bucketed
+    equi-join on (bin) with first-intersection-bin dedup (never a
+    cross join, never a distinct shuffle)."""
+    from eggv_spark.operators.rangejoin import interval_overlap_join
+
+    epoch_day = lambda c: F.datediff(c, F.lit("1970-01-01"))  # noqa: E731
+    # no receipt date in this schema: derive a deterministic 0-39 day
+    # transit window from the key (intervals stay under the 64-day bin)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        epoch_day(F.col("l_shipdate")).alias("ship_day"),
+        (
+            epoch_day(F.col("l_shipdate"))
+            + F.pmod("l_orderkey", F.lit(40))
+        ).alias("receipt_day"),
+    )
+    months = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.trunc("l_shipdate", "mm").alias("m"))
+        .distinct()
+        .select(
+            epoch_day(F.col("m")).alias("month_day"),
+            epoch_day(F.last_day("m")).alias("month_end_day"),
+        )
+    )
+    out = interval_overlap_join(
+        li, months,
+        "ship_day", "receipt_day", "month_day", "month_end_day",
+        bin_width=64,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "ship_day", "receipt_day", "month_day"
+    )
+
+
 def _join_asof_fwd(spark, sf_dir):
     """Forward as-of join with a 1-hour tolerance: each click picks
     up the same user's NEXT purchase within an hour (pandas
@@ -2042,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_recall_eval": _sim_recall_eval,
         "evt_throttle": _evt_throttle,
         "mm_audio_segments": _mm_audio_segments,
+        "rng_interval_overlap": _rng_interval_overlap,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2668,6 +2707,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "rng_interval_overlap": (
+            "WITH li AS (SELECT l_orderkey, l_linenumber,"
+            "  datediff('day', DATE '1970-01-01', l_shipdate) AS ship_day,"
+            "  datediff('day', DATE '1970-01-01', l_shipdate)"
+            "   + (l_orderkey % 40) AS receipt_day"
+            " FROM lineitem),"
+            " m AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS mlo"
+            "  FROM lineitem),"
+            " mm AS (SELECT"
+            "  datediff('day', DATE '1970-01-01', mlo) AS month_day,"
+            "  datediff('day', DATE '1970-01-01', last_day(mlo))"
+            "   AS month_end_day FROM m)"
+            " SELECT li.l_orderkey, li.l_linenumber, li.ship_day,"
+            " li.receipt_day, mm.month_day"
+            " FROM li JOIN mm ON li.ship_day <= mm.month_end_day"
+            " AND mm.month_day <= li.receipt_day"
         ),
         "mm_audio_segments": (
             # sample i of doc d is ((d*31 + i*17) % 4096) - 2048 (the

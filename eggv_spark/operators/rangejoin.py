@@ -207,3 +207,54 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in vals],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    partition_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-interval overlap join: every (left, right) pair whose
+    CLOSED ranges intersect (``l_lo <= r_hi AND r_lo <= l_hi``) — the
+    canonical genomics join (gene spans × regulatory regions) and the
+    time-range enrichment join (shipment windows × promo windows).
+
+    Same bucketed equi-join strategy as :func:`range_join`, applied
+    to BOTH sides: each interval explodes to the bins it covers
+    (bounded ×2 when ``bin_width`` >= max interval length), the join
+    runs hash-partitioned on (keys, bin), and the exact predicate
+    post-filters.  An overlapping pair shares MULTIPLE bins, so each
+    pair is kept only in the FIRST bin of its intersection
+    (``floor(max(l_lo, r_lo)/w)``) — dedup as a codegen predicate,
+    not a distinct shuffle.
+    """
+    keys = list(partition_keys)
+    bin_of = lambda c: F.floor(c / F.lit(bin_width))  # noqa: E731
+
+    lv = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(bin_of(F.col(left_lo)), bin_of(F.col(left_hi)))
+        ),
+    )
+    rv = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(bin_of(F.col(right_lo)), bin_of(F.col(right_hi)))
+        ),
+    )
+    cond = [lv["_bin"] == rv["_bin"]] + [lv[k] == rv[k] for k in keys]
+    joined = lv.join(rv, functools.reduce(lambda a, b: a & b, cond), "inner")
+    exact = (F.col(left_lo) <= F.col(right_hi)) & (
+        F.col(right_lo) <= F.col(left_hi)
+    )
+    first_bin = lv["_bin"] == bin_of(
+        F.greatest(F.col(left_lo), F.col(right_lo))
+    )
+    out = joined.filter(exact & first_bin)
+    return out.drop(lv["_bin"]).drop(rv["_bin"]).drop(*[rv[k] for k in keys])

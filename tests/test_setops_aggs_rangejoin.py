@@ -253,3 +253,22 @@ def test_asof_join_forward_equal_time_inclusive_vs_strict(spark):
     st = asof_join(left, right, ["k"], "t", ["v"],
                    direction="forward", strict=True).first().asof_v
     assert inc == "eq" and st == "later"
+
+
+def test_interval_overlap_join_dedups_multi_bin_pairs(spark):
+    from eggv_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 9), (2, 5, 10), (3, 12, 12), (4, 30, 31)],
+        "lid long, l_lo long, l_hi long",
+    )
+    right = spark.createDataFrame(
+        [(100, 0, 9), (200, 10, 19)], "rid long, r_lo long, r_hi long"
+    )
+    out = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=5
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    # lid=1 x rid=100 share bins 0 AND 1 -> must appear exactly once;
+    # lid=2 touches both months; lid=3 only the second; lid=4 neither
+    assert pairs == [(1, 100), (2, 100), (2, 200), (3, 200)]
