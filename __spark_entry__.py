@@ -1418,6 +1418,14 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _evt_user_journey(spark, sf_dir):
+    """Path analysis: the most common first-3 event sequences across
+    users — funnel discovery with a deterministic total order."""
+    from eggv_spark.operators.events import user_journey_paths
+
+    return user_journey_paths(_t(spark, sf_dir, "events"))
+
+
 def _txt_normalize(spark, sf_dir):
     """Corpus text normalization: lowercase, control-char strip,
     whitespace collapse, trim — shuffle-free Column expressions."""
@@ -2081,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_throttle": _evt_throttle,
         "mm_audio_segments": _mm_audio_segments,
         "rng_interval_overlap": _rng_interval_overlap,
+        "evt_user_journey": _evt_user_journey,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2707,6 +2716,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "evt_user_journey": (
+            "WITH r AS (SELECT user_id, event_type,"
+            "  row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id) AS rn FROM events),"
+            " p AS (SELECT user_id,"
+            "  string_agg(event_type, ' > ' ORDER BY rn) AS path"
+            "  FROM r WHERE rn <= 3 GROUP BY user_id)"
+            " SELECT path, count(*) AS n_users FROM p GROUP BY path"
+            " ORDER BY n_users DESC, path LIMIT 20"
         ),
         "rng_interval_overlap": (
             "WITH li AS (SELECT l_orderkey, l_linenumber,"

@@ -283,3 +283,48 @@ def throttle_events(
         .filter(F.col("_rank") <= max_per_window)
         .drop("_rank", "_w")
     )
+
+
+def user_journey_paths(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    first_n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Path analysis: the most common first-``n`` event sequences
+    across entities ("view > click > purchase") — the funnel-
+    discovery query of product analytics, and a behavior-level dedup
+    key for interaction-log training data.
+
+    Deterministic: order within an entity is (ts, event_id).  Two
+    shuffles — the per-entity ranking window and the path count
+    (map-side combined); the final top-k is TakeOrderedAndProject,
+    never a global sort.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, "event_id")
+    firsts = (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= first_n)
+    )
+    paths = (
+        firsts.groupBy(entity_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rank", event_col))
+                    ),
+                    lambda s: s[event_col],
+                ),
+                " > ",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(top_k)
+    )

@@ -610,3 +610,59 @@ def test_throttle_events_caps_per_entity_window_in_arrival_order(spark):
     kept = sorted(r.event_id for r in throttle_events(
         df, max_per_window=2, window="1 hour").collect())
     assert kept == [1, 2, 4, 5]
+
+
+def test_user_journey_paths_hand_computed(spark):
+    from eggv_spark.operators.events import user_journey_paths
+
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:05:00"),
+        (3, 1, "purchase", "2024-01-01 10:10:00"),
+        (4, 1, "view", "2024-01-01 10:20:00"),      # 4th event ignored
+        (5, 2, "view", "2024-01-01 09:00:00"),
+        (6, 2, "click", "2024-01-01 09:05:00"),
+        (7, 2, "purchase", "2024-01-01 09:10:00"),
+        (8, 3, "error", "2024-01-01 08:00:00"),     # short journey
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts_s"]
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    got = {r.path: r.n_users for r in user_journey_paths(df).collect()}
+    assert got == {"view > click > purchase": 2, "error": 1}
+
+
+def test_streaming_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """AvailableNow with a durable checkpoint: a restarted query must
+    process NOTHING new when the input is unchanged (exactly-once
+    resume, the property production streaming jobs rely on)."""
+    import glob
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()   # same input, same checkpoint -> no new rows
+    n2 = spark.read.parquet(out).count()
+    assert (n1, n2) == (1, 1)
+    # new input file -> ONLY the delta processes
+    spark.createDataFrame([(2, "b")], "id long, v string").write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert spark.read.parquet(out).count() == 2
