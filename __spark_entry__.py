@@ -1418,6 +1418,15 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _agg_histogram_eqdepth(spark, sf_dir):
+    """Equi-depth histogram of order totals: percentile cut points
+    from ONE mergeable aggregate (never a global ntile sort),
+    broadcast back for codegen bucketing."""
+    return AG.equi_depth_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", n_buckets=10
+    )
+
+
 def _evt_user_journey(spark, sf_dir):
     """Path analysis: the most common first-3 event sequences across
     users — funnel discovery with a deterministic total order."""
@@ -2090,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_segments": _mm_audio_segments,
         "rng_interval_overlap": _rng_interval_overlap,
         "evt_user_journey": _evt_user_journey,
+        "agg_histogram_eqdepth": _agg_histogram_eqdepth,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2716,6 +2726,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "agg_histogram_eqdepth": (
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)"
+            "  AS cents FROM orders),"
+            " cuts AS (SELECT ["
+            + ", ".join(
+                f"quantile_cont(cents, {i / 10})" for i in range(1, 10)
+            )
+            + "] AS cut FROM c)"
+            " SELECT CAST(1 + list_sum(list_transform(cuts.cut,"
+            "   x -> CASE WHEN c.cents > x THEN 1 ELSE 0 END)) AS INT)"
+            "  AS bucket,"
+            " count(*) AS n_rows, min(c.cents) AS lo_cents,"
+            " max(c.cents) AS hi_cents"
+            " FROM c, cuts GROUP BY 1"
         ),
         "evt_user_journey": (
             "WITH r AS (SELECT user_id, event_type,"

@@ -359,3 +359,52 @@ def entropy_agg(
         F.count("*").alias("n_distinct_values"),
         F.round(ent, 4).alias("entropy_bits"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-DEPTH histogram of a 2-decimal currency column: buckets
+    hold ~equal row counts (the quantile sketch behind optimizer
+    statistics and drift monitors), reported as (bucket, n_rows,
+    lo_cents, hi_cents).
+
+    Scale-correct construction: a global ``ntile`` would funnel the
+    whole table through ONE window partition; instead the n-1 cut
+    points come from one mergeable percentile aggregate (map-side
+    partials, bytes on the wire), broadcast back as a 1-row cross
+    join, and every row buckets by counting cuts below it — a
+    codegen array fold, no second shuffle beyond the final count.
+
+    Exactness: values convert to integer cents first (the
+    histogram_fixed convention), so interpolated cuts are at worst
+    x.5 — exactly representable — and the ``v > cut`` boundary
+    decision is bit-identical in any engine.
+    """
+    cents = F.round(F.col(col) * 100).cast("long")
+    cuts = df.select(cents.alias("_c")).agg(
+        F.array(
+            *[
+                F.percentile("_c", i / n_buckets)
+                for i in range(1, n_buckets)
+            ]
+        ).alias("_cuts")
+    )
+    bucket = (
+        F.aggregate(
+            "_cuts",
+            F.lit(1),
+            lambda acc, c: acc + F.when(F.col("_cents") > c, 1).otherwise(0),
+        )
+    ).cast("int")
+    return (
+        df.select(cents.alias("_cents"))
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_cents").alias("lo_cents"),
+            F.max("_cents").alias("hi_cents"),
+        )
+    )

@@ -272,3 +272,19 @@ def test_interval_overlap_join_dedups_multi_bin_pairs(spark):
     # lid=1 x rid=100 share bins 0 AND 1 -> must appear exactly once;
     # lid=2 touches both months; lid=3 only the second; lid=4 neither
     assert pairs == [(1, 100), (2, 100), (2, 200), (3, 200)]
+
+
+def test_equi_depth_histogram_balances_buckets(spark):
+    from eggv_spark.operators.aggregates import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    )
+    rows = {r.bucket: r for r in equi_depth_histogram(
+        df, "v", n_buckets=4).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # 100 uniform values over 4 buckets: ~25 each, ranges contiguous
+    assert all(20 <= rows[b].n_rows <= 30 for b in rows)
+    assert rows[1].lo_cents == 100 and rows[4].hi_cents == 10000
+    for b in (1, 2, 3):
+        assert rows[b].hi_cents < rows[b + 1].lo_cents
