@@ -1418,6 +1418,14 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _evt_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user
+    (gaps-and-islands over calendar days, two shuffles total)."""
+    from eggv_spark.operators.events import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
 def _agg_histogram_eqdepth(spark, sf_dir):
     """Equi-depth histogram of order totals: percentile cut points
     from ONE mergeable aggregate (never a global ntile sort),
@@ -2100,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rng_interval_overlap": _rng_interval_overlap,
         "evt_user_journey": _evt_user_journey,
         "agg_histogram_eqdepth": _agg_histogram_eqdepth,
+        "evt_streaks": _evt_streaks,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2726,6 +2735,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "evt_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id,"
+            "  CAST(ts AS DATE) AS day FROM events),"
+            " i AS (SELECT user_id, day,"
+            "  datediff('day', DATE '1970-01-01', day)"
+            "   - row_number() OVER (PARTITION BY user_id ORDER BY day)"
+            "   AS island FROM d),"
+            " s AS (SELECT user_id, island, count(*) AS len"
+            "  FROM i GROUP BY 1, 2)"
+            " SELECT user_id, max(len) AS longest_streak_days,"
+            " CAST(sum(len) AS BIGINT) AS n_active_days,"
+            " count(*) AS n_streaks FROM s GROUP BY user_id"
         ),
         "agg_histogram_eqdepth": (
             "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)"

@@ -328,3 +328,36 @@ def user_journey_paths(
         .orderBy(F.desc("n_users"), "path")
         .limit(top_k)
     )
+
+
+def activity_streaks(
+    df: DataFrame, entity_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Longest consecutive-day activity streak per entity — the
+    gaps-and-islands pattern over calendar DAYS (retention/engagement
+    reporting's streak metric; sessionize is its intra-day sibling).
+
+    Shape: distinct (entity, day) first — the dedup collapses raw
+    events to at most 1 row per entity-day BEFORE any window runs —
+    then ``day_number - row_number`` is constant within a
+    consecutive run, so one more aggregation per island and a final
+    per-entity rollup finish it.  All three aggregations are
+    map-side combinable; both windows ride the same (entity)
+    partitioning, so the chain costs two shuffles total.
+    """
+    days = df.select(
+        entity_col, F.to_date(ts_col).alias("_day")
+    ).distinct()
+    w = Window.partitionBy(entity_col).orderBy("_day")
+    islands = days.withColumn(
+        "_island",
+        F.datediff("_day", F.lit("1970-01-01")) - F.row_number().over(w),
+    )
+    per_island = islands.groupBy(entity_col, "_island").agg(
+        F.count("*").alias("_len")
+    )
+    return per_island.groupBy(entity_col).agg(
+        F.max("_len").alias("longest_streak_days"),
+        F.sum("_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -666,3 +666,22 @@ def test_streaming_checkpoint_resume_is_exactly_once(spark, tmp_path):
     ).parquet(src)
     run_once()
     assert spark.read.parquet(out).count() == 2
+
+
+def test_activity_streaks_hand_computed(spark):
+    from eggv_spark.operators.events import activity_streaks
+
+    rows = [
+        # u1: Jan 1,2,3 then Jan 5 -> streaks 3 and 1
+        (1, "2024-01-01 09:00:00"), (1, "2024-01-01 21:00:00"),
+        (1, "2024-01-02 09:00:00"), (1, "2024-01-03 09:00:00"),
+        (1, "2024-01-05 09:00:00"),
+        # u2: single day
+        (2, "2024-02-10 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    got = {r.user_id: (r.longest_streak_days, r.n_active_days, r.n_streaks)
+           for r in activity_streaks(df).collect()}
+    assert got == {1: (3, 4, 2), 2: (1, 1, 1)}
