@@ -1418,6 +1418,19 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _smp_train_eval_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by md5 bucket
+    of doc_id — disjoint, exhaustive, partition-invariant."""
+    out = R.train_eval_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def _evt_streaks(spark, sf_dir):
     """Longest consecutive-day activity streak per user
     (gaps-and-islands over calendar days, two shuffles total)."""
@@ -2109,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_user_journey": _evt_user_journey,
         "agg_histogram_eqdepth": _agg_histogram_eqdepth,
         "evt_streaks": _evt_streaks,
+        "smp_train_eval_split": _smp_train_eval_split,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2735,6 +2749,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "smp_train_eval_split": (
+            "WITH b AS (SELECT doc_id,"
+            "  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+            "   1, 8)) AS BIGINT) % 100 AS bucket FROM documents),"
+            " s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'"
+            "  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split"
+            "  FROM b)"
+            " SELECT split, count(*) AS n_docs,"
+            " min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id"
+            " FROM s GROUP BY split"
         ),
         "evt_streaks": (
             "WITH d AS (SELECT DISTINCT user_id,"

@@ -443,3 +443,34 @@ def union_evolve(dfs: "Sequence[DataFrame]") -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def train_eval_split(
+    df: DataFrame,
+    key_col: str,
+    pcts: "tuple[int, int, int]" = (90, 5, 5),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a
+    ``split`` label from the md5 bucket of its key — disjoint,
+    exhaustive, and reproducible across runs, engines, AND
+    partitionings (the property RNG-based splits lack: a re-run or a
+    repartition must never move an example across the leakage
+    boundary).  Keys equal ⇒ splits equal, so grouped leakage
+    control (all rows of one document/user land together) falls out
+    of choosing the key.
+
+    Shuffle-free: one hash + two comparisons per row, whole-stage
+    codegen; the label is a plain column, so split-filtered reads
+    stay pushable scan predicates.
+    """
+    if sum(pcts) != 100:
+        raise ValueError(f"pcts must sum to 100: {pcts}")
+    from eggv_spark.operators.dedupe import base_hash
+
+    bucket = F.pmod(base_hash(F.col(key_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < pcts[0], "train")
+        .when(bucket < pcts[0] + pcts[1], "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)

@@ -685,3 +685,24 @@ def test_activity_streaks_hand_computed(spark):
     got = {r.user_id: (r.longest_streak_days, r.n_active_days, r.n_streaks)
            for r in activity_streaks(df).collect()}
     assert got == {1: (3, 4, 2), 2: (1, 1, 1)}
+
+
+def test_train_eval_split_disjoint_exhaustive_partition_invariant(spark):
+    from eggv_spark.operators.relational import train_eval_split
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = train_eval_split(df, "k", pcts=(80, 10, 10))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    # exhaustive + roughly proportional
+    assert sum(counts.values()) == 1000
+    assert 700 < counts["train"] < 900
+    # partition-invariant: identical assignment after a repartition
+    again = {r.k: r.split for r in train_eval_split(
+        df.repartition(13), "k", pcts=(80, 10, 10)).collect()}
+    first = {r.k: r.split for r in out.collect()}
+    assert first == again
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        train_eval_split(df, "k", pcts=(80, 10, 5))
