@@ -371,3 +371,57 @@ def streaming_running_zscore(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: "list[str]",
+    checkpoint: str,
+) -> None:
+    """Streaming → maintained-table sink: every micro-batch MERGES
+    into a parquet table by key via ``foreachBatch`` + the batch
+    ``merge_upsert`` operator — the plain-parquet stand-in for
+    MERGE INTO against a table format, and the standard pattern for
+    keeping a serving table current from a stream.
+
+    Exactly-once to the table: the checkpoint makes batch replay
+    idempotent AT THE BATCH LEVEL, and the upsert makes replaying a
+    batch a no-op at the ROW level (same keys overwrite the same
+    rows), so crash-restart never duplicates.  The merged result is
+    written to a side directory and swapped in (rename-rename-delete,
+    the compact_files discipline) — never an in-place overwrite of a
+    directory that the merge itself is still reading.
+
+    Runs with Trigger.AvailableNow and BLOCKS until input drains.
+    """
+    import os
+    import shutil
+
+    from eggv_spark.operators.tableops import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+            merged = merge_upsert(current, batch_df, keys)
+        else:
+            merged = batch_df
+        tmp = path.rstrip("/") + "__upserting"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + "__replaced"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -706,3 +706,37 @@ def test_train_eval_split_disjoint_exhaustive_partition_invariant(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         train_eval_split(df, "k", pcts=(80, 10, 5))
+
+
+def test_stream_upsert_sink_merges_batches_idempotently(spark, tmp_path):
+    from eggv_spark.streaming.events_stream import stream_upsert_sink
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "v1"), (2, "v1")], "k long, v string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream_upsert_sink(
+            spark.readStream.schema(schema).parquet(src),
+            table, ["k"], ckpt,
+        )
+
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "v1", 2: "v1"}
+
+    # replay with unchanged input: checkpoint makes it a no-op
+    run()
+    assert spark.read.parquet(table).count() == 2
+
+    # new file updates key 2 and inserts key 3 -> upsert, not append
+    spark.createDataFrame(
+        [(2, "v2"), (3, "v1")], "k long, v string"
+    ).write.mode("append").parquet(src)
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v1"}
