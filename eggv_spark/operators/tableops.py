@@ -387,3 +387,30 @@ def snapshot_diff(
         .otherwise("unchanged")
     )
     return joined.select(*keys, status.alias("diff_status"))
+
+
+def observed_write_metrics(
+    df: DataFrame, path: str, value_col: str, fmt: str = "parquet"
+) -> dict:
+    """Write a table while collecting row-level quality metrics IN
+    THE SAME JOB via ``Observation`` — zero extra scans, zero extra
+    shuffles (the metrics piggyback on the write's single pass).
+    The production pattern for emit-metrics-on-ingest: a separate
+    validation query would double the IO at 100 TB.
+
+    Returns {n_rows, n_nulls, min, max} for ``value_col``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col(value_col).isNull(), 1).otherwise(0)
+        ).alias("n_nulls"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    observed.write.mode("overwrite").format(fmt).save(path)
+    return obs.get

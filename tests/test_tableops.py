@@ -243,3 +243,17 @@ def test_snapshot_diff_classifies_all_statuses(spark):
     got2 = {r.k: r.diff_status for r in snapshot_diff(
         new, old, ["k"], ["s", "v"]).collect()}
     assert got2[4] == "removed"
+
+
+def test_observed_write_metrics_single_job(spark, tmp_path):
+    from eggv_spark.operators.tableops import observed_write_metrics
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 9.0)], "k long, v double"
+    )
+    path = str(tmp_path / "observed")
+    m = observed_write_metrics(df, path, "v")
+    assert m == {"n_rows": 3, "n_nulls": 1, "min_value": 5.0,
+                 "max_value": 9.0}
+    # the write actually landed, same pass
+    assert spark.read.parquet(path).count() == 3
