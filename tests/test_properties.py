@@ -102,3 +102,58 @@ def test_salted_join_equals_plain(spark, keys, n_salts):
         for r in salted_join(left, right, "k", n_salts=n_salts).collect()
     )
     assert salted == plain
+
+
+@_settings
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=1, max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=1, max_size=10,
+    ),
+    tolerance=st.sampled_from([None, 3, 10]),
+)
+def test_forward_asof_with_tolerance_matches_pandas(
+    spark, left, right, tolerance
+):
+    """Forward as-of + tolerance must agree with pandas merge_asof —
+    an independent reference implementation, on arbitrary inputs.
+    Right times are deduped per (key, t) so the nearest match is
+    unique and both engines pick the same row."""
+    import pandas as pd
+
+    rdedup = sorted(set(right))
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "event_id long, k long, t long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in rdedup], "k long, t long, val long"
+    )
+    got = {
+        r.event_id: r.asof_val
+        for r in asof_join(
+            ldf, rdf, ["k"], "t", ["val"], tiebreak_col="event_id",
+            direction="forward", tolerance=tolerance,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        columns=["event_id", "k", "t"],
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(rdedup, columns=["k", "t"])
+    rp["val"] = rp["k"] * 1000 + rp["t"]
+    rp = rp.sort_values("t", kind="mergesort")
+    merged = pd.merge_asof(
+        lp, rp, on="t", by="k", direction="forward",
+        tolerance=tolerance, suffixes=("", "_r"),
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
