@@ -157,3 +157,40 @@ def test_forward_asof_with_tolerance_matches_pandas(
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@_settings
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 25)),
+        min_size=1, max_size=8,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 25)),
+        min_size=1, max_size=8,
+    ),
+)
+def test_interval_overlap_join_equals_naive(spark, lefts, rights):
+    from eggv_spark.operators.rangejoin import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(lefts)],
+        "lid long, l_lo long, l_hi long",
+    )
+    rdf = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(rights)],
+        "rid long, r_lo long, r_hi long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=26
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (llo, lln) in enumerate(lefts)
+        for ri, (rlo, rln) in enumerate(rights)
+        if llo <= rlo + rln and rlo <= llo + lln
+    )
+    assert got == want
