@@ -1418,6 +1418,12 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _txt_dup_ngram_frac(spark, sf_dir):
+    """Duplicated 4-gram fraction per document over the dup-injected
+    corpus — the RefinedWeb substring-duplication filter signal."""
+    return T.with_dup_ngram_fraction(_docs_with_dups(spark, sf_dir), n=4)
+
+
 def _smp_train_eval_split(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test assignment by md5 bucket
     of doc_id — disjoint, exhaustive, partition-invariant."""
@@ -2123,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_histogram_eqdepth": _agg_histogram_eqdepth,
         "evt_streaks": _evt_streaks,
         "smp_train_eval_split": _smp_train_eval_split,
+        "txt_dup_ngram_frac": _txt_dup_ngram_frac,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2749,6 +2756,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "txt_dup_ngram_frac": (
+            f"WITH alldocs AS ({_DUPDOCS_SQL}),"
+            f" toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM alldocs),"
+            " w AS (SELECT doc_id,"
+            "  md5(array_to_string(list_slice(t, i, i + 3), ' ')) AS h"
+            "  FROM toks, unnest(generate_series(1,"
+            "   greatest(len(t) - 3, 0))) AS g(i)),"
+            " f AS (SELECT h, count(*) AS n FROM w GROUP BY 1)"
+            " SELECT w.doc_id, count(*) AS n_windows,"
+            " CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_dup_windows,"
+            " round(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) * 1.0"
+            "  / count(*), 4) AS dup_ngram_frac"
+            " FROM w JOIN f USING (h) GROUP BY w.doc_id"
         ),
         "smp_train_eval_split": (
             "WITH b AS (SELECT doc_id,"

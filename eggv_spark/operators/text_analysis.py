@@ -527,3 +527,42 @@ def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
             "chars_removed": F.length(F.col(text_col)) - F.length(norm),
         }
     )
+
+
+def with_dup_ngram_fraction(
+    df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-n-gram fraction: for every document, the share of
+    its stride-1 ``n``-token windows that occur MORE THAN ONCE
+    corpus-wide (multiplicity counted across all docs, including
+    repeats within the same doc) — the RefinedWeb-style substring-
+    duplication signal used to filter boilerplate-heavy documents,
+    and the stride-1 sibling of :func:`~eggv_spark.operators.dedupe.
+    passage_dedup`'s disjoint chunks.
+
+    Scale shape: windows explode once (the n-gram array is built with
+    zip_with, O(tokens) per row), the global frequency table is keyed
+    on the window's md5 (16-byte shuffle keys, map-side combine
+    absorbs the boilerplate head), and the per-doc rollup rides the
+    count⋈windows join.  Three exchanges, same as passage dedup.
+    """
+    windows = df.select(
+        id_col,
+        F.explode(ngrams_col(tokens_col(text_col), n)).alias("_w"),
+    ).select(id_col, F.md5("_w").alias("_h"))
+    freq = windows.groupBy("_h").agg(F.count("*").alias("_n"))
+    joined = windows.join(freq, "_h")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias(
+            "n_dup_windows"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("dup_ngram_frac"),
+    )

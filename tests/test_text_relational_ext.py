@@ -740,3 +740,19 @@ def test_stream_upsert_sink_merges_batches_idempotently(spark, tmp_path):
     run()
     got = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert got == {1: "v1", 2: "v2", 3: "v1"}
+
+
+def test_dup_ngram_fraction_hand_computed(spark):
+    from eggv_spark.operators.text_analysis import with_dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        # doc 1: "a b c d e" -> windows {abcd, bcde}; doc 2 repeats
+        # "a b c d" so that window is duplicated corpus-wide
+        [(1, "a b c d e"), (2, "a b c d"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in with_dup_ngram_fraction(df, n=4).collect()}
+    assert got[1].n_windows == 2 and got[1].n_dup_windows == 1
+    assert got[1].dup_ngram_frac == 0.5
+    assert got[2].n_windows == 1 and got[2].dup_ngram_frac == 1.0
+    assert got[3].n_dup_windows == 0 and got[3].dup_ngram_frac == 0.0
