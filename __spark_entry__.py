@@ -1418,6 +1418,33 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _composite_training_mixture(spark, sf_dir):
+    """The LLM-data cleaning pipeline as ONE declarative plan:
+    dup-injected corpus -> text normalization -> exact dedup on
+    normalized content (deterministic min-id keeper) -> quality
+    scoring -> per-source token-budget fill.  Every stage is an
+    existing operator; Catalyst fuses the normalize+score projections
+    and the chain costs two shuffles (dedup window, budget window)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    with_dups = docs.unionByName(
+        docs.filter("doc_id % 10 = 0").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    normed = T.with_normalized_text(with_dups).select(
+        "doc_id", "source", "norm_text"
+    )
+    deduped = R.dedupe_first_by_key(
+        normed.withColumn("_h", F.md5("norm_text")), ["_h"], ["doc_id"]
+    ).drop("_h")
+    scored = T.with_quality_score(deduped, text_col="norm_text").select(
+        "doc_id", "source", "n_tokens", "stopword_ratio"
+    )
+    return R.token_budget_sample(
+        scored, "source", "doc_id", "stopword_ratio", "n_tokens", budget=600
+    )
+
+
 def _txt_dup_ngram_frac(spark, sf_dir):
     """Duplicated 4-gram fraction per document over the dup-injected
     corpus — the RefinedWeb substring-duplication filter signal."""
@@ -2130,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_streaks": _evt_streaks,
         "smp_train_eval_split": _smp_train_eval_split,
         "txt_dup_ngram_frac": _txt_dup_ngram_frac,
+        "composite_training_mixture": _composite_training_mixture,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2756,6 +2784,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "composite_training_mixture": (
+            "WITH base AS (SELECT doc_id, text, source FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000, text, source"
+            "  FROM documents WHERE doc_id % 10 = 0),"
+            " norm AS (SELECT doc_id, source,"
+            "  trim(regexp_replace(regexp_replace(lower(text),"
+            "   '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+            "   AS norm_text FROM base),"
+            " dd AS (SELECT doc_id, source, norm_text,"
+            "  row_number() OVER (PARTITION BY md5(norm_text)"
+            "   ORDER BY doc_id) AS rn FROM norm),"
+            " kept AS (SELECT doc_id, source, norm_text FROM dd"
+            "  WHERE rn = 1),"
+            " toks AS (SELECT doc_id, source,"
+            "  list_filter(regexp_split_to_array(lower(norm_text),"
+            "   '\\s+'), t -> t <> '') AS t FROM kept),"
+            " q AS (SELECT doc_id, source, len(t) AS n_tokens,"
+            "  round(CAST(len(list_filter(t, s -> list_contains("
+            f"   {list(T.STOPWORDS)}, s))) AS DOUBLE)"
+            "   / greatest(len(t), 1), 4) AS stopword_ratio FROM toks),"
+            " w AS (SELECT doc_id, source, n_tokens, stopword_ratio,"
+            "  CAST(sum(n_tokens) OVER (PARTITION BY source"
+            "   ORDER BY stopword_ratio DESC, doc_id"
+            "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens"
+            "  FROM q)"
+            " SELECT * FROM w WHERE cum_tokens <= 600"
         ),
         "txt_dup_ngram_frac": (
             f"WITH alldocs AS ({_DUPDOCS_SQL}),"

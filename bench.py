@@ -48,6 +48,7 @@ HEADLINE = [
     "ddp_passage_dedup",
     "tbl_zorder_key",
     "smp_token_budget",
+    "composite_training_mixture",
 ]
 
 
