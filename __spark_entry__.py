@@ -1418,6 +1418,18 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _dt_date_spine(spark, sf_dir):
+    """Calendar-dimension generator over the events table's day
+    range — bounds derived in-plan (1-row agg -> sequence explode),
+    no driver round-trip."""
+    from eggv_spark.sources.readers import date_spine
+
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    return date_spine(bounds, "lo", "hi")
+
+
 def _composite_training_mixture(spark, sf_dir):
     """The LLM-data cleaning pipeline as ONE declarative plan:
     dup-injected corpus -> text normalization -> exact dedup on
@@ -2158,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_train_eval_split": _smp_train_eval_split,
         "txt_dup_ngram_frac": _txt_dup_ngram_frac,
         "composite_training_mixture": _composite_training_mixture,
+        "dt_date_spine": _dt_date_spine,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2784,6 +2797,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "dt_date_spine": (
+            # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek:
+            # 0=Sunday..6 -> +1 aligns
+            "WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,"
+            "  max(CAST(ts AS DATE)) AS hi FROM events),"
+            " d AS (SELECT unnest(generate_series(b.lo, b.hi,"
+            "  INTERVAL 1 DAY)) AS day FROM b)"
+            " SELECT CAST(day AS DATE) AS day,"
+            " CAST(year(day) AS INT) AS year,"
+            " CAST(month(day) AS INT) AS month,"
+            " CAST(dayofweek(day) + 1 AS INT) AS day_of_week,"
+            " dayofweek(day) + 1 IN (1, 7) AS is_weekend"
+            " FROM d"
         ),
         "composite_training_mixture": (
             "WITH base AS (SELECT doc_id, text, source FROM documents"

@@ -164,3 +164,33 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def date_spine(
+    lo_hi_df: "DataFrame", lo_col: str, hi_col: str
+) -> "DataFrame":
+    """Calendar-dimension generator (the dbt ``date_spine``
+    primitive): one row per day between the bounds carried in a
+    1-row frame, with the join-ready calendar attributes every
+    reporting pipeline needs (year/month/day-of-week/weekend flag).
+
+    The bounds stay IN-PLAN (a 1-row sequence explode from the
+    aggregated frame) — no driver round-trip, so the spine composes
+    under a single job with whatever derives the bounds.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        lo_hi_df.select(
+            F.explode(
+                F.sequence(F.col(lo_col), F.col(hi_col))
+            ).alias("day")
+        )
+        .select(
+            "day",
+            F.year("day").alias("year"),
+            F.month("day").alias("month"),
+            F.dayofweek("day").alias("day_of_week"),
+            F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+        )
+    )

@@ -148,3 +148,21 @@ def test_udtf_explode_effects(spark):
         ("missense_variant", 0, "NM_1"),
         ("intron_variant", 1, "NM_2"),
     ]
+
+
+def test_date_spine_attributes(spark):
+    from pyspark.sql import functions as F
+
+    from eggv_spark.sources.readers import date_spine
+
+    bounds = spark.createDataFrame(
+        [("2024-02-28", "2024-03-02")], "lo_s string, hi_s string"
+    ).select(F.to_date("lo_s").alias("lo"), F.to_date("hi_s").alias("hi"))
+    rows = {str(r.day): r for r in date_spine(bounds, "lo", "hi").collect()}
+    # leap year: Feb 29 exists; 4 consecutive days
+    assert sorted(rows) == [
+        "2024-02-28", "2024-02-29", "2024-03-01", "2024-03-02"
+    ]
+    assert rows["2024-03-02"].is_weekend          # Saturday
+    assert not rows["2024-02-29"].is_weekend      # Thursday
+    assert rows["2024-03-01"].month == 3 and rows["2024-03-01"].year == 2024
