@@ -414,3 +414,30 @@ def observed_write_metrics(
     )
     observed.write.mode("overwrite").format(fmt).save(path)
     return obs.get
+
+
+def vacuum_orphans(base_dir: str) -> list[str]:
+    """Remove orphaned work directories left by crashed swap
+    rewrites (the ``__compacting`` / ``__upserting`` staging dirs and
+    ``__replaced`` backups of :func:`compact_files` and
+    ``stream_upsert_sink``) — the retention/vacuum complement of the
+    crash-safe swap discipline: a crash leaves the table recoverable
+    AND leaves debris; this reclaims the debris once the table is
+    confirmed healthy.  Returns the removed paths.
+
+    Driver-local filesystem walk by design (same constraint as
+    compact_files — on HDFS/S3 use the Hadoop FS API / a table
+    format's VACUUM).
+    """
+    import shutil
+
+    suffixes = ("__compacting", "__upserting", "__replaced")
+    removed: list[str] = []
+    for root, dirs, _ in os.walk(base_dir):
+        for d in list(dirs):
+            if d.endswith(suffixes):
+                full = os.path.join(root, d)
+                shutil.rmtree(full)
+                dirs.remove(d)
+                removed.append(full)
+    return sorted(removed)

@@ -257,3 +257,20 @@ def test_observed_write_metrics_single_job(spark, tmp_path):
                  "max_value": 9.0}
     # the write actually landed, same pass
     assert spark.read.parquet(path).count() == 3
+
+
+def test_vacuum_orphans_removes_only_work_dirs(spark, tmp_path):
+    import os
+
+    from eggv_spark.operators.tableops import vacuum_orphans
+
+    table = tmp_path / "t"
+    spark.range(3).write.parquet(str(table))
+    for orphan in ("t__compacting", "t__replaced", "nested/x__upserting"):
+        os.makedirs(tmp_path / orphan, exist_ok=True)
+        (tmp_path / orphan / "junk").write_text("x")
+    removed = vacuum_orphans(str(tmp_path))
+    assert len(removed) == 3
+    # the live table is untouched
+    assert spark.read.parquet(str(table)).count() == 3
+    assert vacuum_orphans(str(tmp_path)) == []
