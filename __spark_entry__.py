@@ -1418,6 +1418,13 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _smp_mixture_weights(spark, sf_dir):
+    """Per-source token shares + uniform-target importance weights —
+    the mixture design artifact reviewed before rebalancing."""
+    scored = T.with_token_counts(_t(spark, sf_dir, "documents"))
+    return T.mixture_weights(scored, "source", "n_tokens")
+
+
 def _dt_date_spine(spark, sf_dir):
     """Calendar-dimension generator over the events table's day
     range — bounds derived in-plan (1-row agg -> sequence explode),
@@ -2171,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_dup_ngram_frac": _txt_dup_ngram_frac,
         "composite_training_mixture": _composite_training_mixture,
         "dt_date_spine": _dt_date_spine,
+        "smp_mixture_weights": _smp_mixture_weights,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2797,6 +2805,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "smp_mixture_weights": (
+            f"WITH toks AS (SELECT source, len({_TOKS_SQL}) AS n_tokens"
+            "  FROM documents),"
+            " d AS (SELECT source, count(*) AS n_docs,"
+            "  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM toks"
+            "  GROUP BY source),"
+            " t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,"
+            "  count(*) AS nd FROM d)"
+            " SELECT d.source, d.n_docs, d.n_tokens,"
+            " round(d.n_tokens * 1.0 / t.total, 4) AS token_share,"
+            " round(t.total * 1.0 / (t.nd * d.n_tokens), 4)"
+            "  AS uniform_weight"
+            " FROM d, t"
         ),
         "dt_date_spine": (
             # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek:

@@ -566,3 +566,44 @@ def with_dup_ngram_fraction(
             4,
         ).alias("dup_ngram_frac"),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Mixture DESIGN step: per-domain token shares and the
+    importance weight (uniform-target share ÷ actual share) a
+    sampler must apply to flatten the mixture — the number you
+    compute BEFORE running domain_mix_sample / token_budget_sample,
+    and the artifact mixture configs are reviewed against.
+
+    Two tiny aggregations: domain rollup (map-side combined), then
+    the corpus total re-broadcast as a 1-row cross join so shares
+    and weights stay in-plan — no driver round-trip, no collect.
+    """
+    per_domain = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens_col).alias("n_tokens"),
+    )
+    totals = per_domain.agg(
+        F.sum("n_tokens").alias("_total_tokens"),
+        F.count("*").alias("_n_domains"),
+    )
+    return (
+        per_domain.crossJoin(F.broadcast(totals))
+        .select(
+            domain_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total_tokens"), 4).alias(
+                "token_share"
+            ),
+            F.round(
+                F.col("_total_tokens")
+                / (F.col("_n_domains") * F.col("n_tokens")),
+                4,
+            ).alias("uniform_weight"),
+        )
+    )

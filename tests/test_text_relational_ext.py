@@ -756,3 +756,19 @@ def test_dup_ngram_fraction_hand_computed(spark):
     assert got[1].dup_ngram_frac == 0.5
     assert got[2].n_windows == 1 and got[2].dup_ngram_frac == 1.0
     assert got[3].n_dup_windows == 0 and got[3].dup_ngram_frac == 0.0
+
+
+def test_mixture_weights_hand_computed(spark):
+    from eggv_spark.operators.text_analysis import mixture_weights
+
+    df = spark.createDataFrame(
+        # domain a: 300 tokens, b: 100 -> total 400, uniform target 200
+        [("a", 200), ("a", 100), ("b", 100)],
+        "source string, n_tokens long",
+    )
+    got = {r.source: r for r in mixture_weights(df).collect()}
+    assert got["a"].token_share == 0.75 and got["b"].token_share == 0.25
+    # weight = total/(n_domains*actual): a -> 400/600, b -> 400/200
+    assert got["a"].uniform_weight == round(400 / 600, 4)
+    assert got["b"].uniform_weight == 2.0
+    assert got["a"].n_docs == 2
