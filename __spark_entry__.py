@@ -1418,6 +1418,22 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _txt_source_quality(spark, sf_dir):
+    """Corpus-quality audit rollup: per (source, lang) quality
+    metrics WITH subtotal rows per source and a grand total
+    (ROLLUP) — the drift dashboard over the cleaning signals."""
+    scored = T.with_quality_score(_t(spark, sf_dir, "documents"))
+    return (
+        scored.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("alnum_ratio"), 4).alias("avg_alnum_ratio"),
+        )
+    )
+
+
 def _smp_mixture_weights(spark, sf_dir):
     """Per-source token shares + uniform-target importance weights —
     the mixture design artifact reviewed before rebalancing."""
@@ -2179,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_training_mixture": _composite_training_mixture,
         "dt_date_spine": _dt_date_spine,
         "smp_mixture_weights": _smp_mixture_weights,
+        "txt_source_quality": _txt_source_quality,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2805,6 +2822,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "txt_source_quality": (
+            f"WITH toks AS (SELECT doc_id, source, lang, text, {_TOKS_SQL}"
+            "  AS t FROM documents),"
+            " q AS (SELECT source, lang, len(t) AS n_tokens,"
+            "  round(CAST(len(list_filter(t, s -> list_contains("
+            f"   {list(T.STOPWORDS)}, s))) AS DOUBLE)"
+            "   / greatest(len(t), 1), 4) AS stopword_ratio,"
+            "  round(CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]',"
+            "   '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4)"
+            "   AS alnum_ratio FROM toks)"
+            " SELECT source, lang, count(*) AS n_docs,"
+            " round(avg(n_tokens), 4) AS avg_tokens,"
+            " round(avg(stopword_ratio), 4) AS avg_stopword_ratio,"
+            " round(avg(alnum_ratio), 4) AS avg_alnum_ratio"
+            " FROM q GROUP BY ROLLUP (source, lang)"
         ),
         "smp_mixture_weights": (
             f"WITH toks AS (SELECT source, len({_TOKS_SQL}) AS n_tokens"
