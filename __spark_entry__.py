@@ -1418,6 +1418,32 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _win_pct_change(spark, sf_dir):
+    """Month-over-month revenue change per order priority: monthly
+    rollup (map-side combined) then lag within each small series —
+    the window runs over months, never raw orders."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.trunc("o_orderdate", "mm").alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "pct_change"
+        ),
+    )
+
+
 def _txt_source_quality(spark, sf_dir):
     """Corpus-quality audit rollup: per (source, lang) quality
     metrics WITH subtotal rows per source and a grand total
@@ -2196,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_date_spine": _dt_date_spine,
         "smp_mixture_weights": _smp_mixture_weights,
         "txt_source_quality": _txt_source_quality,
+        "win_pct_change": _win_pct_change,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2822,6 +2849,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "win_pct_change": (
+            "WITH m AS (SELECT o_orderpriority,"
+            "  date_trunc('month', o_orderdate) AS month,"
+            "  round(sum(o_totalprice), 2) AS revenue"
+            " FROM orders GROUP BY 1, 2)"
+            " SELECT o_orderpriority,"
+            " CAST(CAST(month AS DATE) AS VARCHAR) AS month, revenue,"
+            " round((revenue - lag(revenue) OVER w)"
+            "  / lag(revenue) OVER w * 100, 4) AS pct_change"
+            " FROM m WINDOW w AS (PARTITION BY o_orderpriority"
+            "  ORDER BY month)"
         ),
         "txt_source_quality": (
             f"WITH toks AS (SELECT doc_id, source, lang, text, {_TOKS_SQL}"
