@@ -1418,6 +1418,50 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _set_symmetric_diff(spark, sf_dir):
+    """Symmetric difference — (A except B) union (B except A),
+    side-tagged — over nation sets of sparse key-filtered customer
+    and supplier subsets (full sets coincide at every SF, which
+    would verify trivially)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.pmod("c_custkey", F.lit(97)) == 0
+    ).select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").filter(
+        F.pmod("s_suppkey", F.lit(11)) == 0
+    ).select(F.col("s_nationkey").alias("nationkey"))
+    only_c = c.subtract(s).withColumn("side", F.lit("customer_only"))
+    only_s = s.subtract(c).withColumn("side", F.lit("supplier_only"))
+    return only_c.unionByName(only_s)
+
+
+def _join_fuzzy_name(spark, sf_dir):
+    """Fuzzy entity resolution: a small probe list of corrupted
+    customer names (derived in-plan) matched back by Levenshtein
+    distance <= 2 against the broadcast probe side — the
+    typo-tolerant lookup of record linkage.  The corpus streams; only
+    the probe list broadcasts, so the plan is a BroadcastNestedLoop
+    with a cheap per-pair distance, never a corpus self-join."""
+    customers = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = (
+        customers.filter(F.col("c_custkey") % 300 == 0)
+        .select(
+            F.col("c_custkey").alias("probe_id"),
+            F.concat(F.col("c_name"), F.lit("X")).alias("probe_name"),
+        )
+    )
+    joined = customers.join(
+        F.broadcast(probes),
+        F.levenshtein("c_name", "probe_name") <= 2,
+    )
+    return joined.select(
+        "probe_id",
+        "probe_name",
+        "c_custkey",
+        "c_name",
+        F.levenshtein("c_name", "probe_name").alias("edit_distance"),
+    )
+
+
 def _win_pct_change(spark, sf_dir):
     """Month-over-month revenue change per order priority: monthly
     rollup (map-side combined) then lag within each small series —
@@ -2223,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_mixture_weights": _smp_mixture_weights,
         "txt_source_quality": _txt_source_quality,
         "win_pct_change": _win_pct_change,
+        "set_symmetric_diff": _set_symmetric_diff,
+        "join_fuzzy_name": _join_fuzzy_name,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2849,6 +2895,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "set_symmetric_diff": (
+            "WITH c AS (SELECT c_nationkey AS nationkey FROM customer"
+            "  WHERE c_custkey % 97 = 0),"
+            " s AS (SELECT s_nationkey AS nationkey FROM supplier"
+            "  WHERE s_suppkey % 11 = 0)"
+            " SELECT nationkey, 'customer_only' AS side FROM ("
+            "  SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)"
+            " UNION ALL"
+            " SELECT nationkey, 'supplier_only' FROM ("
+            "  SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)"
+        ),
+        "join_fuzzy_name": (
+            "WITH probes AS (SELECT c_custkey AS probe_id,"
+            "  c_name || 'X' AS probe_name FROM customer"
+            "  WHERE c_custkey % 300 = 0)"
+            " SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name,"
+            " CAST(levenshtein(c.c_name, p.probe_name) AS INT)"
+            "  AS edit_distance"
+            " FROM customer c JOIN probes p"
+            " ON levenshtein(c.c_name, p.probe_name) <= 2"
         ),
         "win_pct_change": (
             "WITH m AS (SELECT o_orderpriority,"
