@@ -1418,6 +1418,30 @@ def _evt_throttle(spark, sf_dir):
     )
 
 
+def _txt_hashed_features(spark, sf_dir):
+    """Feature hashing: fixed-width bag-of-words vectors via the
+    engine-portable md5 bucket hash — no vocabulary, no shuffle."""
+    return T.with_hashed_features(
+        _t(spark, sf_dir, "documents"), n_buckets=8
+    ).select("doc_id", "n_tokens", "feature_vec")
+
+
+def _agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per return flag —
+    sum(w*x)/sum(w), one map-side-combinable pass (a plain avg would
+    weight every line equally regardless of units moved)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("weighted_avg_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("plain_avg_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
 def _set_symmetric_diff(spark, sf_dir):
     """Symmetric difference — (A except B) union (B except A),
     side-tagged — over nation sets of sparse key-filtered customer
@@ -2269,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_pct_change": _win_pct_change,
         "set_symmetric_diff": _set_symmetric_diff,
         "join_fuzzy_name": _join_fuzzy_name,
+        "txt_hashed_features": _txt_hashed_features,
+        "agg_weighted_avg": _agg_weighted_avg,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2895,6 +2921,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             + TO.zorder_key_sql("l_partkey", "l_suppkey")
             + " AS zkey FROM lineitem"
+        ),
+        "txt_hashed_features": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)"
+            " SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,"
+            " list_transform(generate_series(0, 7), i ->"
+            "  CAST(len(list_filter(t, s ->"
+            "   CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 8"
+            "    = i)) AS INT)) AS feature_vec"
+            " FROM toks"
+        ),
+        "agg_weighted_avg": (
+            "SELECT l_returnflag,"
+            " round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4)"
+            "  AS weighted_avg_price,"
+            " round(avg(l_extendedprice), 4) AS plain_avg_price,"
+            " round(sum(l_quantity), 2) AS total_qty"
+            " FROM lineitem GROUP BY l_returnflag"
         ),
         "set_symmetric_diff": (
             "WITH c AS (SELECT c_nationkey AS nationkey FROM customer"

@@ -607,3 +607,32 @@ def mixture_weights(
             ).alias("uniform_weight"),
         )
     )
+
+
+def with_hashed_features(
+    df: DataFrame, n_buckets: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Feature hashing (the hashing trick): fold each document's
+    token counts into a fixed-width integer vector by hashing tokens
+    into ``n_buckets`` — the dimensionality-capped bag-of-words
+    featurizer linear classifiers train on at corpus scale (no
+    vocabulary build, no global state, no shuffle).
+
+    Buckets use the engine-portable md5 hash (dedupe.base_hash
+    formula) so the vector reproduces bit-identically in SQL.  Cost
+    is O(n_buckets · tokens) per row in codegen — fine for the small
+    bucket counts the trick is used with; raise buckets via several
+    independent columns rather than one giant loop.
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    toks = tokens_col(text_col)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.size(
+            F.filter(toks, lambda t: F.pmod(base_hash(t), n_buckets) == i)
+        ),
+    )
+    return df.withColumns(
+        {"feature_vec": vec, "n_tokens": F.size(toks)}
+    )

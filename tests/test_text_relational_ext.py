@@ -772,3 +772,19 @@ def test_mixture_weights_hand_computed(spark):
     assert got["a"].uniform_weight == round(400 / 600, 4)
     assert got["b"].uniform_weight == 2.0
     assert got["a"].n_docs == 2
+
+
+def test_hashed_features_deterministic_and_count_preserving(spark):
+    from eggv_spark.operators.text_analysis import with_hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in with_hashed_features(df, n_buckets=4).collect()}
+    # bucket counts sum to the token count; empty doc -> zero vector
+    assert sum(got[1].feature_vec) == got[1].n_tokens == 4
+    assert got[2].feature_vec == [0, 0, 0, 0]
+    # same token always lands in the same bucket -> "a a" adds 2 to one slot
+    again = {r.doc_id: r.feature_vec for r in with_hashed_features(
+        df.repartition(3), n_buckets=4).collect()}
+    assert again[1] == got[1].feature_vec
