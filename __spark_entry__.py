@@ -647,9 +647,17 @@ def _evt_gapfill(spark, sf_dir):
 
 
 def _mm_resize(spark, sf_dir):
+    """REAL image resize (round 3, de-stubbed): genuine 4x4 binary-PPM
+    payloads (synthesize_ppm_images) resampled to 6x3 by the stdlib
+    nearest-neighbor path (resize_ppm, fake_decode=False) — exercising
+    both upsampling (4->6 wide) and downsampling (4->3 tall).  The
+    oracle replays the floor-mapped pixel formula in SQL."""
     from eggv_spark.operators import multimodal as M
 
-    resized = M.resize_images(M.synthesize_assets(_t(spark, sf_dir, "documents")))
+    resized = M.resize_images(
+        M.synthesize_ppm_images(_t(spark, sf_dir, "documents")),
+        width=6, height=3, fake_decode=False,
+    )
     # Hash the HEX of the resized buffer (not the raw bytes): the
     # DuckDB oracle's md5 is VARCHAR-only, and hex round-trips the
     # payload losslessly into string space on both engines.
@@ -2212,16 +2220,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
     The external driver oracle-checks the first 50 entries of this dict
-    each round.  Round 1 verified the 50 reference-parity/core queries
-    (now at the back, regression-guarded by tests/test_reference_parity.py
-    and scripts/check_correctness.py which runs ALL entries locally).
-    Round 2 front-loads the 50 previously-unverified extension queries.
-    The block after them — ``join_cross``, ``agg_approx`` (rows-only
-    check: HLL sketches are not value-reproducible in DuckDB), and the
-    queries added during round 2 — rotates into the window next round.
+    each round.  Rounds 1 and 2 each verified 50 entries (CORRECTNESS_r01
+    and _r02, both 50/50 green); those blocks now sit at the back,
+    regression-guarded by tests/test_reference_parity.py and
+    scripts/check_correctness.py which runs ALL entries locally.
+    Round 3 front-loads the 49 entries added during round 2 that have
+    never had a driver row (``agg_approx`` is a rows-only check: HLL
+    sketches are not value-reproducible in DuckDB), plus ``mm_resize``
+    in slot 50 — re-verified because the resize path is now a REAL
+    stdlib nearest-neighbor resample (fake_decode=False), not the
+    digest stub round 1 checked.
     """
     return {
-        # --- round-2 verification window: previously-unverified (50) ---
+        # --- round-3 verification window: never-driver-verified (49) ---
+        "join_cross": _join_cross,
+        "agg_approx": _agg_approx,
+        "txt_chunk": _txt_chunk,
+        "txt_pack_sequences": _txt_pack_sequences,
+        "smp_stratified": _smp_stratified,
+        "agg_corr": _agg_corr,
+        "mm_audio_decode": _mm_audio_decode,
+        "tbl_validate": _tbl_validate,
+        "sim_pq_topk": _sim_pq_topk,
+        "sim_kmeans_iter": _sim_kmeans_iter,
+        "sim_range_search": _sim_range_search,
+        "smp_cap_per_group": _smp_cap_per_group,
+        "txt_ngram_stats": _txt_ngram_stats,
+        "evt_anomaly": _evt_anomaly,
+        "agg_mode": _agg_mode,
+        "stream_running_zscore": _stream_running_zscore,
+        "txt_normalize": _txt_normalize,
+        "agg_entropy": _agg_entropy,
+        "smp_domain_mix": _smp_domain_mix,
+        "ddp_passage_dedup": _ddp_passage_dedup,
+        "smp_token_budget": _smp_token_budget,
+        "tbl_zorder_key": _tbl_zorder_key,
+        "mm_image_hash": _mm_image_hash,
+        "join_asof_fwd": _join_asof_fwd,
+        "tbl_snapshot_diff": _tbl_snapshot_diff,
+        "stream_sliding_window": _stream_sliding,
+        "set_union_evolve": _set_union_evolve,
+        "stream_static_enrich": _stream_static_enrich,
+        "ddp_canonical_docs": _ddp_canonical_docs,
+        "sim_recall_eval": _sim_recall_eval,
+        "evt_throttle": _evt_throttle,
+        "mm_audio_segments": _mm_audio_segments,
+        "rng_interval_overlap": _rng_interval_overlap,
+        "evt_user_journey": _evt_user_journey,
+        "agg_histogram_eqdepth": _agg_histogram_eqdepth,
+        "evt_streaks": _evt_streaks,
+        "smp_train_eval_split": _smp_train_eval_split,
+        "txt_dup_ngram_frac": _txt_dup_ngram_frac,
+        "composite_training_mixture": _composite_training_mixture,
+        "dt_date_spine": _dt_date_spine,
+        "smp_mixture_weights": _smp_mixture_weights,
+        "txt_source_quality": _txt_source_quality,
+        "win_pct_change": _win_pct_change,
+        "set_symmetric_diff": _set_symmetric_diff,
+        "join_fuzzy_name": _join_fuzzy_name,
+        "txt_hashed_features": _txt_hashed_features,
+        "agg_weighted_avg": _agg_weighted_avg,
+        "flt_like_pushdown": _flt_like_pushdown,
+        "exp_map_explode": _exp_map_explode,
+        # slot 50: re-verify with the REAL resize path (was digest-stub in r01)
+        "mm_resize": _mm_resize,
+        # --- verified in round 2 (CORRECTNESS_r02.json: 50/50 green) ---
         "txt_token_count": _txt_token_count,
         "txt_quality_score": _txt_quality_score,
         "txt_lang_id": _txt_lang_id,
@@ -2272,56 +2335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full_outer": _join_full_outer,
         "join_null_safe": _join_null_safe,
         "smp_systematic": _smp_systematic,
-        # --- rotate into the window in round 3 ---
-        "join_cross": _join_cross,
-        "agg_approx": _agg_approx,
-        "txt_chunk": _txt_chunk,
-        "txt_pack_sequences": _txt_pack_sequences,
-        "smp_stratified": _smp_stratified,
-        "agg_corr": _agg_corr,
-        "mm_audio_decode": _mm_audio_decode,
-        "tbl_validate": _tbl_validate,
-        "sim_pq_topk": _sim_pq_topk,
-        "sim_kmeans_iter": _sim_kmeans_iter,
-        "sim_range_search": _sim_range_search,
-        "smp_cap_per_group": _smp_cap_per_group,
-        "txt_ngram_stats": _txt_ngram_stats,
-        "evt_anomaly": _evt_anomaly,
-        "agg_mode": _agg_mode,
-        "stream_running_zscore": _stream_running_zscore,
-        "txt_normalize": _txt_normalize,
-        "agg_entropy": _agg_entropy,
-        "smp_domain_mix": _smp_domain_mix,
-        "ddp_passage_dedup": _ddp_passage_dedup,
-        "smp_token_budget": _smp_token_budget,
-        "tbl_zorder_key": _tbl_zorder_key,
-        "mm_image_hash": _mm_image_hash,
-        "join_asof_fwd": _join_asof_fwd,
-        "tbl_snapshot_diff": _tbl_snapshot_diff,
-        "stream_sliding_window": _stream_sliding,
-        "set_union_evolve": _set_union_evolve,
-        "stream_static_enrich": _stream_static_enrich,
-        "ddp_canonical_docs": _ddp_canonical_docs,
-        "sim_recall_eval": _sim_recall_eval,
-        "evt_throttle": _evt_throttle,
-        "mm_audio_segments": _mm_audio_segments,
-        "rng_interval_overlap": _rng_interval_overlap,
-        "evt_user_journey": _evt_user_journey,
-        "agg_histogram_eqdepth": _agg_histogram_eqdepth,
-        "evt_streaks": _evt_streaks,
-        "smp_train_eval_split": _smp_train_eval_split,
-        "txt_dup_ngram_frac": _txt_dup_ngram_frac,
-        "composite_training_mixture": _composite_training_mixture,
-        "dt_date_spine": _dt_date_spine,
-        "smp_mixture_weights": _smp_mixture_weights,
-        "txt_source_quality": _txt_source_quality,
-        "win_pct_change": _win_pct_change,
-        "set_symmetric_diff": _set_symmetric_diff,
-        "join_fuzzy_name": _join_fuzzy_name,
-        "txt_hashed_features": _txt_hashed_features,
-        "agg_weighted_avg": _agg_weighted_avg,
-        "flt_like_pushdown": _flt_like_pushdown,
-        "exp_map_explode": _exp_map_explode,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
         "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
@@ -2370,7 +2383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_tumbling_window": _evt_tumbling_window,
         "evt_sliding_window": _evt_sliding_window,
         "evt_gapfill": _evt_gapfill,
-        "mm_resize": _mm_resize,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
     }
@@ -3338,14 +3350,25 @@ def oracle_sql() -> dict[str, str]:
             " FROM px GROUP BY doc_id, f"
         ),
         "mm_resize": (
-            # resized buffer = md5(payload || '64x64') digest repeated
-            # to 64*64*3 bytes; hex(resized) = that digest's hex
-            # (uppercased) repeated 768 times.
-            "SELECT doc_id AS asset_id, CAST(64 AS INT) AS width,"
-            " CAST(64 AS INT) AS height,"
-            " CAST(12288 AS BIGINT) AS n_bytes,"
-            " md5(repeat(upper(md5(text || '64x64')), 768)) AS resized_hash"
-            " FROM documents WHERE doc_id % 3 = 0"
+            # REAL nearest-neighbor resize replica: source is the 4x4
+            # P6 payload (pixel byte i of doc d = (d*7 + i*13) % 256,
+            # synthesize_ppm_images); destination byte j of the 6x3
+            # raster samples source pixel (x*4//6, y*4//3) where
+            # y = j//18, x = (j%18)//3, c = j%3.  The resized payload
+            # is header 'P6\n6 3\n255\n' (hex 50360A3620330A3235350A)
+            # + 54-byte raster; resized_hash = md5 of its UPPER hex.
+            "WITH px AS ("
+            " SELECT d.doc_id, j,"
+            "  ((((j // 18) * 4 // 3) * 4 + ((j % 18) // 3) * 4 // 6) * 3"
+            "   + (j % 3)) AS i"
+            " FROM documents d, range(0, 54) tj(j))"
+            " SELECT doc_id AS asset_id, CAST(6 AS INT) AS width,"
+            " CAST(3 AS INT) AS height,"
+            " CAST(65 AS BIGINT) AS n_bytes,"
+            " md5('50360A3620330A3235350A' ||"
+            "  upper(string_agg(lpad(to_hex((doc_id * 7 + i * 13) % 256),"
+            "   2, '0'), '' ORDER BY j))) AS resized_hash"
+            " FROM px GROUP BY doc_id"
         ),
         "stream_tumbling_window": (
             # The streaming plan over all available input must equal

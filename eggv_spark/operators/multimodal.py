@@ -401,6 +401,28 @@ def extract_features(
     )
 
 
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a binary PPM (P6), stdlib
+    only — no PIL.  Destination pixel (x, y) samples source pixel
+    ``(x * src_w // width, y * src_h // height)`` (floor mapping, the
+    classic integer nearest-neighbor; note PIL centers samples at
+    ``(x + 0.5) * scale`` so its output differs by half a pixel).
+    Returns a complete new P6 payload (header + raster) so the result
+    is itself a decodable image.
+    """
+    src_w, src_h, maxval, raster = _ppm_parse(payload)
+    out = bytearray(width * height * 3)
+    pos = 0
+    for y in range(height):
+        sy = y * src_h // height
+        row = sy * src_w
+        for x in range(width):
+            si = (row + x * src_w // width) * 3
+            out[pos : pos + 3] = raster[si : si + 3]
+            pos += 3
+    return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + bytes(out)
+
+
 def resize_images(
     assets: DataFrame,
     width: int = 64,
@@ -409,22 +431,43 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over binary payloads (mapInPandas, 1->1).
 
-    STUB decode (no PIL in this environment): the "resized" payload
-    is a deterministic digest expansion of (payload, w, h) with the
-    byte length a real w×h×3 RGB buffer would have — so downstream
-    size accounting, shuffle volume, and schema handling are
-    realistic even though pixels are fake.
+    Binary-PPM (P6) payloads are resized FOR REAL via
+    :func:`resize_ppm` (stdlib nearest-neighbor) regardless of
+    ``fake_decode``.  Compressed formats would need PIL, which this
+    environment does not ship: with ``fake_decode=True`` the
+    "resized" payload is a deterministic digest expansion of
+    (payload, w, h) with the byte length a real w×h×3 RGB buffer
+    would have — so downstream size accounting, shuffle volume, and
+    schema handling stay realistic; with ``fake_decode=False``
+    non-PPM payloads raise ``NotImplementedError``.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target_len = width * height * 3
         for batch in batches:
-            if not fake_decode:
-                raise NotImplementedError("real image resize needs PIL")
             resized = []
             for payload in batch["payload"]:
-                seed = hashlib.md5(payload + f"{width}x{height}".encode()).digest()
-                resized.append((seed * (target_len // len(seed) + 1))[:target_len])
+                payload = bytes(payload)
+                if payload.startswith(b"P6"):
+                    try:
+                        resized.append(resize_ppm(payload, width, height))
+                        continue
+                    except ValueError:
+                        # "P6"-prefixed but not a parseable PPM (e.g. a
+                        # text payload): fall through to the stub/raise.
+                        if not fake_decode:
+                            raise
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "real resize of non-PPM images needs PIL"
+                    )
+                else:
+                    seed = hashlib.md5(
+                        payload + f"{width}x{height}".encode()
+                    ).digest()
+                    resized.append(
+                        (seed * (target_len // len(seed) + 1))[:target_len]
+                    )
             yield pd.DataFrame(
                 {
                     "asset_id": batch["asset_id"],

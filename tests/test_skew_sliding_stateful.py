@@ -80,6 +80,51 @@ def test_resize_images_shape(spark):
     assert out[0].resized == again[0].resized
 
 
+def test_resize_ppm_real_nearest_neighbor():
+    from eggv_spark.operators.multimodal import _ppm_parse, resize_ppm
+
+    # 2x2 source, distinct RGB triplets per pixel: p0..p3
+    src = b"P6\n2 2\n255\n" + bytes(range(12))
+    # Upsample 2x2 -> 4x4: each source pixel repeats in a 2x2 block
+    # (sx = x*2//4 = [0,0,1,1], sy likewise).
+    up = resize_ppm(src, 4, 4)
+    w, h, maxval, raster = _ppm_parse(up)
+    assert (w, h, maxval) == (4, 4, 255)
+    px = [tuple(raster[i : i + 3]) for i in range(0, len(raster), 3)]
+    p = [tuple(range(i * 3, i * 3 + 3)) for i in range(4)]
+    assert px == [p[0], p[0], p[1], p[1]] * 2 + [p[2], p[2], p[3], p[3]] * 2
+    # Downsample 2x2 -> 1x1: floor mapping keeps the top-left pixel.
+    down = resize_ppm(src, 1, 1)
+    assert _ppm_parse(down)[3] == bytes(p[0])
+    # Identity resize round-trips the payload exactly.
+    assert resize_ppm(src, 2, 2) == src
+
+
+def test_resize_images_real_ppm_path(spark):
+    from eggv_spark.operators.multimodal import (
+        resize_images,
+        resize_ppm,
+        synthesize_ppm_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "t", "s", "en")], ["doc_id", "text", "source", "lang"]
+    )
+    imgs = synthesize_ppm_images(docs)
+    out = resize_images(imgs, width=6, height=3, fake_decode=False).collect()
+    assert len(out) == 1
+    expected = resize_ppm(bytes(imgs.collect()[0].payload), 6, 3)
+    assert bytes(out[0].resized) == expected
+    # Non-PPM payloads still refuse the real path loudly.
+    import pytest as _pytest
+
+    fake_imgs = spark.createDataFrame(
+        [(1, "image", b"\x89PNG...")], ["asset_id", "modality", "payload"]
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(fake_imgs, width=2, height=2, fake_decode=False).collect()
+
+
 def test_streaming_user_totals_stateful(spark, tmp_path):
     import pandas as pd
 
