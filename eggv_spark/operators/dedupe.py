@@ -676,10 +676,28 @@ def passage_dedup(
     both aggregations get map-side partial combine (the duplicated
     head — boilerplate, navbars, license blocks — collapses before
     the exchange).  Three exchanges total: count, count⋈chunks (two
-    sides co-partitioned on the hash), per-doc reassembly.  The
-    window alternative (count OVER passage-partition) has the same
-    shuffle count but materializes per-row state; the agg+join form
-    lets AQE pick broadcast when the dup table is small.
+    sides co-partitioned on the hash), per-doc reassembly.
+
+    Zipf-head skew posture: passage frequencies are Zipfian, but no
+    single reducer can be serialized by a head key —
+
+    - the COUNT shuffle is algebraic, so map-side partial combine
+      caps any key's reducer input at one row per map task;
+    - the JOIN-BACK streams only the DUP-ONLY frequency table
+      (``_n > 1``, a left join with missing keys coalesced to 1):
+      the unique long tail — the overwhelming majority of distinct
+      passages — never enters the build side, which both shrinks the
+      exchange and lets AQE pick a broadcast join (then the probe
+      side does not shuffle at all);
+    - when the dup table is too big to broadcast, AQE's skew-join
+      splitting (on by default, session.py) shards the head key's
+      probe partition across tasks, replicating the single matching
+      build row.
+
+    The window alternative (count OVER passage-partition) has the
+    same shuffle count but no dup-only reduction and no AQE skew
+    split for the aggregation.  Covered by a 10^4x-skewed fixture in
+    tests/test_text_dedupe_similarity.py.
     """
     from eggv_spark.operators.text_analysis import chunk_documents
 
@@ -692,7 +710,12 @@ def passage_dedup(
         F.md5("chunk_text").alias("_h"),
     )
     freq = chunks.groupBy("_h").agg(F.count("*").alias("_n"))
-    joined = chunks.join(freq, "_h").drop("_h")
+    dup_freq = freq.filter(F.col("_n") > 1)
+    joined = (
+        chunks.join(dup_freq, "_h", "left")
+        .withColumn("_n", F.coalesce("_n", F.lit(1)))
+        .drop("_h")
+    )
     return (
         joined.groupBy(id_col)
         .agg(

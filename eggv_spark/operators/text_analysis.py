@@ -547,14 +547,23 @@ def with_dup_ngram_fraction(
     zip_with, O(tokens) per row), the global frequency table is keyed
     on the window's md5 (16-byte shuffle keys, map-side combine
     absorbs the boilerplate head), and the per-doc rollup rides the
-    count⋈windows join.  Three exchanges, same as passage dedup.
+    count⋈windows join.  Three exchanges, same as passage dedup —
+    and the same Zipf-head skew posture (see
+    :func:`~eggv_spark.operators.dedupe.passage_dedup`): the count
+    shuffle partial-combines head keys away, and the join-back
+    streams only the dup-only frequency table (left join, missing
+    keys coalesced to 1) so AQE can broadcast it or skew-split the
+    probe side.
     """
     windows = df.select(
         id_col,
         F.explode(ngrams_col(tokens_col(text_col), n)).alias("_w"),
     ).select(id_col, F.md5("_w").alias("_h"))
     freq = windows.groupBy("_h").agg(F.count("*").alias("_n"))
-    joined = windows.join(freq, "_h")
+    dup_freq = freq.filter(F.col("_n") > 1)
+    joined = windows.join(dup_freq, "_h", "left").withColumn(
+        "_n", F.coalesce("_n", F.lit(1))
+    )
     return joined.groupBy(id_col).agg(
         F.count("*").alias("n_windows"),
         F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias(

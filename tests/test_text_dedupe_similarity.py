@@ -274,6 +274,45 @@ def test_passage_dedup_strips_cross_doc_duplicates(spark):
     assert out[3].cleaned_text == "q r s t"
 
 
+def test_passage_dedup_zipf_head_key_10e4_skew(spark):
+    """Zipf-head hardening: one passage duplicated 10^4x across the
+    corpus (the boilerplate head key) must neither serialize a
+    reducer nor change semantics — every copy is stripped, each doc's
+    unique tail survives.  The dup-only frequency table this plan
+    joins back has ONE row here; the 10^4 probe rows meet it via
+    broadcast or an AQE skew split, never a single-reducer hash join
+    on the head key."""
+    from eggv_spark.operators.dedupe import passage_dedup
+
+    n = 10_000
+    rows = [(i, f"spam spam spam spam uniq{i} a b c") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = passage_dedup(df, chunk_tokens=4)
+    got = out.filter(F.col("doc_id").isin(0, 1, n - 1)).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.n_chunks == 2 and r.n_dup_chunks == 1
+        assert r.cleaned_text == f"uniq{r.doc_id} a b c"
+    assert out.count() == n
+    # The dup table really is dup-only: exactly one duplicated hash.
+    agg = out.agg(F.sum("n_dup_chunks").alias("s")).collect()[0]
+    assert agg.s == n
+
+
+def test_dup_ngram_fraction_zipf_head_key(spark):
+    from eggv_spark.operators.text_analysis import with_dup_ngram_fraction
+
+    n = 1_000
+    rows = [(i, f"the same old line uniq{i} x y z") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = {r.doc_id: r for r in with_dup_ngram_fraction(df, n=4).collect()}
+    assert len(out) == n
+    # 5 stride-1 4-gram windows per doc; only "the same old line"
+    # repeats corpus-wide (10^3x) — windows containing uniq{i} don't.
+    assert out[0].n_windows == 5 and out[0].n_dup_windows == 1
+    assert out[0].dup_ngram_frac == 0.2
+
+
 def test_passage_dedup_all_duplicated_doc_yields_empty_text(spark):
     from eggv_spark.operators.dedupe import passage_dedup
 
