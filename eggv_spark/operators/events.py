@@ -262,6 +262,7 @@ def throttle_events(
     ts_col: str = "ts",
     max_per_window: int = 10,
     window: str = "1 hour",
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Per-entity rate limiting: keep at most ``max_per_window``
     events per (entity, tumbling window), in arrival order — the
@@ -270,13 +271,15 @@ def throttle_events(
     aggregation (one hot account must not dominate a behavioral
     feature).
 
-    Deterministic: arrival order is (ts, event_id) so replays keep
-    the identical survivor set.  One shuffle (window partitioned on
-    entity + time bucket); the rank predicate drops the excess in
-    the ranking stage, so downstream sees ≤ max rows per bucket.
+    Deterministic: arrival order is (ts, ``order_col``) — pass a
+    frame-appropriate unique tiebreak column when the default
+    ``event_id`` is absent — so replays keep the identical survivor
+    set.  One shuffle (window partitioned on entity + time bucket);
+    the rank predicate drops the excess in the ranking stage, so
+    downstream sees ≤ max rows per bucket.
     """
     bucket = F.window(F.col(ts_col), window)["start"].alias("_w")
-    w = Window.partitionBy(entity_col, "_w").orderBy(ts_col, "event_id")
+    w = Window.partitionBy(entity_col, "_w").orderBy(ts_col, order_col)
     return (
         df.withColumn("_w", bucket)
         .withColumn("_rank", F.row_number().over(w))
@@ -292,18 +295,20 @@ def user_journey_paths(
     ts_col: str = "ts",
     first_n: int = 3,
     top_k: int = 20,
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Path analysis: the most common first-``n`` event sequences
     across entities ("view > click > purchase") — the funnel-
     discovery query of product analytics, and a behavior-level dedup
     key for interaction-log training data.
 
-    Deterministic: order within an entity is (ts, event_id).  Two
-    shuffles — the per-entity ranking window and the path count
-    (map-side combined); the final top-k is TakeOrderedAndProject,
-    never a global sort.
+    Deterministic: order within an entity is (ts, ``order_col``;
+    pass a frame-appropriate unique tiebreak when the default
+    ``event_id`` is absent).  Two shuffles — the per-entity ranking
+    window and the path count (map-side combined); the final top-k
+    is TakeOrderedAndProject, never a global sort.
     """
-    w = Window.partitionBy(entity_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
     firsts = (
         df.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= first_n)

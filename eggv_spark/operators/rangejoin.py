@@ -133,13 +133,19 @@ def asof_join(
     Union + tagged window instead of a join: right rows carry
     ``_is_left = 0``, left rows ``1``; within (key) ordered by
     (time asc for backward / desc for forward, tie-order, tiebreak),
-    ``last(value, ignorenulls)`` over rows-up-to-current carries each
-    right value onto the left rows that follow it in traversal
-    order.  At equal times, right orders BEFORE left (visible,
-    inclusive semantics) unless ``strict``, where right orders AFTER
-    left (invisible) — strictness is purely a tie-ordering flip, the
-    frame never changes.  One shuffle total, no range explosion,
-    either direction.
+    a single ``last(struct(time, *values), ignorenulls)`` over
+    rows-up-to-current carries the NEAREST RIGHT ROW — time and
+    values together — onto the left rows that follow it in traversal
+    order.  Carrying the whole row in one struct (not one
+    ``last(value)`` per column) is what pins pandas/DuckDB ASOF
+    semantics: the match is the nearest right ROW, and its values are
+    returned even when null — a null value never falls back to an
+    older row, and the tolerance bound is checked against the same
+    row the values came from.  At equal times, right orders BEFORE
+    left (visible, inclusive semantics) unless ``strict``, where
+    right orders AFTER left (invisible) — strictness is purely a
+    tie-ordering flip, the frame never changes.  One shuffle total,
+    no range explosion, either direction.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -172,23 +178,26 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumns(
-        {
-            f"_asof_{v}": F.last(
-                F.when(F.col("_is_left") == 0, F.col(v)), ignorenulls=True
-            ).over(w)
-            for v in vals
-        }
+    # The whole nearest right row as ONE struct: struct(_t, ...) is
+    # non-null for every right row (_t never is), so ignorenulls
+    # skips left rows only — null VALUES ride along from the matched
+    # row instead of falling back to an older one.
+    carried = unioned.withColumn(
+        "_asof",
+        F.last(
+            F.when(
+                F.col("_is_left") == 0,
+                F.struct(
+                    F.col("_t").alias("_match_t"),
+                    *[F.col(v).alias(v) for v in vals],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
     )
     if tolerance is not None:
         from pyspark.sql.types import TimestampNTZType, TimestampType
 
-        carried = carried.withColumn(
-            "_asof_t",
-            F.last(
-                F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True
-            ).over(w),
-        )
         if isinstance(
             left.schema[time_col].dataType, (TimestampType, TimestampNTZType)
         ):
@@ -196,16 +205,14 @@ def asof_join(
         else:
             tol = F.lit(tolerance)
         in_tol = (
-            F.col("_asof_t") >= F.col("_t") - tol
+            F.col("_asof._match_t") >= F.col("_t") - tol
             if direction == "backward"
-            else F.col("_asof_t") <= F.col("_t") + tol
+            else F.col("_asof._match_t") <= F.col("_t") + tol
         )
-        carried = carried.withColumns(
-            {f"_asof_{v}": F.when(in_tol, F.col(f"_asof_{v}")) for v in vals}
-        )
+        carried = carried.withColumn("_asof", F.when(in_tol, F.col("_asof")))
     return carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in vals],
+        *[F.col("_asof").getField(v).alias(f"asof_{v}") for v in vals],
     )
 
 

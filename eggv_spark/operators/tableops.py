@@ -100,11 +100,18 @@ def compact_files(
     per-file open costs.  Returns the new file count.
 
     Sizing is measured (input bytes), not guessed; AQE coalescing
-    handles the write-side partition merge."""
+    handles the write-side partition merge.
+
+    All filesystem metadata work (sizing, the swap renames, the
+    backup delete) goes through the Hadoop FileSystem API resolved
+    from the path's scheme, so the same code runs against ``file:``,
+    ``hdfs://``, or ``s3a://`` tables.  Caveat: on object stores a
+    "rename" is a copy, so the swap is not atomic there — prefer a
+    manifest/table format for S3-resident tables."""
     import math
 
     df = spark.read.format(fmt).load(path)
-    n_bytes = _dir_bytes(path)
+    n_bytes = _dir_bytes(path, spark)
     n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
@@ -113,22 +120,48 @@ def compact_files(
     # either the original table (steps 0-1) or the compacted one
     # (step 2+) at a recoverable path — never NO table at ``path``
     # (the rmtree-then-move ordering had exactly that window).
-    # NOTE: driver-local filesystem semantics (os.rename/shutil); on a
-    # real cluster against HDFS/S3 use the Hadoop FileSystem API
-    # (spark._jvm.org.apache.hadoop.fs.FileSystem) — S3 "rename" is a
-    # copy, so there prefer a manifest/table format for the swap.
-    import shutil
-
-    old = path.rstrip("/") + "__replaced"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    fs, jpath, hpath = _hadoop_fs(spark, path)
+    old = hpath(path.rstrip("/") + "__replaced")
+    if fs.exists(old):
+        fs.delete(old, True)
+    _fs_rename(fs, jpath, old)
+    _fs_rename(fs, hpath(tmp), jpath)
+    fs.delete(old, True)
     return n_files
 
 
-def _dir_bytes(path: str) -> int:
+def _hadoop_fs(spark, path: str):
+    """Resolve ``path``'s Hadoop FileSystem (file:/hdfs://s3a:...).
+    Returns (fs, jpath, mkpath) where ``mkpath`` builds further
+    ``org.apache.hadoop.fs.Path`` objects on the same JVM."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = hpath(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, hpath
+
+
+def _fs_rename(fs, src, dst) -> None:
+    # Hadoop FileSystem.rename reports failure as False, not an
+    # exception — surface it, a silent no-op here corrupts the swap.
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _dir_bytes(path: str, spark=None) -> int:
+    """Total data-file bytes under ``path`` (Spark metadata —
+    ``_SUCCESS``, hidden/CRC files — excluded).  With a session the
+    listing goes through the Hadoop FileSystem API so remote stores
+    (hdfs://, s3a://) answer the same call; without one it falls back
+    to a driver-local walk."""
+    if spark is not None:
+        fs, jpath, _ = _hadoop_fs(spark, path)
+        files = fs.listFiles(jpath, True)
+        total = 0
+        while files.hasNext():
+            status = files.next()
+            if not status.getPath().getName().startswith(("_", ".")):
+                total += status.getLen()
+        return total
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
@@ -294,13 +327,21 @@ def validate_constraints(
     return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
 
 
-def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+def zorder_key(x: Column, y: Column, bits: int = 28) -> Column:
     """Z-order (Morton) key: bit-interleave two non-negative ints —
     ``bits`` low bits each — into one 2·bits-bit locality key.  Rows
     close in (x, y) land close in zkey, so range-clustering on the
     key gives multi-column data skipping from ONE sort order (the
     min/max footer of each file covers a tile in (x, y) space, where
     a lexicographic sort covers a stripe).
+
+    TRUNCATION CAVEAT: only the low ``bits`` bits of each input
+    participate — values >= 2**bits alias onto the same key and
+    clustering locality silently degrades.  The default (28) covers
+    keys to ~268M; :func:`zorder_cluster` asserts the inputs fit so
+    oversized keys fail loudly instead.  Raising ``bits`` is
+    value-neutral for in-range data (higher interleave terms are
+    zero), max 31 for two keys in a signed 64-bit result.
 
     The interleave is an unrolled pure-Column bit expression (2·bits
     shift/mask/or terms) — whole-stage codegen, shuffle-free, and
@@ -318,7 +359,7 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     return k
 
 
-def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+def zorder_key_sql(x: str, y: str, bits: int = 28) -> str:
     """The DuckDB/ANSI twin of :func:`zorder_key` — the exact same
     unrolled shift/mask/or program, for oracle parity."""
     terms = []
@@ -329,14 +370,27 @@ def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
 
 
 def zorder_cluster(
-    df: DataFrame, x: str, y: str, n_partitions: int, bits: int = 16
+    df: DataFrame, x: str, y: str, n_partitions: int, bits: int = 28
 ) -> DataFrame:
     """Physically cluster a table on the Z-order key of two columns:
     compute the key, range-repartition on it (sampled range exchange
     — one shuffle), and sort within partitions so parquet writes get
     tight per-file (x, y) min/max tiles for two-column skipping.
+
+    Inputs are asserted < 2**bits in-plan (``assert_true`` rides the
+    key expression): a key that would alias (see the truncation
+    caveat on :func:`zorder_key`) kills the job loudly rather than
+    quietly degrading the clustering.
     """
-    keyed = df.withColumn("_zkey", zorder_key(F.col(x), F.col(y)))
+    limit = F.lit(2**bits).cast("long")
+    fits = (F.col(x).cast("long") < limit) & (F.col(y).cast("long") < limit)
+    guard = F.assert_true(
+        fits, f"zorder_cluster: {x} or {y} >= 2**{bits}; raise bits"
+    )
+    # assert_true yields NULL when it passes — fold it into the key
+    # expression so column pruning can never drop the check.
+    zkey = F.when(guard.isNull(), zorder_key(F.col(x), F.col(y), bits))
+    keyed = df.withColumn("_zkey", zkey)
     return (
         keyed.repartitionByRange(n_partitions, "_zkey")
         .sortWithinPartitions("_zkey")
@@ -416,28 +470,69 @@ def observed_write_metrics(
     return obs.get
 
 
-def vacuum_orphans(base_dir: str) -> list[str]:
+def vacuum_orphans(base_dir: str, spark=None) -> dict[str, list[str]]:
     """Remove orphaned work directories left by crashed swap
     rewrites (the ``__compacting`` / ``__upserting`` staging dirs and
     ``__replaced`` backups of :func:`compact_files` and
     ``stream_upsert_sink``) — the retention/vacuum complement of the
     crash-safe swap discipline: a crash leaves the table recoverable
     AND leaves debris; this reclaims the debris once the table is
-    confirmed healthy.  Returns the removed paths.
+    confirmed healthy.
 
-    Driver-local filesystem walk by design (same constraint as
-    compact_files — on HDFS/S3 use the Hadoop FS API / a table
-    format's VACUUM).
+    Safety valve: a ``__replaced`` backup whose live table path does
+    NOT exist is the only surviving copy of the table (the swap
+    crashed between "rename live aside" and "promote new") — it is
+    never deleted; it is reported instead, so the caller restores it
+    (rename it back) before vacuuming again.
+
+    Returns ``{"removed": [...], "needs_recovery": [...]}``.
+
+    With a session the walk goes through the Hadoop FileSystem API
+    (hdfs://, s3a://, file:); without one it is a driver-local
+    ``os.walk``.
     """
-    import shutil
-
     suffixes = ("__compacting", "__upserting", "__replaced")
+
+    def is_unsafe(full: str, exists) -> bool:
+        if not full.endswith("__replaced"):
+            return False
+        return not exists(full[: -len("__replaced")])
+
     removed: list[str] = []
-    for root, dirs, _ in os.walk(base_dir):
-        for d in list(dirs):
-            if d.endswith(suffixes):
-                full = os.path.join(root, d)
-                shutil.rmtree(full)
-                dirs.remove(d)
-                removed.append(full)
-    return sorted(removed)
+    needs_recovery: list[str] = []
+    if spark is not None:
+        fs, jbase, hpath = _hadoop_fs(spark, base_dir)
+
+        def walk(jdir):
+            for status in fs.listStatus(jdir):
+                if not status.isDirectory():
+                    continue
+                jp = status.getPath()
+                full = jp.toUri().getPath()
+                if full.endswith(suffixes):
+                    if is_unsafe(full, lambda p: fs.exists(hpath(p))):
+                        needs_recovery.append(full)
+                    else:
+                        fs.delete(jp, True)
+                        removed.append(full)
+                else:
+                    walk(jp)
+
+        walk(jbase)
+    else:
+        import shutil
+
+        for root, dirs, _ in os.walk(base_dir):
+            for d in list(dirs):
+                if d.endswith(suffixes):
+                    full = os.path.join(root, d)
+                    dirs.remove(d)
+                    if is_unsafe(full, os.path.exists):
+                        needs_recovery.append(full)
+                    else:
+                        shutil.rmtree(full)
+                        removed.append(full)
+    return {
+        "removed": sorted(removed),
+        "needs_recovery": sorted(needs_recovery),
+    }

@@ -203,6 +203,27 @@ def test_asof_join_semantics(spark):
     assert sprices["t2"] == 101.0
 
 
+def test_asof_join_null_valued_match_row(spark):
+    """pandas/DuckDB ASOF parity: the match is the nearest right ROW.
+    When that row's value is null, the result is null — it must not
+    fall back to an older row's value, and a tolerance bound must be
+    checked against the matched row's time (not the older row's)."""
+    from eggv_spark.operators.rangejoin import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 99, None)], "k long, t long, v string"
+    )
+    out = asof_join(left, right, ["k"], "t", ["v"]).collect()
+    assert out[0].asof_v is None  # nearest row (t=99) wins, value null
+    # With tolerance 5: the nearest row t=99 IS within bound; its null
+    # value stands.  Under the old per-column carry, the value came
+    # from t=10 while the bound was checked against t=99 — a stale
+    # "old" would have leaked through.
+    tol = asof_join(left, right, ["k"], "t", ["v"], tolerance=5).collect()
+    assert tol[0].asof_v is None
+
+
 def test_asof_join_forward_and_tolerance(spark):
     from eggv_spark.operators.rangejoin import asof_join
 

@@ -221,6 +221,20 @@ def test_zorder_cluster_skips_more_partitions_on_2d_box_query(spark):
     assert z < lex
 
 
+def test_zorder_cluster_rejects_oversized_keys_loudly(spark):
+    """Keys >= 2**bits would silently alias in the Morton interleave —
+    zorder_cluster must fail the job instead of degrading quietly."""
+    import pytest
+
+    from eggv_spark.operators.tableops import zorder_cluster
+
+    ok = spark.createDataFrame([(3, 5)], "x long, y long")
+    assert zorder_cluster(ok, "x", "y", n_partitions=2, bits=3).count() == 1
+    bad = spark.createDataFrame([(3, 9)], "x long, y long")  # 9 >= 2**3
+    with pytest.raises(Exception, match="zorder_cluster|ASSERT"):
+        zorder_cluster(bad, "x", "y", n_partitions=2, bits=3).count()
+
+
 def test_snapshot_diff_classifies_all_statuses(spark):
     from eggv_spark.operators.tableops import snapshot_diff
 
@@ -269,8 +283,39 @@ def test_vacuum_orphans_removes_only_work_dirs(spark, tmp_path):
     for orphan in ("t__compacting", "t__replaced", "nested/x__upserting"):
         os.makedirs(tmp_path / orphan, exist_ok=True)
         (tmp_path / orphan / "junk").write_text("x")
-    removed = vacuum_orphans(str(tmp_path))
-    assert len(removed) == 3
+    out = vacuum_orphans(str(tmp_path))
+    assert len(out["removed"]) == 3 and out["needs_recovery"] == []
     # the live table is untouched
     assert spark.read.parquet(str(table)).count() == 3
-    assert vacuum_orphans(str(tmp_path)) == []
+    assert vacuum_orphans(str(tmp_path)) == {
+        "removed": [], "needs_recovery": []
+    }
+    # Hadoop-FS walk (file: scheme) agrees with the local walk.
+    for orphan in ("t__compacting", "nested/y__upserting"):
+        os.makedirs(tmp_path / orphan, exist_ok=True)
+        (tmp_path / orphan / "junk").write_text("x")
+    out = vacuum_orphans(str(tmp_path), spark)
+    assert len(out["removed"]) == 2 and out["needs_recovery"] == []
+
+
+def test_vacuum_orphans_protects_sole_surviving_backup(spark, tmp_path):
+    """A __replaced dir whose live table is GONE is the only copy left
+    by a swap that crashed between its two renames — vacuum must
+    refuse to delete it and report it for recovery instead."""
+    import os
+
+    from eggv_spark.operators.tableops import vacuum_orphans
+
+    backup = tmp_path / "t__replaced"
+    os.makedirs(backup)
+    (backup / "part-0").write_text("the only copy")
+    for use_spark in (None, spark):
+        out = vacuum_orphans(str(tmp_path), use_spark)
+        assert out["removed"] == []
+        assert out["needs_recovery"] == [str(backup)]
+        assert (backup / "part-0").read_text() == "the only copy"
+    # Once the table is restored (live path back), the backup is junk.
+    os.makedirs(tmp_path / "t")
+    (tmp_path / "t" / "part-0").write_text("restored")
+    out = vacuum_orphans(str(tmp_path))
+    assert out["removed"] == [str(backup)] and out["needs_recovery"] == []
