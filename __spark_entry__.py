@@ -1925,6 +1925,70 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.7
 """
 
 
+def _minhash_est_oracle() -> str:
+    """Estimated (signature agree-share) vs exact Jaccard on
+    adjacent-id pairs — the same deterministic shingle/perm formulas
+    as _minhash_oracle, over plain documents."""
+    consts = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    p = D.MINHASH_PRIME
+    n_perms = len(D.MINHASH_A)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+hs AS (SELECT doc_id, shingles,
+       list_distinct(list_transform(shingles,
+         s -> {_BASEHASH_SQL.format(x='s')} % {p})) AS hashes FROM sh),
+consts(j, a, b) AS (VALUES {consts}),
+sig AS (SELECT doc_id, j,
+        list_min(list_transform(hashes, x -> (a * x + b) % {p})) AS m
+        FROM hs CROSS JOIN consts),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents),
+est AS (SELECT pr.id_a, pr.id_b,
+        round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+              / {n_perms}.0, 4) AS est_jaccard
+        FROM pairs pr JOIN sig sa ON sa.doc_id = pr.id_a
+        JOIN sig sb ON sb.doc_id = pr.id_b AND sb.j = sa.j
+        GROUP BY pr.id_a, pr.id_b),
+ex AS (SELECT pr.id_a, pr.id_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             4) AS exact_jaccard
+       FROM pairs pr JOIN hs sa ON sa.doc_id = pr.id_a
+       JOIN hs sb ON sb.doc_id = pr.id_b)
+SELECT e.id_a, e.id_b, e.est_jaccard, x.exact_jaccard,
+ round(abs(e.est_jaccard - x.exact_jaccard), 4) AS abs_err
+FROM est e JOIN ex x ON e.id_a = x.id_a AND e.id_b = x.id_b
+"""
+
+
+def _audio_resample_oracle() -> str:
+    """REAL 2x-decimation replica: kept sample k (of 32) is source
+    sample i=2k of the synthesized WAV (sample i of doc d =
+    (d*31 + i*17) % 4096 - 2048, 16-bit little-endian); the payload
+    is the canonical 44-byte RIFF header for 32 samples @ 4000 Hz
+    plus the kept PCM bytes."""
+    from eggv_spark.operators.multimodal import _wav_header
+
+    header_hex = _wav_header(32, 4000).hex().upper()
+    return f"""
+WITH s AS (
+ SELECT d.doc_id, k,
+  (d.doc_id * 31 + (2 * k) * 17) % 4096 - 2048 AS v
+ FROM documents d, range(0, 32) tk(k)),
+u AS (SELECT doc_id, k, CASE WHEN v < 0 THEN v + 65536 ELSE v END AS u
+      FROM s)
+SELECT doc_id AS asset_id, CAST(2 AS INT) AS factor,
+ CAST(108 AS BIGINT) AS n_bytes,
+ md5('{header_hex}' || upper(string_agg(
+   lpad(to_hex(u % 256), 2, '0') || lpad(to_hex(u // 256), 2, '0'),
+   '' ORDER BY k))) AS resampled_hash
+FROM u GROUP BY doc_id
+"""
+
+
 def _simhash_oracle(src: str = "SELECT * FROM documents") -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -2238,6 +2302,146 @@ WHERE doc_id % 10 <> 0
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions (stage for the round-4 verification window)
+# ---------------------------------------------------------------------------
+
+def _tbl_scd2_apply(spark, sf_dir):
+    """SCD2 dimension maintenance: apply a segment-change batch to a
+    versioned customer dimension (open rows valid_to IS NULL) —
+    changed keys close at the effective time and re-open with the new
+    attributes; unchanged keys pass through.  The dimension side
+    streams; only the update batch broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = cust.filter("c_custkey % 7 = 0").select(
+        "c_custkey",
+        F.concat(F.lit("SEG_"), (F.col("c_custkey") % 5).cast("string")).alias(
+            "segment"
+        ),
+        F.lit(100).cast("long").alias("effective_ts"),
+    )
+    return TO.scd2_merge(
+        dim, updates, "c_custkey", ["segment"], "effective_ts"
+    )
+
+
+def _tbl_cdc_apply(spark, sf_dir):
+    """CDC change-stream apply: last op per key wins (delete beats an
+    earlier update), I/U upsert, D removes — the batch twin of the
+    streaming upsert sink.  Changes are synthesized from orders: keys
+    %10==0 get a U (price doubled — exact in FP, no rounding-boundary
+    ambiguity) at seq 2, keys %20==0 additionally a D at seq 3 (so
+    the delete must win), keys %10==3 insert as brand-new keys
+    shifted by 10^9."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    upd = orders.filter("o_orderkey % 10 = 0").select(
+        "o_orderkey",
+        (F.col("price") * 2).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    dels = orders.filter("o_orderkey % 20 = 0").select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("price"),
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    ins = orders.filter("o_orderkey % 10 = 3").select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        "price",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return TO.cdc_apply(orders, changes, ["o_orderkey"], "seq")
+
+
+def _smp_temperature_weights(spark, sf_dir):
+    """Temperature-scaled (p^alpha) sampling design per source: the
+    multilingual rebalancing rule — natural share, alpha=0.5 target
+    share, and the per-domain sampler multiplier."""
+    scored = T.with_token_counts(_t(spark, sf_dir, "documents"))
+    return T.temperature_weights(scored, "source", "n_tokens", alpha=0.5)
+
+
+def _win_decayed_sum(spark, sf_dir):
+    """Recency-weighted trailing sum (bounded-window EWMA feature)
+    per user over the event stream: 8 half-life lag terms — exponents
+    stay bounded so the value is engine-exact, unlike the closed-form
+    prefix EWMA (see with_decayed_sum docstring).  The output is
+    integer-scaled (floor(x*10^4 + 0.5)) instead of round(x, 4):
+    the decayed weights put many sums EXACTLY on 4dp rounding
+    boundaries (measured 21/10000 at decay 0.5), where Spark's
+    decimal-string HALF_UP and DuckDB's binary round disagree —
+    scale-and-floor is pure IEEE arithmetic, bit-identical on
+    identical inputs in every engine."""
+    ev = _t(spark, sf_dir, "events")
+    out = AG.with_decayed_sum(
+        ev, "value", ["user_id"], [F.col("ts"), F.col("event_id")],
+        decay=0.5, window_size=8, round_dp=None,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("decayed_sum") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("decayed_x1e4"),
+    )
+
+
+def _mm_image_crop(spark, sf_dir):
+    """REAL pixel crop over genuine 4x4 P6 payloads: the 2x2 window
+    anchored at (1, 1), re-emitted as a decodable P6 image; the
+    oracle replays the pixel-slice formula in SQL."""
+    from eggv_spark.operators import multimodal as M
+
+    cropped = M.crop_images(
+        M.synthesize_ppm_images(_t(spark, sf_dir, "documents")),
+        x0=1, y0=1, width=2, height=2,
+    )
+    return cropped.select(
+        "asset_id", "x0", "y0",
+        F.length("cropped").cast("long").alias("n_bytes"),
+        F.md5(F.hex("cropped")).alias("cropped_hash"),
+    )
+
+
+def _mm_audio_resample(spark, sf_dir):
+    """REAL WAV downsample by 2x decimation over genuine 16-bit PCM
+    payloads: every 2nd sample survives into a valid RIFF container
+    at half the rate; the oracle rebuilds the exact byte stream from
+    the synthesis formula."""
+    from eggv_spark.operators import multimodal as M
+
+    out = M.resample_audio(
+        M.synthesize_wav_audio(_t(spark, sf_dir, "documents")), factor=2
+    )
+    return out.select(
+        "asset_id", "factor",
+        F.length("resampled").cast("long").alias("n_bytes"),
+        F.md5(F.hex("resampled")).alias("resampled_hash"),
+    )
+
+
+def _ddp_minhash_est(spark, sf_dir):
+    """MinHash sketch-quality gauge on adjacent-id pairs: estimated
+    Jaccard (signature agree-share) vs exact shingle Jaccard with the
+    absolute error — the measurement that sizes MINHASH_PERMS."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return D.minhash_jaccard_estimate(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2410,6 +2614,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gapfill": _evt_gapfill,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
+        # --- added in round 3: rotate into the window in round 4 ---
+        "tbl_scd2_apply": _tbl_scd2_apply,
+        "tbl_cdc_apply": _tbl_cdc_apply,
+        "smp_temperature_weights": _smp_temperature_weights,
+        "win_decayed_sum": _win_decayed_sum,
+        "mm_image_crop": _mm_image_crop,
+        "mm_audio_resample": _mm_audio_resample,
+        "ddp_minhash_est": _ddp_minhash_est,
     }
 
 
@@ -3734,7 +3946,85 @@ def oracle_sql() -> dict[str, str]:
             " AND v.event_type = 'view' AND c.event_type = 'click'"
             " AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE"
         ),
-        # agg_approx is the single remaining rows-only check: HLL++
-        # and approx_percentile sketches are approximate by
-        # construction (tolerance vs exact asserted in tests/).
+        # --- round-3 additions (round-4 window) ---
+        "tbl_scd2_apply": (
+            # scd2_merge replica: every %7 key's open row closes at
+            # eff=100 (BUILDING-style segments never equal SEG_x, but
+            # keep the change predicate anyway) and re-opens with the
+            # new segment; others pass through.
+            "WITH changed AS (SELECT c_custkey,"
+            "  'SEG_' || CAST(c_custkey % 5 AS VARCHAR) AS new_seg"
+            " FROM customer WHERE c_custkey % 7 = 0"
+            "  AND c_mktsegment <> 'SEG_' || CAST(c_custkey % 5 AS VARCHAR))"
+            " SELECT c.c_custkey, c.c_mktsegment AS segment,"
+            " CAST(0 AS BIGINT) AS valid_from,"
+            " CAST(CASE WHEN ch.c_custkey IS NOT NULL THEN 100 END"
+            "  AS BIGINT) AS valid_to"
+            " FROM customer c LEFT JOIN changed ch USING (c_custkey)"
+            " UNION ALL"
+            " SELECT c_custkey, new_seg, CAST(100 AS BIGINT),"
+            "  CAST(NULL AS BIGINT) FROM changed"
+        ),
+        "tbl_cdc_apply": (
+            # cdc_apply replica: %20 keys deleted (D at seq 3 beats
+            # the U at seq 2), remaining %10 keys take the doubled
+            # price (x2 is exact in FP), %10==3 keys insert shifted
+            # by 10^9.
+            "SELECT o_orderkey, round(o_totalprice, 2) AS price"
+            " FROM orders WHERE o_orderkey % 10 <> 0"
+            " UNION ALL"
+            " SELECT o_orderkey, round(o_totalprice, 2) * 2"
+            " FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0"
+            " UNION ALL"
+            " SELECT o_orderkey + 1000000000, round(o_totalprice, 2)"
+            " FROM orders WHERE o_orderkey % 10 = 3"
+        ),
+        "smp_temperature_weights": (
+            f"WITH toks AS (SELECT source, len({_TOKS_SQL}) AS n_tokens"
+            "  FROM documents),"
+            " d AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)"
+            "  AS n_tokens FROM toks GROUP BY source),"
+            " t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d),"
+            " p AS (SELECT d.source, d.n_tokens,"
+            "  d.n_tokens * 1.0 / t.total AS p FROM d, t),"
+            " z AS (SELECT sum(pow(p, 0.5)) AS z FROM p)"
+            " SELECT p.source, p.n_tokens, round(p.p, 4) AS p_natural,"
+            " round(pow(p.p, 0.5) / z.z, 4) AS q_temperature,"
+            " round(pow(p.p, 0.5) / z.z / p.p, 4) AS sample_weight"
+            " FROM p, z"
+        ),
+        "win_decayed_sum": (
+            # 8 half-life lag terms, same left-to-right addition order
+            # and the same 0.5**d double literals as the Column
+            # builder so the doubles agree bitwise; integer-scaled
+            # floor instead of round(4) (see the query docstring).
+            "SELECT user_id, event_id, CAST(floor(("
+            + " + ".join(
+                f"coalesce(lag(value, {d}) OVER ("
+                "PARTITION BY user_id ORDER BY ts, event_id), 0)"
+                f" * {0.5 ** d!r}"
+                for d in range(8)
+            )
+            + ") * 10000 + 0.5) AS BIGINT) AS decayed_x1e4 FROM events"
+        ),
+        "mm_image_crop": (
+            # REAL crop replica: destination byte j of the 2x2 window
+            # at (1,1) samples source pixel (1 + (j%6)//3, 1 + j//6),
+            # channel j%3, of the 4x4 P6 (pixel byte i of doc d =
+            # (d*7 + i*13) % 256).  Payload = header 'P6\n2 2\n255\n'
+            # (hex 50360A3220320A3235350A) + 12-byte raster.
+            "WITH px AS ("
+            " SELECT d.doc_id, j,"
+            "  (((1 + j // 6) * 4 + 1 + (j % 6) // 3) * 3 + (j % 3)) AS i"
+            " FROM documents d, range(0, 12) tj(j))"
+            " SELECT doc_id AS asset_id, CAST(1 AS INT) AS x0,"
+            " CAST(1 AS INT) AS y0,"
+            " CAST(23 AS BIGINT) AS n_bytes,"
+            " md5('50360A3220320A3235350A' ||"
+            "  upper(string_agg(lpad(to_hex((doc_id * 7 + i * 13) % 256),"
+            "   2, '0'), '' ORDER BY j))) AS cropped_hash"
+            " FROM px GROUP BY doc_id"
+        ),
+        "mm_audio_resample": _audio_resample_oracle(),
+        "ddp_minhash_est": _minhash_est_oracle(),
     }

@@ -124,6 +124,45 @@ def with_moving_avg(
     return df.withColumn(out, F.avg(col).over(w))
 
 
+def with_decayed_sum(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    decay: float = 0.5,
+    window_size: int = 8,
+    out: str = "decayed_sum",
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """Recency-weighted trailing sum — the bounded-window EWMA
+    feature: at each row, ``Σ_{d=0}^{K-1} decay^d · lag(value, d)``
+    over the entity's ordered series (missing lags contribute 0).
+
+    Why K explicit lags instead of the closed-form prefix-sum EWMA
+    (``decay^i · Σ v_j/decay^j``): the prefix form's ``decay^-j``
+    grows without bound — overflow/precision loss on long series and
+    FP results that depend on partial-sum order, so two engines
+    disagree at the 4th decimal.  K bounded terms keep every exponent
+    small, make the value exactly reproducible in ANSI SQL, and cost
+    one window pass (single shuffle on the partition keys), same as
+    any lag feature.
+
+    ``round_dp=None`` returns the raw double (callers that need
+    engine-exact comparisons should scale-and-floor it themselves —
+    decimal rounding of doubles is engine-dependent at boundaries).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    total = None
+    for d in range(window_size):
+        term = F.coalesce(F.lag(col, d).over(w), F.lit(0.0)) * F.lit(
+            decay**d
+        )
+        total = term if total is None else total + term
+    if round_dp is not None:
+        total = F.round(total, round_dp)
+    return df.withColumn(out, total)
+
+
 def pivot_counts(
     df: DataFrame,
     keys: Sequence[str],

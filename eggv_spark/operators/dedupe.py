@@ -169,6 +169,64 @@ def jaccard_verify_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Sketch-quality gauge: for given (id_a, id_b) pairs, the
+    MinHash ESTIMATE of Jaccard — the share of agreeing signature
+    components, the textbook unbiased estimator with std err
+    ``~1/sqrt(n_perms)`` — next to the EXACT shingle Jaccard and the
+    absolute error.  This is the measurement that justifies (or
+    re-sizes) ``MINHASH_PERMS`` before trusting the LSH pipeline on
+    a real corpus.
+
+    Scale shape: signatures are fixed 16-element arrays, so the two
+    pair joins carry ~128 bytes per row; the agree-share is a
+    zip_with/filter over the arrays — no explode, no per-component
+    shuffle."""
+    shingled = with_minhash_signature(
+        with_shingle_hashes(df, text_col, shingle_size)
+    )
+    n_perms = len(MINHASH_A)
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"),
+        F.col("minhash_sig").alias("_sig_a"),
+        F.col("shingles").alias("_sh_a"),
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"),
+        F.col("minhash_sig").alias("_sig_b"),
+        F.col("shingles").alias("_sh_b"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    est = F.round(agree.cast("double") / n_perms, 4)
+    exact = F.round(
+        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+        4,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -423,6 +423,113 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + bytes(out)
 
 
+def crop_ppm(payload: bytes, x0: int, y0: int, width: int, height: int) -> bytes:
+    """REAL crop of a binary PPM (P6), stdlib only: slice the
+    ``width``×``height`` pixel window anchored at (``x0``, ``y0``)
+    out of the raster and re-emit a complete P6 payload.  The window
+    is clamped to the source bounds (a crop that hangs off the edge
+    shrinks rather than erroring — the behavior batch pipelines want
+    when metadata and pixels disagree slightly)."""
+    src_w, src_h, maxval, raster = _ppm_parse(payload)
+    x0 = max(0, min(x0, src_w))
+    y0 = max(0, min(y0, src_h))
+    w = max(0, min(width, src_w - x0))
+    h = max(0, min(height, src_h - y0))
+    rows = [
+        raster[((y0 + r) * src_w + x0) * 3 : ((y0 + r) * src_w + x0 + w) * 3]
+        for r in range(h)
+    ]
+    return f"P6\n{w} {h}\n{maxval}\n".encode("ascii") + b"".join(rows)
+
+
+def crop_images(
+    assets: DataFrame,
+    x0: int,
+    y0: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Image crop over binary P6 payloads (mapInPandas, 1->1) — the
+    REAL pixel-slice path via :func:`crop_ppm`; non-PPM payloads
+    raise (cropping a compressed format needs PIL, which this
+    environment does not ship).  Same operator shape as
+    :func:`resize_images`: Arrow-batched, schema-stable, and the
+    emitted payload is itself a decodable P6 image."""
+
+    def _crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            cropped = [
+                crop_ppm(bytes(p), x0, y0, width, height)
+                for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "x0": x0,
+                    "y0": y0,
+                    "cropped": cropped,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(_crop, "asset_id long, x0 int, y0 int, cropped binary")
+    )
+
+
+def decimate_wav(payload: bytes, factor: int) -> bytes:
+    """REAL WAV downsample by integer decimation, stdlib only: keep
+    every ``factor``-th 16-bit PCM sample and re-emit a valid RIFF
+    container at ``sample_rate / factor``.  (Plain decimation aliases
+    high frequencies — a production resampler low-pass-filters first;
+    this is the deterministic skeleton that keeps the container
+    valid, which is what the distributed plumbing needs.)"""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width != 2 or n_ch != 1:
+        raise ValueError("only 16-bit mono PCM supported")
+    kept = b"".join(raw[i : i + 2] for i in range(0, len(raw), 2 * factor))
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate // factor)
+        w.writeframes(kept)
+    return out.getvalue()
+
+
+def resample_audio(assets: DataFrame, factor: int = 2) -> DataFrame:
+    """Audio downsample over binary WAV payloads (mapInPandas, 1->1)
+    via :func:`decimate_wav` — REAL for 16-bit mono PCM; anything
+    else raises (compressed audio needs librosa/ffmpeg)."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            resampled = [
+                decimate_wav(bytes(p), factor) for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "factor": factor,
+                    "resampled": resampled,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _resample, "asset_id long, factor int, resampled binary"
+        )
+    )
+
+
 def resize_images(
     assets: DataFrame,
     width: int = 64,

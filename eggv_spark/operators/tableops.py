@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,42 @@ def merge_upsert(
     """
     survivors = current.join(updates.select(*keys), list(keys), "left_anti")
     return updates.unionByName(survivors)
+
+
+def cdc_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change stream to a snapshot: ``changes`` carries
+    insert/update/delete rows (``op_col`` in I/U/D) with a monotonic
+    ``seq_col``; the LAST change per key wins (row_number over the
+    key ordered by seq desc — ties broken by preferring the delete,
+    matching "delete beats a concurrent update" replication
+    semantics), I/U replace the snapshot row, D removes it.
+
+    Two exchanges at any scale: the per-key latest-change window
+    (partitioned on the key) and the snapshot anti-join (AQE
+    broadcasts the change side when the batch is small — the common
+    CDC case — making the snapshot side shuffle-free).  The batch
+    twin of the streaming upsert sink's foreachBatch merge.
+    """
+    klist = list(keys)
+    w = Window.partitionBy(*klist).orderBy(
+        F.col(seq_col).desc(),
+        # at equal seq the delete wins deterministically
+        F.when(F.col(op_col) == "D", 0).otherwise(1).asc(),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    survivors = current.join(latest.select(*klist), klist, "left_anti")
+    return survivors.unionByName(upserts)
 
 
 def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -327,7 +363,18 @@ def validate_constraints(
     return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
 
 
-def zorder_key(x: Column, y: Column, bits: int = 28) -> Column:
+#: Magic masks for the parallel bit-spread: step k doubles the gap
+#: between surviving bit groups (16, 8, 4, 2, 1).
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def zorder_key(x: Column, y: Column, bits: int = 31) -> Column:
     """Z-order (Morton) key: bit-interleave two non-negative ints —
     ``bits`` low bits each — into one 2·bits-bit locality key.  Rows
     close in (x, y) land close in zkey, so range-clustering on the
@@ -337,40 +384,45 @@ def zorder_key(x: Column, y: Column, bits: int = 28) -> Column:
 
     TRUNCATION CAVEAT: only the low ``bits`` bits of each input
     participate — values >= 2**bits alias onto the same key and
-    clustering locality silently degrades.  The default (28) covers
-    keys to ~268M; :func:`zorder_cluster` asserts the inputs fit so
-    oversized keys fail loudly instead.  Raising ``bits`` is
-    value-neutral for in-range data (higher interleave terms are
-    zero), max 31 for two keys in a signed 64-bit result.
+    clustering locality silently degrades.  The default (31, the max
+    that fits two keys in a signed 64-bit result) covers keys to
+    ~2.1B; :func:`zorder_cluster` asserts the inputs fit so oversized
+    keys fail loudly instead.
 
-    The interleave is an unrolled pure-Column bit expression (2·bits
-    shift/mask/or terms) — whole-stage codegen, shuffle-free, and
-    expressible verbatim in ANSI SQL for the oracle.
+    The interleave is the O(log bits) parallel bit-spread (5
+    shift/or/mask steps per coordinate — constant ~30 integer ops
+    regardless of ``bits``, vs 2·bits terms for the naive per-bit
+    unroll): pure-Column, whole-stage codegen, shuffle-free, and the
+    identical integer program runs in ANSI SQL for the oracle
+    (:func:`zorder_key_sql`).
     """
-    xs = x.cast("long")
-    ys = y.cast("long")
-    k = F.lit(0).cast("long")
-    for i in range(bits):
-        k = k.bitwiseOR(
-            F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return k
+    mask = (1 << bits) - 1
+
+    def spread(c: Column) -> Column:
+        s = c.cast("long").bitwiseAND(F.lit(mask))
+        for shift, m in _SPREAD_STEPS:
+            s = s.bitwiseOR(F.shiftleft(s, shift)).bitwiseAND(F.lit(m))
+        return s
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
 
 
-def zorder_key_sql(x: str, y: str, bits: int = 28) -> str:
+def zorder_key_sql(x: str, y: str, bits: int = 31) -> str:
     """The DuckDB/ANSI twin of :func:`zorder_key` — the exact same
-    unrolled shift/mask/or program, for oracle parity."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-    return "(" + " | ".join(terms) + ")"
+    parallel bit-spread program, for oracle parity."""
+    mask = (1 << bits) - 1
+
+    def spread(col: str) -> str:
+        expr = f"({col} & {mask})"
+        for shift, m in _SPREAD_STEPS:
+            expr = f"(({expr} | ({expr} << {shift})) & {m})"
+        return expr
+
+    return f"({spread(x)} | ({spread(y)} << 1))"
 
 
 def zorder_cluster(
-    df: DataFrame, x: str, y: str, n_partitions: int, bits: int = 28
+    df: DataFrame, x: str, y: str, n_partitions: int, bits: int = 31
 ) -> DataFrame:
     """Physically cluster a table on the Z-order key of two columns:
     compute the key, range-repartition on it (sampled range exchange

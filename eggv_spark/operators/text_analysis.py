@@ -577,6 +577,48 @@ def with_dup_ngram_fraction(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    n_tokens_col: str = "n_tokens",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling distribution (the multilingual
+    ``p^alpha`` rule, Conneau & Lample 2019 §3.1): target share
+    ``q_i = p_i^alpha / Σ_j p_j^alpha`` where ``p_i`` is the domain's
+    token share.  ``alpha=1`` keeps the natural mixture, ``alpha=0``
+    is uniform; between, low-resource domains are upsampled without
+    letting the head domains vanish.  ``sample_weight = q_i / p_i``
+    is the per-domain multiplier a sampler applies.
+
+    Same shuffle shape as :func:`mixture_weights`: one map-side-
+    combined domain rollup, then the scalar normalizers ride a 1-row
+    broadcast cross join — no driver round-trip at any scale.
+    """
+    per_domain = df.groupBy(domain_col).agg(
+        F.sum(n_tokens_col).alias("n_tokens")
+    )
+    totals = per_domain.agg(F.sum("n_tokens").alias("_total"))
+    with_p = per_domain.crossJoin(F.broadcast(totals)).withColumn(
+        "_p", F.col("n_tokens") / F.col("_total")
+    )
+    z = with_p.agg(F.sum(F.pow("_p", F.lit(alpha))).alias("_z"))
+    return (
+        with_p.crossJoin(F.broadcast(z))
+        .select(
+            domain_col,
+            "n_tokens",
+            F.round("_p", 4).alias("p_natural"),
+            F.round(F.pow("_p", F.lit(alpha)) / F.col("_z"), 4).alias(
+                "q_temperature"
+            ),
+            F.round(
+                F.pow("_p", F.lit(alpha)) / F.col("_z") / F.col("_p"), 4
+            ).alias("sample_weight"),
+        )
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     domain_col: str = "source",

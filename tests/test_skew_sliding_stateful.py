@@ -125,6 +125,45 @@ def test_resize_images_real_ppm_path(spark):
         resize_images(fake_imgs, width=2, height=2, fake_decode=False).collect()
 
 
+def test_crop_ppm_slices_exact_window():
+    from eggv_spark.operators.multimodal import _ppm_parse, crop_ppm
+
+    src = b"P6\n4 4\n255\n" + bytes(range(48))
+    out = crop_ppm(src, 1, 1, 2, 2)
+    w, h, maxval, raster = _ppm_parse(out)
+    assert (w, h) == (2, 2)
+    # pixel (x, y) of source = bytes (y*4+x)*3 .. +3
+    expect = b"".join(
+        bytes(range((y * 4 + x) * 3, (y * 4 + x) * 3 + 3))
+        for y in (1, 2) for x in (1, 2)
+    )
+    assert raster == expect
+    # over-the-edge crop clamps instead of erroring
+    clamped = crop_ppm(src, 3, 3, 5, 5)
+    assert _ppm_parse(clamped)[:2] == (1, 1)
+
+
+def test_decimate_wav_halves_rate_and_keeps_even_samples():
+    import io
+    import struct
+    import wave
+
+    from eggv_spark.operators.multimodal import decimate_wav
+
+    samples = list(range(-8, 8))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<16h", *samples))
+    out = decimate_wav(buf.getvalue(), 2)
+    with wave.open(io.BytesIO(out)) as w:
+        assert w.getframerate() == 4000
+        got = struct.unpack(f"<{w.getnframes()}h", w.readframes(w.getnframes()))
+    assert list(got) == samples[::2]
+
+
 def test_streaming_user_totals_stateful(spark, tmp_path):
     import pandas as pd
 

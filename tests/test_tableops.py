@@ -235,6 +235,31 @@ def test_zorder_cluster_rejects_oversized_keys_loudly(spark):
         zorder_cluster(bad, "x", "y", n_partitions=2, bits=3).count()
 
 
+def test_cdc_apply_last_op_wins(spark):
+    from eggv_spark.operators.tableops import cdc_apply
+
+    current = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, None, "D", 2),   # delete wins (later)
+            (2, "b2", "U", 5), (2, "bX", "U", 4),   # higher seq wins
+            (9, "new", "I", 1),                       # brand-new key
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {r.k: r.v for r in cdc_apply(current, changes, ["k"], "seq").collect()}
+    assert got == {2: "b2", 3: "c", 9: "new"}
+    # equal seq: the delete deterministically beats the update
+    tie = spark.createDataFrame(
+        [(3, "c2", "U", 7), (3, None, "D", 7)],
+        "k long, v string, op string, seq long",
+    )
+    got = {r.k: r.v for r in cdc_apply(current, tie, ["k"], "seq").collect()}
+    assert 3 not in got
+
+
 def test_snapshot_diff_classifies_all_statuses(spark):
     from eggv_spark.operators.tableops import snapshot_diff
 

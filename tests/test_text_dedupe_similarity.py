@@ -324,6 +324,62 @@ def test_passage_dedup_all_duplicated_doc_yields_empty_text(spark):
     assert out[1].n_dup_chunks == 1
 
 
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    from eggv_spark.operators.dedupe import minhash_jaccard_estimate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words in this document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {(r.id_a, r.id_b): r for r in
+           minhash_jaccard_estimate(docs, pairs).collect()}
+    # identical docs: both estimate and exact are 1.0, error 0
+    assert got[(1, 2)].est_jaccard == 1.0
+    assert got[(1, 2)].exact_jaccard == 1.0 and got[(1, 2)].abs_err == 0.0
+    # disjoint docs: exact 0; the 16-perm estimate stays near 0
+    assert got[(1, 3)].exact_jaccard == 0.0
+    assert got[(1, 3)].est_jaccard <= 0.25
+
+
+def test_temperature_weights_flattens_mixture(spark):
+    from eggv_spark.operators.text_analysis import temperature_weights
+
+    df = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "source string, n_tokens long"
+    )
+    got = {r.source: r for r in
+           temperature_weights(df, "source", "n_tokens", alpha=0.5).collect()}
+    assert got["big"].p_natural == 0.9 and got["small"].p_natural == 0.1
+    # sqrt(0.9)/(sqrt(0.9)+sqrt(0.1)) = 0.75
+    assert got["big"].q_temperature == 0.75
+    assert got["small"].q_temperature == 0.25
+    # upsample small (weight > 1), downsample big (< 1)
+    assert got["small"].sample_weight == 2.5
+    assert got["big"].sample_weight < 1
+
+
+def test_with_decayed_sum_hand_computed(spark):
+    from eggv_spark.operators.aggregates import with_decayed_sum
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 4.0), (2, 1, 10.0)],
+        "k long, seq long, v double",
+    )
+    out = {(r.k, r.seq): r.decayed_sum for r in with_decayed_sum(
+        df, "v", ["k"], ["seq"], decay=0.5, window_size=3).collect()}
+    assert out[(1, 1)] == 1.0
+    assert out[(1, 2)] == 2.0 + 0.5        # 2 + 0.5*1
+    assert out[(1, 3)] == 4.0 + 1.0 + 0.25  # 4 + 0.5*2 + 0.25*1
+    assert out[(2, 1)] == 10.0
+
+
 def test_canonical_keepers_picks_highest_quality_not_min_id(spark):
     from eggv_spark.operators.dedupe import canonical_keepers
 
