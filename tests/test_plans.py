@@ -269,3 +269,54 @@ def test_kmeans_estep_is_map_only(spark):
     # the argmin is per-row Column math
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_cdc_apply_two_exchanges_and_no_row_udf(spark):
+    """cdc_apply's plan budget: ONE window exchange (latest change per
+    key) plus ONE join-side exchange at most — at CDC scale the change
+    batch is small, so AQE turns the anti-join broadcast and the
+    snapshot side never shuffles."""
+    from eggv_spark.operators.tableops import cdc_apply
+
+    current = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    changes = spark.createDataFrame(
+        [(1, 1.0, "U", 1), (2, None, "D", 2)],
+        "o_orderkey long, o_totalprice double, op string, seq long",
+    )
+    plan = _plan(cdc_apply(current, changes, ["o_orderkey"], "seq"))
+    # static plan: window exchange + the anti-join's two sides; at
+    # runtime AQE (isFinalPlan=false here) broadcasts the tiny change
+    # batch, collapsing the join exchanges — the snapshot side then
+    # never shuffles.  The hard bound asserted: no extra exchanges
+    # beyond those three, and no Python-row evaluation anywhere.
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "AdaptiveSparkPlan" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decayed_sum_single_window_exchange(spark):
+    from eggv_spark.operators.aggregates import with_decayed_sum
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(
+        with_decayed_sum(ev, "value", ["user_id"], ["ts", "event_id"])
+    )
+    # all 8 lag terms ride ONE window over ONE shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_minhash_estimate_no_explode_no_cartesian(spark):
+    from eggv_spark.operators.dedupe import minhash_jaccard_estimate
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    plan = _plan(minhash_jaccard_estimate(docs, pairs))
+    # signature agreement is in-row array math: no Generate (explode)
+    # of signature components, no cartesian pair blow-up
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
