@@ -2430,6 +2430,116 @@ def _mm_audio_resample(spark, sf_dir):
     )
 
 
+def _ddp_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (C4-style crawl cleaning): four cosmetic
+    URL variants per content key — tracking params, WWW+case+trailing
+    slash, fragment, ref param — must collapse to ONE canonical form;
+    keeper is the min doc_id.  The canonicalization is a regexp chain
+    (scalars.canonical_url) whose SQL twin runs the identical RE2
+    program."""
+    d = _t(spark, sf_dir, "documents")
+    # host keyed on the PAIR id so (2k, 2k+1) share a canonical URL
+    # and the dedup actually collapses rows
+    pair = (F.col("doc_id") / 2).cast("long")
+    host = F.concat(F.lit("s"), (pair % 7).cast("string"))
+    base = F.concat(
+        F.lit("https://"), host, F.lit(".example.com/p/"), pair
+    )
+    upper_base = F.concat(
+        F.lit("https://www."), F.upper(host),
+        F.lit(".EXAMPLE.com/p/"), pair, F.lit("/"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(F.col("doc_id") % 4 == 1, upper_base)
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("#section-2")))
+        .otherwise(F.concat(base, F.lit("?ref=home")))
+    )
+    return (
+        d.select("doc_id", SC.canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _txt_sentences(spark, sf_dir):
+    """Sentence segmentation 1->N with post-filter indexing — the
+    per-sentence expansion feeding sentence-level quality scoring."""
+    return T.split_sentences(_t(spark, sf_dir, "documents"))
+
+
+def _evt_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent STRICTLY-earlier engagement event (view/click), via the
+    single-shuffle union+window as-of kernel.  Touches are first
+    deduped to one row per (user, ts) — max event_id wins — so the
+    nearest match is unique and both engines agree at timestamp
+    ties."""
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("touch_event_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        touches,
+        ["user_id"],
+        "ts",
+        ["touch_type", "touch_event_id"],
+        tiebreak_col="event_id",
+        strict=True,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("asof_touch_type").alias("touch_type"),
+        F.col("asof_touch_event_id").alias("touch_event_id"),
+    )
+
+
+def _agg_chi2_cells(spark, sf_dir):
+    """Source x language association audit: per-cell observed count,
+    independence-expected count, and chi-square contribution — the
+    contingency diagnostic run before trusting a domain/language
+    mixture.  Integer marginals ride two window sums over the tiny
+    cell table; no second scan of the corpus."""
+    from pyspark.sql import Window
+
+    cells = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    row_w = Window.partitionBy("source")
+    col_w = Window.partitionBy("lang")
+    all_w = Window.partitionBy()
+    expected = (
+        F.sum("n_docs").over(row_w)
+        * F.sum("n_docs").over(col_w)
+        / F.sum("n_docs").over(all_w)
+    )
+    return cells.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round(expected, 4).alias("expected"),
+        F.round(F.pow(F.col("n_docs") - expected, 2) / expected, 4).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
 def _ddp_minhash_est(spark, sf_dir):
     """MinHash sketch-quality gauge on adjacent-id pairs: estimated
     Jaccard (signature agree-share) vs exact shingle Jaccard with the
@@ -2622,6 +2732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_crop": _mm_image_crop,
         "mm_audio_resample": _mm_audio_resample,
         "ddp_minhash_est": _ddp_minhash_est,
+        "ddp_url_dedup": _ddp_url_dedup,
+        "txt_sentences": _txt_sentences,
+        "evt_attribution": _evt_attribution,
+        "agg_chi2_cells": _agg_chi2_cells,
     }
 
 
@@ -4027,4 +4141,67 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mm_audio_resample": _audio_resample_oracle(),
         "ddp_minhash_est": _minhash_est_oracle(),
+        "ddp_url_dedup": (
+            "WITH h AS (SELECT doc_id, doc_id // 2 AS pair,"
+            "  's' || CAST((doc_id // 2) % 7 AS VARCHAR) AS host"
+            " FROM documents),"
+            " u AS (SELECT doc_id, CASE"
+            " WHEN doc_id % 4 = 0 THEN 'https://' || host ||"
+            "  '.example.com/p/' || CAST(pair AS VARCHAR) ||"
+            "  '?utm_source=feed&utm_campaign=x'"
+            " WHEN doc_id % 4 = 1 THEN 'https://www.' || upper(host) ||"
+            "  '.EXAMPLE.com/p/' || CAST(pair AS VARCHAR) || '/'"
+            " WHEN doc_id % 4 = 2 THEN 'https://' || host ||"
+            "  '.example.com/p/' || CAST(pair AS VARCHAR) ||"
+            "  '#section-2'"
+            " ELSE 'https://' || host || '.example.com/p/' ||"
+            "  CAST(pair AS VARCHAR) || '?ref=home' END AS url"
+            " FROM h),"
+            " c AS (SELECT doc_id, "
+            + SC.CANONICAL_URL_SQL_STEPS.format(x="url")
+            + " AS canonical_url FROM u)"
+            " SELECT canonical_url, min(doc_id) AS keeper_id,"
+            " count(*) AS n_copies FROM c GROUP BY canonical_url"
+        ),
+        "txt_sentences": (
+            # identical RE2 split + post-filter indexing (i-1 matches
+            # posexplode's 0-base)
+            r"WITH sent AS (SELECT doc_id,"
+            r" list_filter(regexp_split_to_array(text, '[.!?]+\s+'),"
+            r"  s -> len(trim(s)) > 0) AS ss FROM documents)"
+            " SELECT doc_id, CAST(i - 1 AS INT) AS sentence_idx,"
+            " ss[i] AS sentence, CAST(len(ss[i]) AS INT) AS n_chars"
+            " FROM sent, lateral unnest(generate_series(1, len(ss))) t(i)"
+        ),
+        "evt_attribution": (
+            # native ASOF LEFT JOIN, strict backward (t.ts < p.ts);
+            # the touch side is deduped to one row per (user, ts)
+            # first so the nearest match is unique in both engines.
+            "WITH touches AS ("
+            " SELECT user_id, ts, max(event_id) AS touch_event_id,"
+            "  arg_max(event_type, event_id) AS touch_type"
+            " FROM events WHERE event_type IN ('view', 'click')"
+            " GROUP BY user_id, ts),"
+            " p AS (SELECT user_id, ts, event_id FROM events"
+            "  WHERE event_type = 'purchase')"
+            " SELECT p.user_id, p.event_id AS purchase_event_id,"
+            " t.touch_type, t.touch_event_id"
+            " FROM p ASOF LEFT JOIN touches t"
+            " ON p.user_id = t.user_id AND p.ts > t.ts"
+        ),
+        "agg_chi2_cells": (
+            "WITH cells AS (SELECT source, lang, count(*) AS n_docs"
+            " FROM documents GROUP BY source, lang)"
+            " SELECT source, lang, n_docs,"
+            " round(sum(n_docs) OVER (PARTITION BY source)"
+            "  * sum(n_docs) OVER (PARTITION BY lang) * 1.0"
+            "  / sum(n_docs) OVER (), 4) AS expected,"
+            " round(pow(n_docs - sum(n_docs) OVER (PARTITION BY source)"
+            "  * sum(n_docs) OVER (PARTITION BY lang) * 1.0"
+            "  / sum(n_docs) OVER (), 2)"
+            "  / (sum(n_docs) OVER (PARTITION BY source)"
+            "  * sum(n_docs) OVER (PARTITION BY lang) * 1.0"
+            "  / sum(n_docs) OVER ()), 4) AS chi2_contrib"
+            " FROM cells"
+        ),
     }

@@ -122,6 +122,52 @@ def url_parts(col: Column | str) -> dict[str, Column]:
     }
 
 
+def canonical_url(col: Column | str) -> Column:
+    """C4/CommonCrawl-style URL canonicalization for dedup keys, as a
+    pure regexp_replace chain (JVM-side, RE2-safe so the oracle runs
+    the identical program):
+
+    1. lowercase the scheme+host (the authority is case-insensitive;
+       path case is preserved — it is significant per RFC 3986),
+    2. strip a leading ``www.``,
+    3. drop the fragment,
+    4. drop tracking query params (utm_*, fbclid, gclid, ref) —
+       then any leftover ``?``/``&`` debris,
+    5. strip one trailing slash.
+
+    Two URLs that differ only in these respects are the same document
+    for crawl-dedup purposes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # 1: lowercase "scheme://HOST" prefix only (path untouched)
+    lowered = F.concat(
+        F.lower(F.regexp_extract(c, r"^([^/]*//[^/?#]*)", 1)),
+        F.regexp_replace(c, r"^[^/]*//[^/?#]*", ""),
+    )
+    no_www = F.regexp_replace(lowered, r"^(https?://)www\.", r"$1")
+    no_frag = F.regexp_replace(no_www, r"#.*$", "")
+    no_track = F.regexp_replace(
+        no_frag, r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", ""
+    )
+    no_debris = F.regexp_replace(no_track, r"[?&]+$", "")
+    return F.regexp_replace(no_debris, r"/$", "")
+
+
+#: DuckDB twin of :func:`canonical_url`.  Differences handled here:
+#: DuckDB regexp_replace is FIRST-match by default (Spark is global),
+#: so the multi-occurrence tracking-param step passes the 'g' option;
+#: backreferences are ``\1`` (Spark: ``$1``).
+CANONICAL_URL_SQL_STEPS = """\
+regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+ lower(regexp_extract({x}, '^([^/]*//[^/?#]*)', 1))
+   || regexp_replace({x}, '^[^/]*//[^/?#]*', ''),
+ '^(https?://)www\\.', '\\1'),
+ '#.*$', ''),
+ '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+ '[?&]+$', ''),
+ '/$', '')"""
+
+
 # ---- Python UDTF (table function) -----------------------------------------
 
 def variant_effects_udtf():

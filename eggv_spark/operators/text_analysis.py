@@ -577,6 +577,36 @@ def with_dup_ngram_fraction(
     )
 
 
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation (1->N): split on terminal punctuation
+    runs followed by whitespace (``[.!?]+\\s+`` — RE2-safe, no
+    lookbehind, so the identical regex runs in any oracle engine),
+    drop empty segments, and emit (id, sentence_idx, sentence,
+    n_chars) with the index assigned AFTER filtering so both engines
+    number identically.
+
+    Pure Column work: split -> filter -> posexplode, shuffle-free;
+    the per-sentence rows inherit the document's partitioning, which
+    is what downstream per-sentence quality scoring wants.
+    """
+    segments = F.filter(
+        F.split(F.col(text_col), r"[.!?]+\s+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    return df.select(
+        id_col, F.posexplode(segments).alias("sentence_idx", "sentence")
+    ).select(
+        id_col,
+        "sentence_idx",
+        "sentence",
+        F.length("sentence").cast("int").alias("n_chars"),
+    )
+
+
 def temperature_weights(
     df: DataFrame,
     domain_col: str = "source",

@@ -59,3 +59,44 @@ def test_scalar_families_stay_jvm_side(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # no Python UDFs anywhere
+
+
+def test_canonical_url_collapses_cosmetic_variants(spark):
+    from eggv_spark.functions.scalars import canonical_url
+
+    urls = [
+        "https://s1.example.com/p/7?utm_source=feed&utm_campaign=x",
+        "https://WWW.S1.EXAMPLE.com/p/7/",
+        "https://s1.example.com/p/7#section-2",
+        "https://s1.example.com/p/7?ref=home",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == ["https://s1.example.com/p/7"] * 4
+    # path case is SIGNIFICANT and preserved; real params survive
+    df2 = spark.createDataFrame(
+        [("https://A.example.com/Path?q=1&utm_medium=x",)], ["url"]
+    )
+    assert df2.select(canonical_url("url").alias("c")).first().c == (
+        "https://a.example.com/Path?q=1"
+    )
+
+
+def test_split_sentences_indexes_after_filtering(spark):
+    from eggv_spark.operators.text_analysis import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "One. Two sentences!  And... a third? Tail")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r.sentence_idx, r.sentence, r.n_chars)
+        for r in split_sentences(df).collect()
+    )
+    assert rows == [
+        (0, "One", 3),
+        (1, "Two sentences", 13),
+        (2, "And", 3),
+        (3, "a third", 7),
+        (4, "Tail", 4),
+    ]
