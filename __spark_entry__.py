@@ -2540,6 +2540,60 @@ def _agg_chi2_cells(spark, sf_dir):
     )
 
 
+def _stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC maintenance: the tbl_cdc_apply change set
+    delivered as a 2-batch file stream into stream_cdc_sink
+    (foreachBatch cdc merge, checkpointed, swap-written); the final
+    table must equal the one-shot batch apply.  Batches are split BY
+    KEY (pair-group parity, coalesced to one file each) so each key's
+    changes arrive in one batch — the log-ordered delivery the sink's
+    contract requires."""
+    import os
+    import tempfile
+
+    from eggv_spark.streaming import events_stream as ES
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    upd = orders.filter("o_orderkey % 10 = 0").select(
+        "o_orderkey",
+        (F.col("price") * 2).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    dels = orders.filter("o_orderkey % 20 = 0").select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("price"),
+        F.lit("D").alias("op"),
+        F.lit(3).cast("long").alias("seq"),
+    )
+    ins = orders.filter("o_orderkey % 10 = 3").select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        "price",
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+
+    base = tempfile.mkdtemp(prefix="stream_cdc_")
+    src = os.path.join(base, "changes")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    orders.write.mode("overwrite").parquet(table)
+    for half in (0, 1):
+        changes.filter(
+            F.pmod((F.col("o_orderkey") / 10).cast("long"), F.lit(2)) == half
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ES.stream_cdc_sink(stream, table, ["o_orderkey"], "seq", ckpt)
+    return spark.read.parquet(table)
+
+
 def _ddp_minhash_est(spark, sf_dir):
     """MinHash sketch-quality gauge on adjacent-id pairs: estimated
     Jaccard (signature agree-share) vs exact shingle Jaccard with the
@@ -2736,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_sentences": _txt_sentences,
         "evt_attribution": _evt_attribution,
         "agg_chi2_cells": _agg_chi2_cells,
+        "stream_cdc_apply": _stream_cdc_apply,
     }
 
 
@@ -4188,6 +4243,18 @@ def oracle_sql() -> dict[str, str]:
             " t.touch_type, t.touch_event_id"
             " FROM p ASOF LEFT JOIN touches t"
             " ON p.user_id = t.user_id AND p.ts > t.ts"
+        ),
+        "stream_cdc_apply": (
+            # the streamed final table must equal the one-shot batch
+            # apply — the oracle IS tbl_cdc_apply's.
+            "SELECT o_orderkey, round(o_totalprice, 2) AS price"
+            " FROM orders WHERE o_orderkey % 10 <> 0"
+            " UNION ALL"
+            " SELECT o_orderkey, round(o_totalprice, 2) * 2"
+            " FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0"
+            " UNION ALL"
+            " SELECT o_orderkey + 1000000000, round(o_totalprice, 2)"
+            " FROM orders WHERE o_orderkey % 10 = 3"
         ),
         "agg_chi2_cells": (
             "WITH cells AS (SELECT source, lang, count(*) AS n_docs"

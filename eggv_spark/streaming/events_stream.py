@@ -373,6 +373,64 @@ def streaming_running_zscore(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_cdc_sink(
+    stream_changes: DataFrame,
+    path: str,
+    keys: "list[str]",
+    seq_col: str,
+    checkpoint: str,
+    op_col: str = "op",
+) -> None:
+    """Streaming CDC → maintained-table sink: every micro-batch of
+    I/U/D change rows merges into a parquet table via ``foreachBatch``
+    + the batch :func:`~eggv_spark.operators.tableops.cdc_apply`
+    (last op per key wins within a batch; D removes the row).
+
+    Ordering contract: correct under LOG-ORDERED delivery — each
+    key's changes arrive in nondecreasing ``seq_col`` across
+    micro-batches, which is exactly what real CDC transports
+    (binlog/WAL readers, Kafka keyed topics) guarantee per key.  The
+    table keeps no tombstones, so an out-of-order late update after a
+    delete would resurrect the row — by design, matching the batch
+    operator's contract.
+
+    Exactly-once to the table: checkpointed batch replay + idempotent
+    per-key merge + side-directory swap write (never an in-place
+    overwrite of a directory the merge is reading).  Runs with
+    Trigger.AvailableNow and BLOCKS until input drains.
+    """
+    import os
+    import shutil
+
+    from eggv_spark.operators.tableops import cdc_apply
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+        else:
+            current = batch_df.drop(op_col, seq_col).limit(0)
+        merged = cdc_apply(current, batch_df, keys, seq_col, op_col)
+        tmp = path.rstrip("/") + "__upserting"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + "__replaced"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    (
+        stream_changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_upsert_sink(
     stream_df: DataFrame,
     path: str,

@@ -742,6 +742,45 @@ def test_stream_upsert_sink_merges_batches_idempotently(spark, tmp_path):
     assert got == {1: "v1", 2: "v2", 3: "v1"}
 
 
+def test_stream_cdc_sink_applies_ops_and_replays_idempotently(spark, tmp_path):
+    from eggv_spark.streaming.events_stream import stream_cdc_sink
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "v1"), (2, "v1"), (3, "v1")], "k long, v string"
+    ).write.parquet(table)
+    # batch 1: update 1, delete 2 (delete at higher seq must win even
+    # though both rows are in one batch), insert 9
+    spark.createDataFrame(
+        [(1, "v2", "U", 1), (2, "vX", "U", 1), (2, None, "D", 2),
+         (9, "new", "I", 1)],
+        "k long, v string, op string, seq long",
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream_cdc_sink(
+            spark.readStream.schema(schema).parquet(src),
+            table, ["k"], "seq", ckpt,
+        )
+
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "v2", 3: "v1", 9: "new"}
+    # checkpointed replay with unchanged input: no-op
+    run()
+    assert {r.k: r.v for r in spark.read.parquet(table).collect()} == got
+    # batch 2 (new file): re-insert the deleted key at a later seq
+    spark.createDataFrame(
+        [(2, "back", "I", 3)], "k long, v string, op string, seq long"
+    ).write.mode("append").parquet(src)
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "v2", 2: "back", 3: "v1", 9: "new"}
+
+
 def test_dup_ngram_fraction_hand_computed(spark):
     from eggv_spark.operators.text_analysis import with_dup_ngram_fraction
 
