@@ -2857,11 +2857,14 @@ def oracle_sql() -> dict[str, str]:
         "arr_vector_stats": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
             " FROM embeddings)"
+            # "+ 0" drops IEEE -0.0 (DuckDB round keeps the sign of a
+            # just-negative value; Spark emits +0.0; hashes compare
+            # strings)
             " SELECT vec_id, CAST(len(v) AS INT) AS n_dims,"
-            " round(list_sum(v), 4) AS vec_sum,"
-            " round(list_sum(v) / len(v), 4) AS vec_mean,"
-            " round(list_min(v), 4) AS vec_min,"
-            " round(list_max(v), 4) AS vec_max,"
+            " round(list_sum(v), 4) + 0 AS vec_sum,"
+            " round(list_sum(v) / len(v), 4) + 0 AS vec_mean,"
+            " round(list_min(v), 4) + 0 AS vec_min,"
+            " round(list_max(v), 4) + 0 AS vec_max,"
             " CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_positive"
             " FROM e"
         ),
@@ -3289,9 +3292,13 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 100"
         ),
         "evt_anomaly": (
+            # "+ 0" normalizes IEEE negative zero: DuckDB round()
+            # keeps -0.0 (a just-below-mean value), Spark's decimal
+            # round emits +0.0, and the hash compares STRINGS.
             "WITH z AS (SELECT event_id, user_id, value,"
             " round((value - avg(value) OVER (PARTITION BY user_id))"
-            "  / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore"
+            "  / stddev_samp(value) OVER (PARTITION BY user_id), 4) + 0"
+            "  AS zscore"
             " FROM events)"
             " SELECT event_id, user_id, value, zscore,"
             " coalesce(abs(zscore) > 3.0, false) AS is_anomaly FROM z"
@@ -3306,7 +3313,7 @@ def oracle_sql() -> dict[str, str]:
             " WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id"
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
             " SELECT event_id, user_id, value,"
-            " round((value - m) / nullif(sd, 0.0), 4) AS zscore FROM w"
+            " round((value - m) / nullif(sd, 0.0), 4) + 0 AS zscore FROM w"
         ),
         "agg_mode": (
             "SELECT o_orderstatus, o_orderpriority AS mode_value,"
@@ -3423,7 +3430,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT o_orderpriority,"
             " CAST(CAST(month AS DATE) AS VARCHAR) AS month, revenue,"
             " round((revenue - lag(revenue) OVER w)"
-            "  / lag(revenue) OVER w * 100, 4) AS pct_change"
+            "  / lag(revenue) OVER w * 100, 4) + 0 AS pct_change"
             " FROM m WINDOW w AS (PARTITION BY o_orderpriority"
             "  ORDER BY month)"
         ),
@@ -4086,10 +4093,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_corr": (
             "SELECT l_returnflag,"
-            " round(corr(l_quantity, l_extendedprice), 4) AS corr_xy,"
-            " round(covar_samp(l_quantity, l_extendedprice), 4)"
+            " round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_xy,"
+            " round(covar_samp(l_quantity, l_extendedprice), 4) + 0"
             "  AS covar_samp_xy,"
-            " round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_xy,"
+            " round(covar_pop(l_quantity, l_extendedprice), 4) + 0"
+            "  AS covar_pop_xy,"
             " count(*) AS n_rows"
             " FROM lineitem GROUP BY l_returnflag"
         ),
@@ -4097,9 +4105,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag,"
             " round(stddev_samp(l_quantity), 4) AS x_stddev,"
             " round(var_samp(l_quantity), 4) AS x_var,"
-            " round(corr(l_quantity, l_extendedprice), 4) AS xy_corr,"
-            " round(covar_samp(l_quantity, l_extendedprice), 4) AS xy_covar,"
-            " round(skewness(l_quantity), 4) AS x_skew"
+            " round(corr(l_quantity, l_extendedprice), 4) + 0 AS xy_corr,"
+            " round(covar_samp(l_quantity, l_extendedprice), 4) + 0"
+            "  AS xy_covar,"
+            " round(skewness(l_quantity), 4) + 0 AS x_skew"
             " FROM lineitem GROUP BY l_returnflag"
         ),
         "agg_histogram": (
