@@ -2594,6 +2594,37 @@ def _stream_cdc_apply(spark, sf_dir):
     return spark.read.parquet(table)
 
 
+def _tbl_incremental_append(spark, sf_dir):
+    """High-water-mark incremental ingestion, end to end: load the
+    order feed, re-run it (idempotent — the mark filters everything),
+    then deliver a late batch above the mark and re-run.  The final
+    table must hold exactly one copy of each feed row — the property
+    that makes periodic batch pulls safe to re-run.  The mark read is
+    a stats-answerable max() over the sink."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="incr_append_")
+    sink = os.path.join(base, "sink")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price")
+    )
+    feed1 = orders.filter("o_orderkey % 3 <> 0")
+    late = orders.filter("o_orderkey % 3 = 0").withColumn(
+        # strictly above feed1's max date so the mark admits it
+        "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS")
+    )
+    n1 = TO.incremental_append(feed1, sink, "o_orderdate")
+    n2 = TO.incremental_append(feed1, sink, "o_orderdate")  # no-op re-run
+    assert n2 == 0, f"idempotent re-run appended {n2} rows"
+    TO.incremental_append(feed1.unionByName(late), sink, "o_orderdate")
+    return spark.read.parquet(sink).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+        "price",
+    )
+
+
 def _ddp_minhash_est(spark, sf_dir):
     """MinHash sketch-quality gauge on adjacent-id pairs: estimated
     Jaccard (signature agree-share) vs exact shingle Jaccard with the
@@ -2791,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_attribution": _evt_attribution,
         "agg_chi2_cells": _agg_chi2_cells,
         "stream_cdc_apply": _stream_cdc_apply,
+        "tbl_incremental_append": _tbl_incremental_append,
     }
 
 
@@ -4252,6 +4284,20 @@ def oracle_sql() -> dict[str, str]:
             " t.touch_type, t.touch_event_id"
             " FROM p ASOF LEFT JOIN touches t"
             " ON p.user_id = t.user_id AND p.ts > t.ts"
+        ),
+        "tbl_incremental_append": (
+            # final sink = feed1 (keys %3<>0, original dates) plus the
+            # late batch (keys %3=0, dates shifted +10y) — each row
+            # exactly once despite three pull runs.
+            "SELECT o_orderkey,"
+            " CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,"
+            " round(o_totalprice, 2) AS price"
+            " FROM orders WHERE o_orderkey % 3 <> 0"
+            " UNION ALL"
+            " SELECT o_orderkey,"
+            " CAST(floor(epoch(o_orderdate + INTERVAL 10 YEAR)) AS BIGINT),"
+            " round(o_totalprice, 2)"
+            " FROM orders WHERE o_orderkey % 3 = 0"
         ),
         "stream_cdc_apply": (
             # the streamed final table must equal the one-shot batch
