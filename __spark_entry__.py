@@ -2594,6 +2594,108 @@ def _stream_cdc_apply(spark, sf_dir):
     return spark.read.parquet(table)
 
 
+def _win_winsorize(spark, sf_dir):
+    """Winsorization: clip extended price to its per-flag [p05, p95]
+    band — the outlier-damping transform run before fitting scale-
+    sensitive statistics.  Exact interpolated percentiles ride ONE
+    grouped aggregation; the clip is a broadcast join back (3 rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("_lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("_hi"),
+    )
+    return (
+        li.join(F.broadcast(bands), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                F.greatest(F.least("l_extendedprice", F.col("_hi")), F.col("_lo")),
+                2,
+            ).alias("price_winsorized"),
+        )
+    )
+
+
+def _txt_readability(spark, sf_dir):
+    """Readability proxies per document: sentence count, avg tokens
+    per sentence, avg word length — the grade-level-style signals a
+    quality gate consumes, built from the sentence and token
+    primitives, shuffle-free."""
+    d = _t(spark, sf_dir, "documents")
+    sentences = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    toks = T.tokens_col("text")
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+    n_tok = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return d.select(
+        "doc_id",
+        F.size(sentences).cast("int").alias("n_sentences"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(n_tok / n_sent, 4).alias("tokens_per_sentence"),
+        F.round(
+            total_chars / F.greatest(n_tok, F.lit(1)).cast("double"), 4
+        ).alias("avg_word_len"),
+    )
+
+
+def _agg_mad(spark, sf_dir):
+    """Median absolute deviation per return flag — the robust
+    dispersion statistic (outlier-insensitive, unlike stddev).  Two
+    grouped aggregations: the median, then the median of absolute
+    deviations after a 3-row broadcast join back."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("_med"), 4).alias("median_price"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("_med")),
+                    F.lit(0.5),
+                ),
+                4,
+            ).alias("mad_price"),
+        )
+    )
+
+
+def _evt_inter_event(spark, sf_dir):
+    """Inter-arrival-time profile per user: mean / max gap seconds
+    and event count — the cadence feature behind bot detection and
+    session-gap tuning.  One window shuffle (lag) + one map-side-
+    combined rollup."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        ev.withColumn("_gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            # integer-scaled floor, not round(4): sum/count quotients
+            # with 2^a*5^b denominators land exactly on rounding
+            # boundaries (see win_decayed_sum)
+            F.floor(F.avg("_gap") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("avg_gap_x1e4"),
+            F.max("_gap").alias("max_gap_sec"),
+        )
+    )
+
+
 def _tbl_incremental_append(spark, sf_dir):
     """High-water-mark incremental ingestion, end to end: load the
     order feed, re-run it (idempotent — the mark filters everything),
@@ -2823,6 +2925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_chi2_cells": _agg_chi2_cells,
         "stream_cdc_apply": _stream_cdc_apply,
         "tbl_incremental_append": _tbl_incremental_append,
+        "win_winsorize": _win_winsorize,
+        "txt_readability": _txt_readability,
+        "agg_mad": _agg_mad,
+        "evt_inter_event": _evt_inter_event,
     }
 
 
@@ -4284,6 +4390,51 @@ def oracle_sql() -> dict[str, str]:
             " t.touch_type, t.touch_event_id"
             " FROM p ASOF LEFT JOIN touches t"
             " ON p.user_id = t.user_id AND p.ts > t.ts"
+        ),
+        "win_winsorize": (
+            "WITH b AS (SELECT l_returnflag,"
+            "  quantile_cont(l_extendedprice, 0.05) AS lo,"
+            "  quantile_cont(l_extendedprice, 0.95) AS hi"
+            " FROM lineitem GROUP BY l_returnflag)"
+            " SELECT l_orderkey, l_linenumber, l_returnflag,"
+            " round(greatest(least(l_extendedprice, hi), lo), 2)"
+            "  AS price_winsorized"
+            " FROM lineitem JOIN b USING (l_returnflag)"
+        ),
+        "txt_readability": (
+            rf"WITH s AS (SELECT doc_id, {_TOKS_SQL} AS t,"
+            r" len(list_filter(regexp_split_to_array(text, '[.!?]+\s+'),"
+            r"  x -> len(trim(x)) > 0)) AS n_sent FROM documents)"
+            " SELECT doc_id, CAST(n_sent AS INT) AS n_sentences,"
+            " CAST(len(t) AS INT) AS n_tokens,"
+            " round(len(t) * 1.0 / greatest(n_sent, 1), 4)"
+            "  AS tokens_per_sentence,"
+            " round(coalesce(list_sum(list_transform(t, x -> len(x))), 0)"
+            "  * 1.0 / greatest(len(t), 1), 4) AS avg_word_len"
+            " FROM s"
+        ),
+        "agg_mad": (
+            "WITH m AS (SELECT l_returnflag,"
+            "  quantile_cont(l_extendedprice, 0.5) AS med"
+            " FROM lineitem GROUP BY l_returnflag)"
+            " SELECT l_returnflag, round(any_value(med), 4)"
+            "  AS median_price,"
+            " round(quantile_cont(abs(l_extendedprice - med), 0.5), 4)"
+            "  AS mad_price"
+            " FROM lineitem JOIN m USING (l_returnflag)"
+            " GROUP BY l_returnflag"
+        ),
+        "evt_inter_event": (
+            "WITH g AS (SELECT user_id,"
+            " CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts))"
+            "  AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS gap"
+            " FROM events)"
+            " SELECT user_id, count(*) AS n_events,"
+            " CAST(floor(avg(gap) * 10000 + 0.5) AS BIGINT)"
+            "  AS avg_gap_x1e4,"
+            " max(gap) AS max_gap_sec"
+            " FROM g GROUP BY user_id"
         ),
         "tbl_incremental_append": (
             # final sink = feed1 (keys %3<>0, original dates) plus the
