@@ -2594,6 +2594,20 @@ def _stream_cdc_apply(spark, sf_dir):
     return spark.read.parquet(table)
 
 
+def _smp_apply_weights(spark, sf_dir):
+    """Mixture APPLICATION: replicate/filter documents per the
+    temperature-sampling design (alpha=0.5) — floor(w) copies plus a
+    deterministic md5-coin extra, so upsampled domains really gain
+    rows.  Completes the design->apply pair with
+    smp_temperature_weights."""
+    scored = T.with_token_counts(_t(spark, sf_dir, "documents"))
+    weights = T.temperature_weights(scored, "source", "n_tokens", alpha=0.5)
+    out = R.apply_sample_weights(
+        scored.select("doc_id", "source"), weights
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
 def _win_winsorize(spark, sf_dir):
     """Winsorization: clip extended price to its per-flag [p05, p95]
     band — the outlier-damping transform run before fitting scale-
@@ -2929,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_readability": _txt_readability,
         "agg_mad": _agg_mad,
         "evt_inter_event": _evt_inter_event,
+        "smp_apply_weights": _smp_apply_weights,
     }
 
 
@@ -4390,6 +4405,30 @@ def oracle_sql() -> dict[str, str]:
             " t.touch_type, t.touch_event_id"
             " FROM p ASOF LEFT JOIN touches t"
             " ON p.user_id = t.user_id AND p.ts > t.ts"
+        ),
+        "smp_apply_weights": (
+            # temperature-weight CTE (identical to
+            # smp_temperature_weights, 4dp-rounded weight), then
+            # floor(w) copies + md5-coin fractional extra via lateral
+            # generate_series (empty when n_copies = 0).
+            f"WITH toks AS (SELECT source, len({_TOKS_SQL}) AS n_tokens"
+            "  FROM documents),"
+            " d AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)"
+            "  AS n_tokens FROM toks GROUP BY source),"
+            " t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d),"
+            " p AS (SELECT d.source, d.n_tokens * 1.0 / t.total AS p"
+            "  FROM d, t),"
+            " z AS (SELECT sum(pow(p, 0.5)) AS z FROM p),"
+            " w AS (SELECT p.source,"
+            "  round(pow(p.p, 0.5) / z.z / p.p, 4) AS sw FROM p, z),"
+            " n AS (SELECT doc_id, dc.source,"
+            "  CAST(floor(sw) AS BIGINT) + CASE WHEN"
+            "   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+            "    1, 8)) AS BIGINT) / 4294967296.0 < sw - floor(sw)"
+            "   THEN 1 ELSE 0 END AS n_copies"
+            "  FROM documents dc JOIN w USING (source))"
+            " SELECT doc_id, source, CAST(ci AS INT) AS copy_idx"
+            " FROM n, lateral unnest(generate_series(1, n_copies)) t(ci)"
         ),
         "win_winsorize": (
             "WITH b AS (SELECT l_returnflag,"

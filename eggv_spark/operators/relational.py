@@ -358,6 +358,46 @@ def cap_per_group(
     )
 
 
+def apply_sample_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    domain_col: str = "source",
+    weight_col: str = "sample_weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a weighted mixture: each row appears
+    ``floor(w)`` times plus one more when its deterministic
+    per-row coin (md5-hash fraction of the id) lands below
+    ``frac(w)`` — so ``w = 2.5`` means 2 or 3 copies (expected 2.5),
+    ``w = 0.3`` means 0 or 1 copies (expected 0.3).  This is the
+    APPLY step for :func:`~eggv_spark.operators.text_analysis.
+    temperature_weights`-style mixture designs: upsampling needs
+    replication, which a plain filter cannot express.
+
+    Deterministic and engine-portable (same md5 coin as the other
+    samplers — reproducible across runs, engines, partitionings);
+    replication is a per-row ``sequence`` explode, so no shuffle
+    beyond the broadcast weight join; expected output size is
+    ``Σ w_d · n_d``, known from the design table before running.
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    w = F.col(weight_col)
+    coin = base_hash(F.col(id_col).cast("string")) / F.lit(4294967296.0)
+    n_copies = (
+        F.floor(w).cast("long")
+        + F.when(coin < w - F.floor(w), 1).otherwise(0)
+    )
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(F.broadcast(weights.select(domain_col, weight_col)), domain_col)
+        .withColumn("copy_idx", F.explode(copies))
+        .drop(weight_col)
+    )
+
+
 def domain_mix_sample(
     df: DataFrame, group_col: str, key_col: str
 ) -> DataFrame:

@@ -365,6 +365,35 @@ def test_temperature_weights_flattens_mixture(spark):
     assert got["big"].sample_weight < 1
 
 
+def test_apply_sample_weights_replicates_and_filters(spark):
+    from eggv_spark.operators.relational import apply_sample_weights
+
+    docs = spark.createDataFrame(
+        [(i, "up" if i < 4 else "down") for i in range(8)],
+        "doc_id long, source string",
+    )
+    weights = spark.createDataFrame(
+        [("up", 2.0), ("down", 0.0)], "source string, sample_weight double"
+    )
+    out = apply_sample_weights(docs, weights).collect()
+    # integer weights are exact: every "up" doc exactly twice
+    # (copy_idx 1 and 2), every "down" doc dropped
+    got = sorted((r.doc_id, r.copy_idx) for r in out)
+    assert got == [(i, c) for i in range(4) for c in (1, 2)]
+    # fractional weight: copies per doc is floor(w) or floor(w)+1,
+    # deterministic across reruns
+    frac = spark.createDataFrame(
+        [("up", 1.5), ("down", 1.5)], "source string, sample_weight double"
+    )
+    c1 = sorted((r.doc_id, r.copy_idx) for r in
+                apply_sample_weights(docs, frac).collect())
+    c2 = sorted((r.doc_id, r.copy_idx) for r in
+                apply_sample_weights(docs, frac).collect())
+    assert c1 == c2
+    per_doc = {d: sum(1 for x, _ in c1 if x == d) for d in range(8)}
+    assert all(n in (1, 2) for n in per_doc.values())
+
+
 def test_with_decayed_sum_hand_computed(spark):
     from eggv_spark.operators.aggregates import with_decayed_sum
 
