@@ -442,3 +442,44 @@ def test_ann_recall_hand_computed(spark):
     got = {r.query_id: (r.n_hits, r.recall_at_2) for r in ann_recall(
         exact, approx, k=2).collect()}
     assert got == {1: (2, 1.0), 2: (0, 0.0)}
+
+
+def test_operators_handle_empty_input(spark):
+    """Zero-row inputs must yield zero-row (not erroring) outputs —
+    the guard for empty partitions, filtered-out date ranges, and
+    first-run pipelines."""
+    from eggv_spark.operators.dedupe import exact_dedupe, passage_dedup
+    from eggv_spark.operators.relational import apply_sample_weights
+    from eggv_spark.operators.text_analysis import (
+        split_sentences,
+        with_dup_ngram_fraction,
+        with_repetition_stats,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedupe(docs).count() == 0
+    assert passage_dedup(docs).count() == 0
+    assert split_sentences(docs).count() == 0
+    assert with_dup_ngram_fraction(docs).count() == 0
+    assert with_repetition_stats(docs).count() == 0
+    weights = spark.createDataFrame(
+        [], "source string, sample_weight double"
+    )
+    tagged = spark.createDataFrame([], "doc_id long, source string")
+    assert apply_sample_weights(tagged, weights).count() == 0
+
+
+def test_asof_and_cdc_handle_empty_sides(spark):
+    from eggv_spark.operators.rangejoin import asof_join
+    from eggv_spark.operators.tableops import cdc_apply
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    empty_right = spark.createDataFrame([], "k long, t long, v string")
+    out = asof_join(left, empty_right, ["k"], "t", ["v"]).collect()
+    assert len(out) == 1 and out[0].asof_v is None
+    current = spark.createDataFrame([(1, "a")], "k long, v string")
+    no_changes = spark.createDataFrame(
+        [], "k long, v string, op string, seq long"
+    )
+    got = cdc_apply(current, no_changes, ["k"], "seq").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a")]
