@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eggv_spark.functions.extract import (
@@ -33,10 +33,12 @@ from eggv_spark.operators import relational as R
 from eggv_spark.operators import similarity as S
 from eggv_spark.operators import tableops as TO
 from eggv_spark.operators import text_analysis as T
+from eggv_spark.operators import graph as G
 from eggv_spark.operators.events import (
     funnel_counts,
     gapfill_hourly,
     retention_cohorts,
+    rfm_segments,
     sessionize,
     sliding_window_counts,
     tumbling_window_counts,
@@ -2756,6 +2758,487 @@ def _ddp_minhash_est(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# §ext OLAP composite analogs (TPC-H-shaped, adapted to this schema:
+# no partsupp / commitdate / phone columns, so Q2/4/11/12/16/20/21 have
+# no faithful analog; the 13 below keep each original's PLAN shape —
+# join order pressure, disjunctive pushdown, correlated agg, scalar
+# subquery, having filter — which is what exercises Catalyst.)
+# ---------------------------------------------------------------------------
+
+def _olap_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join where customer and supplier must sit
+    in the SAME nation, revenue by nation for one region-year.  The
+    two fact tables join on their keys; nation⋈region and supplier are
+    broadcast dims; the c_nationkey=s_nationkey clause rides the
+    supplier join as a post-condition, never a cross product."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    dim = (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(supplier),
+            (lineitem["l_suppkey"] == supplier["s_suppkey"])
+            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(F.broadcast(dim), supplier["s_nationkey"] == dim["n_nationkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
+def _olap_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-side revenue forecast — every
+    predicate (date range, discount band, quantity cap) pushes to the
+    parquet scan, aggregation is a single map-side fold to one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+def _olap_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the both-directions disjunction evaluates on two
+    broadcast nation dims AFTER the key joins."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
+def _olap_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's PROMO
+    spend per order year — conditional-sum over total-sum ratio on a
+    6-way join."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_dim = (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_nationkey").alias("ck"))
+    )
+    supp_dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(cust_dim), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(supp_dim), F.col("s_nationkey") == F.col("sk"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                  .otherwise(F.lit(0.0))) / F.sum(vol), 4
+        ).alias("mkt_share")
+    )
+
+
+def _olap_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name substring filter (no partsupp table here, so unit cost
+    is proxied at 80% of p_retailprice — same plan shape: selective
+    dim filter, two broadcast dims, two fact joins)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey", "p_retailprice")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation),
+              supplier["s_nationkey"] == nation["n_nationkey"])
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.round(F.sum(amount), 2).alias("profit"))
+
+
+def _olap_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-revenue in a
+    half-year — join-heavy agg with a global top-k tail (sort only
+    the grouped result, never the facts)."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation),
+              customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    return R.sort_limit(
+        agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20
+    ).select(
+        "c_custkey", "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"), "n_name", "revenue",
+    )
+
+
+def _olap_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: count-of-counts — orders per customer (left
+    join keeps zero-order customers, with a join-side predicate), then
+    the distribution of those counts.  Two shuffles total."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"],
+                      "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _olap_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue percentage in one month —
+    conditional-over-total ratio on a broadcast part join."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                        .otherwise(F.lit(0.0)))
+                / F.sum(vol), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def _olap_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) hitting the max quarterly revenue
+    — grouped revenue, scalar-max broadcast back over the grouped
+    table (the view + scalar subquery of the original, as two passes
+    over the SMALL aggregate, one over the facts)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _olap_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue impact of small-quantity orders — the
+    correlated per-part average becomes one grouped pass over the
+    SAME brand-filtered lineitem slice, broadcast back onto it (the
+    decorrelation Catalyst would emit for the subquery)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    thresholds = brand_li.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap")
+    )
+    return (
+        brand_li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _olap_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, re-joined to orders+customer, top-100 by price.  The
+    having-filtered aggregate is tiny → broadcast back to the dims."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 350)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+    )
+    return R.sort_limit(
+        joined, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 100
+    ).select(
+        "c_custkey", "c_name", "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("long")
+        .alias("orderdate_epoch"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "sum_qty",
+    )
+
+
+def _olap_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: three OR'd (brand × size-band × quantity-band)
+    clauses over a part join — the disjunctive-pushdown stress test
+    (the join key is shared by every branch, so it stays ONE equi-join
+    with a residual OR filter, not a union of three joins)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
+def _olap_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance-above-average customers with
+    no RECENT orders (this dataset has no orderless customers), rolled
+    up by a custkey bucket — scalar-subquery broadcast + anti-join."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal"))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    idle = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return idle.groupBy(
+        (F.col("c_custkey") % 10).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §ext graph / regression / vector / bloom / zipf / rfm / balance
+# ---------------------------------------------------------------------------
+
+def _trade_edges(spark, sf_dir):
+    """Nation→nation trade edges (customer nation buys from supplier
+    nation), weighted by lineitem count — the graph queries' input."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("src"),
+            F.col("s_nationkey").cast("int").alias("dst"),
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def _graph_pagerank(spark, sf_dir):
+    """Weighted PageRank (3 fixed power iterations, d=0.85) on the
+    nation trade graph — the iterative-join family: each round is one
+    broadcast join + one map-side-combined aggregation (see
+    eggv_spark/operators/graph.py for the 100 TB notes)."""
+    ranks = G.pagerank(_trade_edges(spark, sf_dir), iterations=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _graph_degree_stats(spark, sf_dir):
+    """Per-node in/out degree + distinct-neighbor counts on the nation
+    trade graph — one grouped pass per direction, full-outer merge."""
+    return G.degree_stats(_trade_edges(spark, sf_dir))
+
+
+def _agg_linreg(spark, sf_dir):
+    """Per-group OLS fit (slope/intercept/r²) from distributive
+    moments — SQL's REGR_* family in one map-side-combined shuffle."""
+    return AG.linreg_by_group(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        x="l_quantity", y="l_extendedprice",
+    )
+
+
+def _sim_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization + reconstruction RMSE —
+    shuffle-free Column array math (similarity.int8_quantize)."""
+    return S.int8_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+def _sim_centroid_cosine(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids — class
+    separation diagnostic; one pass over the vectors, broadcast
+    self-join over the tiny centroid table."""
+    return S.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+def _ddp_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter existence pre-pass: which ordering customers MIGHT
+    be in the high-balance set (acctbal > 9000), by k=4 md5 bit
+    positions mod 2^16 — build side folds to ≤65536 distinct set bits
+    (broadcastable at ANY build cardinality), probe streams map-side.
+    Classic Bloom semantics: no false negatives, (1-e^{-kn/m})^k false
+    positives."""
+    build = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    probe = _t(spark, sf_dir, "orders")
+    return D.bloom_prefilter(
+        probe, build, probe_key="o_custkey", build_key="c_custkey",
+        k=4, m_bits=1 << 16,
+    )
+
+
+def _txt_zipf_slope(spark, sf_dir):
+    """Corpus Zipf diagnostic: OLS slope of ln(freq) ~ ln(rank) over
+    the unigram table (natural language ≈ -1; templated corpora
+    diverge) — one count shuffle + a vocabulary-sized rank."""
+    return T.zipf_slope(_t(spark, sf_dir, "documents"))
+
+
+def _evt_rfm(spark, sf_dir):
+    """RFM segmentation of the event stream: per-user recency /
+    frequency / monetary quartiles and the composite 111–444 segment
+    code (events.rfm_segments)."""
+    return rfm_segments(_t(spark, sf_dir, "events"))
+
+
+def _tbl_partition_balance(spark, sf_dir):
+    """Shuffle-balance pre-flight: bucket lineitem by portable-md5 of
+    the candidate shuffle key, report per-bucket share + global skew
+    factor (tableops.partition_balance)."""
+    return TO.partition_balance(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", n_buckets=32
+    )
+
+
+def _win_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report window: each supplier's share of its nation's
+    revenue — grouped revenue then a partition-sum window over the
+    supplier-sized aggregate (never over the facts)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(F.col("s_nationkey").cast("int").alias("nationkey"),
+                 "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("_rev"))
+    )
+    w = Window.partitionBy("nationkey")
+    return rev.select(
+        "nationkey", "s_suppkey",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -2944,6 +3427,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mad": _agg_mad,
         "evt_inter_event": _evt_inter_event,
         "smp_apply_weights": _smp_apply_weights,
+        "olap_q5_local_supplier": _olap_q5_local_supplier,
+        "olap_q6_forecast_revenue": _olap_q6_forecast_revenue,
+        "olap_q7_volume_shipping": _olap_q7_volume_shipping,
+        "olap_q8_market_share": _olap_q8_market_share,
+        "olap_q9_product_profit": _olap_q9_product_profit,
+        "olap_q10_returned_items": _olap_q10_returned_items,
+        "olap_q13_customer_distribution": _olap_q13_customer_distribution,
+        "olap_q14_promo_effect": _olap_q14_promo_effect,
+        "olap_q15_top_supplier": _olap_q15_top_supplier,
+        "olap_q17_small_quantity": _olap_q17_small_quantity,
+        "olap_q18_large_orders": _olap_q18_large_orders,
+        "olap_q19_disjunctive": _olap_q19_disjunctive,
+        "olap_q22_idle_customers": _olap_q22_idle_customers,
+        "graph_pagerank": _graph_pagerank,
+        "graph_degree_stats": _graph_degree_stats,
+        "agg_linreg": _agg_linreg,
+        "sim_int8_quantize": _sim_int8_quantize,
+        "sim_centroid_cosine": _sim_centroid_cosine,
+        "ddp_bloom_prefilter": _ddp_bloom_prefilter,
+        "txt_zipf_slope": _txt_zipf_slope,
+        "evt_rfm": _evt_rfm,
+        "tbl_partition_balance": _tbl_partition_balance,
+        "win_ratio_to_report": _win_ratio_to_report,
     }
 
 
@@ -4515,5 +5021,328 @@ def oracle_sql() -> dict[str, str]:
             "  * sum(n_docs) OVER (PARTITION BY lang) * 1.0"
             "  / sum(n_docs) OVER ()), 4) AS chi2_contrib"
             " FROM cells"
+        ),
+        "olap_q5_local_supplier": (
+            "SELECT n_name,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            "  AND c_nationkey = s_nationkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " WHERE r_name = 'ASIA'"
+            " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01'"
+            " GROUP BY n_name"
+        ),
+        "olap_q6_forecast_revenue": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue"
+            " FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        "olap_q7_volume_shipping": (
+            "SELECT supp_nation, cust_nation, yr,"
+            " round(sum(volume), 2) AS revenue FROM ("
+            " SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+            "  CAST(year(l_shipdate) AS INT) AS yr,"
+            "  l_extendedprice * (1 - l_discount) AS volume"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            " WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+            "  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+            " AND l_shipdate >= TIMESTAMP '1995-01-01'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01')"
+            " GROUP BY supp_nation, cust_nation, yr"
+        ),
+        "olap_q8_market_share": (
+            "SELECT yr, round(sum(CASE WHEN nation = 'NATION_3'"
+            "   THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share"
+            " FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,"
+            "  l_extendedprice * (1 - l_discount) AS volume,"
+            "  n1.n_name AS nation"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            " JOIN region ON n2.n_regionkey = r_regionkey"
+            " WHERE r_name = 'ASIA' AND p_type = 'PROMO')"
+            " GROUP BY yr"
+        ),
+        "olap_q9_product_profit": (
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,"
+            " round(sum(l_extendedprice * (1 - l_discount)"
+            "  - 0.8 * p_retailprice * l_quantity), 2) AS profit"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " WHERE p_name LIKE '%red%'"
+            " GROUP BY n_name, yr"
+        ),
+        "olap_q10_returned_items": (
+            "SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,"
+            " n_name,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " WHERE l_returnflag = 'R'"
+            " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-07-01'"
+            " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+            " ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "olap_q13_customer_distribution": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            " SELECT c_custkey, count(o_orderkey) AS c_count"
+            " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            "  AND o_orderpriority <> '1-URGENT'"
+            " GROUP BY c_custkey)"
+            " GROUP BY c_count"
+        ),
+        "olap_q14_promo_effect": (
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'"
+            "   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+            "  / sum(l_extendedprice * (1 - l_discount)), 4)"
+            "  AS promo_revenue_pct"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
+            " AND l_shipdate < TIMESTAMP '1996-04-01'"
+        ),
+        "olap_q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey,"
+            "  round(sum(l_extendedprice * (1 - l_discount)), 2)"
+            "   AS total_revenue"
+            " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1996-04-01'"
+            " GROUP BY l_suppkey)"
+            " SELECT s_suppkey, s_name, total_revenue"
+            " FROM supplier JOIN rev ON s_suppkey = l_suppkey"
+            " WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+        ),
+        "olap_q17_small_quantity": (
+            "WITH bli AS (SELECT l_partkey, l_quantity, l_extendedprice"
+            "  FROM lineitem JOIN part ON l_partkey = p_partkey"
+            "  WHERE p_brand = 'Brand#23'),"
+            " thr AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS cap"
+            "  FROM bli GROUP BY l_partkey)"
+            " SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly"
+            " FROM bli JOIN thr USING (l_partkey) WHERE l_quantity < cap"
+        ),
+        "olap_q18_large_orders": (
+            "SELECT c_custkey, c_name, o_orderkey,"
+            " CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,"
+            " round(o_totalprice, 2) AS totalprice, sum_qty"
+            " FROM orders"
+            " JOIN (SELECT l_orderkey,"
+            "   round(sum(l_quantity), 2) AS sum_qty FROM lineitem"
+            "  GROUP BY l_orderkey"
+            "  HAVING round(sum(l_quantity), 2) > 350) big"
+            "  ON o_orderkey = big.l_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "olap_q19_disjunctive": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)"
+            "  AS revenue"
+            " FROM lineitem JOIN part ON p_partkey = l_partkey"
+            " WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15"
+            "   AND l_quantity BETWEEN 1 AND 11)"
+            " OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30"
+            "   AND l_quantity BETWEEN 10 AND 20)"
+            " OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50"
+            "   AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "olap_q22_idle_customers": (
+            "SELECT CAST(c_custkey % 10 AS INT) AS bucket,"
+            " count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal"
+            " FROM customer"
+            " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
+            "   WHERE c_acctbal > 0)"
+            " AND c_custkey NOT IN (SELECT o_custkey FROM orders"
+            "   WHERE o_orderdate >= TIMESTAMP '2000-01-01')"
+            " GROUP BY bucket"
+        ),
+        "graph_pagerank": (
+            # 3 unrolled power iterations, dangling mass included —
+            # mirrors graph.pagerank exactly (d=0.85).
+            "WITH e AS (SELECT CAST(c_nationkey AS INT) AS src,"
+            "  CAST(s_nationkey AS INT) AS dst, count(*) AS w"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " GROUP BY src, dst),"
+            " nodes AS (SELECT DISTINCT src AS node FROM e"
+            "  UNION SELECT DISTINCT dst FROM e),"
+            " nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),"
+            " p AS (SELECT src, dst,"
+            "  w * 1.0 / sum(w) OVER (PARTITION BY src) AS p FROM e),"
+            " r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),"
+            " m0 AS (SELECT coalesce(sum(pr), 0.0) AS m FROM r0"
+            "  WHERE node NOT IN (SELECT src FROM e)),"
+            " c0 AS (SELECT p.dst AS node, sum(r.pr * p.p) AS contrib"
+            "  FROM p JOIN r0 r ON p.src = r.node GROUP BY p.dst),"
+            " r1 AS (SELECT nd.node, 0.15 / nn.n"
+            "   + 0.85 * (coalesce(c0.contrib, 0.0) + m0.m / nn.n) AS pr"
+            "  FROM nodes nd CROSS JOIN nn CROSS JOIN m0"
+            "  LEFT JOIN c0 ON nd.node = c0.node),"
+            " m1 AS (SELECT coalesce(sum(pr), 0.0) AS m FROM r1"
+            "  WHERE node NOT IN (SELECT src FROM e)),"
+            " c1 AS (SELECT p.dst AS node, sum(r.pr * p.p) AS contrib"
+            "  FROM p JOIN r1 r ON p.src = r.node GROUP BY p.dst),"
+            " r2 AS (SELECT nd.node, 0.15 / nn.n"
+            "   + 0.85 * (coalesce(c1.contrib, 0.0) + m1.m / nn.n) AS pr"
+            "  FROM nodes nd CROSS JOIN nn CROSS JOIN m1"
+            "  LEFT JOIN c1 ON nd.node = c1.node),"
+            " m2 AS (SELECT coalesce(sum(pr), 0.0) AS m FROM r2"
+            "  WHERE node NOT IN (SELECT src FROM e)),"
+            " c2 AS (SELECT p.dst AS node, sum(r.pr * p.p) AS contrib"
+            "  FROM p JOIN r2 r ON p.src = r.node GROUP BY p.dst)"
+            " SELECT nd.node, round(0.15 / nn.n"
+            "   + 0.85 * (coalesce(c2.contrib, 0.0) + m2.m / nn.n), 6)"
+            "  AS rank"
+            " FROM nodes nd CROSS JOIN nn CROSS JOIN m2"
+            " LEFT JOIN c2 ON nd.node = c2.node"
+        ),
+        "graph_degree_stats": (
+            "WITH e AS (SELECT CAST(c_nationkey AS INT) AS src,"
+            "  CAST(s_nationkey AS INT) AS dst, count(*) AS w"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " GROUP BY src, dst),"
+            " o AS (SELECT src AS node, count(*) AS out_degree,"
+            "  count(DISTINCT dst) AS out_distinct FROM e GROUP BY src),"
+            " i AS (SELECT dst AS node, count(*) AS in_degree,"
+            "  count(DISTINCT src) AS in_distinct FROM e GROUP BY dst)"
+            " SELECT coalesce(o.node, i.node) AS node,"
+            " coalesce(out_degree, 0) AS out_degree,"
+            " coalesce(out_distinct, 0) AS out_distinct,"
+            " coalesce(in_degree, 0) AS in_degree,"
+            " coalesce(in_distinct, 0) AS in_distinct"
+            " FROM o FULL OUTER JOIN i ON o.node = i.node"
+        ),
+        "agg_linreg": (
+            "SELECT l_returnflag, count(*) AS n_obs,"
+            " round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,"
+            " round(avg(l_extendedprice)"
+            "  - regr_slope(l_extendedprice, l_quantity)"
+            "   * avg(l_quantity), 2) AS intercept,"
+            " round(pow(corr(l_extendedprice, l_quantity), 2), 6) AS r2"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "sim_int8_quantize": (
+            "WITH q AS (SELECT vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,"
+            "  127.0 / list_max(list_transform(embedding,"
+            "   x -> abs(CAST(x AS DOUBLE)))) AS sc"
+            " FROM embeddings)"
+            " SELECT vec_id, CAST(len(v) AS INT) AS n_dims,"
+            " round(sc, 6) AS scale,"
+            " CAST(list_min(list_transform(v,"
+            "  x -> CAST(round(x * sc) AS INT))) AS INT) AS min_code,"
+            " CAST(list_max(list_transform(v,"
+            "  x -> CAST(round(x * sc) AS INT))) AS INT) AS max_code,"
+            " round(sqrt(list_sum(list_transform(v,"
+            "  x -> pow(x - CAST(round(x * sc) AS INT) / sc, 2))) / len(v)),"
+            "  6) AS recon_rmse"
+            " FROM q"
+        ),
+        "sim_centroid_cosine": (
+            "WITH x AS (SELECT label, u.i AS dim,"
+            "  CAST(embedding[u.i] AS DOUBLE) AS val FROM embeddings,"
+            "  LATERAL unnest(generate_series(1, len(embedding))) u(i)),"
+            " g AS (SELECT label, dim, sum(val) AS s, count(*) AS n"
+            "  FROM x GROUP BY label, dim),"
+            " c AS (SELECT label, list(s / n ORDER BY dim) AS centroid"
+            "  FROM g GROUP BY label)"
+            " SELECT a.label AS label_a, b.label AS label_b,"
+            " round(list_dot_product(a.centroid, b.centroid)"
+            "  / (sqrt(list_dot_product(a.centroid, a.centroid))"
+            "   * sqrt(list_dot_product(b.centroid, b.centroid))), 6)"
+            "  AS cosine"
+            " FROM c a JOIN c b ON a.label < b.label"
+        ),
+        "ddp_bloom_prefilter": (
+            # base_hash(s||'#i') % 2^16 per i in 0..3 — identical to
+            # dedupe.bloom_positions; candidate iff all 4 bits set.
+            "WITH pos AS (SELECT DISTINCT"
+            "  CAST(concat('0x', substr(md5(concat("
+            "   CAST(c_custkey AS VARCHAR), '#', t.i)), 1, 8)) AS BIGINT)"
+            "   % 65536 AS pos"
+            " FROM customer, LATERAL unnest(['0','1','2','3']) t(i)"
+            " WHERE c_acctbal > 9000),"
+            " checks AS (SELECT probe_key,"
+            "  CAST(concat('0x', substr(md5(concat("
+            "   CAST(probe_key AS VARCHAR), '#', t.i)), 1, 8)) AS BIGINT)"
+            "   % 65536 AS pos"
+            " FROM (SELECT DISTINCT o_custkey AS probe_key FROM orders),"
+            "  LATERAL unnest(['0','1','2','3']) t(i))"
+            " SELECT probe_key,"
+            " count(*) FILTER (WHERE pos IN (SELECT pos FROM pos)) = 4"
+            "  AS bloom_candidate"
+            " FROM checks GROUP BY probe_key"
+        ),
+        "txt_zipf_slope": (
+            r"WITH toks AS (SELECT unnest(list_filter("
+            r" regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))"
+            r"  AS term FROM documents),"
+            " f AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),"
+            " r AS (SELECT ln(CAST(freq AS DOUBLE)) AS lf,"
+            "  ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)"
+            "   AS DOUBLE)) AS lr FROM f)"
+            " SELECT count(*) AS n_terms,"
+            " round(regr_slope(lf, lr), 4) AS zipf_slope,"
+            " round(avg(lf) - regr_slope(lf, lr) * avg(lr), 4) AS intercept"
+            " FROM r"
+        ),
+        "evt_rfm": (
+            "WITH u AS (SELECT user_id, max(ts) AS _last,"
+            "  count(*) AS frequency, round(sum(value), 2) AS monetary"
+            " FROM events GROUP BY user_id),"
+            " mx AS (SELECT max(ts) AS _cmax FROM events),"
+            " s AS (SELECT user_id, CAST(datediff('day',"
+            "   CAST(_last AS DATE), CAST(_cmax AS DATE)) AS INT)"
+            "   AS recency_days, frequency, monetary FROM u, mx),"
+            " t AS (SELECT user_id, recency_days, frequency, monetary,"
+            "  CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id)"
+            "   AS INT) AS r_tile,"
+            "  CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id)"
+            "   AS INT) AS f_tile,"
+            "  CAST(ntile(4) OVER (ORDER BY monetary ASC, user_id)"
+            "   AS INT) AS m_tile FROM s)"
+            " SELECT user_id, recency_days, frequency, monetary,"
+            " r_tile, f_tile, m_tile,"
+            " CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment"
+            " FROM t"
+        ),
+        "tbl_partition_balance": (
+            "WITH b AS (SELECT CAST(CAST(concat('0x',"
+            "   substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+            "   % 32 AS INT) AS bucket, count(*) AS n_rows"
+            " FROM lineitem GROUP BY bucket)"
+            " SELECT bucket, n_rows,"
+            " round(n_rows * 1.0 / sum(n_rows) OVER (), 6) AS share,"
+            " round(max(n_rows) OVER () * 1.0 / avg(n_rows) OVER (), 4)"
+            "  AS skew_factor"
+            " FROM b"
+        ),
+        "win_ratio_to_report": (
+            "WITH r AS (SELECT CAST(s_nationkey AS INT) AS nationkey,"
+            "  s_suppkey, sum(l_extendedprice * (1 - l_discount)) AS _rev"
+            " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+            " GROUP BY nationkey, s_suppkey)"
+            " SELECT nationkey, s_suppkey, round(_rev, 2) AS revenue,"
+            " round(_rev / sum(_rev) OVER (PARTITION BY nationkey), 6)"
+            "  AS share"
+            " FROM r"
         ),
     }

@@ -447,3 +447,26 @@ def equi_depth_histogram(
             F.max("_cents").alias("hi_cents"),
         )
     )
+
+
+def linreg_by_group(
+    df: DataFrame, keys: Sequence[str], x: str, y: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x`` from
+    distributive moments: slope = cov(x,y)/var(x), intercept from the
+    means, r² = corr².  One map-side-combined aggregation — the
+    moments (Σ, Σ², Σxy, n) merge associatively, so this is a single
+    shuffle at any scale, equivalent to SQL's REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 family.  The sample/population choice
+    cancels in the covariance-over-variance ratio."""
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    slope = F.covar_samp(xc, yc) / F.var_samp(xc)
+    # 4dp/2dp rounding: the two engines fold the moments in different
+    # orders, so the raw doubles agree only to ~1e-7 relative — rounding
+    # tighter than that would flake the value hash on large groups.
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n_obs"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg(yc) - slope * F.avg(xc), 2).alias("intercept"),
+        F.round(F.pow(F.corr(xc, yc), 2), 6).alias("r2"),
+    )

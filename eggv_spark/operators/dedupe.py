@@ -835,3 +835,58 @@ def canonical_keepers(
         F.min_by(F.col(id_col), key).alias("keeper_id")
     )
     return labeled.join(best, "component").select(id_col, "keeper_id")
+
+
+def bloom_positions(key: Column, k: int, m_bits: int) -> Column:
+    """The ``k`` Bloom bit positions of a key: independent md5-derived
+    hashes (portable ``base_hash`` over ``key || '#' || i``), each mod
+    ``m_bits``.  Pure Column array — no UDF."""
+    return F.array(*[
+        base_hash(F.concat(key, F.lit(f"#{i}"))) % m_bits for i in range(k)
+    ])
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    k: int = 4,
+    m_bits: int = 1 << 16,
+) -> DataFrame:
+    """Bloom-filter membership pre-filter, expressed relationally so
+    it scales and stays oracle-checkable.
+
+    The build side is folded to its DISTINCT set bit positions — at
+    most ``m_bits`` rows regardless of build cardinality, so the set
+    always broadcasts (the whole point of a Bloom filter: O(m) state
+    for O(n) keys).  A probe row is a *candidate* iff all ``k`` of its
+    positions are set — exactly classic Bloom semantics including the
+    false-positive rate (1-e^{-kn/m})^k; no false negatives.
+
+    At 100 TB this is the cheap existence pre-pass in front of an
+    expensive exact join: the probe table streams map-side against the
+    broadcast position set and only candidates continue.  Returns the
+    probe keys (distinct) flagged ``bloom_candidate``."""
+    positions = (
+        build.select(
+            F.explode(
+                bloom_positions(F.col(build_key).cast("string"), k, m_bits)
+            ).alias("pos")
+        ).distinct()
+    )
+    probed = (
+        probe.select(F.col(probe_key).alias("probe_key")).distinct()
+        .select(
+            "probe_key",
+            F.explode(
+                bloom_positions(F.col("probe_key").cast("string"), k, m_bits)
+            ).alias("pos"),
+        )
+        .join(F.broadcast(positions).withColumn("_set", F.lit(1)), "pos", "left")
+        .groupBy("probe_key")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias(
+            "bloom_candidate"
+        ))
+    )
+    return probed

@@ -366,3 +366,50 @@ def activity_streaks(
         F.sum("_len").alias("n_active_days"),
         F.count("*").alias("n_streaks"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) behavioral segmentation.
+
+    One grouped pass folds each user to their three metrics (recency
+    measured in whole days back from the corpus max timestamp, carried
+    via a 1-row broadcast — no driver round-trip), then three global
+    ntile windows score each metric 1..n_tiles.  The global windows
+    order the per-USER table (cardinality |users|, not |events|) —
+    acceptable far beyond memory since ntile is rank-based, but at
+    extreme |users| swap in percentile buckets.  Tiles order so that
+    higher tile = better (more recent / more active / higher spend);
+    ties break on user id for determinism.  ``segment`` is the
+    concatenated RFM code (e.g. 444 = best)."""
+    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(value_col), 2).alias("monetary"),
+    )
+    corpus_max = df.agg(F.max(ts_col).alias("_cmax"))
+    scored = per_user.crossJoin(F.broadcast(corpus_max)).withColumn(
+        "recency_days",
+        F.datediff(F.to_date("_cmax"), F.to_date("_last")).cast("int"),
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    wf = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    wm = Window.orderBy(F.col("monetary").asc(), F.col("user_id"))
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(wr).alias("r_tile"),
+        F.ntile(n_tiles).over(wf).alias("f_tile"),
+        F.ntile(n_tiles).over(wm).alias("m_tile"),
+    ).withColumn(
+        "segment",
+        (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"))
+        .cast("int"),
+    )

@@ -1,0 +1,124 @@
+"""Iterative graph algorithms expressed as DataFrame fixpoint loops.
+
+The reference engine has no graph module; this extends the analytics
+surface the same way the dedup clustering pass does
+(``dedupe.duplicate_clusters`` already runs large-star/small-star
+connected components).  PageRank here follows the classic power
+iteration: each round is one broadcast-or-shuffle join (ranks ⋈ edges)
+plus one map-side-combined aggregation — the canonical "iterative
+algorithm on a relational engine" pattern (cf. Spark's own GraphX
+Pregel formulation, re-expressed on DataFrames so Catalyst/AQE manage
+the physical plan).
+
+Scale notes (100 TB / 1000 executors):
+- the edge list is the big table and is traversed once per iteration;
+  it is cached once and re-used, and every iteration's shuffle keys on
+  ``dst`` so AQE can coalesce/skew-split independently per round;
+- ranks are O(|V|) — for web-scale graphs that still shuffles, but the
+  per-iteration plan is join + partial-agg (never a cross product);
+- a FIXED iteration count keeps lineage bounded (no unbounded loop on
+  the driver) and keeps results deterministic/oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_weights(edges: DataFrame, src: str, dst: str, weight: str) -> DataFrame:
+    """Per-edge transition probability: weight / total outgoing weight
+    of the source node.  One map-side-combined aggregation on ``src``
+    plus a same-key join (no extra shuffle under AQE)."""
+    totals = edges.groupBy(src).agg(F.sum(weight).alias("_out_total"))
+    return (
+        edges.join(totals, src)
+        .withColumn("_p", F.col(weight) / F.col("_out_total"))
+        .select(src, dst, "_p")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count.
+
+    ``rank_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} rank_t(u) * p(u→v)
+                                      + dangling_mass_t / N)``
+
+    Nodes are the union of sources and destinations; nodes with no
+    out-edges (dangling) redistribute their rank uniformly, so total
+    rank mass stays 1 each round.  Returns ``(node, rank)``.
+
+    Every iteration is: broadcast the O(|V|)-row rank table onto the
+    edge list (Catalyst picks broadcast while ranks fit, shuffle-hash
+    beyond), aggregate contributions on ``dst`` (partial agg
+    map-side), and recompute the two scalar terms — no driver-side
+    loop over data, only over iteration count.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()  # scalar, needed to seed ranks
+    probs = out_weights(edges, src, dst, weight).cache()
+    src_nodes = probs.select(F.col(src).alias("node")).distinct().cache()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        # Each round reads the previous ranks THREE times (dangling
+        # mass, contributions, rebuild); without a cache boundary the
+        # lineage re-derives the whole prefix per use — ~3^k plan
+        # growth.  Caching pins each round to one computation and
+        # keeps the physical plan per-iteration-sized.
+        ranks = ranks.cache()
+        # rank mass sitting on dangling nodes this round
+        dangling = (
+            ranks.join(src_nodes, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        )
+        contribs = (
+            probs.join(ranks.withColumnRenamed("node", src), src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("m") / F.lit(float(n_nodes)))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree and strength-of-connection summary —
+    one grouped pass per direction, full-outer merged on node."""
+    outs = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_degree"),
+        F.countDistinct(dst).alias("out_distinct"),
+    )
+    ins = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_degree"),
+        F.countDistinct(src).alias("in_distinct"),
+    )
+    return (
+        outs.join(ins, "node", "full_outer")
+        .na.fill(0, ["out_degree", "out_distinct", "in_degree", "in_distinct"])
+    )

@@ -553,3 +553,79 @@ def ann_recall(
         F.count("_hit").cast("int").alias("n_hits"),
         F.round(F.count("_hit") / float(k), 4).alias(f"recall_at_{k}"),
     )
+
+
+def int8_quantize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    compression step of a vector pipeline (4× smaller than float32,
+    8× smaller than float64 on the wire).
+
+    Per row: scale = 127 / max|v|, codes = round(v·scale), and the
+    reconstruction RMSE of codes/scale against the original.  All
+    pure Column array math (transform/aggregate) — shuffle-free,
+    whole-stage-codegen, embarrassingly parallel at any scale.
+    Elements are cast to double FIRST so both engines (and any
+    float32 source) quantize identical values."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / absmax
+    codes = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    sq_err = F.aggregate(
+        F.zip_with(v, codes, lambda o, c: F.pow(o - c / scale, 2)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.array_min(codes).alias("min_code"),
+        F.array_max(codes).alias("max_code"),
+        F.round(F.sqrt(sq_err / F.size(v)), 6).alias("recon_rmse"),
+    )
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    cluster-separation diagnostic (are class embeddings distinct?).
+
+    Two stages: (1) one map-side-combined aggregation folds every
+    vector into its label's element-wise sum (posexplode → grouped
+    sums keyed (label, dim) → re-assembled in label order), so the
+    big table is touched once; (2) the centroid table is O(labels²)
+    — tiny — and self-joins broadcast.  Upper triangle only."""
+    dims = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                         ).alias("dim", "val"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    centroids = (
+        dims.withColumn("m", F.col("s") / F.col("n"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+        .select("label", F.transform("_dm", lambda t: t["m"]).alias("centroid"))
+    )
+    a = centroids.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("va")
+    )
+    b = centroids.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )

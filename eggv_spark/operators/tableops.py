@@ -588,3 +588,40 @@ def vacuum_orphans(base_dir: str, spark=None) -> dict[str, list[str]]:
         "removed": sorted(removed),
         "needs_recovery": sorted(needs_recovery),
     }
+
+
+def partition_balance(
+    df: DataFrame, key: str, n_buckets: int = 32
+) -> DataFrame:
+    """Pre-flight shuffle-balance report: bucket rows by the portable
+    md5 hash of ``key`` mod ``n_buckets`` (a stand-in for the shuffle
+    partitioner) and report each bucket's row count and share, plus
+    the global skew factor (max bucket / mean bucket — 1.0 is perfect
+    balance).  This is the diagnostic you run BEFORE keying a 100 TB
+    shuffle on a candidate column: a skew factor of 5 on 32 buckets
+    predicts a straggler reducer at any partition count.  One
+    map-side-combined aggregation; the skew scalar rides a 1-row
+    broadcast."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    per_bucket = (
+        df.select(
+            (base_hash(F.col(key).cast("string")) % n_buckets)
+            .cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    stats = per_bucket.agg(
+        F.max("n_rows").alias("_mx"), F.avg("n_rows").alias("_avg"),
+        F.sum("n_rows").alias("_tot"),
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_tot"), 6).alias("share"),
+            F.round(F.col("_mx") / F.col("_avg"), 4).alias("skew_factor"),
+        )
+    )

@@ -717,3 +717,34 @@ def with_hashed_features(
     return df.withColumns(
         {"feature_vec": vec, "n_tokens": F.size(toks)}
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus Zipf-fit diagnostic: OLS slope of ln(freq) ~ ln(rank)
+    over the unigram frequency table (a healthy natural-language
+    corpus runs slope ≈ -1; a templated/duplicated corpus flattens
+    or steepens).  Pipeline: tokenize → one map-side-combined count
+    shuffle → global rank (single pass over the DISTINCT-term table,
+    which is vocabulary-sized, not corpus-sized — the only global
+    window here orders ~|V| rows, fine at any corpus scale) → moments
+    fold to one row.  Ties rank deterministically (freq desc, term
+    asc)."""
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    freqs = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = freqs.select(
+        F.log(F.col("freq").cast("double")).alias("lf"),
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+    )
+    slope = F.covar_samp(F.col("lr"), F.col("lf")) / F.var_samp(F.col("lr"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            F.avg("lf") - slope * F.avg("lr"), 4
+        ).alias("intercept"),
+    )

@@ -1,0 +1,220 @@
+"""Tests for the round-3 extension families: graph algorithms, the
+OLAP TPC-H-shaped composites' building blocks, regression aggregates,
+vector quantization, the Bloom pre-filter, Zipf diagnostics, RFM
+segmentation, and the partition-balance report."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eggv_spark.operators import graph as G
+from eggv_spark.operators.aggregates import linreg_by_group
+from eggv_spark.operators.dedupe import bloom_prefilter
+from eggv_spark.operators.events import rfm_segments
+from eggv_spark.operators.similarity import (
+    int8_quantize,
+    label_centroid_similarity,
+)
+from eggv_spark.operators.tableops import partition_balance
+from eggv_spark.operators.text_analysis import zipf_slope
+
+
+# ---------------------------------------------------------------------------
+# graph
+# ---------------------------------------------------------------------------
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [Row(src=s, dst=d, weight=w) for s, d, w in rows]
+    )
+
+
+def test_pagerank_mass_conserved(spark):
+    # a 3-cycle plus a dangling sink
+    e = _edges(spark, [(1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 4, 1)])
+    ranks = {r["node"]: r["rank"] for r in G.pagerank(e, iterations=5).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)
+    # nodes 2 and 4 each receive exactly half of node 1's rank (plus
+    # the same dangling share), so their ranks tie; node 3 collects
+    # ALL of 2's rank and must outrank both
+    assert ranks[4] == pytest.approx(ranks[2], abs=1e-12)
+    assert ranks[3] > ranks[4]
+    assert all(r > 0 for r in ranks.values())
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    e = _edges(spark, [(1, 2, 1), (2, 3, 1), (3, 1, 1)])
+    ranks = [r["rank"] for r in G.pagerank(e, iterations=4).collect()]
+    assert all(math.isclose(r, 1 / 3, abs_tol=1e-12) for r in ranks)
+
+
+def test_degree_stats_directions(spark):
+    e = _edges(spark, [(1, 2, 5), (1, 3, 1), (2, 3, 1)])
+    rows = {r["node"]: r for r in G.degree_stats(e).collect()}
+    assert rows[1]["out_degree"] == 2 and rows[1]["in_degree"] == 0
+    assert rows[3]["in_degree"] == 2 and rows[3]["out_degree"] == 0
+    assert rows[2]["out_distinct"] == 1 and rows[2]["in_distinct"] == 1
+
+
+# ---------------------------------------------------------------------------
+# regression aggregate
+# ---------------------------------------------------------------------------
+
+def test_linreg_exact_line(spark):
+    # y = 3x + 7 exactly -> slope 3, intercept 7, r2 1
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(x), y=3.0 * x + 7.0) for x in range(10)]
+    )
+    row = linreg_by_group(df, ["g"], "x", "y").collect()[0]
+    assert row["slope"] == pytest.approx(3.0)
+    assert row["intercept"] == pytest.approx(7.0)
+    assert row["r2"] == pytest.approx(1.0)
+    assert row["n_obs"] == 10
+
+
+def test_linreg_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    xs = rng.uniform(0, 50, 200)
+    ys = 2.5 * xs + rng.normal(0, 5, 200)
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(x), y=float(y)) for x, y in zip(xs, ys)]
+    )
+    row = linreg_by_group(df, ["g"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert row["slope"] == pytest.approx(slope, abs=1e-3)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-1)
+
+
+# ---------------------------------------------------------------------------
+# vector quantization / centroid similarity
+# ---------------------------------------------------------------------------
+
+def test_int8_quantize_bounds_and_error(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -2.0, 0.5]),
+            Row(vec_id=2, embedding=[0.1, 0.2, 0.4]),
+        ]
+    )
+    rows = {r["vec_id"]: r for r in int8_quantize(df).collect()}
+    # codes live in [-127, 127]; the abs-max element hits ±127 exactly
+    assert rows[1]["min_code"] == -127
+    assert rows[1]["max_code"] == 64  # 1.0 * (127/2) = 63.5 -> 64
+    assert rows[2]["max_code"] == 127
+    for r in rows.values():
+        assert -127 <= r["min_code"] <= r["max_code"] <= 127
+        # reconstruction error bounded by half a quantization step
+        assert r["recon_rmse"] <= 0.5 / r["scale"] + 1e-9
+
+
+def test_label_centroid_similarity_orthogonal(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[3.0, 0.0], label=0),
+            Row(vec_id=3, embedding=[0.0, 2.0], label=1),
+            Row(vec_id=4, embedding=[1.0, 1.0], label=2),
+        ]
+    )
+    rows = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_similarity(df).collect()
+    }
+    assert set(rows) == {(0, 1), (0, 2), (1, 2)}
+    assert rows[(0, 1)] == pytest.approx(0.0, abs=1e-9)
+    assert rows[(0, 2)] == pytest.approx(math.sqrt(0.5), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bloom pre-filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    build = spark.createDataFrame([Row(k=i) for i in range(0, 100, 7)])
+    probe = spark.createDataFrame([Row(p=i) for i in range(100)])
+    out = {
+        r["probe_key"]: r["bloom_candidate"]
+        for r in bloom_prefilter(probe, build, "p", "k").collect()
+    }
+    members = set(range(0, 100, 7))
+    for key, flag in out.items():
+        if key in members:
+            assert flag, f"false negative on {key}"
+    # with m=65536, k=4, n=15 the FP probability is ~1e-12 — expect
+    # the non-members to be rejected
+    rejected = [k for k, flag in out.items() if not flag]
+    assert len(rejected) >= 80
+
+
+def test_bloom_tiny_filter_saturates(spark):
+    # m=8 bits with 100 keys saturates the filter: everything passes,
+    # demonstrating the FP regime (still zero false negatives)
+    build = spark.createDataFrame([Row(k=i) for i in range(100)])
+    probe = spark.createDataFrame([Row(p=i) for i in range(100, 120)])
+    out = bloom_prefilter(probe, build, "p", "k", k=2, m_bits=8).collect()
+    assert all(r["bloom_candidate"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# zipf / rfm / partition balance
+# ---------------------------------------------------------------------------
+
+def test_zipf_slope_flat_corpus(spark):
+    # every term equally frequent -> lf constant -> slope 0
+    df = spark.createDataFrame(
+        [Row(text="aa bb cc"), Row(text="aa bb cc")]
+    )
+    row = zipf_slope(df).collect()[0]
+    assert row["n_terms"] == 3
+    assert row["zipf_slope"] == pytest.approx(0.0)
+
+
+def test_zipf_slope_power_law(spark):
+    # freq(term_r) = 8/r for r in 1,2,4,8 -> slope exactly -1 on log-log
+    docs = []
+    for term, n in [("a", 8), ("b", 4), ("c", 2), ("d", 1)]:
+        docs += [Row(text=term)] * n
+    row = zipf_slope(spark.createDataFrame(docs)).collect()[0]
+    # ranks 1,2,3,4 with freqs 8,4,2,1: not exactly -1 (rank 3 vs 4
+    # off-grid) but steeply negative
+    assert row["zipf_slope"] < -0.8
+
+
+def test_rfm_tiles_and_segment(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: recent, frequent, big spender; user 2: stale and small
+    for i in range(8):
+        rows.append(Row(user_id=1, ts=base + dt.timedelta(days=20 + i),
+                        value=100.0))
+    rows.append(Row(user_id=2, ts=base, value=1.0))
+    rows.append(Row(user_id=3, ts=base + dt.timedelta(days=10), value=10.0))
+    rows.append(Row(user_id=4, ts=base + dt.timedelta(days=15), value=20.0))
+    out = {r["user_id"]: r for r in rfm_segments(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1]["segment"] == 444
+    assert out[2]["segment"] == 111
+    assert out[1]["recency_days"] == 0
+    assert out[2]["frequency"] == 1
+    assert out[1]["monetary"] == pytest.approx(800.0)
+
+
+def test_partition_balance_uniform_and_skewed(spark):
+    df = spark.createDataFrame([Row(k=i) for i in range(4000)])
+    out = partition_balance(df, "k", n_buckets=8).collect()
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+    assert all(r["skew_factor"] == out[0]["skew_factor"] for r in out)
+    assert out[0]["skew_factor"] < 1.3  # md5 spreads uniform keys well
+    # one hot key -> skew factor explodes
+    hot = spark.createDataFrame([Row(k=1)] * 3000 + [Row(k=i) for i in range(100)])
+    skew = partition_balance(hot, "k", n_buckets=8).collect()[0]["skew_factor"]
+    assert skew > 4.0
