@@ -3239,6 +3239,101 @@ def _win_ratio_to_report(spark, sf_dir):
     )
 
 
+def _evt_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (events.markov_transitions) — P(next event type |
+    current) with deterministic (ts, event_id) ordering."""
+    from eggv_spark.operators.events import markov_transitions
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def _agg_ks_test(spark, sf_dir):
+    """Two-sample KS statistic: do returned ('R') and accepted ('A')
+    lineitems draw prices from the same distribution?
+    (aggregates.ks_statistic — CDF compare over the value-distinct
+    table)."""
+    return AG.ks_statistic(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "R", "A",
+    )
+
+
+def _agg_cov_matrix(spark, sf_dir):
+    """Per-returnflag variance/covariance matrix of (quantity,
+    price-in-k$, discount) — distributive moments, one shuffle.
+    Price is pre-scaled to k$ so every 4dp-rounded entry is meaningful
+    at its own magnitude (raw price variance ~1e9 would drown the
+    rounding)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        F.col("l_discount").alias("disc"),
+    )
+    return AG.covariance_matrix(
+        li, ["l_returnflag"], ["qty", "price_k", "disc"]
+    )
+
+
+def _txt_source_jaccard(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between document sources — the
+    mirrored-scrape detector (text_analysis.source_vocab_jaccard)."""
+    return T.source_vocab_jaccard(_t(spark, sf_dir, "documents"))
+
+
+def _win_rolling_corr(spark, sf_dir):
+    """Rolling 30-row Pearson correlation between quantity and price
+    per returnflag stream — windowed second-moment analytics; the
+    zero-variance NaN is normalized to NULL so both engines agree.
+    The ordering includes the VALUE columns: this table's
+    (orderkey, linenumber) is not unique, and a ROWS frame under an
+    ambiguous order is engine-dependent."""
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    c = F.corr(F.col("l_quantity"), F.col("l_extendedprice")).over(w)
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        # "+ 0.0" normalizes IEEE negative zero (hash compares strings)
+        F.when(F.isnan(c), F.lit(None)).otherwise(F.round(c, 4) + F.lit(0.0))
+        .alias("rolling_corr"),
+    )
+
+
+def _join_bucketed(spark, sf_dir):
+    """Co-located bucketed join: orders and customer are written ONCE
+    as managed tables bucketed 8-ways on custkey (the write pays the
+    shuffle), then the join runs with NO exchange on either side —
+    the amortization play for repeatedly-joined 100 TB fact tables.
+    The result (orders per segment) is oracle-checked; the no-shuffle
+    property is plan-asserted in tests/test_sources.py."""
+    from eggv_spark.sources.writers import write_bucketed_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    write_bucketed_table(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_totalprice"),
+        t_orders, ["o_custkey"], 8,
+    )
+    write_bucketed_table(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_cust, ["c_custkey"], 8,
+    )
+    o, c = spark.table(t_orders), spark.table(t_cust)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -3450,6 +3545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_rfm": _evt_rfm,
         "tbl_partition_balance": _tbl_partition_balance,
         "win_ratio_to_report": _win_ratio_to_report,
+        "evt_markov": _evt_markov,
+        "agg_ks_test": _agg_ks_test,
+        "agg_cov_matrix": _agg_cov_matrix,
+        "txt_source_jaccard": _txt_source_jaccard,
+        "win_rolling_corr": _win_rolling_corr,
+        "join_bucketed": _join_bucketed,
     }
 
 
@@ -5344,5 +5445,78 @@ def oracle_sql() -> dict[str, str]:
             " round(_rev / sum(_rev) OVER (PARTITION BY nationkey), 6)"
             "  AS share"
             " FROM r"
+        ),
+        "evt_markov": (
+            "WITH p AS (SELECT event_type AS from_type,"
+            "  lead(event_type) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id) AS to_type FROM events)"
+            " SELECT from_type, to_type, count(*) AS n_transitions,"
+            " round(count(*) * 1.0 / sum(count(*))"
+            "  OVER (PARTITION BY from_type), 6) AS p"
+            " FROM p WHERE to_type IS NOT NULL"
+            " GROUP BY from_type, to_type"
+        ),
+        "agg_ks_test": (
+            "WITH s AS (SELECT l_extendedprice AS v,"
+            "  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_a"
+            " FROM lineitem WHERE l_returnflag IN ('R', 'A')),"
+            " pv AS (SELECT v, sum(is_a) AS c_a,"
+            "  count(*) - sum(is_a) AS c_b FROM s GROUP BY v),"
+            " t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,"
+            "  CAST(sum(c_b) AS BIGINT) AS n_b FROM pv),"
+            " c AS (SELECT n_a, n_b,"
+            "  sum(c_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+            "   PRECEDING AND CURRENT ROW) * 1.0 / n_a"
+            "  - sum(c_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+            "   PRECEDING AND CURRENT ROW) * 1.0 / n_b AS d"
+            "  FROM pv, t)"
+            " SELECT n_a, n_b, round(max(abs(d)), 6) AS ks_stat"
+            " FROM c GROUP BY n_a, n_b"
+        ),
+        "agg_cov_matrix": (
+            "SELECT l_returnflag, count(*) AS n_obs,"
+            " round(var_samp(l_quantity), 4) AS var_qty,"
+            " round(var_samp(l_extendedprice / 1000.0), 4) AS var_price_k,"
+            " round(var_samp(l_discount), 4) AS var_disc,"
+            " round(covar_samp(l_quantity, l_extendedprice / 1000.0), 4)"
+            "  AS cov_qty_price_k,"
+            " round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,"
+            " round(covar_samp(l_extendedprice / 1000.0, l_discount), 4)"
+            "  AS cov_price_k_disc"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "txt_source_jaccard": (
+            r"WITH terms AS (SELECT DISTINCT source AS g,"
+            r" unnest(list_filter(regexp_split_to_array("
+            r"  lower(trim(text)), '\s+'), x -> x <> '')) AS term"
+            r" FROM documents),"
+            " sizes AS (SELECT g, count(*) AS n FROM terms GROUP BY g),"
+            " inter AS (SELECT a.g AS src_a, b.g AS src_b,"
+            "  count(*) AS n_common FROM terms a JOIN terms b"
+            "  ON a.term = b.term AND a.g < b.g GROUP BY a.g, b.g)"
+            " SELECT src_a, src_b, n_common,"
+            " round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)"
+            "  AS jaccard"
+            " FROM inter JOIN sizes sa ON sa.g = src_a"
+            " JOIN sizes sb ON sb.g = src_b"
+        ),
+        "win_rolling_corr": (
+            "WITH c AS (SELECT l_orderkey, l_linenumber, l_returnflag,"
+            "  corr(l_quantity, l_extendedprice) OVER ("
+            "   PARTITION BY l_returnflag"
+            "   ORDER BY l_shipdate, l_orderkey, l_linenumber,"
+            "    l_quantity, l_extendedprice"
+            "   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS rc"
+            " FROM lineitem)"
+            " SELECT l_orderkey, l_linenumber, l_returnflag,"
+            " CASE WHEN isnan(rc) THEN NULL ELSE round(rc, 4) + 0 END"
+            "  AS rolling_corr"
+            " FROM c"
+        ),
+        "join_bucketed": (
+            "SELECT c_mktsegment, count(*) AS n_orders,"
+            " round(sum(o_totalprice), 2) AS total_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment"
         ),
     }

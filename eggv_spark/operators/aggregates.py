@@ -470,3 +470,60 @@ def linreg_by_group(
         F.round(F.avg(yc) - slope * F.avg(xc), 2).alias("intercept"),
         F.round(F.pow(F.corr(xc, yc), 2), 6).alias("r2"),
     )
+
+
+def ks_statistic(
+    df: DataFrame, group_col: str, val_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``group_a``
+    and ``group_b`` distributions of ``val_col``:
+    ``KS = max_x |F_a(x) - F_b(x)|``.
+
+    Relational formulation: fold to per-distinct-value counts first
+    (one map-side-combined shuffle over the data), then a cumulative
+    window over the VALUE-DISTINCT table builds both empirical CDFs in
+    one pass.  The only global ordering is over distinct values — fine
+    for measures with bounded cardinality; for unbounded continuous
+    data, quantize ``val_col`` first (the test is then exact on the
+    quantized grid).  Returns one row: n_a, n_b, ks_stat."""
+    s = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(val_col).cast("double").alias("v"),
+        (F.col(group_col) == group_a).cast("long").alias("is_a"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("is_a").alias("c_a"),
+        (F.count("*") - F.sum("is_a")).alias("c_b"),
+    )
+    totals = per_v.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdfs = per_v.crossJoin(F.broadcast(totals)).select(
+        "n_a", "n_b",
+        (F.sum("c_a").over(w) / F.col("n_a")
+         - F.sum("c_b").over(w) / F.col("n_b")).alias("_d"),
+    )
+    return cdfs.groupBy("n_a", "n_b").agg(
+        F.round(F.max(F.abs(F.col("_d"))), 6).alias("ks_stat")
+    )
+
+
+def covariance_matrix(
+    df: DataFrame, keys: Sequence[str], cols: Sequence[str]
+) -> DataFrame:
+    """Per-group sample variance/covariance matrix of ``cols``, wide
+    format (var_<c> and cov_<a>_<b> upper triangle) — one map-side-
+    combined shuffle; the moments merge associatively.  Callers should
+    pre-scale wildly-ranged columns so the 4dp rounding is meaningful
+    relative to each magnitude."""
+    exprs: list[Column] = [F.count("*").alias("n_obs")]
+    named = [(c, F.col(c).cast("double")) for c in cols]
+    for c, col in named:
+        exprs.append(F.round(F.var_samp(col), 4).alias(f"var_{c}"))
+    for i, (a, ca) in enumerate(named):
+        for b, cb in named[i + 1:]:
+            exprs.append(F.round(F.covar_samp(ca, cb), 4).alias(f"cov_{a}_{b}"))
+    return df.groupBy(*keys).agg(*exprs)

@@ -413,3 +413,41 @@ def rfm_segments(
         (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"))
         .cast("int"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type → to_type) pair, the transition count and the
+    conditional probability P(to | from).
+
+    One shuffle for the per-entity lead window (deterministic order:
+    ts then ``order_col``), one map-side-combined count, and the
+    row-normalization runs over the TYPE-PAIR table (|types|² rows) —
+    so the normalizing window is trivially small no matter how many
+    events flow in."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(norm), 6
+        ).alias("p"),
+    )

@@ -748,3 +748,49 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.avg("lf") - slope * F.avg("lr"), 4
         ).alias("intercept"),
     )
+
+
+def source_vocab_jaccard(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard similarity between document groups
+    (sources/domains/shards) — the corpus-composition diagnostic: near-
+    identical vocabularies across "different" sources flag mirrored or
+    templated scrapes before any expensive doc-level dedup runs.
+
+    One distinct-(group, term) pass over the corpus, then a term-keyed
+    self-join (shuffle on term — each term contributes its group-pair
+    combinations, never an all-docs product), group sizes broadcast
+    back.  |groups|² output rows."""
+    terms = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = terms.groupBy("g").agg(F.count("*").alias("n"))
+    a = terms.select(F.col("g").alias("src_a"), "term")
+    b = terms.select(F.col("g").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("src_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("g").alias("src_b"), F.col("n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -218,3 +218,90 @@ def test_partition_balance_uniform_and_skewed(spark):
     hot = spark.createDataFrame([Row(k=1)] * 3000 + [Row(k=i) for i in range(100)])
     skew = partition_balance(hot, "k", n_buckets=8).collect()[0]["skew_factor"]
     assert skew > 4.0
+
+
+# ---------------------------------------------------------------------------
+# markov / ks / covariance / vocab jaccard
+# ---------------------------------------------------------------------------
+
+def test_markov_transitions_probabilities(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    seq = ["view", "click", "view", "click", "buy"]
+    rows = [
+        Row(user_id=1, event_type=t, ts=base + dt.timedelta(minutes=i),
+            event_id=i)
+        for i, t in enumerate(seq)
+    ]
+    from eggv_spark.operators.events import markov_transitions
+
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in markov_transitions(spark.createDataFrame(rows)).collect()
+    }
+    # view->click twice (p=1), click->{view, buy} once each (p=0.5)
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "click")]["p"] == pytest.approx(1.0)
+    assert out[("click", "view")]["p"] == pytest.approx(0.5)
+    assert out[("click", "buy")]["p"] == pytest.approx(0.5)
+    # probabilities sum to 1 per from-state
+    assert sum(
+        r["p"] for (f, _), r in out.items() if f == "click"
+    ) == pytest.approx(1.0)
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from eggv_spark.operators.aggregates import ks_statistic
+
+    same = spark.createDataFrame(
+        [Row(g=g, v=float(i)) for g in ("a", "b") for i in range(50)]
+    )
+    row = ks_statistic(same, "g", "v", "a", "b").collect()[0]
+    assert row["ks_stat"] == pytest.approx(0.0)
+    assert row["n_a"] == 50 and row["n_b"] == 50
+    # fully separated supports -> KS = 1
+    apart = spark.createDataFrame(
+        [Row(g="a", v=float(i)) for i in range(20)]
+        + [Row(g="b", v=float(i + 100)) for i in range(20)]
+    )
+    assert apart.transform(
+        lambda df: ks_statistic(df, "g", "v", "a", "b")
+    ).collect()[0]["ks_stat"] == pytest.approx(1.0)
+
+
+def test_covariance_matrix_known_values(spark):
+    import numpy as np
+
+    from eggv_spark.operators.aggregates import covariance_matrix
+
+    rng = np.random.RandomState(3)
+    xs = rng.uniform(0, 10, 100)
+    ys = 2 * xs + rng.normal(0, 1, 100)
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(x), y=float(y)) for x, y in zip(xs, ys)]
+    )
+    row = covariance_matrix(df, ["g"], ["x", "y"]).collect()[0]
+    assert row["var_x"] == pytest.approx(np.var(xs, ddof=1), abs=1e-3)
+    assert row["cov_x_y"] == pytest.approx(
+        np.cov(xs, ys, ddof=1)[0, 1], abs=1e-3
+    )
+
+
+def test_source_vocab_jaccard(spark):
+    from eggv_spark.operators.text_analysis import source_vocab_jaccard
+
+    df = spark.createDataFrame(
+        [
+            Row(source="s1", text="a b c"),
+            Row(source="s2", text="a b d"),
+            Row(source="s3", text="x y z"),
+        ]
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["jaccard"]
+        for r in source_vocab_jaccard(df).collect()
+    }
+    assert out[("s1", "s2")] == pytest.approx(2 / 4)
+    # disjoint vocab pairs produce no row (inner join on terms)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
