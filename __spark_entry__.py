@@ -3334,6 +3334,65 @@ def _join_bucketed(spark, sf_dir):
     )
 
 
+def _win_cumulative_distinct(spark, sf_dir):
+    """Running distinct count per user over time (how many event
+    TYPES has this user touched so far) — the window-COUNT-DISTINCT
+    Spark windows don't support directly, decomposed into a
+    first-occurrence flag (row_number over (user, type)) plus a
+    cumulative sum — two windows, deterministic (ts, event_id)
+    order."""
+    ev = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first = F.when(F.row_number().over(w1) == 1, 1).otherwise(0)
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(first).over(w2).cast("long").alias("n_types_seen"),
+    )
+
+
+def _smp_neg_sampling(spark, sf_dir):
+    """Deterministic negative sampling: 4 parts each customer never
+    ordered, drawn by portable md5 from the part-key space
+    (relational.negative_sample_keys) — the contrastive-pair
+    generator of a recommender/embedding training pipeline."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    interactions = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+    )
+    items = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey")
+    )
+    return R.negative_sample_keys(
+        interactions, items, "custkey", "partkey", n_candidates=8, k=4
+    )
+
+
+def _txt_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: labeled lang × predicted lang
+    with per-true-lang share — the quality audit of the n-gram
+    classifier, normalization over the |langs|² cell table."""
+    pred = T.with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "lang", "lang_pred"
+    )
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang", "lang_pred", "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -3551,6 +3610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_source_jaccard": _txt_source_jaccard,
         "win_rolling_corr": _win_rolling_corr,
         "join_bucketed": _join_bucketed,
+        "win_cumulative_distinct": _win_cumulative_distinct,
+        "smp_neg_sampling": _smp_neg_sampling,
+        "txt_lang_confusion": _txt_lang_confusion,
     }
 
 
@@ -5518,5 +5580,63 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(o_totalprice), 2) AS total_price"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_mktsegment"
+        ),
+        "win_cumulative_distinct": (
+            "WITH f AS (SELECT event_id, user_id, ts,"
+            "  CASE WHEN row_number() OVER (PARTITION BY user_id,"
+            "   event_type ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END"
+            "   AS is_first FROM events)"
+            " SELECT event_id, user_id,"
+            " CAST(sum(is_first) OVER (PARTITION BY user_id"
+            "  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "  AND CURRENT ROW) AS BIGINT) AS n_types_seen"
+            " FROM f"
+        ),
+        "smp_neg_sampling": (
+            # identical md5 draw, modulus, validity semi-join, and
+            # positives anti-join as relational.negative_sample_keys
+            "WITH inter AS (SELECT DISTINCT o_custkey AS custkey,"
+            "  l_partkey AS partkey"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey),"
+            " mx AS (SELECT max(p_partkey) AS m FROM part),"
+            " cands AS (SELECT custkey, t.i AS cand_idx,"
+            "  CAST(concat('0x', substr(md5(concat("
+            "   CAST(custkey AS VARCHAR), '#', t.i)), 1, 8)) AS BIGINT)"
+            "   % (SELECT m FROM mx) + 1 AS partkey"
+            " FROM (SELECT DISTINCT custkey FROM inter),"
+            "  LATERAL unnest(['0','1','2','3','4','5','6','7']) t(i)),"
+            " valid AS (SELECT c.custkey, c.cand_idx, c.partkey"
+            "  FROM cands c WHERE c.partkey IN"
+            "   (SELECT p_partkey FROM part)),"
+            " negs AS (SELECT v.* FROM valid v WHERE NOT EXISTS"
+            "  (SELECT 1 FROM inter i WHERE i.custkey = v.custkey"
+            "   AND i.partkey = v.partkey))"
+            " SELECT custkey, partkey, CAST(cand_idx AS INT) AS cand_idx"
+            " FROM (SELECT *, row_number() OVER (PARTITION BY custkey"
+            "   ORDER BY cand_idx) AS rk FROM negs)"
+            " WHERE rk <= 4"
+        ),
+        "txt_lang_confusion": (
+            f"WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS t"
+            "  FROM documents),"
+            " s AS (SELECT doc_id, lang,"
+            + ",".join(
+                f" len(list_filter(t, x -> list_contains("
+                f"{list(T.LANG_MARKERS[lang])}, x))) AS score_{lang}"
+                for lang in T.LANG_MARKERS
+            )
+            + " FROM toks),"
+            " p AS (SELECT lang, CASE"
+            " WHEN score_en >= score_fr AND score_en >= score_es"
+            "  AND score_en >= score_de AND score_en >= score_zh THEN 'en'"
+            " WHEN score_fr >= score_es AND score_fr >= score_de"
+            "  AND score_fr >= score_zh THEN 'fr'"
+            " WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'"
+            " WHEN score_de >= score_zh THEN 'de'"
+            " ELSE 'zh' END AS lang_pred FROM s)"
+            " SELECT lang, lang_pred, count(*) AS n_docs,"
+            " round(count(*) * 1.0 / sum(count(*))"
+            "  OVER (PARTITION BY lang), 6) AS share"
+            " FROM p GROUP BY lang, lang_pred"
         ),
     }

@@ -514,3 +514,61 @@ def train_eval_split(
         .otherwise("test")
     )
     return df.withColumn("split", split)
+
+
+def negative_sample_keys(
+    interactions: DataFrame,
+    items: DataFrame,
+    entity_col: str,
+    item_col: str,
+    n_candidates: int = 8,
+    k: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for pairwise/contrastive
+    training: for every entity, ``k`` item keys the entity has NOT
+    interacted with, drawn pseudo-randomly (portable md5 of
+    ``entity#i``) from the item-key space.
+
+    Plan: the entity list explodes ``n_candidates`` hash candidates
+    (shuffle-free), the in-plan ``max(item)`` scalar rides a 1-row
+    broadcast as the draw modulus, invalid draws are dropped by a
+    semi-join against the item dim and positives by an anti-join
+    against the (entity, item) interaction set — both key-hashed
+    joins, never a cross product against the item space.  A final
+    per-entity window keeps the first ``k`` surviving candidates by
+    draw index, so results are reproducible across runs, engines, and
+    partitionings.  Oversample (``n_candidates`` > ``k``) to cover
+    candidates lost to collisions with positives."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    mx = items.agg(F.max(item_col).alias("_max_item"))
+    cands = (
+        interactions.select(entity_col).distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            entity_col,
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_candidates)])
+            ).alias("cand_idx"),
+            "_max_item",
+        )
+        .select(
+            entity_col,
+            "cand_idx",
+            (
+                base_hash(
+                    F.concat(F.col(entity_col).cast("string"),
+                             F.lit("#"), F.col("cand_idx").cast("string"))
+                ) % F.col("_max_item") + 1
+            ).alias(item_col),
+        )
+    )
+    valid = cands.join(items.select(item_col), item_col, "left_semi")
+    seen = interactions.select(entity_col, item_col).distinct()
+    negs = valid.join(seen, [entity_col, item_col], "left_anti")
+    w = Window.partitionBy(entity_col).orderBy("cand_idx")
+    return (
+        negs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(entity_col, item_col, "cand_idx")
+    )

@@ -305,3 +305,30 @@ def test_source_vocab_jaccard(spark):
     assert out[("s1", "s2")] == pytest.approx(2 / 4)
     # disjoint vocab pairs produce no row (inner join on terms)
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_negative_sample_keys_properties(spark):
+    from eggv_spark.operators.relational import negative_sample_keys
+
+    inter = spark.createDataFrame(
+        [Row(e=1, it=1), Row(e=1, it=2), Row(e=2, it=3)]
+    )
+    items = spark.createDataFrame([Row(it=i) for i in range(1, 21)])
+    out = negative_sample_keys(
+        inter, items, "e", "it", n_candidates=8, k=4
+    ).collect()
+    seen = {(1, 1), (1, 2), (2, 3)}
+    for r in out:
+        # never a positive, always a real item, capped at k per entity
+        assert (r["e"], r["it"]) not in seen
+        assert 1 <= r["it"] <= 20
+    per_entity = {}
+    for r in out:
+        per_entity.setdefault(r["e"], []).append(r["it"])
+    for e, its in per_entity.items():
+        assert len(its) <= 4
+    # deterministic: second run identical
+    again = negative_sample_keys(
+        inter, items, "e", "it", n_candidates=8, k=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
