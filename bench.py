@@ -49,6 +49,14 @@ HEADLINE = [
     "tbl_zorder_key",
     "smp_token_budget",
     "composite_training_mixture",
+    # round-3 additions: OLAP join stress, iterative graph, corpus
+    # self-join, windowed second moments, user segmentation
+    "olap_q5_local_supplier",
+    "olap_q9_product_profit",
+    "graph_pagerank",
+    "txt_source_jaccard",
+    "win_rolling_corr",
+    "evt_rfm",
 ]
 
 

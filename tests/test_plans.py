@@ -320,3 +320,50 @@ def test_minhash_estimate_no_explode_no_cartesian(spark):
     # of signature components, no cartesian pair blow-up
     assert "Generate" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_olap_q5_broadcasts_dims_keeps_fact_join_keyed(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["olap_q5_local_supplier"](spark, SF_DIR))
+    # nation x region, supplier, and the dim table are broadcast;
+    # no cartesian anywhere in a 6-way join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_position_set_is_broadcast(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["ddp_bloom_prefilter"](spark, SF_DIR))
+    # the folded bit-position set joins broadcast (<= m_bits rows by
+    # construction) — the probe side never shuffles for the membership
+    # test itself
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_corr_single_shuffle(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["win_rolling_corr"](spark, SF_DIR))
+    # prefix-sum formulation: both window passes share the returnflag
+    # hash partitioning — exactly one exchange, frame width never
+    # enters the cost
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_are_cache_bounded(spark):
+    from pyspark.sql import Row
+
+    from eggv_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [Row(src=1, dst=2, weight=1), Row(src=2, dst=1, weight=1)]
+    )
+    ranks = G.pagerank(e, iterations=3)
+    plan = _plan(ranks)
+    # each iteration reads the previous ranks through InMemoryRelation
+    # (cache boundary), so per-iteration work does not re-derive the
+    # full lineage prefix
+    assert "InMemoryTableScan" in plan
