@@ -3441,6 +3441,150 @@ def _txt_lang_confusion(spark, sf_dir):
     )
 
 
+def _ivf_pq_topk_oracle() -> str:
+    """IVF cell pruning composed with PQ asymmetric scoring — the
+    union of _ivf_topk_oracle's cell CTEs and _pq_topk_oracle's
+    code/LUT CTEs, joined: candidates come from probed cells, the
+    distance from the query's per-subspace LUT at the candidate's
+    codes."""
+    from eggv_spark.operators.similarity import _centroid_values, _pq_codebook
+
+    dim, n_centroids, n_probe, kn = 64, 16, 10, 5
+    m, k = 8, 16
+    sub_dim = dim // m
+    cent_rows = ", ".join(
+        f"({c}, [" + ", ".join(repr(w) for w in _centroid_values(c, dim)) + "])"
+        for c in range(n_centroids)
+    )
+    cb_rows = ", ".join(
+        f"({s}, {c}, ["
+        + ", ".join(repr(w) for w in _pq_codebook(s, k, sub_dim)[c])
+        + "])"
+        for s in range(m)
+        for c in range(k)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+cb(sub, c, cbv) AS (VALUES {cb_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cellcos AS (SELECT vec_id, v, cell,
+    round(list_dot_product(v, cv)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+          6) AS ccos
+    FROM v CROSS JOIN cent),
+ranked_cells AS (SELECT vec_id, cell, row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crank
+    FROM cellcos),
+assign AS (SELECT vec_id AS neighbor_id, cell
+           FROM ranked_cells WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cell
+           FROM ranked_cells WHERE vec_id % 50 = 0 AND crank <= {n_probe}),
+sd AS (SELECT vec_id, sub, c,
+    round(list_sum(list_transform(generate_series(1, {sub_dim}),
+        i -> (v[sub * {sub_dim} + i] - cbv[i])
+             * (v[sub * {sub_dim} + i] - cbv[i]))), 6) AS d
+    FROM v CROSS JOIN cb),
+enc AS (SELECT vec_id, sub, c AS code FROM (
+    SELECT vec_id, sub, c,
+        row_number() OVER (PARTITION BY vec_id, sub
+                           ORDER BY d ASC, c ASC) AS rn
+    FROM sd) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, sub, c, d FROM sd WHERE vec_id % 50 = 0),
+cand AS (SELECT p.query_id, a.neighbor_id
+    FROM assign a JOIN probes p USING (cell)
+    WHERE a.neighbor_id <> p.query_id),
+scored AS (SELECT cd.query_id, cd.neighbor_id,
+        round(sum(q.d), 4) AS approx_dist
+    FROM cand cd
+    JOIN enc e ON e.vec_id = cd.neighbor_id
+    JOIN q ON q.query_id = cd.query_id AND q.sub = e.sub AND q.c = e.code
+    GROUP BY cd.query_id, cd.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, approx_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {kn}
+"""
+
+
+def _sim_ivf_pq_topk(spark, sf_dir):
+    """IVF cell pruning + PQ asymmetric-distance scoring composed —
+    the FAISS-IVFPQ serving shape relationally: the persisted index
+    holds (cell, codes) only; probes broadcast; ranking is m table
+    lookups per scanned code row (similarity.ivf_pq_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k_neighbors=5, n_centroids=16, n_probe=10, m=8, k=16, dim=64,
+    )
+
+
+def _tbl_incremental_agg(spark, sf_dir):
+    """Materialized-aggregate maintenance: per-customer order stats
+    built from a base period, then a delta batch MERGED in without
+    re-reading the base (tableops.incremental_agg_merge); the result
+    is oracled against the full recompute — the equivalence that
+    makes the incremental path trustworthy."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.round("o_totalprice", 2).alias("price")
+    )
+    cut = F.lit("1999-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cut)
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    current = base.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price").alias("total_price"),
+    )
+    merged = TO.incremental_agg_merge(
+        current, delta, ["o_custkey"], count_col="n_orders",
+        sum_cols={"total_price": "price"},
+    )
+    return merged.select(
+        "o_custkey", "n_orders",
+        F.round("total_price", 2).alias("total_price"),
+    )
+
+
+def _smp_weighted_reservoir(spark, sf_dir):
+    """Weighted without-replacement sampling (Efraimidis–Spirakis
+    exponential rank), 50 lineitems per returnflag with probability
+    proportional to quantity — relational.weighted_sample_group."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice",
+        # integer identity columns: a double rendered to string is an
+        # engine-dependent hash input; exact ints are not
+        F.round("l_quantity").cast("long").alias("qty_i"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    out = R.weighted_sample_group(
+        li, "l_returnflag", "l_quantity",
+        ["l_orderkey", "l_linenumber", "qty_i", "cents"],
+        k=50,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+def _srt_pareto_frontier(spark, sf_dir):
+    """2-D Pareto (skyline) frontier of parts: cheapest price for each
+    strictly-better size — no O(n²) dominance self-join; one per-level
+    collapse plus a running max over the levels-sized table
+    (relational.pareto_frontier_2d)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    return R.pareto_frontier_2d(
+        part, minimize="price", maximize="size",
+        keep_cols=["p_partkey", "p_name"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -3661,6 +3805,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_cumulative_distinct": _win_cumulative_distinct,
         "smp_neg_sampling": _smp_neg_sampling,
         "txt_lang_confusion": _txt_lang_confusion,
+        # --- round-5 staging (beyond the full round-4 window) ---
+        "sim_ivf_pq_topk": _sim_ivf_pq_topk,
+        "tbl_incremental_agg": _tbl_incremental_agg,
+        "smp_weighted_reservoir": _smp_weighted_reservoir,
+        "srt_pareto_frontier": _srt_pareto_frontier,
     }
 
 
@@ -5709,5 +5858,49 @@ def oracle_sql() -> dict[str, str]:
             " round(count(*) * 1.0 / sum(count(*))"
             "  OVER (PARTITION BY lang), 6) AS share"
             " FROM p GROUP BY lang, lang_pred"
+        ),
+        "sim_ivf_pq_topk": _ivf_pq_topk_oracle(),
+        "tbl_incremental_agg": (
+            # full recompute — the equivalence oracle for the
+            # incremental base+delta merge
+            "SELECT o_custkey, count(*) AS n_orders,"
+            " round(sum(round(o_totalprice, 2)), 2) AS total_price"
+            " FROM orders GROUP BY o_custkey"
+        ),
+        "smp_weighted_reservoir": (
+            # identical Efraimidis-Spirakis draw: ln(u)/w with
+            # u = (base_hash(identity)+1)/(2^32+1)
+            "WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,"
+            "  l_quantity, l_extendedprice,"
+            "  CAST(round(l_quantity) AS BIGINT) AS qty_i,"
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+            " FROM lineitem),"
+            " kd AS (SELECT *,"
+            "  ln((CAST(concat('0x', substr(md5(concat("
+            "   CAST(l_orderkey AS VARCHAR), '#',"
+            "   CAST(l_linenumber AS VARCHAR), '#',"
+            "   CAST(qty_i AS VARCHAR), '#', CAST(cents AS VARCHAR))),"
+            "   1, 8)) AS BIGINT) + 1) / 4294967297.0) / l_quantity AS k"
+            " FROM s)"
+            " SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,"
+            " round(l_extendedprice, 2) AS price"
+            " FROM (SELECT *, row_number() OVER ("
+            "  PARTITION BY l_returnflag ORDER BY k DESC,"
+            "  l_orderkey, l_linenumber, qty_i, cents) AS rn FROM kd)"
+            " WHERE rn <= 50"
+        ),
+        "srt_pareto_frontier": (
+            "WITH p AS (SELECT p_partkey, p_name,"
+            "  round(p_retailprice, 2) AS price,"
+            "  CAST(p_size AS INT) AS size FROM part),"
+            " rep AS (SELECT price, size, p_partkey, p_name FROM ("
+            "  SELECT p.*, row_number() OVER (PARTITION BY price"
+            "   ORDER BY size DESC, p_partkey, p_name) AS rn FROM p)"
+            "  WHERE rn = 1),"
+            " f AS (SELECT rep.*, max(size) OVER (ORDER BY price ASC"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm"
+            "  FROM rep)"
+            " SELECT p_partkey, p_name, price, size FROM f"
+            " WHERE cm IS NULL OR size > cm"
         ),
     }

@@ -61,6 +61,10 @@ def pagerank(
     map-side), and recompute the two scalar terms — no driver-side
     loop over data, only over iteration count.
     """
+    # The edge list feeds nodes (twice), the out-weight totals, and
+    # the per-iteration contribution joins — cache it once rather than
+    # re-deriving its (possibly join-heavy) lineage per consumer.
+    edges = edges.cache()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

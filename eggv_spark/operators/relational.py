@@ -572,3 +572,75 @@ def negative_sample_keys(
         .filter(F.col("_rk") <= k)
         .select(entity_col, item_col, "cand_idx")
     )
+
+
+def weighted_sample_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    order_cols: Sequence[str],
+    k: int = 50,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, via the
+    Efraimidis–Spirakis exponential-rank method: each row draws a
+    deterministic uniform u ∈ (0,1) (portable md5 of its identity) and
+    keeps key = ln(u)/w; the k LARGEST keys per group are exactly a
+    weight-proportional without-replacement sample.
+
+    One window shuffle on the group key — no global sort, no
+    rejection loop, no driver round trips; the identical draw is
+    reproducible in ANSI SQL, across runs, and across partitionings
+    (``order_cols`` must identify the row so the tiebreak is total)."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    ident = F.concat_ws("#", *[F.col(c).cast("string") for c in order_cols])
+    # (h+1)/(2^32+1) ∈ (0,1): never 0 (ln) and never 1 exactly
+    u = (base_hash(ident) + 1) / F.lit(float(2**32 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_es_key").desc(), *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_es_key", key)
+        .withColumn("_es_rank", F.row_number().over(w))
+        .filter(F.col("_es_rank") <= k)
+        .drop("_es_key", "_es_rank")
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """2-D Pareto (skyline) frontier: rows not strictly dominated on
+    (minimize ``minimize``, maximize ``maximize``).
+
+    Two steps, no O(n²) self-join: (1) collapse to one row per
+    ``minimize`` level keeping the level's max ``maximize`` (map-side
+    combinable agg — equal-cost dominated rows die here); (2) order
+    levels by cost and keep a level iff its value strictly exceeds the
+    running max of all CHEAPER levels (cheaper-and-at-least-as-good
+    dominates).  The only global window runs over the distinct-cost
+    table, which is levels-sized, not rows-sized."""
+    levels = df.groupBy(minimize).agg(
+        F.max(maximize).alias("_best"),
+        F.min_by(F.struct(*keep_cols), F.struct(
+            (-F.col(maximize)).alias("a"),
+            *[F.col(c) for c in keep_cols],
+        )).alias("_keep"),
+    )
+    w = (
+        Window.orderBy(F.col(minimize).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        levels.withColumn("_cm", F.max("_best").over(w))
+        .filter(F.col("_cm").isNull() | (F.col("_best") > F.col("_cm")))
+    )
+    return frontier.select(
+        *[F.col("_keep")[c].alias(c) for c in keep_cols],
+        F.col(minimize),
+        F.col("_best").alias(maximize),
+    )

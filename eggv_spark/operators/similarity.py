@@ -629,3 +629,127 @@ def label_centroid_similarity(
             F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
     )
+
+
+def pq_codes_col(vec: Column, m: int, k: int, dim: int) -> Column:
+    """PQ code array for one vector as a pure Column expression —
+    argmin centroid per subspace, 6dp-rounded distance with
+    lowest-index tiebreak (shared by :func:`pq_encode` and
+    :func:`ivf_pq_topk`)."""
+    sub_dim = dim // m
+    return F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            F.round(
+                                _sub_sq_dist(
+                                    vec, sub, sub_dim,
+                                    F.lit(_pq_codebook(sub, k, sub_dim)[c]),
+                                ),
+                                6,
+                            ).alias("dist"),
+                            F.lit(c).alias("idx"),
+                        )
+                        for c in range(k)
+                    ]
+                )
+            ).getField("idx")
+            for sub in range(m)
+        ]
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 10,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN serving
+    shape (FAISS IVFPQ, relationally): IVF cells prune WHICH rows a
+    query scans (~n_probe/n_centroids of the corpus), PQ codes make
+    each scanned row m table lookups instead of a dim-wide dot
+    product.
+
+    The serving index is (neighbor_id, cell, codes) ONLY — m small
+    ints per vector, no full vectors — so at 10⁹ vectors it is tens
+    of GB instead of TBs; it is persisted once and every query batch
+    joins broadcast probes against it on the cell key.  Ranking uses
+    the PQ asymmetric distance (query-side exact LUT per subspace).
+    Fully deterministic (md5 centroids + codebooks, 6dp rounds,
+    index tiebreaks) → value-oracled in SQL."""
+    sub_dim = dim // m
+    centroid_array = F.lit(
+        [_centroid_values(c, dim) for c in range(n_centroids)]
+    )
+    index = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn(
+            "cell", F.get(_best_cells(F.col("c_vec"), centroid_array, 1), 0)
+        )
+        .withColumn("codes", pq_codes_col(F.col("c_vec"), m, k, dim))
+        .select("neighbor_id", "cell", "codes")
+        .persist()
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _sub_sq_dist(
+                            F.col("q_vec"), sub, sub_dim,
+                            F.lit(_pq_codebook(sub, k, sub_dim)[c]),
+                        ),
+                        6,
+                    )
+                    for c in range(k)
+                ]
+            )
+            for sub in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn(
+            "cell",
+            F.explode(_best_cells(F.col("q_vec"), centroid_array, n_probe)),
+        )
+        .withColumn("lut", lut)
+        .drop("q_vec")
+    )
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, table: F.element_at(table, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        index.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_dist", F.round(approx, 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

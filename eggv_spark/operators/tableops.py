@@ -10,7 +10,7 @@ before choosing partitioning/salting strategies at scale.
 from __future__ import annotations
 
 import os
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -625,3 +625,42 @@ def partition_balance(
             F.round(F.col("_mx") / F.col("_avg"), 4).alias("skew_factor"),
         )
     )
+
+
+def incremental_agg_merge(
+    current: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    count_col: str = "n_rows",
+    sum_cols: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a delta
+    batch into an existing per-key aggregate table WITHOUT re-reading
+    the base data — the pattern that turns a 100 TB nightly recompute
+    into a delta-sized merge.
+
+    Works for ALGEBRAIC aggregates (count, sum — and avg as sum/count
+    at read time): the delta is pre-aggregated per key (map-side
+    combine over the small batch), then full-outer-merged with the
+    current aggregate, coalescing each side to 0.  Broadcast the delta
+    side when it is batch-sized.  Non-algebraic aggregates (exact
+    distinct, median) need sketch columns instead — see
+    ``aggregates.approx_aggregates`` for the mergeable versions."""
+    sum_cols = dict(sum_cols or {})
+    # Delta-side measures carry a prefix: a USING full-outer join with
+    # SAME-named measure columns on both sides makes `df[col]`
+    # disambiguation unreliable post-analysis.
+    delta_agg = delta.groupBy(*keys).agg(
+        F.count("*").alias(f"_d_{count_col}"),
+        *[F.sum(src).alias(f"_d_{out}") for out, src in sum_cols.items()],
+    )
+    joined = current.join(F.broadcast(delta_agg), list(keys), "full_outer")
+    merged_cols = [
+        (
+            F.coalesce(F.col(c), F.lit(0))
+            + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in [count_col, *sum_cols]
+    ]
+    # the USING join already emits ONE coalesced key column per key
+    return joined.select(*keys, *merged_cols)

@@ -332,3 +332,88 @@ def test_negative_sample_keys_properties(spark):
         inter, items, "e", "it", n_candidates=8, k=4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# round-5 staging: ivf+pq, incremental agg, weighted sampling, pareto
+# ---------------------------------------------------------------------------
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from eggv_spark.operators.tableops import incremental_agg_merge
+
+    rows = [Row(k=i % 5, v=float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    base, delta = df.filter("v < 60"), df.filter("v >= 60")
+    current = base.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    merged = {
+        r["k"]: r
+        for r in incremental_agg_merge(
+            current, delta, ["k"], count_col="n", sum_cols={"s": "v"}
+        ).collect()
+    }
+    full = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for k in full:
+        assert merged[k]["n"] == full[k]["n"]
+        assert merged[k]["s"] == pytest.approx(full[k]["s"])
+
+
+def test_incremental_agg_merge_delta_only_keys(spark):
+    from eggv_spark.operators.tableops import incremental_agg_merge
+
+    current = spark.createDataFrame([Row(k=1, n=2, s=10.0)])
+    delta = spark.createDataFrame([Row(k=2, v=5.0), Row(k=2, v=7.0)])
+    out = {
+        r["k"]: r
+        for r in incremental_agg_merge(
+            current, delta, ["k"], count_col="n", sum_cols={"s": "v"}
+        ).collect()
+    }
+    assert out[1]["n"] == 2 and out[1]["s"] == 10.0
+    assert out[2]["n"] == 2 and out[2]["s"] == 12.0
+
+
+def test_weighted_sample_biased_toward_heavy(spark):
+    from eggv_spark.operators.relational import weighted_sample_group
+
+    # 200 heavy (w=100) + 200 light (w=1): a 50-draw weighted sample
+    # should be overwhelmingly heavy rows
+    rows = [Row(g="a", rid=i, w=100.0) for i in range(200)]
+    rows += [Row(g="a", rid=i + 200, w=1.0) for i in range(200)]
+    out = weighted_sample_group(
+        spark.createDataFrame(rows), "g", "w", ["rid"], k=50
+    ).collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["rid"] < 200)
+    assert heavy >= 45
+    # deterministic replay
+    again = weighted_sample_group(
+        spark.createDataFrame(rows), "g", "w", ["rid"], k=50
+    ).collect()
+    assert sorted(r["rid"] for r in out) == sorted(r["rid"] for r in again)
+
+
+def test_pareto_frontier_2d_semantics(spark):
+    from eggv_spark.operators.relational import pareto_frontier_2d
+
+    rows = [
+        Row(pid=1, name="a", cost=1.0, val=5),   # frontier (cheapest)
+        Row(pid=2, name="b", cost=2.0, val=7),   # frontier
+        Row(pid=3, name="c", cost=2.0, val=6),   # dominated by 2 (same cost)
+        Row(pid=4, name="d", cost=3.0, val=7),   # dominated by 2 (cheaper =val)
+        Row(pid=5, name="e", cost=4.0, val=9),   # frontier
+        Row(pid=6, name="f", cost=5.0, val=1),   # dominated
+    ]
+    out = pareto_frontier_2d(
+        spark.createDataFrame(rows), "cost", "val", ["pid", "name"]
+    ).collect()
+    assert sorted(r["pid"] for r in out) == [1, 2, 5]
+    by_pid = {r["pid"]: r for r in out}
+    assert by_pid[2]["val"] == 7 and by_pid[2]["cost"] == 2.0
