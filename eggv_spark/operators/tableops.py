@@ -664,3 +664,32 @@ def incremental_agg_merge(
     ]
     # the USING join already emits ONE coalesced key column per key
     return joined.select(*keys, *merged_cols)
+
+
+def fk_audit(
+    relations: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across a star schema: for each
+    (name, child, fk_col, parent, pk_col) relation, the child row
+    count and the number of ORPHAN rows (fk with no matching pk —
+    null fks count as orphans only if genuinely non-matching, i.e.
+    they are excluded like SQL's NOT IN on non-null sets).
+
+    Each relation costs one distinct-project of the parent key plus a
+    broadcast-able anti-join; the per-relation 1-row summaries union
+    into one report frame.  This is the pre-flight you run before
+    trusting joins at 100 TB — a fact table with orphan keys silently
+    drops rows in every inner join downstream."""
+    reports = []
+    for name, child, fk, parent, pk in relations:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        orphans = child.select(fk).join(keys, fk, "left_anti")
+        reports.append(
+            child.agg(F.count("*").alias("n_rows")).crossJoin(
+                orphans.agg(F.count("*").alias("n_orphans"))
+            ).select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -417,3 +417,68 @@ def test_pareto_frontier_2d_semantics(spark):
     assert sorted(r["pid"] for r in out) == [1, 2, 5]
     by_pid = {r["pid"]: r for r in out}
     assert by_pid[2]["val"] == 7 and by_pid[2]["cost"] == 2.0
+
+
+def test_quantile_normalize_uniform_groups(spark):
+    from eggv_spark.operators.aggregates import quantile_normalize
+
+    # group a: 0..99, group b: 1000..1099 — after normalization both
+    # should span the GLOBAL distribution's range
+    rows = [Row(g="a", rid=i, v=float(i)) for i in range(100)]
+    rows += [Row(g="b", rid=i, v=1000.0 + i) for i in range(100)]
+    out = quantile_normalize(
+        spark.createDataFrame(rows), "g", "v", ["rid"], round_dp=2
+    ).collect()
+    a_norm = [r["normalized"] for r in out if r["g"] == "a"]
+    b_norm = [r["normalized"] for r in out if r["g"] == "b"]
+    # the top of each group maps near the global max, the bottom near
+    # the global min — distributions are aligned
+    assert max(a_norm) == pytest.approx(max(b_norm))
+    assert min(a_norm) == pytest.approx(min(b_norm))
+    assert min(a_norm) == pytest.approx(0.0, abs=1.0)
+    assert max(b_norm) == pytest.approx(1099.0, abs=2.0)
+
+
+def test_qgram_fuzzy_join_blocks_and_verifies(spark):
+    from eggv_spark.operators.relational import qgram_fuzzy_join
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, name="red widget"),
+            Row(k=2, name="red widgit"),   # distance 1 from k=1
+            Row(k=3, name="blue bolt"),    # shares no token with 1/2
+            Row(k=4, name="red sprocketzzz"),  # shares token, too far
+        ]
+    )
+    out = qgram_fuzzy_join(df, df, "k", "k", "name", "name").collect()
+    pairs = {(r["left_key"], r["right_key"]): r["distance"] for r in out}
+    assert pairs == {(1, 2): 1}
+
+
+def test_copurchase_pairs_counts(spark):
+    from eggv_spark.operators.relational import copurchase_pairs
+
+    rows = [
+        Row(b=1, it=10), Row(b=1, it=20), Row(b=1, it=30),
+        Row(b=2, it=10), Row(b=2, it=20),
+        Row(b=3, it=10), Row(b=3, it=20), Row(b=3, it=20),  # dup item
+    ]
+    out = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in copurchase_pairs(spark.createDataFrame(rows), "b", "it").collect()
+    }
+    assert out[(10, 20)] == 3  # dup within basket counted once
+    assert out[(10, 30)] == 1 and out[(20, 30)] == 1
+
+
+def test_fk_audit_counts_orphans(spark):
+    from eggv_spark.operators.tableops import fk_audit
+
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=98)]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+    out = fk_audit([("child->parent", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    assert out[0]["relation"] == "child->parent"
+    assert out[0]["n_rows"] == 4 and out[0]["n_orphans"] == 2
