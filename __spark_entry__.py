@@ -3667,6 +3667,83 @@ def _tbl_fk_audit(spark, sf_dir):
     ])
 
 
+def _evt_conversion_time(spark, sf_dir):
+    """First-view → first-purchase conversion latency per user
+    (events.conversion_latency) — one conditional-min fold, no joins."""
+    from eggv_spark.operators.events import conversion_latency
+    return conversion_latency(_t(spark, sf_dir, "events"))
+
+
+def _evt_event_rate(spark, sf_dir):
+    """Per-user arrival-rate profile with the overdispersion index
+    (events.event_rate_stats) — Poisson-vs-bursty discriminator."""
+    from eggv_spark.operators.events import event_rate_stats
+    return event_rate_stats(_t(spark, sf_dir, "events"))
+
+
+def _stream_incremental_agg(spark, sf_dir):
+    """Streaming materialized-aggregate maintenance: the order feed
+    streamed in three file-batches into stream_incremental_agg_sink
+    (foreachBatch incremental merge, checkpointed, swap-written); the
+    final table must equal the one-shot full recompute — the oracle
+    for the whole streaming maintenance path."""
+    import os
+    import tempfile
+
+    from eggv_spark.streaming import events_stream as ES
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+    base = tempfile.mkdtemp(prefix="stream_incr_agg_")
+    src = os.path.join(base, "feed")
+    table = os.path.join(base, "agg")
+    ckpt = os.path.join(base, "ckpt")
+    for third in (0, 1, 2):
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == third).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ES.stream_incremental_agg_sink(
+        stream, table, ["o_custkey"], ckpt,
+        count_col="n_orders", sum_cols={"total_price": "price"},
+    )
+    return spark.read.parquet(table).select(
+        "o_custkey", "n_orders",
+        F.round("total_price", 2).alias("total_price"),
+    )
+
+
+def _agg_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch ROLLUP: per-source HyperLogLog sketches of
+    distinct content hashes, unioned into a corpus-wide sketch WITHOUT
+    rescanning the data — Spark's hll_sketch_agg/hll_union_agg, the
+    datasketches path that makes distinct-count rollups one-pass and
+    re-aggregatable at any grain.  Approximate by construction →
+    rows-only driver check; the estimate-vs-exact tolerance is
+    pytest-asserted."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("h").alias("_sk")
+    )
+    per_source_est = per_source.select(
+        "source", F.hll_sketch_estimate("_sk").alias("n_distinct_est")
+    )
+    total = per_source.agg(
+        F.hll_union_agg("_sk").alias("_all")
+    ).select(
+        F.lit("__ALL__").alias("source"),
+        F.hll_sketch_estimate("_all").alias("n_distinct_est"),
+    )
+    return per_source_est.unionByName(total)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -3896,6 +3973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_qgram_fuzzy": _join_qgram_fuzzy,
         "agg_copurchase": _agg_copurchase,
         "tbl_fk_audit": _tbl_fk_audit,
+        "evt_conversion_time": _evt_conversion_time,
+        "evt_event_rate": _evt_event_rate,
+        "stream_incremental_agg": _stream_incremental_agg,
+        "agg_hll_rollup": _agg_hll_rollup,
     }
 
 
@@ -6032,6 +6113,32 @@ def oracle_sql() -> dict[str, str]:
             " SELECT left_key, right_key, left_text, right_text,"
             " CAST(levenshtein(left_text, right_text) AS INT) AS distance"
             " FROM cand WHERE levenshtein(left_text, right_text) <= 2"
+        ),
+        "evt_conversion_time": (
+            "WITH u AS (SELECT user_id,"
+            "  min(CASE WHEN event_type = 'view' THEN ts END) AS tf,"
+            "  min(CASE WHEN event_type = 'purchase' THEN ts END) AS tt"
+            " FROM events GROUP BY user_id)"
+            " SELECT user_id,"
+            " CAST(floor(epoch(tt)) AS BIGINT)"
+            "  - CAST(floor(epoch(tf)) AS BIGINT) AS latency_sec"
+            " FROM u WHERE tf IS NOT NULL AND tt IS NOT NULL AND tt >= tf"
+        ),
+        "evt_event_rate": (
+            "WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hh,"
+            "  count(*) AS n FROM events GROUP BY user_id, hh)"
+            " SELECT user_id, count(*) AS n_active_hours,"
+            " CAST(sum(n) AS BIGINT) AS n_events,"
+            " round(avg(n), 4) AS events_per_hour,"
+            " round(var_samp(n) / avg(n), 4) AS dispersion"
+            " FROM h GROUP BY user_id"
+        ),
+        "stream_incremental_agg": (
+            # the streamed maintained aggregate must equal the
+            # one-shot full recompute
+            "SELECT o_custkey, count(*) AS n_orders,"
+            " round(sum(round(o_totalprice, 2)), 2) AS total_price"
+            " FROM orders GROUP BY o_custkey"
         ),
         "agg_copurchase": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS b,"

@@ -451,3 +451,58 @@ def markov_transitions(
             F.col("n_transitions") / F.sum("n_transitions").over(norm), 6
         ).alias("p"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Funnel conversion latency: per user, seconds from the FIRST
+    ``from_type`` event to the FIRST ``to_type`` event (users that
+    converted before ever seeing the entry step, or never converted,
+    are excluded).  One conditional-min aggregation — the entire
+    funnel timing folds map-side; no joins, no windows."""
+    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.min(F.when(F.col(type_col) == from_type, F.col(ts_col)))
+        .alias("_t_from"),
+        F.min(F.when(F.col(type_col) == to_type, F.col(ts_col)))
+        .alias("_t_to"),
+    )
+    return (
+        per_user.filter(
+            F.col("_t_from").isNotNull()
+            & F.col("_t_to").isNotNull()
+            & (F.col("_t_to") >= F.col("_t_from"))
+        )
+        .select(
+            "user_id",
+            (
+                F.col("_t_to").cast("long") - F.col("_t_from").cast("long")
+            ).alias("latency_sec"),
+        )
+    )
+
+
+def event_rate_stats(
+    df: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-user arrival-rate profile: active hours, total events,
+    mean events per active hour, and the overdispersion index
+    (variance/mean of hourly counts — 1.0 is Poisson, higher is
+    bursty).  Two map-side-combinable aggregations (user×hour, then
+    user); the busy-vs-steady discriminator feeding bot detection and
+    capacity models."""
+    hourly = df.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("hour", F.col(ts_col)).alias("_h"),
+    ).agg(F.count("*").alias("_n"))
+    return hourly.groupBy("user_id").agg(
+        F.count("*").alias("n_active_hours"),
+        F.sum("_n").alias("n_events"),
+        F.round(F.avg("_n"), 4).alias("events_per_hour"),
+        F.round(F.var_samp("_n") / F.avg("_n"), 4).alias("dispersion"),
+    )

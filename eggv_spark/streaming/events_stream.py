@@ -483,3 +483,62 @@ def stream_upsert_sink(
         .start()
         .awaitTermination()
     )
+
+
+def stream_incremental_agg_sink(
+    stream: DataFrame,
+    path: str,
+    keys: "list[str]",
+    checkpoint: str,
+    count_col: str = "n_rows",
+    sum_cols: "dict[str, str] | None" = None,
+) -> None:
+    """Streaming materialized-aggregate sink: every micro-batch folds
+    into a per-key aggregate table via ``foreachBatch`` + the batch
+    :func:`~eggv_spark.operators.tableops.incremental_agg_merge` —
+    the streaming twin of the batch incremental maintenance path, and
+    the standard way to keep a 100 TB-scale rollup fresh without
+    nightly recomputes.
+
+    Exactly-once to the table: checkpointed replay + swap-write (the
+    merge never overwrites a directory it is reading).  Counts/sums
+    are algebraic so replay of a completed batch after a crash is the
+    only duplication risk — foreachBatch's batch-id checkpointing is
+    precisely the guard.  Runs with Trigger.AvailableNow and BLOCKS
+    until input drains."""
+    import os
+    import shutil
+
+    from eggv_spark.operators.tableops import incremental_agg_merge
+
+    sum_cols = dict(sum_cols or {})
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+        else:
+            agg_schema = batch_df.groupBy(*keys).agg(
+                F.count("*").alias(count_col),
+                *[F.sum(src).alias(out) for out, src in sum_cols.items()],
+            )
+            current = agg_schema.limit(0)
+        merged = incremental_agg_merge(
+            current, batch_df, keys, count_col=count_col, sum_cols=sum_cols
+        )
+        tmp = path.rstrip("/") + "__upserting"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + "__replaced"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+
+    (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -482,3 +482,88 @@ def test_fk_audit_counts_orphans(spark):
     assert len(out) == 1
     assert out[0]["relation"] == "child->parent"
     assert out[0]["n_rows"] == 4 and out[0]["n_orphans"] == 2
+
+
+def test_conversion_latency_filters_and_computes(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import conversion_latency
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view then purchase 90s later
+        Row(user_id=1, event_type="view", ts=base),
+        Row(user_id=1, event_type="purchase", ts=base + dt.timedelta(seconds=90)),
+        # user 2: purchase BEFORE first view -> excluded
+        Row(user_id=2, event_type="purchase", ts=base),
+        Row(user_id=2, event_type="view", ts=base + dt.timedelta(seconds=10)),
+        # user 3: never purchased -> excluded
+        Row(user_id=3, event_type="view", ts=base),
+    ]
+    out = {r["user_id"]: r["latency_sec"]
+           for r in conversion_latency(spark.createDataFrame(rows)).collect()}
+    assert out == {1: 90}
+
+
+def test_event_rate_dispersion(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import event_rate_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: exactly 2 events every hour for 4 hours -> dispersion 0
+    for h in range(4):
+        for j in range(2):
+            rows.append(Row(user_id=1,
+                            ts=base + dt.timedelta(hours=h, minutes=j)))
+    # user 2: bursty — 9 events in one hour, 1 in another
+    rows += [Row(user_id=2, ts=base + dt.timedelta(minutes=i)) for i in range(9)]
+    rows.append(Row(user_id=2, ts=base + dt.timedelta(hours=5)))
+    out = {r["user_id"]: r for r in event_rate_stats(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1]["n_active_hours"] == 4 and out[1]["dispersion"] == 0.0
+    assert out[2]["n_events"] == 10
+    assert out[2]["dispersion"] > 1.0  # overdispersed
+
+
+def test_stream_incremental_agg_sink_equals_batch(spark, tmp_path):
+    from eggv_spark.streaming.events_stream import stream_incremental_agg_sink
+
+    df = spark.createDataFrame(
+        [Row(k=i % 4, v=float(i)) for i in range(40)]
+    )
+    src, table, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "tbl"), str(tmp_path / "ck")
+    )
+    for half in (0, 1):
+        df.filter(F.col("v") % 2 == half).coalesce(1).write.mode(
+            "append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream_incremental_agg_sink(
+        stream, table, ["k"], ckpt, count_col="n", sum_cols={"s": "v"}
+    )
+    got = {r["k"]: r for r in spark.read.parquet(table).collect()}
+    want = {r["k"]: r for r in df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["s"] == pytest.approx(want[k]["s"])
+
+
+def test_hll_rollup_estimates_close_to_exact(spark):
+    docs = spark.createDataFrame(
+        [Row(source=f"s{i % 3}", h=f"val{i}") for i in range(300)]
+    )
+    per = docs.groupBy("source").agg(F.hll_sketch_agg("h").alias("sk"))
+    est = {r["source"]: r["e"] for r in per.select(
+        "source", F.hll_sketch_estimate("sk").alias("e")).collect()}
+    for s, e in est.items():
+        assert abs(e - 100) / 100 < 0.05
+    total = per.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.hll_sketch_estimate("u").alias("e")).collect()[0]["e"]
+    assert abs(total - 300) / 300 < 0.05
