@@ -90,5 +90,49 @@ def complete(**kw) -> None:
     pipeline.run_complete_pipeline(_build_config(**kw))
 
 
+@cli.command("queries")
+def list_queries() -> None:
+    """List every named analytics query in the registry."""
+    from eggv_spark.catalog import query_registry
+
+    for name in query_registry():
+        click.echo(name)
+
+
+@cli.command("query")
+@click.argument("name")
+@click.option("--sf-dir", required=True, type=click.Path(exists=True),
+              help="directory of parquet tables to run against")
+@click.option("-o", "--output", default=None,
+              help="write result parquet here instead of printing")
+@click.option("-n", "--show", "show_n", type=int, default=20,
+              help="rows to print when not writing")
+@click.option("-m", "--master", default="local[*]", help="Spark master URL")
+def run_query(name: str, sf_dir: str, output: str | None, show_n: int,
+              master: str) -> None:
+    """Run one named analytics query from the registry.
+
+    The registry is the engine's query library — the same 200+
+    named, oracle-verified queries the correctness gate exercises —
+    so any of them is runnable as a product command:
+    ``eggv-spark query olap_q5_local_supplier --sf-dir data/``.
+    """
+    from eggv_spark.catalog import run_named_query
+    from eggv_spark.session import get_session
+
+    spark = get_session("eggv-spark-query", master=master)
+    try:
+        df = run_named_query(spark, sf_dir, name)
+    except KeyError as exc:
+        click.echo(f"error: {exc}", err=True)
+        sys.exit(2)
+    if output:
+        df.write.mode("overwrite").parquet(output)
+        click.echo(f"wrote {output}")
+    else:
+        for line in df._jdf.showString(show_n, 40, False).splitlines():
+            click.echo(line)
+
+
 if __name__ == "__main__":
     cli()

@@ -145,3 +145,53 @@ def test_cli_help_lists_subcommands():
     assert result.exit_code == 0
     for cmd in ("retrieve", "process", "annotate", "complete"):
         assert cmd in result.output
+
+
+def test_catalog_register_and_sql(spark):
+    from eggv_spark.catalog import register_tables
+
+    views = register_tables(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in views and "documents" in views
+    n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 25"
+    ).collect()[0]["n"]
+    assert n > 0
+    # the UDTF is registered for SQL users
+    rows = spark.sql(
+        "SELECT * FROM explode_effects("
+        "'Variant_effect=intron_variant 0 primary_transcript ENST1,"
+        "missense_variant 0 mRNA ENST2;')"
+    ).collect()
+    assert len(rows) == 2
+
+
+def test_cli_query_subcommand(tmp_path):
+    import subprocess
+    import sys
+
+    out = tmp_path / "res"
+    r = subprocess.run(
+        [sys.executable, "-m", "eggv_spark.cli", "query", "src_scan",
+         "--sf-dir", "/root/testdata/sf0.001", "-o", str(out),
+         "-m", "local[2]"],
+        capture_output=True, text=True, timeout=180,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.parquet as pq
+    import glob
+    files = glob.glob(str(out / "*.parquet"))
+    assert files and pq.read_table(files[0]).num_rows > 0
+
+
+def test_cli_queries_listing():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "eggv_spark.cli", "queries"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "flagship_token_pipeline" in names and len(names) > 200
