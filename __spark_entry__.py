@@ -3744,6 +3744,89 @@ def _agg_hll_rollup(spark, sf_dir):
     return per_source_est.unionByName(total)
 
 
+def _evt_ab_test(spark, sf_dir):
+    """A/B experiment readout: users split 50/50 by portable md5,
+    per-variant view→purchase conversion rate, absolute lift, and the
+    two-proportion z-statistic — the whole experiment analysis as ONE
+    aggregation pass over per-user flags (no per-variant scans)."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    ev = _t(spark, sf_dir, "events")
+    # conversion = a HIGH-VALUE purchase: the synthetic stream is so
+    # dense every user has every event type, so a plain any-purchase
+    # flag converts 100% and degenerates the z denominator
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("_saw"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 450),
+                1,
+            ).otherwise(0)
+        ).alias("_bought"),
+    ).withColumn(
+        "variant",
+        F.when(base_hash(F.col("user_id").cast("string")) % 2 == 0, "A")
+        .otherwise("B"),
+    )
+    g = per_user.filter(F.col("_saw") == 1).groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("_bought").alias("n_converted"),
+        F.round(F.sum("_bought") / F.count("*"), 6).alias("conv_rate"),
+    )
+    a = g.filter(F.col("variant") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca"))
+    b = g.filter(F.col("variant") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb"))
+    z = a.crossJoin(b).select(
+        (F.col("ca") / F.col("na")).alias("_pa"),
+        (F.col("cb") / F.col("nb")).alias("_pb"),
+        ((F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb")))
+        .alias("_pp"),
+        "na", "nb", "ca", "cb",
+    ).select(
+        "na", "nb", "ca", "cb",
+        F.round(F.col("_pb") - F.col("_pa"), 6).alias("lift"),
+        # degenerate pooled rate (0 or 1) -> NULL, not an ANSI error
+        F.round(
+            F.try_divide(
+                F.col("_pb") - F.col("_pa"),
+                F.sqrt(F.col("_pp") * (1 - F.col("_pp"))
+                       * (1 / F.col("na") + 1 / F.col("nb"))),
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+    return z
+
+
+def _agg_benford(spark, sf_dir):
+    """Benford first-digit audit of order totals: observed share per
+    leading digit vs the log10(1+1/d) expectation — the classic
+    fabricated-numbers detector, one aggregation over a digit
+    extraction."""
+    digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("string"), r"[^1-9]", ""),
+        1, 1,
+    ).cast("int")
+    per_digit = (
+        _t(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = per_digit.agg(F.sum("n").alias("_tot"))
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit", "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("observed"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("expected"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -3977,6 +4060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_event_rate": _evt_event_rate,
         "stream_incremental_agg": _stream_incremental_agg,
         "agg_hll_rollup": _agg_hll_rollup,
+        "evt_ab_test": _evt_ab_test,
+        "agg_benford": _agg_benford,
     }
 
 
@@ -6139,6 +6224,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, count(*) AS n_orders,"
             " round(sum(round(o_totalprice, 2)), 2) AS total_price"
             " FROM orders GROUP BY o_custkey"
+        ),
+        "evt_ab_test": (
+            "WITH u AS (SELECT user_id,"
+            "  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            "   AS saw,"
+            "  max(CASE WHEN event_type = 'purchase' AND value > 450"
+            "   THEN 1 ELSE 0 END) AS bought"
+            " FROM events GROUP BY user_id),"
+            " v AS (SELECT CASE WHEN CAST(concat('0x',"
+            "   substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+            "   % 2 = 0 THEN 'A' ELSE 'B' END AS variant, bought"
+            "  FROM u WHERE saw = 1),"
+            " g AS (SELECT variant, count(*) AS n,"
+            "  CAST(sum(bought) AS BIGINT) AS c FROM v GROUP BY variant),"
+            " a AS (SELECT n AS na, c AS ca FROM g WHERE variant = 'A'),"
+            " b AS (SELECT n AS nb, c AS cb FROM g WHERE variant = 'B')"
+            " SELECT na, nb, ca, cb,"
+            " round(cb * 1.0 / nb - ca * 1.0 / na, 6) AS lift,"
+            " round((cb * 1.0 / nb - ca * 1.0 / na)"
+            "  / nullif(sqrt(((ca + cb) * 1.0 / (na + nb))"
+            "   * (1 - (ca + cb) * 1.0 / (na + nb))"
+            "   * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat"
+            " FROM a, b"
+        ),
+        "agg_benford": (
+            "WITH d AS (SELECT CAST(substring(regexp_replace("
+            "  CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)"
+            "  AS INT) AS digit FROM orders),"
+            " pd AS (SELECT digit, count(*) AS n FROM d"
+            "  WHERE digit IS NOT NULL GROUP BY digit)"
+            " SELECT digit, n,"
+            " round(n * 1.0 / sum(n) OVER (), 6) AS observed,"
+            " round(log10(1 + 1.0 / digit), 6) AS expected"
+            " FROM pd"
         ),
         "agg_copurchase": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS b,"
