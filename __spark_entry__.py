@@ -3827,6 +3827,83 @@ def _agg_benford(spark, sf_dir):
     )
 
 
+def _evt_seasonal(spark, sf_dir):
+    """Classical seasonal decomposition of the hourly event-count
+    series: trend = centered 25-hour moving average, seasonality =
+    mean detrended value per (weekday, hour-of-day) slot, residual =
+    remainder.  The windows run over the HOURLY table (calendar-sized,
+    ~720 rows for a month, independent of event volume) — the raw
+    events fold into it with one map-side-combined aggregation."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.orderBy("h").rowsBetween(-12, 12)
+    with_trend = hourly.select(
+        "h", "n",
+        F.round(F.avg("n").over(wt), 4).alias("trend"),
+    ).withColumn("_det", F.col("n") - F.col("trend"))
+    ws = Window.partitionBy(
+        F.dayofweek("h"), F.hour("h")
+    )
+    return with_trend.select(
+        F.col("h").cast("long").alias("hour_epoch"),
+        "n",
+        "trend",
+        F.round(F.avg("_det").over(ws), 4).alias("seasonal"),
+        F.round(
+            F.col("n") - F.col("trend") - F.avg("_det").over(ws), 4
+        ).alias("residual"),
+    )
+
+
+def _agg_assoc_rules(spark, sf_dir):
+    """Association rules over order baskets: for each co-occurring
+    part pair, support, directional confidence, and lift — the
+    market-basket trio; pair expansion stays within baskets, item and
+    basket totals ride broadcasts."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n_baskets = items.select("b").distinct().agg(
+        F.count("*").alias("_nb"))
+    item_supp = items.groupBy("item").agg(F.count("*").alias("_supp"))
+    other = items.select("b", F.col("item").alias("item_b"))
+    pairs = (
+        items.join(other, "b")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    sa = item_supp.select(F.col("item").alias("item_a"),
+                          F.col("_supp").alias("_sa"))
+    sb = item_supp.select(F.col("item").alias("item_b"),
+                          F.col("_supp").alias("_sb"))
+    scored = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "support",
+            F.round(F.col("support") / F.col("_sa"), 6).alias("conf_a_b"),
+            F.round(F.col("support") / F.col("_sb"), 6).alias("conf_b_a"),
+            F.round(
+                F.col("support") * F.col("_nb")
+                / (F.col("_sa") * F.col("_sb")), 4
+            ).alias("lift"),
+        )
+    )
+    return R.sort_limit(
+        scored,
+        [F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()],
+        100,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -4062,6 +4139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hll_rollup": _agg_hll_rollup,
         "evt_ab_test": _evt_ab_test,
         "agg_benford": _agg_benford,
+        "evt_seasonal": _evt_seasonal,
+        "agg_assoc_rules": _agg_assoc_rules,
     }
 
 
@@ -6247,6 +6326,36 @@ def oracle_sql() -> dict[str, str]:
             "   * (1 - (ca + cb) * 1.0 / (na + nb))"
             "   * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat"
             " FROM a, b"
+        ),
+        "evt_seasonal": (
+            "WITH hourly AS (SELECT date_trunc('hour', ts) AS h,"
+            "  count(*) AS n FROM events GROUP BY h),"
+            " t AS (SELECT h, n, round(avg(n) OVER (ORDER BY h"
+            "  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 4) AS trend"
+            "  FROM hourly),"
+            " d AS (SELECT *, n - trend AS det FROM t)"
+            " SELECT CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch, n,"
+            " trend, round(avg(det) OVER w, 4) AS seasonal,"
+            " round(n - trend - avg(det) OVER w, 4) AS residual"
+            " FROM d WINDOW w AS (PARTITION BY dayofweek(h), hour(h))"
+        ),
+        "agg_assoc_rules": (
+            "WITH items AS (SELECT DISTINCT l_orderkey AS b,"
+            "  l_partkey AS item FROM lineitem),"
+            " nb AS (SELECT count(DISTINCT b) AS nb FROM items),"
+            " isupp AS (SELECT item, count(*) AS s FROM items"
+            "  GROUP BY item),"
+            " pairs AS (SELECT a.item AS item_a, o.item AS item_b,"
+            "  count(*) AS support FROM items a"
+            "  JOIN items o ON a.b = o.b AND a.item < o.item"
+            "  GROUP BY item_a, item_b HAVING count(*) >= 3)"
+            " SELECT item_a, item_b, support,"
+            " round(support * 1.0 / sa.s, 6) AS conf_a_b,"
+            " round(support * 1.0 / sb.s, 6) AS conf_b_a,"
+            " round(support * 1.0 * nb.nb / (sa.s * sb.s), 4) AS lift"
+            " FROM pairs JOIN isupp sa ON sa.item = item_a"
+            " JOIN isupp sb ON sb.item = item_b, nb"
+            " ORDER BY lift DESC, item_a ASC, item_b ASC LIMIT 100"
         ),
         "agg_benford": (
             "WITH d AS (SELECT CAST(substring(regexp_replace("
