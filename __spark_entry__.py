@@ -3918,6 +3918,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in slot 50 — re-verified because the resize path is now a REAL
     stdlib nearest-neighbor resample (fake_decode=False), not the
     digest stub round 1 checked.
+
+    Rotation queue (each block locally sweep-green the round it was
+    added — see CORRECTNESS_LOCAL_r03.json):
+    - round-4 window (50, staged): the early round-3 additions — CDC/
+      SCD2, the TPC-H-analog OLAP suite, graph, regression, Bloom,
+      KS, vocab-Jaccard, rolling-corr, bucketed join, and friends;
+    - round-5 staging (the tail block): IVF+PQ, incremental agg (batch
+      + streaming twin), weighted sampling, Pareto, quantile
+      normalization, q-gram fuzzy, co-purchase/association rules,
+      FK audit, conversion/rate/seasonal analytics, A/B readout,
+      Benford (``agg_hll_rollup`` is rows-only: sketch estimates are
+      not value-reproducible in DuckDB).
     """
     return {
         # --- round-3 verification window: never-driver-verified (49) ---

@@ -567,3 +567,45 @@ def test_hll_rollup_estimates_close_to_exact(spark):
     total = per.agg(F.hll_union_agg("sk").alias("u")).select(
         F.hll_sketch_estimate("u").alias("e")).collect()[0]["e"]
     assert abs(total - 300) / 300 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# empty-input edges for the round-3 operator families
+# ---------------------------------------------------------------------------
+
+def test_empty_inputs_round3_ops(spark):
+    from eggv_spark.operators.aggregates import (
+        ks_statistic, linreg_by_group, quantile_normalize,
+    )
+    from eggv_spark.operators.events import (
+        conversion_latency, event_rate_stats, markov_transitions,
+        rfm_segments,
+    )
+    from eggv_spark.operators.relational import (
+        copurchase_pairs, pareto_frontier_2d, weighted_sample_group,
+    )
+    from eggv_spark.operators import graph as G
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, "
+            "event_id long, value double"
+    )
+    assert markov_transitions(empty_ev).count() == 0
+    assert conversion_latency(empty_ev).count() == 0
+    assert event_rate_stats(empty_ev).count() == 0
+    assert rfm_segments(empty_ev).count() == 0
+
+    empty_kv = spark.createDataFrame([], "g string, v double, rid long")
+    assert ks_statistic(empty_kv, "g", "v", "a", "b").count() == 0
+    assert linreg_by_group(empty_kv, ["g"], "rid", "v").count() == 0
+    assert weighted_sample_group(empty_kv, "g", "v", ["rid"]).count() == 0
+    assert copurchase_pairs(empty_kv, "g", "rid").count() == 0
+    assert pareto_frontier_2d(empty_kv, "v", "rid", ["g"]).count() == 0
+    # quantile_normalize needs a non-empty percentile grid source —
+    # empty input yields an empty (not failing) frame
+    assert quantile_normalize(empty_kv, "g", "v", ["rid"]).count() == 0
+
+    empty_edges = spark.createDataFrame(
+        [], "src int, dst int, weight long"
+    )
+    assert G.degree_stats(empty_edges).count() == 0
