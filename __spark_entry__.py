@@ -3904,6 +3904,32 @@ def _agg_assoc_rules(spark, sf_dir):
     )
 
 
+def _graph_label_prop(spark, sf_dir):
+    """Weighted label propagation (2 synchronous rounds, min-label
+    ties) on the symmetrized nation trade graph — community detection
+    as the second iterative-graph family member
+    (graph.label_propagation)."""
+    return G.label_propagation(_trade_edges(spark, sf_dir), iterations=2)
+
+
+def _win_rolling_median(spark, sf_dir):
+    """Rolling 30-row median price per returnflag stream — the
+    robust-statistics sliding window (exact percentile per frame);
+    output integer-scaled to cents so interpolated half-cent midpoints
+    can't hit engine-dependent decimal rounding."""
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    med = F.percentile(F.col("l_extendedprice"), F.lit(0.5)).over(w)
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.floor(med * 100 + 0.5).cast("long").alias("median_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -4153,6 +4179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_benford": _agg_benford,
         "evt_seasonal": _evt_seasonal,
         "agg_assoc_rules": _agg_assoc_rules,
+        "graph_label_prop": _graph_label_prop,
+        "win_rolling_median": _win_rolling_median,
     }
 
 
@@ -6338,6 +6366,50 @@ def oracle_sql() -> dict[str, str]:
             "   * (1 - (ca + cb) * 1.0 / (na + nb))"
             "   * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat"
             " FROM a, b"
+        ),
+        "graph_label_prop": (
+            # 2 unrolled synchronous rounds; min-label tie-break makes
+            # the fixed-point prefix exactly reproducible
+            "WITH e AS (SELECT CAST(c_nationkey AS INT) AS src,"
+            "  CAST(s_nationkey AS INT) AS dst, count(*) AS w"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " GROUP BY src, dst),"
+            " sym AS (SELECT a, b, sum(w) AS w FROM ("
+            "  SELECT src AS a, dst AS b, w FROM e"
+            "  UNION ALL SELECT dst AS a, src AS b, w FROM e)"
+            "  GROUP BY a, b),"
+            " nodes AS (SELECT DISTINCT a AS node FROM sym),"
+            " l0 AS (SELECT node, node AS label FROM nodes),"
+            " n1 AS (SELECT s.a AS node, l.label, sum(s.w) AS lw"
+            "  FROM sym s JOIN l0 l ON s.b = l.node GROUP BY s.a, l.label),"
+            " b1 AS (SELECT node, label FROM (SELECT node, label,"
+            "   row_number() OVER (PARTITION BY node"
+            "    ORDER BY lw DESC, label ASC) AS rn FROM n1) WHERE rn = 1),"
+            " l1 AS (SELECT n.node, coalesce(b1.label, n.node) AS label"
+            "  FROM nodes n LEFT JOIN b1 ON b1.node = n.node),"
+            " n2 AS (SELECT s.a AS node, l.label, sum(s.w) AS lw"
+            "  FROM sym s JOIN l1 l ON s.b = l.node GROUP BY s.a, l.label),"
+            " b2 AS (SELECT node, label FROM (SELECT node, label,"
+            "   row_number() OVER (PARTITION BY node"
+            "    ORDER BY lw DESC, label ASC) AS rn FROM n2) WHERE rn = 1)"
+            " SELECT n.node, coalesce(b2.label, l1.label) AS label"
+            " FROM nodes n JOIN l1 ON l1.node = n.node"
+            " LEFT JOIN b2 ON b2.node = n.node"
+        ),
+        "win_rolling_median": (
+            "WITH m AS (SELECT l_orderkey, l_linenumber, l_returnflag,"
+            "  quantile_cont(l_extendedprice, 0.5) OVER ("
+            "   PARTITION BY l_returnflag"
+            "   ORDER BY l_shipdate, l_orderkey, l_linenumber,"
+            "    l_quantity, l_extendedprice"
+            "   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS med"
+            " FROM lineitem),"
+            " m2 AS (SELECT l_orderkey, l_linenumber, l_returnflag,"
+            "  med * 100 AS mc FROM m)"
+            " SELECT l_orderkey, l_linenumber, l_returnflag,"
+            " CAST(floor(mc + 0.5) AS BIGINT) AS median_cents FROM m2"
         ),
         "evt_seasonal": (
             "WITH hourly AS (SELECT date_trunc('hour', ts) AS h,"

@@ -22,7 +22,7 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,65 @@ def degree_stats(
         outs.join(ins, "node", "full_outer")
         .na.fill(0, ["out_degree", "out_distinct", "in_degree", "in_distinct"])
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection):
+    every node starts as its own community; each round it adopts the
+    label carrying the most incident edge weight among its neighbors
+    (ties break to the SMALLEST label — deterministic, so a fixed
+    iteration count is exactly reproducible in SQL).
+
+    Undirected semantics: edges are symmetrized up front.  Each round
+    is one join (labels onto the edge list), one (node, label) weight
+    fold, and one per-node argmax window over the candidate-label
+    table — the same bounded per-iteration plan discipline as
+    :func:`pagerank`, with per-round caching to stop lineage growth.
+    Isolated nodes keep their own label forever.
+
+    Known synchronous-update artifact (standard LPA caveat): a bare
+    two-node component swaps labels every round instead of settling;
+    components with odd cycles converge.  Use an odd/even iteration
+    pair if a caller needs a fixpoint check on bipartite shapes."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     F.col(weight).alias("w"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"),
+                         F.col(weight).alias("w"))
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .cache()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct().cache()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        labels = labels.cache()
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("_lw"))
+        )
+        w_rank = Window.partitionBy("node").orderBy(
+            F.col("_lw").desc(), F.col("label").asc()
+        )
+        best = (
+            neigh.withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

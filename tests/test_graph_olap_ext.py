@@ -609,3 +609,31 @@ def test_empty_inputs_round3_ops(spark):
         [], "src int, dst int, weight long"
     )
     assert G.degree_stats(empty_edges).count() == 0
+
+
+def test_label_propagation_two_communities(spark):
+    # two dense triangles joined by one weak bridge — propagation
+    # should keep them as separate min-labeled communities
+    e = _edges(spark, [
+        (1, 2, 10), (2, 3, 10), (1, 3, 10),
+        (4, 5, 10), (5, 6, 10), (4, 6, 10),
+        (3, 4, 1),
+    ])
+    out = {r["node"]: r["label"]
+           for r in G.label_propagation(e, iterations=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6] == 4
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    e = _edges(spark, [(1, 2, 5), (3, 3, 1)])
+    out = {r["node"]: r["label"]
+           for r in G.label_propagation(e, iterations=2).collect()}
+    # the self-loop-only node keeps its own community
+    assert out[3] == 3
+    # a bare pair OSCILLATES under synchronous updates (documented
+    # sync-LPA artifact): after each round the two swap labels
+    one = {r["node"]: r["label"]
+           for r in G.label_propagation(e, iterations=1).collect()}
+    assert one[1] == 2 and one[2] == 1
+    assert out[1] == 1 and out[2] == 2
