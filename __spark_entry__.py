@@ -3930,6 +3930,56 @@ def _win_rolling_median(spark, sf_dir):
     )
 
 
+def _geo_points(spark, sf_dir):
+    """Deterministic synthetic coordinates: customers cluster around
+    their nation's anchor with a ≤2° md5 jitter — SQL-replayable, so
+    the spatial join is value-oracled like every other family."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    jlat = (base_hash(F.concat(F.col("c_custkey").cast("string"),
+                               F.lit("lat"))) % 200) / 100.0
+    jlon = (base_hash(F.concat(F.col("c_custkey").cast("string"),
+                               F.lit("lon"))) % 200) / 100.0
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_nationkey") * 6 - 72 + jlat).alias("lat"),
+        (F.col("c_nationkey") * 13 % 360 - 180 + jlon).alias("lon"),
+    )
+
+
+def _geo_proximity(spark, sf_dir):
+    """Spatial proximity self-join: customer pairs within 25 km, via
+    0.25° grid bucketing + 3×3 neighborhood + haversine verify
+    (geo.proximity_join) — work is per-cell density bounded, never
+    |A|·|B|."""
+    from eggv_spark.operators import geo as GEO
+
+    pts = _geo_points(spark, sf_dir)
+    return GEO.proximity_join(pts, pts, radius_km=25.0, cell_deg=0.25)
+
+
+def _agg_countmin(spark, sf_dir):
+    """Count-Min sketch frequency estimation for the 20 heaviest part
+    keys: the 4×256-counter sketch folds the whole stream into ≤1024
+    rows (bounded memory at ANY scale), estimates never undercount,
+    and the md5 hashing makes the sketch bit-reproducible in SQL
+    (aggregates.countmin_estimate)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_n"))
+    top = R.sort_limit(
+        exact, [F.col("exact_n").desc(), F.col("l_partkey").asc()], 20
+    )
+    est = AG.countmin_estimate(li, "l_partkey", top, "l_partkey")
+    return (
+        top.join(est, top["l_partkey"] == est["probe_key"])
+        .select(
+            "l_partkey", "exact_n", "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -4181,6 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_assoc_rules": _agg_assoc_rules,
         "graph_label_prop": _graph_label_prop,
         "win_rolling_median": _win_rolling_median,
+        "geo_proximity": _geo_proximity,
+        "agg_countmin": _agg_countmin,
     }
 
 
@@ -6366,6 +6418,63 @@ def oracle_sql() -> dict[str, str]:
             "   * (1 - (ca + cb) * 1.0 / (na + nb))"
             "   * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat"
             " FROM a, b"
+        ),
+        "geo_proximity": (
+            "WITH pts AS (SELECT c_custkey AS id,"
+            "  c_nationkey * 6 - 72 + (CAST(concat('0x', substr(md5("
+            "   concat(CAST(c_custkey AS VARCHAR), 'lat')), 1, 8))"
+            "   AS BIGINT) % 200) / 100.0 AS lat,"
+            "  c_nationkey * 13 % 360 - 180 + (CAST(concat('0x',"
+            "   substr(md5(concat(CAST(c_custkey AS VARCHAR), 'lon')),"
+            "   1, 8)) AS BIGINT) % 200) / 100.0 AS lon"
+            " FROM customer),"
+            " lhs AS (SELECT id AS left_id, lat AS left_lat,"
+            "  lon AS left_lon,"
+            "  (CAST(floor((lat + 90.0) / 0.25) AS BIGINT) + dy.d) * 4096"
+            "   + CAST(floor((lon + 180.0) / 0.25) AS BIGINT) + dx.d"
+            "   AS cell"
+            " FROM pts, (SELECT unnest([-1, 0, 1]) AS d) dy,"
+            "  (SELECT unnest([-1, 0, 1]) AS d) dx),"
+            " rhs AS (SELECT id AS right_id, lat AS right_lat,"
+            "  lon AS right_lon,"
+            "  CAST(floor((lat + 90.0) / 0.25) AS BIGINT) * 4096"
+            "   + CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS cell"
+            " FROM pts),"
+            " cand AS (SELECT left_id, right_id,"
+            "  round(2 * 6371.0 * asin(sqrt("
+            "   sin(radians(right_lat - left_lat) / 2)"
+            "    * sin(radians(right_lat - left_lat) / 2)"
+            "   + cos(radians(left_lat)) * cos(radians(right_lat))"
+            "    * sin(radians(right_lon - left_lon) / 2)"
+            "    * sin(radians(right_lon - left_lon) / 2))), 2)"
+            "   AS distance_km"
+            " FROM lhs JOIN rhs USING (cell) WHERE left_id < right_id)"
+            " SELECT left_id, right_id, distance_km FROM cand"
+            " WHERE distance_km <= 25.0"
+        ),
+        "agg_countmin": (
+            "WITH cells AS (SELECT t.i,"
+            "  CAST(concat('0x', substr(md5(concat("
+            "   CAST(l_partkey AS VARCHAR), '#cm', t.i)), 1, 8))"
+            "   AS BIGINT) % 256 AS bucket"
+            " FROM lineitem, (SELECT unnest(['0','1','2','3']) AS i) t),"
+            " sk AS (SELECT i, bucket, count(*) AS n FROM cells"
+            "  GROUP BY i, bucket),"
+            " exact AS (SELECT l_partkey, count(*) AS exact_n"
+            "  FROM lineitem GROUP BY l_partkey"
+            "  ORDER BY exact_n DESC, l_partkey ASC LIMIT 20),"
+            " pc AS (SELECT e.l_partkey, e.exact_n, t.i,"
+            "  CAST(concat('0x', substr(md5(concat("
+            "   CAST(e.l_partkey AS VARCHAR), '#cm', t.i)), 1, 8))"
+            "   AS BIGINT) % 256 AS bucket"
+            " FROM exact e, (SELECT unnest(['0','1','2','3']) AS i) t)"
+            " SELECT l_partkey, exact_n,"
+            " CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS cm_estimate,"
+            " CAST(min(coalesce(sk.n, 0)) - exact_n AS BIGINT)"
+            "  AS overcount"
+            " FROM pc LEFT JOIN sk ON sk.i = pc.i"
+            "  AND sk.bucket = pc.bucket"
+            " GROUP BY l_partkey, exact_n"
         ),
         "graph_label_prop": (
             # 2 unrolled synchronous rounds; min-label tie-break makes

@@ -571,3 +571,52 @@ def quantile_normalize(
         .withColumn(out, F.element_at(F.col("_q"), idx))
         .drop("_q", "_r")
     )
+
+
+def countmin_estimate(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch, relationally: the stream folds into a
+    ``depth × width`` counter table (≤ depth·width rows TOTAL,
+    regardless of stream size — one map-side-combined shuffle), and a
+    probe key's frequency estimate is the MIN of its ``depth`` counter
+    cells.  Guarantees estimate ≥ true count (never undercounts);
+    collisions only inflate.  Deterministic md5 hashing per row
+    (portable ``dedupe.base_hash``) makes the sketch — and therefore
+    the estimates — bit-reproducible in SQL.
+
+    Returns (probe key, cm_estimate).  The sketch is the
+    bounded-memory answer to "how often does X occur in 100 TB"
+    when the key universe is too large for exact counts."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    def cells(col: Column):
+        return F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                (base_hash(F.concat(col.cast("string"), F.lit(f"#cm{i}")))
+                 % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ])
+
+    sketch = (
+        df.select(F.explode(cells(F.col(key_col))).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    probe_cells = probes.select(
+        F.col(probe_col).alias("probe_key"),
+        F.explode(cells(F.col(probe_col))).alias("c"),
+    ).select("probe_key", F.col("c.row").alias("row"),
+             F.col("c.bucket").alias("bucket"))
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("probe_key")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate"))
+    )

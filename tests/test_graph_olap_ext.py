@@ -637,3 +637,56 @@ def test_label_propagation_isolated_node_keeps_label(spark):
            for r in G.label_propagation(e, iterations=1).collect()}
     assert one[1] == 2 and one[2] == 1
     assert out[1] == 1 and out[2] == 2
+
+
+def test_proximity_join_radius_semantics(spark):
+    from eggv_spark.operators.geo import haversine_km, proximity_join
+
+    pts = spark.createDataFrame([
+        Row(id=1, lat=48.8566, lon=2.3522),    # Paris
+        Row(id=2, lat=48.8600, lon=2.3600),    # ~0.7 km away
+        Row(id=3, lat=48.7000, lon=2.3522),    # ~17 km away
+        Row(id=4, lat=51.5074, lon=-0.1278),   # London (~340 km)
+    ])
+    out = {(r["left_id"], r["right_id"]): r["distance_km"]
+           for r in proximity_join(pts, pts, radius_km=25.0).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)] < 1.0
+    assert 15.0 < out[(1, 3)] < 20.0
+    # cross-check one distance against the scalar haversine
+    d = pts.filter("id = 1").crossJoin(
+        pts.filter("id = 4").selectExpr(
+            "lat AS lat2", "lon AS lon2")
+    ).select(haversine_km(
+        F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")
+    ).alias("d")).collect()[0]["d"]
+    assert 330 < d < 350
+
+
+def test_proximity_join_catches_cell_boundary_pairs(spark):
+    from eggv_spark.operators.geo import proximity_join
+
+    # two points straddling a 0.25-degree cell edge, ~2 km apart
+    pts = spark.createDataFrame([
+        Row(id=1, lat=10.249, lon=20.0),
+        Row(id=2, lat=10.251, lon=20.0),
+    ])
+    out = proximity_join(pts, pts, radius_km=25.0, cell_deg=0.25).collect()
+    assert len(out) == 1 and out[0]["distance_km"] < 3.0
+
+
+def test_countmin_never_undercounts(spark):
+    from eggv_spark.operators.aggregates import countmin_estimate
+
+    rows = [Row(k=f"key{i % 50}") for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    probes = df.distinct()
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(
+        F.count("*").alias("n")).collect()}
+    est = {r["probe_key"]: r["cm_estimate"] for r in countmin_estimate(
+        df, "k", probes, "k", depth=4, width=64).collect()}
+    for k, n in exact.items():
+        assert est[k] >= n  # the one-sided CM guarantee
+    # with 50 keys in 4x64 cells, most estimates should be exact
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits >= 40
