@@ -3980,6 +3980,89 @@ def _agg_countmin(spark, sf_dir):
     )
 
 
+def _evt_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every engagement touch
+    (view/click) strictly before a user's purchase splits that
+    purchase's value evenly — credit = value / n_touches.  One
+    conditional-window pass: per user ordered by time, each purchase
+    knows its preceding-touch count via a running conditional sum;
+    credits then fan BACK to touches through a per-user join
+    bounded by user activity, never a cross product."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(["view", "click"])
+    purchases = (
+        ev.withColumn(
+            "n_touches",
+            F.coalesce(
+                F.sum(F.when(is_touch, 1).otherwise(0)).over(w), F.lit(0)
+            ),
+        )
+        .filter((F.col("event_type") == "purchase") & (F.col("n_touches") > 0))
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+            # credit in exact integer micro-units (cent-ten-thousandths,
+            # floor-divided): value/n is a repeating decimal whose 4dp
+            # sums land exactly on round-half boundaries, where the two
+            # engines' decimal rounding of doubles diverges
+            F.floor(
+                F.round(F.col("value") * 100).cast("long") * 10000
+                / F.col("n_touches")
+            ).cast("long").alias("credit_u"),
+        )
+    )
+    touches = ev.filter(is_touch).select(
+        "user_id", F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("t_ts"),
+    )
+    # "before" must mean exactly what the window's (ts, event_id)
+    # ordering meant, or same-timestamp touches would be counted in
+    # n_touches yet excluded from crediting
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("touch_id") < F.col("p_id"))
+    )
+    credited = (
+        touches.join(purchases, "user_id")
+        .filter(before)
+        .groupBy("touch_id")
+        .agg(
+            F.count("*").alias("n_purchases_touched"),
+            F.sum("credit_u").alias("attributed_u"),
+        )
+    )
+    return credited
+
+
+def _tbl_partition_pruning(spark, sf_dir):
+    """Partition pruning end-to-end: write orders hive-partitioned by
+    order YEAR (one-time, temp), then read back with a year predicate
+    — the scan must touch only the matching partition directories
+    (asserted in tests/test_plans.py), which is THE dominant scan
+    lever at 100 TB.  Result is oracled against a plain filter."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="part_prune_")
+    path = os.path.join(base, "orders_by_year")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -4233,6 +4316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_rolling_median": _win_rolling_median,
         "geo_proximity": _geo_proximity,
         "agg_countmin": _agg_countmin,
+        "evt_attribution_linear": _evt_attribution_linear,
+        "tbl_partition_pruning": _tbl_partition_pruning,
     }
 
 
@@ -6418,6 +6503,32 @@ def oracle_sql() -> dict[str, str]:
             "   * (1 - (ca + cb) * 1.0 / (na + nb))"
             "   * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat"
             " FROM a, b"
+        ),
+        "evt_attribution_linear": (
+            "WITH ev AS (SELECT event_id, user_id, ts, event_type,"
+            "  round(value, 2) AS value FROM events),"
+            " p AS (SELECT user_id, ts AS p_ts, event_id AS p_id,"
+            "  CAST(floor((CAST(round(value * 100) AS BIGINT) * 10000)"
+            "   / n_touches) AS BIGINT) AS credit_u FROM ("
+            "  SELECT *, coalesce(sum(CASE WHEN event_type IN"
+            "    ('view', 'click') THEN 1 ELSE 0 END) OVER ("
+            "   PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "   AS n_touches FROM ev)"
+            "  WHERE event_type = 'purchase' AND n_touches > 0),"
+            " t AS (SELECT user_id, event_id AS touch_id, ts AS t_ts"
+            "  FROM ev WHERE event_type IN ('view', 'click'))"
+            " SELECT touch_id, count(*) AS n_purchases_touched,"
+            " CAST(sum(credit_u) AS BIGINT) AS attributed_u"
+            " FROM t JOIN p USING (user_id)"
+            " WHERE t_ts < p_ts OR (t_ts = p_ts AND touch_id < p_id)"
+            " GROUP BY touch_id"
+        ),
+        "tbl_partition_pruning": (
+            "SELECT o_orderpriority, count(*) AS n_orders,"
+            " round(sum(o_totalprice), 2) AS total_price"
+            " FROM orders WHERE year(o_orderdate) = 1997"
+            " GROUP BY o_orderpriority"
         ),
         "geo_proximity": (
             "WITH pts AS (SELECT c_custkey AS id,"

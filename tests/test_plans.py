@@ -367,3 +367,16 @@ def test_pagerank_iterations_are_cache_bounded(spark):
     # (cache boundary), so per-iteration work does not re-derive the
     # full lineage prefix
     assert "InMemoryTableScan" in plan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["tbl_partition_pruning"](spark, SF_DIR)
+    plan = _plan(df)
+    # the year predicate must prune partition DIRECTORIES, not rows:
+    # it appears as a PartitionFilters entry on the scan and the data
+    # filter list stays free of o_year
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
