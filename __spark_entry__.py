@@ -2060,6 +2060,55 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
 """
 
 
+def _semantic_pairs_oracle() -> str:
+    """The embedding-neardup oracle extended with the text re-score:
+    same banded sign-LSH candidate construction, then doc-token
+    Jaccard (distinct word sets) and label agreement joined on the
+    (id % 1e6) doc key."""
+    from eggv_spark.operators.dedupe import signlsh_plane
+
+    dim, n_planes, n_tables = 64, 8, 4
+    buckets = []
+    for t in range(n_tables):
+        bucket = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(w) for w in signlsh_plane(t, p, dim))
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"{bucket} AS bucket{t}")
+    bucket_cols = ", ".join(buckets)
+    any_table = " OR ".join(f"a.bucket{t} = c.bucket{t}" for t in range(n_tables))
+    return f"""
+WITH src AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL
+             SELECT vec_id + 1000000 AS vec_id, embedding
+             FROM embeddings WHERE vec_id % 25 = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM src),
+b AS (SELECT vec_id, v, {bucket_cols} FROM v),
+scored AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+    round(list_dot_product(a.v, c.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_table})),
+pairs AS (SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95),
+toks AS (SELECT doc_id, list_distinct(list_filter(
+    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS t
+    FROM documents),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT p.id_a, p.id_b, p.cosine,
+    round(len(list_intersect(ta.t, tb.t)) * 1.0
+          / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 4)
+        AS text_jaccard,
+    la.label = lb.label AS same_label
+FROM pairs p
+JOIN toks ta ON p.id_a % 1000000 = ta.doc_id
+JOIN toks tb ON p.id_b % 1000000 = tb.doc_id
+JOIN lab la ON p.id_a % 1000000 = la.vec_id
+JOIN lab lb ON p.id_b % 1000000 = lb.vec_id
+"""
+
+
 def _range_search_oracle() -> str:
     """IVF radius-search replica: same cell assignment/probing as the
     top-k oracle, but the tail is a threshold filter on the rounded
@@ -4063,6 +4112,49 @@ def _tbl_partition_pruning(spark, sf_dir):
     )
 
 
+def _composite_semantic_pairs(spark, sf_dir):
+    """Cross-modal dedup verification: sign-LSH embedding near-dup
+    candidates joined back to their DOCUMENT texts and re-scored with
+    word-set Jaccard plus a label-agreement flag — the
+    embedding-found/text-verified pipeline a semantic dedup runs
+    (vector recall, lexical precision).  Candidate generation is the
+    banded LSH (never all-pairs); the text join keys on doc id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    with_dups = emb.unionByName(
+        emb.filter("vec_id % 25 = 0").withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1000000)
+        )
+    )
+    pairs = D.embedding_neardup_pairs(with_dups, threshold=0.95)
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), toks.alias("toks")
+    )
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = docs.select(F.col("doc_id").alias("_da"), F.col("toks").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("_db"), F.col("toks").alias("tb"))
+    la = labels.select(F.col("vec_id").alias("_la"),
+                       F.col("label").alias("label_a"))
+    lb = labels.select(F.col("vec_id").alias("_lb"),
+                       F.col("label").alias("label_b"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        pairs
+        .join(a, F.col("id_a") % 1000000 == F.col("_da"))
+        .join(b, F.col("id_b") % 1000000 == F.col("_db"))
+        .join(F.broadcast(la), F.col("id_a") % 1000000 == F.col("_la"))
+        .join(F.broadcast(lb), F.col("id_b") % 1000000 == F.col("_lb"))
+        .select(
+            "id_a", "id_b", "cosine",
+            F.round(inter / union, 4).alias("text_jaccard"),
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -4318,6 +4410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_countmin": _agg_countmin,
         "evt_attribution_linear": _evt_attribution_linear,
         "tbl_partition_pruning": _tbl_partition_pruning,
+        "composite_semantic_pairs": _composite_semantic_pairs,
     }
 
 
@@ -6504,6 +6597,7 @@ def oracle_sql() -> dict[str, str]:
             "   * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat"
             " FROM a, b"
         ),
+        "composite_semantic_pairs": _semantic_pairs_oracle(),
         "evt_attribution_linear": (
             "WITH ev AS (SELECT event_id, user_id, ts, event_type,"
             "  round(value, 2) AS value FROM events),"
