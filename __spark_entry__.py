@@ -4155,6 +4155,66 @@ def _composite_semantic_pairs(spark, sf_dir):
     )
 
 
+def _dt_business_days(spark, sf_dir):
+    """Business days between order and ship date per lineitem, rolled
+    up to average-by-ship-month — via the CLOSED-FORM weekday count
+    (f(d) = weekdays since a known Monday = (days/7)*5 + min(days%7,5);
+    span = f(d2) - f(d1)), pure integer arithmetic: no calendar-spine
+    explode, no per-day rows, identical in any engine."""
+    def f(date_col):
+        # anchor Monday PRECEDES all data (1994-12-26), so days >= 0
+        # and the div/mod identities hold without sign gymnastics
+        days = F.datediff(date_col, F.lit("1994-12-26").cast("date"))
+        return (F.floor(days / 7) * 5
+                + F.least(days % 7, F.lit(5))).cast("long")
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    bdays = f(F.to_date("l_shipdate")) - f(F.to_date("o_orderdate"))
+    return (
+        joined.select(
+            F.date_trunc("month", "l_shipdate").cast("date").cast("string")
+            .alias("ship_month"),
+            bdays.alias("_bd"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("_bd"), 4).alias("avg_business_days"),
+            F.max("_bd").alias("max_business_days"),
+        )
+    )
+
+
+def _agg_tukey_outliers(spark, sf_dir):
+    """Tukey-fence outlier census per returnflag: counts below
+    Q1−1.5·IQR and above Q3+1.5·IQR.  Fences are interpolated doubles
+    that differ across engines at the ulp, but since no data point can
+    sit strictly between two consecutive sorted values, the COUNTS are
+    engine-exact — so the output carries counts, not fence values."""
+    li = _t(spark, sf_dir, "lineitem")
+    fences = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("_q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("_q3"),
+    ).select(
+        "l_returnflag",
+        (F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+        (F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+    )
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("_lo"), 1)
+                  .otherwise(0)).alias("n_low_outliers"),
+            F.sum(F.when(F.col("l_extendedprice") > F.col("_hi"), 1)
+                  .otherwise(0)).alias("n_high_outliers"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -4411,6 +4471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_attribution_linear": _evt_attribution_linear,
         "tbl_partition_pruning": _tbl_partition_pruning,
         "composite_semantic_pairs": _composite_semantic_pairs,
+        "dt_business_days": _dt_business_days,
+        "agg_tukey_outliers": _agg_tukey_outliers,
     }
 
 
@@ -6598,6 +6660,39 @@ def oracle_sql() -> dict[str, str]:
             " FROM a, b"
         ),
         "composite_semantic_pairs": _semantic_pairs_oracle(),
+        "dt_business_days": (
+            "WITH j AS (SELECT"
+            "  CAST(date_trunc('month', l_shipdate) AS DATE) AS sm,"
+            "  (CAST(floor(datediff('day', DATE '1994-12-26',"
+            "    CAST(l_shipdate AS DATE)) / 7) AS BIGINT) * 5"
+            "   + least(datediff('day', DATE '1994-12-26',"
+            "    CAST(l_shipdate AS DATE)) % 7, 5))"
+            "  - (CAST(floor(datediff('day', DATE '1994-12-26',"
+            "    CAST(o_orderdate AS DATE)) / 7) AS BIGINT) * 5"
+            "   + least(datediff('day', DATE '1994-12-26',"
+            "    CAST(o_orderdate AS DATE)) % 7, 5)) AS bd"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
+            " SELECT CAST(sm AS VARCHAR) AS ship_month,"
+            " count(*) AS n_lines,"
+            " round(avg(bd), 4) AS avg_business_days,"
+            " CAST(max(bd) AS BIGINT) AS max_business_days"
+            " FROM j GROUP BY sm"
+        ),
+        "agg_tukey_outliers": (
+            "WITH f AS (SELECT l_returnflag,"
+            "  quantile_cont(l_extendedprice, 0.25) AS q1,"
+            "  quantile_cont(l_extendedprice, 0.75) AS q3"
+            " FROM lineitem GROUP BY l_returnflag)"
+            " SELECT l.l_returnflag, count(*) AS n_rows,"
+            " CAST(sum(CASE WHEN l_extendedprice"
+            "   < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_low_outliers,"
+            " CAST(sum(CASE WHEN l_extendedprice"
+            "   > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_high_outliers"
+            " FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag"
+            " GROUP BY l.l_returnflag"
+        ),
         "evt_attribution_linear": (
             "WITH ev AS (SELECT event_id, user_id, ts, event_type,"
             "  round(value, 2) AS value FROM events),"
