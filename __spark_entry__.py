@@ -3538,21 +3538,23 @@ enc AS (SELECT vec_id, sub, c AS code FROM (
         row_number() OVER (PARTITION BY vec_id, sub
                            ORDER BY d ASC, c ASC) AS rn
     FROM sd) WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, sub, c, d FROM sd WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS query_id, sub, c,
+    CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS du
+    FROM sd WHERE vec_id % 50 = 0),
 cand AS (SELECT p.query_id, a.neighbor_id
     FROM assign a JOIN probes p USING (cell)
     WHERE a.neighbor_id <> p.query_id),
 scored AS (SELECT cd.query_id, cd.neighbor_id,
-        round(sum(q.d), 4) AS approx_dist
+        CAST(sum(q.du) AS BIGINT) AS approx_dist_u
     FROM cand cd
     JOIN enc e ON e.vec_id = cd.neighbor_id
     JOIN q ON q.query_id = cd.query_id AND q.sub = e.sub AND q.c = e.code
     GROUP BY cd.query_id, cd.neighbor_id),
-ranked AS (SELECT query_id, neighbor_id, approx_dist,
+ranked AS (SELECT query_id, neighbor_id, approx_dist_u,
     row_number() OVER (PARTITION BY query_id
-                       ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+                       ORDER BY approx_dist_u ASC, neighbor_id ASC) AS rank
     FROM scored)
-SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+SELECT query_id, neighbor_id, approx_dist_u, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {kn}
 """
 
@@ -3889,21 +3891,28 @@ def _evt_seasonal(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     wt = Window.orderBy("h").rowsBetween(-12, 12)
+    # Integer micro-unit (x1e4) chain: every decomposition component
+    # stays an exact integer after ONE floor-scale of an
+    # engine-identical division (int sums / int counts), so no
+    # decimal round-half or -0.0 divergence can enter — the tiny-sf
+    # sweep caught both on the rounded-double formulation.
     with_trend = hourly.select(
         "h", "n",
-        F.round(F.avg("n").over(wt), 4).alias("trend"),
-    ).withColumn("_det", F.col("n") - F.col("trend"))
-    ws = Window.partitionBy(
-        F.dayofweek("h"), F.hour("h")
-    )
+        F.floor(
+            F.sum("n").over(wt) * 10000 / F.count("n").over(wt) + 0.5
+        ).cast("long").alias("trend_x1e4"),
+    ).withColumn("_det_u", F.col("n") * 10000 - F.col("trend_x1e4"))
+    ws = Window.partitionBy(F.dayofweek("h"), F.hour("h"))
+    seasonal_u = F.floor(
+        F.sum("_det_u").over(ws) / F.count("_det_u").over(ws) + 0.5
+    ).cast("long")
     return with_trend.select(
         F.col("h").cast("long").alias("hour_epoch"),
         "n",
-        "trend",
-        F.round(F.avg("_det").over(ws), 4).alias("seasonal"),
-        F.round(
-            F.col("n") - F.col("trend") - F.avg("_det").over(ws), 4
-        ).alias("residual"),
+        "trend_x1e4",
+        seasonal_u.alias("seasonal_x1e4"),
+        (F.col("n") * 10000 - F.col("trend_x1e4") - seasonal_u)
+        .alias("residual_x1e4"),
     )
 
 
@@ -6821,15 +6830,23 @@ def oracle_sql() -> dict[str, str]:
             " CAST(floor(mc + 0.5) AS BIGINT) AS median_cents FROM m2"
         ),
         "evt_seasonal": (
+            # integer micro-unit chain mirroring _evt_seasonal: one
+            # floor-scale per engine-identical int/int division
             "WITH hourly AS (SELECT date_trunc('hour', ts) AS h,"
             "  count(*) AS n FROM events GROUP BY h),"
-            " t AS (SELECT h, n, round(avg(n) OVER (ORDER BY h"
-            "  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 4) AS trend"
-            "  FROM hourly),"
-            " d AS (SELECT *, n - trend AS det FROM t)"
+            " t AS (SELECT h, n, CAST(floor("
+            "   sum(n) OVER wt * 10000.0 / count(n) OVER wt + 0.5)"
+            "   AS BIGINT) AS trend_x1e4 FROM hourly WINDOW wt AS"
+            "  (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),"
+            " d AS (SELECT *, n * 10000 - trend_x1e4 AS det_u FROM t)"
             " SELECT CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch, n,"
-            " trend, round(avg(det) OVER w, 4) AS seasonal,"
-            " round(n - trend - avg(det) OVER w, 4) AS residual"
+            " trend_x1e4,"
+            " CAST(floor(sum(det_u) OVER w * 1.0 / count(det_u) OVER w"
+            "   + 0.5) AS BIGINT) AS seasonal_x1e4,"
+            " n * 10000 - trend_x1e4"
+            "  - CAST(floor(sum(det_u) OVER w * 1.0"
+            "     / count(det_u) OVER w + 0.5) AS BIGINT)"
+            "  AS residual_x1e4"
             " FROM d WINDOW w AS (PARTITION BY dayofweek(h), hour(h))"
         ),
         "agg_assoc_rules": (

@@ -701,17 +701,25 @@ def ivf_pq_topk(
         .select("neighbor_id", "cell", "codes")
         .persist()
     )
+    # LUT entries as exact integer micro-units (floor-scale of the
+    # 6dp-rounded subspace distance): per-query distance sums then
+    # stay exact integers, so rank order and output values carry no
+    # summation-order or decimal-round sensitivity at ANY data scale
+    # (the rounded-double form hit a 4dp round-half boundary at tiny
+    # sf).
     lut = F.array(
         *[
             F.array(
                 *[
-                    F.round(
-                        _sub_sq_dist(
-                            F.col("q_vec"), sub, sub_dim,
-                            F.lit(_pq_codebook(sub, k, sub_dim)[c]),
-                        ),
-                        6,
-                    )
+                    F.floor(
+                        F.round(
+                            _sub_sq_dist(
+                                F.col("q_vec"), sub, sub_dim,
+                                F.lit(_pq_codebook(sub, k, sub_dim)[c]),
+                            ),
+                            6,
+                        ) * 1000000 + F.lit(0.5)
+                    ).cast("long")
                     for c in range(k)
                 ]
             )
@@ -735,21 +743,21 @@ def ivf_pq_topk(
             F.col("lut"),
             lambda code, table: F.element_at(table, code + 1),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     scored = (
         index.join(q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("approx_dist", F.round(approx, 4))
+        .withColumn("approx_dist_u", approx)
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+        F.col("approx_dist_u").asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn(
             "rank", F.row_number().over(w).cast("int")
         )
         .filter(F.col("rank") <= k_neighbors)
-        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .select("query_id", "neighbor_id", "approx_dist_u", "rank")
     )
