@@ -194,3 +194,93 @@ def test_interval_overlap_join_equals_naive(spark, lefts, rights):
         if llo <= rlo + rln and rlo <= llo + lln
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators vs naive definitions
+# ---------------------------------------------------------------------------
+
+pareto_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)),  # (cost, value)
+    min_size=1, max_size=12,
+)
+
+
+@_settings
+@given(points=pareto_strategy)
+def test_pareto_frontier_equals_naive(spark, points):
+    from eggv_spark.operators.relational import pareto_frontier_2d
+
+    rows = [(i, float(c), v) for i, (c, v) in enumerate(points)]
+    df = spark.createDataFrame(rows, ["pid", "cost", "val"])
+    got = {(r["cost"], r["val"])
+           for r in pareto_frontier_2d(df, "cost", "val", ["pid"]).collect()}
+    # naive: a (cost, value) LEVEL survives iff no other point strictly
+    # dominates it
+    levels = {}
+    for _, c, v in rows:
+        levels[c] = max(levels.get(c, v), v)
+    expected = {
+        (c, v) for c, v in levels.items()
+        if not any(c2 < c and v2 >= v for c2, v2 in levels.items())
+    }
+    assert got == expected
+
+
+ks_strategy = st.lists(st.integers(0, 15), min_size=1, max_size=20)
+
+
+@_settings
+@given(xs=ks_strategy, ys=ks_strategy)
+def test_ks_statistic_equals_naive(spark, xs, ys):
+    from eggv_spark.operators.aggregates import ks_statistic
+
+    rows = [("a", float(x)) for x in xs] + [("b", float(y)) for y in ys]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    values = sorted(set(xs) | set(ys))
+    naive = max(
+        abs(sum(1 for x in xs if x <= t) / len(xs)
+            - sum(1 for y in ys if y <= t) / len(ys))
+        for t in values
+    )
+    assert row["ks_stat"] == round(naive, 6) or abs(
+        row["ks_stat"] - naive) < 1e-6
+    assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+weights_strategy = st.lists(
+    st.integers(1, 50), min_size=1, max_size=15
+)
+
+
+@_settings
+@given(ws=weights_strategy)
+def test_weighted_sample_equals_naive_es(spark, ws):
+    """The Spark Efraimidis-Spirakis draw must pick exactly the rows a
+    naive Python replay of the same md5 keys picks."""
+    import hashlib
+    import math
+
+    from eggv_spark.operators.relational import weighted_sample_group
+
+    k = max(1, len(ws) // 2)
+    rows = [("g", i, float(w)) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, ["g", "rid", "w"])
+    got = sorted(
+        r["rid"] for r in
+        weighted_sample_group(df, "g", "w", ["rid"], k=k).collect()
+    )
+
+    def es_key(rid, w):
+        h = int(hashlib.md5(str(rid).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / float(2**32 + 1)
+        return math.log(u) / w
+
+    expected = sorted(
+        rid for rid, _ in sorted(
+            ((rid, es_key(rid, w)) for _, rid, w in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+    )
+    assert got == expected
