@@ -254,19 +254,6 @@ def _pq_codebook(sub: int, k: int, sub_dim: int) -> list[list[float]]:
     ]
 
 
-def _sub_sq_dist(vec: Column, sub: int, sub_dim: int, centroid: Column) -> Column:
-    """Squared L2 distance between one subvector of ``vec`` and a
-    centroid, accumulated in double with a sequential fold."""
-    subvec = F.slice(vec, sub * sub_dim + 1, sub_dim)
-    return F.aggregate(
-        F.zip_with(
-            subvec, centroid, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_encode(
     corpus: DataFrame,
     m: int = 8,
@@ -282,33 +269,12 @@ def pq_encode(
     a ~dim*4/m byte compression, the representation that lets a
     billion-vector index live in memory.
     """
-    sub_dim = dim // m
-    codes = F.array(
-        *[
-            # argmin over k centroids: build (dist, idx) structs,
-            # array_min picks smallest dist (idx breaks ties upward)
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            F.round(
-                                _sub_sq_dist(
-                                    F.col(vec_col), sub, sub_dim,
-                                    F.lit(_pq_codebook(sub, k, sub_dim)[c]),
-                                ),
-                                6,
-                            ).alias("dist"),
-                            F.lit(c).alias("idx"),
-                        )
-                        for c in range(k)
-                    ]
-                )
-            ).getField("idx")
-            for sub in range(m)
-        ]
-    )
+    # argmin over k centroids per subspace, via the compact
+    # codebook-literal transform (see pq_codes_col / _pq_codebook_lit
+    # — byte-identical results, plan independent of m·k)
     return corpus.select(
-        F.col(id_col).alias("neighbor_id"), codes.alias("codes")
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_col(F.col(vec_col), m, k, dim).alias("codes"),
     )
 
 
@@ -335,22 +301,14 @@ def pq_topk(
     """
     sub_dim = dim // m
     encoded = pq_encode(corpus, m, k, dim, vec_col, id_col)
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _sub_sq_dist(
-                            F.col("q_vec"), sub, sub_dim,
-                            F.lit(_pq_codebook(sub, k, sub_dim)[c]),
-                        ),
-                        6,
-                    )
-                    for c in range(k)
-                ]
-            )
-            for sub in range(m)
-        ]
+    lut = F.transform(
+        _pq_codebook_lit(m, k, sub_dim),
+        lambda subtable, s: F.transform(
+            subtable,
+            lambda cen: F.round(
+                _pq_sub_sq_dist(F.col("q_vec"), s, sub_dim, cen), 6
+            ),
+        ),
     )
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -631,33 +589,56 @@ def label_centroid_similarity(
     )
 
 
+def _pq_codebook_lit(m: int, k: int, sub_dim: int) -> Column:
+    """The full m×k×sub_dim codebook as ONE nested-array literal.
+    Plan-size discipline: unrolling m·k separate distance folds builds
+    thousands of py4j Column nodes (measured 15 s of DataFrame
+    CONSTRUCTION for m=8, k=16 before any execution); a single
+    literal traversed by higher-order transforms keeps the plan a
+    handful of nodes regardless of m and k."""
+    return F.lit([
+        [_pq_codebook(sub, k, sub_dim)[c] for c in range(k)]
+        for sub in range(m)
+    ])
+
+
+def _pq_sub_sq_dist(vec: Column, sub_idx: Column, sub_dim: int,
+                    centroid: Column) -> Column:
+    """Squared L2 between a Column-indexed subvector and a centroid —
+    sequential double fold, with the subspace chosen at runtime by
+    ``sub_idx`` (a transform element index, not a Python int)."""
+    subvec = F.slice(vec, sub_idx * sub_dim + 1, F.lit(sub_dim))
+    return F.aggregate(
+        F.zip_with(
+            subvec, centroid,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_codes_col(vec: Column, m: int, k: int, dim: int) -> Column:
     """PQ code array for one vector as a pure Column expression —
     argmin centroid per subspace, 6dp-rounded distance with
     lowest-index tiebreak (shared by :func:`pq_encode` and
-    :func:`ivf_pq_topk`)."""
+    :func:`ivf_pq_topk`).  Codebook rides one nested literal; the
+    per-subspace argmin is array_min over (dist, idx) structs —
+    byte-identical results to the unrolled form, tiny plan."""
     sub_dim = dim // m
-    return F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            F.round(
-                                _sub_sq_dist(
-                                    vec, sub, sub_dim,
-                                    F.lit(_pq_codebook(sub, k, sub_dim)[c]),
-                                ),
-                                6,
-                            ).alias("dist"),
-                            F.lit(c).alias("idx"),
-                        )
-                        for c in range(k)
-                    ]
-                )
-            ).getField("idx")
-            for sub in range(m)
-        ]
+    cb = _pq_codebook_lit(m, k, sub_dim)
+    return F.transform(
+        cb,
+        lambda subtable, s: F.array_min(
+            F.transform(
+                subtable,
+                lambda cen, c: F.struct(
+                    F.round(_pq_sub_sq_dist(vec, s, sub_dim, cen), 6)
+                    .alias("dist"),
+                    c.alias("idx"),
+                ),
+            )
+        ).getField("idx"),
     )
 
 
@@ -706,25 +687,18 @@ def ivf_pq_topk(
     # stay exact integers, so rank order and output values carry no
     # summation-order or decimal-round sensitivity at ANY data scale
     # (the rounded-double form hit a 4dp round-half boundary at tiny
-    # sf).
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.floor(
-                        F.round(
-                            _sub_sq_dist(
-                                F.col("q_vec"), sub, sub_dim,
-                                F.lit(_pq_codebook(sub, k, sub_dim)[c]),
-                            ),
-                            6,
-                        ) * 1000000 + F.lit(0.5)
-                    ).cast("long")
-                    for c in range(k)
-                ]
-            )
-            for sub in range(m)
-        ]
+    # sf).  Built by transforms over the single codebook literal —
+    # see _pq_codebook_lit for why not m·k unrolled expressions.
+    lut = F.transform(
+        _pq_codebook_lit(m, k, sub_dim),
+        lambda subtable, s: F.transform(
+            subtable,
+            lambda cen: F.floor(
+                F.round(
+                    _pq_sub_sq_dist(F.col("q_vec"), s, sub_dim, cen), 6
+                ) * 1000000 + F.lit(0.5)
+            ).cast("long"),
+        ),
     )
     q = F.broadcast(
         queries.select(
