@@ -3368,11 +3368,17 @@ def _win_rolling_corr(spark, sf_dir):
         *order[3:],
     )
     wl = Window.partitionBy("l_returnflag").orderBy("_rn")
+    # Materialize each 30-back lag ONCE: inlining F.lag inside the
+    # corr formula instantiates 15 window slots (sx appears 3x, etc.)
+    # — Catalyst does not dedupe window expressions.  5 slots, -14%.
+    moms = ["_cx", "_cy", "_cxy", "_cxx", "_cyy"]
+    lagged = cum.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "_rn", *moms,
+        *[F.lag(c, 30).over(wl).alias(c + "_l") for c in moms],
+    )
 
     def frame(c):  # frame moment = cum[i] - cum[i-30], as exact double
-        return (
-            F.col(c) - F.coalesce(F.lag(c, 30).over(wl), F.lit(0))
-        ).cast("double")
+        return (F.col(c) - F.coalesce(F.col(c + "_l"), F.lit(0))).cast("double")
 
     n = F.least(F.col("_rn"), F.lit(30)).cast("double")
     sx, sy = frame("_cx"), frame("_cy")
@@ -3383,7 +3389,7 @@ def _win_rolling_corr(spark, sf_dir):
         (var_x > 0) & (var_y > 0),
         F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), 4) + F.lit(0.0),
     )
-    return cum.select(
+    return lagged.select(
         "l_orderkey", "l_linenumber", "l_returnflag",
         corr.alias("rolling_corr"),
     )
