@@ -284,3 +284,51 @@ def test_weighted_sample_equals_naive_es(spark, ws):
         )[:k]
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (hashed multiplicity) vs naive Python counts
+# ---------------------------------------------------------------------------
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c\tXY.\n")),
+        min_size=0, max_size=60,
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@_settings
+@given(texts=texts_strategy)
+def test_repetition_stats_equal_naive(spark, texts):
+    """with_repetition_stats runs multiplicity over xxhash64
+    fingerprints; on arbitrary text it must match naive Python
+    counting of the raw tokens (collision-free at any realistic
+    document size)."""
+    import re
+    from collections import Counter
+
+    from eggv_spark.operators.text_analysis import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    got = {
+        r["i"]: (r["n_words"], r["dup_word_frac"], r["max_word_share"],
+                 r["top_bigram_share"])
+        for r in with_repetition_stats(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w != ""]
+        n = len(toks)
+        denom = max(n, 1)
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bdenom = max(len(bigrams), 1)
+        expected = (
+            n,
+            round((n - len(set(toks))) / denom, 4),
+            round((max(Counter(toks).values()) if toks else 0) / denom, 4),
+            round((max(Counter(bigrams).values()) if bigrams else 0) / bdenom, 4),
+        )
+        assert got[i] == expected, (t, got[i], expected)
