@@ -144,10 +144,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names whose parquet footer type is TIMESTAMP(NANOS).
+
+    Works for single-file tables AND directory-shaped tables (the
+    only shape that exists at scale — every distributed writer emits
+    part files): for a directory, one part's footer is probed (all
+    parts share the writer schema).  Unreadable/remote paths fall
+    back to [] — the nanos normalization simply doesn't apply, and
+    Spark's own reader raises its usual error if such a column truly
+    appears."""
+    import glob
+    import os
+
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path)
-    import pyarrow as pa
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+            if os.path.isfile(p)
+        )
+        if not parts:
+            return []
+        probe = parts[0]
+    try:
+        schema = pq.read_schema(probe)
+    except (OSError, pa.ArrowInvalid):
+        return []
 
     return [
         field.name

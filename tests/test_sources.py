@@ -166,3 +166,28 @@ def test_date_spine_attributes(spark):
     assert rows["2024-03-02"].is_weekend          # Saturday
     assert not rows["2024-02-29"].is_weekend      # Thursday
     assert rows["2024-03-01"].month == 3 and rows["2024-03-01"].year == 2024
+
+
+def test_read_table_directory_shaped_with_nanos(spark, tmp_path):
+    """Directory-shaped tables (the only shape at scale) must pass the
+    nanos-footer probe: part files are probed, ns timestamps
+    normalized to microsecond TIMESTAMP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eggv_spark.sources.readers import read_table
+
+    tdir = tmp_path / "events.parquet"
+    tdir.mkdir()
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_000_000_001, 1_700_000_000_000_001_500],
+                       type=pa.timestamp("ns")),
+        "v": pa.array([1, 2], type=pa.int64()),
+    })
+    pq.write_table(t.slice(0, 1), tdir / "part-000.parquet")
+    pq.write_table(t.slice(1, 1), tdir / "part-001.parquet")
+
+    df = read_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r["v"] for r in df.collect())
+    assert got == [1, 2]
