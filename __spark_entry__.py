@@ -4488,6 +4488,72 @@ def _olap_q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+def _graph_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient on the part
+    co-purchase graph (parts co-ordered ≥2 times).  Wedge-join +
+    closing-edge LEFT SEMI probe with a<b<c orientation — each
+    triangle produced exactly once, never an all-pairs product
+    (graph.triangle_count; degree-orientation is the 100 TB
+    refinement, same plan)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    edges = (
+        li.join(other, (li["l_orderkey"] == other["_ok"])
+                & (li["l_partkey"] < other["_pb"]))
+        .groupBy(F.col("l_partkey").alias("x"), F.col("_pb").alias("y"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("x", "y")
+    )
+    return G.triangle_count(edges, "x", "y")
+
+
+def _agg_auc(spark, sf_dir):
+    """Per-day ROC AUC (is this event a purchase, scored by event
+    value) via the tie-corrected Mann–Whitney rank identity — one
+    window shuffle, rank sums exact in doubles
+    (aggregates.roc_auc)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").alias("day"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        "value",
+    )
+    return AG.roc_auc(ev, "y", "value", keys=["day"])
+
+
+def _agg_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test on event value between the two
+    arms of a deterministic md5 user split — the continuous-metric A/B
+    readout (companion to evt_ab_test's proportion z-test); one
+    conditional-moment aggregation pass (aggregates.welch_ttest)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (D.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "value",
+    )
+    return AG.welch_ttest(ev, "arm", "value")
+
+
+def _smp_balanced_classes(spark, sf_dir):
+    """Class-balanced downsample of the embedding table: every label
+    cut to the global minority-class size by portable md5 rank —
+    deterministic across runs/engines/partitionings
+    (relational.balanced_downsample)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return R.balanced_downsample(emb, "label", "vec_id")
+
+
+def _txt_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary sizing curve: vocab size needed for
+    50/90/95/99% corpus coverage under a total (count desc, token asc)
+    order — token counts + one vocab-sized cumulative window
+    (text_analysis.vocab_coverage)."""
+    return T.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
@@ -4753,6 +4819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q16_supplier_counts": _olap_q16_supplier_counts,
         "olap_q20_part_promotion": _olap_q20_part_promotion,
         "olap_q21_waiting_suppliers": _olap_q21_waiting_suppliers,
+        "graph_triangles": _graph_triangles,
+        "agg_auc": _agg_auc,
+        "agg_welch": _agg_welch,
+        "smp_balanced_classes": _smp_balanced_classes,
+        "txt_vocab_coverage": _txt_vocab_coverage,
     }
 
 
@@ -7070,6 +7141,92 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l_suppkey)"
             " JOIN supplier ON l_suppkey = s_suppkey"
             " ORDER BY numwait DESC, s_suppkey ASC LIMIT 100"
+        ),
+        "graph_triangles": (
+            "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey"
+            "  FROM lineitem),"
+            " e AS (SELECT a.l_partkey AS x, b.l_partkey AS y"
+            "  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+            "  AND a.l_partkey < b.l_partkey"
+            "  GROUP BY 1, 2 HAVING count(*) >= 2),"
+            " deg AS (SELECT node, count(*) AS d FROM ("
+            "  SELECT x AS node FROM e UNION ALL SELECT y FROM e)"
+            "  GROUP BY node),"
+            " wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT)"
+            "  AS n_wedges FROM deg),"
+            " tri AS (SELECT count(*) AS n_triangles FROM e e1"
+            "  JOIN e e2 ON e1.y = e2.x"
+            "  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),"
+            " ne AS (SELECT count(*) AS n_edges FROM e)"
+            " SELECT n_edges, n_wedges, n_triangles,"
+            " round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff"
+            " FROM ne, wed, tri"
+        ),
+        "agg_auc": (
+            "WITH s AS (SELECT CAST(day(ts) AS INT) AS day,"
+            "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,"
+            "  value FROM events),"
+            " r AS (SELECT day, y,"
+            "  rank() OVER (PARTITION BY day ORDER BY value ASC)"
+            "  + (count(*) OVER (PARTITION BY day, value) - 1) / 2.0"
+            "   AS rr FROM s),"
+            " g AS (SELECT day,"
+            "  sum(CASE WHEN y = 1 THEN rr END) AS rsum,"
+            "  CAST(sum(y) AS BIGINT) AS n_pos,"
+            "  CAST(sum(1 - y) AS BIGINT) AS n_neg"
+            "  FROM r GROUP BY day)"
+            " SELECT day, n_pos, n_neg,"
+            " round((rsum - n_pos * (n_pos + 1) / 2.0)"
+            "  / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc"
+            " FROM g"
+        ),
+        "agg_welch": (
+            "WITH s AS (SELECT"
+            "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
+            "   1, 8)) AS BIGINT) % 2 AS arm, value FROM events),"
+            " g AS (SELECT"
+            "  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n0,"
+            "  avg(CASE WHEN arm = 0 THEN value END) AS m0,"
+            "  var_samp(CASE WHEN arm = 0 THEN value END) AS v0,"
+            "  CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n1,"
+            "  avg(CASE WHEN arm <> 0 THEN value END) AS m1,"
+            "  var_samp(CASE WHEN arm <> 0 THEN value END) AS v1"
+            "  FROM s)"
+            " SELECT n0, n1, round(m0, 4) AS mean0, round(m1, 4) AS mean1,"
+            " round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t_stat,"
+            " round(pow(v0 / n0 + v1 / n1, 2)"
+            "  / (pow(v0 / n0, 2) / (n0 - 1)"
+            "   + pow(v1 / n1, 2) / (n1 - 1)), 4) AS welch_dof"
+            " FROM g"
+        ),
+        "smp_balanced_classes": (
+            "WITH m AS (SELECT min(cnt) AS min_n FROM ("
+            "  SELECT count(*) AS cnt FROM embeddings GROUP BY label)),"
+            " r AS (SELECT vec_id, label, row_number() OVER ("
+            "  PARTITION BY label ORDER BY"
+            "  CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),"
+            "   1, 8)) AS BIGINT) ASC, vec_id ASC) AS rk"
+            "  FROM embeddings)"
+            " SELECT vec_id, label FROM r, m WHERE rk <= min_n"
+        ),
+        "txt_vocab_coverage": (
+            f"WITH tk AS (SELECT {_TOKS_SQL} AS t FROM documents),"
+            " toks AS (SELECT unnest(t) AS tok FROM tk),"
+            " c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),"
+            " tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),"
+            " curve AS (SELECT"
+            "  row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,"
+            "  CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "   AS BIGINT) AS cum FROM c),"
+            " thr AS (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS threshold)"
+            " SELECT threshold,"
+            " CAST(min(rank) AS BIGINT) AS vocab_size,"
+            " CAST(min(cum) AS BIGINT) AS covered_tokens"
+            " FROM curve, thr, tot WHERE cum >= threshold * total"
+            " GROUP BY threshold"
         ),
         "evt_attribution_linear": (
             "WITH ev AS (SELECT event_id, user_id, ts, event_type,"

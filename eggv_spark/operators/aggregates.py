@@ -636,3 +636,94 @@ def countmin_estimate(
         .groupBy("probe_key")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group ROC AUC via the Mann–Whitney rank-sum identity:
+    AUC = (Σ ranks(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻), with AVERAGE
+    ranks for score ties (the standard tie correction — without it a
+    heavily-tied score column biases the estimate).
+
+    One window shuffle on ``keys`` computes ranks; average tie rank is
+    min-rank + (tie_count − 1)/2 from two window functions over the
+    same sort, so no second shuffle.  Ranks are integers-or-halves and
+    their sums are exact in doubles (< 2⁵³), so the final division is
+    engine-portable; output rounded to 6dp.  Degenerate groups (no
+    positives or no negatives) yield NULL via try_divide.
+
+    Scale: the shuffle is the per-group sort — the same cost as any
+    ranking metric; a group that exceeds one executor's sort space
+    needs the two-phase range-partitioned rank decomposition.
+    """
+    keys = list(keys)
+    part = Window.partitionBy(*[F.col(k) for k in keys]) if keys else (
+        Window.partitionBy()
+    )
+    w_rank = part.orderBy(F.col(score_col).asc())
+    tie = Window.partitionBy(*([F.col(k) for k in keys] + [F.col(score_col)]))
+    avg_rank = (
+        F.rank().over(w_rank) + (F.count("*").over(tie) - 1) / 2.0
+    )
+    lab = F.col(label_col).cast("int")
+    ranked = df.select(
+        *keys, lab.alias("_y"), avg_rank.alias("_r")
+    )
+    grouped = ranked.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_rsum"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(1 - F.col("_y")).alias("n_neg"),
+    )
+    auc = F.try_divide(
+        F.col("_rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0,
+        F.col("n_pos").cast("double") * F.col("n_neg"),
+    )
+    return grouped.select(
+        *keys, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+    )
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str, keys: Sequence[str] = ()
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the two
+    values of ``group_col`` (continuous-metric A/B readout — the
+    companion to the two-proportion z-test in ``evt_ab_test``).
+    Emits per-``keys`` means, the t statistic, and the
+    Welch–Satterthwaite degrees of freedom, both rounded to 4dp.
+
+    Single aggregation pass: n/mean/var_samp per arm are distributive
+    moments (map-side combined), pivoted by a conditional agg so the
+    two arms never shuffle separately.  Requires every group to have
+    both arms with n ≥ 2; degenerate groups yield NULL via
+    try_divide."""
+    keys = list(keys)
+    arms = df.groupBy(*keys).agg(
+        F.sum(F.when(F.col(group_col) == 0, 1).otherwise(0)).alias("n0"),
+        F.avg(F.when(F.col(group_col) == 0, F.col(value_col))).alias("m0"),
+        F.var_samp(F.when(F.col(group_col) == 0, F.col(value_col)))
+        .alias("v0"),
+        F.sum(F.when(F.col(group_col) != 0, 1).otherwise(0)).alias("n1"),
+        F.avg(F.when(F.col(group_col) != 0, F.col(value_col))).alias("m1"),
+        F.var_samp(F.when(F.col(group_col) != 0, F.col(value_col)))
+        .alias("v1"),
+    )
+    se0 = F.try_divide(F.col("v0"), F.col("n0"))
+    se1 = F.try_divide(F.col("v1"), F.col("n1"))
+    t = F.try_divide(F.col("m0") - F.col("m1"), F.sqrt(se0 + se1))
+    dof = F.try_divide(
+        (se0 + se1) * (se0 + se1),
+        F.try_divide(se0 * se0, F.col("n0") - 1)
+        + F.try_divide(se1 * se1, F.col("n1") - 1),
+    )
+    return arms.select(
+        *keys, "n0", "n1",
+        F.round("m0", 4).alias("mean0"),
+        F.round("m1", 4).alias("mean1"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 4).alias("welch_dof"),
+    )

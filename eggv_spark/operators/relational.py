@@ -725,3 +725,35 @@ def copurchase_pairs(
         [F.col("support").desc(), F.col("item_a").asc(), F.col("item_b").asc()],
         top_n,
     )
+
+
+def balanced_downsample(
+    df: DataFrame, label_col: str, key_col: str
+) -> DataFrame:
+    """Class-balance a training table by downsampling every class to
+    the global minority-class size — deterministic (portable md5 rank
+    over ``key_col``, then the key itself as tiebreak), so the same
+    balanced set comes back across runs, partitionings, and engines.
+
+    Plan: one map-side-combined count to find the minority size
+    (1-row broadcast), one window shuffle on ``label_col`` to rank
+    within each class, then a rank filter.  Scale: the window
+    partitions by class — a class bigger than one executor's sort
+    space wants the two-phase bucketed-rank decomposition; the common
+    case (dozens-to-thousands of classes) spreads evenly."""
+    from .dedupe import base_hash
+
+    min_n = (
+        df.groupBy(label_col).agg(F.count("*").alias("_n"))
+        .agg(F.min("_n").alias("_min_n"))
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        base_hash(F.col(key_col).cast("string")).asc(),
+        F.col(key_col).asc(),
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(min_n))
+        .filter(F.col("_rk") <= F.col("_min_n"))
+        .drop("_rk", "_min_n")
+    )

@@ -813,3 +813,51 @@ def source_vocab_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    thresholds: "Sequence[float]" = (0.5, 0.9, 0.95, 0.99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: for each coverage threshold,
+    the number of highest-frequency word types needed so that their
+    occurrences cover that share of the corpus — the first question of
+    vocabulary construction ("how big must the vocab be for ≤1% OOV?").
+
+    Pipeline: token counts (one map-side-combined shuffle over the
+    corpus), a cumulative-count window over the VOCAB-sized table
+    ranked by (count desc, token asc — a total order, so the curve is
+    deterministic), then a threshold probe.  The cumulative window is
+    the same single-reducer posture as ``ks_statistic``: it runs over
+    type counts, not corpus rows (≈10⁵–10⁷ rows even at 100 TB); if
+    the vocabulary itself outgrows one task, the decomposition is the
+    two-phase bucketed prefix sum (per-bucket partials + broadcast
+    bucket offsets) over the identical ordering.
+    """
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.orderBy(F.col("_c").desc(), F.col("_tok").asc())
+    curve = counts.select(
+        F.row_number().over(w).alias("_rank"),
+        F.sum("_c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+    )
+    total = counts.agg(F.sum("_c").alias("_total"))
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    probes = total.select("_total", thr)
+    return (
+        curve.join(F.broadcast(probes))
+        .filter(F.col("_cum") >= F.col("threshold") * F.col("_total"))
+        .groupBy("threshold")
+        .agg(
+            F.min("_rank").alias("vocab_size"),
+            F.min("_cum").alias("covered_tokens"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Tests for the round-3 additions: triangle counting, rank-based ROC
+AUC, Welch's t-test, class-balanced downsampling, and the vocabulary
+coverage curve — each checked against a hand-computed or naive-Python
+replay on small exact fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eggv_spark.operators.aggregates import roc_auc, welch_ttest
+from eggv_spark.operators.graph import triangle_count
+from eggv_spark.operators.relational import balanced_downsample
+from eggv_spark.operators.text_analysis import vocab_coverage
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_triangle_count_k4(spark):
+    # K4: 6 edges, 4 triangles, every node degree 3 -> 4*3 = 12 wedges
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    row = triangle_count(e).collect()[0]
+    assert row["n_edges"] == 6
+    assert row["n_wedges"] == 12
+    assert row["n_triangles"] == 4
+    assert row["clustering_coeff"] == 1.0
+
+
+def test_triangle_count_path_has_none(spark):
+    # a path 1-2-3-4: one wedge per interior node, zero triangles
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    row = triangle_count(e).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_wedges"] == 2
+    assert row["n_triangles"] == 0
+    assert row["clustering_coeff"] == 0.0
+
+
+def test_triangle_count_dedups_direction_and_loops(spark):
+    # duplicate edges, reversed duplicates, and self-loops all collapse
+    e = _edges(
+        spark,
+        [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 1), (2, 2)],
+    )
+    row = triangle_count(e).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_triangles"] == 1
+
+
+# ---------------------------------------------------------------------------
+# roc_auc
+# ---------------------------------------------------------------------------
+
+def test_roc_auc_perfect_and_inverted(spark):
+    # positives strictly above negatives -> AUC 1; reversed -> 0
+    rows = [Row(g="hi", y=1, s=float(10 + i)) for i in range(3)]
+    rows += [Row(g="hi", y=0, s=float(i)) for i in range(3)]
+    rows += [Row(g="lo", y=0, s=float(10 + i)) for i in range(3)]
+    rows += [Row(g="lo", y=1, s=float(i)) for i in range(3)]
+    out = {
+        r["g"]: r for r in roc_auc(
+            spark.createDataFrame(rows), "y", "s", keys=["g"]
+        ).collect()
+    }
+    assert out["hi"]["auc"] == 1.0 and out["lo"]["auc"] == 0.0
+    assert out["hi"]["n_pos"] == 3 and out["hi"]["n_neg"] == 3
+
+
+def test_roc_auc_ties_average_rank(spark):
+    # all scores equal -> AUC exactly 0.5 regardless of labels
+    rows = [Row(y=i % 2, s=1.0) for i in range(8)]
+    out = roc_auc(spark.createDataFrame(rows), "y", "s").collect()[0]
+    assert out["auc"] == 0.5
+
+
+def test_roc_auc_matches_naive_pairs(spark):
+    # AUC == P(score_pos > score_neg) + 0.5 P(tie), replayed in Python
+    import itertools
+    data = [(1, 3.0), (1, 1.0), (1, 2.0), (0, 2.0), (0, 0.5), (0, 2.5)]
+    pos = [s for y, s in data if y == 1]
+    neg = [s for y, s in data if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    expected = wins / (len(pos) * len(neg))
+    out = roc_auc(
+        spark.createDataFrame([Row(y=y, s=s) for y, s in data]), "y", "s"
+    ).collect()[0]
+    # the operator rounds to 6dp; compare at that precision
+    assert out["auc"] == pytest.approx(expected, abs=5e-7)
+
+
+def test_roc_auc_degenerate_group_null(spark):
+    rows = [Row(y=1, s=1.0), Row(y=1, s=2.0)]
+    out = roc_auc(spark.createDataFrame(rows), "y", "s").collect()[0]
+    assert out["auc"] is None
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+def test_welch_ttest_matches_closed_form(spark):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]
+    rows = [Row(arm=0, v=x) for x in a] + [Row(arm=1, v=x) for x in b]
+    out = welch_ttest(spark.createDataFrame(rows), "arm", "v").collect()[0]
+
+    import statistics
+    m0, m1 = statistics.fmean(a), statistics.fmean(b)
+    v0, v1 = statistics.variance(a), statistics.variance(b)
+    se0, se1 = v0 / len(a), v1 / len(b)
+    t = (m0 - m1) / math.sqrt(se0 + se1)
+    dof = (se0 + se1) ** 2 / (
+        se0**2 / (len(a) - 1) + se1**2 / (len(b) - 1)
+    )
+    assert out["n0"] == 4 and out["n1"] == 5
+    assert out["t_stat"] == pytest.approx(round(t, 4), abs=1e-9)
+    assert out["welch_dof"] == pytest.approx(round(dof, 4), abs=1e-9)
+
+
+def test_welch_ttest_identical_arms_t_zero(spark):
+    rows = [Row(arm=i % 2, v=float(i // 2)) for i in range(20)]
+    out = welch_ttest(spark.createDataFrame(rows), "arm", "v").collect()[0]
+    assert out["t_stat"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# balanced_downsample
+# ---------------------------------------------------------------------------
+
+def test_balanced_downsample_equalizes_classes(spark):
+    rows = [Row(k=i, lab="a") for i in range(20)]
+    rows += [Row(k=100 + i, lab="b") for i in range(5)]
+    rows += [Row(k=200 + i, lab="c") for i in range(11)]
+    out = balanced_downsample(spark.createDataFrame(rows), "lab", "k")
+    counts = {
+        r["lab"]: r["n"]
+        for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 5, "b": 5, "c": 5}
+
+
+def test_balanced_downsample_deterministic(spark):
+    rows = [Row(k=i, lab=i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    first = sorted(r["k"] for r in balanced_downsample(df, "lab", "k").collect())
+    second = sorted(
+        r["k"]
+        for r in balanced_downsample(df.repartition(7), "lab", "k").collect()
+    )
+    assert first == second
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_exact_small_corpus(spark):
+    # 10 x "a", 5 x "b", 4 x "c", 1 x "d"  (total 20)
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"] * 4 + ["d"])
+    df = spark.createDataFrame([Row(text=text)])
+    out = {
+        r["threshold"]: (r["vocab_size"], r["covered_tokens"])
+        for r in vocab_coverage(df, thresholds=(0.5, 0.75, 0.95, 1.0)).collect()
+    }
+    assert out[0.5] == (1, 10)       # "a" alone covers 50%
+    assert out[0.75] == (2, 15)      # a+b cover 75%
+    assert out[0.95] == (3, 19)      # a+b+c cover 95%
+    assert out[1.0] == (4, 20)       # everything
