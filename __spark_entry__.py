@@ -4546,6 +4546,80 @@ def _smp_balanced_classes(spark, sf_dir):
     return R.balanced_downsample(emb, "label", "vec_id")
 
 
+def _ddp_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup on the embedding corpus with
+    injected exact duplicates (every 25th vector re-added under a
+    shifted id): k-means cluster (map-only deterministic E-step),
+    within-cluster cosine pairs, drop near-dups (>0.95) of lower-id
+    cluster-mates.  Quadratic work is per-cluster, never corpus-wide
+    (similarity.semantic_dedupe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    with_dups = emb.unionByName(
+        emb.filter("vec_id % 25 = 0").withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1000000)
+        )
+    )
+    return S.semantic_dedupe(with_dups, threshold=0.95)
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup replica: the kmeans_assign centroid literals and
+    6dp-rounded argmin (same as _kmeans_iter_oracle), then in-cluster
+    cosine pairs and the lower-id-keeper anti-join."""
+    from eggv_spark.operators.similarity import _centroid_values
+
+    dim, n_clusters = 64, 8
+    cent_rows = ", ".join(
+        f"({c}, ["
+        + ", ".join(repr(w / 2000.0) for w in _centroid_values(c, dim))
+        + "])"
+        for c in range(n_clusters)
+    )
+    return f"""
+WITH cent(cluster_id, cv) AS (VALUES {cent_rows}),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+    FROM embeddings WHERE vec_id % 25 = 0),
+d AS (SELECT vec_id, v, cluster_id,
+    round(list_aggregate(list_transform(generate_series(1, {dim}),
+          i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum'), 6) AS sqd
+    FROM base CROSS JOIN cent),
+asg AS (SELECT vec_id, v, cluster_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sqd, cluster_id) AS rk FROM d)
+    WHERE rk = 1),
+dup AS (SELECT DISTINCT b.vec_id AS idb
+    FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id
+        AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) > 0.95),
+sz AS (SELECT cluster_id, count(*) AS n_cluster_members
+    FROM asg GROUP BY cluster_id)
+SELECT vec_id, CAST(asg.cluster_id AS INT) AS cluster_id,
+    n_cluster_members
+FROM asg JOIN sz USING (cluster_id)
+WHERE vec_id NOT IN (SELECT idb FROM dup)
+"""
+
+
+def _agg_calibration(spark, sf_dir):
+    """Reliability diagram of a min-max-normalized event-value
+    'probability' against the purchase outcome: 10 equal-width bins,
+    per-bin count / mean prediction / outcome rate / |gap| — one
+    1-row broadcast for the normalizer plus one combined aggregation
+    (aggregates.calibration_bins)."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    scored = ev.join(F.broadcast(mm)).select(
+        ((F.col("value") - F.col("_lo"))
+         / (F.col("_hi") - F.col("_lo"))).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return AG.calibration_bins(scored, "p", "y", n_bins=10)
+
+
 def _txt_vocab_coverage(spark, sf_dir):
     """Tokenizer-vocabulary sizing curve: vocab size needed for
     50/90/95/99% corpus coverage under a total (count desc, token asc)
@@ -4824,6 +4898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_welch": _agg_welch,
         "smp_balanced_classes": _smp_balanced_classes,
         "txt_vocab_coverage": _txt_vocab_coverage,
+        "ddp_semdedup": _ddp_semdedup,
+        "agg_calibration": _agg_calibration,
     }
 
 
@@ -7141,6 +7217,22 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l_suppkey)"
             " JOIN supplier ON l_suppkey = s_suppkey"
             " ORDER BY numwait DESC, s_suppkey ASC LIMIT 100"
+        ),
+        "ddp_semdedup": _semdedup_oracle(),
+        "agg_calibration": (
+            "WITH mm AS (SELECT min(value) AS lo, max(value) AS hi"
+            "  FROM events),"
+            " s AS (SELECT (value - lo) / (hi - lo) AS p,"
+            "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+            "  FROM events, mm),"
+            " b AS (SELECT CAST(least(floor("
+            "   greatest(least(p, 1.0), 0.0) * 10), 9) AS INT) AS bin,"
+            "  p, y FROM s)"
+            " SELECT bin, count(*) AS n,"
+            " round(avg(p), 4) AS mean_pred,"
+            " round(avg(y), 4) AS outcome_rate,"
+            " round(abs(avg(p) - avg(y)), 4) AS abs_gap"
+            " FROM b GROUP BY bin"
         ),
         "graph_triangles": (
             "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey"

@@ -727,3 +727,39 @@ def welch_ttest(
         F.round(t, 4).alias("t_stat"),
         F.round(dof, 4).alias("welch_dof"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: equal-width
+    bins over predicted probability with per-bin count, mean
+    prediction, observed outcome rate, and the |gap| whose weighted
+    sum is the expected calibration error (ECE).
+
+    One map-side-combined aggregation on the bin id; predictions are
+    clamped to [0, 1] and the top edge folds into the last bin (the
+    standard convention).  Means are 4dp-rounded for engine
+    portability."""
+    binned = F.least(
+        F.floor(
+            F.greatest(F.least(F.col(pred_col), F.lit(1.0)), F.lit(0.0))
+            * n_bins
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    lab = F.col(label_col).cast("double")
+    return (
+        df.select(binned.alias("bin"), F.col(pred_col).alias("_p"),
+                  lab.alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_p"), 4).alias("mean_pred"),
+            F.round(F.avg("_y"), 4).alias("outcome_rate"),
+            F.round(F.abs(F.avg("_p") - F.avg("_y")), 4).alias("abs_gap"),
+        )
+    )

@@ -735,3 +735,62 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "approx_dist_u", "rank")
     )
+
+
+def semantic_dedupe(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: cluster the corpus (map-only
+    E-step against deterministic centroids), then WITHIN each cluster
+    drop every vector whose cosine to a lower-id cluster-mate exceeds
+    ``threshold`` (6dp-rounded — engine-portable).  Returns the
+    surviving rows as (id, cluster_id, n_cluster_members).
+
+    This is the published SemDeDup recipe (cluster first so the
+    quadratic near-dup scan runs per-cluster, not corpus-wide): the
+    pair join keys on ``cluster_id``, so the work is Σ|cluster|² —
+    bounded by the largest cluster, never |corpus|².  At 100 TB the
+    cluster count scales with the corpus (√n-ish, as in IVF) to hold
+    per-cluster membership flat; a runaway cluster is exactly the
+    skew AQE's join splitting absorbs, and the lower-id keeper rule
+    makes the result order- and partitioning-independent.
+    """
+    from eggv_spark.operators.dedupe import cosine_col
+
+    assigned = kmeans_assign(
+        corpus, n_clusters, vec_col, id_col, dim
+    ).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+        "cluster_id",
+    ).cache()
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine_col(F.col("_va"), F.col("_vb")), 6)
+            > F.lit(threshold)
+        )
+        .select(F.col("_idb").alias("_dup"))
+        .distinct()
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_cluster_members")
+    )
+    return (
+        assigned.join(dups, assigned[id_col] == dups["_dup"], "left_anti")
+        .join(F.broadcast(sizes), "cluster_id")
+        .select(id_col, "cluster_id", "n_cluster_members")
+    )

@@ -178,3 +178,67 @@ def test_vocab_coverage_exact_small_corpus(spark):
     assert out[0.75] == (2, 15)      # a+b cover 75%
     assert out[0.95] == (3, 19)      # a+b+c cover 95%
     assert out[1.0] == (4, 20)       # everything
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedupe / calibration_bins
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedupe_drops_exact_copies(spark):
+    from eggv_spark.operators.similarity import semantic_dedupe
+
+    # distinct directions [1, i]: closest non-identical pair (i=10,11)
+    # has cosine ~0.99983, safely below the 0.999999 threshold
+    base = [
+        Row(vec_id=i, embedding=[1.0, float(i)] + [0.0] * 6)
+        for i in range(12)
+    ]
+    # re-add ids 0..3 as exact copies under shifted ids
+    dups = [Row(vec_id=100 + r.vec_id, embedding=r.embedding)
+            for r in base[:4]]
+    df = spark.createDataFrame(base + dups)
+    out = semantic_dedupe(df, threshold=0.999999, n_clusters=2, dim=8)
+    ids = sorted(r["vec_id"] for r in out.collect())
+    # exact copies (cosine 1.0) drop; every distinct direction survives
+    assert ids == list(range(12))
+
+
+def test_semantic_dedupe_keeps_distinct_vectors(spark):
+    from eggv_spark.operators.similarity import semantic_dedupe
+
+    # orthogonal-ish one-hot vectors: no pair is near-duplicate
+    rows = [
+        Row(vec_id=i, embedding=[1.0 if d == i else 0.0 for d in range(8)])
+        for i in range(8)
+    ]
+    out = semantic_dedupe(
+        spark.createDataFrame(rows), threshold=0.95, n_clusters=2, dim=8
+    )
+    assert out.count() == 8
+
+
+def test_calibration_bins_exact(spark):
+    from eggv_spark.operators.aggregates import calibration_bins
+
+    # bin 0: preds 0.05 x2, outcomes 0,1 -> rate 0.5, gap 0.45
+    # bin 9: pred 1.0 folds into last bin, outcome 1 -> gap 0
+    rows = [
+        Row(p=0.05, y=0), Row(p=0.05, y=1),
+        Row(p=1.0, y=1),
+        Row(p=0.55, y=0),
+    ]
+    out = {r["bin"]: r for r in calibration_bins(
+        spark.createDataFrame(rows), "p", "y").collect()}
+    assert out[0]["n"] == 2 and out[0]["outcome_rate"] == 0.5
+    assert out[0]["abs_gap"] == pytest.approx(0.45, abs=1e-9)
+    assert out[9]["n"] == 1 and out[9]["outcome_rate"] == 1.0
+    assert out[5]["n"] == 1 and out[5]["outcome_rate"] == 0.0
+
+
+def test_calibration_bins_clamps_out_of_range(spark):
+    from eggv_spark.operators.aggregates import calibration_bins
+
+    rows = [Row(p=-0.3, y=0), Row(p=1.7, y=1)]
+    out = {r["bin"]: r["n"] for r in calibration_bins(
+        spark.createDataFrame(rows), "p", "y").collect()}
+    assert out == {0: 1, 9: 1}
