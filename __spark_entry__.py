@@ -4653,7 +4653,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       normalization, q-gram fuzzy, co-purchase/association rules,
       FK audit, conversion/rate/seasonal analytics, A/B readout,
       Benford (``agg_hll_rollup`` is rows-only: sketch estimates are
-      not value-reproducible in DuckDB).
+      not value-reproducible in DuckDB);
+    - late round-3 block (tail): the TPC-H-analog completion
+      (``olap_q2/q4/q11/q12/q16/q20/q21`` — all 22 shapes now have an
+      analog), triangle census, rank-sum ROC AUC, Welch t-test,
+      class-balanced downsampling, vocabulary coverage curve,
+      SemDeDup semantic pruning, and calibration bins.
     """
     return {
         # --- round-3 verification window: never-driver-verified (49) ---
