@@ -332,3 +332,64 @@ def test_repetition_stats_equal_naive(spark, texts):
             round((max(Counter(bigrams).values()) if bigrams else 0) / bdenom, 4),
         )
         assert got[i] == expected, (t, got[i], expected)
+
+
+triangle_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0, max_size=20,
+)
+
+
+@_settings
+@given(pairs=triangle_edges_strategy)
+def test_triangle_count_equals_naive(spark, pairs):
+    from itertools import combinations
+
+    from eggv_spark.operators.graph import triangle_count
+
+    canon = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    if not canon:
+        return  # empty edge set: nothing to count
+    nodes = {n for e in canon for n in e}
+    deg = {n: sum(1 for e in canon if n in e) for n in nodes}
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    n_triangles = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in canon and (b, c) in canon and (a, c) in canon
+    )
+    e = spark.createDataFrame(list(pairs), ["src", "dst"])
+    row = triangle_count(e).collect()[0]
+    assert row["n_edges"] == len(canon)
+    assert row["n_wedges"] == n_wedges
+    assert row["n_triangles"] == n_triangles
+
+
+auc_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 5)),  # (label, score)
+    min_size=2, max_size=25,
+)
+
+
+@_settings
+@given(data=auc_strategy)
+def test_roc_auc_equals_naive_pair_probability(spark, data):
+    from itertools import product as iproduct
+
+    from eggv_spark.operators.aggregates import roc_auc
+
+    pos = [s for y, s in data if y == 1]
+    neg = [s for y, s in data if y == 0]
+    df = spark.createDataFrame(
+        [(y, float(s)) for y, s in data], ["y", "s"]
+    )
+    out = roc_auc(df, "y", "s").collect()[0]
+    if not pos or not neg:
+        assert out["auc"] is None
+        return
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in iproduct(pos, neg)
+    )
+    expected = wins / (len(pos) * len(neg))
+    assert abs(out["auc"] - expected) < 5e-7  # operator rounds to 6dp
