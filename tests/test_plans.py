@@ -380,3 +380,74 @@ def test_partition_pruning_reaches_scan(spark):
     assert "PartitionFilters: [" in plan and "o_year" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0]
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: TPC-H analog shapes + new analytics operators
+# ---------------------------------------------------------------------------
+
+def test_olap_q4_exists_is_semi_join(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["olap_q4_priority_check"](spark, SF_DIR))
+    # EXISTS compiles to a semi join (no row duplication from
+    # multi-line orders), never a full join + distinct
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_olap_q21_exists_notexists_semi_anti(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["olap_q21_waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # final top-100 is TakeOrdered, not a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_triangle_count_joins_are_hash_not_nested_loop(spark):
+    from pyspark.sql import Row
+
+    from eggv_spark.operators.graph import triangle_count
+
+    e = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in [(1, 2), (2, 3), (1, 3)]]
+    )
+    plan = _plan(triangle_count(e))
+    # wedge join and closing-edge probe key on node ids: equi hash
+    # joins; the only nested-loop is the 1-row summary combine
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row combines only
+
+
+def test_semantic_dedupe_pair_join_keys_on_cluster(spark):
+    from pyspark.sql import Row
+
+    from eggv_spark.operators.similarity import semantic_dedupe
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 8) for i in range(6)]
+    )
+    plan = _plan(semantic_dedupe(df, n_clusters=2, dim=8))
+    # the quadratic scan is keyed per cluster — an equi join on
+    # cluster_id, never an all-pairs product over the corpus
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan
+
+
+def test_balanced_downsample_one_window_one_broadcast(spark):
+    from pyspark.sql import Row
+
+    from eggv_spark.operators.relational import balanced_downsample
+
+    df = spark.createDataFrame(
+        [Row(k=i, lab=i % 3) for i in range(30)]
+    )
+    plan = _plan(balanced_downsample(df, "lab", "k"))
+    # one ranking window on the class key + a 1-row broadcast of the
+    # minority size; no extra shuffles
+    assert plan.count("Window") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row min_n combine
+    assert "CartesianProduct" not in plan
