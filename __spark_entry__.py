@@ -4546,6 +4546,58 @@ def _smp_balanced_classes(spark, sf_dir):
     return R.balanced_downsample(emb, "label", "vec_id")
 
 
+def _composite_corpus_funnel(spark, sf_dir):
+    """End-to-end pretraining-corpus cleaning funnel, reported as a
+    per-stage survivor table (docs + tokens): raw (with injected
+    exact duplicates) → quality gate (repetition + length + stopword
+    signals, one pass) → exact dedup (min-id keeper per content hash)
+    → per-source token budget.  Each stage is the registry operator
+    it names (quality_filter / exact-hash keeper / token_budget) run
+    in composition — the funnel IS the production shape: one scan
+    feeds stage 0/1, the dedup adds one hash window, the budget one
+    source window; stage counts are 1-row aggregates unioned."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 10 = 0").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    scored = T.quality_filter(corpus).select(
+        "doc_id", "text", "source", "n_tokens", "stopword_ratio", "keep"
+    )
+    s2 = scored.filter("keep")
+    content = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    s3 = (
+        s2.withColumn("_keeper", F.min("doc_id").over(Window.partitionBy(content)))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+    )
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy(F.col("stopword_ratio").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s4 = (
+        s3.withColumn("_cum", F.sum("n_tokens").over(w_budget))
+        .filter(F.col("_cum") <= 800)
+    )
+
+    def stage(df, idx, name):
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            "n_docs", "n_tokens",
+        )
+
+    return (
+        stage(scored, 0, "raw")
+        .unionByName(stage(s2, 1, "quality_gate"))
+        .unionByName(stage(s3, 2, "exact_dedup"))
+        .unionByName(stage(s4, 3, "token_budget"))
+    )
+
+
 def _ddp_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup on the embedding corpus with
     injected exact duplicates (every 25th vector re-added under a
@@ -4905,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_vocab_coverage": _txt_vocab_coverage,
         "ddp_semdedup": _ddp_semdedup,
         "agg_calibration": _agg_calibration,
+        "composite_corpus_funnel": _composite_corpus_funnel,
     }
 
 
@@ -7222,6 +7275,45 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l_suppkey)"
             " JOIN supplier ON l_suppkey = s_suppkey"
             " ORDER BY numwait DESC, s_suppkey ASC LIMIT 100"
+        ),
+        "composite_corpus_funnel": (
+            "WITH alldocs AS (SELECT doc_id, text, source FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000, text, source"
+            "  FROM documents WHERE doc_id % 10 = 0),"
+            f" toks AS (SELECT doc_id, source, text, {_TOKS_SQL} AS t"
+            "  FROM alldocs),"
+            " w AS (SELECT doc_id, len(t) AS n, unnest(t) AS word"
+            "  FROM toks),"
+            " wc AS (SELECT doc_id, any_value(n) AS n, word"
+            "  FROM w GROUP BY doc_id, word),"
+            " wagg AS (SELECT doc_id, any_value(n) AS n, count(*) AS nd"
+            "  FROM wc GROUP BY doc_id),"
+            " q AS (SELECT t.doc_id, t.source, t.text,"
+            "  CAST(w.n AS INT) AS n_tokens,"
+            "  round((w.n - w.nd) / CAST(greatest(w.n, 1) AS DOUBLE), 4)"
+            "   AS dup_word_frac,"
+            "  round(CAST(len(list_filter(t.t, s -> list_contains("
+            f"   {list(T.STOPWORDS)}, s))) AS DOUBLE)"
+            "   / greatest(len(t.t), 1), 4) AS stopword_ratio"
+            "  FROM toks t JOIN wagg w ON t.doc_id = w.doc_id),"
+            " s2 AS (SELECT * FROM q WHERE dup_word_frac <= 0.75"
+            "  AND n_tokens >= 10 AND stopword_ratio >= 0.0),"
+            " s3 AS (SELECT * FROM (SELECT *, min(doc_id) OVER ("
+            "  PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ',"
+            "  'g')))) AS keeper FROM s2) WHERE doc_id = keeper),"
+            " s4 AS (SELECT * FROM (SELECT *,"
+            "  CAST(sum(n_tokens) OVER (PARTITION BY source"
+            "   ORDER BY stopword_ratio DESC, doc_id"
+            "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s3)"
+            "  WHERE cum <= 800)"
+            " SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,"
+            "  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM q"
+            " UNION ALL SELECT 1, 'quality_gate', count(*),"
+            "  CAST(sum(n_tokens) AS BIGINT) FROM s2"
+            " UNION ALL SELECT 2, 'exact_dedup', count(*),"
+            "  CAST(sum(n_tokens) AS BIGINT) FROM s3"
+            " UNION ALL SELECT 3, 'token_budget', count(*),"
+            "  CAST(sum(n_tokens) AS BIGINT) FROM s4"
         ),
         "ddp_semdedup": _semdedup_oracle(),
         "agg_calibration": (

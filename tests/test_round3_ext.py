@@ -242,3 +242,23 @@ def test_calibration_bins_clamps_out_of_range(spark):
     out = {r["bin"]: r["n"] for r in calibration_bins(
         spark.createDataFrame(rows), "p", "y").collect()}
     assert out == {0: 1, 9: 1}
+
+
+def test_corpus_funnel_stages_monotonic(spark):
+    """Funnel invariant on real testdata: every stage's survivors are
+    a subset of the previous stage's (docs and tokens both
+    non-increasing), and stage 0 counts raw + injected dups."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r["stage_idx"]: r
+        for r in entry.queries()["composite_corpus_funnel"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    for i in (1, 2, 3):
+        assert rows[i]["n_docs"] <= rows[i - 1]["n_docs"]
+        assert rows[i]["n_tokens"] <= rows[i - 1]["n_tokens"]
+    # the dedup stage must remove at least the injected exact copies
+    assert rows[2]["n_docs"] < rows[1]["n_docs"]
