@@ -4546,6 +4546,42 @@ def _smp_balanced_classes(spark, sf_dir):
     return R.balanced_downsample(emb, "label", "vec_id")
 
 
+def _smp_kfold(spark, sf_dir):
+    """Deterministic 5-fold CV assignment over customers (portable
+    md5 mod k — reproducible across engines/partitionings, pushable
+    as a scan predicate), summarized per fold to prove balance
+    (relational.kfold_assign)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        R.kfold_assign(cust, "c_custkey", 5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def _win_drawdown(spark, sf_dir):
+    """Per-user running-peak drawdown over a signed event-value
+    series (credits for purchase/signup, debits otherwise) — one
+    window shuffle, three frames in a single WindowExec pass
+    (aggregates.with_drawdown); summarized per user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        ).otherwise(-F.col("value")).alias("delta"),
+    )
+    dd = AG.with_drawdown(ev, "user_id", "ts", "delta",
+                          order_col="event_id")
+    return dd.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("running_peak"), 2).alias("peak"),
+        F.round(F.max("drawdown"), 2).alias("max_drawdown"),
+    )
+
+
 def _composite_corpus_funnel(spark, sf_dir):
     """End-to-end pretraining-corpus cleaning funnel, reported as a
     per-stage survivor table (docs + tokens): raw (with injected
@@ -4958,6 +4994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_semdedup": _ddp_semdedup,
         "agg_calibration": _agg_calibration,
         "composite_corpus_funnel": _composite_corpus_funnel,
+        "smp_kfold": _smp_kfold,
+        "win_drawdown": _win_drawdown,
     }
 
 
@@ -7275,6 +7313,32 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l_suppkey)"
             " JOIN supplier ON l_suppkey = s_suppkey"
             " ORDER BY numwait DESC, s_suppkey ASC LIMIT 100"
+        ),
+        "smp_kfold": (
+            "SELECT CAST(CAST(concat('0x',"
+            "  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+            "  % 5 AS INT) AS fold,"
+            " count(*) AS n_rows,"
+            " round(sum(c_acctbal), 2) AS total_acctbal"
+            " FROM customer GROUP BY fold"
+        ),
+        "win_drawdown": (
+            "WITH s AS (SELECT user_id, ts, event_id,"
+            "  CASE WHEN event_type IN ('purchase', 'signup')"
+            "   THEN value ELSE -value END AS delta FROM events),"
+            " r AS (SELECT user_id, ts, event_id,"
+            "  sum(delta) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            "   AS running_total FROM s),"
+            " p AS (SELECT user_id, running_total,"
+            "  max(running_total) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            "   AS running_peak FROM r)"
+            " SELECT user_id, count(*) AS n_events,"
+            " round(max(running_peak), 2) AS peak,"
+            " round(max(running_peak - running_total), 2)"
+            "  AS max_drawdown"
+            " FROM p GROUP BY user_id"
         ),
         "composite_corpus_funnel": (
             "WITH alldocs AS (SELECT doc_id, text, source FROM documents"

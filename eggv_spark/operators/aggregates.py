@@ -763,3 +763,45 @@ def calibration_bins(
             F.round(F.abs(F.avg("_p") - F.avg("_y")), 4).alias("abs_gap"),
         )
     )
+
+
+def with_drawdown(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-entity running peak and drawdown over a cumulative value
+    series: running_total, running_peak (max-so-far), drawdown
+    (peak − current), and drawdown_frac — the risk/health readout for
+    any cumulative metric (session engagement, account balance,
+    cumulative reward).
+
+    One window shuffle on the entity key, three frames over the same
+    sort (Spark evaluates them in a single WindowExec pass).
+    Deterministic: ordering carries ``order_col`` (default: the value
+    column) as tiebreak; integer-or-exact inputs stay exact, ratios
+    round to 6dp."""
+    order = [F.col(ts_col).asc()]
+    order.append(F.col(order_col or value_col).asc())
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(value_col).over(w)
+    out = df.withColumn("running_total", running)
+    peak = F.max("running_total").over(
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("running_peak", peak)
+    dd = F.col("running_peak") - F.col("running_total")
+    return out.withColumn("drawdown", dd).withColumn(
+        "drawdown_frac",
+        F.round(
+            F.try_divide(dd, F.abs(F.col("running_peak"))), 6
+        ),
+    )

@@ -757,3 +757,21 @@ def balanced_downsample(
         .filter(F.col("_rk") <= F.col("_min_n"))
         .drop("_rk", "_min_n")
     )
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    portable-md5(key) mod k.  Reproducible across runs, engines, AND
+    partitionings (the property ``randomSplit`` lacks), and the fold
+    id is a pushable scan predicate — training fold i reads
+    ``fold != i`` straight off the scan, no materialized split
+    tables.  Adds a ``fold`` int column."""
+    from .dedupe import base_hash
+
+    return df.withColumn(
+        "fold",
+        F.pmod(base_hash(F.col(key_col).cast("string")), F.lit(k))
+        .cast("int"),
+    )

@@ -262,3 +262,35 @@ def test_corpus_funnel_stages_monotonic(spark):
         assert rows[i]["n_tokens"] <= rows[i - 1]["n_tokens"]
     # the dedup stage must remove at least the injected exact copies
     assert rows[2]["n_docs"] < rows[1]["n_docs"]
+
+
+def test_kfold_assign_partitions_everything_deterministically(spark):
+    from eggv_spark.operators.relational import kfold_assign
+
+    rows = [Row(k=i) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = kfold_assign(df, "k", 4)
+    folds = {r["k"]: r["fold"] for r in out.collect()}
+    assert set(folds.values()) <= {0, 1, 2, 3}
+    assert len(folds) == 100
+    # same assignment regardless of partitioning
+    again = {r["k"]: r["fold"]
+             for r in kfold_assign(df.repartition(7), "k", 4).collect()}
+    assert folds == again
+
+
+def test_with_drawdown_exact_series(spark):
+    from eggv_spark.operators.aggregates import with_drawdown
+
+    # series +10 +5 -12 +3 -1: totals 10,15,3,6,5; peak 10,15,15,15,15
+    # drawdowns 0,0,12,9,10
+    rows = [
+        Row(u=1, t=i, v=float(d))
+        for i, d in enumerate([10, 5, -12, 3, -1])
+    ]
+    out = with_drawdown(
+        spark.createDataFrame(rows), "u", "t", "v", order_col="t"
+    ).orderBy("t").collect()
+    assert [r["running_total"] for r in out] == [10, 15, 3, 6, 5]
+    assert [r["running_peak"] for r in out] == [10, 15, 15, 15, 15]
+    assert [r["drawdown"] for r in out] == [0, 0, 12, 9, 10]
