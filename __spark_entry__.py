@@ -4284,7 +4284,11 @@ def _olap_q2_min_cost_supplier(spark, sf_dir):
         .select(
             F.round("s_acctbal", 2).alias("acctbal"),
             "s_name", "n_name", "p_partkey", "p_name",
-            F.round("supplycost", 4).alias("min_cost"),
+            # raw double, NOT rounded: both engines produce the
+            # bit-identical min(extprice/qty), but a 4dp display round
+            # diverges at half-boundaries (954.29875 rounded HALF_UP
+            # on the binary double vs llround of the scaled product)
+            F.col("supplycost").alias("min_cost"),
         )
     )
 
@@ -7230,7 +7234,7 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN eur ON l_suppkey = s_suppkey"
             "  WHERE p_type = 'STANDARD' AND p_size <= 15)"
             " SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,"
-            " p_partkey, p_name, round(supplycost, 4) AS min_cost"
+            " p_partkey, p_name, supplycost AS min_cost"
             " FROM elig WHERE supplycost = (SELECT min(supplycost)"
             "  FROM elig e2 WHERE e2.p_partkey = elig.p_partkey)"
         ),
