@@ -4586,6 +4586,17 @@ def _win_drawdown(spark, sf_dir):
     )
 
 
+def _agg_psi(spark, sf_dir):
+    """Population-drift readout: PSI components of event value between
+    the first and second half of the month (day <= 15 vs day > 15) —
+    equal-width global bins, per-side map-combined counts, bins-sized
+    merge (aggregates.population_stability)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.dayofmonth("ts") <= 15)
+    b = ev.filter(F.dayofmonth("ts") > 15)
+    return AG.population_stability(a, b, "value", n_bins=10)
+
+
 def _composite_corpus_funnel(spark, sf_dir):
     """End-to-end pretraining-corpus cleaning funnel, reported as a
     per-stage survivor table (docs + tokens): raw (with injected
@@ -5000,6 +5011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_corpus_funnel": _composite_corpus_funnel,
         "smp_kfold": _smp_kfold,
         "win_drawdown": _win_drawdown,
+        "agg_psi": _agg_psi,
     }
 
 
@@ -7317,6 +7329,25 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l_suppkey)"
             " JOIN supplier ON l_suppkey = s_suppkey"
             " ORDER BY numwait DESC, s_suppkey ASC LIMIT 100"
+        ),
+        "agg_psi": (
+            "WITH mm AS (SELECT min(value) AS lo, max(value) AS hi"
+            "  FROM events),"
+            " s AS (SELECT CAST(least(floor((value - lo) / (hi - lo)"
+            "   * 10), 9) AS INT) AS bin,"
+            "  CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS in_a"
+            "  FROM events, mm),"
+            " m AS (SELECT bin,"
+            "  CAST(sum(in_a) AS BIGINT) AS n_a,"
+            "  CAST(sum(1 - in_a) AS BIGINT) AS n_b FROM s GROUP BY bin),"
+            " t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM m)"
+            " SELECT bin, n_a, n_b,"
+            " round(n_a / ta, 6) AS share_a,"
+            " round(n_b / tb, 6) AS share_b,"
+            " round(CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            "  (n_a / ta - n_b / tb) * ln((n_a / ta) / (n_b / tb))"
+            "  END, 6) AS contrib"
+            " FROM m, t"
         ),
         "smp_kfold": (
             "SELECT CAST(CAST(concat('0x',"

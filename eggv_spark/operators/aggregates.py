@@ -805,3 +805,69 @@ def with_drawdown(
             F.try_divide(dd, F.abs(F.col("running_peak"))), 6
         ),
     )
+
+
+def population_stability(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index components between a baseline and a
+    comparison sample of the same metric — the standard production
+    drift monitor (PSI < 0.1 stable, > 0.25 shifted).  Emits one row
+    per occupied bin: counts, shares, and the PSI contribution
+    (p−q)·ln(p/q), 6dp-rounded; the index is the sum of ``contrib``.
+
+    Bins are equal-width over the GLOBAL [min, max] of both samples
+    (two tiny aggregates broadcast as one row), so both sides bucket
+    identically; per-side bin counts are map-side-combined; the
+    final merge is a bins-sized full-outer join.  Bins empty on
+    either side are reported with null contrib (the no-epsilon
+    convention — callers who want the ε-smoothed variant add it to
+    the shares before the log)."""
+    bounds = (
+        df_a.select(F.col(col).alias("_v"))
+        .unionByName(df_b.select(F.col(col).alias("_v")))
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    )
+
+    def binned(df, name):
+        b = F.least(
+            F.floor(
+                (F.col(col) - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo")) * n_bins
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return (
+            df.join(F.broadcast(bounds))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    a = binned(df_a, "n_a")
+    b = binned(df_b, "n_b")
+    tot_a = F.sum("n_a").over(Window.partitionBy())
+    tot_b = F.sum("n_b").over(Window.partitionBy())
+    merged = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .withColumn("_p", F.col("n_a") / tot_a)
+        .withColumn("_q", F.col("n_b") / tot_b)
+    )
+    contrib = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")),
+    )
+    return merged.select(
+        "bin", "n_a", "n_b",
+        F.round("_p", 6).alias("share_a"),
+        F.round("_q", 6).alias("share_b"),
+        F.round(contrib, 6).alias("contrib"),
+    )

@@ -294,3 +294,26 @@ def test_with_drawdown_exact_series(spark):
     assert [r["running_total"] for r in out] == [10, 15, 3, 6, 5]
     assert [r["running_peak"] for r in out] == [10, 15, 15, 15, 15]
     assert [r["drawdown"] for r in out] == [0, 0, 12, 9, 10]
+
+
+def test_population_stability_identical_is_zero(spark):
+    from eggv_spark.operators.aggregates import population_stability
+
+    rows = [Row(v=float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = population_stability(df, df, "v", n_bins=5).collect()
+    assert all(r["contrib"] == 0.0 for r in out)
+    assert sum(r["n_a"] for r in out) == 100
+
+
+def test_population_stability_detects_shift(spark):
+    from eggv_spark.operators.aggregates import population_stability
+
+    a = spark.createDataFrame([Row(v=float(i % 10)) for i in range(100)])
+    # b concentrated in the upper range -> positive PSI
+    b = spark.createDataFrame([Row(v=float(5 + i % 5)) for i in range(100)])
+    out = population_stability(a, b, "v", n_bins=5).collect()
+    psi = sum(r["contrib"] for r in out if r["contrib"] is not None)
+    assert psi > 0.25  # "significant shift" band
+    # bins with no b mass carry null contrib, not a crash
+    assert any(r["contrib"] is None for r in out)
