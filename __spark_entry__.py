@@ -4127,6 +4127,52 @@ def _tbl_partition_pruning(spark, sf_dir):
     )
 
 
+def _src_format_roundtrip(spark, sf_dir):
+    """Cross-format sink/source fidelity under the driver gate: write
+    a lineitem projection to ORC, JSON, and TSV, read each back
+    through the typed readers, and aggregate — every format row must
+    reproduce the parquet truth exactly (count, integer-exact
+    quantity cents, 2dp revenue, max ship epoch).  Exercises
+    writers.write_orc/write_json/write_tsv and their readers
+    (sources/*.py) as one driver-verified query."""
+    import os
+    import tempfile
+
+    from eggv_spark.sources import readers as RD
+    from eggv_spark.sources import writers as WR
+
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_shipdate"]
+    li = _t(spark, sf_dir, "lineitem").select(*cols)
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    orc_p = os.path.join(base, "orc")
+    json_p = os.path.join(base, "json")
+    tsv_p = os.path.join(base, "tsv")
+    WR.write_orc(li, orc_p)
+    WR.write_json(li, json_p)
+    WR.write_tsv(li, tsv_p)
+    back = {
+        "orc": RD.read_orc(spark, orc_p, li.schema),
+        "json": RD.read_json(spark, json_p, li.schema),
+        "tsv": RD.read_processed_tsv(spark, tsv_p, li.schema),
+    }
+
+    def agg(df, fmt):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .alias("qty_cents"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.max(F.col("l_shipdate").cast("long")).alias("max_ship_epoch"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "qty_cents",
+                 "revenue", "max_ship_epoch")
+
+    out = agg(back["orc"], "orc")
+    for fmt in ("json", "tsv"):
+        out = out.unionByName(agg(back[fmt], fmt))
+    return out
+
+
 def _composite_semantic_pairs(spark, sf_dir):
     """Cross-modal dedup verification: sign-LSH embedding near-dup
     candidates joined back to their DOCUMENT texts and re-scored with
@@ -5012,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_kfold": _smp_kfold,
         "win_drawdown": _win_drawdown,
         "agg_psi": _agg_psi,
+        "src_format_roundtrip": _src_format_roundtrip,
     }
 
 
@@ -7329,6 +7376,21 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l_suppkey)"
             " JOIN supplier ON l_suppkey = s_suppkey"
             " ORDER BY numwait DESC, s_suppkey ASC LIMIT 100"
+        ),
+        "src_format_roundtrip": (
+            "WITH a AS (SELECT count(*) AS n_rows,"
+            "  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))"
+            "   AS BIGINT) AS qty_cents,"
+            "  round(sum(l_extendedprice), 2) AS revenue,"
+            "  CAST(floor(epoch(max(l_shipdate))) AS BIGINT)"
+            "   AS max_ship_epoch"
+            "  FROM lineitem)"
+            " SELECT 'orc' AS fmt, n_rows, qty_cents, revenue,"
+            "  max_ship_epoch FROM a"
+            " UNION ALL SELECT 'json', n_rows, qty_cents, revenue,"
+            "  max_ship_epoch FROM a"
+            " UNION ALL SELECT 'tsv', n_rows, qty_cents, revenue,"
+            "  max_ship_epoch FROM a"
         ),
         "agg_psi": (
             "WITH mm AS (SELECT min(value) AS lo, max(value) AS hi"
