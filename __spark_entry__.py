@@ -4386,11 +4386,15 @@ def _olap_q11_important_stock(spark, sf_dir):
         .agg(F.sum("l_extendedprice").alias("_value"))
     )
     total = per_part.agg(
-        (F.sum("_value") * F.lit(0.001)).alias("_threshold")
+        F.round(F.sum("_value") * F.lit(0.001), 2).alias("_threshold")
     )
+    # round BOTH sides before the compare (the q15/q18 convention):
+    # raw distributed double sums differ from a sequential engine's at
+    # the ulp, and a part sitting exactly on the 0.1% boundary would
+    # otherwise flip membership between engines.
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("_value") > F.col("_threshold"))
+        .filter(F.round("_value", 2) > F.col("_threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round("_value", 2).alias("part_value"),
@@ -4637,7 +4641,7 @@ def _agg_psi(spark, sf_dir):
     the first and second half of the month (day <= 15 vs day > 15) —
     equal-width global bins, per-side map-combined counts, bins-sized
     merge (aggregates.population_stability)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     a = ev.filter(F.dayofmonth("ts") <= 15)
     b = ev.filter(F.dayofmonth("ts") > 15)
     return AG.population_stability(a, b, "value", n_bins=10)
@@ -6234,12 +6238,12 @@ def oracle_sql() -> dict[str, str]:
             "  len(list_filter(t, x -> list_contains("
             "   ['the','a','of','and','to','in','is','on','for','with'], x)))"
             "   AS n_stop, len(t) AS n FROM toks),"
-            " j AS (SELECT w.doc_id, CAST(w.n AS INT) AS n_tokens,"
-            "  round((w.n - w.nd) / CAST(greatest(w.n, 1) AS DOUBLE), 4)"
-            "   AS dup_word_frac,"
+            " j AS (SELECT s.doc_id, CAST(s.n AS INT) AS n_tokens,"
+            "  round((s.n - coalesce(w.nd, 0))"
+            "   / CAST(greatest(s.n, 1) AS DOUBLE), 4) AS dup_word_frac,"
             "  round(s.n_stop / CAST(greatest(s.n, 1) AS DOUBLE), 4)"
             "   AS stopword_ratio"
-            "  FROM wagg w JOIN stop s ON w.doc_id = s.doc_id)"
+            "  FROM stop s LEFT JOIN wagg w ON w.doc_id = s.doc_id)"
             " SELECT doc_id, n_tokens, dup_word_frac, stopword_ratio,"
             " (dup_word_frac <= 0.75 AND n_tokens >= 10"
             "  AND stopword_ratio >= 0.0) AS keep FROM j"
@@ -7316,8 +7320,8 @@ def oracle_sql() -> dict[str, str]:
             " WHERE r_name = 'ASIA' GROUP BY l_partkey)"
             " SELECT l_partkey AS p_partkey,"
             " round(part_value, 2) AS part_value"
-            " FROM pv WHERE part_value"
-            "  > (SELECT sum(part_value) * 0.001 FROM pv)"
+            " FROM pv WHERE round(part_value, 2)"
+            "  > (SELECT round(sum(part_value) * 0.001, 2) FROM pv)"
         ),
         "olap_q12_ship_delay": (
             "SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate)"
@@ -7393,12 +7397,13 @@ def oracle_sql() -> dict[str, str]:
             "  max_ship_epoch FROM a"
         ),
         "agg_psi": (
-            "WITH mm AS (SELECT min(value) AS lo, max(value) AS hi"
-            "  FROM events),"
+            "WITH ev AS (SELECT ts, value FROM events"
+            "  WHERE ts IS NOT NULL),"
+            " mm AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),"
             " s AS (SELECT CAST(least(floor((value - lo) / (hi - lo)"
             "   * 10), 9) AS INT) AS bin,"
             "  CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS in_a"
-            "  FROM events, mm),"
+            "  FROM ev, mm),"
             " m AS (SELECT bin,"
             "  CAST(sum(in_a) AS BIGINT) AS n_a,"
             "  CAST(sum(1 - in_a) AS BIGINT) AS n_b FROM s GROUP BY bin),"
@@ -7450,13 +7455,14 @@ def oracle_sql() -> dict[str, str]:
             " wagg AS (SELECT doc_id, any_value(n) AS n, count(*) AS nd"
             "  FROM wc GROUP BY doc_id),"
             " q AS (SELECT t.doc_id, t.source, t.text,"
-            "  CAST(w.n AS INT) AS n_tokens,"
-            "  round((w.n - w.nd) / CAST(greatest(w.n, 1) AS DOUBLE), 4)"
+            "  CAST(len(t.t) AS INT) AS n_tokens,"
+            "  round((len(t.t) - coalesce(w.nd, 0))"
+            "   / CAST(greatest(len(t.t), 1) AS DOUBLE), 4)"
             "   AS dup_word_frac,"
             "  round(CAST(len(list_filter(t.t, s -> list_contains("
             f"   {list(T.STOPWORDS)}, s))) AS DOUBLE)"
             "   / greatest(len(t.t), 1), 4) AS stopword_ratio"
-            "  FROM toks t JOIN wagg w ON t.doc_id = w.doc_id),"
+            "  FROM toks t LEFT JOIN wagg w ON t.doc_id = w.doc_id),"
             " s2 AS (SELECT * FROM q WHERE dup_word_frac <= 0.75"
             "  AND n_tokens >= 10 AND stopword_ratio >= 0.0),"
             " s3 AS (SELECT * FROM (SELECT *, min(doc_id) OVER ("
@@ -7502,7 +7508,7 @@ def oracle_sql() -> dict[str, str]:
             " deg AS (SELECT node, count(*) AS d FROM ("
             "  SELECT x AS node FROM e UNION ALL SELECT y FROM e)"
             "  GROUP BY node),"
-            " wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT)"
+            " wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT)"
             "  AS n_wedges FROM deg),"
             " tri AS (SELECT count(*) AS n_triangles FROM e e1"
             "  JOIN e e2 ON e1.y = e2.x"
@@ -7515,7 +7521,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_auc": (
             "WITH s AS (SELECT CAST(day(ts) AS INT) AS day,"
             "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,"
-            "  value FROM events),"
+            "  value FROM events WHERE value IS NOT NULL),"
             " r AS (SELECT day, y,"
             "  rank() OVER (PARTITION BY day ORDER BY value ASC)"
             "  + (count(*) OVER (PARTITION BY day, value) - 1) / 2.0"

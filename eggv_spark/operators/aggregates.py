@@ -653,7 +653,10 @@ def roc_auc(
     min-rank + (tie_count − 1)/2 from two window functions over the
     same sort, so no second shuffle.  Ranks are integers-or-halves and
     their sums are exact in doubles (< 2⁵³), so the final division is
-    engine-portable; output rounded to 6dp.  Degenerate groups (no
+    engine-portable; output rounded to 6dp.  Rows with a NULL score
+    are EXCLUDED up front (an unscored observation is not a ranked
+    one — and engines disagree on where NULLs sort, so leaving them
+    in poisons cross-engine rank sums).  Degenerate groups (no
     positives or no negatives) yield NULL via try_divide.
 
     Scale: the shuffle is the per-group sort — the same cost as any
@@ -661,6 +664,7 @@ def roc_auc(
     needs the two-phase range-partitioned rank decomposition.
     """
     keys = list(keys)
+    df = df.filter(F.col(score_col).isNotNull())
     part = Window.partitionBy(*[F.col(k) for k in keys]) if keys else (
         Window.partitionBy()
     )
@@ -696,18 +700,26 @@ def welch_ttest(
     Emits per-``keys`` means, the t statistic, and the
     Welch–Satterthwaite degrees of freedom, both rounded to 4dp.
 
+    Arm coding: ``group_col == 0`` is arm 0, anything else (non-null)
+    is arm 1 — recode first if your arms are {1,2} or strings, or
+    both land in arm 1 and the stats come back NULL.
+
     Single aggregation pass: n/mean/var_samp per arm are distributive
     moments (map-side combined), pivoted by a conditional agg so the
-    two arms never shuffle separately.  Requires every group to have
+    two arms never shuffle separately.  Arm sizes count NON-NULL
+    values (a NULL metric is not an observation; counting it would
+    understate the standard error).  Requires every group to have
     both arms with n ≥ 2; degenerate groups yield NULL via
     try_divide."""
     keys = list(keys)
     arms = df.groupBy(*keys).agg(
-        F.sum(F.when(F.col(group_col) == 0, 1).otherwise(0)).alias("n0"),
+        F.count(F.when(F.col(group_col) == 0, F.col(value_col)))
+        .alias("n0"),
         F.avg(F.when(F.col(group_col) == 0, F.col(value_col))).alias("m0"),
         F.var_samp(F.when(F.col(group_col) == 0, F.col(value_col)))
         .alias("v0"),
-        F.sum(F.when(F.col(group_col) != 0, 1).otherwise(0)).alias("n1"),
+        F.count(F.when(F.col(group_col) != 0, F.col(value_col)))
+        .alias("n1"),
         F.avg(F.when(F.col(group_col) != 0, F.col(value_col))).alias("m1"),
         F.var_samp(F.when(F.col(group_col) != 0, F.col(value_col)))
         .alias("v1"),

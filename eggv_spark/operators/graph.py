@@ -225,9 +225,11 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").alias("_d"))
     )
+    # per-term integer DIV keeps every term and the running sum in
+    # LONG arithmetic — a double-typed sum loses integer exactness
+    # past 2^53, which web-scale degree distributions can reach
     wedges = deg.agg(
-        F.sum(F.col("_d") * (F.col("_d") - 1) / 2).cast("long")
-        .alias("n_wedges")
+        F.sum(F.expr("_d * (_d - 1) DIV 2")).alias("n_wedges")
     )
     e2 = canon.select(F.col("a").alias("_b"), F.col("b").alias("_c"))
     e3 = canon.select(F.col("a").alias("_ca"), F.col("b").alias("_cb"))
