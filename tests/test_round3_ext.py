@@ -317,3 +317,20 @@ def test_population_stability_detects_shift(spark):
     assert psi > 0.25  # "significant shift" band
     # bins with no b mass carry null contrib, not a crash
     assert any(r["contrib"] is None for r in out)
+
+
+def test_roc_auc_ignores_null_scores(spark):
+    # a NULL-score row must not shift anyone's rank or the counts
+    rows = [Row(y=1, s=10.0), Row(y=1, s=9.0), Row(y=0, s=1.0),
+            Row(y=0, s=2.0), Row(y=1, s=None)]
+    out = roc_auc(spark.createDataFrame(rows), "y", "s").collect()[0]
+    assert out["n_pos"] == 2 and out["n_neg"] == 2
+    assert out["auc"] == 1.0
+
+
+def test_welch_ttest_null_values_not_counted(spark):
+    # NULL metrics must not inflate the arm size (se = v/n)
+    rows = [Row(arm=0, v=x) for x in (1.0, 2.0, 3.0, None, None)]
+    rows += [Row(arm=1, v=x) for x in (4.0, 5.0, 6.0, None)]
+    out = welch_ttest(spark.createDataFrame(rows), "arm", "v").collect()[0]
+    assert out["n0"] == 3 and out["n1"] == 3
