@@ -4811,7 +4811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (``olap_q2/q4/q11/q12/q16/q20/q21`` — all 22 shapes now have an
       analog), triangle census, rank-sum ROC AUC, Welch t-test,
       class-balanced downsampling, vocabulary coverage curve,
-      SemDeDup semantic pruning, and calibration bins.
+      SemDeDup semantic pruning, calibration bins, the corpus-cleaning
+      funnel composite, k-fold assignment, running-peak drawdown,
+      PSI drift components, and the ORC/JSON/TSV roundtrip gate.
     """
     return {
         # --- round-3 verification window: never-driver-verified (49) ---
