@@ -4636,6 +4636,31 @@ def _win_drawdown(spark, sf_dir):
     )
 
 
+def _graph_neighbor_jaccard(spark, sf_dir):
+    """Link-prediction feature over the part co-purchase backbone:
+    neighborhood-overlap Jaccard for pairs sharing >=2 neighbors,
+    top-100 under a total order — wedge-join candidates only, never
+    |V|^2 (graph.neighbor_jaccard).  Backbone density is
+    scale-dependent: at sf0.1 the >=2-co-order edge filter thins the
+    graph to (correctly, oracle-agreed) zero qualifying pairs; the
+    sf0.01 gate sees a populated result."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    edges = (
+        li.join(other, (li["l_orderkey"] == other["_ok"])
+                & (li["l_partkey"] < other["_pb"]))
+        .groupBy(F.col("l_partkey").alias("x"), F.col("_pb").alias("y"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("x", "y")
+    )
+    return G.neighbor_jaccard(edges, "x", "y", min_common=2, k=100)
+
+
 def _agg_psi(spark, sf_dir):
     """Population-drift readout: PSI components of event value between
     the first and second half of the month (day <= 15 vs day > 15) —
@@ -5065,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_drawdown": _win_drawdown,
         "agg_psi": _agg_psi,
         "src_format_roundtrip": _src_format_roundtrip,
+        "graph_neighbor_jaccard": _graph_neighbor_jaccard,
     }
 
 
@@ -7397,6 +7423,29 @@ def oracle_sql() -> dict[str, str]:
             "  max_ship_epoch FROM a"
             " UNION ALL SELECT 'tsv', n_rows, qty_cents, revenue,"
             "  max_ship_epoch FROM a"
+        ),
+        "graph_neighbor_jaccard": (
+            "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey"
+            "  FROM lineitem),"
+            " e AS (SELECT a.l_partkey AS x, b.l_partkey AS y"
+            "  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+            "  AND a.l_partkey < b.l_partkey"
+            "  GROUP BY 1, 2 HAVING count(*) >= 2),"
+            " neigh AS (SELECT x AS node, y AS w FROM e"
+            "  UNION ALL SELECT y, x FROM e),"
+            " deg AS (SELECT node, count(*) AS d FROM neigh"
+            "  GROUP BY node),"
+            " com AS (SELECT n1.node AS na, n2.node AS nb,"
+            "  count(*) AS n_common"
+            "  FROM neigh n1 JOIN neigh n2 ON n1.w = n2.w"
+            "  AND n1.node < n2.node"
+            "  GROUP BY 1, 2 HAVING count(*) >= 2)"
+            " SELECT na, nb, n_common,"
+            " round(n_common / CAST(da.d + db.d - n_common AS DOUBLE), 6)"
+            "  AS jaccard"
+            " FROM com JOIN deg da ON com.na = da.node"
+            " JOIN deg db ON com.nb = db.node"
+            " ORDER BY jaccard DESC, na ASC, nb ASC LIMIT 100"
         ),
         "agg_psi": (
             "WITH ev AS (SELECT ts, value FROM events"

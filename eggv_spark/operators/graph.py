@@ -250,3 +250,64 @@ def triangle_count(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Node-pair similarity by neighborhood overlap — the classic
+    link-prediction feature: for pairs sharing ≥ ``min_common``
+    neighbors, Jaccard = |N(a)∩N(b)| / (|N(a)|+|N(b)|−|N(a)∩N(b)|),
+    top-``k`` under a total (jaccard desc, a asc, b asc) order.
+
+    Candidate pairs come from the wedge join (a,w)⋈(b,w) with a<b —
+    only pairs that actually share a neighbor are ever materialized,
+    never the |V|² cross product; the work is Σ_w deg(w)², so a
+    100 TB run caps or samples super-hub neighborhoods first (the
+    standard mitigation, same as the co-occurrence expansions).
+    Degrees join back from a node-sized table; the top-k is
+    TakeOrderedAndProject, no global sort."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    neigh = (
+        canon.select(F.col("a").alias("node"), F.col("b").alias("w"))
+        .unionAll(canon.select(F.col("b").alias("node"),
+                               F.col("a").alias("w")))
+    )
+    deg = neigh.groupBy("node").agg(F.count("*").alias("_deg"))
+    n1 = neigh.select(F.col("node").alias("na"), "w")
+    n2 = neigh.select(F.col("node").alias("nb"), "w")
+    common = (
+        n1.join(n2, "w")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("nb"), F.col("_deg").alias("_db"))
+    scored = (
+        common.join(F.broadcast(da), "na")
+        .join(F.broadcast(db), "nb")
+        .select(
+            "na", "nb", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_da") + F.col("_db") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("na").asc(), F.col("nb").asc()
+    ).limit(k)

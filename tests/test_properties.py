@@ -7,6 +7,7 @@ Deliberately small example counts: each example runs real Spark jobs.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -393,3 +394,78 @@ def test_roc_auc_equals_naive_pair_probability(spark, data):
     )
     expected = wins / (len(pos) * len(neg))
     assert abs(out["auc"] - expected) < 5e-7  # operator rounds to 6dp
+
+
+vocab_corpus_strategy = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+    min_size=1, max_size=6,
+)
+
+
+@_settings
+@given(docs=vocab_corpus_strategy)
+def test_vocab_coverage_equals_naive(spark, docs):
+    from collections import Counter
+
+    from eggv_spark.operators.text_analysis import vocab_coverage
+
+    texts = [" ".join(d) for d in docs]
+    counts = Counter(t for d in docs for t in d)
+    if not counts:
+        return  # empty corpus: no tokens, no curve
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    thresholds = (0.25, 0.5, 0.9, 1.0)
+    expected = {}
+    for t in thresholds:
+        cum = 0
+        for i, (_, c) in enumerate(ranked, start=1):
+            cum += c
+            if cum >= t * total:
+                expected[t] = (i, cum)
+                break
+    df = spark.createDataFrame([(x,) for x in texts], ["text"])
+    got = {
+        r["threshold"]: (r["vocab_size"], r["covered_tokens"])
+        for r in vocab_coverage(df, thresholds=thresholds).collect()
+    }
+    assert got == expected
+
+
+psi_strategy = st.tuples(
+    st.lists(st.integers(0, 9), min_size=2, max_size=30),
+    st.lists(st.integers(0, 9), min_size=2, max_size=30),
+)
+
+
+@_settings
+@given(data=psi_strategy)
+def test_population_stability_equals_naive(spark, data):
+    import math
+
+    from eggv_spark.operators.aggregates import population_stability
+
+    xs, ys = data
+    lo, hi = min(xs + ys), max(xs + ys)
+    if lo == hi:
+        return  # zero-width range: binning undefined
+    n_bins = 4
+
+    def bucket(v):
+        return min(int((v - lo) / (hi - lo) * n_bins), n_bins - 1)
+
+    from collections import Counter
+    ca, cb = Counter(map(bucket, xs)), Counter(map(bucket, ys))
+    a = spark.createDataFrame([(float(v),) for v in xs], ["v"])
+    b = spark.createDataFrame([(float(v),) for v in ys], ["v"])
+    out = population_stability(a, b, "v", n_bins=n_bins).collect()
+    for r in out:
+        na, nb = ca.get(r["bin"], 0), cb.get(r["bin"], 0)
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        if na > 0 and nb > 0:
+            p, q = na / len(xs), nb / len(ys)
+            assert r["contrib"] == pytest.approx(
+                (p - q) * math.log(p / q), abs=5e-7)
+        else:
+            assert r["contrib"] is None
+    assert {r["bin"] for r in out} == set(ca) | set(cb)

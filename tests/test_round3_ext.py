@@ -334,3 +334,18 @@ def test_welch_ttest_null_values_not_counted(spark):
     rows += [Row(arm=1, v=x) for x in (4.0, 5.0, 6.0, None)]
     out = welch_ttest(spark.createDataFrame(rows), "arm", "v").collect()[0]
     assert out["n0"] == 3 and out["n1"] == 3
+
+
+def test_neighbor_jaccard_exact_small_graph(spark):
+    from eggv_spark.operators.graph import neighbor_jaccard
+
+    # square 1-2-3-4-1: opposite corners share BOTH neighbors
+    # (J = 2/(2+2-2) = 1.0); adjacent corners share none
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    out = {(r["na"], r["nb"]): r for r in
+           neighbor_jaccard(e, min_common=1, k=10).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["n_common"] == 2
+    assert out[(1, 3)]["jaccard"] == 1.0
