@@ -134,5 +134,37 @@ def run_query(name: str, sf_dir: str, output: str | None, show_n: int,
             click.echo(line)
 
 
+@cli.command("explain")
+@click.argument("name")
+@click.option("--sf-dir", required=True, type=click.Path(exists=True),
+              help="directory of parquet tables to plan against")
+@click.option("-m", "--master", default="local[*]", help="Spark master URL")
+@click.option("--mode", default="formatted",
+              type=click.Choice(["simple", "extended", "formatted", "cost"]),
+              help="explain mode")
+def explain_query(name: str, sf_dir: str, master: str, mode: str) -> None:
+    """Print the physical plan of a named registry query.
+
+    The plan-inspection loop as a product command: the same
+    ``.explain()`` a perf review runs — shuffle count, broadcast
+    joins, pushed filters, scan width — without writing a script:
+    ``eggv-spark explain olap_q5_local_supplier --sf-dir data/``.
+    """
+    from eggv_spark.catalog import run_named_query
+    from eggv_spark.session import get_session
+
+    spark = get_session("eggv-spark-explain", master=master)
+    try:
+        df = run_named_query(spark, sf_dir, name)
+    except KeyError as exc:
+        click.echo(f"error: {exc}", err=True)
+        sys.exit(2)
+    click.echo(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+    )
+
+
 if __name__ == "__main__":
     cli()

@@ -195,3 +195,20 @@ def test_cli_queries_listing():
     assert r.returncode == 0
     names = r.stdout.split()
     assert "flagship_token_pipeline" in names and len(names) > 200
+
+
+def test_cli_explain_subcommand():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "eggv_spark.cli", "explain",
+         "join_left_broadcast", "--sf-dir", "/root/testdata/sf0.001",
+         "-m", "local[2]"],
+        capture_output=True, text=True, timeout=180, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # formatted mode shows the physical operator tree with the
+    # broadcast join this query is plan-tested to use
+    assert "BroadcastHashJoin" in r.stdout
+    assert "Exchange" in r.stdout or "AdaptiveSparkPlan" in r.stdout
