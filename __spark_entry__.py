@@ -4636,6 +4636,15 @@ def _win_drawdown(spark, sf_dir):
     )
 
 
+def _txt_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM perplexity proxy per document — word
+    ORDER distribution scoring, the step up from txt_unigram_lm;
+    pair construction is shuffle-free arrays_zip, the bigram count
+    join keys on the pair (not broadcast — corpus-vocabulary sized)
+    (text_analysis.bigram_logprob)."""
+    return T.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _graph_neighbor_jaccard(spark, sf_dir):
     """Link-prediction feature over the part co-purchase backbone:
     neighborhood-overlap Jaccard for pairs sharing >=2 neighbors,
@@ -5091,6 +5100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_psi": _agg_psi,
         "src_format_roundtrip": _src_format_roundtrip,
         "graph_neighbor_jaccard": _graph_neighbor_jaccard,
+        "txt_bigram_lm": _txt_bigram_lm,
     }
 
 
@@ -7423,6 +7433,29 @@ def oracle_sql() -> dict[str, str]:
             "  max_ship_epoch FROM a"
             " UNION ALL SELECT 'tsv', n_rows, qty_cents, revenue,"
             "  max_ship_epoch FROM a"
+        ),
+        "txt_bigram_lm": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t"
+            "  FROM documents),"
+            " uni AS (SELECT unnest(t) AS term FROM toks),"
+            " uc AS (SELECT term, count(*) AS n_term FROM uni"
+            "  GROUP BY 1),"
+            " tot AS (SELECT sum(n_term) AS n_total FROM uc),"
+            " pairs AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, greatest(len(t) - 1, 0)),"
+            "  i -> {'prev': t[i], 'cur': t[i + 1]})) AS p FROM toks),"
+            " pp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur"
+            "  FROM pairs),"
+            " bc AS (SELECT prev, cur, count(*) AS n_big FROM pp"
+            "  GROUP BY 1, 2)"
+            " SELECT doc_id, count(*) AS n_bigrams,"
+            " round(avg(ln(0.7 * (n_big / CAST(pc.n_term AS DOUBLE))"
+            "  + (1 - 0.7) * (cc.n_term / CAST(n_total AS DOUBLE)))), 4)"
+            "  AS avg_logprob"
+            " FROM pp JOIN bc USING (prev, cur)"
+            " JOIN uc pc ON pp.prev = pc.term"
+            " JOIN uc cc ON pp.cur = cc.term CROSS JOIN tot"
+            " GROUP BY doc_id"
         ),
         "graph_neighbor_jaccard": (
             "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey"

@@ -861,3 +861,69 @@ def vocab_coverage(
             F.min("_cum").alias("covered_tokens"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the step up from
+    :func:`unigram_logprob`: each document's mean
+    ln(λ·c(w₋₁w)/c(w₋₁) + (1−λ)·c(w)/N), with both models estimated
+    from the corpus itself.  Flags out-of-distribution word ORDER,
+    not just vocabulary (the unigram model cannot tell scrambled text
+    from prose).
+
+    Plan shape: bigram pairs build shuffle-free per row
+    (``arrays_zip`` of the two token-array slices — no posexplode
+    self-join); bigram counts get one map-side-combined shuffle and
+    join back ON THE PAIR KEY (the bigram table is corpus-vocabulary
+    sized — NOT broadcastable at scale, unlike the unigram table
+    which is); unigram/context counts and the 1-row total ride
+    broadcast joins.  Documents with fewer than 2 tokens have no
+    bigrams and drop out (consistently in any engine)."""
+    toks = df.select(id_col, tokens_col(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
+                F.expr("slice(_t, 2, greatest(size(_t) - 1, 0))"),
+            )
+        ).alias("_p"),
+    ).select(
+        id_col,
+        F.col("_p.0").alias("prev"),
+        F.col("_p.1").alias("cur"),
+    )
+    uni = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_term"))
+    )
+    total = uni.agg(F.sum("n_term").alias("n_total"))
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_big"))
+    ctx = uni.select(F.col("term").alias("prev"),
+                     F.col("n_term").alias("n_prev"))
+    cur = uni.select(F.col("term").alias("cur"),
+                     F.col("n_term").alias("n_cur"))
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cur), "cur")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_logp",
+            F.log(
+                F.lit(lam) * (F.col("n_big") / F.col("n_prev"))
+                + F.lit(1.0 - lam) * (F.col("n_cur") / F.col("n_total"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_logp"), 4).alias("avg_logprob"),
+    )

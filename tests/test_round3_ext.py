@@ -349,3 +349,46 @@ def test_neighbor_jaccard_exact_small_graph(spark):
     assert set(out) == {(1, 3), (2, 4)}
     assert out[(1, 3)]["n_common"] == 2
     assert out[(1, 3)]["jaccard"] == 1.0
+
+
+def test_bigram_logprob_exact_tiny_corpus(spark):
+    import math
+
+    from eggv_spark.operators.text_analysis import bigram_logprob
+
+    # corpus: "a b a b" and "b a"  -> N=6, c(a)=3, c(b)=3
+    # bigrams: d1: (a,b)x2, (b,a)x1 ; d2: (b,a)x1
+    # c(a,b)=2, c(b,a)=2
+    rows = [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="b a")]
+    out = {r["doc_id"]: r for r in
+           bigram_logprob(spark.createDataFrame(rows)).collect()}
+    lam = 0.7
+    p_ab = lam * (2 / 3) + (1 - lam) * (3 / 6)
+    p_ba = lam * (2 / 3) + (1 - lam) * (3 / 6)
+    d1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    d2 = math.log(p_ba)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(round(d1, 4), abs=1e-9)
+    assert out[2]["avg_logprob"] == pytest.approx(round(d2, 4), abs=1e-9)
+
+
+def test_bigram_logprob_flags_scrambled_order(spark):
+    from eggv_spark.operators.text_analysis import bigram_logprob
+
+    # many docs share the same word order; one has the same VOCAB
+    # but scrambled order -> lower bigram score, invisible to unigram
+    normal = [Row(doc_id=i, text="the cat sat on the mat")
+              for i in range(10)]
+    scrambled = [Row(doc_id=99, text="mat the on sat cat the")]
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(
+        spark.createDataFrame(normal + scrambled)).collect()}
+    assert out[99] < out[0]
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    from eggv_spark.operators.text_analysis import bigram_logprob
+
+    rows = [Row(doc_id=1, text="solo"), Row(doc_id=2, text="a b")]
+    ids = {r["doc_id"] for r in bigram_logprob(
+        spark.createDataFrame(rows)).collect()}
+    assert ids == {2}
