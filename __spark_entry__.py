@@ -4636,6 +4636,30 @@ def _win_drawdown(spark, sf_dir):
     )
 
 
+def _agg_theil(spark, sf_dir):
+    """Theil T inequality of line revenue per returnflag — the
+    decomposable, sort-free complement to the Gini UDAF; two
+    map-side-combined moment passes (aggregates.theil_index)."""
+    return AG.theil_index(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice"
+    )
+
+
+def _tbl_checksum(spark, sf_dir):
+    """Order-insensitive table checksum over lineitem's integer and
+    string columns (sum of portable per-row md5 hashes + count) —
+    the two-number migration/replication validation primitive.
+    Doubles/timestamps are excluded from the hashed column list
+    because engines disagree on their string formatting (Java
+    Double.toString vs C shortest-repr); integers and strings
+    stringify identically everywhere (tableops.table_checksum)."""
+    return TO.table_checksum(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_returnflag", "l_linestatus"],
+    )
+
+
 def _txt_bigram_lm(spark, sf_dir):
     """Interpolated bigram LM perplexity proxy per document — word
     ORDER distribution scoring, the step up from txt_unigram_lm;
@@ -5101,6 +5125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_format_roundtrip": _src_format_roundtrip,
         "graph_neighbor_jaccard": _graph_neighbor_jaccard,
         "txt_bigram_lm": _txt_bigram_lm,
+        "agg_theil": _agg_theil,
+        "tbl_checksum": _tbl_checksum,
     }
 
 
@@ -7433,6 +7459,26 @@ def oracle_sql() -> dict[str, str]:
             "  max_ship_epoch FROM a"
             " UNION ALL SELECT 'tsv', n_rows, qty_cents, revenue,"
             "  max_ship_epoch FROM a"
+        ),
+        "agg_theil": (
+            "WITH pos AS (SELECT l_returnflag, l_extendedprice AS x"
+            "  FROM lineitem WHERE l_extendedprice > 0),"
+            " mu AS (SELECT l_returnflag, avg(x) AS m,"
+            "  count(*) AS n_pos FROM pos GROUP BY 1)"
+            " SELECT mu.l_returnflag, n_pos,"
+            " round(avg((x / m) * ln(x / m)), 6) AS theil_t"
+            " FROM pos p JOIN mu ON p.l_returnflag = mu.l_returnflag"
+            " GROUP BY mu.l_returnflag, n_pos"
+        ),
+        "tbl_checksum": (
+            "SELECT count(*) AS n_rows,"
+            " CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',"
+            "  CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),"
+            "  CAST(l_suppkey AS VARCHAR),"
+            "  CAST(l_linenumber AS VARCHAR),"
+            "  l_returnflag, l_linestatus)), 1, 8)) AS BIGINT))"
+            "  AS BIGINT) AS checksum"
+            " FROM lineitem"
         ),
         "txt_bigram_lm": (
             f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t"

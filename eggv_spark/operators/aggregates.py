@@ -883,3 +883,28 @@ def population_stability(
         F.round("_q", 6).alias("share_b"),
         F.round(contrib, 6).alias("contrib"),
     )
+
+
+def theil_index(
+    df: DataFrame, keys: Sequence[str], col: str
+) -> DataFrame:
+    """Theil T inequality index per group — the decomposable
+    complement to the Gini UDAF: T = mean((x/μ)·ln(x/μ)) over
+    positive values (0 = perfect equality, ln(n) = one member holds
+    everything).  Unlike Gini it needs no sort: two passes of
+    distributive moments (mean, then the log-weighted mean against
+    the 1-row-per-group broadcast of μ), all map-side combined.
+    Non-positive values are excluded (ln undefined) and reported."""
+    mu = df.filter(F.col(col) > 0).groupBy(*keys).agg(
+        F.avg(col).alias("_mu"), F.count("*").alias("n_pos")
+    )
+    ratio = F.col(col) / F.col("_mu")
+    return (
+        df.filter(F.col(col) > 0)
+        .join(F.broadcast(mu), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.any_value("n_pos").alias("n_pos"),
+            F.round(F.avg(ratio * F.log(ratio)), 6).alias("theil_t"),
+        )
+    )

@@ -693,3 +693,32 @@ def fk_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def table_checksum(df: DataFrame, cols: "list[str] | None" = None) -> DataFrame:
+    """Order-insensitive table checksum: the SUM of every row's
+    portable 32-bit content hash (md5 of the '|'-joined stringified
+    columns) plus the row count — the migration/replication
+    validation primitive: run on both sides of a copy, compare two
+    numbers instead of 10^11 rows.
+
+    Addition is commutative, so the checksum is independent of row
+    order, partitioning, and engine; the map-side partial sum means
+    bytes-on-the-wire is one long per partition.  Column order is
+    pinned by the explicit list (or the frame's schema order), and
+    nulls stringify as a sentinel distinct from the string 'null'.
+    A 32-bit-per-row hash summed over n rows detects any single-row
+    difference exactly and collides on crafted multi-row swaps with
+    probability ~2^-32 per candidate — for adversarial settings use
+    two independent salts and compare both sums."""
+    from .dedupe import base_hash
+
+    use = cols if cols is not None else df.columns
+    joined = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+               for c in use]
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(base_hash(joined)).alias("checksum"),
+    )

@@ -392,3 +392,50 @@ def test_bigram_logprob_short_docs_drop(spark):
     ids = {r["doc_id"] for r in bigram_logprob(
         spark.createDataFrame(rows)).collect()}
     assert ids == {2}
+
+
+def test_theil_index_exact_two_groups(spark):
+    import math
+
+    from eggv_spark.operators.aggregates import theil_index
+
+    # equal values -> T = 0; one-holder (x, eps->0 excluded via <=0)
+    rows = [Row(g="eq", x=5.0) for _ in range(4)]
+    rows += [Row(g="uneq", x=v) for v in (1.0, 1.0, 1.0, 9.0)]
+    out = {r["g"]: r for r in theil_index(
+        spark.createDataFrame(rows), ["g"], "x").collect()}
+    assert out["eq"]["theil_t"] == 0.0
+    mu = 3.0
+    expected = sum((v / mu) * math.log(v / mu)
+                   for v in (1.0, 1.0, 1.0, 9.0)) / 4
+    assert out["uneq"]["theil_t"] == pytest.approx(
+        round(expected, 6), abs=1e-9)
+    assert out["uneq"]["n_pos"] == 4
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from eggv_spark.operators.tableops import table_checksum
+
+    rows = [Row(a=i, b=f"s{i}") for i in range(50)]
+    df = spark.createDataFrame(rows)
+    base = table_checksum(df).collect()[0]
+    shuffled = table_checksum(
+        spark.createDataFrame(list(reversed(rows))).repartition(7)
+    ).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == (
+        shuffled["n_rows"], shuffled["checksum"])
+    # any single-row change moves the sum
+    changed = table_checksum(
+        spark.createDataFrame(rows[:-1] + [Row(a=49, b="DIFFERENT")])
+    ).collect()[0]
+    assert changed["checksum"] != base["checksum"]
+
+
+def test_table_checksum_null_distinct_from_literal(spark):
+    from eggv_spark.operators.tableops import table_checksum
+
+    a = spark.createDataFrame([Row(x="null")])
+    b = spark.createDataFrame([(None,)], "x string")
+    ca = table_checksum(a).collect()[0]["checksum"]
+    cb = table_checksum(b).collect()[0]["checksum"]
+    assert ca != cb
