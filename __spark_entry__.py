@@ -4871,7 +4871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       class-balanced downsampling, vocabulary coverage curve,
       SemDeDup semantic pruning, calibration bins, the corpus-cleaning
       funnel composite, k-fold assignment, running-peak drawdown,
-      PSI drift components, and the ORC/JSON/TSV roundtrip gate.
+      PSI drift components, the ORC/JSON/TSV roundtrip gate,
+      neighbor-overlap Jaccard, the interpolated bigram LM, the Theil
+      index, and the order-insensitive table checksum.
     """
     return {
         # --- round-3 verification window: never-driver-verified (49) ---
