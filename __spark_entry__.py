@@ -1479,10 +1479,21 @@ def _exp_map_explode(spark, sf_dir):
 
 def _txt_hashed_features(spark, sf_dir):
     """Feature hashing: fixed-width bag-of-words vectors via the
-    engine-portable md5 bucket hash — no vocabulary, no shuffle."""
+    engine-portable md5 bucket hash — no vocabulary, no shuffle.
+
+    The vector is emitted as a comma-joined scalar (``feature_csv``)
+    rather than ArrayType: the driver's pandas canonicalizer sorts on
+    all columns and cannot hash list-typed cells (round-3 driver
+    error: ``TypeError: unhashable type: 'list'``)."""
     return T.with_hashed_features(
         _t(spark, sf_dir, "documents"), n_buckets=8
-    ).select("doc_id", "n_tokens", "feature_vec")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(",", F.col("feature_vec").cast("array<string>")).alias(
+            "feature_csv"
+        ),
+    )
 
 
 def _agg_weighted_avg(spark, sf_dir):
@@ -4843,40 +4854,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
     The external driver oracle-checks the first 50 entries of this dict
-    each round.  Rounds 1 and 2 each verified 50 entries (CORRECTNESS_r01
-    and _r02, both 50/50 green); those blocks now sit at the back,
-    regression-guarded by tests/test_reference_parity.py and
-    scripts/check_correctness.py which runs ALL entries locally.
-    Round 3 front-loads the 49 entries added during round 2 that have
-    never had a driver row (``agg_approx`` is a rows-only check: HLL
-    sketches are not value-reproducible in DuckDB), plus ``mm_resize``
-    in slot 50 — re-verified because the resize path is now a REAL
-    stdlib nearest-neighbor resample (fake_decode=False), not the
-    digest stub round 1 checked.
+    each round.  Rounds 1-3 verified 50 entries each (CORRECTNESS_r01/
+    _r02/_r03 — 148 green, ``agg_approx`` rows-only by design,
+    ``txt_hashed_features`` erred on its then-ArrayType output); the
+    verified blocks sit at the back, regression-guarded by
+    tests/test_reference_parity.py and scripts/check_correctness.py
+    which runs ALL entries locally.
 
-    Rotation queue (each block locally sweep-green the round it was
-    added — see CORRECTNESS_LOCAL_r03.json):
-    - round-4 window (50, staged): the early round-3 additions — CDC/
-      SCD2, the TPC-H-analog OLAP suite, graph, regression, Bloom,
-      KS, vocab-Jaccard, rolling-corr, bucketed join, and friends;
-    - round-5 staging (the tail block): IVF+PQ, incremental agg (batch
-      + streaming twin), weighted sampling, Pareto, quantile
-      normalization, q-gram fuzzy, co-purchase/association rules,
-      FK audit, conversion/rate/seasonal analytics, A/B readout,
-      Benford (``agg_hll_rollup`` is rows-only: sketch estimates are
-      not value-reproducible in DuckDB);
-    - late round-3 block (tail): the TPC-H-analog completion
-      (``olap_q2/q4/q11/q12/q16/q20/q21`` — all 22 shapes now have an
-      analog), triangle census, rank-sum ROC AUC, Welch t-test,
-      class-balanced downsampling, vocabulary coverage curve,
-      SemDeDup semantic pruning, calibration bins, the corpus-cleaning
-      funnel composite, k-fold assignment, running-peak drawdown,
-      PSI drift components, the ORC/JSON/TSV roundtrip gate,
-      neighbor-overlap Jaccard, the interpolated bigram LM, the Theil
-      index, and the order-insensitive table checksum.
+    Round-4 window (the first 50): the 50-entry block staged at the end
+    of round 3 — CDC/SCD2, the TPC-H-analog OLAP suite, graph,
+    regression, Bloom, KS, vocab-Jaccard, rolling-corr, bucketed join —
+    with ``txt_lang_confusion`` swapped out for ``txt_hashed_features``,
+    which is re-queued after its round-3 driver error: its
+    ``feature_vec`` is now emitted as a comma-joined scalar
+    (``feature_csv``) that the driver's pandas canonicalizer can sort
+    and hash.
+
+    Round-5 staging (the tail block directly behind the window, 49
+    entries — the final rotation, closing driver coverage of the whole
+    registry): ``txt_lang_confusion`` plus IVF+PQ, incremental agg
+    (batch + streaming twin), weighted sampling, Pareto, quantile
+    normalization, q-gram fuzzy, co-purchase/association rules,
+    FK audit, conversion/rate/seasonal analytics, A/B readout, Benford
+    (``agg_hll_rollup`` is rows-only: sketch estimates are not
+    value-reproducible in DuckDB), the TPC-H-analog completion
+    (``olap_q2/q4/q11/q12/q16/q20/q21``), triangle census, rank-sum
+    ROC AUC, Welch t-test, class-balanced downsampling, vocabulary
+    coverage, SemDeDup, calibration bins, the corpus-cleaning funnel,
+    k-fold assignment, drawdown, PSI drift, the ORC/JSON/TSV roundtrip
+    gate, neighbor-overlap Jaccard, the interpolated bigram LM, the
+    Theil index, and the order-insensitive table checksum.
     """
     return {
-        # --- round-3 verification window: never-driver-verified (49) ---
+        # --- round-4 verification window (50): staged at end of round 3 ---
+        "tbl_scd2_apply": _tbl_scd2_apply,
+        "tbl_cdc_apply": _tbl_cdc_apply,
+        "smp_temperature_weights": _smp_temperature_weights,
+        "win_decayed_sum": _win_decayed_sum,
+        "mm_image_crop": _mm_image_crop,
+        "mm_audio_resample": _mm_audio_resample,
+        "ddp_minhash_est": _ddp_minhash_est,
+        "ddp_url_dedup": _ddp_url_dedup,
+        "txt_sentences": _txt_sentences,
+        "evt_attribution": _evt_attribution,
+        "agg_chi2_cells": _agg_chi2_cells,
+        "stream_cdc_apply": _stream_cdc_apply,
+        "tbl_incremental_append": _tbl_incremental_append,
+        "win_winsorize": _win_winsorize,
+        "txt_readability": _txt_readability,
+        "agg_mad": _agg_mad,
+        "evt_inter_event": _evt_inter_event,
+        "smp_apply_weights": _smp_apply_weights,
+        "olap_q5_local_supplier": _olap_q5_local_supplier,
+        "olap_q6_forecast_revenue": _olap_q6_forecast_revenue,
+        "olap_q7_volume_shipping": _olap_q7_volume_shipping,
+        "olap_q8_market_share": _olap_q8_market_share,
+        "olap_q9_product_profit": _olap_q9_product_profit,
+        "olap_q10_returned_items": _olap_q10_returned_items,
+        "olap_q13_customer_distribution": _olap_q13_customer_distribution,
+        "olap_q14_promo_effect": _olap_q14_promo_effect,
+        "olap_q15_top_supplier": _olap_q15_top_supplier,
+        "olap_q17_small_quantity": _olap_q17_small_quantity,
+        "olap_q18_large_orders": _olap_q18_large_orders,
+        "olap_q19_disjunctive": _olap_q19_disjunctive,
+        "olap_q22_idle_customers": _olap_q22_idle_customers,
+        "graph_pagerank": _graph_pagerank,
+        "graph_degree_stats": _graph_degree_stats,
+        "agg_linreg": _agg_linreg,
+        "sim_int8_quantize": _sim_int8_quantize,
+        "sim_centroid_cosine": _sim_centroid_cosine,
+        "ddp_bloom_prefilter": _ddp_bloom_prefilter,
+        "txt_zipf_slope": _txt_zipf_slope,
+        "evt_rfm": _evt_rfm,
+        "tbl_partition_balance": _tbl_partition_balance,
+        "win_ratio_to_report": _win_ratio_to_report,
+        "evt_markov": _evt_markov,
+        "agg_ks_test": _agg_ks_test,
+        "agg_cov_matrix": _agg_cov_matrix,
+        "txt_source_jaccard": _txt_source_jaccard,
+        "win_rolling_corr": _win_rolling_corr,
+        "join_bucketed": _join_bucketed,
+        "win_cumulative_distinct": _win_cumulative_distinct,
+        "smp_neg_sampling": _smp_neg_sampling,
+        # slot 50: re-queued after the round-3 driver error (now scalar)
+        "txt_hashed_features": _txt_hashed_features,
+        # --- verified in round 3 (CORRECTNESS_r03.json: 48/50 green) ---
         "join_cross": _join_cross,
         "agg_approx": _agg_approx,
         "txt_chunk": _txt_chunk,
@@ -4922,7 +4984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_pct_change": _win_pct_change,
         "set_symmetric_diff": _set_symmetric_diff,
         "join_fuzzy_name": _join_fuzzy_name,
-        "txt_hashed_features": _txt_hashed_features,
         "agg_weighted_avg": _agg_weighted_avg,
         "flt_like_pushdown": _flt_like_pushdown,
         "exp_map_explode": _exp_map_explode,
@@ -5029,58 +5090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gapfill": _evt_gapfill,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
-        # --- added in round 3: rotate into the window in round 4 ---
-        "tbl_scd2_apply": _tbl_scd2_apply,
-        "tbl_cdc_apply": _tbl_cdc_apply,
-        "smp_temperature_weights": _smp_temperature_weights,
-        "win_decayed_sum": _win_decayed_sum,
-        "mm_image_crop": _mm_image_crop,
-        "mm_audio_resample": _mm_audio_resample,
-        "ddp_minhash_est": _ddp_minhash_est,
-        "ddp_url_dedup": _ddp_url_dedup,
-        "txt_sentences": _txt_sentences,
-        "evt_attribution": _evt_attribution,
-        "agg_chi2_cells": _agg_chi2_cells,
-        "stream_cdc_apply": _stream_cdc_apply,
-        "tbl_incremental_append": _tbl_incremental_append,
-        "win_winsorize": _win_winsorize,
-        "txt_readability": _txt_readability,
-        "agg_mad": _agg_mad,
-        "evt_inter_event": _evt_inter_event,
-        "smp_apply_weights": _smp_apply_weights,
-        "olap_q5_local_supplier": _olap_q5_local_supplier,
-        "olap_q6_forecast_revenue": _olap_q6_forecast_revenue,
-        "olap_q7_volume_shipping": _olap_q7_volume_shipping,
-        "olap_q8_market_share": _olap_q8_market_share,
-        "olap_q9_product_profit": _olap_q9_product_profit,
-        "olap_q10_returned_items": _olap_q10_returned_items,
-        "olap_q13_customer_distribution": _olap_q13_customer_distribution,
-        "olap_q14_promo_effect": _olap_q14_promo_effect,
-        "olap_q15_top_supplier": _olap_q15_top_supplier,
-        "olap_q17_small_quantity": _olap_q17_small_quantity,
-        "olap_q18_large_orders": _olap_q18_large_orders,
-        "olap_q19_disjunctive": _olap_q19_disjunctive,
-        "olap_q22_idle_customers": _olap_q22_idle_customers,
-        "graph_pagerank": _graph_pagerank,
-        "graph_degree_stats": _graph_degree_stats,
-        "agg_linreg": _agg_linreg,
-        "sim_int8_quantize": _sim_int8_quantize,
-        "sim_centroid_cosine": _sim_centroid_cosine,
-        "ddp_bloom_prefilter": _ddp_bloom_prefilter,
-        "txt_zipf_slope": _txt_zipf_slope,
-        "evt_rfm": _evt_rfm,
-        "tbl_partition_balance": _tbl_partition_balance,
-        "win_ratio_to_report": _win_ratio_to_report,
-        "evt_markov": _evt_markov,
-        "agg_ks_test": _agg_ks_test,
-        "agg_cov_matrix": _agg_cov_matrix,
-        "txt_source_jaccard": _txt_source_jaccard,
-        "win_rolling_corr": _win_rolling_corr,
-        "join_bucketed": _join_bucketed,
-        "win_cumulative_distinct": _win_cumulative_distinct,
-        "smp_neg_sampling": _smp_neg_sampling,
-        "txt_lang_confusion": _txt_lang_confusion,
         # --- round-5 staging (beyond the full round-4 window) ---
+        "txt_lang_confusion": _txt_lang_confusion,
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
         "tbl_incremental_agg": _tbl_incremental_agg,
         "smp_weighted_reservoir": _smp_weighted_reservoir,
@@ -5725,10 +5736,10 @@ def oracle_sql() -> dict[str, str]:
         "txt_hashed_features": (
             f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)"
             " SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,"
-            " list_transform(generate_series(0, 7), i ->"
+            " array_to_string(list_transform(generate_series(0, 7), i ->"
             "  CAST(len(list_filter(t, s ->"
             "   CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 8"
-            "    = i)) AS INT)) AS feature_vec"
+            "    = i)) AS VARCHAR)), ',') AS feature_csv"
             " FROM toks"
         ),
         "agg_weighted_avg": (
