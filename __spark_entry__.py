@@ -7484,13 +7484,19 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY mu.l_returnflag, n_pos"
         ),
         "tbl_checksum": (
+            # each column wrapped in coalesce(..., chr(0)||'null') to
+            # mirror table_checksum's NULL sentinel — concat_ws would
+            # otherwise silently SKIP a NULL arg in both engines,
+            # collapsing NULL-vs-missing if a nullable column is added
             "SELECT count(*) AS n_rows,"
             " CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',"
-            "  CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),"
-            "  CAST(l_suppkey AS VARCHAR),"
-            "  CAST(l_linenumber AS VARCHAR),"
-            "  l_returnflag, l_linestatus)), 1, 8)) AS BIGINT))"
-            "  AS BIGINT) AS checksum"
+            "  coalesce(CAST(l_orderkey AS VARCHAR), chr(0)||'null'),"
+            "  coalesce(CAST(l_partkey AS VARCHAR), chr(0)||'null'),"
+            "  coalesce(CAST(l_suppkey AS VARCHAR), chr(0)||'null'),"
+            "  coalesce(CAST(l_linenumber AS VARCHAR), chr(0)||'null'),"
+            "  coalesce(l_returnflag, chr(0)||'null'),"
+            "  coalesce(l_linestatus, chr(0)||'null'))), 1, 8))"
+            "  AS BIGINT)) AS BIGINT) AS checksum"
             " FROM lineitem"
         ),
         "txt_bigram_lm": (
@@ -7662,9 +7668,13 @@ def oracle_sql() -> dict[str, str]:
             " FROM ne, wed, tri"
         ),
         "agg_auc": (
+            # event_type IS NOT NULL mirrors roc_auc's label-null
+            # exclusion (a NULL event_type would otherwise hit ELSE 0
+            # here but be dropped Spark-side)
             "WITH s AS (SELECT CAST(day(ts) AS INT) AS day,"
             "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,"
-            "  value FROM events WHERE value IS NOT NULL),"
+            "  value FROM events WHERE value IS NOT NULL"
+            "  AND event_type IS NOT NULL),"
             " r AS (SELECT day, y,"
             "  rank() OVER (PARTITION BY day ORDER BY value ASC)"
             "  + (count(*) OVER (PARTITION BY day, value) - 1) / 2.0"
@@ -7684,12 +7694,14 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
             "   1, 8)) AS BIGINT) % 2 AS arm, value FROM events),"
             " g AS (SELECT"
-            "  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
-            "   AS n0,"
+            # count() over the value expression counts NON-NULL metric
+            # values only, matching welch_ttest's F.count(F.when(...))
+            # semantics (events.value is nullable per FIXTURES.md; a
+            # raw row count would diverge the moment a null appears)
+            "  count(CASE WHEN arm = 0 THEN value END) AS n0,"
             "  avg(CASE WHEN arm = 0 THEN value END) AS m0,"
             "  var_samp(CASE WHEN arm = 0 THEN value END) AS v0,"
-            "  CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)"
-            "   AS n1,"
+            "  count(CASE WHEN arm <> 0 THEN value END) AS n1,"
             "  avg(CASE WHEN arm <> 0 THEN value END) AS m1,"
             "  var_samp(CASE WHEN arm <> 0 THEN value END) AS v1"
             "  FROM s)"

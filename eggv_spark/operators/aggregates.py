@@ -662,9 +662,17 @@ def roc_auc(
     Scale: the shuffle is the per-group sort — the same cost as any
     ranking metric; a group that exceeds one executor's sort space
     needs the two-phase range-partitioned rank decomposition.
+
+    Rows with a NULL label are excluded too: the Mann–Whitney
+    identity requires the ranked set to be exactly positives ∪
+    negatives — an unlabeled row would inflate the ranks of
+    higher-scored positives while counting toward neither n⁺ nor n⁻,
+    biasing the estimate.
     """
     keys = list(keys)
-    df = df.filter(F.col(score_col).isNotNull())
+    df = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     part = Window.partitionBy(*[F.col(k) for k in keys]) if keys else (
         Window.partitionBy()
     )

@@ -106,6 +106,20 @@ def test_roc_auc_degenerate_group_null(spark):
     assert out["auc"] is None
 
 
+def test_roc_auc_null_labels_excluded(spark):
+    # an unlabeled row must not occupy a rank slot: with it ranked,
+    # the top-scored positive's rank would inflate and bias the AUC
+    base = [Row(y=1, s=3.0), Row(y=0, s=1.0), Row(y=0, s=2.0)]
+    with_null = base + [Row(y=None, s=2.5)]
+    a = roc_auc(spark.createDataFrame(base), "y", "s").collect()[0]
+    b = roc_auc(
+        spark.createDataFrame(with_null, schema="y int, s double"), "y", "s"
+    ).collect()[0]
+    assert (a["auc"], a["n_pos"], a["n_neg"]) == (
+        b["auc"], b["n_pos"], b["n_neg"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # welch_ttest
 # ---------------------------------------------------------------------------
