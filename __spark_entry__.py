@@ -4938,6 +4938,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_neg_sampling": _smp_neg_sampling,
         # slot 50: re-queued after the round-3 driver error (now scalar)
         "txt_hashed_features": _txt_hashed_features,
+        # --- round-5 staging (49, directly behind the window): the
+        # final rotation — drop the block above to front-swap these in ---
+        "txt_lang_confusion": _txt_lang_confusion,
+        "sim_ivf_pq_topk": _sim_ivf_pq_topk,
+        "tbl_incremental_agg": _tbl_incremental_agg,
+        "smp_weighted_reservoir": _smp_weighted_reservoir,
+        "srt_pareto_frontier": _srt_pareto_frontier,
+        "smp_quantile_normalize": _smp_quantile_normalize,
+        "join_qgram_fuzzy": _join_qgram_fuzzy,
+        "agg_copurchase": _agg_copurchase,
+        "tbl_fk_audit": _tbl_fk_audit,
+        "evt_conversion_time": _evt_conversion_time,
+        "evt_event_rate": _evt_event_rate,
+        "stream_incremental_agg": _stream_incremental_agg,
+        "agg_hll_rollup": _agg_hll_rollup,
+        "evt_ab_test": _evt_ab_test,
+        "agg_benford": _agg_benford,
+        "evt_seasonal": _evt_seasonal,
+        "agg_assoc_rules": _agg_assoc_rules,
+        "graph_label_prop": _graph_label_prop,
+        "win_rolling_median": _win_rolling_median,
+        "geo_proximity": _geo_proximity,
+        "agg_countmin": _agg_countmin,
+        "evt_attribution_linear": _evt_attribution_linear,
+        "tbl_partition_pruning": _tbl_partition_pruning,
+        "composite_semantic_pairs": _composite_semantic_pairs,
+        "dt_business_days": _dt_business_days,
+        "agg_tukey_outliers": _agg_tukey_outliers,
+        "olap_q2_min_cost_supplier": _olap_q2_min_cost_supplier,
+        "olap_q4_priority_check": _olap_q4_priority_check,
+        "olap_q11_important_stock": _olap_q11_important_stock,
+        "olap_q12_ship_delay": _olap_q12_ship_delay,
+        "olap_q16_supplier_counts": _olap_q16_supplier_counts,
+        "olap_q20_part_promotion": _olap_q20_part_promotion,
+        "olap_q21_waiting_suppliers": _olap_q21_waiting_suppliers,
+        "graph_triangles": _graph_triangles,
+        "agg_auc": _agg_auc,
+        "agg_welch": _agg_welch,
+        "smp_balanced_classes": _smp_balanced_classes,
+        "txt_vocab_coverage": _txt_vocab_coverage,
+        "ddp_semdedup": _ddp_semdedup,
+        "agg_calibration": _agg_calibration,
+        "composite_corpus_funnel": _composite_corpus_funnel,
+        "smp_kfold": _smp_kfold,
+        "win_drawdown": _win_drawdown,
+        "agg_psi": _agg_psi,
+        "src_format_roundtrip": _src_format_roundtrip,
+        "graph_neighbor_jaccard": _graph_neighbor_jaccard,
+        "txt_bigram_lm": _txt_bigram_lm,
+        "agg_theil": _agg_theil,
+        "tbl_checksum": _tbl_checksum,
         # --- verified in round 3 (CORRECTNESS_r03.json: 48/50 green) ---
         "join_cross": _join_cross,
         "agg_approx": _agg_approx,
@@ -5090,56 +5141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gapfill": _evt_gapfill,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
-        # --- round-5 staging (beyond the full round-4 window) ---
-        "txt_lang_confusion": _txt_lang_confusion,
-        "sim_ivf_pq_topk": _sim_ivf_pq_topk,
-        "tbl_incremental_agg": _tbl_incremental_agg,
-        "smp_weighted_reservoir": _smp_weighted_reservoir,
-        "srt_pareto_frontier": _srt_pareto_frontier,
-        "smp_quantile_normalize": _smp_quantile_normalize,
-        "join_qgram_fuzzy": _join_qgram_fuzzy,
-        "agg_copurchase": _agg_copurchase,
-        "tbl_fk_audit": _tbl_fk_audit,
-        "evt_conversion_time": _evt_conversion_time,
-        "evt_event_rate": _evt_event_rate,
-        "stream_incremental_agg": _stream_incremental_agg,
-        "agg_hll_rollup": _agg_hll_rollup,
-        "evt_ab_test": _evt_ab_test,
-        "agg_benford": _agg_benford,
-        "evt_seasonal": _evt_seasonal,
-        "agg_assoc_rules": _agg_assoc_rules,
-        "graph_label_prop": _graph_label_prop,
-        "win_rolling_median": _win_rolling_median,
-        "geo_proximity": _geo_proximity,
-        "agg_countmin": _agg_countmin,
-        "evt_attribution_linear": _evt_attribution_linear,
-        "tbl_partition_pruning": _tbl_partition_pruning,
-        "composite_semantic_pairs": _composite_semantic_pairs,
-        "dt_business_days": _dt_business_days,
-        "agg_tukey_outliers": _agg_tukey_outliers,
-        "olap_q2_min_cost_supplier": _olap_q2_min_cost_supplier,
-        "olap_q4_priority_check": _olap_q4_priority_check,
-        "olap_q11_important_stock": _olap_q11_important_stock,
-        "olap_q12_ship_delay": _olap_q12_ship_delay,
-        "olap_q16_supplier_counts": _olap_q16_supplier_counts,
-        "olap_q20_part_promotion": _olap_q20_part_promotion,
-        "olap_q21_waiting_suppliers": _olap_q21_waiting_suppliers,
-        "graph_triangles": _graph_triangles,
-        "agg_auc": _agg_auc,
-        "agg_welch": _agg_welch,
-        "smp_balanced_classes": _smp_balanced_classes,
-        "txt_vocab_coverage": _txt_vocab_coverage,
-        "ddp_semdedup": _ddp_semdedup,
-        "agg_calibration": _agg_calibration,
-        "composite_corpus_funnel": _composite_corpus_funnel,
-        "smp_kfold": _smp_kfold,
-        "win_drawdown": _win_drawdown,
-        "agg_psi": _agg_psi,
-        "src_format_roundtrip": _src_format_roundtrip,
-        "graph_neighbor_jaccard": _graph_neighbor_jaccard,
-        "txt_bigram_lm": _txt_bigram_lm,
-        "agg_theil": _agg_theil,
-        "tbl_checksum": _tbl_checksum,
     }
 
 
