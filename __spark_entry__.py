@@ -1787,6 +1787,35 @@ def _mm_image_hash(spark, sf_dir):
     )
 
 
+def _mm_bmp_decode(spark, sf_dir):
+    """REAL uncompressed-BMP decode (fake=False): synthesize genuine
+    24-bit bottom-up BMP payloads with a padded 20-byte row stride
+    (6x4 raster — 2 padding bytes per row, so stride bugs shear
+    loudly), parse them with the stdlib little-endian header decoder
+    inside the Arrow-batched mapInPandas stage, and emit integer
+    channel sums — round(mean*n) recovers the exact integer sum, so
+    there is no float32 rounding ambiguity vs the DuckDB replica
+    (multimodal.decode_bmp; the second real image container next to
+    PPM/P6)."""
+    from eggv_spark.operators import multimodal as M
+
+    imgs = M.synthesize_bmp_images(_t(spark, sf_dir, "documents"))
+    feats = M.extract_features(imgs, fake_decode=False)
+    n = F.lit(24)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "content_hash",
+        F.get("feature", 0).cast("int").alias("width"),
+        F.get("feature", 1).cast("int").alias("height"),
+        F.round(F.get("feature", 3) * n).cast("long").alias("sum_r"),
+        F.round(F.get("feature", 4) * n).cast("long").alias("sum_g"),
+        F.round(F.get("feature", 5) * n).cast("long").alias("sum_b"),
+        F.get("feature", 6).cast("int").alias("max_px"),
+        F.get("feature", 7).cast("int").alias("min_px"),
+    )
+
+
 def _tbl_zorder_key(spark, sf_dir):
     """Z-order (Morton) locality key over (l_partkey, l_suppkey):
     the two-column data-skipping sort key, as a pure unrolled
@@ -5141,6 +5170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gapfill": _evt_gapfill,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
+        # --- round-4 additions (round-6 verification queue) ---
+        "mm_bmp_decode": _mm_bmp_decode,
     }
 
 
@@ -6095,6 +6126,36 @@ def oracle_sql() -> dict[str, str]:
             " round(mean_b, 4) AS mean_b,"
             " round(4 + 4 + 255 + mean_r + mean_g + mean_b"
             "  + max_px + min_px, 4) AS feature_sum"
+            " FROM st"
+        ),
+        "mm_bmp_decode": (
+            # REAL BMP decode replica: raster byte i (padding incl.)
+            # of doc d is (d*11 + i*17) % 256 over the 80-byte padded
+            # raster (synthesize_bmp_images, 6x4 @ stride 20).  Pixel
+            # bytes are those with i%20 < 18; BGR order means channel
+            # R is (i%20)%3 = 2.  content_hash is md5 of the lowercase
+            # hex of header || raster; the 54-byte header is constant.
+            "WITH px AS ("
+            " SELECT d.doc_id, i, (d.doc_id * 11 + i * 17) % 256 AS v"
+            " FROM documents d, generate_series(0, 79) t(i)),"
+            " st AS (SELECT doc_id,"
+            "  sum(v) FILTER (i % 20 < 18 AND (i % 20) % 3 = 2) AS sum_r,"
+            "  sum(v) FILTER (i % 20 < 18 AND (i % 20) % 3 = 1) AS sum_g,"
+            "  sum(v) FILTER (i % 20 < 18 AND (i % 20) % 3 = 0) AS sum_b,"
+            "  max(v) FILTER (i % 20 < 18) AS max_px,"
+            "  min(v) FILTER (i % 20 < 18) AS min_px,"
+            "  string_agg(lpad(lower(to_hex(v)), 2, '0'), '' ORDER BY i)"
+            "   AS hx"
+            " FROM px GROUP BY doc_id)"
+            " SELECT doc_id AS asset_id, CAST(134 AS BIGINT) AS n_bytes,"
+            " md5('424d860000000000000036000000280000000600000004000000"
+            "010018000000000050000000130b0000130b00000000000000000000'"
+            "  || hx) AS content_hash,"
+            " CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,"
+            " CAST(sum_r AS BIGINT) AS sum_r,"
+            " CAST(sum_g AS BIGINT) AS sum_g,"
+            " CAST(sum_b AS BIGINT) AS sum_b,"
+            " CAST(max_px AS INT) AS max_px, CAST(min_px AS INT) AS min_px"
             " FROM st"
         ),
         "mm_video_frames": (

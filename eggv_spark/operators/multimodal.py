@@ -9,11 +9,14 @@ The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas``
 signatures, partitioning) is real and tested.  Decode status per
 modality:
 
-- **image: REAL for binary PPM (P6)** — :func:`decode_ppm` is a
-  stdlib-only parser (header tokenize incl. comments, raster stats);
-  no PIL needed.  :func:`synthesize_ppm_images` emits genuine P6
-  payloads (pure Column exprs) so the path is exercised with
-  ``fake=False`` end-to-end.
+- **image: REAL for binary PPM (P6) and uncompressed 24-bit BMP** —
+  :func:`decode_ppm` and :func:`decode_bmp` are stdlib-only parsers
+  (PPM: header tokenize incl. comments; BMP: little-endian
+  BITMAPINFOHEADER, 4-byte row stride, bottom-up AND top-down
+  rasters); no PIL needed.  :func:`synthesize_ppm_images` /
+  :func:`synthesize_bmp_images` emit genuine payloads (pure Column
+  exprs) so both containers are exercised with ``fake=False``
+  end-to-end.
 - **audio: REAL for 16-bit PCM WAV** — :func:`decode_wav` opens the
   RIFF container with the stdlib ``wave`` module and computes PCM
   stats; :func:`synthesize_wav_audio` emits genuine WAV payloads in
@@ -231,6 +234,115 @@ def decode_ppm(payload: bytes) -> list[float]:
     ]
 
 
+def _bmp_header(width: int, height: int) -> bytes:
+    """54-byte uncompressed 24-bit BMP header (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BI_RGB, bottom-up, 2835 px/m ≈ 72 dpi)."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    raster = stride * height
+    return struct.pack("<2sIHHI", b"BM", 54 + raster, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, raster, 2835, 2835, 0, 0
+    )
+
+
+def synthesize_bmp_images(
+    docs: DataFrame, width: int = 6, height: int = 4
+) -> DataFrame:
+    """Deterministic REAL uncompressed-BMP image assets from the
+    ``documents`` fixture: raster byte ``i`` (padding included) of
+    doc ``d`` is ``(d*11 + i*17) % 256``.  The 54-byte header is a
+    constant literal; the raster is hex-assembled in Column exprs and
+    ``unhex``-ed — genuine little-endian BI_RGB bytes, no UDF,
+    reproducible in any engine from the same formula.
+
+    The default 6×4 geometry makes the row stride 20 with 2 padding
+    bytes per row, so decoders that forget BMP's 4-byte row alignment
+    fail loudly on this fixture instead of silently shearing pixels.
+    """
+    stride = ((width * 3 + 3) // 4) * 4
+    n = stride * height
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.lpad(
+                F.lower(F.hex((F.col("doc_id") * 11 + i * 17) % 256)), 2, "0"
+            ),
+        ),
+        "",
+    )
+    header_hex = _bmp_header(width, height).hex()
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(F.concat(F.lit(header_hex), pix_hex)).alias("payload"),
+        F.lit("image/bmp").alias("mime_type"),
+    )
+
+
+def _bmp_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Header-parse an uncompressed 24-bit BMP (BI_RGB,
+    BITMAPINFOHEADER or any of its larger successors): returns
+    (width, height, rows) with rows in TOP-DOWN image order, each
+    exactly ``3*width`` BGR bytes (stride padding removed).  A
+    negative biHeight means the file is already top-down; positive
+    (the common case) stores rows bottom-up."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    h = abs(h_raw)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(payload) < off + stride * h:
+        raise ValueError("truncated BMP raster")
+    file_rows = [
+        payload[off + r * stride : off + r * stride + w * 3] for r in range(h)
+    ]
+    return w, h, file_rows[::-1] if h_raw > 0 else file_rows
+
+
+def decode_bmp(payload: bytes) -> list[float]:
+    """REAL uncompressed-BMP decode, stdlib only — the second real
+    image container next to :func:`decode_ppm` (P6), proving the
+    image path is a format library, not a single-format special case.
+    Emits the same FEATURE_DIM stat layout as the PPM decoder:
+    ``[width, height, 255, mean_r, mean_g, mean_b, max_px, min_px]``
+    (means/extrema over pixel bytes only — stride padding excluded;
+    BMP stores channels as BGR, re-ordered here to RGB)."""
+    w, h, rows = _bmp_parse(payload)
+    n = w * h
+    sums = [0, 0, 0]  # B, G, R file order
+    mx, mn = 0, 255
+    for row in rows:
+        for c in range(3):
+            sums[c] += sum(row[c::3])
+        mx = max(mx, max(row))
+        mn = min(mn, min(row))
+    return [
+        float(w),
+        float(h),
+        255.0,
+        sums[2] / n,
+        sums[1] / n,
+        sums[0] / n,
+        float(mx),
+        float(mn),
+    ]
+
+
 def _y4m_header(width: int, height: int, fps_num: int = 25, fps_den: int = 1) -> bytes:
     """YUV4MPEG2 stream header, progressive, square pixels, C444
     (full-resolution U/V planes, so a frame is exactly 3*W*H bytes)."""
@@ -322,7 +434,8 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     """Decode one media payload to a feature vector.
 
     Binary-PPM image payloads (magic ``P6``) are decoded FOR REAL via
-    :func:`decode_ppm` regardless of ``fake``; likewise WAV
+    :func:`decode_ppm` regardless of ``fake``, uncompressed BMP
+    (``BM``) via :func:`decode_bmp`; likewise WAV
     (``RIFF``) via :func:`decode_wav` and Y4M video (``YUV4MPEG2``)
     via :func:`decode_y4m`.  Compressed formats need
     PIL/librosa/ffmpeg, which this environment does not ship:
@@ -332,6 +445,8 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     """
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)
     if payload.startswith(b"YUV4MPEG2"):

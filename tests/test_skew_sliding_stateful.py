@@ -242,6 +242,78 @@ def test_synthesized_ppm_decodes_for_real(spark):
     assert vec[3] == sum((3 * 7 + i * 13) % 256 for i in range(0, 48, 3)) / 16
 
 
+def test_decode_bmp_real_parse():
+    import pytest as _pytest
+
+    from eggv_spark.operators.multimodal import (
+        _bmp_header,
+        decode_bmp,
+        decode_payload,
+    )
+
+    # 2x2 24-bit: row bytes 6, stride 8 -> 2 padding bytes per row.
+    # Bottom-up file rows; image rows top-down are [r1, r0].
+    # Image pixel (x, y) channels (B, G, R):
+    #   row0: (10,20,30) (40,50,60)   row1: (70,80,90) (100,110,120)
+    r_img0 = bytes([10, 20, 30, 40, 50, 60])
+    r_img1 = bytes([70, 80, 90, 100, 110, 120])
+    pad = b"\xff\xff"  # padding must be excluded from stats
+    payload = _bmp_header(2, 2) + r_img1 + pad + r_img0 + pad
+    w, h, maxval, mean_r, mean_g, mean_b, max_px, min_px = decode_bmp(payload)
+    assert (w, h, maxval) == (2.0, 2.0, 255.0)
+    assert mean_b == (10 + 40 + 70 + 100) / 4
+    assert mean_g == (20 + 50 + 80 + 110) / 4
+    assert mean_r == (30 + 60 + 90 + 120) / 4
+    assert (max_px, min_px) == (120.0, 10.0)  # pad 0xff excluded
+    # decode_payload routes BM to the REAL parser even with fake=False
+    assert decode_payload(payload, "image", fake=False) == decode_bmp(payload)
+
+    # top-down variant (negative biHeight) decodes to identical stats
+    hdr = bytearray(_bmp_header(2, 2))
+    hdr[22:26] = (-2).to_bytes(4, "little", signed=True)
+    topdown = bytes(hdr) + r_img0 + pad + r_img1 + pad
+    assert decode_bmp(topdown) == decode_bmp(payload)
+
+    with _pytest.raises(ValueError):
+        decode_bmp(payload[:-3])  # truncated raster
+    with _pytest.raises(NotImplementedError):
+        bad = bytearray(payload)
+        bad[28] = 8  # 8-bit palette BMP unsupported
+        decode_bmp(bytes(bad))
+
+
+def test_synthesized_bmp_decodes_for_real(spark):
+    from eggv_spark.operators.multimodal import (
+        _bmp_header,
+        extract_features,
+        synthesize_bmp_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "t", "s", "en")], ["doc_id", "text", "source", "lang"]
+    )
+    imgs = synthesize_bmp_images(docs)
+    payload = bytes(imgs.collect()[0].payload)
+    expected = _bmp_header(6, 4) + bytes(
+        (3 * 11 + i * 17) % 256 for i in range(80)
+    )
+    assert payload == expected  # Column-expr assembly is byte-exact
+
+    feats = extract_features(imgs, fake_decode=False).collect()
+    assert len(feats) == 1
+    vec = feats[0].feature
+    assert vec[0] == 6.0 and vec[1] == 4.0 and vec[2] == 255.0
+    # mean_r = channel (i%20)%3==2 among pixel bytes, rows in any
+    # order (means are row-order independent)
+    pix = [
+        (3 * 11 + i * 17) % 256
+        for i in range(80)
+        if i % 20 < 18
+    ]
+    assert vec[3] == sum(pix[2::3]) / 24
+    assert vec[5] == sum(pix[0::3]) / 24
+
+
 def test_decode_wav_real_parse():
     import math
     import struct
