@@ -1162,6 +1162,23 @@ def _ddp_simhash_neardup(spark, sf_dir):
     return D.simhash_neardup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
 
 
+def _ddp_index_dedup(spark, sf_dir):
+    """Incremental near-dup: probe a re-crawled shard (every 10th doc
+    re-tagged +1,000,000) against a persisted MinHash band index of
+    the full corpus — the production shape for continuously-crawled
+    corpora, where all-pairs LSH over corpus ∪ shard every ingest is
+    O(corpus).  Each shard doc is an exact copy of its source, so the
+    signature-agreement estimate is 1.0 and dup_of resolves to the
+    smallest matching corpus id (dedupe.minhash_band_index /
+    dedupe_against_index)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = D.minhash_band_index(docs)
+    shard = docs.filter("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return D.dedupe_against_index(shard, index, threshold=0.7)
+
+
 def _ddp_ngram_jaccard(spark, sf_dir):
     """Standalone exact n-gram Jaccard on deterministic adjacent-id
     pairs (the verification kernel of the near-dup pipeline)."""
@@ -2003,6 +2020,51 @@ ex AS (SELECT pr.id_a, pr.id_b,
 SELECT e.id_a, e.id_b, e.est_jaccard, x.exact_jaccard,
  round(abs(e.est_jaccard - x.exact_jaccard), 4) AS abs_err
 FROM est e JOIN ex x ON e.id_a = x.id_a AND e.id_b = x.id_b
+"""
+
+
+def _index_dedup_oracle() -> str:
+    """Index-probe incremental dedup replica: shard docs are exact
+    copies of every 10th corpus doc, so their signatures equal the
+    source's — bands/signatures are computed once over documents and
+    the shard side reuses them via src_id."""
+    consts = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    p = D.MINHASH_PRIME
+    n_perms = len(D.MINHASH_A)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+hs AS (SELECT doc_id,
+       list_distinct(list_transform(shingles,
+         s -> {_BASEHASH_SQL.format(x='s')} % {p})) AS hashes FROM sh),
+consts(j, a, b) AS (VALUES {consts}),
+sig AS (SELECT doc_id, j,
+        list_min(list_transform(hashes, x -> (a * x + b) % {p})) AS m
+        FROM hs CROSS JOIN consts),
+bands AS (SELECT doc_id, j // {D.MINHASH_ROWS} AS band,
+          string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS band_key
+          FROM sig GROUP BY doc_id, j // {D.MINHASH_ROWS}),
+shard AS (SELECT doc_id + 1000000 AS new_id, doc_id AS src_id
+          FROM documents WHERE doc_id % 10 = 0),
+cand AS (SELECT DISTINCT s.new_id, s.src_id, b2.doc_id AS old_id
+         FROM shard s JOIN bands b1 ON b1.doc_id = s.src_id
+         JOIN bands b2 ON b2.band = b1.band AND b2.band_key = b1.band_key),
+est AS (SELECT c.new_id, c.old_id,
+        round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+              / {n_perms}.0, 4) AS ej
+        FROM cand c JOIN sig sa ON sa.doc_id = c.src_id
+        JOIN sig sb ON sb.doc_id = c.old_id AND sb.j = sa.j
+        GROUP BY c.new_id, c.old_id),
+m AS (SELECT new_id, min(old_id) AS dup_of,
+      CAST(count(DISTINCT old_id) AS BIGINT) AS n_matches,
+      max(ej) AS best_est
+      FROM est WHERE ej >= 0.7 GROUP BY new_id)
+SELECT s.new_id AS doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of,
+ COALESCE(m.n_matches, 0) AS n_matches, m.best_est
+FROM shard s LEFT JOIN m ON m.new_id = s.new_id
 """
 
 
@@ -5172,6 +5234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessionize": _evt_sessionize,
         # --- round-4 additions (round-6 verification queue) ---
         "mm_bmp_decode": _mm_bmp_decode,
+        "ddp_index_dedup": _ddp_index_dedup,
     }
 
 
@@ -6616,6 +6679,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mm_audio_resample": _audio_resample_oracle(),
         "ddp_minhash_est": _minhash_est_oracle(),
+        "ddp_index_dedup": _index_dedup_oracle(),
         "ddp_url_dedup": (
             "WITH h AS (SELECT doc_id, doc_id // 2 AS pair,"
             "  's' || CAST((doc_id // 2) % 7 AS VARCHAR) AS host"

@@ -106,11 +106,15 @@ def with_minhash_signature(df: DataFrame) -> DataFrame:
     return df.withColumn("minhash_sig", sig)
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signatures and self-join buckets -> distinct candidate
-    pairs (a < b).  The only shuffle is on the band key."""
-    bands = df.select(
+def _band_rows(
+    df: DataFrame, id_col: str = "doc_id", extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode a signed frame to one row per (doc, band):
+    (id, band, band_key[, *extra]) — the LSH bucket key both the
+    self-join candidate generator and the persistable index build on."""
+    return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.explode(
             F.array(
                 *[
@@ -128,7 +132,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
+    ).select(id_col, *extra, "bk.band", "bk.band_key")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join buckets -> distinct candidate
+    pairs (a < b).  The only shuffle is on the band key."""
+    bands = _band_rows(df, id_col)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -242,6 +252,108 @@ def minhash_neardup_pairs(
     ).persist()
     pairs = lsh_candidate_pairs(shingled, id_col)
     return jaccard_verify_pairs(pairs, shingled, threshold, id_col)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Persistable MinHash band index of a corpus: one row per
+    (doc, band) carrying (id, band, band_key, minhash_sig).
+
+    This is the incremental-dedup half of the LSH design: build it
+    ONCE over the existing corpus, write it partitioned/bucketed by
+    (band, band_key), and every future crawl shard probes it with an
+    equi-join instead of re-pairing the whole corpus
+    (:func:`dedupe_against_index`).  The full 16-slot signature rides
+    along (~128 B/row, MINHASH_BANDS rows per doc) so probe-side
+    verification is signature agreement — no corpus text re-read.
+    """
+    sigs = with_minhash_signature(
+        with_shingle_hashes(df, text_col, shingle_size)
+    )
+    return _band_rows(sigs, id_col, extra=("minhash_sig",))
+
+
+def dedupe_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Incremental near-dup: probe a NEW shard against a persisted
+    :func:`minhash_band_index` of the existing corpus — the
+    production shape for continuously-crawled training corpora, where
+    re-running all-pairs LSH over corpus ∪ shard every crawl is
+    O(corpus) per ingest.
+
+    Per new doc: ``is_dup`` (any index doc whose signature agreement
+    ≥ ``threshold``), ``dup_of`` (the SMALLEST matching corpus id —
+    deterministic), ``n_matches`` (distinct matching corpus docs),
+    and ``best_est`` (max signature-agreement Jaccard estimate, 4dp).
+
+    Scale: the probe shuffles only the shard's band rows (bands ×
+    |shard|, tiny next to the corpus); the index side is a plain
+    equi-join on (band, band_key) — bucketed storage makes it
+    shuffle-free on the corpus side too.  Verification is pure array
+    math on the two 16-slot signatures (zip_with agreement share), so
+    the corpus text is never touched.  A pair colliding in several
+    bands is collapsed by the pre-verify dropDuplicates.
+    """
+    n_perms = len(MINHASH_A)
+    sigs_new = with_minhash_signature(
+        with_shingle_hashes(new_docs, text_col, shingle_size)
+    )
+    probe = _band_rows(sigs_new, id_col, extra=("minhash_sig",)).select(
+        F.col(id_col).alias("_new_id"),
+        F.col("minhash_sig").alias("_sig_new"),
+        "band",
+        "band_key",
+    )
+    idx = index.select(
+        F.col(id_col).alias("_old_id"),
+        F.col("minhash_sig").alias("_sig_old"),
+        "band",
+        "band_key",
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_sig_new"),
+            F.col("_sig_old"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    matches = (
+        probe.join(idx, ["band", "band_key"])
+        .dropDuplicates(["_new_id", "_old_id"])
+        .withColumn(
+            "est_jaccard", F.round(agree / F.lit(float(n_perms)), 4)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("_new_id")
+        .agg(
+            F.min("_old_id").alias("dup_of"),
+            F.countDistinct("_old_id").alias("n_matches"),
+            F.max("est_jaccard").alias("best_est"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(matches, F.col(id_col) == F.col("_new_id"), "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_est",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,35 @@ def test_minhash_finds_exact_and_near_dups(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_minhash_band_index_shape(docs):
+    idx = D.minhash_band_index(docs)
+    rows = idx.collect()
+    # one row per (doc, band), each carrying the full signature
+    assert len(rows) == 5 * D.MINHASH_BANDS
+    assert all(len(r.minhash_sig) == len(D.MINHASH_A) for r in rows)
+    assert set(idx.columns) == {"doc_id", "minhash_sig", "band", "band_key"}
+
+
+def test_dedupe_against_index_finds_exact_copy(spark, docs):
+    # corpus index over docs 1-5; shard re-crawls doc 1 (exact copy,
+    # new id 100) plus one genuinely new doc (id 101)
+    index = D.minhash_band_index(docs)
+    shard = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "unrelated shard text with entirely novel words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.dedupe_against_index(shard, index).collect()}
+    assert out[100].is_dup
+    assert out[100].dup_of == 1  # smallest matching corpus id (1 and 4 match)
+    assert out[100].n_matches == 2  # docs 1 AND 4 are exact copies
+    assert out[100].best_est == 1.0
+    assert not out[101].is_dup
+    assert out[101].dup_of is None and out[101].n_matches == 0
+
+
 def test_simhash_identical_docs_equal_fingerprints(docs):
     rows = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
     assert rows[1] == rows[4]
