@@ -280,6 +280,21 @@ def synthesize_bmp_images(
     )
 
 
+def _looks_like_bmp(payload: bytes) -> bool:
+    """Content sniff beyond the 2-byte magic: 'BM' is a common
+    English letter pair, so arbitrary text routed through the
+    fake-decode path would otherwise be misdispatched to the real
+    parser (and crash on garbage header fields).  Require a known
+    DIB header size at offset 14 — a constraint no natural-language
+    payload satisfies by accident."""
+    return (
+        payload.startswith(b"BM")
+        and len(payload) >= 54
+        and int.from_bytes(payload[14:18], "little")
+        in (12, 40, 52, 56, 64, 108, 124)
+    )
+
+
 def _bmp_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Header-parse an uncompressed 24-bit BMP (BI_RGB,
     BITMAPINFOHEADER or any of its larger successors): returns
@@ -287,16 +302,16 @@ def _bmp_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
     exactly ``3*width`` BGR bytes (stride padding removed).  A
     negative biHeight means the file is already top-down; positive
     (the common case) stores rows bottom-up."""
-    if not payload.startswith(b"BM"):
+    if not _looks_like_bmp(payload):
         raise ValueError("not a BMP payload")
-    if len(payload) < 54:
-        raise ValueError("truncated BMP header")
     off = int.from_bytes(payload[10:14], "little")
     dib = int.from_bytes(payload[14:18], "little")
     if dib < 40:
         raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    if w <= 0 or h_raw == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h_raw}")
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
     if bpp != 24 or comp != 0:
@@ -445,7 +460,7 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     """
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
-    if payload.startswith(b"BM"):
+    if _looks_like_bmp(payload):
         return decode_bmp(payload)
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)

@@ -280,6 +280,13 @@ def test_decode_bmp_real_parse():
         bad = bytearray(payload)
         bad[28] = 8  # 8-bit palette BMP unsupported
         decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_bmp(_bmp_header(6, 0) + b"")  # zero-height header
+    # text starting with 'BM' must NOT be sniffed as a BMP: in fake
+    # mode it takes the digest stand-in instead of crashing
+    text = b"BMW sales rose sharply in the third quarter of the year."
+    vec = decode_payload(text, "image", fake=True)
+    assert len(vec) == 8 and all(0.0 <= v <= 1.0 for v in vec)
 
 
 def test_synthesized_bmp_decodes_for_real(spark):
