@@ -287,6 +287,32 @@ def test_ivf_range_search_finds_identical_vector(vectors):
     assert all(r.cosine >= 0.99 for r in out)
 
 
+def test_dedupe_against_index_boilerplate_hot_bucket(spark):
+    """Hot-bucket hardening: a corpus where ONE identical boilerplate
+    text repeats across many docs puts every copy in the same band
+    buckets (the realistic skew at web scale: cookie banners, license
+    headers).  A probe of that text must match ALL copies — the
+    bucket join fans out O(|bucket|) per probe doc, which is the
+    documented cost model — and dup_of stays the smallest corpus id,
+    so the answer is deterministic regardless of bucket parallelism."""
+    n = 500
+    boiler = "this site uses cookies to improve your browsing experience"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(n)]
+        + [(n, "a genuinely unique document about distributed joins")],
+        "doc_id long, text string",
+    )
+    index = D.minhash_band_index(corpus)
+    shard = spark.createDataFrame(
+        [(9000, boiler)], "doc_id long, text string"
+    )
+    out = D.dedupe_against_index(shard, index).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.is_dup and r.dup_of == 0 and r.n_matches == n
+    assert r.best_est == 1.0
+
+
 def test_passage_dedup_strips_cross_doc_duplicates(spark):
     from eggv_spark.operators.dedupe import passage_dedup
 
