@@ -1,0 +1,75 @@
+"""Pre-rotation staging gate: everything a queries() window must pass
+BEFORE it is rotated into the driver's verification slots.
+
+Chains the three audits in cheap-to-expensive order, failing fast:
+
+1. registry shape — window size is exactly 50, every entry has an
+   oracle (or is a documented rows-only exception), no duplicates;
+2. output-schema sweep (schema_sweep) — no array/map/struct output
+   columns anywhere in the window (the driver's pandas canonicalizer
+   cannot sort them: the round-3 ``txt_hashed_features`` failure);
+3. plan lint (plan_lint) — no CartesianProduct / global sort /
+   row-Python-UDF in any window plan;
+4. oracle replica (check_correctness) — every window query
+   hash-matches its DuckDB twin at sf0.01 under the driver-faithful
+   canonicalizer.
+
+Usage: python scripts/stage_gate.py [first_n]   (default 50)
+Exit 0 = the window is safe to rotate.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS_ONLY_OK = {"agg_approx", "agg_hll_rollup"}
+
+
+def main() -> int:
+    first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = list(qs)[:first_n]
+    print(f"window: {len(names)} entries ({names[0]} .. {names[-1]})")
+    if len(set(names)) != len(names):
+        print("FAIL: duplicate names in window")
+        return 1
+    missing = [n for n in names if n not in oracles and n not in ROWS_ONLY_OK]
+    if missing:
+        print(f"FAIL: window entries without an oracle: {missing}")
+        return 1
+    orphans = [n for n in oracles if n not in qs]
+    if orphans:
+        print(f"FAIL: oracles without a query: {orphans}")
+        return 1
+    print("shape ok")
+    if os.environ.get("STAGE_GATE_SHAPE_ONLY"):
+        return 0
+
+    env = dict(os.environ)
+    for step, args in (
+        ("schema_sweep", [sys.executable, os.path.join(here, "schema_sweep.py")]),
+        ("plan_lint", [sys.executable, os.path.join(here, "plan_lint.py")]),
+        (
+            "check_correctness",
+            [sys.executable, os.path.join(here, "check_correctness.py"), *names],
+        ),
+    ):
+        print(f"--- {step} ---", flush=True)
+        rc = subprocess.run(args, env=env).returncode
+        if rc != 0:
+            print(f"FAIL: {step} exited {rc}")
+            return rc
+    print("stage gate: PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
