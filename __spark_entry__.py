@@ -1179,6 +1179,20 @@ def _ddp_index_dedup(spark, sf_dir):
     return D.dedupe_against_index(shard, index, threshold=0.7)
 
 
+def _ddp_window_dedup(spark, sf_dir):
+    """Unaligned exact-substring dedup (sliding K-token windows,
+    suffix-dedup semantics): every 8-token window is counted
+    corpus-wide and any position covered by a duplicated window is
+    stripped — catches duplicated runs at ANY offset, where the
+    chunk-aligned passage dedup only catches boundary-aligned ones.
+    Over the corpus-with-exact-dups fixture the re-tagged copies (and
+    their sources) are removed wholesale
+    (dedupe.sliding_window_dedup)."""
+    return D.sliding_window_dedup(
+        _docs_with_dups(spark, sf_dir), window_tokens=8
+    )
+
+
 def _ddp_ngram_jaccard(spark, sf_dir):
     """Standalone exact n-gram Jaccard on deterministic adjacent-id
     pairs (the verification kernel of the near-dup pipeline)."""
@@ -2020,6 +2034,44 @@ ex AS (SELECT pr.id_a, pr.id_b,
 SELECT e.id_a, e.id_b, e.est_jaccard, x.exact_jaccard,
  round(abs(e.est_jaccard - x.exact_jaccard), 4) AS abs_err
 FROM est e JOIN ex x ON e.id_a = x.id_a AND e.id_b = x.id_b
+"""
+
+
+def _window_dedup_oracle() -> str:
+    """Sliding-window substring-dedup replica: same K=8 window
+    hashes, dup-start flags, and positional cover (max over a
+    K-1-preceding ROWS frame) as dedupe.sliding_window_dedup.
+    string_agg FILTER yields NULL for fully-removed docs — coalesced
+    to '' to match Spark's concat_ws."""
+    k = 8
+    return f"""
+WITH alldocs AS ({_DUPDOCS_SQL}),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM alldocs),
+g0 AS (SELECT doc_id, unnest(list_transform(
+        generate_series(0, len(t) - {k}), i -> {{'i': i,
+        'h': md5(array_to_string(list_slice(t, i + 1, i + {k}), ' '))}}))
+        AS u FROM toks),
+g AS (SELECT doc_id, u.i AS i, u.h AS h FROM g0),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+fl AS (SELECT doc_id, i FROM g JOIN dup USING (h)),
+p0 AS (SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(t)), i -> {{'p': i - 1, 'tok': t[i]}}))
+        AS u FROM toks),
+pos AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM p0),
+flagged AS (SELECT pos.doc_id, pos.p, pos.tok,
+            CASE WHEN fl.i IS NOT NULL THEN 1 ELSE 0 END AS d
+            FROM pos LEFT JOIN fl
+            ON fl.doc_id = pos.doc_id AND fl.i = pos.p),
+marked AS (SELECT doc_id, p, tok, d,
+           max(d) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS rm
+           FROM flagged)
+SELECT doc_id, count(*) AS n_tokens,
+ CAST(sum(d) AS BIGINT) AS n_dup_windows,
+ CAST(sum(rm) AS BIGINT) AS n_removed,
+ COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (rm = 0), '')
+  AS cleaned_text
+FROM marked GROUP BY doc_id
 """
 
 
@@ -5235,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions (round-6 verification queue) ---
         "mm_bmp_decode": _mm_bmp_decode,
         "ddp_index_dedup": _ddp_index_dedup,
+        "ddp_window_dedup": _ddp_window_dedup,
     }
 
 
@@ -6680,6 +6733,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_resample": _audio_resample_oracle(),
         "ddp_minhash_est": _minhash_est_oracle(),
         "ddp_index_dedup": _index_dedup_oracle(),
+        "ddp_window_dedup": _window_dedup_oracle(),
         "ddp_url_dedup": (
             "WITH h AS (SELECT doc_id, doc_id // 2 AS pair,"
             "  's' || CAST((doc_id // 2) % 7 AS VARCHAR) AS host"

@@ -329,6 +329,49 @@ def test_passage_dedup_strips_cross_doc_duplicates(spark):
     assert out[3].cleaned_text == "q r s t"
 
 
+def test_sliding_window_dedup_catches_unaligned_runs(spark):
+    """The run 'v w x y z' appears at DIFFERENT offsets in docs 1
+    and 2 — chunk-aligned passage dedup misses it unless the chunk
+    grid happens to line up; the sliding window must strip all 5
+    covered positions in both docs and leave the unique doc alone."""
+    from eggv_spark.operators.dedupe import sliding_window_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c v w x y z d e"),
+            (2, "p q r s v w x y z t"),
+            (3, "m n o u few tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in sliding_window_dedup(df, window_tokens=3).collect()
+    }
+    assert out[1].n_dup_windows == 3 and out[1].n_removed == 5
+    assert out[1].cleaned_text == "a b c d e"
+    assert out[2].cleaned_text == "p q r s t"
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_text == "m n o u few tokens"
+
+
+def test_sliding_window_dedup_within_doc_and_short_docs(spark):
+    from eggv_spark.operators.dedupe import sliding_window_dedup
+
+    df = spark.createDataFrame(
+        # within-doc repetition counts toward duplication; doc 2 is
+        # shorter than the window so nothing can be flagged
+        [(1, "x y z q r x y z s t"), (2, "too short")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in sliding_window_dedup(df, window_tokens=3).collect()
+    }
+    assert out[1].n_dup_windows == 2  # 'x y z' at offsets 0 and 5
+    assert out[1].n_removed == 6
+    assert out[1].cleaned_text == "q r s t"
+    assert out[2].n_removed == 0 and out[2].cleaned_text == "too short"
+
+
 def test_passage_dedup_zipf_head_key_10e4_skew(spark):
     """Zipf-head hardening: one passage duplicated 10^4x across the
     corpus (the boilerplate head key) must neither serialize a
