@@ -5027,6 +5027,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     k-fold assignment, drawdown, PSI drift, the ORC/JSON/TSV roundtrip
     gate, neighbor-overlap Jaccard, the interpolated bigram LM, the
     Theil index, and the order-insensitive table checksum.
+
+    Round-4 additions (dict tail, the round-6 queue): real
+    uncompressed-BMP decode (``mm_bmp_decode``), incremental
+    shard-vs-corpus probe dedup against a persisted MinHash band
+    index (``ddp_index_dedup``), and unaligned sliding-window
+    exact-substring dedup (``ddp_window_dedup``) — each local
+    sweep-green at both scales the round it was added.
     """
     return {
         # --- round-4 verification window (50): staged at end of round 3 ---
