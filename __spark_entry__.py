@@ -4799,6 +4799,18 @@ def _agg_theil(spark, sf_dir):
     )
 
 
+def _agg_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the mean event value — the
+    distributed bootstrap: each row contributes Poisson(1) copies to
+    each of 32 replicates via a deterministic md5 inverse-CDF draw,
+    so all replicates form in ONE map-side pass (no sampling
+    shuffle, no global n needed mid-scan) and any engine reproduces
+    them bit-for-bit (aggregates.poisson_bootstrap_mean)."""
+    return AG.poisson_bootstrap_mean(
+        _t(spark, sf_dir, "events"), "value", "event_id"
+    )
+
+
 def _tbl_checksum(spark, sf_dir):
     """Order-insensitive table checksum over lineitem's integer and
     string columns (sum of portable per-row md5 hashes + count) —
@@ -5295,6 +5307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_bmp_decode": _mm_bmp_decode,
         "ddp_index_dedup": _ddp_index_dedup,
         "ddp_window_dedup": _ddp_window_dedup,
+        "agg_bootstrap_ci": _agg_bootstrap_ci,
     }
 
 
@@ -6741,6 +6754,32 @@ def oracle_sql() -> dict[str, str]:
         "ddp_minhash_est": _minhash_est_oracle(),
         "ddp_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
+        "agg_bootstrap_ci": (
+            # deterministic Poisson(1) draw: u = md5(key ':' b)/2^32
+            # against the frozen CDF ladder (POISSON1_CDF, capped 6)
+            "WITH r AS (SELECT CAST(event_id AS VARCHAR) AS k,"
+            "  CAST(value AS DOUBLE) AS x FROM events"
+            "  WHERE value IS NOT NULL),"
+            " drawn AS (SELECT x,"
+            "  CASE WHEN u < 0.36787944117144233 THEN 0"
+            "   WHEN u < 0.7357588823428847 THEN 1"
+            "   WHEN u < 0.9196986029286058 THEN 2"
+            "   WHEN u < 0.9810118431238463 THEN 3"
+            "   WHEN u < 0.9963401531726563 THEN 4"
+            "   WHEN u < 0.9994058151824183 THEN 5"
+            "   ELSE 6 END AS w, b FROM ("
+            "   SELECT x, t.b, CAST(concat('0x', substr(md5("
+            "    k || ':' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)"
+            "    / 4294967296.0 AS u"
+            "   FROM r, generate_series(0, 31) t(b))),"
+            " reps AS (SELECT b, sum(w * x) / sum(w) AS m FROM drawn"
+            "  GROUP BY b),"
+            " point AS (SELECT count(*) AS n, avg(x) AS mn FROM r),"
+            " ci AS (SELECT quantile_cont(m, 0.025) AS lo,"
+            "  quantile_cont(m, 0.975) AS hi FROM reps)"
+            " SELECT n, round(mn, 4) AS mean, round(lo, 4) AS ci_lo,"
+            " round(hi, 4) AS ci_hi FROM point, ci"
+        ),
         "ddp_url_dedup": (
             "WITH h AS (SELECT doc_id, doc_id // 2 AS pair,"
             "  's' || CAST((doc_id // 2) % 7 AS VARCHAR) AS host"

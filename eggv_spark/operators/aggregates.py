@@ -916,3 +916,80 @@ def theil_index(
             F.round(F.avg(ratio * F.log(ratio)), 6).alias("theil_t"),
         )
     )
+
+
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_replicates: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — THE
+    distributed bootstrap: classical resampling needs n draws from a
+    dataset whose size no single machine knows mid-scan, but for
+    large n the multinomial resample count per row converges to
+    Poisson(1), so each row independently contributes w ~ Poisson(1)
+    copies to each replicate.  One map-side pass computes all B
+    replicates; no sampling shuffle, no global coordination.
+
+    Determinism/portability: the Poisson draw is inverse-CDF over
+    u = portable-md5(key ':' b) / 2^32 with the CDF ladder frozen in
+    POISSON1_CDF (capped at 6 — P(w>6) < 1e-4), so any engine
+    reproduces the replicates bit-for-bit from the same keys.  NULL
+    values are excluded.  Output is one row: n, the plain mean, and
+    the percentile-bootstrap CI from the B replicate means
+    (linear-interpolated percentiles at alpha/2 and 1-alpha/2).
+
+    Scale: rows × B inflation happens AFTER column pruning (key +
+    value only) and feeds a B-group aggregation — map-side combine
+    reduces each partition to B partial rows, so the only shuffle
+    carries B rows per partition.  B=32 replicates of a 100 TB scan
+    cost one pass; the replicate table itself is 32 rows.
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("_b")
+    u = base_hash(F.concat_ws(":", "_k", "_b")) / F.lit(4294967296.0)
+    w = F.lit(6)
+    for lvl in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[lvl]), F.lit(lvl)).otherwise(w)
+    reps = (
+        rows.select("_k", "_x", b)
+        .withColumn("_w", w)
+        .groupBy("_b")
+        .agg(
+            (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+        )
+    )
+    point = rows.agg(
+        F.count("*").alias("n"), F.avg("_x").alias("_mean")
+    )
+    ci = reps.agg(
+        F.percentile("_m", F.lit(alpha / 2)).alias("_lo"),
+        F.percentile("_m", F.lit(1 - alpha / 2)).alias("_hi"),
+    )
+    # two 1-row frames -> scalar broadcast cross join (documented
+    # pattern: BroadcastNestedLoopJoin over a single row is O(1))
+    return point.crossJoin(ci).select(
+        "n",
+        F.round("_mean", 4).alias("mean"),
+        F.round("_lo", 4).alias("ci_lo"),
+        F.round("_hi", 4).alias("ci_hi"),
+    )

@@ -342,6 +342,22 @@ def test_roc_auc_ignores_null_scores(spark):
     assert out["auc"] == 1.0
 
 
+def test_poisson_bootstrap_deterministic_and_null_safe(spark):
+    from eggv_spark.operators.aggregates import poisson_bootstrap_mean
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    a = poisson_bootstrap_mean(df, "value", "event_id").collect()[0]
+    b = poisson_bootstrap_mean(df, "value", "event_id").collect()[0]
+    assert a == b  # md5-seeded draws: bit-for-bit repeatable
+    assert a.n == 100  # the NULL value row is excluded
+    assert abs(a.mean - 49.5) < 1e-9
+    # percentile-bootstrap interval of near-symmetric data brackets
+    # the mean and is non-degenerate
+    assert a.ci_lo < a.mean < a.ci_hi
+    assert a.ci_hi - a.ci_lo > 0.1
+
+
 def test_welch_ttest_null_values_not_counted(spark):
     # NULL metrics must not inflate the arm size (se = v/n)
     rows = [Row(arm=0, v=x) for x in (1.0, 2.0, 3.0, None, None)]
