@@ -57,6 +57,10 @@ HEADLINE = [
     "txt_source_jaccard",
     "win_rolling_corr",
     "evt_rfm",
+    # round-4 additions: unaligned substring dedup (K-window explode
+    # + positional cover), index-probe incremental near-dup
+    "ddp_window_dedup",
+    "ddp_index_dedup",
 ]
 
 
