@@ -4799,6 +4799,18 @@ def _agg_theil(spark, sf_dir):
     )
 
 
+def _agg_bootstrap_ab(spark, sf_dir):
+    """Distribution-free A/B readout: Poisson-bootstrap CI for the
+    difference in mean event value between the two arms of the same
+    deterministic md5 user split as agg_welch — replicate differences
+    pair the arms within each replicate, so the interval needs no
+    normality assumption (aggregates.poisson_bootstrap_diff)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arm", D.base_hash(F.col("user_id").cast("string")) % 2
+    )
+    return AG.poisson_bootstrap_diff(ev, "value", "arm", "event_id")
+
+
 def _agg_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap CI for the mean event value — the
     distributed bootstrap: each row contributes Poisson(1) copies to
@@ -5308,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_index_dedup": _ddp_index_dedup,
         "ddp_window_dedup": _ddp_window_dedup,
         "agg_bootstrap_ci": _agg_bootstrap_ci,
+        "agg_bootstrap_ab": _agg_bootstrap_ab,
     }
 
 
@@ -6754,6 +6767,42 @@ def oracle_sql() -> dict[str, str]:
         "ddp_minhash_est": _minhash_est_oracle(),
         "ddp_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
+        "agg_bootstrap_ab": (
+            # same md5 arm split as agg_welch; same frozen Poisson(1)
+            # ladder as agg_bootstrap_ci; arm 0 = smaller group value
+            # via min_by/max_by over the per-arm aggregates
+            "WITH r AS (SELECT CAST(event_id AS VARCHAR) AS k,"
+            "  CAST(value AS DOUBLE) AS x,"
+            "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
+            "   1, 8)) AS BIGINT) % 2 AS g"
+            "  FROM events WHERE value IS NOT NULL),"
+            " drawn AS (SELECT x, g, b,"
+            "  CASE WHEN u < 0.36787944117144233 THEN 0"
+            "   WHEN u < 0.7357588823428847 THEN 1"
+            "   WHEN u < 0.9196986029286058 THEN 2"
+            "   WHEN u < 0.9810118431238463 THEN 3"
+            "   WHEN u < 0.9963401531726563 THEN 4"
+            "   WHEN u < 0.9994058151824183 THEN 5"
+            "   ELSE 6 END AS w FROM ("
+            "   SELECT x, g, t.b, CAST(concat('0x', substr(md5("
+            "    k || ':' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)"
+            "    / 4294967296.0 AS u"
+            "   FROM r, generate_series(0, 31) t(b))),"
+            " pa AS (SELECT b, g, sum(w * x) / sum(w) AS m FROM drawn"
+            "  GROUP BY b, g),"
+            " reps AS (SELECT b, max_by(m, g) - min_by(m, g) AS d"
+            "  FROM pa GROUP BY b),"
+            " pt AS (SELECT min_by(n, g) AS n0, max_by(n, g) AS n1,"
+            "  min_by(m, g) AS m0, max_by(m, g) AS m1 FROM ("
+            "   SELECT g, count(*) AS n, avg(x) AS m FROM r GROUP BY g)),"
+            " ci AS (SELECT quantile_cont(d, 0.025) AS lo,"
+            "  quantile_cont(d, 0.975) AS hi FROM reps)"
+            " SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,"
+            " round(m0, 4) AS mean0, round(m1, 4) AS mean1,"
+            " round(m1 - m0, 4) AS diff,"
+            " round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi"
+            " FROM pt, ci"
+        ),
         "agg_bootstrap_ci": (
             # deterministic Poisson(1) draw: u = md5(key ':' b)/2^32
             # against the frozen CDF ladder (POISSON1_CDF, capped 6)

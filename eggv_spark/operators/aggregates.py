@@ -993,3 +993,78 @@ def poisson_bootstrap_mean(
         F.round("_lo", 4).alias("ci_lo"),
         F.round("_hi", 4).alias("ci_hi"),
     )
+
+
+def poisson_bootstrap_diff(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    n_replicates: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap CI for the DIFFERENCE in means between two
+    arms — the experiment readout companion to :func:`welch_ttest`:
+    where Welch assumes approximate normality of the mean, the
+    bootstrap interval is distribution-free (skewed revenue-per-user
+    metrics are the motivating case).
+
+    Same single-pass mechanics as :func:`poisson_bootstrap_mean`
+    (deterministic md5 Poisson(1) weights, all B replicates from one
+    map-side pass).  Replicate difference d_b = m1_b - m0_b pairs the
+    arms WITHIN a replicate, preserving replicate-level correlation.
+    Arm 0 is the SMALLEST ``group_col`` value and arm 1 the LARGEST
+    (resolved by ``min_by``/``max_by`` over the per-arm aggregates —
+    no window, no self-join, so the plan is two keyed aggregations
+    plus two 1-row broadcast scalars).  NULL values and NULL groups
+    are excluded.  Output: one row with per-arm n/mean, the observed
+    difference, and the percentile CI of replicate differences.
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(value_col).cast("double").alias("_x"),
+        F.col(group_col).alias("_g"),
+    )
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("_b")
+    u = base_hash(F.concat_ws(":", "_k", "_b")) / F.lit(4294967296.0)
+    w = F.lit(6)
+    for lvl in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[lvl]), F.lit(lvl)).otherwise(w)
+    per_arm_rep = (
+        rows.select("_k", "_x", "_g", b)
+        .withColumn("_w", w)
+        .groupBy("_b", "_g")
+        .agg((F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m"))
+    )
+    reps = per_arm_rep.groupBy("_b").agg(
+        (F.max_by("_m", "_g") - F.min_by("_m", "_g")).alias("_d")
+    )
+    point = (
+        rows.groupBy("_g")
+        .agg(F.count("*").alias("_n"), F.avg("_x").alias("_m"))
+        .agg(
+            F.min_by("_n", "_g").alias("n0"),
+            F.max_by("_n", "_g").alias("n1"),
+            F.min_by("_m", "_g").alias("_m0"),
+            F.max_by("_m", "_g").alias("_m1"),
+        )
+    )
+    ci = reps.agg(
+        F.percentile("_d", F.lit(alpha / 2)).alias("_lo"),
+        F.percentile("_d", F.lit(1 - alpha / 2)).alias("_hi"),
+    )
+    return point.crossJoin(ci).select(
+        "n0",
+        "n1",
+        F.round("_m0", 4).alias("mean0"),
+        F.round("_m1", 4).alias("mean1"),
+        F.round(F.col("_m1") - F.col("_m0"), 4).alias("diff"),
+        F.round("_lo", 4).alias("ci_lo"),
+        F.round("_hi", 4).alias("ci_hi"),
+    )

@@ -358,6 +358,23 @@ def test_poisson_bootstrap_deterministic_and_null_safe(spark):
     assert a.ci_hi - a.ci_lo > 0.1
 
 
+def test_poisson_bootstrap_diff_detects_shift(spark):
+    from eggv_spark.operators.aggregates import poisson_bootstrap_diff
+
+    # arm 1 shifted +10 vs arm 0: CI of (mean1 - mean0) must exclude 0
+    rows = [(i, float(i % 7), 0) for i in range(200)] + [
+        (1000 + i, float(i % 7) + 10.0, 1) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double, arm int")
+    r = poisson_bootstrap_diff(df, "value", "arm", "event_id").collect()[0]
+    assert (r.n0, r.n1) == (200, 200)
+    assert abs(r.diff - 10.0) < 0.5
+    assert r.ci_lo > 5.0  # clearly separated from zero
+    assert r.ci_lo < r.diff < r.ci_hi
+    # deterministic: identical on re-run
+    assert r == poisson_bootstrap_diff(df, "value", "arm", "event_id").collect()[0]
+
+
 def test_welch_ttest_null_values_not_counted(spark):
     # NULL metrics must not inflate the arm size (se = v/n)
     rows = [Row(arm=0, v=x) for x in (1.0, 2.0, 3.0, None, None)]
