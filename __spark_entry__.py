@@ -2065,13 +2065,18 @@ flagged AS (SELECT pos.doc_id, pos.p, pos.tok,
 marked AS (SELECT doc_id, p, tok, d,
            max(d) OVER (PARTITION BY doc_id ORDER BY p
              ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS rm
-           FROM flagged)
-SELECT doc_id, count(*) AS n_tokens,
- CAST(sum(d) AS BIGINT) AS n_dup_windows,
- CAST(sum(rm) AS BIGINT) AS n_removed,
- COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (rm = 0), '')
-  AS cleaned_text
-FROM marked GROUP BY doc_id
+           FROM flagged),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(d) AS BIGINT) AS n_dup_windows,
+        CAST(sum(rm) AS BIGINT) AS n_removed,
+        COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (rm = 0), '')
+         AS cleaned_text
+        FROM marked GROUP BY doc_id)
+SELECT a.doc_id, COALESCE(g.n_tokens, 0) AS n_tokens,
+ COALESCE(g.n_dup_windows, 0) AS n_dup_windows,
+ COALESCE(g.n_removed, 0) AS n_removed,
+ COALESCE(g.cleaned_text, '') AS cleaned_text
+FROM alldocs a LEFT JOIN agg g USING (doc_id)
 """
 
 
@@ -6775,7 +6780,8 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(value AS DOUBLE) AS x,"
             "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
             "   1, 8)) AS BIGINT) % 2 AS g"
-            "  FROM events WHERE value IS NOT NULL),"
+            "  FROM events WHERE value IS NOT NULL"
+            "  AND event_id IS NOT NULL),"
             " drawn AS (SELECT x, g, b,"
             "  CASE WHEN u < 0.36787944117144233 THEN 0"
             "   WHEN u < 0.7357588823428847 THEN 1"
@@ -6808,7 +6814,7 @@ def oracle_sql() -> dict[str, str]:
             # against the frozen CDF ladder (POISSON1_CDF, capped 6)
             "WITH r AS (SELECT CAST(event_id AS VARCHAR) AS k,"
             "  CAST(value AS DOUBLE) AS x FROM events"
-            "  WHERE value IS NOT NULL),"
+            "  WHERE value IS NOT NULL AND event_id IS NOT NULL),"
             " drawn AS (SELECT x,"
             "  CASE WHEN u < 0.36787944117144233 THEN 0"
             "   WHEN u < 0.7357588823428847 THEN 1"

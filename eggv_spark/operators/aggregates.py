@@ -928,6 +928,25 @@ POISSON1_CDF = (
 )
 
 
+def _poisson1_draw(n_replicates: int) -> tuple[Column, Column]:
+    """Shared bootstrap machinery: (replicate-id explode aliased
+    ``_b``, deterministic Poisson(1) weight over columns ``_k``/
+    ``_b``) — inverse-CDF of portable-md5(key ':' b)/2^32 against the
+    frozen POISSON1_CDF ladder, capped at 6.  Both bootstrap
+    operators MUST draw through here so their documented
+    'same single-pass mechanics' parity cannot silently diverge."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("_b")
+    u = base_hash(F.concat_ws(":", "_k", "_b")) / F.lit(4294967296.0)
+    w = F.lit(6)
+    for lvl in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[lvl]), F.lit(lvl)).otherwise(w)
+    return b, w
+
+
 def poisson_bootstrap_mean(
     df: DataFrame,
     value_col: str,
@@ -946,10 +965,17 @@ def poisson_bootstrap_mean(
     Determinism/portability: the Poisson draw is inverse-CDF over
     u = portable-md5(key ':' b) / 2^32 with the CDF ladder frozen in
     POISSON1_CDF (capped at 6 — P(w>6) < 1e-4), so any engine
-    reproduces the replicates bit-for-bit from the same keys.  NULL
-    values are excluded.  Output is one row: n, the plain mean, and
-    the percentile-bootstrap CI from the B replicate means
-    (linear-interpolated percentiles at alpha/2 and 1-alpha/2).
+    reproduces the replicates bit-for-bit from the same keys.
+    ``key_col`` MUST be unique per row (duplicate keys draw identical
+    weights, correlating the resample and understating variance) and
+    NULL keys and NULL values are excluded.  Output is one row: n,
+    the plain mean, and the percentile-bootstrap CI from the B
+    replicate means (linear-interpolated percentiles at alpha/2 and
+    1-alpha/2).  A replicate whose weights are all zero (probability
+    0.368^n — only material below n≈20) yields a NULL mean that the
+    percentile skips, degrading the interval toward fewer replicates;
+    this operator targets large-n inputs where that probability is
+    zero in practice.
 
     Scale: rows × B inflation happens AFTER column pruning (key +
     value only) and feeds a B-group aggregation — map-side combine
@@ -957,19 +983,13 @@ def poisson_bootstrap_mean(
     carries B rows per partition.  B=32 replicates of a 100 TB scan
     cost one pass; the replicate table itself is 32 rows.
     """
-    from eggv_spark.operators.dedupe import base_hash
-
-    rows = df.filter(F.col(value_col).isNotNull()).select(
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         F.col(key_col).cast("string").alias("_k"),
         F.col(value_col).cast("double").alias("_x"),
     )
-    b = F.explode(
-        F.sequence(F.lit(0), F.lit(n_replicates - 1))
-    ).alias("_b")
-    u = base_hash(F.concat_ws(":", "_k", "_b")) / F.lit(4294967296.0)
-    w = F.lit(6)
-    for lvl in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(POISSON1_CDF[lvl]), F.lit(lvl)).otherwise(w)
+    b, w = _poisson1_draw(n_replicates)
     reps = (
         rows.select("_k", "_x", b)
         .withColumn("_w", w)
@@ -1016,26 +1036,25 @@ def poisson_bootstrap_diff(
     Arm 0 is the SMALLEST ``group_col`` value and arm 1 the LARGEST
     (resolved by ``min_by``/``max_by`` over the per-arm aggregates —
     no window, no self-join, so the plan is two keyed aggregations
-    plus two 1-row broadcast scalars).  NULL values and NULL groups
-    are excluded.  Output: one row with per-arm n/mean, the observed
-    difference, and the percentile CI of replicate differences.
+    plus two 1-row broadcast scalars).  The input must have EXACTLY
+    two arms: a third arm would otherwise be silently dropped from
+    the readout, so the plan embeds an ``assert_true`` on the
+    distinct-arm count and errors at execution time instead.  NULL
+    values, NULL groups, and NULL keys are excluded; ``key_col`` must
+    be unique per row (see :func:`poisson_bootstrap_mean`).  Output:
+    one row with per-arm n/mean, the observed difference, and the
+    percentile CI of replicate differences.
     """
-    from eggv_spark.operators.dedupe import base_hash
-
     rows = df.filter(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(key_col).isNotNull()
     ).select(
         F.col(key_col).cast("string").alias("_k"),
         F.col(value_col).cast("double").alias("_x"),
         F.col(group_col).alias("_g"),
     )
-    b = F.explode(
-        F.sequence(F.lit(0), F.lit(n_replicates - 1))
-    ).alias("_b")
-    u = base_hash(F.concat_ws(":", "_k", "_b")) / F.lit(4294967296.0)
-    w = F.lit(6)
-    for lvl in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(POISSON1_CDF[lvl]), F.lit(lvl)).otherwise(w)
+    b, w = _poisson1_draw(n_replicates)
     per_arm_rep = (
         rows.select("_k", "_x", "_g", b)
         .withColumn("_w", w)
@@ -1049,6 +1068,7 @@ def poisson_bootstrap_diff(
         rows.groupBy("_g")
         .agg(F.count("*").alias("_n"), F.avg("_x").alias("_m"))
         .agg(
+            F.count("*").alias("_n_arms"),
             F.min_by("_n", "_g").alias("n0"),
             F.max_by("_n", "_g").alias("n1"),
             F.min_by("_m", "_g").alias("_m0"),
@@ -1059,8 +1079,14 @@ def poisson_bootstrap_diff(
         F.percentile("_d", F.lit(alpha / 2)).alias("_lo"),
         F.percentile("_d", F.lit(1 - alpha / 2)).alias("_hi"),
     )
+    # assert_true returns NULL on success and aborts the job on a
+    # third arm; folding it into n0 keeps the output schema clean
+    two_arms = F.assert_true(
+        F.col("_n_arms") <= 2,
+        F.lit("poisson_bootstrap_diff: group_col has more than two arms"),
+    )
     return point.crossJoin(ci).select(
-        "n0",
+        F.when(two_arms.isNull(), F.col("n0")).alias("n0"),
         "n1",
         F.round("_m0", 4).alias("mean0"),
         F.round("_m1", 4).alias("mean1"),

@@ -975,7 +975,7 @@ def sliding_window_dedup(
     # positional range
     cover = Window.partitionBy(id_col).orderBy("_p").rowsBetween(-(k - 1), 0)
     marked = flagged.withColumn("_rm", F.max("_d").over(cover))
-    return marked.groupBy(id_col).agg(
+    agged = marked.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.sum("_d").alias("n_dup_windows"),
         F.sum("_rm").alias("n_removed"),
@@ -987,6 +987,17 @@ def sliding_window_dedup(
                 )
             ).getField("_tok"),
         ).alias("cleaned_text"),
+    )
+    # zero-token docs explode to no position rows and would vanish
+    # from the aggregate; re-anchor on the input ids so the contract
+    # "one row per document" holds (keyed left join, no extra shuffle
+    # class)
+    return df.select(F.col(id_col)).join(agged, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

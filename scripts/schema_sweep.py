@@ -7,8 +7,10 @@ The round-3 driver error on ``txt_hashed_features`` (ArrayType
 ``feature_vec`` -> ``TypeError: unhashable type: 'list'``) is the
 failure mode this sweep catches at staging time.
 
-Usage: python scripts/schema_sweep.py
-Exit 0 = zero non-scalar output columns registry-wide.
+Usage: python scripts/schema_sweep.py [query ...]
+With no arguments the whole registry is swept; names restrict the
+sweep to those queries (stage_gate passes the rotation window).
+Exit 0 = zero non-scalar output columns in the swept set.
 """
 
 from __future__ import annotations
@@ -36,6 +38,9 @@ def main() -> int:
 
     bad, errs = [], []
     qs = entrymod.queries()
+    only = set(sys.argv[1:])
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     for name, fn in qs.items():
         try:
             schema = fn(spark, sf_dir).schema

@@ -38,6 +38,9 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = list(qs)[:first_n]
     print(f"window: {len(names)} entries ({names[0]} .. {names[-1]})")
+    if len(names) != first_n:
+        print(f"FAIL: window has {len(names)} entries, expected {first_n}")
+        return 1
     if len(set(names)) != len(names):
         print("FAIL: duplicate names in window")
         return 1
@@ -55,8 +58,14 @@ def main() -> int:
 
     env = dict(os.environ)
     for step, args in (
-        ("schema_sweep", [sys.executable, os.path.join(here, "schema_sweep.py")]),
-        ("plan_lint", [sys.executable, os.path.join(here, "plan_lint.py")]),
+        (
+            "schema_sweep",
+            [sys.executable, os.path.join(here, "schema_sweep.py"), *names],
+        ),
+        (
+            "plan_lint",
+            [sys.executable, os.path.join(here, "plan_lint.py"), *names],
+        ),
         (
             "check_correctness",
             [sys.executable, os.path.join(here, "check_correctness.py"), *names],

@@ -375,6 +375,17 @@ def test_poisson_bootstrap_diff_detects_shift(spark):
     assert r == poisson_bootstrap_diff(df, "value", "arm", "event_id").collect()[0]
 
 
+def test_poisson_bootstrap_diff_rejects_three_arms(spark):
+    import pytest as _pytest
+
+    from eggv_spark.operators.aggregates import poisson_bootstrap_diff
+
+    rows = [(i, 1.0, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, value double, arm int")
+    with _pytest.raises(Exception, match="more than two arms"):
+        poisson_bootstrap_diff(df, "value", "arm", "event_id").collect()
+
+
 def test_welch_ttest_null_values_not_counted(spark):
     # NULL metrics must not inflate the arm size (se = v/n)
     rows = [Row(arm=0, v=x) for x in (1.0, 2.0, 3.0, None, None)]

@@ -359,8 +359,9 @@ def test_sliding_window_dedup_within_doc_and_short_docs(spark):
 
     df = spark.createDataFrame(
         # within-doc repetition counts toward duplication; doc 2 is
-        # shorter than the window so nothing can be flagged
-        [(1, "x y z q r x y z s t"), (2, "too short")],
+        # shorter than the window so nothing can be flagged; doc 3 is
+        # empty and must STILL get an output row (one row per doc)
+        [(1, "x y z q r x y z s t"), (2, "too short"), (3, "")],
         "doc_id long, text string",
     )
     out = {
@@ -370,6 +371,7 @@ def test_sliding_window_dedup_within_doc_and_short_docs(spark):
     assert out[1].n_removed == 6
     assert out[1].cleaned_text == "q r s t"
     assert out[2].n_removed == 0 and out[2].cleaned_text == "too short"
+    assert out[3].n_tokens == 0 and out[3].cleaned_text == ""
 
 
 def test_passage_dedup_zipf_head_key_10e4_skew(spark):
