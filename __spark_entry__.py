@@ -2920,6 +2920,33 @@ def _evt_inter_event(spark, sf_dir):
     )
 
 
+def _tbl_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite, end to end: full load of the
+    day-partitioned event table, then a backfill that recomputes ONLY
+    day 3 (values doubled) and overwrites just that partition — every
+    other day must come back byte-identical, the property that makes
+    daily re-runs idempotent (tableops.partition_overwrite)."""
+    import os
+    import tempfile
+
+    sink = os.path.join(tempfile.mkdtemp(prefix="dyn_ovr_"), "events_by_day")
+    ev = _t(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").cast("int").alias("day"),
+        "event_id",
+        "value",
+    )
+    TO.partition_overwrite(ev, sink, ["day"])
+    backfill = ev.filter(F.col("day") == 3).withColumn(
+        "value", F.col("value") * 2
+    )
+    TO.partition_overwrite(backfill, sink, ["day"])
+    out = spark.read.parquet(sink)
+    return out.groupBy(F.col("day").cast("int").alias("day")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def _tbl_incremental_append(spark, sf_dir):
     """High-water-mark incremental ingestion, end to end: load the
     order feed, re-run it (idempotent — the mark filters everything),
@@ -5326,6 +5353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_window_dedup": _ddp_window_dedup,
         "agg_bootstrap_ci": _agg_bootstrap_ci,
         "agg_bootstrap_ab": _agg_bootstrap_ab,
+        "tbl_partition_overwrite": _tbl_partition_overwrite,
     }
 
 
@@ -6951,6 +6979,14 @@ def oracle_sql() -> dict[str, str]:
             "  AS avg_gap_x1e4,"
             " max(gap) AS max_gap_sec"
             " FROM g GROUP BY user_id"
+        ),
+        "tbl_partition_overwrite": (
+            # final table state after the day-3 dynamic overwrite:
+            # day 3 values doubled, every other day untouched
+            "SELECT CAST(day(ts) AS INT) AS day, count(*) AS n_rows,"
+            " round(sum(CASE WHEN day(ts) = 3 THEN value * 2"
+            "  ELSE value END), 2) AS sum_value"
+            " FROM events GROUP BY day(ts)"
         ),
         "tbl_incremental_append": (
             # final sink = feed1 (keys %3<>0, original dates) plus the

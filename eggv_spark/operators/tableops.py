@@ -722,3 +722,28 @@ def table_checksum(df: DataFrame, cols: "list[str] | None" = None) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(base_hash(joined)).alias("checksum"),
     )
+
+
+def partition_overwrite(
+    df: DataFrame, path: str, partition_cols: "Sequence[str]"
+) -> None:
+    """Dynamic partition overwrite: atomically replace ONLY the
+    partitions present in ``df``, leaving every other partition of
+    the sink untouched — the idempotent-backfill primitive: a daily
+    job that recomputes day D can be re-run any number of times
+    without touching days D-1... or truncating the table (static
+    overwrite mode would wipe ALL partitions first).
+
+    The per-write ``partitionOverwriteMode=dynamic`` option scopes
+    the behavior to this writer instead of mutating the session conf
+    (a session-wide flip would silently change every other writer's
+    overwrite semantics).  At 100 TB the replaced set is pruned by
+    partition values, so cost scales with the partitions written,
+    not the table.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*list(partition_cols))
+        .parquet(path)
+    )

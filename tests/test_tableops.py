@@ -344,3 +344,32 @@ def test_vacuum_orphans_protects_sole_surviving_backup(spark, tmp_path):
     (tmp_path / "t" / "part-0").write_text("restored")
     out = vacuum_orphans(str(tmp_path))
     assert out["removed"] == [str(backup)] and out["needs_recovery"] == []
+
+
+def test_partition_overwrite_replaces_only_named_partitions(spark, tmp_path):
+    from eggv_spark.operators.tableops import partition_overwrite
+
+    sink = str(tmp_path / "by_day")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in (1, 2, 3) for i in range(5)],
+        "day int, k int, v double",
+    )
+    partition_overwrite(full, sink, ["day"])
+    # recompute day 2 only, with fewer rows and new values
+    backfill = spark.createDataFrame(
+        [(2, 99, 100.0)], "day int, k int, v double"
+    )
+    partition_overwrite(backfill, sink, ["day"])
+    out = spark.read.parquet(sink)
+    per_day = {
+        r.day: (r.n, r.s)
+        for r in out.groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    # days 1 and 3 untouched; day 2 fully replaced (not appended)
+    assert per_day[1] == (5, 10.0) and per_day[3] == (5, 10.0)
+    assert per_day[2] == (1, 100.0)
+    # idempotent: re-running the same backfill changes nothing
+    partition_overwrite(backfill, sink, ["day"])
+    assert spark.read.parquet(sink).count() == 11
