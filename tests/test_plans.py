@@ -451,3 +451,49 @@ def test_balanced_downsample_one_window_one_broadcast(spark):
     assert plan.count("Window") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row min_n combine
     assert "CartesianProduct" not in plan
+
+
+def test_index_dedup_probe_is_keyed_join(spark):
+    from eggv_spark.operators.dedupe import (
+        dedupe_against_index,
+        minhash_band_index,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = minhash_band_index(docs)
+    shard = docs.filter("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    plan = _plan(dedupe_against_index(shard, index))
+    # the probe is an equi-join on (band, band_key) — never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # signature agreement is in-row zip_with math, not an explode of
+    # signature slots
+    assert plan.count("Generate explode") <= 2  # band rows only (2 sides)
+
+
+def test_sliding_window_dedup_counts_partial_and_no_cartesian(spark):
+    from eggv_spark.operators.dedupe import sliding_window_dedup
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = _plan(sliding_window_dedup(docs, window_tokens=8))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the corpus-wide window-frequency count must partial-aggregate
+    # map-side before its exchange (the Zipf-head boilerplate key
+    # collapses per map task)
+    assert "partial_count" in plan
+
+
+def test_poisson_bootstrap_single_pass_partial_aggregate(spark):
+    from eggv_spark.operators.aggregates import poisson_bootstrap_mean
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(poisson_bootstrap_mean(ev, "value", "event_id"))
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # the only nested-loop is the documented 1-row scalar join
+    assert "BatchEvalPython" not in plan
+    # replicate sums partial-aggregate before the B-group exchange
+    assert "partial_sum" in plan
