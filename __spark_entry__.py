@@ -4831,6 +4831,21 @@ def _agg_theil(spark, sf_dir):
     )
 
 
+def _smp_neyman(spark, sf_dir):
+    """Neyman-allocation stratified sample of orders: the 1000-row
+    budget splits across order priorities proportional to N_h * s_h
+    (size x price std-dev) — the variance-minimizing allocation for
+    estimating mean order value; selection is a deterministic md5
+    rank within each stratum (relational.neyman_stratified_sample)."""
+    return R.neyman_stratified_sample(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        total_n=1000,
+    )
+
+
 def _agg_bootstrap_ab(spark, sf_dir):
     """Distribution-free A/B readout: Poisson-bootstrap CI for the
     difference in mean event value between the two arms of the same
@@ -5354,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bootstrap_ci": _agg_bootstrap_ci,
         "agg_bootstrap_ab": _agg_bootstrap_ab,
         "tbl_partition_overwrite": _tbl_partition_overwrite,
+        "smp_neyman": _smp_neyman,
     }
 
 
@@ -6800,6 +6816,25 @@ def oracle_sql() -> dict[str, str]:
         "ddp_minhash_est": _minhash_est_oracle(),
         "ddp_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
+        "smp_neyman": (
+            # same quota formula and md5 rank as the operator; quota
+            # = least(N_h, round(1000 * N_h*s_h / sum(N_h*s_h)))
+            "WITH r AS (SELECT o_orderpriority AS s, o_orderkey AS k,"
+            "  o_totalprice AS v FROM orders"
+            "  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),"
+            " st AS (SELECT s, count(*) AS nh,"
+            "  coalesce(stddev_samp(v), 0) AS sh FROM r GROUP BY s),"
+            " tot AS (SELECT sum(nh * sh) AS t FROM st),"
+            " q AS (SELECT s, least(nh, CAST(round(1000 * nh * sh / t)"
+            "  AS BIGINT)) AS quota FROM st, tot),"
+            " rk AS (SELECT s, k, v, row_number() OVER ("
+            "  PARTITION BY s ORDER BY CAST(concat('0x',"
+            "  substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) ASC,"
+            "  k ASC) AS rn FROM r)"
+            " SELECT rk.s AS o_orderpriority, rk.k AS o_orderkey,"
+            " rk.v AS o_totalprice, q.quota AS stratum_quota"
+            " FROM rk JOIN q USING (s) WHERE rk.rn <= q.quota"
+        ),
         "agg_bootstrap_ab": (
             # same md5 arm split as agg_welch; same frozen Poisson(1)
             # ladder as agg_bootstrap_ci; arm 0 = smaller group value

@@ -775,3 +775,72 @@ def kfold_assign(
         F.pmod(base_hash(F.col(key_col).cast("string")), F.lit(k))
         .cast("int"),
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    key_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-allocation stratified sample: the sample budget is
+    split across strata proportional to N_h * s_h (stratum size ×
+    within-stratum std-dev) — the allocation that minimizes the
+    variance of the estimated mean for a fixed total_n.  Proportional
+    allocation (``stratified_sample_hash``) oversamples big
+    homogeneous strata and starves small noisy ones; Neyman fixes
+    exactly that, which is why survey samplers and eval-set builders
+    use it.
+
+    Fully deterministic: the per-stratum quota is
+    ``least(N_h, round(total_n * N_h*s_h / Σ N_h*s_h))`` (singleton
+    strata contribute s_h = 0 and receive no allocation), and row
+    selection is a rank over the engine-portable md5 of the key
+    within each stratum — reproducible across engines, runs, and
+    partitionings.  Two shuffles: the stratum-stats aggregation and
+    the per-stratum rank window; stats broadcast back to the facts.
+
+    Returns the sampled rows (stratum, key, value) plus the stratum's
+    quota, so callers can audit the realized allocation.
+    """
+    from eggv_spark.operators.dedupe import base_hash
+
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("_s"),
+        F.col(key_col).alias("_key"),
+        F.col(value_col).alias("_val"),
+    )
+    stats = rows.groupBy("_s").agg(
+        F.count("*").alias("_nh"),
+        F.coalesce(F.stddev_samp("_val"), F.lit(0.0)).alias("_sh"),
+    )
+    tot = stats.agg(
+        F.sum(F.col("_nh") * F.col("_sh")).alias("_tot")
+    )
+    quotas = stats.crossJoin(F.broadcast(tot)).select(
+        "_s",
+        "_nh",
+        F.least(
+            F.col("_nh"),
+            F.round(
+                F.lit(total_n) * F.col("_nh") * F.col("_sh") / F.col("_tot")
+            ).cast("long"),
+        ).alias("_quota"),
+    )
+    w = Window.partitionBy("_s").orderBy(
+        base_hash(F.col("_key").cast("string")).asc(), F.col("_key").asc()
+    )
+    ranked = rows.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "_s")
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .select(
+            F.col("_s").alias(stratum_col),
+            F.col("_key").alias(key_col),
+            F.col("_val").alias(value_col),
+            F.col("_quota").alias("stratum_quota"),
+        )
+    )

@@ -827,3 +827,26 @@ def test_hashed_features_deterministic_and_count_preserving(spark):
     again = {r.doc_id: r.feature_vec for r in with_hashed_features(
         df.repartition(3), n_buckets=4).collect()}
     assert again[1] == got[1].feature_vec
+
+
+def test_neyman_allocation_favors_noisy_strata(spark):
+    from eggv_spark.operators.relational import neyman_stratified_sample
+
+    # stratum A: 900 rows, constant value (s_h = 0) -> zero quota;
+    # stratum B: 100 rows, high variance -> gets the whole budget.
+    # Proportional allocation would have given A 90% — Neyman's whole
+    # point is to invert that.
+    rows = [("A", i, 5.0) for i in range(900)] + [
+        ("B", 1000 + i, float(i * i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "s string, k long, v double")
+    out = neyman_stratified_sample(df, "s", "v", "k", total_n=50).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.s, []).append(r)
+    assert "A" not in by_stratum  # zero std-dev -> zero allocation
+    assert len(by_stratum["B"]) == 50
+    assert all(r.stratum_quota == 50 for r in by_stratum["B"])
+    # deterministic on re-run
+    again = neyman_stratified_sample(df, "s", "v", "k", total_n=50).collect()
+    assert sorted(r.k for r in again) == sorted(r.k for r in out)
