@@ -4831,6 +4831,35 @@ def _agg_theil(spark, sf_dir):
     )
 
 
+def _agg_power_analysis(spark, sf_dir):
+    """Experiment sample-size planning per event type: users-per-arm
+    to detect a 1/2/5/10% relative lift in mean event value at
+    alpha=0.05, power 0.8 — one map-combined moments pass, then pure
+    scalar math over the tiny aggregate
+    (aggregates.power_analysis_mean)."""
+    return AG.power_analysis_mean(
+        _t(spark, sf_dir, "events"), "value", keys=["event_type"]
+    )
+
+
+def _POWER_ORACLE() -> str:
+    # k2 computed in Python and embedded verbatim so Spark (F.lit)
+    # and DuckDB start from the SAME double — ceil() parity would
+    # otherwise hinge on cross-engine pow() ulp differences
+    k2 = 2.0 * (1.959963984540054 + 0.8416212335729143) ** 2
+    return (
+        "WITH st AS (SELECT event_type, count(*) AS n_observed,"
+        " avg(value) AS mu, var_samp(value) AS v FROM events"
+        " WHERE value IS NOT NULL GROUP BY event_type),"
+        " m AS (SELECT unnest([1.0, 2.0, 5.0, 10.0]) AS mde_pct)"
+        " SELECT event_type, n_observed, round(mu, 4) AS mean,"
+        " mde_pct, CASE WHEN mu <> 0 THEN CAST(ceil("
+        f" {k2!r} * v / ((mu * mde_pct / 100.0) * (mu * mde_pct / 100.0))"
+        ") AS BIGINT) END AS n_per_arm"
+        " FROM st, m"
+    )
+
+
 def _smp_neyman(spark, sf_dir):
     """Neyman-allocation stratified sample of orders: the 1000-row
     budget splits across order priorities proportional to N_h * s_h
@@ -5370,6 +5399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bootstrap_ab": _agg_bootstrap_ab,
         "tbl_partition_overwrite": _tbl_partition_overwrite,
         "smp_neyman": _smp_neyman,
+        "agg_power_analysis": _agg_power_analysis,
     }
 
 
@@ -6816,6 +6846,7 @@ def oracle_sql() -> dict[str, str]:
         "ddp_minhash_est": _minhash_est_oracle(),
         "ddp_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
+        "agg_power_analysis": _POWER_ORACLE(),
         "smp_neyman": (
             # same quota formula and md5 rank as the operator; quota
             # = least(N_h, round(1000 * N_h*s_h / sum(N_h*s_h)))

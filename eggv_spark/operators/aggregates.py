@@ -1094,3 +1094,46 @@ def poisson_bootstrap_diff(
         F.round("_lo", 4).alias("ci_lo"),
         F.round("_hi", 4).alias("ci_hi"),
     )
+
+
+def power_analysis_mean(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    mde_pcts: Sequence[float] = (1.0, 2.0, 5.0, 10.0),
+    z_alpha: float = 1.959963984540054,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """Experiment sample-size planning: per group, the users-per-arm
+    needed to detect a relative lift of each ``mde_pcts`` entry in
+    the mean of ``value_col`` at two-sided alpha=0.05 with 80% power
+    — n/arm = 2 (z_a/2 + z_b)^2 sigma^2 / delta^2, the planning
+    companion to the readout tests (welch_ttest,
+    poisson_bootstrap_diff, the z-test in evt_ab_test).
+
+    One map-side-combined pass computes (n, mean, variance); each MDE
+    row is pure scalar math over that 1-row-per-group aggregate, so
+    the explode is over the tiny aggregate, never the facts.  The z
+    constants are frozen doubles (Phi^-1(0.975), Phi^-1(0.8)) —
+    literal in any engine, no stats library needed.  NULL values are
+    excluded; a zero mean yields NULL (relative MDE undefined).
+    """
+    keys = list(keys)
+    stats = df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.count("*").alias("n_observed"),
+        F.avg(value_col).alias("_mu"),
+        F.var_samp(value_col).alias("_var"),
+    )
+    mde = F.explode(
+        F.array(*[F.lit(float(p)) for p in mde_pcts])
+    ).alias("mde_pct")
+    k2 = 2.0 * (z_alpha + z_beta) ** 2
+    delta = F.col("_mu") * F.col("mde_pct") / 100.0
+    n_arm = F.ceil(F.lit(k2) * F.col("_var") / (delta * delta))
+    return stats.select(*keys, "n_observed", "_mu", "_var", mde).select(
+        *keys,
+        "n_observed",
+        F.round("_mu", 4).alias("mean"),
+        "mde_pct",
+        F.when(F.col("_mu") != 0, n_arm).cast("long").alias("n_per_arm"),
+    )

@@ -497,3 +497,24 @@ def test_table_checksum_null_distinct_from_literal(spark):
     ca = table_checksum(a).collect()[0]["checksum"]
     cb = table_checksum(b).collect()[0]["checksum"]
     assert ca != cb
+
+
+def test_power_analysis_scales_inverse_square_of_mde(spark):
+    from eggv_spark.operators.aggregates import power_analysis_mean
+
+    rows = [(i, float(i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, value double")
+    out = {r.mde_pct: r for r in power_analysis_mean(df, "value").collect()}
+    # halving the MDE quadruples the required n (n ~ 1/delta^2)
+    assert out[1.0].n_per_arm == pytest.approx(4 * out[2.0].n_per_arm, rel=0.01)
+    assert out[2.0].n_per_arm > out[5.0].n_per_arm > out[10.0].n_per_arm
+    # sanity against the closed form for this exact data
+    import statistics
+
+    vals = [float(i % 100) for i in range(1000)]
+    mu, var = statistics.fmean(vals), statistics.variance(vals)
+    k2 = 2.0 * (1.959963984540054 + 0.8416212335729143) ** 2
+    import math
+
+    expect = math.ceil(k2 * var / (mu * 0.05) ** 2)
+    assert out[5.0].n_per_arm == expect
