@@ -1193,6 +1193,48 @@ def _ddp_window_dedup(spark, sf_dir):
     )
 
 
+def _stream_index_dedup(spark, sf_dir):
+    """Streaming twin of ddp_index_dedup: the re-tagged shard arrives
+    as a STREAM (file source), each micro-batch probes the persisted
+    MinHash band index via a stateless stream-static equi-join, and
+    the availableNow output collapses band collisions to the same
+    per-doc verdict the batch operator emits — so the two share one
+    oracle (streaming.streaming_index_dedupe)."""
+    from eggv_spark.streaming import events_stream as ES
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = D.minhash_band_index(docs)
+    shard_stream = (
+        ES.read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter("doc_id % 10 = 0")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    matches = ES.run_available_now(
+        ES.streaming_index_dedupe(shard_stream, index)
+    )
+    verdict = (
+        matches.dropDuplicates(["doc_id", "old_id"])
+        .filter(F.col("est_jaccard") >= 0.7)
+        .groupBy("doc_id")
+        .agg(
+            F.min("old_id").alias("dup_of"),
+            F.countDistinct("old_id").alias("n_matches"),
+            F.max("est_jaccard").alias("best_est"),
+        )
+    )
+    shard_ids = docs.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id")
+    )
+    return shard_ids.join(verdict, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        "best_est",
+    )
+
+
 def _ddp_ngram_jaccard(spark, sf_dir):
     """Standalone exact n-gram Jaccard on deterministic adjacent-id
     pairs (the verification kernel of the near-dup pipeline)."""
@@ -5400,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_partition_overwrite": _tbl_partition_overwrite,
         "smp_neyman": _smp_neyman,
         "agg_power_analysis": _agg_power_analysis,
+        "stream_index_dedup": _stream_index_dedup,
     }
 
 
@@ -6845,6 +6888,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_resample": _audio_resample_oracle(),
         "ddp_minhash_est": _minhash_est_oracle(),
         "ddp_index_dedup": _index_dedup_oracle(),
+        # the streaming twin collapses to the identical verdict table
+        "stream_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
         "agg_power_analysis": _POWER_ORACLE(),
         "smp_neyman": (

@@ -542,3 +542,72 @@ def stream_incremental_agg_sink(
         .start()
         .awaitTermination()
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming scan of the documents parquet — the
+    continuously-crawled corpus shard feed (in production: a file
+    drop or Kafka topic of newly fetched pages; the plan is
+    identical)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_index_dedupe(
+    docs_stream: DataFrame, index: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming half of incremental corpus dedup: each micro-batch
+    of newly crawled docs is shingled, MinHash-signed, banded, and
+    probed against the PERSISTED band index via a stream-static
+    equi-join — the continuous form of
+    ``dedupe.dedupe_against_index``.
+
+    Deliberately STATELESS (pure per-row math + stream-static join):
+    no watermark, no state store, so the stage scales like any map
+    and never accumulates memory.  Emits one row per band collision
+    (doc_id, old_id, est_jaccard); collapsing collisions to a
+    per-doc verdict is the downstream batch step (or a keyed
+    aggregation if a streaming verdict is needed).
+    """
+    from eggv_spark.operators.dedupe import (
+        MINHASH_A,
+        _band_rows,
+        with_minhash_signature,
+        with_shingle_hashes,
+    )
+
+    sigs = with_minhash_signature(with_shingle_hashes(docs_stream))
+    probe = _band_rows(sigs, id_col, extra=("minhash_sig",)).select(
+        F.col(id_col),
+        F.col("minhash_sig").alias("_sig_new"),
+        "band",
+        "band_key",
+    )
+    idx = index.select(
+        F.col(id_col).alias("old_id"),
+        F.col("minhash_sig").alias("_sig_old"),
+        "band",
+        "band_key",
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_sig_new"),
+            F.col("_sig_old"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return probe.join(idx, ["band", "band_key"]).select(
+        id_col,
+        "old_id",
+        F.round(agree / F.lit(float(len(MINHASH_A))), 4).alias(
+            "est_jaccard"
+        ),
+    )
