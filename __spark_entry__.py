@@ -5170,12 +5170,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate, neighbor-overlap Jaccard, the interpolated bigram LM, the
     Theil index, and the order-insensitive table checksum.
 
-    Round-4 additions (dict tail, the round-6 queue): real
-    uncompressed-BMP decode (``mm_bmp_decode``), incremental
-    shard-vs-corpus probe dedup against a persisted MinHash band
-    index (``ddp_index_dedup``), and unaligned sliding-window
-    exact-substring dedup (``ddp_window_dedup``) — each local
-    sweep-green at both scales the round it was added.
+    Round-4 additions (dict tail, the round-6 queue, all dual-scale
+    green on arrival): real uncompressed-BMP decode
+    (``mm_bmp_decode``); incremental shard-vs-corpus dedup against a
+    persisted MinHash band index in batch (``ddp_index_dedup``) AND
+    streaming (``stream_index_dedup``, stateless stream-static band
+    probe, same oracle); unaligned sliding-window exact-substring
+    dedup (``ddp_window_dedup``); the Poisson-bootstrap family
+    (``agg_bootstrap_ci``, ``agg_bootstrap_ab``) plus experiment
+    power analysis (``agg_power_analysis``); Neyman-allocation
+    stratified sampling (``smp_neyman``); and dynamic partition
+    overwrite for idempotent backfills (``tbl_partition_overwrite``).
     """
     return {
         # --- round-4 verification window (50): staged at end of round 3 ---
