@@ -1203,36 +1203,28 @@ def _stream_index_dedup(spark, sf_dir):
     from eggv_spark.streaming import events_stream as ES
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    index = D.minhash_band_index(docs)
+    # persist: the static side of a stream-static join re-evaluates
+    # every micro-batch — unpersisted, the whole corpus would
+    # re-shingle per batch
+    index = D.minhash_band_index(docs).persist()
     shard_stream = (
         ES.read_documents_stream(spark, sf_dir)
         .select("doc_id", "text")
         .filter("doc_id % 10 = 0")
         .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
     )
-    matches = ES.run_available_now(
-        ES.streaming_index_dedupe(shard_stream, index)
-    )
-    verdict = (
-        matches.dropDuplicates(["doc_id", "old_id"])
-        .filter(F.col("est_jaccard") >= 0.7)
-        .groupBy("doc_id")
-        .agg(
-            F.min("old_id").alias("dup_of"),
-            F.countDistinct("old_id").alias("n_matches"),
-            F.max("est_jaccard").alias("best_est"),
+    try:
+        matches = ES.run_available_now(
+            ES.streaming_index_dedupe(shard_stream, index)
         )
-    )
-    shard_ids = docs.filter("doc_id % 10 = 0").select(
-        (F.col("doc_id") + F.lit(1000000)).alias("doc_id")
-    )
-    return shard_ids.join(verdict, "doc_id", "left").select(
-        "doc_id",
-        F.col("dup_of").isNotNull().alias("is_dup"),
-        "dup_of",
-        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
-        "best_est",
-    )
+        shard_ids = docs.filter("doc_id % 10 = 0").select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id")
+        )
+        return D.collapse_index_matches(
+            matches, shard_ids, "doc_id", threshold=0.7
+        )
+    finally:
+        index.unpersist()
 
 
 def _ddp_ngram_jaccard(spark, sf_dir):
@@ -4895,9 +4887,9 @@ def _POWER_ORACLE() -> str:
         " WHERE value IS NOT NULL GROUP BY event_type),"
         " m AS (SELECT unnest([1.0, 2.0, 5.0, 10.0]) AS mde_pct)"
         " SELECT event_type, n_observed, round(mu, 4) AS mean,"
-        " mde_pct, CASE WHEN mu <> 0 THEN CAST(ceil("
+        " mde_pct, CASE WHEN mu <> 0 THEN CAST(ceil(round("
         f" {k2!r} * v / ((mu * mde_pct / 100.0) * (mu * mde_pct / 100.0))"
-        ") AS BIGINT) END AS n_per_arm"
+        ", 6)) AS BIGINT) END AS n_per_arm"
         " FROM st, m"
     )
 
@@ -6909,9 +6901,9 @@ def oracle_sql() -> dict[str, str]:
             " q AS (SELECT s, least(nh, CAST(round(1000 * nh * sh / t)"
             "  AS BIGINT)) AS quota FROM st, tot),"
             " rk AS (SELECT s, k, v, row_number() OVER ("
-            "  PARTITION BY s ORDER BY CAST(concat('0x',"
-            "  substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) ASC,"
-            "  k ASC) AS rn FROM r)"
+            "  PARTITION BY s ORDER BY "
+            + _BASEHASH_SQL.format(x="CAST(k AS VARCHAR)")
+            + " ASC, k ASC) AS rn FROM r)"
             " SELECT rk.s AS o_orderpriority, rk.k AS o_orderkey,"
             " rk.v AS o_totalprice, q.quota AS stratum_quota"
             " FROM rk JOIN q USING (s) WHERE rk.rn <= q.quota"

@@ -1117,6 +1117,11 @@ def power_analysis_mean(
     constants are frozen doubles (Phi^-1(0.975), Phi^-1(0.8)) —
     literal in any engine, no stats library needed.  NULL values are
     excluded; a zero mean yields NULL (relative MDE undefined).
+
+    The quotient is rounded to 6dp BEFORE ceil: mean/variance are
+    computed independently by each engine with different partial-sum
+    orders, and a bare ceil() over doubles a few ulps either side of
+    an integer flips by 1 between engines — the round pins it.
     """
     keys = list(keys)
     stats = df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(
@@ -1129,7 +1134,9 @@ def power_analysis_mean(
     ).alias("mde_pct")
     k2 = 2.0 * (z_alpha + z_beta) ** 2
     delta = F.col("_mu") * F.col("mde_pct") / 100.0
-    n_arm = F.ceil(F.lit(k2) * F.col("_var") / (delta * delta))
+    n_arm = F.ceil(
+        F.round(F.lit(k2) * F.col("_var") / (delta * delta), 6)
+    )
     return stats.select(*keys, "n_observed", "_mu", "_var", mde).select(
         *keys,
         "n_observed",

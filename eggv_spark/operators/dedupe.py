@@ -304,55 +304,92 @@ def dedupe_against_index(
     the corpus text is never touched.  A pair colliding in several
     bands is collapsed by the pre-verify dropDuplicates.
     """
-    n_perms = len(MINHASH_A)
+    matches = index_probe_matches(
+        new_docs, index, text_col=text_col, id_col=id_col,
+        shingle_size=shingle_size,
+    )
+    return collapse_index_matches(
+        matches, new_docs.select(F.col(id_col)), id_col, threshold
+    )
+
+
+def signature_agreement_est(sig_a: Column, sig_b: Column) -> Column:
+    """Jaccard estimate from two MinHash signatures: the agreeing
+    slot share (zip_with + aggregate — pure in-row array math),
+    rounded to 4dp.  The single source of truth for probe-side
+    verification: batch and streaming index dedup both draw from
+    here, so the estimate cannot diverge between them."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(agree / F.lit(float(len(MINHASH_A))), 4)
+
+
+def index_probe_matches(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Band-probe stage shared by batch and streaming index dedup:
+    shingle + sign the new docs, equi-join their band rows to the
+    index, and emit one row per band collision
+    (id, old_id, est_jaccard).  Stateless — safe as the map side of
+    a stream-static join."""
     sigs_new = with_minhash_signature(
         with_shingle_hashes(new_docs, text_col, shingle_size)
     )
     probe = _band_rows(sigs_new, id_col, extra=("minhash_sig",)).select(
-        F.col(id_col).alias("_new_id"),
+        F.col(id_col),
         F.col("minhash_sig").alias("_sig_new"),
         "band",
         "band_key",
     )
     idx = index.select(
-        F.col(id_col).alias("_old_id"),
+        F.col(id_col).alias("old_id"),
         F.col("minhash_sig").alias("_sig_old"),
         "band",
         "band_key",
     )
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("_sig_new"),
-            F.col("_sig_old"),
-            lambda x, y: (x == y).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    return probe.join(idx, ["band", "band_key"]).select(
+        id_col,
+        "old_id",
+        signature_agreement_est(
+            F.col("_sig_new"), F.col("_sig_old")
+        ).alias("est_jaccard"),
     )
-    matches = (
-        probe.join(idx, ["band", "band_key"])
-        .dropDuplicates(["_new_id", "_old_id"])
-        .withColumn(
-            "est_jaccard", F.round(agree / F.lit(float(n_perms)), 4)
-        )
+
+
+def collapse_index_matches(
+    matches: DataFrame,
+    shard_ids: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verdict stage shared by batch and streaming index dedup:
+    collapse per-band-collision rows (id, old_id, est_jaccard) to one
+    row per shard doc — is_dup, dup_of (smallest matching corpus id),
+    n_matches, best_est — re-anchored on ``shard_ids`` so non-matching
+    docs still appear with is_dup = false."""
+    verdict = (
+        matches.dropDuplicates([id_col, "old_id"])
         .filter(F.col("est_jaccard") >= threshold)
-        .groupBy("_new_id")
+        .groupBy(id_col)
         .agg(
-            F.min("_old_id").alias("dup_of"),
-            F.countDistinct("_old_id").alias("n_matches"),
+            F.min("old_id").alias("dup_of"),
+            F.countDistinct("old_id").alias("n_matches"),
             F.max("est_jaccard").alias("best_est"),
         )
     )
-    return (
-        new_docs.select(F.col(id_col))
-        .join(matches, F.col(id_col) == F.col("_new_id"), "left")
-        .select(
-            id_col,
-            F.col("dup_of").isNotNull().alias("is_dup"),
-            "dup_of",
-            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
-            "best_est",
-        )
+    return shard_ids.join(verdict, id_col, "left").select(
+        id_col,
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        "best_est",
     )
 
 

@@ -820,14 +820,24 @@ def neyman_stratified_sample(
     tot = stats.agg(
         F.sum(F.col("_nh") * F.col("_sh")).alias("_tot")
     )
+    # try_divide + coalesce-to-0: when EVERY stratum is constant
+    # (sum N_h*s_h == 0) the allocation is empty, not a
+    # DIVIDE_BY_ZERO abort (ANSI mode) — and never least(nh, NULL),
+    # which would skip the NULL and return the whole table
     quotas = stats.crossJoin(F.broadcast(tot)).select(
         "_s",
         "_nh",
         F.least(
             F.col("_nh"),
-            F.round(
-                F.lit(total_n) * F.col("_nh") * F.col("_sh") / F.col("_tot")
-            ).cast("long"),
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        F.lit(total_n) * F.col("_nh") * F.col("_sh"),
+                        F.col("_tot"),
+                    )
+                ).cast("long"),
+                F.lit(0),
+            ),
         ).alias("_quota"),
     )
     w = Window.partitionBy("_s").orderBy(

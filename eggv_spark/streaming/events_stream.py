@@ -572,42 +572,15 @@ def streaming_index_dedupe(
     no watermark, no state store, so the stage scales like any map
     and never accumulates memory.  Emits one row per band collision
     (doc_id, old_id, est_jaccard); collapsing collisions to a
-    per-doc verdict is the downstream batch step (or a keyed
-    aggregation if a streaming verdict is needed).
-    """
-    from eggv_spark.operators.dedupe import (
-        MINHASH_A,
-        _band_rows,
-        with_minhash_signature,
-        with_shingle_hashes,
-    )
+    per-doc verdict is the downstream batch step
+    (``dedupe.collapse_index_matches``) or a keyed aggregation if a
+    streaming verdict is needed.
 
-    sigs = with_minhash_signature(with_shingle_hashes(docs_stream))
-    probe = _band_rows(sigs, id_col, extra=("minhash_sig",)).select(
-        F.col(id_col),
-        F.col("minhash_sig").alias("_sig_new"),
-        "band",
-        "band_key",
-    )
-    idx = index.select(
-        F.col(id_col).alias("old_id"),
-        F.col("minhash_sig").alias("_sig_old"),
-        "band",
-        "band_key",
-    )
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("_sig_new"),
-            F.col("_sig_old"),
-            lambda x, y: (x == y).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return probe.join(idx, ["band", "band_key"]).select(
-        id_col,
-        "old_id",
-        F.round(agree / F.lit(float(len(MINHASH_A))), 4).alias(
-            "est_jaccard"
-        ),
-    )
+    The static side of a stream-static join is re-evaluated EVERY
+    micro-batch: pass an index that is persisted (``.persist()``) or
+    already materialized on disk, or the whole corpus re-shingles
+    per batch.
+    """
+    from eggv_spark.operators.dedupe import index_probe_matches
+
+    return index_probe_matches(docs_stream, index, id_col=id_col)

@@ -850,3 +850,15 @@ def test_neyman_allocation_favors_noisy_strata(spark):
     # deterministic on re-run
     again = neyman_stratified_sample(df, "s", "v", "k", total_n=50).collect()
     assert sorted(r.k for r in again) == sorted(r.k for r in out)
+
+
+def test_neyman_all_constant_strata_returns_empty(spark):
+    from eggv_spark.operators.relational import neyman_stratified_sample
+
+    # every stratum constant-valued -> sum(N_h * s_h) == 0: the
+    # allocation must be EMPTY, not a divide-by-zero abort (ANSI mode)
+    # and not the whole table (least(nh, NULL) skips NULLs)
+    rows = [("A", i, 5.0) for i in range(10)] + [("B", 100, 7.0)]
+    df = spark.createDataFrame(rows, "s string, k long, v double")
+    out = neyman_stratified_sample(df, "s", "v", "k", total_n=4).collect()
+    assert out == []
