@@ -469,3 +469,68 @@ def test_population_stability_equals_naive(spark, data):
         else:
             assert r["contrib"] is None
     assert {r["bin"] for r in out} == set(ca) | set(cb)
+
+
+tokens_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=12),
+    min_size=1, max_size=5,
+)
+
+
+@_settings
+@given(docs=tokens_strategy)
+def test_sliding_window_dedup_equals_naive(spark, docs):
+    from eggv_spark.operators.dedupe import sliding_window_dedup
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.n_removed, r.cleaned_text)
+        for r in sliding_window_dedup(df, window_tokens=k).collect()
+    }
+    # naive replay: count every K-window corpus-wide, remove covered
+    # positions
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    for d, toks in enumerate(docs):
+        dup_starts = [
+            i
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i : i + k])] > 1
+        ]
+        removed = set()
+        for i in dup_starts:
+            removed.update(range(i, i + k))
+        cleaned = " ".join(
+            t for p, t in enumerate(toks) if p not in removed
+        )
+        assert got[d] == (len(toks), len(dup_starts), len(removed), cleaned)
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=25, max_size=60,
+    )
+)
+def test_poisson_bootstrap_ci_ordered_and_brackets(spark, vals):
+    from eggv_spark.operators.aggregates import poisson_bootstrap_mean
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "event_id long, value double",
+    )
+    r = poisson_bootstrap_mean(df, "value", "event_id").collect()[0]
+    assert r.n == len(vals)
+    assert r.ci_lo <= r.ci_hi
+    # the interval is a percentile of resample means of these values,
+    # so it can never escape the data range
+    assert min(vals) - 1e-6 <= r.ci_lo and r.ci_hi <= max(vals) + 1e-6
