@@ -4865,6 +4865,25 @@ def _agg_theil(spark, sf_dir):
     )
 
 
+def _evt_changepoint(spark, sf_dir):
+    """Single-changepoint detection per event type over the daily
+    value-sum series — binary segmentation with the standardized
+    mean-shift CUSUM statistic, one cumulative window pass over the
+    calendar-sized rollup; the statistic is rounded before the
+    argmax so engine ulp noise cannot flip the winning split
+    (events.changepoint_detect)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.dayofmonth("ts").cast("int").alias("day")
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    from eggv_spark.operators.events import changepoint_detect
+
+    return changepoint_detect(daily, ["event_type"], "day", "v")
+
+
 def _agg_power_analysis(spark, sf_dir):
     """Experiment sample-size planning per event type: users-per-arm
     to detect a 1/2/5/10% relative lift in mean event value at
@@ -5440,6 +5459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_neyman": _smp_neyman,
         "agg_power_analysis": _agg_power_analysis,
         "stream_index_dedup": _stream_index_dedup,
+        "evt_changepoint": _evt_changepoint,
     }
 
 
@@ -6889,6 +6909,30 @@ def oracle_sql() -> dict[str, str]:
         "stream_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
         "agg_power_analysis": _POWER_ORACLE(),
+        "evt_changepoint": (
+            # same statistic, cumulative windows, 6dp rounding, and
+            # earliest-split tiebreak as events.changepoint_detect
+            "WITH d AS (SELECT event_type, CAST(day(ts) AS INT) AS day,"
+            "  sum(value) AS v FROM events GROUP BY 1, 2),"
+            " c AS (SELECT event_type, day, v,"
+            "  row_number() OVER (PARTITION BY event_type ORDER BY day)"
+            "   AS t,"
+            "  sum(v) OVER (PARTITION BY event_type ORDER BY day"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,"
+            "  count(*) OVER (PARTITION BY event_type) AS n,"
+            "  sum(v) OVER (PARTITION BY event_type) AS tot FROM d),"
+            " s AS (SELECT event_type, day, CAST(n AS BIGINT) AS n_points,"
+            "  round(cum / t, 6) AS mean_left,"
+            "  round((tot - cum) / (n - t), 6) AS mean_right,"
+            "  round(sqrt(t * (n - t) / n)"
+            "   * abs(cum / t - (tot - cum) / (n - t)), 6) AS stat"
+            "  FROM c WHERE t < n),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+            "  ORDER BY stat DESC, day ASC) AS rk FROM s)"
+            " SELECT event_type, n_points, day AS split_at,"
+            " mean_left, mean_right, stat AS shift_stat"
+            " FROM r WHERE rk = 1"
+        ),
         "smp_neyman": (
             # same quota formula and md5 rank as the operator; quota
             # = least(N_h, round(1000 * N_h*s_h / sum(N_h*s_h)))

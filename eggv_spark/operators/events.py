@@ -7,6 +7,8 @@ value); the Structured Streaming variants live in
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -505,4 +507,71 @@ def event_rate_stats(
         F.sum("_n").alias("n_events"),
         F.round(F.avg("_n"), 4).alias("events_per_hour"),
         F.round(F.var_samp("_n") / F.avg("_n"), 4).alias("dispersion"),
+    )
+
+
+def changepoint_detect(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Single-changepoint detection per series (binary segmentation
+    with the standardized mean-shift statistic): for every candidate
+    split t the CUSUM-style statistic
+    ``sqrt(t*(n-t)/n) * |mean(left) - mean(right)|`` is computed from
+    ONE cumulative window pass over the ordered series, and the
+    argmax is the changepoint — the monitoring primitive behind
+    "when did this metric shift" questions, and the recursion step of
+    full binary-segmentation changepoint trees.
+
+    Works on an already-aggregated series (daily/hourly rollups), so
+    the windows run over calendar-sized frames regardless of raw
+    event volume.  The statistic is rounded to ``round_dp`` before
+    the argmax rank so an across-engine ulp difference cannot flip
+    which split wins; ties at that precision break toward the
+    EARLIEST split.  One shuffle (the per-key window sort).
+
+    Output per key: n points, the split position (last point of the
+    left segment, by ``order_col``), the two segment means, and the
+    statistic.
+    """
+    keys = list(keys)
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    w_all = Window.partitionBy(*keys)
+    cum = (
+        df.select(*keys, order_col, F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_t", F.row_number().over(w_ord))
+        .withColumn("_cum", F.sum("_v").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .withColumn("_n", F.count("*").over(w_all))
+        .withColumn("_tot", F.sum("_v").over(w_all))
+    )
+    t = F.col("_t")
+    n = F.col("_n")
+    mean_l = F.col("_cum") / t
+    mean_r = (F.col("_tot") - F.col("_cum")) / (n - t)
+    stat = F.round(
+        F.sqrt(t * (n - t) / n) * F.abs(mean_l - mean_r), round_dp
+    )
+    scored = cum.filter(t < n).select(
+        *keys,
+        F.col(order_col).alias("split_at"),
+        F.round(mean_l, round_dp).alias("mean_left"),
+        F.round(mean_r, round_dp).alias("mean_right"),
+        stat.alias("shift_stat"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*keys).orderBy(
+                stat.desc(), F.col(order_col).asc()
+            )
+        )
+        .alias("_rk"),
+        F.col("_n").alias("n_points"),
+    )
+    return scored.filter(F.col("_rk") == 1).select(
+        *keys, "n_points", "split_at", "mean_left", "mean_right",
+        "shift_stat",
     )

@@ -690,3 +690,26 @@ def test_countmin_never_undercounts(spark):
     # with 50 keys in 4x64 cells, most estimates should be exact
     exact_hits = sum(1 for k in exact if est[k] == exact[k])
     assert exact_hits >= 40
+
+
+def test_changepoint_finds_known_shift(spark):
+    from eggv_spark.operators.events import changepoint_detect
+
+    # level shift after day 5: 0,0,0,0,0 -> 10,10,10,10,10
+    rows = [("a", d, 0.0) for d in range(1, 6)] + [
+        ("a", d, 10.0) for d in range(6, 11)
+    ]
+    # control series with no shift: constant
+    rows += [("b", d, 3.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, day int, v double")
+    out = {
+        r.k: r for r in changepoint_detect(df, ["k"], "day", "v").collect()
+    }
+    a = out["a"]
+    assert a.split_at == 5  # last point of the left segment
+    assert (a.mean_left, a.mean_right) == (0.0, 10.0)
+    assert a.shift_stat == pytest.approx(
+        (5 * 5 / 10) ** 0.5 * 10, abs=1e-6
+    )
+    # constant series: statistic 0 everywhere, earliest split wins
+    assert out["b"].shift_stat == 0.0 and out["b"].split_at == 1
