@@ -4865,6 +4865,21 @@ def _agg_theil(spark, sf_dir):
     )
 
 
+def _agg_theilsen(spark, sf_dir):
+    """Theil–Sen robust trend of daily mean event value per event
+    type — median pairwise slope + median-residual intercept over the
+    30-point daily rollup (435 pairs per group), the outlier-immune
+    complement to agg_linreg's OLS (aggregates.theil_sen_trend)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.dayofmonth("ts").cast("int").alias("day")
+        )
+        .agg(F.avg("value").alias("y"))
+    )
+    return AG.theil_sen_trend(daily, ["event_type"], "day", "y")
+
+
 def _evt_changepoint(spark, sf_dir):
     """Single-changepoint detection per event type over the daily
     value-sum series — binary segmentation with the standardized
@@ -5460,6 +5475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_power_analysis": _agg_power_analysis,
         "stream_index_dedup": _stream_index_dedup,
         "evt_changepoint": _evt_changepoint,
+        "agg_theilsen": _agg_theilsen,
     }
 
 
@@ -6909,6 +6925,27 @@ def oracle_sql() -> dict[str, str]:
         "stream_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
         "agg_power_analysis": _POWER_ORACLE(),
+        "agg_theilsen": (
+            # same pair set (x_i < x_j within group), median slope,
+            # and median-residual intercept as theil_sen_trend;
+            # medians interpolate linearly in both engines
+            "WITH d AS (SELECT event_type, CAST(day(ts) AS INT) AS x,"
+            "  avg(value) AS y FROM events GROUP BY 1, 2),"
+            " p AS (SELECT a.event_type,"
+            "  (b.y - a.y) / (b.x - a.x) AS sl"
+            "  FROM d a JOIN d b ON a.event_type = b.event_type"
+            "  AND a.x < b.x),"
+            " ms AS (SELECT event_type,"
+            "  quantile_cont(sl, 0.5) AS slope,"
+            "  CAST(count(*) AS BIGINT) AS n_pairs"
+            "  FROM p GROUP BY event_type),"
+            " r AS (SELECT d.event_type, ms.n_pairs, ms.slope,"
+            "  d.y - ms.slope * d.x AS res"
+            "  FROM d JOIN ms USING (event_type))"
+            " SELECT event_type, n_pairs, round(slope, 6) AS slope,"
+            " round(quantile_cont(res, 0.5), 6) AS intercept"
+            " FROM r GROUP BY event_type, n_pairs, slope"
+        ),
         "evt_changepoint": (
             # same statistic, cumulative windows, 6dp rounding, and
             # earliest-split tiebreak as events.changepoint_detect

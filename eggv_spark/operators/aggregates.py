@@ -1144,3 +1144,63 @@ def power_analysis_mean(
         "mde_pct",
         F.when(F.col("_mu") != 0, n_arm).cast("long").alias("n_per_arm"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), with the intercept as the median
+    of y - slope*x — the robust complement to the per-group OLS
+    regression: a single corrupted point shifts OLS arbitrarily but
+    moves a pairwise-slope median by at most one rank (29% breakdown
+    point).
+
+    Intended for ALREADY-AGGREGATED series (daily/hourly rollups):
+    the pair self-join is O(m²) in the per-group series length m, so
+    a 30-day rollup costs 435 pair rows per group — trivial — while
+    raw-event inputs would not be.  The join is keyed on the group
+    (never cross-group), duplicate x values are excluded pairwise
+    (undefined slope), and medians interpolate linearly, matching
+    SQL ``quantile_cont``/``percentile`` semantics.
+    """
+    keys = list(keys)
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slope_expr = (F.col("b._y") - F.col("a._y")) / (
+        F.col("b._x") - F.col("a._x")
+    )
+    pair_cond = F.col("a._x") < F.col("b._x")
+    for k in keys:
+        pair_cond = pair_cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    slopes = a.join(b, pair_cond).select(
+        *[F.col(f"a.{k}").alias(k) for k in keys],
+        slope_expr.alias("_slope"),
+    )
+    med_slope = slopes.groupBy(*keys).agg(
+        F.percentile("_slope", F.lit(0.5)).alias("_ms"),
+        F.count("*").alias("n_pairs"),
+    )
+    resid = pts.join(F.broadcast(med_slope), keys).select(
+        *keys,
+        "n_pairs",
+        "_ms",
+        (F.col("_y") - F.col("_ms") * F.col("_x")).alias("_r"),
+    )
+    return resid.groupBy(*keys).agg(
+        F.any_value("n_pairs").alias("n_pairs"),
+        F.round(F.any_value("_ms"), round_dp).alias("slope"),
+        F.round(F.percentile("_r", F.lit(0.5)), round_dp).alias(
+            "intercept"
+        ),
+    )

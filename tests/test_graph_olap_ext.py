@@ -713,3 +713,17 @@ def test_changepoint_finds_known_shift(spark):
     )
     # constant series: statistic 0 everywhere, earliest split wins
     assert out["b"].shift_stat == 0.0 and out["b"].split_at == 1
+
+
+def test_theil_sen_robust_to_one_outlier(spark):
+    from eggv_spark.operators.aggregates import theil_sen_trend
+
+    # clean line y = 2x + 1 with ONE wild outlier at x=5: the median
+    # pairwise slope ignores it where OLS would be dragged far off
+    rows = [("g", x, 2.0 * x + 1.0) for x in range(1, 11) if x != 5]
+    rows.append(("g", 5, 1000.0))
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    out = theil_sen_trend(df, ["k"], "x", "y").collect()[0]
+    assert out.n_pairs == 45
+    assert out.slope == pytest.approx(2.0, abs=1e-6)
+    assert out.intercept == pytest.approx(1.0, abs=1e-6)
