@@ -4347,6 +4347,43 @@ def _tbl_partition_pruning(spark, sf_dir):
     )
 
 
+def _src_schema_evolution(spark, sf_dir):
+    """Schema drift on read: an early order feed (3 columns) and a
+    later feed that ADDED a column land in the same table directory;
+    ``mergeSchema`` reconciles the parquet footers so early rows
+    surface the new column as NULL — the additive-evolution contract
+    every long-lived ingest path relies on (readers must not pick
+    one footer arbitrarily, writers must not rewrite history).
+    Aggregates per feed era: row count, null-count of the late
+    column, and a value checksum."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_custkey", F.lit("v1").alias("feed_era")
+    )
+    late = orders.filter("o_orderkey % 2 = 1").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("v2").alias("feed_era"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    early.write.mode("overwrite").parquet(os.path.join(base, "b=1"))
+    late.write.mode("overwrite").parquet(os.path.join(base, "b=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b=1"), os.path.join(base, "b=2")
+    )
+    return merged.groupBy("feed_era").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.col("o_totalprice").isNull().cast("int")
+        ).alias("n_null_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def _src_format_roundtrip(spark, sf_dir):
     """Cross-format sink/source fidelity under the driver gate: write
     a lineitem projection to ORC, JSON, and TSV, read each back
@@ -5476,6 +5513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_index_dedup": _stream_index_dedup,
         "evt_changepoint": _evt_changepoint,
         "agg_theilsen": _agg_theilsen,
+        "src_schema_evolution": _src_schema_evolution,
     }
 
 
@@ -6925,6 +6963,18 @@ def oracle_sql() -> dict[str, str]:
         "stream_index_dedup": _index_dedup_oracle(),
         "ddp_window_dedup": _window_dedup_oracle(),
         "agg_power_analysis": _POWER_ORACLE(),
+        "src_schema_evolution": (
+            # merged-read truth: early (even-key) rows carry no price
+            # column -> all NULL; late (odd-key) rows carry the 2dp
+            # rounded price
+            "SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END"
+            "  AS feed_era, count(*) AS n_rows,"
+            " CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_null_price,"
+            " round(sum(CASE WHEN o_orderkey % 2 = 1"
+            "  THEN round(o_totalprice, 2) END), 2) AS sum_price"
+            " FROM orders GROUP BY 1"
+        ),
         "agg_theilsen": (
             # same pair set (x_i < x_j within group), median slope,
             # and median-residual intercept as theil_sen_trend;
