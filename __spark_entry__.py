@@ -4917,6 +4917,21 @@ def _agg_theilsen(spark, sf_dir):
     return AG.theil_sen_trend(daily, ["event_type"], "day", "y")
 
 
+def _agg_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotone-trend test of daily mean event value per
+    event type — distribution-free S statistic with tie-corrected
+    variance and continuity-corrected z, the hypothesis companion to
+    the Theil–Sen slope (aggregates.mann_kendall_test)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.dayofmonth("ts").cast("int").alias("day")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+    )
+    return AG.mann_kendall_test(daily, ["event_type"], "day", "y")
+
+
 def _evt_changepoint(spark, sf_dir):
     """Single-changepoint detection per event type over the daily
     value-sum series — binary segmentation with the standardized
@@ -5514,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_changepoint": _evt_changepoint,
         "agg_theilsen": _agg_theilsen,
         "src_schema_evolution": _src_schema_evolution,
+        "agg_mann_kendall": _agg_mann_kendall,
     }
 
 
@@ -6974,6 +6990,34 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(CASE WHEN o_orderkey % 2 = 1"
             "  THEN round(o_totalprice, 2) END), 2) AS sum_price"
             " FROM orders GROUP BY 1"
+        ),
+        "agg_mann_kendall": (
+            # y rounded to 6dp in the rollup so tie groups are
+            # IDENTICAL across engines (raw double avgs could tie in
+            # one engine and differ by an ulp in the other)
+            "WITH d AS (SELECT event_type, CAST(day(ts) AS INT) AS x,"
+            "  round(avg(value), 6) AS y FROM events GROUP BY 1, 2),"
+            " s AS (SELECT a.event_type,"
+            "  CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat"
+            "  FROM d a JOIN d b ON a.event_type = b.event_type"
+            "  AND a.x < b.x GROUP BY 1),"
+            " n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),"
+            " t AS (SELECT event_type,"
+            "  sum(t * (t - 1) * (2 * t + 5)) AS tc FROM ("
+            "   SELECT event_type, y, count(*) AS t FROM d GROUP BY 1, 2)"
+            "  WHERE t > 1 GROUP BY 1),"
+            " j AS (SELECT s.event_type, s.s_stat, n.n,"
+            "  COALESCE(t.tc, 0) AS tc FROM s"
+            "  JOIN n USING (event_type) LEFT JOIN t USING (event_type)),"
+            " v AS (SELECT event_type, s_stat, CAST(n AS BIGINT)"
+            "  AS n_points,"
+            "  (n * (n - 1) * (2 * n + 5) - tc) / 18.0 AS var_s FROM j)"
+            " SELECT event_type, n_points, s_stat,"
+            " round(var_s, 4) AS var_s,"
+            " round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)"
+            "  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)"
+            "  ELSE 0 END, 4) AS mk_z"
+            " FROM v"
         ),
         "agg_theilsen": (
             # same pair set (x_i < x_j within group), median slope,

@@ -1204,3 +1204,76 @@ def theil_sen_trend(
             "intercept"
         ),
     )
+
+
+def mann_kendall_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Mann–Kendall monotone-trend test — the hypothesis
+    companion to :func:`theil_sen_trend`: S = Σ_{i<j} sign(y_j - y_i)
+    over the x-ordered series, Var(S) = [n(n-1)(2n+5) - Σ t(t-1)(2t+5)]
+    / 18 with the standard tie correction (t = size of each tied-value
+    group), and the continuity-corrected z = (S∓1)/sqrt(Var).
+    Distribution-free: no normality or linearity assumption — exactly
+    what "is this metric drifting" monitoring wants.
+
+    Same cost model as Theil–Sen: intended for rolled-up series, the
+    per-group pair join is O(m²) in series length (435 pairs for 30
+    points).  Ties in y enter via a second tiny per-group aggregate;
+    the join never crosses groups.
+    """
+    keys = list(keys)
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    cond = F.col("a._x") < F.col("b._x")
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    s = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"a.{k}").alias(k) for k in keys])
+        .agg(
+            F.sum(
+                F.signum(F.col("b._y") - F.col("a._y")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    n_rows = pts.groupBy(*keys).agg(F.count("*").alias("_n"))
+    ties = (
+        pts.groupBy(*keys, "_y")
+        .agg(F.count("*").alias("_t"))
+        .filter(F.col("_t") > 1)
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_corr")
+        )
+    )
+    joined = (
+        s.join(n_rows, keys)
+        .join(ties, keys, "left")
+        .withColumn("_tie_corr", F.coalesce("_tie_corr", F.lit(0)))
+    )
+    n = F.col("_n")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tie_corr")
+    ) / F.lit(18.0)
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s)) \
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    return joined.select(
+        *keys,
+        F.col("_n").alias("n_points"),
+        "s_stat",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("mk_z"),
+    )

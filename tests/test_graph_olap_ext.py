@@ -727,3 +727,20 @@ def test_theil_sen_robust_to_one_outlier(spark):
     assert out.n_pairs == 45
     assert out.slope == pytest.approx(2.0, abs=1e-6)
     assert out.intercept == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mann_kendall_monotone_and_tied_series(spark):
+    from eggv_spark.operators.aggregates import mann_kendall_test
+
+    rows = [("up", x, float(x)) for x in range(1, 11)]        # strict rise
+    rows += [("flat", x, 7.0) for x in range(1, 11)]          # all tied
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    out = {r.k: r for r in mann_kendall_test(df, ["k"], "x", "y").collect()}
+    up = out["up"]
+    assert up.s_stat == 45  # every one of the 45 pairs rises
+    # var with no ties: n(n-1)(2n+5)/18 = 10*9*25/18 = 125
+    assert up.var_s == 125.0
+    assert up.mk_z == pytest.approx((45 - 1) / 125**0.5, abs=1e-4)
+    flat = out["flat"]
+    # one tie group of size 10 cancels the variance entirely: S=0, z=0
+    assert flat.s_stat == 0 and flat.var_s == 0.0 and flat.mk_z == 0.0
