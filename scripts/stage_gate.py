@@ -14,8 +14,10 @@ Chains the three audits in cheap-to-expensive order, failing fast:
    hash-matches its DuckDB twin at sf0.01 under the driver-faithful
    canonicalizer.
 
-Usage: python scripts/stage_gate.py [first_n]   (default 50)
-Exit 0 = the window is safe to rotate.
+Usage: python scripts/stage_gate.py [n] [offset]   (default 50 0)
+``offset`` gates a STAGED block before its rotation round — e.g.
+``stage_gate.py 49 50`` gates the round-5 block sitting directly
+behind the current window.  Exit 0 = the block is safe to rotate.
 """
 
 from __future__ import annotations
@@ -31,12 +33,13 @@ ROWS_ONLY_OK = {"agg_approx", "agg_hll_rollup"}
 
 def main() -> int:
     first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    offset = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     here = os.path.dirname(os.path.abspath(__file__))
 
     import __spark_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    names = list(qs)[:first_n]
+    names = list(qs)[offset : offset + first_n]
     print(f"window: {len(names)} entries ({names[0]} .. {names[-1]})")
     if len(names) != first_n:
         print(f"FAIL: window has {len(names)} entries, expected {first_n}")
