@@ -1373,6 +1373,24 @@ def _sim_recall_eval(spark, sf_dir):
     )
 
 
+def _sim_ndcg(spark, sf_dir):
+    """Order-aware ANN quality: NDCG@5 of the IVF ranking against
+    graded relevance derived from the exact brute-force ranks
+    (rel = 6 - true_rank, so the true best neighbor carries gain
+    2^5-1) — recall says whether the right neighbors came back,
+    NDCG says whether they came back in the right ORDER
+    (similarity.ranking_ndcg)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id % 50 = 0")
+    truth = S.brute_force_topk(emb, q, k=5).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(6) - F.col("rank")).cast("double").alias("rel"),
+    )
+    ranked = S.ivf_topk(emb, q, k=5, n_probe=10)
+    return S.ranking_ndcg(ranked, truth, k=5)
+
+
 def _sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN: shuffle-free 8x16 encode of the
     corpus + per-query asymmetric-distance LUT, fully deterministic
@@ -5530,6 +5548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_theilsen": _agg_theilsen,
         "src_schema_evolution": _src_schema_evolution,
         "agg_mann_kendall": _agg_mann_kendall,
+        "sim_ndcg": _sim_ndcg,
     }
 
 
@@ -5999,6 +6018,32 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_topk": _pq_topk_oracle(),
         "sim_kmeans_iter": _kmeans_iter_oracle(),
         "sim_range_search": _range_search_oracle(),
+        "sim_ndcg": (
+            # exact + IVF replicas as CTEs; rel = 6 - exact rank,
+            # standard 2^rel - 1 gain with log2(rank+1) discount,
+            # IDCG re-ranks truth grades desc (item-id tiebreak)
+            f"WITH bf AS ({_cosine_topk_oracle()}),"
+            f" ivf AS ({_ivf_topk_oracle()}),"
+            " t AS (SELECT query_id, neighbor_id,"
+            "  CAST(6 - rank AS DOUBLE) AS rel FROM bf),"
+            " g AS (SELECT i.query_id,"
+            "  (pow(2.0, COALESCE(t.rel, 0)) - 1) / log2(i.rank + 1)"
+            "   AS gain"
+            "  FROM ivf i LEFT JOIN t ON t.query_id = i.query_id"
+            "  AND t.neighbor_id = i.neighbor_id WHERE i.rank <= 5),"
+            " dcg AS (SELECT query_id, sum(gain) AS dcg FROM g"
+            "  GROUP BY 1),"
+            " ideal AS (SELECT query_id,"
+            "  sum((pow(2.0, rel) - 1) / log2(irk + 1)) AS idcg FROM ("
+            "   SELECT query_id, rel, row_number() OVER ("
+            "    PARTITION BY query_id ORDER BY rel DESC,"
+            "    neighbor_id ASC) AS irk FROM t)"
+            "  WHERE irk <= 5 GROUP BY 1)"
+            " SELECT d.query_id, round(d.dcg, 6) AS dcg,"
+            " round(i.idcg, 6) AS idcg,"
+            " round(d.dcg / i.idcg, 6) AS ndcg_at_5"
+            " FROM dcg d LEFT JOIN ideal i USING (query_id)"
+        ),
         "sim_recall_eval": (
             # exact and IVF top-5 as nested CTEs (each oracle is a
             # full deterministic SELECT), then per-query hit counting

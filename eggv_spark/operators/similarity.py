@@ -794,3 +794,69 @@ def semantic_dedupe(
         .join(F.broadcast(sizes), "cluster_id")
         .select(id_col, "cluster_id", "n_cluster_members")
     )
+
+
+def ranking_ndcg(
+    ranked: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k of a ranking against graded relevance — the standard
+    retrieval-quality metric, completing the eval family next to
+    :func:`ann_recall` (recall says WHETHER the right items came
+    back; NDCG says whether they came back in the right ORDER, with
+    graded gains).
+
+    ``ranked`` is the system output in the (query, item, rank) shape
+    of the top-k operators; ``truth`` carries (query, item, rel)
+    graded relevance.  DCG uses the standard 2^rel - 1 gain and
+    log2(rank+1) discount; IDCG re-ranks the truth grades descending
+    (ties broken by item id for determinism).  Items missing from
+    the truth set contribute zero gain.  Per query: dcg, idcg,
+    ndcg@k (NULL when a query has no relevant items).
+
+    Scale: two keyed joins/aggregations on the query id over TOP-K
+    sized frames (k rows per query), never over the corpus.
+    """
+    r = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_rk"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    gained = r.join(t, ["_q", "_i"], "left").withColumn(
+        "_gain",
+        (F.pow(F.lit(2.0), F.coalesce("_rel", F.lit(0.0))) - 1)
+        / F.log2(F.col("_rk") + 1),
+    )
+    dcg = gained.groupBy("_q").agg(F.sum("_gain").alias("dcg"))
+    w = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_i").asc()
+    )
+    ideal = (
+        t.withColumn("_irk", F.row_number().over(w))
+        .filter(F.col("_irk") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1)
+                / F.log2(F.col("_irk") + 1)
+            ).alias("idcg")
+        )
+    )
+    return dcg.join(ideal, "_q", "left").select(
+        F.col("_q").alias(query_col),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.try_divide(F.col("dcg"), F.col("idcg")), 6).alias(
+            f"ndcg_at_{k}"
+        ),
+    )

@@ -583,3 +583,41 @@ def test_asof_and_cdc_handle_empty_sides(spark):
     )
     got = cdc_apply(current, no_changes, ["k"], "seq").collect()
     assert [(r.k, r.v) for r in got] == [(1, "a")]
+
+
+def test_ranking_ndcg_hand_computed(spark):
+    from eggv_spark.operators.similarity import ranking_ndcg
+
+    # truth grades: item 1 -> 3, item 2 -> 2, item 3 -> 1
+    truth = spark.createDataFrame(
+        [("q", 1, 3.0), ("q", 2, 2.0), ("q", 3, 1.0)],
+        "query_id string, neighbor_id long, rel double",
+    )
+    # perfect ranking -> ndcg 1; an unknown item contributes zero gain
+    perfect = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, neighbor_id long, rank int",
+    )
+    out = ranking_ndcg(perfect, truth, k=3).collect()[0]
+    assert out.ndcg_at_3 == 1.0
+    # worst permutation of the same items: hand-computed DCG
+    worst = spark.createDataFrame(
+        [("q", 3, 1), ("q", 2, 2), ("q", 1, 3)],
+        "query_id string, neighbor_id long, rank int",
+    )
+    import math
+
+    dcg = (2**1 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (
+        2**3 - 1
+    ) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (
+        2**1 - 1
+    ) / math.log2(4)
+    r = ranking_ndcg(worst, truth, k=3).collect()[0]
+    assert r.ndcg_at_3 == pytest.approx(dcg / idcg, abs=1e-6)
+    # a ranking of entirely unknown items scores 0
+    unknown = spark.createDataFrame(
+        [("q", 99, 1), ("q", 98, 2)],
+        "query_id string, neighbor_id long, rank int",
+    )
+    assert ranking_ndcg(unknown, truth, k=3).collect()[0].ndcg_at_3 == 0.0
