@@ -51,6 +51,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that is removed at interpreter exit.  Queries that
+    round-trip through a filesystem sink (CDC replay, dynamic
+    overwrite, schema evolution, format round-trip, ...) need their
+    files to outlive the lazily-returned DataFrame, so cleanup cannot
+    be in-function; registering with atexit keeps repeated
+    gate/driver runs from accumulating orphaned /tmp copies."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -2838,7 +2854,7 @@ def _stream_cdc_apply(spark, sf_dir):
     )
     changes = upd.unionByName(dels).unionByName(ins)
 
-    base = tempfile.mkdtemp(prefix="stream_cdc_")
+    base = _scratch_dir("stream_cdc_")
     src = os.path.join(base, "changes")
     table = os.path.join(base, "table")
     ckpt = os.path.join(base, "ckpt")
@@ -2981,7 +2997,7 @@ def _tbl_partition_overwrite(spark, sf_dir):
     import os
     import tempfile
 
-    sink = os.path.join(tempfile.mkdtemp(prefix="dyn_ovr_"), "events_by_day")
+    sink = os.path.join(_scratch_dir("dyn_ovr_"), "events_by_day")
     ev = _t(spark, sf_dir, "events").select(
         F.dayofmonth("ts").cast("int").alias("day"),
         "event_id",
@@ -3009,7 +3025,7 @@ def _tbl_incremental_append(spark, sf_dir):
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="incr_append_")
+    base = _scratch_dir("incr_append_")
     sink = os.path.join(base, "sink")
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price")
@@ -3990,7 +4006,7 @@ def _stream_incremental_agg(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
     )
-    base = tempfile.mkdtemp(prefix="stream_incr_agg_")
+    base = _scratch_dir("stream_incr_agg_")
     src = os.path.join(base, "feed")
     table = os.path.join(base, "agg")
     ckpt = os.path.join(base, "ckpt")
@@ -4352,7 +4368,7 @@ def _tbl_partition_pruning(spark, sf_dir):
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="part_prune_")
+    base = _scratch_dir("part_prune_")
     path = os.path.join(base, "orders_by_year")
     orders = _t(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
@@ -4377,7 +4393,7 @@ def _src_schema_evolution(spark, sf_dir):
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="schema_evo_")
+    base = _scratch_dir("schema_evo_")
     orders = _t(spark, sf_dir, "orders")
     early = orders.filter("o_orderkey % 2 = 0").select(
         "o_orderkey", "o_custkey", F.lit("v1").alias("feed_era")
@@ -4419,7 +4435,7 @@ def _src_format_roundtrip(spark, sf_dir):
     cols = ["l_orderkey", "l_quantity", "l_extendedprice",
             "l_returnflag", "l_shipdate"]
     li = _t(spark, sf_dir, "lineitem").select(*cols)
-    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    base = _scratch_dir("fmt_roundtrip_")
     orc_p = os.path.join(base, "orc")
     json_p = os.path.join(base, "json")
     tsv_p = os.path.join(base, "tsv")

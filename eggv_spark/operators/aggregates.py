@@ -1146,6 +1146,43 @@ def power_analysis_mean(
     )
 
 
+def _ordered_pairs(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+):
+    """Shared scaffolding for the pairwise trend statistics
+    (:func:`theil_sen_trend`, :func:`mann_kendall_test`): drop
+    null coordinates, cast to double as ``_x``/``_y``, and build the
+    within-group x-ordered pair join (``a._x < b._x``, equal on every
+    group key).  Returns ``(pts, pairs)`` where ``pairs`` carries the
+    group keys aliased from side ``a`` plus ``a._y``/``b._y``.
+    Keeping this in one place means a change to pair semantics
+    (null-key policy, duplicate-x handling, join hints) cannot make
+    the two companion statistics diverge."""
+    keys = list(keys)
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    cond = F.col("a._x") < F.col("b._x")
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{k}").alias(k) for k in keys],
+        F.col("a._x").alias("_ax"),
+        F.col("b._x").alias("_bx"),
+        F.col("a._y").alias("_ay"),
+        F.col("b._y").alias("_by"),
+    )
+    return pts, pairs
+
+
 def theil_sen_trend(
     df: DataFrame,
     keys: Sequence[str],
@@ -1169,23 +1206,12 @@ def theil_sen_trend(
     SQL ``quantile_cont``/``percentile`` semantics.
     """
     keys = list(keys)
-    pts = df.filter(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(
+    pts, pairs = _ordered_pairs(df, keys, x_col, y_col)
+    slopes = pairs.select(
         *keys,
-        F.col(x_col).cast("double").alias("_x"),
-        F.col(y_col).cast("double").alias("_y"),
-    )
-    a, b = pts.alias("a"), pts.alias("b")
-    slope_expr = (F.col("b._y") - F.col("a._y")) / (
-        F.col("b._x") - F.col("a._x")
-    )
-    pair_cond = F.col("a._x") < F.col("b._x")
-    for k in keys:
-        pair_cond = pair_cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    slopes = a.join(b, pair_cond).select(
-        *[F.col(f"a.{k}").alias(k) for k in keys],
-        slope_expr.alias("_slope"),
+        (
+            (F.col("_by") - F.col("_ay")) / (F.col("_bx") - F.col("_ax"))
+        ).alias("_slope"),
     )
     med_slope = slopes.groupBy(*keys).agg(
         F.percentile("_slope", F.lit(0.5)).alias("_ms"),
@@ -1226,25 +1252,11 @@ def mann_kendall_test(
     the join never crosses groups.
     """
     keys = list(keys)
-    pts = df.filter(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(
-        *keys,
-        F.col(x_col).cast("double").alias("_x"),
-        F.col(y_col).cast("double").alias("_y"),
-    )
-    a, b = pts.alias("a"), pts.alias("b")
-    cond = F.col("a._x") < F.col("b._x")
-    for k in keys:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    s = (
-        a.join(b, cond)
-        .groupBy(*[F.col(f"a.{k}").alias(k) for k in keys])
-        .agg(
-            F.sum(
-                F.signum(F.col("b._y") - F.col("a._y")).cast("long")
-            ).alias("s_stat")
-        )
+    pts, pairs = _ordered_pairs(df, keys, x_col, y_col)
+    s = pairs.groupBy(*keys).agg(
+        F.sum(
+            F.signum(F.col("_by") - F.col("_ay")).cast("long")
+        ).alias("s_stat")
     )
     n_rows = pts.groupBy(*keys).agg(F.count("*").alias("_n"))
     ties = (

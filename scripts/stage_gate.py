@@ -39,11 +39,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if not 0 <= offset <= len(qs):
+        print(f"FAIL: offset {offset} outside registry of {len(qs)} entries")
+        return 1
     names = list(qs)[offset : offset + first_n]
-    print(f"window: {len(names)} entries ({names[0]} .. {names[-1]})")
     if len(names) != first_n:
         print(f"FAIL: window has {len(names)} entries, expected {first_n}")
         return 1
+    print(f"window: {len(names)} entries ({names[0]} .. {names[-1]})")
     if len(set(names)) != len(names):
         print("FAIL: duplicate names in window")
         return 1
