@@ -5077,6 +5077,34 @@ def _txt_bigram_lm(spark, sf_dir):
     return T.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _graph_wcc(spark, sf_dir):
+    """Weakly-connected components over the 100 heaviest inter-nation
+    trade edges — the large-star/small-star fixpoint
+    (dedupe.connected_components_star, Kiveris et al. SoCC'14: O(log²n)
+    rounds regardless of diameter) exposed as a graph query rather
+    than only inside near-dup cluster resolution.  The cutoff is
+    rank-based (weight desc, (src,dst) tiebreak), never a percentile,
+    so both engines select the identical edge set.  Output: every node
+    of the thresholded graph with the smallest node id it can reach."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    comp = D.connected_components_star(edges)
+    return comp.select(
+        F.col("node").cast("int").alias("node"),
+        F.col("component").cast("int").alias("component"),
+    )
+
+
 def _graph_neighbor_jaccard(spark, sf_dir):
     """Link-prediction feature over the part co-purchase backbone:
     neighborhood-overlap Jaccard for pairs sharing >=2 neighbors,
@@ -5291,8 +5319,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup (``ddp_window_dedup``); the Poisson-bootstrap family
     (``agg_bootstrap_ci``, ``agg_bootstrap_ab``) plus experiment
     power analysis (``agg_power_analysis``); Neyman-allocation
-    stratified sampling (``smp_neyman``); and dynamic partition
-    overwrite for idempotent backfills (``tbl_partition_overwrite``).
+    stratified sampling (``smp_neyman``); dynamic partition
+    overwrite for idempotent backfills (``tbl_partition_overwrite``);
+    single-changepoint CUSUM detection (``evt_changepoint``);
+    Theil–Sen robust trend + its Mann–Kendall hypothesis companion
+    (``agg_theilsen``/``agg_mann_kendall``); additive schema
+    evolution on read (``src_schema_evolution``); NDCG@k ranking
+    eval (``sim_ndcg``); and weakly-connected components by
+    large-star/small-star over the rank-thresholded trade graph
+    (``graph_wcc``, recursive-CTE oracle).
     """
     return {
         # --- round-4 verification window (50): staged at end of round 3 ---
@@ -5565,6 +5600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_schema_evolution": _src_schema_evolution,
         "agg_mann_kendall": _agg_mann_kendall,
         "sim_ndcg": _sim_ndcg,
+        "graph_wcc": _graph_wcc,
     }
 
 
@@ -6059,6 +6095,32 @@ def oracle_sql() -> dict[str, str]:
             " round(i.idcg, 6) AS idcg,"
             " round(d.dcg / i.idcg, 6) AS ndcg_at_5"
             " FROM dcg d LEFT JOIN ideal i USING (query_id)"
+        ),
+        "graph_wcc": (
+            # components via transitive closure (recursive CTE) over
+            # the identical rank-thresholded symmetric edge set;
+            # component = min reachable id (self included)
+            "WITH RECURSIVE trade AS ("
+            " SELECT CAST(c_nationkey AS INT) AS src,"
+            "  CAST(s_nationkey AS INT) AS dst, count(*) AS weight"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " WHERE c_nationkey <> s_nationkey"
+            " GROUP BY src, dst),"
+            " topk AS (SELECT src, dst FROM ("
+            "  SELECT src, dst, row_number() OVER ("
+            "   ORDER BY weight DESC, src, dst) AS rn FROM trade)"
+            "  WHERE rn <= 100),"
+            " sym AS (SELECT src, dst FROM topk"
+            "  UNION SELECT dst, src FROM topk),"
+            " reach(node, r) AS ("
+            "  SELECT src, dst FROM sym"
+            "  UNION"
+            "  SELECT reach.node, sym.dst FROM reach"
+            "   JOIN sym ON reach.r = sym.src)"
+            " SELECT node, CAST(least(node, min(r)) AS INT) AS component"
+            " FROM reach GROUP BY node"
         ),
         "sim_recall_eval": (
             # exact and IVF top-5 as nested CTEs (each oracle is a
