@@ -1991,6 +1991,68 @@ def _stream_tumbling(spark, sf_dir):
     )
 
 
+def _stream_late_data(spark, sf_dir):
+    """Watermark LATE-DATA DROP semantics — the Structured Streaming
+    contract none of the other stream queries isolates.  Events arrive
+    in three deterministic micro-batches (maxFilesPerTrigger=1, file
+    mtimes forced so FileStreamSource's mtime ordering is never racy):
+    the on-time bulk, then the freshest 2 hours, then stragglers hours
+    older than the by-then-established watermark — which are DROPPED.
+    Empirically pinned engine semantics (Spark 4.1.2): the late-input
+    filter in batch N uses the watermark computed through batch N-2
+    (one-batch lag — a straggler in the batch right after the bulk is
+    still accepted; see the mini-probe in
+    tests/test_skew_sliding_stateful.py), while append-mode
+    finalization in batch N uses the batch-N watermark; hence the
+    three-batch arrangement, which makes the drop unconditional.
+    Every boundary sits hours from any window edge by construction
+    (split points at tmax-2h/-6h vs a 61-minute delay, straggler
+    window ends >=2h below the filtering watermark), so <=-vs-< edge
+    choices cannot flip a row.  The oracle is then simply: all
+    non-straggler rows, windows finalized at tmax - 61min."""
+    import os
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    e = F.unix_timestamp("ts")
+    tmax = ev.agg(F.max(e)).first()[0]
+    head = e > F.lit(tmax - 7200)
+    straggler = (e <= F.lit(tmax - 21600)) & (F.col("event_id") % 50 == 0)
+    base = _scratch_dir("late_data_")
+    feed = os.path.join(base, "feed")
+    prev: set[str] = set()
+    for i, batch in enumerate(
+        (~head & ~straggler, head, straggler)
+    ):
+        ev.filter(batch).coalesce(1).write.mode("append").parquet(feed)
+        cur = {
+            f for f in os.listdir(feed) if not f.startswith(("_", "."))
+        }
+        for f in cur - prev:
+            os.utime(os.path.join(feed, f), (1_000_000 + 10 * i,) * 2)
+        prev = cur
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    from eggv_spark.streaming import events_stream as ES
+
+    agg = (
+        stream.withWatermark("ts", "61 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = ES.run_available_now(agg, output_mode="append")
+    return out.select(
+        F.col("w.start").cast("long").alias("window_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _stream_user_totals(spark, sf_dir):
     from eggv_spark.streaming import events_stream as ES
 
@@ -5325,9 +5387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Theil–Sen robust trend + its Mann–Kendall hypothesis companion
     (``agg_theilsen``/``agg_mann_kendall``); additive schema
     evolution on read (``src_schema_evolution``); NDCG@k ranking
-    eval (``sim_ndcg``); and weakly-connected components by
+    eval (``sim_ndcg``); weakly-connected components by
     large-star/small-star over the rank-thresholded trade graph
-    (``graph_wcc``, recursive-CTE oracle).
+    (``graph_wcc``, recursive-CTE oracle); and watermark late-data
+    drop semantics over a deterministic three-micro-batch feed
+    (``stream_late_data``, engine drop/finalization contract pinned
+    by tests/test_skew_sliding_stateful.py).
     """
     return {
         # --- round-4 verification window (50): staged at end of round 3 ---
@@ -5601,6 +5666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mann_kendall": _agg_mann_kendall,
         "sim_ndcg": _sim_ndcg,
         "graph_wcc": _graph_wcc,
+        "stream_late_data": _stream_late_data,
     }
 
 
@@ -6095,6 +6161,23 @@ def oracle_sql() -> dict[str, str]:
             " round(i.idcg, 6) AS idcg,"
             " round(d.dcg / i.idcg, 6) AS ndcg_at_5"
             " FROM dcg d LEFT JOIN ideal i USING (query_id)"
+        ),
+        "stream_late_data": (
+            # stragglers (batch 3) are dropped against the watermark
+            # established by the on-time bulk; append mode emits only
+            # windows finalized by the final watermark tmax - 61min
+            "WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT)"
+            "  AS e, value FROM events),"
+            " mx AS (SELECT max(e) AS tmax FROM e),"
+            " kept AS (SELECT e.e, e.value FROM e, mx WHERE NOT ("
+            "  e.e <= tmax - 21600 AND event_id % 50 = 0))"
+            " SELECT CAST(floor(k.e / 3600) AS BIGINT) * 3600"
+            "  AS window_epoch, count(*) AS n_events,"
+            " round(sum(k.value), 4) AS sum_value"
+            " FROM kept k, mx"
+            " WHERE CAST(floor(k.e / 3600) AS BIGINT) * 3600 + 3600"
+            "  <= mx.tmax - 3660"
+            " GROUP BY 1"
         ),
         "graph_wcc": (
             # components via transitive closure (recursive CTE) over

@@ -533,3 +533,65 @@ def test_audio_rms_segments_hand_computed(spark):
     assert rows[(1, 0)].rms == 100.0 and rows[(1, 0)].peak == 100
     assert rows[(1, 1)].rms == 200.0 and rows[(1, 1)].peak == 200
     assert rows[(1, 0)].n_samples == 4
+
+
+def test_watermark_late_semantics_pinned(spark, tmp_path):
+    """Pin the engine's watermark contract that stream_late_data
+    (__spark_entry__) depends on, so a Spark upgrade that changes it
+    fails HERE with a readable explanation rather than as an oracle
+    hash mismatch:
+
+    1. the late-input filter in batch N uses the watermark computed
+       through batch N-2 (one-batch lag): a straggler arriving in the
+       batch RIGHT AFTER the bulk is still accepted;
+    2. a straggler arriving two batches after the bulk IS dropped;
+    3. append mode emits exactly the windows whose end <= final
+       watermark.
+    """
+    import os
+
+    import pandas as pd
+
+    def run(files):
+        src = tmp_path / f"feed{len(os.listdir(tmp_path))}"
+        src.mkdir()
+        for i, stamps in enumerate(files):
+            p = src / f"b{i}.parquet"
+            pd.DataFrame(
+                {"ts": pd.to_datetime(stamps).astype("datetime64[us]")}
+            ).to_parquet(p)
+            os.utime(p, (1_000_000 + 10 * i,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        from eggv_spark.streaming.events_stream import run_available_now
+
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        out = run_available_now(agg, output_mode="append")
+        return {
+            r.s.strftime("%H:%M"): r.n
+            for r in out.select(F.col("w.start").alias("s"), "n").collect()
+        }
+
+    # (1) one-batch lag: the 02:00 straggler lands in the batch right
+    # after the bulk (wm for its filter is still epoch 0) -> KEPT and
+    # finalized (end 03:00 <= final wm 10:00); the 10:00/11:00 windows
+    # end past the final watermark and never emit
+    lagged = run([["2024-01-01 10:00:00"],
+                  ["2024-01-01 02:00:00", "2024-01-01 11:00:00"]])
+    assert lagged == {"02:00": 1}
+
+    # (2)+(3) bulk, then a head advancing the final watermark to
+    # 11:30 (finalizing the 10:00 window), then the same straggler:
+    # now filtered against the bulk-established wm=09:00 -> DROPPED
+    # (a non-dropping engine would emit {"02:00": 1, "10:00": 1})
+    dropped = run([["2024-01-01 10:00:00"],
+                   ["2024-01-01 12:30:00"],
+                   ["2024-01-01 02:00:00"]])
+    assert dropped == {"10:00": 1}
