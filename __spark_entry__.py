@@ -4480,6 +4480,61 @@ def _src_schema_evolution(spark, sf_dir):
     )
 
 
+def _src_corrupt_records(spark, sf_dir):
+    """PERMISSIVE-mode malformed-row accounting — the ingest contract
+    the library's CSV readers rely on (and pandas/dask users trip
+    over): malformed lines do NOT error, they surface as null-padded
+    rows with the raw line in ``columnNameOfCorruptRecord``.  A
+    delimited feed is synthesized from orders with a deterministic 1%
+    of lines truncated+non-numeric (o_orderkey % 97 = 0); the read
+    must route exactly those to the corrupt column and parse the rest
+    type-faithfully.  Output: per custkey-decile clean-row counts and
+    price sums plus one __CORRUPT__ row — so both a silently-dropped
+    and a silently-accepted malformed line flips the hash.  The
+    oracle computes the same split from the source table directly
+    (the corrupt routing is what's under test, not reparsing)."""
+    import os
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+    bad = F.pmod("o_orderkey", F.lit(97)) == 0
+    lines = orders.select(
+        F.when(
+            bad, F.concat_ws("|", F.col("o_orderkey"), F.lit("oops"))
+        ).otherwise(
+            F.concat_ws("|", "o_orderkey", "o_custkey", "price")
+        ).alias("value")
+    )
+    base = _scratch_dir("corrupt_rec_")
+    feed = os.path.join(base, "feed.csv")
+    lines.coalesce(1).write.mode("overwrite").text(feed)
+    back = spark.read.csv(
+        feed,
+        sep="|",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_bad",
+        schema="o_orderkey long, o_custkey long, price double, _bad string",
+    )
+    # single pass; Spark also disallows plans whose only referenced
+    # column is the corrupt-record column, which folding the corrupt
+    # bucket into one aggregation sidesteps
+    return back.groupBy(
+        F.when(F.col("_bad").isNotNull(), F.lit("__CORRUPT__"))
+        .otherwise(
+            F.concat(F.lit("decile_"), F.pmod("o_custkey", F.lit(10)))
+        )
+        .alias("bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("price"))
+                  .otherwise(F.lit(0.0))),
+            2,
+        ).alias("sum_price"),
+    )
+
+
 def _src_format_roundtrip(spark, sf_dir):
     """Cross-format sink/source fidelity under the driver gate: write
     a lineitem projection to ORC, JSON, and TSV, read each back
@@ -5392,7 +5447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``graph_wcc``, recursive-CTE oracle); and watermark late-data
     drop semantics over a deterministic three-micro-batch feed
     (``stream_late_data``, engine drop/finalization contract pinned
-    by tests/test_skew_sliding_stateful.py).
+    by tests/test_skew_sliding_stateful.py); and PERMISSIVE-mode
+    malformed-row accounting (``src_corrupt_records``: a 1%-corrupted
+    synthesized feed whose corrupt-column routing must exactly match
+    the oracle's intended split).
     """
     return {
         # --- round-4 verification window (50): staged at end of round 3 ---
@@ -5667,6 +5725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ndcg": _sim_ndcg,
         "graph_wcc": _graph_wcc,
         "stream_late_data": _stream_late_data,
+        "src_corrupt_records": _src_corrupt_records,
     }
 
 
@@ -6161,6 +6220,18 @@ def oracle_sql() -> dict[str, str]:
             " round(i.idcg, 6) AS idcg,"
             " round(d.dcg / i.idcg, 6) AS ndcg_at_5"
             " FROM dcg d LEFT JOIN ideal i USING (query_id)"
+        ),
+        "src_corrupt_records": (
+            # the oracle computes the intended clean/corrupt split
+            # from the source table; Spark's CSV corrupt routing must
+            # land on exactly the same partition of the rows
+            "SELECT concat('decile_', CAST(o_custkey % 10 AS VARCHAR))"
+            "  AS bucket, count(*) AS n_rows,"
+            " round(sum(round(o_totalprice, 2)), 2) AS sum_price"
+            " FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY 1"
+            " UNION ALL"
+            " SELECT '__CORRUPT__' AS bucket, count(*) AS n_rows,"
+            " 0.0 AS sum_price FROM orders WHERE o_orderkey % 97 = 0"
         ),
         "stream_late_data": (
             # stragglers (batch 3) are dropped against the watermark
