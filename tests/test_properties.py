@@ -534,3 +534,45 @@ def test_poisson_bootstrap_ci_ordered_and_brackets(spark, vals):
     # the interval is a percentile of resample means of these values,
     # so it can never escape the data range
     assert min(vals) - 1e-6 <= r.ci_lo and r.ci_hi <= max(vals) + 1e-6
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=25,
+)
+
+
+@_settings
+@given(edges=edges_strategy)
+def test_connected_components_star_equals_naive(spark, edges):
+    """Star-decomposition CC must label every node with the true
+    component minimum — checked against a driver-side union-find on
+    arbitrary random multigraphs (self-loops, parallel and reversed
+    duplicate edges included)."""
+    from eggv_spark.operators.dedupe import connected_components_star
+
+    # naive union-find ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # contract: self-loops are non-edges (the operator resolves PAIRS
+    # of distinct ids), so a self-loop-only node is absent from output
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+    expect = {}
+    for n in parent:
+        expect[n] = min(m for m in parent if find(m) == find(n))
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == expect
