@@ -2006,10 +2006,14 @@ def _stream_late_data(spark, sf_dir):
     finalization in batch N uses the batch-N watermark; hence the
     three-batch arrangement, which makes the drop unconditional.
     Every boundary sits hours from any window edge by construction
-    (split points at tmax-2h/-6h vs a 61-minute delay, straggler
-    window ends >=2h below the filtering watermark), so <=-vs-< edge
-    choices cannot flip a row.  The oracle is then simply: all
-    non-straggler rows, windows finalized at tmax - 61min."""
+    (split points at tmax-2h/-6h vs a ~61-minute delay, straggler
+    window ends >=2h below the filtering watermark) — and the one
+    residue class where the FINAL watermark could land exactly on an
+    hour-aligned window end (tmax % 3600 == 60 for the 3660 s delay)
+    gets the delay bumped by 30 s, identically on both sides, so
+    <=-vs-< edge choices cannot flip a row for ANY fixture data.
+    The oracle is then simply: all non-straggler rows, windows
+    finalized at tmax - delay."""
     import os
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
@@ -2038,7 +2042,10 @@ def _stream_late_data(spark, sf_dir):
     from eggv_spark.streaming import events_stream as ES
 
     agg = (
-        stream.withWatermark("ts", "61 minutes")
+        stream.withWatermark(
+            "ts",
+            f"{3660 + (30 if tmax % 3600 == 60 else 0)} seconds",
+        )
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
@@ -2889,7 +2896,6 @@ def _stream_cdc_apply(spark, sf_dir):
     changes arrive in one batch — the log-ordered delivery the sink's
     contract requires."""
     import os
-    import tempfile
 
     from eggv_spark.streaming import events_stream as ES
 
@@ -3057,7 +3063,6 @@ def _tbl_partition_overwrite(spark, sf_dir):
     other day must come back byte-identical, the property that makes
     daily re-runs idempotent (tableops.partition_overwrite)."""
     import os
-    import tempfile
 
     sink = os.path.join(_scratch_dir("dyn_ovr_"), "events_by_day")
     ev = _t(spark, sf_dir, "events").select(
@@ -3085,7 +3090,6 @@ def _tbl_incremental_append(spark, sf_dir):
     that makes periodic batch pulls safe to re-run.  The mark read is
     a stats-answerable max() over the sink."""
     import os
-    import tempfile
 
     base = _scratch_dir("incr_append_")
     sink = os.path.join(base, "sink")
@@ -4061,7 +4065,6 @@ def _stream_incremental_agg(spark, sf_dir):
     final table must equal the one-shot full recompute — the oracle
     for the whole streaming maintenance path."""
     import os
-    import tempfile
 
     from eggv_spark.streaming import events_stream as ES
 
@@ -4428,7 +4431,6 @@ def _tbl_partition_pruning(spark, sf_dir):
     (asserted in tests/test_plans.py), which is THE dominant scan
     lever at 100 TB.  Result is oracled against a plain filter."""
     import os
-    import tempfile
 
     base = _scratch_dir("part_prune_")
     path = os.path.join(base, "orders_by_year")
@@ -4453,7 +4455,6 @@ def _src_schema_evolution(spark, sf_dir):
     Aggregates per feed era: row count, null-count of the late
     column, and a value checksum."""
     import os
-    import tempfile
 
     base = _scratch_dir("schema_evo_")
     orders = _t(spark, sf_dir, "orders")
@@ -4544,7 +4545,6 @@ def _src_format_roundtrip(spark, sf_dir):
     writers.write_orc/write_json/write_tsv and their readers
     (sources/*.py) as one driver-verified query."""
     import os
-    import tempfile
 
     from eggv_spark.sources import readers as RD
     from eggv_spark.sources import writers as WR
@@ -6248,6 +6248,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM kept k, mx"
             " WHERE CAST(floor(k.e / 3600) AS BIGINT) * 3600 + 3600"
             "  <= mx.tmax - 3660"
+            "   - CASE WHEN mx.tmax % 3600 = 60 THEN 30 ELSE 0 END"
             " GROUP BY 1"
         ),
         "graph_wcc": (

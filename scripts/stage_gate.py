@@ -43,7 +43,7 @@ def main() -> int:
         print(f"FAIL: offset {offset} outside registry of {len(qs)} entries")
         return 1
     names = list(qs)[offset : offset + first_n]
-    if len(names) != first_n:
+    if first_n < 1 or len(names) != first_n:
         print(f"FAIL: window has {len(names)} entries, expected {first_n}")
         return 1
     print(f"window: {len(names)} entries ({names[0]} .. {names[-1]})")
