@@ -1166,6 +1166,34 @@ def _ddp_exact_hash(spark, sf_dir):
     return D.exact_dedupe(_docs_with_dups(spark, sf_dir))
 
 
+def _ddp_soft_dedup(spark, sf_dir):
+    """Soft dedup by downweighting: instead of REMOVING duplicates,
+    every copy gets weight 1/(duplicate-group size), so a content
+    group contributes exactly one document of effective mass however
+    many times it was crawled — the keep-but-reweight curation
+    alternative to hard removal (preserves coverage while killing
+    over-representation).  One hash-partitioned window (same shuffle
+    key a groupBy would use) computes group sizes; the per-source
+    rollup reports raw vs distinct vs effective document counts.
+    Injected dup group sizes are 1 or 2, so every weight is exactly
+    representable and the float sum is parity-exact."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    all_docs = docs.unionByName(
+        docs.filter("doc_id % 10 = 0").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    w = Window.partitionBy(F.md5("text"))
+    weighted = all_docs.withColumn(
+        "_w", F.lit(1.0) / F.count("*").over(w)
+    )
+    return weighted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.round(F.sum("_w"), 4).alias("effective_docs"),
+    )
+
+
 def _ddp_minhash_neardup(spark, sf_dir):
     return D.minhash_neardup_pairs(_docs_with_dups(spark, sf_dir), threshold=0.7)
 
@@ -5447,10 +5475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``graph_wcc``, recursive-CTE oracle); and watermark late-data
     drop semantics over a deterministic three-micro-batch feed
     (``stream_late_data``, engine drop/finalization contract pinned
-    by tests/test_skew_sliding_stateful.py); and PERMISSIVE-mode
+    by tests/test_skew_sliding_stateful.py); PERMISSIVE-mode
     malformed-row accounting (``src_corrupt_records``: a 1%-corrupted
     synthesized feed whose corrupt-column routing must exactly match
-    the oracle's intended split).
+    the oracle's intended split); and soft dedup by duplicate-group
+    downweighting (``ddp_soft_dedup``, the keep-but-reweight curation
+    alternative to hard removal).
     """
     return {
         # --- round-4 verification window (50): staged at end of round 3 ---
@@ -5726,6 +5756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wcc": _graph_wcc,
         "stream_late_data": _stream_late_data,
         "src_corrupt_records": _src_corrupt_records,
+        "ddp_soft_dedup": _ddp_soft_dedup,
     }
 
 
@@ -6220,6 +6251,19 @@ def oracle_sql() -> dict[str, str]:
             " round(i.idcg, 6) AS idcg,"
             " round(d.dcg / i.idcg, 6) AS ndcg_at_5"
             " FROM dcg d LEFT JOIN ideal i USING (query_id)"
+        ),
+        "ddp_soft_dedup": (
+            # group sizes are 1 or 2 by construction, so 1/n sums are
+            # dyadic and parity-exact
+            "WITH d AS (SELECT doc_id, source, text FROM documents"
+            " UNION ALL SELECT doc_id + 1000000, source, text"
+            "  FROM documents WHERE doc_id % 10 = 0),"
+            " h AS (SELECT source, md5(text) AS h FROM d),"
+            " c AS (SELECT h, count(*) AS n FROM h GROUP BY h)"
+            " SELECT source, count(*) AS n_docs,"
+            " count(DISTINCT h.h) AS n_distinct,"
+            " round(sum(1.0 / c.n), 4) AS effective_docs"
+            " FROM h JOIN c USING (h) GROUP BY source"
         ),
         "src_corrupt_records": (
             # the oracle computes the intended clean/corrupt split
