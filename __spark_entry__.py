@@ -5027,6 +5027,24 @@ def _agg_welch(spark, sf_dir):
     return AG.welch_ttest(ev, "arm", "value")
 
 
+def _agg_tost(spark, sf_dir):
+    """TOST equivalence readout per event type between the two arms
+    of the same md5 user split as agg_welch — "did the variant stay
+    within ±25 of the control mean" (aggregates.tost_equivalence,
+    normal-approximation critical value so both engines evaluate one
+    closed form; the ±25 margin keeps every z statistic far from the
+    critical boundary, so float summation-order wiggle cannot flip
+    the equivalence flag)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (D.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "value",
+    )
+    return AG.tost_equivalence(
+        ev, "arm", "value", margin=25.0, keys=["event_type"]
+    )
+
+
 def _smp_balanced_classes(spark, sf_dir):
     """Class-balanced downsample of the embedding table: every label
     cut to the global minority-class size by portable md5 rank —
@@ -5478,9 +5496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by tests/test_skew_sliding_stateful.py); PERMISSIVE-mode
     malformed-row accounting (``src_corrupt_records``: a 1%-corrupted
     synthesized feed whose corrupt-column routing must exactly match
-    the oracle's intended split); and soft dedup by duplicate-group
+    the oracle's intended split); soft dedup by duplicate-group
     downweighting (``ddp_soft_dedup``, the keep-but-reweight curation
-    alternative to hard removal).
+    alternative to hard removal); and TOST mean-equivalence readout
+    (``agg_tost``, the non-inferiority complement to ``agg_welch``).
     """
     return {
         # --- round-4 verification window (50): staged at end of round 3 ---
@@ -5757,6 +5776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_late_data": _stream_late_data,
         "src_corrupt_records": _src_corrupt_records,
         "ddp_soft_dedup": _ddp_soft_dedup,
+        "agg_tost": _agg_tost,
     }
 
 
@@ -8609,6 +8629,33 @@ def oracle_sql() -> dict[str, str]:
             " SELECT day, n_pos, n_neg,"
             " round((rsum - n_pos * (n_pos + 1) / 2.0)"
             "  / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc"
+            " FROM g"
+        ),
+        "agg_tost": (
+            # same conditional-moment CTE shape as agg_welch, plus the
+            # two one-sided z statistics against the +/-25 margin
+            "WITH s AS (SELECT event_type,"
+            "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
+            "   1, 8)) AS BIGINT) % 2 AS arm, value FROM events),"
+            " g AS (SELECT event_type,"
+            "  count(CASE WHEN arm = 0 THEN value END) AS n0,"
+            "  avg(CASE WHEN arm = 0 THEN value END) AS m0,"
+            "  var_samp(CASE WHEN arm = 0 THEN value END) AS v0,"
+            "  count(CASE WHEN arm <> 0 THEN value END) AS n1,"
+            "  avg(CASE WHEN arm <> 0 THEN value END) AS m1,"
+            "  var_samp(CASE WHEN arm <> 0 THEN value END) AS v1"
+            "  FROM s GROUP BY event_type)"
+            " SELECT event_type, n0, n1,"
+            " round(m0 - m1, 4) AS mean_diff,"
+            " round(sqrt(v0 / n0 + v1 / n1), 4) AS se,"
+            " round((m0 - m1 + 25.0) / sqrt(v0 / n0 + v1 / n1), 4)"
+            "  AS z_lower,"
+            " round((m0 - m1 - 25.0) / sqrt(v0 / n0 + v1 / n1), 4)"
+            "  AS z_upper,"
+            " CAST(CASE WHEN"
+            "  (m0 - m1 + 25.0) / sqrt(v0 / n0 + v1 / n1) > 1.6449"
+            "  AND (m0 - m1 - 25.0) / sqrt(v0 / n0 + v1 / n1) < -1.6449"
+            "  THEN 1 ELSE 0 END AS INT) AS equivalent"
             " FROM g"
         ),
         "agg_welch": (

@@ -749,6 +749,64 @@ def welch_ttest(
     )
 
 
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    margin: float,
+    keys: Sequence[str] = (),
+    z_crit: float = 1.6449,
+) -> DataFrame:
+    """Two one-sided tests (TOST) for mean EQUIVALENCE between two
+    arms — the non-inferiority complement to :func:`welch_ttest`:
+    where Welch asks "are the arms different?", TOST asks "are they
+    the same to within ±margin?" (failing to reject difference is NOT
+    evidence of equivalence; TOST is the correct readout for "this
+    cheaper variant didn't hurt the metric").
+
+    z_lower = (diff + margin)/se and z_upper = (diff - margin)/se
+    with the Welch standard error; equivalence at level alpha needs
+    BOTH z_lower > z_crit AND z_upper < -z_crit (defaults to the
+    normal 5% one-sided critical value — the large-sample
+    approximation, so both engines evaluate the same closed form;
+    arm sizes here are thousands, where t and z are
+    indistinguishable).  Arm coding and null handling follow
+    welch_ttest: arm 0 is ``group_col == 0``, NULL metrics are not
+    observations.  Same single map-side-combined aggregation pass.
+    """
+    keys = list(keys)
+    arms = df.groupBy(*keys).agg(
+        F.count(F.when(F.col(group_col) == 0, F.col(value_col)))
+        .alias("n0"),
+        F.avg(F.when(F.col(group_col) == 0, F.col(value_col))).alias("m0"),
+        F.var_samp(F.when(F.col(group_col) == 0, F.col(value_col)))
+        .alias("v0"),
+        F.count(F.when(F.col(group_col) != 0, F.col(value_col)))
+        .alias("n1"),
+        F.avg(F.when(F.col(group_col) != 0, F.col(value_col))).alias("m1"),
+        F.var_samp(F.when(F.col(group_col) != 0, F.col(value_col)))
+        .alias("v1"),
+    )
+    se = F.sqrt(
+        F.try_divide(F.col("v0"), F.col("n0"))
+        + F.try_divide(F.col("v1"), F.col("n1"))
+    )
+    diff = F.col("m0") - F.col("m1")
+    z_lo = F.try_divide(diff + F.lit(margin), se)
+    z_hi = F.try_divide(diff - F.lit(margin), se)
+    equivalent = (
+        (z_lo > F.lit(z_crit)) & (z_hi < F.lit(-z_crit))
+    ).cast("int")
+    return arms.select(
+        *keys, "n0", "n1",
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(se, 4).alias("se"),
+        F.round(z_lo, 4).alias("z_lower"),
+        F.round(z_hi, 4).alias("z_upper"),
+        equivalent.alias("equivalent"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     pred_col: str,

@@ -744,3 +744,26 @@ def test_mann_kendall_monotone_and_tied_series(spark):
     flat = out["flat"]
     # one tie group of size 10 cancels the variance entirely: S=0, z=0
     assert flat.s_stat == 0 and flat.var_s == 0.0 and flat.mk_z == 0.0
+
+
+def test_tost_equivalence_decisions(spark):
+    from eggv_spark.operators.aggregates import tost_equivalence
+
+    # "same": arms differ by 0.5 with sd~1, n=40/arm -> well inside a
+    # +/-2.0 margin.  "far": arms differ by 10 -> decisively outside.
+    rows = []
+    for i in range(40):
+        jitter = (i % 5 - 2) * 0.5   # mean-zero, sd ~ 0.7
+        rows += [("same", 0, 10.0 + jitter), ("same", 1, 10.5 + jitter)]
+        rows += [("far", 0, 10.0 + jitter), ("far", 1, 20.0 + jitter)]
+    df = spark.createDataFrame(rows, "k string, arm int, value double")
+    out = {r.k: r for r in
+           tost_equivalence(df, "arm", "value", margin=2.0,
+                            keys=["k"]).collect()}
+    same, far = out["same"], out["far"]
+    assert same.n0 == same.n1 == 40
+    assert same.equivalent == 1
+    assert same.z_lower > 1.6449 and same.z_upper < -1.6449
+    assert far.equivalent == 0
+    # one-sided structure: z_lower = (diff + margin)/se
+    assert far.mean_diff == pytest.approx(-10.0, abs=1e-6)
