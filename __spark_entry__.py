@@ -5442,26 +5442,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
     The external driver oracle-checks the first 50 entries of this dict
-    each round.  Rounds 1-3 verified 50 entries each (CORRECTNESS_r01/
-    _r02/_r03 — 148 green, ``agg_approx`` rows-only by design,
-    ``txt_hashed_features`` erred on its then-ArrayType output); the
-    verified blocks sit at the back, regression-guarded by
+    each round.  Rounds 1-4 verified 50 entries each (CORRECTNESS_r01
+    .. _r04 — 198 green, ``agg_approx`` rows-only by design,
+    ``txt_hashed_features`` erred in r03 on its then-ArrayType output
+    and passed in r04 re-emitted as a scalar); the verified blocks sit
+    behind the window, regression-guarded by
     tests/test_reference_parity.py and scripts/check_correctness.py
-    which runs ALL entries locally.
+    which runs ALL entries locally at two scales.
 
-    Round-4 window (the first 50): the 50-entry block staged at the end
-    of round 3 — CDC/SCD2, the TPC-H-analog OLAP suite, graph,
-    regression, Bloom, KS, vocab-Jaccard, rolling-corr, bucketed join —
-    with ``txt_lang_confusion`` swapped out for ``txt_hashed_features``,
-    which is re-queued after its round-3 driver error: its
-    ``feature_vec`` is now emitted as a comma-joined scalar
-    (``feature_csv``) that the driver's pandas canonicalizer can sort
-    and hash.
-
-    Round-5 staging (the tail block directly behind the window, 49
-    entries — the final rotation, closing driver coverage of the whole
-    registry): ``txt_lang_confusion`` plus IVF+PQ, incremental agg
-    (batch + streaming twin), weighted sampling, Pareto, quantile
+    Round-5 window (the first 50): the 49-entry block staged at the
+    end of round 4 — ``txt_lang_confusion`` plus IVF+PQ, incremental
+    agg (batch + streaming twin), weighted sampling, Pareto, quantile
     normalization, q-gram fuzzy, co-purchase/association rules,
     FK audit, conversion/rate/seasonal analytics, A/B readout, Benford
     (``agg_hll_rollup`` is rows-only: sketch estimates are not
@@ -5471,11 +5462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage, SemDeDup, calibration bins, the corpus-cleaning funnel,
     k-fold assignment, drawdown, PSI drift, the ORC/JSON/TSV roundtrip
     gate, neighbor-overlap Jaccard, the interpolated bigram LM, the
-    Theil index, and the order-insensitive table checksum.
+    Theil index, and the order-insensitive table checksum — plus
+    ``mm_bmp_decode`` promoted from the round-4-additions queue as
+    slot 50.
 
-    Round-4 additions (dict tail, the round-6 queue, all dual-scale
-    green on arrival): real uncompressed-BMP decode
-    (``mm_bmp_decode``); incremental shard-vs-corpus dedup against a
+    Round-4 additions (dict tail, the round-6 queue together with the
+    round-5 additions, all dual-scale green on arrival):
+    incremental shard-vs-corpus dedup against a
     persisted MinHash band index in batch (``ddp_index_dedup``) AND
     streaming (``stream_index_dedup``, stateless stream-static band
     probe, same oracle); unaligned sliding-window exact-substring
@@ -5502,60 +5495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``agg_tost``, the non-inferiority complement to ``agg_welch``).
     """
     return {
-        # --- round-4 verification window (50): staged at end of round 3 ---
-        "tbl_scd2_apply": _tbl_scd2_apply,
-        "tbl_cdc_apply": _tbl_cdc_apply,
-        "smp_temperature_weights": _smp_temperature_weights,
-        "win_decayed_sum": _win_decayed_sum,
-        "mm_image_crop": _mm_image_crop,
-        "mm_audio_resample": _mm_audio_resample,
-        "ddp_minhash_est": _ddp_minhash_est,
-        "ddp_url_dedup": _ddp_url_dedup,
-        "txt_sentences": _txt_sentences,
-        "evt_attribution": _evt_attribution,
-        "agg_chi2_cells": _agg_chi2_cells,
-        "stream_cdc_apply": _stream_cdc_apply,
-        "tbl_incremental_append": _tbl_incremental_append,
-        "win_winsorize": _win_winsorize,
-        "txt_readability": _txt_readability,
-        "agg_mad": _agg_mad,
-        "evt_inter_event": _evt_inter_event,
-        "smp_apply_weights": _smp_apply_weights,
-        "olap_q5_local_supplier": _olap_q5_local_supplier,
-        "olap_q6_forecast_revenue": _olap_q6_forecast_revenue,
-        "olap_q7_volume_shipping": _olap_q7_volume_shipping,
-        "olap_q8_market_share": _olap_q8_market_share,
-        "olap_q9_product_profit": _olap_q9_product_profit,
-        "olap_q10_returned_items": _olap_q10_returned_items,
-        "olap_q13_customer_distribution": _olap_q13_customer_distribution,
-        "olap_q14_promo_effect": _olap_q14_promo_effect,
-        "olap_q15_top_supplier": _olap_q15_top_supplier,
-        "olap_q17_small_quantity": _olap_q17_small_quantity,
-        "olap_q18_large_orders": _olap_q18_large_orders,
-        "olap_q19_disjunctive": _olap_q19_disjunctive,
-        "olap_q22_idle_customers": _olap_q22_idle_customers,
-        "graph_pagerank": _graph_pagerank,
-        "graph_degree_stats": _graph_degree_stats,
-        "agg_linreg": _agg_linreg,
-        "sim_int8_quantize": _sim_int8_quantize,
-        "sim_centroid_cosine": _sim_centroid_cosine,
-        "ddp_bloom_prefilter": _ddp_bloom_prefilter,
-        "txt_zipf_slope": _txt_zipf_slope,
-        "evt_rfm": _evt_rfm,
-        "tbl_partition_balance": _tbl_partition_balance,
-        "win_ratio_to_report": _win_ratio_to_report,
-        "evt_markov": _evt_markov,
-        "agg_ks_test": _agg_ks_test,
-        "agg_cov_matrix": _agg_cov_matrix,
-        "txt_source_jaccard": _txt_source_jaccard,
-        "win_rolling_corr": _win_rolling_corr,
-        "join_bucketed": _join_bucketed,
-        "win_cumulative_distinct": _win_cumulative_distinct,
-        "smp_neg_sampling": _smp_neg_sampling,
-        # slot 50: re-queued after the round-3 driver error (now scalar)
-        "txt_hashed_features": _txt_hashed_features,
-        # --- round-5 staging (49, directly behind the window): the
-        # final rotation — drop the block above to front-swap these in ---
+        # --- round-5 verification window (50): the staging block from
+        # the end of round 4, front-swapped at round-5 start per the
+        # rotation protocol, plus mm_bmp_decode promoted from the
+        # round-4-additions queue as slot 50 ---
         "txt_lang_confusion": _txt_lang_confusion,
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
         "tbl_incremental_agg": _tbl_incremental_agg,
@@ -5605,6 +5548,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bigram_lm": _txt_bigram_lm,
         "agg_theil": _agg_theil,
         "tbl_checksum": _tbl_checksum,
+        # slot 50: promoted from the round-4 additions queue
+        "mm_bmp_decode": _mm_bmp_decode,
+        # --- verified in round 4 (CORRECTNESS_r04.json: 50/50 green) ---
+        "tbl_scd2_apply": _tbl_scd2_apply,
+        "tbl_cdc_apply": _tbl_cdc_apply,
+        "smp_temperature_weights": _smp_temperature_weights,
+        "win_decayed_sum": _win_decayed_sum,
+        "mm_image_crop": _mm_image_crop,
+        "mm_audio_resample": _mm_audio_resample,
+        "ddp_minhash_est": _ddp_minhash_est,
+        "ddp_url_dedup": _ddp_url_dedup,
+        "txt_sentences": _txt_sentences,
+        "evt_attribution": _evt_attribution,
+        "agg_chi2_cells": _agg_chi2_cells,
+        "stream_cdc_apply": _stream_cdc_apply,
+        "tbl_incremental_append": _tbl_incremental_append,
+        "win_winsorize": _win_winsorize,
+        "txt_readability": _txt_readability,
+        "agg_mad": _agg_mad,
+        "evt_inter_event": _evt_inter_event,
+        "smp_apply_weights": _smp_apply_weights,
+        "olap_q5_local_supplier": _olap_q5_local_supplier,
+        "olap_q6_forecast_revenue": _olap_q6_forecast_revenue,
+        "olap_q7_volume_shipping": _olap_q7_volume_shipping,
+        "olap_q8_market_share": _olap_q8_market_share,
+        "olap_q9_product_profit": _olap_q9_product_profit,
+        "olap_q10_returned_items": _olap_q10_returned_items,
+        "olap_q13_customer_distribution": _olap_q13_customer_distribution,
+        "olap_q14_promo_effect": _olap_q14_promo_effect,
+        "olap_q15_top_supplier": _olap_q15_top_supplier,
+        "olap_q17_small_quantity": _olap_q17_small_quantity,
+        "olap_q18_large_orders": _olap_q18_large_orders,
+        "olap_q19_disjunctive": _olap_q19_disjunctive,
+        "olap_q22_idle_customers": _olap_q22_idle_customers,
+        "graph_pagerank": _graph_pagerank,
+        "graph_degree_stats": _graph_degree_stats,
+        "agg_linreg": _agg_linreg,
+        "sim_int8_quantize": _sim_int8_quantize,
+        "sim_centroid_cosine": _sim_centroid_cosine,
+        "ddp_bloom_prefilter": _ddp_bloom_prefilter,
+        "txt_zipf_slope": _txt_zipf_slope,
+        "evt_rfm": _evt_rfm,
+        "tbl_partition_balance": _tbl_partition_balance,
+        "win_ratio_to_report": _win_ratio_to_report,
+        "evt_markov": _evt_markov,
+        "agg_ks_test": _agg_ks_test,
+        "agg_cov_matrix": _agg_cov_matrix,
+        "txt_source_jaccard": _txt_source_jaccard,
+        "win_rolling_corr": _win_rolling_corr,
+        "join_bucketed": _join_bucketed,
+        "win_cumulative_distinct": _win_cumulative_distinct,
+        "smp_neg_sampling": _smp_neg_sampling,
+        # slot 50 of the round-4 window: re-queued after the round-3
+        # driver error (now scalar)
+        "txt_hashed_features": _txt_hashed_features,
         # --- verified in round 3 (CORRECTNESS_r03.json: 48/50 green) ---
         "join_cross": _join_cross,
         "agg_approx": _agg_approx,
@@ -5757,8 +5755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gapfill": _evt_gapfill,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
-        # --- round-4 additions (round-6 verification queue) ---
-        "mm_bmp_decode": _mm_bmp_decode,
+        # --- round-4 additions (round-6 verification queue;
+        # mm_bmp_decode was promoted into the round-5 window) ---
         "ddp_index_dedup": _ddp_index_dedup,
         "ddp_window_dedup": _ddp_window_dedup,
         "agg_bootstrap_ci": _agg_bootstrap_ci,

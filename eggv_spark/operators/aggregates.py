@@ -794,8 +794,12 @@ def tost_equivalence(
     diff = F.col("m0") - F.col("m1")
     z_lo = F.try_divide(diff + F.lit(margin), se)
     z_hi = F.try_divide(diff - F.lit(margin), se)
-    equivalent = (
-        (z_lo > F.lit(z_crit)) & (z_hi < F.lit(-z_crit))
+    # coalesce to false: an arm with <2 non-null observations has NULL
+    # var_samp -> NULL se -> NULL conjunction; the DuckDB oracle's
+    # CASE WHEN falls through to ELSE 0, so the degenerate group must
+    # read "not equivalent" here too, not NULL
+    equivalent = F.coalesce(
+        (z_lo > F.lit(z_crit)) & (z_hi < F.lit(-z_crit)), F.lit(False)
     ).cast("int")
     return arms.select(
         *keys, "n0", "n1",
@@ -1053,7 +1057,13 @@ def poisson_bootstrap_mean(
         .withColumn("_w", w)
         .groupBy("_b")
         .agg(
-            (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+            # try_divide: an all-zero-weight replicate (prob ~0.368^n,
+            # unreachable on real sizes) yields NULL — which percentile
+            # skips — in BOTH Spark and DuckDB, not a NaN that would
+            # sort above every value Spark-side only
+            F.try_divide(
+                F.sum(F.col("_w") * F.col("_x")), F.sum("_w")
+            ).alias("_m")
         )
     )
     point = rows.agg(
@@ -1117,7 +1127,11 @@ def poisson_bootstrap_diff(
         rows.select("_k", "_x", "_g", b)
         .withColumn("_w", w)
         .groupBy("_b", "_g")
-        .agg((F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m"))
+        .agg(
+            F.try_divide(
+                F.sum(F.col("_w") * F.col("_x")), F.sum("_w")
+            ).alias("_m")
+        )
     )
     reps = per_arm_rep.groupBy("_b").agg(
         (F.max_by("_m", "_g") - F.min_by("_m", "_g")).alias("_d")
@@ -1137,11 +1151,13 @@ def poisson_bootstrap_diff(
         F.percentile("_d", F.lit(alpha / 2)).alias("_lo"),
         F.percentile("_d", F.lit(1 - alpha / 2)).alias("_hi"),
     )
-    # assert_true returns NULL on success and aborts the job on a
-    # third arm; folding it into n0 keeps the output schema clean
+    # assert_true returns NULL on success and aborts the job when the
+    # arm count is not exactly two (a lone arm would otherwise return
+    # diff=0 with n0==n1 silently); folding it into n0 keeps the
+    # output schema clean
     two_arms = F.assert_true(
-        F.col("_n_arms") <= 2,
-        F.lit("poisson_bootstrap_diff: group_col has more than two arms"),
+        F.col("_n_arms") == 2,
+        F.lit("poisson_bootstrap_diff: group_col must have exactly two arms"),
     )
     return point.crossJoin(ci).select(
         F.when(two_arms.isNull(), F.col("n0")).alias("n0"),

@@ -1,8 +1,13 @@
 """Registry-wide output-schema audit (VERDICT r03, ask 4).
 
-Builds every ``queries()`` entry at sf0.001 (plan only — no execution)
-and flags any output column whose type the driver's pandas
-canonicalizer cannot sort/hash: ArrayType, MapType, StructType.
+Builds every ``queries()`` entry at sf0.001 and flags any output
+column whose type the driver's pandas canonicalizer cannot sort/hash:
+ArrayType, MapType, StructType.  Obtaining ``.schema`` only requires
+CONSTRUCTING each DataFrame, but a handful of side-effectful entries
+(stream_late_data, tbl_partition_overwrite, stream_cdc_apply,
+src_format_roundtrip, stream_index_dedup, ...) run streaming queries
+or write filesystem sinks inside the builder itself, so a full sweep
+does execute those — budget a few minutes, not seconds.
 The round-3 driver error on ``txt_hashed_features`` (ArrayType
 ``feature_vec`` -> ``TypeError: unhashable type: 'list'``) is the
 failure mode this sweep catches at staging time.

@@ -382,7 +382,19 @@ def test_poisson_bootstrap_diff_rejects_three_arms(spark):
 
     rows = [(i, 1.0, i % 3) for i in range(30)]
     df = spark.createDataFrame(rows, "event_id long, value double, arm int")
-    with _pytest.raises(Exception, match="more than two arms"):
+    with _pytest.raises(Exception, match="exactly two arms"):
+        poisson_bootstrap_diff(df, "value", "arm", "event_id").collect()
+
+
+def test_poisson_bootstrap_diff_rejects_one_arm(spark):
+    # a lone arm must error loudly, not return diff=0 with n0==n1
+    import pytest as _pytest
+
+    from eggv_spark.operators.aggregates import poisson_bootstrap_diff
+
+    rows = [(i, float(i), 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, value double, arm int")
+    with _pytest.raises(Exception, match="exactly two arms"):
         poisson_bootstrap_diff(df, "value", "arm", "event_id").collect()
 
 
