@@ -5775,11 +5775,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_corrupt_records": _src_corrupt_records,
         "ddp_soft_dedup": _ddp_soft_dedup,
         "agg_tost": _agg_tost,
+        # --- round-5 additions (complete the round-6 queue: 18 + 32
+        # = exactly one final 50-entry window) ---
+        "agg_spearman": _agg_spearman,
+        "agg_cramers_v": _agg_cramers_v,
+        "agg_cohens_d": _agg_cohens_d,
+        "agg_mutual_info": _agg_mutual_info,
+        "agg_trimmed_mean": _agg_trimmed_mean,
+        "agg_lorenz": _agg_lorenz,
+        "agg_ecdf": _agg_ecdf,
+        "agg_runs_test": _agg_runs_test,
+        "agg_permutation_fdr": _agg_permutation_fdr,
+        "agg_fisher_method": _agg_fisher_method,
+        "agg_ljung_box": _agg_ljung_box,
+        "agg_ratio_ci": _agg_ratio_ci,
+        "agg_digit_histogram": _agg_digit_histogram,
+        "win_ewma": _win_ewma,
+        "win_rolling_skew": _win_rolling_skew,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    base = _round5_oracles()
+    base.update({
         "flagship_token_pipeline": _FLAGSHIP_SQL,
         "composite_shipping_priority": (
             "SELECT l_orderkey,"
@@ -8916,4 +8934,497 @@ def oracle_sql() -> dict[str, str]:
                 ]
             )
         ),
-    }
+    })
+    return base
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: statistics family
+# ---------------------------------------------------------------------------
+
+def _agg_spearman(spark, sf_dir):
+    """Spearman rank correlation of quantity vs price per returnflag —
+    average-rank tie treatment, two analytic windows + one corr
+    aggregation (aggregates.spearman_corr)."""
+    return AG.spearman_corr(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"], "l_quantity", "l_extendedprice",
+    )
+
+
+def _agg_cramers_v(spark, sf_dir):
+    """Chi-square + Cramér's V association between order status and
+    priority — cell counts in one shuffle, marginals from windows
+    over the tiny contingency frame (aggregates.cramers_v)."""
+    return AG.cramers_v(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+def _agg_cohens_d(spark, sf_dir):
+    """Standardized effect size (pooled-SD Cohen's d) of event value
+    between hash-split arms per event type — the magnitude companion
+    to agg_welch (aggregates.cohens_d)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_arm", (F.col("user_id") % 2).cast("int")
+    )
+    return AG.cohens_d(ev, ["event_type"], "_arm", "value")
+
+
+def _agg_mutual_info(spark, sf_dir):
+    """Mutual information + marginal entropies + NMI between order
+    status and priority — same cells-frame plan as Cramér's V
+    (aggregates.mutual_information)."""
+    return AG.mutual_information(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+def _agg_trimmed_mean(spark, sf_dir):
+    """10% symmetric trimmed mean of extended price per returnflag —
+    rank-based trim with a unique integer tiebreak so the kept value
+    multiset is engine-identical (aggregates.trimmed_mean)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_tb", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return AG.trimmed_mean(li, ["l_returnflag"], "l_extendedprice", "_tb")
+
+
+def _agg_lorenz(spark, sf_dir):
+    """Lorenz curve at decile boundaries of order value per priority
+    class — the distributional readout behind agg_gini; integer-exact
+    decile assignment (aggregates.lorenz_deciles)."""
+    return AG.lorenz_deciles(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"], "o_totalprice", "o_orderkey",
+    )
+
+
+_ECDF_PROBES = [1000.0, 10000.0, 30000.0, 60000.0, 90000.0]
+
+
+def _agg_ecdf(spark, sf_dir):
+    """Empirical CDF of extended price at five fixed probes per
+    returnflag — sort-free conditional aggregates, one map-side pass
+    (aggregates.ecdf_at_points)."""
+    return AG.ecdf_at_points(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"], "l_extendedprice", _ECDF_PROBES,
+    )
+
+
+def _agg_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test (mean split) for serial randomness of
+    the daily mean event value per event type — one lag window over
+    the 30-point daily rollup (aggregates.runs_test)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("int").alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+    )
+    return AG.runs_test(daily, ["event_type"], "day", "y")
+
+
+_R5_STATS_ORACLES = {
+    "agg_spearman": (
+        "WITH r AS (SELECT l_returnflag,"
+        " rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)"
+        "  + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)"
+        "    / 2.0 AS rx,"
+        " rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)"
+        "  + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)"
+        "     - 1) / 2.0 AS ry"
+        " FROM lineitem WHERE l_quantity IS NOT NULL"
+        " AND l_extendedprice IS NOT NULL)"
+        " SELECT l_returnflag, count(*) AS n,"
+        " round(corr(rx, ry), 4) AS spearman FROM r GROUP BY l_returnflag"
+    ),
+    "agg_cramers_v": (
+        "WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,"
+        "  count(*) AS o FROM orders WHERE o_orderstatus IS NOT NULL"
+        "  AND o_orderpriority IS NOT NULL GROUP BY 1, 2),"
+        " m AS (SELECT o, CAST(sum(o) OVER (PARTITION BY a) AS DOUBLE)"
+        "  AS rt, CAST(sum(o) OVER (PARTITION BY b) AS DOUBLE) AS ct,"
+        "  CAST(sum(o) OVER () AS DOUBLE) AS n, a, b FROM cells)"
+        " SELECT CAST(max(n) AS BIGINT) AS n,"
+        " count(DISTINCT a) AS n_rows_cat, count(DISTINCT b) AS n_cols_cat,"
+        " round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 4) AS chi2,"
+        " round(sqrt(sum(pow(o - rt * ct / n, 2) / (rt * ct / n))"
+        "  / (max(n) * least(count(DISTINCT a) - 1,"
+        "     count(DISTINCT b) - 1))), 6) AS cramers_v"
+        " FROM m"
+    ),
+    "agg_cohens_d": (
+        "SELECT event_type,"
+        " count(CASE WHEN user_id % 2 = 0 THEN value END) AS n0,"
+        " count(CASE WHEN user_id % 2 <> 0 THEN value END) AS n1,"
+        " round(avg(CASE WHEN user_id % 2 <> 0 THEN value END)"
+        "  - avg(CASE WHEN user_id % 2 = 0 THEN value END), 4)"
+        "  AS mean_diff,"
+        " round(sqrt(((count(CASE WHEN user_id % 2 = 0 THEN value END) - 1)"
+        "   * var_samp(CASE WHEN user_id % 2 = 0 THEN value END)"
+        "  + (count(CASE WHEN user_id % 2 <> 0 THEN value END) - 1)"
+        "   * var_samp(CASE WHEN user_id % 2 <> 0 THEN value END))"
+        "  / (count(CASE WHEN user_id % 2 = 0 THEN value END)"
+        "     + count(CASE WHEN user_id % 2 <> 0 THEN value END) - 2)), 4)"
+        "  AS pooled_sd,"
+        " round((avg(CASE WHEN user_id % 2 <> 0 THEN value END)"
+        "  - avg(CASE WHEN user_id % 2 = 0 THEN value END))"
+        "  / sqrt(((count(CASE WHEN user_id % 2 = 0 THEN value END) - 1)"
+        "   * var_samp(CASE WHEN user_id % 2 = 0 THEN value END)"
+        "  + (count(CASE WHEN user_id % 2 <> 0 THEN value END) - 1)"
+        "   * var_samp(CASE WHEN user_id % 2 <> 0 THEN value END))"
+        "  / (count(CASE WHEN user_id % 2 = 0 THEN value END)"
+        "     + count(CASE WHEN user_id % 2 <> 0 THEN value END) - 2)), 4)"
+        "  AS cohens_d"
+        " FROM events GROUP BY event_type"
+    ),
+    "agg_mutual_info": (
+        "WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,"
+        "  count(*) AS o FROM orders WHERE o_orderstatus IS NOT NULL"
+        "  AND o_orderpriority IS NOT NULL GROUP BY 1, 2),"
+        " tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),"
+        " pa AS (SELECT a, CAST(sum(o) AS DOUBLE) AS na FROM cells"
+        "  GROUP BY a),"
+        " pb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS nb FROM cells"
+        "  GROUP BY b),"
+        " mi AS (SELECT sum((o / n) * ln((o / n) / ((na / n) * (nb / n))))"
+        "  AS v FROM cells JOIN pa USING (a) JOIN pb USING (b), tot),"
+        " ha AS (SELECT sum(-(na / n) * ln(na / n)) AS v FROM pa, tot),"
+        " hb AS (SELECT sum(-(nb / n) * ln(nb / n)) AS v FROM pb, tot)"
+        " SELECT CAST(n AS BIGINT) AS n, round(mi.v, 6) AS mi_nats,"
+        " round(ha.v, 6) AS h_a, round(hb.v, 6) AS h_b,"
+        " round(mi.v / sqrt(ha.v * hb.v), 6) AS nmi"
+        " FROM tot, mi, ha, hb"
+    ),
+    "agg_trimmed_mean": (
+        "WITH r AS (SELECT l_returnflag, l_extendedprice AS x,"
+        " row_number() OVER (PARTITION BY l_returnflag"
+        "  ORDER BY l_extendedprice, l_orderkey * 8 + l_linenumber) AS rn,"
+        " count(*) OVER (PARTITION BY l_returnflag) AS n"
+        " FROM lineitem WHERE l_extendedprice IS NOT NULL)"
+        " SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,"
+        " count(*) AS n_kept, round(avg(x), 4) AS trimmed_mean"
+        " FROM r WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)"
+        " GROUP BY l_returnflag"
+    ),
+    "agg_lorenz": (
+        "WITH r AS (SELECT o_orderpriority, o_totalprice AS x,"
+        " row_number() OVER (PARTITION BY o_orderpriority"
+        "  ORDER BY o_totalprice, o_orderkey) AS rn,"
+        " count(*) OVER (PARTITION BY o_orderpriority) AS n"
+        " FROM orders WHERE o_totalprice IS NOT NULL),"
+        " d AS (SELECT o_orderpriority,"
+        "  CAST(floor((rn * 10 - 1) / n) + 1 AS INT) AS decile,"
+        "  count(*) AS n_rows, sum(x) AS s"
+        "  FROM r GROUP BY 1, 2)"
+        " SELECT o_orderpriority, decile, n_rows,"
+        " round(sum(s) OVER (PARTITION BY o_orderpriority ORDER BY decile"
+        "  ROWS UNBOUNDED PRECEDING)"
+        "  / sum(s) OVER (PARTITION BY o_orderpriority), 6) AS cum_share"
+        " FROM d"
+    ),
+    "agg_ecdf": (
+        "WITH a AS (SELECT l_returnflag, count(*) AS n,"
+        + ", ".join(
+            f" avg(CASE WHEN l_extendedprice <= {p} THEN 1.0 ELSE 0.0 END)"
+            f" AS f{i}"
+            for i, p in enumerate(_ECDF_PROBES)
+        )
+        + " FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1)"
+        + " UNION ALL ".join(
+            f" SELECT l_returnflag, n, CAST({p} AS DOUBLE) AS probe,"
+            f" round(f{i}, 6) AS cdf FROM a"
+            for i, p in enumerate(_ECDF_PROBES)
+        )
+    ),
+    "agg_runs_test": (
+        "WITH daily AS (SELECT event_type,"
+        "  CAST(day(ts) AS INT) AS day, round(avg(value), 6) AS y"
+        "  FROM events GROUP BY 1, 2),"
+        " mu AS (SELECT event_type, avg(y) AS m FROM daily GROUP BY 1),"
+        " s AS (SELECT d.event_type, d.day,"
+        "  CASE WHEN d.y > mu.m THEN 1 ELSE 0 END AS sg"
+        "  FROM daily d JOIN mu USING (event_type) WHERE d.y <> mu.m),"
+        " runs AS (SELECT event_type, sg,"
+        "  CASE WHEN lag(sg) OVER (PARTITION BY event_type ORDER BY day)"
+        "   IS NULL OR sg <> lag(sg) OVER (PARTITION BY event_type"
+        "   ORDER BY day) THEN 1 ELSE 0 END AS chg FROM s)"
+        " SELECT event_type, CAST(sum(sg) AS BIGINT) AS n_above,"
+        " CAST(count(*) - sum(sg) AS BIGINT) AS n_below,"
+        " CAST(sum(chg) AS BIGINT) AS runs,"
+        " round((sum(chg) - (2.0 * sum(sg) * (count(*) - sum(sg))"
+        "   / count(*) + 1))"
+        "  / sqrt(2.0 * sum(sg) * (count(*) - sum(sg))"
+        "   * (2.0 * sum(sg) * (count(*) - sum(sg)) - sum(sg)"
+        "      - (count(*) - sum(sg)))"
+        "   / (count(*) * count(*) * (count(*) - 1.0))), 4) AS runs_z"
+        " FROM runs GROUP BY event_type"
+    ),
+}
+
+
+def _round5_oracles() -> dict[str, str]:
+    """Oracle SQL for the round-5 additions (kept out of the main
+    literal so each family stays reviewable next to its entries)."""
+    out = {}
+    out.update(_R5_STATS_ORACLES)
+    out.update(_R5_EXP_ORACLES)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: experimentation + window family
+# ---------------------------------------------------------------------------
+
+def _perm_pvalues(spark, sf_dir):
+    """Shared frame: per-event-type randomization-test p-value for
+    the hash-arm mean difference (B=64 md5 coin-flip permutations,
+    one exploded map-side pass — aggregates.permutation_test_diff)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_arm", (F.col("user_id") % 2).cast("int")
+    )
+    return AG.permutation_test_diff(
+        ev, ["event_type"], "_arm", "value", "event_id", n_permutations=64
+    )
+
+
+def _agg_permutation_fdr(spark, sf_dir):
+    """Randomization-test p-values per event type + Benjamini–
+    Hochberg step-up across the family — the multiple-testing-safe
+    experiment readout (aggregates.permutation_test_diff +
+    bh_adjust)."""
+    return AG.bh_adjust(
+        _perm_pvalues(spark, sf_dir), "p_value", "event_type", alpha=0.05
+    )
+
+
+def _agg_fisher_method(spark, sf_dir):
+    """Fisher's combined-probability test over the per-event-type
+    randomization p-values — closed-form even-dof chi-square tail,
+    evaluated as the same finite series in both engines
+    (aggregates.fisher_combine)."""
+    return AG.fisher_combine(_perm_pvalues(spark, sf_dir), "p_value")
+
+
+def _agg_ljung_box(spark, sf_dir):
+    """Ljung–Box serial-correlation test (4 lags) of the daily event
+    value-sum series per event type — lag-window autocorrelations +
+    the closed-form chi2(4) tail (aggregates.ljung_box)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("int").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+    )
+    return AG.ljung_box(daily, ["event_type"], "day", "y", n_lags=4)
+
+
+def _agg_ratio_ci(spark, sf_dir):
+    """Delta-method CI for value-per-event across users (ratio of
+    sums with a random denominator — the metric shape where the
+    naive SE is wrong); per-user rollup then one moments pass
+    (aggregates.ratio_delta_ci)."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("y"),
+            F.count("*").cast("double").alias("x"),
+        )
+    )
+    return AG.ratio_delta_ci(per_user, [], "y", "x")
+
+
+def _agg_digit_histogram(spark, sf_dir):
+    """Order-of-magnitude (digit-count-of-cents) histogram of order
+    value — integer/string bucket math that can never ulp-drift the
+    way floor(log10) can, HDR-histogram style
+    (aggregates.digit_histogram)."""
+    return AG.digit_histogram(_t(spark, sf_dir, "orders"), [], "o_totalprice")
+
+
+_EWMA_ALPHA, _EWMA_K = 0.3, 10
+
+
+def _win_ewma(spark, sf_dir):
+    """Finite-memory EWMA (alpha=0.3, 10 lags) of the daily event
+    value-sum per event type — the sequential recursion recast as a
+    bounded lag-window expression (aggregates.with_ewma)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("int").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+    )
+    return AG.with_ewma(
+        daily, ["event_type"], "day", "y", alpha=_EWMA_ALPHA, max_lags=_EWMA_K
+    )
+
+
+def _win_rolling_skew(spark, sf_dir):
+    """Rolling 7-day skewness of daily order revenue (in $M) per
+    priority class — third-moment shape drift from raw power sums in
+    one window pass (aggregates.with_rolling_skew).  Revenue is
+    scaled to millions BEFORE cubing so the power sums stay in a
+    cancellation-safe double range."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01")
+            ).alias("day_idx"),
+        )
+        # exact integer cents -> /1e8: no round-half boundary exists
+        # (Spark rounds half-up, DuckDB half-even — a 6dp round of the
+        # raw sum hit that tie on two of 8623 days)
+        .agg(
+            (F.round(F.sum("o_totalprice") * 100).cast("long") / 1e8)
+            .alias("y")
+        )
+    )
+    return AG.with_rolling_skew(
+        daily, ["o_orderpriority"], "day_idx", "y", window_rows=7
+    )
+
+
+_PERM_PV_SQL = (
+    "rows AS (SELECT event_type, CAST(event_id AS VARCHAR) AS k,"
+    "  CAST(value AS DOUBLE) AS x,"
+    "  CASE WHEN user_id %% 2 <> 0 THEN 1 ELSE 0 END AS g"
+    "  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),"
+    " obs AS (SELECT event_type, count(*) AS n,"
+    "  round(avg(CASE WHEN g = 1 THEN x END)"
+    "   - avg(CASE WHEN g = 0 THEN x END), 6) AS d_obs"
+    "  FROM rows GROUP BY 1),"
+    " perm AS (SELECT event_type, b,"
+    "  round(avg(CASE WHEN pg = 1 THEN x END)"
+    "   - avg(CASE WHEN pg = 0 THEN x END), 6) AS d_perm"
+    "  FROM (SELECT r.event_type, r.x, b.b,"
+    "   CAST(CAST(concat('0x', substr(md5(r.k || ':'"
+    "    || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) %% 2 AS INT) AS pg"
+    "   FROM rows r CROSS JOIN generate_series(0, 63) b(b))"
+    "  GROUP BY 1, 2),"
+    " pv AS (SELECT o.event_type, o.n, o.d_obs,"
+    "  round((1 + sum(CASE WHEN abs(p.d_perm) >= abs(o.d_obs)"
+    "   THEN 1 ELSE 0 END)) / 65.0, 6) AS p_value"
+    "  FROM obs o JOIN perm p USING (event_type) GROUP BY 1, 2, 3)"
+)
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    nums, dens = [], []
+    for j in range(_EWMA_K + 1):
+        w = _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j
+        expr = "y" if j == 0 else f"lag(y, {j}) OVER w"
+        nums.append(f"coalesce({expr} * {w!r}, 0.0)")
+        dens.append(f"CASE WHEN {expr} IS NOT NULL THEN {w!r} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_R5_EXP_ORACLES = {
+    "agg_permutation_fdr": (
+        "WITH " + _PERM_PV_SQL.replace("%%", "%") + ","
+        " r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,"
+        "  event_type) AS INT) AS p_rank,"
+        "  count(*) OVER () AS m FROM pv)"
+        " SELECT event_type, n, d_obs AS diff_obs, p_value, p_rank,"
+        " round(0.05 * p_rank / m, 6) AS bh_threshold,"
+        " coalesce(CASE WHEN p_rank <= (SELECT max(p_rank) FROM r"
+        "  WHERE p_value <= 0.05 * p_rank / m) THEN 1 ELSE 0 END, 0)"
+        "  AS significant"
+        " FROM r"
+    ),
+    "agg_fisher_method": (
+        "WITH " + _PERM_PV_SQL.replace("%%", "%") + ","
+        " a AS (SELECT count(*) AS m,"
+        "  round(-2.0 * sum(ln(p_value)), 6) AS fisher_x2 FROM pv)"
+        " SELECT m, fisher_x2,"
+        " round(least(exp(-fisher_x2 / 2.0) * list_sum(list_transform("
+        "  generate_series(0, CAST(m AS INT) - 1),"
+        "  i -> pow(fisher_x2 / 2.0, CAST(i AS DOUBLE))"
+        "   / CAST(factorial(CAST(i AS INTEGER)) AS DOUBLE))), 1.0), 6)"
+        "  AS p_combined"
+        " FROM a"
+    ),
+    "agg_ljung_box": (
+        "WITH daily AS (SELECT event_type, CAST(day(ts) AS INT) AS day,"
+        "  round(sum(value), 6) AS y FROM events GROUP BY 1, 2),"
+        " mu AS (SELECT event_type, avg(y) AS m, count(*) AS nn"
+        "  FROM daily GROUP BY 1),"
+        " e AS (SELECT d.event_type, mu.nn, d.y - mu.m AS e,"
+        "  lag(d.y, 1) OVER w - mu.m AS l1,"
+        "  lag(d.y, 2) OVER w - mu.m AS l2,"
+        "  lag(d.y, 3) OVER w - mu.m AS l3,"
+        "  lag(d.y, 4) OVER w - mu.m AS l4"
+        "  FROM daily d JOIN mu USING (event_type)"
+        "  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),"
+        " a AS (SELECT event_type, CAST(max(nn) AS BIGINT) AS n,"
+        "  sum(e * e) AS den, sum(e * l1) AS s1, sum(e * l2) AS s2,"
+        "  sum(e * l3) AS s3, sum(e * l4) AS s4 FROM e GROUP BY 1),"
+        " q AS (SELECT event_type, n, round(n * (n + 2.0)"
+        "  * (pow(s1 / den, 2) / (n - 1) + pow(s2 / den, 2) / (n - 2)"
+        "   + pow(s3 / den, 2) / (n - 3) + pow(s4 / den, 2) / (n - 4)),"
+        "  6) AS lb_q FROM a)"
+        " SELECT event_type, n, lb_q,"
+        " round(least(exp(-lb_q / 2.0) * (1.0 + lb_q / 2.0), 1.0), 6)"
+        "  AS p_value FROM q"
+    ),
+    "agg_ratio_ci": (
+        "WITH u AS (SELECT user_id, sum(value) AS y,"
+        "  CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1),"
+        " a AS (SELECT count(*) AS n, avg(y) AS yb, avg(x) AS xb,"
+        "  var_samp(y) AS vy, var_samp(x) AS vx,"
+        "  covar_samp(y, x) AS cxy FROM u"
+        "  WHERE y IS NOT NULL AND x IS NOT NULL)"
+        " SELECT n, round(yb / xb, 6) AS ratio,"
+        " round(sqrt((vy + (yb / xb) * (yb / xb) * vx"
+        "  - 2.0 * (yb / xb) * cxy) / (n * xb * xb)), 6) AS se,"
+        " round(yb / xb - 1.959964 * sqrt((vy + (yb / xb) * (yb / xb)"
+        "  * vx - 2.0 * (yb / xb) * cxy) / (n * xb * xb)), 6) AS ci_lo,"
+        " round(yb / xb + 1.959964 * sqrt((vy + (yb / xb) * (yb / xb)"
+        "  * vx - 2.0 * (yb / xb) * cxy) / (n * xb * xb)), 6) AS ci_hi"
+        " FROM a"
+    ),
+    "agg_digit_histogram": (
+        "WITH b AS (SELECT CAST(length(CAST(CAST(round(o_totalprice"
+        "  * 100) AS BIGINT) AS VARCHAR)) AS INT) AS bucket,"
+        "  count(*) AS n_rows FROM orders"
+        "  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0"
+        "  GROUP BY 1)"
+        " SELECT bucket, n_rows,"
+        " CAST(pow(10.0, bucket - 1) AS BIGINT) AS lo_cents,"
+        " CAST(pow(10.0, bucket) AS BIGINT) - 1 AS hi_cents,"
+        " round(CAST(sum(n_rows) OVER (ORDER BY bucket"
+        "  ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+        "  / CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS cum_frac"
+        " FROM b"
+    ),
+    "win_ewma": (
+        "WITH daily AS (SELECT event_type, CAST(day(ts) AS INT) AS day,"
+        "  round(sum(value), 6) AS y FROM events GROUP BY 1, 2)"
+        " SELECT event_type, day, y,"
+        f" round(({_ewma_terms_sql()[0]}) / ({_ewma_terms_sql()[1]}), 6)"
+        "  AS ewma"
+        " FROM daily"
+        " WINDOW w AS (PARTITION BY event_type ORDER BY day)"
+    ),
+    "win_rolling_skew": (
+        "WITH daily AS (SELECT o_orderpriority,"
+        "  datediff('day', TIMESTAMP '1992-01-01',"
+        "   date_trunc('day', o_orderdate)) AS day_idx,"
+        "  CAST(round(sum(o_totalprice) * 100) AS BIGINT) / 1e8 AS y"
+        "  FROM orders GROUP BY 1, 2),"
+        " s AS (SELECT o_orderpriority, day_idx, y,"
+        "  count(y) OVER w AS n, sum(y) OVER w AS s1,"
+        "  sum(y * y) OVER w AS s2, sum(y * y * y) OVER w AS s3"
+        "  FROM daily WINDOW w AS (PARTITION BY o_orderpriority"
+        "   ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"
+        " SELECT o_orderpriority, day_idx, y,"
+        " CASE WHEN n = 7 AND (s2 / n - (s1 / n) * (s1 / n)) > 0 THEN"
+        "  round((s3 / n - 3.0 * (s1 / n) * s2 / n"
+        "   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))"
+        "  / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) END"
+        "  AS rolling_skew"
+        " FROM s"
+    ),
+}

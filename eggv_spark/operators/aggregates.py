@@ -1363,3 +1363,630 @@ def mann_kendall_test(
         F.round(var_s, 4).alias("var_s"),
         F.round(z, 4).alias("mk_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 statistics family
+# ---------------------------------------------------------------------------
+
+def spearman_corr(
+    df: DataFrame, keys: Sequence[str], x: str, y: str
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson correlation of
+    AVERAGE ranks (the standard tie treatment): avg-rank = min-rank +
+    (tie_count - 1)/2, computed with two analytic windows (one sort
+    per variable, both shuffling on the same group key so AQE reuses
+    the exchange) and one map-side-combined ``corr`` aggregation.
+    NULL in either variable drops the row (pairwise-complete)."""
+    keys = list(keys)
+    rows = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+    rx = F.rank().over(Window.partitionBy(*keys).orderBy(x)) + (
+        F.count("*").over(Window.partitionBy(*keys, x)) - 1
+    ) / 2.0
+    ry = F.rank().over(Window.partitionBy(*keys).orderBy(y)) + (
+        F.count("*").over(Window.partitionBy(*keys, y)) - 1
+    ) / 2.0
+    ranked = rows.withColumn("_rx", rx).withColumn("_ry", ry)
+    return ranked.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("_rx", "_ry"), 4).alias("spearman"),
+    )
+
+
+def cramers_v(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Association between two categoricals: chi-square over the
+    contingency table plus Cramér's V = sqrt(chi2 / (n * min(r-1,
+    c-1))).  One shuffle builds the (a, b) cell counts; marginals and
+    the total come from analytic windows over the TINY cells frame
+    (r*c rows), so no second scan of the input.  NULL categories are
+    excluded."""
+    cells = (
+        df.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .groupBy(a, b)
+        .agg(F.count("*").alias("_o"))
+    )
+    row_t = F.sum("_o").over(Window.partitionBy(a))
+    col_t = F.sum("_o").over(Window.partitionBy(b))
+    tot = F.sum("_o").over(Window.partitionBy())
+    with_e = cells.select(
+        "_o",
+        (row_t * col_t / tot).alias("_e"),
+        tot.alias("_n"),
+        F.col(a).alias("_a"),
+        F.col(b).alias("_b"),
+    )
+    agg = with_e.agg(
+        F.any_value("_n").alias("n"),
+        F.count_distinct("_a").alias("n_rows_cat"),
+        F.count_distinct("_b").alias("n_cols_cat"),
+        F.sum((F.col("_o") - F.col("_e")) ** 2 / F.col("_e")).alias("_chi2"),
+    )
+    v = F.sqrt(
+        F.col("_chi2")
+        / (
+            F.col("n")
+            * F.least(F.col("n_rows_cat") - 1, F.col("n_cols_cat") - 1)
+        )
+    )
+    return agg.select(
+        "n", "n_rows_cat", "n_cols_cat",
+        F.round("_chi2", 4).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def cohens_d(
+    df: DataFrame, keys: Sequence[str], group_col: str, value_col: str
+) -> DataFrame:
+    """Standardized effect size between two arms — the magnitude
+    companion to :func:`welch_ttest` (which answers "significant?",
+    not "how big?"): d = (m1 - m0) / s_pooled with the pooled sample
+    SD.  Arm coding and null handling follow welch_ttest (arm 0 is
+    ``group_col == 0``); one map-side-combined aggregation pass."""
+    keys = list(keys)
+    in0 = F.when(F.col(group_col) == 0, F.col(value_col))
+    in1 = F.when(F.col(group_col) != 0, F.col(value_col))
+    arms = df.groupBy(*keys).agg(
+        F.count(in0).alias("n0"),
+        F.avg(in0).alias("_m0"),
+        F.var_samp(in0).alias("_v0"),
+        F.count(in1).alias("n1"),
+        F.avg(in1).alias("_m1"),
+        F.var_samp(in1).alias("_v1"),
+    )
+    pooled = F.sqrt(
+        F.try_divide(
+            (F.col("n0") - 1) * F.col("_v0")
+            + (F.col("n1") - 1) * F.col("_v1"),
+            F.col("n0") + F.col("n1") - 2,
+        )
+    )
+    d = F.try_divide(F.col("_m1") - F.col("_m0"), pooled)
+    return arms.select(
+        *keys, "n0", "n1",
+        F.round(F.col("_m1") - F.col("_m0"), 4).alias("mean_diff"),
+        F.round(pooled, 4).alias("pooled_sd"),
+        F.round(d, 4).alias("cohens_d"),
+    )
+
+
+def mutual_information(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Mutual information (nats) between two categoricals plus the
+    marginal entropies and NMI = MI / sqrt(H_a * H_b).  Same cells-
+    frame shape as :func:`cramers_v`: one shuffle for cell counts,
+    windows over the r*c cells for marginals, one scalar reduce."""
+    cells = (
+        df.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .groupBy(a, b)
+        .agg(F.count("*").alias("_o"))
+    )
+    tot = F.sum("_o").over(Window.partitionBy())
+    pa = F.sum("_o").over(Window.partitionBy(a)) / tot
+    pb = F.sum("_o").over(Window.partitionBy(b)) / tot
+    pj = F.col("_o") / tot
+    terms = cells.select(
+        tot.alias("_n"),
+        (pj * F.log(pj / (pa * pb))).alias("_mi_term"),
+        pa.alias("_pa"),
+        pb.alias("_pb"),
+        F.col(a).alias("_a"),
+        F.col(b).alias("_b"),
+        pj.alias("_pj"),
+    )
+    # marginal entropies need one term per DISTINCT category, not per
+    # cell: divide each cell's contribution by the category's cell
+    # count so the sum telescopes to sum(-p ln p) exactly
+    ca = F.count("*").over(Window.partitionBy("_a"))
+    cb = F.count("*").over(Window.partitionBy("_b"))
+    terms = terms.select(
+        "_n", "_mi_term",
+        (-F.col("_pa") * F.log("_pa") / ca).alias("_ha_term"),
+        (-F.col("_pb") * F.log("_pb") / cb).alias("_hb_term"),
+    )
+    agg = terms.agg(
+        F.any_value("_n").alias("n"),
+        F.sum("_mi_term").alias("_mi"),
+        F.sum("_ha_term").alias("_ha"),
+        F.sum("_hb_term").alias("_hb"),
+    )
+    nmi = F.try_divide(
+        F.col("_mi"), F.sqrt(F.col("_ha") * F.col("_hb"))
+    )
+    return agg.select(
+        "n",
+        F.round("_mi", 6).alias("mi_nats"),
+        F.round("_ha", 6).alias("h_a"),
+        F.round("_hb", 6).alias("h_b"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Symmetric trimmed mean per group: drop the k = floor(n*trim)
+    smallest and largest rows (by row_number over (value, tiebreak) —
+    rank-based, so ties at the cut cost nothing: every trimmed-away
+    VALUE multiset is identical under any tie order), average the
+    rest.  One sort shuffle on the group key; at 100 TB the window
+    is per-group, so group cardinality bounds task memory — for a
+    global trimmed mean pre-aggregate with approx quantile cuts
+    instead."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(value_col, tiebreak_col)
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    k = F.floor(F.col("_n") * F.lit(trim))
+    kept = ranked.filter(
+        (F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k)
+    )
+    return kept.groupBy(*keys).agg(
+        F.any_value("_n").alias("n"),
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("_x"), 4).alias("trimmed_mean"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Lorenz curve at decile boundaries per group — the
+    distributional readout behind the Gini scalar: rank rows
+    ascending by (value, tiebreak), assign decile d = floor((rn*10 -
+    1)/n) + 1 (integer-exact in IEEE: the quotient is correctly
+    rounded, so the floor can never straddle a representable
+    integer), and report each decile's CUMULATIVE share of the
+    total.  One sort shuffle on the group key, then windows over the
+    10-row-per-group rollup."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(value_col, tiebreak_col)
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    decile = (
+        F.floor((F.col("_rn") * 10 - 1) / F.col("_n")) + 1
+    ).cast("int")
+    per_dec = ranked.groupBy(*keys, decile.alias("decile")).agg(
+        F.count("*").alias("n_rows"), F.sum("_x").alias("_s")
+    )
+    cum = F.sum("_s").over(
+        Window.partitionBy(*keys)
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("_s").over(Window.partitionBy(*keys))
+    return per_dec.select(
+        *keys, "decile", "n_rows",
+        F.round(cum / tot, 6).alias("cum_share"),
+    )
+
+
+def ecdf_at_points(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    probes: Sequence[float],
+) -> DataFrame:
+    """Empirical CDF evaluated at FIXED probe points — the sort-free
+    distribution fingerprint (drift monitoring, SLA attainment):
+    F(p) = mean(x <= p), one conditional aggregate per probe, all in
+    a single map-side-combined pass (contrast equi_depth_histogram,
+    which must sort).  Output: one row per (group, probe)."""
+    keys = list(keys)
+    aggs = [F.count("*").alias("n")] + [
+        F.avg((F.col(value_col) <= F.lit(p)).cast("double")).alias(f"_f{i}")
+        for i, p in enumerate(probes)
+    ]
+    wide = df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(p)).alias("probe"),
+            F.round(F.col(f"_f{i}"), 6).alias("cdf"),
+        )
+        for i, p in enumerate(probes)
+    ])
+    return wide.select(*keys, "n", F.explode(pairs).alias("_pc")).select(
+        *keys, "n", F.col("_pc.probe").alias("probe"),
+        F.col("_pc.cdf").alias("cdf"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for serial randomness of a series,
+    split at the group MEAN (the median needs a sort; the mean keeps
+    both passes map-side combined — documented deviation, same large-
+    sample z): drop values equal to the mean, count sign runs with
+    one lag window, z = (R - mu_R)/sigma_R.  ``order_col`` must be
+    unique per group."""
+    keys = list(keys)
+    m = df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.avg(value_col).alias("_mu")
+    )
+    rows = (
+        df.join(F.broadcast(m), keys)
+        .filter(F.col(value_col) != F.col("_mu"))
+        .withColumn("_s", (F.col(value_col) > F.col("_mu")).cast("int"))
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    chg = F.when(
+        F.lag("_s").over(w).isNull() | (F.col("_s") != F.lag("_s").over(w)),
+        1,
+    ).otherwise(0)
+    agg = rows.withColumn("_chg", chg).groupBy(*keys).agg(
+        F.sum("_s").alias("n_above"),
+        (F.count("*") - F.sum("_s")).alias("n_below"),
+        F.sum("_chg").alias("runs"),
+    )
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    mu_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = F.try_divide(F.col("runs") - mu_r, F.sqrt(var_r))
+    return agg.select(
+        *keys, "n_above", "n_below", "runs",
+        F.round(z, 4).alias("runs_z"),
+    )
+
+
+def permutation_test_diff(
+    df: DataFrame,
+    keys: Sequence[str],
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_permutations: int = 64,
+) -> DataFrame:
+    """Randomization test for the difference in means between two
+    arms: re-assign every unit to a pseudo-arm by portable-md5 coin
+    flip per (unit, permutation) and count how often |diff_perm| >=
+    |diff_obs|; p = (1 + #exceed)/(B + 1) (the add-one rule keeps p
+    > 0, the standard Monte-Carlo estimator).  Coin-flip
+    re-assignment (a randomization test) rather than an exact
+    permutation of labels — exchangeable under H0, and it keeps the
+    whole thing ONE map-side-combined pass: each row explodes to B
+    lightweight (b, pseudo-arm) pairs, the replicate aggregation
+    reduces to B rows per group before the shuffle.  Arm coding
+    follows welch_ttest (arm 0 is ``group_col == 0``).  Both diffs
+    are 6dp-rounded BEFORE the exceedance comparison so an
+    engine-epsilon difference can never flip a count."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    keys = list(keys)
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(value_col).cast("double").alias("_x"),
+        (F.col(group_col) != 0).cast("int").alias("_g"),
+    )
+    obs = rows.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.avg(F.when(F.col("_g") == 1, F.col("_x")))
+            - F.avg(F.when(F.col("_g") == 0, F.col("_x"))),
+            6,
+        ).alias("_d_obs"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_permutations - 1))).alias("_b")
+    perm_arm = (base_hash(F.concat_ws(":", "_k", "_b")) % 2).cast("int")
+    per_b = (
+        rows.select(*keys, "_k", "_x", b)
+        .withColumn("_pg", perm_arm)
+        .groupBy(*keys, "_b")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("_pg") == 1, F.col("_x")))
+                - F.avg(F.when(F.col("_pg") == 0, F.col("_x"))),
+                6,
+            ).alias("_d_perm")
+        )
+    )
+    exceed = (
+        per_b.join(F.broadcast(obs), keys)
+        .groupBy(*keys)
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("_d_obs").alias("_d_obs"),
+            F.sum(
+                (F.abs("_d_perm") >= F.abs("_d_obs")).cast("int")
+            ).alias("_n_exceed"),
+        )
+    )
+    p = (1 + F.col("_n_exceed")) / F.lit(float(n_permutations + 1))
+    return exceed.select(
+        *keys, "n",
+        F.col("_d_obs").alias("diff_obs"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def bh_adjust(
+    df: DataFrame, p_col: str, tiebreak: str, alpha: float = 0.05
+) -> DataFrame:
+    """Benjamini–Hochberg FDR step-up over a frame of per-hypothesis
+    p-values: rank p ascending (tiebroken for determinism), find the
+    largest i with p_(i) <= alpha*i/m, flag everything at or below
+    it.  The hypothesis frame is small by construction (one row per
+    tested group), so the global window is one tiny task."""
+    w = Window.orderBy(p_col, tiebreak)
+    m = F.count("*").over(Window.partitionBy())
+    ranked = df.select(
+        "*",
+        F.row_number().over(w).alias("p_rank"),
+        m.alias("_m"),
+    ).withColumn(
+        "_pass",
+        (F.col(p_col) <= F.lit(alpha) * F.col("p_rank") / F.col("_m"))
+        .cast("int"),
+    )
+    kstar = F.max(F.when(F.col("_pass") == 1, F.col("p_rank"))).over(
+        Window.partitionBy()
+    )
+    return ranked.select(
+        *[c for c in df.columns],
+        "p_rank",
+        F.round(
+            F.lit(alpha) * F.col("p_rank") / F.col("_m"), 6
+        ).alias("bh_threshold"),
+        F.coalesce(
+            (F.col("p_rank") <= kstar).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )
+
+
+def fisher_combine(df: DataFrame, p_col: str) -> DataFrame:
+    """Fisher's method for combining m independent p-values: X = -2
+    sum(ln p) ~ chi2 with 2m dof under the global null.  2m is always
+    EVEN, so the chi-square survival function has the exact closed
+    form P(X > x) = exp(-x/2) * sum_{i=0}^{m-1} (x/2)^i / i! — both
+    engines evaluate the same finite series (m is data-dependent:
+    built with a runtime ``aggregate`` over sequence(0, m-1)), no
+    incomplete-gamma needed.  One scalar reduce over the (tiny)
+    hypothesis frame."""
+    agg = df.agg(
+        F.count("*").alias("m"),
+        F.round(-2.0 * F.sum(F.log(p_col)), 6).alias("fisher_x2"),
+    )
+    half = F.col("fisher_x2") / 2.0
+    series = F.aggregate(
+        F.sequence(F.lit(0), F.col("m").cast("int") - 1),
+        F.lit(0.0),
+        lambda acc, i: acc + F.pow(half, i.cast("double"))
+        / F.factorial(i).cast("double"),
+    )
+    p = F.exp(-half) * series
+    return agg.select(
+        "m", "fisher_x2",
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_combined"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n_lags: int = 4,
+) -> DataFrame:
+    """Ljung–Box autocorrelation test per group over an ordered
+    series: Q = n(n+2) * sum_{k=1..h} r_k^2/(n-k) with r_k the lag-k
+    sample autocorrelation around the group mean; p-value from the
+    chi2(h) survival function, closed-form for even h (same series
+    identity as :func:`fisher_combine` — h must be even here).  One
+    broadcast of the group means, one lag window pass, one reduce.
+    ``order_col`` must be unique per group; series are expected to
+    be PRE-ROLLED (daily aggregates), never raw events."""
+    assert n_lags % 2 == 0, "ljung_box: n_lags must be even (closed-form p)"
+    keys = list(keys)
+    mu = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("_mu"), F.count("*").alias("_n")
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    rows = df.join(F.broadcast(mu), keys).select(
+        *keys, "_n",
+        (F.col(value_col) - F.col("_mu")).alias("_e"),
+        *[
+            (
+                (F.col(value_col) - F.col("_mu"))
+                * (F.lag(value_col, k).over(w) - F.col("_mu"))
+            ).alias(f"_c{k}")
+            for k in range(1, n_lags + 1)
+        ],
+    )
+    agg = rows.groupBy(*keys).agg(
+        F.any_value("_n").alias("n"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+        *[F.sum(f"_c{k}").alias(f"_s{k}") for k in range(1, n_lags + 1)],
+    )
+    n = F.col("n")
+    q = n * (n + 2.0) * sum(
+        (F.col(f"_s{k}") / F.col("_den")) ** 2 / (n - k)
+        for k in range(1, n_lags + 1)
+    )
+    agg = agg.withColumn("_q", F.round(q, 6))
+    half = F.col("_q") / 2.0
+    m_terms = n_lags // 2
+    series = sum(
+        F.pow(half, float(i)) / F.lit(float(__import__("math").factorial(i)))
+        for i in range(m_terms)
+    )
+    p = F.exp(-half) * series
+    return agg.select(
+        *keys, "n",
+        F.col("_q").alias("lb_q"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"),
+    )
+
+
+def ratio_delta_ci(
+    df: DataFrame,
+    keys: Sequence[str],
+    num_col: str,
+    den_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Delta-method CI for a ratio-of-sums metric R = sum(y)/sum(x)
+    over per-unit rollups (revenue per session, tokens per document
+    — the denominator is random too, so the naive mean-of-ratios SE
+    is wrong): Var(R) ~ (s_y^2 + R^2 s_x^2 - 2 R s_xy) / (n xbar^2).
+    One map-side-combined pass collects all five moments.  Input
+    must already be one row per unit."""
+    keys = list(keys)
+    agg = df.filter(
+        F.col(num_col).isNotNull() & F.col(den_col).isNotNull()
+    ).groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.avg(num_col).alias("_ybar"),
+        F.avg(den_col).alias("_xbar"),
+        F.var_samp(num_col).alias("_vy"),
+        F.var_samp(den_col).alias("_vx"),
+        F.covar_samp(num_col, den_col).alias("_cxy"),
+    )
+    r = F.col("_ybar") / F.col("_xbar")
+    se = F.sqrt(
+        (F.col("_vy") + r * r * F.col("_vx") - 2.0 * r * F.col("_cxy"))
+        / (F.col("n") * F.col("_xbar") * F.col("_xbar"))
+    )
+    return agg.select(
+        *keys, "n",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(z_crit) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(z_crit) * se, 6).alias("ci_hi"),
+    )
+
+
+def digit_histogram(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Order-of-magnitude histogram (the HDR-histogram idea with
+    decimal buckets): bucket a positive metric by the DIGIT COUNT of
+    its integer cents — pure integer/string math, so bucket edges
+    can never drift by a ulp between engines the way floor(log10(x))
+    can.  Emits per-bucket count, bucket bounds in cents, and the
+    cumulative fraction; one map-side-combined aggregation plus a
+    window over the ~10-row rollup."""
+    keys = list(keys)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    bucket = F.length(cents.cast("string")).alias("bucket")
+    per_b = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .groupBy(*keys, bucket)
+        .agg(F.count("*").alias("n_rows"))
+    )
+    cum = F.sum("n_rows").over(
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("n_rows").over(Window.partitionBy(*keys))
+    return per_b.select(
+        *keys, "bucket", "n_rows",
+        F.pow(F.lit(10.0), F.col("bucket") - 1).cast("long").alias("lo_cents"),
+        (F.pow(F.lit(10.0), F.col("bucket")).cast("long") - 1).alias("hi_cents"),
+        F.round(cum / tot, 6).alias("cum_frac"),
+    )
+
+
+def with_ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    max_lags: int = 10,
+    out: str = "ewma",
+) -> DataFrame:
+    """Finite-memory exponentially weighted moving average: ewma_t =
+    sum_{j=0..K} a(1-a)^j x_{t-j} / sum_{j} a(1-a)^j over the lags
+    actually PRESENT (so the series head is an average of what
+    exists, not biased toward zero).  The textbook recursive EWMA is
+    inherently sequential; truncating at K lags (weight beyond K <
+    (1-a)^K ~ 3% here) turns it into a bounded window expression —
+    one sort shuffle on the group key, whole-stage codegen, no UDF.
+    ``order_col`` must be unique per group."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(max_lags + 1):
+        lagged = F.lag(value_col, j).over(w) if j else F.col(value_col)
+        wt = F.lit(alpha * (1.0 - alpha) ** j)
+        num = num + F.coalesce(lagged * wt, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.withColumn(out, F.round(num / den, 6))
+
+
+def with_rolling_skew(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    out: str = "rolling_skew",
+) -> DataFrame:
+    """Rolling sample skewness g1 over a trailing row frame, from raw
+    power sums (s1, s2, s3) so one window pass computes everything:
+    g1 = (m3)/(m2)^1.5 with central moments recovered from the
+    sums.  NULL until the frame is full (a partial frame's skew is
+    noise).  One sort shuffle on the group key."""
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col(value_col)
+    n = F.count(value_col).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    s3 = F.sum(x * x * x).over(w)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3.0 * m * s2 / n + 2.0 * m * m * m
+    g1 = F.when(
+        (n == window_rows) & (m2 > 0), m3 / F.pow(m2, F.lit(1.5))
+    )
+    return df.withColumn(out, F.round(g1, 4))

@@ -1132,3 +1132,69 @@ def bloom_prefilter(
         ))
     )
     return probed
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    block_k: int = 8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment |S_A ∩ S_B| /
+    min(|S_A|, |S_B|) over word-shingle sets — the measure that
+    catches a short document embedded in a long one, which Jaccard
+    (÷ union) structurally under-scores.  Candidate generation
+    blocks on each document's ``block_k`` SMALLEST shingle hashes
+    (exploded — a bottom-k sketch; two near-dup docs collide on at
+    least one bottom-k hash with probability far above raw MinHash's
+    single-min Jaccard bound, which matters precisely in the
+    small-in-big case).  Exact verification joins the candidates
+    back to the exploded shingle sets: one aggregation per pair, no
+    all-pairs product anywhere.  Deterministic: same md5 shingle
+    hashes as the MinHash family."""
+    hs = with_shingle_hashes(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        "shingle_hashes",
+        F.size("shingle_hashes").alias("_n_sh"),
+    )
+    blocks = hs.select(
+        "_id",
+        F.explode(
+            F.slice(F.array_sort("shingle_hashes"), 1, block_k)
+        ).alias("_blk"),
+    ).distinct()
+    cand = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), "_blk")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+        )
+        .distinct()
+    )
+    ex = hs.select("_id", F.explode("shingle_hashes").alias("_h"))
+    inter = (
+        cand.join(ex.alias("ea"), F.col("ea._id") == F.col("id_a"))
+        .join(
+            ex.alias("eb"),
+            (F.col("eb._id") == F.col("id_b"))
+            & (F.col("eb._h") == F.col("ea._h")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = hs.select("_id", "_n_sh")
+    scored = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_n_sh", "_na")
+        .join(sizes.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumnRenamed("_n_sh", "_nb")
+        .select(
+            "id_a", "id_b", "n_common",
+            F.round(
+                F.col("n_common") / F.least("_na", "_nb"), 4
+            ).alias("containment"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)

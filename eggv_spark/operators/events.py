@@ -575,3 +575,121 @@ def changepoint_detect(
         *keys, "n_points", "split_at", "mean_left", "mean_right",
         "shift_stat",
     )
+
+
+def km_survival(
+    df: DataFrame,
+    start_event: str = "signup",
+    terminal_event: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-conversion: per user,
+    duration runs from the first ``start_event`` to the first
+    ``terminal_event`` at-or-after it (event) or to the corpus max
+    timestamp (right-censored).  Durations roll up to whole days,
+    then the product-limit estimator S(t) = prod_{t_i<=t} (1 -
+    d_i/n_i) is computed as exp of a cumulative log window — sort-
+    free until the final tiny per-day frame.  Two keyed aggregations
+    (per-user, per-day) + one window over <=31 rows; the max-ts
+    scalar broadcasts.  A day where everyone at risk converts drives
+    ln(0) -> -inf -> S = 0 identically in both engines."""
+    first_start = F.min(
+        F.when(F.col(type_col) == start_event, F.col(ts_col))
+    ).alias("_t0")
+    per_user = df.groupBy(user_col).agg(
+        first_start,
+        F.collect_list(
+            F.when(F.col(type_col) == terminal_event, F.col(ts_col))
+        ).alias("_terms"),
+    )
+    tmax = df.agg(F.max(ts_col).alias("_tmax"))
+    # first terminal at-or-after the start; array_min over the
+    # filtered list (terminal events before signup don't convert)
+    first_term = F.array_min(
+        F.filter("_terms", lambda t: t >= F.col("_t0"))
+    )
+    durations = (
+        per_user.filter(F.col("_t0").isNotNull())
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.when(
+                first_term.isNotNull(),
+                F.datediff(first_term.cast("date"), F.col("_t0").cast("date")),
+            ).otherwise(
+                F.datediff(F.col("_tmax").cast("date"), F.col("_t0").cast("date"))
+            ).alias("day"),
+            first_term.isNotNull().cast("int").alias("_event"),
+        )
+    )
+    per_day = durations.groupBy("day").agg(
+        F.sum("_event").alias("d_events"),
+        F.count("*").alias("_total"),
+    )
+    # at-risk n_i = everyone whose duration >= t_i: reverse cumsum
+    w_rev = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = F.sum("_total").over(w_rev)
+    staged = per_day.select(
+        "day", "d_events", at_risk.alias("n_at_risk")
+    )
+    w_fwd = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    log_s = F.sum(
+        F.log(1.0 - F.col("d_events") / F.col("n_at_risk"))
+    ).over(w_fwd)
+    return staged.select(
+        "day", "d_events", "n_at_risk",
+        F.round(F.exp(log_s), 6).alias("survival"),
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohort by their FIRST
+    order month; each later month contributes at age = months since
+    cohort; cells report cumulative revenue per cohort member (the
+    classic LTV triangle).  Plan: per-customer first-month aggregate
+    (broadcast if the customer dim fits, else shuffle join on the
+    customer key), per-(cohort, age) rollup, cumulative window over
+    the tiny matrix.  months_between on month-truncated dates is
+    integer-exact in both engines."""
+    first = orders.groupBy(cust_col).agg(
+        F.date_trunc("month", F.min(ts_col)).alias("_cohort")
+    )
+    cohort_sizes = first.groupBy("_cohort").agg(
+        F.count("*").alias("n_customers")
+    )
+    aged = orders.join(first, cust_col).select(
+        F.col("_cohort"),
+        F.months_between(
+            F.date_trunc("month", F.col(ts_col)), F.col("_cohort")
+        ).cast("int").alias("age_months"),
+        F.col(value_col).alias("_v"),
+    )
+    cells = aged.groupBy("_cohort", "age_months").agg(
+        F.sum("_v").alias("_rev")
+    )
+    cum = F.sum("_rev").over(
+        Window.partitionBy("_cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "_cohort")
+        .select(
+            F.col("_cohort").cast("date").cast("string").alias("cohort_month"),
+            "age_months",
+            "n_customers",
+            F.round(cum, 2).alias("cum_revenue"),
+            F.round(cum / F.col("n_customers"), 4).alias("ltv_per_customer"),
+        )
+    )

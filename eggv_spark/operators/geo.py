@@ -11,7 +11,7 @@ bounded — never |A|·|B|.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0
@@ -95,4 +95,34 @@ def proximity_join(
         .withColumn("distance_km", F.round(dist, 2))
         .filter(F.col("distance_km") <= radius_km)
         .select("left_id", "right_id", "distance_km")
+    )
+
+
+def grid_density(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float = 1.0,
+    top_n: int = 20,
+) -> DataFrame:
+    """Spatial density hotspots: bin points to the integer grid
+    (``grid_cell``), count per cell, rank by (count desc, cell id)
+    — a rank-based cutoff, never a percentile, so the selected set
+    is identical across engines.  One map-side-combined aggregation
+    + one tiny top-N window; the cell id decodes back to lat/lon
+    bounds in the output so the hotspot is human-readable."""
+    cell = grid_cell(F.col(lat_col), F.col(lon_col), cell_deg)
+    per_cell = df.groupBy(cell.alias("cell_id")).agg(
+        F.count("*").alias("n_points")
+    )
+    w = Window.orderBy(F.col("n_points").desc(), "cell_id")
+    ranked = per_cell.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    lat_c = F.floor(F.col("cell_id") / 4096)
+    lon_c = F.pmod(F.col("cell_id"), F.lit(4096))
+    return ranked.select(
+        "rank", "cell_id", "n_points",
+        F.round(lat_c * cell_deg - 90.0, 4).alias("lat_lo"),
+        F.round(lon_c * cell_deg - 180.0, 4).alias("lon_lo"),
     )

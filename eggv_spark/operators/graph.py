@@ -311,3 +311,129 @@ def neighbor_jaccard(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("na").asc(), F.col("nb").asc()
     ).limit(k)
+
+
+def kcore_prune(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    iterations: int = 3,
+) -> DataFrame:
+    """k-core decomposition by iterated degree pruning: drop every
+    node of degree < k, recompute degrees on the induced subgraph,
+    repeat a FIXED number of rounds (a bounded prefix of the exact
+    fixpoint — deterministic and oracle-checkable; the exact core
+    needs data-dependent rounds).  Each round is one semi-join of the
+    undirected edge list against the surviving-degree frame plus one
+    map-side-combined degree count — no collect, no driver loop over
+    nodes.  Output: surviving nodes with their final-round degree.
+
+    At 100 TB the edge list dominates: the per-round semi-join keys
+    on the node id both ways, so AQE handles skewed hubs; survivors
+    shrink monotonically, and caching the current edge frame bounds
+    lineage."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = und
+    deg = None
+    for _ in range(iterations):
+        deg = cur.groupBy("a").agg(F.count("*").alias("degree"))
+        alive = deg.filter(F.col("degree") >= k).select("a")
+        cur = (
+            cur.join(alive, "a", "left_semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+        )
+    final = cur.groupBy("a").agg(F.count("*").alias("degree"))
+    return final.filter(F.col("degree") >= k).select(
+        F.col("a").alias("node"), "degree"
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_degree: int = 2,
+) -> DataFrame:
+    """Adamic–Adar link-prediction score for non-adjacent node pairs:
+    AA(a, b) = sum over common neighbors z of 1/ln(deg(z)).  The
+    classic wedge formulation: join the undirected adjacency with
+    itself on the middle node (each wedge a–z–b with a < b scores
+    once), weight by the PRE-COMPUTED middle-node degree broadcast,
+    aggregate per pair, then anti-join the existing edge set so only
+    candidate (absent) links remain.  Middles of degree < 2 are
+    excluded (ln(1) = 0 would divide by zero — standard).
+
+    The wedge join is the scale hazard: its output is sum_z deg(z)^2.
+    Capping hub degree (or sampling hub neighborhoods) is the
+    documented 100 TB mitigation; on the co-purchase graphs here the
+    degree cap is unnecessary."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("z")).agg(
+        F.count("*").alias("_deg")
+    ).filter(F.col("_deg") >= min_degree)
+    left = und.select(F.col("b").alias("z"), F.col("a").alias("u"))
+    right = und.select(F.col("a").alias("z"), F.col("b").alias("v"))
+    wedges = (
+        left.join(right, "z")
+        .filter(F.col("u") < F.col("v"))
+        .join(F.broadcast(deg), "z")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("common_neighbors"),
+        F.round(F.sum(1.0 / F.log("_deg")), 6).alias("aa_score"),
+    )
+    existing = und.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    return scored.join(existing, ["u", "v"], "left_anti")
+
+
+def bfs_reach(
+    edges: DataFrame,
+    seed: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Breadth-first reachability from one seed: depth-d frontier
+    expansion over the undirected edge list for a FIXED number of
+    hops, keeping the MINIMUM depth per node.  Each round is one
+    join (frontier ⋈ edges) + one distinct; visited-set dedup keeps
+    frontiers from re-expanding, which is what makes d rounds cost
+    O(edges-within-d-hops), not O(paths).  The fixed bound keeps
+    lineage finite — an unbounded BFS on a relational engine needs
+    iterate-until-empty driver control with checkpointing every few
+    rounds (documented scale path)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    spark_lit = F.lit(seed)
+    visited = und.sparkSession.range(1).select(
+        spark_lit.cast("int").alias("node"), F.lit(0).alias("depth")
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited.select(F.col("node").cast("int").alias("node"), "depth")

@@ -885,3 +885,60 @@ def audio_rms_segments(
             " rms double, peak int",
         )
     )
+
+
+def synthesize_png_headers(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG assets (signature + IHDR chunk) from the
+    ``documents`` fixture: width = 1 + doc_id % 64, height = 1 +
+    (doc_id * 7) % 48, bit depth 8, color type 2 (truecolor).  The
+    bytes are hex-assembled in Column exprs and ``unhex``-ed — a
+    genuine big-endian PNG header any parser can read.  The IHDR CRC
+    is zeroed (header PARSING never validates CRC; writing a real
+    CRC32 would need a per-row UDF for no parse-side gain) and no
+    IDAT follows — this fixture exercises metadata extraction, the
+    step a 100 TB image pipeline runs BEFORE any decode."""
+    w = 1 + F.col("doc_id") % 64
+    h = 1 + (F.col("doc_id") * 7) % 48
+    hex4 = lambda c: F.lpad(F.lower(F.hex(c)), 8, "0")
+    ihdr = F.concat(
+        F.lit("0000000d"),            # length 13
+        F.lit("49484452"),            # "IHDR"
+        hex4(w), hex4(h),
+        F.lit("08"),                  # bit depth
+        F.lit("02"),                  # color type: truecolor
+        F.lit("000000"),              # compression/filter/interlace
+        F.lit("00000000"),            # CRC (zeroed, see docstring)
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(F.concat(F.lit("89504e470d0a1a0a"), ihdr)).alias("payload"),
+        F.lit("image/png").alias("mime_type"),
+    )
+
+
+def parse_png_header(assets: DataFrame) -> DataFrame:
+    """Header-parse PNG payloads WITHOUT decoding: validate the
+    8-byte signature and the IHDR chunk type, then read width,
+    height, bit depth, and color type straight out of the big-endian
+    header bytes.  Pure substring/hex/conv Column math — JVM-side,
+    codegen'd, zero Python — the shape of metadata extraction you
+    want when filtering a 100 TB image corpus down before the
+    (expensive, UDF-side) pixel decode."""
+    pay = F.col("payload")
+    sig_ok = F.hex(F.substring(pay, 1, 8)) == "89504E470D0A1A0A"
+    type_ok = F.hex(F.substring(pay, 13, 4)) == "49484452"
+    be32 = lambda off: F.conv(F.hex(F.substring(pay, off, 4)), 16, 10).cast(
+        "long"
+    )
+    be8 = lambda off: F.conv(F.hex(F.substring(pay, off, 1)), 16, 10).cast(
+        "int"
+    )
+    ok = sig_ok & type_ok
+    return assets.select(
+        "asset_id",
+        ok.cast("int").alias("header_ok"),
+        F.when(ok, be32(17)).alias("width"),
+        F.when(ok, be32(21)).alias("height"),
+        F.when(ok, be8(25)).alias("bit_depth"),
+        F.when(ok, be8(26)).alias("color_type"),
+    )

@@ -854,3 +854,79 @@ def neyman_stratified_sample(
             F.col("_quota").alias("stratum_quota"),
         )
     )
+
+
+def min_per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    min_keep: int,
+    frac_pct: int,
+) -> DataFrame:
+    """Coverage-floor sampling: keep a deterministic ~frac_pct% of
+    each group but NEVER fewer than ``min_keep`` rows (if the group
+    has them) — the long-tail guarantee a training mixture needs so
+    rare domains/languages don't vanish under proportional
+    sampling.  Rows rank by the portable md5 hash of the key (so
+    membership is stable across runs and engines); a row survives if
+    its rank is within the floor OR its hash bucket falls under the
+    percentage.  One window shuffle on the group key."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    h = base_hash(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, key_col)
+    ranked = df.withColumn("_h", h).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    keep = (F.col("_rk") <= min_keep) | (
+        F.pmod(F.col("_h"), F.lit(100)) < frac_pct
+    )
+    return ranked.filter(keep).drop("_h", "_rk")
+
+
+def horvitz_thompson_totals(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    size_col: str,
+    key_col: str,
+    base_pct: int = 10,
+) -> DataFrame:
+    """Unequal-probability sampling with the Horvitz–Thompson
+    estimator: big units get a higher inclusion probability (here
+    p_i steps from base_pct% to 3*base_pct% above the size median —
+    classic size-stratified PPS approximation), the estimator
+    re-weights each sampled unit by 1/p_i, and the output reports
+    estimated vs TRUE totals so the calibration is visible.  The
+    draw is the portable md5 coin (deterministic across engines/
+    runs); truth and estimate come from the same single
+    aggregation pass."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    keys = list(keys)
+    med = df.agg(
+        F.expr(f"percentile({size_col}, 0.5)").alias("_med")
+    )
+    rows = df.crossJoin(F.broadcast(med)).select(
+        *keys,
+        F.col(value_col).alias("_x"),
+        F.when(
+            F.col(size_col) > F.col("_med"), F.lit(3 * base_pct)
+        ).otherwise(F.lit(base_pct)).alias("_pct"),
+        F.pmod(
+            base_hash(F.col(key_col).cast("string")), F.lit(100)
+        ).alias("_u"),
+    )
+    sampled = F.col("_u") < F.col("_pct")
+    p = F.col("_pct") / 100.0
+    return rows.groupBy(*keys).agg(
+        F.count("*").alias("n_total"),
+        F.sum(sampled.cast("int")).alias("n_sampled"),
+        F.round(F.sum("_x"), 2).alias("true_total"),
+        F.round(
+            F.sum(F.when(sampled, F.col("_x") / p).otherwise(F.lit(0.0))), 2
+        ).alias("ht_total"),
+        F.round(
+            F.sum(F.when(sampled, 1.0 / p).otherwise(F.lit(0.0))), 2
+        ).alias("ht_count"),
+    )

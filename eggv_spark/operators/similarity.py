@@ -860,3 +860,61 @@ def ranking_ndcg(
             f"ndcg_at_{k}"
         ),
     )
+
+
+def pair_cosine_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_pairs_per_vec: int = 2,
+) -> DataFrame:
+    """Embedding-space geometry fingerprint: exact cosine over a
+    DETERMINISTIC pseudo-random pair sample (each vector pairs with
+    partners at md5-derived id offsets — reproducible across
+    engines/runs, unlike ``df.sample``), binned to 0.1-wide buckets
+    with corpus mean/std.  The diagnostic behind ANN-index and
+    dedup-threshold tuning: if the cosine mass sits near 0 the space
+    is healthy; a fat right tail predicts near-dup blowup.  Plan:
+    one self-equi-join on the derived partner id (shuffle keyed on
+    id — no cross product), one map-side-combined aggregation."""
+    from eggv_spark.operators.dedupe import base_hash, cosine_col
+
+    n = df.count()
+    left = df.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    partners = left.select(
+        "_ida", "_va",
+        F.explode(
+            F.array_distinct(
+                F.array(*[
+                    F.pmod(
+                        F.col("_ida")
+                        + 1
+                        + F.pmod(
+                            base_hash(
+                                F.concat_ws(":", F.col("_ida"), F.lit(j))
+                            ),
+                            F.lit(n - 1),
+                        ),
+                        F.lit(n),
+                    )
+                    for j in range(n_pairs_per_vec)
+                ])
+            )
+        ).alias("_idb"),
+    ).filter(F.col("_idb") != F.col("_ida"))
+    right = df.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    pairs = partners.join(right, "_idb")
+    cos = cosine_col(F.col("_va"), F.col("_vb"))
+    scored = pairs.select(F.round(cos, 6).alias("_cos"))
+    bucket = F.least(
+        F.greatest(F.floor(F.col("_cos") * 10), F.lit(-10)), F.lit(9)
+    ).cast("int")
+    per_bucket = scored.groupBy(bucket.alias("cos_bucket")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("_cos"), 4).alias("mean_cos"),
+    )
+    return per_bucket

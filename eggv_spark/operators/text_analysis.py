@@ -927,3 +927,72 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_logp"), 4).alias("avg_logprob"),
     )
+
+
+def with_code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose signals for corpus routing (code wants different
+    tokenization/dedup than prose): brace/semicolon density, code-
+    keyword hits, symbol ratio, and a conjunctive ``is_code`` flag.
+    Pure regexp_count expressions — JVM-side, one projection, no
+    shuffle."""
+    t = F.col(text_col)
+    n_braces = F.regexp_count(t, F.lit(r"[{}]"))
+    n_semis = F.regexp_count(t, F.lit(";"))
+    n_kw = F.regexp_count(
+        t, F.lit(r"\b(function|return|import|def|class|var|const)\b")
+    )
+    n_sym = F.regexp_count(t, F.lit(r"[{}();=<>\[\]]"))
+    symbol_ratio = F.round(n_sym / F.greatest(F.length(t), F.lit(1)), 4)
+    is_code = ((n_braces > 0) & (n_kw > 0)).cast("int")
+    return df.select(
+        "*",
+        n_braces.alias("n_braces"),
+        n_semis.alias("n_semicolons"),
+        n_kw.alias("n_code_keywords"),
+        symbol_ratio.alias("symbol_ratio"),
+        is_code.alias("is_code"),
+    )
+
+
+def strip_markdown(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Markdown → plain text for training-corpus cleaning: inline
+    links collapse to their anchor text, emphasis markers and ATX
+    heading prefixes drop, fenced-code markers drop.  A
+    regexp_replace chain (JVM, no UDF); reports per-doc original/
+    stripped lengths and the link/heading counts so a quality filter
+    can gate on markup density."""
+    t = F.col(text_col)
+    n_links = F.regexp_count(t, F.lit(r"\[[^\]]*\]\([^)]*\)"))
+    n_headings = F.regexp_count(t, F.lit(r"(^|\n)#+ "))
+    stripped = F.regexp_replace(t, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    stripped = F.regexp_replace(stripped, r"(^|\n)#+ +", r"$1")
+    stripped = F.regexp_replace(stripped, r"(\*\*|__|```)", "")
+    return df.select(
+        "*",
+        n_links.alias("n_links"),
+        n_headings.alias("n_headings"),
+        F.length(t).alias("md_len"),
+        F.length(stripped).alias("stripped_len"),
+        stripped.alias("stripped_text"),
+    )
+
+
+def with_unicode_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-class profile per document — the cheap first-pass
+    curation fingerprint (OCR garbage, boilerplate tables, and
+    non-prose content all skew these ratios): printable-ASCII,
+    digit, uppercase, punctuation, and whitespace fractions of the
+    character count.  One projection of regexp_counts."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    def ratio(pat):
+        return F.round(F.regexp_count(t, F.lit(pat)) / n, 4)
+    return df.select(
+        "*",
+        F.length(t).alias("n_chars_text"),
+        ratio(r"[ -~]").alias("ascii_ratio"),
+        ratio(r"[0-9]").alias("digit_ratio"),
+        ratio(r"[A-Z]").alias("upper_ratio"),
+        ratio(r"[.,!?;:'\"()-]").alias("punct_ratio"),
+        ratio(r"\s").alias("space_ratio"),
+    )
