@@ -4978,6 +4978,25 @@ def _olap_q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+def _copurchase_edges(spark, sf_dir):
+    """Part co-purchase graph (parts co-ordered ≥2 times), with the
+    co-order count kept as ``n_co`` — shared input of the triangle /
+    k-core / Adamic–Adar / BFS graph queries."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    return (
+        li.join(other, (li["l_orderkey"] == other["_ok"])
+                & (li["l_partkey"] < other["_pb"]))
+        .groupBy(F.col("l_partkey").alias("x"), F.col("_pb").alias("y"))
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+
+
 def _graph_triangles(spark, sf_dir):
     """Triangle census + global clustering coefficient on the part
     co-purchase graph (parts co-ordered ≥2 times).  Wedge-join +
@@ -4985,20 +5004,7 @@ def _graph_triangles(spark, sf_dir):
     triangle produced exactly once, never an all-pairs product
     (graph.triangle_count; degree-orientation is the 100 TB
     refinement, same plan)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    other = li.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
-    )
-    edges = (
-        li.join(other, (li["l_orderkey"] == other["_ok"])
-                & (li["l_partkey"] < other["_pb"]))
-        .groupBy(F.col("l_partkey").alias("x"), F.col("_pb").alias("y"))
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("x", "y")
-    )
+    edges = _copurchase_edges(spark, sf_dir).select("x", "y")
     return G.triangle_count(edges, "x", "y")
 
 
@@ -5792,6 +5798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_digit_histogram": _agg_digit_histogram,
         "win_ewma": _win_ewma,
         "win_rolling_skew": _win_rolling_skew,
+        "evt_survival_km": _evt_survival_km,
+        "evt_cohort_ltv": _evt_cohort_ltv,
+        "graph_kcore": _graph_kcore,
+        "graph_adamic_adar": _graph_adamic_adar,
+        "graph_bfs_reach": _graph_bfs_reach,
     }
 
 
@@ -9170,6 +9181,7 @@ def _round5_oracles() -> dict[str, str]:
     out = {}
     out.update(_R5_STATS_ORACLES)
     out.update(_R5_EXP_ORACLES)
+    out.update(_R5_EVT_GRAPH_ORACLES)
     return out
 
 
@@ -9426,5 +9438,192 @@ _R5_EXP_ORACLES = {
         "  / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) END"
         "  AS rolling_skew"
         " FROM s"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: events + graph family
+# ---------------------------------------------------------------------------
+
+def _evt_survival_km(spark, sf_dir):
+    """Kaplan–Meier time-to-conversion curve (signup → purchase,
+    right-censored at the corpus max ts) — product-limit estimator
+    as exp of a cumulative log window over the per-day rollup
+    (events.km_survival)."""
+    from eggv_spark.operators.events import km_survival
+
+    return km_survival(_t(spark, sf_dir, "events"))
+
+
+def _evt_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle: customers cohort by first order month,
+    cumulative revenue per cohort member at each month of age —
+    integer-cents window sums so the cumulative is bit-exact in both
+    engines (events.cohort_ltv)."""
+    from eggv_spark.operators.events import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+def _graph_kcore(spark, sf_dir):
+    """3-core of the part co-purchase graph by three fixed
+    degree-pruning rounds — each round one semi-join + one map-side
+    degree count, no driver loop (graph.kcore_prune)."""
+    return G.kcore_prune(
+        _copurchase_edges(spark, sf_dir), "x", "y", k=3, iterations=3
+    )
+
+
+def _top_copurchase_edges(spark, sf_dir, n=200):
+    """Top-n co-purchase edges by (count desc, x, y) — a RANK-based
+    cutoff (never a percentile) so both engines pick the identical
+    edge set; input of the Adamic–Adar and BFS queries."""
+    return (
+        _copurchase_edges(spark, sf_dir)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("n_co").desc(), "x", "y")
+            ),
+        )
+        .filter(F.col("_rn") <= n)
+        .select("x", "y")
+    )
+
+
+def _graph_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction on the 200 heaviest co-purchase
+    edges: wedge join on the middle node weighted by 1/ln(degree),
+    anti-joined against existing edges so only ABSENT candidate
+    links score (graph.adamic_adar)."""
+    aa = G.adamic_adar(_top_copurchase_edges(spark, sf_dir), "x", "y")
+    return aa.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common_neighbors", "aa_score",
+    )
+
+
+def _graph_bfs_reach(spark, sf_dir):
+    """3-hop BFS reachability from the smallest node of the top-200
+    co-purchase graph — fixed-depth frontier expansion with
+    visited-set dedup, min depth per node (graph.bfs_reach);
+    recursive-CTE oracle."""
+    edges = _top_copurchase_edges(spark, sf_dir)
+    seed = edges.agg(F.min("x")).first()[0]
+    return G.bfs_reach(edges, int(seed), "x", "y", max_depth=3)
+
+
+_COPURCHASE_SQL = (
+    "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " e AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n_co"
+    "  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+    "  AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)"
+)
+
+_TOP_EDGES_SQL = (
+    " te AS (SELECT x, y FROM (SELECT x, y, row_number()"
+    "  OVER (ORDER BY n_co DESC, x, y) AS rn FROM e) WHERE rn <= 200),"
+    " u AS (SELECT x AS a, y AS b FROM te UNION SELECT y, x FROM te)"
+)
+
+_R5_EVT_GRAPH_ORACLES = {
+    "evt_survival_km": (
+        "WITH tmax AS (SELECT max(ts) AS tm FROM events),"
+        " pu AS (SELECT user_id,"
+        "  min(CASE WHEN event_type = 'signup' THEN ts END) AS t0"
+        "  FROM events GROUP BY 1),"
+        " ft AS (SELECT e.user_id, min(e.ts) AS tp FROM events e"
+        "  JOIN pu ON e.user_id = pu.user_id"
+        "  WHERE e.event_type = 'purchase' AND pu.t0 IS NOT NULL"
+        "  AND e.ts >= pu.t0 GROUP BY 1),"
+        " dur AS (SELECT CASE WHEN ft.tp IS NOT NULL THEN"
+        "   datediff('day', CAST(pu.t0 AS DATE), CAST(ft.tp AS DATE))"
+        "  ELSE datediff('day', CAST(pu.t0 AS DATE), CAST(tmax.tm AS DATE))"
+        "  END AS day,"
+        "  CASE WHEN ft.tp IS NOT NULL THEN 1 ELSE 0 END AS ev"
+        "  FROM pu LEFT JOIN ft USING (user_id), tmax"
+        "  WHERE pu.t0 IS NOT NULL),"
+        " pd AS (SELECT day, sum(ev) AS d_events, count(*) AS total"
+        "  FROM dur GROUP BY 1),"
+        " st AS (SELECT day, d_events, sum(total) OVER (ORDER BY day DESC"
+        "  ROWS UNBOUNDED PRECEDING) AS n_at_risk FROM pd)"
+        " SELECT day, CAST(d_events AS BIGINT) AS d_events,"
+        " CAST(n_at_risk AS BIGINT) AS n_at_risk,"
+        " CASE WHEN max(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END)"
+        "   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0"
+        "  ELSE round(exp(sum(CASE WHEN d_events < n_at_risk THEN"
+        "   ln(1.0 - CAST(d_events AS DOUBLE) / n_at_risk) END)"
+        "   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) END"
+        "  AS survival"
+        " FROM st"
+    ),
+    "evt_cohort_ltv": (
+        "WITH f AS (SELECT o_custkey,"
+        "  date_trunc('month', min(o_orderdate)) AS cohort"
+        "  FROM orders GROUP BY 1),"
+        " sizes AS (SELECT cohort, count(*) AS n_customers FROM f"
+        "  GROUP BY 1),"
+        " aged AS (SELECT f.cohort, datediff('month', f.cohort,"
+        "   date_trunc('month', o.o_orderdate)) AS age_months,"
+        "  o.o_totalprice AS v FROM orders o"
+        "  JOIN f ON o.o_custkey = f.o_custkey),"
+        " cells AS (SELECT cohort, age_months,"
+        "  CAST(round(sum(v) * 100) AS BIGINT) AS rev_c"
+        "  FROM aged GROUP BY 1, 2),"
+        " w AS (SELECT cohort, age_months,"
+        "  sum(rev_c) OVER (PARTITION BY cohort ORDER BY age_months"
+        "   ROWS UNBOUNDED PRECEDING) AS cum_c FROM cells)"
+        " SELECT CAST(CAST(w.cohort AS DATE) AS VARCHAR) AS cohort_month,"
+        " CAST(age_months AS INT) AS age_months, n_customers,"
+        " round(cum_c / 100.0, 2) AS cum_revenue,"
+        " CAST((cum_c * 100) // n_customers AS BIGINT) / 10000.0"
+        "  AS ltv_per_customer"
+        " FROM w JOIN sizes ON w.cohort = sizes.cohort"
+    ),
+    "graph_kcore": (
+        "WITH " + _COPURCHASE_SQL + ","
+        " u0 AS (SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e),"
+        " d1 AS (SELECT a, count(*) AS deg FROM u0 GROUP BY 1),"
+        " u1 AS (SELECT u.a, u.b FROM u0 u"
+        "  JOIN d1 da ON u.a = da.a AND da.deg >= 3"
+        "  JOIN d1 db ON u.b = db.a AND db.deg >= 3),"
+        " d2 AS (SELECT a, count(*) AS deg FROM u1 GROUP BY 1),"
+        " u2 AS (SELECT u.a, u.b FROM u1 u"
+        "  JOIN d2 da ON u.a = da.a AND da.deg >= 3"
+        "  JOIN d2 db ON u.b = db.a AND db.deg >= 3),"
+        " d3 AS (SELECT a, count(*) AS deg FROM u2 GROUP BY 1),"
+        " u3 AS (SELECT u.a, u.b FROM u2 u"
+        "  JOIN d3 da ON u.a = da.a AND da.deg >= 3"
+        "  JOIN d3 db ON u.b = db.a AND db.deg >= 3)"
+        " SELECT a AS node, count(*) AS degree FROM u3 GROUP BY 1"
+        " HAVING count(*) >= 3"
+    ),
+    "graph_adamic_adar": (
+        "WITH " + _COPURCHASE_SQL + "," + _TOP_EDGES_SQL + ","
+        " deg AS (SELECT a AS z, count(*) AS dz FROM u GROUP BY 1"
+        "  HAVING count(*) >= 2),"
+        " wedges AS (SELECT l.a AS u_node, r.b AS v_node, d.dz"
+        "  FROM u l JOIN u r ON l.b = r.a AND l.a < r.b"
+        "  JOIN deg d ON d.z = l.b),"
+        " scored AS (SELECT u_node, v_node, count(*) AS common_neighbors,"
+        "  round(sum(1.0 / ln(dz)), 6) AS aa_score"
+        "  FROM wedges GROUP BY 1, 2),"
+        " ex AS (SELECT least(a, b) AS u_node, greatest(a, b) AS v_node"
+        "  FROM u GROUP BY 1, 2)"
+        " SELECT s.u_node AS u, s.v_node AS v, common_neighbors, aa_score"
+        " FROM scored s LEFT JOIN ex ON s.u_node = ex.u_node"
+        " AND s.v_node = ex.v_node WHERE ex.u_node IS NULL"
+    ),
+    "graph_bfs_reach": (
+        "WITH RECURSIVE " + _COPURCHASE_SQL + "," + _TOP_EDGES_SQL + ","
+        " bfs(node, depth) AS ("
+        "  SELECT (SELECT min(x) FROM te), 0"
+        "  UNION ALL"
+        "  SELECT u.b, bfs.depth + 1 FROM bfs JOIN u ON u.a = bfs.node"
+        "  WHERE bfs.depth < 3)"
+        " SELECT CAST(node AS INT) AS node,"
+        " CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY 1"
     ),
 }

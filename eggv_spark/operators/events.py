@@ -639,12 +639,23 @@ def km_survival(
     w_fwd = (
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     )
+    # a day where everyone at risk converts (d = n, necessarily the
+    # final day) would be ln(0): DuckDB ERRORS on that where Spark
+    # returns -inf, so the zero is carried explicitly in both
     log_s = F.sum(
-        F.log(1.0 - F.col("d_events") / F.col("n_at_risk"))
+        F.when(
+            F.col("d_events") < F.col("n_at_risk"),
+            F.log(1.0 - F.col("d_events") / F.col("n_at_risk")),
+        )
+    ).over(w_fwd)
+    hit_zero = F.max(
+        (F.col("d_events") == F.col("n_at_risk")).cast("int")
     ).over(w_fwd)
     return staged.select(
         "day", "d_events", "n_at_risk",
-        F.round(F.exp(log_s), 6).alias("survival"),
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(log_s), 6))
+        .alias("survival"),
     )
 
 
@@ -675,21 +686,31 @@ def cohort_ltv(
         ).cast("int").alias("age_months"),
         F.col(value_col).alias("_v"),
     )
+    # integer-cents per cell -> the cumulative window sums LONGS, so
+    # the running total is bit-exact regardless of summation order
+    # (a float cum-sum's 2dp round can straddle a half tie)
     cells = aged.groupBy("_cohort", "age_months").agg(
-        F.sum("_v").alias("_rev")
+        F.round(F.sum("_v") * 100).cast("long").alias("_rev_c")
     )
-    cum = F.sum("_rev").over(
+    cum = F.sum("_rev_c").over(
         Window.partitionBy("_cohort")
         .orderBy("age_months")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
         cells.join(F.broadcast(cohort_sizes), "_cohort")
+        .withColumn("_cum_c", cum)
         .select(
             F.col("_cohort").cast("date").cast("string").alias("cohort_month"),
             "age_months",
             "n_customers",
-            F.round(cum, 2).alias("cum_revenue"),
-            F.round(cum / F.col("n_customers"), 4).alias("ltv_per_customer"),
+            F.round(F.col("_cum_c") / 100.0, 2).alias("cum_revenue"),
+            # 4dp LTV as exact integer division (cents*100 // n) so no
+            # round-half boundary exists (cents/100/n landed exactly on
+            # x.xxxx5 for four cells of the fixture)
+            (
+                F.expr("(_cum_c * 100) div n_customers").cast("long")
+                / 10000.0
+            ).alias("ltv_per_customer"),
         )
     )
