@@ -5803,6 +5803,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _graph_kcore,
         "graph_adamic_adar": _graph_adamic_adar,
         "graph_bfs_reach": _graph_bfs_reach,
+        "txt_code_detect": _txt_code_detect,
+        "txt_markdown_strip": _txt_markdown_strip,
+        "txt_unicode_profile": _txt_unicode_profile,
+        "ddp_containment": _ddp_containment,
+        "mm_png_header": _mm_png_header,
+        "tbl_delete_where": _tbl_delete_where,
+        "tbl_wap_publish": _tbl_wap_publish,
+        "smp_min_per_group": _smp_min_per_group,
+        "smp_horvitz_thompson": _smp_horvitz_thompson,
+        "join_asof_tolerance": _join_asof_tolerance,
+        "sim_pair_stats": _sim_pair_stats,
+        "geo_grid_density": _geo_grid_density,
     }
 
 
@@ -9057,10 +9069,14 @@ _R5_STATS_ORACLES = {
         " m AS (SELECT o, CAST(sum(o) OVER (PARTITION BY a) AS DOUBLE)"
         "  AS rt, CAST(sum(o) OVER (PARTITION BY b) AS DOUBLE) AS ct,"
         "  CAST(sum(o) OVER () AS DOUBLE) AS n, a, b FROM cells)"
+        # empty cells of the full r x c table contribute e each to
+        # chi2; their total is n - sum(e) over the observed cells
         " SELECT CAST(max(n) AS BIGINT) AS n,"
         " count(DISTINCT a) AS n_rows_cat, count(DISTINCT b) AS n_cols_cat,"
-        " round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 4) AS chi2,"
-        " round(sqrt(sum(pow(o - rt * ct / n, 2) / (rt * ct / n))"
+        " round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n))"
+        "  + (max(n) - sum(rt * ct / n)), 4) AS chi2,"
+        " round(sqrt((sum(pow(o - rt * ct / n, 2) / (rt * ct / n))"
+        "   + (max(n) - sum(rt * ct / n)))"
         "  / (max(n) * least(count(DISTINCT a) - 1,"
         "     count(DISTINCT b) - 1))), 6) AS cramers_v"
         " FROM m"
@@ -9182,6 +9198,10 @@ def _round5_oracles() -> dict[str, str]:
     out.update(_R5_STATS_ORACLES)
     out.update(_R5_EXP_ORACLES)
     out.update(_R5_EVT_GRAPH_ORACLES)
+    out.update(_R5_TXT_ORACLES)
+    out["ddp_containment"] = _containment_oracle()
+    out.update(_R5_TAIL_ORACLES)
+    out["sim_pair_stats"] = _pair_stats_oracle()
     return out
 
 
@@ -9422,8 +9442,8 @@ _R5_EXP_ORACLES = {
     ),
     "win_rolling_skew": (
         "WITH daily AS (SELECT o_orderpriority,"
-        "  datediff('day', TIMESTAMP '1992-01-01',"
-        "   date_trunc('day', o_orderdate)) AS day_idx,"
+        "  CAST(datediff('day', TIMESTAMP '1992-01-01',"
+        "   date_trunc('day', o_orderdate)) AS INT) AS day_idx,"
         "  CAST(round(sum(o_totalprice) * 100) AS BIGINT) / 1e8 AS y"
         "  FROM orders GROUP BY 1, 2),"
         " s AS (SELECT o_orderpriority, day_idx, y,"
@@ -9432,10 +9452,12 @@ _R5_EXP_ORACLES = {
         "  FROM daily WINDOW w AS (PARTITION BY o_orderpriority"
         "   ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"
         " SELECT o_orderpriority, day_idx, y,"
+        # "+ 0" drops IEEE -0.0 (DuckDB round keeps the sign of a
+        # just-negative value; Spark emits +0.0; hashes compare strings)
         " CASE WHEN n = 7 AND (s2 / n - (s1 / n) * (s1 / n)) > 0 THEN"
         "  round((s3 / n - 3.0 * (s1 / n) * s2 / n"
         "   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))"
-        "  / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) END"
+        "  / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) + 0 END"
         "  AS rolling_skew"
         " FROM s"
     ),
@@ -9467,11 +9489,14 @@ def _evt_cohort_ltv(spark, sf_dir):
 
 
 def _graph_kcore(spark, sf_dir):
-    """3-core of the part co-purchase graph by three fixed
+    """2-core of the part co-purchase graph by three fixed
     degree-pruning rounds — each round one semi-join + one map-side
-    degree count, no driver loop (graph.kcore_prune)."""
+    degree count, no driver loop (graph.kcore_prune).  k=2, not 3:
+    the >=2-co-order graph thins as SF grows (more parts dilute
+    repeat pairs), and the 3-core is empty at sf0.1 — an empty
+    oracle match verifies nothing."""
     return G.kcore_prune(
-        _copurchase_edges(spark, sf_dir), "x", "y", k=3, iterations=3
+        _copurchase_edges(spark, sf_dir), "x", "y", k=2, iterations=3
     )
 
 
@@ -9587,18 +9612,18 @@ _R5_EVT_GRAPH_ORACLES = {
         " u0 AS (SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e),"
         " d1 AS (SELECT a, count(*) AS deg FROM u0 GROUP BY 1),"
         " u1 AS (SELECT u.a, u.b FROM u0 u"
-        "  JOIN d1 da ON u.a = da.a AND da.deg >= 3"
-        "  JOIN d1 db ON u.b = db.a AND db.deg >= 3),"
+        "  JOIN d1 da ON u.a = da.a AND da.deg >= 2"
+        "  JOIN d1 db ON u.b = db.a AND db.deg >= 2),"
         " d2 AS (SELECT a, count(*) AS deg FROM u1 GROUP BY 1),"
         " u2 AS (SELECT u.a, u.b FROM u1 u"
-        "  JOIN d2 da ON u.a = da.a AND da.deg >= 3"
-        "  JOIN d2 db ON u.b = db.a AND db.deg >= 3),"
+        "  JOIN d2 da ON u.a = da.a AND da.deg >= 2"
+        "  JOIN d2 db ON u.b = db.a AND db.deg >= 2),"
         " d3 AS (SELECT a, count(*) AS deg FROM u2 GROUP BY 1),"
         " u3 AS (SELECT u.a, u.b FROM u2 u"
-        "  JOIN d3 da ON u.a = da.a AND da.deg >= 3"
-        "  JOIN d3 db ON u.b = db.a AND db.deg >= 3)"
+        "  JOIN d3 da ON u.a = da.a AND da.deg >= 2"
+        "  JOIN d3 db ON u.b = db.a AND db.deg >= 2)"
         " SELECT a AS node, count(*) AS degree FROM u3 GROUP BY 1"
-        " HAVING count(*) >= 3"
+        " HAVING count(*) >= 2"
     ),
     "graph_adamic_adar": (
         "WITH " + _COPURCHASE_SQL + "," + _TOP_EDGES_SQL + ","
@@ -9627,3 +9652,394 @@ _R5_EVT_GRAPH_ORACLES = {
         " CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY 1"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: text curation + containment dedup + mm + tableops
+# ---------------------------------------------------------------------------
+
+_CODE_SUFFIX = " function compute() { return x + 1; } var y = 2;"
+
+
+def _txt_code_detect(spark, sf_dir):
+    """Code-vs-prose routing signals (brace/semicolon density, code
+    keywords, symbol ratio) over documents with a deterministic
+    code-block suffix injected into every 7th doc so both branches of
+    the detector are exercised (text_analysis.with_code_signals)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_CODE_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return T.with_code_signals(docs).select(
+        "doc_id", "n_braces", "n_semicolons", "n_code_keywords",
+        "symbol_ratio", "is_code",
+    )
+
+
+def _txt_markdown_strip(spark, sf_dir):
+    """Markdown -> plain text cleaning over a deterministically
+    markdown-wrapped corpus (heading + inline link + bold injected
+    in-query); reports markup counts and length reduction
+    (text_analysis.strip_markdown)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("# "), F.col("source"), F.lit("\n"), F.col("text"),
+            F.lit(" [more](http://"), F.col("source"),
+            F.lit(".example.com/x) **"), F.col("lang"), F.lit("**"),
+        ),
+    )
+    return T.strip_markdown(docs).select(
+        "doc_id", "n_links", "n_headings", "md_len", "stripped_len"
+    )
+
+
+def _txt_unicode_profile(spark, sf_dir):
+    """Character-class fingerprint per document (printable-ASCII /
+    digit / upper / punctuation / whitespace ratios) — the cheap
+    first-pass curation signal (text_analysis.with_unicode_profile)."""
+    return T.with_unicode_profile(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_text", "ascii_ratio", "digit_ratio",
+        "upper_ratio", "punct_ratio", "space_ratio",
+    )
+
+
+def _ddp_containment(spark, sf_dir):
+    """Asymmetric containment dedup (short doc embedded in long doc):
+    every 5th document gets a half-length truncated twin (id +
+    100000) injected in-query; bottom-k shingle-hash blocking +
+    exact intersection verification must recover the twins
+    (dedupe.containment_pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = T.tokens_col("text")
+    half = F.greatest(F.floor(F.size(toks) / 2).cast("int"), F.lit(1))
+    truncated = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, F.lit(1), half)).alias("text"),
+        )
+    )
+    alldocs = docs.unionByName(truncated)
+    out = D.containment_pairs(alldocs, "doc_id", "text", threshold=0.8)
+    return out.select(
+        "id_a", "id_b", F.col("n_common").cast("long").alias("n_common"),
+        "containment",
+    )
+
+
+def _mm_png_header(spark, sf_dir):
+    """PNG metadata extraction without decode: synthesize real
+    signature+IHDR binaries per document, then header-parse width /
+    height / bit depth / color type with pure substring/hex/conv
+    Column math (multimodal.synthesize_png_headers +
+    parse_png_header); the oracle recomputes from the generative
+    formula."""
+    from eggv_spark.operators.multimodal import (
+        parse_png_header, synthesize_png_headers,
+    )
+
+    assets = synthesize_png_headers(_t(spark, sf_dir, "documents"))
+    return parse_png_header(assets)
+
+
+def _tbl_delete_where(spark, sf_dir):
+    """DELETE WHERE as a pure transformation with a per-linestatus
+    audit (rows scanned / deleted / kept) — the gate record a
+    write-audit-publish wants before swapping the live table
+    (tableops.delete_where)."""
+    _, audit = TO.delete_where(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_returnflag") == "R",
+        audit_keys=["l_linestatus"],
+    )
+    return audit
+
+
+def _tbl_wap_publish(spark, sf_dir):
+    """Write-audit-publish: stage positive-value events as parquet,
+    audit (row floor + NOT NULL) against the staged files, atomically
+    rename to the publish path, report the checks from the PUBLISHED
+    copy (tableops.write_audit_publish)."""
+    base = _scratch_dir("wap_")
+    df = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return TO.write_audit_publish(
+        df, base, not_null_cols=["event_id"], min_rows=1
+    )
+
+
+def _regex_count_sql(col: str, pat: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+_R5_TXT_ORACLES = {
+    "txt_code_detect": (
+        "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN"
+        f"  text || '{_CODE_SUFFIX}' ELSE text END AS text"
+        "  FROM documents)"
+        " SELECT doc_id,"
+        f" CAST({_regex_count_sql('text', '[{{}}]')} AS INT) AS n_braces,"
+        .replace("{{}}", "{}") +
+        f" CAST({_regex_count_sql('text', ';')} AS INT) AS n_semicolons,"
+        f" CAST({_regex_count_sql('text', chr(92) + 'b(function|return|import|def|class|var|const)' + chr(92) + 'b')} AS INT)"
+        "  AS n_code_keywords,"
+        f" round({_regex_count_sql('text', '[{{}}();=<>[' + chr(92) + ']]')}"
+        .replace("{{}}", "{}") +
+        "  / CAST(greatest(length(text), 1) AS DOUBLE), 4)"
+        "  AS symbol_ratio,"
+        f" CASE WHEN {_regex_count_sql('text', '[{{}}]')} > 0".replace("{{}}", "{}") +
+        f" AND {_regex_count_sql('text', chr(92) + 'b(function|return|import|def|class|var|const)' + chr(92) + 'b')} > 0"
+        "  THEN 1 ELSE 0 END AS is_code"
+        " FROM d"
+    ),
+    "txt_markdown_strip": (
+        "WITH d AS (SELECT doc_id,"
+        "  '# ' || source || chr(10) || text || ' [more](http://'"
+        "  || source || '.example.com/x) **' || lang || '**' AS text"
+        "  FROM documents)"
+        " SELECT doc_id,"
+        f" CAST({_regex_count_sql('text', chr(92) + '[[^' + chr(92) + ']]*' + chr(92) + ']' + chr(92) + '([^)]*' + chr(92) + ')')} AS INT) AS n_links,"
+        f" CAST({_regex_count_sql('text', '(^|' + chr(92) + 'n)#+ ')} AS INT)"
+        "  AS n_headings,"
+        " CAST(length(text) AS INT) AS md_len,"
+        " CAST(length(regexp_replace(regexp_replace(regexp_replace(text,"
+        f"  '{chr(92)}[([^{chr(92)}]]*){chr(92)}]{chr(92)}([^)]*{chr(92)})', '{chr(92)}{chr(92)}1', 'g'),"
+        f"  '(^|{chr(92)}n)#+ +', '{chr(92)}{chr(92)}1', 'g'),"
+        f"  '({chr(92)}*{chr(92)}*|__|```)', '', 'g')) AS INT)"
+        "  AS stripped_len"
+        " FROM d"
+    ),
+    "txt_unicode_profile": (
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,"
+        f" round({_regex_count_sql('text', '[ -~]')}"
+        "  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS ascii_ratio,"
+        f" round({_regex_count_sql('text', '[0-9]')}"
+        "  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio,"
+        f" round({_regex_count_sql('text', '[A-Z]')}"
+        "  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS upper_ratio,"
+        " round(len(regexp_extract_all(text,"
+        "  '[.,!?;:''\"()-]'))"
+        "  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,"
+        f" round({_regex_count_sql('text', chr(92) + 's')}"
+        "  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS space_ratio"
+        " FROM documents"
+    ),
+    "mm_png_header": (
+        "SELECT doc_id AS asset_id, 1 AS header_ok,"
+        " CAST(1 + doc_id % 64 AS BIGINT) AS width,"
+        " CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS height,"
+        " CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type"
+        " FROM documents"
+    ),
+    "tbl_delete_where": (
+        "SELECT l_linestatus, count(*) AS rows_scanned,"
+        " CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS rows_deleted,"
+        " CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)"
+        "  AS BIGINT) AS rows_kept"
+        " FROM lineitem GROUP BY 1"
+    ),
+    "tbl_wap_publish": (
+        "SELECT 'row_floor' AS check_name, 1 AS passed"
+        " UNION ALL SELECT 'not_null_event_id', 1"
+        " UNION ALL SELECT 'published_rows',"
+        "  CAST(count(*) AS INT) FROM events WHERE value > 0"
+    ),
+}
+
+
+def _containment_oracle() -> str:
+    p = D.MINHASH_PRIME
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+trunc_src AS (SELECT doc_id, {_TOKS_SQL} AS t FROM docs
+  WHERE doc_id % 5 = 0),
+truncated AS (SELECT doc_id + 100000 AS doc_id,
+  array_to_string(list_slice(t, 1,
+    greatest(CAST(len(t) // 2 AS INT), 1)), ' ') AS text
+  FROM trunc_src),
+alldocs AS (SELECT * FROM docs UNION ALL SELECT * FROM truncated),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM alldocs),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+hs AS (SELECT doc_id,
+  list_distinct(list_transform(shingles,
+    s -> {_BASEHASH_SQL.format(x='s')} % {p})) AS hashes FROM sh),
+blocks AS (SELECT DISTINCT doc_id,
+  unnest(list_slice(list_sort(hashes), 1, 8)) AS blk FROM hs),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM blocks l JOIN blocks r ON l.blk = r.blk
+  AND l.doc_id < r.doc_id),
+scored AS (SELECT id_a, id_b,
+  CAST(len(list_intersect(ha.hashes, hb.hashes)) AS BIGINT) AS n_common,
+  round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+    / least(len(ha.hashes), len(hb.hashes)), 4) AS containment
+  FROM cand JOIN hs ha ON ha.doc_id = id_a
+  JOIN hs hb ON hb.doc_id = id_b)
+SELECT id_a, id_b, n_common, containment FROM scored
+WHERE containment >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: sampling + asof tolerance + sim + geo
+# ---------------------------------------------------------------------------
+
+def _smp_min_per_group(spark, sf_dir):
+    """Coverage-floor sampling: ~10% of documents per source but
+    never fewer than 20 — the rare-domain guarantee, md5-rank
+    deterministic (relational.min_per_group_sample); verified by the
+    per-source kept-count and kept-id checksum."""
+    kept = R.min_per_group_sample(
+        _t(spark, sf_dir, "documents"), "source", "doc_id",
+        min_keep=20, frac_pct=10,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+def _smp_horvitz_thompson(spark, sf_dir):
+    """Size-stratified PPS sampling (3x inclusion above a fixed
+    balance threshold) with the Horvitz–Thompson reweighted
+    estimator, per market segment — estimated vs true totals in one
+    pass (relational.horvitz_thompson_totals)."""
+    return R.horvitz_thompson_totals(
+        _t(spark, sf_dir, "customer"),
+        ["c_mktsegment"], "c_acctbal", "c_acctbal", "c_custkey",
+        size_threshold=4500.0, base_pct=10,
+    )
+
+
+def _join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH tolerance: each click matched to the nearest
+    prior view of the same user only if within 10 minutes — the
+    pandas merge_asof(tolerance=...) contract on the union+window
+    single-shuffle plan (rangejoin.asof_join tolerance arm);
+    DuckDB ASOF JOIN oracle."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, views, ["user_id"], "ts", ["view_id"],
+        tolerance="10 minutes",
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("long").alias("click_epoch"),
+        F.col("asof_view_id").cast("long").alias("asof_view_id"),
+    )
+
+
+def _sim_pair_stats(spark, sf_dir):
+    """Embedding-space cosine geometry over a deterministic md5 pair
+    sample (2 partners per vector): 0.1-wide cosine histogram with
+    per-bucket mean — the ANN/dedup threshold-tuning diagnostic
+    (similarity.pair_cosine_histogram)."""
+    return S.pair_cosine_histogram(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_pairs_per_vec=2,
+    )
+
+
+def _geo_grid_density(spark, sf_dir):
+    """Spatial hotspot ranking: deterministic synthetic lat/lon per
+    customer, 10-degree grid binning, top-20 cells by (count desc,
+    cell) rank cutoff (geo.grid_density)."""
+    from eggv_spark.operators.geo import grid_density
+
+    pts = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 91 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return grid_density(pts, "lat", "lon", cell_deg=10.0, top_n=20)
+
+
+_R5_TAIL_ORACLES = {
+    "smp_min_per_group": (
+        "WITH r AS (SELECT source, doc_id,"
+        "  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "   AS BIGINT) AS h,"
+        "  row_number() OVER (PARTITION BY source"
+        "   ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS"
+        "    VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rk"
+        "  FROM documents)"
+        " SELECT source, count(*) AS n_kept,"
+        " CAST(sum(doc_id) AS BIGINT) AS id_sum"
+        " FROM r WHERE rk <= 20 OR h % 100 < 10 GROUP BY 1"
+    ),
+    "smp_horvitz_thompson": (
+        "WITH r AS (SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS x,"
+        "  CASE WHEN c_acctbal > 4500.0 THEN 30 ELSE 10 END AS pct,"
+        "  CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)),"
+        "   1, 8)) AS BIGINT) % 100 AS u FROM customer)"
+        " SELECT c_mktsegment, count(*) AS n_total,"
+        " CAST(sum(CASE WHEN u < pct THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_sampled,"
+        " round(sum(x), 2) AS true_total,"
+        " round(sum(CASE WHEN u < pct THEN x / (pct / 100.0)"
+        "  ELSE 0.0 END), 2) AS ht_total,"
+        " round(sum(CASE WHEN u < pct THEN 1.0 / (pct / 100.0)"
+        "  ELSE 0.0 END), 2) AS ht_count"
+        " FROM r GROUP BY 1"
+    ),
+    "join_asof_tolerance": (
+        "WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events"
+        "  WHERE event_type = 'view'),"
+        " c AS (SELECT event_id, user_id, ts FROM events"
+        "  WHERE event_type = 'click')"
+        " SELECT c.event_id,"
+        " CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,"
+        " CASE WHEN v.ts >= c.ts - INTERVAL 10 MINUTE THEN v.view_id END"
+        "  AS asof_view_id"
+        " FROM c ASOF LEFT JOIN v"
+        " ON c.user_id = v.user_id AND v.ts <= c.ts"
+    ),
+    "geo_grid_density": (
+        "WITH pts AS (SELECT"
+        "  (c_custkey * 37 % 18000) / 100.0 - 90.0 AS lat,"
+        "  (c_custkey * 91 % 36000) / 100.0 - 180.0 AS lon"
+        "  FROM customer),"
+        " cells AS (SELECT CAST(floor((lat + 90.0) / 10.0) AS BIGINT)"
+        "   * 4096 + CAST(floor((lon + 180.0) / 10.0) AS BIGINT)"
+        "   AS cell_id, count(*) AS n_points FROM pts GROUP BY 1),"
+        " r AS (SELECT cell_id, n_points, CAST(row_number() OVER ("
+        "  ORDER BY n_points DESC, cell_id) AS INT) AS rank FROM cells)"
+        " SELECT rank, cell_id, n_points,"
+        " round(floor(cell_id / 4096) * 10.0 - 90.0, 4) AS lat_lo,"
+        " round((cell_id % 4096) * 10.0 - 180.0, 4) AS lon_lo"
+        " FROM r WHERE rank <= 20"
+    ),
+}
+
+
+def _pair_stats_oracle() -> str:
+    return """
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+pr0 AS (SELECT e.vec_id AS ida, j.j FROM embeddings e
+  CROSS JOIN (VALUES (0), (1)) j(j)),
+pr AS (SELECT DISTINCT ida,
+  (ida + 1 + (CAST(concat('0x', substr(md5(CAST(ida AS VARCHAR)
+    || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % (n.n - 1)))
+  % n.n AS idb
+  FROM pr0, n),
+pairs AS (SELECT pr.ida, pr.idb,
+  CAST(a.embedding AS DOUBLE[]) AS va,
+  CAST(b.embedding AS DOUBLE[]) AS vb
+  FROM pr JOIN embeddings a ON a.vec_id = pr.ida
+  JOIN embeddings b ON b.vec_id = pr.idb
+  WHERE pr.idb <> pr.ida),
+scored AS (SELECT round(list_dot_product(va, vb)
+  / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+  6) AS c FROM pairs)
+SELECT CAST(least(greatest(floor(c * 10), -10), 9) AS INT)
+  AS cos_bucket, count(*) AS n_pairs, round(avg(c), 4) AS mean_cos
+FROM scored GROUP BY 1
+"""

@@ -1415,11 +1415,19 @@ def cramers_v(df: DataFrame, a: str, b: str) -> DataFrame:
         F.col(a).alias("_a"),
         F.col(b).alias("_b"),
     )
+    # the grouped frame only holds OBSERVED cells; each EMPTY cell of
+    # the full r x c table still contributes (0-e)^2/e = e to chi2.
+    # Their total is n - sum(e over observed cells) — recovered
+    # without materializing the cross product (which at scale would
+    # be a cartesian join for exactly this correction)
     agg = with_e.agg(
         F.any_value("_n").alias("n"),
         F.count_distinct("_a").alias("n_rows_cat"),
         F.count_distinct("_b").alias("n_cols_cat"),
-        F.sum((F.col("_o") - F.col("_e")) ** 2 / F.col("_e")).alias("_chi2"),
+        (
+            F.sum((F.col("_o") - F.col("_e")) ** 2 / F.col("_e"))
+            + (F.any_value("_n") - F.sum("_e"))
+        ).alias("_chi2"),
     )
     v = F.sqrt(
         F.col("_chi2")

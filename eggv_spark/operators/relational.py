@@ -890,28 +890,27 @@ def horvitz_thompson_totals(
     value_col: str,
     size_col: str,
     key_col: str,
+    size_threshold: float,
     base_pct: int = 10,
 ) -> DataFrame:
     """Unequal-probability sampling with the Horvitz–Thompson
-    estimator: big units get a higher inclusion probability (here
-    p_i steps from base_pct% to 3*base_pct% above the size median —
-    classic size-stratified PPS approximation), the estimator
-    re-weights each sampled unit by 1/p_i, and the output reports
-    estimated vs TRUE totals so the calibration is visible.  The
-    draw is the portable md5 coin (deterministic across engines/
-    runs); truth and estimate come from the same single
-    aggregation pass."""
+    estimator: big units (size above the FIXED ``size_threshold``)
+    get a 3x inclusion probability — classic size-stratified PPS
+    approximation with a constant split point (a data-derived median
+    would ride a percentile-interpolation boundary between engines),
+    the estimator re-weights each sampled unit by 1/p_i, and the
+    output reports estimated vs TRUE totals so the calibration is
+    visible.  The draw is the portable md5 coin (deterministic
+    across engines/runs); truth and estimate come from the same
+    single aggregation pass."""
     from eggv_spark.operators.dedupe import base_hash
 
     keys = list(keys)
-    med = df.agg(
-        F.expr(f"percentile({size_col}, 0.5)").alias("_med")
-    )
-    rows = df.crossJoin(F.broadcast(med)).select(
+    rows = df.select(
         *keys,
         F.col(value_col).alias("_x"),
         F.when(
-            F.col(size_col) > F.col("_med"), F.lit(3 * base_pct)
+            F.col(size_col) > F.lit(size_threshold), F.lit(3 * base_pct)
         ).otherwise(F.lit(base_pct)).alias("_pct"),
         F.pmod(
             base_hash(F.col(key_col).cast("string")), F.lit(100)

@@ -802,21 +802,20 @@ def write_audit_publish(
         n_null = staged.filter(F.col(c).isNull()).count()
         checks.append((f"not_null_{c}", n_null == 0))
     if not all(ok for _, ok in checks):
-        fs = _hadoop_fs(spark, staging)
-        path_cls = spark._jvm.org.apache.hadoop.fs.Path
-        fs.delete(path_cls(staging), True)
+        fs, jstaging, _mk = _hadoop_fs(spark, staging)
+        fs.delete(jstaging, True)
         failed = [name for name, ok in checks if not ok]
         raise ValueError(f"write_audit_publish: audit failed: {failed}")
-    fs = _hadoop_fs(spark, base_dir)
-    path_cls = spark._jvm.org.apache.hadoop.fs.Path
-    if fs.exists(path_cls(publish)):
-        fs.delete(path_cls(publish), True)
-    _fs_rename(fs, path_cls(staging), path_cls(publish))
+    fs, _jbase, mkpath = _hadoop_fs(spark, base_dir)
+    jpublish = mkpath(publish)
+    if fs.exists(jpublish):
+        fs.delete(jpublish, True)
+    _fs_rename(fs, mkpath(staging), jpublish)
     published = spark.read.parquet(publish)
     rows = [(name, 1) for name, _ in checks]
-    audit = spark.createDataFrame(rows, "check string, passed int")
+    audit = spark.createDataFrame(rows, "check_name string, passed int")
     counts = published.agg(
-        F.lit("published_rows").alias("check"),
+        F.lit("published_rows").alias("check_name"),
         F.count("*").cast("int").alias("passed"),
     )
     return audit.unionByName(counts)

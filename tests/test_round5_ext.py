@@ -1,0 +1,397 @@
+"""Round-5 operator tests: statistics, survival/LTV, graph, text
+curation, containment dedup, PNG headers, table ops, sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eggv_spark.operators import aggregates as AG
+from eggv_spark.operators import graph as G
+from eggv_spark.operators import text_analysis as T
+from eggv_spark.operators.dedupe import containment_pairs
+from eggv_spark.operators.events import cohort_ltv, km_survival
+from eggv_spark.operators.geo import grid_density
+from eggv_spark.operators.multimodal import (
+    parse_png_header,
+    synthesize_png_headers,
+)
+from eggv_spark.operators.relational import (
+    horvitz_thompson_totals,
+    min_per_group_sample,
+)
+from eggv_spark.operators.tableops import delete_where, write_audit_publish
+
+
+def test_spearman_monotone_is_one(spark):
+    rows = [(i, float(i), float(i * i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = AG.spearman_corr(df.withColumn("g", F.lit("a")), ["g"], "x", "y")
+    r = out.collect()[0]
+    assert r["spearman"] == 1.0 and r["n"] == 20
+
+
+def test_spearman_ties_average_rank(spark):
+    # x has ties; hand-computed average-rank value for this fixture
+    rows = [(1, 1.0, 1.0), (2, 1.0, 2.0), (3, 2.0, 3.0),
+            (4, 3.0, 4.0), (5, 3.0, 6.0), (6, 4.0, 5.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = AG.spearman_corr(df.withColumn("g", F.lit("a")), ["g"], "x", "y")
+    assert abs(out.collect()[0]["spearman"] - 0.8827) < 1e-4
+
+
+def test_cramers_v_perfect_association(spark):
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "p string, q string")
+    out = AG.cramers_v(df, "p", "q").collect()[0]
+    assert out["cramers_v"] == 1.0 and out["chi2"] == 20.0
+
+
+def test_cramers_v_independence_near_zero(spark):
+    rows = [(a, b) for a in "ab" for b in "xy" for _ in range(5)]
+    df = spark.createDataFrame(rows, "p string, q string")
+    out = AG.cramers_v(df, "p", "q").collect()[0]
+    assert out["chi2"] == 0.0 and out["cramers_v"] == 0.0
+
+
+def test_cohens_d_known_value(spark):
+    rows = [Row(g=0, v=float(x)) for x in (1, 2, 3, 4, 5)]
+    rows += [Row(g=1, v=float(x)) for x in (3, 4, 5, 6, 7)]
+    out = AG.cohens_d(
+        spark.createDataFrame(rows).withColumn("k", F.lit("a")),
+        ["k"], "g", "v",
+    ).collect()[0]
+    # diff = 2, pooled sd = sqrt(2.5) -> d = 1.2649
+    assert out["mean_diff"] == 2.0
+    assert abs(out["cohens_d"] - 1.2649) < 1e-4
+
+
+def test_mutual_info_perfect_dependence(spark):
+    rows = [("a", "x")] * 8 + [("b", "y")] * 8
+    out = AG.mutual_information(
+        spark.createDataFrame(rows, "p string, q string"), "p", "q"
+    ).collect()[0]
+    # MI = H(a) = ln 2; NMI = 1
+    assert abs(out["mi_nats"] - math.log(2)) < 1e-6
+    assert out["nmi"] == 1.0
+
+
+def test_trimmed_mean_drops_outliers(spark):
+    vals = [1000.0] + [10.0] * 8 + [-1000.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = AG.trimmed_mean(
+        df.withColumn("g", F.lit("a")), ["g"], "v", "id", trim=0.1
+    ).collect()[0]
+    assert out["trimmed_mean"] == 10.0 and out["n_kept"] == 8
+
+
+def test_lorenz_equal_distribution_is_linear(spark):
+    rows = [(i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = AG.lorenz_deciles(
+        df.withColumn("g", F.lit("a")), ["g"], "v", "id"
+    ).collect()
+    shares = {r["decile"]: r["cum_share"] for r in out}
+    assert shares[1] == 0.1 and shares[5] == 0.5 and shares[10] == 1.0
+
+
+def test_ecdf_at_points_exact(spark):
+    rows = [(i, float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = AG.ecdf_at_points(
+        df.withColumn("g", F.lit("a")), ["g"], "v", [5.0, 10.0]
+    ).collect()
+    cdf = {r["probe"]: r["cdf"] for r in out}
+    assert cdf[5.0] == 0.5 and cdf[10.0] == 1.0
+
+
+def test_runs_test_alternating_series(spark):
+    # perfectly alternating -> maximum runs -> large positive z
+    rows = [(i, 1.0 if i % 2 else -1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = AG.runs_test(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v"
+    ).collect()[0]
+    assert out["runs"] == 20 and out["runs_z"] > 3.0
+
+
+def test_permutation_test_null_is_insignificant(spark):
+    # identical arms -> diff 0 -> p must be large
+    rows = [(i, 1.0 + (i % 5), i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double, arm int")
+    out = AG.permutation_test_diff(
+        df.withColumn("g", F.lit("a")), ["g"], "arm", "v", "id",
+        n_permutations=32,
+    ).collect()[0]
+    assert out["p_value"] > 0.2
+
+
+def test_bh_adjust_flags_prefix(spark):
+    rows = [("a", 0.001), ("b", 0.002), ("c", 0.9), ("d", 0.95)]
+    df = spark.createDataFrame(rows, "h string, p double")
+    out = {r["h"]: r for r in AG.bh_adjust(df, "p", "h").collect()}
+    assert out["a"]["significant"] == 1 and out["b"]["significant"] == 1
+    assert out["c"]["significant"] == 0 and out["d"]["significant"] == 0
+
+
+def test_fisher_combine_uniform_ps(spark):
+    df = spark.createDataFrame(
+        [(0.5,), (0.5,)], "p double"
+    )
+    out = AG.fisher_combine(df, "p").collect()[0]
+    # X2 = -2*2*ln(.5) = 2.772589; dof 4; survival = e^-x/2 (1 + x/2)
+    assert abs(out["fisher_x2"] - 2.772589) < 1e-4
+    expect = math.exp(-1.3862945) * (1 + 1.3862945)
+    assert abs(out["p_combined"] - round(expect, 6)) < 1e-5
+
+
+def test_ljung_box_white_noise_large_p(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.random()) for i in range(60)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = AG.ljung_box(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v", n_lags=4
+    ).collect()[0]
+    assert out["p_value"] > 0.05  # no serial correlation
+
+
+def test_ratio_delta_ci_contains_truth(spark):
+    rows = [(i, 10.0 + (i % 3), 5.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, y double, x double")
+    out = AG.ratio_delta_ci(df, [], "y", "x").collect()[0]
+    assert out["ci_lo"] <= out["ratio"] <= out["ci_hi"]
+    assert abs(out["ratio"] - 2.2) < 0.01
+
+
+def test_digit_histogram_buckets(spark):
+    rows = [(1, 0.05), (2, 5.0), (3, 50.0), (4, 55.5)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["bucket"]: r for r in
+           AG.digit_histogram(df, [], "v").collect()}
+    # cents: 5 -> 1 digit; 500 -> 3; 5000 and 5550 -> 4
+    assert out[1]["n_rows"] == 1 and out[3]["n_rows"] == 1
+    assert out[4]["n_rows"] == 2 and out[4]["cum_frac"] == 1.0
+
+
+def test_ewma_constant_series_is_constant(spark):
+    rows = [(i, 7.0) for i in range(15)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = AG.with_ewma(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v"
+    ).collect()
+    assert all(r["ewma"] == 7.0 for r in out)
+
+
+def test_rolling_skew_symmetric_window_zero(spark):
+    # repeating symmetric pattern -> skew 0 when frame is full
+    vals = [1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 3.0, 2.0, 1.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = AG.with_rolling_skew(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v", window_rows=7
+    ).collect()
+    full = [r for r in out if r["rolling_skew"] is not None]
+    assert len(full) > 0
+    assert all(abs(r["rolling_skew"]) < 0.45 for r in full)
+
+
+def test_km_survival_all_convert_day_zero(spark):
+    rows = []
+    for u in range(4):
+        rows.append((u * 10, "2024-01-01 00:00:00", u, "signup"))
+        rows.append((u * 10 + 1, "2024-01-02 00:00:00", u, "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = km_survival(df).collect()
+    assert len(out) == 1
+    assert out[0]["day"] == 1 and out[0]["survival"] == 0.0
+
+
+def test_km_survival_censoring(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        (2, "2024-01-03 00:00:00", 1, "purchase"),
+        (3, "2024-01-01 00:00:00", 2, "signup"),
+        (4, "2024-01-05 00:00:00", 2, "view"),  # censored at tmax
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["day"]: r for r in km_survival(df).collect()}
+    # day 2: 1 of 2 at risk converts -> S = 0.5; day 4 censor keeps S
+    assert out[2]["survival"] == 0.5
+    assert out[4]["survival"] == 0.5 and out[4]["d_events"] == 0
+
+
+def test_cohort_ltv_cumulative(spark):
+    rows = [
+        (1, 100, "1995-01-15 00:00:00", 10.0),
+        (2, 100, "1995-02-10 00:00:00", 30.0),
+        (3, 200, "1995-01-20 00:00:00", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = {(r["cohort_month"], r["age_months"]): r
+           for r in cohort_ltv(df).collect()}
+    jan = out[("1995-01-01", 0)]
+    assert jan["n_customers"] == 2 and jan["cum_revenue"] == 60.0
+    assert out[("1995-01-01", 1)]["cum_revenue"] == 90.0
+    assert out[("1995-01-01", 1)]["ltv_per_customer"] == 45.0
+
+
+def test_kcore_removes_pendant_chain(spark):
+    # triangle 1-2-3 plus pendant chain 3-4-5: 2-core = the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["node"]: r["degree"]
+           for r in G.kcore_prune(df, k=2, iterations=3).collect()}
+    assert set(out) == {1, 2, 3} and all(v == 2 for v in out.values())
+
+
+def test_adamic_adar_scores_open_wedge(spark):
+    # path 1-2-3: (1,3) is the only candidate; deg(2)=2 -> 1/ln 2
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = G.adamic_adar(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"]) == (1, 3)
+    assert abs(r["aa_score"] - round(1 / math.log(2), 6)) < 1e-6
+
+
+def test_bfs_reach_depths(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["node"]: r["depth"]
+           for r in G.bfs_reach(df, 1, max_depth=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_code_signals_flags_code(spark):
+    rows = [(1, "plain prose sentence here"),
+            (2, "function f() { return 1; }")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.with_code_signals(df).collect()}
+    assert out[1]["is_code"] == 0 and out[2]["is_code"] == 1
+    assert out[2]["n_braces"] == 2 and out[2]["n_code_keywords"] == 2
+
+
+def test_strip_markdown_removes_markup(spark):
+    rows = [(1, "# Title\nbody [link](http://x.com) **bold**")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = T.strip_markdown(df).collect()[0]
+    assert r["n_links"] == 1 and r["n_headings"] == 1
+    assert r["stripped_text"] == "Title\nbody link bold"
+
+
+def test_unicode_profile_ratios(spark):
+    rows = [(1, "Ab1 .")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = T.with_unicode_profile(df).collect()[0]
+    assert r["n_chars_text"] == 5
+    assert r["digit_ratio"] == 0.2 and r["upper_ratio"] == 0.2
+    assert r["punct_ratio"] == 0.2 and r["space_ratio"] == 0.2
+
+
+def test_containment_detects_prefix_doc(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    half = " ".join(f"tok{i}" for i in range(20))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, half), (3, other)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, threshold=0.8).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+    assert out[0]["containment"] == 1.0
+
+
+def test_png_header_roundtrip(spark):
+    docs = spark.createDataFrame([(5,), (70,)], "doc_id long")
+    out = {r["asset_id"]: r
+           for r in parse_png_header(synthesize_png_headers(docs)).collect()}
+    assert out[5]["width"] == 6 and out[5]["height"] == 36
+    assert out[70]["width"] == 7 and out[70]["height"] == 11
+    assert all(r["header_ok"] == 1 and r["bit_depth"] == 8
+               and r["color_type"] == 2 for r in out.values())
+
+
+def test_png_parse_rejects_garbage(spark):
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"not a png at all, definitely"))],
+        "asset_id long, payload binary",
+    )
+    r = parse_png_header(assets).collect()[0]
+    assert r["header_ok"] == 0 and r["width"] is None
+
+
+def test_delete_where_partitions_counts(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept, audit = delete_where(df, F.col("id") < 4, audit_keys=["g"])
+    assert kept.count() == 6
+    a = {r["g"]: r for r in audit.collect()}
+    assert a["a"]["rows_deleted"] == 2 and a["b"]["rows_deleted"] == 2
+    assert a["a"]["rows_kept"] + a["b"]["rows_kept"] == 6
+
+
+def test_wap_publish_rejects_bad_audit(spark, tmp_path):
+    df = spark.createDataFrame([(1, None)], "id long, v string")
+    with pytest.raises(ValueError, match="not_null_v"):
+        write_audit_publish(
+            df, str(tmp_path / "wap"), not_null_cols=["v"]
+        )
+    # nothing published on failure
+    import os
+
+    assert not os.path.exists(str(tmp_path / "wap" / "published"))
+
+
+def test_wap_publish_happy_path(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = write_audit_publish(
+        df, str(tmp_path / "wap2"), not_null_cols=["v"], min_rows=2
+    )
+    checks = {r["check_name"]: r["passed"] for r in out.collect()}
+    assert checks["row_floor"] == 1 and checks["published_rows"] == 2
+    back = spark.read.parquet(str(tmp_path / "wap2" / "published"))
+    assert back.count() == 2
+
+
+def test_min_per_group_floor_honored(spark):
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "small")
+                                               for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = min_per_group_sample(df, "g", "id", min_keep=20, frac_pct=10)
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 5          # whole tiny group survives
+    assert 20 <= counts["big"] < 500     # floor + ~10%
+
+
+def test_horvitz_thompson_unbiased_scale(spark):
+    rows = [(i, float(i % 100), float(i % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double, s double")
+    out = horvitz_thompson_totals(
+        df.withColumn("g", F.lit("a")), ["g"], "v", "s", "id",
+        size_threshold=50.0, base_pct=10,
+    ).collect()[0]
+    # HT count estimate should be within 25% of the true 2000
+    assert abs(out["ht_count"] - out["n_total"]) / out["n_total"] < 0.25
+
+
+def test_grid_density_ranks_hotspot(spark):
+    rows = [(0.5, 0.5)] * 10 + [(45.5, 90.5)] * 3
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    out = grid_density(df, "lat", "lon", cell_deg=1.0, top_n=5).collect()
+    assert out[0]["n_points"] == 10 and out[0]["rank"] == 1
+    assert out[0]["lat_lo"] == 0.0 and out[0]["lon_lo"] == 0.0
