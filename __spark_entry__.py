@@ -5499,6 +5499,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     downweighting (``ddp_soft_dedup``, the keep-but-reweight curation
     alternative to hard removal); and TOST mean-equivalence readout
     (``agg_tost``, the non-inferiority complement to ``agg_welch``).
+
+    Round-5 additions (32 entries, dict tail, all dual-scale green on
+    arrival — together with the 18 remaining round-4 additions they
+    form EXACTLY the final 50-entry round-6 window, closing driver
+    coverage of the whole registry): the statistics family
+    (Spearman, Cramér's V with empty-cell correction, Cohen's d,
+    mutual information/NMI, rank-based trimmed mean, Lorenz deciles,
+    fixed-probe ECDF, runs test, randomization test + BH-FDR,
+    Fisher's method, Ljung–Box, delta-method ratio CI, digit-count
+    histogram), EWMA + rolling skewness windows, Kaplan–Meier
+    survival + cohort LTV, k-core/Adamic–Adar/BFS graph queries,
+    code-detect/markdown-strip/unicode-profile curation, asymmetric
+    containment dedup, PNG header parse, DELETE WHERE audit +
+    write-audit-publish, coverage-floor + Horvitz–Thompson sampling,
+    as-of tolerance join, pair-cosine histogram, and geo grid
+    density.
     """
     return {
         # --- round-5 verification window (50): the staging block from

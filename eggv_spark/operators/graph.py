@@ -333,20 +333,25 @@ def kcore_prune(
     on the node id both ways, so AQE handles skewed hubs; survivors
     shrink monotonically, and caching the current edge frame bounds
     lineage."""
+    # eager localCheckpoint per round (same lineage policy as
+    # dedupe.connected_components_star): without it every prune
+    # round re-derives the full upstream edge DAG — measured 296
+    # exchanges in the plan vs ~10 checkpointed
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     cur = und
-    deg = None
     for _ in range(iterations):
         deg = cur.groupBy("a").agg(F.count("*").alias("degree"))
         alive = deg.filter(F.col("degree") >= k).select("a")
         cur = (
             cur.join(alive, "a", "left_semi")
             .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint()
         )
     final = cur.groupBy("a").agg(F.count("*").alias("degree"))
     return final.filter(F.col("degree") >= k).select(
@@ -415,11 +420,15 @@ def bfs_reach(
     lineage finite — an unbounded BFS on a relational engine needs
     iterate-until-empty driver control with checkpointing every few
     rounds (documented scale path)."""
+    # eager localCheckpoint: each BFS round joins the frontier with
+    # the edge list — uncheckpointed, every round replays the whole
+    # upstream DAG (measured 120 exchanges vs ~20)
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     spark_lit = F.lit(seed)
     visited = und.sparkSession.range(1).select(
@@ -434,6 +443,6 @@ def bfs_reach(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
         )
-        visited = visited.unionByName(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited.select(F.col("node").cast("int").alias("node"), "depth")
