@@ -1387,9 +1387,21 @@ def spearman_corr(
         F.count("*").over(Window.partitionBy(*keys, y)) - 1
     ) / 2.0
     ranked = rows.withColumn("_rx", rx).withColumn("_ry", ry)
-    return ranked.groupBy(*keys).agg(
+    # corr as covar/(sd*sd) through try_divide: Spark's corr aggregate
+    # raises DIVIDE_BY_ZERO under ANSI when either variable is
+    # constant (all ranks tied); this form yields NULL instead, like
+    # DuckDB's corr
+    agg = ranked.groupBy(*keys).agg(
         F.count("*").alias("n"),
-        F.round(F.corr("_rx", "_ry"), 4).alias("spearman"),
+        F.covar_samp("_rx", "_ry").alias("_cov"),
+        F.stddev_samp("_rx").alias("_sx"),
+        F.stddev_samp("_ry").alias("_sy"),
+    )
+    return agg.select(
+        *keys, "n",
+        F.round(
+            F.try_divide(F.col("_cov"), F.col("_sx") * F.col("_sy")), 4
+        ).alias("spearman"),
     )
 
 
@@ -1429,11 +1441,13 @@ def cramers_v(df: DataFrame, a: str, b: str) -> DataFrame:
             + (F.any_value("_n") - F.sum("_e"))
         ).alias("_chi2"),
     )
+    # try_divide: a degenerate table (single row or column category)
+    # has min(r-1, c-1) = 0 — V is undefined (NULL), not an ANSI error
     v = F.sqrt(
-        F.col("_chi2")
-        / (
+        F.try_divide(
+            F.col("_chi2"),
             F.col("n")
-            * F.least(F.col("n_rows_cat") - 1, F.col("n_cols_cat") - 1)
+            * F.least(F.col("n_rows_cat") - 1, F.col("n_cols_cat") - 1),
         )
     )
     return agg.select(
@@ -1597,9 +1611,11 @@ def lorenz_deciles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = F.sum("_s").over(Window.partitionBy(*keys))
+    # try_divide: a group whose values sum to exactly zero has no
+    # defined Lorenz share — NULL, not a job-killing ANSI error
     return per_dec.select(
         *keys, "decile", "n_rows",
-        F.round(cum / tot, 6).alias("cum_share"),
+        F.round(F.try_divide(cum, tot), 6).alias("cum_share"),
     )
 
 

@@ -576,3 +576,141 @@ def test_connected_components_star_equals_naive(spark, edges):
         for r in connected_components_star(pairs).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# round-5 statistics vs exact Python references
+# ---------------------------------------------------------------------------
+
+values_strategy = st.lists(
+    st.floats(
+        min_value=-100, max_value=100,
+        allow_nan=False, allow_infinity=False, width=32,
+    ),
+    min_size=4, max_size=24,
+)
+
+
+def _avg_ranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    return ranks
+
+
+@_settings
+@given(xs=values_strategy)
+def test_spearman_matches_naive_average_ranks(spark, xs):
+    import math
+
+    ys = [((x * 7) % 13) - x / 3 for x in xs]  # deterministic partner
+    from eggv_spark.operators.aggregates import spearman_corr
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "id long, x double, y double",
+    ).withColumn("g", F.lit("a"))
+    got = spearman_corr(df, ["g"], "x", "y").collect()[0]["spearman"]
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    mx, my = sum(rx) / len(rx), sum(ry) / len(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    if den == 0:
+        assert got is None
+    else:
+        assert abs(got - round(num / den, 4)) <= 1e-4
+
+
+@_settings
+@given(xs=values_strategy)
+def test_trimmed_mean_matches_sorted_slice(spark, xs):
+    from eggv_spark.operators.aggregates import trimmed_mean
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "id long, v double"
+    ).withColumn("g", F.lit("a"))
+    got = trimmed_mean(df, ["g"], "v", "id", trim=0.2).collect()[0]
+    k = int(len(xs) * 0.2)
+    kept = sorted(xs)[k: len(xs) - k]
+    assert got["n_kept"] == len(kept)
+    assert abs(got["trimmed_mean"] - round(sum(kept) / len(kept), 4)) <= 1e-4
+
+
+@_settings
+@given(xs=values_strategy)
+def test_ecdf_matches_naive_fraction(spark, xs):
+    from eggv_spark.operators.aggregates import ecdf_at_points
+
+    probes = [-50.0, 0.0, 50.0]
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "id long, v double"
+    ).withColumn("g", F.lit("a"))
+    out = {
+        r["probe"]: r["cdf"]
+        for r in ecdf_at_points(df, ["g"], "v", probes).collect()
+    }
+    for p in probes:
+        want = sum(1 for x in xs if x <= p) / len(xs)
+        assert abs(out[p] - round(want, 6)) <= 1e-6
+
+
+@_settings
+@given(
+    labels=st.lists(st.integers(0, 1), min_size=6, max_size=20),
+)
+def test_cramers_v_matches_naive_contingency(spark, labels):
+    import math
+
+    from eggv_spark.operators.aggregates import cramers_v
+
+    pairs = [
+        ("a" if l else "b", "x" if (i + l) % 3 else "y")
+        for i, l in enumerate(labels)
+    ]
+    df = spark.createDataFrame(pairs, "p string, q string")
+    got = cramers_v(df, "p", "q").collect()[0]
+    n = len(pairs)
+    from collections import Counter
+
+    cells = Counter(pairs)
+    ra = Counter(p for p, _ in pairs)
+    cb = Counter(q for _, q in pairs)
+    chi2 = 0.0
+    for a in ra:
+        for b in cb:
+            e = ra[a] * cb[b] / n
+            o = cells.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+    assert abs(got["chi2"] - round(chi2, 4)) <= 2e-4
+    mindim = min(len(ra) - 1, len(cb) - 1)
+    if mindim > 0:
+        want_v = math.sqrt(chi2 / (n * mindim))
+        assert abs(got["cramers_v"] - round(want_v, 6)) <= 2e-6
+
+
+@_settings
+@given(xs=values_strategy)
+def test_lorenz_last_decile_is_total(spark, xs):
+    from eggv_spark.operators.aggregates import lorenz_deciles
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "id long, v double"
+    ).withColumn("g", F.lit("a"))
+    out = lorenz_deciles(df, ["g"], "v", "id").collect()
+    last = max(out, key=lambda r: r["decile"])
+    assert last["decile"] == 10
+    if sum(xs) == 0:
+        assert last["cum_share"] is None  # zero-total: share undefined
+    else:
+        assert abs(last["cum_share"] - 1.0) <= 1e-6
+    assert sum(r["n_rows"] for r in out) == len(xs)
