@@ -497,3 +497,64 @@ def test_poisson_bootstrap_single_pass_partial_aggregate(spark):
     assert "BatchEvalPython" not in plan
     # replicate sums partial-aggregate before the B-group exchange
     assert "partial_sum" in plan
+
+
+def test_ecdf_single_partial_aggregate_pass(spark):
+    from eggv_spark.operators.aggregates import ecdf_at_points
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = _plan(
+        ecdf_at_points(li, ["l_returnflag"], "l_extendedprice", [1.0, 2.0])
+    )
+    # sort-free: one keyed hash aggregate with a map-side partial,
+    # never a Sort/Window over the input
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+    assert "Sort " not in plan.split("Exchange")[1]
+
+
+def test_unicode_profile_is_pure_projection(spark):
+    from eggv_spark.operators.text_analysis import with_unicode_profile
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(with_unicode_profile(docs))
+    assert "Exchange" not in plan          # no shuffle
+    assert "BatchEvalPython" not in plan   # no row-wise Python
+
+
+def test_png_parse_stays_jvm_side(spark):
+    from eggv_spark.operators.multimodal import (
+        parse_png_header, synthesize_png_headers,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(parse_png_header(synthesize_png_headers(docs)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan        # neither row nor Arrow UDF
+
+
+def test_cohort_ltv_broadcasts_cohort_sizes(spark):
+    from eggv_spark.operators.events import cohort_ltv
+
+    orders = read_table(spark, SF_DIR, "orders")
+    plan = _plan(cohort_ltv(orders))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_permutation_test_reduces_before_shuffle(spark):
+    from eggv_spark.operators.aggregates import permutation_test_diff
+
+    ev = read_table(spark, SF_DIR, "events").withColumn(
+        "_arm", (F.col("user_id") % 2).cast("int")
+    )
+    plan = _plan(
+        permutation_test_diff(
+            ev, ["event_type"], "_arm", "value", "event_id",
+            n_permutations=8,
+        )
+    )
+    # the B-replicate aggregation must partial-aggregate map-side so
+    # the shuffle carries B rows per group per partition, not B
+    # copies of the input
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
