@@ -9353,8 +9353,9 @@ _PERM_PV_SQL = (
     "   FROM rows r CROSS JOIN generate_series(0, 63) b(b))"
     "  GROUP BY 1, 2),"
     " pv AS (SELECT o.event_type, o.n, o.d_obs,"
+    "  CASE WHEN o.d_obs IS NULL THEN 1.0 ELSE"
     "  round((1 + sum(CASE WHEN abs(p.d_perm) >= abs(o.d_obs)"
-    "   THEN 1 ELSE 0 END)) / 65.0, 6) AS p_value"
+    "   THEN 1 ELSE 0 END)) / 65.0, 6) END AS p_value"
     "  FROM obs o JOIN perm p USING (event_type) GROUP BY 1, 2, 3)"
 )
 
@@ -9386,12 +9387,15 @@ _R5_EXP_ORACLES = {
         "WITH " + _PERM_PV_SQL.replace("%%", "%") + ","
         " a AS (SELECT count(*) AS m,"
         "  round(-2.0 * sum(ln(p_value)), 6) AS fisher_x2 FROM pv)"
+        # lgamma form, not factorial(i): valid for any family size
+        # (mirrors the Spark side's factorial-free recurrence, which
+        # exists because Spark factorial is NULL past 20)
         " SELECT m, fisher_x2,"
         " round(least(exp(-fisher_x2 / 2.0) * list_sum(list_transform("
         "  generate_series(0, CAST(m AS INT) - 1),"
-        "  i -> pow(fisher_x2 / 2.0, CAST(i AS DOUBLE))"
-        "   / CAST(factorial(CAST(i AS INTEGER)) AS DOUBLE))), 1.0), 6)"
-        "  AS p_combined"
+        "  i -> CASE WHEN i = 0 THEN 1.0 WHEN fisher_x2 = 0 THEN 0.0"
+        "   ELSE exp(i * ln(fisher_x2 / 2.0) - lgamma(i + 1.0)) END)),"
+        "  1.0), 6) AS p_combined"
         " FROM a"
     ),
     "agg_ljung_box": (
@@ -9414,8 +9418,9 @@ _R5_EXP_ORACLES = {
         "   + pow(s3 / den, 2) / (n - 3) + pow(s4 / den, 2) / (n - 4)),"
         "  6) AS lb_q FROM a)"
         " SELECT event_type, n, lb_q,"
+        " CASE WHEN lb_q IS NULL THEN NULL ELSE"
         " round(least(exp(-lb_q / 2.0) * (1.0 + lb_q / 2.0), 1.0), 6)"
-        "  AS p_value FROM q"
+        " END AS p_value FROM q"
     ),
     "agg_ratio_ci": (
         "WITH u AS (SELECT user_id, sum(value) AS y,"
@@ -9552,8 +9557,10 @@ def _graph_bfs_reach(spark, sf_dir):
     visited-set dedup, min depth per node (graph.bfs_reach);
     recursive-CTE oracle."""
     edges = _top_copurchase_edges(spark, sf_dir)
-    seed = edges.agg(F.min("x")).first()[0]
-    return G.bfs_reach(edges, int(seed), "x", "y", max_depth=3)
+    # seed as a 1-row frame: construction stays lazy (no .first()
+    # executing the edge build before the plan exists)
+    seed = edges.agg(F.min("x").alias("node"))
+    return G.bfs_reach(edges, seed, "x", "y", max_depth=3)
 
 
 _COPURCHASE_SQL = (
@@ -9726,7 +9733,7 @@ def _txt_unicode_profile(spark, sf_dir):
 def _ddp_containment(spark, sf_dir):
     """Asymmetric containment dedup (short doc embedded in long doc):
     every 5th document gets a half-length truncated twin (id +
-    100000) injected in-query; bottom-k shingle-hash blocking +
+    1000000, the registry-wide twin-id convention) injected in-query; bottom-k shingle-hash blocking +
     exact intersection verification must recover the twins
     (dedupe.containment_pairs)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -9735,7 +9742,7 @@ def _ddp_containment(spark, sf_dir):
     truncated = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + 1000000).alias("doc_id"),
             F.concat_ws(" ", F.slice(toks, F.lit(1), half)).alias("text"),
         )
     )
@@ -9839,7 +9846,8 @@ _R5_TXT_ORACLES = {
         " round(len(regexp_extract_all(text,"
         "  '[.,!?;:''\"()-]'))"
         "  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,"
-        f" round({_regex_count_sql('text', chr(92) + 's')}"
+        # explicit class, not \s: Java \s includes VT, RE2 \s does not
+        f" round({_regex_count_sql('text', '[ ' + chr(92) + 't' + chr(92) + 'n' + chr(92) + 'f' + chr(92) + 'r]')}"
         "  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS space_ratio"
         " FROM documents"
     ),
@@ -9873,7 +9881,7 @@ def _containment_oracle() -> str:
 WITH docs AS (SELECT doc_id, text FROM documents),
 trunc_src AS (SELECT doc_id, {_TOKS_SQL} AS t FROM docs
   WHERE doc_id % 5 = 0),
-truncated AS (SELECT doc_id + 100000 AS doc_id,
+truncated AS (SELECT doc_id + 1000000 AS doc_id,
   array_to_string(list_slice(t, 1,
     greatest(CAST(len(t) // 2 AS INT), 1)), ' ') AS text
   FROM trunc_src),
@@ -9937,8 +9945,13 @@ def _join_asof_tolerance(spark, sf_dir):
     single-shuffle plan (rangejoin.asof_join tolerance arm);
     DuckDB ASOF JOIN oracle."""
     ev = _t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id")
+    # equal-(user, ts) view rows would be an arbitrary pick on both
+    # sides (Spark window tie vs DuckDB ASOF pick) — collapse them
+    # deterministically to the max view_id first
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -10007,8 +10020,8 @@ _R5_TAIL_ORACLES = {
         " FROM r GROUP BY 1"
     ),
     "join_asof_tolerance": (
-        "WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events"
-        "  WHERE event_type = 'view'),"
+        "WITH v AS (SELECT user_id, ts, max(event_id) AS view_id"
+        "  FROM events WHERE event_type = 'view' GROUP BY 1, 2),"
         " c AS (SELECT event_id, user_id, ts FROM events"
         "  WHERE event_type = 'click')"
         " SELECT c.event_id,"

@@ -1759,10 +1759,19 @@ def permutation_test_diff(
         )
     )
     p = (1 + F.col("_n_exceed")) / F.lit(float(n_permutations + 1))
+    # a one-arm group has NULL diff_obs (no test exists): report
+    # p = 1.0 explicitly — "no evidence" — in BOTH engines.  Without
+    # this, Spark's all-NULL sum makes p NULL (which bh_adjust would
+    # sort NULLS FIRST where DuckDB sorts them LAST, shifting every
+    # p_rank), while the naive oracle CASE ... ELSE 0 would yield
+    # 1/(B+1) — the SMALLEST possible p for the one group with no
+    # test at all, the worst value to hand a step-up procedure.
     return exceed.select(
         *keys, "n",
         F.col("_d_obs").alias("diff_obs"),
-        F.round(p, 6).alias("p_value"),
+        F.when(F.col("_d_obs").isNull(), F.lit(1.0))
+        .otherwise(F.round(p, 6))
+        .alias("p_value"),
     )
 
 
@@ -1814,11 +1823,24 @@ def fisher_combine(df: DataFrame, p_col: str) -> DataFrame:
         F.round(-2.0 * F.sum(F.log(p_col)), 6).alias("fisher_x2"),
     )
     half = F.col("fisher_x2") / 2.0
+    # iterative term recurrence term_i = term_{i-1} * half / i, NEVER
+    # factorial(i): Spark's factorial is NULL past 20, and
+    # least(NULL, 1.0) would silently report p_combined = 1.0 for any
+    # family of m >= 22 hypotheses.  The accumulator carries
+    # (term, total); an empty sequence (m = 1) leaves the init value.
+    idx = F.when(
+        F.col("m") > 1, F.sequence(F.lit(1), F.col("m").cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     series = F.aggregate(
-        F.sequence(F.lit(0), F.col("m").cast("int") - 1),
-        F.lit(0.0),
-        lambda acc, i: acc + F.pow(half, i.cast("double"))
-        / F.factorial(i).cast("double"),
+        idx,
+        F.struct(F.lit(1.0).alias("term"), F.lit(1.0).alias("total")),
+        lambda acc, i: F.struct(
+            (acc["term"] * half / i.cast("double")).alias("term"),
+            (acc["total"] + acc["term"] * half / i.cast("double")).alias(
+                "total"
+            ),
+        ),
+        lambda acc: acc["total"],
     )
     p = F.exp(-half) * series
     return agg.select(
@@ -1865,8 +1887,11 @@ def ljung_box(
         *[F.sum(f"_c{k}").alias(f"_s{k}") for k in range(1, n_lags + 1)],
     )
     n = F.col("n")
+    # try_divide: a constant series has den = 0 with s_k = 0 — the
+    # statistic is undefined (NULL, matching DuckDB's x/0), not a
+    # job-killing ANSI error
     q = n * (n + 2.0) * sum(
-        (F.col(f"_s{k}") / F.col("_den")) ** 2 / (n - k)
+        F.try_divide(F.col(f"_s{k}"), F.col("_den")) ** 2 / (n - k)
         for k in range(1, n_lags + 1)
     )
     agg = agg.withColumn("_q", F.round(q, 6))
@@ -1877,10 +1902,15 @@ def ljung_box(
         for i in range(m_terms)
     )
     p = F.exp(-half) * series
+    # guard the least(): least(NULL, 1.0) is 1.0 in both engines, so
+    # an undefined statistic must short-circuit to NULL explicitly
     return agg.select(
         *keys, "n",
         F.col("_q").alias("lb_q"),
-        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"),
+        F.when(
+            F.col("_q").isNotNull(),
+            F.round(F.least(p, F.lit(1.0)), 6),
+        ).alias("p_value"),
     )
 
 
@@ -1908,10 +1938,15 @@ def ratio_delta_ci(
         F.var_samp(den_col).alias("_vx"),
         F.covar_samp(num_col, den_col).alias("_cxy"),
     )
-    r = F.col("_ybar") / F.col("_xbar")
+    # try_divide both: a group whose denominator metric averages to
+    # exactly zero has an undefined ratio — NULL (DuckDB parity), not
+    # an ANSI job abort
+    r = F.try_divide(F.col("_ybar"), F.col("_xbar"))
     se = F.sqrt(
-        (F.col("_vy") + r * r * F.col("_vx") - 2.0 * r * F.col("_cxy"))
-        / (F.col("n") * F.col("_xbar") * F.col("_xbar"))
+        F.try_divide(
+            F.col("_vy") + r * r * F.col("_vx") - 2.0 * r * F.col("_cxy"),
+            F.col("n") * F.col("_xbar") * F.col("_xbar"),
+        )
     )
     return agg.select(
         *keys, "n",
@@ -1980,7 +2015,9 @@ def with_ewma(
         wt = F.lit(alpha * (1.0 - alpha) ** j)
         num = num + F.coalesce(lagged * wt, F.lit(0.0))
         den = den + F.when(lagged.isNotNull(), wt).otherwise(F.lit(0.0))
-    return df.withColumn(out, F.round(num / den, 6))
+    # try_divide: a row whose whole lag window is NULL (null series
+    # head) has den = 0.0 — NULL ewma, not an ANSI job abort
+    return df.withColumn(out, F.round(F.try_divide(num, den), 6))
 
 
 def with_rolling_skew(

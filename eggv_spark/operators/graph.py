@@ -333,16 +333,17 @@ def kcore_prune(
     on the node id both ways, so AQE handles skewed hubs; survivors
     shrink monotonically, and caching the current edge frame bounds
     lineage."""
-    # eager localCheckpoint per round (same lineage policy as
+    # LAZY localCheckpoint per round (same lineage policy as
     # dedupe.connected_components_star): without it every prune
     # round re-derives the full upstream edge DAG — measured 296
-    # exchanges in the plan vs ~10 checkpointed
+    # exchanges in the plan vs ~10 checkpointed.  eager=False so
+    # building the query (schema tooling) executes nothing.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cur = und
     for _ in range(iterations):
@@ -351,7 +352,7 @@ def kcore_prune(
         cur = (
             cur.join(alive, "a", "left_semi")
             .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     final = cur.groupBy("a").agg(F.count("*").alias("degree"))
     return final.filter(F.col("degree") >= k).select(
@@ -406,7 +407,7 @@ def adamic_adar(
 
 def bfs_reach(
     edges: DataFrame,
-    seed: int,
+    seed,
     src: str = "src",
     dst: str = "dst",
     max_depth: int = 3,
@@ -419,21 +420,33 @@ def bfs_reach(
     O(edges-within-d-hops), not O(paths).  The fixed bound keeps
     lineage finite — an unbounded BFS on a relational engine needs
     iterate-until-empty driver control with checkpointing every few
-    rounds (documented scale path)."""
-    # eager localCheckpoint: each BFS round joins the frontier with
-    # the edge list — uncheckpointed, every round replays the whole
-    # upstream DAG (measured 120 exchanges vs ~20)
+    rounds (documented scale path).
+
+    ``seed`` is an int node id OR a 1-row/1-column DataFrame (e.g.
+    ``edges.agg(F.min("src"))``) — the frame form keeps query
+    CONSTRUCTION lazy (no ``.first()`` driver round-trip before the
+    plan even exists, so schema tooling doesn't execute the edge
+    build)."""
+    # LAZY localCheckpoint (eager=False): each BFS round joins the
+    # frontier with the edge list — uncheckpointed, every round
+    # replays the whole upstream DAG (measured 120 exchanges vs ~20);
+    # eager=True would instead execute the edge build at construction
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    spark_lit = F.lit(seed)
-    visited = und.sparkSession.range(1).select(
-        spark_lit.cast("int").alias("node"), F.lit(0).alias("depth")
-    )
+    if isinstance(seed, DataFrame):
+        visited = seed.select(
+            F.col(seed.columns[0]).cast("int").alias("node"),
+            F.lit(0).alias("depth"),
+        )
+    else:
+        visited = und.sparkSession.range(1).select(
+            F.lit(seed).cast("int").alias("node"), F.lit(0).alias("depth")
+        )
     frontier = visited.select("node")
     for d in range(1, max_depth + 1):
         nxt = (
@@ -443,6 +456,6 @@ def bfs_reach(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited.select(F.col("node").cast("int").alias("node"), "depth")

@@ -879,10 +879,13 @@ def pair_cosine_histogram(
     id — no cross product), one map-side-combined aggregation."""
     from eggv_spark.operators.dedupe import base_hash, cosine_col
 
-    n = df.count()
+    # corpus size rides along as a broadcast 1-row scalar — no
+    # .count() at construction time, the query stays fully lazy
+    n_row = df.agg(F.count("*").alias("_n"))
     left = df.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
-    )
+    ).crossJoin(F.broadcast(n_row))
+    n = F.col("_n")
     partners = left.select(
         "_ida", "_va",
         F.explode(
@@ -895,9 +898,9 @@ def pair_cosine_histogram(
                             base_hash(
                                 F.concat_ws(":", F.col("_ida"), F.lit(j))
                             ),
-                            F.lit(n - 1),
+                            n - 1,
                         ),
-                        F.lit(n),
+                        n,
                     )
                     for j in range(n_pairs_per_vec)
                 ])

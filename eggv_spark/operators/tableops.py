@@ -806,11 +806,25 @@ def write_audit_publish(
         fs.delete(jstaging, True)
         failed = [name for name, ok in checks if not ok]
         raise ValueError(f"write_audit_publish: audit failed: {failed}")
+    # promote via rename-aside, never delete-then-rename: if the
+    # process dies between a delete and the rename, the previously
+    # published table is gone with nothing in its place — exactly the
+    # torn state WAP exists to prevent.  Rename-aside keeps the old
+    # copy recoverable until the new one is live.
     fs, _jbase, mkpath = _hadoop_fs(spark, base_dir)
     jpublish = mkpath(publish)
+    retired = None
     if fs.exists(jpublish):
-        fs.delete(jpublish, True)
-    _fs_rename(fs, mkpath(staging), jpublish)
+        retired = mkpath(f"{publish}_retired_{uuid.uuid4().hex[:8]}")
+        _fs_rename(fs, jpublish, retired)
+    try:
+        _fs_rename(fs, mkpath(staging), jpublish)
+    except Exception:
+        if retired is not None:
+            _fs_rename(fs, retired, jpublish)
+        raise
+    if retired is not None:
+        fs.delete(retired, True)
     published = spark.read.parquet(publish)
     rows = [(name, 1) for name, _ in checks]
     audit = spark.createDataFrame(rows, "check_name string, passed int")

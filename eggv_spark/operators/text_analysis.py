@@ -994,5 +994,8 @@ def with_unicode_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         ratio(r"[0-9]").alias("digit_ratio"),
         ratio(r"[A-Z]").alias("upper_ratio"),
         ratio(r"[.,!?;:'\"()-]").alias("punct_ratio"),
-        ratio(r"\s").alias("space_ratio"),
+        # explicit class, not \s: Java's \s includes vertical tab,
+        # RE2's (DuckDB oracle) does not — OCR garbage is exactly the
+        # input this operator targets, so the engines must agree
+        ratio(r"[ \t\n\f\r]").alias("space_ratio"),
     )

@@ -395,3 +395,87 @@ def test_grid_density_ranks_hotspot(spark):
     out = grid_density(df, "lat", "lon", cell_deg=1.0, top_n=5).collect()
     assert out[0]["n_points"] == 10 and out[0]["rank"] == 1
     assert out[0]["lat_lo"] == 0.0 and out[0]["lon_lo"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round-5 code review)
+# ---------------------------------------------------------------------------
+
+def test_ljung_box_constant_series_is_null_not_error(spark):
+    rows = [(i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = AG.ljung_box(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v", n_lags=4
+    ).collect()[0]
+    assert out["lb_q"] is None and out["p_value"] is None
+
+
+def test_ewma_null_series_head_is_null_not_error(spark):
+    rows = [(1, None), (2, 7.0), (3, 8.0)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {r["t"]: r["ewma"] for r in AG.with_ewma(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v"
+    ).collect()}
+    assert out[1] is None          # whole lag window NULL
+    assert out[2] == 7.0 and out[3] is not None
+
+
+def test_ratio_ci_zero_denominator_is_null_not_error(spark):
+    rows = [(1, 2.0, 0.0), (2, 3.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, y double, x double")
+    out = AG.ratio_delta_ci(df, [], "y", "x").collect()[0]
+    assert out["ratio"] is None and out["se"] is None
+
+
+def test_fisher_combine_survives_large_family(spark):
+    # Spark factorial is NULL past 20; the old series silently
+    # reported p_combined = 1.0 for m >= 22
+    import math
+
+    df = spark.createDataFrame([(0.5,)] * 22, "p double")
+    out = AG.fisher_combine(df, "p").collect()[0]
+    x2 = round(-2 * 22 * math.log(0.5), 6)
+    assert out["fisher_x2"] == x2
+    half = x2 / 2
+    term, total = 1.0, 1.0
+    for i in range(1, 22):
+        term *= half / i
+        total += term
+    want = min(math.exp(-half) * total, 1.0)
+    assert abs(out["p_combined"] - round(want, 6)) < 1e-6
+    assert out["p_combined"] < 1.0
+
+
+def test_permutation_one_arm_p_is_one(spark):
+    rows = [(i, float(i), 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v double, arm int")
+    out = AG.permutation_test_diff(
+        df.withColumn("g", F.lit("a")), ["g"], "arm", "v", "id",
+        n_permutations=16,
+    ).collect()[0]
+    assert out["diff_obs"] is None and out["p_value"] == 1.0
+
+
+def test_wap_republish_keeps_table_available(spark, tmp_path):
+    base = str(tmp_path / "wap3")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string")
+    write_audit_publish(df1, base, not_null_cols=["v"])
+    out = write_audit_publish(df2, base, not_null_cols=["v"])
+    checks = {r["check_name"]: r["passed"] for r in out.collect()}
+    assert checks["published_rows"] == 2
+    back = spark.read.parquet(base + "/published")
+    assert sorted(r["id"] for r in back.collect()) == [2, 3]
+    # no retired leftovers
+    import os
+
+    assert not [d for d in os.listdir(base) if d.startswith("published_retired")]
+
+
+def test_bfs_reach_accepts_seed_frame(spark):
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    seed = df.agg(F.min("src").alias("node"))
+    out = {r["node"]: r["depth"]
+           for r in G.bfs_reach(df, seed, max_depth=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
