@@ -379,11 +379,16 @@ def adamic_adar(
     Capping hub degree (or sampling hub neighborhoods) is the
     documented 100 TB mitigation; on the co-purchase graphs here the
     degree cap is unnecessary."""
+    # lazy checkpoint: the adjacency feeds FOUR branches (wedge left,
+    # wedge right, middle degrees, existing-edge anti-join) — without
+    # it each branch re-derives the upstream edge build (35 exchanges
+    # measured on the co-purchase graph)
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = und.groupBy(F.col("a").alias("z")).agg(
         F.count("*").alias("_deg")
