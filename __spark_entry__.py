@@ -5515,6 +5515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     write-audit-publish, coverage-floor + Horvitz–Thompson sampling,
     as-of tolerance join, pair-cosine histogram, and geo grid
     density.
+
+    Round-5 wave 2 (11 entries, dict tail — the round-7 queue, all
+    dual-scale green on arrival): the k-sample test family (one-way
+    ANOVA, tie-corrected Kruskal–Wallis with even-dof closed-form
+    tail, Levene's W, Mood's median test), temporal structure
+    (burstiness/CV/Fano, discrete periodogram, gaps-and-islands
+    streak histogram), content-defined chunk dedup, IDF novelty,
+    bigram PMI collocations, and Y4M scene-cut detection.
     """
     return {
         # --- round-5 verification window (50): the staging block from
@@ -5831,6 +5839,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_tolerance": _join_asof_tolerance,
         "sim_pair_stats": _sim_pair_stats,
         "geo_grid_density": _geo_grid_density,
+        # --- round-5 wave 2 (round-7 verification queue) ---
+        "agg_anova": _agg_anova,
+        "agg_kruskal": _agg_kruskal,
+        "agg_levene": _agg_levene,
+        "agg_median_test": _agg_median_test,
+        "evt_burstiness": _evt_burstiness,
+        "evt_periodogram": _evt_periodogram,
+        "dt_gap_islands": _dt_gap_islands,
+        "ddp_chunk_dedup": _ddp_chunk_dedup,
+        "txt_novelty_idf": _txt_novelty_idf,
+        "txt_bigram_pmi": _txt_bigram_pmi,
+        "mm_scene_cuts": _mm_scene_cuts,
     }
 
 
@@ -9218,6 +9238,9 @@ def _round5_oracles() -> dict[str, str]:
     out["ddp_containment"] = _containment_oracle()
     out.update(_R5_TAIL_ORACLES)
     out["sim_pair_stats"] = _pair_stats_oracle()
+    for k, v in _R5W2_ORACLES.items():
+        out[k] = v.replace("{toks}", _TOKS_SQL)
+    out["ddp_chunk_dedup"] = _chunk_dedup_oracle()
     return out
 
 
@@ -10071,4 +10094,293 @@ scored AS (SELECT round(list_dot_product(va, vb)
 SELECT CAST(least(greatest(floor(c * 10), -10), 9) AS INT)
   AS cos_bucket, count(*) AS n_pairs, round(avg(c), 4) AS mean_cos
 FROM scored GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 2: k-sample tests + temporal + chunk dedup (round-7 queue)
+# ---------------------------------------------------------------------------
+
+def _agg_anova(spark, sf_dir):
+    """One-way ANOVA F of event value across the five event types —
+    per-group moments to k rows, grand mean inside the scalar reduce
+    (aggregates.anova_oneway)."""
+    return AG.anova_oneway(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def _agg_kruskal(spark, sf_dir):
+    """Kruskal–Wallis H (tie-corrected) of event value across event
+    types — the distribution-free ANOVA, with the closed-form even-
+    dof chi2 tail (k=5 -> dof 4) (aggregates.kruskal_wallis)."""
+    return AG.kruskal_wallis(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def _agg_levene(spark, sf_dir):
+    """Levene's W (mean-centered) for variance equality across event
+    types — |x - mean_g| then ANOVA on the deviations
+    (aggregates.levene_test)."""
+    return AG.levene_test(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def _agg_median_test(spark, sf_dir):
+    """Mood's median test across event types — rank-based pooled
+    median (never percentile interpolation), above/below counts,
+    2xk chi-square (aggregates.median_test)."""
+    return AG.median_test(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+def _evt_burstiness(spark, sf_dir):
+    """Goh–Barabási burstiness + CV + Fano factor of inter-event
+    gaps per event type — integer epoch-second gaps, one lag window
+    + one moments pass (events.burstiness_stats)."""
+    from eggv_spark.operators.events import burstiness_stats
+
+    return burstiness_stats(_t(spark, sf_dir, "events"))
+
+
+def _evt_periodogram(spark, sf_dir):
+    """Discrete periodogram (8 integer frequencies) of the daily
+    event-count series per type — seasonality detection as paired
+    cos/sin conditional aggregates, one map-side pass over the daily
+    rollup (events.periodogram)."""
+    from eggv_spark.operators.events import periodogram
+
+    return periodogram(_t(spark, sf_dir, "events"))
+
+
+def _dt_gap_islands(spark, sf_dir):
+    """Gaps-and-islands over each customer's distinct order months
+    (island id = month index - row_number), rolled to a histogram of
+    consecutive-month streak lengths (events.gap_islands_histogram)."""
+    from eggv_spark.operators.events import gap_islands_histogram
+
+    return gap_islands_histogram(_t(spark, sf_dir, "orders"))
+
+
+def _ddp_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking (hash-boundary chunks, insertion-
+    robust) + per-source chunk duplication profile — the chunk-level
+    dedup feasibility measurement (dedupe.content_defined_chunks /
+    chunk_dedup_stats)."""
+    return D.chunk_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def _txt_novelty_idf(spark, sf_dir):
+    """Per-document novelty as mean idf of distinct tokens — the
+    model-free boilerplate-vs-rare-vocabulary curation signal
+    (text_analysis.novelty_idf)."""
+    return T.novelty_idf(_t(spark, sf_dir, "documents"))
+
+
+def _txt_bigram_pmi(spark, sf_dir):
+    """Top-50 collocations by pointwise mutual information over
+    adjacent token pairs (count >= 5, rank cutoff)
+    (text_analysis.bigram_pmi)."""
+    return T.bigram_pmi(_t(spark, sf_dir, "documents"))
+
+
+def _mm_scene_cuts(spark, sf_dir):
+    """Scene-cut detection on REAL-decoded Y4M frame luma means: the
+    decode runs once in the Arrow-batched sampler, the cut logic is
+    a pure lag window over per-frame stats
+    (multimodal.detect_scene_cuts)."""
+    from eggv_spark.operators import multimodal as M
+
+    vids = M.synthesize_y4m_videos(_t(spark, sf_dir, "documents"))
+    frames = M.sample_video_frames(vids, n_frames=4, fake_decode=False)
+    return M.detect_scene_cuts(frames, threshold=5.0)
+
+
+_CHI2_EVEN_TAIL_SQL = (
+    "round(least(exp(-{x} / 2.0) * list_sum(list_transform("
+    " generate_series(0, {m} - 1),"
+    " i -> CASE WHEN i = 0 THEN 1.0 WHEN {x} = 0 THEN 0.0"
+    "  ELSE exp(i * ln({x} / 2.0) - lgamma(i + 1.0)) END)), 1.0), 6)"
+)
+
+_R5W2_ORACLES = {
+    "agg_anova": (
+        "WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,"
+        "  var_samp(value) AS v FROM events WHERE value IS NOT NULL"
+        "  AND event_type IS NOT NULL GROUP BY 1),"
+        " a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,"
+        "  sum(n * m) / sum(n) AS gm, sum(n * m * m) AS snm2,"
+        "  sum((n - 1) * v) AS ssw FROM g)"
+        " SELECT k, n, CAST(k - 1 AS BIGINT) AS df_between,"
+        " CAST(n - k AS BIGINT) AS df_within,"
+        " round(snm2 - n * gm * gm, 4) AS ss_between,"
+        " round(ssw, 4) AS ss_within,"
+        " round(((snm2 - n * gm * gm) / (k - 1)) / (ssw / (n - k)), 4)"
+        "  AS f_stat FROM a"
+    ),
+    "agg_kruskal": (
+        "WITH r AS (SELECT event_type AS g, value AS x,"
+        "  rank() OVER (ORDER BY value)"
+        "   + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk"
+        "  FROM events WHERE value IS NOT NULL AND event_type IS NOT"
+        "  NULL),"
+        " pg AS (SELECT g, count(*) AS n, sum(rk) AS rs FROM r"
+        "  GROUP BY 1),"
+        " t AS (SELECT sum(pow(tc, 3) - tc) AS tie3 FROM (SELECT"
+        "  count(*) AS tc FROM r GROUP BY x)),"
+        " a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,"
+        "  sum(rs * rs / n) AS sr2 FROM pg),"
+        " h AS (SELECT k, n, round((12.0 / (n * (n + 1.0)) * sr2"
+        "  - 3.0 * (n + 1.0)) / (1.0 - tie3 / (pow(n, 3) - n)), 6)"
+        "  AS kw_h FROM a, t)"
+        " SELECT k, n, kw_h,"
+        " CASE WHEN (k - 1) % 2 = 0 AND kw_h IS NOT NULL THEN "
+        + _CHI2_EVEN_TAIL_SQL.format(x="kw_h", m="CAST((k - 1) / 2 AS INT)")
+        + " END AS p_value FROM h"
+    ),
+    "agg_levene": (
+        "WITH mu AS (SELECT event_type, avg(value) AS gm FROM events"
+        "  WHERE value IS NOT NULL AND event_type IS NOT NULL"
+        "  GROUP BY 1),"
+        " z AS (SELECT e.event_type AS g, abs(e.value - mu.gm) AS x"
+        "  FROM events e JOIN mu USING (event_type)"
+        "  WHERE e.value IS NOT NULL),"
+        " g AS (SELECT g, count(*) AS n, avg(x) AS m, var_samp(x) AS v"
+        "  FROM z GROUP BY 1),"
+        " a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,"
+        "  sum(n * m) / sum(n) AS gm, sum(n * m * m) AS snm2,"
+        "  sum((n - 1) * v) AS ssw FROM g)"
+        " SELECT k, n, CAST(k - 1 AS BIGINT) AS df_between,"
+        " CAST(n - k AS BIGINT) AS df_within,"
+        " round(((snm2 - n * gm * gm) / (k - 1)) / (ssw / (n - k)), 4)"
+        "  AS levene_w FROM a"
+    ),
+    "agg_median_test": (
+        "WITH r AS (SELECT event_type AS g, value AS x,"
+        "  row_number() OVER (ORDER BY value, event_id) AS rn,"
+        "  count(*) OVER () AS n FROM events WHERE value IS NOT NULL"
+        "  AND event_type IS NOT NULL),"
+        " med AS (SELECT x AS m FROM r WHERE rn = ceil(n / 2.0)),"
+        " pg AS (SELECT g,"
+        "  CAST(sum(CASE WHEN x > m THEN 1 ELSE 0 END) AS BIGINT) AS a,"
+        "  CAST(sum(CASE WHEN x < m THEN 1 ELSE 0 END) AS BIGINT) AS b"
+        "  FROM r, med WHERE x <> m GROUP BY 1),"
+        " tot AS (SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS k"
+        "  FROM pg)"
+        " SELECT k, CAST(ta + tb AS BIGINT) AS n_used,"
+        " round(sum(pow(a - (a + b) * ta / (ta + tb), 2)"
+        "   / ((a + b) * ta / (ta + tb))"
+        "  + pow(b - (a + b) * tb / (ta + tb), 2)"
+        "   / ((a + b) * tb / (ta + tb))), 4) AS chi2,"
+        " CAST(k - 1 AS BIGINT) AS dof"
+        " FROM pg, tot GROUP BY k, ta, tb"
+    ),
+    "evt_burstiness": (
+        "WITH gaps AS (SELECT event_type AS t,"
+        "  CAST(floor(epoch(ts)) AS BIGINT)"
+        "   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER ("
+        "   PARTITION BY event_type ORDER BY ts) AS gap FROM events)"
+        " SELECT t AS event_type, count(gap) AS n_gaps,"
+        " round(avg(gap), 4) AS mean_gap_s,"
+        " round((stddev_samp(gap) - avg(gap))"
+        "  / (stddev_samp(gap) + avg(gap)), 6) AS burstiness,"
+        " round(stddev_samp(gap) / avg(gap), 6) AS cv,"
+        " round(var_samp(gap) / avg(gap), 4) AS fano"
+        " FROM gaps WHERE gap IS NOT NULL GROUP BY t"
+    ),
+    "evt_periodogram": (
+        "WITH daily AS (SELECT event_type AS t, CAST(day(ts) AS INT)"
+        "  AS d, CAST(count(*) AS DOUBLE) AS y FROM events"
+        "  GROUP BY 1, 2),"
+        " span AS (SELECT t, max(d) - min(d) + 1 AS sp, min(d) AS d0,"
+        "  count(*) AS n_days FROM daily GROUP BY 1),"
+        " px AS (SELECT daily.t, n_days, k.k,"
+        "  sum(y * cos(6.283185307179586 * k.k * (d - d0)"
+        "   / CAST(sp AS DOUBLE))) AS c,"
+        "  sum(y * sin(6.283185307179586 * k.k * (d - d0)"
+        "   / CAST(sp AS DOUBLE))) AS s"
+        "  FROM daily JOIN span USING (t), generate_series(1, 8) k(k)"
+        "  GROUP BY 1, 2, 3)"
+        " SELECT t AS event_type, CAST(n_days AS BIGINT) AS n_days,"
+        " CAST(k AS INT) AS freq, round(c * c + s * s, 2) AS power"
+        " FROM px"
+    ),
+    "dt_gap_islands": (
+        "WITH months AS (SELECT DISTINCT o_custkey AS c,"
+        "  (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1"
+        "   AS m FROM orders),"
+        " isl AS (SELECT c, m - row_number() OVER (PARTITION BY c"
+        "  ORDER BY m) AS island FROM months),"
+        " lens AS (SELECT c, island, count(*) AS island_length"
+        "  FROM isl GROUP BY 1, 2)"
+        " SELECT island_length, count(*) AS n_islands,"
+        " count(DISTINCT c) AS n_customers"
+        " FROM lens GROUP BY 1"
+    ),
+    "txt_novelty_idf": (
+        f"WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),"
+        " pairs AS (SELECT doc_id, unnest(list_distinct(t)) AS tok"
+        "  FROM toks),"
+        " nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),"
+        " dfreq AS (SELECT tok, count(*) AS df FROM pairs GROUP BY 1)"
+        " SELECT doc_id, count(*) AS n_distinct_tokens,"
+        " round(avg(ln(n / df)), 4) AS novelty_idf"
+        " FROM pairs JOIN dfreq USING (tok), nd GROUP BY doc_id"
+    ),
+    "txt_bigram_pmi": (
+        f"WITH toks AS (SELECT {{toks}} AS t FROM documents),"
+        " uni AS (SELECT unnest(t) AS w FROM toks),"
+        " uc AS (SELECT w, CAST(count(*) AS DOUBLE) AS cw FROM uni"
+        "  GROUP BY 1),"
+        " nu AS (SELECT sum(cw) AS n FROM uc),"
+        " bg AS (SELECT unnest(list_transform("
+        "  generate_series(1, greatest(len(t) - 1, 0)),"
+        "  i -> t[i] || ' ' || t[i + 1])) AS b FROM toks),"
+        " bc AS (SELECT b, CAST(count(*) AS DOUBLE) AS cb FROM bg"
+        "  GROUP BY 1 HAVING count(*) >= 5),"
+        " nb AS (SELECT sum(cb) AS nbi FROM bc),"
+        " scored AS (SELECT b AS bigram, CAST(cb AS BIGINT) AS n_bigram,"
+        "  round(ln((cb / nbi) / ((ca.cw / nu.n) * (cbb.cw / nu.n))), 4)"
+        "   AS pmi"
+        "  FROM bc JOIN uc ca ON ca.w = string_split(bc.b, ' ')[1]"
+        "  JOIN uc cbb ON cbb.w = string_split(bc.b, ' ')[2], nu, nb)"
+        " SELECT bigram, n_bigram, pmi, CAST(rn AS INT) AS rank FROM ("
+        "  SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram)"
+        "   AS rn FROM scored) WHERE rn <= 50"
+    ),
+    "mm_scene_cuts": (
+        # luma means from the generative Y4M formula (Y plane = bytes
+        # i < 16 of frame f of doc d), then lag-window cut detection
+        "WITH px AS (SELECT d.doc_id, f, i,"
+        "  (d.doc_id * 7 + f * 11 + i * 13) % 256 AS v"
+        "  FROM documents d, range(0, 4) tf(f), range(0, 16) ti(i)),"
+        " fm AS (SELECT doc_id, f, avg(v) AS my FROM px GROUP BY 1, 2),"
+        " dl AS (SELECT doc_id, f,"
+        "  abs(my - lag(my) OVER (PARTITION BY doc_id ORDER BY f))"
+        "   AS delta FROM fm)"
+        " SELECT doc_id AS asset_id, count(*) AS n_frames,"
+        " CAST(sum(CASE WHEN delta > 5.0 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_cuts,"
+        " CAST(min(CASE WHEN delta > 5.0 THEN f END) AS INT)"
+        "  AS first_cut_idx"
+        " FROM dl GROUP BY 1"
+    ),
+}
+
+
+def _chunk_dedup_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+tk AS (SELECT doc_id, source, t[i] AS tok, i
+  FROM toks, unnest(generate_series(1, len(t))) u(i)),
+fl AS (SELECT doc_id, source, tok, i,
+  CASE WHEN {_BASEHASH_SQL.format(x='tok')} % 16 = 0 THEN 1 ELSE 0 END
+   AS flag FROM tk),
+ch AS (SELECT doc_id, source, tok, i,
+  sum(flag) OVER (PARTITION BY doc_id ORDER BY i) - flag AS chunk
+  FROM fl),
+chunks AS (SELECT doc_id, source, chunk,
+  md5(string_agg(tok, ' ' ORDER BY i)) AS h FROM ch GROUP BY 1, 2, 3)
+SELECT source, count(*) AS n_chunks,
+ count(DISTINCT h) AS n_unique,
+ round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)
+  AS dup_frac
+FROM chunks GROUP BY source
 """

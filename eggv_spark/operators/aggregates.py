@@ -2051,3 +2051,190 @@ def with_rolling_skew(
         (n == window_rows) & (m2 > 0), m3 / F.pow(m2, F.lit(1.5))
     )
     return df.withColumn(out, F.round(g1, 4))
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 2: k-sample hypothesis tests
+# ---------------------------------------------------------------------------
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F across k groups: SSB/(k-1) over SSW/(n-k),
+    assembled from per-group (n, mean, var) — one map-side-combined
+    aggregation to k rows, then a scalar reduce over that tiny
+    frame.  The grand mean is computed IN the reduce (sum n*mean /
+    sum n), so there is no second scan and no broadcast join.
+    Reports the F statistic with its degrees of freedom (the F
+    p-value has no closed form shared by both engines; consumers
+    compare F against their own critical value)."""
+    per = (
+        df.filter(F.col(value_col).isNotNull()
+                  & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.avg(value_col).alias("_m"),
+            F.var_samp(value_col).alias("_v"),
+        )
+    )
+    agg = per.agg(
+        F.count("*").alias("k"),
+        F.sum("_n").alias("n"),
+        (F.sum(F.col("_n") * F.col("_m")) / F.sum("_n")).alias("_gm"),
+        F.sum(F.col("_n") * F.col("_m") * F.col("_m")).alias("_snm2"),
+        F.sum((F.col("_n") - 1) * F.col("_v")).alias("_ssw"),
+    )
+    ssb = F.col("_snm2") - F.col("n") * F.col("_gm") * F.col("_gm")
+    f_stat = F.try_divide(
+        F.try_divide(ssb, F.col("k") - 1),
+        F.try_divide(F.col("_ssw"), F.col("n") - F.col("k")),
+    )
+    return agg.select(
+        "k", "n",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round("_ssw", 4).alias("ss_within"),
+        F.round(f_stat, 4).alias("f_stat"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H across k groups — the distribution-free ANOVA:
+    average ranks over the POOLED sample (one global sort window —
+    at 100 TB replace with a two-pass histogram ranking; documented),
+    per-group rank sums, H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1),
+    tie-corrected by 1 − Σ(t³−t)/(N³−N).  The chi2(k−1) tail is
+    emitted only when k−1 is even (closed-form series, engine-exact);
+    odd dof report NULL."""
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    avg_rank = F.rank().over(Window.orderBy(value_col)) + (
+        F.count("*").over(Window.partitionBy(value_col)) - 1
+    ) / 2.0
+    ranked = rows.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_x"),
+        avg_rank.alias("_r"),
+    )
+    per_g = ranked.groupBy("_g").agg(
+        F.count("*").alias("_n"), F.sum("_r").alias("_rs")
+    )
+    ties = (
+        ranked.groupBy("_x").agg(F.count("*").alias("_t"))
+        .agg(F.sum(F.col("_t") ** 3 - F.col("_t")).alias("_tie3"))
+    )
+    agg = per_g.agg(
+        F.count("*").alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum(F.col("_rs") * F.col("_rs") / F.col("_n")).alias("_sr2"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("_sr2") - 3.0 * (n + 1.0)
+    correction = 1.0 - F.try_divide(F.col("_tie3"), n ** 3 - n)
+    h = F.round(F.try_divide(h_raw, correction), 6)
+    agg = agg.withColumn("_h", h)
+    # chi2(k-1) survival, closed-form when k-1 even: m = (k-1)/2 terms
+    half = F.col("_h") / 2.0
+    m_terms = ((F.col("k") - 1) / 2).cast("int")
+    idx = F.when(m_terms > 1, F.sequence(F.lit(1), m_terms - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    series = F.aggregate(
+        idx,
+        F.struct(F.lit(1.0).alias("term"), F.lit(1.0).alias("total")),
+        lambda acc, i: F.struct(
+            (acc["term"] * half / i.cast("double")).alias("term"),
+            (acc["total"] + acc["term"] * half / i.cast("double"))
+            .alias("total"),
+        ),
+        lambda acc: acc["total"],
+    )
+    p = F.when(
+        ((F.col("k") - 1) % 2 == 0) & F.col("_h").isNotNull(),
+        F.round(F.least(F.exp(-half) * series, F.lit(1.0)), 6),
+    )
+    return agg.select(
+        "k", "n", F.col("_h").alias("kw_h"), p.alias("p_value")
+    )
+
+
+def levene_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Levene's test for equal variances (mean-centered variant):
+    transform to z = |x − mean_g|, then one-way ANOVA F on z.  Two
+    map-side-combined passes (group means broadcast back); the
+    center is the MEAN, not Brown–Forsythe's median, to stay
+    sort-free — documented deviation, same large-sample behavior."""
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    means = rows.groupBy(group_col).agg(F.avg(value_col).alias("_gmean"))
+    z = rows.join(F.broadcast(means), group_col).select(
+        F.col(group_col).alias("_g"),
+        F.abs(F.col(value_col) - F.col("_gmean")).alias("_z"),
+    )
+    out = anova_oneway(z, "_g", "_z")
+    return out.select(
+        "k", "n", "df_between", "df_within",
+        F.col("f_stat").alias("levene_w"),
+    )
+
+
+def median_test(
+    df: DataFrame, group_col: str, value_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Mood's median test: count above/below the POOLED median per
+    group, chi-square on the 2×k table.  The pooled median is
+    RANK-based (the value at row ceil(n/2) under a unique tiebreak
+    order — never percentile interpolation, which straddles engine
+    boundaries); values EQUAL to the median are excluded (the
+    classical convention).  One sort window for the median, one
+    conditional aggregation per group, chi2 assembled on the k-row
+    frame with the same empty-cell-free 2×k closed form as
+    cramers_v."""
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    w = Window.orderBy(value_col, tiebreak_col)
+    ranked = rows.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.ceil(F.col("_n") / 2.0)
+    ).select(F.col("_x").alias("_med"))
+    per_g = (
+        ranked.crossJoin(F.broadcast(med))
+        .filter(F.col("_x") != F.col("_med"))
+        .groupBy("_g")
+        .agg(
+            F.sum((F.col("_x") > F.col("_med")).cast("long")).alias("_a"),
+            F.sum((F.col("_x") < F.col("_med")).cast("long")).alias("_b"),
+        )
+    )
+    tot = per_g.agg(
+        F.sum("_a").alias("_ta"), F.sum("_b").alias("_tb"),
+        F.count("*").alias("k"),
+    )
+    joined = per_g.crossJoin(F.broadcast(tot))
+    n_all = F.col("_ta") + F.col("_tb")
+    ea = (F.col("_a") + F.col("_b")) * F.col("_ta") / n_all
+    eb = (F.col("_a") + F.col("_b")) * F.col("_tb") / n_all
+    chi2 = F.sum(
+        (F.col("_a") - ea) ** 2 / ea + (F.col("_b") - eb) ** 2 / eb
+    )
+    return joined.groupBy().agg(
+        F.any_value("k").alias("k"),
+        (F.any_value("_ta") + F.any_value("_tb")).cast("long")
+        .alias("n_used"),
+        F.round(chi2, 4).alias("chi2"),
+    ).select(
+        "k", "n_used", "chi2", (F.col("k") - 1).alias("dof")
+    )

@@ -1198,3 +1198,78 @@ def containment_pairs(
         )
     )
     return scored.filter(F.col("containment") >= threshold)
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the CDC idea behind rsync/FastCDC,
+    applied to tokens): a chunk boundary falls AFTER any token whose
+    portable hash ≡ 0 (mod ``boundary_mod``), so chunk boundaries
+    depend only on CONTENT — an insertion early in a document shifts
+    byte offsets but not the chunks after the next boundary, which
+    is what makes chunk-level dedup robust where fixed-width
+    passage windows break.  Returns one row per (doc, chunk) with
+    the chunk fingerprint.
+
+    Plan: posexplode tokens, boundary flag per token, chunk id as a
+    running flag-sum window per doc (one shuffle on the doc id),
+    re-assemble each chunk with sort_array(collect_list(struct(pos,
+    token))) — deterministic order without a second sort shuffle."""
+    from eggv_spark.operators.text_analysis import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_col(text_col)).alias("_pos", "_tok"),
+    )
+    flag = (base_hash(F.col("_tok")) % boundary_mod == 0).cast("int")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    chunked = toks.withColumn(
+        "_chunk",
+        F.sum(flag).over(w) - flag,  # boundary token CLOSES its chunk
+    )
+    chunks = chunked.groupBy("_id", "_chunk").agg(
+        F.count("*").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("_pos", "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias("chunk_text"),
+    )
+    return chunks.select(
+        F.col("_id").alias(id_col),
+        F.col("_chunk").alias("chunk_idx"),
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level duplication profile per corpus slice: total chunk
+    instances vs distinct fingerprints and the duplicated fraction —
+    the measurement that decides whether chunk-level dedup is worth
+    running on a crawl slice.  One grouped pass over the chunk
+    frame."""
+    chunks = content_defined_chunks(df, id_col, text_col)
+    joined = chunks.join(
+        df.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    return joined.groupBy(group_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("chunk_hash").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("chunk_hash") / F.count("*"), 6
+        ).alias("dup_frac"),
+    )

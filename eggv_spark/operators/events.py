@@ -714,3 +714,122 @@ def cohort_ltv(
             ).alias("ltv_per_customer"),
         )
     )
+
+
+def burstiness_stats(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal burstiness per event type from inter-event gaps:
+    Goh–Barabási burstiness B = (σ−μ)/(σ+μ) (−1 = perfectly regular,
+    0 = Poisson, →1 = bursty), coefficient of variation, and the
+    Fano factor of the gap distribution.  Gaps are integer epoch-
+    second differences (engine-exact); one lag window ordered by
+    (ts, tiebreak) + one moments pass."""
+    w = Window.partitionBy(type_col).orderBy(ts_col)
+    secs = F.col(ts_col).cast("long")
+    gaps = df.select(
+        F.col(type_col).alias("_t"),
+        (secs - F.lag(secs).over(w)).alias("_gap"),
+    ).filter(F.col("_gap").isNotNull())
+    agg = gaps.groupBy("_t").agg(
+        F.count("*").alias("n_gaps"),
+        F.avg("_gap").alias("_mu"),
+        F.stddev_samp("_gap").alias("_sigma"),
+        F.var_samp("_gap").alias("_var"),
+    )
+    return agg.select(
+        F.col("_t").alias("event_type"), "n_gaps",
+        F.round("_mu", 4).alias("mean_gap_s"),
+        F.round(
+            F.try_divide(
+                F.col("_sigma") - F.col("_mu"),
+                F.col("_sigma") + F.col("_mu"),
+            ), 6,
+        ).alias("burstiness"),
+        F.round(F.try_divide(F.col("_sigma"), F.col("_mu")), 6).alias("cv"),
+        F.round(F.try_divide(F.col("_var"), F.col("_mu")), 4).alias("fano"),
+    )
+
+
+def periodogram(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_freqs: int = 8,
+) -> DataFrame:
+    """Discrete periodogram of the daily event-count series per type:
+    spectral power P_k = C_k² + S_k² with C_k = Σ y_t cos(2πkt/T),
+    S_k = Σ y_t sin(2πkt/T) at integer frequencies k = 1..n_freqs —
+    seasonality detection as TWO conditional aggregates per
+    frequency, all in one map-side-combined pass over the tiny daily
+    rollup (no FFT, no UDF; for long series an FFT via mapInPandas is
+    the documented scale path).  2dp-rounded power: cos/sin libm
+    differences are ~1e-16 relative, far under the round."""
+    daily = df.groupBy(
+        F.col(type_col).alias("_t"),
+        F.dayofmonth(ts_col).cast("int").alias("_d"),
+    ).agg(F.count("*").cast("double").alias("_y"))
+    span = daily.groupBy("_t").agg(
+        (F.max("_d") - F.min("_d") + 1).alias("_span"),
+        F.min("_d").alias("_d0"),
+    )
+    rows = daily.join(F.broadcast(span), "_t")
+    t_idx = (F.col("_d") - F.col("_d0")).cast("double")
+    two_pi = 6.283185307179586
+    aggs = []
+    for k in range(1, n_freqs + 1):
+        ang = two_pi * k * t_idx / F.col("_span")
+        aggs.append(F.sum(F.col("_y") * F.cos(ang)).alias(f"_c{k}"))
+        aggs.append(F.sum(F.col("_y") * F.sin(ang)).alias(f"_s{k}"))
+    wide = rows.groupBy("_t").agg(F.count("*").alias("n_days"), *aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(k).alias("freq"),
+            F.round(
+                F.col(f"_c{k}") ** 2 + F.col(f"_s{k}") ** 2, 2
+            ).alias("power"),
+        )
+        for k in range(1, n_freqs + 1)
+    ])
+    return wide.select(
+        F.col("_t").alias("event_type"), "n_days",
+        F.explode(pairs).alias("_p"),
+    ).select(
+        "event_type", "n_days",
+        F.col("_p.freq").alias("freq"), F.col("_p.power").alias("power"),
+    )
+
+
+def gap_islands_histogram(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+) -> DataFrame:
+    """Gaps-and-islands over each customer's DISTINCT order months:
+    island id = month_index − row_number (the classic trick: inside a
+    consecutive run the difference is constant), then a histogram of
+    island lengths — customer-retention streaks at a glance.  All
+    integer month arithmetic; two keyed aggregations + one window on
+    the distinct-months frame."""
+    months = orders.select(
+        F.col(cust_col).alias("_c"),
+        (
+            (F.year(ts_col) - 1992) * 12 + F.month(ts_col) - 1
+        ).alias("_m"),
+    ).distinct()
+    w = Window.partitionBy("_c").orderBy("_m")
+    islands = months.select(
+        "_c", (F.col("_m") - F.row_number().over(w)).alias("_isl")
+    )
+    lengths = islands.groupBy("_c", "_isl").agg(
+        F.count("*").alias("island_length")
+    )
+    return (
+        lengths.groupBy("island_length")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.count_distinct("_c").alias("n_customers"),
+        )
+    )

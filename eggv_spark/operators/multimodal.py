@@ -41,7 +41,7 @@ from typing import Callable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eggv_spark.schemas import MULTIMODAL_FEATURE_SCHEMA
@@ -941,4 +941,26 @@ def parse_png_header(assets: DataFrame) -> DataFrame:
         F.when(ok, be32(21)).alias("height"),
         F.when(ok, be8(25)).alias("bit_depth"),
         F.when(ok, be8(26)).alias("color_type"),
+    )
+
+
+def detect_scene_cuts(
+    frames: DataFrame, threshold: float = 5.0
+) -> DataFrame:
+    """Scene-cut detection over decoded frame statistics: a cut is a
+    frame whose luma mean jumps more than ``threshold`` from the
+    previous frame of the same asset.  Runs on the OUTPUT of
+    :func:`sample_video_frames` (the expensive decode happens once,
+    in its Arrow-batched UDF; this is a pure lag-window over the
+    small per-frame stats frame — the split every large-scale video
+    pipeline makes).  Returns per-asset totals and the first cut."""
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    delta = F.abs(F.col("mean_y") - F.lag("mean_y").over(w))
+    flagged = frames.withColumn("_cut", (delta > threshold).cast("int"))
+    return flagged.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.coalesce("_cut", F.lit(0))).alias("n_cuts"),
+        F.min(F.when(F.col("_cut") == 1, F.col("frame_idx"))).alias(
+            "first_cut_idx"
+        ),
     )

@@ -999,3 +999,84 @@ def with_unicode_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         # input this operator targets, so the engines must agree
         ratio(r"[ \t\n\f\r]").alias("space_ratio"),
     )
+
+
+def novelty_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document novelty as the mean inverse document frequency of its
+    DISTINCT tokens: boilerplate-heavy docs (all common words) score
+    low, rare-vocabulary docs high — a cheap curation signal that
+    needs no model.  idf = ln(N / df_t) over the distinct
+    (doc, token) projection; two keyed aggregations + one broadcast
+    of the corpus size."""
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok"),
+    )
+    n_docs = df.agg(F.count("*").alias("_n"))
+    dfreq = pairs.groupBy("_tok").agg(F.count("*").alias("_df"))
+    scored = (
+        pairs.join(dfreq, "_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_n") / F.col("_df"))), 4
+            ).alias("novelty_idf"),
+        )
+    )
+    return scored.withColumnRenamed("_id", id_col)
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: PMI(a, b)
+    = ln(p(ab) / (p(a) p(b))) over adjacent token pairs, keeping
+    bigrams seen >= ``min_count`` times and ranking by (PMI desc,
+    bigram) — a RANK cutoff, so the selected set is engine-identical.
+    The probability denominators come from the unigram counts of the
+    SAME tokenization; two grouped passes + one tiny top-N window."""
+    toks = df.select(tokens_col(text_col).alias("_t"))
+    uni = toks.select(F.explode("_t").alias("_w")).groupBy("_w").agg(
+        F.count("*").alias("_cw")
+    )
+    n_uni = uni.agg(F.sum("_cw").alias("_n"))
+    bi = (
+        toks.select(F.explode(bigrams_col(F.col("_t"))).alias("_bg"))
+        .groupBy("_bg")
+        .agg(F.count("*").alias("_cbg"))
+        .filter(F.col("_cbg") >= min_count)
+    )
+    n_bi = bi.agg(F.sum("_cbg").alias("_nb"))
+    parts = F.split("_bg", " ")
+    scored = (
+        bi.withColumn("_wa", F.get(parts, 0))
+        .withColumn("_wb", F.get(parts, 1))
+        .join(uni.withColumnRenamed("_w", "_wa")
+              .withColumnRenamed("_cw", "_ca"), "_wa")
+        .join(uni.withColumnRenamed("_w", "_wb")
+              .withColumnRenamed("_cw", "_cb"), "_wb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.log(
+        (F.col("_cbg") / F.col("_nb"))
+        / ((F.col("_ca") / F.col("_n")) * (F.col("_cb") / F.col("_n")))
+    )
+    ranked = scored.select(
+        F.col("_bg").alias("bigram"),
+        F.col("_cbg").alias("n_bigram"),
+        F.round(pmi, 4).alias("pmi"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("pmi").desc(), "bigram")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= top_n)

@@ -479,3 +479,153 @@ def test_bfs_reach_accepts_seed_frame(spark):
     out = {r["node"]: r["depth"]
            for r in G.bfs_reach(df, seed, max_depth=2).collect()}
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# wave-2 operators: k-sample tests, temporal stats, chunk dedup
+# ---------------------------------------------------------------------------
+
+def test_anova_identical_groups_f_near_zero(spark):
+    rows = [(g, float(v)) for g in "abc" for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = AG.anova_oneway(df, "g", "v").collect()[0]
+    assert out["k"] == 3 and out["n"] == 15
+    assert out["f_stat"] == 0.0 and out["ss_between"] == 0.0
+
+
+def test_anova_separated_groups_large_f(spark):
+    rows = [("a", float(v)) for v in (1, 2, 3)]
+    rows += [("b", float(v)) for v in (100, 101, 102)]
+    out = AG.anova_oneway(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert out["f_stat"] > 1000
+
+
+def test_kruskal_identical_groups(spark):
+    rows = [(g, float(v)) for g in "abcde" for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = AG.kruskal_wallis(df, "g", "v").collect()[0]
+    # identical distributions: H ~ 0, p ~ 1 (dof 4 is even -> closed form)
+    assert out["kw_h"] is not None and out["kw_h"] < 0.01
+    assert out["p_value"] is not None and out["p_value"] > 0.99
+
+
+def test_kruskal_odd_dof_p_is_null(spark):
+    rows = [(g, float(i)) for i, g in enumerate("aabb")]
+    out = AG.kruskal_wallis(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert out["k"] == 2 and out["p_value"] is None  # dof 1 odd
+
+
+def test_levene_equal_variances_small_w(spark):
+    rows = [(g, float(v + (10 if g == "b" else 0)))
+            for g in "ab" for v in (1, 2, 3, 4, 5)]
+    out = AG.levene_test(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    # same shape, shifted location -> identical deviations -> W = 0
+    assert out["levene_w"] == 0.0
+
+
+def test_median_test_balanced_split(spark):
+    rows = [("a", float(v), v) for v in range(1, 11)]
+    rows += [("b", float(v), 100 + v) for v in range(1, 11)]
+    out = AG.median_test(
+        spark.createDataFrame(rows, "g string, v double, id long"),
+        "g", "v", "id",
+    ).collect()[0]
+    # identical distributions -> chi2 == 0
+    assert out["chi2"] == 0.0 and out["k"] == 2
+
+
+def test_burstiness_regular_series_is_minus_one(spark):
+    from eggv_spark.operators.events import burstiness_stats
+
+    rows = [(i, "2024-01-01 00:%02d:00" % i, "x") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = burstiness_stats(df).collect()[0]
+    # perfectly regular gaps: sigma = 0 -> B = -1, CV = 0
+    assert out["burstiness"] == -1.0 and out["cv"] == 0.0
+
+
+def test_periodogram_pure_cycle_peaks_at_frequency(spark):
+    from eggv_spark.operators.events import periodogram
+
+    # 2 events on even days, 0 on odd -> strong power at k = span/2
+    rows = []
+    eid = 0
+    for d in range(1, 29):
+        for _ in range(3 + (2 if d % 2 == 0 else 0)):
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00", "x"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["freq"]: r["power"] for r in periodogram(df, n_freqs=14).collect()}
+    # period 2 -> frequency span/2 = 14
+    assert out[14] == max(out.values())
+
+
+def test_gap_islands_splits_on_missing_month(spark):
+    from eggv_spark.operators.events import gap_islands_histogram
+
+    rows = [(1, 10, "1992-01-15"), (2, 10, "1992-02-03"),
+            (3, 10, "1992-04-20"), (4, 20, "1992-06-01")]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = {r["island_length"]: r for r in gap_islands_histogram(df).collect()}
+    # cust 10: [Jan, Feb] + [Apr]; cust 20: [Jun]
+    assert out[2]["n_islands"] == 1
+    assert out[1]["n_islands"] == 2 and out[1]["n_customers"] == 2
+
+
+def test_content_chunks_are_insertion_robust(spark):
+    from eggv_spark.operators.dedupe import content_defined_chunks
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    shifted = "INSERTED " + base   # prefix insertion
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    chunks = content_defined_chunks(df).collect()
+    h1 = {r["chunk_hash"] for r in chunks if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in chunks if r["doc_id"] == 2}
+    # all but the first chunk of doc 1 must reappear in doc 2
+    assert len(h1 & h2) >= len(h1) - 1 > 0
+
+
+def test_novelty_idf_rare_doc_scores_higher(spark):
+    from eggv_spark.operators.text_analysis import novelty_idf
+
+    common = "the quick brown fox"
+    docs = [(i, common) for i in range(9)] + [(9, "xylophone quark zeppelin")]
+    out = {r["doc_id"]: r["novelty_idf"] for r in novelty_idf(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()}
+    assert out[9] > out[0]
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    from eggv_spark.operators.text_analysis import bigram_pmi
+
+    # "hong kong" always adjacent; "the" everywhere
+    rows = [(i, "the hong kong office of the firm") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bigram"]: r["pmi"] for r in bigram_pmi(df, min_count=5).collect()}
+    assert out["hong kong"] > out["of the"]
+
+
+def test_scene_cuts_flags_jump(spark):
+    from eggv_spark.operators.multimodal import detect_scene_cuts
+
+    rows = [(1, 0, 10.0), (1, 1, 10.5), (1, 2, 50.0), (1, 3, 50.2)]
+    frames = spark.createDataFrame(
+        rows, "asset_id long, frame_idx int, mean_y double"
+    )
+    out = detect_scene_cuts(frames, threshold=5.0).collect()[0]
+    assert out["n_cuts"] == 1 and out["first_cut_idx"] == 2
