@@ -5523,6 +5523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (burstiness/CV/Fano, discrete periodogram, gaps-and-islands
     streak histogram), content-defined chunk dedup, IDF novelty,
     bigram PMI collocations, and Y4M scene-cut detection.
+
+    Round-5 wave 3 (7 entries, dict tail, dual-scale green):
+    Friedman blocked-rank test, power-law tail MLE, Bollinger bands,
+    RSI (SMA variant), Markov-chain entropy rate, hapax/type-token
+    vocabulary profile, and adaptive grid-density hotspot clustering
+    (large-star/small-star components over dense cells).
     """
     return {
         # --- round-5 verification window (50): the staging block from
@@ -5851,6 +5857,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_novelty_idf": _txt_novelty_idf,
         "txt_bigram_pmi": _txt_bigram_pmi,
         "mm_scene_cuts": _mm_scene_cuts,
+        "agg_friedman": _agg_friedman,
+        "agg_powerlaw": _agg_powerlaw,
+        "win_bollinger": _win_bollinger,
+        "win_rsi": _win_rsi,
+        "evt_markov_entropy": _evt_markov_entropy,
+        "txt_hapax": _txt_hapax,
+        "geo_hotspot_clusters": _geo_hotspot_clusters,
     }
 
 
@@ -9241,6 +9254,8 @@ def _round5_oracles() -> dict[str, str]:
     for k, v in _R5W2_ORACLES.items():
         out[k] = v.replace("{toks}", _TOKS_SQL)
     out["ddp_chunk_dedup"] = _chunk_dedup_oracle()
+    for k, v in _R5W3_ORACLES.items():
+        out[k] = v.replace("{toks}", _TOKS_SQL)
     return out
 
 
@@ -10384,3 +10399,238 @@ SELECT source, count(*) AS n_chunks,
   AS dup_frac
 FROM chunks GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 3: blocked/tail statistics + technical windows + clustering
+# ---------------------------------------------------------------------------
+
+def _daily_priority_revenue(spark, sf_dir):
+    """Shared series: exact-cents daily order revenue (in $M) per
+    priority — the cents route avoids round-half engine ties (see
+    win_rolling_skew)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01")
+            ).alias("day_idx"),
+        )
+        .agg(
+            (F.round(F.sum("o_totalprice") * 100).cast("long") / 1e8)
+            .alias("y")
+        )
+    )
+
+
+def _agg_friedman(spark, sf_dir):
+    """Friedman test (k event types over 30 day-blocks of mean event
+    value) — within-block average ranks, chi2(k-1) even-dof tail
+    (aggregates.friedman_test)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.dayofmonth("ts").cast("int").alias("day"), "event_type"
+        )
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+    )
+    return AG.friedman_test(daily, "day", "event_type", "y")
+
+
+def _agg_powerlaw(spark, sf_dir):
+    """Clauset–Shalizi–Newman power-law tail MLE on order value
+    (x_min = 200000): alpha and its asymptotic SE in one pass
+    (aggregates.powerlaw_mle)."""
+    return AG.powerlaw_mle(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 200000.0
+    )
+
+
+def _win_bollinger(spark, sf_dir):
+    """Bollinger bands (20-day trailing mean ± 2σ + breach flag) on
+    the exact-cents daily revenue series per priority
+    (aggregates.with_bollinger)."""
+    return AG.with_bollinger(
+        _daily_priority_revenue(spark, sf_dir),
+        ["o_orderpriority"], "day_idx", "y", window_rows=20,
+    )
+
+
+def _win_rsi(spark, sf_dir):
+    """14-period RSI (SMA variant) on the exact-cents daily revenue
+    series per priority — loss-free windows pin to 100 instead of
+    dividing by zero (aggregates.with_rsi)."""
+    return AG.with_rsi(
+        _daily_priority_revenue(spark, sf_dir),
+        ["o_orderpriority"], "day_idx", "y", period=14,
+    )
+
+
+def _evt_markov_entropy(spark, sf_dir):
+    """Entropy rate of the first-order user-journey Markov chain +
+    its ln(k)-normalized form — one scalar for journey
+    predictability (events.markov_entropy_rate)."""
+    from eggv_spark.operators.events import markov_entropy_rate
+
+    return markov_entropy_rate(_t(spark, sf_dir, "events"))
+
+
+def _txt_hapax(spark, sf_dir):
+    """Vocabulary-growth profile per source: vocab size, hapax
+    legomena count/fraction, type-token ratio — the templated-text
+    detector (text_analysis.hapax_stats)."""
+    return T.hapax_stats(_t(spark, sf_dir, "documents"))
+
+
+def _geo_hotspot_clusters(spark, sf_dir):
+    """Grid-based density clustering: dense 5° cells (adaptive
+    threshold: max(3, 1.25x the occupancy mean), so the grid cannot
+    percolate into one megacluster as SF grows) connected by
+    8-neighborhood adjacency, components resolved with the dedup
+    family's large-star/small-star — DBSCAN-at-resolution by
+    composition (geo.hotspot_clusters)."""
+    from eggv_spark.operators.geo import hotspot_clusters
+
+    pts = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 91 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return hotspot_clusters(
+        pts, "lat", "lon", cell_deg=5.0, min_points=3, adaptive=True
+    )
+
+
+_DAILY_REV_SQL = (
+    "daily AS (SELECT o_orderpriority,"
+    " CAST(datediff('day', TIMESTAMP '1992-01-01',"
+    "  date_trunc('day', o_orderdate)) AS INT) AS day_idx,"
+    " CAST(round(sum(o_totalprice) * 100) AS BIGINT) / 1e8 AS y"
+    " FROM orders GROUP BY 1, 2)"
+)
+
+_R5W3_ORACLES = {
+    "agg_friedman": (
+        "WITH daily AS (SELECT CAST(day(ts) AS INT) AS d, event_type,"
+        "  round(avg(value), 6) AS y FROM events GROUP BY 1, 2),"
+        " r AS (SELECT event_type, d,"
+        "  rank() OVER (PARTITION BY d ORDER BY y)"
+        "   + (count(*) OVER (PARTITION BY d, y) - 1) / 2.0 AS rk"
+        "  FROM daily WHERE y IS NOT NULL),"
+        " pt AS (SELECT event_type, sum(rk) AS rs, count(*) AS bc"
+        "  FROM r GROUP BY 1),"
+        " a AS (SELECT count(*) AS k, max(bc) AS b,"
+        "  sum(rs * rs) AS sr2 FROM pt),"
+        " q AS (SELECT k, b, round(12.0 / (b * k * (k + 1.0)) * sr2"
+        "  - 3.0 * b * (k + 1.0), 6) AS friedman_q FROM a)"
+        " SELECT CAST(k AS BIGINT) AS k, CAST(b AS BIGINT) AS b,"
+        " friedman_q,"
+        " CASE WHEN (k - 1) % 2 = 0 AND friedman_q IS NOT NULL THEN "
+        + _CHI2_EVEN_TAIL_SQL.format(
+            x="friedman_q", m="CAST((k - 1) / 2 AS INT)"
+        )
+        + " END AS p_value FROM q"
+    ),
+    "agg_powerlaw": (
+        "SELECT count(*) AS n_tail, 200000.0 AS x_min,"
+        " round(1.0 + count(*) / sum(ln(o_totalprice / 200000.0)), 6)"
+        "  AS alpha,"
+        " round((count(*) / sum(ln(o_totalprice / 200000.0)))"
+        "  / sqrt(count(*)), 6) AS alpha_se"
+        " FROM orders WHERE o_totalprice >= 200000.0"
+    ),
+    "win_bollinger": (
+        "WITH " + _DAILY_REV_SQL + ","
+        " s AS (SELECT o_orderpriority, day_idx, y,"
+        "  count(y) OVER w AS n, avg(y) OVER w AS m,"
+        "  stddev_samp(y) OVER w AS sd FROM daily"
+        "  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_idx"
+        "   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))"
+        " SELECT o_orderpriority, day_idx, y,"
+        " CASE WHEN n = 20 THEN round(m, 4) END AS bb_mid,"
+        " CASE WHEN n = 20 THEN round(m + 2.0 * sd, 4) END AS bb_upper,"
+        " CASE WHEN n = 20 THEN round(m - 2.0 * sd, 4) END AS bb_lower,"
+        " CASE WHEN n = 20 THEN CASE WHEN y > m + 2.0 * sd THEN 1"
+        "  WHEN y < m - 2.0 * sd THEN -1 ELSE 0 END END AS bb_breach"
+        " FROM s"
+    ),
+    "win_rsi": (
+        "WITH " + _DAILY_REV_SQL + ","
+        " d AS (SELECT o_orderpriority, day_idx, y,"
+        "  y - lag(y) OVER (PARTITION BY o_orderpriority"
+        "   ORDER BY day_idx) AS delta FROM daily),"
+        " f AS (SELECT o_orderpriority, day_idx, y,"
+        "  count(delta) OVER w AS n,"
+        "  avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER w"
+        "   AS gain,"
+        "  avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER w"
+        "   AS loss FROM d"
+        "  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_idx"
+        "   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))"
+        " SELECT o_orderpriority, day_idx, y,"
+        " CASE WHEN n = 14 THEN CASE WHEN loss = 0 THEN 100.0"
+        "  ELSE round(100.0 - 100.0 / (1.0 + gain / loss), 4) END END"
+        "  AS rsi FROM f"
+    ),
+    "evt_markov_entropy": (
+        "WITH pairs AS (SELECT event_type AS f,"
+        "  lead(event_type) OVER (PARTITION BY user_id"
+        "   ORDER BY ts, event_id) AS t FROM events),"
+        " c AS (SELECT f, t, count(*) AS n FROM pairs"
+        "  WHERE t IS NOT NULL GROUP BY 1, 2),"
+        " m AS (SELECT f, t, n, sum(n) OVER (PARTITION BY f) AS rt,"
+        "  sum(n) OVER () AS tot FROM c),"
+        " a AS (SELECT CAST(max(tot) AS BIGINT) AS n_transitions,"
+        "  count(DISTINCT f) AS n_states,"
+        "  round(sum((rt / tot) * (n / rt) * -ln(n / rt)), 6)"
+        "   AS entropy_rate_nats FROM m)"
+        " SELECT n_transitions, n_states, entropy_rate_nats,"
+        " round(entropy_rate_nats / ln(n_states), 6)"
+        "  AS normalized_entropy FROM a"
+    ),
+    "txt_hapax": (
+        "WITH toks AS (SELECT source, unnest({toks}) AS tok"
+        "  FROM documents),"
+        " pt AS (SELECT source, tok, count(*) AS n FROM toks"
+        "  GROUP BY 1, 2)"
+        " SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,"
+        " count(*) AS vocab_size,"
+        " CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_hapax,"
+        " round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+        "  / CAST(count(*) AS DOUBLE), 6) AS hapax_frac,"
+        " round(count(*) / CAST(sum(n) AS DOUBLE), 6)"
+        "  AS type_token_ratio"
+        " FROM pt GROUP BY source"
+    ),
+    "geo_hotspot_clusters": (
+        "WITH RECURSIVE pts AS (SELECT"
+        "  (c_custkey * 37 % 18000) / 100.0 - 90.0 AS lat,"
+        "  (c_custkey * 91 % 36000) / 100.0 - 180.0 AS lon"
+        "  FROM customer),"
+        " occ AS (SELECT CAST(floor((lat + 90.0) / 5.0) AS BIGINT)"
+        "   * 4096 + CAST(floor((lon + 180.0) / 5.0) AS BIGINT)"
+        "   AS cell_id, count(*) AS n_points FROM pts GROUP BY 1),"
+        " thr AS (SELECT greatest(3, CAST(ceil(1.25 * avg(n_points))"
+        "   AS INT)) AS t FROM occ),"
+        " dense AS (SELECT cell_id, n_points FROM occ, thr"
+        "  WHERE n_points >= thr.t),"
+        " ed AS (SELECT l.cell_id AS a, r.cell_id AS b"
+        "  FROM dense l JOIN dense r ON r.cell_id - l.cell_id IN"
+        "  (1, 4095, 4096, 4097)),"
+        " sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),"
+        " reach(node, r) AS ("
+        "  SELECT a, b FROM sym"
+        "  UNION"
+        "  SELECT reach.node, sym.b FROM reach"
+        "   JOIN sym ON reach.r = sym.a),"
+        " comp AS (SELECT node, least(node, min(r)) AS component"
+        "  FROM reach GROUP BY node),"
+        " labeled AS (SELECT d.cell_id, d.n_points,"
+        "  coalesce(c.component, d.cell_id) AS cluster_id"
+        "  FROM dense d LEFT JOIN comp c ON c.node = d.cell_id)"
+        " SELECT cluster_id, count(*) AS n_cells,"
+        " CAST(sum(n_points) AS BIGINT) AS n_points"
+        " FROM labeled GROUP BY 1"
+    ),
+}

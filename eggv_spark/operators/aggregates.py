@@ -2238,3 +2238,160 @@ def median_test(
     ).select(
         "k", "n_used", "chi2", (F.col("k") - 1).alias("dof")
     )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman test for k treatments over b blocks (the repeated-
+    measures Kruskal–Wallis): average-rank each treatment WITHIN its
+    block, Q = 12/(bk(k+1)) Σ R_j² − 3b(k+1) from per-treatment rank
+    sums; the chi2(k−1) tail via the shared even-dof closed form
+    (NULL for odd dof).  Input must be one observation per (block,
+    treatment) — pre-roll first.  One within-block rank window (tiny
+    partitions: k rows per block) + two keyed reduces."""
+    avg_rank = F.rank().over(
+        Window.partitionBy(block_col).orderBy(value_col)
+    ) + (
+        F.count("*").over(Window.partitionBy(block_col, value_col)) - 1
+    ) / 2.0
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(treatment_col).alias("_t"),
+        F.col(block_col).alias("_b"),
+        avg_rank.alias("_r"),
+    )
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("_r").alias("_rs"), F.count("*").alias("_b_count")
+    )
+    agg = per_t.agg(
+        F.count("*").alias("k"),
+        F.any_value("_b_count").alias("b"),
+        F.sum(F.col("_rs") * F.col("_rs")).alias("_sr2"),
+    )
+    k, b = F.col("k"), F.col("b")
+    q = (
+        12.0 / (b * k * (k + 1.0)) * F.col("_sr2") - 3.0 * b * (k + 1.0)
+    )
+    agg = agg.withColumn("_q", F.round(q, 6))
+    half = F.col("_q") / 2.0
+    m_terms = ((k - 1) / 2).cast("int")
+    idx = F.when(m_terms > 1, F.sequence(F.lit(1), m_terms - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    series = F.aggregate(
+        idx,
+        F.struct(F.lit(1.0).alias("term"), F.lit(1.0).alias("total")),
+        lambda acc, i: F.struct(
+            (acc["term"] * half / i.cast("double")).alias("term"),
+            (acc["total"] + acc["term"] * half / i.cast("double"))
+            .alias("total"),
+        ),
+        lambda acc: acc["total"],
+    )
+    p = F.when(
+        ((k - 1) % 2 == 0) & F.col("_q").isNotNull(),
+        F.round(F.least(F.exp(-half) * series, F.lit(1.0)), 6),
+    )
+    return agg.select(
+        "k", "b", F.col("_q").alias("friedman_q"), p.alias("p_value")
+    )
+
+
+def powerlaw_mle(
+    df: DataFrame, value_col: str, x_min: float
+) -> DataFrame:
+    """Continuous power-law tail fit by the Clauset–Shalizi–Newman
+    MLE: alpha = 1 + n / Σ ln(x/x_min) over x >= x_min, with the
+    asymptotic standard error (alpha−1)/√n — heavy-tail
+    characterization (degree, revenue, token-frequency tails) in ONE
+    map-side-combined pass, no sorting, no binning."""
+    tail = df.filter(F.col(value_col) >= x_min)
+    agg = tail.agg(
+        F.count("*").alias("n_tail"),
+        F.sum(F.log(F.col(value_col) / F.lit(x_min))).alias("_slog"),
+    )
+    alpha = 1.0 + F.try_divide(F.col("n_tail"), F.col("_slog"))
+    return agg.select(
+        "n_tail",
+        F.lit(float(x_min)).alias("x_min"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(
+            F.try_divide(alpha - 1.0, F.sqrt(F.col("n_tail"))), 6
+        ).alias("alpha_se"),
+    )
+
+
+def with_bollinger(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    n_sigma: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands: trailing rolling mean ± n·σ plus a breach
+    flag — the classic volatility envelope (and a fine streaming
+    anomaly baseline).  NULL until the frame fills; one sort shuffle
+    on the group key, all band math inside whole-stage codegen."""
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    n = F.count(value_col).over(w)
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    full = n == window_rows
+    upper = F.when(full, F.round(mean + n_sigma * sd, 4))
+    lower = F.when(full, F.round(mean - n_sigma * sd, 4))
+    breach = F.when(
+        full,
+        F.when(F.col(value_col) > mean + n_sigma * sd, 1)
+        .when(F.col(value_col) < mean - n_sigma * sd, -1)
+        .otherwise(0),
+    )
+    return df.select(
+        "*",
+        F.when(full, F.round(mean, 4)).alias("bb_mid"),
+        upper.alias("bb_upper"),
+        lower.alias("bb_lower"),
+        breach.alias("bb_breach"),
+    )
+
+
+def with_rsi(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    period: int = 14,
+) -> DataFrame:
+    """Relative Strength Index (simple-moving-average variant, not
+    Wilder's recursive smoothing — the recursion is inherently
+    sequential; the SMA form is the standard window-function
+    recasting): RSI = 100 − 100/(1 + avg_gain/avg_loss) over the
+    trailing ``period`` deltas.  A loss-free window has RS = ∞ →
+    RSI pinned to 100 (try_divide + coalesce, not a crash).  Two
+    windows, one sort shuffle."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    staged = df.withColumn("_delta", delta)
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(period - 1), 0)
+    )
+    n = F.count("_delta").over(wf)
+    gain = F.avg(F.when(F.col("_delta") > 0, F.col("_delta"))
+                 .otherwise(F.lit(0.0))).over(wf)
+    loss = F.avg(F.when(F.col("_delta") < 0, -F.col("_delta"))
+                 .otherwise(F.lit(0.0))).over(wf)
+    rs = F.try_divide(gain, loss)
+    rsi = F.when(
+        n == period,
+        F.when(loss == 0, F.lit(100.0)).otherwise(
+            F.round(100.0 - 100.0 / (1.0 + rs), 4)
+        ),
+    )
+    return staged.withColumn("rsi", rsi).drop("_delta")

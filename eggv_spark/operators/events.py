@@ -833,3 +833,55 @@ def gap_islands_histogram(
             F.count_distinct("_c").alias("n_customers"),
         )
     )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Entropy rate of the first-order event Markov chain: H = −Σ_s
+    π(s) Σ_t p(t|s) ln p(t|s) with π the empirical from-state
+    frequencies — one scalar quantifying how PREDICTABLE user
+    journeys are (0 = deterministic next-step, ln(k) = uniform).
+    Rides the same per-entity lead window as
+    :func:`markov_transitions`; everything after the pair count runs
+    on the |types|² frame."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("_from"),
+            F.lead(type_col).over(w).alias("_to"),
+        )
+        .filter(F.col("_to").isNotNull())
+    )
+    counts = pairs.groupBy("_from", "_to").agg(
+        F.count("*").alias("_n")
+    )
+    row_tot = F.sum("_n").over(Window.partitionBy("_from"))
+    tot = F.sum("_n").over(Window.partitionBy())
+    terms = counts.select(
+        tot.alias("_tot"),
+        (
+            (row_tot / tot)
+            * (F.col("_n") / row_tot)
+            * -F.log(F.col("_n") / row_tot)
+        ).alias("_h_term"),
+        (F.col("_n") / row_tot * F.log(F.col("_n") / row_tot)).alias("_x"),
+        F.col("_from").alias("_f"),
+    )
+    agg = terms.agg(
+        F.any_value("_tot").alias("n_transitions"),
+        F.count_distinct("_f").alias("n_states"),
+        F.round(F.sum("_h_term"), 6).alias("entropy_rate_nats"),
+    )
+    return agg.select(
+        "n_transitions", "n_states", "entropy_rate_nats",
+        F.round(
+            F.try_divide(
+                F.col("entropy_rate_nats"), F.log(F.col("n_states"))
+            ), 6,
+        ).alias("normalized_entropy"),
+    )

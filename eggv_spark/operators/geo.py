@@ -126,3 +126,82 @@ def grid_density(
         F.round(lat_c * cell_deg - 90.0, 4).alias("lat_lo"),
         F.round(lon_c * cell_deg - 180.0, 4).alias("lon_lo"),
     )
+
+
+def hotspot_clusters(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float = 5.0,
+    min_points: int = 3,
+    adaptive: bool = False,
+) -> DataFrame:
+    """Grid-based density clustering (the DBSCAN idea at fixed
+    resolution): bin points to cells, keep cells with >=
+    ``min_points``, connect dense cells that are 8-neighborhood
+    adjacent, and resolve clusters with the SAME large-star/small-
+    star components used for dedup clusters — composition over a new
+    algorithm.  Output: one row per cluster with cell count, point
+    total, and the minimum cell id as the stable cluster label.
+
+    Scale: the dense-cell frame is tiny relative to points (the
+    aggregation did the heavy lifting), so the CC rounds run on
+    cells, never points."""
+    from eggv_spark.operators.dedupe import connected_components_star
+
+    cell = grid_cell(F.col(lat_col), F.col(lon_col), cell_deg)
+    occupied = df.groupBy(cell.alias("cell_id")).agg(
+        F.count("*").alias("n_points")
+    )
+    if adaptive:
+        # threshold = max(min_points, ceil(1.25 * mean-per-occupied-
+        # cell)): a fixed count saturates as data grows (every cell
+        # goes "dense" and the grid percolates into one megacluster);
+        # scaling with the occupancy mean keeps dense cells in the
+        # upper tail at ANY scale.  Carried as a broadcast scalar —
+        # still lazy.
+        thr_row = occupied.agg(
+            F.greatest(
+                F.lit(min_points),
+                F.ceil(1.25 * F.avg("n_points")).cast("int"),
+            ).alias("_thr")
+        )
+        dense = (
+            occupied.crossJoin(F.broadcast(thr_row))
+            .filter(F.col("n_points") >= F.col("_thr"))
+            .select("cell_id", "n_points")
+        )
+    else:
+        dense = occupied.filter(F.col("n_points") >= min_points)
+    # 8-neighborhood adjacency among dense cells: explode each cell to
+    # its neighbor ids, semi-join back (edge emitted once, a < b)
+    offsets = [
+        dy * 4096 + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)
+    ]
+    nbr = dense.select(
+        F.col("cell_id").alias("a"),
+        F.explode(
+            F.array(*[F.col("cell_id") + F.lit(o) for o in offsets])
+        ).alias("b"),
+    ).filter(F.col("a") < F.col("b"))
+    edges = nbr.join(
+        dense.select(F.col("cell_id").alias("b")), "b", "left_semi"
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    comp = connected_components_star(edges)
+    labeled = dense.join(
+        comp.select(
+            F.col("node").alias("cell_id"),
+            F.col("component").alias("_comp"),
+        ),
+        "cell_id",
+        "left",
+    ).select(
+        "cell_id", "n_points",
+        # isolated dense cells are their own cluster
+        F.coalesce("_comp", F.col("cell_id")).alias("cluster_id"),
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_points").alias("n_points"),
+    )

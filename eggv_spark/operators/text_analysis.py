@@ -1080,3 +1080,28 @@ def bigram_pmi(
         ),
     )
     return ranked.filter(F.col("rank") <= top_n)
+
+
+def hapax_stats(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-growth profile per corpus slice: vocabulary size,
+    hapax legomena (tokens seen exactly once IN THE SLICE), the
+    hapax fraction of the vocabulary, and the type-token ratio —
+    the classic signals for synthetic/templated text (low hapax,
+    low TTR) vs natural prose.  Two keyed map-side-combined
+    aggregations; nothing touches the raw text twice."""
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens_col(text_col)).alias("_tok"),
+    )
+    per_tok = toks.groupBy("_g", "_tok").agg(F.count("*").alias("_n"))
+    return per_tok.groupBy("_g").agg(
+        F.sum("_n").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum((F.col("_n") == 1).cast("long")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("_n") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_frac"),
+        F.round(F.count("*") / F.sum("_n"), 6).alias("type_token_ratio"),
+    ).withColumnRenamed("_g", group_col)

@@ -629,3 +629,101 @@ def test_scene_cuts_flags_jump(spark):
     )
     out = detect_scene_cuts(frames, threshold=5.0).collect()[0]
     assert out["n_cuts"] == 1 and out["first_cut_idx"] == 2
+
+
+# ---------------------------------------------------------------------------
+# wave-3 operators
+# ---------------------------------------------------------------------------
+
+def test_friedman_identical_treatments(spark):
+    rows = [(b, t, float(b)) for b in range(10) for t in "abcde"]
+    df = spark.createDataFrame(rows, "blk int, trt string, y double")
+    out = AG.friedman_test(df, "blk", "trt", "y").collect()[0]
+    # all treatments tie within every block -> Q == 0, p == 1
+    assert out["k"] == 5 and out["b"] == 10
+    assert out["friedman_q"] == 0.0 and out["p_value"] == 1.0
+
+
+def test_friedman_dominant_treatment(spark):
+    rows = []
+    for b in range(12):
+        for i, t in enumerate("abcde"):   # k=5 -> even dof, p defined
+            rows.append((b, t, float(i)))
+    out = AG.friedman_test(
+        spark.createDataFrame(rows, "blk int, trt string, y double"),
+        "blk", "trt", "y",
+    ).collect()[0]
+    # fully ordered treatments across all blocks: Q = b(k-1) = 48 max
+    assert out["friedman_q"] == 48.0 and out["p_value"] < 0.001
+
+
+def test_powerlaw_mle_recovers_alpha(spark):
+    # inverse-CDF sample of a pure alpha=2.5 power law
+    import random
+
+    rng = random.Random(5)
+    xs = [1.0 * (1 - rng.random()) ** (-1 / 1.5) for _ in range(4000)]
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    out = AG.powerlaw_mle(df, "v", 1.0).collect()[0]
+    assert abs(out["alpha"] - 2.5) < 0.1
+
+
+def test_bollinger_flags_spike(spark):
+    vals = [10.0 + (i % 3) * 0.1 for i in range(25)]
+    vals[24] = 50.0  # spike on the last row
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = AG.with_bollinger(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v", window_rows=20
+    ).collect()
+    by_t = {r["t"]: r for r in out}
+    assert by_t[24]["bb_breach"] == 1
+    assert by_t[10]["bb_breach"] is None  # frame not yet full
+    assert by_t[23]["bb_breach"] == 0
+
+
+def test_rsi_all_gains_pins_100(spark):
+    rows = [(i, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {r["t"]: r["rsi"] for r in AG.with_rsi(
+        df.withColumn("g", F.lit("a")), ["g"], "t", "v", period=14
+    ).collect()}
+    assert out[19] == 100.0 and out[5] is None
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark):
+    from eggv_spark.operators.events import markov_entropy_rate
+
+    # a -> b -> a -> b ... : next state fully determined
+    rows = [(i, 1, f"2024-01-01 00:{i:02d}:00", "ab"[i % 2])
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = markov_entropy_rate(df).collect()[0]
+    assert out["entropy_rate_nats"] == 0.0
+
+
+def test_hapax_templated_vs_varied(spark):
+    from eggv_spark.operators.text_analysis import hapax_stats
+
+    rows = [(i, "tmpl", "the same words every time") for i in range(5)]
+    rows += [(100 + i, "varied", f"unique{i} words vary here{i}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in hapax_stats(df).collect()}
+    assert out["tmpl"]["n_hapax"] == 0
+    assert out["varied"]["hapax_frac"] > 0.5
+
+
+def test_hotspot_clusters_merge_adjacent_cells(spark):
+    from eggv_spark.operators.geo import hotspot_clusters
+
+    # two adjacent dense cells + one far-away dense cell
+    pts = [(0.5, 0.5)] * 4 + [(0.5, 1.5)] * 4 + [(60.5, 60.5)] * 4
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = hotspot_clusters(df, "lat", "lon", cell_deg=1.0, min_points=3)
+    rows = sorted(out.collect(), key=lambda r: -r["n_cells"])
+    assert len(rows) == 2
+    assert rows[0]["n_cells"] == 2 and rows[0]["n_points"] == 8
+    assert rows[1]["n_cells"] == 1 and rows[1]["n_points"] == 4
