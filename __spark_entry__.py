@@ -5529,6 +5529,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     RSI (SMA variant), Markov-chain entropy rate, hapax/type-token
     vocabulary profile, and adaptive grid-density hotspot clustering
     (large-star/small-star components over dense cells).
+
+    Round-5 wave 4 (5 entries, dict tail, dual-scale green): the ML
+    evaluation family (average precision, decile lift/gain chart,
+    Cohen's kappa, McNemar's paired test) and GVF as a registered
+    PySpark-4 Python DataSource (``spark.read.format("gvf")``, one
+    InputPartition per file).  ``transformWithStateInPandas`` is
+    implemented (streaming.streaming_user_profile_tws) but carried
+    by a skip-gated test only: this container's protobuf cannot
+    start the TWS driver-worker channel.
     """
     return {
         # --- round-5 verification window (50): the staging block from
@@ -5864,6 +5873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_markov_entropy": _evt_markov_entropy,
         "txt_hapax": _txt_hapax,
         "geo_hotspot_clusters": _geo_hotspot_clusters,
+        "agg_pr_auc": _agg_pr_auc,
+        "agg_lift_chart": _agg_lift_chart,
+        "agg_kappa": _agg_kappa,
+        "agg_mcnemar": _agg_mcnemar,
+        "src_gvf_datasource": _src_gvf_datasource,
     }
 
 
@@ -9256,6 +9270,7 @@ def _round5_oracles() -> dict[str, str]:
     out["ddp_chunk_dedup"] = _chunk_dedup_oracle()
     for k, v in _R5W3_ORACLES.items():
         out[k] = v.replace("{toks}", _TOKS_SQL)
+    out.update(_R5W4_ORACLES)
     return out
 
 
@@ -10632,5 +10647,174 @@ _R5W3_ORACLES = {
         " SELECT cluster_id, count(*) AS n_cells,"
         " CAST(sum(n_points) AS BIGINT) AS n_points"
         " FROM labeled GROUP BY 1"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 4: ML evaluation + agreement + Python DataSource
+# ---------------------------------------------------------------------------
+
+def _agg_pr_auc(spark, sf_dir):
+    """Average precision (area under the PR curve) of event value as
+    a purchase-likelihood score — the imbalance-honest companion to
+    agg_auc's ROC, identical rank order in both engines via the
+    event_id tiebreak (aggregates.average_precision)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_y", (F.col("event_type") == "purchase").cast("int")
+    )
+    return AG.average_precision(ev, "value", "_y", "event_id")
+
+
+def _agg_lift_chart(spark, sf_dir):
+    """Decile lift/gain chart for the same purchase-likelihood score
+    — per-decile response rate, lift vs base rate, cumulative gain,
+    with the integer-exact decile assignment
+    (aggregates.lift_chart)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_y", (F.col("event_type") == "purchase").cast("int")
+    )
+    return AG.lift_chart(ev, "value", "_y", "event_id")
+
+
+def _agg_kappa(spark, sf_dir):
+    """Cohen's kappa between a threshold labeler (value > 50) and a
+    deterministic md5 second rater — chance-corrected agreement in
+    one pass (aggregates.cohen_kappa)."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rater_a = F.col("value") > 50
+    rater_b = (
+        F.pmod(base_hash(F.col("event_id").cast("string")), F.lit(100)) < 40
+    )
+    return AG.cohen_kappa(ev, rater_a, rater_b)
+
+
+def _agg_mcnemar(spark, sf_dir):
+    """McNemar's paired test: per user, active in the first half of
+    the month vs the second — only discordant users inform the
+    statistic, continuity-corrected chi2 (aggregates.mcnemar_test)."""
+    ev = _t(spark, sf_dir, "events")
+    return AG.mcnemar_test(
+        ev, "user_id",
+        F.dayofmonth("ts") <= 15,
+        F.dayofmonth("ts") > 15,
+    )
+
+
+def _src_gvf_datasource(spark, sf_dir):
+    """GVF via the PySpark 4 Python DataSource API
+    (``spark.read.format("gvf")``): a deterministic two-file GVF
+    corpus synthesized from the nation table (25 rows — the
+    driver-side write is the fixture generator, not the operator),
+    read back through the registered format with one InputPartition
+    per file, parsed rows re-derived by the oracle from the same
+    formulas (sources/gvf_datasource.py)."""
+    import os
+
+    from eggv_spark.sources.gvf_datasource import register_gvf_datasource
+
+    register_gvf_datasource(spark)
+    rows = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .collect()
+    )
+    base = _scratch_dir("gvfds_")
+    files = {0: [], 1: []}
+    for r in sorted(rows, key=lambda r: r["n_nationkey"]):
+        k = int(r["n_nationkey"])
+        line = (
+            f"chr{k % 4}\tsynth\tSNV\t{100 + k * 10}\t{105 + k * 10}"
+            f"\t.\t+\t.\tID=rs{k};Region={int(r['n_regionkey'])}"
+        )
+        files[k % 2].append(line)
+    for part, lines in files.items():
+        with open(os.path.join(base, f"part{part}.gvf"), "w") as fh:
+            fh.write("##gvf-version 1.10\n")
+            fh.write("\n".join(lines) + "\n")
+    df = spark.read.format("gvf").load(base)
+    return df.select(
+        "seqid", "type", "start", "end",
+        strip_prefix_cast_long(
+            regexp_extract_null(F.col("attr"), r"ID=(rs\d+)", 1), "rs"
+        ).alias("nationkey"),
+    )
+
+
+_R5W4_ORACLES = {
+    "agg_pr_auc": (
+        "WITH r AS (SELECT CASE WHEN event_type = 'purchase' THEN 1"
+        "  ELSE 0 END AS y,"
+        "  row_number() OVER (ORDER BY value DESC, event_id) AS rn"
+        "  FROM events WHERE value IS NOT NULL"
+        "  AND event_type IS NOT NULL),"
+        " p AS (SELECT y, sum(y) OVER (ORDER BY rn"
+        "  ROWS UNBOUNDED PRECEDING) / CAST(rn AS DOUBLE) AS prec"
+        "  FROM r)"
+        " SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,"
+        " round(sum(CASE WHEN y = 1 THEN prec END) / sum(y), 6)"
+        "  AS avg_precision FROM p"
+    ),
+    "agg_lift_chart": (
+        "WITH r AS (SELECT CASE WHEN event_type = 'purchase' THEN 1"
+        "  ELSE 0 END AS y,"
+        "  row_number() OVER (ORDER BY value DESC, event_id) AS rn,"
+        "  count(*) OVER () AS n"
+        "  FROM events WHERE value IS NOT NULL"
+        "  AND event_type IS NOT NULL),"
+        " d AS (SELECT CAST(floor((rn * 10 - 1) / n) + 1 AS INT)"
+        "   AS decile, count(*) AS n_rows,"
+        "  CAST(sum(y) AS BIGINT) AS n_pos FROM r GROUP BY 1),"
+        " t AS (SELECT decile, n_rows, n_pos,"
+        "  CAST(sum(n_pos) OVER () AS DOUBLE) AS tp,"
+        "  CAST(sum(n_rows) OVER () AS DOUBLE) AS tn,"
+        "  CAST(sum(n_pos) OVER (ORDER BY decile"
+        "   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cp FROM d)"
+        " SELECT decile, n_rows, n_pos,"
+        " round(n_pos / CAST(n_rows AS DOUBLE), 6) AS response_rate,"
+        " round((n_pos / CAST(n_rows AS DOUBLE)) / (tp / tn), 4)"
+        "  AS lift,"
+        " round(cp / tp, 6) AS cum_gain FROM t"
+    ),
+    "agg_kappa": (
+        "WITH r AS (SELECT"
+        "  CASE WHEN value > 50 THEN 1 ELSE 0 END AS a,"
+        "  CASE WHEN CAST(concat('0x', substr(md5(CAST(event_id AS"
+        "   VARCHAR)), 1, 8)) AS BIGINT) % 100 < 40 THEN 1 ELSE 0 END"
+        "   AS b FROM events WHERE value IS NOT NULL),"
+        " m AS (SELECT count(*) AS n,"
+        "  avg(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS po,"
+        "  avg(CAST(a AS DOUBLE)) AS pa, avg(CAST(b AS DOUBLE)) AS pb"
+        "  FROM r)"
+        " SELECT n, round(po, 6) AS p_observed,"
+        " round(pa * pb + (1 - pa) * (1 - pb), 6) AS p_expected,"
+        " round((po - (pa * pb + (1 - pa) * (1 - pb)))"
+        "  / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS kappa"
+        " FROM m"
+    ),
+    "agg_mcnemar": (
+        "WITH u AS (SELECT user_id,"
+        "  max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS a,"
+        "  max(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS b"
+        "  FROM events GROUP BY 1),"
+        " m AS (SELECT count(*) AS n_units,"
+        "  CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS b_only_first,"
+        "  CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS c_only_second FROM u)"
+        " SELECT n_units, b_only_first, c_only_second,"
+        " round(pow(abs(b_only_first - c_only_second) - 1, 2)"
+        "  / CAST(b_only_first + c_only_second AS DOUBLE), 4)"
+        "  AS mcnemar_chi2 FROM m"
+    ),
+    "src_gvf_datasource": (
+        "SELECT 'chr' || CAST(n_nationkey % 4 AS VARCHAR) AS seqid,"
+        " 'SNV' AS type,"
+        " CAST(100 + n_nationkey * 10 AS BIGINT) AS start,"
+        " CAST(105 + n_nationkey * 10 AS BIGINT) AS \"end\","
+        " CAST(n_nationkey AS BIGINT) AS nationkey"
+        " FROM nation"
     ),
 }

@@ -2395,3 +2395,144 @@ def with_rsi(
         ),
     )
     return staged.withColumn("rsi", rsi).drop("_delta")
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 4: ML evaluation + agreement
+# ---------------------------------------------------------------------------
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve,
+    computed the standard way: mean of precision@k over the positive
+    rows, ranked by score descending with a unique tiebreak so both
+    engines walk the identical order).  The PR companion to
+    :func:`roc_auc` — on heavily imbalanced labels ROC flatters,
+    PR does not.  One global sort window (fixture-scale; at 100 TB
+    bucket scores and accumulate per-bucket precision, the same
+    two-pass trick as equi-depth histograms — documented)."""
+    w = Window.orderBy(F.col(score_col).desc(), tiebreak_col)
+    ranked = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    cum_pos = F.sum("_y").over(
+        Window.orderBy("_rn").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec_at = ranked.select(
+        "_y", (cum_pos / F.col("_rn")).alias("_prec")
+    )
+    return prec_at.agg(
+        F.count("*").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("_y") == 1, F.col("_prec"))),
+                F.sum("_y"),
+            ), 6,
+        ).alias("avg_precision"),
+    )
+
+
+def lift_chart(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Decile lift/gain chart: rank by score descending (unique
+    tiebreak), integer-exact decile assignment (the same floor((rn*10
+    - 1)/n) + 1 trick as lorenz_deciles), per-decile response rate,
+    lift vs the base rate, and cumulative gain — the model-targeting
+    readout.  One sort window + a window over the 10-row rollup."""
+    w = Window.orderBy(F.col(score_col).desc(), tiebreak_col)
+    ranked = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    decile = (
+        F.floor((F.col("_rn") * 10 - 1) / F.col("_n")) + 1
+    ).cast("int")
+    per_dec = ranked.groupBy(decile.alias("decile")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    tot_pos = F.sum("n_pos").over(Window.partitionBy())
+    tot_n = F.sum("n_rows").over(Window.partitionBy())
+    cum_pos = F.sum("n_pos").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = tot_pos / tot_n
+    return per_dec.select(
+        "decile", "n_rows", "n_pos",
+        F.round(F.col("n_pos") / F.col("n_rows"), 6).alias("response_rate"),
+        F.round(
+            F.try_divide(F.col("n_pos") / F.col("n_rows"), base), 4
+        ).alias("lift"),
+        F.round(F.try_divide(cum_pos, tot_pos), 6).alias("cum_gain"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame, rater_a: Column, rater_b: Column
+) -> DataFrame:
+    """Cohen's kappa for two binary raters: observed agreement
+    corrected for chance, κ = (p_o − p_e)/(1 − p_e).  All four cell
+    probabilities from ONE map-side-combined pass (the raters are
+    Column expressions, so any derived labeling works)."""
+    a = rater_a.cast("int")
+    b = rater_b.cast("int")
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.avg((a == b).cast("double")).alias("_po"),
+        F.avg(a.cast("double")).alias("_pa"),
+        F.avg(b.cast("double")).alias("_pb"),
+    )
+    pe = (
+        F.col("_pa") * F.col("_pb")
+        + (1 - F.col("_pa")) * (1 - F.col("_pb"))
+    )
+    kappa = F.try_divide(F.col("_po") - pe, 1 - pe)
+    return agg.select(
+        "n",
+        F.round("_po", 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, keys_col: str, flag_a: Column, flag_b: Column
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes (did the SAME units
+    flip between two conditions?): only the discordant cells matter,
+    chi2 = (|b − c| − 1)² / (b + c) with the continuity correction.
+    One grouped pass to per-unit flags, one reduce.  dof = 1 (odd),
+    so the statistic ships without a p-value — compare against
+    3.841 for 5%."""
+    per_unit = df.groupBy(keys_col).agg(
+        F.max(flag_a.cast("int")).alias("_a"),
+        F.max(flag_b.cast("int")).alias("_b"),
+    )
+    agg = per_unit.agg(
+        F.count("*").alias("n_units"),
+        F.sum(((F.col("_a") == 1) & (F.col("_b") == 0)).cast("long"))
+        .alias("b_only_first"),
+        F.sum(((F.col("_a") == 0) & (F.col("_b") == 1)).cast("long"))
+        .alias("c_only_second"),
+    )
+    b, c = F.col("b_only_first"), F.col("c_only_second")
+    chi2 = F.try_divide((F.abs(b - c) - 1) ** 2, (b + c).cast("double"))
+    return agg.select(
+        "n_units", "b_only_first", "c_only_second",
+        F.round(chi2, 4).alias("mcnemar_chi2"),
+    )

@@ -1,103 +1,101 @@
-"""Custom Python DataSource (Spark 4 DataSource API): a GVF-aware
-format registered as ``spark.read.format("eggv_gvf")``.
+"""Python DataSource V2 for GVF — ``spark.read.format("gvf")``.
 
-The built-in CSV reader covers GVF fine (sources/readers.read_gvf);
-this connector exists for the cases a generic reader can't express:
+The extensibility showcase for SURVEY §2.1: the same 9-column GVF
+contract as :func:`eggv_spark.sources.readers.read_gvf` (reference
+``eggv/process.py:25-61``), registered as a first-class Spark format
+through PySpark 4's Python DataSource API instead of a helper
+function.  One ``InputPartition`` per input file, so a multi-file
+corpus scans in parallel without any driver-side reading; ``.gz``
+members decompress inside the partition reader.
 
-- per-FILE partitioning (one task per chromosome file — mirrors the
-  reference's per-chromosome fan-out, ``eggv/pipeline.py:177``),
-  which is the right split for gzipped inputs a byte-range splitter
-  can't subdivide;
-- format-aware row handling: ``#`` directives dropped at the source
-  and the 9 GVF columns typed before Spark sees the rows, so a
-  malformed file fails AT THE SCAN with the file path in the error.
+When to use which:
+- ``read_gvf`` (CSV reader, JVM-side) is the FAST path — whole-stage
+  codegen parsing, splittable plain-text files, PERMISSIVE corrupt
+  capture.  Use it for bulk processing.
+- ``format("gvf")`` is the INTEGRATION path — the format string
+  travels through SQL (``CREATE TABLE ... USING gvf``), catalogs,
+  and any tooling that only speaks formats.  Rows cross the Python
+  boundary via Arrow batches, so per-row cost is higher; the
+  partition-per-file split keeps it parallel.
 
-Arrow-batched: ``read`` yields pyarrow RecordBatches (the fast path
-of the Python DataSource API — tuple-yielding readers pay per-row
-pickling).
+Register once per session with :func:`register_gvf_datasource`.
 """
 
 from __future__ import annotations
 
-import glob as globmod
+import glob
 import gzip
 import io
+import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import StructType
 
-#: GVF columns (reference eggv/process.py:39-49).
-GVF_DDL = (
-    "seqid string, source string, type string, start long, end long, "
-    "score string, strand string, phase string, attr string"
+_GVF_DDL = (
+    "seqid string, source string, type string, start long, end long,"
+    " score string, strand string, phase string, attr string"
 )
 
 
-class GvfDataSource(DataSource):
-    """``spark.read.format("eggv_gvf").load(path_or_glob)``."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "eggv_gvf"
-
-    def schema(self) -> str:
-        return GVF_DDL
-
-    def reader(self, schema: StructType) -> "GvfReader":
-        return GvfReader(schema, self.options)
-
-
-class _FilePartition(InputPartition):
+class _GvfFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
 
 
-class GvfReader(DataSourceReader):
-    def __init__(self, schema: StructType, options: dict):
-        self.schema = schema
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("eggv_gvf requires a path")
+class GvfDataSourceReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("gvf datasource requires a path")
+        self._path = path
+
+    def _files(self) -> list[str]:
+        p = self._path
+        if os.path.isdir(p):
+            found = sorted(
+                f for f in glob.glob(os.path.join(p, "*"))
+                if os.path.isfile(f)
+            )
+        else:
+            found = sorted(glob.glob(p)) or [p]
+        return found
 
     def partitions(self):
-        # One partition per file: correct granularity for .gz inputs
-        # (non-splittable) and preserves per-chromosome task mapping.
-        paths = sorted(globmod.glob(self.path)) or [self.path]
-        return [_FilePartition(p) for p in paths]
+        # one partition per file: executors read their own files; the
+        # driver never opens data (only globs names)
+        return [_GvfFilePartition(f) for f in self._files()]
 
-    def read(self, partition: _FilePartition):
-        import pyarrow as pa
-
-        opener = gzip.open if partition.path.endswith(".gz") else open
-        cols: list[list] = [[] for _ in range(9)]
-        with opener(partition.path, "rb") as fh:
+    def read(self, partition):
+        path = partition.path
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as fh:
             for raw in io.TextIOWrapper(fh, encoding="utf-8"):
-                if raw.startswith("#"):
+                if not raw or raw.startswith("#"):
                     continue
                 parts = raw.rstrip("\n").split("\t")
                 if len(parts) != 9:
-                    raise ValueError(
-                        f"{partition.path}: expected 9 GVF fields, "
-                        f"got {len(parts)}: {raw[:80]!r}"
-                    )
-                for i, v in enumerate(parts):
-                    cols[i].append(v)
-        arrays = [
-            pa.array(cols[0], pa.string()),
-            pa.array(cols[1], pa.string()),
-            pa.array(cols[2], pa.string()),
-            pa.array([int(x) for x in cols[3]], pa.int64()),
-            pa.array([int(x) for x in cols[4]], pa.int64()),
-            pa.array(cols[5], pa.string()),
-            pa.array(cols[6], pa.string()),
-            pa.array(cols[7], pa.string()),
-            pa.array(cols[8], pa.string()),
-        ]
-        yield pa.RecordBatch.from_arrays(
-            arrays, names=[f.name for f in self.schema.fields]
-        )
+                    continue  # malformed: same drop the CSV path takes
+                try:
+                    start, end = int(parts[3]), int(parts[4])
+                except ValueError:
+                    continue
+                yield (
+                    parts[0], parts[1], parts[2], start, end,
+                    parts[5], parts[6], parts[7], parts[8],
+                )
 
 
-def register(spark) -> None:
-    """Idempotently register the format on a session."""
+class GvfDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gvf"
+
+    def schema(self) -> str:
+        return _GVF_DDL
+
+    def reader(self, schema):
+        return GvfDataSourceReader(self.options)
+
+
+def register_gvf_datasource(spark) -> None:
+    """Idempotent session-level registration of the ``gvf`` format."""
     spark.dataSource.register(GvfDataSource)

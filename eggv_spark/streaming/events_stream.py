@@ -584,3 +584,66 @@ def streaming_index_dedupe(
     from eggv_spark.operators.dedupe import index_probe_matches
 
     return index_probe_matches(docs_stream, index, id_col=id_col)
+
+
+def streaming_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user running profile via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API (the successor to
+    ``applyInPandasWithState``: named state variables with explicit
+    lifecycle instead of one packed tuple, plus timers/TTL when
+    needed).  State per user is three scalars (count, value sum,
+    value max) in a ValueState; each micro-batch emits the user's
+    UPDATED totals, so the latest row per user equals the batch
+    aggregate.  Bounded by key cardinality, not stream length.
+
+    Environment note: transformWithState needs (a) the RocksDB state
+    store provider (set ``spark.sql.streaming.stateStore.
+    providerClass``) and (b) a working ``google.protobuf`` for its
+    Python driver-worker channel.  This container ships a broken
+    protobuf, so the operator is exercised by a skip-gated test
+    rather than a registry entry; ``streaming_running_zscore``
+    (applyInPandasWithState) covers the stateful-streaming contract
+    in the oracle-checked registry."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle):
+            self._stats = handle.getValueState(
+                "stats", "n long, s double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._stats.exists():
+                n, s, mx = self._stats.get()
+            else:
+                n, s, mx = 0, 0.0, None
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += len(pdf)
+                s += float(vals.sum())
+                if len(vals):
+                    m = float(vals.max())
+                    mx = m if mx is None or m > mx else mx
+            self._stats.update((n, s, mx if mx is not None else float("nan")))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 4)],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Profile(),
+        outputStructType=(
+            "user_id long, n_events long, sum_value double,"
+            " max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
