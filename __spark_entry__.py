@@ -5025,10 +5025,20 @@ def _agg_welch(spark, sf_dir):
     """Welch's unequal-variance t-test on event value between the two
     arms of a deterministic md5 user split — the continuous-metric A/B
     readout (companion to evt_ab_test's proportion z-test); one
-    conditional-moment aggregation pass (aggregates.welch_ttest)."""
+    conditional-moment aggregation pass (aggregates.welch_ttest).
+
+    ~10% of metric values are deterministically NULLed (md5 of
+    event_id, residue 0 mod 10; identical expression in the oracle)
+    because the driver fixtures carry ZERO NULLs in events.value at
+    every SF (ADVICE r04 hazard 1) — this puts welch_ttest's
+    NULL-as-non-observation counting (n0/n1 via F.count(F.when(...)))
+    under the driver's value-hash gate instead of unit tests only."""
     ev = _t(spark, sf_dir, "events").select(
         (D.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
-        "value",
+        F.when(
+            D.base_hash(F.col("event_id").cast("string")) % 10 != 0,
+            F.col("value"),
+        ).alias("value"),
     )
     return AG.welch_ttest(ev, "arm", "value")
 
@@ -8763,12 +8773,22 @@ def oracle_sql() -> dict[str, str]:
         "agg_welch": (
             "WITH s AS (SELECT"
             "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
-            "   1, 8)) AS BIGINT) % 2 AS arm, value FROM events),"
+            "   1, 8)) AS BIGINT) % 2 AS arm,"
+            # ~10% of metric values NULLed on the md5(event_id) % 10
+            # residue, mirroring the Spark side: the fixtures carry no
+            # NULLs in events.value, so this injection is what makes
+            # the NULL-skipping count/avg/var_samp semantics below
+            # actually reachable under the driver gate (ADVICE r04
+            # hazard 1)
+            "  CASE WHEN CAST(concat('0x',"
+            "   substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+            "   AS BIGINT) % 10 <> 0 THEN value END AS value"
+            "  FROM events),"
             " g AS (SELECT"
             # count() over the value expression counts NON-NULL metric
             # values only, matching welch_ttest's F.count(F.when(...))
-            # semantics (events.value is nullable per FIXTURES.md; a
-            # raw row count would diverge the moment a null appears)
+            # semantics (a raw row count would diverge the moment a
+            # null appears — and nulls now provably appear)
             "  count(CASE WHEN arm = 0 THEN value END) AS n0,"
             "  avg(CASE WHEN arm = 0 THEN value END) AS m0,"
             "  var_samp(CASE WHEN arm = 0 THEN value END) AS v0,"

