@@ -10336,8 +10336,11 @@ _R5W2_ORACLES = {
         " FROM gaps WHERE gap IS NOT NULL GROUP BY t"
     ),
     "evt_periodogram": (
-        "WITH daily AS (SELECT event_type AS t, CAST(day(ts) AS INT)"
-        "  AS d, CAST(count(*) AS DOUBLE) AS y FROM events"
+        # days-since-epoch index (mirrors events.periodogram): a
+        # day-of-month index would alias across month boundaries
+        "WITH daily AS (SELECT event_type AS t,"
+        "  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        "   AS INT) AS d, CAST(count(*) AS DOUBLE) AS y FROM events"
         "  GROUP BY 1, 2),"
         " span AS (SELECT t, max(d) - min(d) + 1 AS sp, min(d) AS d0,"
         "  count(*) AS n_days FROM daily GROUP BY 1),"
@@ -10383,9 +10386,12 @@ _R5W2_ORACLES = {
         " bg AS (SELECT unnest(list_transform("
         "  generate_series(1, greatest(len(t) - 1, 0)),"
         "  i -> t[i] || ' ' || t[i + 1])) AS b FROM toks),"
-        " bc AS (SELECT b, CAST(count(*) AS DOUBLE) AS cb FROM bg"
-        "  GROUP BY 1 HAVING count(*) >= 5),"
-        " nb AS (SELECT sum(cb) AS nbi FROM bc),"
+        # nbi sums ALL bigram occurrences (before the min-count
+        # filter) — mirrors bigram_pmi's p(ab) denominator
+        " bca AS (SELECT b, CAST(count(*) AS DOUBLE) AS cb FROM bg"
+        "  GROUP BY 1),"
+        " nb AS (SELECT sum(cb) AS nbi FROM bca),"
+        " bc AS (SELECT * FROM bca WHERE cb >= 5),"
         " scored AS (SELECT b AS bigram, CAST(cb AS BIGINT) AS n_bigram,"
         "  round(ln((cb / nbi) / ((ca.cw / nu.n) * (cbb.cw / nu.n))), 4)"
         "   AS pmi"

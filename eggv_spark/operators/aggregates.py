@@ -1809,27 +1809,18 @@ def bh_adjust(
     )
 
 
-def fisher_combine(df: DataFrame, p_col: str) -> DataFrame:
-    """Fisher's method for combining m independent p-values: X = -2
-    sum(ln p) ~ chi2 with 2m dof under the global null.  2m is always
-    EVEN, so the chi-square survival function has the exact closed
-    form P(X > x) = exp(-x/2) * sum_{i=0}^{m-1} (x/2)^i / i! — both
-    engines evaluate the same finite series (m is data-dependent:
-    built with a runtime ``aggregate`` over sequence(0, m-1)), no
-    incomplete-gamma needed.  One scalar reduce over the (tiny)
-    hypothesis frame."""
-    agg = df.agg(
-        F.count("*").alias("m"),
-        F.round(-2.0 * F.sum(F.log(p_col)), 6).alias("fisher_x2"),
-    )
-    half = F.col("fisher_x2") / 2.0
-    # iterative term recurrence term_i = term_{i-1} * half / i, NEVER
-    # factorial(i): Spark's factorial is NULL past 20, and
-    # least(NULL, 1.0) would silently report p_combined = 1.0 for any
-    # family of m >= 22 hypotheses.  The accumulator carries
-    # (term, total); an empty sequence (m = 1) leaves the init value.
+def _chi2_even_sf(stat: Column, n_terms: Column) -> Column:
+    """Closed-form chi-square survival P(X > stat) for EVEN dof
+    2*n_terms: exp(-x/2) * sum_{i=0}^{n_terms-1} (x/2)^i / i!, built
+    as a term recurrence term_i = term_{i-1} * (x/2) / i — NEVER
+    factorial(i): Spark's factorial is NULL past 20, and
+    least(NULL, 1.0) would silently report p = 1.0 for dof >= 42.
+    n_terms <= 1 leaves the series at its init value 1.0 (the dof=2
+    case exp(-x/2)).  Shared by fisher_combine / kruskal_wallis /
+    friedman_test; callers gate on dof evenness and round/clamp."""
+    half = stat / 2.0
     idx = F.when(
-        F.col("m") > 1, F.sequence(F.lit(1), F.col("m").cast("int") - 1)
+        n_terms > 1, F.sequence(F.lit(1), n_terms.cast("int") - 1)
     ).otherwise(F.array().cast("array<int>"))
     series = F.aggregate(
         idx,
@@ -1842,7 +1833,21 @@ def fisher_combine(df: DataFrame, p_col: str) -> DataFrame:
         ),
         lambda acc: acc["total"],
     )
-    p = F.exp(-half) * series
+    return F.exp(-half) * series
+
+
+def fisher_combine(df: DataFrame, p_col: str) -> DataFrame:
+    """Fisher's method for combining m independent p-values: X = -2
+    sum(ln p) ~ chi2 with 2m dof under the global null.  2m is always
+    EVEN, so the survival function has the exact closed-form series
+    (:func:`_chi2_even_sf`; m is data-dependent, built with a runtime
+    ``aggregate``), no incomplete-gamma needed.  One scalar reduce
+    over the (tiny) hypothesis frame."""
+    agg = df.agg(
+        F.count("*").alias("m"),
+        F.round(-2.0 * F.sum(F.log(p_col)), 6).alias("fisher_x2"),
+    )
+    p = _chi2_even_sf(F.col("fisher_x2"), F.col("m"))
     return agg.select(
         "m", "fisher_x2",
         F.round(F.least(p, F.lit(1.0)), 6).alias("p_combined"),
@@ -2139,23 +2144,15 @@ def kruskal_wallis(
     h = F.round(F.try_divide(h_raw, correction), 6)
     agg = agg.withColumn("_h", h)
     # chi2(k-1) survival, closed-form when k-1 even: m = (k-1)/2 terms
-    half = F.col("_h") / 2.0
-    m_terms = ((F.col("k") - 1) / 2).cast("int")
-    idx = F.when(m_terms > 1, F.sequence(F.lit(1), m_terms - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    series = F.aggregate(
-        idx,
-        F.struct(F.lit(1.0).alias("term"), F.lit(1.0).alias("total")),
-        lambda acc, i: F.struct(
-            (acc["term"] * half / i.cast("double")).alias("term"),
-            (acc["total"] + acc["term"] * half / i.cast("double"))
-            .alias("total"),
-        ),
-        lambda acc: acc["total"],
-    )
     p = F.when(
         ((F.col("k") - 1) % 2 == 0) & F.col("_h").isNotNull(),
-        F.round(F.least(F.exp(-half) * series, F.lit(1.0)), 6),
+        F.round(
+            F.least(
+                _chi2_even_sf(F.col("_h"), ((F.col("k") - 1) / 2)),
+                F.lit(1.0),
+            ),
+            6,
+        ),
     )
     return agg.select(
         "k", "n", F.col("_h").alias("kw_h"), p.alias("p_value")
@@ -2227,8 +2224,13 @@ def median_test(
     n_all = F.col("_ta") + F.col("_tb")
     ea = (F.col("_a") + F.col("_b")) * F.col("_ta") / n_all
     eb = (F.col("_a") + F.col("_b")) * F.col("_tb") / n_all
+    # try_divide: when every non-median value falls on one side the
+    # other side's expected count is 0 and plain / gives 0.0/0.0 =
+    # NaN; try_divide yields NULL, which sum() skips — matching
+    # DuckDB's divide-by-zero NULL semantics
     chi2 = F.sum(
-        (F.col("_a") - ea) ** 2 / ea + (F.col("_b") - eb) ** 2 / eb
+        F.try_divide((F.col("_a") - ea) ** 2, ea)
+        + F.try_divide((F.col("_b") - eb) ** 2, eb)
     )
     return joined.groupBy().agg(
         F.any_value("k").alias("k"),
@@ -2265,7 +2267,11 @@ def friedman_test(
     )
     agg = per_t.agg(
         F.count("*").alias("k"),
-        F.any_value("_b_count").alias("b"),
+        # max, not any_value: if a (block, treatment) cell is dropped
+        # by the null filter the per-treatment counts differ, and
+        # any_value would pick an arbitrary one (nondeterministic
+        # across partitionings; the DuckDB oracle uses max(bc))
+        F.max("_b_count").alias("b"),
         F.sum(F.col("_rs") * F.col("_rs")).alias("_sr2"),
     )
     k, b = F.col("k"), F.col("b")
@@ -2273,23 +2279,14 @@ def friedman_test(
         12.0 / (b * k * (k + 1.0)) * F.col("_sr2") - 3.0 * b * (k + 1.0)
     )
     agg = agg.withColumn("_q", F.round(q, 6))
-    half = F.col("_q") / 2.0
-    m_terms = ((k - 1) / 2).cast("int")
-    idx = F.when(m_terms > 1, F.sequence(F.lit(1), m_terms - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    series = F.aggregate(
-        idx,
-        F.struct(F.lit(1.0).alias("term"), F.lit(1.0).alias("total")),
-        lambda acc, i: F.struct(
-            (acc["term"] * half / i.cast("double")).alias("term"),
-            (acc["total"] + acc["term"] * half / i.cast("double"))
-            .alias("total"),
-        ),
-        lambda acc: acc["total"],
-    )
     p = F.when(
         ((k - 1) % 2 == 0) & F.col("_q").isNotNull(),
-        F.round(F.least(F.exp(-half) * series, F.lit(1.0)), 6),
+        F.round(
+            F.least(
+                _chi2_even_sf(F.col("_q"), ((k - 1) / 2)), F.lit(1.0)
+            ),
+            6,
+        ),
     )
     return agg.select(
         "k", "b", F.col("_q").alias("friedman_q"), p.alias("p_value")

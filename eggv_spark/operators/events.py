@@ -766,10 +766,17 @@ def periodogram(
     frequency, all in one map-side-combined pass over the tiny daily
     rollup (no FFT, no UDF; for long series an FFT via mapInPandas is
     the documented scale path).  2dp-rounded power: cos/sin libm
-    differences are ~1e-16 relative, far under the round."""
+    differences are ~1e-16 relative, far under the round.
+
+    Day index is days-since-epoch, NOT day-of-month: a series
+    spanning months would otherwise alias (Jan 5 and Feb 5 collapse
+    into one bucket and the span caps at 31), scrambling the
+    spectrum."""
     daily = df.groupBy(
         F.col(type_col).alias("_t"),
-        F.dayofmonth(ts_col).cast("int").alias("_d"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date"))
+        .cast("int")
+        .alias("_d"),
     ).agg(F.count("*").cast("double").alias("_y"))
     span = daily.groupBy("_t").agg(
         (F.max("_d") - F.min("_d") + 1).alias("_span"),
@@ -869,7 +876,6 @@ def markov_entropy_rate(
             * (F.col("_n") / row_tot)
             * -F.log(F.col("_n") / row_tot)
         ).alias("_h_term"),
-        (F.col("_n") / row_tot * F.log(F.col("_n") / row_tot)).alias("_x"),
         F.col("_from").alias("_f"),
     )
     agg = terms.agg(

@@ -1047,13 +1047,16 @@ def bigram_pmi(
         F.count("*").alias("_cw")
     )
     n_uni = uni.agg(F.sum("_cw").alias("_n"))
-    bi = (
+    bi_all = (
         toks.select(F.explode(bigrams_col(F.col("_t"))).alias("_bg"))
         .groupBy("_bg")
         .agg(F.count("*").alias("_cbg"))
-        .filter(F.col("_cbg") >= min_count)
     )
-    n_bi = bi.agg(F.sum("_cbg").alias("_nb"))
+    # p(ab)'s denominator is ALL bigram occurrences — summing after
+    # the min_count filter would inflate every PMI by the constant
+    # ln(N_all / N_surviving)
+    n_bi = bi_all.agg(F.sum("_cbg").alias("_nb"))
+    bi = bi_all.filter(F.col("_cbg") >= min_count)
     parts = F.split("_bg", " ")
     scored = (
         bi.withColumn("_wa", F.get(parts, 0))

@@ -4,19 +4,32 @@ The extensibility showcase for SURVEY §2.1: the same 9-column GVF
 contract as :func:`eggv_spark.sources.readers.read_gvf` (reference
 ``eggv/process.py:25-61``), registered as a first-class Spark format
 through PySpark 4's Python DataSource API instead of a helper
-function.  One ``InputPartition`` per input file, so a multi-file
-corpus scans in parallel without any driver-side reading; ``.gz``
-members decompress inside the partition reader.
+function.  One ``InputPartition`` per input file — the right split
+for gzipped inputs a byte-range splitter can't subdivide, and it
+mirrors the reference's per-chromosome fan-out
+(``eggv/pipeline.py:177``) — so a multi-file corpus scans in
+parallel without any driver-side reading.
 
-When to use which:
+Rows cross the Python boundary as pyarrow RecordBatches (the fast
+path of the Python DataSource API — tuple-yielding readers pay
+per-row pickling), chunked at ``_BATCH_ROWS`` so one huge file never
+materializes as a single batch.
+
+Malformed-row policy mirrors the CSV reader's mode names:
+- ``FAILFAST`` (default): a row with the wrong field count or a
+  non-integer start/end raises at the SCAN with the file path and
+  offending line — corruption is never invisible (readers.read_gvf
+  quarantines instead of dropping for the same reason).
+- ``DROPMALFORMED`` (``.option("mode", "dropmalformed")``): skip bad
+  rows, for salvage reads of known-dirty feeds.
+
+When to use which reader:
 - ``read_gvf`` (CSV reader, JVM-side) is the FAST path — whole-stage
   codegen parsing, splittable plain-text files, PERMISSIVE corrupt
   capture.  Use it for bulk processing.
 - ``format("gvf")`` is the INTEGRATION path — the format string
   travels through SQL (``CREATE TABLE ... USING gvf``), catalogs,
-  and any tooling that only speaks formats.  Rows cross the Python
-  boundary via Arrow batches, so per-row cost is higher; the
-  partition-per-file split keeps it parallel.
+  and any tooling that only speaks formats.
 
 Register once per session with :func:`register_gvf_datasource`.
 """
@@ -35,6 +48,9 @@ _GVF_DDL = (
     " score string, strand string, phase string, attr string"
 )
 
+#: Rows per yielded RecordBatch — bounds executor memory per file.
+_BATCH_ROWS = 16384
+
 
 class _GvfFilePartition(InputPartition):
     def __init__(self, path: str):
@@ -47,6 +63,9 @@ class GvfDataSourceReader(DataSourceReader):
         if not path:
             raise ValueError("gvf datasource requires a path")
         self._path = path
+        self._drop_malformed = (
+            str(options.get("mode", "FAILFAST")).upper() == "DROPMALFORMED"
+        )
 
     def _files(self) -> list[str]:
         p = self._path
@@ -65,23 +84,59 @@ class GvfDataSourceReader(DataSourceReader):
         return [_GvfFilePartition(f) for f in self._files()]
 
     def read(self, partition):
+        import pyarrow as pa
+
         path = partition.path
         opener = gzip.open if path.endswith(".gz") else open
+        cols: list[list] = [[] for _ in range(9)]
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.string()),
+                    pa.array(cols[2], pa.string()),
+                    pa.array(cols[3], pa.int64()),
+                    pa.array(cols[4], pa.int64()),
+                    pa.array(cols[5], pa.string()),
+                    pa.array(cols[6], pa.string()),
+                    pa.array(cols[7], pa.string()),
+                    pa.array(cols[8], pa.string()),
+                ],
+                names=[
+                    "seqid", "source", "type", "start", "end",
+                    "score", "strand", "phase", "attr",
+                ],
+            )
+            for c in cols:
+                c.clear()
+            return batch
+
         with opener(path, "rb") as fh:
             for raw in io.TextIOWrapper(fh, encoding="utf-8"):
-                if not raw or raw.startswith("#"):
+                if not raw.strip() or raw.startswith("#"):
                     continue
                 parts = raw.rstrip("\n").split("\t")
-                if len(parts) != 9:
-                    continue  # malformed: same drop the CSV path takes
                 try:
+                    if len(parts) != 9:
+                        raise ValueError(
+                            f"expected 9 GVF fields, got {len(parts)}"
+                        )
                     start, end = int(parts[3]), int(parts[4])
-                except ValueError:
-                    continue
-                yield (
-                    parts[0], parts[1], parts[2], start, end,
-                    parts[5], parts[6], parts[7], parts[8],
-                )
+                except ValueError as exc:
+                    if self._drop_malformed:
+                        continue
+                    raise ValueError(
+                        f"{path}: malformed GVF row ({exc}): {raw[:80]!r}"
+                    ) from exc
+                for i, v in enumerate(parts):
+                    cols[i].append(v)
+                cols[3][-1] = start
+                cols[4][-1] = end
+                if len(cols[0]) >= _BATCH_ROWS:
+                    yield flush()
+        if cols[0]:
+            yield flush()
 
 
 class GvfDataSource(DataSource):
@@ -99,3 +154,7 @@ class GvfDataSource(DataSource):
 def register_gvf_datasource(spark) -> None:
     """Idempotent session-level registration of the ``gvf`` format."""
     spark.dataSource.register(GvfDataSource)
+
+
+#: Back-compat alias (the pre-rename registration entry point).
+register = register_gvf_datasource

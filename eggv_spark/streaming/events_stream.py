@@ -616,6 +616,12 @@ def streaming_user_profile_tws(events: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             if self._stats.exists():
                 n, s, mx = self._stats.get()
+                if mx is not None and mx != mx:
+                    # NaN is the stored no-max-yet sentinel (the state
+                    # schema needs a double); normalize it back to
+                    # None so a later real value wins the comparison
+                    # instead of `m > nan` = False pinning NaN forever
+                    mx = None
             else:
                 n, s, mx = 0, 0.0, None
             for pdf in rows:

@@ -804,7 +804,11 @@ def test_gvf_datasource_roundtrip(spark, tmp_path):
     (tmp_path / "b.gvf").write_text(
         "chr3\tsrc\tSNV\t300\t305\t.\t+\t.\tID=rs3\n"
     )
-    df = spark.read.format("gvf").load(str(tmp_path))
+    df = (
+        spark.read.format("gvf")
+        .option("mode", "dropmalformed")       # opt-in salvage mode;
+        .load(str(tmp_path))                   # default FAILFAST raises
+    )
     rows = sorted(df.collect(), key=lambda r: r["start"])
     assert len(rows) == 3                      # malformed line dropped
     assert rows[0]["seqid"] == "chr1" and rows[0]["end"] == 105

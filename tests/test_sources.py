@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from eggv_spark.sources.readers import read_json, read_processed_tsv
@@ -113,7 +114,7 @@ def test_single_file_tsv_export(spark, tmp_path):
 def test_custom_gvf_datasource(spark, tmp_path):
     """Spark 4 Python DataSource API: per-file-partitioned GVF
     connector returns typed rows, skips directives, and fails loudly
-    on malformed files."""
+    on malformed files (default FAILFAST mode)."""
     from eggv_spark.sources import gvf_datasource
 
     gvf_datasource.register(spark)
@@ -122,13 +123,19 @@ def test_custom_gvf_datasource(spark, tmp_path):
             "##gvf-version 1.07\n"
             "7\tdbSNP\tSNV\t100\t101\t.\t+\t.\tID=1;Dbxref=dbSNP_151:rs1\n"
         )
-    df = spark.read.format("eggv_gvf").load(str(tmp_path / "*.gvf"))
+    df = spark.read.format("gvf").load(str(tmp_path / "*.gvf"))
     assert df.count() == 2
     assert df.schema["start"].dataType.typeName() == "long"
     # one partition per file
     assert df.rdd.getNumPartitions() == 2
     row = df.orderBy("seqid").first()
     assert (row["seqid"], row["start"], row["end"]) == ("7", 100, 101)
+
+    # default mode fails AT THE SCAN with the file path in the error
+    # (corruption must never be invisible)
+    (tmp_path / "bad.gvf").write_text("not\ta\tgvf\trow\n")
+    with pytest.raises(Exception, match="bad.gvf"):
+        spark.read.format("gvf").load(str(tmp_path / "bad.gvf")).count()
 
 
 def test_udtf_explode_effects(spark):
