@@ -862,3 +862,85 @@ def test_transform_with_state_profile_or_env_skip(spark):
                 or "crashed" in str(exc):
             pytest.skip(f"transformWithState unavailable in env: {exc}")
         raise
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (round-5 second review pass)
+# ---------------------------------------------------------------------------
+
+def test_gvf_datasource_failfast_default(spark, tmp_path):
+    """Default mode fails AT THE SCAN with the file path — corruption
+    must never be silently dropped (the CSV path quarantines; the
+    datasource raises)."""
+    from eggv_spark.sources.gvf_datasource import register_gvf_datasource
+
+    register_gvf_datasource(spark)
+    (tmp_path / "dirty.gvf").write_text(
+        "chr1\ts\tSNV\t1\t2\t.\t+\t.\tID=rs1\n"
+        "only\tfour\tfields\there\n"
+    )
+    with pytest.raises(Exception, match="dirty.gvf"):
+        spark.read.format("gvf").load(str(tmp_path / "dirty.gvf")).count()
+
+
+def test_periodogram_multi_month_no_aliasing(spark):
+    """Day index is days-since-epoch: a series spanning two months
+    keeps its days distinct (dayofmonth would collapse Jan-05 and
+    Feb-05 into one bucket and cap the span at 31)."""
+    from eggv_spark.operators.events import periodogram
+
+    ev = spark.createDataFrame(
+        [("c", f"2024-{m:02d}-{d:02d} 00:00:00")
+         for m in (1, 2) for d in range(1, 6)],
+        "event_type string, ts string",
+    ).selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    assert periodogram(ev).first()["n_days"] == 10
+
+
+def test_bigram_pmi_denominator_counts_all_bigrams(spark):
+    """p(ab) divides by ALL bigram occurrences, not the min_count
+    survivors: with one dominant bigram and a long filtered tail, a
+    survivors-only denominator would inflate PMI by
+    ln(N_all / N_surviving)."""
+    # "a b" x5 (survives min_count=5), 5 distinct singleton bigrams
+    # (filtered): N_all = 10, N_surviving = 5.
+    rows = [("a b",)] * 5 + [(f"x{i} y{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {r["bigram"]: r for r in T.bigram_pmi(df).collect()}
+    assert set(out) == {"a b"}
+    # unigrams: a=5, b=5, n=20; p(ab) = 5/10
+    expected = math.log((5 / 10) / ((5 / 20) * (5 / 20)))
+    assert out["a b"]["pmi"] == round(expected, 4)
+
+
+def test_median_test_degenerate_side_yields_null(spark):
+    """All non-median values on one side: expected counts hit zero
+    and the chi2 must come back NULL (DuckDB divide-by-zero
+    semantics), never NaN."""
+    df = spark.createDataFrame(
+        [("a", 3.0, 1), ("a", 3.0, 2), ("b", 3.0, 3), ("b", 1.0, 4)],
+        "g string, v double, tb int",
+    )
+    row = AG.median_test(df, "g", "v", "tb").collect()[0]
+    assert row["chi2"] is None
+
+
+def test_friedman_block_count_deterministic_max(spark):
+    """A dropped (block, treatment) cell (null value) must not make
+    the reported block count depend on which treatment any_value
+    happens to pick: b = max over per-treatment counts."""
+    rows = [
+        (b, t, None if (b, t) == (1, "t1") else float(b * 3 + len(t)))
+        for b in (1, 2, 3) for t in ("t1", "t2", "t3")
+    ]
+    df = spark.createDataFrame(rows, "blk int, trt string, v double")
+    out = AG.friedman_test(df, "blk", "trt", "v").collect()[0]
+    assert out["b"] == 3  # t2/t3 have 3 blocks; t1 only 2
+
+
+def test_fisher_kruskal_friedman_share_series_helper():
+    """The even-dof chi2 survival series exists exactly once."""
+    import inspect
+
+    src = inspect.getsource(AG)
+    assert src.count('F.struct(F.lit(1.0).alias("term")') == 1
