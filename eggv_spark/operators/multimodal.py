@@ -9,14 +9,18 @@ The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas``
 signatures, partitioning) is real and tested.  Decode status per
 modality:
 
-- **image: REAL for binary PPM (P6) and uncompressed 24-bit BMP** —
-  :func:`decode_ppm` and :func:`decode_bmp` are stdlib-only parsers
+- **image: REAL for binary PPM (P6), uncompressed 24-bit BMP, and
+  8-bit gray/truecolor PNG** — :func:`decode_ppm`,
+  :func:`decode_bmp`, and :func:`decode_png` are stdlib-only parsers
   (PPM: header tokenize incl. comments; BMP: little-endian
   BITMAPINFOHEADER, 4-byte row stride, bottom-up AND top-down
-  rasters); no PIL needed.  :func:`synthesize_ppm_images` /
-  :func:`synthesize_bmp_images` emit genuine payloads (pure Column
-  exprs) so both containers are exercised with ``fake=False``
-  end-to-end.
+  rasters; PNG: chunk walk, zlib inflate, all five scanline
+  filters — the one COMPRESSED container decodable without PIL).
+  :func:`synthesize_ppm_images` / :func:`synthesize_bmp_images` /
+  :func:`synthesize_png_images` emit genuine payloads (pure Column
+  exprs; the PNG one computes a real adler32 via an ``F.aggregate``
+  recurrence) so all three containers are exercised with
+  ``fake=False`` end-to-end.
 - **audio: REAL for 16-bit PCM WAV** — :func:`decode_wav` opens the
   RIFF container with the stdlib ``wave`` module and computes PCM
   stats; :func:`synthesize_wav_audio` emits genuine WAV payloads in
@@ -358,6 +362,124 @@ def decode_bmp(payload: bytes) -> list[float]:
     ]
 
 
+def _png_parse(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse a PNG for REAL, stdlib only: validate the signature,
+    walk the chunk stream, read IHDR, concatenate IDAT, ``zlib``-
+    inflate, and reverse the per-scanline filters (all five: None,
+    Sub, Up, Average, Paeth).  Returns ``(width, height, channels,
+    rows)`` with rows top-down, each ``channels*width`` bytes.
+
+    Supported: bit depth 8, color type 2 (truecolor, 3 channels) or
+    0 (grayscale, 1 channel), no interlace — the same honest
+    narrowness as the BMP parser (24-bit BI_RGB only).  Chunk CRCs
+    are NOT validated: zlib's adler32 already integrity-checks the
+    pixel stream, and the Column-expression synthesizer zeroes chunk
+    CRCs (computing CRC32 per row in Column math buys no parse-side
+    correctness)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+            bit_depth, color_type, _c, _f, interlace = data[8:13]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced grayscale/truecolor PNG "
+            f"supported (depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    channels = 3 if color_type == 2 else 1
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel stream length mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for r in range(height):
+        off = r * (1 + stride)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = bytes(line)
+        rows.append(prev)
+    return width, height, channels, rows
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """REAL PNG decode, stdlib only (zlib inflate + scanline
+    unfilter) — the third real image container next to
+    :func:`decode_ppm` and :func:`decode_bmp`, and the first
+    COMPRESSED one, so the image path covers an entropy-coded format
+    without PIL.  Emits the shared FEATURE_DIM stat layout
+    ``[width, height, 255, mean_r, mean_g, mean_b, max_px, min_px]``
+    (grayscale replicates its single channel into all three
+    means)."""
+    w, h, channels, rows = _png_parse(payload)
+    n = w * h
+    mx, mn = 0, 255
+    if channels == 3:
+        sums = [0, 0, 0]
+        for row in rows:
+            for c in range(3):
+                sums[c] += sum(row[c::3])
+            mx = max(mx, max(row))
+            mn = min(mn, min(row))
+        means = [sums[0] / n, sums[1] / n, sums[2] / n]
+    else:
+        total = 0
+        for row in rows:
+            total += sum(row)
+            mx = max(mx, max(row))
+            mn = min(mn, min(row))
+        means = [total / n] * 3
+    return [float(w), float(h), 255.0, *means, float(mx), float(mn)]
+
+
 def _y4m_header(width: int, height: int, fps_num: int = 25, fps_den: int = 1) -> bytes:
     """YUV4MPEG2 stream header, progressive, square pixels, C444
     (full-resolution U/V planes, so a frame is exactly 3*W*H bytes)."""
@@ -450,10 +572,12 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
 
     Binary-PPM image payloads (magic ``P6``) are decoded FOR REAL via
     :func:`decode_ppm` regardless of ``fake``, uncompressed BMP
-    (``BM``) via :func:`decode_bmp`; likewise WAV
-    (``RIFF``) via :func:`decode_wav` and Y4M video (``YUV4MPEG2``)
-    via :func:`decode_y4m`.  Compressed formats need
-    PIL/librosa/ffmpeg, which this environment does not ship:
+    (``BM``) via :func:`decode_bmp`, PNG (8-byte signature) via
+    :func:`decode_png` (zlib inflate + scanline unfilter); likewise
+    WAV (``RIFF``) via :func:`decode_wav` and Y4M video
+    (``YUV4MPEG2``) via :func:`decode_y4m`.  The remaining compressed
+    formats need PIL/librosa/ffmpeg, which this environment does not
+    ship:
     ``fake=True`` derives a deterministic FEATURE_DIM-float vector
     from the md5 digest — shape-compatible with a real embedding so
     the distributed plumbing is exercised end-to-end.
@@ -462,6 +586,8 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
         return decode_ppm(payload)
     if _looks_like_bmp(payload):
         return decode_bmp(payload)
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png(payload)
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)
     if payload.startswith(b"YUV4MPEG2"):
@@ -912,6 +1038,92 @@ def synthesize_png_headers(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.unhex(F.concat(F.lit("89504e470d0a1a0a"), ihdr)).alias("payload"),
+        F.lit("image/png").alias("mime_type"),
+    )
+
+
+def synthesize_png_images(
+    docs: DataFrame, width: int = 6, height: int = 4
+) -> DataFrame:
+    """Deterministic REAL decodable PNG assets from the ``documents``
+    fixture — pure Column exprs, no UDF, reproducible in any engine
+    from the same formulas.  Raster byte ``j`` of row ``r`` of doc
+    ``d`` is ``(d*11 + r*19 + j*17) % 256`` (RGB, 3*width bytes per
+    row, filter type 0 per scanline).
+
+    The IDAT zlib stream uses one STORED deflate block (header
+    ``78 01``, block ``01 LEN NLEN``) so the byte layout is
+    expressible in Column math — but the adler32 trailer is computed
+    FOR REAL with an ``F.aggregate`` recurrence over the scanline
+    bytes (``a = (a+byte) % 65521; b = (b+a) % 65521``), because
+    ``zlib.decompress`` validates it; these payloads round-trip
+    through :func:`decode_png` with no special-casing.  Chunk CRCs
+    are zeroed (documented non-validated in :func:`_png_parse`).
+    Stored-block limit: ``height*(1+3*width)`` must be <= 65535."""
+    import struct
+
+    stride = 3 * width
+    dl = height * (1 + stride)  # filter byte + raster, per row
+    if dl > 0xFFFF:
+        raise ValueError("fixture raster exceeds one stored block")
+
+    row_len = 1 + stride
+    idx = F.sequence(F.lit(0), F.lit(dl - 1))
+    byte_at = lambda i: F.when((i % row_len) == 0, F.lit(0)).otherwise(
+        (
+            F.col("doc_id") * 11
+            + F.floor(i / row_len) * 19
+            + ((i % row_len) - 1) * 17
+        )
+        % 256
+    )
+    data_hex = F.array_join(
+        F.transform(
+            idx, lambda i: F.lpad(F.lower(F.hex(byte_at(i))), 2, "0")
+        ),
+        "",
+    )
+    adler = F.aggregate(
+        idx,
+        F.struct(
+            F.lit(1).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+        ),
+        lambda acc, i: F.struct(
+            ((acc["a"] + byte_at(i)) % 65521).alias("a"),
+            ((acc["b"] + acc["a"] + byte_at(i)) % 65521).alias("b"),
+        ),
+        lambda acc: acc["b"] * 65536 + acc["a"],
+    )
+    adler_hex = F.lpad(F.lower(F.hex(adler)), 8, "0")
+
+    ihdr = (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        + b"\x00\x00\x00\x00"  # CRC zeroed
+    )
+    # IDAT = zlib header + stored-block header + data + adler32
+    idat_len = 2 + 5 + dl + 4
+    idat_head = (
+        struct.pack(">I", idat_len)
+        + b"IDAT"
+        + b"\x78\x01"
+        + b"\x01"
+        + struct.pack("<HH", dl, dl ^ 0xFFFF)
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + b"\x00\x00\x00\x00"
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(
+            F.concat(
+                F.lit((b"\x89PNG\r\n\x1a\n" + ihdr + idat_head).hex()),
+                data_hex,
+                adler_hex,
+                F.lit((b"\x00\x00\x00\x00" + iend).hex()),  # IDAT CRC + IEND
+            )
+        ).alias("payload"),
         F.lit("image/png").alias("mime_type"),
     )
 
