@@ -4129,7 +4129,15 @@ def _agg_hll_rollup(spark, sf_dir):
     datasketches path that makes distinct-count rollups one-pass and
     re-aggregatable at any grain.  Approximate by construction →
     rows-only driver check; the estimate-vs-exact tolerance is
-    pytest-asserted."""
+    pytest-asserted.
+
+    Measured (scripts/determinism_sweep.py): the per-source estimates
+    are partition-invariant, but the unioned ``__ALL__`` estimate is
+    MERGE-ORDER-SENSITIVE at small cardinality (497 vs 501 for the
+    same 500-value set under two partitioning configs — the
+    datasketches union gadget's promotion path depends on merge
+    order).  Inherent to distributed sketch rollups; row count stays
+    exact, which is precisely what the driver checks."""
     docs = _t(spark, sf_dir, "documents").select(
         "source", F.md5("text").alias("h")
     )
