@@ -9,18 +9,21 @@ The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas``
 signatures, partitioning) is real and tested.  Decode status per
 modality:
 
-- **image: REAL for binary PPM (P6), uncompressed 24-bit BMP, and
-  8-bit gray/truecolor PNG** — :func:`decode_ppm`,
-  :func:`decode_bmp`, and :func:`decode_png` are stdlib-only parsers
-  (PPM: header tokenize incl. comments; BMP: little-endian
-  BITMAPINFOHEADER, 4-byte row stride, bottom-up AND top-down
-  rasters; PNG: chunk walk, zlib inflate, all five scanline
-  filters — the one COMPRESSED container decodable without PIL).
+- **image: REAL for binary PPM (P6), uncompressed 24-bit BMP,
+  8-bit gray/truecolor PNG, and single-frame GIF** —
+  :func:`decode_ppm`, :func:`decode_bmp`, :func:`decode_png` and
+  :func:`decode_gif` are stdlib-only parsers (PPM: header tokenize
+  incl. comments; BMP: little-endian BITMAPINFOHEADER, 4-byte row
+  stride, bottom-up AND top-down rasters; PNG: chunk walk, zlib
+  inflate, all five scanline filters; GIF: extension-block walk +
+  a full variable-width LZW decoder — so BOTH entropy families,
+  deflate and LZW, decode without PIL).
   :func:`synthesize_ppm_images` / :func:`synthesize_bmp_images` /
-  :func:`synthesize_png_images` emit genuine payloads (pure Column
-  exprs; the PNG one computes a real adler32 via an ``F.aggregate``
-  recurrence) so all three containers are exercised with
-  ``fake=False`` end-to-end.
+  :func:`synthesize_png_images` / :func:`synthesize_gif_images`
+  emit genuine payloads (pure Column exprs; the PNG one computes a
+  real adler32 via an ``F.aggregate`` recurrence, the GIF one a
+  byte-aligned LZW stream) so all four containers are exercised
+  with ``fake=False`` end-to-end.
 - **audio: REAL for 16-bit PCM WAV** — :func:`decode_wav` opens the
   RIFF container with the stdlib ``wave`` module and computes PCM
   stats; :func:`synthesize_wav_audio` emits genuine WAV payloads in
@@ -588,6 +591,8 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
         return decode_bmp(payload)
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)
     if payload.startswith(b"YUV4MPEG2"):
@@ -1175,4 +1180,258 @@ def detect_scene_cuts(
         F.min(F.when(F.col("_cut") == 1, F.col("frame_idx"))).alias(
             "first_cut_idx"
         ),
+    )
+
+
+# ---- GIF (LZW-compressed, stdlib decode) -----------------------------------
+
+
+def _gif_color_table(n: int) -> bytes:
+    """Deterministic ``3*n``-byte palette shared by the synthesizer
+    and tests: entry ``k`` -> ``(2k % 256, (255-2k) % 256,
+    (7k+3) % 256)``."""
+    out = bytearray()
+    for k in range(n):
+        out += bytes(((2 * k) % 256, (255 - 2 * k) % 256, (7 * k + 3) % 256))
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
+    """REAL GIF-variant LZW decompression, stdlib only: LSB-first bit
+    reader, variable code width starting at ``min_code + 1``,
+    CLEAR/EOI handling, dictionary growth with a width bump when the
+    next free slot reaches ``2**width`` (no early change, per the GIF
+    spec) and the 12-bit cap with deferred clear.  Returns the pixel
+    index stream; ``n_expected`` only bounds runaway corrupt streams.
+    """
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    # Width-bump bookkeeping is a CODES-READ counter, not the table
+    # size: the decoder's table lags the encoder's by exactly one
+    # entry at read time (the encoder inserts before emitting the
+    # next code; the decoder only learns that entry from the next
+    # code), so bumping on table size would switch width one code too
+    # late.  Counting codes read — one prospective slot per code —
+    # and bumping when the counter passes 2**width reproduces the
+    # de-facto standard (giflib's RunningCode/MaxCode1) exactly.
+    running = eoi + 1
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            running += 1
+            if running > (1 << width) and width < 12:
+                width += 1
+            if code == clear:
+                table = {i: (i,) for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code + 1
+                running = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None or len(entry) != 1:
+                    raise ValueError("LZW stream starts on a non-root code")
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                # the KwKwK case: the code being defined right now
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            out.extend(entry)
+            prev = entry
+            if len(out) > n_expected:
+                raise ValueError("LZW stream decodes past the raster size")
+    raise ValueError("LZW stream ended without an EOI code")
+
+
+def _gif_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a GIF for REAL, stdlib only: validate the GIF87a/GIF89a
+    signature, read the logical screen descriptor and global color
+    table, skip 0x21 extension blocks (sub-block walk), read the
+    first image descriptor, gather the data sub-blocks, and
+    LZW-decompress via :func:`_lzw_decode`.  Returns ``(width,
+    height, rows)`` with rows top-down, each ``3*width`` RGB bytes
+    through the active (global or local) color table.
+
+    Supported: single-frame, non-interlaced images — the same honest
+    narrowness as the other stdlib parsers (no animation
+    compositing, no transparency blending)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    table = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        table = payload[pos : pos + 3 * n]
+        if len(table) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x2C:
+            break
+        if block == 0x21:  # extension: introducer, label, sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x3B:
+            raise ValueError("GIF has no image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    else:
+        raise ValueError("GIF has no image data")
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF image descriptor")
+    width = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+    height = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    ipacked = payload[pos + 9]
+    pos += 10
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIFs not supported")
+    if ipacked & 0x80:  # local color table overrides the global one
+        n = 2 ** ((ipacked & 0x07) + 1)
+        table = payload[pos : pos + 3 * n]
+        if len(table) != 3 * n:
+            raise ValueError("truncated local color table")
+        pos += 3 * n
+    if table is None:
+        raise ValueError("GIF image has no color table")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid GIF dimensions {width}x{height}")
+    if pos >= len(payload):
+        raise ValueError("truncated GIF image data")
+    min_code = payload[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"invalid LZW minimum code size {min_code}")
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("unterminated GIF data sub-blocks")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        chunk = payload[pos : pos + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated GIF data sub-block")
+        data += chunk
+        pos += ln
+    indices = _lzw_decode(bytes(data), min_code, width * height)
+    if len(indices) != width * height:
+        raise ValueError(
+            f"LZW stream decoded {len(indices)} pixels, "
+            f"raster needs {width * height}"
+        )
+    ncolors = len(table) // 3
+    if max(indices) >= ncolors:
+        raise ValueError("pixel index outside the color table")
+    rows: list[bytes] = []
+    for r in range(height):
+        row = bytearray()
+        for c in indices[r * width : (r + 1) * width]:
+            row += table[3 * c : 3 * c + 3]
+        rows.append(bytes(row))
+    return width, height, rows
+
+
+def decode_gif(payload: bytes) -> list[float]:
+    """REAL GIF decode, stdlib only (full variable-width LZW) — the
+    fourth real image container next to :func:`decode_ppm`,
+    :func:`decode_bmp` and :func:`decode_png`, and the first
+    DICTIONARY-CODED one, so the image path covers both entropy
+    families (deflate and LZW) without PIL.  Emits the shared
+    FEATURE_DIM stat layout ``[width, height, 255, mean_r, mean_g,
+    mean_b, max_px, min_px]`` over the palette-resolved RGB
+    raster."""
+    w, h, rows = _gif_parse(payload)
+    n = w * h
+    sums = [0, 0, 0]
+    mx, mn = 0, 255
+    for row in rows:
+        for c in range(3):
+            sums[c] += sum(row[c::3])
+        mx = max(mx, max(row))
+        mn = min(mn, min(row))
+    return [
+        float(w), float(h), 255.0,
+        sums[0] / n, sums[1] / n, sums[2] / n, float(mx), float(mn),
+    ]
+
+
+def synthesize_gif_images(
+    docs: DataFrame, width: int = 6, height: int = 4
+) -> DataFrame:
+    """Deterministic REAL decodable GIF87a assets from the
+    ``documents`` fixture — pure Column exprs, no UDF.  Pixel index
+    ``i`` of doc ``d`` is ``(d*13 + i*29) % 128`` over the shared
+    128-entry global color table (:func:`_gif_color_table`).
+
+    The LZW stream uses the byte-aligned degenerate encoding — the
+    LZW analog of the PNG synthesizer's stored-deflate trick: with a
+    7-bit palette the initial code width is 8, so under LSB-first
+    packing every root code IS its own byte; a CLEAR (0x80) before
+    every 100th pixel keeps the dictionary under 256 entries so the
+    width never grows, and EOI (0x81) terminates.  A real LZW decoder
+    consumes the stream unmodified (:func:`decode_gif` round-trips
+    these payloads with no special-casing).  Fixture cap: pixels +
+    clears + EOI must fit one 255-byte data sub-block."""
+    import struct
+
+    n = width * height
+    n_stream = n + (n + 99) // 100 + 1
+    if n_stream > 255:
+        raise ValueError("fixture stream exceeds one GIF data sub-block")
+    # logical screen descriptor packed byte: GCT flag, color
+    # resolution 7, sort 0, GCT size bits 6 (2^(6+1) = 128 entries)
+    header = (
+        b"GIF87a"
+        + struct.pack("<HH", width, height)
+        + bytes((0x80 | 0x70 | 0x06, 0, 0))
+        + _gif_color_table(128)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes((7, n_stream))  # LZW min code size, sub-block length
+    )
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    stream_hex = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.when(i % 100 == 0, F.lit("80")).otherwise(F.lit("")),
+                F.lpad(
+                    F.lower(F.hex((F.col("doc_id") * 13 + i * 29) % 128)),
+                    2,
+                    "0",
+                ),
+            ),
+        ),
+        "",
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(
+            F.concat(F.lit(header.hex()), stream_hex, F.lit("81003b"))
+        ).alias("payload"),
+        F.lit("image/gif").alias("mime_type"),
     )
