@@ -239,3 +239,35 @@ def test_synthesized_gif_survives_many_pixels(spark):
         assert flat[3 * i : 3 * i + 3] == table[3 * c : 3 * c + 3]
     with pytest.raises(ValueError):
         synthesize_gif_images(docs, width=16, height=16)  # > one sub-block
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    min_code=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n=st.integers(min_value=0, max_value=2000),
+    structure=st.sampled_from(["random", "runs", "cycle"]),
+)
+def test_lzw_roundtrip_property(min_code, seed, n, structure):
+    """Property: encode->decode is the identity for ANY pixel stream
+    over any GIF-legal root alphabet, across all the width-bump and
+    dictionary regimes the generators can reach (random data barely
+    compresses; runs hit KwKwK; short cycles grow the deepest
+    dictionary entries)."""
+    rng = random.Random(seed)
+    roots = 1 << min_code
+    if structure == "random":
+        seq = [rng.randrange(roots) for _ in range(n)]
+    elif structure == "runs":
+        seq = []
+        while len(seq) < n:
+            seq.extend([rng.randrange(roots)] * rng.randint(1, 40))
+        seq = seq[:n]
+    else:
+        period = rng.randint(1, 8)
+        cyc = [rng.randrange(roots) for _ in range(period)]
+        seq = [cyc[i % period] for i in range(n)]
+    assert _lzw_decode(lzw_encode(seq, min_code), min_code, n) == seq
