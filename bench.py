@@ -61,6 +61,15 @@ HEADLINE = [
     # + positional cover), index-probe incremental near-dup
     "ddp_window_dedup",
     "ddp_index_dedup",
+    # round-5 additions: one representative per new family — rank
+    # stats (window-sorted Spearman), survival (KM reverse-cumulative
+    # window), graph pruning (k-core semi-join rounds), containment
+    # dedup (bottom-k shingle blocking), JVM-side binary header math
+    "agg_spearman",
+    "evt_survival_km",
+    "graph_kcore",
+    "ddp_containment",
+    "mm_png_header",
 ]
 
 
@@ -108,12 +117,29 @@ def bench_pipeline(spark) -> dict | None:
     # (the biggest single number in the bench) gets a third sample.
     # The min is the steady-state figure the engine is graded on.
     sec = float("inf")
+    stage_best = {"genes": float("inf"), "variants": float("inf"),
+                  "annotate": float("inf")}
     for _ in range(3):
         start = time.perf_counter()
         P.run_gene_processing(spark, layout, fmt="parquet")
+        t1 = time.perf_counter()
         P.run_variant_processing(spark, layout, fmt="parquet")
+        t2 = time.perf_counter()
         P.run_annotation(spark, layout, fmt="parquet")
-        sec = min(sec, time.perf_counter() - start)
+        t3 = time.perf_counter()
+        sec = min(sec, t3 - start)
+        stage_best["genes"] = min(stage_best["genes"], t1 - start)
+        stage_best["variants"] = min(stage_best["variants"], t2 - t1)
+        stage_best["annotate"] = min(stage_best["annotate"], t3 - t2)
+    # Per-stage floor (diagnostic, stderr only): where a regression
+    # lives matters more than that it exists — the three stages have
+    # very different plans (GTF regex+persist / double GVF scan with
+    # pruned recompute / broadcast-join annotate).
+    print(
+        "pipeline stage floors: "
+        + ", ".join(f"{k}={v:.2f}s" for k, v in stage_best.items()),
+        file=sys.stderr,
+    )
     # Reference comparison: the mm10 complete pipeline processes
     # 23 GB of raw GVF in "28 min." on an HPC cluster
     # (eggv/process.py:433, readme.rst:233-239, BASELINE.md) —

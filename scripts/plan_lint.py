@@ -28,7 +28,7 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def main() -> None:
+def main() -> int:
     spark = get_session(
         "plan-lint", master="local[4]", shuffle_partitions=4,
         extra_confs={"spark.ui.enabled": "false"},
@@ -62,8 +62,13 @@ def main() -> None:
     print("\n--- summary ---")
     for f in findings:
         print(f)
-    print(f"{len([f for f in findings if f.startswith('FLAG')])} flagged")
+    n_flagged = len([f for f in findings if f.startswith("FLAG")])
+    print(f"{n_flagged} flagged")
+    # Nonzero on flags so the stage-gate chain actually fails on an
+    # anti-pattern (it advertised this but the old exit code was
+    # always 0); SKIPs (streaming pre-start) stay informational.
+    return 1 if n_flagged else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -10,9 +10,18 @@ Chains the three audits in cheap-to-expensive order, failing fast:
    cannot sort them: the round-3 ``txt_hashed_features`` failure);
 3. plan lint (plan_lint) — no CartesianProduct / global sort /
    row-Python-UDF in any window plan;
-4. oracle replica (check_correctness) — every window query
+4. plan fingerprint (plan_fingerprint) — every window plan's shape
+   (exchange/join/Python-stage counts) matches the pinned baseline
+   in PLAN_FINGERPRINTS.json: a refactor that adds a shuffle fails
+   here even though it stays correct;
+5. oracle replica (check_correctness) — every window query
    hash-matches its DuckDB twin at sf0.01 under the driver-faithful
    canonicalizer.
+
+The cross-config partition-invariance sweep
+(scripts/determinism_sweep.py) is the fifth audit, run
+registry-wide per round rather than per window (two full Spark
+passes — see SCALING.md for the round-5 results).
 
 Usage: python scripts/stage_gate.py [n] [offset]   (default 50 0)
 ``offset`` gates a STAGED block before its rotation round — e.g.
@@ -71,6 +80,10 @@ def main() -> int:
         (
             "plan_lint",
             [sys.executable, os.path.join(here, "plan_lint.py"), *names],
+        ),
+        (
+            "plan_fingerprint",
+            [sys.executable, os.path.join(here, "plan_fingerprint.py"), *names],
         ),
         (
             "check_correctness",
