@@ -714,3 +714,125 @@ def test_lorenz_last_decile_is_total(spark, xs):
     else:
         assert abs(last["cum_share"] - 1.0) <= 1e-6
     assert sum(r["n_rows"] for r in out) == len(xs)
+
+
+# ---------------------------------------------------------------------------
+# round-5 statistics family vs naive pandas/Python references
+# ---------------------------------------------------------------------------
+
+xy_pairs_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-3, 3)),
+        st.one_of(st.none(), st.integers(-3, 3)),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@_settings
+@given(pairs=xy_pairs_strategy)
+def test_spearman_equals_pandas(spark, pairs):
+    """spearman_corr (two analytic rank windows + one corr agg) must
+    match pandas' average-rank Spearman on arbitrary tied/NULL data;
+    degenerate inputs (constant variable, n<2) must be NULL exactly
+    where pandas is NaN."""
+    import math
+
+    import pandas as pd
+
+    from eggv_spark.operators.aggregates import spearman_corr
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pairs], "g string, x int, y int"
+    )
+    out = spearman_corr(df, ["g"], "x", "y").collect()
+    pdf = pd.DataFrame(pairs, columns=["x", "y"]).dropna()
+    if not len(pdf):
+        assert out == []
+        return
+    row = out[0]
+    assert row["n"] == len(pdf)
+    exp = pdf["x"].rank().corr(pdf["y"].rank())
+    if math.isnan(exp):
+        assert row["spearman"] is None
+    else:
+        assert abs(row["spearman"] - exp) <= 1.01e-4
+
+
+groups_strategy = st.lists(
+    st.lists(st.integers(-3, 3), min_size=1, max_size=10),
+    min_size=1, max_size=4,
+)
+
+
+@_settings
+@given(groups=groups_strategy)
+def test_kruskal_wallis_equals_naive(spark, groups):
+    """kruskal_wallis (global-rank window + per-group rank sums) must
+    match the textbook tie-corrected H on arbitrary groupings; the
+    all-values-tied degenerate (correction 0) must be NULL."""
+    import pandas as pd
+
+    from eggv_spark.operators.aggregates import kruskal_wallis
+
+    rows = [(f"g{i}", float(v)) for i, vs in enumerate(groups) for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = kruskal_wallis(df, "g", "v").collect()[0]
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    pdf["r"] = pdf["v"].rank()  # average ranks, pooled
+    n = len(pdf)
+    sr2 = sum(
+        gr["r"].sum() ** 2 / len(gr) for _, gr in pdf.groupby("g")
+    )
+    h_raw = 12.0 / (n * (n + 1.0)) * sr2 - 3.0 * (n + 1.0)
+    tie3 = sum(t**3 - t for t in pdf["v"].value_counts())
+    corr = 1.0 - (tie3 / (n**3 - n) if n > 1 else 0.0)
+    assert got["k"] == len(groups) and got["n"] == n
+    if corr == 0.0 or n <= 1:
+        assert got["kw_h"] is None
+    else:
+        assert abs(got["kw_h"] - h_raw / corr) <= 2e-6
+
+
+ab_pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3)),
+    min_size=1, max_size=25,
+)
+
+
+@_settings
+@given(pairs=ab_pairs_strategy)
+def test_cramers_v_equals_naive(spark, pairs):
+    """cramers_v recovers the empty-cell chi-square mass as n - Σe
+    instead of materializing the r x c cross product — it must equal
+    the naive full-table chi2 / V on arbitrary contingency shapes,
+    NULL on single-category degenerates."""
+    from collections import Counter
+
+    from eggv_spark.operators.aggregates import cramers_v
+
+    df = spark.createDataFrame(
+        [(f"a{a}", f"b{b}") for a, b in pairs], ["a", "b"]
+    )
+    got = cramers_v(df, "a", "b").collect()[0]
+
+    n = len(pairs)
+    obs = Counter(pairs)
+    rows = sorted({a for a, _ in pairs})
+    cols = sorted({b for _, b in pairs})
+    row_t = Counter(a for a, _ in pairs)
+    col_t = Counter(b for _, b in pairs)
+    chi2 = sum(
+        (obs.get((a, b), 0) - row_t[a] * col_t[b] / n) ** 2
+        / (row_t[a] * col_t[b] / n)
+        for a in rows for b in cols
+    )
+    assert got["n"] == n
+    assert got["n_rows_cat"] == len(rows) and got["n_cols_cat"] == len(cols)
+    assert abs(got["chi2"] - chi2) <= 1.01e-4
+    mindim = min(len(rows) - 1, len(cols) - 1)
+    if mindim == 0:
+        assert got["cramers_v"] is None
+    else:
+        assert abs(got["cramers_v"] - (chi2 / (n * mindim)) ** 0.5) <= 1.01e-6
