@@ -5554,8 +5554,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PySpark-4 Python DataSource (``spark.read.format("gvf")``, one
     InputPartition per file).  ``transformWithStateInPandas`` is
     implemented (streaming.streaming_user_profile_tws) but carried
-    by a skip-gated test only: this container's protobuf cannot
-    start the TWS driver-worker channel.
+    by a skip-gated test only: this container ships no
+    ``google.protobuf`` at all, so the TWS driver-worker channel
+    cannot start.
+
+    REGISTRY FREEZE (round-5 session decision, per the round-4
+    verdict): the registry holds at 321 entries through round 6 so
+    driver coverage closes mechanically — round-6 window = the 50
+    entries behind the current window (18 round-4 additions + 32
+    round-5 wave 1), round-7 window = the 23 wave-2/3/4 entries plus
+    27 free slots.  Every entry is dual-scale oracle-green
+    (CORRECTNESS_LOCAL_r05.json), plan-pinned
+    (PLAN_FINGERPRINTS.json), and cross-config partition-invariant
+    (scripts/determinism_sweep.py; sole documented exception
+    ``agg_hll_rollup``'s union estimate, rows-only at the driver).
     """
     return {
         # --- round-5 verification window (50): the staging block from

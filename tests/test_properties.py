@@ -836,3 +836,91 @@ def test_cramers_v_equals_naive(spark, pairs):
         assert got["cramers_v"] is None
     else:
         assert abs(got["cramers_v"] - (chi2 / (n * mindim)) ** 0.5) <= 1.01e-6
+
+
+trend_points_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(-5, 5)),
+    min_size=1, max_size=14,
+)
+
+
+@_settings
+@given(points=trend_points_strategy)
+def test_theil_sen_equals_naive(spark, points):
+    """theil_sen_trend (within-group pair join + interpolating
+    medians) must match the brute-force pairwise-slope median on
+    arbitrary series, including duplicate-x exclusion; no valid pair
+    (constant x, n<2) yields no row."""
+    import statistics
+
+    from eggv_spark.operators.aggregates import theil_sen_trend
+
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in points], ["g", "x", "y"]
+    )
+    out = theil_sen_trend(df, ["g"], "x", "y").collect()
+
+    # same pair set as _ordered_pairs: every unordered point pair with
+    # strictly different x, slope orientation-independent
+    slopes = [
+        (yj - yi) / (xj - xi)
+        for xi, yi in points
+        for xj, yj in points
+        if xj > xi
+    ]
+    if not slopes:
+        assert out == []
+        return
+    row = out[0]
+    ms = statistics.median(slopes)
+    resid = [y - ms * x for x, y in points]
+    assert row["n_pairs"] == len(slopes)
+    assert abs(row["slope"] - ms) <= 1.01e-6
+    assert abs(row["intercept"] - statistics.median(resid)) <= 1.01e-6
+
+
+@_settings
+@given(points=trend_points_strategy)
+def test_mann_kendall_equals_naive(spark, points):
+    """mann_kendall_test must match the textbook S / tie-corrected
+    Var(S) / continuity-corrected z on arbitrary series under the
+    same strict x-ordered pair definition as Theil-Sen."""
+    import math
+
+    from eggv_spark.operators.aggregates import mann_kendall_test
+
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in points], ["g", "x", "y"]
+    )
+    out = mann_kendall_test(df, ["g"], "x", "y").collect()
+
+    def sign(v):
+        return (v > 0) - (v < 0)
+
+    s = sum(
+        sign(yj - yi)
+        for i, (xi, yi) in enumerate(points)
+        for xj, yj in points
+        if xj > xi
+    )
+    if not any(xj > xi for xi, _ in points for xj, _ in points):
+        assert out == []
+        return
+    row = out[0]
+    n = len(points)
+    from collections import Counter
+    tie_corr = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(y for _, y in points).values()
+        if t > 1
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_corr) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    assert row["n_points"] == n and row["s_stat"] == s
+    assert abs(row["var_s"] - var_s) <= 1.01e-4
+    assert abs(row["mk_z"] - z) <= 1.01e-4
