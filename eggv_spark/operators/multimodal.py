@@ -336,6 +336,21 @@ def _bmp_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
     return w, h, file_rows[::-1] if h_raw > 0 else file_rows
 
 
+def _raster_stats(rows: list[bytes], n: int) -> tuple[list[float], int, int]:
+    """Shared per-channel stats over a 3-bytes-per-pixel raster (the
+    FEATURE_DIM stat contract's mean/extrema block, one place for all
+    real image decoders): returns ``([mean_c0, mean_c1, mean_c2],
+    max_px, min_px)`` in the raster's own channel order."""
+    sums = [0, 0, 0]
+    mx, mn = 0, 255
+    for row in rows:
+        for c in range(3):
+            sums[c] += sum(row[c::3])
+        mx = max(mx, max(row))
+        mn = min(mn, min(row))
+    return [s / n for s in sums], mx, mn
+
+
 def decode_bmp(payload: bytes) -> list[float]:
     """REAL uncompressed-BMP decode, stdlib only — the second real
     image container next to :func:`decode_ppm` (P6), proving the
@@ -345,21 +360,14 @@ def decode_bmp(payload: bytes) -> list[float]:
     (means/extrema over pixel bytes only — stride padding excluded;
     BMP stores channels as BGR, re-ordered here to RGB)."""
     w, h, rows = _bmp_parse(payload)
-    n = w * h
-    sums = [0, 0, 0]  # B, G, R file order
-    mx, mn = 0, 255
-    for row in rows:
-        for c in range(3):
-            sums[c] += sum(row[c::3])
-        mx = max(mx, max(row))
-        mn = min(mn, min(row))
+    means, mx, mn = _raster_stats(rows, w * h)
     return [
         float(w),
         float(h),
         255.0,
-        sums[2] / n,
-        sums[1] / n,
-        sums[0] / n,
+        means[2],
+        means[1],
+        means[0],
         float(mx),
         float(mn),
     ]
@@ -395,6 +403,8 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, list[bytes]]:
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("short IHDR chunk")
             width, height = struct.unpack(">II", data[:8])
             bit_depth, color_type, _c, _f, interlace = data[8:13]
         elif ctype == b"IDAT":
@@ -413,12 +423,21 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
     channels = 3 if color_type == 2 else 1
+    stride = width * channels
+    expected = height * (1 + stride)
+    # Bounded inflate: a crafted IDAT can deflate ~1032:1, so an
+    # unbounded zlib.decompress would materialize gigabytes from a
+    # small payload BEFORE the length check — cap at expected+1 and
+    # reject anything longer (decompression-bomb guard).
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
-    stride = width * channels
-    if len(raw) != height * (1 + stride):
+    # eof required: decompressobj only validates the adler32 trailer
+    # once the stream end is reached, and the synthesizer contract
+    # (synthesize_png_images) depends on that check running.
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
         raise ValueError("PNG pixel stream length mismatch")
     bpp = channels  # bytes per pixel at depth 8
     rows: list[bytes] = []
@@ -464,17 +483,11 @@ def decode_png(payload: bytes) -> list[float]:
     means)."""
     w, h, channels, rows = _png_parse(payload)
     n = w * h
-    mx, mn = 0, 255
     if channels == 3:
-        sums = [0, 0, 0]
-        for row in rows:
-            for c in range(3):
-                sums[c] += sum(row[c::3])
-            mx = max(mx, max(row))
-            mn = min(mn, min(row))
-        means = [sums[0] / n, sums[1] / n, sums[2] / n]
+        means, mx, mn = _raster_stats(rows, n)
     else:
         total = 0
+        mx, mn = 0, 255
         for row in rows:
             total += sum(row)
             mx = max(mx, max(row))
@@ -587,12 +600,30 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     """
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    # Container variants the stdlib parsers honestly decline
+    # (BITMAPCOREHEADER/compressed BMP, palette / 16-bit / interlaced
+    # PNG, interlaced GIF) keep the documented fake=True stand-in
+    # instead of crashing the task; corrupt payloads (ValueError)
+    # still raise — a silent garbage vector on bad data is worse than
+    # a failed task.
     if _looks_like_bmp(payload):
-        return decode_bmp(payload)
-    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
-        return decode_png(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(payload)
+        try:
+            return decode_bmp(payload)
+        except NotImplementedError:
+            if not fake:
+                raise
+    elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            if not fake:
+                raise
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_gif(payload)
+        except NotImplementedError:
+            if not fake:
+                raise
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)
     if payload.startswith(b"YUV4MPEG2"):
@@ -1365,18 +1396,8 @@ def decode_gif(payload: bytes) -> list[float]:
     mean_b, max_px, min_px]`` over the palette-resolved RGB
     raster."""
     w, h, rows = _gif_parse(payload)
-    n = w * h
-    sums = [0, 0, 0]
-    mx, mn = 0, 255
-    for row in rows:
-        for c in range(3):
-            sums[c] += sum(row[c::3])
-        mx = max(mx, max(row))
-        mn = min(mn, min(row))
-    return [
-        float(w), float(h), 255.0,
-        sums[0] / n, sums[1] / n, sums[2] / n, float(mx), float(mn),
-    ]
+    means, mx, mn = _raster_stats(rows, w * h)
+    return [float(w), float(h), 255.0, *means, float(mx), float(mn)]
 
 
 def synthesize_gif_images(

@@ -101,7 +101,16 @@ def main() -> int:
             plan = registry[name](spark, sf_dir)._jdf.queryExecution(
             ).executedPlan().toString()
             current[name] = fingerprint(plan)
-        except Exception as exc:  # streaming: no pre-start physical plan
+        except Exception as exc:
+            # Only a genuinely streaming plan (no pre-start physical
+            # plan) may be pinned as a skip; any other plan-time error
+            # (bad column, broken query) must FAIL here — a blanket
+            # skip would let --update pin the breakage as a passing
+            # baseline forever.  (All 321 current entries produce
+            # batch plans: zero skips in PLAN_FINGERPRINTS.json.)
+            if "streaming" not in str(exc).lower():
+                print(f"FAIL  {name}: plan-time error: {exc}")
+                return 1
             current[name] = {"skip": type(exc).__name__}
 
     baseline: dict[str, dict] = {}

@@ -1,7 +1,7 @@
 """Pre-rotation staging gate: everything a queries() window must pass
 BEFORE it is rotated into the driver's verification slots.
 
-Chains the three audits in cheap-to-expensive order, failing fast:
+Chains the window audits in cheap-to-expensive order, failing fast:
 
 1. registry shape — window size is exactly 50, every entry has an
    oracle (or is a documented rows-only exception), no duplicates;
@@ -18,10 +18,10 @@ Chains the three audits in cheap-to-expensive order, failing fast:
    hash-matches its DuckDB twin at sf0.01 under the driver-faithful
    canonicalizer.
 
-The cross-config partition-invariance sweep
-(scripts/determinism_sweep.py) is the fifth audit, run
-registry-wide per round rather than per window (two full Spark
-passes — see SCALING.md for the round-5 results).
+NOT chained here: the cross-config partition-invariance sweep
+(scripts/determinism_sweep.py) runs registry-wide per round rather
+than per window (two full Spark passes — see SCALING.md for the
+round-5 results); run it separately.
 
 Usage: python scripts/stage_gate.py [n] [offset]   (default 50 0)
 ``offset`` gates a STAGED block before its rotation round — e.g.

@@ -271,3 +271,79 @@ def test_lzw_roundtrip_property(min_code, seed, n, structure):
         cyc = [rng.randrange(roots) for _ in range(period)]
         seq = [cyc[i % period] for i in range(n)]
     assert _lzw_decode(lzw_encode(seq, min_code), min_code, n) == seq
+
+
+def test_png_decompression_bomb_rejected():
+    """Review fix: a small payload whose IDAT inflates far past the
+    declared raster must be rejected by the BOUNDED inflate (cap =
+    raster+1), not materialized before the length check."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # declares 4x5 RGB but the stream inflates to 10 MB
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000, 9))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 50_000  # it really is a small payload
+    from eggv_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(bomb)
+
+    # short IHDR raises ValueError, not struct.error
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", b"\x00\x00\x00\x04")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(short)
+
+
+def test_unsupported_variants_keep_fake_fallback():
+    """Review fix: signature-dispatched payloads whose VARIANT the
+    stdlib parsers decline (interlaced GIF/PNG) fall back to the
+    documented fake=True stand-in instead of crashing the task;
+    fake=False still raises, and corrupt payloads raise either way."""
+    import struct
+    import zlib
+
+    from eggv_spark.operators.multimodal import FEATURE_DIM, decode_payload
+
+    rng = random.Random(5)
+    idx = [rng.randrange(4) for _ in range(12)]
+    interlaced_gif = make_gif(4, 3, idx, 4, 2, interlace=True)
+    with pytest.raises(NotImplementedError):
+        decode_payload(interlaced_gif, "image", fake=False)
+    vec = decode_payload(interlaced_gif, "image", fake=True)
+    assert len(vec) == FEATURE_DIM and all(0.0 <= v <= 1.0 for v in vec)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    interlaced_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_payload(interlaced_png, "image", fake=False)
+    assert len(decode_payload(interlaced_png, "image", fake=True)) == FEATURE_DIM
+
+    # corruption is NOT papered over by fake=True
+    truncated = make_gif(4, 3, idx, 4, 2)[:-6]
+    with pytest.raises(ValueError):
+        decode_payload(truncated, "image", fake=True)
