@@ -924,3 +924,41 @@ def test_mann_kendall_equals_naive(spark, points):
     assert row["n_points"] == n and row["s_stat"] == s
     assert abs(row["var_s"] - var_s) <= 1.01e-4
     assert abs(row["mk_z"] - z) <= 1.01e-4
+
+
+@_settings
+@given(pairs=ab_pairs_strategy)
+def test_mutual_information_equals_naive(spark, pairs):
+    """mutual_information's telescoped marginal-entropy terms (one
+    contribution per cell, divided by the category's cell count) must
+    reproduce the plug-in MI / H_a / H_b / NMI on arbitrary joint
+    distributions; NMI must be NULL when either marginal entropy is 0
+    (single category)."""
+    import math
+    from collections import Counter
+
+    from eggv_spark.operators.aggregates import mutual_information
+
+    df = spark.createDataFrame(
+        [(f"a{a}", f"b{b}") for a, b in pairs], ["a", "b"]
+    )
+    got = mutual_information(df, "a", "b").collect()[0]
+
+    n = len(pairs)
+    joint = Counter(pairs)
+    pa = Counter(a for a, _ in pairs)
+    pb = Counter(b for _, b in pairs)
+    mi = sum(
+        (c / n) * math.log((c / n) / ((pa[a] / n) * (pb[b] / n)))
+        for (a, b), c in joint.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in pa.values())
+    hb = -sum((c / n) * math.log(c / n) for c in pb.values())
+    assert got["n"] == n
+    assert abs(got["mi_nats"] - mi) <= 1.01e-6
+    assert abs(got["h_a"] - ha) <= 1.01e-6
+    assert abs(got["h_b"] - hb) <= 1.01e-6
+    if ha == 0.0 or hb == 0.0:
+        assert got["nmi"] is None
+    else:
+        assert abs(got["nmi"] - mi / math.sqrt(ha * hb)) <= 1.01e-6
