@@ -962,3 +962,76 @@ def test_mutual_information_equals_naive(spark, pairs):
         assert got["nmi"] is None
     else:
         assert abs(got["nmi"] - mi / math.sqrt(ha * hb)) <= 1.01e-6
+
+
+series_strategy = st.lists(st.integers(-4, 4), min_size=1, max_size=16)
+
+
+@_settings
+@given(values=series_strategy)
+def test_ljung_box_equals_naive(spark, values):
+    """ljung_box's lag-window autocovariances must reproduce the
+    textbook Q = n(n+2) sum r_k^2/(n-k) and its even-dof closed-form
+    chi2 tail on arbitrary series; constant series (zero variance)
+    must be NULL."""
+    import math
+
+    from eggv_spark.operators.aggregates import ljung_box
+
+    h = 4
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(values)],
+        ["g", "t", "v"],
+    )
+    got = ljung_box(df, ["g"], "t", "v", n_lags=h).collect()[0]
+
+    n = len(values)
+    mu = sum(values) / n
+    den = sum((v - mu) ** 2 for v in values)
+    assert got["n"] == n
+    # a series no longer than the lag order has an all-NULL lag-h
+    # covariance sum (no t with a lag-h partner), so Q is NULL by
+    # construction — as is a constant series (zero variance)
+    if den == 0.0 or n <= h:
+        assert got["lb_q"] is None and got["p_value"] is None
+        return
+    q = n * (n + 2.0) * sum(
+        (
+            sum(
+                (values[t] - mu) * (values[t - k] - mu)
+                for t in range(k, n)
+            )
+            / den
+        )
+        ** 2
+        / (n - k)
+        for k in range(1, h + 1)
+        if n - k > 0
+    )
+    assert abs(got["lb_q"] - q) <= max(2e-6, abs(q) * 1e-9)
+    half = q / 2.0
+    p = min(math.exp(-half) * sum(half**i / math.factorial(i)
+                                  for i in range(h // 2)), 1.0)
+    assert abs(got["p_value"] - p) <= 2e-6
+
+
+@_settings
+@given(values=st.lists(st.integers(-9, 9), min_size=1, max_size=20),
+       trim=st.sampled_from([0.1, 0.2, 0.25]))
+def test_trimmed_mean_equals_naive(spark, values, trim):
+    """trimmed_mean's rank-based symmetric trim must equal sorting
+    and slicing off floor(n*trim) from each end, for any tie
+    pattern."""
+    from eggv_spark.operators.aggregates import trimmed_mean
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(values)],
+        ["g", "rid", "v"],
+    )
+    got = trimmed_mean(df, ["g"], "v", "rid", trim=trim).collect()[0]
+
+    n = len(values)
+    k = int(n * trim)
+    kept = sorted(values)[k:n - k]
+    assert got["n"] == n and got["n_kept"] == len(kept)
+    assert abs(got["trimmed_mean"] - sum(kept) / len(kept)) <= 1.01e-4
