@@ -1035,3 +1035,84 @@ def test_trimmed_mean_equals_naive(spark, values, trim):
     kept = sorted(values)[k:n - k]
     assert got["n"] == n and got["n_kept"] == len(kept)
     assert abs(got["trimmed_mean"] - sum(kept) / len(kept)) <= 1.01e-4
+
+
+@_settings
+@given(values=st.lists(st.integers(-5, 5), min_size=1, max_size=18))
+def test_runs_test_equals_naive(spark, values):
+    """runs_test (mean split, lag-window run counting) must match the
+    naive Wald-Wolfowitz computation: same mean filter, same run
+    count, same z — including the var=0 NULL and one-sided NaN
+    degenerates."""
+    import math
+
+    from eggv_spark.operators.aggregates import runs_test
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(values)],
+        ["g", "t", "v"],
+    )
+    out = runs_test(df, ["g"], "t", "v").collect()
+
+    mu = sum(values) / len(values)
+    seq = [v for v in values if v != mu]
+    if not seq:
+        assert out == []
+        return
+    row = out[0]
+    signs = [v > mu for v in seq]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    assert row["n_above"] == n1 and row["n_below"] == n2
+    assert row["runs"] == runs
+    if n1 + n2 < 2:
+        assert row["runs_z"] is None or math.isnan(row["runs_z"])
+        return
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    if var_r == 0.0:
+        assert row["runs_z"] is None
+    else:
+        mu_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+        assert abs(row["runs_z"] - (runs - mu_r) / math.sqrt(var_r)) <= 1.01e-4
+
+
+@_settings
+@given(values=st.lists(st.integers(-3, 9), min_size=1, max_size=25))
+def test_lorenz_deciles_equals_naive(spark, values):
+    """lorenz_deciles' integer-exact decile assignment and cumulative
+    shares must match sorting and slicing by floor((rn*10-1)/n)+1 on
+    arbitrary (including negative / zero-sum) data."""
+    from collections import defaultdict
+
+    from eggv_spark.operators.aggregates import lorenz_deciles
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(values)],
+        ["g", "rid", "v"],
+    )
+    got = {
+        r["decile"]: (r["n_rows"], r["cum_share"])
+        for r in lorenz_deciles(df, ["g"], "v", "rid").collect()
+    }
+
+    n = len(values)
+    ordered = sorted(values)
+    per = defaultdict(lambda: [0, 0.0])
+    for rn, v in enumerate(ordered, start=1):
+        d = (rn * 10 - 1) // n + 1
+        per[d][0] += 1
+        per[d][1] += v
+    total = sum(values)
+    assert set(got) == set(per)
+    cum = 0.0
+    for d in sorted(per):
+        cum += per[d][1]
+        assert got[d][0] == per[d][0]
+        if total == 0:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - cum / total) <= 1.01e-6
