@@ -1131,10 +1131,18 @@ def _win_first_last(spark, sf_dir):
 
 
 def _agg_approx(spark, sf_dir):
-    """Sketch aggregates (HLL++, approx percentiles) — approximate by
-    construction, so no value oracle; tests assert tolerance vs exact
-    and the driver records a rows-only check."""
-    return AG.approx_aggregates(
+    """Sketch aggregates (HLL++, approx percentiles) in GRADEABLE
+    form (round 6, per the round-5 verdict item 2): the raw sketch
+    outputs are not DuckDB-reproducible, so the driver row used to be
+    rows-only.  The output now carries the EXACT twins (count_distinct
+    and exact interpolated percentiles — what the oracle hashes) plus
+    per-sketch tolerance booleans: HLL++ at rsd=0.02 checked at 5%
+    relative tolerance, approx_percentile(accuracy=10000) checked at
+    1%.  Both sketch families are merge-order-invariant (HLL++
+    register-max; GK summaries), so the booleans are stable across
+    partition configs.  The sketch path remains the 100 TB plan — the
+    exact twins are the verification harness."""
+    return AG.approx_aggregates_graded(
         _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_orderkey"
     )
 
@@ -4127,33 +4135,48 @@ def _agg_hll_rollup(spark, sf_dir):
     distinct content hashes, unioned into a corpus-wide sketch WITHOUT
     rescanning the data — Spark's hll_sketch_agg/hll_union_agg, the
     datasketches path that makes distinct-count rollups one-pass and
-    re-aggregatable at any grain.  Approximate by construction →
-    rows-only driver check; the estimate-vs-exact tolerance is
-    pytest-asserted.
+    re-aggregatable at any grain.
 
-    Measured (scripts/determinism_sweep.py): the per-source estimates
-    are partition-invariant, but the unioned ``__ALL__`` estimate is
-    MERGE-ORDER-SENSITIVE at small cardinality (497 vs 501 for the
-    same 500-value set under two partitioning configs — the
-    datasketches union gadget's promotion path depends on merge
-    order).  Inherent to distributed sketch rollups; row count stays
-    exact, which is precisely what the driver checks."""
+    GRADEABLE FORM (round 6, per the round-5 verdict item 2): the raw
+    sketch estimate is merge-order-sensitive at small cardinality
+    (497 vs 501 for the same 500-value set under two partition
+    configs) and not DuckDB-reproducible, so the driver row used to
+    burn a window slot on ``err: no_oracle``.  The output now carries
+    an EXACT ``count_distinct`` twin column (what the oracle hashes)
+    plus ``est_ok`` — the sketch estimate checked against the exact
+    count at 5% relative tolerance (~3x the lgConfigK=12 rsd, so the
+    boolean is partition-invariant where the raw estimate is not).
+    The sketch path is still what ships at 100 TB — the exact twin is
+    the verification harness, not the production plan."""
     docs = _t(spark, sf_dir, "documents").select(
         "source", F.md5("text").alias("h")
     )
     per_source = docs.groupBy("source").agg(
-        F.hll_sketch_agg("h").alias("_sk")
+        F.hll_sketch_agg("h").alias("_sk"),
+        F.count_distinct("h").alias("n_distinct_exact"),
     )
-    per_source_est = per_source.select(
-        "source", F.hll_sketch_estimate("_sk").alias("n_distinct_est")
+
+    def _ok(est, exact):
+        return (
+            F.abs(est - exact.cast("double")) / exact.cast("double") <= 0.05
+        ).alias("est_ok")
+
+    per_source_row = per_source.select(
+        "source",
+        "n_distinct_exact",
+        _ok(F.hll_sketch_estimate("_sk"), F.col("n_distinct_exact")),
     )
-    total = per_source.agg(
-        F.hll_union_agg("_sk").alias("_all")
-    ).select(
-        F.lit("__ALL__").alias("source"),
-        F.hll_sketch_estimate("_all").alias("n_distinct_est"),
+    total_exact = docs.agg(F.count_distinct("h").alias("n_distinct_exact"))
+    total = (
+        per_source.agg(F.hll_union_agg("_sk").alias("_all"))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            F.lit("__ALL__").alias("source"),
+            "n_distinct_exact",
+            _ok(F.hll_sketch_estimate("_all"), F.col("n_distinct_exact")),
+        )
     )
-    return per_source_est.unionByName(total)
+    return per_source_row.unionByName(total)
 
 
 def _evt_ab_test(spark, sf_dir):
@@ -5466,15 +5489,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, in VERIFICATION-ROTATION order.
 
     The external driver oracle-checks the first 50 entries of this dict
-    each round.  Rounds 1-4 verified 50 entries each (CORRECTNESS_r01
-    .. _r04 — 198 green, ``agg_approx`` rows-only by design,
+    each round.  Rounds 1-5 verified 50 entries each (CORRECTNESS_r01
+    .. _r05 — 247 green, ``agg_approx`` rows-only by design,
+    ``agg_hll_rollup`` rows-only in r05 pre-exact-twin,
     ``txt_hashed_features`` erred in r03 on its then-ArrayType output
     and passed in r04 re-emitted as a scalar); the verified blocks sit
     behind the window, regression-guarded by
     tests/test_reference_parity.py and scripts/check_correctness.py
     which runs ALL entries locally at two scales.
 
-    Round-5 window (the first 50): the 49-entry block staged at the
+    Round-6 window (the first 50): the 18 remaining round-4 additions
+    + the 32 round-5 wave-1 additions — exactly the never-driver-
+    verified block the round-5 verdict ordered front-swapped
+    (VERDICT.md item 1).  After this round only the 23 wave-2/3/4
+    entries remain unverified; they are staged as the round-7 window.
+
+    Round-5 window (verified 49/50 green in CORRECTNESS_r05.json):
+    the 49-entry block staged at the
     end of round 4 — ``txt_lang_confusion`` plus IVF+PQ, incremental
     agg (batch + streaming twin), weighted sampling, Pareto, quantile
     normalization, q-gram fuzzy, co-purchase/association rules,
@@ -5570,10 +5601,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``agg_hll_rollup``'s union estimate, rows-only at the driver).
     """
     return {
-        # --- round-5 verification window (50): the staging block from
-        # the end of round 4, front-swapped at round-5 start per the
-        # rotation protocol, plus mm_bmp_decode promoted from the
-        # round-4-additions queue as slot 50 ---
+        # --- round-6 verification window (50): the 18 round-4
+        # additions + 32 round-5 wave-1 entries, front-swapped at
+        # round-6 start per the rotation protocol.  These are the
+        # never-driver-verified entries the round-5 verdict ordered
+        # verified first (VERDICT.md "Next round" item 1). ---
+        "ddp_index_dedup": _ddp_index_dedup,
+        "ddp_window_dedup": _ddp_window_dedup,
+        "agg_bootstrap_ci": _agg_bootstrap_ci,
+        "agg_bootstrap_ab": _agg_bootstrap_ab,
+        "tbl_partition_overwrite": _tbl_partition_overwrite,
+        "smp_neyman": _smp_neyman,
+        "agg_power_analysis": _agg_power_analysis,
+        "stream_index_dedup": _stream_index_dedup,
+        "evt_changepoint": _evt_changepoint,
+        "agg_theilsen": _agg_theilsen,
+        "src_schema_evolution": _src_schema_evolution,
+        "agg_mann_kendall": _agg_mann_kendall,
+        "sim_ndcg": _sim_ndcg,
+        "graph_wcc": _graph_wcc,
+        "stream_late_data": _stream_late_data,
+        "src_corrupt_records": _src_corrupt_records,
+        "ddp_soft_dedup": _ddp_soft_dedup,
+        "agg_tost": _agg_tost,
+        "agg_spearman": _agg_spearman,
+        "agg_cramers_v": _agg_cramers_v,
+        "agg_cohens_d": _agg_cohens_d,
+        "agg_mutual_info": _agg_mutual_info,
+        "agg_trimmed_mean": _agg_trimmed_mean,
+        "agg_lorenz": _agg_lorenz,
+        "agg_ecdf": _agg_ecdf,
+        "agg_runs_test": _agg_runs_test,
+        "agg_permutation_fdr": _agg_permutation_fdr,
+        "agg_fisher_method": _agg_fisher_method,
+        "agg_ljung_box": _agg_ljung_box,
+        "agg_ratio_ci": _agg_ratio_ci,
+        "agg_digit_histogram": _agg_digit_histogram,
+        "win_ewma": _win_ewma,
+        "win_rolling_skew": _win_rolling_skew,
+        "evt_survival_km": _evt_survival_km,
+        "evt_cohort_ltv": _evt_cohort_ltv,
+        "graph_kcore": _graph_kcore,
+        "graph_adamic_adar": _graph_adamic_adar,
+        "graph_bfs_reach": _graph_bfs_reach,
+        "txt_code_detect": _txt_code_detect,
+        "txt_markdown_strip": _txt_markdown_strip,
+        "txt_unicode_profile": _txt_unicode_profile,
+        "ddp_containment": _ddp_containment,
+        "mm_png_header": _mm_png_header,
+        "tbl_delete_where": _tbl_delete_where,
+        "tbl_wap_publish": _tbl_wap_publish,
+        "smp_min_per_group": _smp_min_per_group,
+        "smp_horvitz_thompson": _smp_horvitz_thompson,
+        "join_asof_tolerance": _join_asof_tolerance,
+        "sim_pair_stats": _sim_pair_stats,
+        "geo_grid_density": _geo_grid_density,
+        # --- verified in round 5 (CORRECTNESS_r05.json: 49/50 green;
+        # agg_hll_rollup was rows-only then — its exact-twin gradeable
+        # form landed in round 6) ---
         "txt_lang_confusion": _txt_lang_confusion,
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
         "tbl_incremental_agg": _tbl_incremental_agg,
@@ -5830,60 +5915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gapfill": _evt_gapfill,
         "join_salted_skew": _join_salted_skew,
         "evt_sessionize": _evt_sessionize,
-        # --- round-4 additions (round-6 verification queue;
-        # mm_bmp_decode was promoted into the round-5 window) ---
-        "ddp_index_dedup": _ddp_index_dedup,
-        "ddp_window_dedup": _ddp_window_dedup,
-        "agg_bootstrap_ci": _agg_bootstrap_ci,
-        "agg_bootstrap_ab": _agg_bootstrap_ab,
-        "tbl_partition_overwrite": _tbl_partition_overwrite,
-        "smp_neyman": _smp_neyman,
-        "agg_power_analysis": _agg_power_analysis,
-        "stream_index_dedup": _stream_index_dedup,
-        "evt_changepoint": _evt_changepoint,
-        "agg_theilsen": _agg_theilsen,
-        "src_schema_evolution": _src_schema_evolution,
-        "agg_mann_kendall": _agg_mann_kendall,
-        "sim_ndcg": _sim_ndcg,
-        "graph_wcc": _graph_wcc,
-        "stream_late_data": _stream_late_data,
-        "src_corrupt_records": _src_corrupt_records,
-        "ddp_soft_dedup": _ddp_soft_dedup,
-        "agg_tost": _agg_tost,
-        # --- round-5 additions (complete the round-6 queue: 18 + 32
-        # = exactly one final 50-entry window) ---
-        "agg_spearman": _agg_spearman,
-        "agg_cramers_v": _agg_cramers_v,
-        "agg_cohens_d": _agg_cohens_d,
-        "agg_mutual_info": _agg_mutual_info,
-        "agg_trimmed_mean": _agg_trimmed_mean,
-        "agg_lorenz": _agg_lorenz,
-        "agg_ecdf": _agg_ecdf,
-        "agg_runs_test": _agg_runs_test,
-        "agg_permutation_fdr": _agg_permutation_fdr,
-        "agg_fisher_method": _agg_fisher_method,
-        "agg_ljung_box": _agg_ljung_box,
-        "agg_ratio_ci": _agg_ratio_ci,
-        "agg_digit_histogram": _agg_digit_histogram,
-        "win_ewma": _win_ewma,
-        "win_rolling_skew": _win_rolling_skew,
-        "evt_survival_km": _evt_survival_km,
-        "evt_cohort_ltv": _evt_cohort_ltv,
-        "graph_kcore": _graph_kcore,
-        "graph_adamic_adar": _graph_adamic_adar,
-        "graph_bfs_reach": _graph_bfs_reach,
-        "txt_code_detect": _txt_code_detect,
-        "txt_markdown_strip": _txt_markdown_strip,
-        "txt_unicode_profile": _txt_unicode_profile,
-        "ddp_containment": _ddp_containment,
-        "mm_png_header": _mm_png_header,
-        "tbl_delete_where": _tbl_delete_where,
-        "tbl_wap_publish": _tbl_wap_publish,
-        "smp_min_per_group": _smp_min_per_group,
-        "smp_horvitz_thompson": _smp_horvitz_thompson,
-        "join_asof_tolerance": _join_asof_tolerance,
-        "sim_pair_stats": _sim_pair_stats,
-        "geo_grid_density": _geo_grid_density,
         # --- round-5 wave 2 (round-7 verification queue) ---
         "agg_anova": _agg_anova,
         "agg_kruskal": _agg_kruskal,
@@ -5991,6 +6022,28 @@ def oracle_sql() -> dict[str, str]:
             " round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,"
             " round(quantile_cont(l_extendedprice, 0.95), 2) AS p95"
             " FROM lineitem GROUP BY l_returnflag"
+        ),
+        # sketch queries, gradeable form: the oracle hashes the exact
+        # twins; the tolerance booleans must come out TRUE on the
+        # Spark side (sketch within tolerance of exact) to match.
+        "agg_approx": (
+            "SELECT l_returnflag,"
+            " COUNT(DISTINCT l_orderkey) AS n_distinct_exact,"
+            " round(quantile_cont(l_orderkey, 0.5), 4) AS p50_exact,"
+            " round(quantile_cont(l_orderkey, 0.9), 4) AS p90_exact,"
+            " TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p90_ok"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "agg_hll_rollup": (
+            "SELECT source,"
+            " COUNT(DISTINCT md5(text)) AS n_distinct_exact,"
+            " TRUE AS est_ok"
+            " FROM documents GROUP BY source"
+            " UNION ALL"
+            " SELECT '__ALL__' AS source,"
+            " COUNT(DISTINCT md5(text)) AS n_distinct_exact,"
+            " TRUE AS est_ok"
+            " FROM documents"
         ),
         "agg_pivot": (
             "SELECT user_id,"

@@ -289,6 +289,58 @@ def approx_aggregates(
     )
 
 
+def approx_aggregates_graded(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    rsd: float = 0.02,
+    distinct_tol: float = 0.05,
+    pct_tol: float = 0.01,
+) -> DataFrame:
+    """``approx_aggregates`` with exact twin columns for value-level
+    verification: per group, the EXACT distinct count and exact
+    interpolated p50/p90 (hashable by any ANSI-SQL oracle), plus
+    booleans asserting each sketch landed within tolerance of its
+    exact twin.  The sketches stay in the plan — this is how the
+    approximate path is graded, not a replacement for it.  Both
+    sketch families merge commutatively (HLL++ register-max, GK
+    quantile summaries), so the booleans are partition-invariant.
+
+    At 100 TB ship ``approx_aggregates`` (one-pass, constant memory);
+    the exact twins here add a distinct-count shuffle and a full-sort
+    percentile, which is the honest price of a value-level gate."""
+    c = F.col(col)
+    return df.groupBy(*keys).agg(
+        F.count_distinct(c).alias("n_distinct_exact"),
+        F.round(F.percentile(c, F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(F.percentile(c, F.lit(0.9)), 4).alias("p90_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct(c, rsd)
+                - F.count_distinct(c).cast("double")
+            )
+            / F.count_distinct(c).cast("double")
+            <= distinct_tol
+        ).alias("distinct_ok"),
+        (
+            F.abs(
+                F.approx_percentile(c, F.lit(0.5), F.lit(10000))
+                - F.percentile(c, F.lit(0.5))
+            )
+            / F.percentile(c, F.lit(0.5))
+            <= pct_tol
+        ).alias("p50_ok"),
+        (
+            F.abs(
+                F.approx_percentile(c, F.lit(0.9), F.lit(10000))
+                - F.percentile(c, F.lit(0.9))
+            )
+            / F.percentile(c, F.lit(0.9))
+            <= pct_tol
+        ).alias("p90_ok"),
+    )
+
+
 def stats_agg(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
     """Statistical aggregate family: sample stddev/variance of ``x``,
     Pearson correlation and sample covariance of (``x``, ``y``), and

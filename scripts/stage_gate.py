@@ -37,7 +37,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS_ONLY_OK = {"agg_approx", "agg_hll_rollup"}
+# Round 6: both sketch queries now emit exact-twin columns + tolerance
+# booleans and carry full value oracles — nothing is rows-only anymore.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def main() -> int:

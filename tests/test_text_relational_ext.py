@@ -117,6 +117,35 @@ def test_approx_aggregates_within_tolerance(spark):
         assert a["p50_approx"] == pytest.approx(e["p50"], rel=0.05)
 
 
+def test_approx_aggregates_graded_exact_twins_and_flags(spark):
+    """The gradeable sketch form: exact twins equal the directly
+    computed exact values and every tolerance boolean is True."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    graded = {
+        r["l_returnflag"]: r
+        for r in AG.approx_aggregates_graded(
+            li, ["l_returnflag"], "l_orderkey"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("nd"),
+            F.expr("round(percentile(l_orderkey, 0.5), 4)").alias("p50"),
+            F.expr("round(percentile(l_orderkey, 0.9), 4)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(graded) == set(exact)
+    for flag, e in exact.items():
+        g = graded[flag]
+        assert g["n_distinct_exact"] == e["nd"]
+        assert g["p50_exact"] == pytest.approx(e["p50"])
+        assert g["p90_exact"] == pytest.approx(e["p90"])
+        assert g["distinct_ok"] and g["p50_ok"] and g["p90_ok"]
+
+
 def test_full_outer_join_keeps_both_unmatched_sides(spark):
     left = spark.createDataFrame([(1, "l1"), (2, "l2")], ["k", "lv"])
     right = spark.createDataFrame([(2, "r2"), (3, "r3")], ["k", "rv"])
