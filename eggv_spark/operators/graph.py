@@ -26,6 +26,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cap_neighborhoods(neigh: DataFrame, node_col: str, nbr_col: str,
+                       max_degree: int) -> DataFrame:
+    """Deterministically keep at most ``max_degree`` neighbors per
+    node: rank each node's neighbors by a salted hash (uniform, no
+    bias toward low ids) with the neighbor id as tiebreak, keep the
+    first ``max_degree``.  This is the standard hub mitigation for
+    wedge joins — the join output is Σ deg(z)², so one celebrity
+    node at web scale otherwise dominates the whole job; capping
+    bounds every node's contribution at max_degree².  One
+    hash-partitioned window, same shuffle key the wedge join needs
+    anyway."""
+    w = Window.partitionBy(node_col).orderBy(
+        F.xxhash64(F.col(node_col), F.col(nbr_col)), F.col(nbr_col)
+    )
+    return (
+        neigh.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_degree)
+        .drop("_rk")
+    )
+
+
 def out_weights(edges: DataFrame, src: str, dst: str, weight: str) -> DataFrame:
     """Per-edge transition probability: weight / total outgoing weight
     of the source node.  One map-side-combined aggregation on ``src``
@@ -258,6 +279,7 @@ def neighbor_jaccard(
     dst: str = "dst",
     min_common: int = 2,
     k: int = 100,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Node-pair similarity by neighborhood overlap — the classic
     link-prediction feature: for pairs sharing ≥ ``min_common``
@@ -266,11 +288,16 @@ def neighbor_jaccard(
 
     Candidate pairs come from the wedge join (a,w)⋈(b,w) with a<b —
     only pairs that actually share a neighbor are ever materialized,
-    never the |V|² cross product; the work is Σ_w deg(w)², so a
-    100 TB run caps or samples super-hub neighborhoods first (the
-    standard mitigation, same as the co-occurrence expansions).
-    Degrees join back from a node-sized table; the top-k is
-    TakeOrderedAndProject, no global sort."""
+    never the |V|² cross product; the work is Σ_w deg(w)².
+
+    ``max_degree`` (default off, exact) is the 100 TB hub
+    mitigation: middle-node neighborhoods are deterministically
+    downsampled to at most ``max_degree`` members BEFORE the wedge
+    join, bounding every middle node's pair contribution at
+    max_degree² while true degrees still come from the full
+    adjacency.  With the cap on, ``n_common`` is a sampled lower
+    bound (approximate jaccard) — standard practice for celebrity
+    nodes, default-off so the exact oracle rows are unchanged."""
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -286,8 +313,13 @@ def neighbor_jaccard(
                                F.col("a").alias("w")))
     )
     deg = neigh.groupBy("node").agg(F.count("*").alias("_deg"))
-    n1 = neigh.select(F.col("node").alias("na"), "w")
-    n2 = neigh.select(F.col("node").alias("nb"), "w")
+    wedge_src = (
+        _cap_neighborhoods(neigh, "w", "node", max_degree)
+        if max_degree is not None
+        else neigh
+    )
+    n1 = wedge_src.select(F.col("node").alias("na"), "w")
+    n2 = wedge_src.select(F.col("node").alias("nb"), "w")
     common = (
         n1.join(n2, "w")
         .filter(F.col("na") < F.col("nb"))
@@ -319,15 +351,26 @@ def kcore_prune(
     dst: str = "dst",
     k: int = 2,
     iterations: int = 3,
+    to_fixpoint: bool = False,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """k-core decomposition by iterated degree pruning: drop every
     node of degree < k, recompute degrees on the induced subgraph,
-    repeat a FIXED number of rounds (a bounded prefix of the exact
-    fixpoint — deterministic and oracle-checkable; the exact core
-    needs data-dependent rounds).  Each round is one semi-join of the
-    undirected edge list against the surviving-degree frame plus one
-    map-side-combined degree count — no collect, no driver loop over
-    nodes.  Output: surviving nodes with their final-round degree.
+    repeat.  Each round is one semi-join of the undirected edge list
+    against the surviving-degree frame plus one map-side-combined
+    degree count — no collect, no driver loop over nodes.  Output:
+    surviving nodes with their final-round degree.
+
+    Two modes:
+    - default: a FIXED ``iterations`` rounds — a bounded prefix of
+      the exact fixpoint, deterministic and oracle-checkable (the
+      registry query uses this so the plan has no data-dependent
+      driver control);
+    - ``to_fixpoint=True``: iterate until the surviving edge count is
+      stable (one cheap count() action per round — the edge frame is
+      already checkpointed, so the count reuses it), guarded by
+      ``max_iterations``.  This is the TRUE k-core, the mode to run
+      on a 100×-diameter graph where any fixed prefix under-prunes.
 
     At 100 TB the edge list dominates: the per-round semi-join keys
     on the node id both ways, so AQE handles skewed hubs; survivors
@@ -346,14 +389,29 @@ def kcore_prune(
         .localCheckpoint(eager=False)
     )
     cur = und
-    for _ in range(iterations):
-        deg = cur.groupBy("a").agg(F.count("*").alias("degree"))
+
+    def _prune_round(frame: DataFrame) -> DataFrame:
+        deg = frame.groupBy("a").agg(F.count("*").alias("degree"))
         alive = deg.filter(F.col("degree") >= k).select("a")
-        cur = (
-            cur.join(alive, "a", "left_semi")
+        return (
+            frame.join(alive, "a", "left_semi")
             .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
+
+    if to_fixpoint:
+        # data-dependent rounds: stop when the surviving edge count is
+        # stable (pruning is monotone, so equal counts == fixpoint)
+        prev_edges = cur.count()
+        for _ in range(max_iterations):
+            cur = _prune_round(cur)
+            n = cur.count()
+            if n == prev_edges:
+                break
+            prev_edges = n
+    else:
+        for _ in range(iterations):
+            cur = _prune_round(cur)
     final = cur.groupBy("a").agg(F.count("*").alias("degree"))
     return final.filter(F.col("degree") >= k).select(
         F.col("a").alias("node"), "degree"
@@ -365,6 +423,7 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     min_degree: int = 2,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Adamic–Adar link-prediction score for non-adjacent node pairs:
     AA(a, b) = sum over common neighbors z of 1/ln(deg(z)).  The
@@ -376,9 +435,14 @@ def adamic_adar(
     excluded (ln(1) = 0 would divide by zero — standard).
 
     The wedge join is the scale hazard: its output is sum_z deg(z)^2.
-    Capping hub degree (or sampling hub neighborhoods) is the
-    documented 100 TB mitigation; on the co-purchase graphs here the
-    degree cap is unnecessary."""
+    ``max_degree`` (default off, exact) caps each middle node's
+    neighborhood at ``max_degree`` deterministically-sampled members
+    BEFORE the wedge join, bounding the per-middle contribution at
+    max_degree² — one celebrity node no longer dominates the job.
+    Scoring weights (1/ln deg) still use the TRUE degree from the
+    full adjacency; with the cap on, per-pair sums are a sampled
+    subset (approximate AA) — default-off so the exact oracle rows
+    are unchanged."""
     # lazy checkpoint: the adjacency feeds FOUR branches (wedge left,
     # wedge right, middle degrees, existing-edge anti-join) — without
     # it each branch re-derives the upstream edge build (35 exchanges
@@ -393,8 +457,13 @@ def adamic_adar(
     deg = und.groupBy(F.col("a").alias("z")).agg(
         F.count("*").alias("_deg")
     ).filter(F.col("_deg") >= min_degree)
-    left = und.select(F.col("b").alias("z"), F.col("a").alias("u"))
-    right = und.select(F.col("a").alias("z"), F.col("b").alias("v"))
+    # (z, neighbor) adjacency keyed by the middle node; capped per
+    # middle when max_degree is set (true degrees stay uncapped)
+    by_middle = und.select(F.col("a").alias("z"), F.col("b").alias("n"))
+    if max_degree is not None:
+        by_middle = _cap_neighborhoods(by_middle, "z", "n", max_degree)
+    left = by_middle.select("z", F.col("n").alias("u"))
+    right = by_middle.select("z", F.col("n").alias("v"))
     wedges = (
         left.join(right, "z")
         .filter(F.col("u") < F.col("v"))
@@ -416,16 +485,22 @@ def bfs_reach(
     src: str = "src",
     dst: str = "dst",
     max_depth: int = 3,
+    to_fixpoint: bool = False,
+    max_iterations: int = 100,
 ) -> DataFrame:
-    """Breadth-first reachability from one seed: depth-d frontier
-    expansion over the undirected edge list for a FIXED number of
-    hops, keeping the MINIMUM depth per node.  Each round is one
-    join (frontier ⋈ edges) + one distinct; visited-set dedup keeps
-    frontiers from re-expanding, which is what makes d rounds cost
-    O(edges-within-d-hops), not O(paths).  The fixed bound keeps
-    lineage finite — an unbounded BFS on a relational engine needs
-    iterate-until-empty driver control with checkpointing every few
-    rounds (documented scale path).
+    """Breadth-first reachability from one seed, keeping the MINIMUM
+    depth per node.  Each round is one join (frontier ⋈ edges) + one
+    distinct; visited-set dedup keeps frontiers from re-expanding,
+    which is what makes d rounds cost O(edges-within-d-hops), not
+    O(paths).
+
+    Two modes:
+    - default: a FIXED ``max_depth`` hops — deterministic plan depth,
+      oracle-checkable (the registry query uses this);
+    - ``to_fixpoint=True``: iterate-until-empty-frontier driver
+      control (one count() per round against the checkpointed
+      frontier), guarded by ``max_iterations`` — full reachability on
+      a 100×-diameter graph, where any fixed hop bound truncates.
 
     ``seed`` is an int node id OR a 1-row/1-column DataFrame (e.g.
     ``edges.agg(F.min("src"))``) — the frame form keeps query
@@ -453,14 +528,28 @@ def bfs_reach(
             F.lit(seed).cast("int").alias("node"), F.lit(0).alias("depth")
         )
     frontier = visited.select("node")
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(und, frontier["node"] == und["a"])
+
+    def _expand(front: DataFrame, seen: DataFrame, d: int) -> DataFrame:
+        return (
+            front.join(und, front["node"] == und["a"])
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt.select("node")
+
+    if to_fixpoint:
+        d = 0
+        while d < max_iterations:
+            d += 1
+            nxt = _expand(frontier, visited, d).localCheckpoint(eager=False)
+            if nxt.count() == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt.select("node")
+    else:
+        for d in range(1, max_depth + 1):
+            nxt = _expand(frontier, visited, d)
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt.select("node")
     return visited.select(F.col("node").cast("int").alias("node"), "depth")

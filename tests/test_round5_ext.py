@@ -257,6 +257,41 @@ def test_kcore_removes_pendant_chain(spark):
     assert set(out) == {1, 2, 3} and all(v == 2 for v in out.values())
 
 
+def test_kcore_fixpoint_converges_where_fixed_rounds_do_not(spark):
+    # Path of 12 nodes, k=2: each prune round peels one node off each
+    # end (plus the output's final degree filter), so 3 fixed rounds
+    # provably under-prune — interior nodes still look like a 2-core
+    # prefix — while the true 2-core of any path is EMPTY.
+    edges = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    fixed = G.kcore_prune(df, k=2, iterations=3).collect()
+    assert len(fixed) == 4  # non-converged bounded prefix
+    fix = G.kcore_prune(df, k=2, to_fixpoint=True).collect()
+    assert fix == []  # true fixpoint: a path has no 2-core
+
+
+def test_hub_degree_cap_bounds_wedges_and_default_off_is_exact(spark):
+    # Star: hub 0 joined to 1..20.  Uncapped, the hub contributes
+    # C(20,2)=190 candidate pairs; max_degree=5 bounds it at C(5,2)=10.
+    edges = [(0, i) for i in range(1, 21)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    exact = G.adamic_adar(df)
+    assert exact.count() == 190
+    capped = G.adamic_adar(df, max_degree=5)
+    assert capped.count() == 10
+    # default-off path must match the pre-cap implementation exactly
+    # (the registry oracle depends on it)
+    assert G.adamic_adar(df, max_degree=None).count() == 190
+
+    nj_exact = G.neighbor_jaccard(df, min_common=1, k=500)
+    assert nj_exact.count() == 190
+    nj_capped = G.neighbor_jaccard(df, min_common=1, k=500, max_degree=5)
+    assert nj_capped.count() == 10
+    # capped rows still score with TRUE degrees: every leaf pair has
+    # n_common=1, deg=1 each -> jaccard = 1/(1+1-1) = 1.0
+    assert all(r["jaccard"] == 1.0 for r in nj_capped.collect())
+
+
 def test_adamic_adar_scores_open_wedge(spark):
     # path 1-2-3: (1,3) is the only candidate; deg(2)=2 -> 1/ln 2
     edges = [(1, 2), (2, 3)]
@@ -274,6 +309,19 @@ def test_bfs_reach_depths(spark):
     out = {r["node"]: r["depth"]
            for r in G.bfs_reach(df, 1, max_depth=3).collect()}
     assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_fixpoint_reaches_past_fixed_depth(spark):
+    # path 1..7: max_depth=3 truncates at node 4; fixpoint mode
+    # iterates until the frontier empties and reaches all 7 nodes
+    edges = [(i, i + 1) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    fixed = {r["node"]: r["depth"]
+             for r in G.bfs_reach(df, 1, max_depth=3).collect()}
+    assert set(fixed) == {1, 2, 3, 4}  # truncated
+    full = {r["node"]: r["depth"]
+            for r in G.bfs_reach(df, 1, to_fixpoint=True).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6}
 
 
 def test_code_signals_flags_code(spark):
