@@ -5043,11 +5043,21 @@ def _agg_auc(spark, sf_dir):
     """Per-day ROC AUC (is this event a purchase, scored by event
     value) via the tie-corrected Mann–Whitney rank identity — one
     window shuffle, rank sums exact in doubles
-    (aggregates.roc_auc)."""
+    (aggregates.roc_auc).
+
+    ~10% of scores are deterministically NULLed (md5 of event_id,
+    residue 0 mod 10; identical expression in the oracle) — the
+    driver fixtures carry ZERO NULLs in events.value (ADVICE r04
+    hazard 1 / VERDICT r05 item 5), so this puts roc_auc's
+    NULL-score exclusion under the driver's value-hash gate instead
+    of unit tests only."""
     ev = _t(spark, sf_dir, "events").select(
         F.dayofmonth("ts").alias("day"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
-        "value",
+        F.when(
+            D.base_hash(F.col("event_id").cast("string")) % 10 != 0,
+            F.col("value"),
+        ).alias("value"),
     )
     return AG.roc_auc(ev, "y", "value", keys=["day"])
 
@@ -5270,9 +5280,31 @@ def _tbl_checksum(spark, sf_dir):
     Doubles/timestamps are excluded from the hashed column list
     because engines disagree on their string formatting (Java
     Double.toString vs C shortest-repr); integers and strings
-    stringify identically everywhere (tableops.table_checksum)."""
+    stringify identically everywhere (tableops.table_checksum).
+
+    ~10% of l_returnflag values are deterministically NULLed (md5 of
+    the (orderkey, linenumber) PK, residue 0 mod 10; identical
+    expression in the oracle) — the driver fixtures carry ZERO NULLs
+    (VERDICT r05 item 5), so this puts table_checksum's chr(0)-'null'
+    NULL sentinel under the driver's value-hash gate: a checksum that
+    silently skipped NULL columns would now diverge."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_returnflag",
+        F.when(
+            D.base_hash(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 10
+            != 0,
+            F.col("l_returnflag"),
+        ),
+    )
     return TO.table_checksum(
-        _t(spark, sf_dir, "lineitem"),
+        li,
         ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
          "l_returnflag", "l_linestatus"],
     )
@@ -8615,7 +8647,19 @@ def oracle_sql() -> dict[str, str]:
             # mirror table_checksum's NULL sentinel — concat_ws would
             # otherwise silently SKIP a NULL arg in both engines,
             # collapsing NULL-vs-missing if a nullable column is added
-            "SELECT count(*) AS n_rows,"
+            # l_returnflag NULLed for ~10% of rows on the md5(PK) % 10
+            # residue, mirroring the Spark side — the fixtures carry
+            # no NULLs, so this is what makes the chr(0)-'null'
+            # sentinel below actually reachable under the driver gate
+            "WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,"
+            "  l_linenumber, l_linestatus,"
+            "  CASE WHEN CAST(concat('0x', substr(md5("
+            "   concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+            "    CAST(l_linenumber AS VARCHAR))), 1, 8))"
+            "   AS BIGINT) % 10 <> 0 THEN l_returnflag END"
+            "   AS l_returnflag"
+            "  FROM lineitem)"
+            " SELECT count(*) AS n_rows,"
             " CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',"
             "  coalesce(CAST(l_orderkey AS VARCHAR), chr(0)||'null'),"
             "  coalesce(CAST(l_partkey AS VARCHAR), chr(0)||'null'),"
@@ -8624,7 +8668,7 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(l_returnflag, chr(0)||'null'),"
             "  coalesce(l_linestatus, chr(0)||'null'))), 1, 8))"
             "  AS BIGINT)) AS BIGINT) AS checksum"
-            " FROM lineitem"
+            " FROM li"
         ),
         "txt_bigram_lm": (
             f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t"
@@ -8798,10 +8842,18 @@ def oracle_sql() -> dict[str, str]:
             # event_type IS NOT NULL mirrors roc_auc's label-null
             # exclusion (a NULL event_type would otherwise hit ELSE 0
             # here but be dropped Spark-side)
-            "WITH s AS (SELECT CAST(day(ts) AS INT) AS day,"
+            "WITH s0 AS (SELECT CAST(day(ts) AS INT) AS day,"
             "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,"
-            "  value FROM events WHERE value IS NOT NULL"
-            "  AND event_type IS NOT NULL),"
+            # ~10% of scores NULLed on the md5(event_id) % 10 residue,
+            # mirroring the Spark side (the fixtures have no NULL
+            # values, so this makes roc_auc's NULL-score exclusion
+            # reachable under the driver gate)
+            "  CASE WHEN CAST(concat('0x',"
+            "   substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+            "   AS BIGINT) % 10 <> 0 THEN value END AS value"
+            "  FROM events WHERE event_type IS NOT NULL),"
+            " s AS (SELECT day, y, value FROM s0"
+            "  WHERE value IS NOT NULL),"
             " r AS (SELECT day, y,"
             "  rank() OVER (PARTITION BY day ORDER BY value ASC)"
             "  + (count(*) OVER (PARTITION BY day, value) - 1) / 2.0"
