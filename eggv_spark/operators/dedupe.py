@@ -1140,6 +1140,7 @@ def containment_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     block_k: int = 8,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: containment |S_A ∩ S_B| /
     min(|S_A|, |S_B|) over word-shingle sets — the measure that
@@ -1152,7 +1153,17 @@ def containment_pairs(
     small-in-big case).  Exact verification joins the candidates
     back to the exploded shingle sets: one aggregation per pair, no
     all-pairs product anywhere.  Deterministic: same md5 shingle
-    hashes as the MinHash family."""
+    hashes as the MinHash family.
+
+    ``max_block_size`` (default off, exact) is the template-corpus
+    guard: a shingle-hash block shared by B documents generates
+    C(B, 2) candidate pairs, so one boilerplate shingle (a license
+    header, a nav bar) across a 100 TB crawl makes candidate volume
+    quadratic in its frequency.  When set, blocks with more than
+    ``max_block_size`` members are dropped from candidate generation
+    — the standard LSH frequent-bucket ceiling — trading recall only
+    on pairs whose EVERY shared bottom-k shingle is boilerplate.
+    Default-off so the exact oracle rows are unchanged."""
     hs = with_shingle_hashes(df, text_col).select(
         F.col(id_col).alias("_id"),
         "shingle_hashes",
@@ -1164,6 +1175,18 @@ def containment_pairs(
             F.slice(F.array_sort("shingle_hashes"), 1, block_k)
         ).alias("_blk"),
     ).distinct()
+    if max_block_size is not None:
+        # frequent-bucket ceiling: one map-side-combined count per
+        # block, then a semi-join keeps only blocks under the cap —
+        # the candidate join's per-block output is bounded at
+        # C(max_block_size, 2)
+        small = (
+            blocks.groupBy("_blk")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_block_size)
+            .select("_blk")
+        )
+        blocks = blocks.join(small, "_blk", "left_semi")
     cand = (
         blocks.alias("l")
         .join(blocks.alias("r"), "_blk")

@@ -363,6 +363,25 @@ def test_containment_detects_prefix_doc(spark):
     assert out[0]["containment"] == 1.0
 
 
+def test_containment_block_frequency_cap(spark):
+    # Template corpus: 8 docs sharing one boilerplate text (every
+    # bottom-k block has 8 members -> C(8,2)=28 candidate pairs) plus
+    # a genuine prefix pair on distinct text.  A block-size ceiling
+    # of 4 drops the boilerplate blocks entirely but keeps the
+    # 2-member blocks of the genuine pair.
+    boiler = " ".join(f"tpl{i}" for i in range(30))
+    base = " ".join(f"tok{i}" for i in range(40))
+    half = " ".join(f"tok{i}" for i in range(20))
+    rows = [(i, boiler) for i in range(10, 18)] + [(1, base), (2, half)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = containment_pairs(df, threshold=0.8)
+    assert exact.count() == 28 + 1
+    capped = containment_pairs(df, threshold=0.8, max_block_size=4)
+    got = capped.collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+
+
 def test_png_header_roundtrip(spark):
     docs = spark.createDataFrame([(5,), (70,)], "doc_id long")
     out = {r["asset_id"]: r
