@@ -4,6 +4,11 @@ tests/test_plans.py is, but exhaustive instead of curated.
 
 Flags:
 - CartesianProduct           non-broadcast cross product (O(n*m) at scale)
+- BroadcastNestedLoopJoin    flagged UNLESS its build side is a
+                             provably tiny (grouping-key-free, i.e.
+                             1-row) aggregate — the scalar-crossJoin
+                             pattern is fine, anything else is an
+                             O(n*m) bomb hiding behind a broadcast
 - Exchange rangepartitioning global sort shuffle (top-k should be
                              TakeOrderedAndProject; intended only for
                              explicitly-sorted sinks)
@@ -28,6 +33,41 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _walk(node):
+    yield node
+    kids = node.children()
+    for i in range(kids.length()):
+        yield from _walk(kids.apply(i))
+
+
+def unbounded_nested_loops(df) -> int:
+    """Count BroadcastNestedLoopJoin nodes whose build side is NOT a
+    provably tiny aggregate.  "Provably tiny" = the build subtree
+    contains a grouping-key-free HashAggregate/SortAggregate/
+    ObjectHashAggregate (keys=[] -> exactly one output row), which is
+    the legitimate scalar-crossJoin pattern (join a 1-row global
+    statistic onto every row).  Any other BNLJ build side is
+    unbounded at scale and gets flagged — this makes the previously
+    by-inspection-only judgement mechanical."""
+    bad = 0
+    root = df._jdf.queryExecution().executedPlan()
+    for node in _walk(root):
+        if node.nodeName() != "BroadcastNestedLoopJoin":
+            continue
+        kids = node.children()
+        side = str(node.buildSide())
+        build = kids.apply(1) if "Right" in side else kids.apply(0)
+        sub = build.toString()
+        tiny = any(
+            f"{agg}(keys=[]" in sub
+            for agg in ("HashAggregate", "SortAggregate",
+                        "ObjectHashAggregate")
+        )
+        if not tiny:
+            bad += 1
+    return bad
+
+
 def main() -> int:
     spark = get_session(
         "plan-lint", master="local[4]", shuffle_partitions=4,
@@ -42,13 +82,18 @@ def main() -> int:
     findings: list[str] = []
     for name in names:
         try:
-            plan = plan_of(registry[name](spark, sf_dir))
+            df = registry[name](spark, sf_dir)
+            plan = plan_of(df)
         except Exception as exc:  # streaming plans can't executedPlan pre-start
             findings.append(f"SKIP  {name}: {type(exc).__name__}")
             continue
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan:
+            n_bad = unbounded_nested_loops(df)
+            if n_bad:
+                flags.append(f"UNBOUNDED-BNLJ({n_bad})")
         if "Exchange rangepartitioning" in plan:
             flags.append("GLOBAL-SORT")
         if "BatchEvalPython" in plan:
