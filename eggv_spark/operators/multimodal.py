@@ -589,11 +589,13 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     Binary-PPM image payloads (magic ``P6``) are decoded FOR REAL via
     :func:`decode_ppm` regardless of ``fake``, uncompressed BMP
     (``BM``) via :func:`decode_bmp`, PNG (8-byte signature) via
-    :func:`decode_png` (zlib inflate + scanline unfilter); likewise
-    WAV (``RIFF``) via :func:`decode_wav` and Y4M video
-    (``YUV4MPEG2``) via :func:`decode_y4m`.  The remaining compressed
-    formats need PIL/librosa/ffmpeg, which this environment does not
-    ship:
+    :func:`decode_png` (zlib inflate + scanline unfilter), GIF
+    (``GIF87a``/``GIF89a``) via :func:`decode_gif` (full
+    variable-width LZW); likewise WAV (``RIFF``) via
+    :func:`decode_wav` and Y4M video (``YUV4MPEG2``) via
+    :func:`decode_y4m`.  The remaining compressed formats
+    (JPEG/MP3/H.264 classes) need PIL/librosa/ffmpeg, which this
+    environment does not ship:
     ``fake=True`` derives a deterministic FEATURE_DIM-float vector
     from the md5 digest — shape-compatible with a real embedding so
     the distributed plumbing is exercised end-to-end.
@@ -645,8 +647,8 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
         raise NotImplementedError(
             f"real {modality} decoding requires media libraries not "
             "available in this environment; pass fake=True for the "
-            "deterministic stand-in (PPM images and WAV audio decode "
-            "for real)"
+            "deterministic stand-in (PPM/BMP/PNG/GIF images, WAV "
+            "audio, and Y4M video decode for real)"
         )
     digest = hashlib.md5(payload).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]

@@ -1,6 +1,6 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Runs every ``queries()`` entry at sf0.01 (or $SF_DIR) side by side
+Runs every ``queries()`` entry at sf0.01 (or $SPARK_GRAFT_SF_DIR; legacy $SF_DIR honored) side by side
 with its ``oracle_sql()`` and compares row count, column names, and
 an order-insensitive value hash (columns sorted by name, rows sorted
 by all columns — mirroring the documented driver comparison).
@@ -59,7 +59,7 @@ def _hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
     only = set(sys.argv[1:])
 
     spark = get_session(

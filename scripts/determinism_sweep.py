@@ -97,7 +97,7 @@ def _run_pass(label, master, parts, confs, names, sf_dir, qs):
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
     qs = entrymod.queries()
     args = sys.argv[1:]
     if len(args) == 1 and args[0].isdigit():

@@ -120,6 +120,15 @@ def main() -> int:
 
     if update:
         baseline.update(current)
+        if not args:
+            # full-registry re-pin: prune baseline keys for queries
+            # that no longer exist, so removed registry entries don't
+            # linger in PLAN_FINGERPRINTS.json forever
+            stale = [k for k in baseline if k not in registry]
+            for k in stale:
+                del baseline[k]
+            if stale:
+                print(f"pruned {len(stale)} stale fingerprints: {stale}")
         with open(BASELINE_PATH, "w") as fh:
             json.dump(baseline, fh, indent=1, sort_keys=True)
             fh.write("\n")
