@@ -166,6 +166,18 @@ def main() -> None:
     # adjudication mechanical: load >> nproc at either endpoint means
     # the record is contention-tinged and should be re-run once and
     # min-merged before comparing against the previous round.
+    # Idle gate (VERDICT r05 item 6): both r4 and r5 official records
+    # were captured in contended windows and understated the engine by
+    # ~20%.  Before timing anything, wait (bounded) for the 1-min load
+    # to fall under a threshold; if it never does, proceed anyway —
+    # the record stays contention-stamped rather than the bench
+    # hanging a driver window.
+    idle_max = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_MAX", "1.0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "90"))
+    idle_waited = 0.0
+    while os.getloadavg()[0] > idle_max and idle_waited < wait_budget:
+        time.sleep(5.0)
+        idle_waited += 5.0
     load_start = os.getloadavg()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -235,6 +247,7 @@ def main() -> None:
         "queries": timings,
         "contention": {
             "nproc": os.cpu_count(),
+            "idle_wait_s": round(idle_waited, 1),
             "loadavg_1m_start": round(load_start[0], 2),
             "loadavg_5m_start": round(load_start[1], 2),
             "loadavg_1m_end": round(load_end[0], 2),
