@@ -1336,7 +1336,12 @@ def _tbl_key_distribution(spark, sf_dir):
 
 
 def _agg_gini(spark, sf_dir):
-    return AG.gini_by_group(
+    """Per-group Gini, JVM window+agg form (round 6: previously the
+    pandas-UDAF form — same values, but a UDAF cannot partial-agg, so
+    the SQL formulation is the one that ships at 100 TB; the UDAF
+    variant survives as aggregates.gini_by_group, the custom-aggregate
+    extension-point demo, equality-tested against this form)."""
+    return AG.gini_by_group_sql(
         _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity"
     )
 

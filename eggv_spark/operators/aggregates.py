@@ -211,6 +211,38 @@ def gini_by_group(
     return df.groupBy(*keys).agg(F.round(_gini(F.col(col)), 4).alias(out))
 
 
+def gini_by_group_sql(
+    df: DataFrame, keys: Sequence[str], col: str, out: str = "gini"
+) -> DataFrame:
+    """Gini coefficient per group as pure Column expressions — the
+    100 TB form: one window rank (per-group sort on the value, the
+    same shuffle any per-group sort pays) + one map-side-combinable
+    aggregation, entirely inside whole-stage codegen.  Identical
+    result to :func:`gini_by_group` (ties contribute equal values, so
+    the rank-weighted sum is tie-permutation-invariant); that UDAF
+    variant stays as the custom-aggregate extension-point demo, this
+    is the one to ship."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("_x").asc())
+    ranked = df.select(
+        *keys,
+        F.col(col).cast("double").alias("_x"),
+    ).withColumn("_i", F.row_number().over(w))
+    return ranked.groupBy(*keys).agg(
+        F.round(
+            F.try_divide(
+                2.0 * F.sum(F.col("_i") * F.col("_x")),
+                F.count("*") * F.sum("_x"),
+            )
+            - F.try_divide(
+                (F.count("*") + 1.0), F.count("*").cast("double")
+            ),
+            4,
+        ).alias(out)
+    ).na.fill({out: 0.0})
+
+
 def distinct_counts(
     df: DataFrame, keys: Sequence[str], col: str
 ) -> DataFrame:

@@ -162,6 +162,13 @@ def test_gini_udaf(spark):
     out = {r.k: r.gini for r in AG.gini_by_group(df, ["k"], "v").collect()}
     assert out["a"] == 0.0
     assert abs(out["b"] - 2 / 3) < 1e-3  # (2*3*30)/(3*30) - 4/3
+    # the JVM window+agg form must agree with the UDAF exactly
+    sql = {r.k: r.gini
+           for r in AG.gini_by_group_sql(df, ["k"], "v").collect()}
+    assert sql == out
+    # all-zero group: both forms report 0.0, not NULL
+    z = spark.createDataFrame([("z", 0.0), ("z", 0.0)], ["k", "v"])
+    assert AG.gini_by_group_sql(z, ["k"], "v").collect()[0]["gini"] == 0.0
 
 
 def test_connected_components_and_keepers(spark):
