@@ -5634,8 +5634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     27 free slots.  Every entry is dual-scale oracle-green
     (CORRECTNESS_LOCAL_r05.json), plan-pinned
     (PLAN_FINGERPRINTS.json), and cross-config partition-invariant
-    (scripts/determinism_sweep.py; sole documented exception
-    ``agg_hll_rollup``'s union estimate, rows-only at the driver).
+    (scripts/determinism_sweep.py; since round 6 with ZERO
+    exceptions — the sketch queries' gradeable exact-twin forms are
+    hash-invariant and fully value-oracled).
     """
     return {
         # --- round-6 verification window (50): the 18 round-4

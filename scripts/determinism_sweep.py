@@ -25,16 +25,16 @@ Any query whose hash differs between A and B would be at the mercy
 of the driver's session config; the sweep fails loudly on it.
 
 Exception: ``MERGE_ORDER_SENSITIVE`` entries are held to a
-row-count-only cross-run bar.  Measured on this exact sweep:
-``agg_hll_rollup``'s per-source estimates are partition-invariant
-(HLL register updates are max-commutative) but the corpus-wide
-``hll_union_agg`` row came back 497 under config A vs 501 under
-config B — the datasketches union gadget's promotion path depends on
-merge order at small cardinality, so the ESTIMATE is not a
-deterministic function of the value set.  That is inherent to
-distributed sketch rollups (and exactly why the entry is rows-only
-at the driver); the row count itself is grouping-exact and stays
-checked.
+row-count-only cross-run bar.  The set is EMPTY since round 6.
+History worth keeping: the raw ``hll_union_agg`` estimate measured
+497 under config A vs 501 under config B on the same 500-value set —
+the datasketches union gadget's promotion path depends on merge
+order at small cardinality, so a raw sketch ESTIMATE is not a
+deterministic function of the value set (per-source estimates ARE
+invariant; HLL register updates are max-commutative).  The gradeable
+round-6 form of ``agg_hll_rollup`` therefore outputs the exact
+count_distinct twin plus a 5%-tolerance boolean — which this sweep
+measured hash-identical across configs, restoring the full bar.
 
 Usage: python scripts/determinism_sweep.py [n | name ...]
   no args  — sweep the full registry
@@ -55,7 +55,11 @@ from eggv_spark.session import get_session
 
 #: Documented merge-order-sensitive results: cross-run row-count
 #: check only (see module docstring for the measured evidence).
-MERGE_ORDER_SENSITIVE = {"agg_hll_rollup"}
+#: Round 6: EMPTY — agg_hll_rollup's gradeable form outputs the exact
+#: count_distinct twin plus a 5%-tolerance boolean instead of the raw
+#: union estimate, and the sweep measured its hashes identical across
+#: configs, so it is held to the full-hash bar again.
+MERGE_ORDER_SENSITIVE: set[str] = set()
 
 #: (label, master, shuffle_partitions, extra confs)
 CONFIGS = (
