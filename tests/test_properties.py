@@ -1116,3 +1116,338 @@ def test_lorenz_deciles_equals_naive(spark, values):
             assert got[d][1] is None
         else:
             assert abs(got[d][1] - cum / total) <= 1.01e-6
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: naive-reference property tests for the round-7
+# driver-queue statistics entries (k-sample tests + ML-eval family).
+# Same posture as the wave-1 block above: the Spark operator's algebraic
+# / windowed form must equal the textbook definition computed naively in
+# Python on arbitrary small inputs, including the degenerate edges the
+# driver fixtures never hit.
+# ---------------------------------------------------------------------------
+
+kgroups_strategy = st.lists(
+    st.lists(st.integers(-4, 4), min_size=1, max_size=8),
+    min_size=1, max_size=4,
+)
+
+
+def _naive_anova(groups):
+    """Textbook one-way ANOVA pieces; mirrors anova_oneway's NULL
+    semantics (singleton groups contribute nothing to SSW; SSW is None
+    when EVERY group is a singleton because sum-of-all-NULL is NULL)."""
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    gm = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * ((sum(g) / len(g)) - gm) ** 2 for g in groups)
+    multi = [g for g in groups if len(g) > 1]
+    ssw = (
+        None if not multi
+        else sum(
+            (x - sum(g) / len(g)) ** 2 for g in multi for x in g
+        )
+    )
+    f = (
+        None
+        if k == 1 or n == k or ssw is None or ssw == 0.0
+        else (ssb / (k - 1)) / (ssw / (n - k))
+    )
+    return k, n, ssb, ssw, f
+
+
+@_settings
+@given(groups=kgroups_strategy)
+def test_anova_equals_naive(spark, groups):
+    """anova_oneway's single-pass moment assembly (SSB from n·m·m sums,
+    SSW from (n−1)·var) must match the definitional sums of squares."""
+    from eggv_spark.operators.aggregates import anova_oneway
+
+    rows = [(f"g{i}", float(v)) for i, vs in enumerate(groups) for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = anova_oneway(df, "g", "v").collect()[0]
+
+    k, n, ssb, ssw, f = _naive_anova(groups)
+    assert got["k"] == k and got["n"] == n
+    assert got["df_between"] == k - 1 and got["df_within"] == n - k
+    assert abs(got["ss_between"] - ssb) <= 2.01e-4
+    if ssw is None:
+        assert got["ss_within"] is None
+    else:
+        assert abs(got["ss_within"] - ssw) <= 2.01e-4
+    if f is None:
+        assert got["f_stat"] is None
+    else:
+        assert abs(got["f_stat"] - f) <= max(2.01e-4, 1e-4 * abs(f))
+
+
+@_settings
+@given(groups=kgroups_strategy)
+def test_levene_equals_naive(spark, groups):
+    """levene_test = ANOVA on |x − mean_g| (mean-centered variant):
+    must equal the naive two-stage computation."""
+    from eggv_spark.operators.aggregates import levene_test
+
+    rows = [(f"g{i}", float(v)) for i, vs in enumerate(groups) for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = levene_test(df, "g", "v").collect()[0]
+
+    zgroups = [
+        [abs(x - sum(g) / len(g)) for x in g] for g in groups
+    ]
+    k, n, _, _, w = _naive_anova(zgroups)
+    assert got["k"] == k and got["n"] == n
+    if w is None:
+        assert got["levene_w"] is None
+    else:
+        assert abs(got["levene_w"] - w) <= max(2.01e-4, 1e-4 * abs(w))
+
+
+@_settings
+@given(groups=kgroups_strategy)
+def test_median_test_equals_naive(spark, groups):
+    """median_test's rank-based pooled median (row ceil(n/2) under a
+    unique tiebreak), equal-to-median exclusion, and try_divide NULL
+    propagation (a zero expected side voids the whole chi2 sum) must
+    match the naive 2×k table."""
+    from eggv_spark.operators.aggregates import median_test
+
+    rows = [
+        (f"g{i}", float(v), f"r{i}_{j}")
+        for i, vs in enumerate(groups) for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "rid"])
+    got = median_test(df, "g", "v", "rid").collect()[0]
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    n = len(rows)
+    med = ordered[(n + 1) // 2 - 1][1]
+    surv = [(g, v) for g, v, _ in rows if v != med]
+    per = {}
+    for g, v in surv:
+        a, b = per.get(g, (0, 0))
+        per[g] = (a + (v > med), b + (v < med))
+    if not per:
+        assert got["k"] is None and got["chi2"] is None
+        return
+    ta = sum(a for a, _ in per.values())
+    tb = sum(b for _, b in per.values())
+    assert got["k"] == len(per)
+    assert got["n_used"] == ta + tb
+    if ta == 0 or tb == 0:
+        assert got["chi2"] is None
+        return
+    n_all = ta + tb
+    chi2 = sum(
+        (a - (a + b) * ta / n_all) ** 2 / ((a + b) * ta / n_all)
+        + (b - (a + b) * tb / n_all) ** 2 / ((a + b) * tb / n_all)
+        for a, b in per.values()
+    )
+    assert abs(got["chi2"] - chi2) <= 2.01e-4
+
+
+grid_strategy = st.tuples(
+    st.integers(1, 4),  # treatments k
+    st.integers(1, 5),  # blocks b
+).flatmap(
+    lambda kb: st.lists(
+        st.lists(st.integers(0, 6), min_size=kb[0], max_size=kb[0]),
+        min_size=kb[1], max_size=kb[1],
+    )
+)
+
+
+@_settings
+@given(grid=grid_strategy)
+def test_friedman_equals_naive(spark, grid):
+    """friedman_test's within-block average-rank Q must match the
+    textbook statistic on arbitrary (tied) complete blocks."""
+    from eggv_spark.operators.aggregates import friedman_test
+
+    k = len(grid[0])
+    rows = [
+        (f"b{bi}", f"t{ti}", float(v))
+        for bi, block in enumerate(grid)
+        for ti, v in enumerate(block)
+    ]
+    df = spark.createDataFrame(rows, ["blk", "trt", "v"])
+    got = friedman_test(df, "blk", "trt", "v").collect()[0]
+
+    b = len(grid)
+    rank_sums = [0.0] * k
+    for block in grid:
+        for ti, v in enumerate(block):
+            less = sum(1 for x in block if x < v)
+            eq = sum(1 for x in block if x == v)
+            rank_sums[ti] += less + 1 + (eq - 1) / 2.0
+    q = 12.0 / (b * k * (k + 1.0)) * sum(
+        r * r for r in rank_sums
+    ) - 3.0 * b * (k + 1.0)
+    assert got["k"] == k and got["b"] == b
+    assert abs(got["friedman_q"] - q) <= 2.01e-6
+
+
+@_settings
+@given(values=st.lists(st.integers(1, 50), min_size=1, max_size=20))
+def test_powerlaw_mle_equals_naive(spark, values):
+    """powerlaw_mle must equal the Clauset–Shalizi–Newman closed form
+    1 + n/Σ ln(x/x_min); all-at-x_min inputs (Σ ln = 0) must be NULL."""
+    import math
+
+    from eggv_spark.operators.aggregates import powerlaw_mle
+
+    xs = [v / 10.0 for v in values]
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    got = powerlaw_mle(df, "v", x_min=1.0).collect()[0]
+
+    tail = [x for x in xs if x >= 1.0]
+    assert got["n_tail"] == len(tail)
+    slog = sum(math.log(x) for x in tail)
+    if not tail or slog == 0.0:
+        assert got["alpha"] is None and got["alpha_se"] is None
+    else:
+        alpha = 1.0 + len(tail) / slog
+        assert abs(got["alpha"] - alpha) <= 2.01e-6
+        assert abs(
+            got["alpha_se"] - (alpha - 1.0) / math.sqrt(len(tail))
+        ) <= 2.01e-6
+
+
+scored_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.booleans()),  # (score, label)
+    min_size=1, max_size=25,
+)
+
+
+@_settings
+@given(scored=scored_strategy)
+def test_average_precision_equals_naive(spark, scored):
+    """average_precision (cumulative window over the ranked frame) must
+    equal the definitional mean of precision@k over positives under
+    the identical (score desc, tiebreak) walk."""
+    from eggv_spark.operators.aggregates import average_precision
+
+    rows = [
+        (float(s), bool(y), f"r{i:03d}") for i, (s, y) in enumerate(scored)
+    ]
+    df = spark.createDataFrame(rows, ["score", "label", "rid"])
+    got = average_precision(df, "score", "label", "rid").collect()[0]
+
+    ordered = sorted(rows, key=lambda r: (-r[0], r[2]))
+    cum = 0
+    precs = []
+    for rank, (_, y, _) in enumerate(ordered, start=1):
+        cum += y
+        if y:
+            precs.append(cum / rank)
+    assert got["n"] == len(rows)
+    assert got["n_pos"] == sum(y for _, y, _ in rows)
+    if not precs:
+        assert got["avg_precision"] is None
+    else:
+        assert abs(got["avg_precision"] - sum(precs) / len(precs)) <= 1.01e-6
+
+
+@_settings
+@given(scored=scored_strategy)
+def test_lift_chart_equals_naive(spark, scored):
+    """lift_chart's integer-exact decile assignment, response rates,
+    lift, and cumulative gain must match the naive sorted walk —
+    including n<10 inputs where some deciles are absent and the
+    zero-positive degenerate (lift/cum_gain NULL)."""
+    from eggv_spark.operators.aggregates import lift_chart
+
+    rows = [
+        (float(s), bool(y), f"r{i:03d}") for i, (s, y) in enumerate(scored)
+    ]
+    df = spark.createDataFrame(rows, ["score", "label", "rid"])
+    got = {
+        r["decile"]: r for r in lift_chart(df, "score", "label", "rid").collect()
+    }
+
+    ordered = sorted(rows, key=lambda r: (-r[0], r[2]))
+    n = len(ordered)
+    per = {}
+    for rn, (_, y, _) in enumerate(ordered, start=1):
+        d = (rn * 10 - 1) // n + 1
+        cnt, pos = per.get(d, (0, 0))
+        per[d] = (cnt + 1, pos + y)
+    tot_pos = sum(p for _, p in per.values())
+    assert set(got) == set(per)
+    cum = 0
+    for d in sorted(per):
+        cnt, pos = per[d]
+        cum += pos
+        assert got[d]["n_rows"] == cnt and got[d]["n_pos"] == pos
+        assert abs(got[d]["response_rate"] - pos / cnt) <= 1.01e-6
+        if tot_pos == 0:
+            assert got[d]["lift"] is None and got[d]["cum_gain"] is None
+        else:
+            assert abs(
+                got[d]["lift"] - (pos / cnt) / (tot_pos / n)
+            ) <= 1.01e-4
+            assert abs(got[d]["cum_gain"] - cum / tot_pos) <= 1.01e-6
+
+
+@_settings
+@given(pairs=st.lists(
+    st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=25,
+))
+def test_cohen_kappa_equals_naive(spark, pairs):
+    """cohen_kappa's one-pass marginal form must equal the definitional
+    (p_o − p_e)/(1 − p_e); unanimous-identical raters (p_e = 1) must
+    be NULL."""
+    from eggv_spark.operators.aggregates import cohen_kappa
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a int, b int"
+    )
+    got = cohen_kappa(df, F.col("a"), F.col("b")).collect()[0]
+
+    n = len(pairs)
+    po = sum(a == b for a, b in pairs) / n
+    pa = sum(a for a, _ in pairs) / n
+    pb = sum(b for _, b in pairs) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    assert got["n"] == n
+    assert abs(got["p_observed"] - po) <= 1.01e-6
+    assert abs(got["p_expected"] - pe) <= 1.01e-6
+    if pe == 1.0:
+        assert got["kappa"] is None
+    else:
+        assert abs(got["kappa"] - (po - pe) / (1 - pe)) <= 1.01e-4
+
+
+@_settings
+@given(events=st.lists(
+    st.tuples(st.integers(0, 6), st.booleans(), st.booleans()),
+    min_size=1, max_size=30,
+))
+def test_mcnemar_equals_naive(spark, events):
+    """mcnemar_test's per-unit max-fold and continuity-corrected
+    discordant chi2 must match the naive pairing; zero discordant
+    pairs must be NULL (not 0/0)."""
+    from eggv_spark.operators.aggregates import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(f"u{u}", int(a), int(b)) for u, a, b in events],
+        "unit string, a int, b int",
+    )
+    got = mcnemar_test(
+        df, "unit", F.col("a") == 1, F.col("b") == 1
+    ).collect()[0]
+
+    per = {}
+    for u, a, b in events:
+        pa, pb = per.get(u, (0, 0))
+        per[u] = (max(pa, int(a)), max(pb, int(b)))
+    b_cnt = sum(1 for a, b in per.values() if a == 1 and b == 0)
+    c_cnt = sum(1 for a, b in per.values() if a == 0 and b == 1)
+    assert got["n_units"] == len(per)
+    assert got["b_only_first"] == b_cnt
+    assert got["c_only_second"] == c_cnt
+    if b_cnt + c_cnt == 0:
+        assert got["mcnemar_chi2"] is None
+    else:
+        chi2 = (abs(b_cnt - c_cnt) - 1) ** 2 / (b_cnt + c_cnt)
+        assert abs(got["mcnemar_chi2"] - chi2) <= 1.01e-4
