@@ -1451,3 +1451,247 @@ def test_mcnemar_equals_naive(spark, events):
     else:
         chi2 = (abs(b_cnt - c_cnt) - 1) ** 2 / (b_cnt + c_cnt)
         assert abs(got["mcnemar_chi2"] - chi2) <= 1.01e-4
+
+
+series_strategy = st.lists(st.integers(-20, 20), min_size=1, max_size=30)
+
+
+@_settings
+@given(values=series_strategy)
+def test_bollinger_equals_pandas_rolling(spark, values):
+    """with_bollinger's ROWS-frame mean ± n·σ must match pandas'
+    rolling(window, min_periods=window) bands; rows before the frame
+    fills must be NULL."""
+    import pandas as pd
+
+    from eggv_spark.operators.aggregates import with_bollinger
+
+    win = 5
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(values)],
+        ["k", "t", "v"],
+    )
+    got = {
+        r["t"]: r
+        for r in with_bollinger(
+            df, ["k"], "t", "v", window_rows=win, n_sigma=2.0
+        ).collect()
+    }
+
+    s = pd.Series([float(v) for v in values])
+    mid = s.rolling(win, min_periods=win).mean()
+    sd = s.rolling(win, min_periods=win).std()
+    for i, v in enumerate(values):
+        row = got[i]
+        if i < win - 1:
+            assert row["bb_mid"] is None and row["bb_breach"] is None
+            continue
+        assert abs(row["bb_mid"] - mid[i]) <= 1.01e-4
+        assert abs(row["bb_upper"] - (mid[i] + 2 * sd[i])) <= 2.01e-4
+        assert abs(row["bb_lower"] - (mid[i] - 2 * sd[i])) <= 2.01e-4
+        exp_breach = (
+            1 if v > mid[i] + 2 * sd[i]
+            else -1 if v < mid[i] - 2 * sd[i] else 0
+        )
+        assert row["bb_breach"] == exp_breach
+
+
+@_settings
+@given(values=series_strategy)
+def test_rsi_equals_naive_sma(spark, values):
+    """with_rsi (SMA variant) must match the naive trailing-period
+    gain/loss means; loss-free windows pin to exactly 100."""
+    from eggv_spark.operators.aggregates import with_rsi
+
+    period = 4
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(values)],
+        ["k", "t", "v"],
+    )
+    got = {
+        r["t"]: r["rsi"]
+        for r in with_rsi(df, ["k"], "t", "v", period=period).collect()
+    }
+
+    deltas = [None] + [
+        float(values[i] - values[i - 1]) for i in range(1, len(values))
+    ]
+    for i in range(len(values)):
+        window = [d for d in deltas[max(0, i - period + 1): i + 1]
+                  if d is not None]
+        if len(window) < period:
+            assert got[i] is None
+            continue
+        gain = sum(d for d in window if d > 0) / period
+        loss = sum(-d for d in window if d < 0) / period
+        if loss == 0.0:
+            assert got[i] == 100.0
+        else:
+            exp = 100.0 - 100.0 / (1.0 + gain / loss)
+            assert abs(got[i] - exp) <= 1.01e-4
+
+
+gaps_series_strategy = st.lists(
+    st.lists(st.integers(1, 500), min_size=1, max_size=12),
+    min_size=1, max_size=3,
+)
+
+
+@_settings
+@given(series=gaps_series_strategy)
+def test_burstiness_equals_naive(spark, series):
+    """burstiness_stats' (σ−μ)/(σ+μ), CV, and Fano over inter-event
+    gaps must match the naive per-type computation; single-event types
+    (no gaps) must be absent and single-gap types NULL-variance."""
+    import math
+    from datetime import datetime, timezone
+
+    from eggv_spark.operators.events import burstiness_stats
+
+    rows = []
+    per_type_ts = {}
+    for ti, increments in enumerate(series):
+        ts = 0
+        stamps = []
+        for inc in increments:
+            ts += inc  # strictly increasing: no lag-order ties
+            stamps.append(ts)
+            rows.append((
+                f"t{ti}",
+                datetime.fromtimestamp(ts, tz=timezone.utc)
+                .replace(tzinfo=None),
+            ))
+        per_type_ts[f"t{ti}"] = stamps
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r["event_type"]: r for r in burstiness_stats(df).collect()}
+
+    for t, stamps in per_type_ts.items():
+        gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+        if not gaps:
+            assert t not in got
+            continue
+        row = got[t]
+        mu = sum(gaps) / len(gaps)
+        assert row["n_gaps"] == len(gaps)
+        assert abs(row["mean_gap_s"] - mu) <= 1.01e-4
+        if len(gaps) < 2:
+            assert row["burstiness"] is None and row["cv"] is None
+            continue
+        var = sum((g - mu) ** 2 for g in gaps) / (len(gaps) - 1)
+        sigma = math.sqrt(var)
+        assert abs(row["burstiness"] - (sigma - mu) / (sigma + mu)) <= 1.01e-6
+        assert abs(row["cv"] - sigma / mu) <= 1.01e-6
+        assert abs(row["fano"] - var / mu) <= 1.01e-4
+
+
+journeys_strategy = st.lists(
+    st.lists(st.integers(0, 3), min_size=1, max_size=8),
+    min_size=1, max_size=4,
+)
+
+
+@_settings
+@given(journeys=journeys_strategy)
+def test_markov_entropy_equals_naive(spark, journeys):
+    """markov_entropy_rate must equal the definitional Σ π(s) H(·|s)
+    on arbitrary journey sets; single-state chains normalize to NULL
+    (ln 1 = 0) and gap-free inputs yield no rows' worth of pairs."""
+    import math
+    from collections import Counter
+    from datetime import datetime, timezone
+
+    from eggv_spark.operators.events import markov_entropy_rate
+
+    rows = []
+    pairs = []
+    for ui, seq in enumerate(journeys):
+        for j, ev in enumerate(seq):
+            rows.append((
+                f"u{ui}",
+                f"e{ev}",
+                datetime.fromtimestamp(1000 + j, tz=timezone.utc)
+                .replace(tzinfo=None),
+                j,
+            ))
+        pairs.extend(
+            (f"e{a}", f"e{b}") for a, b in zip(seq, seq[1:])
+        )
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "event_id"]
+    )
+    out = markov_entropy_rate(df).collect()[0]
+
+    if not pairs:
+        assert out["n_transitions"] is None
+        return
+    counts = Counter(pairs)
+    tot = len(pairs)
+    from_tot = Counter(a for a, _ in pairs)
+    h = sum(
+        (from_tot[a] / tot)
+        * (c / from_tot[a])
+        * -math.log(c / from_tot[a])
+        for (a, _), c in counts.items()
+    )
+    n_states = len(from_tot)
+    assert out["n_transitions"] == tot
+    assert out["n_states"] == n_states
+    assert abs(out["entropy_rate_nats"] - h) <= 1.01e-6
+    if n_states == 1:
+        assert out["normalized_entropy"] is None
+    else:
+        assert abs(
+            out["normalized_entropy"] - h / math.log(n_states)
+        ) <= 1.01e-6
+
+
+month_sets_strategy = st.lists(
+    st.sets(st.integers(0, 18), min_size=1, max_size=10),
+    min_size=1, max_size=4,
+)
+
+
+@_settings
+@given(month_sets=month_sets_strategy)
+def test_gap_islands_equals_naive(spark, month_sets):
+    """gap_islands_histogram's month_index − row_number island trick
+    must reproduce the naive consecutive-run histogram, with duplicate
+    orders inside a month collapsing to one."""
+    from collections import Counter
+    from datetime import date
+
+    from eggv_spark.operators.events import gap_islands_histogram
+
+    rows = []
+    for ci, months in enumerate(month_sets):
+        for m in sorted(months):
+            d = date(1992 + m // 12, m % 12 + 1, 15)
+            rows.append((ci, d))
+            rows.append((ci, date(d.year, d.month, 20)))  # dup month
+    df = spark.createDataFrame(rows, ["o_custkey", "o_orderdate"])
+    got = {
+        r["island_length"]: (r["n_islands"], r["n_customers"])
+        for r in gap_islands_histogram(df).collect()
+    }
+
+    hist = Counter()
+    cust_per_len = {}
+    for ci, months in enumerate(month_sets):
+        ms = sorted(months)
+        run = 1
+        lens = []
+        for prev, cur in zip(ms, ms[1:]):
+            if cur == prev + 1:
+                run += 1
+            else:
+                lens.append(run)
+                run = 1
+        lens.append(run)
+        for ln in lens:
+            hist[ln] += 1
+        for ln in set(lens):
+            cust_per_len.setdefault(ln, set()).add(ci)
+    assert set(got) == set(hist)
+    for ln, n_isl in hist.items():
+        assert got[ln][0] == n_isl
+        assert got[ln][1] == len(cust_per_len[ln])
