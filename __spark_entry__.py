@@ -4156,10 +4156,19 @@ def _agg_hll_rollup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "source", F.md5("text").alias("h")
     )
-    per_source = docs.groupBy("source").agg(
-        F.hll_sketch_agg("h").alias("_sk"),
-        F.count_distinct("h").alias("n_distinct_exact"),
+    # the sketch and its exact twin run in SEPARATE aggregations joined
+    # on the group key: count_distinct in the same agg as
+    # hll_sketch_agg triggers the distinct-aggregate rewrite, whose
+    # partial aggregate is keyed by (source, h) and carries one sketch
+    # buffer PER DISTINCT HASH — the same pathology measured at 29 s
+    # on approx_aggregates_graded (aggregates.py docstring)
+    sketches = docs.groupBy("source").agg(
+        F.hll_sketch_agg("h").alias("_sk")
     )
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("h").alias("n_distinct_exact")
+    )
+    per_source = sketches.join(exact, "source")
 
     def _ok(est, exact):
         return (

@@ -339,35 +339,48 @@ def approx_aggregates_graded(
     quantile summaries), so the booleans are partition-invariant.
 
     At 100 TB ship ``approx_aggregates`` (one-pass, constant memory);
-    the exact twins here add a distinct-count shuffle and a full-sort
-    percentile, which is the honest price of a value-level gate."""
+    the exact twins here add a distinct-count pass and a full-sort
+    percentile, which is the honest price of a value-level gate.
+
+    The distinct count runs in its OWN aggregation, joined back on the
+    group keys (a groups-sized join): putting ``count_distinct`` in
+    the same ``agg`` as the percentile/sketch functions triggers
+    Spark's distinct-aggregate rewrite, whose partial aggregate is
+    keyed by (group, value) — every distinct value then carries two
+    serialized percentile buffers plus the HLL registers and quantile
+    summaries, and the "partial" aggregation is bigger than the input
+    (measured 0.7 s → 29 s on the sf0.1 lineitem).  Two pruned
+    single-column scans beat one pathological pass at every scale."""
+    keys = list(keys)
     c = F.col(col)
-    return df.groupBy(*keys).agg(
-        F.count_distinct(c).alias("n_distinct_exact"),
+    sketched = df.groupBy(*keys).agg(
         F.round(F.percentile(c, F.lit(0.5)), 4).alias("p50_exact"),
         F.round(F.percentile(c, F.lit(0.9)), 4).alias("p90_exact"),
+        F.approx_count_distinct(c, rsd).alias("_acd"),
+        F.approx_percentile(c, F.lit(0.5), F.lit(10000)).alias("_ap50"),
+        F.approx_percentile(c, F.lit(0.9), F.lit(10000)).alias("_ap90"),
+        F.percentile(c, F.lit(0.5)).alias("_p50_raw"),
+        F.percentile(c, F.lit(0.9)).alias("_p90_raw"),
+    )
+    exact_distinct = df.groupBy(*keys).agg(
+        F.count_distinct(c).alias("n_distinct_exact")
+    )
+    nde = F.col("n_distinct_exact")
+    return sketched.join(exact_distinct, keys).select(
+        *keys,
+        "n_distinct_exact",
+        "p50_exact",
+        "p90_exact",
         (
-            F.abs(
-                F.approx_count_distinct(c, rsd)
-                - F.count_distinct(c).cast("double")
-            )
-            / F.count_distinct(c).cast("double")
+            F.abs(F.col("_acd") - nde.cast("double")) / nde.cast("double")
             <= distinct_tol
         ).alias("distinct_ok"),
         (
-            F.abs(
-                F.approx_percentile(c, F.lit(0.5), F.lit(10000))
-                - F.percentile(c, F.lit(0.5))
-            )
-            / F.percentile(c, F.lit(0.5))
+            F.abs(F.col("_ap50") - F.col("_p50_raw")) / F.col("_p50_raw")
             <= pct_tol
         ).alias("p50_ok"),
         (
-            F.abs(
-                F.approx_percentile(c, F.lit(0.9), F.lit(10000))
-                - F.percentile(c, F.lit(0.9))
-            )
-            / F.percentile(c, F.lit(0.9))
+            F.abs(F.col("_ap90") - F.col("_p90_raw")) / F.col("_p90_raw")
             <= pct_tol
         ).alias("p90_ok"),
     )
