@@ -1695,3 +1695,161 @@ def test_gap_islands_equals_naive(spark, month_sets):
     for ln, n_isl in hist.items():
         assert got[ln][0] == n_isl
         assert got[ln][1] == len(cust_per_len[ln])
+
+
+docs_strategy = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=12),  # word ids
+    min_size=1, max_size=8,
+)
+
+
+@_settings
+@given(docs=docs_strategy)
+def test_hapax_stats_equals_naive(spark, docs):
+    """hapax_stats' two-level token rollup must match naive per-slice
+    vocabulary / hapax / TTR counting, including empty documents."""
+    from collections import Counter
+
+    from eggv_spark.operators.text_analysis import hapax_stats
+
+    rows = [
+        (f"s{i % 2}", " ".join(f"w{w}" for w in ws))
+        for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["source"]: r for r in hapax_stats(df).collect()}
+
+    per_group = {}
+    for i, ws in enumerate(docs):
+        per_group.setdefault(f"s{i % 2}", []).extend(f"w{w}" for w in ws)
+    for g, toks in per_group.items():
+        counts = Counter(toks)
+        if not toks:
+            assert g not in got  # no tokens -> no per-token rows
+            continue
+        row = got[g]
+        assert row["n_tokens"] == len(toks)
+        assert row["vocab_size"] == len(counts)
+        hapax = sum(1 for c in counts.values() if c == 1)
+        assert row["n_hapax"] == hapax
+        assert abs(row["hapax_frac"] - hapax / len(counts)) <= 1.01e-6
+        assert abs(
+            row["type_token_ratio"] - len(counts) / len(toks)
+        ) <= 1.01e-6
+
+
+@_settings
+@given(docs=docs_strategy)
+def test_novelty_idf_equals_naive(spark, docs):
+    """novelty_idf must equal the naive mean ln(N/df_t) over each
+    document's distinct tokens; token-free docs are absent."""
+    import math
+    from collections import Counter
+
+    from eggv_spark.operators.text_analysis import novelty_idf
+
+    rows = [
+        (i, " ".join(f"w{w}" for w in ws)) for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in novelty_idf(df).collect()}
+
+    n = len(docs)
+    dfreq = Counter()
+    for ws in docs:
+        for w in set(ws):
+            dfreq[w] += 1
+    for i, ws in enumerate(docs):
+        distinct = set(ws)
+        if not distinct:
+            assert i not in got
+            continue
+        row = got[i]
+        assert row["n_distinct_tokens"] == len(distinct)
+        exp = sum(math.log(n / dfreq[w]) for w in distinct) / len(distinct)
+        assert abs(row["novelty_idf"] - exp) <= 1.01e-4
+
+
+@_settings
+@given(docs=docs_strategy)
+def test_bigram_pmi_equals_naive(spark, docs):
+    """bigram_pmi's survivor set, counts, and PMI values must match
+    the naive adjacent-pair computation (min_count filter applied to
+    counts, denominators from ALL bigram occurrences)."""
+    import math
+    from collections import Counter
+
+    from eggv_spark.operators.text_analysis import bigram_pmi
+
+    rows = [(" ".join(f"w{w}" for w in ws),) for ws in docs]
+    df = spark.createDataFrame(rows, ["text"])
+    got = {
+        r["bigram"]: r
+        for r in bigram_pmi(df, min_count=1, top_n=1000).collect()
+    }
+
+    uni = Counter()
+    bi = Counter()
+    for ws in docs:
+        toks = [f"w{w}" for w in ws]
+        uni.update(toks)
+        bi.update(" ".join(p) for p in zip(toks, toks[1:]))
+    n_uni = sum(uni.values())
+    n_bi = sum(bi.values())
+    assert set(got) == set(bi)
+    for bg, cnt in bi.items():
+        wa, wb = bg.split(" ")
+        exp = math.log(
+            (cnt / n_bi) / ((uni[wa] / n_uni) * (uni[wb] / n_uni))
+        )
+        assert got[bg]["n_bigram"] == cnt
+        assert abs(got[bg]["pmi"] - exp) <= 1.01e-4
+    ranks = sorted(r["rank"] for r in got.values())
+    assert ranks == list(range(1, len(bi) + 1))
+
+
+daily_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(1, 4)),  # (day, count)
+    min_size=1, max_size=12,
+)
+
+
+@_settings
+@given(daily=daily_strategy)
+def test_periodogram_equals_naive_dft(spark, daily):
+    """periodogram's conditional-aggregate C/S sums must equal the
+    naive discrete Fourier power at each integer frequency, with the
+    day index anchored at the series start (days-since-epoch, not
+    day-of-month)."""
+    import math
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from eggv_spark.operators.events import periodogram
+
+    counts = Counter()
+    for day, cnt in daily:
+        counts[day] += cnt
+    rows = []
+    for day, cnt in counts.items():
+        for _ in range(cnt):
+            rows.append(
+                ("t0", datetime(1970, 1, 1) + timedelta(days=day, hours=3))
+            )
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r["freq"]: r for r in periodogram(df, n_freqs=4).collect()}
+
+    d0 = min(counts)
+    span = max(counts) - d0 + 1
+    for k in range(1, 5):
+        c = sum(
+            y * math.cos(2 * math.pi * k * (d - d0) / span)
+            for d, y in counts.items()
+        )
+        s = sum(
+            y * math.sin(2 * math.pi * k * (d - d0) / span)
+            for d, y in counts.items()
+        )
+        row = got[k]
+        assert row["n_days"] == len(counts)
+        assert abs(row["power"] - (c * c + s * s)) <= 1.01e-2
