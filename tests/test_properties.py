@@ -1853,3 +1853,108 @@ def test_periodogram_equals_naive_dft(spark, daily):
         row = got[k]
         assert row["n_days"] == len(counts)
         assert abs(row["power"] - (c * c + s * s)) <= 1.01e-2
+
+
+points_grid_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),  # (lat cell, lon cell)
+    min_size=1, max_size=40,
+)
+
+
+@_settings
+@given(cells=points_grid_strategy)
+def test_hotspot_clusters_equals_naive_bfs(spark, cells):
+    """hotspot_clusters (dense-cell 8-neighborhood + large-star/
+    small-star components) must produce exactly the clusters a naive
+    BFS over the dense-cell adjacency graph finds, with min-cell-id
+    labels and correct per-cluster point totals."""
+    from collections import Counter, deque
+
+    from eggv_spark.operators.geo import hotspot_clusters
+
+    # one point per tuple occurrence, placed mid-cell at 1-degree res
+    rows = [
+        (la - 90 + 0.5, lo - 180 + 0.5) for la, lo in cells
+    ]
+    df = spark.createDataFrame(rows, ["lat", "lon"])
+    got = {
+        r["cluster_id"]: (r["n_cells"], r["n_points"])
+        for r in hotspot_clusters(
+            df, "lat", "lon", cell_deg=1.0, min_points=2
+        ).collect()
+    }
+
+    per_cell = Counter(cells)
+    dense = {c for c, n in per_cell.items() if n >= 2}
+    seen = set()
+    naive = {}
+    for start in dense:
+        if start in seen:
+            continue
+        comp = []
+        dq = deque([start])
+        seen.add(start)
+        while dq:
+            la, lo = dq.popleft()
+            comp.append((la, lo))
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    nb = (la + dy, lo + dx)
+                    if nb != (la, lo) and nb in dense and nb not in seen:
+                        seen.add(nb)
+                        dq.append(nb)
+        cell_ids = [la * 4096 + lo for la, lo in comp]
+        naive[min(cell_ids)] = (
+            len(comp), sum(per_cell[c] for c in comp)
+        )
+    assert got == naive
+
+
+@_settings
+@given(docs=st.lists(
+    st.lists(st.integers(0, 30), min_size=0, max_size=25),
+    min_size=1, max_size=5,
+))
+def test_content_chunks_equal_naive(spark, docs):
+    """content_defined_chunks must reproduce the naive walk: a
+    boundary closes its chunk after any token whose portable hash
+    ≡ 0 (mod m); chunks must partition the token stream in order and
+    fingerprints must match md5 of the reassembled chunk text."""
+    import hashlib
+    from collections import defaultdict
+
+    from eggv_spark.operators.dedupe import content_defined_chunks
+
+    mod = 4  # denser boundaries than the default so tiny docs chunk
+    rows = [
+        (i, " ".join(f"w{w}" for w in ws)) for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = defaultdict(dict)
+    for r in content_defined_chunks(
+        df, boundary_mod=mod
+    ).collect():
+        got[r["doc_id"]][r["chunk_idx"]] = (r["n_tokens"], r["chunk_hash"])
+
+    def phash(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    for i, ws in enumerate(docs):
+        toks = [f"w{w}" for w in ws]
+        if not toks:
+            assert i not in got
+            continue
+        chunks = defaultdict(list)
+        cid = 0
+        for t in toks:
+            chunks[cid].append(t)
+            if phash(t) % mod == 0:
+                cid += 1
+        exp = {
+            c: (
+                len(ts),
+                hashlib.md5(" ".join(ts).encode()).hexdigest(),
+            )
+            for c, ts in chunks.items()
+        }
+        assert got[i] == exp
