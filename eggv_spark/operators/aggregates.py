@@ -2630,3 +2630,28 @@ def mcnemar_test(
         "n_units", "b_only_first", "c_only_second",
         F.round(chi2, 4).alias("mcnemar_chi2"),
     )
+
+
+def multiplicative_means(
+    df: DataFrame, keys: Sequence[str], col: str
+) -> DataFrame:
+    """Geometric and harmonic means per group, both as map-side-
+    combinable moment folds (no sorting, no per-group buffers):
+    gmean = exp(avg(ln x)) and hmean = n / Σ(1/x), over the strictly
+    positive values — rates, ratios, and latency-style metrics where
+    the arithmetic mean over-weights the tail.  Non-positive values
+    are excluded and counted, so the caller sees exactly what the
+    means describe.  Staged for the round-7 registry window."""
+    c = F.col(col)
+    pos = F.when(c > 0, c)
+    return df.groupBy(*keys).agg(
+        F.count(c).alias("n"),
+        F.count(pos).alias("n_positive"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.exp(F.avg(F.log(pos))), 6).alias("gmean"),
+        F.round(
+            F.try_divide(
+                F.count(pos).cast("double"), F.sum(1.0 / pos)
+            ), 6,
+        ).alias("hmean"),
+    )

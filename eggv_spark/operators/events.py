@@ -7,7 +7,7 @@ value); the Structured Streaming variants live in
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -890,4 +890,51 @@ def markov_entropy_rate(
                 F.col("entropy_rate_nats"), F.log(F.col("n_states"))
             ), 6,
         ).alias("normalized_entropy"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    unit_col: str,
+    expected: Mapping[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-health gate that
+    must run BEFORE any A/B readout is trusted: chi-square of the
+    observed per-variant unit counts against the designed allocation
+    (e.g. 50/50).  A significant SRM means the assignment or logging
+    pipeline is biased and the experiment readout (evt_ab_test) is
+    invalid regardless of its lift.
+
+    One distinct-unit aggregation to the variants-sized frame, chi2
+    assembled against broadcast expected shares; dof = k−1.  Compare
+    chi2 against the caller's critical value (3.841 at 5% for two
+    variants).  Staged for the round-7 registry window."""
+    shares = F.create_map(
+        *[x for kv in expected.items()
+          for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    )
+    per_variant = (
+        df.select(
+            F.col(variant_col).alias("_v"), F.col(unit_col).alias("_u")
+        )
+        .distinct()
+        .groupBy("_v")
+        .agg(F.count("*").alias("n_units"))
+    )
+    tot = per_variant.agg(F.sum("n_units").alias("_n"))
+    j = per_variant.crossJoin(F.broadcast(tot)).withColumn(
+        "_e", shares[F.col("_v")] * F.col("_n")
+    )
+    cells = j.select(
+        "_v", "n_units",
+        F.round("_e", 4).alias("expected_units"),
+        ((F.col("n_units") - F.col("_e")) ** 2 / F.col("_e"))
+        .alias("_chi"),
+    )
+    return cells.agg(
+        F.count("*").alias("k"),
+        F.sum("n_units").alias("n_units"),
+        F.round(F.sum("_chi"), 4).alias("srm_chi2"),
+        (F.count("*") - 1).alias("dof"),
     )

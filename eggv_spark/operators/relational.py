@@ -929,3 +929,40 @@ def horvitz_thompson_totals(
             F.sum(F.when(sampled, 1.0 / p).otherwise(F.lit(0.0))), 2
         ).alias("ht_count"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    epoch: int,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every row gets a
+    reproducible pseudo-random draw md5(epoch || key), a balanced
+    shard id, and its position within the shard — the global
+    permutation a data loader needs, WITHOUT a global sort.  Changing
+    ``epoch`` yields an independent permutation of the same rows;
+    re-running the same epoch is bit-identical on any cluster shape
+    (portable md5, no RNG state, no partition dependence).
+
+    Shard = draw mod n_shards (hash-balanced, so shards are
+    within-noise equal), position = row_number per shard ordered by
+    (draw, keys) — ONE hash-partitioned window whose partition count
+    is ``n_shards``; readers consume shards independently, so the
+    100 TB epoch never materializes a total order.  Staged for the
+    round-7 registry window."""
+    keys = [F.col(k) for k in key_cols]
+    draw = F.md5(
+        F.concat_ws("|", F.lit(str(epoch)), *[k.cast("string") for k in keys])
+    )
+    staged = df.withColumn("_draw", draw).withColumn(
+        "shard",
+        (
+            F.conv(F.substring("_draw", 1, 8), 16, 10).cast("long")
+            % n_shards
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_draw", *key_cols)
+    return staged.withColumn(
+        "shard_pos", F.row_number().over(w)
+    ).drop("_draw")

@@ -1108,3 +1108,98 @@ def hapax_stats(
         ).alias("hapax_frac"),
         F.round(F.count("*") / F.sum("_n"), 6).alias("type_token_ratio"),
     ).withColumnRenamed("_g", group_col)
+
+
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
+    only lines that end in terminal punctuation AND have at least
+    ``min_words`` words, and drop any line containing a curly brace
+    or the "lorem ipsum" / "javascript" boilerplate markers; a page
+    then survives only if at least ``min_kept_lines`` lines remain.
+    The published recipe behind the C4 corpus, complementing the
+    Gopher repetition gates in :func:`quality_filter`.
+
+    Everything is higher-order array functions over ONE split of the
+    text — shuffle-free per-row Column expressions (no UDF, no
+    explode), so the filter composes with scan pruning at any scale.
+    Staged for the round-7 registry window."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        low = F.lower(t)
+        return (
+            t.rlike(r'[.!?"’”]$')
+            & (F.size(F.split(t, r"\s+")) >= min_words)
+            & ~low.contains("{")
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (F.size(kept) >= min_kept_lines).alias("page_ok"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+    )
+
+
+def vocab_jsd(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    slice_a: str,
+    slice_b: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus slices' unigram
+    distributions — the bounded, symmetric drift monitor (0 =
+    identical, ln 2 = disjoint vocabularies), complementing the
+    binned PSI in aggregates.population_stability with a
+    full-vocabulary comparison that needs no binning choices.
+
+    JSD = ½ Σ p ln(p/m) + ½ Σ q ln(q/m) with m = (p+q)/2; tokens
+    absent from one side contribute p·ln 2 exactly (handled by the
+    full-outer join's null→0 coalesce, no epsilon smoothing).  Two
+    map-side-combined token counts, one vocabulary-sized join, one
+    reduce — nothing touches raw text twice.  Staged for the round-7
+    registry window."""
+    toks = df.filter(
+        F.col(group_col).isin([slice_a, slice_b])
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens_col(text_col)).alias("_tok"),
+    )
+    counts = toks.groupBy("_tok").agg(
+        F.sum((F.col("_g") == slice_a).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") == slice_b).cast("long")).alias("_cb"),
+    )
+    tot = counts.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("_ca") / F.col("_na")
+    q = F.col("_cb") / F.col("_nb")
+    m = (p + q) / 2.0
+    # x ln(x/m) with x→0 limit 0: gate the log behind x > 0
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return j.agg(
+        F.any_value("_na").alias("n_tokens_a"),
+        F.any_value("_nb").alias("n_tokens_b"),
+        F.count("*").alias("vocab_union"),
+        F.sum((F.col("_ca") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("_cb") > 0).cast("long")).alias("vocab_b"),
+        F.round(F.sum(term), 6).alias("jsd_nats"),
+        F.round(F.sum(term) / F.lit(0.6931471805599453), 6)
+        .alias("jsd_normalized"),
+    )

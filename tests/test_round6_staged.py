@@ -1,0 +1,205 @@
+"""Round-6 staged operators: the library additions prepared for the
+round-7 registry window (the registry itself is frozen at 321 through
+round 6, so these carry tests now and queries()/oracle_sql() entries
+next round): C4 line filters, vocabulary Jensen–Shannon drift,
+deterministic epoch shuffle, sample-ratio-mismatch check, and
+multiplicative means.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggv_spark.operators.aggregates import multiplicative_means
+from eggv_spark.operators.events import srm_check
+from eggv_spark.operators.relational import epoch_shuffle
+from eggv_spark.operators.text_analysis import c4_line_filters, vocab_jsd
+
+
+# ---------------------------------------------------------------------------
+# C4 line filters
+# ---------------------------------------------------------------------------
+
+def test_c4_keeps_terminal_punctuated_prose(spark):
+    doc = "\n".join([
+        "This is a proper sentence with enough words.",   # keep
+        "Too short.",                                      # < 3 words
+        "No terminal punctuation at all here",             # no . ! ? "
+        "Click here to enable javascript on this page.",   # marker
+        "if (x) { return y; } and some other words too.",  # curly brace
+        "Lorem ipsum dolor sit amet, consectetur elit.",   # marker
+        "Another good sentence should survive the gate!",  # keep
+        'He said "this quoted line also counts fine."',    # keep (quote)
+    ])
+    out = c4_line_filters(
+        spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    ).collect()[0]
+    assert out["n_lines"] == 8
+    assert out["n_kept"] == 3
+    assert out["page_ok"] is True
+    kept = out["clean_text"].split("\n")
+    assert kept[0].startswith("This is a proper")
+    assert kept[1].startswith("Another good")
+    assert kept[2].startswith('He said')
+
+
+def test_c4_page_gate_requires_min_kept_lines(spark):
+    doc = "Only one good sentence survives this page today.\nshort."
+    out = c4_line_filters(
+        spark.createDataFrame([(1, doc)], ["doc_id", "text"]),
+        min_kept_lines=3,
+    ).collect()[0]
+    assert out["n_kept"] == 1 and out["page_ok"] is False
+
+
+# ---------------------------------------------------------------------------
+# vocabulary JSD
+# ---------------------------------------------------------------------------
+
+def _jsd_naive(tokens_a, tokens_b):
+    from collections import Counter
+
+    ca, cb = Counter(tokens_a), Counter(tokens_b)
+    na, nb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for tok in set(ca) | set(cb):
+        p, q = ca[tok] / na, cb[tok] / nb
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * math.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log(q / m)
+    return jsd
+
+
+def _docs_df(spark, a_texts, b_texts):
+    rows = [("a", t) for t in a_texts] + [("b", t) for t in b_texts]
+    return spark.createDataFrame(rows, ["source", "text"])
+
+
+def test_vocab_jsd_identical_slices_zero(spark):
+    df = _docs_df(spark, ["x y z x"], ["x y z x"])
+    out = vocab_jsd(df, "source", "text", "a", "b").collect()[0]
+    assert out["jsd_nats"] == 0.0
+    assert out["vocab_union"] == 3
+
+
+def test_vocab_jsd_disjoint_slices_ln2(spark):
+    df = _docs_df(spark, ["p q r"], ["x y z"])
+    out = vocab_jsd(df, "source", "text", "a", "b").collect()[0]
+    assert abs(out["jsd_nats"] - math.log(2)) <= 1.01e-6
+    assert out["jsd_normalized"] == 1.0
+
+
+def test_vocab_jsd_matches_naive(spark):
+    a = ["the cat sat on the mat", "the dog barked"]
+    b = ["the cat ran off", "a bird sang the song twice"]
+    df = _docs_df(spark, a, b)
+    out = vocab_jsd(df, "source", "text", "a", "b").collect()[0]
+    toks_a = " ".join(a).split()
+    toks_b = " ".join(b).split()
+    assert out["n_tokens_a"] == len(toks_a)
+    assert out["n_tokens_b"] == len(toks_b)
+    assert abs(out["jsd_nats"] - _jsd_naive(toks_a, toks_b)) <= 1.01e-6
+
+
+def test_vocab_jsd_ignores_other_slices(spark):
+    rows = [("a", "x y"), ("b", "x z"), ("c", "poison tokens here")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = vocab_jsd(df, "source", "text", "a", "b").collect()[0]
+    assert out["vocab_union"] == 3  # x, y, z only
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle
+# ---------------------------------------------------------------------------
+
+def test_epoch_shuffle_is_deterministic_and_balanced(spark):
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    out1 = epoch_shuffle(df, ["k"], epoch=1, n_shards=4)
+    out2 = epoch_shuffle(df.repartition(7), ["k"], epoch=1, n_shards=4)
+    rows1 = {r["k"]: (r["shard"], r["shard_pos"]) for r in out1.collect()}
+    rows2 = {r["k"]: (r["shard"], r["shard_pos"]) for r in out2.collect()}
+    assert rows1 == rows2  # partition-invariant
+    # every (shard, pos) pair unique; positions contiguous from 1
+    per_shard = {}
+    for shard, pos in rows1.values():
+        per_shard.setdefault(shard, []).append(pos)
+    assert set(per_shard) == {0, 1, 2, 3}
+    for positions in per_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+        # hash balance: no shard dominates (400 rows, 4 shards)
+        assert 50 <= len(positions) <= 150
+
+
+def test_epoch_shuffle_epochs_differ(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    e1 = {r["k"]: (r["shard"], r["shard_pos"])
+          for r in epoch_shuffle(df, ["k"], 1, 4).collect()}
+    e2 = {r["k"]: (r["shard"], r["shard_pos"])
+          for r in epoch_shuffle(df, ["k"], 2, 4).collect()}
+    assert e1 != e2  # a different epoch is a different permutation
+    assert set(e1) == set(e2)  # ... of the same rows
+
+
+# ---------------------------------------------------------------------------
+# SRM check
+# ---------------------------------------------------------------------------
+
+def test_srm_check_exact_split_zero_chi2(spark):
+    rows = [("A", f"u{i}") for i in range(50)] + [
+        ("B", f"v{i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["variant", "unit"])
+    out = srm_check(df, "variant", "unit", {"A": 0.5, "B": 0.5}).collect()[0]
+    assert out["k"] == 2 and out["n_units"] == 100
+    assert out["srm_chi2"] == 0.0 and out["dof"] == 1
+
+
+def test_srm_check_matches_naive_chi2_and_dedups_units(spark):
+    # 70/30 observed vs 50/50 expected; duplicate unit rows must not
+    # inflate the counts
+    rows = [("A", f"u{i}") for i in range(70)] * 2 + [
+        ("B", f"v{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["variant", "unit"])
+    out = srm_check(df, "variant", "unit", {"A": 0.5, "B": 0.5}).collect()[0]
+    assert out["n_units"] == 100
+    exp = (70 - 50) ** 2 / 50 + (30 - 50) ** 2 / 50
+    assert abs(out["srm_chi2"] - exp) <= 1.01e-4
+
+
+# ---------------------------------------------------------------------------
+# multiplicative means
+# ---------------------------------------------------------------------------
+
+def test_multiplicative_means_match_naive(spark):
+    vals = [1.0, 2.0, 4.0, 8.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = multiplicative_means(df, ["g"], "v").collect()[0]
+    g = math.exp(sum(math.log(v) for v in vals) / len(vals))
+    h = len(vals) / sum(1 / v for v in vals)
+    assert out["n"] == 4 and out["n_positive"] == 4
+    assert abs(out["gmean"] - g) <= 1.01e-6
+    assert abs(out["hmean"] - h) <= 1.01e-6
+    assert out["mean"] == pytest.approx(3.75)
+
+
+def test_multiplicative_means_exclude_nonpositive(spark):
+    df = spark.createDataFrame(
+        [("g", -3.0), ("g", 0.0), ("g", 9.0), ("g", 4.0)], ["g", "v"]
+    )
+    out = multiplicative_means(df, ["g"], "v").collect()[0]
+    assert out["n"] == 4 and out["n_positive"] == 2
+    assert abs(out["gmean"] - 6.0) <= 1.01e-6  # sqrt(36)
+    assert abs(out["hmean"] - 2 / (1 / 9 + 1 / 4)) <= 1.01e-6
+
+
+def test_multiplicative_means_all_nonpositive_null(spark):
+    df = spark.createDataFrame([("g", 0.0), ("g", -1.0)], ["g", "v"])
+    out = multiplicative_means(df, ["g"], "v").collect()[0]
+    assert out["n_positive"] == 0
+    assert out["gmean"] is None and out["hmean"] is None
