@@ -921,3 +921,67 @@ def pair_cosine_histogram(
         F.round(F.avg("_cos"), 4).alias("mean_cos"),
     )
     return per_bucket
+
+
+def embedding_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    slice_a: str,
+    slice_b: str,
+) -> DataFrame:
+    """Embedding-space drift between two corpus slices: the cosine
+    similarity and L2 distance between the slices' centroid vectors —
+    the geometric companion to the lexical drift monitors (vocab JSD,
+    PSI).  A centroid shift flags distribution change that token
+    statistics can miss (same words, different contexts/encoder).
+
+    Shape: posexplode each vector once, per-(slice, dimension) mean
+    (map-side combinable, output is 2·dims rows), rebuild the two
+    centroids via sort_array(collect_list(struct(dim, mean))) on the
+    dims-sized frame, then one scalar cosine/L2 on a 1×1 join.
+    Nothing after the first aggregation is data-sized.  Staged for
+    the round-7 registry window."""
+    pairs = df.filter(F.col(group_col).isin([slice_a, slice_b])).select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(vec_col).alias("_d", "_x"),
+    )
+    per_dim = pairs.groupBy("_g", "_d").agg(
+        F.avg("_x").alias("_m"), F.count("*").alias("_n")
+    )
+    cents = per_dim.groupBy("_g").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_d", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_c"),
+        F.max("_n").alias("_nvecs"),
+    )
+    a = cents.filter(F.col("_g") == slice_a).select(
+        F.col("_c").alias("_ca"), F.col("_nvecs").alias("n_a")
+    )
+    b = cents.filter(F.col("_g") == slice_b).select(
+        F.col("_c").alias("_cb"), F.col("_nvecs").alias("n_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    dot = F.aggregate(
+        F.zip_with("_ca", "_cb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform("_ca", lambda x: x * x),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.transform("_cb", lambda x: x * x),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with("_ca", "_cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    return j.select(
+        "n_a", "n_b",
+        F.size("_ca").alias("dims"),
+        F.round(F.try_divide(dot, na * nb), 6).alias("centroid_cosine"),
+        F.round(l2, 6).alias("centroid_l2"),
+    )

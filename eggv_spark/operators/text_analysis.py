@@ -1203,3 +1203,97 @@ def vocab_jsd(
         F.round(F.sum(term) / F.lit(0.6931471805599453), 6)
         .alias("jsd_normalized"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """The BPE tokenizer-training inner loop (Sennrich et al. 2016)
+    as a fully-lazy Spark plan: per merge step, count adjacent symbol
+    pairs weighted by word frequency, pick the most frequent pair
+    (ties broken by pair string — deterministic across engines), and
+    apply the merge greedily left-to-right to every word.  Returns
+    the merge table: (step, pair_a, pair_b, merged, pair_count).
+
+    Shape per step: pair counts are a grouped aggregation over the
+    word-frequency table (VOCABULARY-sized, not corpus-sized — the
+    one corpus pass happens once up front), the argmax pair is a
+    1-row frame broadcast back, and the merge itself is an array fold
+    (``F.aggregate``) inside whole-stage codegen.  No driver-side
+    collect anywhere: ``n_merges`` steps are ``n_merges`` broadcast
+    joins in ONE lazy plan, the same posture as
+    ``similarity.kmeans_iteration``.  At real tokenizer scale
+    (30k+ merges) the vocabulary table is cached once and steps are
+    checkpointed every few hundred rounds; the per-step shape is
+    unchanged.  Staged for the round-7 registry window."""
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_f"))
+        .select(F.split("_w", "").alias("_s"), "_f")
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        n1 = F.greatest(F.size("_s") - 1, F.lit(0))
+        pair_counts = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("_s", 1, n1),
+                        F.slice("_s", 2, n1),
+                        lambda x, y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    )
+                ).alias("_p"),
+                "_f",
+            )
+            .groupBy("_p")
+            .agg(F.sum("_f").alias("_cnt"))
+        )
+        best = (
+            pair_counts.orderBy(
+                F.col("_cnt").desc(),
+                F.col("_p.a"), F.col("_p.b"),
+            )
+            .limit(1)
+            .select(
+                F.col("_p.a").alias("_ba"),
+                F.col("_p.b").alias("_bb"),
+                F.col("_cnt").alias("_bcnt"),
+            )
+        )
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("_ba").alias("pair_a"),
+                F.col("_bb").alias("pair_b"),
+                F.concat("_ba", "_bb").alias("merged"),
+                F.col("_bcnt").alias("pair_count"),
+            )
+        )
+        # apply the merge: greedy left-to-right fold over each word's
+        # symbols; the chosen pair rides in as broadcast columns
+        words = words.crossJoin(F.broadcast(best)).select(
+            F.aggregate(
+                "_s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    # try_element_at: NULL (not an ANSI error) on the
+                    # empty accumulator of the first fold step
+                    (F.try_element_at(acc, F.lit(-1)) == F.col("_ba"))
+                    & (x == F.col("_bb")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat("_ba", "_bb")),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("_s"),
+            "_f",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -203,3 +203,109 @@ def test_multiplicative_means_all_nonpositive_null(spark):
     out = multiplicative_means(df, ["g"], "v").collect()[0]
     assert out["n_positive"] == 0
     assert out["gmean"] is None and out["hmean"] is None
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+def _naive_bpe(word_freqs, n_merges):
+    """Reference BPE: greedy left-to-right merge application, most
+    frequent pair first, ties by (a, b) string order."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    table = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        table.append((step, best[0], best[1], best[0] + best[1],
+                      counts[best]))
+        merged = {}
+        for syms, f in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == best[0] and s == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(s)
+            merged[tuple(out)] = merged.get(tuple(out), 0) + f
+        words = merged
+    return table
+
+
+def test_bpe_merges_match_naive_reference(spark):
+    from eggv_spark.operators.text_analysis import bpe_train_merges
+
+    corpus = ["low lower lowest low low", "newer newest new low wider"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got = [
+        (r["step"], r["pair_a"], r["pair_b"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=5)
+        .orderBy("step").collect()
+    ]
+    freqs = {}
+    for t in corpus:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    assert got == _naive_bpe(freqs, 5)
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    from eggv_spark.operators.text_analysis import bpe_train_merges
+
+    # 'aaaa' with best pair (a,a): greedy left-to-right yields
+    # [aa, aa], so step 2's best pair is (aa, aa)
+    df = spark.createDataFrame([("aaaa aaaa",)], ["text"])
+    got = [
+        (r["step"], r["pair_a"], r["pair_b"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=2)
+        .orderBy("step").collect()
+    ]
+    assert got[0] == (1, "a", "a", 6)  # 3 adjacent pairs x 2 words
+    assert got[1] == (2, "aa", "aa", 2)
+
+
+# ---------------------------------------------------------------------------
+# embedding drift
+# ---------------------------------------------------------------------------
+
+def test_embedding_drift_identical_slices(spark):
+    from eggv_spark.operators.similarity import embedding_drift
+
+    rows = [("a", [1.0, 0.0, 2.0]), ("a", [3.0, 2.0, 0.0]),
+            ("b", [1.0, 0.0, 2.0]), ("b", [3.0, 2.0, 0.0])]
+    df = spark.createDataFrame(rows, ["slice", "vec"])
+    out = embedding_drift(df, "slice", "vec", "a", "b").collect()[0]
+    assert out["n_a"] == 2 and out["n_b"] == 2 and out["dims"] == 3
+    assert out["centroid_cosine"] == 1.0
+    assert out["centroid_l2"] == 0.0
+
+
+def test_embedding_drift_orthogonal_centroids(spark):
+    from eggv_spark.operators.similarity import embedding_drift
+
+    rows = [("a", [2.0, 0.0]), ("b", [0.0, 3.0])]
+    df = spark.createDataFrame(rows, ["slice", "vec"])
+    out = embedding_drift(df, "slice", "vec", "a", "b").collect()[0]
+    assert out["centroid_cosine"] == 0.0
+    assert abs(out["centroid_l2"] - (4 + 9) ** 0.5) <= 1.01e-6
+
+
+def test_embedding_drift_matches_naive_centroids(spark):
+    import numpy as np
+
+    from eggv_spark.operators.similarity import embedding_drift
+
+    rng = [[float(i * j % 7 - 3) for j in range(1, 5)] for i in range(9)]
+    rows = [("a" if i % 2 else "b", v) for i, v in enumerate(rng)]
+    df = spark.createDataFrame(rows, ["slice", "vec"])
+    out = embedding_drift(df, "slice", "vec", "a", "b").collect()[0]
+    ca = np.mean([v for s, v in rows if s == "a"], axis=0)
+    cb = np.mean([v for s, v in rows if s == "b"], axis=0)
+    cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+    assert abs(out["centroid_cosine"] - cos) <= 1.01e-6
+    assert abs(out["centroid_l2"] - float(np.linalg.norm(ca - cb))) <= 1.01e-6
