@@ -833,3 +833,63 @@ def write_audit_publish(
         F.count("*").cast("int").alias("passed"),
     )
     return audit.unionByName(counts)
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight EXACT join-cardinality audit: before running a big
+    equi-join, compute what its output size will be and which keys
+    dominate it.  |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), assembled from the
+    two key histograms — two map-side-combined counts and a key-sized
+    join, orders of magnitude cheaper than the join it describes.
+    The output's first row (rank 0) is the total: matched output
+    rows, match-participating keys, and each side's unmatched key
+    count; rows 1..top_n are the heaviest keys by contribution —
+    the "this join will explode on key X" report that
+    ``partition_balance`` gives for shuffles.  Staged for the
+    round-7 registry window."""
+    la = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count("*").alias("_ca")
+    )
+    rb = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count("*").alias("_cb")
+    )
+    j = la.join(rb, "_k", "full_outer").select(
+        "_k",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        (F.coalesce("_ca", F.lit(0)) * F.coalesce("_cb", F.lit(0)))
+        .alias("_out"),
+    )
+    total = j.agg(
+        F.sum("_out").alias("est_rows"),
+        F.sum(((F.col("_ca") > 0) & (F.col("_cb") > 0)).cast("long"))
+        .alias("n_matched_keys"),
+        F.sum((F.col("_cb") == 0).cast("long")).alias("n_left_only_keys"),
+        F.sum((F.col("_ca") == 0).cast("long")).alias("n_right_only_keys"),
+    ).select(
+        F.lit(0).alias("rank"),
+        F.lit("__TOTAL__").alias("key"),
+        "est_rows", "n_matched_keys",
+        "n_left_only_keys", "n_right_only_keys",
+    )
+    w = Window.orderBy(F.col("_out").desc(), F.col("_k"))
+    heavy = (
+        j.filter(F.col("_out") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            F.col("_k").cast("string").alias("key"),
+            F.col("_out").alias("est_rows"),
+            F.lit(None).cast("long").alias("n_matched_keys"),
+            F.lit(None).cast("long").alias("n_left_only_keys"),
+            F.lit(None).cast("long").alias("n_right_only_keys"),
+        )
+    )
+    return total.unionByName(heavy)

@@ -309,3 +309,40 @@ def test_embedding_drift_matches_naive_centroids(spark):
     cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
     assert abs(out["centroid_cosine"] - cos) <= 1.01e-6
     assert abs(out["centroid_l2"] - float(np.linalg.norm(ca - cb))) <= 1.01e-6
+
+
+# ---------------------------------------------------------------------------
+# join cardinality estimate
+# ---------------------------------------------------------------------------
+
+def test_join_cardinality_matches_actual_join(spark):
+    from eggv_spark.operators.tableops import join_cardinality_estimate
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 7]], ["k"]
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 4, 4, 4]], ["j"]
+    )
+    out = join_cardinality_estimate(left, right, "k", "j").collect()
+    total = next(r for r in out if r["rank"] == 0)
+    actual = left.join(right, left.k == right.j).count()
+    assert total["est_rows"] == actual == 3 * 2 + 2 * 1
+    assert total["n_matched_keys"] == 2           # keys 1 and 2
+    assert total["n_left_only_keys"] == 2         # keys 3 and 7
+    assert total["n_right_only_keys"] == 1        # key 4
+    heavy = {r["rank"]: (r["key"], r["est_rows"]) for r in out if r["rank"]}
+    assert heavy[1] == ("1", 6) and heavy[2] == ("2", 2)
+
+
+def test_join_cardinality_no_matches(spark):
+    from eggv_spark.operators.tableops import join_cardinality_estimate
+
+    left = spark.createDataFrame([(1,), (2,)], ["k"])
+    right = spark.createDataFrame([(3,)], ["j"])
+    out = join_cardinality_estimate(left, right, "k", "j").collect()
+    assert len(out) == 1  # only the total row, no heavy keys
+    total = out[0]
+    assert total["est_rows"] == 0 and total["n_matched_keys"] == 0
+    assert total["n_left_only_keys"] == 2
+    assert total["n_right_only_keys"] == 1
