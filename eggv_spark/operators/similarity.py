@@ -985,3 +985,54 @@ def embedding_drift(
         F.round(F.try_divide(dot, na * nb), 6).alias("centroid_cosine"),
         F.round(l2, 6).alias("centroid_l2"),
     )
+
+
+def prefix_dim_recall(
+    df: DataFrame,
+    dims_list: Sequence[int],
+    k: int = 5,
+    n_queries: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style serving-dimension evaluation (Kusupati et al.
+    2022): recall@k of brute-force search over PREFIX-truncated
+    vectors against the full-dimension exact top-k, per candidate
+    prefix length — the measurement that picks the cheapest serving
+    dimension that still hits the recall target (truncating 64→16
+    dims quarters memory and flops for every downstream index).
+
+    Queries are the ``n_queries`` lowest ids (deterministic, no
+    sampling RNG).  Per dims value: one brute-force pass with
+    ``F.slice``-truncated vectors composed through the existing
+    :func:`brute_force_topk` / :func:`ann_recall` kernels, then a
+    1-row mean-recall rollup; output is len(dims_list)+1 rows
+    (the full-dimension baseline rides along as recall 1.0 with its
+    own row for the cost column).  Staged for the round-7 registry
+    window."""
+    queries = df.orderBy(id_col).limit(n_queries)
+    exact = brute_force_topk(df, queries, k=k, vec_col=vec_col,
+                             id_col=id_col)
+    rows = []
+    for d in dims_list:
+        trunc = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        tq = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        approx = brute_force_topk(trunc, tq, k=k, vec_col=vec_col,
+                                  id_col=id_col)
+        rec = ann_recall(exact, approx, k=k)
+        rows.append(
+            rec.agg(
+                F.lit(d).alias("dims"),
+                F.count("*").alias("n_queries"),
+                F.round(F.avg(f"recall_at_{k}"), 4)
+                .alias("mean_recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

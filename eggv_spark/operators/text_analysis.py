@@ -1297,3 +1297,65 @@ def bpe_train_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def label_chi2_terms(
+    df: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 10,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Per-class discriminative terms by chi-square feature selection
+    (the classic text-classification recipe): for each (term, label),
+    the 2×2 presence/absence contingency chi2 over DOCUMENT
+    frequencies — which tokens most separate a class from the rest of
+    the corpus.  Curation use: surfacing source-specific boilerplate
+    and leakage markers before training.
+
+    One distinct (doc, term) projection, one (term, label)
+    document-frequency aggregation joined against broadcast term and
+    label marginals, chi2 assembled in whole-stage codegen, rank
+    cutoff by (chi2 desc, term) per label — engine-identical
+    selection.  Staged for the round-7 registry window."""
+    pairs = df.select(
+        F.col(label_col).alias("_l"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("_t"),
+    )
+    n_docs_df = df.agg(F.count("*").alias("_n"))
+    per_label = df.groupBy(F.col(label_col).alias("_l")).agg(
+        F.count("*").alias("_nl")
+    )
+    per_term = pairs.groupBy("_t").agg(F.count("*").alias("_dt"))
+    cell = pairs.groupBy("_l", "_t").agg(F.count("*").alias("_a"))
+    j = (
+        cell.join(F.broadcast(per_term), "_t")
+        .filter(F.col("_dt") >= min_doc_freq)
+        .join(F.broadcast(per_label), "_l")
+        .crossJoin(F.broadcast(n_docs_df))
+    )
+    # 2x2 cells: a = docs of label WITH term, b = other docs with
+    # term, c = label docs without, d = other docs without
+    a = F.col("_a").cast("double")
+    b = (F.col("_dt") - F.col("_a")).cast("double")
+    c = (F.col("_nl") - F.col("_a")).cast("double")
+    n = F.col("_n").cast("double")
+    d = n - a - b - c
+    chi2 = F.try_divide(
+        n * (a * d - b * c) ** 2,
+        (a + b) * (c + d) * (a + c) * (b + d),
+    )
+    ranked = j.select(
+        F.col("_l").alias(label_col),
+        F.col("_t").alias("term"),
+        F.col("_a").alias("label_doc_freq"),
+        F.col("_dt").alias("corpus_doc_freq"),
+        F.round(chi2, 4).alias("chi2"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(label_col)
+            .orderBy(F.col("chi2").desc(), "term")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= top_n)

@@ -346,3 +346,111 @@ def test_join_cardinality_no_matches(spark):
     assert total["est_rows"] == 0 and total["n_matched_keys"] == 0
     assert total["n_left_only_keys"] == 2
     assert total["n_right_only_keys"] == 1
+
+
+# ---------------------------------------------------------------------------
+# prefix-dimension (Matryoshka) recall
+# ---------------------------------------------------------------------------
+
+def test_prefix_dim_recall_full_prefix_is_perfect(spark):
+    from eggv_spark.operators.similarity import prefix_dim_recall
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["dims"]: r for r in prefix_dim_recall(
+            df, dims_list=[8, 2], k=3, n_queries=5
+        ).collect()
+    }
+    assert out[8]["mean_recall"] == 1.0  # full prefix == exact
+    assert out[8]["n_queries"] == 5
+    assert 0.0 <= out[2]["mean_recall"] <= 1.0
+
+
+def test_prefix_dim_recall_matches_naive(spark):
+    import numpy as np
+
+    from eggv_spark.operators.similarity import prefix_dim_recall
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(25, 6).round(3)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    k, nq, d = 4, 6, 3
+    out = {
+        r["dims"]: r["mean_recall"]
+        for r in prefix_dim_recall(
+            df, dims_list=[d], k=k, n_queries=nq
+        ).collect()
+    }
+
+    def topk(matrix, qi, dims):
+        m = matrix[:, :dims]
+        q = m[qi]
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+        order = [
+            i for i in np.lexsort((np.arange(len(m)), -sims)) if i != qi
+        ]
+        return set(order[:k])
+
+    recalls = [
+        len(topk(vecs, qi, 6) & topk(vecs, qi, d)) / k for qi in range(nq)
+    ]
+    assert abs(out[d] - round(sum(recalls) / nq, 4)) <= 1.01e-4
+
+
+# ---------------------------------------------------------------------------
+# label chi2 terms
+# ---------------------------------------------------------------------------
+
+def test_label_chi2_surfaces_class_marker(spark):
+    from eggv_spark.operators.text_analysis import label_chi2_terms
+
+    rows = (
+        [("sa", f"alpha common{i % 2} text") for i in range(6)]
+        + [("sb", f"beta common{i % 2} text") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = label_chi2_terms(df, top_n=1, min_doc_freq=2).collect()
+    top = {r["source"]: r["term"] for r in out}
+    # the class-exclusive marker dominates; corpus-wide terms score 0
+    assert top == {"sa": "alpha", "sb": "beta"}
+    for r in out:
+        assert r["label_doc_freq"] == 6 and r["corpus_doc_freq"] == 6
+        assert r["chi2"] == 12.0  # perfect 2x2 separation: chi2 = n
+
+
+def test_label_chi2_matches_naive(spark):
+    from eggv_spark.operators.text_analysis import label_chi2_terms
+
+    rows = [
+        ("sa", "x y z"), ("sa", "x y"), ("sa", "x q"),
+        ("sb", "y z q"), ("sb", "z q"), ("sb", "x z"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        (r["source"], r["term"]): r["chi2"]
+        for r in label_chi2_terms(df, top_n=10, min_doc_freq=1).collect()
+    }
+    docs = [(s, set(t.split())) for s, t in rows]
+    n = len(docs)
+    terms = sorted({w for _, ws in docs for w in ws})
+    for lbl in ("sa", "sb"):
+        nl = sum(1 for s, _ in docs if s == lbl)
+        for t in terms:
+            dt = sum(1 for _, ws in docs if t in ws)
+            a = sum(1 for s, ws in docs if s == lbl and t in ws)
+            b, c = dt - a, nl - a
+            d = n - a - b - c
+            denom = (a + b) * (c + d) * (a + c) * (b + d)
+            if denom == 0:
+                exp = None
+            else:
+                exp = n * (a * d - b * c) ** 2 / denom
+            key = (lbl, t)
+            if exp is None:
+                assert got.get(key) is None or key not in got
+            else:
+                assert abs(got[key] - exp) <= 1.01e-4

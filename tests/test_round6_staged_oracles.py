@@ -344,3 +344,135 @@ def test_bpe_oracle_matches_spark(spark, con):
     ]
     con.register("documents", pd.DataFrame({"text": corpus}))
     assert got == con.execute(bpe_oracle_sql(6)).fetchall()
+
+
+LABEL_CHI2_SQL = r"""
+WITH docs AS (
+  SELECT source AS l,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT l, unnest(toks) AS t FROM docs
+), n_docs AS (SELECT count(*) AS n FROM docs),
+per_label AS (SELECT l, count(*) AS nl FROM docs GROUP BY l),
+per_term AS (SELECT t, count(*) AS dt FROM pairs GROUP BY t),
+cell AS (SELECT l, t, count(*) AS a FROM pairs GROUP BY l, t),
+j AS (
+  SELECT c.l, c.t, c.a, pt.dt, pl.nl, nd.n
+  FROM cell c
+  JOIN per_term pt ON c.t = pt.t
+  JOIN per_label pl ON c.l = pl.l
+  CROSS JOIN n_docs nd
+  WHERE pt.dt >= {min_doc_freq}
+), scored AS (
+  SELECT l AS source, t AS term, a AS label_doc_freq,
+         dt AS corpus_doc_freq,
+         round(
+           CASE WHEN (a + (dt - a)) * ((nl - a) + (n - dt - nl + a))
+                     * (a + (nl - a)) * ((dt - a) + (n - dt - nl + a)) = 0
+                THEN NULL
+                ELSE n * pow(a * (n - dt - nl + a)
+                             - (dt - a) * (nl - a), 2)
+                     / ((a + (dt - a)) * ((nl - a) + (n - dt - nl + a))
+                        * (a + (nl - a))
+                        * ((dt - a) + (n - dt - nl + a)))
+           END, 4) AS chi2
+  FROM j
+)
+SELECT source, term, label_doc_freq, corpus_doc_freq, chi2,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY chi2 DESC NULLS LAST, term) AS rank
+FROM scored
+QUALIFY rank <= {top_n}
+ORDER BY source, rank
+"""
+
+PREFIX_RECALL_SQL = """
+WITH queries AS (
+  SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT {n_queries}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.embedding, c.embedding)
+                    / (sqrt(list_dot_product(q.embedding, q.embedding))
+                       * sqrt(list_dot_product(c.embedding, c.embedding))),
+                    4) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM emb c CROSS JOIN queries q
+  WHERE c.vec_id <> q.vec_id
+  QUALIFY rank <= {k}
+),
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(
+                    list_dot_product(q.embedding[1:{d}], c.embedding[1:{d}])
+                    / (sqrt(list_dot_product(q.embedding[1:{d}],
+                                             q.embedding[1:{d}]))
+                       * sqrt(list_dot_product(c.embedding[1:{d}],
+                                               c.embedding[1:{d}]))),
+                    4) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM emb c CROSS JOIN queries q
+  WHERE c.vec_id <> q.vec_id
+  QUALIFY rank <= {k}
+),
+per_query AS (
+  SELECT e.query_id,
+         count(a.neighbor_id) / CAST({k} AS DOUBLE) AS recall
+  FROM exact e
+  LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT {d} AS dims, count(*) AS n_queries,
+       round(avg(recall), 4) AS mean_recall
+FROM per_query
+"""
+
+
+def test_label_chi2_oracle_matches_spark(spark, con):
+    from eggv_spark.operators.text_analysis import label_chi2_terms
+
+    rows = [
+        ("sa", "x y z"), ("sa", "x y"), ("sa", "x q"),
+        ("sb", "y z q"), ("sb", "z q"), ("sb", "x z"),
+    ]
+    sdf = spark.createDataFrame(rows, ["source", "text"])
+    got = [
+        tuple(r) for r in
+        label_chi2_terms(sdf, top_n=3, min_doc_freq=2)
+        .orderBy("source", "rank").collect()
+    ]
+    con.register("documents", pd.DataFrame(rows, columns=["source", "text"]))
+    exp = con.execute(
+        LABEL_CHI2_SQL.format(min_doc_freq=2, top_n=3)
+    ).fetchall()
+    assert got == exp
+
+
+def test_prefix_recall_oracle_matches_spark(spark, con):
+    import numpy as np
+
+    from eggv_spark.operators.similarity import prefix_dim_recall
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(20, 6).round(3)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [
+        tuple(r) for r in
+        prefix_dim_recall(sdf, dims_list=[3], k=4, n_queries=5)
+        .collect()
+    ]
+    con.register("emb", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    exp = con.execute(
+        PREFIX_RECALL_SQL.format(n_queries=5, k=4, d=3)
+    ).fetchall()
+    assert got == exp
