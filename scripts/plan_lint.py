@@ -14,6 +14,13 @@ Flags:
                              explicitly-sorted sinks)
 - BatchEvalPython            row-at-a-time Python UDF in the plan
                              (must be ArrowEvalPython / mapInPandas)
+- DISTINCT-REWRITE-BUFFER    an object-buffer aggregate (percentile /
+                             HLL / quantile sketch / collect_*)
+                             evaluated inside a distinct-expand
+                             partial aggregate — the count_distinct+
+                             sketch-in-one-agg pathology (0.7→29 s on
+                             agg_approx; split the distinct into its
+                             own aggregation, see SCALING.md r6)
 - exchanges=N                shuffle count, FYI ordering
 
 Usage: python scripts/plan_lint.py [query ...]
@@ -40,6 +47,18 @@ def _walk(node):
         yield from _walk(kids.apply(i))
 
 
+def _plan_root(df):
+    """Physical-plan root for node walks.  Under AQE the executedPlan
+    root is an AdaptiveSparkPlan LEAF (zero children until execution
+    materializes stages) — walking it visits nothing and every
+    node-level check silently passes.  Walk the initial plan instead;
+    it is the same tree the plan string renders."""
+    root = df._jdf.queryExecution().executedPlan()
+    if root.nodeName() == "AdaptiveSparkPlan":
+        return root.initialPlan()
+    return root
+
+
 def unbounded_nested_loops(df) -> int:
     """Count BroadcastNestedLoopJoin nodes whose build side is NOT a
     provably tiny aggregate.  "Provably tiny" = the build subtree
@@ -50,22 +69,107 @@ def unbounded_nested_loops(df) -> int:
     unbounded at scale and gets flagged — this makes the previously
     by-inspection-only judgement mechanical."""
     bad = 0
-    root = df._jdf.queryExecution().executedPlan()
-    for node in _walk(root):
+    for node in _walk(_plan_root(df)):
         if node.nodeName() != "BroadcastNestedLoopJoin":
             continue
         kids = node.children()
         side = str(node.buildSide())
         build = kids.apply(1) if "Right" in side else kids.apply(0)
         sub = build.toString()
+        # Provably bounded: a grouping-key-free aggregate (exactly one
+        # row) or an explicit row limit anywhere in the build subtree.
         tiny = any(
             f"{agg}(keys=[]" in sub
             for agg in ("HashAggregate", "SortAggregate",
                         "ObjectHashAggregate")
-        )
+        ) or "GlobalLimit" in sub
         if not tiny:
             bad += 1
     return bad
+
+
+#: Aggregate functions whose per-group state is an unbounded object
+#: buffer (serialized value maps / registers / summaries), not a few
+#: scalars.  Evaluating one of these per DISTINCT VALUE is the
+#: distinct-rewrite pathology below.
+_BUFFER_AGGS = (
+    "partial_percentile(",
+    "partial_approx_percentile(",
+    "partial_approx_count_distinct(",
+    "partial_hll_sketch_agg(",
+    "partial_hll_union_agg(",
+    "partial_collect_list(",
+    "partial_collect_set(",
+)
+
+def distinct_rewrite_buffer_aggs(df) -> int:
+    """Count aggregate nodes where an object-buffer aggregate is
+    evaluated inside a distinct-expand partial aggregate.
+
+    Mixing ``count_distinct`` with percentile/HLL/quantile sketches in
+    ONE ``agg`` makes Catalyst key the partial aggregate by
+    (group keys, distinct column) and evaluate every buffer aggregate
+    PER DISTINCT VALUE — the "partial" state dwarfs the input
+    (measured 0.7 s → 29 s on agg_approx at sf0.1; an OOM at 100 TB,
+    see SCALING.md round-6 close).  Detector: a buffer aggregate
+    whose ARGUMENT column also appears among the node's grouping keys
+    — aggregating a column you group by only happens in that rewrite.
+    Fix pattern: run the exact-distinct twin as its own two-stage
+    aggregation joined back on the group keys
+    (aggregates.approx_aggregates_graded)."""
+    import re
+
+    bad = 0
+    for node in _walk(_plan_root(df)):
+        if "Aggregate" not in node.nodeName():
+            continue
+        head = str(node.toString()).split("\n")[0]
+        m = re.search(r"keys=\[([^\]]*)\]", head)
+        if not m:
+            continue
+        keys = m.group(1)
+        for fn in _BUFFER_AGGS:
+            for fm in re.finditer(re.escape(fn) + r"([A-Za-z0-9_#]+)", head):
+                if fm.group(1) and fm.group(1) in keys:
+                    bad += 1
+                    break
+            else:
+                continue
+            break
+    return bad
+
+
+#: BNLJ build sides that are BOUNDED by construction but not
+#: mechanically provable (no keys=[] aggregate / GlobalLimit in the
+#: build subtree).  Every entry carries its justification; anything
+#: NOT listed here with a non-tiny BNLJ build FAILS the gate.  This
+#: list exists because the round-6 AQE fix made the node walk
+#: actually visit the tree (the gate was silently vacuous before) —
+#: these are the pre-existing, fingerprint-pinned plans re-reviewed
+#: at that point.
+BNLJ_ALLOWLIST: dict[str, str] = {
+    "join_cross": "the operator IS a cross join; build side is the "
+                  "5-row region dimension scan (documented small dim)",
+    "agg_median_test": "builds are the pooled median — exactly one "
+                       "row by construction (row_number = ceil(n/2) "
+                       "over a single global window)",
+    "evt_ab_test": "build is the per-variant aggregate filtered to "
+                   "one variant — ≤2 rows by the md5-split contract",
+    "join_fuzzy_name": "build is the documented probe batch (1-in-300 "
+                       "systematic sample); record-linkage contract "
+                       "is |probes| << |corpus|",
+    "sim_centroid_cosine": "build is the per-label centroid frame — "
+                           "bounded by |labels| (10); the operator "
+                           "is an O(labels²) comparison by design",
+    "sim_cosine_topk": "build is the query-vector batch (fixture: "
+                       "every 50th id); ANN contract is "
+                       "|queries| << |corpus|",
+    "sim_ndcg": "same query-batch broadcast as sim_cosine_topk, "
+                "twice (exact + graded run)",
+    "sim_pq_topk": "same query-batch broadcast as sim_cosine_topk",
+    "sim_recall_eval": "same query-batch broadcast as "
+                       "sim_cosine_topk (exact + IVF sides)",
+}
 
 
 def main() -> int:
@@ -92,12 +196,19 @@ def main() -> int:
             flags.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan:
             n_bad = unbounded_nested_loops(df)
-            if n_bad:
+            if n_bad and name in BNLJ_ALLOWLIST:
+                print(f"note  {name}: BNLJ allowed — "
+                      f"{BNLJ_ALLOWLIST[name]}", flush=True)
+            elif n_bad:
                 flags.append(f"UNBOUNDED-BNLJ({n_bad})")
         if "Exchange rangepartitioning" in plan:
             flags.append("GLOBAL-SORT")
         if "BatchEvalPython" in plan:
             flags.append("ROW-PYTHON-UDF")
+        if any(fn in plan for fn in _BUFFER_AGGS):
+            n_dr = distinct_rewrite_buffer_aggs(df)
+            if n_dr:
+                flags.append(f"DISTINCT-REWRITE-BUFFER({n_dr})")
         n_ex = plan.count("Exchange ")
         line = f"{'FLAG' if flags else 'ok  '}  {name}: exchanges={n_ex}"
         if flags:
