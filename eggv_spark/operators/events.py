@@ -938,3 +938,65 @@ def srm_check(
         F.round(F.sum("_chi"), 4).alias("srm_chi2"),
         (F.count("*") - 1).alias("dof"),
     )
+
+
+def uplift_by_segment(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    outcome_col: str,
+    segment_col: str,
+) -> DataFrame:
+    """Per-segment experiment uplift (the heterogeneous-treatment
+    readout behind every "which users did the feature help?"
+    question): within each segment, per-unit outcome flags fold to
+    variant conversion rates, absolute lift, and the per-segment
+    two-proportion z — plus an __ALL__ row so the pooled readout and
+    the segment breakdown come from one plan.  A segment whose lift
+    sign disagrees with the pooled row is the Simpson's-paradox alarm
+    this exists to surface.
+
+    Shape: one (unit, segment)-grained fold (units are assumed
+    segment-stable; the fold takes max flags like
+    :func:`markov_transitions`'s per-entity posture), one grouped
+    aggregation to the segments×variants frame, everything after runs
+    on segment-count rows.  Staged for the round-7 registry window."""
+    per_unit = df.groupBy(
+        F.col(segment_col).alias("_s"),
+        F.col(unit_col).alias("_u"),
+        F.col(variant_col).alias("_v"),
+    ).agg(F.max(F.col(outcome_col).cast("int")).alias("_y"))
+    seg = per_unit.groupBy("_s").agg(
+        F.sum((F.col("_v") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("_v") == "B").cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("_v") == "A", F.col("_y")).otherwise(0))
+        .cast("long").alias("c_a"),
+        F.sum(F.when(F.col("_v") == "B", F.col("_y")).otherwise(0))
+        .cast("long").alias("c_b"),
+    )
+    total = per_unit.groupBy().agg(
+        F.sum((F.col("_v") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("_v") == "B").cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("_v") == "A", F.col("_y")).otherwise(0))
+        .cast("long").alias("c_a"),
+        F.sum(F.when(F.col("_v") == "B", F.col("_y")).otherwise(0))
+        .cast("long").alias("c_b"),
+    ).select(F.lit("__ALL__").alias("_s"), "n_a", "n_b", "c_a", "c_b")
+    both = seg.unionByName(total)
+    pa = F.try_divide(F.col("c_a"), F.col("n_a"))
+    pb = F.try_divide(F.col("c_b"), F.col("n_b"))
+    pooled = F.try_divide(
+        F.col("c_a") + F.col("c_b"), F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled * (1 - pooled)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return both.select(
+        F.col("_s").alias(segment_col),
+        "n_a", "n_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("lift"),
+        F.round(F.try_divide(pb - pa, se), 4).alias("z_stat"),
+    )

@@ -893,3 +893,57 @@ def join_cardinality_estimate(
         )
     )
     return total.unionByName(heavy)
+
+
+def schema_drift_audit(
+    old: DataFrame, new: DataFrame
+) -> DataFrame:
+    """Column-level drift audit between two snapshots of a table —
+    the companion to :func:`snapshot_diff` (row-level) and
+    :func:`profile_columns` (single-snapshot): per column, presence
+    in each generation, null-rate drift, and distinct-count drift.
+    The pre-flight before a schema-evolution union or an incremental
+    merge: added/dropped columns and a null-rate jump are the two
+    classic silent-breakage signals of an upstream producer change.
+
+    One pass per side (all columns profiled in a single aggregation,
+    the :func:`profile_columns` posture), outputs joined by column
+    name on the columns-sized frame.  Staged for the round-7 registry
+    window."""
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count("*").alias("_rows")]
+        for c in df.columns:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}")
+            )
+            aggs.append(
+                F.count_distinct(F.col(c)).alias(f"_d_{c}")
+            )
+        wide = df.agg(*aggs)
+        per_col = [
+            wide.select(
+                F.lit(c).alias("column"),
+                F.round(
+                    F.try_divide(F.col(f"_n_{c}"), F.col("_rows")), 6
+                ).alias(f"null_rate_{tag}"),
+                F.col(f"_d_{c}").alias(f"n_distinct_{tag}"),
+            )
+            for c in df.columns
+        ]
+        out = per_col[0]
+        for p in per_col[1:]:
+            out = out.unionByName(p)
+        return out
+    po = profile(old, "old")
+    pn = profile(new, "new")
+    joined = po.join(pn, "column", "full_outer")
+    return joined.select(
+        "column",
+        F.col("null_rate_old").isNotNull().alias("in_old"),
+        F.col("null_rate_new").isNotNull().alias("in_new"),
+        "null_rate_old", "null_rate_new",
+        F.round(
+            F.col("null_rate_new") - F.col("null_rate_old"), 6
+        ).alias("null_rate_drift"),
+        "n_distinct_old", "n_distinct_new",
+    )

@@ -454,3 +454,74 @@ def test_label_chi2_matches_naive(spark):
                 assert got.get(key) is None or key not in got
             else:
                 assert abs(got[key] - exp) <= 1.01e-4
+
+
+# ---------------------------------------------------------------------------
+# uplift by segment
+# ---------------------------------------------------------------------------
+
+def test_uplift_by_segment_matches_naive(spark):
+    from eggv_spark.operators.events import uplift_by_segment
+
+    # segment s1: B helps (3/4 vs 1/4); segment s2: B hurts (1/4 vs 3/4)
+    rows = []
+    for i in range(4):
+        rows.append(("s1", f"a{i}", "A", 1 if i < 1 else 0))
+        rows.append(("s1", f"b{i}", "B", 1 if i < 3 else 0))
+        rows.append(("s2", f"c{i}", "A", 1 if i < 3 else 0))
+        rows.append(("s2", f"d{i}", "B", 1 if i < 1 else 0))
+    df = spark.createDataFrame(rows, ["seg", "unit", "variant", "converted"])
+    out = {
+        r["seg"]: r for r in uplift_by_segment(
+            df, "unit", "variant", "converted", "seg"
+        ).collect()
+    }
+    assert out["s1"]["lift"] == 0.5 and out["s2"]["lift"] == -0.5
+    assert out["__ALL__"]["n_a"] == 8 and out["__ALL__"]["n_b"] == 8
+    assert out["__ALL__"]["lift"] == 0.0  # opposing segments cancel
+    # z for s1: p_pool=0.5, se=sqrt(.25*(1/4+1/4))=~0.35355
+    import math
+    se = math.sqrt(0.5 * 0.5 * (0.25 + 0.25))
+    assert abs(out["s1"]["z_stat"] - 0.5 / se) <= 1.01e-4
+
+
+def test_uplift_dedups_repeated_unit_events(spark):
+    from eggv_spark.operators.events import uplift_by_segment
+
+    rows = [
+        ("s", "u1", "A", 0), ("s", "u1", "A", 1),  # one unit, converts
+        ("s", "u2", "B", 0), ("s", "u2", "B", 0),
+    ]
+    df = spark.createDataFrame(rows, ["seg", "unit", "variant", "converted"])
+    out = {
+        r["seg"]: r for r in uplift_by_segment(
+            df, "unit", "variant", "converted", "seg"
+        ).collect()
+    }
+    assert out["s"]["n_a"] == 1 and out["s"]["n_b"] == 1
+    assert out["s"]["rate_a"] == 1.0 and out["s"]["rate_b"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# schema drift audit
+# ---------------------------------------------------------------------------
+
+def test_schema_drift_flags_added_dropped_and_null_jump(spark):
+    from eggv_spark.operators.tableops import schema_drift_audit
+
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0), (4, "z", 4.0)],
+        ["id", "name", "legacy"],
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, None, "c"), (4, "z", "d")],
+        ["id", "name", "extra"],
+    )
+    out = {r["column"]: r for r in schema_drift_audit(old, new).collect()}
+    assert out["legacy"]["in_old"] and not out["legacy"]["in_new"]
+    assert out["extra"]["in_new"] and not out["extra"]["in_old"]
+    assert out["name"]["null_rate_old"] == 0.25
+    assert out["name"]["null_rate_new"] == 0.75
+    assert out["name"]["null_rate_drift"] == 0.5
+    assert out["id"]["n_distinct_old"] == 4 and out["id"]["n_distinct_new"] == 4
+    assert out["legacy"]["null_rate_drift"] is None  # one-sided column

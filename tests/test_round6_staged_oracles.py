@@ -476,3 +476,118 @@ def test_prefix_recall_oracle_matches_spark(spark, con):
         PREFIX_RECALL_SQL.format(n_queries=5, k=4, d=3)
     ).fetchall()
     assert got == exp
+
+
+UPLIFT_SQL = """
+WITH per_unit AS (
+  SELECT seg AS s, unit AS u, variant AS v,
+         max(CAST(converted AS INT)) AS y
+  FROM ev GROUP BY seg, unit, variant
+), seg AS (
+  SELECT s,
+         sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN v = 'A' THEN y ELSE 0 END) AS c_a,
+         sum(CASE WHEN v = 'B' THEN y ELSE 0 END) AS c_b
+  FROM per_unit GROUP BY s
+), total AS (
+  SELECT '__ALL__' AS s, sum(n_a) AS n_a, sum(n_b) AS n_b,
+         sum(c_a) AS c_a, sum(c_b) AS c_b
+  FROM seg
+), combined AS (
+  SELECT * FROM seg UNION ALL BY NAME SELECT * FROM total
+)
+SELECT s AS seg, n_a, n_b,
+       round(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(c_b / CAST(n_b AS DOUBLE)
+             - c_a / CAST(n_a AS DOUBLE), 6) AS lift,
+       round(
+         CASE WHEN sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0/n_a + 1.0/n_b)) = 0 THEN NULL
+              ELSE (c_b / CAST(n_b AS DOUBLE)
+                    - c_a / CAST(n_a AS DOUBLE))
+                   / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                          * (1 - (c_a + c_b)
+                               / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0/n_a + 1.0/n_b))
+         END, 4) AS z_stat
+FROM combined ORDER BY seg
+"""
+
+
+def test_uplift_oracle_matches_spark(spark, con):
+    from eggv_spark.operators.events import uplift_by_segment
+
+    rows = []
+    for i in range(5):
+        rows.append(("s1", f"a{i}", "A", int(i < 2)))
+        rows.append(("s1", f"b{i}", "B", int(i < 4)))
+        rows.append(("s2", f"c{i}", "A", int(i < 3)))
+        rows.append(("s2", f"d{i}", "B", int(i < 1)))
+    sdf = spark.createDataFrame(rows, ["seg", "unit", "variant", "converted"])
+    got = sorted(
+        tuple(r) for r in
+        uplift_by_segment(sdf, "unit", "variant", "converted", "seg")
+        .collect()
+    )
+    con.register(
+        "ev", pd.DataFrame(rows, columns=["seg", "unit", "variant",
+                                          "converted"])
+    )
+    assert got == con.execute(UPLIFT_SQL).fetchall()
+
+
+SCHEMA_DRIFT_SQL = """
+WITH po AS (
+  SELECT 'id' AS col, round(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE), 6) AS nr,
+         count(DISTINCT id) AS nd FROM told
+  UNION ALL BY NAME
+  SELECT 'name' AS col, round(sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE), 6) AS nr,
+         count(DISTINCT name) AS nd FROM told
+  UNION ALL BY NAME
+  SELECT 'legacy' AS col, round(sum(CASE WHEN legacy IS NULL THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE), 6) AS nr,
+         count(DISTINCT legacy) AS nd FROM told
+), pn AS (
+  SELECT 'id' AS col, round(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE), 6) AS nr,
+         count(DISTINCT id) AS nd FROM tnew
+  UNION ALL BY NAME
+  SELECT 'name' AS col, round(sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE), 6) AS nr,
+         count(DISTINCT name) AS nd FROM tnew
+  UNION ALL BY NAME
+  SELECT 'extra' AS col, round(sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE), 6) AS nr,
+         count(DISTINCT extra) AS nd FROM tnew
+)
+SELECT coalesce(po.col, pn.col) AS "column",
+       po.nr IS NOT NULL AS in_old,
+       pn.nr IS NOT NULL AS in_new,
+       po.nr AS null_rate_old, pn.nr AS null_rate_new,
+       round(pn.nr - po.nr, 6) AS null_rate_drift,
+       po.nd AS n_distinct_old, pn.nd AS n_distinct_new
+FROM po FULL OUTER JOIN pn ON po.col = pn.col
+ORDER BY "column"
+"""
+
+
+def test_schema_drift_oracle_matches_spark(spark, con):
+    from eggv_spark.operators.tableops import schema_drift_audit
+
+    old_rows = [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0), (4, "z", 4.0)]
+    new_rows = [(1, None, "a"), (2, None, "b"), (3, None, "c"), (4, "z", "d")]
+    old = spark.createDataFrame(old_rows, ["id", "name", "legacy"])
+    new = spark.createDataFrame(new_rows, ["id", "name", "extra"])
+    got = sorted(
+        tuple(r) for r in schema_drift_audit(old, new).collect()
+    )
+    con.register("told", pd.DataFrame(old_rows,
+                                      columns=["id", "name", "legacy"]))
+    con.register("tnew", pd.DataFrame(new_rows,
+                                      columns=["id", "name", "extra"]))
+    assert got == con.execute(SCHEMA_DRIFT_SQL).fetchall()
