@@ -4164,19 +4164,27 @@ def _agg_hll_rollup(spark, sf_dir):
     # on approx_aggregates_graded (aggregates.py docstring)
     sketches = docs.groupBy("source").agg(
         F.hll_sketch_agg("h").alias("_sk")
-    )
+    ).alias("s")
     exact = docs.groupBy("source").agg(
         F.count_distinct("h").alias("n_distinct_exact")
+    ).alias("e")
+    # null-safe key join + greatest(exact, 1) denominator (round-7
+    # ADVICE): a NULL source group must survive the twin join exactly
+    # as ANSI GROUP BY retains it, and an all-NULL hash column
+    # (exact = 0, estimate = 0) must grade TRUE, not 0/0 -> NULL
+    per_source = sketches.join(
+        exact, F.col("s.source").eqNullSafe(F.col("e.source"))
     )
-    per_source = sketches.join(exact, "source")
 
     def _ok(est, exact):
         return (
-            F.abs(est - exact.cast("double")) / exact.cast("double") <= 0.05
+            F.abs(est - exact.cast("double"))
+            / F.greatest(exact.cast("double"), F.lit(1.0))
+            <= 0.05
         ).alias("est_ok")
 
     per_source_row = per_source.select(
-        "source",
+        F.col("s.source").alias("source"),
         "n_distinct_exact",
         _ok(F.hll_sketch_estimate("_sk"), F.col("n_distinct_exact")),
     )

@@ -19,6 +19,7 @@ Scale notes
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Mapping, Sequence
 
 import pandas as pd
@@ -350,7 +351,16 @@ def approx_aggregates_graded(
     serialized percentile buffers plus the HLL registers and quantile
     summaries, and the "partial" aggregation is bigger than the input
     (measured 0.7 s → 29 s on the sf0.1 lineitem).  Two pruned
-    single-column scans beat one pathological pass at every scale."""
+    single-column scans beat one pathological pass at every scale.
+
+    Null handling (round 7): the twin join uses NULL-SAFE key
+    equality, so groups keyed by NULL survive exactly as ANSI GROUP
+    BY retains them — a plain equi-join would silently drop them.
+    The tolerance booleans are total (never NULL): the distinct
+    denominator is ``greatest(exact, 1)`` (an all-NULL group has
+    exact = 0, sketch = 0 → TRUE, not 0/0 → NULL), and an all-NULL
+    group's percentiles — NULL on both the exact and sketch side —
+    grade TRUE by null-agreement instead of NULL-propagating."""
     keys = list(keys)
     c = F.col(col)
     sketched = df.groupBy(*keys).agg(
@@ -361,28 +371,39 @@ def approx_aggregates_graded(
         F.approx_percentile(c, F.lit(0.9), F.lit(10000)).alias("_ap90"),
         F.percentile(c, F.lit(0.5)).alias("_p50_raw"),
         F.percentile(c, F.lit(0.9)).alias("_p90_raw"),
-    )
+    ).alias("s")
     exact_distinct = df.groupBy(*keys).agg(
         F.count_distinct(c).alias("n_distinct_exact")
+    ).alias("e")
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"s.{k}").eqNullSafe(F.col(f"e.{k}")) for k in keys],
     )
     nde = F.col("n_distinct_exact")
-    return sketched.join(exact_distinct, keys).select(
-        *keys,
+
+    def _pct_ok(approx: str, raw: str) -> Column:
+        # all-NULL group: both sides NULL -> TRUE by null-agreement;
+        # raw == 0: relative error degrades to absolute via greatest
+        return F.when(
+            F.col(raw).isNull(), F.col(approx).isNull()
+        ).otherwise(
+            F.abs(F.col(approx) - F.col(raw))
+            / F.greatest(F.abs(F.col(raw)), F.lit(1.0))
+            <= pct_tol
+        )
+
+    return sketched.join(exact_distinct, join_cond).select(
+        *[F.col(f"s.{k}").alias(k) for k in keys],
         "n_distinct_exact",
         "p50_exact",
         "p90_exact",
         (
-            F.abs(F.col("_acd") - nde.cast("double")) / nde.cast("double")
+            F.abs(F.col("_acd") - nde.cast("double"))
+            / F.greatest(nde.cast("double"), F.lit(1.0))
             <= distinct_tol
         ).alias("distinct_ok"),
-        (
-            F.abs(F.col("_ap50") - F.col("_p50_raw")) / F.col("_p50_raw")
-            <= pct_tol
-        ).alias("p50_ok"),
-        (
-            F.abs(F.col("_ap90") - F.col("_p90_raw")) / F.col("_p90_raw")
-            <= pct_tol
-        ).alias("p90_ok"),
+        _pct_ok("_ap50", "_p50_raw").alias("p50_ok"),
+        _pct_ok("_ap90", "_p90_raw").alias("p90_ok"),
     )
 
 

@@ -909,7 +909,16 @@ def srm_check(
     One distinct-unit aggregation to the variants-sized frame, chi2
     assembled against broadcast expected shares; dof = k−1.  Compare
     chi2 against the caller's critical value (3.841 at 5% for two
-    variants).  Staged for the round-7 registry window."""
+    variants).
+
+    Contract: every variant OBSERVED in the data must have a share in
+    ``expected`` — an observed-but-undeclared variant is itself the
+    worst allocation break, so it fails loudly (in-plan
+    ``raise_error``) rather than letting its NULL chi term vanish
+    from the sum and UNDERSTATE srm_chi2 exactly when the experiment
+    is most broken.  Declared-but-unobserved variants are fine (their
+    observed count is simply 0 rows here; chi2 against them is the
+    caller's k choice)."""
     shares = F.create_map(
         *[x for kv in expected.items()
           for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
@@ -923,8 +932,16 @@ def srm_check(
         .agg(F.count("*").alias("n_units"))
     )
     tot = per_variant.agg(F.sum("n_units").alias("_n"))
+    share = shares[F.col("_v")]
+    guarded_share = F.when(
+        share.isNull(),
+        F.raise_error(F.concat(
+            F.lit("srm_check: observed variant '"), F.col("_v"),
+            F.lit("' has no share in the expected allocation"),
+        )),
+    ).otherwise(share)
     j = per_variant.crossJoin(F.broadcast(tot)).withColumn(
-        "_e", shares[F.col("_v")] * F.col("_n")
+        "_e", guarded_share * F.col("_n")
     )
     cells = j.select(
         "_v", "n_units",
@@ -946,6 +963,8 @@ def uplift_by_segment(
     variant_col: str,
     outcome_col: str,
     segment_col: str,
+    variant_a: str = "A",
+    variant_b: str = "B",
 ) -> DataFrame:
     """Per-segment experiment uplift (the heterogeneous-treatment
     readout behind every "which users did the feature help?"
@@ -956,32 +975,55 @@ def uplift_by_segment(
     sign disagrees with the pooled row is the Simpson's-paradox alarm
     this exists to surface.
 
+    Contract: the two arms are named by ``variant_a``/``variant_b``
+    (default "A"/"B").  Any row carrying ANOTHER variant label fails
+    loudly (in-plan ``raise_error`` off the pooled aggregation — no
+    extra pass): silently contributing zero units to both arms would
+    yield plausible-looking but wrong rates exactly when the caller
+    mislabeled the arms or a third arm leaked in.
+
     Shape: one (unit, segment)-grained fold (units are assumed
     segment-stable; the fold takes max flags like
     :func:`markov_transitions`'s per-entity posture), one grouped
     aggregation to the segments×variants frame, everything after runs
-    on segment-count rows.  Staged for the round-7 registry window."""
+    on segment-count rows."""
     per_unit = df.groupBy(
         F.col(segment_col).alias("_s"),
         F.col(unit_col).alias("_u"),
         F.col(variant_col).alias("_v"),
     ).agg(F.max(F.col(outcome_col).cast("int")).alias("_y"))
+    is_a = F.col("_v") == variant_a
+    is_b = F.col("_v") == variant_b
     seg = per_unit.groupBy("_s").agg(
-        F.sum((F.col("_v") == "A").cast("long")).alias("n_a"),
-        F.sum((F.col("_v") == "B").cast("long")).alias("n_b"),
-        F.sum(F.when(F.col("_v") == "A", F.col("_y")).otherwise(0))
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum(is_b.cast("long")).alias("n_b"),
+        F.sum(F.when(is_a, F.col("_y")).otherwise(0))
         .cast("long").alias("c_a"),
-        F.sum(F.when(F.col("_v") == "B", F.col("_y")).otherwise(0))
+        F.sum(F.when(is_b, F.col("_y")).otherwise(0))
         .cast("long").alias("c_b"),
     )
     total = per_unit.groupBy().agg(
-        F.sum((F.col("_v") == "A").cast("long")).alias("n_a"),
-        F.sum((F.col("_v") == "B").cast("long")).alias("n_b"),
-        F.sum(F.when(F.col("_v") == "A", F.col("_y")).otherwise(0))
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum(is_b.cast("long")).alias("n_b"),
+        F.sum(F.when(is_a, F.col("_y")).otherwise(0))
         .cast("long").alias("c_a"),
-        F.sum(F.when(F.col("_v") == "B", F.col("_y")).otherwise(0))
+        F.sum(F.when(is_b, F.col("_y")).otherwise(0))
         .cast("long").alias("c_b"),
-    ).select(F.lit("__ALL__").alias("_s"), "n_a", "n_b", "c_a", "c_b")
+        # coalesce: a NULL variant label is "other" too, not a
+        # three-valued-logic escape from the guard
+        F.sum((~F.coalesce(is_a | is_b, F.lit(False))).cast("long"))
+        .alias("_n_other"),
+    ).select(
+        F.lit("__ALL__").alias("_s"),
+        F.when(
+            F.col("_n_other") > 0,
+            F.raise_error(F.lit(
+                "uplift_by_segment: rows carry variant labels other "
+                f"than '{variant_a}'/'{variant_b}'"
+            )),
+        ).otherwise(F.col("n_a")).alias("n_a"),
+        "n_b", "c_a", "c_b",
+    )
     both = seg.unionByName(total)
     pa = F.try_divide(F.col("c_a"), F.col("n_a"))
     pb = F.try_divide(F.col("c_b"), F.col("n_b"))

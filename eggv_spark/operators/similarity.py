@@ -1006,10 +1006,10 @@ def prefix_dim_recall(
     sampling RNG).  Per dims value: one brute-force pass with
     ``F.slice``-truncated vectors composed through the existing
     :func:`brute_force_topk` / :func:`ann_recall` kernels, then a
-    1-row mean-recall rollup; output is len(dims_list)+1 rows
-    (the full-dimension baseline rides along as recall 1.0 with its
-    own row for the cost column).  Staged for the round-7 registry
-    window."""
+    1-row mean-recall rollup; output is len(dims_list)+1 rows — one
+    per candidate prefix plus the full-dimension baseline row
+    (recall 1.0 by construction, dims = the corpus's native width)
+    so the recall/cost trade-off table is self-contained."""
     queries = df.orderBy(id_col).limit(n_queries)
     exact = brute_force_topk(df, queries, k=k, vec_col=vec_col,
                              id_col=id_col)
@@ -1026,12 +1026,27 @@ def prefix_dim_recall(
         rec = ann_recall(exact, approx, k=k)
         rows.append(
             rec.agg(
-                F.lit(d).alias("dims"),
+                F.lit(d).cast("int").alias("dims"),
                 F.count("*").alias("n_queries"),
                 F.round(F.avg(f"recall_at_{k}"), 4)
                 .alias("mean_recall"),
             )
         )
+    # full-dimension baseline row: exact-vs-exact recall is 1.0 by
+    # construction, but computing it through the same kernel keeps the
+    # n_queries column honest (ties at the k-th slot etc.)
+    full_dims = df.agg(
+        F.max(F.size(F.col(vec_col))).cast("int").alias("dims")
+    )
+    rows.append(
+        ann_recall(exact, exact, k=k)
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.avg(f"recall_at_{k}"), 4).alias("mean_recall"),
+        )
+        .crossJoin(F.broadcast(full_dims))
+        .select("dims", "n_queries", "mean_recall")
+    )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -127,10 +127,17 @@ def distinct_rewrite_buffer_aggs(df) -> int:
         m = re.search(r"keys=\[([^\]]*)\]", head)
         if not m:
             continue
-        keys = m.group(1)
+        # compare WHOLE attribute references (name#exprId), not raw
+        # substrings: `x#12` must not match key `x#123`, and the
+        # buffer agg's full argument list (up to the closing paren)
+        # is scanned so a distinct column in any argument position
+        # is caught, not just the first token
+        attr = r"[A-Za-z_][A-Za-z0-9_]*#\d+"
+        key_tokens = set(re.findall(attr, m.group(1)))
         for fn in _BUFFER_AGGS:
-            for fm in re.finditer(re.escape(fn) + r"([A-Za-z0-9_#]+)", head):
-                if fm.group(1) and fm.group(1) in keys:
+            for fm in re.finditer(re.escape(fn) + r"([^)]*)", head):
+                arg_tokens = set(re.findall(attr, fm.group(1)))
+                if arg_tokens & key_tokens:
                     bad += 1
                     break
             else:

@@ -525,3 +525,113 @@ def test_schema_drift_flags_added_dropped_and_null_jump(spark):
     assert out["name"]["null_rate_drift"] == 0.5
     assert out["id"]["n_distinct_old"] == 4 and out["id"]["n_distinct_new"] == 4
     assert out["legacy"]["null_rate_drift"] is None  # one-sided column
+
+
+# ---------------------------------------------------------------------------
+# round-7 ADVICE guards (loud failure + null-key correctness)
+# ---------------------------------------------------------------------------
+
+def test_srm_raises_on_undeclared_variant(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from eggv_spark.operators.events import srm_check
+
+    rows = [("A", "u1"), ("B", "u2"), ("ROGUE", "u3")]
+    df = spark.createDataFrame(rows, ["variant", "unit"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        srm_check(df, "variant", "unit", {"A": 0.5, "B": 0.5}).collect()
+    assert "ROGUE" in str(ei.value)
+
+
+def test_srm_declared_but_unobserved_variant_is_fine(spark):
+    from eggv_spark.operators.events import srm_check
+
+    rows = [("A", "u1"), ("A", "u2"), ("B", "u3")]
+    df = spark.createDataFrame(rows, ["variant", "unit"])
+    row = srm_check(
+        df, "variant", "unit", {"A": 0.4, "B": 0.4, "C": 0.2}
+    ).collect()[0]
+    assert row["k"] == 2 and row["n_units"] == 3  # C has no observed rows
+
+
+def test_uplift_raises_on_foreign_variant_label(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from eggv_spark.operators.events import uplift_by_segment
+
+    rows = [("s", "u1", "A", 1), ("s", "u2", "B", 0),
+            ("s", "u3", "control", 1)]
+    df = spark.createDataFrame(rows, ["seg", "unit", "variant", "converted"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        uplift_by_segment(df, "unit", "variant", "converted", "seg").collect()
+
+
+def test_uplift_custom_variant_labels(spark):
+    from eggv_spark.operators.events import uplift_by_segment
+
+    rows = [("s", "u1", "control", 0), ("s", "u2", "control", 1),
+            ("s", "u3", "treatment", 1), ("s", "u4", "treatment", 1)]
+    df = spark.createDataFrame(rows, ["seg", "unit", "variant", "converted"])
+    out = {
+        r["seg"]: r for r in uplift_by_segment(
+            df, "unit", "variant", "converted", "seg",
+            variant_a="control", variant_b="treatment",
+        ).collect()
+    }
+    assert out["s"]["rate_a"] == 0.5 and out["s"]["rate_b"] == 1.0
+    assert out["__ALL__"]["lift"] == 0.5
+
+
+def test_uplift_null_variant_label_is_foreign(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from eggv_spark.operators.events import uplift_by_segment
+
+    rows = [("s", "u1", "A", 1), ("s", "u2", None, 0)]
+    df = spark.createDataFrame(rows, ["seg", "unit", "variant", "converted"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        uplift_by_segment(df, "unit", "variant", "converted", "seg").collect()
+
+
+def test_graded_sketch_aggs_keep_null_key_groups(spark):
+    from eggv_spark.operators import aggregates as AG
+
+    rows = [("g1", 1.0), ("g1", 2.0), (None, 5.0), (None, 7.0),
+            ("g2", None), ("g2", None)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in
+           AG.approx_aggregates_graded(df, ["g"], "v").collect()}
+    # NULL-key group survives the twin join (eqNullSafe)
+    assert None in out and out[None]["n_distinct_exact"] == 2
+    # all-NULL value group: exact=0, booleans TRUE (not NULL)
+    g2 = out["g2"]
+    assert g2["n_distinct_exact"] == 0
+    assert g2["distinct_ok"] is True
+    assert g2["p50_ok"] is True and g2["p90_ok"] is True
+    # normal group: distinct twin exact, booleans TOTAL (never NULL —
+    # tiny-group percentile interpolation can legitimately be False)
+    assert out["g1"]["n_distinct_exact"] == 2
+    assert out["g1"]["distinct_ok"] is True
+    assert out["g1"]["p50_ok"] is not None and out["g1"]["p90_ok"] is not None
+
+
+def test_hll_rollup_registry_handles_null_source(spark, tmp_path):
+    import __spark_entry__ as E
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "a"), (2, "beta", "a"), (3, "gamma", None),
+         (4, "delta", None), (5, "alpha", "b")],
+        ["doc_id", "text", "source"],
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           E._agg_hll_rollup(spark, str(tmp_path)).collect()}
+    assert out[None]["n_distinct_exact"] == 2  # NULL group retained
+    assert out["__ALL__"]["n_distinct_exact"] == 4
+    assert all(r["est_ok"] for r in out.values())

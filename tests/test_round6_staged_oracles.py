@@ -431,9 +431,13 @@ per_query AS (
     ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
   GROUP BY e.query_id
 )
-SELECT {d} AS dims, count(*) AS n_queries,
+SELECT CAST({d} AS INT) AS dims, count(*) AS n_queries,
        round(avg(recall), 4) AS mean_recall
 FROM per_query
+UNION ALL
+SELECT CAST((SELECT max(len(embedding)) FROM emb) AS INT) AS dims,
+       (SELECT count(DISTINCT query_id) FROM exact) AS n_queries,
+       CAST(1.0 AS DOUBLE) AS mean_recall
 """
 
 
@@ -466,16 +470,18 @@ def test_prefix_recall_oracle_matches_spark(spark, con):
     vecs = rng.randn(20, 6).round(3)
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     sdf = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    got = [
+    got = sorted(
         tuple(r) for r in
         prefix_dim_recall(sdf, dims_list=[3], k=4, n_queries=5)
         .collect()
-    ]
+    )
     con.register("emb", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
-    exp = con.execute(
+    exp = sorted(con.execute(
         PREFIX_RECALL_SQL.format(n_queries=5, k=4, d=3)
-    ).fetchall()
+    ).fetchall())
     assert got == exp
+    assert len(got) == 2  # dims=3 row + full-dimension baseline row
+    assert got[-1] == (6, 5, 1.0)  # baseline: native width, recall 1.0
 
 
 UPLIFT_SQL = """
