@@ -9956,7 +9956,17 @@ def _ddp_containment(spark, sf_dir):
     every 5th document gets a half-length truncated twin (id +
     1000000, the registry-wide twin-id convention) injected in-query; bottom-k shingle-hash blocking +
     exact intersection verification must recover the twins
-    (dedupe.containment_pairs)."""
+    (dedupe.containment_pairs).
+
+    The frequent-bucket ceiling is LIVE here (max_block_size=64): a
+    boilerplate shingle shared by B docs yields C(B,2) candidates, so
+    the 100 TB plan needs the cap on.  64 is proven output-neutral at
+    both test scales — the largest observed block is 8 members at
+    sf0.01 and 26 at sf0.1 (tests/test_round6_staged.py::
+    test_containment_cap_is_output_neutral_and_live), so the capped
+    plan emits exactly the uncapped oracle rows while bounding the
+    per-block candidate volume where a template-heavy corpus would
+    explode it."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = T.tokens_col("text")
     half = F.greatest(F.floor(F.size(toks) / 2).cast("int"), F.lit(1))
@@ -9968,7 +9978,9 @@ def _ddp_containment(spark, sf_dir):
         )
     )
     alldocs = docs.unionByName(truncated)
-    out = D.containment_pairs(alldocs, "doc_id", "text", threshold=0.8)
+    out = D.containment_pairs(
+        alldocs, "doc_id", "text", threshold=0.8, max_block_size=64
+    )
     return out.select(
         "id_a", "id_b", F.col("n_common").cast("long").alias("n_common"),
         "containment",
