@@ -2676,3 +2676,144 @@ def multiplicative_means(
             ), 6,
         ).alias("hmean"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: HHI =
+    Σ sᵢ² over contributor shares sᵢ — the standard "is this training
+    mixture / revenue base / shard layout dominated by a few
+    contributors?" gauge (1/n = perfectly even, 1.0 = single
+    contributor), with the effective contributor count 1/HHI and the
+    top share alongside.
+
+    Contributors are the distinct values one level below ``keys``
+    (the caller pre-aggregates to the contributor grain); this fold
+    is two grouped aggregations — contributor totals, then the
+    share-square sum — both map-side combinable, no window, no sort.
+    Staged for the round-8 registry window."""
+    totals = df.groupBy(*keys).agg(
+        F.sum(F.col(value_col)).alias("_tot"),
+        F.count("*").alias("n_contributors"),
+        F.max(F.col(value_col)).alias("_max"),
+    )
+    j = df.alias("d").join(F.broadcast(totals).alias("t"), list(keys))
+    return (
+        j.groupBy(*keys)
+        .agg(
+            F.any_value("n_contributors").alias("n_contributors"),
+            F.round(
+                F.sum((F.col(value_col) / F.col("_tot")) ** 2), 6
+            ).alias("hhi"),
+            F.round(F.any_value(F.col("_max") / F.col("_tot")), 6)
+            .alias("top_share"),
+        )
+        .select(
+            *keys, "n_contributors", "hhi",
+            F.round(F.try_divide(F.lit(1.0), F.col("hhi")), 4)
+            .alias("effective_n"),
+            "top_share",
+        )
+    )
+
+
+def mcc_confusion(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Binary-classification confusion readout: TP/FP/FN/TN cells
+    plus precision, recall, F1, accuracy, and the Matthews
+    correlation coefficient — the chance-corrected single number that
+    stays honest under class imbalance (where accuracy and even F1
+    mislead).  Completes the evaluation family next to agg_auc,
+    agg_pr_auc, agg_kappa, and agg_mcnemar.
+
+    One aggregation pass of four conditional counts (exact integers —
+    engine-identical), ratios assembled on the 1-row frame; the MCC
+    denominator is computed in DOUBLE before the sqrt so the 4-way
+    product of counts cannot overflow BIGINT at 100 TB row counts.
+    Staged for the round-8 registry window."""
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    cells = df.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round(F.try_divide(tp, tp + fp), 6).alias("precision"),
+        F.round(F.try_divide(tp, tp + fn), 6).alias("recall"),
+        F.round(
+            F.try_divide(2 * tp, 2 * tp + fp + fn), 6
+        ).alias("f1"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+        F.round(
+            F.try_divide(
+                tp * tn - fp * fn,
+                F.sqrt(
+                    (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                ),
+            ), 6,
+        ).alias("mcc"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) three-way decomposition —
+    reliability (calibration error, lower better), resolution
+    (discrimination, higher better), uncertainty (outcome base-rate
+    entropy): BS = REL − RES + UNC over ``n_bins`` equal-width
+    probability bins.  The companion to agg_calibration that turns
+    the calibration table into one actionable score split.
+
+    Shape: one pass for the binned means (map-side combinable), one
+    1-row global pass, assembled on the bins-sized frame.  Bin edges
+    are integer arithmetic on floor(p·n_bins) (clamped to the last
+    bin at p = 1.0) so binning is engine-exact.  Staged for the
+    round-8 registry window."""
+    p = F.col(prob_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    binned = df.select(
+        F.least(
+            F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("_bin"),
+        p.alias("_p"), y.alias("_y"),
+    )
+    per_bin = binned.groupBy("_bin").agg(
+        F.count("*").alias("_nk"),
+        F.avg("_p").alias("_pk"),
+        F.avg("_y").alias("_yk"),
+    )
+    glob = binned.agg(
+        F.count("*").alias("_n"),
+        F.avg("_y").alias("_ybar"),
+        F.avg((F.col("_p") - F.col("_y")) ** 2).alias("_bs"),
+    )
+    j = per_bin.crossJoin(F.broadcast(glob))
+    return j.agg(
+        F.any_value("_n").cast("long").alias("n"),
+        F.count("*").alias("n_bins_used"),
+        F.round(F.any_value("_bs"), 6).alias("brier"),
+        F.round(
+            F.sum(
+                F.col("_nk") * (F.col("_pk") - F.col("_yk")) ** 2
+            ) / F.any_value("_n"), 6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(
+                F.col("_nk") * (F.col("_yk") - F.col("_ybar")) ** 2
+            ) / F.any_value("_n"), 6,
+        ).alias("resolution"),
+        F.round(
+            F.any_value(F.col("_ybar") * (1 - F.col("_ybar"))), 6
+        ).alias("uncertainty"),
+    )

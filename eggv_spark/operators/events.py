@@ -1042,3 +1042,150 @@ def uplift_by_segment(
         F.round(pb - pa, 6).alias("lift"),
         F.round(F.try_divide(pb - pa, se), 4).alias("z_stat"),
     )
+
+
+def cuped_adjusted_lift(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    variant_a: str = "A",
+    variant_b: str = "B",
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): adjust
+    each unit's post-period outcome by its PRE-period covariate,
+    Y_adj = Y − θ·(X − mean(X)) with θ = cov(X, Y)/var(X) pooled
+    across arms — the standard online-experimentation trick that cuts
+    the variance of the lift estimate by the pre/post correlation²
+    without touching the point estimate's expectation.
+
+    Shape: one per-unit fold (sums of pre/post per unit), ONE pooled
+    moment aggregation (Σx, Σy, Σxy, Σx², n — map-side combinable) for
+    θ, broadcast back, then a per-arm aggregation of adjusted
+    outcomes — three passes over the UNITS frame, nothing
+    corpus-sized after the first fold.  θ and the variance-reduction
+    ratio come out alongside raw/adjusted lift so callers see what
+    the adjustment bought.  Same loud foreign-label contract as
+    :func:`uplift_by_segment`.  Staged for the round-8 registry
+    window."""
+    is_a = F.col("_v") == variant_a
+    is_b = F.col("_v") == variant_b
+    per_unit = df.groupBy(
+        F.col(unit_col).alias("_u"), F.col(variant_col).alias("_v")
+    ).agg(
+        F.sum(F.col(pre_col)).alias("_x"),
+        F.sum(F.col(post_col)).alias("_y"),
+    )
+    moments = per_unit.agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum((~F.coalesce(is_a | is_b, F.lit(False))).cast("long"))
+        .alias("_n_other"),
+    ).select(
+        "_n", "_sx", "_sy", "_sxy", "_sxx",
+        # the guard rides on _theta (consumed by every output row) —
+        # a guard on an unconsumed column would be pruned by Catalyst
+        # and never fire
+        F.when(
+            F.col("_n_other") > 0,
+            F.raise_error(F.lit(
+                "cuped_adjusted_lift: rows carry variant labels other "
+                f"than '{variant_a}'/'{variant_b}'"
+            )),
+        ).otherwise(
+            F.try_divide(
+                F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"),
+                F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"),
+            )
+        ).alias("_theta"),
+        (F.col("_sx") / F.col("_n")).alias("_xbar"),
+    )
+    adj = per_unit.crossJoin(F.broadcast(moments)).select(
+        "_v",
+        "_y",
+        (
+            F.col("_y")
+            - F.col("_theta") * (F.col("_x") - F.col("_xbar"))
+        ).alias("_y_adj"),
+        "_theta",
+    )
+    arms = adj.groupBy().agg(
+        F.any_value("_theta").alias("theta"),
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum(is_b.cast("long")).alias("n_b"),
+        F.sum(F.when(is_a, F.col("_y")).otherwise(0.0)).alias("_ya"),
+        F.sum(F.when(is_b, F.col("_y")).otherwise(0.0)).alias("_yb"),
+        F.sum(F.when(is_a, F.col("_y_adj")).otherwise(0.0)).alias("_aa"),
+        F.sum(F.when(is_b, F.col("_y_adj")).otherwise(0.0)).alias("_ab"),
+        F.var_samp("_y").alias("_vary"),
+        F.var_samp("_y_adj").alias("_varadj"),
+    )
+    return arms.select(
+        "n_a", "n_b",
+        F.round("theta", 6).alias("theta"),
+        F.round(
+            F.col("_yb") / F.col("n_b") - F.col("_ya") / F.col("n_a"), 6
+        ).alias("lift_raw"),
+        F.round(
+            F.col("_ab") / F.col("n_b") - F.col("_aa") / F.col("n_a"), 6
+        ).alias("lift_adjusted"),
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("_varadj"), F.col("_vary")), 6
+        ).alias("var_reduction"),
+    )
+
+
+def active_user_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    short_days: int = 7,
+    long_days: int = 28,
+) -> DataFrame:
+    """Rolling active-user counts — DAU plus trailing ``short_days``-
+    and ``long_days``-window actives (WAU/MAU) per day, the product-
+    analytics staple whose windowed COUNT DISTINCT Spark windows
+    don't support directly.
+
+    Shape: dedup to the (user, day) grain FIRST (the one corpus-sized
+    pass), then range-join that frame to the distinct-day spine
+    (bounded: |user-days| × long_days expansion) and run the three
+    distinct counts as three SEPARATE day-grained aggregations joined
+    back on day — NEVER as one multi-distinct agg, whose
+    distinct-rewrite Expand would triple the joined frame (the
+    agg_approx pathology, see approx_aggregates_graded).  At 100 TB
+    the user-day frame is the small one (|users|·|days|, not
+    |events|), so the expansion is bounded by long_days times that.
+    Staged for the round-8 registry window."""
+    ud = df.select(
+        F.col(user_col).alias("_u"),
+        F.to_date(F.col(ts_col)).alias("_d"),
+    ).distinct()
+    spine = ud.select("_d").distinct().select(F.col("_d").alias("day"))
+    joined = ud.join(
+        spine,
+        (F.col("_d") <= F.col("day"))
+        & (F.col("_d") > F.date_sub(F.col("day"), long_days)),
+    )
+    dau = (
+        joined.filter(F.col("_d") == F.col("day"))
+        .groupBy("day").agg(F.count_distinct("_u").alias("dau"))
+    )
+    wau = (
+        joined.filter(F.col("_d") > F.date_sub(F.col("day"), short_days))
+        .groupBy("day").agg(F.count_distinct("_u").alias("wau"))
+    )
+    mau = joined.groupBy("day").agg(F.count_distinct("_u").alias("mau"))
+    out = (
+        dau.join(wau, "day").join(mau, "day")
+        .select(
+            "day", "dau", "wau", "mau",
+            F.round(F.try_divide(F.col("dau"), F.col("mau")), 4)
+            .alias("dau_mau_ratio"),
+        )
+    )
+    return out

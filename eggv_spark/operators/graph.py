@@ -553,3 +553,88 @@ def bfs_reach(
             visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt.select("node")
     return visited.select(F.col("node").cast("int").alias("node"), "depth")
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over an
+    UNDIRECTED simple graph: Q = Σ_c (e_c/m − (d_c/2m)²), where e_c
+    is the intra-community edge count, d_c the community's total
+    degree, and m the edge count — the number that says whether the
+    partition label_propagation/wcc produced actually concentrates
+    edges (Q ≈ 0: random; Q ≳ 0.3: real structure).
+
+    Exact integer tallies end to end: canonicalize each edge once
+    (src < dst, duplicates dropped), two broadcast joins to attach
+    endpoint communities, one edges-pass for e_c and one for degrees
+    — m, e_c, d_c are all BIGINT, so the only float math is the final
+    Q formula on the communities-sized frame.  Output: one row per
+    community (e_c, d_c, its Q contribution) plus the global Q on the
+    '__ALL__' row.  Staged for the round-8 registry window."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    cmap = F.broadcast(
+        communities.select(
+            F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
+        ).distinct()
+    )
+    tagged = (
+        e.join(cmap.withColumnRenamed("_n", "_a")
+               .withColumnRenamed("_c", "_ca"), "_a")
+        .join(cmap.withColumnRenamed("_n", "_b")
+              .withColumnRenamed("_c", "_cb"), "_b")
+    )
+    m_df = tagged.agg(F.count("*").alias("_m"))
+    intra = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    degrees = (
+        tagged.select(F.col("_ca").alias("community"))
+        .unionAll(tagged.select(F.col("_cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").alias("degree_sum"))
+    )
+    per_c = (
+        degrees.join(intra, "community", "left")
+        .select(
+            "community",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+        )
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community", "intra_edges", "degree_sum",
+            F.round(
+                F.col("intra_edges") / F.col("_m")
+                - (F.col("degree_sum") / (2.0 * F.col("_m"))) ** 2,
+                6,
+            ).alias("q_contribution"),
+        )
+    )
+    total = per_c.agg(
+        F.lit("__ALL__").cast("string").alias("community_label"),
+        F.sum("intra_edges").alias("intra_edges"),
+        F.sum("degree_sum").alias("degree_sum"),
+        F.round(F.sum("q_contribution"), 6).alias("q_contribution"),
+    ).select(
+        F.col("community_label").alias("community"),
+        "intra_edges", "degree_sum", "q_contribution",
+    )
+    return per_c.select(
+        F.col("community").cast("string").alias("community"),
+        "intra_edges", "degree_sum", "q_contribution",
+    ).unionByName(total)

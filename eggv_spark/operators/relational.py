@@ -966,3 +966,66 @@ def epoch_shuffle(
     return staged.withColumn(
         "shard_pos", F.row_number().over(w)
     ).drop("_draw")
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_cents_col: Column | str,
+    n_samples: int,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling
+    (Madow 1949): order the population by a portable hash of the keys
+    (a deterministic pre-shuffle — systematic sampling needs a fixed
+    traversal order that is uncorrelated with the weights), take the
+    integer cumulative weight, and select every row whose cumulative
+    interval crosses a multiple of W/n — inclusion probability
+    exactly n·wᵢ/W for every unit with wᵢ ≤ W/n, zero RNG state.
+    The heavy-unit caveat is the classic one: a unit with wᵢ > W/n is
+    always selected (possibly crossing several skip points; it still
+    appears once).
+
+    ``weight_cents_col`` must be an INTEGER column (the caller
+    pre-scales currency to cents etc.): the running sum is then exact
+    under any partitioning, where a float cumulative sum would make
+    selection engine- and order-dependent at boundary crossings.
+
+    Shape: one hash-ordered window for the running sum (single global
+    ordering — at 100 TB shard first by a coarse stratum and sample
+    within strata, which is also statistically better), then a pure
+    filter.  Staged for the round-8 registry window."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    w = F.col(weight_cents_col) if isinstance(weight_cents_col, str) \
+        else weight_cents_col
+    h = base_hash(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols])
+    )
+    ordered = df.select(
+        *key_cols,
+        w.cast("long").alias("_w"),
+        h.alias("_h"),
+    )
+    win = Window.orderBy("_h", *key_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ordered.select(
+        *key_cols, "_w", F.sum("_w").over(win).alias("_cum")
+    )
+    tot = cum.agg(F.max("_cum").alias("_tot"))
+    # crossing test in exact integer math: (cum-1)*n div W >
+    # (cum-w-1)*n div W  <=>  a multiple of W/n lies in
+    # ((cum-w), cum]  (the -1 shifts the half-open boundary so a
+    # crossing AT cum counts exactly once).  `div` keeps the whole
+    # test in BIGINT — a double floor() would misplace boundary
+    # crossings once cum·n approaches 2^53
+    j = cum.crossJoin(F.broadcast(tot))
+    sel = j.filter(
+        F.expr(f"(_cum - 1) * {n_samples} div _tot")
+        > F.expr(f"(_cum - _w - 1) * {n_samples} div _tot")
+    )
+    return sel.select(
+        *key_cols,
+        F.col("_w").alias("weight_cents"),
+        F.col("_cum").alias("cum_weight_cents"),
+    )

@@ -947,3 +947,59 @@ def schema_drift_audit(
         ).alias("null_rate_drift"),
         "n_distinct_old", "n_distinct_new",
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE pre-flight every
+    lakehouse table needs: assign input files to output bins of
+    roughly ``target_bytes`` and report the bin layout, so a
+    compaction job can be sized (and its shuffle volume known) BEFORE
+    any data moves.
+
+    Deterministic single-pass bin assignment: files ordered by
+    (size desc, path) — large files first, the classic first-fit-
+    decreasing order — then bin = cumulative-size-before ``div``
+    target.  This is the streaming variant of FFD (each bin may
+    slightly overflow target by under one file), chosen over true
+    bin packing because it is ONE window over the files frame and
+    engine-reproducible; files larger than target get a bin of their
+    own by construction.  The files frame is metadata-sized (one row
+    per file), so the global ordering window is cheap even for a
+    million-file table; shard by table partition at larger listings.
+    Staged for the round-8 registry window."""
+    w = (
+        Window.orderBy(F.col(size_col).desc(), F.col(path_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = files.select(
+        F.col(path_col).alias("path"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    ).select(
+        "path", "size_bytes",
+        (F.sum("size_bytes").over(w) - F.col("size_bytes")).alias("_before"),
+    )
+    assigned = sized.select(
+        "path", "size_bytes",
+        F.expr(f"_before div {int(target_bytes)}").cast("int").alias("bin"),
+    )
+    return (
+        assigned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size_bytes").alias("bin_bytes"),
+            F.min("size_bytes").alias("min_file_bytes"),
+            F.max("size_bytes").alias("max_file_bytes"),
+        )
+        .select(
+            "bin", "n_files", "bin_bytes",
+            F.round(
+                F.col("bin_bytes") / F.lit(float(target_bytes)), 4
+            ).alias("fill_ratio"),
+            "min_file_bytes", "max_file_bytes",
+        )
+    )

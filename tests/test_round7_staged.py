@@ -1,0 +1,330 @@
+"""Round-7 staged operators: library additions prepared for the
+round-8 registry window (per the round-6 verdict item 7, staging
+re-opens once the round-7 window lands; these carry tests now and
+queries()/oracle_sql() entries next round): CUPED variance-reduced
+A/B readout, rolling active-user counts (DAU/WAU/MAU), HHI
+concentration, MCC confusion readout, Brier decomposition, PPS
+systematic sampling, compaction planning, and graph modularity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggv_spark.operators.aggregates import (
+    brier_decomposition,
+    hhi_concentration,
+    mcc_confusion,
+)
+from eggv_spark.operators.events import active_user_counts, cuped_adjusted_lift
+from eggv_spark.operators.graph import modularity
+from eggv_spark.operators.relational import pps_systematic_sample
+from eggv_spark.operators.tableops import compaction_plan
+
+
+# ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+
+def _cuped_naive(rows):
+    # rows: (unit, variant, pre, post) at unit grain
+    n = len(rows)
+    xs = [r[2] for r in rows]
+    ys = [r[3] for r in rows]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    adj = {r[0]: r[3] - theta * (r[2] - xbar) for r in rows}
+    a = [adj[r[0]] for r in rows if r[1] == "A"]
+    b = [adj[r[0]] for r in rows if r[1] == "B"]
+    ya = [r[3] for r in rows if r[1] == "A"]
+    yb = [r[3] for r in rows if r[1] == "B"]
+    return (
+        theta,
+        sum(yb) / len(yb) - sum(ya) / len(ya),
+        sum(b) / len(b) - sum(a) / len(a),
+    )
+
+
+def test_cuped_matches_naive(spark):
+    rows = []
+    for i in range(40):
+        pre = float(5 + (i * 7) % 13)
+        noise = float((i * 3) % 5) - 2.0
+        variant = "A" if i % 2 == 0 else "B"
+        post = 2.0 * pre + noise + (3.0 if variant == "B" else 0.0)
+        rows.append((f"u{i}", variant, pre, post))
+    df = spark.createDataFrame(rows, ["unit", "variant", "pre", "post"])
+    out = cuped_adjusted_lift(df, "unit", "variant", "pre", "post").collect()[0]
+    theta, lift_raw, lift_adj = _cuped_naive(rows)
+    assert out["n_a"] == 20 and out["n_b"] == 20
+    assert out["theta"] == pytest.approx(theta, abs=1.01e-6)
+    assert out["lift_raw"] == pytest.approx(lift_raw, abs=1.01e-6)
+    assert out["lift_adjusted"] == pytest.approx(lift_adj, abs=1.01e-6)
+    # post is mostly explained by pre -> big variance cut
+    assert out["var_reduction"] > 0.5
+
+
+def test_cuped_sums_event_rows_to_unit_grain(spark):
+    rows = [
+        ("u1", "A", 1.0, 2.0), ("u1", "A", 1.0, 2.0),  # same unit twice
+        ("u2", "B", 2.0, 5.0), ("u3", "A", 3.0, 7.0), ("u4", "B", 1.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["unit", "variant", "pre", "post"])
+    out = cuped_adjusted_lift(df, "unit", "variant", "pre", "post").collect()[0]
+    assert out["n_a"] == 2 and out["n_b"] == 2  # u1 folded to one unit
+
+
+def test_cuped_raises_on_foreign_variant(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [("u1", "A", 1.0, 2.0), ("u2", "B", 2.0, 3.0),
+            ("u3", "X", 1.0, 1.0)]
+    df = spark.createDataFrame(rows, ["unit", "variant", "pre", "post"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        cuped_adjusted_lift(df, "unit", "variant", "pre", "post").collect()
+
+
+# ---------------------------------------------------------------------------
+# active users
+# ---------------------------------------------------------------------------
+
+def test_active_user_counts_matches_naive(spark):
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(200):
+        user = f"u{i % 23}"
+        day = (i * 5) % 40
+        rows.append((user, base + dt.timedelta(days=day, hours=i % 24)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["day"]: r for r in
+           active_user_counts(df, "user_id", "ts").collect()}
+
+    days = {}
+    for user, ts in rows:
+        days.setdefault(ts.date(), set()).add(user)
+    for day, users in days.items():
+        dau = len(users)
+        wau = len(set().union(*[
+            days.get(day - dt.timedelta(days=k), set()) for k in range(7)
+        ]))
+        mau = len(set().union(*[
+            days.get(day - dt.timedelta(days=k), set()) for k in range(28)
+        ]))
+        row = out[day]
+        assert (row["dau"], row["wau"], row["mau"]) == (dau, wau, mau), day
+    assert set(out) == set(days)
+
+
+# ---------------------------------------------------------------------------
+# HHI
+# ---------------------------------------------------------------------------
+
+def test_hhi_even_and_concentrated(spark):
+    rows = [("even", f"c{i}", 10.0) for i in range(4)] + [
+        ("skew", "big", 97.0), ("skew", "s1", 1.0),
+        ("skew", "s2", 1.0), ("skew", "s3", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "contributor", "v"])
+    out = {r["g"]: r for r in hhi_concentration(df, ["g"], "v").collect()}
+    assert out["even"]["hhi"] == pytest.approx(0.25)
+    assert out["even"]["effective_n"] == pytest.approx(4.0)
+    assert out["even"]["top_share"] == pytest.approx(0.25)
+    naive = (97 / 100) ** 2 + 3 * (1 / 100) ** 2
+    assert out["skew"]["hhi"] == pytest.approx(naive, abs=1.01e-6)
+    assert out["skew"]["top_share"] == pytest.approx(0.97)
+    assert out["skew"]["n_contributors"] == 4
+
+
+# ---------------------------------------------------------------------------
+# MCC
+# ---------------------------------------------------------------------------
+
+def test_mcc_matches_naive(spark):
+    rows = [(1, 1)] * 50 + [(1, 0)] * 10 + [(0, 1)] * 5 + [(0, 0)] * 35
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    out = mcc_confusion(df, "label", "pred").collect()[0]
+    tp, fn, fp, tn = 50, 10, 5, 35
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (tp, fp, fn, tn)
+    assert out["precision"] == pytest.approx(tp / (tp + fp), abs=1e-6)
+    assert out["recall"] == pytest.approx(tp / (tp + fn), abs=1e-6)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert out["mcc"] == pytest.approx(mcc, abs=1.01e-6)
+
+
+def test_mcc_degenerate_single_class_is_null_not_error(spark):
+    df = spark.createDataFrame([(1, 1), (1, 1)], ["label", "pred"])
+    out = mcc_confusion(df, "label", "pred").collect()[0]
+    assert out["mcc"] is None  # 0/0 -> NULL via try_divide, no crash
+    assert out["accuracy"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition
+# ---------------------------------------------------------------------------
+
+def test_brier_decomposition_identity(spark):
+    rows = []
+    for i in range(500):
+        p = ((i * 37) % 100) / 100.0
+        y = 1 if ((i * 13) % 100) / 100.0 < p else 0
+        rows.append((p, y))
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    bs = sum((p - y) ** 2 for p, y in rows) / len(rows)
+    assert out["n"] == 500
+    assert out["brier"] == pytest.approx(bs, abs=1.01e-6)
+    # Murphy identity: BS = REL - RES + UNC (exact for binned p̄_k
+    # only when p is constant within bins; here it holds to bin width)
+    assert out["brier"] == pytest.approx(
+        out["reliability"] - out["resolution"] + out["uncertainty"],
+        abs=0.02,
+    )
+    assert out["uncertainty"] == pytest.approx(
+        (sum(y for _, y in rows) / 500)
+        * (1 - sum(y for _, y in rows) / 500),
+        abs=1.01e-6,
+    )
+
+
+def test_brier_p_equals_one_lands_in_last_bin(spark):
+    df = spark.createDataFrame([(1.0, 1), (0.95, 1)], ["p", "y"])
+    out = brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    assert out["n_bins_used"] == 1  # both in bin 9, no bin-10 overflow
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling
+# ---------------------------------------------------------------------------
+
+def test_pps_sample_is_deterministic_and_weight_biased(spark):
+    rows = [(f"k{i}", (1 + (i % 10)) * 100) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "w_cents"])
+    s1 = pps_systematic_sample(df, ["k"], "w_cents", n_samples=30)
+    s2 = pps_systematic_sample(
+        df.repartition(7), ["k"], "w_cents", n_samples=30
+    )
+    k1 = sorted(r["k"] for r in s1.collect())
+    k2 = sorted(r["k"] for r in s2.collect())
+    assert k1 == k2  # partition-invariant
+    assert 28 <= len(k1) <= 31  # ~n_samples selections
+    # heavy units (w=1000) should be sampled far more often than
+    # light ones (w=100): compare selection rates
+    sel = set(k1)
+    heavy = [f"k{i}" for i in range(300) if i % 10 == 9]
+    light = [f"k{i}" for i in range(300) if i % 10 == 0]
+    rate_heavy = len([k for k in heavy if k in sel]) / len(heavy)
+    rate_light = len([k for k in light if k in sel]) / len(light)
+    assert rate_heavy > rate_light
+
+
+def test_pps_inclusion_exactness_small(spark):
+    # W = 100, n = 5 -> skip = 20; one unit with w=40 (> W/n) must be
+    # selected (it spans two skip points but appears once)
+    rows = [("big", 40)] + [(f"s{i}", 4) for i in range(15)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = [r["k"] for r in
+           pps_systematic_sample(df, ["k"], "w", n_samples=5).collect()]
+    assert "big" in out
+    assert len(out) == len(set(out))  # no duplicates
+
+
+# ---------------------------------------------------------------------------
+# compaction plan
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_bins_and_fill(spark):
+    rows = [(f"f{i}", 40) for i in range(10)]  # 400 bytes total
+    df = spark.createDataFrame(rows, ["path", "size_bytes"])
+    out = sorted(
+        (r["bin"], r["n_files"], r["bin_bytes"])
+        for r in compaction_plan(df, target_bytes=100).collect()
+    )
+    # cum-before div 100: files at cum_before 0,40,80 -> bin 0 (3
+    # files), 120..180 -> bin 1, ... deterministic layout
+    assert sum(n for _, n, _ in out) == 10
+    assert sum(b for _, _, b in out) == 400
+    assert all(b <= 100 + 40 for _, _, b in out)  # overflow < one file
+
+
+def test_compaction_plan_oversized_file_gets_own_bin(spark):
+    rows = [("huge", 1000), ("a", 10), ("b", 10)]
+    df = spark.createDataFrame(rows, ["path", "size_bytes"])
+    plan = compaction_plan(df, target_bytes=100)
+    per_bin = {r["bin"]: r for r in plan.collect()}
+    # huge sorts first (size desc), occupies bins 0..9 worth of cum
+    # space; the small files land past it, never sharing its bin
+    bins_with_huge = [
+        b for b, r in per_bin.items()
+        if r["max_file_bytes"] == 1000
+    ]
+    assert len(bins_with_huge) == 1
+    assert per_bin[bins_with_huge[0]]["n_files"] == 1
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+def test_modularity_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge: strong structure
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 10))  # bridge
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    comm = spark.createDataFrame(
+        [(i, "left") for i in range(4)]
+        + [(10 + i, "right") for i in range(4)],
+        ["node", "community"],
+    )
+    out = {r["community"]: r for r in modularity(e, comm).collect()}
+    m = 13  # 6 + 6 + 1
+    assert out["left"]["intra_edges"] == 6
+    assert out["right"]["intra_edges"] == 6
+    # degree sums: clique degrees 3*4 = 12, +1 bridge endpoint each
+    assert out["left"]["degree_sum"] == 13
+    assert out["__ALL__"]["intra_edges"] == 12
+    q = sum(
+        out[c]["intra_edges"] / m - (out[c]["degree_sum"] / (2 * m)) ** 2
+        for c in ("left", "right")
+    )
+    assert out["__ALL__"]["q_contribution"] == pytest.approx(q, abs=1.01e-6)
+    assert out["__ALL__"]["q_contribution"] > 0.4  # real structure
+
+
+def test_modularity_random_labels_near_zero(spark):
+    # ring of 20 nodes, communities by parity (edges always cross) ->
+    # e_c = 0, Q = -(sum of squared degree shares) < 0
+    edges = [(i, (i + 1) % 20) for i in range(20)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    comm = spark.createDataFrame(
+        [(i, str(i % 2)) for i in range(20)], ["node", "community"]
+    )
+    out = {r["community"]: r for r in modularity(e, comm).collect()}
+    assert out["0"]["intra_edges"] == 0 and out["1"]["intra_edges"] == 0
+    assert out["__ALL__"]["q_contribution"] == pytest.approx(-0.5, abs=1e-6)
+
+
+def test_modularity_dedups_and_canonicalizes_edges(spark):
+    # duplicate + reversed + self-loop edges must count once / drop
+    edges = [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    comm = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], ["node", "community"]
+    )
+    out = {r["community"]: r for r in modularity(e, comm).collect()}
+    assert out["__ALL__"]["intra_edges"] == 1  # only (1,2)
+    assert out["__ALL__"]["degree_sum"] == 4  # 2 edges * 2 endpoints
