@@ -3711,15 +3711,29 @@ def _win_rolling_corr(spark, sf_dir):
     double formula on identical integer inputs is IEEE-identical.
     The ordering includes the VALUE columns: this table's
     (orderkey, linenumber) is not unique, and a ROWS frame under an
-    ambiguous order is engine-dependent."""
+    ambiguous order is engine-dependent.
+
+    SCALE CAVEAT: l_returnflag has THREE distinct values, so this
+    form serializes the table onto 3 window tasks — it demonstrates
+    the kernel, not the 100 TB partitioning.  The headline scale form
+    is _win_rolling_corr_supplier (same kernel, per-supplier streams,
+    parallelism = |suppliers|)."""
+    return _rolling_corr_kernel(spark, sf_dir, "l_returnflag")
+
+
+def _rolling_corr_kernel(spark, sf_dir, part_col):
+    """Shared prefix-sum rolling-correlation kernel (see
+    _win_rolling_corr for the moment-differencing derivation and the
+    determinism contract); ``part_col`` is the stream key and sets
+    the parallelism ceiling."""
     order = ["l_shipdate", "l_orderkey", "l_linenumber",
              "l_quantity", "l_extendedprice"]
-    wp = Window.partitionBy("l_returnflag").orderBy(*order)
+    wp = Window.partitionBy(part_col).orderBy(*order)
     ws = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     x = F.round(F.col("l_quantity")).cast("decimal(6,0)")
     y = F.round(F.col("l_extendedprice") * 100).cast("decimal(14,0)")
     cum = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_returnflag", *order[:1],
+        "l_orderkey", "l_linenumber", part_col, *order[:1],
         F.row_number().over(wp).alias("_rn"),
         F.sum(x).over(ws).alias("_cx"),
         F.sum(y).over(ws).alias("_cy"),
@@ -3728,13 +3742,13 @@ def _win_rolling_corr(spark, sf_dir):
         F.sum(y * y).over(ws).alias("_cyy"),
         *order[3:],
     )
-    wl = Window.partitionBy("l_returnflag").orderBy("_rn")
+    wl = Window.partitionBy(part_col).orderBy("_rn")
     # Materialize each 30-back lag ONCE: inlining F.lag inside the
     # corr formula instantiates 15 window slots (sx appears 3x, etc.)
     # — Catalyst does not dedupe window expressions.  5 slots, -14%.
     moms = ["_cx", "_cy", "_cxy", "_cxx", "_cyy"]
     lagged = cum.select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "_rn", *moms,
+        "l_orderkey", "l_linenumber", part_col, "_rn", *moms,
         *[F.lag(c, 30).over(wl).alias(c + "_l") for c in moms],
     )
 
@@ -3751,9 +3765,22 @@ def _win_rolling_corr(spark, sf_dir):
         F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), 4) + F.lit(0.0),
     )
     return lagged.select(
-        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_orderkey", "l_linenumber", part_col,
         corr.alias("rolling_corr"),
     )
+
+
+def _win_rolling_corr_supplier(spark, sf_dir):
+    """Rolling 30-row quantity/price correlation PER SUPPLIER — the
+    scale-safe headline form of the prefix-sum moment-differencing
+    kernel (_win_rolling_corr documents the O(1)/row derivation and
+    integer-exact determinism).  Partitioning by l_suppkey gives
+    |suppliers| independent streams (10k/TB-scale cardinality growing
+    with the data), so the single window shuffle fans out across the
+    cluster instead of serializing onto l_returnflag's 3 values —
+    this is the form that survives a 1000-executor 100 TB run; the
+    returnflag form stays registered as the kernel demo."""
+    return _rolling_corr_kernel(spark, sf_dir, "l_suppkey")
 
 
 def _join_bucketed(spark, sf_dir):
@@ -5552,11 +5579,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_reference_parity.py and scripts/check_correctness.py
     which runs ALL entries locally at two scales.
 
-    Round-6 window (the first 50): the 18 remaining round-4 additions
+    Round-7 window (the first 50, per the round-6 verdict items 1-4):
+    the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
+    agg_hll_rollup (their only driver rows predate the round-6
+    exact-twin rework), ddp_containment re-verified with the
+    frequent-bucket ceiling live, the TWELVE round-6-staged operators
+    registered this round (c4_line_filters, vocab_jsd,
+    bpe_train_merges, embedding_drift, epoch_shuffle, srm_check,
+    multiplicative_means, join_cardinality_estimate,
+    prefix_dim_recall, label_chi2_terms, uplift_by_segment,
+    schema_drift_audit), the new win_rolling_corr_supplier headline,
+    and 11 high-complexity r01/r02 re-verification picks.  A green
+    round 7 closes driver coverage of all 334 entries.
+
+    Round-6 window: the 18 remaining round-4 additions
     + the 32 round-5 wave-1 additions — exactly the never-driver-
     verified block the round-5 verdict ordered front-swapped
-    (VERDICT.md item 1).  After this round only the 23 wave-2/3/4
-    entries remain unverified; they are staged as the round-7 window.
+    (VERDICT.md item 1); CORRECTNESS_r06.json records 50/50 green.
 
     Round-5 window (verified 49/50 green in CORRECTNESS_r05.json):
     the 49-entry block staged at the
@@ -5643,24 +5682,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``google.protobuf`` at all, so the TWS driver-worker channel
     cannot start.
 
-    REGISTRY FREEZE (round-5 session decision, per the round-4
-    verdict): the registry holds at 321 entries through round 6 so
-    driver coverage closes mechanically — round-6 window = the 50
-    entries behind the current window (18 round-4 additions + 32
-    round-5 wave 1), round-7 window = the 23 wave-2/3/4 entries plus
-    27 free slots.  Every entry is dual-scale oracle-green
-    (CORRECTNESS_LOCAL_r05.json), plan-pinned
+    REGISTRY FREEZE, LIFTED ROUND 7: the registry held at 321 entries
+    through round 6 (round-4 verdict decision) so driver coverage
+    could close mechanically; the round-6 verdict ordered the freeze
+    lifted once the 23 wave-2/3/4 entries entered the window, which
+    this round does — the 12 staged operators plus
+    win_rolling_corr_supplier bring the registry to 334.  The
+    rotation doctrine stands: never-driver-verified entries always
+    claim the window first.  Every entry is dual-scale oracle-green
+    (CORRECTNESS_LOCAL_r0*.json), plan-pinned
     (PLAN_FINGERPRINTS.json), and cross-config partition-invariant
     (scripts/determinism_sweep.py; since round 6 with ZERO
     exceptions — the sketch queries' gradeable exact-twin forms are
     hash-invariant and fully value-oracled).
     """
     return {
-        # --- round-6 verification window (50): the 18 round-4
-        # additions + 32 round-5 wave-1 entries, front-swapped at
-        # round-6 start per the rotation protocol.  These are the
-        # never-driver-verified entries the round-5 verdict ordered
-        # verified first (VERDICT.md "Next round" item 1). ---
+        # --- round-7 verification window (50), per the round-6
+        # verdict: (1) the 23 never-driver-checked wave-2/3/4
+        # entries; (2) agg_approx + agg_hll_rollup, whose only driver
+        # rows are pre-exact-twin `no_oracle` errors (r03/r05);
+        # (3) ddp_containment, re-verified with the frequent-bucket
+        # ceiling LIVE (max_block_size=64, round-7 change);
+        # (4) the 12 round-6-staged operators, registered this round;
+        # (5) win_rolling_corr_supplier, the scale-safe headline form
+        # of the rolling-corr kernel (verdict item 4); and (6) 11
+        # re-verification picks from the r01/r02 blocks (highest-
+        # complexity plans, regression re-checks — already green). ---
+        "agg_anova": _agg_anova,
+        "agg_kruskal": _agg_kruskal,
+        "agg_levene": _agg_levene,
+        "agg_median_test": _agg_median_test,
+        "evt_burstiness": _evt_burstiness,
+        "evt_periodogram": _evt_periodogram,
+        "dt_gap_islands": _dt_gap_islands,
+        "ddp_chunk_dedup": _ddp_chunk_dedup,
+        "txt_novelty_idf": _txt_novelty_idf,
+        "txt_bigram_pmi": _txt_bigram_pmi,
+        "mm_scene_cuts": _mm_scene_cuts,
+        "agg_friedman": _agg_friedman,
+        "agg_powerlaw": _agg_powerlaw,
+        "win_bollinger": _win_bollinger,
+        "win_rsi": _win_rsi,
+        "evt_markov_entropy": _evt_markov_entropy,
+        "txt_hapax": _txt_hapax,
+        "geo_hotspot_clusters": _geo_hotspot_clusters,
+        "agg_pr_auc": _agg_pr_auc,
+        "agg_lift_chart": _agg_lift_chart,
+        "agg_kappa": _agg_kappa,
+        "agg_mcnemar": _agg_mcnemar,
+        "src_gvf_datasource": _src_gvf_datasource,
+        "agg_approx": _agg_approx,
+        "agg_hll_rollup": _agg_hll_rollup,
+        "ddp_containment": _ddp_containment,
+        "c4_line_filters": _c4_line_filters,
+        "vocab_jsd": _vocab_jsd,
+        "bpe_train_merges": _bpe_train_merges,
+        "embedding_drift": _embedding_drift,
+        "epoch_shuffle": _epoch_shuffle,
+        "srm_check": _srm_check,
+        "multiplicative_means": _multiplicative_means,
+        "join_cardinality_estimate": _join_cardinality_estimate,
+        "prefix_dim_recall": _prefix_dim_recall,
+        "label_chi2_terms": _label_chi2_terms,
+        "uplift_by_segment": _uplift_by_segment,
+        "schema_drift_audit": _schema_drift_audit,
+        "win_rolling_corr_supplier": _win_rolling_corr_supplier,
+        "flagship_token_pipeline": _flagship,
+        "composite_corpus_funnel": _composite_corpus_funnel,
+        "graph_pagerank": _graph_pagerank,
+        "ddp_minhash_neardup": _ddp_minhash_neardup,
+        "sim_ivf_pq_topk": _sim_ivf_pq_topk,
+        "stream_session_windows": _stream_session_windows,
+        "olap_q21_waiting_suppliers": _olap_q21_waiting_suppliers,
+        "evt_sessionize": _evt_sessionize,
+        "join_salted_skew": _join_salted_skew,
+        "txt_tfidf": _txt_tfidf,
+        "agg_pricing_summary": _agg_pricing_summary,
+        # --- verified in round 6 (CORRECTNESS_r06.json: 50/50 green;
+        # the 18 round-4 additions + 32 round-5 wave-1 entries) ---
         "ddp_index_dedup": _ddp_index_dedup,
         "ddp_window_dedup": _ddp_window_dedup,
         "agg_bootstrap_ci": _agg_bootstrap_ci,
@@ -5702,7 +5801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_code_detect": _txt_code_detect,
         "txt_markdown_strip": _txt_markdown_strip,
         "txt_unicode_profile": _txt_unicode_profile,
-        "ddp_containment": _ddp_containment,
         "mm_png_header": _mm_png_header,
         "tbl_delete_where": _tbl_delete_where,
         "tbl_wap_publish": _tbl_wap_publish,
@@ -5715,7 +5813,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg_hll_rollup was rows-only then — its exact-twin gradeable
         # form landed in round 6) ---
         "txt_lang_confusion": _txt_lang_confusion,
-        "sim_ivf_pq_topk": _sim_ivf_pq_topk,
         "tbl_incremental_agg": _tbl_incremental_agg,
         "smp_weighted_reservoir": _smp_weighted_reservoir,
         "srt_pareto_frontier": _srt_pareto_frontier,
@@ -5726,7 +5823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_conversion_time": _evt_conversion_time,
         "evt_event_rate": _evt_event_rate,
         "stream_incremental_agg": _stream_incremental_agg,
-        "agg_hll_rollup": _agg_hll_rollup,
         "evt_ab_test": _evt_ab_test,
         "agg_benford": _agg_benford,
         "evt_seasonal": _evt_seasonal,
@@ -5746,7 +5842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q12_ship_delay": _olap_q12_ship_delay,
         "olap_q16_supplier_counts": _olap_q16_supplier_counts,
         "olap_q20_part_promotion": _olap_q20_part_promotion,
-        "olap_q21_waiting_suppliers": _olap_q21_waiting_suppliers,
         "graph_triangles": _graph_triangles,
         "agg_auc": _agg_auc,
         "agg_welch": _agg_welch,
@@ -5754,7 +5849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_vocab_coverage": _txt_vocab_coverage,
         "ddp_semdedup": _ddp_semdedup,
         "agg_calibration": _agg_calibration,
-        "composite_corpus_funnel": _composite_corpus_funnel,
         "smp_kfold": _smp_kfold,
         "win_drawdown": _win_drawdown,
         "agg_psi": _agg_psi,
@@ -5797,7 +5891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q18_large_orders": _olap_q18_large_orders,
         "olap_q19_disjunctive": _olap_q19_disjunctive,
         "olap_q22_idle_customers": _olap_q22_idle_customers,
-        "graph_pagerank": _graph_pagerank,
         "graph_degree_stats": _graph_degree_stats,
         "agg_linreg": _agg_linreg,
         "sim_int8_quantize": _sim_int8_quantize,
@@ -5820,7 +5913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_hashed_features": _txt_hashed_features,
         # --- verified in round 3 (CORRECTNESS_r03.json: 48/50 green) ---
         "join_cross": _join_cross,
-        "agg_approx": _agg_approx,
         "txt_chunk": _txt_chunk,
         "txt_pack_sequences": _txt_pack_sequences,
         "smp_stratified": _smp_stratified,
@@ -5877,11 +5969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_repetition": _txt_repetition,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_url_parse": _txt_url_parse,
-        "txt_tfidf": _txt_tfidf,
         "txt_unigram_lm": _txt_unigram_lm,
         "txt_quality_filter": _txt_quality_filter,
         "ddp_exact_hash": _ddp_exact_hash,
-        "ddp_minhash_neardup": _ddp_minhash_neardup,
         "ddp_simhash": _ddp_simhash,
         "ddp_simhash_neardup": _ddp_simhash_neardup,
         "ddp_ngram_jaccard": _ddp_ngram_jaccard,
@@ -5895,7 +5985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": _mm_video_frames,
         "stream_tumbling_window": _stream_tumbling,
         "stream_user_totals": _stream_user_totals,
-        "stream_session_windows": _stream_session_windows,
         "stream_dedupe": _stream_dedupe,
         "stream_view_click_join": _stream_view_click,
         "sub_exists": _sub_exists,
@@ -5921,7 +6010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_null_safe": _join_null_safe,
         "smp_systematic": _smp_systematic,
         # --- verified in round 1 (CORRECTNESS_r01.json: 50/50 green) ---
-        "flagship_token_pipeline": _flagship,
         "composite_shipping_priority": _composite_shipping_priority,
         "src_scan": _src_scan,
         "prj_projection": _prj_projection,
@@ -5963,37 +6051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_dedup_keys": _ddp_dedup_keys,
         "ddp_first_by_key": _ddp_first_by_key,
         "ddp_dedup_composite": _ddp_dedup_composite,
-        "agg_pricing_summary": _agg_pricing_summary,
         "win_topk_per_group": _win_topk_per_group,
         "evt_tumbling_window": _evt_tumbling_window,
         "evt_sliding_window": _evt_sliding_window,
         "evt_gapfill": _evt_gapfill,
-        "join_salted_skew": _join_salted_skew,
-        "evt_sessionize": _evt_sessionize,
-        # --- round-5 wave 2 (round-7 verification queue) ---
-        "agg_anova": _agg_anova,
-        "agg_kruskal": _agg_kruskal,
-        "agg_levene": _agg_levene,
-        "agg_median_test": _agg_median_test,
-        "evt_burstiness": _evt_burstiness,
-        "evt_periodogram": _evt_periodogram,
-        "dt_gap_islands": _dt_gap_islands,
-        "ddp_chunk_dedup": _ddp_chunk_dedup,
-        "txt_novelty_idf": _txt_novelty_idf,
-        "txt_bigram_pmi": _txt_bigram_pmi,
-        "mm_scene_cuts": _mm_scene_cuts,
-        "agg_friedman": _agg_friedman,
-        "agg_powerlaw": _agg_powerlaw,
-        "win_bollinger": _win_bollinger,
-        "win_rsi": _win_rsi,
-        "evt_markov_entropy": _evt_markov_entropy,
-        "txt_hapax": _txt_hapax,
-        "geo_hotspot_clusters": _geo_hotspot_clusters,
-        "agg_pr_auc": _agg_pr_auc,
-        "agg_lift_chart": _agg_lift_chart,
-        "agg_kappa": _agg_kappa,
-        "agg_mcnemar": _agg_mcnemar,
-        "src_gvf_datasource": _src_gvf_datasource,
     }
 
 
@@ -8307,6 +8368,42 @@ def oracle_sql() -> dict[str, str]:
             "   + 0 ELSE NULL END AS rolling_corr"
             " FROM d"
         ),
+        "win_rolling_corr_supplier": (
+            # same prefix-sum kernel, per-supplier streams (the
+            # scale-safe headline form) — see _win_rolling_corr_supplier
+            "WITH b AS (SELECT l_orderkey, l_linenumber, l_suppkey,"
+            "  CAST(round(l_quantity) AS BIGINT) AS x,"
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) AS y,"
+            "  l_shipdate FROM lineitem),"
+            " c AS (SELECT l_orderkey, l_linenumber, l_suppkey,"
+            "  row_number() OVER w AS rn,"
+            "  sum(x) OVER wc AS cx, sum(y) OVER wc AS cy,"
+            "  sum(x * y) OVER wc AS cxy, sum(x * x) OVER wc AS cxx,"
+            "  sum(y * y) OVER wc AS cyy"
+            " FROM b WINDOW"
+            "  w AS (PARTITION BY l_suppkey ORDER BY l_shipdate,"
+            "   l_orderkey, l_linenumber, x, y),"
+            "  wc AS (PARTITION BY l_suppkey ORDER BY l_shipdate,"
+            "   l_orderkey, l_linenumber, x, y"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),"
+            " d AS (SELECT l_orderkey, l_linenumber, l_suppkey,"
+            "  CAST(least(rn, 30) AS DOUBLE) AS n,"
+            "  CAST(cx - coalesce(lag(cx, 30) OVER wr, 0) AS DOUBLE) AS sx,"
+            "  CAST(cy - coalesce(lag(cy, 30) OVER wr, 0) AS DOUBLE) AS sy,"
+            "  CAST(cxy - coalesce(lag(cxy, 30) OVER wr, 0) AS DOUBLE)"
+            "   AS sxy,"
+            "  CAST(cxx - coalesce(lag(cxx, 30) OVER wr, 0) AS DOUBLE)"
+            "   AS sxx,"
+            "  CAST(cyy - coalesce(lag(cyy, 30) OVER wr, 0) AS DOUBLE)"
+            "   AS syy"
+            " FROM c WINDOW wr AS (PARTITION BY l_suppkey ORDER BY rn))"
+            " SELECT l_orderkey, l_linenumber, l_suppkey,"
+            " CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            "  THEN round((n * sxy - sx * sy)"
+            "   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)"
+            "   + 0 ELSE NULL END AS rolling_corr"
+            " FROM d"
+        ),
         "join_bucketed": (
             "SELECT c_mktsegment, count(*) AS n_orders,"
             " round(sum(o_totalprice), 2) AS total_price"
@@ -9189,6 +9286,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
     })
+    base.update(_r7_oracles())
     return base
 
 
@@ -11004,3 +11102,569 @@ _R5W4_ORACLES = {
         " FROM nation"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: the twelve staged operators (round-6 session)
+# + the scale-safe rolling-corr headline.  Oracle SQL lifted from the
+# pre-validated drafts in tests/test_round6_staged_oracles.py.
+# ---------------------------------------------------------------------------
+
+def _c4_line_filters(spark, sf_dir):
+    """C4-style line filtering (text_analysis.c4_line_filters).  The
+    synthetic documents.text is single-line and punctuation-free, so
+    line structure is SYNTHESIZED in-plan (both engines run the same
+    formula): five lines of six tokens each — terminal '.', no
+    terminal punct, terminal '!', a javascript-marker line on every
+    5th doc (else terminal '.'), terminal '?' — exercising the
+    terminal-punctuation, min-words, and boilerplate-marker gates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.split(F.col("text"), " ")
+
+    def seg(start):
+        return F.concat_ws(" ", F.slice(tk, start, 6))
+
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(seg(1), F.lit(".")),
+            seg(7),
+            F.concat(seg(13), F.lit("!")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("click here to enable javascript now."),
+            ).otherwise(F.concat(seg(19), F.lit("."))),
+            F.concat(seg(25), F.lit("?")),
+        ).alias("text"),
+    )
+    return T.c4_line_filters(synth)
+
+
+def _vocab_jsd(spark, sf_dir):
+    """Unigram Jensen-Shannon divergence between the src0 and src1
+    corpus slices (text_analysis.vocab_jsd) — the binning-free drift
+    monitor next to PSI."""
+    return T.vocab_jsd(
+        _t(spark, sf_dir, "documents"), "source", "text", "src0", "src1"
+    )
+
+
+def _bpe_train_merges(spark, sf_dir):
+    """First 6 BPE merge steps trained on the documents corpus
+    (text_analysis.bpe_train_merges) — vocabulary-sized pair counts,
+    broadcast argmax, array-fold merge; no driver-side collect."""
+    return T.bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _embedding_drift(spark, sf_dir):
+    """Centroid cosine/L2 drift between the label-0 and label-1
+    embedding slices (similarity.embedding_drift)."""
+    return S.embedding_drift(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding", 0, 1
+    )
+
+
+def _epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-3 shuffle of the orders keys into 8 shards
+    (relational.epoch_shuffle): portable md5 draw, no global sort."""
+    return R.epoch_shuffle(
+        _t(spark, sf_dir, "orders").select("o_orderkey"),
+        ["o_orderkey"], epoch=3, n_shards=8,
+    )
+
+
+def _srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate on the md5 50/50 user split
+    (events.srm_check) — the same portable assignment as evt_ab_test,
+    checked for allocation health before the readout is trusted."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import srm_check
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(
+            base_hash(F.col("user_id").cast("string")) % 2 == 0, "A"
+        ).otherwise("B").alias("variant"),
+        F.col("user_id").alias("unit"),
+    )
+    return srm_check(ev, "variant", "unit", {"A": 0.5, "B": 0.5})
+
+
+def _multiplicative_means(spark, sf_dir):
+    """Geometric/harmonic means of lineitem quantity per returnflag
+    (aggregates.multiplicative_means) — map-side-combinable moment
+    folds, no sorting."""
+    return AG.multiplicative_means(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity"
+    )
+
+
+def _join_cardinality_estimate(spark, sf_dir):
+    """Pre-flight exact cardinality audit of lineitem ⋈ part on
+    partkey (tableops.join_cardinality_estimate): total output size +
+    the 10 heaviest keys, from two key histograms."""
+    return TO.join_cardinality_estimate(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        "l_partkey", "p_partkey",
+    )
+
+
+def _prefix_dim_recall(spark, sf_dir):
+    """Matryoshka serving-dimension evaluation
+    (similarity.prefix_dim_recall): recall@5 of 8- and 16-dim prefix
+    truncations against the exact 64-dim top-5, 20 fixed queries
+    (vec_id < 20 — a pushed-down predicate scan, no sort; the
+    synthetic ids are dense from 0), plus the full-dimension baseline
+    row."""
+    return S.prefix_dim_recall(
+        _t(spark, sf_dir, "embeddings"), dims_list=[8, 16], k=5,
+        n_queries=20, query_pred=F.col("vec_id") < 20,
+    )
+
+
+def _label_chi2_terms(spark, sf_dir):
+    """Top-5 chi-square discriminative terms per source label over
+    document frequencies (text_analysis.label_chi2_terms),
+    min_doc_freq=10."""
+    return T.label_chi2_terms(
+        _t(spark, sf_dir, "documents"), label_col="source",
+        text_col="text", top_n=5, min_doc_freq=10,
+    )
+
+
+def _uplift_by_segment(spark, sf_dir):
+    """Per-segment A/B uplift readout (events.uplift_by_segment):
+    md5 50/50 user split, high-value-purchase conversion, segments =
+    user_id mod 4 — per-segment rates/lift/z plus the pooled __ALL__
+    row from one plan."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import uplift_by_segment
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string"))
+        .alias("seg"),
+        F.col("user_id").alias("unit"),
+        F.when(
+            base_hash(F.col("user_id").cast("string")) % 2 == 0, "A"
+        ).otherwise("B").alias("variant"),
+        (
+            (F.col("event_type") == "purchase") & (F.col("value") > 450)
+        ).cast("int").alias("converted"),
+    )
+    return uplift_by_segment(ev, "unit", "variant", "converted", "seg")
+
+
+def _schema_drift_audit(spark, sf_dir):
+    """Column-level drift audit between two synthesized customer
+    snapshots (tableops.schema_drift_audit): old carries c_acctbal,
+    new drops it, adds c_mktsegment, halves the rows, and nulls
+    c_name on every 4th key — added/dropped columns and the null-rate
+    jump are the silent-producer-breakage signals this surfaces."""
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", "c_name", "c_acctbal")
+    new = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 4 == 0, F.lit(None).cast("string")
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+    )
+    return TO.schema_drift_audit(old, new)
+
+
+def _bpe_oracle_step_sql(i: int) -> str:
+    """One BPE merge step as a DuckDB CTE pair (see
+    tests/test_round6_staged_oracles.py for the pipe-delimited
+    double-space encoding that keeps the string replace greedy and
+    boundary-unambiguous)."""
+    return f"""
+pairs{i} AS (
+  SELECT u.p[1] AS a, u.p[2] AS b, sum(w.f) AS cnt
+  FROM words{i - 1} w,
+       unnest(list_zip(w.syms[1:len(w.syms)-1], w.syms[2:len(w.syms)]))
+         AS u(p)
+  WHERE len(w.syms) >= 2
+  GROUP BY u.p[1], u.p[2]
+),
+best{i} AS (
+  SELECT a, b, cnt FROM pairs{i} ORDER BY cnt DESC, a, b LIMIT 1
+),
+words{i} AS (
+  SELECT list_transform(
+           string_split(
+             replace(w.seq, '|' || bb.a || '|  |' || bb.b || '|',
+                     '|' || bb.a || bb.b || '|'), '  '),
+           s -> trim(s, '|')) AS syms,
+         replace(w.seq, '|' || bb.a || '|  |' || bb.b || '|',
+                 '|' || bb.a || bb.b || '|') AS seq,
+         w.f AS f
+  FROM words{i - 1} w, best{i} bb
+)"""
+
+
+def _bpe_oracle_sql(n_steps: int) -> str:
+    sql = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS w FROM documents
+),
+words0 AS (
+  SELECT string_split(w, '') AS syms,
+         '|' || array_to_string(string_split(w, ''), '|  |') || '|'
+           AS seq,
+         count(*) AS f
+  FROM toks GROUP BY w
+)"""
+    for i in range(1, n_steps + 1):
+        sql += "," + _bpe_oracle_step_sql(i)
+    sql += "\nSELECT * FROM (" + " UNION ALL BY NAME ".join(
+        f"SELECT {i} AS step, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM best{i}"
+        for i in range(1, n_steps + 1)
+    ) + ") ORDER BY step"
+    return sql
+
+
+def _prefix_recall_block_sql(d: int, k: int) -> str:
+    """Per-dims recall block over the shared exact/queries CTEs."""
+    return f"""
+SELECT CAST({d} AS INT) AS dims, count(*) AS n_queries,
+       round(avg(recall), 4) AS mean_recall
+FROM (
+  SELECT e.query_id,
+         count(a.neighbor_id) / CAST({k} AS DOUBLE) AS recall
+  FROM exact e
+  LEFT JOIN (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(
+                      list_dot_product(q.embedding[1:{d}],
+                                       c.embedding[1:{d}])
+                      / (sqrt(list_dot_product(q.embedding[1:{d}],
+                                               q.embedding[1:{d}]))
+                         * sqrt(list_dot_product(c.embedding[1:{d}],
+                                                 c.embedding[1:{d}]))),
+                      4) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM emb c CROSS JOIN queries q
+    WHERE c.vec_id <> q.vec_id
+    QUALIFY rank <= {k}
+  ) a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)"""
+
+
+def _prefix_recall_oracle(dims_list, k, n_queries) -> str:
+    blocks = " UNION ALL ".join(
+        _prefix_recall_block_sql(d, k) for d in dims_list
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+             FROM embeddings),
+queries AS (SELECT vec_id, embedding FROM emb
+            WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.embedding, c.embedding)
+                    / (sqrt(list_dot_product(q.embedding, q.embedding))
+                       * sqrt(list_dot_product(c.embedding,
+                                               c.embedding))), 4) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM emb c CROSS JOIN queries q
+  WHERE c.vec_id <> q.vec_id
+  QUALIFY rank <= {k}
+)
+{blocks}
+UNION ALL
+SELECT CAST((SELECT max(len(embedding)) FROM emb) AS INT) AS dims,
+       (SELECT count(DISTINCT query_id) FROM exact) AS n_queries,
+       CAST(1.0 AS DOUBLE) AS mean_recall
+"""
+
+
+_AB_VARIANT_SQL = (
+    "CASE WHEN CAST(concat('0x',"
+    " substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 2 = 0 THEN 'A' ELSE 'B' END"
+)
+
+
+def _r7_oracles() -> dict[str, str]:
+    """Oracle SQL for the round-7 registrations (pre-validated
+    engine-vs-DuckDB in tests/test_round6_staged_oracles.py; the
+    fixture tables/parameters here mirror the registry queries)."""
+    # coalesce(...,''): DuckDB array_to_string([]) is NULL (concat_ws
+    # would drop the line) where Spark concat_ws of an empty slice is
+    # '' (line kept) — the empty-string wrap aligns the engines
+    c4 = r"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+d AS (SELECT doc_id, concat_ws(chr(10),
+   coalesce(array_to_string(t[1:6], ' '), '') || '.',
+   coalesce(array_to_string(t[7:12], ' '), ''),
+   coalesce(array_to_string(t[13:18], ' '), '') || '!',
+   CASE WHEN doc_id % 5 = 0 THEN 'click here to enable javascript now.'
+        ELSE coalesce(array_to_string(t[19:24], ' '), '') || '.' END,
+   coalesce(array_to_string(t[25:30], ' '), '') || '?') AS text FROM tk),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+k AS (SELECT doc_id, lines, list_filter(lines, l ->
+        regexp_matches(trim(l), '[.!?"’”]$')
+        AND len(string_split_regex(trim(l), '\s+')) >= 3
+        AND NOT contains(lower(trim(l)), '{')
+        AND NOT contains(lower(trim(l)), 'lorem ipsum')
+        AND NOT contains(lower(trim(l)), 'javascript')) AS kept FROM s)
+SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       len(kept) >= 3 AS page_ok,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k
+"""
+    jsd_term = (
+        "CASE WHEN ca > 0 THEN 0.5 * (ca/na)"
+        " * ln((ca/na) / ((ca/na + cb/nb)/2)) ELSE 0 END"
+        " + CASE WHEN cb > 0 THEN 0.5 * (cb/nb)"
+        " * ln((cb/nb) / ((ca/na + cb/nb)/2)) ELSE 0 END"
+    )
+    vocab_jsd = f"""
+WITH toks AS (
+  SELECT source AS g, unnest({_TOKS_SQL}) AS tok
+  FROM documents WHERE source IN ('src0', 'src1')
+), counts AS (
+  SELECT tok,
+         sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+  FROM toks GROUP BY tok
+), tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts)
+SELECT CAST(any_value(na) AS BIGINT) AS n_tokens_a,
+       CAST(any_value(nb) AS BIGINT) AS n_tokens_b,
+       count(*) AS vocab_union,
+       CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+       CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+       round(sum({jsd_term}), 6) AS jsd_nats,
+       round(sum({jsd_term}) / 0.6931471805599453, 6) AS jsd_normalized
+FROM counts, tot
+"""
+    emb_drift = """
+WITH e AS (SELECT label AS g, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings WHERE label IN (0, 1)),
+pairs AS (
+  SELECT g, u.p[2] AS d, u.p[1] AS x
+  FROM e, unnest(list_zip(vec, range(1, len(vec) + 1))) AS u(p)
+), per_dim AS (
+  SELECT g, d, avg(x) AS m, count(*) AS n FROM pairs GROUP BY g, d
+), cents AS (
+  SELECT g, list(m ORDER BY d) AS c, max(n) AS nvecs
+  FROM per_dim GROUP BY g
+), j AS (
+  SELECT a.c AS ca, a.nvecs AS n_a, b.c AS cb, b.nvecs AS n_b
+  FROM (SELECT * FROM cents WHERE g = 0) a,
+       (SELECT * FROM cents WHERE g = 1) b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(len(ca) AS INT) AS dims,
+       round(list_dot_product(ca, cb)
+             / (sqrt(list_dot_product(ca, ca))
+                * sqrt(list_dot_product(cb, cb))), 6) AS centroid_cosine,
+       round(sqrt(list_dot_product(
+           list_transform(list_zip(ca, cb), p -> p[1] - p[2]),
+           list_transform(list_zip(ca, cb), p -> p[1] - p[2]))), 6)
+         AS centroid_l2
+FROM j
+"""
+    epoch_shuffle = """
+WITH drawn AS (
+  SELECT o_orderkey,
+         md5('3' || '|' || CAST(o_orderkey AS VARCHAR)) AS draw
+  FROM orders
+), sharded AS (
+  SELECT o_orderkey, draw,
+         CAST(CAST('0x' || substr(draw, 1, 8) AS BIGINT) % 8 AS INT)
+           AS shard
+  FROM drawn
+)
+SELECT o_orderkey, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY draw, o_orderkey) AS INT)
+         AS shard_pos
+FROM sharded
+"""
+    srm = f"""
+WITH v AS (SELECT {_AB_VARIANT_SQL} AS variant, user_id AS unit
+           FROM events),
+per AS (
+  SELECT variant, count(DISTINCT unit) AS n_units FROM v GROUP BY variant
+), tot AS (SELECT sum(n_units) AS n FROM per)
+SELECT count(*) AS k, CAST(sum(n_units) AS BIGINT) AS n_units,
+       round(sum(pow(n_units - 0.5 * (SELECT n FROM tot), 2)
+                 / (0.5 * (SELECT n FROM tot))), 4) AS srm_chi2,
+       count(*) - 1 AS dof
+FROM per
+"""
+    mult_means = """
+SELECT l_returnflag, count(l_quantity) AS n,
+       count(CASE WHEN l_quantity > 0 THEN l_quantity END) AS n_positive,
+       round(avg(l_quantity), 6) AS mean,
+       round(exp(avg(CASE WHEN l_quantity > 0 THEN ln(l_quantity) END)),
+             6) AS gmean,
+       round(count(CASE WHEN l_quantity > 0 THEN l_quantity END)
+             / sum(CASE WHEN l_quantity > 0
+                        THEN 1.0/l_quantity END), 6) AS hmean
+FROM lineitem GROUP BY l_returnflag
+"""
+    join_card = """
+WITH la AS (SELECT l_partkey AS key, count(*) AS ca
+            FROM lineitem GROUP BY l_partkey),
+     rb AS (SELECT p_partkey AS key, count(*) AS cb
+            FROM part GROUP BY p_partkey),
+     j2 AS (SELECT coalesce(la.key, rb.key) AS key,
+                   coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+                   coalesce(ca, 0) * coalesce(cb, 0) AS outn
+            FROM la FULL OUTER JOIN rb ON la.key = rb.key),
+     total AS (
+       SELECT CAST(0 AS INT) AS rank, '__TOTAL__' AS key,
+              CAST(sum(outn) AS BIGINT) AS est_rows,
+              CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched_keys,
+              CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_left_only_keys,
+              CAST(sum(CASE WHEN ca = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_right_only_keys
+       FROM j2),
+     heavy AS (
+       SELECT CAST(row_number() OVER (ORDER BY outn DESC, key) AS INT)
+                AS rank,
+              CAST(key AS VARCHAR) AS key,
+              CAST(outn AS BIGINT) AS est_rows,
+              CAST(NULL AS BIGINT) AS n_matched_keys,
+              CAST(NULL AS BIGINT) AS n_left_only_keys,
+              CAST(NULL AS BIGINT) AS n_right_only_keys
+       FROM j2 WHERE outn > 0 QUALIFY rank <= 10)
+SELECT * FROM total UNION ALL BY NAME SELECT * FROM heavy
+"""
+    label_chi2 = f"""
+WITH docs AS (
+  SELECT source AS l, list_distinct({_TOKS_SQL}) AS toks FROM documents
+), pairs AS (
+  SELECT l, unnest(toks) AS t FROM docs
+), n_docs AS (SELECT count(*) AS n FROM docs),
+per_label AS (SELECT l, count(*) AS nl FROM docs GROUP BY l),
+per_term AS (SELECT t, count(*) AS dt FROM pairs GROUP BY t),
+cell AS (SELECT l, t, count(*) AS a FROM pairs GROUP BY l, t),
+j AS (
+  SELECT c.l, c.t, c.a, pt.dt, pl.nl, nd.n
+  FROM cell c
+  JOIN per_term pt ON c.t = pt.t
+  JOIN per_label pl ON c.l = pl.l
+  CROSS JOIN n_docs nd
+  WHERE pt.dt >= 10
+), scored AS (
+  SELECT l AS source, t AS term, a AS label_doc_freq,
+         dt AS corpus_doc_freq,
+         round(
+           CASE WHEN (a + (dt - a)) * ((nl - a) + (n - dt - nl + a))
+                     * (a + (nl - a)) * ((dt - a) + (n - dt - nl + a)) = 0
+                THEN NULL
+                ELSE n * pow(a * (n - dt - nl + a)
+                             - (dt - a) * (nl - a), 2)
+                     / ((a + (dt - a)) * ((nl - a) + (n - dt - nl + a))
+                        * (a + (nl - a))
+                        * ((dt - a) + (n - dt - nl + a)))
+           END, 4) AS chi2
+  FROM j
+)
+SELECT source, term, label_doc_freq, corpus_doc_freq, chi2,
+       CAST(row_number() OVER (PARTITION BY source
+              ORDER BY chi2 DESC NULLS LAST, term) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+    uplift = f"""
+WITH ev AS (
+  SELECT concat('s', CAST(user_id % 4 AS VARCHAR)) AS seg,
+         user_id AS unit, {_AB_VARIANT_SQL} AS variant,
+         CASE WHEN event_type = 'purchase' AND value > 450
+              THEN 1 ELSE 0 END AS converted
+  FROM events
+), per_unit AS (
+  SELECT seg AS s, unit AS u, variant AS v, max(converted) AS y
+  FROM ev GROUP BY seg, unit, variant
+), seg AS (
+  SELECT s,
+         CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN v = 'A' THEN y ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN v = 'B' THEN y ELSE 0 END) AS BIGINT) AS c_b
+  FROM per_unit GROUP BY s
+), total AS (
+  SELECT '__ALL__' AS s, CAST(sum(n_a) AS BIGINT) AS n_a,
+         CAST(sum(n_b) AS BIGINT) AS n_b,
+         CAST(sum(c_a) AS BIGINT) AS c_a,
+         CAST(sum(c_b) AS BIGINT) AS c_b
+  FROM seg
+), combined AS (
+  SELECT * FROM seg UNION ALL BY NAME SELECT * FROM total
+)
+SELECT s AS seg, n_a, n_b,
+       round(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(c_b / CAST(n_b AS DOUBLE)
+             - c_a / CAST(n_a AS DOUBLE), 6) AS lift,
+       round(
+         CASE WHEN sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0/n_a + 1.0/n_b)) = 0 THEN NULL
+              ELSE (c_b / CAST(n_b AS DOUBLE)
+                    - c_a / CAST(n_a AS DOUBLE))
+                   / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                          * (1 - (c_a + c_b)
+                               / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0/n_a + 1.0/n_b))
+         END, 4) AS z_stat
+FROM combined
+"""
+
+    def _drift_block(table: str, cols: list[str]) -> str:
+        return " UNION ALL ".join(
+            f"SELECT '{c}' AS col,"
+            f" round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" / CAST(count(*) AS DOUBLE), 6) AS nr,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS nd FROM {table}"
+            for c in cols
+        )
+
+    schema_drift = f"""
+WITH o AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+n AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name END
+               AS c_name,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 2 = 0),
+po AS ({_drift_block("o", ["c_custkey", "c_name", "c_acctbal"])}),
+pn AS ({_drift_block("n", ["c_custkey", "c_name", "c_mktsegment"])})
+SELECT coalesce(po.col, pn.col) AS "column",
+       po.nr IS NOT NULL AS in_old,
+       pn.nr IS NOT NULL AS in_new,
+       po.nr AS null_rate_old, pn.nr AS null_rate_new,
+       round(pn.nr - po.nr, 6) AS null_rate_drift,
+       po.nd AS n_distinct_old, pn.nd AS n_distinct_new
+FROM po FULL OUTER JOIN pn ON po.col = pn.col
+"""
+    return {
+        "c4_line_filters": c4,
+        "vocab_jsd": vocab_jsd,
+        "bpe_train_merges": _bpe_oracle_sql(6),
+        "embedding_drift": emb_drift,
+        "epoch_shuffle": epoch_shuffle,
+        "srm_check": srm,
+        "multiplicative_means": mult_means,
+        "join_cardinality_estimate": join_card,
+        "prefix_dim_recall": _prefix_recall_oracle([8, 16], 5, 20),
+        "label_chi2_terms": label_chi2,
+        "uplift_by_segment": uplift,
+        "schema_drift_audit": schema_drift,
+    }

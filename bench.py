@@ -70,6 +70,12 @@ HEADLINE = [
     "graph_kcore",
     "ddp_containment",
     "mm_png_header",
+    # round-7 additions: the scale-safe rolling-corr headline
+    # (per-supplier streams — parallelism = |suppliers|, vs the
+    # 3-stream returnflag demo) and the epoch shuffle (window over
+    # n_shards hash partitions, the data-loader permutation op)
+    "win_rolling_corr_supplier",
+    "epoch_shuffle",
 ]
 
 

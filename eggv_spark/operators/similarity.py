@@ -956,13 +956,24 @@ def embedding_drift(
         ).alias("_c"),
         F.max("_n").alias("_nvecs"),
     )
-    a = cents.filter(F.col("_g") == slice_a).select(
-        F.col("_c").alias("_ca"), F.col("_nvecs").alias("n_a")
+    # fold the (≤2)-row centroid frame to ONE row with a keys=[]
+    # aggregate instead of filter+crossJoin: one fewer join, and the
+    # plan is mechanically provable as bounded (scripts/plan_lint.py
+    # BNLJ gate) rather than bounded-by-inspection
+    j = cents.agg(
+        F.any_value(
+            F.when(F.col("_g") == slice_a, F.col("_c")), True
+        ).alias("_ca"),
+        F.any_value(
+            F.when(F.col("_g") == slice_a, F.col("_nvecs")), True
+        ).alias("n_a"),
+        F.any_value(
+            F.when(F.col("_g") == slice_b, F.col("_c")), True
+        ).alias("_cb"),
+        F.any_value(
+            F.when(F.col("_g") == slice_b, F.col("_nvecs")), True
+        ).alias("n_b"),
     )
-    b = cents.filter(F.col("_g") == slice_b).select(
-        F.col("_c").alias("_cb"), F.col("_nvecs").alias("n_b")
-    )
-    j = a.crossJoin(F.broadcast(b))
     dot = F.aggregate(
         F.zip_with("_ca", "_cb", lambda x, y: x * y),
         F.lit(0.0), lambda acc, v: acc + v,
@@ -994,6 +1005,7 @@ def prefix_dim_recall(
     n_queries: int = 20,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    query_pred: Column | None = None,
 ) -> DataFrame:
     """Matryoshka-style serving-dimension evaluation (Kusupati et al.
     2022): recall@k of brute-force search over PREFIX-truncated
@@ -1002,15 +1014,23 @@ def prefix_dim_recall(
     dimension that still hits the recall target (truncating 64→16
     dims quarters memory and flops for every downstream index).
 
-    Queries are the ``n_queries`` lowest ids (deterministic, no
-    sampling RNG).  Per dims value: one brute-force pass with
+    Queries: pass ``query_pred`` (a deterministic predicate, e.g.
+    ``F.col("vec_id") < 20``) and the query batch is a PUSHED-DOWN
+    filter scan — the 100 TB shape, no sort anywhere.  Without it,
+    the ``n_queries`` lowest ids are taken via orderBy().limit(),
+    which as an intermediate operator plans a global range-sort of
+    the corpus just to pick the batch — fine on a demo corpus, flagged
+    by plan_lint at scale.  Per dims value: one brute-force pass with
     ``F.slice``-truncated vectors composed through the existing
     :func:`brute_force_topk` / :func:`ann_recall` kernels, then a
     1-row mean-recall rollup; output is len(dims_list)+1 rows — one
     per candidate prefix plus the full-dimension baseline row
     (recall 1.0 by construction, dims = the corpus's native width)
     so the recall/cost trade-off table is self-contained."""
-    queries = df.orderBy(id_col).limit(n_queries)
+    if query_pred is not None:
+        queries = df.filter(query_pred)
+    else:
+        queries = df.orderBy(id_col).limit(n_queries)
     exact = brute_force_topk(df, queries, k=k, vec_col=vec_col,
                              id_col=id_col)
     rows = []

@@ -77,12 +77,14 @@ def unbounded_nested_loops(df) -> int:
         build = kids.apply(1) if "Right" in side else kids.apply(0)
         sub = build.toString()
         # Provably bounded: a grouping-key-free aggregate (exactly one
-        # row) or an explicit row limit anywhere in the build subtree.
+        # row) or an explicit row limit anywhere in the build subtree
+        # (GlobalLimit, or the fused sort+limit TakeOrderedAndProject
+        # that orderBy().limit(n) compiles to).
         tiny = any(
             f"{agg}(keys=[]" in sub
             for agg in ("HashAggregate", "SortAggregate",
                         "ObjectHashAggregate")
-        ) or "GlobalLimit" in sub
+        ) or "GlobalLimit" in sub or "TakeOrderedAndProject" in sub
         if not tiny:
             bad += 1
     return bad
@@ -176,6 +178,11 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "sim_pq_topk": "same query-batch broadcast as sim_cosine_topk",
     "sim_recall_eval": "same query-batch broadcast as "
                        "sim_cosine_topk (exact + IVF sides)",
+    "prefix_dim_recall": "same query-batch broadcast as "
+                         "sim_cosine_topk (pushed-down vec_id < 20 "
+                         "predicate; exact + per-dims truncated + "
+                         "baseline passes), ANN contract "
+                         "|queries| << |corpus|",
 }
 
 

@@ -66,6 +66,11 @@ QUANTILE_AUDITED = {
     "agg_mad",               # price median + MAD, 4dp rounding
     "agg_tukey_outliers",    # price quartiles
     "win_rolling_median",    # price window median
+    "agg_approx",            # l_orderkey exact-percentile twins:
+                             # integer inputs, identical (n-1)*p
+                             # interpolation rule on both engines
+                             # (exact double arithmetic), 4dp
+                             # rounding; dual-scale green since r06
 }
 
 
