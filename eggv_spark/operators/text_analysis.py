@@ -1224,10 +1224,12 @@ def bpe_train_merges(
     (``F.aggregate``) inside whole-stage codegen.  No driver-side
     collect anywhere: ``n_merges`` steps are ``n_merges`` broadcast
     joins in ONE lazy plan, the same posture as
-    ``similarity.kmeans_iteration``.  At real tokenizer scale
-    (30k+ merges) the vocabulary table is cached once and steps are
-    checkpointed every few hundred rounds; the per-step shape is
-    unchanged.  Staged for the round-7 registry window."""
+    ``similarity.kmeans_iteration``.  Each step's vocabulary frame is
+    persisted (the pagerank per-iteration-cache discipline): without
+    it, step k's argmax re-executes folds 1..k−1 from scratch and the
+    run is QUADRATIC in merge count — invisible at 6 merges, fatal at
+    tokenizer scale (30k+ merges, where you additionally checkpoint
+    every few hundred rounds to cut lineage)."""
     words = (
         df.select(F.explode(tokens_col(text_col)).alias("_w"))
         .groupBy("_w")
@@ -1236,6 +1238,7 @@ def bpe_train_merges(
     )
     merges = []
     for step in range(1, n_merges + 1):
+        words = words.persist()
         n1 = F.greatest(F.size("_s") - 1, F.lit(0))
         pair_counts = (
             words.select(
