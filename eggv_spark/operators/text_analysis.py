@@ -1362,3 +1362,114 @@ def label_chi2_terms(
         ),
     )
     return ranked.filter(F.col("rank") <= top_n)
+
+
+def perplexity_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 3,
+) -> DataFrame:
+    """CCNet-style quality binning (Wenzek et al. 2020): score every
+    document with the corpus-unigram LM (:func:`unigram_logprob`),
+    cut the score distribution into ``n_bins`` equal-probability
+    buckets (head = best-scoring third under the default 3), and
+    report each bucket's document count, mean score, and token mass —
+    the standard "keep head, sample middle, drop tail" curation
+    readout.
+
+    Scale shape: bin CUTOFFS come from one percentile aggregation
+    over the docs-sized score frame and broadcast back as scalars —
+    documents are then assigned by pure comparison, fully parallel.
+    (A global ntile window would rank-partition exactly but
+    serializes the whole docs frame through one task — cutoff
+    assignment is the 100 TB form, and is also what CCNet itself
+    does.)  Cutoffs interpolate on 4dp-rounded scores; engine-exact
+    per the agg_approx quantile audit.  Staged for the round-8
+    registry window."""
+    scored = unigram_logprob(df, text_col, id_col)
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    cuts = scored.agg(
+        *[
+            F.percentile(F.col("avg_logprob"), F.lit(f)).alias(f"_c{i}")
+            for i, f in enumerate(fracs)
+        ]
+    )
+    j = scored.crossJoin(F.broadcast(cuts))
+    # bin assignment counts cutoffs the score REACHES (>=): a doc
+    # exactly at a cutoff goes to the better bin, so a mass of tied
+    # top scores (cutoff == their value) lands in the head, not the
+    # tail.  Emitted with head = 1 labels.
+    bin_idx = F.lit(1)
+    for i in range(len(fracs)):
+        bin_idx = bin_idx + (F.col("avg_logprob") >= F.col(f"_c{i}")).cast(
+            "int"
+        )
+    binned = j.select(
+        (F.lit(n_bins + 1) - bin_idx).alias("bin"),  # 1 = head
+        "avg_logprob", "n_tokens",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table (the output of
+    :func:`bpe_train_merges`) to a corpus and report each document's
+    BPE token count — the tokenizer-application half of the BPE pair,
+    and the number every token-budget/packing decision downstream
+    actually consumes.
+
+    Plan: the merge loop runs over the DISTINCT-WORD table (vocabulary
+    -sized, persisted per step like training), applying step i's pair
+    as a broadcast 1-row join + greedy left-to-right array fold; the
+    corpus joins the finished word→n_symbols map once at the end (the
+    token stream shuffles once).  ``n_merges`` bounds the unroll —
+    the caller knows it because they trained the table.  Staged for
+    the round-8 registry window."""
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("_w"))
+        .distinct()
+        .select("_w", F.split("_w", "").alias("_s"))
+    )
+    for step in range(1, n_merges + 1):
+        words = words.persist()
+        best = F.broadcast(
+            merges.filter(F.col("step") == step).select(
+                F.col("pair_a").alias("_ba"), F.col("pair_b").alias("_bb")
+            )
+        )
+        words = words.crossJoin(best).select(
+            "_w",
+            F.aggregate(
+                "_s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.col("_ba"))
+                    & (x == F.col("_bb")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat("_ba", "_bb")),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("_s"),
+        )
+    word_sizes = words.select("_w", F.size("_s").alias("_n_syms"))
+    terms = df.select(id_col, F.explode(tokens_col(text_col)).alias("_w"))
+    return (
+        terms.join(F.broadcast(word_sizes), "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -328,3 +328,99 @@ def test_modularity_dedups_and_canonicalizes_edges(spark):
     out = {r["community"]: r for r in modularity(e, comm).collect()}
     assert out["__ALL__"]["intra_edges"] == 1  # only (1,2)
     assert out["__ALL__"]["degree_sum"] == 4  # 2 edges * 2 endpoints
+
+
+# ---------------------------------------------------------------------------
+# perplexity bins (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def test_perplexity_bins_head_middle_tail(spark):
+    from eggv_spark.operators.text_analysis import perplexity_bins
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(6)] + [
+        (100, "zyx qwv jkl zzq xxw ppt"),  # OOV-ish -> tail
+        (101, "the cat sat zyx qwv jkl"),
+        (102, common + " extra"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bin"]: r for r in perplexity_bins(df, n_bins=3).collect()}
+    assert sum(r["n_docs"] for r in out.values()) == 9
+    # head (bin 1) scores strictly better than tail (bin 3)
+    assert out[1]["mean_logprob"] > out[3]["mean_logprob"]
+    # the rare-token doc must be in the tail bin
+    tail_docs = out[3]["n_docs"]
+    assert tail_docs >= 1
+
+
+def test_perplexity_bins_partition_invariant(spark):
+    from eggv_spark.operators.text_analysis import perplexity_bins
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared words here") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(tuple(r) for r in perplexity_bins(df).collect())
+    b = sorted(
+        tuple(r) for r in perplexity_bins(df.repartition(9)).collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BPE application
+# ---------------------------------------------------------------------------
+
+def test_bpe_apply_counts_match_manual(spark):
+    from eggv_spark.operators.text_analysis import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    corpus = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    merges = bpe_train_merges(df, n_merges=3)
+    out = {r["doc_id"]: r for r in
+           bpe_apply_merges(df, merges, 3).collect()}
+    # manual: replicate the greedy merge on one word
+    merge_list = [
+        (r["pair_a"], r["pair_b"]) for r in
+        merges.orderBy("step").collect()
+    ]
+
+    def apply_word(w):
+        syms = list(w)
+        for a, b in merge_list:
+            out_syms, i = [], 0
+            while i < len(syms):
+                if (
+                    out_syms and out_syms[-1] == a and syms[i] == b
+                ):
+                    out_syms[-1] = a + b
+                    i += 1
+                else:
+                    out_syms.append(syms[i])
+                    i += 1
+            syms = out_syms
+        return len(syms)
+
+    for i, text in enumerate(corpus):
+        words = text.split()
+        exp = sum(apply_word(w) for w in words)
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_bpe_tokens"] == exp, (i, text)
+
+
+def test_bpe_apply_fewer_tokens_than_chars(spark):
+    from eggv_spark.operators.text_analysis import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaaa")], ["doc_id", "text"]
+    )
+    merges = bpe_train_merges(df, n_merges=2)
+    row = bpe_apply_merges(df, merges, 2).collect()[0]
+    # merges (a,a)->aa then (aa,aa)->aaaa: each word is ONE token
+    assert row["n_bpe_tokens"] == 4 and row["n_words"] == 4

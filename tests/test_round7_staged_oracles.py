@@ -354,3 +354,111 @@ def test_modularity_oracle_matches_spark(spark, con):
     con.register("comm", pd.DataFrame(comm_rows,
                                       columns=["node", "community"]))
     assert got == sorted(con.execute(MODULARITY_SQL).fetchall())
+
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+PERPLEXITY_BINS_SQL = f"""
+WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+counts AS (SELECT term, count(*) AS n_term FROM terms GROUP BY term),
+tot AS (SELECT sum(n_term) AS n_total FROM counts),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(ln(n_term / n_total)), 4) AS avg_logprob
+  FROM terms JOIN counts USING (term), tot GROUP BY doc_id
+), cuts AS (
+  SELECT quantile_cont(avg_logprob, {1 / 3!r}) AS c0,
+         quantile_cont(avg_logprob, {2 / 3!r}) AS c1
+  FROM scored
+), binned AS (
+  SELECT 4 - (1 + CAST(avg_logprob >= c0 AS INT)
+                + CAST(avg_logprob >= c1 AS INT)) AS bin,
+         avg_logprob, n_tokens
+  FROM scored, cuts
+)
+SELECT bin, count(*) AS n_docs,
+       round(avg(avg_logprob), 4) AS mean_logprob,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def test_perplexity_bins_oracle_matches_spark(spark, con):
+    from eggv_spark.operators.text_analysis import perplexity_bins
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared words here stay")
+            for i in range(30)] + [(99, "rare glyph zzyzx")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in perplexity_bins(df, n_bins=3).collect())
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    assert got == con.execute(PERPLEXITY_BINS_SQL).fetchall()
+
+
+def _bpe_apply_step_sql(i: int) -> str:
+    # training chain that ALSO carries the word string w, so the
+    # final per-word symbol count can join back to the doc stream
+    return f"""
+pairs{i} AS (
+  SELECT u.p[1] AS a, u.p[2] AS b, sum(w.f) AS cnt
+  FROM words{i - 1} w,
+       unnest(list_zip(w.syms[1:len(w.syms)-1], w.syms[2:len(w.syms)]))
+         AS u(p)
+  WHERE len(w.syms) >= 2
+  GROUP BY u.p[1], u.p[2]
+),
+best{i} AS (
+  SELECT a, b FROM pairs{i} ORDER BY cnt DESC, a, b LIMIT 1
+),
+words{i} AS (
+  SELECT w.w AS w,
+         list_transform(
+           string_split(
+             replace(w.seq, '|' || bb.a || '|  |' || bb.b || '|',
+                     '|' || bb.a || bb.b || '|'), '  '),
+           s -> trim(s, '|')) AS syms,
+         replace(w.seq, '|' || bb.a || '|  |' || bb.b || '|',
+                 '|' || bb.a || bb.b || '|') AS seq,
+         w.f AS f
+  FROM words{i - 1} w, best{i} bb
+)"""
+
+
+def bpe_apply_oracle_sql(n_steps: int) -> str:
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+words0 AS (
+  SELECT w, string_split(w, '') AS syms,
+         '|' || array_to_string(string_split(w, ''), '|  |') || '|'
+           AS seq,
+         count(*) AS f
+  FROM toks GROUP BY w
+)"""
+    for i in range(1, n_steps + 1):
+        sql += "," + _bpe_apply_step_sql(i)
+    sql += f"""
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(len(words{n_steps}.syms)) AS BIGINT) AS n_bpe_tokens
+FROM toks JOIN words{n_steps} USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+    return sql
+
+
+def test_bpe_apply_oracle_matches_spark(spark, con):
+    from eggv_spark.operators.text_analysis import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    corpus = ["low lower lowest low low", "newer newest new low wider",
+              "aaaa aaaa banana bandana"]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train_merges(df, n_merges=4)
+    got = sorted(
+        tuple(r) for r in bpe_apply_merges(df, merges, 4).collect()
+    )
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    assert got == con.execute(bpe_apply_oracle_sql(4)).fetchall()
