@@ -66,7 +66,7 @@ WITH s AS (
 ), k AS (
   SELECT doc_id, lines,
          list_filter(lines, l ->
-             regexp_matches(trim(l), '[.!?"''’”]$')
+             regexp_matches(trim(l), '[.!?"’”]$')
              AND len(string_split_regex(trim(l), '\s+')) >= 3
              AND NOT contains(lower(trim(l)), '{')
              AND NOT contains(lower(trim(l)), 'lorem ipsum')
