@@ -1458,3 +1458,63 @@ def synthesize_gif_images(
         ).alias("payload"),
         F.lit("image/gif").alias("mime_type"),
     )
+
+
+def image_patches(
+    assets: DataFrame, patch: int = 4
+) -> DataFrame:
+    """ViT-style patch extraction over REAL decoded pixels (stdlib P6
+    decode inside Arrow-batched ``mapInPandas``, 1→N): split each
+    image into non-overlapping ``patch``×``patch`` tiles and emit
+    per-tile per-channel means — the patch-embedding front-end shape
+    (each row is one pre-projection patch), plus the tile grid
+    coordinates a masking/augmentation stage needs.
+
+    Keep ``patch`` a power of two: each mean divides an integer byte
+    sum by patch² (dyadic), so the values reproduce bit-identically
+    in double-precision SQL.  Images whose dimensions are not
+    multiples of ``patch`` raise — silent partial tiles would shift
+    every downstream position embedding.  Staged for the round-8
+    registry window."""
+
+    def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "patch_row": [], "patch_col": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                w, h, _maxval, raster = _ppm_parse(bytes(payload))
+                if w % patch or h % patch:
+                    raise ValueError(
+                        f"image {asset_id}: {w}x{h} not a multiple of "
+                        f"patch={patch}"
+                    )
+                n = patch * patch
+                for pr in range(h // patch):
+                    for pc in range(w // patch):
+                        sums = [0, 0, 0]
+                        for dy in range(patch):
+                            row0 = ((pr * patch + dy) * w + pc * patch) * 3
+                            for dx in range(patch):
+                                o = row0 + dx * 3
+                                sums[0] += raster[o]
+                                sums[1] += raster[o + 1]
+                                sums[2] += raster[o + 2]
+                        out["asset_id"].append(asset_id)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["mean_r"].append(sums[0] / n)
+                        out["mean_g"].append(sums[1] / n)
+                        out["mean_b"].append(sums[2] / n)
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _patches,
+            "asset_id long, patch_row int, patch_col int,"
+            " mean_r double, mean_g double, mean_b double",
+        )
+    )

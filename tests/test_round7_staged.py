@@ -424,3 +424,55 @@ def test_bpe_apply_fewer_tokens_than_chars(spark):
     row = bpe_apply_merges(df, merges, 2).collect()[0]
     # merges (a,a)->aa then (aa,aa)->aaaa: each word is ONE token
     assert row["n_bpe_tokens"] == 4 and row["n_words"] == 4
+
+
+# ---------------------------------------------------------------------------
+# image patch extraction
+# ---------------------------------------------------------------------------
+
+def test_image_patches_match_formula(spark):
+    from eggv_spark.operators.multimodal import (
+        image_patches,
+        synthesize_ppm_images,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in (0, 3, 11)], ["doc_id"])
+    assets = synthesize_ppm_images(docs, width=8, height=8)
+    out = {
+        (r["asset_id"], r["patch_row"], r["patch_col"]): r
+        for r in image_patches(assets, patch=4).collect()
+    }
+    assert len(out) == 3 * 4  # 8x8 image, 4x4 patches -> 2x2 grid each
+
+    # pixel byte i of doc d is (d*7 + i*13) % 256 (synthesizer formula)
+    def mean(d, pr, pc, ch):
+        tot = 0
+        for dy in range(4):
+            for dx in range(4):
+                i = (((pr * 4 + dy) * 8) + pc * 4 + dx) * 3 + ch
+                tot += (d * 7 + i * 13) % 256
+        return tot / 16
+
+    for d in (0, 3, 11):
+        for pr in range(2):
+            for pc in range(2):
+                r = out[(d, pr, pc)]
+                assert r["mean_r"] == mean(d, pr, pc, 0)
+                assert r["mean_g"] == mean(d, pr, pc, 1)
+                assert r["mean_b"] == mean(d, pr, pc, 2)
+
+
+def test_image_patches_rejects_ragged_grid(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from eggv_spark.operators.multimodal import (
+        image_patches,
+        synthesize_ppm_images,
+    )
+
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    assets = synthesize_ppm_images(docs, width=6, height=6)
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        image_patches(assets, patch=4).collect()

@@ -462,3 +462,41 @@ def test_bpe_apply_oracle_matches_spark(spark, con):
     )
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     assert got == con.execute(bpe_apply_oracle_sql(4)).fetchall()
+
+
+IMAGE_PATCHES_SQL = """
+WITH grid AS (
+  SELECT d.doc_id AS asset_id, pr.pr AS patch_row, pc.pc AS patch_col
+  FROM docs d, (SELECT unnest(range(0, 2)) AS pr) pr,
+       (SELECT unnest(range(0, 2)) AS pc) pc
+)
+SELECT asset_id, CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       list_sum(list_transform(range(0, 16), k ->
+         CAST((asset_id * 7 + ((((patch_row * 4 + k // 4) * 8)
+              + patch_col * 4 + (k % 4)) * 3 + 0) * 13) % 256
+              AS DOUBLE))) / 16 AS mean_r,
+       list_sum(list_transform(range(0, 16), k ->
+         CAST((asset_id * 7 + ((((patch_row * 4 + k // 4) * 8)
+              + patch_col * 4 + (k % 4)) * 3 + 1) * 13) % 256
+              AS DOUBLE))) / 16 AS mean_g,
+       list_sum(list_transform(range(0, 16), k ->
+         CAST((asset_id * 7 + ((((patch_row * 4 + k // 4) * 8)
+              + patch_col * 4 + (k % 4)) * 3 + 2) * 13) % 256
+              AS DOUBLE))) / 16 AS mean_b
+FROM grid ORDER BY asset_id, patch_row, patch_col
+"""
+
+
+def test_image_patches_oracle_matches_spark(spark, con):
+    from eggv_spark.operators.multimodal import (
+        image_patches,
+        synthesize_ppm_images,
+    )
+
+    ids = [0, 2, 9, 15]
+    docs = spark.createDataFrame([(d,) for d in ids], ["doc_id"])
+    assets = synthesize_ppm_images(docs, width=8, height=8)
+    got = sorted(tuple(r) for r in image_patches(assets, patch=4).collect())
+    con.register("docs", pd.DataFrame({"doc_id": ids}))
+    assert got == sorted(con.execute(IMAGE_PATCHES_SQL).fetchall())
