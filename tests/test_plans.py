@@ -558,3 +558,74 @@ def test_permutation_test_reduces_before_shuffle(spark):
     # copies of the input
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-7 registrations: scale posture asserted
+# ---------------------------------------------------------------------------
+
+def test_c4_line_filters_is_shuffle_free(spark):
+    from eggv_spark.operators.text_analysis import c4_line_filters
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(c4_line_filters(docs))
+    assert "Exchange" not in plan          # pure per-row Column math
+    assert "EvalPython" not in plan
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark):
+    from eggv_spark.operators.relational import epoch_shuffle
+
+    orders = read_table(spark, SF_DIR, "orders").select("o_orderkey")
+    plan = _plan(epoch_shuffle(orders, ["o_orderkey"], 3, 8))
+    # exactly one hash exchange on the shard id; a global sort would
+    # be a rangepartitioning exchange
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_prefix_dim_recall_query_filter_is_pushed_down(spark):
+    from eggv_spark.operators.similarity import prefix_dim_recall
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(prefix_dim_recall(
+        emb, dims_list=[4], k=3, query_pred=F.col("vec_id") < 10
+    ))
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" \
+        in plan or "LessThan(vec_id,10)" in plan
+
+
+def test_embedding_drift_has_no_nested_loop_join(spark):
+    from eggv_spark.operators.similarity import embedding_drift
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(embedding_drift(emb, "label", "embedding", 0, 1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_verify_has_no_pair_regroup(spark):
+    from eggv_spark.operators.dedupe import containment_pairs
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(containment_pairs(docs, max_block_size=64))
+    assert "array_intersect" in plan       # in-row verify
+    # the block-cap semi-join is live
+    assert "LeftSemi" in plan
+
+
+def test_uplift_single_fold_then_segment_agg(spark):
+    from eggv_spark.operators.events import uplift_by_segment
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.lit("s").alias("seg"), F.col("user_id").alias("unit"),
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        .alias("variant"),
+        (F.col("value") > 450).cast("int").alias("converted"),
+    )
+    plan = _plan(uplift_by_segment(ev, "unit", "variant", "converted",
+                                   "seg"))
+    assert "partial" in plan.lower()       # map-side combine on the fold
+    assert "EvalPython" not in plan
