@@ -1189,3 +1189,57 @@ def active_user_counts(
         )
     )
     return out
+
+
+def funnel_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    max_steps: int = 8,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N user journey paths: each user's first ``max_steps``
+    events in time order collapse to one 'view>click>purchase' path
+    string, counted across users — the "how do people actually move
+    through the product" readout behind every funnel redesign, and
+    the discovery complement to :func:`funnel_counts`' fixed-order
+    check.
+
+    Shape: ONE user-grained fold (sort_array over collected
+    (ts, tiebreak, type) structs — per-group state bounded by the
+    user's event count, truncated to ``max_steps`` in the same
+    expression), one path-grained count (map-side combinable: the
+    path head absorbs before the shuffle), TakeOrdered top-N —
+    no window over the full event stream, no global sort.  The
+    tiebreak column makes equal-timestamp ordering engine-exact.
+    Staged for the round-8 registry window."""
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(tiebreak_col).alias("k"),
+                            F.col(type_col).alias("e"),
+                        )
+                    )
+                ),
+                lambda s: s["e"],
+            ),
+            1, max_steps,
+        ),
+    )
+    per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
+        path.alias("path")
+    )
+    counts = per_user.groupBy("path").agg(F.count("*").alias("n_users"))
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "path", "n_users")
+    )

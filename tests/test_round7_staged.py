@@ -476,3 +476,48 @@ def test_image_patches_rejects_ragged_grid(spark):
     assets = synthesize_ppm_images(docs, width=6, height=6)
     with _pytest.raises((PythonException, Py4JJavaError)):
         image_patches(assets, patch=4).collect()
+
+
+# ---------------------------------------------------------------------------
+# funnel paths
+# ---------------------------------------------------------------------------
+
+def test_funnel_paths_orders_and_truncates(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import funnel_paths
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 users view>click>purchase, 2 users view>view, 1 long user
+    for u, seq in [("a", ["view", "click", "purchase"]),
+                   ("b", ["view", "click", "purchase"]),
+                   ("c", ["view", "click", "purchase"]),
+                   ("d", ["view", "view"]), ("e", ["view", "view"]),
+                   ("f", ["view"] * 12)]:
+        for i, t in enumerate(seq):
+            rows.append((eid, u, t, base + dt.timedelta(minutes=i)))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id",
+                                      "event_type", "ts"])
+    out = funnel_paths(df, max_steps=4, top_n=10).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["path"] == "view>click>purchase"
+    assert by_rank[1]["n_users"] == 3
+    assert by_rank[2]["path"] == "view>view" and by_rank[2]["n_users"] == 2
+    # the 12-event user truncates to max_steps
+    assert by_rank[3]["path"] == "view>view>view>view"
+
+
+def test_funnel_paths_equal_ts_uses_tiebreak(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import funnel_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(2, "u", "b", t0), (1, "u", "a", t0), (3, "u", "c", t0)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id",
+                                      "event_type", "ts"])
+    out = funnel_paths(df).collect()
+    assert out[0]["path"] == "a>b>c"  # event_id order under tied ts

@@ -500,3 +500,48 @@ def test_image_patches_oracle_matches_spark(spark, con):
     got = sorted(tuple(r) for r in image_patches(assets, patch=4).collect())
     con.register("docs", pd.DataFrame({"doc_id": ids}))
     assert got == sorted(con.execute(IMAGE_PATCHES_SQL).fetchall())
+
+
+FUNNEL_PATHS_SQL = """
+WITH stepped AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM ev
+), per_user AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM stepped WHERE rn <= {max_steps} GROUP BY user_id
+), counts AS (
+  SELECT path, count(*) AS n_users FROM per_user GROUP BY path
+)
+SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT)
+         AS rank,
+       path, n_users
+FROM counts QUALIFY rank <= {top_n} ORDER BY rank
+"""
+
+
+def test_funnel_paths_oracle_matches_spark(spark, con):
+    import datetime as dt
+
+    from eggv_spark.operators.events import funnel_paths
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for i in range(60):
+        u = f"u{i % 13}"
+        t = ["view", "click", "purchase", "error"][i % 4]
+        rows.append((eid, u, t, base + dt.timedelta(minutes=i)))
+        eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id",
+                                      "event_type", "ts"])
+    got = [tuple(r) for r in
+           funnel_paths(df, max_steps=5, top_n=8).orderBy("rank").collect()]
+    con.register("ev", pd.DataFrame(rows, columns=["event_id", "user_id",
+                                                   "event_type", "ts"]))
+    exp = con.execute(
+        FUNNEL_PATHS_SQL.format(max_steps=5, top_n=8)
+    ).fetchall()
+    assert got == exp
