@@ -1013,16 +1013,18 @@ def pps_systematic_sample(
         *key_cols, "_w", F.sum("_w").over(win).alias("_cum")
     )
     tot = cum.agg(F.max("_cum").alias("_tot"))
-    # crossing test in exact integer math: (cum-1)*n div W >
-    # (cum-w-1)*n div W  <=>  a multiple of W/n lies in
-    # ((cum-w), cum]  (the -1 shifts the half-open boundary so a
-    # crossing AT cum counts exactly once).  `div` keeps the whole
-    # test in BIGINT — a double floor() would misplace boundary
-    # crossings once cum·n approaches 2^53
+    # crossing test in exact integer math: cum*n div W >
+    # (cum-w)*n div W  <=>  some threshold T_m = m·W/n (m = 1..n)
+    # lies in the unit's half-open weight interval ((cum-w), cum] —
+    # each of the n thresholds lands in exactly one interval, so
+    # exactly n selections (fewer only when a heavy unit spans
+    # several thresholds and collapses them into one row).  `div`
+    # keeps the whole test in BIGINT — a double floor() would
+    # misplace boundary crossings once cum·n approaches 2^53
     j = cum.crossJoin(F.broadcast(tot))
     sel = j.filter(
-        F.expr(f"(_cum - 1) * {n_samples} div _tot")
-        > F.expr(f"(_cum - _w - 1) * {n_samples} div _tot")
+        F.expr(f"_cum * {n_samples} div _tot")
+        > F.expr(f"(_cum - _w) * {n_samples} div _tot")
     )
     return sel.select(
         *key_cols,

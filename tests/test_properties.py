@@ -1958,3 +1958,154 @@ def test_content_chunks_equal_naive(spark, docs):
             for c, ts in chunks.items()
         }
         assert got[i] == exp
+
+
+# ---------------------------------------------------------------------------
+# round-7/8 kernels
+# ---------------------------------------------------------------------------
+
+pps_weights_strategy = st.lists(
+    st.integers(1, 40), min_size=4, max_size=25
+)
+
+
+@_settings
+@given(ws=pps_weights_strategy)
+def test_pps_systematic_inclusion_properties(spark, ws):
+    import hashlib
+
+    from eggv_spark.operators.relational import pps_systematic_sample
+
+    n = max(2, len(ws) // 3)
+    rows = [(f"k{i}", w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = [tuple(r) for r in
+           pps_systematic_sample(df, ["k"], "w", n_samples=n).collect()]
+    keys = [r[0] for r in out]
+    assert len(keys) == len(set(keys))
+    total = sum(ws)
+    # every unit with w > W/n spans a threshold and must be selected
+    big = {f"k{i}" for i, w in enumerate(ws) if w * n > total}
+    assert big <= set(keys)
+    # exact naive simulation: same md5 hash order, same integer
+    # threshold-crossing rule
+    order = sorted(
+        rows, key=lambda r: (
+            int(hashlib.md5(r[0].encode()).hexdigest()[:8], 16), r[0],
+        )
+    )
+    cum, expected = 0, []
+    for k, w in order:
+        before = cum
+        cum += w
+        if (cum * n) // total > (before * n) // total:
+            expected.append(k)
+    assert sorted(keys) == sorted(expected)
+    # each of the n thresholds lands in exactly one weight interval,
+    # so selections == n minus threshold collapses inside heavy units
+    collapsed = sum(
+        max(0, (c * n) // total - ((c - w) * n) // total - 1)
+        for c, w in [
+            (sum(x[1] for x in order[:i + 1]), order[i][1])
+            for i in range(len(order))
+        ]
+    )
+    assert len(keys) == n - collapsed
+
+
+mod_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=25,
+)
+
+
+@_settings
+@given(pairs=mod_edges_strategy)
+def test_modularity_matches_naive(spark, pairs):
+    from eggv_spark.operators.graph import modularity
+
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    if not edges:
+        return
+    e = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    comm_rows = [(i, str(i % 3)) for i in range(10)]
+    comm = spark.createDataFrame(comm_rows, ["node", "community"])
+    out = {r["community"]: r for r in modularity(e, comm).collect()}
+    m = len(edges)
+    cm = {i: str(i % 3) for i in range(10)}
+    intra = {}
+    deg = {}
+    for a, b in edges:
+        ca, cb = cm[a], cm[b]
+        deg[ca] = deg.get(ca, 0) + 1
+        deg[cb] = deg.get(cb, 0) + 1
+        if ca == cb:
+            intra[ca] = intra.get(ca, 0) + 1
+    q = sum(
+        intra.get(c, 0) / m - (deg[c] / (2 * m)) ** 2 for c in deg
+    )
+    assert out["__ALL__"]["intra_edges"] == sum(intra.values())
+    assert out["__ALL__"]["degree_sum"] == 2 * m
+    assert abs(out["__ALL__"]["q_contribution"] - q) <= 2e-6 * max(1, len(deg))
+    assert -0.5 - 1e-9 <= out["__ALL__"]["q_contribution"] <= 1.0
+
+
+rolling_vals_strategy = st.lists(
+    st.tuples(st.integers(1, 50), st.integers(100, 99999)),  # (qty, cents)
+    min_size=1, max_size=40,
+)
+
+
+@_settings
+@given(vals=rolling_vals_strategy)
+def test_rolling_corr_kernel_equals_naive(spark, vals):
+    """The prefix-sum moment-differencing kernel must equal the naive
+    per-frame Pearson correlation on arbitrary integer streams."""
+    import math
+
+    import __spark_entry__ as E
+
+    rows = [
+        (i, 1, "A", f"1995-01-{(i % 28) + 1:02d}", float(q), c / 100.0)
+        for i, (q, c) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, ["l_orderkey", "l_linenumber", "l_returnflag",
+               "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+
+    import types
+    fake = types.SimpleNamespace()
+
+    def _t(spark_, sf_dir_, name_):
+        return df
+    orig = E._t
+    E._t = _t
+    try:
+        out = {r["l_orderkey"]: r["rolling_corr"] for r in
+               E._rolling_corr_kernel(spark, "x", "l_returnflag").collect()}
+    finally:
+        E._t = orig
+
+    ordered = sorted(
+        rows, key=lambda r: (r[3], r[0], r[1], r[4], round(r[5] * 100)),
+    )
+    xs = [r[4] for r in ordered]
+    ys = [round(r[5] * 100) for r in ordered]
+    for i in range(len(ordered)):
+        lo = max(0, i - 29)
+        fx, fy = xs[lo:i + 1], ys[lo:i + 1]
+        n = len(fx)
+        sx, sy = sum(fx), sum(fy)
+        sxy = sum(a * b for a, b in zip(fx, fy))
+        sxx, syy = sum(a * a for a in fx), sum(b * b for b in fy)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        exp = (
+            round((n * sxy - sx * sy) / math.sqrt(vx * vy), 4) + 0.0
+            if vx > 0 and vy > 0 else None
+        )
+        got = out[ordered[i][0]]
+        if exp is None:
+            assert got is None
+        else:
+            assert got == pytest.approx(exp, abs=2e-4)

@@ -245,7 +245,7 @@ WITH h AS (
 ), tot AS (SELECT max(cumw) AS tw FROM cum)
 SELECT k, w AS weight_cents, cumw AS cum_weight_cents
 FROM cum, tot
-WHERE (cumw - 1) * {n} // tw > (cumw - w - 1) * {n} // tw
+WHERE cumw * {n} // tw > (cumw - w) * {n} // tw
 """
 
 
