@@ -896,7 +896,7 @@ def join_cardinality_estimate(
 
 
 def schema_drift_audit(
-    old: DataFrame, new: DataFrame
+    old: DataFrame, new: DataFrame, approximate: bool = False
 ) -> DataFrame:
     """Column-level drift audit between two snapshots of a table —
     the companion to :func:`snapshot_diff` (row-level) and
@@ -908,8 +908,16 @@ def schema_drift_audit(
 
     One pass per side (all columns profiled in a single aggregation,
     the :func:`profile_columns` posture), outputs joined by column
-    name on the columns-sized frame.  Staged for the round-7 registry
-    window."""
+    name on the columns-sized frame.
+
+    ``approximate=True`` swaps the exact ``count_distinct`` family
+    for HLL++ sketches — the WIDE-TABLE / 100 TB form: k exact
+    distinct aggregates in one ``agg`` make Catalyst's distinct
+    rewrite Expand every input row (k+1)-fold before the shuffle, so
+    a 50-column audit scans 51× the data; the sketches profile all
+    columns in ONE un-expanded pass at ±2% distinct counts (null
+    rates stay exact either way).  Default exact so the audit is
+    value-oracle-able."""
     def profile(df: DataFrame, tag: str) -> DataFrame:
         aggs = [F.count("*").alias("_rows")]
         for c in df.columns:
@@ -917,7 +925,9 @@ def schema_drift_audit(
                 F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}")
             )
             aggs.append(
-                F.count_distinct(F.col(c)).alias(f"_d_{c}")
+                F.approx_count_distinct(F.col(c)).alias(f"_d_{c}")
+                if approximate
+                else F.count_distinct(F.col(c)).alias(f"_d_{c}")
             )
         wide = df.agg(*aggs)
         per_col = [

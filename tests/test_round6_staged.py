@@ -679,3 +679,29 @@ def test_containment_cap_is_output_neutral_and_live(spark):
         ).collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_schema_drift_approximate_single_pass(spark):
+    """approximate=True must avoid the distinct-rewrite Expand and
+    still land within HLL tolerance of the exact counts."""
+    from eggv_spark.operators.tableops import schema_drift_audit
+
+    old = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 37 AS STRING) AS name", "id * 1.5 AS legacy"
+    )
+    new = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 41 AS STRING) AS name", "CAST(id AS STRING) AS extra"
+    )
+    exact = {r["column"]: r for r in schema_drift_audit(old, new).collect()}
+    approx_df = schema_drift_audit(old, new, approximate=True)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # no distinct-rewrite inflation
+    approx = {r["column"]: r for r in approx_df.collect()}
+    for col, ex in exact.items():
+        ap = approx[col]
+        assert ap["null_rate_old"] == ex["null_rate_old"]  # exact path
+        for side in ("n_distinct_old", "n_distinct_new"):
+            if ex[side] is None:
+                assert ap[side] is None
+            else:
+                assert abs(ap[side] - ex[side]) <= max(3, 0.05 * ex[side])
