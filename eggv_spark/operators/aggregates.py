@@ -2698,7 +2698,11 @@ def hhi_concentration(
         F.count("*").alias("n_contributors"),
         F.max(F.col(value_col)).alias("_max"),
     )
-    j = df.alias("d").join(F.broadcast(totals).alias("t"), list(keys))
+    # plain equi-join on the group keys: totals is |groups|-sized and
+    # NOT force-broadcast — at high key cardinality a forced broadcast
+    # would ship the whole group table to every executor; AQE promotes
+    # it to a broadcast when it actually fits
+    j = df.alias("d").join(totals.alias("t"), list(keys))
     return (
         j.groupBy(*keys)
         .agg(
