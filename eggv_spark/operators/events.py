@@ -1152,34 +1152,41 @@ def active_user_counts(
     don't support directly.
 
     Shape: dedup to the (user, day) grain FIRST (the one corpus-sized
-    pass), then range-join that frame to the distinct-day spine
-    (bounded: |user-days| × long_days expansion) and run the three
-    distinct counts as three SEPARATE day-grained aggregations joined
-    back on day — NEVER as one multi-distinct agg, whose
-    distinct-rewrite Expand would triple the joined frame (the
-    agg_approx pathology, see approx_aggregates_graded).  At 100 TB
-    the user-day frame is the small one (|users|·|days|, not
-    |events|), so the expansion is bounded by long_days times that.
-    Staged for the round-8 registry window."""
+    pass), then EXPLODE each user-day into the ``long_days`` report
+    days it contributes to (``sequence`` — a pure equi shape, no
+    range join / nested-loop anywhere) and run the three distinct
+    counts as three SEPARATE day-grained aggregations joined back on
+    day — NEVER as one multi-distinct agg, whose distinct-rewrite
+    Expand would triple the frame (the agg_approx pathology, see
+    approx_aggregates_graded).  At 100 TB the user-day frame is the
+    small one (|users|·|days|, not |events|), so the expansion is
+    bounded by long_days times that.  Report days with no activity
+    anywhere in their trailing window do not appear (they'd be
+    all-zero rows); days beyond the data's max date are trimmed with
+    one broadcast scalar.  Staged for the round-8 registry window."""
     ud = df.select(
         F.col(user_col).alias("_u"),
         F.to_date(F.col(ts_col)).alias("_d"),
     ).distinct()
-    spine = ud.select("_d").distinct().select(F.col("_d").alias("day"))
-    joined = ud.join(
-        spine,
-        (F.col("_d") <= F.col("day"))
-        & (F.col("_d") > F.date_sub(F.col("day"), long_days)),
-    )
+    max_day = ud.agg(F.max("_d").alias("_max_day"))
+    contrib = ud.select(
+        "_u", "_d",
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), long_days - 1)
+            )
+        ).alias("day"),
+    ).join(F.broadcast(max_day), F.col("day") <= F.col("_max_day"))
+    # a report day exists iff some user was active ON it (dau drives)
     dau = (
-        joined.filter(F.col("_d") == F.col("day"))
+        contrib.filter(F.col("_d") == F.col("day"))
         .groupBy("day").agg(F.count_distinct("_u").alias("dau"))
     )
     wau = (
-        joined.filter(F.col("_d") > F.date_sub(F.col("day"), short_days))
+        contrib.filter(F.col("day") < F.date_add(F.col("_d"), short_days))
         .groupBy("day").agg(F.count_distinct("_u").alias("wau"))
     )
-    mau = joined.groupBy("day").agg(F.count_distinct("_u").alias("mau"))
+    mau = contrib.groupBy("day").agg(F.count_distinct("_u").alias("mau"))
     out = (
         dau.join(wau, "day").join(mau, "day")
         .select(
