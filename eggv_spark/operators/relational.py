@@ -1031,3 +1031,55 @@ def pps_systematic_sample(
         F.col("_w").alias("weight_cents"),
         F.col("_cum").alias("cum_weight_cents"),
     )
+
+
+def pps_stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_cols: Sequence[str],
+    weight_cents_col: Column | str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Stratified PPS systematic sampling — the 100 TB headline form
+    of :func:`pps_systematic_sample`: the hash-ordered cumulative
+    weight runs PER STRATUM (``Window.partitionBy(strata)``), so the
+    one serialization point of the global form — a single total-order
+    window — becomes |strata| independent streams, and the design is
+    also statistically better (allocation guaranteed per stratum,
+    e.g. per source/domain in a training-mixture draw).
+
+    Same exact-integer machinery per stratum: md5 traversal order,
+    integer cumulative weights, ``div`` crossing test against the
+    stratum total broadcast back on the strata-sized frame — exactly
+    ``n_per_stratum`` selections per stratum (fewer only when a heavy
+    unit collapses thresholds).  Staged for the round-8 registry
+    window."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    w = F.col(weight_cents_col) if isinstance(weight_cents_col, str) \
+        else weight_cents_col
+    h = base_hash(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols])
+    )
+    ordered = df.select(
+        *strata_cols, *key_cols,
+        w.cast("long").alias("_w"),
+        h.alias("_h"),
+    )
+    win = Window.partitionBy(*strata_cols).orderBy("_h", *key_cols) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = ordered.select(
+        *strata_cols, *key_cols, "_w",
+        F.sum("_w").over(win).alias("_cum"),
+    )
+    tot = cum.groupBy(*strata_cols).agg(F.max("_cum").alias("_tot"))
+    j = cum.join(tot, list(strata_cols))
+    sel = j.filter(
+        F.expr(f"_cum * {n_per_stratum} div _tot")
+        > F.expr(f"(_cum - _w) * {n_per_stratum} div _tot")
+    )
+    return sel.select(
+        *strata_cols, *key_cols,
+        F.col("_w").alias("weight_cents"),
+        F.col("_cum").alias("cum_weight_cents"),
+    )

@@ -523,3 +523,41 @@ def test_funnel_paths_equal_ts_uses_tiebreak(spark):
                                       "event_type", "ts"])
     out = funnel_paths(df).collect()
     assert out[0]["path"] == "a>b>c"  # event_id order under tied ts
+
+
+def test_pps_stratified_exact_n_per_stratum(spark):
+    from eggv_spark.operators.relational import pps_stratified_sample
+
+    rows = [(f"s{i % 4}", f"k{i}", (1 + (i * 3) % 9) * 10)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["stratum", "k", "w"])
+    out = pps_stratified_sample(df, ["stratum"], ["k"], "w",
+                                n_per_stratum=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r["k"])
+    assert set(per) == {"s0", "s1", "s2", "s3"}
+    for s, ks in per.items():
+        assert len(ks) == 5 and len(set(ks)) == 5, s
+    # partition-invariance
+    out2 = pps_stratified_sample(df.repartition(11), ["stratum"], ["k"],
+                                 "w", n_per_stratum=5).collect()
+    assert sorted((r["stratum"], r["k"]) for r in out) == \
+        sorted((r["stratum"], r["k"]) for r in out2)
+
+
+def test_pps_stratified_equals_global_per_stratum(spark):
+    """Within one stratum the stratified draw IS the global draw."""
+    from eggv_spark.operators.relational import (
+        pps_stratified_sample,
+        pps_systematic_sample,
+    )
+
+    rows = [(f"k{i}", (1 + i % 7) * 20) for i in range(80)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    one = df.withColumn("s", F.lit("only"))
+    a = sorted(r["k"] for r in
+               pps_systematic_sample(df, ["k"], "w", 8).collect())
+    b = sorted(r["k"] for r in
+               pps_stratified_sample(one, ["s"], ["k"], "w", 8).collect())
+    assert a == b

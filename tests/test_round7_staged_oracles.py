@@ -545,3 +545,40 @@ def test_funnel_paths_oracle_matches_spark(spark, con):
         FUNNEL_PATHS_SQL.format(max_steps=5, top_n=8)
     ).fetchall()
     assert got == exp
+
+
+PPS_STRAT_SQL = """
+WITH h AS (
+  SELECT stratum, k, CAST(w AS BIGINT) AS w,
+         CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hk
+  FROM t
+), cum AS (
+  SELECT stratum, k, w,
+         sum(w) OVER (PARTITION BY stratum ORDER BY hk, k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw
+  FROM h
+), tot AS (
+  SELECT stratum, max(cumw) AS tw FROM cum GROUP BY stratum
+)
+SELECT cum.stratum, k, w AS weight_cents, cumw AS cum_weight_cents
+FROM cum JOIN tot ON cum.stratum = tot.stratum
+WHERE cumw * {n} // tw > (cumw - w) * {n} // tw
+"""
+
+
+def test_pps_stratified_oracle_matches_spark(spark, con):
+    from eggv_spark.operators.relational import pps_stratified_sample
+
+    rows = [(f"s{i % 3}", f"k{i}", (1 + (i * 5) % 11) * 30)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, ["stratum", "k", "w"])
+    got = sorted(
+        tuple(r) for r in
+        pps_stratified_sample(df, ["stratum"], ["k"], "w",
+                              n_per_stratum=6).collect()
+    )
+    con.register("t", pd.DataFrame(rows, columns=["stratum", "k", "w"]))
+    exp = sorted(con.execute(PPS_STRAT_SQL.format(n=6)).fetchall())
+    assert got == exp
