@@ -4,7 +4,9 @@ re-opens once the round-7 window lands; these carry tests now and
 queries()/oracle_sql() entries next round): CUPED variance-reduced
 A/B readout, rolling active-user counts (DAU/WAU/MAU), HHI
 concentration, MCC confusion readout, Brier decomposition, PPS
-systematic sampling, compaction planning, and graph modularity.
+systematic sampling (global + stratified), compaction planning,
+graph modularity, CCNet-style perplexity binning, BPE application,
+ViT-style image patch extraction, and top-N user journey paths.
 """
 
 from __future__ import annotations
