@@ -2692,17 +2692,29 @@ def hhi_concentration(
     (the caller pre-aggregates to the contributor grain); this fold
     is two grouped aggregations — contributor totals, then the
     share-square sum — both map-side combinable, no window, no sort.
-    Staged for the round-8 registry window."""
+    NULL-keyed groups are retained (null-safe totals join), matching
+    ANSI GROUP BY semantics.  Staged for the round-8 registry
+    window."""
     totals = df.groupBy(*keys).agg(
         F.sum(F.col(value_col)).alias("_tot"),
         F.count("*").alias("n_contributors"),
         F.max(F.col(value_col)).alias("_max"),
     )
-    # plain equi-join on the group keys: totals is |groups|-sized and
-    # NOT force-broadcast — at high key cardinality a forced broadcast
-    # would ship the whole group table to every executor; AQE promotes
-    # it to a broadcast when it actually fits
-    j = df.alias("d").join(totals.alias("t"), list(keys))
+    # NULL-SAFE equi-join on the group keys (a NULL-keyed group is a
+    # real group to the groupBy above; plain equality would drop its
+    # HHI row entirely — the round-7 exact-twin pitfall).  totals is
+    # |groups|-sized and NOT force-broadcast — at high key cardinality
+    # a forced broadcast would ship the whole group table to every
+    # executor; AQE promotes it to a broadcast when it actually fits
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"d.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
+    )
+    j = df.alias("d").join(totals.alias("t"), join_cond).select(
+        *[F.col(f"d.{k}").alias(k) for k in keys],
+        F.col(f"d.{value_col}").alias(value_col),
+        "t._tot", "t.n_contributors", "t._max",
+    )
     return (
         j.groupBy(*keys)
         .agg(

@@ -1161,9 +1161,12 @@ def active_user_counts(
     approx_aggregates_graded).  At 100 TB the user-day frame is the
     small one (|users|·|days|, not |events|), so the expansion is
     bounded by long_days times that.  Report days with no activity
-    anywhere in their trailing window do not appear (they'd be
-    all-zero rows); days beyond the data's max date are trimmed with
-    one broadcast scalar.  Staged for the round-8 registry window."""
+    anywhere in their trailing ``long_days`` window do not appear
+    (they'd be all-zero rows); a day WITH trailing activity but no
+    same-day / short-window activity appears with dau/wau = 0 (the
+    long-window count drives the spine).  Days beyond the data's max
+    date are trimmed with one broadcast scalar.  Staged for the
+    round-8 registry window."""
     ud = df.select(
         F.col(user_col).alias("_u"),
         F.to_date(F.col(ts_col)).alias("_d"),
@@ -1177,7 +1180,12 @@ def active_user_counts(
             )
         ).alias("day"),
     ).join(F.broadcast(max_day), F.col("day") <= F.col("_max_day"))
-    # a report day exists iff some user was active ON it (dau drives)
+    # the long-window count drives the report spine: a day appears
+    # iff SOME user was active anywhere in its trailing long window
+    # (mau >= 1 by construction there), and days with trailing but no
+    # same-day / short-window activity report dau/wau = 0 instead of
+    # vanishing (round-7 advice: the dau-driven inner join dropped
+    # them, contradicting this contract)
     dau = (
         contrib.filter(F.col("_d") == F.col("day"))
         .groupBy("day").agg(F.count_distinct("_u").alias("dau"))
@@ -1188,11 +1196,17 @@ def active_user_counts(
     )
     mau = contrib.groupBy("day").agg(F.count_distinct("_u").alias("mau"))
     out = (
-        dau.join(wau, "day").join(mau, "day")
+        mau.join(dau, "day", "left").join(wau, "day", "left")
         .select(
-            "day", "dau", "wau", "mau",
-            F.round(F.try_divide(F.col("dau"), F.col("mau")), 4)
-            .alias("dau_mau_ratio"),
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau"),
+            "mau",
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("dau"), F.lit(0)), F.col("mau")
+                ), 4,
+            ).alias("dau_mau_ratio"),
         )
     )
     return out

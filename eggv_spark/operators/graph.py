@@ -576,7 +576,15 @@ def modularity(
     — m, e_c, d_c are all BIGINT, so the only float math is the final
     Q formula on the communities-sized frame.  Output: one row per
     community (e_c, d_c, its Q contribution) plus the global Q on the
-    '__ALL__' row.  Staged for the round-8 registry window."""
+    '__ALL__' row.
+
+    Edges with an endpoint ABSENT from ``communities`` are excluded
+    from m/e_c/d_c (Q is only defined over the assigned subgraph) —
+    but never silently (round-7 advice): when any edge is dropped, a
+    '__UNMAPPED__' diagnostic row surfaces the dropped-edge count in
+    its ``intra_edges`` column (degree_sum 0, q_contribution 0.0); a
+    fully-assigned graph produces no such row, so the clean-path
+    output is unchanged.  Staged for the round-8 registry window."""
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
@@ -590,13 +598,21 @@ def modularity(
             F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
         ).distinct()
     )
-    tagged = (
+    tagged_all = (
         e.join(cmap.withColumnRenamed("_n", "_a")
-               .withColumnRenamed("_c", "_ca"), "_a")
+               .withColumnRenamed("_c", "_ca"), "_a", "left")
         .join(cmap.withColumnRenamed("_n", "_b")
-              .withColumnRenamed("_c", "_cb"), "_b")
+              .withColumnRenamed("_c", "_cb"), "_b", "left")
     )
-    m_df = tagged.agg(F.count("*").alias("_m"))
+    both = F.col("_ca").isNotNull() & F.col("_cb").isNotNull()
+    # one pass over the canonical edges counts BOTH the assigned edge
+    # total m and the dropped (unmapped-endpoint) edges
+    stats = tagged_all.agg(
+        F.sum(both.cast("long")).alias("_m"),
+        F.sum((~both).cast("long")).alias("_unmapped"),
+    )
+    tagged = tagged_all.filter(both)
+    m_df = stats.select("_m")
     intra = (
         tagged.filter(F.col("_ca") == F.col("_cb"))
         .groupBy(F.col("_ca").alias("community"))
@@ -634,7 +650,16 @@ def modularity(
         F.col("community_label").alias("community"),
         "intra_edges", "degree_sum", "q_contribution",
     )
+    # diagnostic row, present ONLY when edges were dropped: the 1-row
+    # stats frame filters to 0 or 1 rows, so a fully-assigned graph's
+    # output is unchanged
+    diag = stats.filter(F.col("_unmapped") > 0).select(
+        F.lit("__UNMAPPED__").alias("community"),
+        F.col("_unmapped").alias("intra_edges"),
+        F.lit(0).cast("long").alias("degree_sum"),
+        F.lit(0.0).alias("q_contribution"),
+    )
     return per_c.select(
         F.col("community").cast("string").alias("community"),
         "intra_edges", "degree_sum", "q_contribution",
-    ).unionByName(total)
+    ).unionByName(total).unionByName(diag)

@@ -9,6 +9,7 @@ prunes, pushes down, and picks join strategies.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Iterable, Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1073,13 +1074,26 @@ def pps_stratified_sample(
         F.sum("_w").over(win).alias("_cum"),
     )
     tot = cum.groupBy(*strata_cols).agg(F.max("_cum").alias("_tot"))
-    j = cum.join(tot, list(strata_cols))
+    # NULL-SAFE key equality on the totals join: a NULL-valued stratum
+    # is a real stratum to both the window partitionBy and the groupBy
+    # above, so a plain equi-join here would silently drop its rows
+    # from the sample (the round-7 exact-twin pitfall, see
+    # approx_aggregates_graded)
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"c.{k}").eqNullSafe(F.col(f"t.{k}"))
+            for k in strata_cols
+        ],
+    )
+    j = cum.alias("c").join(tot.alias("t"), join_cond)
     sel = j.filter(
         F.expr(f"_cum * {n_per_stratum} div _tot")
         > F.expr(f"(_cum - _w) * {n_per_stratum} div _tot")
     )
     return sel.select(
-        *strata_cols, *key_cols,
+        *[F.col(f"c.{k}").alias(k) for k in strata_cols],
+        *key_cols,
         F.col("_w").alias("weight_cents"),
         F.col("_cum").alias("cum_weight_cents"),
     )

@@ -1429,23 +1429,54 @@ def bpe_apply_merges(
     and the number every token-budget/packing decision downstream
     actually consumes.
 
-    Plan: the merge loop runs over the DISTINCT-WORD table (vocabulary
-    -sized, persisted per step like training), applying step i's pair
-    as a broadcast 1-row join + greedy left-to-right array fold; the
-    corpus joins the finished word→n_symbols map once at the end (the
-    token stream shuffles once).  ``n_merges`` bounds the unroll —
-    the caller knows it because they trained the table.  Staged for
-    the round-8 registry window."""
+    Plan: the merge loop runs over the DISTINCT-WORD table
+    (vocabulary-sized), applying step i's pair as a broadcast 1-row
+    join + greedy left-to-right array fold; the corpus joins the
+    finished word→n_symbols map once at the end (the token stream
+    shuffles once).  ``n_merges`` bounds the unroll — the caller
+    knows it because they trained the table.
+
+    Two hardening points (round-7 advice): (1) the step lookup is
+    GUARDED — a merge table missing (or duplicating) a step ≤
+    ``n_merges`` raises in-plan instead of silently emptying the
+    vocabulary through a crossJoin with an empty frame (the guard
+    rides the consumed pair column, so Catalyst cannot prune it);
+    (2) each step's vocabulary frame is materialized eagerly and the
+    PREVIOUS step's cache dropped, so live cache is one vocab copy,
+    not ``n_merges`` accumulating copies — the discipline a 30k-merge
+    tokenizer run needs."""
     words = (
         df.select(F.explode(tokens_col(text_col)).alias("_w"))
         .distinct()
         .select("_w", F.split("_w", "").alias("_s"))
     )
+    prev = None
     for step in range(1, n_merges + 1):
-        words = words.persist()
         best = F.broadcast(
-            merges.filter(F.col("step") == step).select(
-                F.col("pair_a").alias("_ba"), F.col("pair_b").alias("_bb")
+            merges.filter(F.col("step") == step)
+            .agg(
+                F.count("*").alias("_k"),
+                F.any_value("pair_a").alias("_a0"),
+                F.any_value("pair_b").alias("_b0"),
+            )
+            .select(
+                F.when(
+                    F.col("_k") != 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "bpe_apply_merges: merge table has "
+                            ),
+                            F.col("_k").cast("string"),
+                            F.lit(
+                                f" rows for step {step} (expected"
+                                " exactly 1) — merges/n_merges"
+                                " mismatch"
+                            ),
+                        )
+                    ),
+                ).otherwise(F.col("_a0")).alias("_ba"),
+                F.col("_b0").alias("_bb"),
             )
         )
         words = words.crossJoin(best).select(
@@ -1462,7 +1493,13 @@ def bpe_apply_merges(
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("_s"),
-        )
+        ).persist()
+        # materialize this step, then drop the previous step's cache:
+        # the count also fires the step guard early and loudly
+        words.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = words
     word_sizes = words.select("_w", F.size("_s").alias("_n_syms"))
     terms = df.select(id_col, F.explode(tokens_col(text_col)).alias("_w"))
     return (

@@ -113,8 +113,17 @@ def test_active_user_counts_matches_naive(spark):
     days = {}
     for user, ts in rows:
         days.setdefault(ts.date(), set()).add(user)
-    for day, users in days.items():
-        dau = len(users)
+    # round-8 contract: the spine is every day (up to the max
+    # activity day) with ANY activity in its trailing 28-day window —
+    # trailing-only days appear with dau = 0
+    max_day = max(days)
+    expected_days = {
+        d for d in (min(days) + dt.timedelta(days=k)
+                    for k in range((max_day - min(days)).days + 1))
+        if any(d - dt.timedelta(days=j) in days for j in range(28))
+    }
+    for day in expected_days:
+        dau = len(days.get(day, set()))
         wau = len(set().union(*[
             days.get(day - dt.timedelta(days=k), set()) for k in range(7)
         ]))
@@ -123,7 +132,7 @@ def test_active_user_counts_matches_naive(spark):
         ]))
         row = out[day]
         assert (row["dau"], row["wau"], row["mau"]) == (dau, wau, mau), day
-    assert set(out) == set(days)
+    assert set(out) == expected_days
 
 
 # ---------------------------------------------------------------------------

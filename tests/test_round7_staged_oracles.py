@@ -85,9 +85,15 @@ def test_cuped_oracle_matches_spark(spark, con):
 ACTIVE_USERS_SQL = """
 WITH ud AS (
   SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM ev
-), spine AS (SELECT DISTINCT d AS day FROM ud),
+), spine AS (
+  -- full calendar spine: a report day needs only TRAILING-window
+  -- activity to exist (round-8 semantics; dau/wau coalesce to 0)
+  SELECT unnest(generate_series(
+    (SELECT min(d) FROM ud), (SELECT max(d) FROM ud),
+    INTERVAL 1 DAY)) AS day
+),
 j AS (
-  SELECT ud.u, ud.d, spine.day
+  SELECT ud.u, ud.d, CAST(spine.day AS DATE) AS day
   FROM ud JOIN spine
     ON ud.d <= spine.day AND ud.d > spine.day - INTERVAL 28 DAY
 ),
@@ -96,9 +102,12 @@ dau AS (SELECT day, count(DISTINCT u) AS dau FROM j
 wau AS (SELECT day, count(DISTINCT u) AS wau FROM j
         WHERE d > day - INTERVAL 7 DAY GROUP BY day),
 mau AS (SELECT day, count(DISTINCT u) AS mau FROM j GROUP BY day)
-SELECT dau.day AS day, dau, wau, mau,
-       round(dau / CAST(mau AS DOUBLE), 4) AS dau_mau_ratio
-FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+SELECT mau.day AS day, coalesce(dau.dau, 0) AS dau,
+       coalesce(wau.wau, 0) AS wau, mau,
+       round(coalesce(dau.dau, 0) / CAST(mau AS DOUBLE), 4)
+         AS dau_mau_ratio
+FROM mau LEFT JOIN dau ON mau.day = dau.day
+         LEFT JOIN wau ON mau.day = wau.day
 """
 
 
@@ -108,8 +117,11 @@ def test_active_users_oracle_matches_spark(spark, con):
     from eggv_spark.operators.events import active_user_counts
 
     base = dt.datetime(2024, 3, 1)
+    # activity on EVEN days only: odd days exercise the round-8
+    # trailing-only path (they appear with dau = 0, not dropped)
     rows = [
-        (f"u{i % 17}", base + dt.timedelta(days=(i * 3) % 35, hours=i % 20))
+        (f"u{i % 17}",
+         base + dt.timedelta(days=((i * 3) % 35) * 2, hours=i % 20))
         for i in range(160)
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts"])
