@@ -5579,7 +5579,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_reference_parity.py and scripts/check_correctness.py
     which runs ALL entries locally at two scales.
 
-    Round-7 window (the first 50, per the round-6 verdict items 1-4):
+    Round-8 window (the first 50 of the returned dict — see the
+    ``_r8_window`` list at the bottom of this function): the THIRTEEN
+    round-7-staged operators registered this round per ROUND8_QUEUE.md
+    (CUPED adjusted lift, DAU/WAU/MAU actives, funnel paths, HHI
+    concentration, MCC confusion, Brier decomposition, PPS systematic
+    + stratified sampling, compaction planning, graph modularity,
+    perplexity quality bins, BPE merge application, ViT image
+    patches) plus the new composite_tokenizer_pipeline (BPE apply →
+    budget select → sequence pack in one two-shuffle plan, VERDICT
+    r07 item 6), followed by 36 re-verification pads — the oldest
+    driver-green rows (r01 block) per the rotation doctrine, since
+    round 7 closed driver coverage of all 334 prior entries.
+
+    Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
     agg_hll_rollup (their only driver rows predate the round-6
     exact-twin rework), ddp_containment re-verified with the
@@ -5685,9 +5698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     REGISTRY FREEZE, LIFTED ROUND 7: the registry held at 321 entries
     through round 6 (round-4 verdict decision) so driver coverage
     could close mechanically; the round-6 verdict ordered the freeze
-    lifted once the 23 wave-2/3/4 entries entered the window, which
-    this round does — the 12 staged operators plus
-    win_rolling_corr_supplier bring the registry to 334.  The
+    lifted once the 23 wave-2/3/4 entries entered the window — the 12
+    round-6-staged operators plus win_rolling_corr_supplier brought
+    the registry to 334 in round 7, and the 13 round-7-staged
+    operators bring it to 347 in round 8.  The
     rotation doctrine stands: never-driver-verified entries always
     claim the window first.  Every entry is dual-scale oracle-green
     (CORRECTNESS_LOCAL_r0*.json), plan-pinned
@@ -5696,7 +5710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exceptions — the sketch queries' gradeable exact-twin forms are
     hash-invariant and fully value-oracled).
     """
-    return {
+    reg = {
         # --- round-7 verification window (50), per the round-6
         # verdict: (1) the 23 never-driver-checked wave-2/3/4
         # entries; (2) agg_approx + agg_hll_rollup, whose only driver
@@ -6055,7 +6069,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_tumbling_window": _evt_tumbling_window,
         "evt_sliding_window": _evt_sliding_window,
         "evt_gapfill": _evt_gapfill,
+        # --- round-8 registrations: the thirteen ROUND8_QUEUE.md
+        # operators, staged in round 7 (implemented, property-tested,
+        # oracle-validated in tests/test_round7_staged_oracles.py),
+        # registered here with their registry fixtures ---
+        "cuped_adjusted_lift": _cuped_adjusted_lift,
+        "active_user_counts": _active_user_counts,
+        "funnel_paths": _funnel_paths,
+        "hhi_concentration": _hhi_concentration,
+        "mcc_confusion": _mcc_confusion,
+        "brier_decomposition": _brier_decomposition,
+        "pps_systematic_sample": _pps_systematic_sample,
+        "pps_stratified_sample": _pps_stratified_sample,
+        "compaction_plan": _compaction_plan,
+        "graph_modularity": _graph_modularity,
+        "perplexity_bins": _perplexity_bins,
+        "bpe_apply_merges": _bpe_apply_merges,
+        "image_patches": _image_patches,
+        "composite_tokenizer_pipeline": _composite_tokenizer_pipeline,
     }
+    # --- round-8 verification window (the first 50 of the returned
+    # dict): the 13 queued round-8 registrations plus the new
+    # composite_tokenizer_pipeline claim the window first (rotation
+    # doctrine: never-driver-verified entries lead), and the
+    # remaining 36 slots are re-verification pads — after round 7
+    # closed driver coverage of all 334 prior entries, the oldest
+    # driver-green rows are the r01 block, so the pads are the first
+    # 36 r01-verified entries in registry order (regression re-checks
+    # of the relational/filter/join/set/window core). ---
+    _r8_window = [
+        "cuped_adjusted_lift",
+        "active_user_counts",
+        "funnel_paths",
+        "hhi_concentration",
+        "mcc_confusion",
+        "brier_decomposition",
+        "pps_systematic_sample",
+        "pps_stratified_sample",
+        "compaction_plan",
+        "graph_modularity",
+        "perplexity_bins",
+        "bpe_apply_merges",
+        "image_patches",
+        "composite_tokenizer_pipeline",
+        "composite_shipping_priority",
+        "src_scan",
+        "prj_projection",
+        "prj_rename_cast",
+        "str_prefix_concat",
+        "str_regexp_extract",
+        "str_strip_cast",
+        "str_json_field",
+        "str_attr_map",
+        "dt_date_parts",
+        "arr_vector_stats",
+        "agg_percentiles",
+        "agg_pivot",
+        "str_concat_ws",
+        "str_split_get",
+        "exp_explode",
+        "nul_fill",
+        "nul_drop",
+        "flt_eq",
+        "flt_isin",
+        "flt_neg_notnull",
+        "join_left_broadcast",
+        "join_semi",
+        "join_anti",
+        "rng_range_join",
+        "join_asof",
+        "set_union_distinct",
+        "set_intersect",
+        "set_except",
+        "srt_global_topk",
+        "agg_rollup",
+        "agg_cube",
+        "agg_grouping_sets",
+        "agg_distinct_counts",
+        "win_lag_lead",
+        "win_running_sum",
+    ]
+    out = {k: reg[k] for k in _r8_window}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9287,6 +9383,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     })
     base.update(_r7_oracles())
+    base.update(_r8_oracles())
     return base
 
 
@@ -11668,3 +11765,684 @@ FROM po FULL OUTER JOIN pn ON po.col = pn.col
         "uplift_by_segment": uplift,
         "schema_drift_audit": schema_drift,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations (the ROUND8_QUEUE.md thirteen: staged, property-
+# tested and oracle-validated in tests/test_round7_staged_oracles.py,
+# registered into the round-8 verification window)
+# ---------------------------------------------------------------------------
+
+def _cuped_adjusted_lift(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (events.cuped_adjusted_lift):
+    md5 50/50 user split (the same portable assignment as evt_ab_test /
+    srm_check), pre-period covariate = view-event value, post-period
+    outcome = purchase-event value, summed per unit inside the
+    operator."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import cuped_adjusted_lift
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("unit"),
+        F.when(
+            base_hash(F.col("user_id").cast("string")) % 2 == 0, "A"
+        ).otherwise("B").alias("variant"),
+        F.when(F.col("event_type") == "view", F.col("value"))
+        .otherwise(0.0).alias("pre"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0).alias("post"),
+    )
+    return cuped_adjusted_lift(ev, "unit", "variant", "pre", "post")
+
+
+def _active_user_counts(spark, sf_dir):
+    """DAU/WAU/MAU trailing-window actives per day over the events
+    stream (events.active_user_counts): user-day dedup first, then
+    explode(sequence)+equi — a pure equi shape, never a range join."""
+    from eggv_spark.operators.events import active_user_counts
+
+    return active_user_counts(
+        _t(spark, sf_dir, "events"), "user_id", "ts"
+    )
+
+
+def _funnel_paths(spark, sf_dir):
+    """Top-15 six-step user journey paths over the events stream
+    (events.funnel_paths): one user-grained sort_array fold, one
+    map-side-combinable path count, TakeOrdered top-N."""
+    from eggv_spark.operators.events import funnel_paths
+
+    return funnel_paths(
+        _t(spark, sf_dir, "events"), max_steps=6, top_n=15
+    )
+
+
+def _hhi_concentration(spark, sf_dir):
+    """Revenue concentration per order priority across customers
+    (aggregates.hhi_concentration): the contributor grain is the
+    (priority, custkey) revenue pre-aggregation, per the operator's
+    contract."""
+    contrib = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(F.sum("o_totalprice").cast("double").alias("rev"))
+    )
+    return AG.hhi_concentration(contrib, ["o_orderpriority"], "rev")
+
+
+def _mcc_confusion(spark, sf_dir):
+    """Binary confusion readout + Matthews correlation
+    (aggregates.mcc_confusion): label = high-value event (value > 250),
+    pred = deterministic md5 heuristic — exact integer cells, so the
+    ratios are engine-identical."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") > 250).cast("int").alias("label"),
+        (base_hash(F.col("event_id").cast("string")) % 2 == 0)
+        .cast("int").alias("pred"),
+    )
+    return AG.mcc_confusion(ev, "label", "pred")
+
+
+def _brier_decomposition(spark, sf_dir):
+    """Murphy three-way Brier decomposition over 10 probability bins
+    (aggregates.brier_decomposition): p = deterministic md5-derived
+    probability in [0, 1), y = purchase flag."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            (base_hash(F.col("event_id").cast("string")) % 1000)
+            / 1000.0
+        ).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return AG.brier_decomposition(ev, "p", "y", n_bins=10)
+
+
+def _pps_weight_cents():
+    """Customer sampling weight: acctbal in integer cents, clamped to
+    a POSITIVE minimum (acctbal can be <= 0; PPS weights must be
+    positive integers so the cumulative sum is exact)."""
+    return F.greatest(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long"),
+        F.lit(1).cast("long"),
+    )
+
+
+def _pps_systematic_sample(spark, sf_dir):
+    """PPS systematic sample of 40 customers weighted by account
+    balance (relational.pps_systematic_sample): md5 traversal order,
+    integer cumulative weights, div-based crossing test — zero RNG
+    state, engine-exact."""
+    return R.pps_systematic_sample(
+        _t(spark, sf_dir, "customer"), ["c_custkey"],
+        _pps_weight_cents(), n_samples=40,
+    )
+
+
+def _pps_stratified_sample(spark, sf_dir):
+    """Stratified PPS sample (12 per market segment) — the 100 TB
+    headline form: |strata| independent cumulative-weight streams
+    instead of one global total order
+    (relational.pps_stratified_sample)."""
+    return R.pps_stratified_sample(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment"], ["c_custkey"],
+        _pps_weight_cents(), n_per_stratum=12,
+    )
+
+
+def _compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (tableops.compaction_plan) over a
+    file listing synthesized from orders (path = orderkey mod 500,
+    size = group row count x 1000 bytes): first-fit-decreasing bins of
+    ~128 KB from one metadata-sized window."""
+    files = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 500).alias("_g"))
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            F.concat(F.lit("part-"), F.col("_g").cast("string"))
+            .alias("path"),
+            (F.col("_cnt") * 1000).alias("size_bytes"),
+        )
+    )
+    return TO.compaction_plan(files, target_bytes=128_000)
+
+
+def _graph_modularity(spark, sf_dir):
+    """Newman modularity of a nationkey-derived partition (node mod 8)
+    over the same rank-thresholded trade graph graph_wcc uses
+    (graph.modularity): exact integer tallies, per-community Q
+    contributions plus the global '__ALL__' row."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("src", "dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comm = nodes.select(
+        "node", (F.col("node") % 8).cast("string").alias("community")
+    )
+    return G.modularity(edges, comm)
+
+
+def _perplexity_bins(spark, sf_dir):
+    """CCNet-style quality binning of the documents corpus into three
+    equal-probability buckets by corpus-unigram LM score
+    (text_analysis.perplexity_bins): percentile cutoffs broadcast as
+    scalars, assignment by pure comparison."""
+    return T.perplexity_bins(_t(spark, sf_dir, "documents"), n_bins=3)
+
+
+def _bpe_apply_merges(spark, sf_dir):
+    """Tokenizer application: train 6 BPE merges on the documents
+    corpus and apply them back, reporting per-doc BPE token counts
+    (text_analysis.bpe_apply_merges) — the train/apply pair composed
+    in one query; the merge loop runs on the vocabulary-sized word
+    table, the corpus shuffles once."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = T.bpe_train_merges(docs, n_merges=6)
+    return T.bpe_apply_merges(docs, merges, 6)
+
+
+def _image_patches(spark, sf_dir):
+    """ViT-style 4x4 patch means over real 8x8 binary-PPM assets
+    synthesized from documents (multimodal.image_patches): stdlib P6
+    decode inside Arrow-batched mapInPandas, dyadic means — exactly
+    reproducible in SQL from the pixel formula."""
+    from eggv_spark.operators.multimodal import (
+        image_patches,
+        synthesize_ppm_images,
+    )
+
+    assets = synthesize_ppm_images(
+        _t(spark, sf_dir, "documents"), width=8, height=8
+    )
+    return image_patches(assets, patch=4)
+
+
+def _bpe_apply_oracle_step_sql(i: int) -> str:
+    """One BPE merge step as DuckDB CTEs for the APPLY oracle — the
+    training chain of ``_bpe_oracle_step_sql`` extended to carry the
+    word string ``w`` through every step, so the final per-word symbol
+    count can join back to the doc-grained token stream."""
+    return f"""
+pairs{i} AS (
+  SELECT u.p[1] AS a, u.p[2] AS b, sum(w.f) AS cnt
+  FROM words{i - 1} w,
+       unnest(list_zip(w.syms[1:len(w.syms)-1], w.syms[2:len(w.syms)]))
+         AS u(p)
+  WHERE len(w.syms) >= 2
+  GROUP BY u.p[1], u.p[2]
+),
+best{i} AS (
+  SELECT a, b FROM pairs{i} ORDER BY cnt DESC, a, b LIMIT 1
+),
+words{i} AS (
+  SELECT w.w AS w,
+         list_transform(
+           string_split(
+             replace(w.seq, '|' || bb.a || '|  |' || bb.b || '|',
+                     '|' || bb.a || bb.b || '|'), '  '),
+           s -> trim(s, '|')) AS syms,
+         replace(w.seq, '|' || bb.a || '|  |' || bb.b || '|',
+                 '|' || bb.a || bb.b || '|') AS seq,
+         w.f AS f
+  FROM words{i - 1} w, best{i} bb
+)"""
+
+
+def _bpe_apply_oracle_sql(n_steps: int) -> str:
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+),
+words0 AS (
+  SELECT w, string_split(w, '') AS syms,
+         '|' || array_to_string(string_split(w, ''), '|  |') || '|'
+           AS seq,
+         count(*) AS f
+  FROM toks GROUP BY w
+)"""
+    for i in range(1, n_steps + 1):
+        sql += "," + _bpe_apply_oracle_step_sql(i)
+    sql += f"""
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(len(words{n_steps}.syms)) AS BIGINT) AS n_bpe_tokens
+FROM toks JOIN words{n_steps} USING (w)
+GROUP BY doc_id
+"""
+    return sql
+
+
+def _perplexity_bins_oracle(n_bins: int) -> str:
+    """CCNet quality-bin oracle: unigram-LM doc scores (4dp), exact
+    interpolated cutoffs, >=-assignment (ties go to the better bin,
+    1 = head)."""
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    cut_sel = ", ".join(
+        f"quantile_cont(avg_logprob, {f!r}) AS c{i}"
+        for i, f in enumerate(fracs)
+    )
+    bin_expr = " + ".join(
+        f"CAST(avg_logprob >= c{i} AS INT)" for i in range(len(fracs))
+    )
+    return f"""
+WITH terms AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+               FROM documents),
+counts AS (SELECT term, count(*) AS n_term FROM terms GROUP BY term),
+tot AS (SELECT sum(n_term) AS n_total FROM counts),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(ln(n_term / n_total)), 4) AS avg_logprob
+  FROM terms JOIN counts USING (term), tot GROUP BY doc_id
+), cuts AS (SELECT {cut_sel} FROM scored),
+binned AS (
+  SELECT {n_bins + 1} - (1 + {bin_expr}) AS bin,
+         avg_logprob, n_tokens
+  FROM scored, cuts
+)
+SELECT bin, count(*) AS n_docs,
+       round(avg(avg_logprob), 4) AS mean_logprob,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM binned GROUP BY bin
+"""
+
+
+_PPS_WEIGHT_SQL = "greatest(CAST(round(c_acctbal * 100) AS BIGINT), 1)"
+
+# the rank-thresholded trade graph shared with the graph_wcc oracle
+_TRADE_TOPK_SQL = (
+    "trade AS ("
+    " SELECT CAST(c_nationkey AS INT) AS src,"
+    "  CAST(s_nationkey AS INT) AS dst, count(*) AS weight"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON o_custkey = c_custkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " WHERE c_nationkey <> s_nationkey"
+    " GROUP BY src, dst),"
+    " topk AS (SELECT src, dst FROM ("
+    "  SELECT src, dst, row_number() OVER ("
+    "   ORDER BY weight DESC, src, dst) AS rn FROM trade)"
+    "  WHERE rn <= 100)"
+)
+
+
+def _r8_oracles() -> dict[str, str]:
+    """Oracle SQL for the round-8 registrations (the thirteen
+    ROUND8_QUEUE.md operators; every template pre-validated
+    engine-vs-DuckDB in tests/test_round7_staged_oracles.py with the
+    registry fixtures substituted here)."""
+    cuped = f"""
+WITH ev AS (
+  SELECT user_id AS unit, {_AB_VARIANT_SQL} AS variant,
+         CASE WHEN event_type = 'view' THEN value ELSE 0 END AS pre,
+         CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+           AS post
+  FROM events
+), per_unit AS (
+  SELECT unit AS u, variant AS v, sum(pre) AS x, sum(post) AS y
+  FROM ev GROUP BY unit, variant
+), mo AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM per_unit
+), th AS (
+  SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         sx / n AS xbar
+  FROM mo
+), adj AS (
+  SELECT v, y, y - th.theta * (x - th.xbar) AS y_adj,
+         th.theta AS theta
+  FROM per_unit, th
+)
+SELECT CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       round(any_value(theta), 6) AS theta,
+       round(sum(CASE WHEN v = 'B' THEN y ELSE 0 END)
+               / sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END)
+             - sum(CASE WHEN v = 'A' THEN y ELSE 0 END)
+               / sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END), 6)
+         AS lift_raw,
+       round(sum(CASE WHEN v = 'B' THEN y_adj ELSE 0 END)
+               / sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END)
+             - sum(CASE WHEN v = 'A' THEN y_adj ELSE 0 END)
+               / sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END), 6)
+         AS lift_adjusted,
+       round(1.0 - var_samp(y_adj) / var_samp(y), 6) AS var_reduction
+FROM adj
+"""
+    active_users = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(d) FROM ud), (SELECT max(d) FROM ud),
+    INTERVAL 1 DAY)) AS day
+),
+j AS (
+  SELECT ud.u, ud.d, CAST(spine.day AS DATE) AS day
+  FROM ud JOIN spine
+    ON ud.d <= spine.day AND ud.d > spine.day - INTERVAL 28 DAY
+),
+dau AS (SELECT day, count(DISTINCT u) AS dau FROM j
+        WHERE d = day GROUP BY day),
+wau AS (SELECT day, count(DISTINCT u) AS wau FROM j
+        WHERE d > day - INTERVAL 7 DAY GROUP BY day),
+mau AS (SELECT day, count(DISTINCT u) AS mau FROM j GROUP BY day)
+SELECT mau.day AS day, coalesce(dau.dau, 0) AS dau,
+       coalesce(wau.wau, 0) AS wau, mau,
+       round(coalesce(dau.dau, 0) / CAST(mau AS DOUBLE), 4)
+         AS dau_mau_ratio
+FROM mau LEFT JOIN dau ON mau.day = dau.day
+         LEFT JOIN wau ON mau.day = wau.day
+"""
+    funnel = """
+WITH stepped AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM stepped WHERE rn <= 6 GROUP BY user_id
+), counts AS (
+  SELECT path, count(*) AS n_users FROM per_user GROUP BY path
+)
+SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT)
+         AS rank,
+       path, n_users
+FROM counts QUALIFY rank <= 15
+"""
+    hhi = """
+WITH c AS (
+  SELECT o_orderpriority AS g, o_custkey,
+         CAST(sum(o_totalprice) AS DOUBLE) AS v
+  FROM orders GROUP BY o_orderpriority, o_custkey
+), t AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_contributors,
+         sum(v) AS tot, max(v) AS mx
+  FROM c GROUP BY g
+)
+SELECT c.g AS o_orderpriority,
+       any_value(t.n_contributors) AS n_contributors,
+       round(sum((c.v / t.tot) * (c.v / t.tot)), 6) AS hhi,
+       round(1.0 / round(sum((c.v / t.tot) * (c.v / t.tot)), 6), 4)
+         AS effective_n,
+       round(any_value(t.mx / t.tot), 6) AS top_share
+FROM c JOIN t ON c.g = t.g
+GROUP BY c.g
+"""
+    mcc = f"""
+WITH t AS (
+  SELECT CASE WHEN value > 250 THEN 1 ELSE 0 END AS label,
+         CASE WHEN {_BASEHASH_SQL.format(x="CAST(event_id AS VARCHAR)")}
+              % 2 = 0 THEN 1 ELSE 0 END AS pred
+  FROM events
+), cells AS (
+  SELECT CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM t
+)
+SELECT tp, fp, fn, tn,
+  round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+  round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+  round(2 * tp / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1,
+  round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+  round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+        / nullif(sqrt((CAST(tp AS DOUBLE) + fp)
+                      * (CAST(tp AS DOUBLE) + fn)
+                      * (CAST(tn AS DOUBLE) + fp)
+                      * (CAST(tn AS DOUBLE) + fn)), 0), 6) AS mcc
+FROM cells
+"""
+    brier = f"""
+WITH t AS (
+  SELECT ({_BASEHASH_SQL.format(x="CAST(event_id AS VARCHAR)")}
+          % 1000) / 1000.0 AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), b AS (
+  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y FROM t
+), per_bin AS (
+  SELECT bin, count(*) AS nk, avg(p) AS pk, avg(y) AS yk
+  FROM b GROUP BY bin
+), g AS (
+  SELECT count(*) AS n, avg(y) AS ybar,
+         avg((p - y) * (p - y)) AS bs
+  FROM b
+)
+SELECT CAST(any_value(g.n) AS BIGINT) AS n,
+       count(*) AS n_bins_used,
+       round(any_value(g.bs), 6) AS brier,
+       round(sum(nk * (pk - yk) * (pk - yk)) / any_value(g.n), 6)
+         AS reliability,
+       round(sum(nk * (yk - g.ybar) * (yk - g.ybar)) / any_value(g.n), 6)
+         AS resolution,
+       round(any_value(g.ybar * (1 - g.ybar)), 6) AS uncertainty
+FROM per_bin, g
+"""
+    pps_sys = f"""
+WITH h AS (
+  SELECT c_custkey, {_PPS_WEIGHT_SQL} AS w,
+         {_BASEHASH_SQL.format(x="CAST(c_custkey AS VARCHAR)")} AS hk
+  FROM customer
+), cum AS (
+  SELECT c_custkey, w,
+         sum(w) OVER (ORDER BY hk, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw
+  FROM h
+), tot AS (SELECT max(cumw) AS tw FROM cum)
+SELECT c_custkey, w AS weight_cents,
+       CAST(cumw AS BIGINT) AS cum_weight_cents
+FROM cum, tot
+WHERE cumw * 40 // tw > (cumw - w) * 40 // tw
+"""
+    pps_strat = f"""
+WITH h AS (
+  SELECT c_mktsegment, c_custkey, {_PPS_WEIGHT_SQL} AS w,
+         {_BASEHASH_SQL.format(x="CAST(c_custkey AS VARCHAR)")} AS hk
+  FROM customer
+), cum AS (
+  SELECT c_mktsegment, c_custkey, w,
+         sum(w) OVER (PARTITION BY c_mktsegment ORDER BY hk, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw
+  FROM h
+), tot AS (
+  SELECT c_mktsegment, max(cumw) AS tw FROM cum GROUP BY c_mktsegment
+)
+SELECT cum.c_mktsegment, c_custkey, w AS weight_cents,
+       CAST(cumw AS BIGINT) AS cum_weight_cents
+FROM cum JOIN tot
+  ON cum.c_mktsegment IS NOT DISTINCT FROM tot.c_mktsegment
+WHERE cumw * 12 // tw > (cumw - w) * 12 // tw
+"""
+    compaction = """
+WITH f AS (
+  SELECT 'part-' || CAST(o_orderkey % 500 AS VARCHAR) AS path,
+         count(*) * 1000 AS size_bytes
+  FROM orders GROUP BY o_orderkey % 500
+), s AS (
+  SELECT path, CAST(size_bytes AS BIGINT) AS size_bytes,
+         sum(size_bytes) OVER (
+           ORDER BY size_bytes DESC, path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - size_bytes AS cum_before
+  FROM f
+), a AS (
+  SELECT path, size_bytes,
+         CAST(cum_before // 128000 AS INT) AS bin
+  FROM s
+)
+SELECT bin, count(*) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+       round(sum(size_bytes) / CAST(128000 AS DOUBLE), 4) AS fill_ratio,
+       CAST(min(size_bytes) AS BIGINT) AS min_file_bytes,
+       CAST(max(size_bytes) AS BIGINT) AS max_file_bytes
+FROM a GROUP BY bin
+"""
+    modularity = f"""
+WITH {_TRADE_TOPK_SQL},
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM topk
+    UNION ALL SELECT dst AS node FROM topk
+  )
+), comm AS (
+  SELECT node, CAST(node % 8 AS VARCHAR) AS community FROM nodes
+), e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM topk WHERE src <> dst
+), tagged AS (
+  SELECT ca.community AS ca, cb.community AS cb
+  FROM e JOIN comm ca ON e.a = ca.node JOIN comm cb ON e.b = cb.node
+), m AS (SELECT count(*) AS m FROM tagged),
+intra AS (
+  SELECT ca AS community, count(*) AS intra_edges
+  FROM tagged WHERE ca = cb GROUP BY ca
+), deg AS (
+  SELECT community, count(*) AS degree_sum FROM (
+    SELECT ca AS community FROM tagged
+    UNION ALL SELECT cb AS community FROM tagged
+  ) GROUP BY community
+), per_c AS (
+  SELECT CAST(deg.community AS VARCHAR) AS community,
+         CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+         CAST(deg.degree_sum AS BIGINT) AS degree_sum,
+         round(coalesce(intra.intra_edges, 0) / CAST(m.m AS DOUBLE)
+               - (deg.degree_sum / (2.0 * m.m))
+                 * (deg.degree_sum / (2.0 * m.m)), 6) AS q_contribution
+  FROM deg LEFT JOIN intra ON deg.community = intra.community, m
+)
+SELECT community, intra_edges, degree_sum, q_contribution FROM per_c
+UNION ALL
+SELECT '__ALL__' AS community,
+       CAST(sum(intra_edges) AS BIGINT) AS intra_edges,
+       CAST(sum(degree_sum) AS BIGINT) AS degree_sum,
+       round(sum(q_contribution), 6) AS q_contribution
+FROM per_c
+"""
+    image_patches = """
+WITH grid AS (
+  SELECT d.doc_id AS asset_id, pr.pr AS patch_row, pc.pc AS patch_col
+  FROM documents d, (SELECT unnest(range(0, 2)) AS pr) pr,
+       (SELECT unnest(range(0, 2)) AS pc) pc
+)
+SELECT asset_id, CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       list_sum(list_transform(range(0, 16), k ->
+         CAST((asset_id * 7 + ((((patch_row * 4 + k // 4) * 8)
+              + patch_col * 4 + (k % 4)) * 3 + 0) * 13) % 256
+              AS DOUBLE))) / 16 AS mean_r,
+       list_sum(list_transform(range(0, 16), k ->
+         CAST((asset_id * 7 + ((((patch_row * 4 + k // 4) * 8)
+              + patch_col * 4 + (k % 4)) * 3 + 1) * 13) % 256
+              AS DOUBLE))) / 16 AS mean_g,
+       list_sum(list_transform(range(0, 16), k ->
+         CAST((asset_id * 7 + ((((patch_row * 4 + k // 4) * 8)
+              + patch_col * 4 + (k % 4)) * 3 + 2) * 13) % 256
+              AS DOUBLE))) / 16 AS mean_b
+FROM grid
+"""
+    return {
+        "cuped_adjusted_lift": cuped,
+        "active_user_counts": active_users,
+        "funnel_paths": funnel,
+        "hhi_concentration": hhi,
+        "mcc_confusion": mcc,
+        "brier_decomposition": brier,
+        "pps_systematic_sample": pps_sys,
+        "pps_stratified_sample": pps_strat,
+        "compaction_plan": compaction,
+        "graph_modularity": modularity,
+        "perplexity_bins": _perplexity_bins_oracle(3),
+        "bpe_apply_merges": _bpe_apply_oracle_sql(6),
+        "image_patches": image_patches,
+        "composite_tokenizer_pipeline": _tokenizer_pipeline_oracle_sql(
+            6, budget=2000, seq=256
+        ),
+    }
+
+
+def _composite_tokenizer_pipeline(spark, sf_dir):
+    """The tokenizer-side training-data pipeline as ONE plan: train 6
+    BPE merges on the documents corpus, count per-doc BPE tokens against
+    the finished word map, greedily fill each source's 2000-token
+    budget with its best-compressing documents, and pack the selected
+    stream into 256-token training sequences
+    (text_analysis.tokenizer_pipeline) — apply -> select -> pack with
+    exactly two corpus shuffles (the pack offsets are arithmetic on
+    the budget window's running sum; asserted in tests/test_plans.py).
+    Mirrors composite_training_mixture's shape on the tokenizer axis
+    (VERDICT r07 item 6)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = T.bpe_train_merges(docs, n_merges=6)
+    word_sizes = T.bpe_word_sizes(docs, merges, 6)
+    return T.tokenizer_pipeline(
+        docs, word_sizes, budget_tokens=2000, seq_tokens=256
+    )
+
+
+def _tokenizer_pipeline_oracle_sql(
+    n_steps: int, budget: int, seq: int
+) -> str:
+    """DuckDB twin of the tokenizer composite: the w-carrying BPE
+    apply chain, then the same score/select/pack arithmetic."""
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_TOKS_SQL}) AS w FROM documents
+),
+words0 AS (
+  SELECT w, string_split(w, '') AS syms,
+         '|' || array_to_string(string_split(w, ''), '|  |') || '|'
+           AS seq,
+         count(*) AS f
+  FROM toks GROUP BY w
+)"""
+    for i in range(1, n_steps + 1):
+        sql += "," + _bpe_apply_oracle_step_sql(i)
+    sql += f"""
+, per_doc AS (
+  SELECT doc_id, source, count(*) AS n_words,
+         CAST(sum(len(words{n_steps}.syms)) AS BIGINT) AS n_bpe_tokens
+  FROM toks JOIN words{n_steps} USING (w)
+  GROUP BY doc_id, source
+), scored AS (
+  SELECT doc_id, source, n_words, n_bpe_tokens,
+         round(n_bpe_tokens / CAST(n_words AS DOUBLE), 4)
+           AS bpe_per_word
+  FROM per_doc
+), cum AS (
+  SELECT *, sum(n_bpe_tokens) OVER (
+    PARTITION BY source ORDER BY bpe_per_word, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM scored
+)
+SELECT source, doc_id, n_words, n_bpe_tokens, bpe_per_word,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_bpe_tokens) // {seq} AS INT) AS seq_bin
+FROM cum WHERE cum_tokens <= {budget}
+"""
+    return sql

@@ -76,6 +76,13 @@ HEADLINE = [
     # n_shards hash partitions, the data-loader permutation op)
     "win_rolling_corr_supplier",
     "epoch_shuffle",
+    # round-8 additions: the active-user trailing-window kernel
+    # (user-day dedup + explode(sequence)+equi — the windowed
+    # COUNT DISTINCT shape) and the BPE train/apply tokenizer pair
+    # composed in one query (vocabulary-sized merge loop, the corpus
+    # shuffles once)
+    "active_user_counts",
+    "bpe_apply_merges",
 ]
 
 

@@ -1445,6 +1445,30 @@ def bpe_apply_merges(
     PREVIOUS step's cache dropped, so live cache is one vocab copy,
     not ``n_merges`` accumulating copies — the discipline a 30k-merge
     tokenizer run needs."""
+    word_sizes = bpe_word_sizes(df, merges, n_merges, text_col)
+    terms = df.select(id_col, F.explode(tokens_col(text_col)).alias("_w"))
+    return (
+        terms.join(F.broadcast(word_sizes), "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_word_sizes(
+    df: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """The vocabulary half of BPE application: run the merge loop over
+    the corpus's DISTINCT words and return the finished
+    (``_w``, ``_n_syms``) word→symbol-count map — vocabulary-sized,
+    broadcastable, the reusable kernel behind
+    :func:`bpe_apply_merges` and the tokenizer-pipeline composite.
+    See :func:`bpe_apply_merges` for the guard and cache discipline."""
     words = (
         df.select(F.explode(tokens_col(text_col)).alias("_w"))
         .distinct()
@@ -1500,13 +1524,70 @@ def bpe_apply_merges(
         if prev is not None:
             prev.unpersist()
         prev = words
-    word_sizes = words.select("_w", F.size("_s").alias("_n_syms"))
-    terms = df.select(id_col, F.explode(tokens_col(text_col)).alias("_w"))
-    return (
+    return words.select("_w", F.size("_s").alias("_n_syms"))
+
+
+def tokenizer_pipeline(
+    df: DataFrame,
+    word_sizes: DataFrame,
+    budget_tokens: int,
+    seq_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """The tokenizer-side training-data pipeline as ONE declarative
+    plan: BPE-tokenize (count) every document against a trained
+    word→symbol-count map, score each doc by its compression ratio
+    (BPE tokens per word — low = compresses well = in-distribution
+    for the tokenizer), greedily fill each domain's token budget with
+    its best-compressing documents, and assign the selected stream to
+    fixed-capacity training sequences — the apply→select→pack chain
+    every pretraining loader runs, mirroring
+    ``composite_training_mixture``'s shape on the tokenizer axis.
+
+    Scale shape — exactly TWO corpus shuffles (asserted in
+    tests/test_plans.py):
+    (1) the token stream aggregates to the (doc, domain) grain
+        (map-side combinable; the word map joins as a BROADCAST
+        before the shuffle, so only doc-grained rows move);
+    (2) one window partitioned by domain computes the running token
+        total in (quality, id) order — and because budget selection
+        keeps a PREFIX of that same ordering, the pack offsets fall
+        out arithmetically (start = cum − n; bin = start div
+        seq_tokens): the packing costs ZERO additional shuffle, where
+        a separate pack_sequences pass would re-shuffle the survivors.
+    Deterministic end to end: quality ties break on the id, integer
+    token counts, integer bin math."""
+    terms = df.select(
+        id_col, domain_col,
+        F.explode(tokens_col(text_col)).alias("_w"),
+    )
+    per_doc = (
         terms.join(F.broadcast(word_sizes), "_w")
-        .groupBy(id_col)
+        .groupBy(id_col, domain_col)
         .agg(
             F.count("*").alias("n_words"),
             F.sum("_n_syms").cast("long").alias("n_bpe_tokens"),
         )
+    )
+    scored = per_doc.withColumn(
+        "bpe_per_word",
+        F.round(
+            F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 4
+        ),
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("bpe_per_word", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn(
+        "cum_tokens", F.sum("n_bpe_tokens").over(w)
+    ).filter(F.col("cum_tokens") <= budget_tokens)
+    return cum.select(
+        domain_col, id_col, "n_words", "n_bpe_tokens", "bpe_per_word",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_bpe_tokens) div {int(seq_tokens)}")
+        .cast("int").alias("seq_bin"),
     )

@@ -98,6 +98,17 @@ def main() -> int:
     current: dict[str, dict] = {}
     for name in names:
         try:
+            # fingerprints must be SESSION-STATE-INDEPENDENT: a query
+            # that persists frames (bpe train/apply, pagerank) leaves
+            # InMemoryRelations in the shared cache, and a LATER
+            # query whose subplans match prints the cached plan's
+            # full nested text — its token counts then depend on
+            # registry ORDER, not on the plan (observed: the round-8
+            # window reorder alone moved bpe_train_merges
+            # hash-exchange text count 126 -> 3642 with zero code
+            # change).  Clearing the cache pins every query's
+            # standalone shape.
+            spark.catalog.clearCache()
             plan = registry[name](spark, sf_dir)._jdf.queryExecution(
             ).executedPlan().toString()
             current[name] = fingerprint(plan)

@@ -71,6 +71,13 @@ QUANTILE_AUDITED = {
                              # interpolation rule on both engines
                              # (exact double arithmetic), 4dp
                              # rounding; dual-scale green since r06
+    "perplexity_bins",       # cutoffs interpolate over 4dp-ROUNDED
+                             # doc scores (identical doubles both
+                             # engines, same (n-1)*p rule); ties AT a
+                             # cutoff are real (sf0.01 audit: 2 docs
+                             # at c0, 5 at c1) and handled by the
+                             # documented >= assignment — a tied doc
+                             # goes to the better bin on BOTH sides
 }
 
 

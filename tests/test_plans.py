@@ -629,3 +629,39 @@ def test_uplift_single_fold_then_segment_agg(spark):
                                    "seg"))
     assert "partial" in plan.lower()       # map-side combine on the fold
     assert "EvalPython" not in plan
+
+
+def test_tokenizer_pipeline_two_corpus_shuffles(spark):
+    """The tokenizer composite (BPE apply -> budget select -> sequence
+    pack) must cost exactly TWO corpus shuffles: the (doc, domain)
+    aggregation and ONE domain-partitioned window — the word map joins
+    as a broadcast, and the pack offsets fall out of the same window
+    arithmetically (VERDICT r07 item 6's <=2-shuffle contract)."""
+    from eggv_spark.operators.text_analysis import tokenizer_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 5}", f"s{i % 2}")
+         for i in range(20)],
+        ["doc_id", "text", "source"],
+    )
+    word_sizes = spark.createDataFrame(
+        [("alpha", 2), ("beta", 3), ("gamma", 2)] +
+        [(f"doc{k}", 4) for k in range(5)],
+        ["_w", "_n_syms"],
+    )
+    out = tokenizer_pipeline(
+        docs, word_sizes, budget_tokens=60, seq_tokens=16
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan          # word map never shuffles
+    assert "SortMergeJoin" not in plan
+    # and the window costs no second exchange beyond the agg's
+    assert plan.count("Window") == 1
+
+    # behavior: per-source greedy prefix fill + arithmetic packing
+    rows = out.collect()
+    assert rows, "budget must admit at least one doc"
+    for r in rows:
+        assert r["cum_tokens"] <= 60
+        assert r["seq_bin"] == (r["cum_tokens"] - r["n_bpe_tokens"]) // 16
