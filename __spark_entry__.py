@@ -12029,16 +12029,21 @@ GROUP BY doc_id
 
 
 def _perplexity_bins_oracle(n_bins: int) -> str:
-    """CCNet quality-bin oracle: unigram-LM doc scores (4dp), exact
-    interpolated cutoffs, >=-assignment (ties go to the better bin,
-    1 = head)."""
-    fracs = [i / n_bins for i in range(1, n_bins)]
+    """CCNet quality-bin oracle: unigram-LM doc scores (4dp), then
+    DISCRETE order-statistic cutoffs selected from the score
+    histogram (cutoff i = smallest score whose cumulative count
+    reaches ceil(n*i/k)) and >=-assignment — purely ORDINAL, so any
+    engine computing the same score multiset bins identically (the
+    interpolated-percentile form flipped a 121-doc tie mass at
+    sf0.1; see the operator docstring).  Ties at a cutoff go to the
+    better bin, 1 = head."""
     cut_sel = ", ".join(
-        f"quantile_cont(avg_logprob, {f!r}) AS c{i}"
-        for i, f in enumerate(fracs)
+        f"min(CASE WHEN cumc >= (n * {i} + {n_bins - 1}) // {n_bins}"
+        f" THEN s END) AS c{i - 1}"
+        for i in range(1, n_bins)
     )
     bin_expr = " + ".join(
-        f"CAST(avg_logprob >= c{i} AS INT)" for i in range(len(fracs))
+        f"CAST(avg_logprob >= c{i} AS INT)" for i in range(n_bins - 1)
     )
     return f"""
 WITH terms AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
@@ -12049,7 +12054,14 @@ scored AS (
   SELECT doc_id, count(*) AS n_tokens,
          round(avg(ln(n_term / n_total)), 4) AS avg_logprob
   FROM terms JOIN counts USING (term), tot GROUP BY doc_id
-), cuts AS (SELECT {cut_sel} FROM scored),
+), hist AS (
+  SELECT avg_logprob AS s, count(*) AS c FROM scored GROUP BY avg_logprob
+), cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM hist
+), nn AS (SELECT sum(c) AS n FROM hist),
+cuts AS (SELECT {cut_sel} FROM cum, nn),
 binned AS (
   SELECT {n_bins + 1} - (1 + {bin_expr}) AS bin,
          avg_logprob, n_tokens
@@ -12066,7 +12078,7 @@ _PPS_WEIGHT_SQL = "greatest(CAST(round(c_acctbal * 100) AS BIGINT), 1)"
 
 # the rank-thresholded trade graph shared with the graph_wcc oracle
 _TRADE_TOPK_SQL = (
-    "trade AS ("
+    "trade AS MATERIALIZED ("
     " SELECT CAST(c_nationkey AS INT) AS src,"
     "  CAST(s_nationkey AS INT) AS dst, count(*) AS weight"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -12074,7 +12086,7 @@ _TRADE_TOPK_SQL = (
     " JOIN supplier ON l_suppkey = s_suppkey"
     " WHERE c_nationkey <> s_nationkey"
     " GROUP BY src, dst),"
-    " topk AS (SELECT src, dst FROM ("
+    " topk AS MATERIALIZED (SELECT src, dst FROM ("
     "  SELECT src, dst, row_number() OVER ("
     "   ORDER BY weight DESC, src, dst) AS rn FROM trade)"
     "  WHERE rn <= 100)"
@@ -12305,17 +12317,17 @@ FROM a GROUP BY bin
 """
     modularity = f"""
 WITH {_TRADE_TOPK_SQL},
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM topk
     UNION ALL SELECT dst AS node FROM topk
   )
-), comm AS (
+), comm AS MATERIALIZED (
   SELECT node, CAST(node % 8 AS VARCHAR) AS community FROM nodes
-), e AS (
+), e AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM topk WHERE src <> dst
-), tagged AS (
+), tagged AS MATERIALIZED (
   SELECT ca.community AS ca, cb.community AS cb
   FROM e JOIN comm ca ON e.a = ca.node JOIN comm cb ON e.b = cb.node
 ), m AS (SELECT count(*) AS m FROM tagged),

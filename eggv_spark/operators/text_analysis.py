@@ -1378,23 +1378,46 @@ def perplexity_bins(
     the standard "keep head, sample middle, drop tail" curation
     readout.
 
-    Scale shape: bin CUTOFFS come from one percentile aggregation
-    over the docs-sized score frame and broadcast back as scalars —
-    documents are then assigned by pure comparison, fully parallel.
-    (A global ntile window would rank-partition exactly but
-    serializes the whole docs frame through one task — cutoff
-    assignment is the 100 TB form, and is also what CCNet itself
-    does.)  Cutoffs interpolate on 4dp-rounded scores; engine-exact
-    per the agg_approx quantile audit.  Staged for the round-8
-    registry window."""
+    Scale shape: bin CUTOFFS are DISCRETE order statistics selected
+    from the score HISTOGRAM — one map-combinable groupBy to the
+    distinct-4dp-score frame (small: bounded by score granularity,
+    the same "vocabulary-sized" posture as the LM itself), one
+    cumulative window over that small frame, then cutoff i = the
+    smallest score whose cumulative count reaches ⌈n·i/k⌉ (exact
+    integer threshold).  Documents are then assigned by pure
+    comparison against the broadcast cutoffs, fully parallel.  (A
+    global ntile window would rank-partition exactly but serializes
+    the whole docs frame through one task.)
+
+    Discrete — NOT interpolated — cutoffs are the determinism fix
+    (round 8): an interpolated percentile whose index lands at the
+    EDGE of a tie run resolves to the run value in one engine and a
+    hair above it in another, flipping the entire tie mass between
+    bins (observed at sf0.1: a 121-doc mass at the 2/3 cutoff).  A
+    cutoff that IS a data value makes assignment purely ORDINAL, so
+    any engine computing the same score multiset bins identically;
+    ties at a cutoff still go to the better bin (``>=``)."""
     scored = unigram_logprob(df, text_col, id_col)
-    fracs = [i / n_bins for i in range(1, n_bins)]
-    cuts = scored.agg(
+    hist = scored.groupBy("avg_logprob").agg(F.count("*").alias("_c"))
+    wcum = Window.orderBy("avg_logprob").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "avg_logprob", "_c", F.sum("_c").over(wcum).alias("_cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("_c").alias("_n"))))
+    cuts = cum.agg(
         *[
-            F.percentile(F.col("avg_logprob"), F.lit(f)).alias(f"_c{i}")
-            for i, f in enumerate(fracs)
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.expr(f"(_n * {i} + {n_bins - 1}) div {n_bins}"),
+                    F.col("avg_logprob"),
+                )
+            ).alias(f"_c{i - 1}")
+            for i in range(1, n_bins)
         ]
     )
+    fracs = list(range(1, n_bins))
     j = scored.crossJoin(F.broadcast(cuts))
     # bin assignment counts cutoffs the score REACHES (>=): a doc
     # exactly at a cutoff goes to the better bin, so a mass of tied

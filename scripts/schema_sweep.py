@@ -71,13 +71,15 @@ QUANTILE_AUDITED = {
                              # interpolation rule on both engines
                              # (exact double arithmetic), 4dp
                              # rounding; dual-scale green since r06
-    "perplexity_bins",       # cutoffs interpolate over 4dp-ROUNDED
-                             # doc scores (identical doubles both
-                             # engines, same (n-1)*p rule); ties AT a
-                             # cutoff are real (sf0.01 audit: 2 docs
-                             # at c0, 5 at c1) and handled by the
-                             # documented >= assignment — a tied doc
-                             # goes to the better bin on BOTH sides
+    # perplexity_bins was briefly allowlisted here with an
+    # interpolated-quantile oracle; the sf0.1 sweep then caught a
+    # 121-doc tie mass flipping bins (the interpolation index landed
+    # at the EDGE of the tie run — on it in Spark, above it in
+    # DuckDB).  Round 8 rewrote its cutoffs as DISCRETE order
+    # statistics from the score histogram (purely ordinal), so the
+    # oracle no longer uses a quantile function at all.  New entries:
+    # prefer that pattern — this lint exists precisely because the
+    # sf0.01 gate alone would have let the interpolated form ship.
 }
 
 

@@ -378,10 +378,20 @@ scored AS (
   SELECT doc_id, count(*) AS n_tokens,
          round(avg(ln(n_term / n_total)), 4) AS avg_logprob
   FROM terms JOIN counts USING (term), tot GROUP BY doc_id
-), cuts AS (
-  SELECT quantile_cont(avg_logprob, {1 / 3!r}) AS c0,
-         quantile_cont(avg_logprob, {2 / 3!r}) AS c1
-  FROM scored
+), hist AS (
+  SELECT avg_logprob AS s, count(*) AS c FROM scored GROUP BY avg_logprob
+), cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM hist
+), nn AS (SELECT sum(c) AS n FROM hist),
+cuts AS (
+  -- DISCRETE order-statistic cutoffs (round 8): cutoff i = smallest
+  -- score whose cumulative count reaches ceil(n*i/3) — ordinal, so
+  -- interpolation can never flip a tie mass between engines
+  SELECT min(CASE WHEN cumc >= (n * 1 + 2) // 3 THEN s END) AS c0,
+         min(CASE WHEN cumc >= (n * 2 + 2) // 3 THEN s END) AS c1
+  FROM cum, nn
 ), binned AS (
   SELECT 4 - (1 + CAST(avg_logprob >= c0 AS INT)
                 + CAST(avg_logprob >= c1 AS INT)) AS bin,
