@@ -1,0 +1,318 @@
+"""Iterative in-plan ML fits over embedding columns — the "train a
+small model ON the data platform" operators a curation pipeline uses
+for quality classifiers and projection probes (fasttext-style quality
+gates, CCNet LM buckets, SemDeDup clustering all sit upstream of
+these).  Reference scope: the reference engine has no ML surface —
+these extend the §2.8 iterative family (kmeans_iteration, pagerank)
+with supervised and spectral fits.
+
+Both operators follow the pagerank/kmeans discipline for iterative
+work on Spark:
+
+* the MODEL STATE is a 1-row frame (weights / eigenvector as an
+  array column) that is broadcast into each step;
+* each step is ONE corpus pass — a map-side-combinable per-dimension
+  aggregation (posexplode → groupBy(dim)) whose shuffle carries
+  ``dim`` rows per map partition, never the data;
+* each step's state frame is persisted and materialized so lineage
+  stays flat (without it, step k's plan nests k corpus scans), and
+  the previous step's cache is dropped — one live copy;
+* NOTHING data-sized ever reaches the driver: the only driver-side
+  loop is over the fixed step count.
+
+Determinism: fixed deterministic initial state (zeros / normalized
+ones), fixed step count, and all reported metrics rounded — the
+per-partition summation noise (~1e-15 relative per pass) is orders
+of magnitude under the rounding grain, which the dual-scale oracle
+sweep verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double_vec(col: str, dim: int) -> Column:
+    return F.slice(F.col(col).cast("array<double>"), 1, dim)
+
+
+def _step_state(state: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """Materialize one step's 1-row model-state frame and drop the
+    previous step's cache (flat lineage, one live copy)."""
+    state = state.persist()
+    state.count()
+    if prev is not None:
+        prev.unpersist()
+    return state
+
+
+def logistic_regression_gd(
+    df: DataFrame,
+    features_col: str = "embedding",
+    label_col: str = "label",
+    n_steps: int = 4,
+    lr: float = 0.5,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary logistic regression by ``n_steps`` full-batch gradient
+    descent steps, entirely as DataFrame ops — the quality-classifier
+    training shape (fasttext-style linear gate over embeddings) run
+    where the data lives instead of exporting to a driver-side fit.
+
+    Per step, with weights w and bias b broadcast as a 1-row frame:
+    p = sigmoid(w·x + b) per row, gradient g_d = avg((p − y)·x_d)
+    via posexplode → groupBy(dim) (map-side combined, ``dim`` rows
+    shuffle), g_b = avg(p − y), then w ← w − lr·g (an array zip on
+    the 1-row frame).  Output is ONE row of final-model diagnostics:
+    n, train accuracy at the 0.5 threshold, mean log-loss, ‖w‖₂, and
+    the bias — the numbers a gate-deployment decision needs.
+
+    Clamped log-loss (p bounded away from 0/1 by 1e-12) so a
+    saturated prediction cannot emit ±inf.  Labels must be BINARY
+    0/1: any other value raises in-plan (a multi-class label fed to
+    a sigmoid fit silently produces negative "log-loss" and garbage
+    gradients — the caller binarizes, e.g. ``(label < 5)``)."""
+    y_raw = F.col(label_col).cast("double")
+    data = df.select(
+        _as_double_vec(features_col, dim).alias("_x"),
+        F.when(y_raw.isin(0.0, 1.0), y_raw)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "logistic_regression_gd: labels must be 0/1,"
+                        " got "
+                    ),
+                    y_raw.cast("string"),
+                )
+            )
+        )
+        .alias("_y"),
+    )
+    w = data.sparkSession.range(1).select(
+        F.array_repeat(F.lit(0.0), dim).alias("_w"),
+        F.lit(0.0).alias("_b"),
+    )
+    prev = None
+    for _ in range(n_steps):
+        scored = data.crossJoin(F.broadcast(w)).select(
+            "_x", "_y",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.aggregate(
+                                F.zip_with(
+                                    "_x", "_w", lambda x, wd: x * wd
+                                ),
+                                F.lit(0.0),
+                                lambda acc, v: acc + v,
+                            )
+                            + F.col("_b")
+                        )
+                    )
+                )
+            ).alias("_p"),
+        )
+        grad = (
+            scored.select(
+                (F.col("_p") - F.col("_y")).alias("_e"),
+                F.posexplode("_x").alias("_d", "_xd"),
+            )
+            .groupBy("_d")
+            .agg(F.avg(F.col("_e") * F.col("_xd")).alias("_g"))
+        )
+        gvec = grad.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_d", "_g"))
+                ),
+                lambda s: s["_g"],
+            ).alias("_gvec")
+        )
+        gbias = scored.agg(
+            F.avg(F.col("_p") - F.col("_y")).alias("_gb")
+        )
+        w = (
+            w.crossJoin(F.broadcast(gvec))
+            .crossJoin(F.broadcast(gbias))
+            .select(
+                F.zip_with(
+                    "_w", "_gvec", lambda wd, gd: wd - F.lit(lr) * gd
+                ).alias("_w"),
+                (F.col("_b") - F.lit(lr) * F.col("_gb")).alias("_b"),
+            )
+        )
+        w = _step_state(w, prev)
+        prev = w
+    p = F.col("_p")
+    p_safe = F.least(
+        F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12)
+    )
+    final = data.crossJoin(F.broadcast(w)).select(
+        "_y",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.aggregate(
+                            F.zip_with("_x", "_w", lambda x, wd: x * wd),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        + F.col("_b")
+                    )
+                )
+            )
+        ).alias("_p"),
+        F.aggregate(
+            F.transform("_w", lambda wd: wd * wd),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_w2"),
+        "_b",
+    )
+    return final.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.avg(
+                ((p >= 0.5).cast("double") == F.col("_y")).cast("double")
+            ), 4,
+        ).alias("accuracy"),
+        F.round(
+            F.avg(
+                -(
+                    F.col("_y") * F.log(p_safe)
+                    + (1.0 - F.col("_y")) * F.log(1.0 - p_safe)
+                )
+            ), 6,
+        ).alias("logloss"),
+        F.round(F.sqrt(F.any_value("_w2")), 6).alias("w_norm"),
+        F.round(F.any_value("_b"), 6).alias("bias"),
+    )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_steps: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Top principal component by ``n_steps`` power iterations on the
+    covariance operator, entirely as DataFrame ops — the projection
+    probe behind embedding-drift monitoring and SemDeDup-style
+    whitening decisions ("is the embedding space collapsing onto one
+    axis?").
+
+    The covariance matrix is never materialized: each step computes
+    u = Σ ((x−μ)·v)(x−μ) / n directly from the data (one corpus pass:
+    the scalar projection rides each row, the per-dimension average
+    is posexplode → groupBy(dim)), then v ← u/‖u‖ on the 1-row state
+    frame.  μ comes from one up-front pass, broadcast.  Output is ONE
+    row: n, the top eigenvalue (Rayleigh quotient ‖u‖ of the final
+    step), total variance, and the explained-variance share — plus
+    the index of the heaviest loading dimension as an interpretable
+    anchor (sign-invariant, unlike the eigenvector itself)."""
+    data = df.select(_as_double_vec(vec_col, dim).alias("_x"))
+    mu = (
+        data.select(F.posexplode("_x").alias("_d", "_xd"))
+        .groupBy("_d")
+        .agg(F.avg("_xd").alias("_m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_mu")
+        )
+    )
+    centered = data.crossJoin(F.broadcast(mu)).select(
+        F.zip_with("_x", "_mu", lambda x, m: x - m).alias("_c")
+    )
+    inv_sqrt_dim = 1.0 / (dim ** 0.5)
+    v = centered.sparkSession.range(1).select(
+        F.array_repeat(F.lit(inv_sqrt_dim), dim).alias("_v"),
+        F.lit(0.0).alias("_lambda"),
+    )
+    prev = None
+    for _ in range(n_steps):
+        proj = centered.crossJoin(F.broadcast(v)).select(
+            "_c",
+            F.aggregate(
+                F.zip_with("_c", "_v", lambda c, vd: c * vd),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_s"),
+        )
+        u = (
+            proj.select(
+                "_s", F.posexplode("_c").alias("_d", "_cd")
+            )
+            .groupBy("_d")
+            .agg(F.avg(F.col("_s") * F.col("_cd")).alias("_u"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_u"))),
+                    lambda s: s["_u"],
+                ).alias("_uvec")
+            )
+        )
+        v = u.select(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_uvec", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("_lambda"),
+            "_uvec",
+        ).select(
+            F.transform(
+                "_uvec", lambda x: x / F.col("_lambda")
+            ).alias("_v"),
+            "_lambda",
+        )
+        v = _step_state(v, prev)
+        prev = v
+    # trace of the covariance = Σ_rows Σ_d c_d² / n; the exploded
+    # frame has n·dim rows, so trace = sum·dim/count
+    total_var = centered.select(
+        F.posexplode("_c").alias("_d", "_cd")
+    ).agg(
+        (F.sum(F.col("_cd") * F.col("_cd")) / F.count("*") * dim).alias(
+            "_total_var"
+        ),
+        (F.count("*") / dim).cast("long").alias("n"),
+    ).select("n", "_total_var")
+    # deterministic argmax: max over (|loading|, -dim) structs — the
+    # SMALLEST dim wins exact ties, same rule as the SQL oracle
+    # (max_by alone leaves tie order engine-defined)
+    top_dim = v.select(
+        F.posexplode("_v").alias("_d", "_vd")
+    ).agg(
+        (
+            -F.max(
+                F.struct(
+                    F.abs(F.col("_vd")).alias("_a"),
+                    (-F.col("_d")).cast("long").alias("_nd"),
+                )
+            )["_nd"]
+        ).cast("int").alias("top_loading_dim")
+    )
+    return (
+        total_var.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(top_dim))
+        .select(
+            "n",
+            F.round("_lambda", 6).alias("top_eigenvalue"),
+            F.round("_total_var", 6).alias("total_variance"),
+            F.round(
+                F.col("_lambda") / F.col("_total_var"), 4
+            ).alias("explained_share"),
+            "top_loading_dim",
+        )
+    )

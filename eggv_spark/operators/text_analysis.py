@@ -1614,3 +1614,234 @@ def tokenizer_pipeline(
         F.expr(f"(cum_tokens - n_bpe_tokens) div {int(seq_tokens)}")
         .cast("int").alias("seq_bin"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document — the
+    classic readability gate curation pipelines run next to the
+    Gopher/C4 heuristics (a corpus whose grade level collapses to 2
+    or explodes to 20 is boilerplate or garbage, not prose).
+
+    Counting rules, chosen to be engine-reproducible: sentences =
+    non-empty ``[.!?]+`` splits (min 1); words = whitespace tokens
+    (min 1); syllables per word = vowel-GROUP count ``[aeiouy]+``
+    (min 1 — the standard cheap approximation; no dictionary).  All
+    three are exact integers from one projection of regexp counts —
+    JVM-side, shuffle-free — and the two scores are fixed affine
+    formulas on their exact ratios, rounded 4dp.
+
+    Flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W);
+    FK grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+    Staged for the round-9 registry window."""
+    toks = tokens_col(text_col)
+    sentences = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, s: acc + s,
+    )
+    n_syl = F.greatest(syl, F.lit(1))
+    staged = df.select(
+        id_col,
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        n_syl.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return staged.select(
+        id_col, "n_sentences", "n_words", "n_syllables",
+        F.round(
+            F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4
+        ).alias("flesch"),
+        F.round(
+            0.39 * wps + 11.8 * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    eval_pred: Column,
+    ngram_sizes: Sequence[int] = (3, 5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval n-gram contamination audit — the REPORT companion
+    to :func:`decontaminate` (which removes): for each n-gram size,
+    how many distinct eval n-grams also appear in the train slice,
+    and how many eval documents carry at least one such overlap.
+    This is the number a benchmark-integrity review asks for BEFORE
+    deciding to filter.
+
+    ``eval_pred`` marks the eval slice (e.g. ``F.col("source") ==
+    "src1"``); everything else is train.  Shape per size: explode to
+    distinct (side, ngram), aggregate the train side to a distinct
+    set, inner-join for the overlap count and semi-join the eval
+    doc→ngram pairs for affected docs — the n-gram frames are
+    vocabulary-sized after the distinct, so every join is on the
+    reduced side.  Sizes are a small Python loop unioned into one
+    plan (2–3 rows out).  Staged for the round-9 registry window."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        eval_pred.alias("_is_eval"),
+        tokens_col(text_col).alias("_t"),
+    )
+    out = None
+    for n in ngram_sizes:
+        grams = toks.select(
+            "_id", "_is_eval",
+            F.explode(
+                F.array_distinct(ngrams_col(F.col("_t"), n))
+            ).alias("_g"),
+        )
+        train_g = (
+            grams.filter(~F.col("_is_eval")).select("_g").distinct()
+        )
+        eval_pairs = grams.filter(F.col("_is_eval"))
+        eval_g = eval_pairs.select("_g").distinct()
+        overlap = eval_g.join(train_g, "_g")
+        hit_docs = eval_pairs.join(train_g, "_g").select("_id").distinct()
+        stats = (
+            eval_g.agg(F.count("*").alias("n_eval_ngrams"))
+            .crossJoin(
+                F.broadcast(
+                    overlap.agg(F.count("*").alias("n_overlap"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    eval_pairs.select("_id").distinct().agg(
+                        F.count("*").alias("n_eval_docs")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    hit_docs.agg(F.count("*").alias("n_docs_hit"))
+                )
+            )
+            .select(
+                F.lit(n).alias("ngram_size"),
+                "n_eval_ngrams", "n_overlap",
+                F.round(
+                    F.try_divide(
+                        F.col("n_overlap"), F.col("n_eval_ngrams")
+                    ), 6,
+                ).alias("overlap_share"),
+                "n_eval_docs", "n_docs_hit",
+                F.round(
+                    F.try_divide(
+                        F.col("n_docs_hit"), F.col("n_eval_docs")
+                    ), 6,
+                ).alias("docs_hit_share"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW
+    document by the log-likelihood ratio of its hashed bigram
+    features under the TARGET distribution vs the RAW distribution —
+    the standard "resample the crawl toward the high-quality slice"
+    selection signal (feed the weights to pps/weighted sampling).
+
+    ``target_pred`` marks the target slice; raw = everything else
+    (the population being resampled, scored rows).  Features are
+    bigrams hashed into ``n_buckets`` buckets with the portable md5
+    hash, so both distributions live in a FIXED-size table:
+    log-ratio(b) = ln((c_t(b)+a)/(N_t+a·B)) − ln((c_r(b)+a)/(N_r+a·B))
+    with add-``a`` smoothing (unseen buckets get a finite ratio).
+
+    Scale shape: two map-side-combinable bucket counts (B rows each),
+    the B-row ratio table BROADCAST back, and one corpus pass summing
+    each raw doc's feature log-ratios (with multiplicity) — nothing
+    data-sized shuffles except the final per-doc aggregation.  Output
+    per raw doc: n_features and the 4dp log-weight.  Staged for the
+    round-9 registry window."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        target_pred.alias("_is_target"),
+        F.explode(
+            ngrams_col(tokens_col(text_col), 2)
+        ).alias("_ng"),
+    ).select(
+        "_id", "_is_target",
+        (base_hash(F.col("_ng")) % n_buckets).cast("int").alias("_b"),
+    )
+    a = float(smoothing)
+    tgt = (
+        feats.filter(F.col("_is_target"))
+        .groupBy("_b").agg(F.count("*").alias("_ct"))
+    )
+    raw = (
+        feats.filter(~F.col("_is_target"))
+        .groupBy("_b").agg(F.count("*").alias("_cr"))
+    )
+    # dense B-row spine so unseen buckets smooth instead of vanish
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("_b")
+    )
+    totals = (
+        tgt.agg(F.sum("_ct").alias("_nt"))
+        .crossJoin(raw.agg(F.sum("_cr").alias("_nr")))
+    )
+    ratios = (
+        spine.join(tgt, "_b", "left")
+        .join(raw, "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                _logp_fill("_ct", "_nt", a, n_buckets)
+                - _logp_fill("_cr", "_nr", a, n_buckets)
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        feats.filter(~F.col("_is_target"))
+        .join(F.broadcast(ratios), "_b")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_features"),
+            F.round(F.sum("_lr"), 4).alias("dsir_logweight"),
+        )
+    )
+    return scored
+
+
+def _logp_fill(
+    count_col: str, total_col: str, a: float, n_buckets: int
+) -> Column:
+    """Smoothed log-probability of one bucket with NULL counts
+    (unseen buckets after the left joins) treated as zero."""
+    return F.log(
+        (F.coalesce(F.col(count_col), F.lit(0)) + a)
+        / (F.col(total_col) + a * n_buckets)
+    )
