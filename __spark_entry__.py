@@ -29,6 +29,7 @@ from eggv_spark.functions.extract import (
 from eggv_spark.functions import scalars as SC
 from eggv_spark.operators import aggregates as AG
 from eggv_spark.operators import dedupe as D
+from eggv_spark.operators import ml as ML
 from eggv_spark.operators import relational as R
 from eggv_spark.operators import similarity as S
 from eggv_spark.operators import tableops as TO
@@ -5586,11 +5587,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     concentration, MCC confusion, Brier decomposition, PPS systematic
     + stratified sampling, compaction planning, graph modularity,
     perplexity quality bins, BPE merge application, ViT image
-    patches) plus the new composite_tokenizer_pipeline (BPE apply →
+    patches), the new composite_tokenizer_pipeline (BPE apply →
     budget select → sequence pack in one two-shuffle plan, VERDICT
-    r07 item 6), followed by 36 re-verification pads — the oldest
-    driver-green rows (r01 block) per the rotation doctrine, since
-    round 7 closed driver coverage of all 334 prior entries.
+    r07 item 6), the FIVE operators staged-and-registered within the
+    same round once their oracles validated (in-plan logistic GD and
+    PCA power iteration over embeddings, readability scores,
+    contamination report, DSIR importance weights), and the
+    composite_importance_mixture (DSIR score → integer PPS weight →
+    per-source stratified fill as one plan), followed by 30
+    re-verification pads — the oldest driver-green rows (r01 block)
+    per the rotation doctrine, since round 7 closed driver coverage
+    of all 334 prior entries.
 
     Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
@@ -6087,16 +6094,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply_merges": _bpe_apply_merges,
         "image_patches": _image_patches,
         "composite_tokenizer_pipeline": _composite_tokenizer_pipeline,
+        # --- round-8 second wave: the five operators staged earlier
+        # this round (ROUND9_QUEUE.md, pulled forward once their
+        # oracles validated in tests/test_round8_staged_oracles.py)
+        # plus the DSIR -> stratified-PPS selection composite ---
+        "logistic_regression_gd": _logistic_regression_gd,
+        "pca_power_iteration": _pca_power_iteration,
+        "readability_scores": _readability_scores,
+        "contamination_report": _contamination_report,
+        "dsir_log_weights": _dsir_log_weights,
+        "composite_importance_mixture": _composite_importance_mixture,
     }
     # --- round-8 verification window (the first 50 of the returned
-    # dict): the 13 queued round-8 registrations plus the new
-    # composite_tokenizer_pipeline claim the window first (rotation
-    # doctrine: never-driver-verified entries lead), and the
-    # remaining 36 slots are re-verification pads — after round 7
-    # closed driver coverage of all 334 prior entries, the oldest
-    # driver-green rows are the r01 block, so the pads are the first
-    # 36 r01-verified entries in registry order (regression re-checks
-    # of the relational/filter/join/set/window core). ---
+    # dict): the 13 queued round-8 registrations, the new
+    # composite_tokenizer_pipeline, the five operators staged earlier
+    # this round and pulled forward once their oracles validated
+    # (logistic GD, PCA power iteration, readability, contamination
+    # report, DSIR weights), and the DSIR -> stratified-PPS
+    # composite claim the window first (rotation doctrine:
+    # never-driver-verified entries lead); the remaining 30 slots are
+    # re-verification pads — after round 7 closed driver coverage of
+    # all 334 prior entries, the oldest driver-green rows are the r01
+    # block, so the pads are the first 30 r01-verified entries in
+    # registry order (regression re-checks of the relational/filter/
+    # join/set core). ---
     _r8_window = [
         "cuped_adjusted_lift",
         "active_user_counts",
@@ -6112,6 +6133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply_merges",
         "image_patches",
         "composite_tokenizer_pipeline",
+        "logistic_regression_gd",
+        "pca_power_iteration",
+        "readability_scores",
+        "contamination_report",
+        "dsir_log_weights",
+        "composite_importance_mixture",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
@@ -6142,12 +6169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect",
         "set_except",
         "srt_global_topk",
-        "agg_rollup",
-        "agg_cube",
-        "agg_grouping_sets",
-        "agg_distinct_counts",
-        "win_lag_lead",
-        "win_running_sum",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9384,6 +9405,7 @@ def oracle_sql() -> dict[str, str]:
     })
     base.update(_r7_oracles())
     base.update(_r8_oracles())
+    base.update(_r9_oracles())
     return base
 
 
@@ -12458,3 +12480,399 @@ SELECT source, doc_id, n_words, n_bpe_tokens, bpe_per_word,
 FROM cum WHERE cum_tokens <= {budget}
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, second wave: the five round-8-staged operators
+# (ROUND9_QUEUE.md, pulled forward into the round-8 window once their
+# oracles validated) plus the dsir -> pps_stratified composite
+# ---------------------------------------------------------------------------
+
+
+def _logistic_regression_gd(spark, sf_dir):
+    """Quality-classifier fit run in-plan (ml.logistic_regression_gd):
+    3 full-batch GD steps of binary logistic regression over the
+    64-dim embeddings table, label binarized as (label < 5) — the
+    table's label is 10-class, and the operator raises in-plan on
+    non-binary labels.  One corpus pass per step; the only shuffle per
+    step carries 64 dimension rows."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") < 5).cast("int").alias("label")
+    )
+    return ML.logistic_regression_gd(
+        emb, "embedding", "label", n_steps=3, lr=0.4, dim=64
+    )
+
+
+def _pca_power_iteration(spark, sf_dir):
+    """Top principal component of the embeddings table by 4 power
+    iterations on the (never materialized) covariance operator
+    (ml.pca_power_iteration): eigenvalue, total variance, explained
+    share, and the heaviest loading dimension."""
+    return ML.pca_power_iteration(
+        _t(spark, sf_dir, "embeddings"), "embedding", n_steps=4, dim=64
+    )
+
+
+def _readability_scores(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability per document
+    (text_analysis.readability_scores): exact sentence/word/vowel-group
+    counts from one shuffle-free projection of regexp counts."""
+    return T.readability_scores(_t(spark, sf_dir, "documents"))
+
+
+def _contamination_report(spark, sf_dir):
+    """Benchmark-contamination audit (text_analysis
+    .contamination_report): distinct 3- and 5-gram overlap between the
+    eval slice (source='src1') and the rest of the corpus, plus the
+    count of eval docs carrying at least one overlapped n-gram."""
+    return T.contamination_report(
+        _t(spark, sf_dir, "documents"),
+        F.col("source") == "src1",
+        ngram_sizes=(3, 5),
+    )
+
+
+def _dsir_log_weights(spark, sf_dir):
+    """DSIR importance weights (text_analysis.dsir_log_weights):
+    hashed-bigram log-likelihood ratio of every raw document against
+    the target slice (source='src1'), 4096 buckets, add-1 smoothing —
+    the resample-the-crawl selection signal."""
+    return T.dsir_log_weights(
+        _t(spark, sf_dir, "documents"),
+        F.col("source") == "src1",
+        n_buckets=4096,
+    )
+
+
+def _composite_importance_mixture(spark, sf_dir):
+    """The DSIR selection axis composed end-to-end (ROUND9_QUEUE.md
+    suggestion): score every raw document by its hashed-bigram
+    importance log-weight against the target slice, convert the 4dp
+    log-weight to a positive integer PPS weight (1e4-scaled, clamped
+    >= 1 so anti-target docs keep a minimal draw probability), and
+    fill an 8-unit per-source budget by stratified PPS systematic
+    sampling — score -> weight -> per-stratum fill as ONE plan, the
+    importance-resampling mirror of composite_training_mixture.
+
+    Scale shape: the DSIR side is two bucket counts + a broadcast
+    4096-row ratio table; the PPS side is |sources| independent
+    cumulative-weight streams; the only corpus-sized shuffles are the
+    per-doc score aggregation, the doc-key equi-join attaching source,
+    and the per-source window."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = T.dsir_log_weights(
+        docs, F.col("source") == "src1", n_buckets=4096
+    )
+    scored = docs.select("doc_id", "source").join(weights, "doc_id")
+    w = F.greatest(
+        F.round(F.col("dsir_logweight") * 10000).cast("long"), F.lit(1)
+    )
+    return R.pps_stratified_sample(
+        scored, ["source"], ["doc_id"], w, n_per_stratum=8
+    )
+
+
+def _logistic_oracle_step_sql(i: int, dim: int, lr: float) -> str:
+    """One logistic-GD step as DuckDB CTEs (validated in
+    tests/test_round8_staged_oracles.py).  The multi-referenced CTEs
+    are MATERIALIZED: DuckDB inlines CTEs referenced more than once,
+    which re-executes the whole upstream chain per reference — the
+    graph_modularity lesson, exponential in the step count here."""
+    return f"""
+p{i} AS MATERIALIZED (
+  SELECT x, y,
+         1.0 / (1.0 + exp(-(list_dot_product(x, w{i - 1}.w) + w{i - 1}.b)))
+           AS p
+  FROM data, w{i - 1}
+),
+g{i} AS (
+  SELECT u.d AS d, avg((p - y) * x[u.d]) AS g
+  FROM p{i}, (SELECT unnest(range(1, {dim + 1})) AS d) u GROUP BY u.d
+),
+gl{i} AS (SELECT list(g ORDER BY d) AS gs FROM g{i}),
+gb{i} AS (SELECT avg(p - y) AS gb FROM p{i}),
+w{i} AS MATERIALIZED (
+  SELECT list_transform(list_zip(w{i - 1}.w, gl{i}.gs),
+                        z -> z[1] - {lr!r} * z[2]) AS w,
+         w{i - 1}.b - {lr!r} * gb{i}.gb AS b
+  FROM w{i - 1}, gl{i}, gb{i}
+)"""
+
+
+def _logistic_oracle_sql(dim: int, n_steps: int, lr: float) -> str:
+    """DuckDB twin of _logistic_regression_gd: the unrolled list-math
+    CTE chain over the embeddings table, label binarized identically
+    in the data CTE."""
+    sql = f"""
+WITH data AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS x,
+         CAST(CAST(label < 5 AS INT) AS DOUBLE) AS y
+  FROM embeddings
+),
+w0 AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim + 1}), d -> 0.0) AS w, 0.0 AS b
+)"""
+    for i in range(1, n_steps + 1):
+        sql += "," + _logistic_oracle_step_sql(i, dim, lr)
+    sql += f"""
+, final AS (
+  SELECT y,
+         1.0 / (1.0 + exp(-(list_dot_product(x, w{n_steps}.w)
+                            + w{n_steps}.b))) AS p,
+         w{n_steps}.w AS w, w{n_steps}.b AS b
+  FROM data, w{n_steps}
+)
+SELECT count(*) AS n,
+       round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0
+                      ELSE 0.0 END), 4) AS accuracy,
+       round(avg(-(y * ln(least(greatest(p, 1e-12), 1.0 - 1e-12))
+                   + (1.0 - y)
+                     * ln(1.0 - least(greatest(p, 1e-12),
+                                      1.0 - 1e-12)))), 6) AS logloss,
+       round(sqrt(list_dot_product(any_value(w), any_value(w))), 6)
+         AS w_norm,
+       round(any_value(b), 6) AS bias
+FROM final
+"""
+    return sql
+
+
+def _pca_oracle_step_sql(i: int, dim: int) -> str:
+    return f"""
+s{i} AS (
+  SELECT c, list_dot_product(c, v{i - 1}.v) AS s FROM cdata, v{i - 1}
+),
+uu{i} AS (
+  SELECT list(g ORDER BY d) AS u FROM (
+    SELECT u.d AS d, avg(s * c[u.d]) AS g
+    FROM s{i}, (SELECT unnest(range(1, {dim + 1})) AS d) u GROUP BY u.d
+  )
+),
+v{i} AS MATERIALIZED (
+  SELECT list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v,
+         sqrt(list_dot_product(u, u)) AS lam
+  FROM uu{i}
+)"""
+
+
+def _pca_oracle_sql(dim: int, n_steps: int) -> str:
+    """DuckDB twin of _pca_power_iteration (validated in
+    tests/test_round8_staged_oracles.py); top_loading_dim is 0-based
+    Spark-side, so the 1-based DuckDB dimension spine subtracts 1, and
+    the argmax tie-breaks by SMALLEST dim on both engines."""
+    sql = f"""
+WITH data AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+mu AS (
+  SELECT list(m ORDER BY d) AS mu FROM (
+    SELECT u.d AS d, avg(x[u.d]) AS m
+    FROM data, (SELECT unnest(range(1, {dim + 1})) AS d) u
+    GROUP BY u.d
+  )
+),
+cdata AS MATERIALIZED (
+  SELECT list_transform(list_zip(x, mu.mu), z -> z[1] - z[2]) AS c
+  FROM data, mu
+),
+v0 AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim + 1}),
+                        d -> 1.0 / sqrt({dim}.0)) AS v,
+         0.0 AS lam
+)"""
+    for i in range(1, n_steps + 1):
+        sql += "," + _pca_oracle_step_sql(i, dim)
+    sql += f"""
+, tv AS (
+  SELECT count(*) AS n,
+         sum(list_dot_product(c, c)) / count(*) AS total_var
+  FROM cdata
+),
+top AS (
+  SELECT CAST(d AS INT) AS top_loading_dim FROM (
+    SELECT u.d AS d, abs(v{n_steps}.v[u.d]) AS a
+    FROM v{n_steps}, (SELECT unnest(range(1, {dim + 1})) AS d) u
+  ) ORDER BY a DESC, d ASC LIMIT 1
+)
+SELECT tv.n AS n, round(v{n_steps}.lam, 6) AS top_eigenvalue,
+       round(tv.total_var, 6) AS total_variance,
+       round(v{n_steps}.lam / tv.total_var, 4) AS explained_share,
+       top.top_loading_dim - 1 AS top_loading_dim
+FROM tv, v{n_steps}, top
+"""
+    return sql
+
+
+_READABILITY_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS t,
+         list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     s -> trim(s) <> '') AS sents
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         greatest(len(sents), 1) AS n_sentences,
+         greatest(len(t), 1) AS n_words,
+         greatest(list_sum(list_transform(t, w ->
+           greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 1)
+           AS n_syllables
+  FROM toks
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+         AS flesch,
+       round(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (n_syllables / CAST(n_words AS DOUBLE))
+             - 15.59, 4) AS fk_grade
+FROM counts
+"""
+
+
+def _contamination_oracle_sql(sizes=(3, 5)) -> str:
+    """DuckDB twin of _contamination_report (validated in
+    tests/test_round8_staged_oracles.py): per n-gram size, the
+    distinct-gram and affected-doc overlap between the eval slice and
+    the train remainder.  The gram CTEs are MATERIALIZED — each is
+    referenced five times."""
+    blocks = []
+    for n in sizes:
+        blocks.append(f"""
+SELECT {n} AS ngram_size,
+  (SELECT count(DISTINCT g) FROM grams{n} WHERE is_eval) AS n_eval_ngrams,
+  (SELECT count(*) FROM
+     (SELECT DISTINCT g FROM grams{n} WHERE is_eval)
+     WHERE g IN (SELECT g FROM grams{n} WHERE NOT is_eval))
+    AS n_overlap,
+  round((SELECT count(*) FROM
+     (SELECT DISTINCT g FROM grams{n} WHERE is_eval)
+     WHERE g IN (SELECT g FROM grams{n} WHERE NOT is_eval))
+    / CAST((SELECT count(DISTINCT g) FROM grams{n} WHERE is_eval)
+      AS DOUBLE), 6) AS overlap_share,
+  (SELECT count(DISTINCT doc_id) FROM grams{n} WHERE is_eval)
+    AS n_eval_docs,
+  (SELECT count(DISTINCT doc_id) FROM grams{n}
+    WHERE is_eval
+      AND g IN (SELECT g FROM grams{n} WHERE NOT is_eval))
+    AS n_docs_hit,
+  round((SELECT count(DISTINCT doc_id) FROM grams{n}
+    WHERE is_eval
+      AND g IN (SELECT g FROM grams{n} WHERE NOT is_eval))
+    / CAST((SELECT count(DISTINCT doc_id) FROM grams{n} WHERE is_eval)
+      AS DOUBLE), 6) AS docs_hit_share""")
+    gram_ctes = ",".join(
+        f"""
+grams{n} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, is_eval,
+         array_to_string(t[i:i + {n - 1}], ' ') AS g
+  FROM tk, unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS s(i)
+)"""
+        for n in sizes
+    )
+    return (
+        f"WITH tk AS MATERIALIZED (SELECT doc_id,"
+        f" source = 'src1' AS is_eval, {_TOKS_SQL} AS t FROM documents),"
+        + gram_ctes
+        + " ".join(
+            b if i == 0 else " UNION ALL " + b
+            for i, b in enumerate(blocks)
+        )
+    )
+
+
+def _dsir_feature_ctes_sql(n_buckets: int, a: float) -> str:
+    """The shared DSIR chain (validated in
+    tests/test_round8_staged_oracles.py): hashed-bigram features, the
+    two bucket-count distributions, the dense smoothed log-ratio
+    spine, and the per-raw-doc score."""
+    return f"""
+tk AS (
+  SELECT doc_id, source = 'src1' AS is_target, {_TOKS_SQL} AS t
+  FROM documents
+),
+fb AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         CAST({_BASEHASH_SQL.format(
+             x="array_to_string(t[i:i + 1], ' ')"
+         )} % {n_buckets} AS INT) AS b
+  FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS s(i)
+),
+tgt AS (SELECT b, count(*) AS ct FROM fb WHERE is_target GROUP BY b),
+rawc AS (SELECT b, count(*) AS cr FROM fb WHERE NOT is_target GROUP BY b),
+tot AS (
+  SELECT (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt,
+         (SELECT coalesce(sum(cr), 0) FROM rawc) AS nr
+),
+spine AS (SELECT CAST(unnest(range(0, {n_buckets})) AS INT) AS b),
+ratios AS (
+  SELECT spine.b AS b,
+         ln((coalesce(ct, 0) + {a!r}) / (nt + {a!r} * {n_buckets}))
+         - ln((coalesce(cr, 0) + {a!r}) / (nr + {a!r} * {n_buckets}))
+           AS lr
+  FROM spine LEFT JOIN tgt ON spine.b = tgt.b
+             LEFT JOIN rawc ON spine.b = rawc.b, tot
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_features,
+         round(sum(lr), 4) AS dsir_logweight
+  FROM fb JOIN ratios ON fb.b = ratios.b
+  WHERE NOT is_target GROUP BY doc_id
+)"""
+
+
+def _dsir_oracle_sql(n_buckets: int, a: float) -> str:
+    return (
+        "WITH " + _dsir_feature_ctes_sql(n_buckets, a)
+        + "\nSELECT doc_id, n_features, dsir_logweight FROM scored"
+    )
+
+
+def _importance_mixture_oracle_sql(
+    n_buckets: int, a: float, n_per_stratum: int
+) -> str:
+    """DuckDB twin of _composite_importance_mixture: the DSIR chain,
+    the 1e4-scaled clamped integer weight, and the per-source PPS
+    systematic crossing test (same hash order and div arithmetic as
+    the pps_stratified_sample oracle)."""
+    return f"""
+WITH {_dsir_feature_ctes_sql(n_buckets, a)},
+h AS (
+  SELECT d.source AS source, s.doc_id AS doc_id,
+         greatest(CAST(round(s.dsir_logweight * 10000) AS BIGINT), 1)
+           AS w,
+         {_BASEHASH_SQL.format(x="CAST(s.doc_id AS VARCHAR)")} AS hk
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+cum AS (
+  SELECT source, doc_id, w,
+         sum(w) OVER (PARTITION BY source ORDER BY hk, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw
+  FROM h
+),
+tots AS (SELECT source, max(cumw) AS tw FROM cum GROUP BY source)
+SELECT cum.source, doc_id, w AS weight_cents,
+       CAST(cumw AS BIGINT) AS cum_weight_cents
+FROM cum JOIN tots ON cum.source IS NOT DISTINCT FROM tots.source
+WHERE cumw * {n_per_stratum} // tw > (cumw - w) * {n_per_stratum} // tw
+"""
+
+
+def _r9_oracles() -> dict[str, str]:
+    """Oracles for the second round-8 registration wave (the five
+    operators staged earlier this round plus the DSIR composite)."""
+    return {
+        "logistic_regression_gd": _logistic_oracle_sql(64, 3, 0.4),
+        "pca_power_iteration": _pca_oracle_sql(64, 4),
+        "readability_scores": _READABILITY_ORACLE_SQL,
+        "contamination_report": _contamination_oracle_sql((3, 5)),
+        "dsir_log_weights": _dsir_oracle_sql(4096, 1.0),
+        "composite_importance_mixture": _importance_mixture_oracle_sql(
+            4096, 1.0, 8
+        ),
+    }

@@ -95,3 +95,27 @@ def test_pca_power_iteration_finds_dominant_axis(spark):
     top = float(np.linalg.eigvalsh(c)[-1])
     assert out["top_eigenvalue"] == pytest.approx(top, rel=2e-3)
     assert out["total_variance"] == pytest.approx(float(np.trace(c)), rel=1e-6)
+
+
+def test_importance_mixture_composite(spark):
+    """The DSIR -> stratified-PPS composite: per-source selection
+    bounded by n_per_stratum, positive integer weights, cumulative
+    weights consistent with the crossing test, and the 4096-row
+    ratio table joined as a broadcast (never a corpus shuffle)."""
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    out = entrymod._composite_importance_mixture(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+    rows = out.collect()
+    assert rows, "every source stratum must admit selections"
+    per_src = Counter(r["source"] for r in rows)
+    assert all(1 <= c <= 8 for c in per_src.values())
+    assert all(r["weight_cents"] >= 1 for r in rows)
+    assert all(r["cum_weight_cents"] >= r["weight_cents"] for r in rows)
