@@ -5592,12 +5592,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r07 item 6), the FIVE operators staged-and-registered within the
     same round once their oracles validated (in-plan logistic GD and
     PCA power iteration over embeddings, readability scores,
-    contamination report, DSIR importance weights), and the
+    contamination report, DSIR importance weights), the
     composite_importance_mixture (DSIR score → integer PPS weight →
-    per-source stratified fill as one plan), followed by 30
-    re-verification pads — the oldest driver-green rows (r01 block)
-    per the rotation doctrine, since round 7 closed driver coverage
-    of all 334 prior entries.
+    per-source stratified fill as one plan), a THIRD same-round wave
+    (BM25 retrieval, Kneser–Ney bigram LM, two-sample energy
+    distance, per-channel image histograms, and the hashed-BoW →
+    logistic classifier composite), followed by 25 re-verification
+    pads — the oldest driver-green rows (r01 block) per the rotation
+    doctrine, since round 7 closed driver coverage of all 334 prior
+    entries.
 
     Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
@@ -6104,6 +6107,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": _contamination_report,
         "dsir_log_weights": _dsir_log_weights,
         "composite_importance_mixture": _composite_importance_mixture,
+        # --- round-8 third wave: BM25 retrieval, Kneser-Ney LM,
+        # energy distance, channel histograms, and the hashed-BoW
+        # classifier composite (staged + oracle-validated in
+        # tests/test_round9_staged*.py) ---
+        "bm25_topk": _bm25_topk,
+        "kneser_ney_logprob": _kneser_ney_logprob,
+        "energy_distance": _energy_distance,
+        "image_channel_hist": _image_channel_hist,
+        "composite_hashed_classifier": _composite_hashed_classifier,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6112,12 +6124,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (logistic GD, PCA power iteration, readability, contamination
     # report, DSIR weights), and the DSIR -> stratified-PPS
     # composite claim the window first (rotation doctrine:
-    # never-driver-verified entries lead); the remaining 30 slots are
-    # re-verification pads — after round 7 closed driver coverage of
-    # all 334 prior entries, the oldest driver-green rows are the r01
-    # block, so the pads are the first 30 r01-verified entries in
+    # never-driver-verified entries lead); then the THIRD wave (BM25
+    # retrieval, Kneser-Ney LM, energy distance, channel histograms,
+    # the hashed-BoW classifier composite); the remaining 25 slots
+    # are re-verification pads — after round 7 closed driver coverage
+    # of all 334 prior entries, the oldest driver-green rows are the
+    # r01 block, so the pads are the first 25 r01-verified entries in
     # registry order (regression re-checks of the relational/filter/
-    # join/set core). ---
+    # join core). ---
     _r8_window = [
         "cuped_adjusted_lift",
         "active_user_counts",
@@ -6139,6 +6153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report",
         "dsir_log_weights",
         "composite_importance_mixture",
+        "bm25_topk",
+        "kneser_ney_logprob",
+        "energy_distance",
+        "image_channel_hist",
+        "composite_hashed_classifier",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
@@ -6164,11 +6183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi",
         "join_anti",
         "rng_range_join",
-        "join_asof",
-        "set_union_distinct",
-        "set_intersect",
-        "set_except",
-        "srt_global_topk",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9406,6 +9420,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r7_oracles())
     base.update(_r8_oracles())
     base.update(_r9_oracles())
+    base.update(_r9b_oracles())
     return base
 
 
@@ -12874,5 +12889,256 @@ def _r9_oracles() -> dict[str, str]:
         "dsir_log_weights": _dsir_oracle_sql(4096, 1.0),
         "composite_importance_mixture": _importance_mixture_oracle_sql(
             4096, 1.0, 8
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, third wave: BM25 retrieval, Kneser-Ney LM,
+# energy distance, channel histograms, and the hashed-BoW classifier
+# composite (staged + oracle-validated in tests/test_round9_staged*.py)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("vector", "merge", "stream")
+
+
+def _bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (text_analysis.bm25_topk): rank the
+    documents corpus against a fixed 3-term query, top-50 by the
+    4dp-rounded score (engine-deterministic cut).  The explode keeps
+    only query-term hits; df and the corpus scalars broadcast."""
+    return T.bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_BM25_QUERY), k=50
+    )
+
+
+def _kneser_ney_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring of every document
+    (text_analysis.kneser_ney_logprob): absolute discounting with the
+    continuation-probability backoff, all model tables derived from
+    the corpus itself; the bigram table joins on the pair key, the
+    unigram-sized context/continuation tables broadcast."""
+    return T.kneser_ney_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _energy_distance(spark, sf_dir):
+    """Two-sample energy distance between view and purchase order
+    values (aggregates.energy_distance): the sorted-pairwise identity
+    over the distinct-value histogram — integer-cents exact, no
+    pairwise expansion."""
+    ev = _t(spark, sf_dir, "events")
+    return AG.energy_distance(
+        ev,
+        "event_type",
+        F.round(F.col("value") * 100).cast("long"),
+        "view",
+        "purchase",
+    )
+
+
+def _image_channel_hist(spark, sf_dir):
+    """Per-channel 4-bin pixel histograms over real 8x8 P6 assets
+    synthesized from documents (multimodal.image_channel_hist):
+    stdlib decode in Arrow mapInPandas, integer bin edges — exactly
+    reproducible in SQL from the pixel formula."""
+    from eggv_spark.operators.multimodal import (
+        image_channel_hist,
+        synthesize_ppm_images,
+    )
+
+    assets = synthesize_ppm_images(
+        _t(spark, sf_dir, "documents"), width=8, height=8
+    )
+    return image_channel_hist(assets, n_bins=4)
+
+
+def _composite_hashed_classifier(spark, sf_dir):
+    """The fasttext-style quality-gate training loop as ONE plan:
+    hash every document's bag of words into 16 normalized features
+    (no vocabulary build, no shuffle) and fit a binary logistic
+    classifier for the src1 slice by 2 full-batch GD steps
+    (text_analysis.with_hashed_features -> ml.logistic_regression_gd)
+    — featurize -> fit entirely where the data lives.  Scale shape:
+    featurization rides the scan; each GD step is one corpus pass
+    whose shuffle carries 16 dimension rows."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.with_hashed_features(docs, n_buckets=16).select(
+        F.transform(
+            "feature_vec",
+            lambda v: v.cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+        ).alias("x"),
+        (F.col("source") == "src1").cast("int").alias("label"),
+    )
+    return ML.logistic_regression_gd(
+        feats, "x", "label", n_steps=2, lr=0.5, dim=16
+    )
+
+
+def _bm25_oracle_sql(query_terms, k: int, k1=1.2, b=0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, len({_TOKS_SQL}) AS dl,
+         list_filter({_TOKS_SQL}, t -> t IN ({terms})) AS qt
+  FROM documents
+),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks),
+tf AS MATERIALIZED (
+  SELECT doc_id, dl, t.t AS term, count(*) AS tf
+  FROM toks, unnest(qt) AS t(t)
+  GROUP BY doc_id, dl, t.t
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, count(*) AS n_terms_hit,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfreq USING (term), corpus
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""
+
+
+def _kn_oracle_sql(d=0.75) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+pairs AS MATERIALIZED (
+  SELECT doc_id, u.p[1] AS prev, u.p[2] AS cur
+  FROM toks,
+       unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)
+  WHERE len(t) >= 2
+),
+big AS MATERIALIZED (
+  SELECT prev, cur, count(*) AS n_big FROM pairs GROUP BY prev, cur
+),
+ctx AS (
+  SELECT prev, sum(n_big) AS n_prev, count(*) AS n_types_after
+  FROM big GROUP BY prev
+),
+cont AS (SELECT cur, count(*) AS n_types_before FROM big GROUP BY cur),
+tot AS (SELECT count(*) AS n_bigram_types FROM big)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln(
+         (n_big - {d}) / n_prev
+         + {d} * n_types_after / n_prev
+           * (n_types_before / CAST(n_bigram_types AS DOUBLE))
+       )), 4) AS avg_kn_logprob
+FROM pairs JOIN big USING (prev, cur)
+     JOIN ctx USING (prev) JOIN cont USING (cur), tot
+GROUP BY doc_id
+"""
+
+
+def _energy_oracle_sql(
+    group_col: str, val_cents_sql: str, group_a: str, group_b: str,
+    table: str = "events",
+) -> str:
+    return f"""
+WITH s AS (
+  SELECT CAST({val_cents_sql} AS BIGINT) AS v,
+         CAST({group_col} = '{group_a}' AS BIGINT) AS is_a
+  FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+),
+per_v AS (SELECT v, sum(is_a) AS ca, count(*) - sum(is_a) AS cb
+          FROM s GROUP BY v),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_v),
+cum AS (
+  SELECT v, ca, cb, na, nb,
+         sum(ca) OVER w AS pa, sum(cb) OVER w AS pb,
+         sum(ca + cb) OVER w AS pall
+  FROM per_v, tot
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+folded AS (
+  SELECT na, nb,
+         sum(CAST(v AS HUGEINT) * ca * (2 * pa - ca - na)) AS ta,
+         sum(CAST(v AS HUGEINT) * cb * (2 * pb - cb - nb)) AS tb,
+         sum(CAST(v AS HUGEINT) * (ca + cb)
+             * (2 * pall - (ca + cb) - (na + nb))) AS tall
+  FROM cum GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CAST(tall - ta - tb AS DOUBLE) / (na * nb), 6)
+         AS mean_cross_cents,
+       round(2.0 * CAST(ta AS DOUBLE) / (na * na), 6)
+         AS mean_within_a_cents,
+       round(2.0 * CAST(tb AS DOUBLE) / (nb * nb), 6)
+         AS mean_within_b_cents,
+       round(2.0 * CAST(tall - ta - tb AS DOUBLE) / (na * nb)
+             - 2.0 * CAST(ta AS DOUBLE) / (na * na)
+             - 2.0 * CAST(tb AS DOUBLE) / (nb * nb), 6)
+         AS energy_distance_cents
+FROM folded
+"""
+
+
+def _image_hist_oracle_sql(width: int, height: int, n_bins: int) -> str:
+    """Formula-recomputed channel histogram for synthesize_ppm_images
+    assets (byte i of doc d is (d*7 + i*13) % 256, channel = i % 3);
+    the bin grid left-joins the counts so empty bins emit 0."""
+    n_px = width * height
+    bin_w = 256 // n_bins
+    return f"""
+WITH px AS (
+  SELECT d.doc_id AS asset_id, ch.ch AS ch, p.p AS p,
+         (d.doc_id * 7 + (p.p * 3 + ch.ch) * 13) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(range(0, 3)) AS ch) ch,
+       (SELECT unnest(range(0, {n_px})) AS p) p
+),
+grid AS (
+  SELECT d.doc_id AS asset_id, ch.ch AS ch, b.b AS b
+  FROM documents d,
+       (SELECT unnest(range(0, 3)) AS ch) ch,
+       (SELECT unnest(range(0, {n_bins})) AS b) b
+)
+SELECT g.asset_id,
+       CASE g.ch WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
+       CAST(g.b AS INT) AS bin,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_px
+FROM grid g LEFT JOIN (
+  SELECT asset_id, ch, v // {bin_w} AS b, count(*) AS n
+  FROM px GROUP BY asset_id, ch, v // {bin_w}
+) c ON g.asset_id = c.asset_id AND g.ch = c.ch AND g.b = c.b
+"""
+
+
+def _hashed_classifier_oracle_sql(dim: int, n_steps: int, lr: float) -> str:
+    """The round-8 logistic CTE chain fed from a hashed-BoW feature
+    CTE instead of the embeddings table (composite oracle)."""
+    bucket = _BASEHASH_SQL.format(x="s")
+    data_cte = f"""
+WITH data AS MATERIALIZED (
+  SELECT list_transform(generate_series(0, {dim - 1}), i ->
+           len(list_filter(t, s -> {bucket} % {dim} = i))
+           / CAST(greatest(len(t), 1) AS DOUBLE)) AS x,
+         CAST(CAST(is_t AS INT) AS DOUBLE) AS y
+  FROM (SELECT {_TOKS_SQL} AS t, source = 'src1' AS is_t
+        FROM documents)
+),
+w0 AS MATERIALIZED"""
+    base = _logistic_oracle_sql(dim, n_steps, lr)
+    _head, tail = base.split("),\nw0 AS MATERIALIZED", 1)
+    return data_cte + tail
+
+
+def _r9b_oracles() -> dict[str, str]:
+    """Oracles for the third round-8 registration wave."""
+    return {
+        "bm25_topk": _bm25_oracle_sql(_BM25_QUERY, 50),
+        "kneser_ney_logprob": _kn_oracle_sql(),
+        "energy_distance": _energy_oracle_sql(
+            "event_type", "round(value * 100)", "view", "purchase"
+        ),
+        "image_channel_hist": _image_hist_oracle_sql(8, 8, 4),
+        "composite_hashed_classifier": _hashed_classifier_oracle_sql(
+            16, 2, 0.5
         ),
     }

@@ -2833,3 +2833,102 @@ def brier_decomposition(
             F.any_value(F.col("_ybar") * (1 - F.col("_ybar"))), 6
         ).alias("uncertainty"),
     )
+
+
+def energy_distance(
+    df: DataFrame,
+    group_col: str,
+    val_cents_col: Column | str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample energy distance (Székely–Rizzo):
+    ``D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|`` — the distribution-equality
+    test that, unlike KS (max single deviation), integrates ALL
+    moments, and unlike rank tests is location-AND-shape sensitive.
+
+    Relational formulation with no pairwise expansion: for a sorted
+    sample, ``Σ_{i<j}|x_j−x_i| = Σ_i (2i−1−n)·x_(i)``; grouped by
+    DISTINCT value v with count c at cumulative count p this is
+    ``Σ_v v·c·(2p−c−n)`` — tie-safe (any order within a tie
+    contributes |0|), so per-distinct-value counts + ONE cumulative
+    window over the value-distinct table (the :func:`ks_statistic`
+    posture) yield all three terms: the combined-sample total and the
+    two within-group totals, with cross = total − within_a −
+    within_b.  Values must arrive as integer cents — every
+    accumulator is DECIMAL(38,0), exact at any scale, and the final
+    double divisions are deterministic.  Returns one row: n_a, n_b,
+    the three mean absolute differences (cents) and the energy
+    distance (cents).  Staged for the round-9 registry window."""
+    v = (
+        F.col(val_cents_col)
+        if isinstance(val_cents_col, str)
+        else val_cents_col
+    )
+    s = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        v.cast("long").alias("_v"),
+        (F.col(group_col) == group_a).cast("long").alias("_is_a"),
+    )
+    per_v = s.groupBy("_v").agg(
+        F.sum("_is_a").alias("_ca"),
+        (F.count("*") - F.sum("_is_a")).alias("_cb"),
+    )
+    totals = per_v.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+
+    def _t(c: str, p: Column, n: Column) -> Column:
+        # v*c*(2p - c - n), all exact integer math
+        return F.sum(
+            F.col("_v").cast(dec)
+            * F.col(c).cast(dec)
+            * (2 * p.cast(dec) - F.col(c).cast(dec) - n.cast(dec))
+        )
+
+    cum = per_v.crossJoin(F.broadcast(totals)).select(
+        "_v", "_ca", "_cb", "_na", "_nb",
+        F.sum("_ca").over(w).alias("_pa"),
+        F.sum("_cb").over(w).alias("_pb"),
+        F.sum(F.col("_ca") + F.col("_cb")).over(w).alias("_pall"),
+    )
+    folded = cum.groupBy("_na", "_nb").agg(
+        _t("_ca", F.col("_pa"), F.col("_na")).alias("_ta"),
+        _t("_cb", F.col("_pb"), F.col("_nb")).alias("_tb"),
+        F.sum(
+            F.col("_v").cast(dec)
+            * (F.col("_ca") + F.col("_cb")).cast(dec)
+            * (
+                2 * F.col("_pall").cast(dec)
+                - (F.col("_ca") + F.col("_cb")).cast(dec)
+                - (F.col("_na") + F.col("_nb")).cast(dec)
+            )
+        ).alias("_tall"),
+    )
+    e_cross = (
+        (F.col("_tall") - F.col("_ta") - F.col("_tb")).cast("double")
+        / (F.col("_na") * F.col("_nb")).cast("double")
+    )
+    e_a = (
+        F.lit(2.0)
+        * F.col("_ta").cast("double")
+        / (F.col("_na") * F.col("_na")).cast("double")
+    )
+    e_b = (
+        F.lit(2.0)
+        * F.col("_tb").cast("double")
+        / (F.col("_nb") * F.col("_nb")).cast("double")
+    )
+    return folded.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(e_cross, 6).alias("mean_cross_cents"),
+        F.round(e_a, 6).alias("mean_within_a_cents"),
+        F.round(e_b, 6).alias("mean_within_b_cents"),
+        F.round(2.0 * e_cross - e_a - e_b, 6).alias(
+            "energy_distance_cents"
+        ),
+    )

@@ -1518,3 +1518,50 @@ def image_patches(
             " mean_r double, mean_g double, mean_b double",
         )
     )
+
+
+def image_channel_hist(
+    assets: DataFrame, n_bins: int = 4
+) -> DataFrame:
+    """Per-channel pixel-intensity histograms over REAL decoded P6
+    pixels (stdlib decode inside Arrow-batched ``mapInPandas``,
+    1→N): each image emits ``3·n_bins`` rows of (channel, bin,
+    count) — the exposure/color-cast audit a vision-data curation
+    pass runs before training (a channel whose mass sits in one bin
+    is a blank/clipped asset).
+
+    ``n_bins`` must divide 256 so bin edges are exact integers
+    (``bin = pixel // (256/n_bins)``) and the counts reproduce
+    bit-identically from the synthesis formula in SQL.  Unsupported
+    payloads raise loudly (no silent skips).  Staged for the round-9
+    registry window."""
+    if 256 % n_bins:
+        raise ValueError(f"n_bins={n_bins} must divide 256")
+    width = 256 // n_bins
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "channel": [], "bin": [], "n_px": [],
+            }
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                _w, _h, _maxval, raster = _ppm_parse(bytes(payload))
+                for ch, name in enumerate(("r", "g", "b")):
+                    counts = [0] * n_bins
+                    for px in raster[ch::3]:
+                        counts[px // width] += 1
+                    for b, c in enumerate(counts):
+                        out["asset_id"].append(asset_id)
+                        out["channel"].append(name)
+                        out["bin"].append(b)
+                        out["n_px"].append(c)
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _hist,
+            "asset_id long, channel string, bin int, n_px long",
+        )
+    )

@@ -1845,3 +1845,154 @@ def _logp_fill(
         (F.coalesce(F.col(count_col), F.lit(0)) + a)
         / (F.col(total_col) + a * n_buckets)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query-term set —
+    the classic lexical retrieval scorer (Robertson/Spärck Jones;
+    the Lucene ``k1``/``b`` defaults), the exact-match complement to
+    the embedding ANN family for "find me training docs about X".
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5))  (always positive).
+
+    Plan shape: document length is a projection; the explode keeps
+    ONLY query terms (the filter rides inside the array before the
+    explode, so the generated row count is Σ per-doc query-term hits,
+    not corpus tokens); tf counts are one map-side-combined shuffle;
+    df and the (N, avgdl) scalars are |Q|-row / 1-row broadcasts; the
+    final top-k is TakeOrdered on the 4dp-rounded score with an id
+    tiebreak — no global sort, and the rounding makes the boundary
+    engine-deterministic.  Staged for the round-9 registry window."""
+    q = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(text_col).alias("_t"),
+    ).select(
+        "_id",
+        F.size("_t").alias("_dl"),
+        F.filter(
+            "_t", lambda t: t.isin(*q) if len(q) > 1 else t == q[0]
+        ).alias("_qt"),
+    )
+    corpus = toks.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        toks.filter(F.size("_qt") > 0)
+        .select("_id", "_dl", F.explode("_qt").alias("_term"))
+        .groupBy("_id", "_dl", "_term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.round(F.sum("_s"), 4).alias("bm25"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "n_terms_hit", "bm25")
+    )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring — the published upgrade
+    over :func:`bigram_logprob`'s fixed-λ interpolation: the backoff
+    weight is the context's escape mass (absolute discounting) and
+    the lower-order model is the CONTINUATION distribution (how many
+    distinct contexts a word follows), which famously stops
+    "Francisco" from looking probable outside "San Francisco".
+
+    P(w₂|w₁) = (c(w₁w₂)−D)/c(w₁) + D·N₁₊(w₁·)/c(w₁) · P_cont(w₂),
+    P_cont(w₂) = N₁₊(·w₂)/N₁₊(··).
+
+    Scoring the training corpus itself means every scored bigram has
+    c ≥ 1, so the discounted term is strictly positive for D < 1 and
+    the log never sees zero.  Plan shape mirrors bigram_logprob: the
+    bigram-stat table (c₁₂ plus the per-context totals and
+    continuation-type counts derived from it) joins back on the PAIR
+    key; the two unigram-sized tables and the 1-row type total ride
+    broadcasts.  Documents with < 2 tokens drop (no bigrams).
+    Staged for the round-9 registry window."""
+    d = float(discount)
+    toks = df.select(id_col, tokens_col(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
+                F.expr("slice(_t, 2, greatest(size(_t) - 1, 0))"),
+            )
+        ).alias("_p"),
+    ).select(
+        id_col,
+        F.col("_p.0").alias("prev"),
+        F.col("_p.1").alias("cur"),
+    )
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_big"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("n_big").alias("n_prev"),
+        F.count("*").alias("n_types_after"),
+    )
+    cont = big.groupBy("cur").agg(F.count("*").alias("n_types_before"))
+    total_types = big.agg(F.count("*").alias("n_bigram_types"))
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cont), "cur")
+        .crossJoin(F.broadcast(total_types))
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.col("n_big") - d) / F.col("n_prev")
+                + F.lit(d)
+                * F.col("n_types_after")
+                / F.col("n_prev")
+                * (
+                    F.col("n_types_before")
+                    / F.col("n_bigram_types")
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_logp"), 4).alias("avg_kn_logprob"),
+    )

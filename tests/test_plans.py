@@ -665,3 +665,53 @@ def test_tokenizer_pipeline_two_corpus_shuffles(spark):
     for r in rows:
         assert r["cum_tokens"] <= 60
         assert r["seq_bin"] == (r["cum_tokens"] - r["n_bpe_tokens"]) // 16
+
+
+def test_bm25_filter_rides_array_and_topk_is_takeordered(spark):
+    """BM25's query-term filter must live INSIDE the token array
+    (generated rows = query hits, not corpus tokens), df must join as
+    a broadcast, and the top-k cut must be TakeOrdered — never a
+    global sort."""
+    from eggv_spark.operators.text_analysis import bm25_topk
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(bm25_topk(docs, ["vector", "merge", "stream"], k=50))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the pre-explode filter: the Generate input carries a filtered
+    # array expression, so the explode is over `qt`, not raw tokens
+    assert "filter(" in plan
+
+
+def test_energy_distance_one_window_over_distinct_values(spark):
+    """Energy distance must fold to per-distinct-value counts FIRST
+    (map-side combinable) and run exactly one cumulative window over
+    that value-distinct table — never a window or sort over raw
+    rows."""
+    from eggv_spark.operators.aggregates import energy_distance
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(
+        energy_distance(
+            ev, "event_type",
+            F.round(F.col("value") * 100).cast("long"),
+            "view", "purchase",
+        )
+    )
+    assert plan.count("Window") == 1
+    assert "partial_sum" in plan.lower() or "partial" in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_image_channel_hist_is_shuffle_free(spark):
+    """The histogram is per-asset arithmetic inside one Arrow batch —
+    zero exchanges; partitioning rides the asset scan."""
+    from eggv_spark.operators.multimodal import (
+        image_channel_hist,
+        synthesize_ppm_images,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(image_channel_hist(synthesize_ppm_images(docs, 8, 8)))
+    assert "Exchange" not in plan
