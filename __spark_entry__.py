@@ -5597,10 +5597,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-source stratified fill as one plan), a THIRD same-round wave
     (BM25 retrieval, Kneser–Ney bigram LM, two-sample energy
     distance, per-channel image histograms, and the hashed-BoW →
-    logistic classifier composite), followed by 25 re-verification
-    pads — the oldest driver-green rows (r01 block) per the rotation
-    doctrine, since round 7 closed driver coverage of all 334 prior
-    entries.
+    logistic classifier composite), a FOURTH wave (multinomial Naive
+    Bayes with the dense doc×class grid, 1-D Wasserstein transport
+    cost, per-doc token entropy/evenness, distinct-n diversity per
+    source, and the WAV silence audit), followed by 20
+    re-verification pads — the oldest driver-green rows (r01 block)
+    per the rotation doctrine, since round 7 closed driver coverage
+    of all 334 prior entries.
 
     Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
@@ -6116,6 +6119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_distance": _energy_distance,
         "image_channel_hist": _image_channel_hist,
         "composite_hashed_classifier": _composite_hashed_classifier,
+        # --- round-8 fourth wave: Naive Bayes, Wasserstein-1D, token
+        # entropy, n-gram diversity, audio silence (staged +
+        # oracle-validated in tests/test_round9b_staged*.py) ---
+        "naive_bayes_fit": _naive_bayes_fit,
+        "wasserstein_1d": _wasserstein_1d,
+        "token_entropy": _token_entropy,
+        "ngram_diversity": _ngram_diversity,
+        "audio_silence_report": _audio_silence_report,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6126,12 +6137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composite claim the window first (rotation doctrine:
     # never-driver-verified entries lead); then the THIRD wave (BM25
     # retrieval, Kneser-Ney LM, energy distance, channel histograms,
-    # the hashed-BoW classifier composite); the remaining 25 slots
-    # are re-verification pads — after round 7 closed driver coverage
-    # of all 334 prior entries, the oldest driver-green rows are the
-    # r01 block, so the pads are the first 25 r01-verified entries in
-    # registry order (regression re-checks of the relational/filter/
-    # join core). ---
+    # the hashed-BoW classifier composite) and the FOURTH (Naive
+    # Bayes, Wasserstein-1D, token entropy, n-gram diversity, audio
+    # silence); the remaining 20 slots are re-verification pads —
+    # after round 7 closed driver coverage of all 334 prior entries,
+    # the oldest driver-green rows are the r01 block, so the pads are
+    # the first 20 r01-verified entries in registry order (regression
+    # re-checks of the relational/filter core). ---
     _r8_window = [
         "cuped_adjusted_lift",
         "active_user_counts",
@@ -6158,6 +6170,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_distance",
         "image_channel_hist",
         "composite_hashed_classifier",
+        "naive_bayes_fit",
+        "wasserstein_1d",
+        "token_entropy",
+        "ngram_diversity",
+        "audio_silence_report",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
@@ -6178,11 +6195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nul_drop",
         "flt_eq",
         "flt_isin",
-        "flt_neg_notnull",
-        "join_left_broadcast",
-        "join_semi",
-        "join_anti",
-        "rng_range_join",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9421,6 +9433,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r8_oracles())
     base.update(_r9_oracles())
     base.update(_r9b_oracles())
+    base.update(_r9c_oracles())
     return base
 
 
@@ -13141,4 +13154,252 @@ def _r9b_oracles() -> dict[str, str]:
         "composite_hashed_classifier": _hashed_classifier_oracle_sql(
             16, 2, 0.5
         ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, fourth wave: Naive Bayes, Wasserstein-1D,
+# token entropy, n-gram diversity, audio silence (staged +
+# oracle-validated in tests/test_round9b_staged*.py)
+# ---------------------------------------------------------------------------
+
+
+def _naive_bayes_fit(spark, sf_dir):
+    """Multinomial Naive Bayes source classifier fit + resubstitution
+    readout in-plan (ml.naive_bayes_fit): per-class priors/recall plus
+    the '__ALL__' accuracy row; dense doc x class scoring grid so
+    floor-only classes stay in the argmax."""
+    return ML.naive_bayes_fit(_t(spark, sf_dir, "documents"))
+
+
+def _wasserstein_1d(spark, sf_dir):
+    """1-D Wasserstein distance between view and purchase order
+    values (aggregates.wasserstein_1d): integer-cents transport cost
+    from one cumulative window over the distinct-value histogram."""
+    ev = _t(spark, sf_dir, "events")
+    return AG.wasserstein_1d(
+        ev,
+        "event_type",
+        F.round(F.col("value") * 100).cast("long"),
+        "view",
+        "purchase",
+    )
+
+
+def _token_entropy(spark, sf_dir):
+    """Per-document token-distribution entropy + Pielou evenness
+    (text_analysis.token_entropy): the in-row repetitiveness signal,
+    shuffle-free."""
+    return T.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity per source (text_analysis.ngram_diversity,
+    sizes 1/2/3): the generation-diversity audit — distinct n-grams
+    over total n-grams per corpus slice."""
+    return T.ngram_diversity(
+        _t(spark, sf_dir, "documents"), "source", sizes=(1, 2, 3)
+    )
+
+
+def _audio_silence_report(spark, sf_dir):
+    """Silence audit over real 16-bit PCM WAVs synthesized from
+    documents (multimodal.audio_silence_report): silent-sample count,
+    ratio, and lead/trail trim points — exact integers reproducible
+    from the synthesis formula."""
+    from eggv_spark.operators.multimodal import (
+        audio_silence_report,
+        synthesize_wav_audio,
+    )
+
+    assets = synthesize_wav_audio(
+        _t(spark, sf_dir, "documents"), n_samples=64
+    )
+    return audio_silence_report(assets, threshold=512)
+
+
+def _naive_bayes_oracle_sql(label_col: str = "source") -> str:
+    """Dense-grid NB oracle (validated in
+    tests/test_round9b_staged_oracles.py): matched term mass joins
+    class_term on the token, unmatched mass falls to the class floor,
+    prediction by row_number over (6dp score DESC, label DESC) — the
+    max-struct largest-label tie rule."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {label_col} AS y, unnest({_TOKS_SQL}) AS w
+  FROM documents
+),
+doc_tf AS MATERIALIZED (
+  SELECT doc_id, y, w, count(*) AS tf FROM toks GROUP BY doc_id, y, w
+),
+class_term AS MATERIALIZED (
+  SELECT y AS c, w, sum(tf) AS ct FROM doc_tf GROUP BY y, w
+),
+vocab AS (SELECT count(DISTINCT w) AS v FROM class_term),
+class_tot AS (SELECT c, sum(ct) AS tot FROM class_term GROUP BY c),
+priors AS MATERIALIZED (
+  SELECT {label_col} AS c, count(*) AS nc FROM documents GROUP BY c
+),
+ntot AS (SELECT sum(nc) AS n FROM priors),
+classes AS MATERIALIZED (
+  SELECT ct2.c AS c, ct2.tot AS tot, vocab.v AS v, p.nc AS nc,
+         ln(1.0 / (ct2.tot + vocab.v)) AS floor_lp,
+         ln(p.nc / CAST(ntot.n AS DOUBLE)) AS lprior
+  FROM class_tot ct2 JOIN priors p ON ct2.c = p.c, vocab, ntot
+),
+doc_totals AS MATERIALIZED (
+  SELECT doc_id, sum(tf) AS doc_tf FROM doc_tf GROUP BY doc_id
+),
+matched AS MATERIALIZED (
+  SELECT d.doc_id AS doc_id, t.c AS c,
+         sum(d.tf * ln((t.ct + 1.0) / (cl.tot + cl.v))) AS m_sum,
+         sum(d.tf) AS m_tf
+  FROM doc_tf d JOIN class_term t ON d.w = t.w
+       JOIN classes cl ON t.c = cl.c
+  GROUP BY d.doc_id, t.c
+),
+scored AS MATERIALIZED (
+  SELECT dt.doc_id AS doc_id, cl.c AS c,
+         round(cl.lprior + coalesce(m.m_sum, 0.0)
+               + (dt.doc_tf - coalesce(m.m_tf, 0)) * cl.floor_lp,
+               6) AS score
+  FROM doc_totals dt CROSS JOIN classes cl
+  LEFT JOIN matched m ON dt.doc_id = m.doc_id AND cl.c = m.c
+),
+pred AS MATERIALIZED (
+  SELECT doc_id, c AS pred FROM (
+    SELECT doc_id, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, c DESC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+truth AS MATERIALIZED (
+  SELECT d.{label_col} AS y, p.pred AS pred
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+per_class AS (
+  SELECT y AS label, count(*) AS n_docs,
+         round(count(*) / CAST(ntot.n AS DOUBLE), 4) AS prior,
+         round(sum(CAST(pred = y AS INT)) / CAST(count(*) AS DOUBLE), 4)
+           AS recall
+  FROM truth, ntot GROUP BY y, ntot.n
+)
+SELECT label, CAST(n_docs AS BIGINT) AS n_docs, prior, recall
+FROM per_class
+UNION ALL
+SELECT '__ALL__', CAST(count(*) AS BIGINT), 1.0,
+       round(avg(CAST(pred = y AS INT)), 4)
+FROM truth
+"""
+
+
+def _wasserstein_oracle_sql(
+    group_col: str, val_cents_sql: str, group_a: str, group_b: str,
+    table: str = "events",
+) -> str:
+    return f"""
+WITH s AS (
+  SELECT CAST({val_cents_sql} AS BIGINT) AS v,
+         CAST({group_col} = '{group_a}' AS BIGINT) AS is_a
+  FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+),
+per_v AS (SELECT v, sum(is_a) AS ca, count(*) - sum(is_a) AS cb
+          FROM s GROUP BY v),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_v),
+steps AS (
+  SELECT na, nb,
+         sum(ca) OVER cw AS pa, sum(cb) OVER cw AS pb,
+         lead(v) OVER (ORDER BY v) - v AS dv
+  FROM per_v, tot
+  WINDOW cw AS (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CAST(sum(abs(CAST(pa AS HUGEINT) * nb
+                          - CAST(pb AS HUGEINT) * na) * dv) AS DOUBLE)
+             / (na * nb), 6) AS wasserstein_cents
+FROM steps WHERE dv IS NOT NULL GROUP BY na, nb
+"""
+
+
+_TOKEN_ENTROPY_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t, list_distinct({_TOKS_SQL}) AS d
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, len(t) AS n_tokens, len(d) AS n_distinct,
+         -list_sum(list_transform(d, w ->
+            (len(list_filter(t, x -> x = w)) / CAST(len(t) AS DOUBLE))
+            * ln(len(list_filter(t, x -> x = w))
+                 / CAST(len(t) AS DOUBLE)))) AS h
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(h, 4) AS entropy,
+       CASE WHEN n_distinct = 1 THEN 0.0
+            ELSE round(h / ln(n_distinct), 4) END AS evenness
+FROM scored
+"""
+
+
+def _ngram_diversity_oracle_sql(by_col: str, sizes) -> str:
+    blocks = []
+    for n in sizes:
+        blocks.append(f"""
+SELECT {by_col}, {n} AS ngram_size,
+       CAST(sum(c) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS diversity
+FROM (
+  SELECT {by_col}, g, count(*) AS c FROM (
+    SELECT {by_col},
+           array_to_string(t[i:i + {n - 1}], ' ') AS g
+    FROM (SELECT {by_col}, {_TOKS_SQL} AS t FROM documents),
+         unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS s(i)
+  ) GROUP BY {by_col}, g
+) GROUP BY {by_col}""")
+    return " UNION ALL ".join(blocks)
+
+
+def _audio_silence_oracle_sql(n_samples: int, threshold: int) -> str:
+    """Formula-recomputed silence report for synthesize_wav_audio
+    assets (sample i of doc d is ((d*31 + i*17) % 4096) - 2048)."""
+    return f"""
+WITH samp AS (
+  SELECT d.doc_id AS asset_id, i.i AS i,
+         (d.doc_id * 31 + i.i * 17) % 4096 - 2048 AS v
+  FROM documents d, (SELECT unnest(range(0, {n_samples})) AS i) i
+),
+flags AS (
+  SELECT asset_id, i, CAST(abs(v) < {threshold} AS INT) AS silent
+  FROM samp
+)
+SELECT asset_id, CAST({n_samples} AS BIGINT) AS n_samples,
+       CAST(sum(silent) AS BIGINT) AS n_silent,
+       floor(sum(silent) / CAST({n_samples} AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS silence_ratio,
+       CAST(coalesce(min(CASE WHEN silent = 0 THEN i END),
+                     {n_samples}) AS BIGINT) AS lead_silence,
+       CAST(coalesce({n_samples} - 1
+                     - max(CASE WHEN silent = 0 THEN i END),
+                     {n_samples}) AS BIGINT) AS trail_silence
+FROM flags GROUP BY asset_id
+"""
+
+
+def _r9c_oracles() -> dict[str, str]:
+    """Oracles for the fourth round-8 registration wave."""
+    return {
+        "naive_bayes_fit": _naive_bayes_oracle_sql("source"),
+        "wasserstein_1d": _wasserstein_oracle_sql(
+            "event_type", "round(value * 100)", "view", "purchase"
+        ),
+        "token_entropy": _TOKEN_ENTROPY_ORACLE_SQL,
+        "ngram_diversity": _ngram_diversity_oracle_sql(
+            "source", (1, 2, 3)
+        ),
+        "audio_silence_report": _audio_silence_oracle_sql(64, 512),
     }

@@ -2932,3 +2932,73 @@ def energy_distance(
             "energy_distance_cents"
         ),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    val_cents_col: Column | str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein (earth-mover) distance:
+    ``W₁ = ∫ |F_a(x) − F_b(x)| dx`` — completes the
+    distribution-distance trio with :func:`ks_statistic` (max
+    deviation) and :func:`energy_distance` (all-moments): W₁ is the
+    actual transport COST in value units, the number a "how much did
+    the distribution move" alert wants.
+
+    Relational form over the distinct-value histogram (the
+    ks_statistic posture): between consecutive distinct values both
+    CDFs are flat, so
+    ``W₁ = Σᵢ |F_a(vᵢ) − F_b(vᵢ)| · (vᵢ₊₁ − vᵢ)``.  Computed as
+    ``Σ |p_a·n_b − p_b·n_a| · Δv`` in DECIMAL(38,0) — one exact
+    integer accumulator, ONE double division at the end — with
+    cumulative counts and the value gap from one window pass (lead +
+    running sums share the ordering).  Values must arrive as integer
+    cents.  Staged for the round-9 registry window."""
+    v = (
+        F.col(val_cents_col)
+        if isinstance(val_cents_col, str)
+        else val_cents_col
+    )
+    s = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        v.cast("long").alias("_v"),
+        (F.col(group_col) == group_a).cast("long").alias("_is_a"),
+    )
+    per_v = s.groupBy("_v").agg(
+        F.sum("_is_a").alias("_ca"),
+        (F.count("*") - F.sum("_is_a")).alias("_cb"),
+    )
+    totals = per_v.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    ord_w = Window.orderBy("_v")
+    cum_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = "decimal(38,0)"
+    steps = per_v.crossJoin(F.broadcast(totals)).select(
+        "_na", "_nb",
+        F.sum("_ca").over(cum_w).alias("_pa"),
+        F.sum("_cb").over(cum_w).alias("_pb"),
+        (F.lead("_v").over(ord_w) - F.col("_v")).alias("_dv"),
+    )
+    folded = steps.filter(F.col("_dv").isNotNull()).groupBy(
+        "_na", "_nb"
+    ).agg(
+        F.sum(
+            F.abs(
+                F.col("_pa").cast(dec) * F.col("_nb").cast(dec)
+                - F.col("_pb").cast(dec) * F.col("_na").cast(dec)
+            )
+            * F.col("_dv").cast(dec)
+        ).alias("_num")
+    )
+    return folded.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("_na") * F.col("_nb")).cast("double"),
+            6,
+        ).alias("wasserstein_cents"),
+    )

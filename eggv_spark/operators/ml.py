@@ -316,3 +316,140 @@ def pca_power_iteration(
             "top_loading_dim",
         )
     )
+
+
+def naive_bayes_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes over whitespace tokens with add-1
+    smoothing, fit AND evaluated in-plan — the other classical
+    text-quality classifier next to :func:`logistic_regression_gd`
+    (NB needs no iteration: the model IS two grouped aggregations).
+
+    Model: ln P(w|c) = ln((count(w,c)+1)/(total_c+V)),
+    ln P(c) = ln(n_c/n).  Scoring joins each document's token counts
+    to every class's smoothed log-prob — an UNAVOIDABLE |classes|×
+    expansion of the token stream, which is why this reports the
+    resubstitution readout rather than materializing per-doc
+    posteriors.  Unseen (w, c) pairs fall back to the class's
+    smoothing floor via the dense class×term grid being implicit:
+    the per-doc score adds tf·ln(1/(total_c+V)) for absent pairs,
+    folded in as (doc_tf_total − matched_tf)·floor_c.
+
+    Prediction = argmax over the 6dp-ROUNDED score (summation-order
+    noise absorbed; exact ties go to the LARGEST label — the
+    max-struct rule, documented for the oracle).  Output: one row per
+    class (label, n_docs, prior, recall) plus the '__ALL__' accuracy
+    row."""
+    from eggv_spark.operators.text_analysis import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_y"),
+        F.explode(tokens_col(text_col)).alias("_w"),
+    )
+    doc_tf = toks.groupBy("_id", "_y", "_w").agg(
+        F.count("*").alias("_tf")
+    )
+    class_term = doc_tf.groupBy("_y", "_w").agg(
+        F.sum("_tf").alias("_ct")
+    )
+    vocab = class_term.select("_w").distinct().agg(
+        F.count("*").alias("_v")
+    )
+    class_tot = class_term.groupBy("_y").agg(
+        F.sum("_ct").alias("_tot")
+    )
+    docs_n = df.select(F.col(id_col).alias("_id"),
+                       F.col(label_col).alias("_y"))
+    priors = docs_n.groupBy("_y").agg(F.count("*").alias("_nc"))
+    n_total = priors.agg(F.sum("_nc").alias("_n"))
+    classes = (
+        class_tot.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), "_y")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("_y").alias("_c"),
+            "_tot", "_v", "_nc", "_n",
+            F.log(F.lit(1.0) / (F.col("_tot") + F.col("_v")))
+            .alias("_floor"),
+            F.log(F.col("_nc") / F.col("_n")).alias("_lprior"),
+        )
+    )
+    # matched term mass: join doc term counts to class counts per
+    # candidate class (the |classes|x expansion), PLUS the unmatched
+    # remainder at the class floor
+    per_class_terms = class_term.select(
+        F.col("_y").alias("_c"), "_w", "_ct"
+    )
+    doc_totals = doc_tf.groupBy("_id").agg(
+        F.sum("_tf").alias("_doc_tf")
+    )
+    matched = (
+        doc_tf.join(per_class_terms, "_w")
+        .join(F.broadcast(classes.select("_c", "_tot", "_v")), "_c")
+        .groupBy("_id", "_c")
+        .agg(
+            F.sum(
+                F.col("_tf")
+                * F.log(
+                    (F.col("_ct") + 1.0) / (F.col("_tot") + F.col("_v"))
+                )
+            ).alias("_m_sum"),
+            F.sum("_tf").alias("_m_tf"),
+        )
+    )
+    # DENSE doc x class candidate grid: a document whose every token
+    # is unseen in class c still scores c (floor-only) — otherwise the
+    # argmax silently drops classes from consideration
+    scored = (
+        doc_totals.crossJoin(
+            F.broadcast(classes.select("_c", "_floor", "_lprior"))
+        )
+        .join(matched, ["_id", "_c"], "left")
+        .select(
+            "_id", "_c",
+            F.round(
+                F.col("_lprior")
+                + F.coalesce(F.col("_m_sum"), F.lit(0.0))
+                + (
+                    F.col("_doc_tf")
+                    - F.coalesce(F.col("_m_tf"), F.lit(0))
+                )
+                * F.col("_floor"),
+                6,
+            ).alias("_score"),
+        )
+    )
+    pred = scored.groupBy("_id").agg(
+        F.max(F.struct("_score", "_c"))["_c"].alias("_pred")
+    )
+    truth = docs_n.join(pred, "_id")
+    per_class = (
+        truth.groupBy("_y")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("_pred") == F.col("_y")).cast("long"))
+            .alias("_n_correct"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("_y").alias("label"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_n"), 4).alias("prior"),
+            F.round(F.col("_n_correct") / F.col("n_docs"), 4)
+            .alias("recall"),
+        )
+    )
+    overall = truth.agg(
+        F.lit("__ALL__").alias("label"),
+        F.count("*").alias("n_docs"),
+        F.lit(1.0).alias("prior"),
+        F.round(
+            F.avg((F.col("_pred") == F.col("_y")).cast("double")), 4
+        ).alias("recall"),
+    )
+    return per_class.unionByName(overall)

@@ -1565,3 +1565,74 @@ def image_channel_hist(
             "asset_id long, channel string, bin int, n_px long",
         )
     )
+
+
+def audio_silence_report(
+    assets: DataFrame, threshold: int = 512
+) -> DataFrame:
+    """Silence audit over REAL 16-bit PCM WAV payloads (stdlib
+    ``wave`` decode inside Arrow-batched ``mapInPandas``): per asset,
+    the sample count, how many samples sit under the absolute
+    amplitude ``threshold``, the silence ratio, and the
+    leading/trailing silence run lengths — the trim-points a speech
+    curation pass computes before feature extraction (an asset that
+    is 95% silence is a recording error, not training data).
+
+    All outputs are exact integers (plus one 4dp ratio), so the
+    report reproduces bit-identically from the synthesis formula in
+    SQL.  Unsupported payloads raise loudly.  Staged for the round-9
+    registry window."""
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import struct
+        import wave
+
+        def _round4(x: float) -> float:
+            # HALF-UP, not Python's banker's rounding: n/64-style
+            # ratios land exactly on .5 at 4dp (k*156.25), where
+            # round-half-even diverges from SQL round()
+            return math.floor(x * 10000 + 0.5) / 10000
+
+        for batch in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "n_samples": [], "n_silent": [],
+                "silence_ratio": [], "lead_silence": [],
+                "trail_silence": [],
+            }
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM supported")
+                    n = w.getnframes() * w.getnchannels()
+                    vals = struct.unpack(f"<{n}h", w.readframes(w.getnframes()))
+                silent = [abs(v) < threshold for v in vals]
+                n_sil = sum(silent)
+                lead = next(
+                    (i for i, s in enumerate(silent) if not s), len(vals)
+                )
+                trail = next(
+                    (i for i, s in enumerate(reversed(silent)) if not s),
+                    len(vals),
+                )
+                out["asset_id"].append(asset_id)
+                out["n_samples"].append(len(vals))
+                out["n_silent"].append(n_sil)
+                out["silence_ratio"].append(
+                    _round4(n_sil / len(vals)) if vals else 0.0
+                )
+                out["lead_silence"].append(lead)
+                out["trail_silence"].append(trail)
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _report,
+            "asset_id long, n_samples long, n_silent long,"
+            " silence_ratio double, lead_silence long,"
+            " trail_silence long",
+        )
+    )

@@ -1996,3 +1996,183 @@ def kneser_ney_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_logp"), 4).alias("avg_kn_logprob"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the document's OWN token
+    distribution, plus Pielou evenness (H / ln(n_distinct)) — the
+    repetitiveness signal the Gopher max-multiplicity stats miss:
+    a doc cycling three phrases has low entropy even when no single
+    token dominates.
+
+    Entirely in-row (shuffle-free): distinct tokens via
+    ``array_distinct``, each distinct token's count via a filtered
+    size — O(distinct·tokens) per row in codegen, the
+    with_hashed_features trade-off.  Evenness is 0 for single-token
+    vocabularies (ln 1 = 0 ⇒ try_divide null ⇒ coalesce), entropy
+    rounded 4dp.  Staged for the round-9 registry window."""
+    toks = tokens_col(text_col)
+    staged = df.select(
+        id_col,
+        toks.alias("_t"),
+        F.array_distinct(toks).alias("_d"),
+    ).select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        F.size("_d").alias("n_distinct"),
+        F.aggregate(
+            F.transform(
+                "_d",
+                lambda w: F.size(
+                    F.filter("_t", lambda t: t == w)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc
+            - (c / F.size("_t"))
+            * F.log(c / F.size("_t")),
+        ).alias("_h"),
+    )
+    return staged.filter(F.col("n_tokens") > 0).select(
+        id_col, "n_tokens", "n_distinct",
+        F.round("_h", 4).alias("entropy"),
+        F.coalesce(
+            F.round(
+                F.try_divide(
+                    F.col("_h"), F.log(F.col("n_distinct").cast("double"))
+                ),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("evenness"),
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    by_col: str = "source",
+    sizes: Sequence[int] = (1, 2, 3),
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per corpus slice: for each n-gram size,
+    distinct n-grams / total n-grams within each ``by_col`` group —
+    the generation-diversity audit (self-BLEU's cheap inverse): a
+    slice whose distinct-2 ratio collapses is template/boilerplate
+    output, whatever its per-doc quality scores say.
+
+    One explode + one map-side-combinable count per size, all sizes
+    unioned into a single plan; every aggregation is (slice, gram)-
+    keyed then slice-keyed — vocabulary-bounded after the first
+    fold.  Staged for the round-9 registry window."""
+    out = None
+    for n in sizes:
+        toks = tokens_col(text_col)
+        grams = df.select(
+            F.col(by_col).alias("_g"),
+            F.explode(
+                toks if n == 1 else ngrams_col(toks, n)
+            ).alias("_ng"),
+        )
+        per_gram = grams.groupBy("_g", "_ng").agg(
+            F.count("*").alias("_c")
+        )
+        stats = per_gram.groupBy("_g").agg(
+            F.lit(n).alias("ngram_size"),
+            F.sum("_c").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+            F.round(F.count("*") / F.sum("_c"), 6).alias(
+                "diversity"
+            ),
+        ).select(
+            F.col("_g").alias(by_col),
+            "ngram_size", "total_ngrams", "distinct_ngrams",
+            "diversity",
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+RAKE_STOPWORDS = (
+    "a", "the", "and", "of", "to", "in", "on", "is", "for", "with",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    top_k: int = 20,
+    stopwords: Sequence[str] = RAKE_STOPWORDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ phrase length over its occurrences,
+    frequency = occurrence count); a phrase scores the sum of its
+    word scores — the classic unsupervised "what is this corpus
+    about" extractor, cheaper than TF-IDF top-terms and
+    phrase-grained.
+
+    Phrase segmentation is done with a SEPARATOR ENCODING shared by
+    any engine: map each stopword token to ``|``, rejoin, split on
+    ``|`` — no lookahead regex (RE2-unsafe) and no stateful fold.
+    Word stats are one map-side-combinable aggregation over exploded
+    (word, phrase_len) pairs; the vocabulary-sized score table joins
+    back BY WORD onto exploded phrase words, and the final ranking is
+    TakeOrdered on the 4dp-rounded score with a phrase tiebreak.
+    Staged for the round-9 registry window."""
+    sep_toks = F.transform(
+        tokens_col(text_col),
+        lambda t: F.when(
+            t.isin(*stopwords), F.lit("|")
+        ).otherwise(t),
+    )
+    phrases_arr = F.filter(
+        F.transform(
+            F.split(F.array_join(sep_toks, " "), r"\|"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    phrases = df.select(
+        F.explode(phrases_arr).alias("phrase")
+    ).select(
+        "phrase",
+        F.split(F.col("phrase"), " ").alias("_ws"),
+        F.size(F.split(F.col("phrase"), " ")).alias("_len"),
+    )
+    word_stats = (
+        phrases.select(F.explode("_ws").alias("_w"), "_len")
+        .groupBy("_w")
+        .agg(
+            F.count("*").alias("_freq"),
+            F.sum("_len").alias("_deg"),
+        )
+        .select(
+            "_w",
+            (F.col("_deg") / F.col("_freq")).alias("_score"),
+        )
+    )
+    phrase_scores = (
+        phrases.select("phrase", F.explode("_ws").alias("_w"))
+        .join(word_stats, "_w")
+        .groupBy("phrase")
+        .agg(F.sum("_score").alias("_raw"))
+    )
+    counts = phrases.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    return (
+        phrase_scores.join(counts, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("_raw") / F.col("n_occurrences"), 4).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase"))
+        .limit(top_k)
+    )
