@@ -1264,3 +1264,85 @@ def funnel_paths(
         .filter(F.col("rank") <= top_n)
         .select("rank", "path", "n_users")
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_lags: int = 7,
+) -> DataFrame:
+    """Autocorrelation of the DAILY event-count series at lags
+    ``1..n_lags`` — the time-domain twin of :func:`periodogram`
+    (which scans frequencies; ACF reads the same seasonality as
+    correlation-at-offset, the form an anomaly-alert threshold
+    consumes directly).
+
+    The series is the zero-filled daily count over the full
+    [min_day, max_day] spine (gaps ARE data for autocorrelation —
+    skipping empty days would splice non-adjacent days together).
+    acf(L) = Σₜ (xₜ−μ)(xₜ₊L−μ) / Σₜ (xₜ−μ)² with μ and the
+    denominator over ALL n days (the standard biased estimator, so
+    acf is bounded in [−1, 1] and comparable across lags).
+
+    Shape: one data-sized groupBy(day); everything after runs on the
+    day spine (|days| rows — a window ordered by day pulls all
+    ``n_lags`` leads in ONE pass over one task, bounded by the date
+    range, documented like the other calendar-spine ops).  Counts
+    are exact integers, μ is one integer division — both engines
+    compute identical doubles; the product sums are rounded (6dp).
+    Output: one row per lag — lag, n_pairs, acf."""
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("_day"))
+        .groupBy("_day")
+        .agg(F.count("*").alias("_c"))
+    )
+    span = daily.agg(
+        F.min("_day").alias("_d0"), F.max("_day").alias("_d1")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("interval 1 day"))
+        ).alias("_day")
+    )
+    series = spine.join(daily, "_day", "left").select(
+        "_day", F.coalesce("_c", F.lit(0)).alias("_x")
+    )
+    mu = series.agg(
+        (F.sum("_x").cast("double") / F.count("*")).alias("_mu"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum("_x").alias("_sx"),
+        F.count("*").alias("_n"),
+    ).select(
+        "_mu", "_n",
+        # Σ(x−μ)² expanded from exact integer moments: Σx² − (Σx)²/n
+        (
+            F.col("_sxx").cast("double")
+            - F.col("_sx").cast("double") * F.col("_sx") / F.col("_n")
+        ).alias("_den"),
+    )
+    w = Window.orderBy("_day")
+    led = series.select(
+        "_x",
+        F.array(
+            *[F.lead("_x", lag).over(w) for lag in range(1, n_lags + 1)]
+        ).alias("_leads"),
+    )
+    pairs = led.select(
+        "_x", F.posexplode("_leads").alias("_l0", "_xl")
+    ).filter(F.col("_xl").isNotNull())
+    return (
+        pairs.crossJoin(F.broadcast(mu))
+        .groupBy((F.col("_l0") + 1).alias("lag"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    (F.col("_x") - F.col("_mu"))
+                    * (F.col("_xl") - F.col("_mu"))
+                )
+                / F.any_value("_den"),
+                6,
+            ).alias("acf"),
+        )
+        .select(F.col("lag").cast("int").alias("lag"), "n_pairs", "acf")
+    )

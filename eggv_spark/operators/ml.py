@@ -318,6 +318,244 @@ def pca_power_iteration(
     )
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    n_steps: int = 3,
+    dim: int = 16,
+) -> DataFrame:
+    """Full Lloyd's k-means — ``n_steps`` assign/update rounds plus a
+    final readout assignment, entirely as DataFrame ops.  The
+    multi-step companion to ``similarity.kmeans_iteration`` (one
+    Lloyd round from fixed seed centroids): THIS one closes the loop,
+    feeding engine-computed centroids back into the next assignment —
+    the clustering shape SemDeDup/IVF cell-building actually runs.
+
+    Scale posture (the logistic-GD/PCA discipline): the model state
+    is a k-row centroid frame broadcast into each step; assignment is
+    a broadcast product against k rows (k× row expansion, never
+    data×data); the update shuffles k·dim per-dimension partial sums,
+    map-side combined; each step's state is persisted so lineage
+    stays flat, and the previous step's cache is dropped.
+
+    Determinism across engines AND partitionings — the feedback loop
+    is where naive float use diverges, so every step is pinned:
+
+    * assignment argmin uses the 6dp-ROUNDED squared distance with
+      smallest-cluster tie-break (min-struct; the kmeans_iteration
+      rule);
+    * centroid update sums coordinates as DECIMAL(38,18) — EXACT,
+      order-independent addition (a double sum differs across
+      engines/partitionings in the last ulp, and after the cast any
+      such noise feeds the next round's distances) — with ONE
+      double division by the member count at the end;
+    * initial centroids are the ``k`` vectors with the smallest
+      ``id_col`` (TakeOrderedAndProject, no global sort) — the
+      deterministic seed both engines can reproduce;
+    * a cluster that goes empty keeps its previous centroid.
+
+    Output: one row per cluster — n_points, inertia (sum of rounded
+    squared distances, 2dp), centroid_norm (4dp)."""
+    data = df.select(
+        F.col(id_col).alias("_id"), _as_double_vec(vec_col, dim).alias("_x")
+    )
+    from pyspark.sql import Window
+
+    seed = data.orderBy("_id").limit(k)
+    cent = seed.select(
+        (
+            F.row_number().over(Window.orderBy("_id")) - 1
+        ).alias("_cid"),
+        F.col("_x").alias("_c"),
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        expanded = data.crossJoin(F.broadcast(centroids)).select(
+            "_id", "_x", "_cid",
+            F.round(
+                F.aggregate(
+                    F.zip_with("_x", "_c", lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("_sqd"),
+        )
+        return (
+            expanded.groupBy("_id")
+            .agg(
+                F.min(F.struct("_sqd", "_cid")).alias("_m"),
+                F.any_value("_x").alias("_x"),
+            )
+            .select(
+                "_id", "_x",
+                F.col("_m._cid").alias("_cid"),
+                F.col("_m._sqd").alias("_sqd"),
+            )
+        )
+
+    prev = None
+    for _ in range(n_steps):
+        assigned = _assign(cent)
+        means = (
+            assigned.select("_cid", F.posexplode("_x").alias("_d", "_xd"))
+            .groupBy("_cid", "_d")
+            .agg(
+                (
+                    F.sum(F.col("_xd").cast("decimal(38,18)"))
+                    .cast("double")
+                    / F.count("*")
+                ).alias("_m")
+            )
+            .groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cnew")
+            )
+        )
+        # empty clusters keep their previous centroid; the limit(k)
+        # marks the frame bounded for the broadcast-product lint
+        cent_next = (
+            cent.select("_cid", F.col("_c").alias("_cold"))
+            .join(means, "_cid", "left")
+            .select(
+                "_cid", F.coalesce("_cnew", "_cold").alias("_c")
+            )
+            .limit(k)
+        )
+        cent_next = _step_state(cent_next, prev)
+        prev = cent_next
+        cent = cent_next
+    final = _assign(cent)
+    members = final.groupBy("_cid").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("_sqd"), 2).alias("inertia"),
+    )
+    norms = cent.select(
+        "_cid",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_c", lambda c: c * c),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            4,
+        ).alias("centroid_norm"),
+    )
+    return (
+        norms.join(members, "_cid", "left")
+        .select(
+            F.col("_cid").cast("int").alias("cluster_id"),
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+            F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+            "centroid_norm",
+        )
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    bin_col: Column | str = "bin",
+    label_col: Column | str = "label",
+    max_bins: int = 1001,
+) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) of a binary
+    label on a BINNED score — the calibration FIT next to the
+    round-5 reliability readout (``calibration_bins`` reports the
+    gap; this computes the monotone correction a scored sampler
+    would actually apply).
+
+    PAV on bins via the minimax identity — no sequential pooling
+    loop: ``iso(b) = max_{i≤b} min_{j≥b} mean(pos over bins i..j)``.
+    With B bins that is a B²-row range table and a B³-row membership
+    join — all on the BIN AGGREGATE, never the data: the only
+    data-sized work is one groupBy(bin).  ``max_bins`` bounds B
+    in-plan (raise_error past it): the minimax table is quadratic by
+    design, so the caller must bin first — this is the
+    PAV-on-aggregates form, not per-row isotonic.
+
+    Exactness: every range mean is one double division of two exact
+    integer sums — bit-identical in any engine — so the min/max
+    lattice selects identically; output rates rounded (6dp).
+    Output: one row per bin — n, pos_rate, iso_rate (non-decreasing
+    in the bin order, which the staged property test asserts)."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    bins = (
+        df.select(b.cast("long").alias("_b"), y.cast("long").alias("_y"))
+        .groupBy("_b")
+        .agg(F.count("*").alias("_n"), F.sum("_y").alias("_pos"))
+    )
+    guard = bins.agg(F.count("*").alias("_nb"))
+    bins = (
+        bins.crossJoin(F.broadcast(guard))
+        .where(
+            F.when(F.col("_nb") <= max_bins, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "isotonic_calibration: distinct bins "
+                        ),
+                        F.col("_nb").cast("string"),
+                        F.lit(f" exceed max_bins={max_bins}"),
+                    )
+                )
+            )
+        )
+        .select("_b", "_n", "_pos")
+        .limit(max_bins)
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = bins.select(
+        "_b", "_n", "_pos",
+        F.sum("_n").over(cum).alias("_cn"),
+        F.sum("_pos").over(cum).alias("_cp"),
+    ).persist()
+    lo = pre.select(
+        F.col("_b").alias("_i"), F.col("_n").alias("_ni"),
+        F.col("_pos").alias("_pi"), F.col("_cn").alias("_cni"),
+        F.col("_cp").alias("_cpi"),
+    )
+    hi = pre.select(
+        F.col("_b").alias("_j"), F.col("_cn").alias("_cnj"),
+        F.col("_cp").alias("_cpj"),
+    )
+    ranges = lo.join(hi, F.col("_i") <= F.col("_j")).select(
+        "_i", "_j",
+        (
+            (F.col("_cpj") - F.col("_cpi") + F.col("_pi")).cast("double")
+            / (F.col("_cnj") - F.col("_cni") + F.col("_ni"))
+        ).alias("_a"),
+    )
+    member = ranges.join(
+        pre.select(F.col("_b")),
+        (F.col("_i") <= F.col("_b")) & (F.col("_b") <= F.col("_j")),
+    )
+    iso = (
+        member.groupBy("_b", "_i")
+        .agg(F.min("_a").alias("_mn"))
+        .groupBy("_b")
+        .agg(F.max("_mn").alias("_iso"))
+    )
+    out = pre.join(iso, "_b").select(
+        F.col("_b").alias("bin"),
+        F.col("_n").alias("n"),
+        F.round(F.col("_pos") / F.col("_n"), 6).alias("pos_rate"),
+        F.round("_iso", 6).alias("iso_rate"),
+    )
+    return out
+
+
 def naive_bayes_fit(
     df: DataFrame,
     text_col: str = "text",

@@ -1636,3 +1636,59 @@ def audio_silence_report(
             " trail_silence long",
         )
     )
+
+
+def image_entropy_report(assets: DataFrame) -> DataFrame:
+    """Intensity-entropy audit over REAL decoded P6 rasters (stdlib
+    decode inside Arrow-batched ``mapInPandas``): per image, the
+    Shannon entropy of the raw byte-intensity distribution across all
+    channels, the distinct-intensity count, and the modal intensity's
+    share — the blank/synthetic-asset detector a vision curation pass
+    runs (a near-zero-entropy image is a solid fill or a clipped
+    exposure, not training signal; the text twin is
+    ``text_analysis.token_entropy``).
+
+    Determinism: the entropy fold iterates the histogram in SORTED
+    intensity order (pinned summation order); counts are exact
+    integers; entropy and max_share round HALF-UP at 4dp (the
+    ``audio_silence_report`` rule — Python round() is banker's and
+    k/n grids land exactly on .5 at 4dp).  Unsupported payloads raise
+    loudly."""
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def _round4(x: float) -> float:
+            return math.floor(x * 10000 + 0.5) / 10000
+
+        for batch in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "n_bytes": [], "n_distinct": [],
+                "entropy": [], "max_share": [],
+            }
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                _w, _h, _maxval, raster = _ppm_parse(bytes(payload))
+                n = len(raster)
+                counts: dict[int, int] = {}
+                for px in raster:
+                    counts[px] = counts.get(px, 0) + 1
+                h = 0.0
+                for _v, c in sorted(counts.items()):
+                    p = c / n
+                    h -= p * math.log(p)
+                out["asset_id"].append(asset_id)
+                out["n_bytes"].append(n)
+                out["n_distinct"].append(len(counts))
+                out["entropy"].append(_round4(h))
+                out["max_share"].append(_round4(max(counts.values()) / n))
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _report,
+            "asset_id long, n_bytes long, n_distinct long,"
+            " entropy double, max_share double",
+        )
+    )

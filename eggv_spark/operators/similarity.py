@@ -1071,3 +1071,81 @@ def prefix_dim_recall(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def centroid_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Per-row cosine similarity to the row's OWN label centroid —
+    the outlier/mislabel score behind :func:`embedding_coherence`
+    and the coherence-gate composite (a vector far from its class
+    centroid is either mislabeled or an embedding artifact; both are
+    curation drops).  Complements :func:`label_centroid_similarity`,
+    which compares centroids to EACH OTHER.
+
+    Shape: one map-side-combined aggregation builds the centroids
+    (posexplode → grouped per-dimension sums), broadcast-joined back
+    on the label — the corpus is touched twice, never self-joined.
+
+    Determinism: per-dimension sums accumulate as DECIMAL(38,18) —
+    exact, order-independent — with one double division by the
+    member count (the ``kmeans_lloyd`` rule; a double sum's last-ulp
+    partitioning noise would make downstream threshold counts flap).
+    The cosine itself is the sequential-fold ``cosine_col``, so both
+    engines compute bit-identical doubles."""
+    data = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dim).alias("_x"),
+    )
+    centroids = (
+        data.select("_lbl", F.posexplode("_x").alias("_d", "_xd"))
+        .groupBy("_lbl", "_d")
+        .agg(
+            (
+                F.sum(F.col("_xd").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("_m")
+        )
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_c")
+        )
+    )
+    return data.join(F.broadcast(centroids), "_lbl").select(
+        "_id", "_lbl",
+        cosine_col(F.col("_x"), F.col("_c")).alias("_cos"),
+    )
+
+
+def embedding_coherence(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    dim: int = 16,
+    low_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-label embedding-coherence summary: how tightly each
+    label's vectors sit around their own centroid — the label-quality
+    audit run before training a classifier on the labels (a label
+    whose members barely correlate with their centroid is noise, and
+    ``n_low`` counts its worst offenders for triage).
+
+    Output: one row per label — n, avg_cos (4dp), min_cos (4dp),
+    n_low (members with cosine < ``low_threshold``; the threshold
+    compares bit-identical doubles, see :func:`centroid_cosine`)."""
+    scored = centroid_cosine(df, vec_col, label_col, id_col, dim)
+    return scored.groupBy(F.col("_lbl").alias("label")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("_cos"), 4).alias("avg_cos"),
+        F.round(F.min("_cos"), 4).alias("min_cos"),
+        F.sum((F.col("_cos") < low_threshold).cast("long")).alias("n_low"),
+    )
