@@ -5600,10 +5600,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     logistic classifier composite), a FOURTH wave (multinomial Naive
     Bayes with the dense doc×class grid, 1-D Wasserstein transport
     cost, per-doc token entropy/evenness, distinct-n diversity per
-    source, and the WAV silence audit), followed by 20
-    re-verification pads — the oldest driver-green rows (r01 block)
-    per the rotation doctrine, since round 7 closed driver coverage
-    of all 334 prior entries.
+    source, and the WAV silence audit), a FIFTH wave (multi-step
+    Lloyd k-means with DECIMAL(38,18)-exact centroid feedback,
+    PAV-on-bins isotonic calibration, daily-count ACF, image
+    intensity entropy, embedding coherence, and the coherence-gate
+    composite), followed by 14 re-verification pads — the oldest
+    driver-green rows (r01 block) per the rotation doctrine, since
+    round 7 closed driver coverage of all 334 prior entries.
 
     Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
@@ -6127,6 +6130,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _token_entropy,
         "ngram_diversity": _ngram_diversity,
         "audio_silence_report": _audio_silence_report,
+        # --- round-8 fifth wave: multi-step Lloyd k-means, isotonic
+        # calibration (PAV-on-bins), daily-count ACF, image intensity
+        # entropy, embedding coherence, and the coherence-gate
+        # composite (staged + oracle-validated in
+        # tests/test_round9c_staged*.py) ---
+        "kmeans_lloyd": _kmeans_lloyd,
+        "isotonic_calibration": _isotonic_calibration,
+        "acf_lags": _acf_lags,
+        "image_entropy": _image_entropy,
+        "embedding_coherence": _embedding_coherence,
+        "composite_coherence_gate": _composite_coherence_gate,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6175,6 +6189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy",
         "ngram_diversity",
         "audio_silence_report",
+        "kmeans_lloyd",
+        "isotonic_calibration",
+        "acf_lags",
+        "image_entropy",
+        "embedding_coherence",
+        "composite_coherence_gate",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
@@ -6189,12 +6209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles",
         "agg_pivot",
         "str_concat_ws",
-        "str_split_get",
-        "exp_explode",
-        "nul_fill",
-        "nul_drop",
-        "flt_eq",
-        "flt_isin",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9434,6 +9448,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9_oracles())
     base.update(_r9b_oracles())
     base.update(_r9c_oracles())
+    base.update(_r9d_oracles())
     return base
 
 
@@ -13402,4 +13417,327 @@ def _r9c_oracles() -> dict[str, str]:
             "source", (1, 2, 3)
         ),
         "audio_silence_report": _audio_silence_oracle_sql(64, 512),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, fifth wave: Lloyd k-means, isotonic
+# calibration, daily-count ACF, image intensity entropy, embedding
+# coherence + the coherence-gate composite (staged + oracle-validated
+# in tests/test_round9c_staged*.py)
+# ---------------------------------------------------------------------------
+
+_COHERENCE_THR = 0.5
+
+
+def _kmeans_lloyd(spark, sf_dir):
+    """Multi-step Lloyd k-means over embeddings (ml.kmeans_lloyd,
+    k=4, 3 assign/update rounds, dim=16): the iterative-feedback fit —
+    DECIMAL(38,18)-exact centroid updates, 6dp-rounded argmin, first-k
+    deterministic seed; per-cluster membership/inertia/norm readout."""
+    return ML.kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"), k=4, n_steps=3, dim=16
+    )
+
+
+def _isotonic_calibration(spark, sf_dir):
+    """PAV isotonic fit of return probability on the discount bin
+    (ml.isotonic_calibration): minimax on exact integer prefix sums
+    over the 11-bin aggregate — the monotone calibration curve."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ML.isotonic_calibration(
+        li,
+        F.round(F.col("l_discount") * 100).cast("long"),
+        (F.col("l_returnflag") == "R").cast("long"),
+    )
+
+
+def _acf_lags(spark, sf_dir):
+    """Daily event-count autocorrelation at lags 1..7
+    (events.acf_lags): zero-filled day spine, biased estimator — the
+    time-domain seasonality readout next to evt_periodogram."""
+    from eggv_spark.operators.events import acf_lags
+
+    return acf_lags(_t(spark, sf_dir, "events"), "ts", n_lags=7)
+
+
+def _image_entropy(spark, sf_dir):
+    """Intensity-entropy audit over real P6 rasters synthesized from
+    documents (multimodal.image_entropy_report): per-image Shannon
+    entropy / distinct intensities / modal share, sorted-fold pinned,
+    half-up 4dp."""
+    from eggv_spark.operators.multimodal import (
+        image_entropy_report,
+        synthesize_ppm_images,
+    )
+
+    return image_entropy_report(
+        synthesize_ppm_images(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _embedding_coherence(spark, sf_dir):
+    """Per-label coherence summary (similarity.embedding_coherence):
+    each vector's cosine to its OWN label centroid —
+    DECIMAL(38,18)-exact centroids so the n_low threshold count is
+    reproducible across engines and partitionings."""
+    return S.embedding_coherence(
+        _t(spark, sf_dir, "embeddings"),
+        dim=16,
+        low_threshold=_COHERENCE_THR,
+    )
+
+
+def _composite_coherence_gate(spark, sf_dir):
+    """Coherence-gate composite: score every vector against its label
+    centroid (similarity.centroid_cosine), keep cosine >= 0.5, and
+    report per-label kept/total/share plus the keepers' mean cosine —
+    the mislabel-drop curation pass as ONE plan (centroid build +
+    broadcast join + one grouped readout)."""
+    thr = _COHERENCE_THR
+    scored = S.centroid_cosine(_t(spark, sf_dir, "embeddings"), dim=16)
+    return scored.groupBy(F.col("_lbl").alias("label")).agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("_cos") >= thr).cast("long")).alias("n_kept"),
+        F.round(
+            F.sum((F.col("_cos") >= thr).cast("long")) / F.count("*"), 4
+        ).alias("kept_share"),
+        F.round(
+            F.avg(F.when(F.col("_cos") >= thr, F.col("_cos"))), 4
+        ).alias("avg_cos_kept"),
+    )
+
+
+def _kmeans_lloyd_oracle_sql(k: int, n_steps: int, dim: int) -> str:
+    """Unrolled Lloyd rounds as AS-MATERIALIZED CTE chains (the
+    iterative-fit rule), mirroring both determinism pins: round(sqd,6)
+    argmin ordered (sqd, cid), DECIMAL(38,18)-exact centroid sums.
+    Validated in tests/test_round9c_staged_oracles.py."""
+    dist = (
+        "round(list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6)"
+    ).format(d=dim)
+    parts = [
+        f"""
+v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding[1:{dim}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for s in range(n_steps):
+        parts.append(f"""
+d{s} AS MATERIALIZED (
+  SELECT vec_id, v, cid, {dist} AS sqd FROM v CROSS JOIN c{s}
+),
+a{s} AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sqd, cid) AS rk
+    FROM d{s}) WHERE rk = 1
+),
+m{s} AS MATERIALIZED (
+  SELECT cid, i,
+         CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+  FROM a{s}, generate_series(1, {dim}) t(i) GROUP BY cid, i
+),
+c{s + 1} AS MATERIALIZED (
+  SELECT p.cid AS cid, coalesce(n.cv, p.cv) AS cv
+  FROM c{s} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS cv FROM m{s} GROUP BY cid
+  ) n ON p.cid = n.cid
+)""")
+    final = f"""
+df AS MATERIALIZED (
+  SELECT vec_id, cid, {dist} AS sqd FROM v CROSS JOIN c{n_steps}
+),
+af AS MATERIALIZED (
+  SELECT vec_id, cid, sqd FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sqd, cid) AS rk
+    FROM df) WHERE rk = 1
+),
+mem AS (
+  SELECT cid, count(*) AS n_points, round(sum(sqd), 2) AS inertia
+  FROM af GROUP BY cid
+)
+SELECT CAST(c.cid AS INT) AS cluster_id,
+       CAST(coalesce(mem.n_points, 0) AS BIGINT) AS n_points,
+       coalesce(mem.inertia, 0.0) AS inertia,
+       round(sqrt(list_sum(list_transform(c.cv, x -> x * x))), 4)
+         AS centroid_norm
+FROM c{n_steps} c LEFT JOIN mem ON c.cid = mem.cid
+"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
+def _isotonic_oracle_sql(bin_sql: str, label_sql: str, table: str) -> str:
+    """Minimax PAV lattice on exact integer prefix sums: every range
+    mean is one int/int double division — bit-identical cross-engine,
+    so the min/max selection agrees exactly."""
+    return f"""
+WITH bins AS MATERIALIZED (
+  SELECT CAST({bin_sql} AS BIGINT) AS b, count(*) AS n,
+         sum(CAST({label_sql} AS BIGINT)) AS pos
+  FROM {table} GROUP BY 1
+),
+pre AS MATERIALIZED (
+  SELECT b, n, pos, sum(n) OVER w AS cn, sum(pos) OVER w AS cp
+  FROM bins
+  WINDOW w AS (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ranges AS MATERIALIZED (
+  SELECT lo.b AS i, hi.b AS j,
+         (hi.cp - lo.cp + lo.pos)
+           / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS a
+  FROM pre lo JOIN pre hi ON lo.b <= hi.b
+),
+iso AS (
+  SELECT b, max(mn) AS iso FROM (
+    SELECT p.b AS b, r.i AS i, min(r.a) AS mn
+    FROM ranges r JOIN pre p ON r.i <= p.b AND p.b <= r.j
+    GROUP BY p.b, r.i
+  ) GROUP BY b
+)
+SELECT pre.b AS bin, pre.n AS n,
+       round(pre.pos / CAST(pre.n AS DOUBLE), 6) AS pos_rate,
+       round(iso.iso, 6) AS iso_rate
+FROM pre JOIN iso ON pre.b = iso.b
+"""
+
+
+def _acf_oracle_sql(n_lags: int, table: str = "events") -> str:
+    """Zero-filled day spine joined to itself with DATE + INTEGER
+    arithmetic (DuckDB lead() cannot take a variable offset)."""
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM {table} GROUP BY 1
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS MATERIALIZED (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM span
+),
+series AS MATERIALIZED (
+  SELECT spine.day AS day, coalesce(daily.c, 0) AS x
+  FROM spine LEFT JOIN daily ON spine.day = daily.day
+),
+mu AS (
+  SELECT sum(x) / CAST(count(*) AS DOUBLE) AS mu,
+         CAST(sum(x * x) AS DOUBLE)
+           - CAST(sum(x) AS DOUBLE) * sum(x) / count(*) AS den
+  FROM series
+),
+lags AS (SELECT unnest(range(1, {n_lags} + 1)) AS l),
+pairs AS MATERIALIZED (
+  SELECT lg.l AS l, a.x AS x, b.x AS xl
+  FROM series a JOIN lags lg ON TRUE
+       JOIN series b ON b.day = a.day + CAST(lg.l AS INTEGER)
+)
+SELECT CAST(l AS INT) AS lag, count(*) AS n_pairs,
+       round(sum((x - mu.mu) * (xl - mu.mu)) / any_value(mu.den), 6)
+         AS acf
+FROM pairs, mu GROUP BY l
+"""
+
+
+def _image_entropy_oracle_sql(n_bytes: int) -> str:
+    """Formula-recomputed entropy report for synthesize_ppm_images
+    assets (pixel byte i of doc d is (d*7 + i*13) % 256); the fold
+    runs over list(c ORDER BY v) — the same sorted sequential order
+    as the Python decode loop — before the shared half-up 4dp."""
+    return f"""
+WITH px AS MATERIALIZED (
+  SELECT d.doc_id AS asset_id, (d.doc_id * 7 + i.i * 13) % 256 AS v
+  FROM documents d, (SELECT unnest(range(0, {n_bytes})) AS i) i
+),
+hist AS MATERIALIZED (
+  SELECT asset_id, v, count(*) AS c FROM px GROUP BY asset_id, v
+),
+folded AS (
+  SELECT asset_id, list(c ORDER BY v) AS h, sum(c) AS n,
+         count(*) AS nd, max(c) AS mx
+  FROM hist GROUP BY asset_id
+)
+SELECT asset_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(nd AS BIGINT) AS n_distinct,
+       floor(-list_sum(list_transform(h, c ->
+           (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))))
+           * 10000 + 0.5) / 10000 AS entropy,
+       floor(mx / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS max_share
+FROM folded
+"""
+
+
+def _coherence_scored_cte(dim: int) -> str:
+    """Shared scored-vectors CTE: DECIMAL(38,18)-exact label centroids
+    + sequential-fold cosine — bit-identical doubles cross-engine."""
+    return f"""
+v AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding[1:{dim}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS MATERIALIZED (
+  SELECT label, i,
+         CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+  FROM v, generate_series(1, {dim}) t(i) GROUP BY label, i
+),
+cent AS MATERIALIZED (
+  SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY label
+),
+scored AS MATERIALIZED (
+  SELECT v.vec_id AS vec_id, v.label AS label,
+         list_sum(list_transform(generate_series(1, {dim}),
+                  i -> v.v[i] * cent.c[i]))
+         / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(cent.c, x -> x * x)))) AS cos
+  FROM v JOIN cent ON v.label = cent.label
+)"""
+
+
+def _coherence_oracle_sql(dim: int, thr: float) -> str:
+    return (
+        "WITH " + _coherence_scored_cte(dim) + f"""
+SELECT label, count(*) AS n, round(avg(cos), 4) AS avg_cos,
+       round(min(cos), 4) AS min_cos,
+       CAST(sum(CAST(cos < {thr} AS BIGINT)) AS BIGINT) AS n_low
+FROM scored GROUP BY label
+"""
+    )
+
+
+def _coherence_gate_oracle_sql(dim: int, thr: float) -> str:
+    return (
+        "WITH " + _coherence_scored_cte(dim) + f"""
+SELECT label, count(*) AS n_total,
+       CAST(sum(CAST(cos >= {thr} AS BIGINT)) AS BIGINT) AS n_kept,
+       round(sum(CAST(cos >= {thr} AS BIGINT))
+             / CAST(count(*) AS DOUBLE), 4) AS kept_share,
+       round(avg(CASE WHEN cos >= {thr} THEN cos END), 4)
+         AS avg_cos_kept
+FROM scored GROUP BY label
+"""
+    )
+
+
+def _r9d_oracles() -> dict[str, str]:
+    """Oracles for the fifth round-8 registration wave."""
+    return {
+        "kmeans_lloyd": _kmeans_lloyd_oracle_sql(k=4, n_steps=3, dim=16),
+        "isotonic_calibration": _isotonic_oracle_sql(
+            "round(l_discount * 100)", "l_returnflag = 'R'", "lineitem"
+        ),
+        "acf_lags": _acf_oracle_sql(7),
+        "image_entropy": _image_entropy_oracle_sql(48),
+        "embedding_coherence": _coherence_oracle_sql(16, _COHERENCE_THR),
+        "composite_coherence_gate": _coherence_gate_oracle_sql(
+            16, _COHERENCE_THR
+        ),
     }

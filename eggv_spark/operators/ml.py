@@ -691,3 +691,98 @@ def naive_bayes_fit(
         ).alias("recall"),
     )
     return per_class.unionByName(overall)
+
+
+def decision_stump_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 16,
+    thresholds: tuple = (-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3),
+) -> DataFrame:
+    """Best single-feature decision stump over embedding dimensions —
+    the weak learner every boosting/cascade pipeline starts from, fit
+    entirely in-plan (the one-split companion to
+    :func:`logistic_regression_gd`; a stump is also the cheapest
+    "is this feature predictive at all" probe a curation pass runs
+    before paying for a full fit).
+
+    Candidate grid = ``dim`` dimensions × a FIXED threshold grid
+    (data-independent, so the candidate table is a literal both
+    engines share — no quantile estimation step).  One corpus pass:
+    posexplode the vector, broadcast-product against the threshold
+    literals (|grid| ≤ a few hundred rows), and aggregate the four
+    split counts per candidate map-side.  Errors are exact integers;
+    the argmin is a min-struct over (n_errors, dim, threshold_index)
+    — total order, engine-exact.  Polarity ties (left-positive vs
+    right-positive equally wrong) go to left-positive.
+
+    ``label_col`` must be binary 0/1 (raise_error in-plan otherwise,
+    the logistic_regression_gd rule).  Output: ONE row — dim (1-based),
+    threshold, polarity, n, n_errors, error_rate (6dp)."""
+    y_raw = F.col(label_col).cast("double")
+    pts = df.select(
+        F.when(y_raw.isin(0.0, 1.0), y_raw.cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("decision_stump_fit: labels must be 0/1, got "),
+                    y_raw.cast("string"),
+                )
+            )
+        )
+        .alias("_y"),
+        F.posexplode(_as_double_vec(vec_col, dim)).alias("_d0", "_x"),
+    )
+    spark = df.sparkSession
+    thr = spark.range(1).select(
+        F.posexplode(
+            F.array(*[F.lit(float(t)) for t in thresholds])
+        ).alias("_ti", "_t")
+    ).limit(len(thresholds))
+    cand = (
+        pts.crossJoin(F.broadcast(thr))
+        .groupBy((F.col("_d0") + 1).alias("_d"), "_ti", "_t")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(
+                F.col("_y") * (F.col("_x") <= F.col("_t")).cast("long")
+            ).alias("_lp"),
+            F.sum(
+                (1 - F.col("_y"))
+                * (F.col("_x") <= F.col("_t")).cast("long")
+            ).alias("_ln"),
+            F.sum("_y").alias("_pos"),
+        )
+        .select(
+            "_d", "_ti", "_t", "_n", "_lp", "_ln",
+            (F.col("_pos") - F.col("_lp")).alias("_rp"),
+            (F.col("_n") - F.col("_pos") - F.col("_ln")).alias("_rn"),
+        )
+    )
+    scored = cand.select(
+        "_d", "_ti", "_t", "_n",
+        # polarity A: left side predicts positive -> errors are the
+        # left negatives + right positives; B is the mirror; ties -> A
+        (F.col("_ln") + F.col("_rp")).alias("_errA"),
+        (F.col("_lp") + F.col("_rn")).alias("_errB"),
+    ).select(
+        "_d", "_ti", "_t", "_n",
+        F.least("_errA", "_errB").alias("_err"),
+        F.when(F.col("_errA") <= F.col("_errB"), F.lit("left_pos"))
+        .otherwise(F.lit("right_pos"))
+        .alias("_pol"),
+    )
+    best = scored.agg(
+        F.min(
+            F.struct("_err", "_d", "_ti", "_t", "_pol", "_n")
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_b._d").cast("int").alias("dim"),
+        F.col("_b._t").alias("threshold"),
+        F.col("_b._pol").alias("polarity"),
+        F.col("_b._n").alias("n"),
+        F.col("_b._err").alias("n_errors"),
+        F.round(F.col("_b._err") / F.col("_b._n"), 6).alias("error_rate"),
+    )

@@ -1149,3 +1149,120 @@ def embedding_coherence(
         F.round(F.min("_cos"), 4).alias("min_cos"),
         F.sum((F.col("_cos") < low_threshold).cast("long")).alias("n_low"),
     )
+
+
+def mmr_diversify(
+    df: DataFrame,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 16,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    greedy top-``k`` selection that trades relevance against
+    redundancy — the diversified-retrieval step a RAG pipeline runs
+    after ANN recall so the context window isn't five near-copies of
+    the same passage.  score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s).
+
+    Shape: ONE data-sized pass scores relevance against the broadcast
+    query vector and TakeOrdered cuts the ``n_candidates`` pool;
+    everything after (the n²-pair similarity table and the k greedy
+    rounds) runs on that bounded pool — the greedy loop is inherently
+    sequential, so it loops on the DRIVER over candidate-pool-sized
+    frames, never over data.
+
+    Determinism: relevance and pairwise similarities round to 6dp
+    BEFORE any cut or argmax (sequential-fold cosine — identical
+    doubles cross-engine), every ordering carries the id tiebreak,
+    and λ-arithmetic happens on the rounded values.  Output: the k
+    picks — rank (selection order), id, relevance, mmr_score (the
+    first pick's mmr_score IS its relevance)."""
+    data = df.select(
+        F.col(id_col).alias("_id"),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dim).alias("_x"),
+    )
+    q = data.filter(F.col("_id") == query_id).select(
+        F.col("_x").alias("_q")
+    ).limit(1)
+    cand = (
+        data.filter(F.col("_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "_id", "_x",
+            F.round(cosine_col(F.col("_x"), F.col("_q")), 6).alias("_rel"),
+        )
+        .orderBy(F.col("_rel").desc(), F.col("_id"))
+        .limit(n_candidates)
+        .persist()
+    )
+    cand.count()
+    pa = cand.select(
+        F.col("_id").alias("_ia"), F.col("_x").alias("_xa"),
+    )
+    pb = cand.select(
+        F.col("_id").alias("_ib"), F.col("_x").alias("_xb"),
+    )
+    pairs = (
+        pa.join(F.broadcast(pb), F.col("_ia") != F.col("_ib"))
+        .select(
+            "_ia", "_ib",
+            F.round(
+                cosine_col(F.col("_xa"), F.col("_xb")), 6
+            ).alias("_sim"),
+        )
+        .persist()
+    )
+    pairs.count()
+    selected = (
+        cand.orderBy(F.col("_rel").desc(), F.col("_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            F.col("_id").alias("id"),
+            F.col("_rel").alias("relevance"),
+            F.col("_rel").alias("mmr_score"),
+        )
+        .persist()
+    )
+    selected.count()
+    prev = selected
+    for step in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.select(F.col("id").alias("_ib")), "_ib"
+            )
+            .groupBy("_ia")
+            .agg(F.max("_sim").alias("_pen"))
+        )
+        pick = (
+            cand.join(
+                selected.select(F.col("id").alias("_id")),
+                "_id",
+                "left_anti",
+            )
+            .join(pen.withColumnRenamed("_ia", "_id"), "_id")
+            .select(
+                "_id", "_rel",
+                F.round(
+                    F.lit(lam) * F.col("_rel")
+                    - F.lit(1.0 - lam) * F.col("_pen"),
+                    6,
+                ).alias("_score"),
+            )
+            .orderBy(F.col("_score").desc(), F.col("_id"))
+            .limit(1)
+            .select(
+                F.lit(step).alias("rank"),
+                F.col("_id").alias("id"),
+                F.col("_rel").alias("relevance"),
+                F.col("_score").alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(pick).persist()
+        selected.count()
+        prev.unpersist()
+        prev = selected
+    return selected

@@ -715,3 +715,66 @@ def test_image_channel_hist_is_shuffle_free(spark):
     docs = read_table(spark, SF_DIR, "documents")
     plan = _plan(image_channel_hist(synthesize_ppm_images(docs, 8, 8)))
     assert "Exchange" not in plan
+
+
+def test_kmeans_lloyd_broadcasts_state_never_sorts_globally(spark):
+    """Every Lloyd round must join the k-row centroid state as a
+    BROADCAST product (k-times row expansion, never data-to-data) and
+    the deterministic seed must compile to TakeOrderedAndProject —
+    a rangepartitioning exchange would be a global sort of the
+    corpus."""
+    from eggv_spark.operators.ml import kmeans_lloyd
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(kmeans_lloyd(emb, k=4, n_steps=2, dim=8))
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_isotonic_minimax_runs_on_bin_frame_only(spark):
+    """The B-squared range table and B-cubed membership join must hang
+    off the BIN AGGREGATE (one data-sized groupBy feeds everything);
+    the non-equi joins stay nested-loop over the bounded bin frame —
+    no data-sized cartesian, no Python stage."""
+    from eggv_spark.operators.ml import isotonic_calibration
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = _plan(
+        isotonic_calibration(
+            li,
+            F.round(F.col("l_discount") * 100).cast("long"),
+            (F.col("l_returnflag") == "R").cast("long"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # boundedness marker the lint keys on: the bin frame carries an
+    # explicit row limit into every nested-loop build side
+    assert "GlobalLimit" in plan or "CollectLimit" in plan
+
+
+def test_embedding_coherence_centroids_join_broadcast(spark):
+    """Label centroids must come from ONE map-side-combined
+    per-dimension aggregation and join back as a broadcast — the
+    corpus is never self-joined, and the cosine is pure Column
+    arithmetic (no Python)."""
+    from eggv_spark.operators.similarity import embedding_coherence
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(embedding_coherence(emb, dim=16))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_acf_one_corpus_groupby_one_spine_window(spark):
+    """The only data-sized work is the groupBy(day); the lead window
+    runs once over the day spine and all n_lags leads share it."""
+    from eggv_spark.operators.events import acf_lags
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(acf_lags(ev, "ts", n_lags=7))
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -222,7 +222,7 @@ def coherence_oracle_sql(dim: int, thr: float) -> str:
         "WITH " + coherence_scored_cte(dim) + f"""
 SELECT label, count(*) AS n, round(avg(cos), 4) AS avg_cos,
        round(min(cos), 4) AS min_cos,
-       sum(CAST(cos < {thr} AS BIGINT)) AS n_low
+       CAST(sum(CAST(cos < {thr} AS BIGINT)) AS BIGINT) AS n_low
 FROM scored GROUP BY label
 """
     )
@@ -232,7 +232,7 @@ def coherence_gate_oracle_sql(dim: int, thr: float) -> str:
     return (
         "WITH " + coherence_scored_cte(dim) + f"""
 SELECT label, count(*) AS n_total,
-       sum(CAST(cos >= {thr} AS BIGINT)) AS n_kept,
+       CAST(sum(CAST(cos >= {thr} AS BIGINT)) AS BIGINT) AS n_kept,
        round(sum(CAST(cos >= {thr} AS BIGINT))
              / CAST(count(*) AS DOUBLE), 4) AS kept_share,
        round(avg(CASE WHEN cos >= {thr} THEN cos END), 4)
