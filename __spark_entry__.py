@@ -5604,7 +5604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Lloyd k-means with DECIMAL(38,18)-exact centroid feedback,
     PAV-on-bins isotonic calibration, daily-count ACF, image
     intensity entropy, embedding coherence, and the coherence-gate
-    composite), followed by 14 re-verification pads — the oldest
+    composite), a SIXTH wave (fixed-grid decision stump,
+    integer-exact HITS hubs/authorities, MMR diversified retrieval,
+    RAKE keywords), followed by 10 re-verification pads — the oldest
     driver-green rows (r01 block) per the rotation doctrine, since
     round 7 closed driver coverage of all 334 prior entries.
 
@@ -6141,6 +6143,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_entropy": _image_entropy,
         "embedding_coherence": _embedding_coherence,
         "composite_coherence_gate": _composite_coherence_gate,
+        # --- round-8 sixth wave: decision stump, integer-exact HITS,
+        # MMR diversified retrieval, RAKE keywords (staged +
+        # oracle-validated in tests/test_round9d_staged*.py) ---
+        "decision_stump": _decision_stump,
+        "graph_hits": _graph_hits,
+        "mmr_diversify": _mmr_diversify,
+        "rake_keywords": _rake_keywords,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6195,6 +6204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_entropy",
         "embedding_coherence",
         "composite_coherence_gate",
+        "decision_stump",
+        "graph_hits",
+        "mmr_diversify",
+        "rake_keywords",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
@@ -6205,10 +6218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_json_field",
         "str_attr_map",
         "dt_date_parts",
-        "arr_vector_stats",
-        "agg_percentiles",
-        "agg_pivot",
-        "str_concat_ws",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9449,6 +9458,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9b_oracles())
     base.update(_r9c_oracles())
     base.update(_r9d_oracles())
+    base.update(_r9e_oracles())
     return base
 
 
@@ -13740,4 +13750,259 @@ def _r9d_oracles() -> dict[str, str]:
         "composite_coherence_gate": _coherence_gate_oracle_sql(
             16, _COHERENCE_THR
         ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, sixth wave: decision stump, integer-exact
+# HITS, MMR diversified retrieval, RAKE keywords (staged +
+# oracle-validated in tests/test_round9d_staged*.py)
+# ---------------------------------------------------------------------------
+
+_STUMP_THRESHOLDS = (-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3)
+
+
+def _decision_stump(spark, sf_dir):
+    """Best single-split weak learner over embedding dims
+    (ml.decision_stump_fit): fixed data-independent threshold grid,
+    exact integer split errors, min-struct argmin over
+    (n_errors, dim, threshold_index); labels binarized in-plan."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") >= 5).cast("long").alias("label")
+    )
+    return ML.decision_stump_fit(
+        emb, dim=16, thresholds=_STUMP_THRESHOLDS
+    )
+
+
+def _graph_hits(spark, sf_dir):
+    """HITS hubs/authorities over the nation trade graph
+    (graph.hits_scores): two integer-exact DECIMAL(38,0) rounds —
+    no per-round float normalization — with ONE max-normalization at
+    the end; the bipartite-influence companion to graph_pagerank."""
+    return G.hits_scores(_trade_edges(spark, sf_dir), n_rounds=2)
+
+
+def _mmr_diversify(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified top-5 for query
+    vector 0 (similarity.mmr_diversify): one corpus pass scores
+    relevance, TakeOrdered cuts the 20-candidate pool, and the greedy
+    loop runs on the bounded pool with 6dp-rounded scores — the
+    post-ANN de-redundancy step of a RAG retrieval stack."""
+    return S.mmr_diversify(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0, dim=16, n_candidates=20, k=5, lam=0.7,
+    )
+
+
+def _rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction over the documents corpus
+    (text_analysis.rake_keywords, top 15): stopword-separator phrase
+    runs, degree/frequency word scores, TakeOrdered phrase ranking
+    with the 4dp + phrase tiebreak."""
+    return T.rake_keywords(_t(spark, sf_dir, "documents"), top_k=15)
+
+
+def _stump_oracle_sql(dim: int, thresholds: tuple) -> str:
+    """Grid-stump replica: thresholds enter as CAST(... AS DOUBLE)
+    literals (a bare -0.3 is DECIMAL(2,1) in DuckDB), lpos/lneg avoid
+    the ln() name clash.  Validated in
+    tests/test_round9d_staged_oracles.py."""
+    vals = ", ".join(
+        f"({ti}, CAST({t!r} AS DOUBLE))" for ti, t in enumerate(thresholds)
+    )
+    return f"""
+WITH vv AS MATERIALIZED (
+  SELECT CAST(label >= 5 AS BIGINT) AS y,
+         list_transform(embedding[1:{dim}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pts AS MATERIALIZED (
+  SELECT y, i AS d, v[i] AS x FROM vv, generate_series(1, {dim}) t(i)
+),
+thr(ti, t) AS (VALUES {vals}),
+cand AS MATERIALIZED (
+  SELECT d, ti, t, count(*) AS n,
+         sum(y * CAST(x <= t AS BIGINT)) AS lpos,
+         sum((1 - y) * CAST(x <= t AS BIGINT)) AS lneg,
+         sum(y) AS pos
+  FROM pts CROSS JOIN thr GROUP BY d, ti, t
+),
+scored AS (
+  SELECT d, ti, t, n,
+         least(lneg + (pos - lpos), lpos + (n - pos - lneg)) AS err,
+         CASE WHEN lneg + (pos - lpos) <= lpos + (n - pos - lneg)
+              THEN 'left_pos' ELSE 'right_pos' END AS pol
+  FROM cand
+)
+SELECT CAST(d AS INT) AS dim, t AS threshold, pol AS polarity,
+       CAST(n AS BIGINT) AS n, CAST(err AS BIGINT) AS n_errors,
+       round(err / CAST(n AS DOUBLE), 6) AS error_rate
+FROM scored ORDER BY err, d, ti LIMIT 1
+"""
+
+
+_TRADE_EDGES_SQL_CTE = """
+e AS MATERIALIZED (
+  SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+         CAST(count(*) AS HUGEINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN supplier su ON l.l_suppkey = su.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT v FROM (
+    SELECT s AS v FROM e UNION ALL SELECT d AS v FROM e
+  )
+)"""
+
+
+def _hits_oracle_sql(n_rounds: int) -> str:
+    """Unrolled integer HITS: HUGEINT (exact 128-bit) mirrors Spark's
+    DECIMAL(38,0) under the (Σw)^(2·rounds) < 1e38 bound, one final
+    max-normalization."""
+    parts = [_TRADE_EDGES_SQL_CTE + """,
+h0 AS (SELECT v, CAST(1 AS HUGEINT) AS h FROM nodes)"""]
+    for r in range(n_rounds):
+        parts.append(f"""
+a{r + 1} AS MATERIALIZED (
+  SELECT n.v AS v, coalesce(x.a, 0) AS a FROM nodes n LEFT JOIN (
+    SELECT e.d AS v, sum(e.w * h{r}.h) AS a
+    FROM e JOIN h{r} ON e.s = h{r}.v GROUP BY e.d
+  ) x ON n.v = x.v
+),
+h{r + 1} AS MATERIALIZED (
+  SELECT n.v AS v, coalesce(x.h, 0) AS h FROM nodes n LEFT JOIN (
+    SELECT e.s AS v, sum(e.w * a{r + 1}.a) AS h
+    FROM e JOIN a{r + 1} ON e.d = a{r + 1}.v GROUP BY e.s
+  ) x ON n.v = x.v
+)""")
+    last = n_rounds
+    final = f"""
+SELECT CAST(a{last}.v AS INT) AS node,
+       round(CAST(a{last}.a AS DOUBLE)
+             / CAST((SELECT max(a) FROM a{last}) AS DOUBLE), 6)
+         AS authority,
+       round(CAST(h{last}.h AS DOUBLE)
+             / CAST((SELECT max(h) FROM h{last}) AS DOUBLE), 6) AS hub
+FROM a{last} JOIN h{last} ON a{last}.v = h{last}.v
+"""
+    return "WITH " + ",".join(parts) + final
+
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}),"
+    " i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+def _mmr_oracle_sql(
+    query_id: int, dim: int, n_candidates: int, k: int, lam: float
+) -> str:
+    """Unrolled greedy MMR.  The redundancy multiplier interpolates
+    as repr(1.0 - lam): 1.0 - 0.7 is 0.30000000000000004 in binary
+    and writing 0.3 would diverge at the 6dp rounding boundary."""
+    lam_r = repr(float(lam))
+    pen_r = repr(1.0 - lam)
+    parts = [f"""
+v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding[1:{dim}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {query_id}),
+cand AS MATERIALIZED (
+  SELECT vec_id, rel, v FROM (
+    SELECT vec_id, v,
+           round({_COS_SQL.format(dim=dim, a='v', b='qv')}, 6) AS rel
+    FROM v, q WHERE vec_id <> {query_id}
+  ) ORDER BY rel DESC, vec_id LIMIT {n_candidates}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round({_COS_SQL.format(dim=dim, a='a.v', b='b.v')}, 6) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT 1 AS "rank", vec_id AS id, rel AS relevance, rel AS mmr_score
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),
+sel1 AS (SELECT id FROM s1)"""]
+    for step in range(2, k + 1):
+        parts.append(f"""
+p{step} AS MATERIALIZED (
+  SELECT c.vec_id AS id, c.rel AS rel,
+         round({lam_r} * c.rel - {pen_r} * (
+           SELECT max(p.sim) FROM pairs p
+           WHERE p.ia = c.vec_id
+             AND p.ib IN (SELECT id FROM sel{step - 1})
+         ), 6) AS score
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT id FROM sel{step - 1})
+),
+s{step} AS MATERIALIZED (
+  SELECT {step} AS "rank", id, rel AS relevance, score AS mmr_score
+  FROM p{step} ORDER BY score DESC, id LIMIT 1
+),
+sel{step} AS (
+  SELECT id FROM sel{step - 1} UNION ALL SELECT id FROM s{step}
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{s}" for s in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+def _rake_oracle_sql(top_k: int, stopwords: tuple) -> str:
+    """Separator-encoding RAKE replica: stopword -> '|' -> split ->
+    trim -> drop empties round-trips identically through Spark
+    split(regex) and DuckDB string_split."""
+    stop_list = ", ".join(f"'{w}'" for w in stopwords)
+    return f"""
+WITH phr AS MATERIALIZED (
+  SELECT trim(p) AS phrase FROM (
+    SELECT unnest(string_split(array_to_string(
+      list_transform({_TOKS_SQL},
+        t -> CASE WHEN t IN ({stop_list}) THEN '|' ELSE t END),
+      ' '), '|')) AS p
+    FROM documents
+  ) WHERE trim(p) <> ''
+),
+pw AS MATERIALIZED (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+         len(string_split(phrase, ' ')) AS plen
+  FROM phr
+),
+word_stats AS MATERIALIZED (
+  SELECT w, sum(plen) / CAST(count(*) AS DOUBLE) AS score
+  FROM pw GROUP BY w
+),
+phrase_scores AS MATERIALIZED (
+  SELECT pw.phrase AS phrase, sum(ws.score) AS raw
+  FROM pw JOIN word_stats ws ON pw.w = ws.w
+  GROUP BY pw.phrase
+),
+counts AS (
+  SELECT phrase, count(*) AS n_occurrences FROM phr GROUP BY phrase
+)
+SELECT ps.phrase AS phrase,
+       CAST(c.n_occurrences AS BIGINT) AS n_occurrences,
+       round(ps.raw / c.n_occurrences, 4) AS rake_score
+FROM phrase_scores ps JOIN counts c ON ps.phrase = c.phrase
+ORDER BY rake_score DESC, phrase LIMIT {top_k}
+"""
+
+
+def _r9e_oracles() -> dict[str, str]:
+    """Oracles for the sixth round-8 registration wave."""
+    from eggv_spark.operators.text_analysis import RAKE_STOPWORDS
+
+    return {
+        "decision_stump": _stump_oracle_sql(16, _STUMP_THRESHOLDS),
+        "graph_hits": _hits_oracle_sql(2),
+        "mmr_diversify": _mmr_oracle_sql(0, 16, 20, 5, 0.7),
+        "rake_keywords": _rake_oracle_sql(15, RAKE_STOPWORDS),
     }

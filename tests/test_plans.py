@@ -778,3 +778,59 @@ def test_acf_one_corpus_groupby_one_spine_window(spark):
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_stump_single_corpus_pass_broadcast_grid(spark):
+    """The threshold grid joins as a broadcast against the exploded
+    corpus (grid-times expansion, never data-to-data) and the whole
+    fit is one aggregation — no Python stage, no cartesian."""
+    from eggv_spark.operators.ml import decision_stump_fit
+
+    emb = read_table(spark, SF_DIR, "embeddings").select(
+        "embedding", (F.col("label") >= 5).cast("long").alias("label")
+    )
+    plan = _plan(decision_stump_fit(emb, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_hits_rounds_shuffle_edges_not_floats(spark):
+    """Every HITS round is two edge-keyed aggregations (the pagerank
+    posture); scores stay DECIMAL until the single final
+    normalization — no Python, no cartesian, no global sort."""
+    import __spark_entry__ as entrymod
+    from eggv_spark.operators.graph import hits_scores
+
+    edges = entrymod._trade_edges(spark, SF_DIR)
+    plan = _plan(hits_scores(edges, n_rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mmr_candidate_cut_is_takeordered(spark):
+    """The only data-sized step is the relevance scan: the candidate
+    pool must be cut by TakeOrderedAndProject (never a global sort),
+    and the greedy rounds run on limit-bounded frames."""
+    from eggv_spark.operators.similarity import mmr_diversify
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(
+        mmr_diversify(emb, query_id=0, dim=8, n_candidates=10, k=3)
+    )
+    assert "Exchange rangepartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rake_topk_is_takeordered_and_word_join_broadcasts(spark):
+    """RAKE's vocabulary-sized score table joins back by word as a
+    broadcast and the final ranking is TakeOrdered on the rounded
+    score — no global sort of phrases."""
+    from eggv_spark.operators.text_analysis import rake_keywords
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(rake_keywords(docs, top_k=15))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "EvalPython" not in plan
