@@ -5606,9 +5606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     intensity entropy, embedding coherence, and the coherence-gate
     composite), a SIXTH wave (fixed-grid decision stump,
     integer-exact HITS hubs/authorities, MMR diversified retrieval,
-    RAKE keywords), followed by 10 re-verification pads — the oldest
-    driver-green rows (r01 block) per the rotation doctrine, since
-    round 7 closed driver coverage of all 334 prior entries.
+    RAKE keywords), a SEVENTH wave (the Johnson-Lindenstrauss
+    sign-projection distortion audit and the MMR->doc-join->budget
+    RAG context-assembly composite), followed by 8 re-verification
+    pads — the oldest driver-green rows (r01 block) per the rotation
+    doctrine, since round 7 closed driver coverage of all 334 prior
+    entries.
 
     Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
@@ -6150,6 +6153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": _graph_hits,
         "mmr_diversify": _mmr_diversify,
         "rake_keywords": _rake_keywords,
+        # --- round-8 seventh wave: JL projection audit + the RAG
+        # context-assembly composite (staged + oracle-validated in
+        # tests/test_round9e_staged*.py) ---
+        "sim_random_projection": _sim_random_projection,
+        "composite_rag_pipeline": _composite_rag_pipeline,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6208,6 +6216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits",
         "mmr_diversify",
         "rake_keywords",
+        "sim_random_projection",
+        "composite_rag_pipeline",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
@@ -6216,8 +6226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_regexp_extract",
         "str_strip_cast",
         "str_json_field",
-        "str_attr_map",
-        "dt_date_parts",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9459,6 +9467,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9c_oracles())
     base.update(_r9d_oracles())
     base.update(_r9e_oracles())
+    base.update(_r9f_oracles())
     return base
 
 
@@ -14005,4 +14014,122 @@ def _r9e_oracles() -> dict[str, str]:
         "graph_hits": _hits_oracle_sql(2),
         "mmr_diversify": _mmr_oracle_sql(0, 16, 20, 5, 0.7),
         "rake_keywords": _rake_oracle_sql(15, RAKE_STOPWORDS),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, seventh wave: JL sign-projection distortion
+# audit + the RAG context-assembly composite (staged +
+# oracle-validated in tests/test_round9e_staged*.py)
+# ---------------------------------------------------------------------------
+
+_RAG_BUDGET_TOKENS = 180
+
+
+def _sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss compression QA
+    (similarity.random_projection_distortion): project 16-dim
+    embeddings to 8 dims through the deterministic md5 ±1/√8 matrix
+    and report pairwise-distance distortion over consecutive-id
+    probe pairs — the measure-before-you-compress audit."""
+    return S.random_projection_distortion(
+        _t(spark, sf_dir, "embeddings"), in_dim=16, out_dim=8
+    )
+
+
+def _composite_rag_pipeline(spark, sf_dir):
+    """RAG context assembly as ONE plan: MMR-diversified top-5 for
+    query vector 0 (similarity.mmr_diversify) -> join the documents
+    by id (5-row broadcast against the pruned doc scan) -> greedy
+    token-budget fill in selection order (window cumsum over 5 rows,
+    budget 180) — the retrieve->diversify->pack shape a RAG serving
+    stack runs per query."""
+    picks = S.mmr_diversify(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0, dim=16, n_candidates=20, k=5, lam=0.7,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(T.tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    joined = F.broadcast(picks).join(
+        docs, picks["id"] == docs["doc_id"]
+    )
+    w = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        joined.select(
+            "rank", "doc_id", "relevance", "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET_TOKENS)
+    )
+
+
+def _random_projection_oracle_sql(in_dim: int, out_dim: int) -> str:
+    """Matrix-literal JL replica: the ±1 rows and the 1/√k scale
+    interpolate as repr() literals (bit-identical parses); each fold
+    in generate_series order matches the Spark sequential fold."""
+    from eggv_spark.operators.similarity import jl_sign
+
+    scale = repr(1.0 / (out_dim ** 0.5))
+    rows = ", ".join(
+        "["
+        + ", ".join(repr(jl_sign(j, d)) for d in range(in_dim))
+        + "]"
+        for j in range(out_dim)
+    )
+    return f"""
+WITH m(r) AS (SELECT [{rows}]),
+v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding[1:{in_dim}], x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+proj AS MATERIALIZED (
+  SELECT vec_id, x,
+         list_transform(m.r, row ->
+           list_sum(list_transform(generate_series(1, {in_dim}),
+             i -> row[i] * x[i])) * {scale}) AS y
+  FROM v, m
+),
+pairs AS MATERIALIZED (
+  SELECT sqrt(list_sum(list_transform(generate_series(1, {in_dim}),
+           i -> (a.x[i] - b.x[i]) * (a.x[i] - b.x[i])))) AS dorig,
+         sqrt(list_sum(list_transform(generate_series(1, {out_dim}),
+           i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i])))) AS dproj
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT count(*) AS n_pairs,
+       round(avg(dproj / dorig), 4) AS avg_ratio,
+       round(min(dproj / dorig), 4) AS min_ratio,
+       round(max(dproj / dorig), 4) AS max_ratio,
+       round(avg(abs(dproj / dorig - 1.0)), 4) AS avg_abs_distortion
+FROM pairs WHERE dorig > 0
+"""
+
+
+def _rag_pipeline_oracle_sql(budget: int) -> str:
+    """MMR picks (the validated _mmr_oracle_sql as a derived table)
+    joined to documents, greedy budget fill by selection order."""
+    mmr = _mmr_oracle_sql(0, 16, 20, 5, 0.7)
+    return f"""
+SELECT p."rank" AS "rank", d.doc_id AS doc_id,
+       p.relevance AS relevance,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(sum(len({_TOKS_SQL}))
+            OVER (ORDER BY p."rank") AS BIGINT) AS cum_tokens
+FROM ({mmr}) p JOIN documents d ON p.id = d.doc_id
+QUALIFY cum_tokens <= {budget}
+"""
+
+
+def _r9f_oracles() -> dict[str, str]:
+    """Oracles for the seventh round-8 registration wave."""
+    return {
+        "sim_random_projection": _random_projection_oracle_sql(16, 8),
+        "composite_rag_pipeline": _rag_pipeline_oracle_sql(
+            _RAG_BUDGET_TOKENS
+        ),
     }

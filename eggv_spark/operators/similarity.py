@@ -1266,3 +1266,91 @@ def mmr_diversify(
         prev.unpersist()
         prev = selected
     return selected
+
+
+def jl_sign(j: int, d: int) -> float:
+    """Deterministic ±1 entry (j, d) of the sign random-projection
+    matrix: md5 of ``"jl-{j}-{d}"`` parity — no RNG state, identical
+    literals reproducible in any engine (the signlsh_plane rule)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl-{j}-{d}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def random_projection_distortion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 16,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection + distortion
+    audit: project every embedding to ``out_dim`` dims through a
+    deterministic ±1/√k matrix and measure how well pairwise
+    distances survive — the "can we store/search the compressed
+    vectors instead" QA a 100 TB embedding pipeline runs before
+    committing to a cheaper index (the JL lemma guarantees the
+    distortion bound; this MEASURES it on the actual corpus).
+
+    The probe pairs are consecutive ids (id, id+1) — an equi-join,
+    O(n) pairs, no sampling RNG and no pair explosion.  The matrix
+    enters the plan as one nested-array literal (md5-derived, the
+    signlsh/PQ-codebook rule), each projected coordinate is a
+    sequential fold, and the √-scale multiplies ONCE per coordinate —
+    identical doubles in any engine, so min/max ratios are exact and
+    the averages round at 4dp.  Zero-distance original pairs are
+    excluded (ratio undefined).
+
+    Output: ONE row — n_pairs, avg_ratio, min_ratio, max_ratio,
+    avg_abs_distortion (mean |ratio − 1|)."""
+    scale = 1.0 / (out_dim ** 0.5)
+    matrix = F.array(*[
+        F.array(*[F.lit(jl_sign(j, d)) for d in range(in_dim)])
+        for j in range(out_dim)
+    ])
+    data = df.select(
+        F.col(id_col).alias("_id"),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, in_dim).alias("_x"),
+    ).select(
+        "_id", "_x",
+        F.transform(
+            matrix,
+            lambda row: F.aggregate(
+                F.zip_with(row, F.col("_x"), lambda s, x: s * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+        ).alias("_y"),
+    )
+    a = data.select(
+        F.col("_id").alias("_ia"), F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+    )
+    b = data.select(
+        (F.col("_id") - 1).alias("_ia"), F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+    )
+
+    def _dist(u: str, v: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    pairs = a.join(b, "_ia").select(
+        _dist("_xa", "_xb").alias("_do"),
+        _dist("_ya", "_yb").alias("_dp"),
+    ).filter(F.col("_do") > 0)
+    ratio = F.col("_dp") / F.col("_do")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(ratio), 4).alias("avg_ratio"),
+        F.round(F.min(ratio), 4).alias("min_ratio"),
+        F.round(F.max(ratio), 4).alias("max_ratio"),
+        F.round(F.avg(F.abs(ratio - 1.0)), 4).alias("avg_abs_distortion"),
+    )

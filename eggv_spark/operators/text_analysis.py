@@ -1225,11 +1225,23 @@ def bpe_train_merges(
     collect anywhere: ``n_merges`` steps are ``n_merges`` broadcast
     joins in ONE lazy plan, the same posture as
     ``similarity.kmeans_iteration``.  Each step's vocabulary frame is
-    persisted (the pagerank per-iteration-cache discipline): without
-    it, step k's argmax re-executes folds 1..k−1 from scratch and the
-    run is QUADRATIC in merge count — invisible at 6 merges, fatal at
-    tokenizer scale (30k+ merges, where you additionally checkpoint
-    every few hundred rounds to cut lineage)."""
+    eagerly localCheckpoint-ed — materialized AND lineage-truncated.
+    Round-8 lesson, twice over: (1) the original "fully lazy" form
+    (persist, no count, no unpersist) was 2-3x slower and wildly
+    variable (11-31 s on an idle sf0.1 host) — lazy persists do not
+    deduplicate CONCURRENT first computations, so the merge-row
+    branches and the apply-side guards raced to recompute the same
+    uncached vocab frames, and every invocation leaked ~7 cached
+    vocabulary frames whose GC/eviction churn compounded across
+    runs; (2) persist+count alone is STILL not enough, because the
+    plan TREE of step k embeds every earlier step's fold twice (the
+    argmax row and the fold input), so the printed plan grows
+    ~2^steps and AQE's explainString overflows the JVM string limit
+    by step 6 of the composed train+apply query.  localCheckpoint
+    solves both: flat leaf plans, one tiny vocabulary-sized job per
+    merge, and the ContextCleaner reclaims abandoned step RDDs.  At
+    tokenizer scale (30k+ merges) the same call doubles as the
+    every-few-hundred-rounds lineage cut."""
     words = (
         df.select(F.explode(tokens_col(text_col)).alias("_w"))
         .groupBy("_w")
@@ -1238,7 +1250,15 @@ def bpe_train_merges(
     )
     merges = []
     for step in range(1, n_merges + 1):
-        words = words.persist()
+        # localCheckpoint(eager): materialize AND truncate lineage.
+        # persist-only is not enough here — the plan TREE of step k
+        # embeds every earlier step's fold twice (via the argmax row
+        # and the fold input), so the printed plan grows ~2^k and
+        # AQE's explainString overflows the JVM string limit by step
+        # 6 of the composed train+apply query; checkpointed frames
+        # are flat leaves.  The abandoned step RDDs are reclaimed by
+        # the ContextCleaner when the frames go out of scope.
+        words = words.localCheckpoint(eager=True)
         n1 = F.greatest(F.size("_s") - 1, F.lit(0))
         pair_counts = (
             words.select(
@@ -1267,6 +1287,9 @@ def bpe_train_merges(
                 F.col("_p.b").alias("_bb"),
                 F.col("_cnt").alias("_bcnt"),
             )
+            # flat 1-row leaf: the merge table and the next fold both
+            # read this row without re-running the TakeOrdered
+            .localCheckpoint(eager=True)
         )
         merges.append(
             best.select(
@@ -1299,6 +1322,8 @@ def bpe_train_merges(
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
+    # the union of n_merges flat 1-row leaves — tiny and already
+    # materialized; nothing data-sized stays referenced
     return out
 
 
@@ -1497,7 +1522,6 @@ def bpe_word_sizes(
         .distinct()
         .select("_w", F.split("_w", "").alias("_s"))
     )
-    prev = None
     for step in range(1, n_merges + 1):
         best = F.broadcast(
             merges.filter(F.col("step") == step)
@@ -1540,14 +1564,18 @@ def bpe_word_sizes(
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("_s"),
-        ).persist()
-        # materialize this step, then drop the previous step's cache:
-        # the count also fires the step guard early and loudly
-        words.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = words
-    return words.select("_w", F.size("_s").alias("_n_syms"))
+        # eager localCheckpoint: materializes the step (firing the
+        # step guard early and loudly), truncates the lineage (the
+        # composed train+apply plan tree otherwise grows ~2^steps in
+        # print size — see bpe_train_merges), and leaves the
+        # abandoned step RDDs to the ContextCleaner instead of
+        # accumulating cached copies across invocations
+        ).localCheckpoint(eager=True)
+    # hand back the SMALL (word, count) map as a flat leaf — the
+    # heavy symbol-array frame goes out of scope with the loop
+    return words.select(
+        "_w", F.size("_s").alias("_n_syms")
+    ).localCheckpoint(eager=True)
 
 
 def tokenizer_pipeline(
