@@ -1284,6 +1284,10 @@ def acf_lags(
     denominator over ALL n days (the standard biased estimator, so
     acf is bounded in [−1, 1] and comparable across lags).
 
+    NULL timestamps are excluded from the series (to_date(NULL)
+    groups to a NULL day that matches no spine day — by design: a
+    null-ts event has no position in a time series).
+
     Shape: one data-sized groupBy(day); everything after runs on the
     day spine (|days| rows — a window ordered by day pulls all
     ``n_lags`` leads in ONE pass over one task, bounded by the date
@@ -1335,13 +1339,18 @@ def acf_lags(
         .groupBy((F.col("_l0") + 1).alias("lag"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(
-                F.sum(
-                    (F.col("_x") - F.col("_mu"))
-                    * (F.col("_xl") - F.col("_mu"))
-                )
-                / F.any_value("_den"),
-                6,
+            # a constant series has zero variance: acf is undefined
+            # there, reported as NULL (ANSI division would raise)
+            F.when(
+                F.any_value("_den") != 0.0,
+                F.round(
+                    F.sum(
+                        (F.col("_x") - F.col("_mu"))
+                        * (F.col("_xl") - F.col("_mu"))
+                    )
+                    / F.any_value("_den"),
+                    6,
+                ),
             ).alias("acf"),
         )
         .select(F.col("lag").cast("int").alias("lag"), "n_pairs", "acf")

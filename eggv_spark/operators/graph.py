@@ -696,10 +696,30 @@ def hits_scores(
     Output: one row per node — node, authority, hub (each
     max-normalized, 6dp)."""
     dec = "decimal(38,0)"
+    ok = (
+        F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+        & F.col(weight).isNotNull()
+    )
+    # a NULL endpoint or weight would silently fall out of the degree
+    # sums and skew every score — raise in-plan instead.  The guard
+    # must ride EVERY consumed column (not just the weight): the
+    # equi-joins let Catalyst infer `key IS NOT NULL` and push it
+    # below the projection, which would prune the offending ROW
+    # before a weight-only guard ever evaluated (the srm_check
+    # pruning lesson); a guarded key forces IsNotNull(when(...)) to
+    # evaluate the raise first
+    def _guard(c):
+        return F.when(ok, c).otherwise(
+            F.raise_error(
+                F.lit("hits_scores: src/dst/weight must be non-null")
+            )
+        )
+
     e = edges.select(
-        F.col(src).alias("_s"),
-        F.col(dst).alias("_d"),
-        F.col(weight).cast(dec).alias("_w"),
+        _guard(F.col(src)).alias("_s"),
+        _guard(F.col(dst)).alias("_d"),
+        _guard(F.col(weight).cast(dec)).alias("_w"),
     )
     nodes = (
         e.select(F.col("_s").alias("_v"))

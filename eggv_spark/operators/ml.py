@@ -37,6 +37,22 @@ def _as_double_vec(col: str, dim: int) -> Column:
     return F.slice(F.col(col).cast("array<double>"), 1, dim)
 
 
+def guarded_vec(vec_col: str, dim: int, op: str) -> Column:
+    """Slice ``vec_col`` to ``dim`` doubles, raising IN-PLAN on a NULL
+    or too-short vector — the loud alternative to letting null folds
+    silently drop rows from distance sums and split counts (the
+    labels-must-be-0/1 rule, applied to the feature side)."""
+    v = _as_double_vec(vec_col, dim)
+    return F.when(v.isNotNull() & (F.size(v) >= dim), v).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: {vec_col} must be a non-null vector with"
+                f" >= {dim} dims"
+            )
+        )
+    )
+
+
 def _step_state(state: DataFrame, prev: DataFrame | None) -> DataFrame:
     """Materialize one step's 1-row model-state frame and drop the
     previous step's cache (flat lineage, one live copy)."""
@@ -359,7 +375,8 @@ def kmeans_lloyd(
     Output: one row per cluster — n_points, inertia (sum of rounded
     squared distances, 2dp), centroid_norm (4dp)."""
     data = df.select(
-        F.col(id_col).alias("_id"), _as_double_vec(vec_col, dim).alias("_x")
+        F.col(id_col).alias("_id"),
+        guarded_vec(vec_col, dim, "kmeans_lloyd").alias("_x"),
     )
     from pyspark.sql import Window
 
@@ -485,8 +502,22 @@ def isotonic_calibration(
     lattice selects identically; output rates rounded (6dp).
     Output: one row per bin — n, pos_rate, iso_rate (non-decreasing
     in the bin order, which the staged property test asserts)."""
-    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
-    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    b0 = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    y0 = F.col(label_col) if isinstance(label_col, str) else label_col
+    # NULL bins/labels raise in-plan: a null bin would also ORDER
+    # differently across engines (Spark windows put nulls first,
+    # DuckDB last), so "bin your NULLs explicitly" is the contract
+    b = F.when(b0.isNotNull(), b0).otherwise(
+        F.raise_error(
+            F.lit("isotonic_calibration: bin must be non-null —"
+                  " bin NULL scores explicitly")
+        )
+    )
+    y = F.when(y0.isNotNull(), y0).otherwise(
+        F.raise_error(
+            F.lit("isotonic_calibration: label must be non-null 0/1")
+        )
+    )
     bins = (
         df.select(b.cast("long").alias("_b"), y.cast("long").alias("_y"))
         .groupBy("_b")
@@ -732,7 +763,9 @@ def decision_stump_fit(
             )
         )
         .alias("_y"),
-        F.posexplode(_as_double_vec(vec_col, dim)).alias("_d0", "_x"),
+        F.posexplode(
+            guarded_vec(vec_col, dim, "decision_stump_fit")
+        ).alias("_d0", "_x"),
     )
     spark = df.sparkSession
     thr = spark.range(1).select(

@@ -1097,10 +1097,12 @@ def centroid_cosine(
     partitioning noise would make downstream threshold counts flap).
     The cosine itself is the sequential-fold ``cosine_col``, so both
     engines compute bit-identical doubles."""
+    from eggv_spark.operators.ml import guarded_vec
+
     data = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_lbl"),
-        F.slice(F.col(vec_col).cast("array<double>"), 1, dim).alias("_x"),
+        guarded_vec(vec_col, dim, "centroid_cosine").alias("_x"),
     )
     centroids = (
         data.select("_lbl", F.posexplode("_x").alias("_d", "_xd"))
@@ -1198,7 +1200,12 @@ def mmr_diversify(
         .limit(n_candidates)
         .persist()
     )
-    cand.count()
+    if cand.count() == 0:
+        raise ValueError(
+            "mmr_diversify: empty candidate pool — query id "
+            f"{query_id} not found in {id_col}, or the corpus has no"
+            " other rows"
+        )
     pa = cand.select(
         F.col("_id").alias("_ia"), F.col("_x").alias("_xa"),
     )
@@ -1309,9 +1316,13 @@ def random_projection_distortion(
         F.array(*[F.lit(jl_sign(j, d)) for d in range(in_dim)])
         for j in range(out_dim)
     ])
+    from eggv_spark.operators.ml import guarded_vec
+
     data = df.select(
         F.col(id_col).alias("_id"),
-        F.slice(F.col(vec_col).cast("array<double>"), 1, in_dim).alias("_x"),
+        guarded_vec(
+            vec_col, in_dim, "random_projection_distortion"
+        ).alias("_x"),
     ).select(
         "_id", "_x",
         F.transform(

@@ -159,8 +159,9 @@ pairs AS MATERIALIZED (
        JOIN series b ON b.day = a.day + CAST(lg.l AS INTEGER)
 )
 SELECT CAST(l AS INT) AS lag, count(*) AS n_pairs,
-       round(sum((x - mu.mu) * (xl - mu.mu)) / any_value(mu.den), 6)
-         AS acf
+       CASE WHEN any_value(mu.den) = 0 THEN NULL
+            ELSE round(sum((x - mu.mu) * (xl - mu.mu))
+                       / any_value(mu.den), 6) END AS acf
 FROM pairs, mu GROUP BY l
 """
 
