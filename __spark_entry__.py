@@ -5608,10 +5608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-exact HITS hubs/authorities, MMR diversified retrieval,
     RAKE keywords), a SEVENTH wave (the Johnson-Lindenstrauss
     sign-projection distortion audit and the MMR->doc-join->budget
-    RAG context-assembly composite), followed by 8 re-verification
-    pads — the oldest driver-green rows (r01 block) per the rotation
-    doctrine, since round 7 closed driver coverage of all 334 prior
-    entries.
+    RAG context-assembly composite), an EIGHTH wave
+    (difference-in-differences and the IVF-kNN label-learnability
+    eval composite), followed by 6 re-verification pads — the oldest
+    driver-green rows (r01 block) per the rotation doctrine, since
+    round 7 closed driver coverage of all 334 prior entries.
 
     Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
@@ -6158,6 +6159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_round9e_staged*.py) ---
         "sim_random_projection": _sim_random_projection,
         "composite_rag_pipeline": _composite_rag_pipeline,
+        # --- round-8 eighth wave: difference-in-differences + the
+        # IVF-kNN classification eval composite (staged +
+        # oracle-validated in tests/test_round9g_staged.py) ---
+        "did_estimator": _did_estimator,
+        "composite_knn_eval": _composite_knn_eval,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6218,14 +6224,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords",
         "sim_random_projection",
         "composite_rag_pipeline",
+        "did_estimator",
+        "composite_knn_eval",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
         "prj_rename_cast",
         "str_prefix_concat",
         "str_regexp_extract",
-        "str_strip_cast",
-        "str_json_field",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9468,6 +9474,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9d_oracles())
     base.update(_r9e_oracles())
     base.update(_r9f_oracles())
+    base.update(_r9g_oracles())
     return base
 
 
@@ -14133,4 +14140,200 @@ def _r9f_oracles() -> dict[str, str]:
         "composite_rag_pipeline": _rag_pipeline_oracle_sql(
             _RAG_BUDGET_TOKENS
         ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, eighth wave: difference-in-differences + the
+# IVF-kNN classification eval composite (staged + oracle-validated in
+# tests/test_round9g_staged.py)
+# ---------------------------------------------------------------------------
+
+
+def _did_estimator(spark, sf_dir):
+    """Difference-in-differences readout (events.did_estimator):
+    treated = md5 50/50 user split (the portable assignment every
+    experiment query shares), post = day-of-month > 15, outcome =
+    per-(unit, period) summed purchase value.  One unit-grain
+    aggregation, one 1-row conditional-cell aggregate."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import did_estimator
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("unit"),
+        (base_hash(F.col("user_id").cast("string")) % 2 == 0)
+        .alias("is_treat"),
+        (F.dayofmonth("ts") > 15).alias("is_post"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0).alias("y"),
+    )
+    return did_estimator(ev, "unit", "is_treat", "is_post", "y")
+
+
+def _composite_knn_eval(spark, sf_dir):
+    """k-NN classification eval on the ANN index as ONE plan: IVF
+    top-5 neighbors for every 50th vector (the sim_ivf_topk probe),
+    neighbor labels joined (broadcast), majority vote with the
+    smallest-label tie rule, per-label accuracy + the '__ALL__' row —
+    "are the embedding labels learnable from neighborhood structure",
+    the eval a curation pass runs before trusting label-conditioned
+    sampling."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = S.ivf_topk(
+        emb, emb.filter("vec_id % 50 = 0"), k=5, n_probe=10
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("_nl"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "_nl")
+        .agg(F.count("*").alias("_c"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        (
+            -F.max(F.struct(F.col("_c"), (-F.col("_nl")).alias("_neg")))[
+                "_neg"
+            ]
+        ).alias("_pred")
+    )
+    truth = pred.join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("_y"),
+            )
+        ),
+        "query_id",
+    )
+    per_label = (
+        truth.groupBy(F.col("_y").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum((F.col("_pred") == F.col("_y")).cast("long"))
+            .alias("n_correct"),
+        )
+        .select(
+            "label", "n_queries", "n_correct",
+            F.round(F.col("n_correct") / F.col("n_queries"), 4)
+            .alias("accuracy"),
+        )
+    )
+    overall = truth.agg(
+        F.lit(-1).cast(per_label.schema["label"].dataType)
+        .alias("label"),
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("_pred") == F.col("_y")).cast("long"))
+        .alias("n_correct"),
+        F.round(
+            F.avg((F.col("_pred") == F.col("_y")).cast("double")), 4
+        ).alias("accuracy"),
+    )
+    return per_label.unionByName(overall)
+
+
+def _did_oracle_sql() -> str:
+    """Cell moments replica: same md5 split, same day>15 period, one
+    unit-grain aggregate then conditional cell sums."""
+    return """
+WITH pu AS MATERIALIZED (
+  SELECT user_id AS u,
+         (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 2) = 0 AS t,
+         day(ts) > 15 AS p,
+         sum(CASE WHEN event_type = 'purchase' THEN value
+                  ELSE 0.0 END) AS y
+  FROM events GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT
+    sum(CAST(t AND p AS BIGINT)) AS n_tp,
+    sum(CASE WHEN t AND p THEN y ELSE 0.0 END) AS s_tp,
+    sum(CASE WHEN t AND p THEN y * y ELSE 0.0 END) AS ss_tp,
+    sum(CAST(t AND NOT p AS BIGINT)) AS n_tq,
+    sum(CASE WHEN t AND NOT p THEN y ELSE 0.0 END) AS s_tq,
+    sum(CASE WHEN t AND NOT p THEN y * y ELSE 0.0 END) AS ss_tq,
+    sum(CAST(NOT t AND p AS BIGINT)) AS n_cp,
+    sum(CASE WHEN NOT t AND p THEN y ELSE 0.0 END) AS s_cp,
+    sum(CASE WHEN NOT t AND p THEN y * y ELSE 0.0 END) AS ss_cp,
+    sum(CAST(NOT t AND NOT p AS BIGINT)) AS n_cq,
+    sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0.0 END) AS s_cq,
+    sum(CASE WHEN NOT t AND NOT p THEN y * y ELSE 0.0 END) AS ss_cq
+  FROM pu
+)
+SELECT CAST(n_tp AS BIGINT) AS n_treat_post,
+       round(s_tp / n_tp, 6) AS mean_treat_post,
+       CAST(n_tq AS BIGINT) AS n_treat_pre,
+       round(s_tq / n_tq, 6) AS mean_treat_pre,
+       CAST(n_cp AS BIGINT) AS n_ctrl_post,
+       round(s_cp / n_cp, 6) AS mean_ctrl_post,
+       CAST(n_cq AS BIGINT) AS n_ctrl_pre,
+       round(s_cq / n_cq, 6) AS mean_ctrl_pre,
+       round((s_tp / n_tp - s_tq / n_tq)
+             - (s_cp / n_cp - s_cq / n_cq), 6) AS did,
+       round(sqrt(
+         (ss_tp - s_tp * s_tp / n_tp) / (n_tp - 1) / n_tp
+         + (ss_tq - s_tq * s_tq / n_tq) / (n_tq - 1) / n_tq
+         + (ss_cp - s_cp * s_cp / n_cp) / (n_cp - 1) / n_cp
+         + (ss_cq - s_cq * s_cq / n_cq) / (n_cq - 1) / n_cq), 6)
+         AS se,
+       round(((s_tp / n_tp - s_tq / n_tq)
+              - (s_cp / n_cp - s_cq / n_cq))
+             / sqrt(
+         (ss_tp - s_tp * s_tp / n_tp) / (n_tp - 1) / n_tp
+         + (ss_tq - s_tq * s_tq / n_tq) / (n_tq - 1) / n_tq
+         + (ss_cp - s_cp * s_cp / n_cp) / (n_cp - 1) / n_cp
+         + (ss_cq - s_cq * s_cq / n_cq) / (n_cq - 1) / n_cq), 4)
+         AS t_stat
+FROM cells
+"""
+
+
+def _knn_eval_oracle_sql() -> str:
+    """The validated IVF oracle as a derived table, then neighbor-label
+    majority vote (row_number over count DESC, label ASC — the
+    smallest-label tie rule) and per-label accuracy."""
+    return f"""
+WITH ivf AS ({_ivf_topk_oracle()}),
+votes AS MATERIALIZED (
+  SELECT i.query_id AS query_id, e.label AS nl, count(*) AS c
+  FROM ivf i JOIN embeddings e ON i.neighbor_id = e.vec_id
+  GROUP BY 1, 2
+),
+pred AS MATERIALIZED (
+  SELECT query_id, nl AS pred FROM (
+    SELECT query_id, nl,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, nl ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+),
+truth AS MATERIALIZED (
+  SELECT e.label AS y, p.pred AS pred
+  FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+)
+SELECT CAST(y AS INT) AS label, count(*) AS n_queries,
+       CAST(sum(CAST(pred = y AS INT)) AS BIGINT) AS n_correct,
+       round(sum(CAST(pred = y AS INT))
+             / CAST(count(*) AS DOUBLE), 4) AS accuracy
+FROM truth GROUP BY y
+UNION ALL
+SELECT -1, count(*),
+       CAST(sum(CAST(pred = y AS INT)) AS BIGINT),
+       round(avg(CAST(pred = y AS INT)), 4)
+FROM truth
+"""
+
+
+def _r9g_oracles() -> dict[str, str]:
+    """Oracles for the eighth round-8 registration wave."""
+    return {
+        "did_estimator": _did_oracle_sql(),
+        "composite_knn_eval": _knn_eval_oracle_sql(),
     }

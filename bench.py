@@ -83,6 +83,13 @@ HEADLINE = [
     # shuffles once)
     "active_user_counts",
     "bpe_apply_merges",
+    # round-8 wave representatives: the iterative-feedback fit
+    # (decimal-exact Lloyd rounds — k-row broadcast state, per-step
+    # localCheckpoint jobs are part of the honest cost) and the
+    # bounded-pool greedy retrieval (one corpus relevance pass +
+    # TakeOrdered cut, then driver-side rounds)
+    "kmeans_lloyd",
+    "mmr_diversify",
 ]
 
 

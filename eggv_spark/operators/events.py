@@ -1355,3 +1355,107 @@ def acf_lags(
         )
         .select(F.col("lag").cast("int").alias("lag"), "n_pairs", "acf")
     )
+
+
+def did_estimator(
+    df: DataFrame,
+    unit_col: str = "unit",
+    treat_col: str = "is_treat",
+    post_col: str = "is_post",
+    value_col: str = "y",
+) -> DataFrame:
+    """Difference-in-differences estimator — the observational-causal
+    companion to the experiment family (``evt_ab_test`` compares
+    randomized arms; DiD compares treated vs control TRENDS when
+    assignment wasn't randomized but both groups share a pre-period):
+    DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre).
+
+    Two aggregations, both map-side combinable: (1) collapse to the
+    (unit, period) grain so repeated events per unit don't fake
+    sample size (the unit is the independence unit); (2) ONE 1-row
+    conditional aggregate computes all four cells' n/Σy/Σy² — no
+    pivot shuffle, no per-cell pass.  SE is the four-cell pooled
+    standard error √(Σ s²_c/n_c) with s² from exact moment sums; the
+    estimate and SE round at 6dp (summation-order grain), t at 4dp.
+
+    ``treat_col``/``post_col`` must be non-null booleans and
+    ``value_col`` non-null — raised in-plan (a NULL flag would
+    silently vanish from every cell).  Output: ONE row — the four
+    cell (n, mean) pairs, did, se, t_stat."""
+    flags_ok = (
+        F.col(treat_col).isNotNull()
+        & F.col(post_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+
+    def _guard(c):
+        return F.when(flags_ok, c).otherwise(
+            F.raise_error(
+                F.lit(
+                    "did_estimator: treat/post flags and value must"
+                    " be non-null"
+                )
+            )
+        )
+
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            _guard(F.col(treat_col).cast("boolean")).alias("_t"),
+            _guard(F.col(post_col).cast("boolean")).alias("_p"),
+            _guard(F.col(value_col).cast("double")).alias("_y"),
+        )
+        .groupBy("_u", "_t", "_p")
+        .agg(F.sum("_y").alias("_y"))
+    )
+
+    def _cell(t: bool, p: bool, what: str) -> Column:
+        m = (F.col("_t") == t) & (F.col("_p") == p)
+        if what == "n":
+            return F.sum(m.cast("long"))
+        if what == "s":
+            return F.sum(F.when(m, F.col("_y")).otherwise(0.0))
+        return F.sum(F.when(m, F.col("_y") * F.col("_y")).otherwise(0.0))
+
+    cells = per_unit.agg(
+        *[
+            c
+            for t, p, tag in [
+                (True, True, "tp"), (True, False, "tq"),
+                (False, True, "cp"), (False, False, "cq"),
+            ]
+            for c in (
+                _cell(t, p, "n").alias(f"_n_{tag}"),
+                _cell(t, p, "s").alias(f"_s_{tag}"),
+                _cell(t, p, "ss").alias(f"_ss_{tag}"),
+            )
+        ]
+    )
+
+    def mean(tag: str) -> Column:
+        return F.col(f"_s_{tag}") / F.col(f"_n_{tag}")
+
+    def var_over_n(tag: str) -> Column:
+        n = F.col(f"_n_{tag}")
+        s = F.col(f"_s_{tag}")
+        ss = F.col(f"_ss_{tag}")
+        return (ss - s * s / n) / (n - 1) / n
+
+    did = (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
+    se = F.sqrt(
+        var_over_n("tp") + var_over_n("tq")
+        + var_over_n("cp") + var_over_n("cq")
+    )
+    return cells.select(
+        F.col("_n_tp").alias("n_treat_post"),
+        F.round(mean("tp"), 6).alias("mean_treat_post"),
+        F.col("_n_tq").alias("n_treat_pre"),
+        F.round(mean("tq"), 6).alias("mean_treat_pre"),
+        F.col("_n_cp").alias("n_ctrl_post"),
+        F.round(mean("cp"), 6).alias("mean_ctrl_post"),
+        F.col("_n_cq").alias("n_ctrl_pre"),
+        F.round(mean("cq"), 6).alias("mean_ctrl_pre"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 4).alias("t_stat"),
+    )
