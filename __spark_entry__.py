@@ -5610,7 +5610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sign-projection distortion audit and the MMR->doc-join->budget
     RAG context-assembly composite), an EIGHTH wave
     (difference-in-differences and the IVF-kNN label-learnability
-    eval composite), followed by 6 re-verification pads — the oldest
+    eval composite), a NINTH (top-2 PCA by deflation — the
+    spectral-gap probe), followed by 5 re-verification pads — the
+    oldest
     driver-green rows (r01 block) per the rotation doctrine, since
     round 7 closed driver coverage of all 334 prior entries.
 
@@ -6164,6 +6166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-validated in tests/test_round9g_staged.py) ---
         "did_estimator": _did_estimator,
         "composite_knn_eval": _composite_knn_eval,
+        # --- round-8 ninth wave: the spectral-gap probe (staged +
+        # oracle-validated in tests/test_round9h_staged.py) ---
+        "pca_top2_deflation": _pca_top2_deflation,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6226,12 +6231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_rag_pipeline",
         "did_estimator",
         "composite_knn_eval",
+        "pca_top2_deflation",
         "composite_shipping_priority",
         "src_scan",
         "prj_projection",
         "prj_rename_cast",
         "str_prefix_concat",
-        "str_regexp_extract",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9475,6 +9480,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9e_oracles())
     base.update(_r9f_oracles())
     base.update(_r9g_oracles())
+    base.update(_r9h_oracles())
     return base
 
 
@@ -14337,3 +14343,114 @@ def _r9g_oracles() -> dict[str, str]:
         "did_estimator": _did_oracle_sql(),
         "composite_knn_eval": _knn_eval_oracle_sql(),
     }
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, ninth wave: top-2 PCA by deflation (staged +
+# oracle-validated in tests/test_round9h_staged.py)
+# ---------------------------------------------------------------------------
+
+
+def _pca_top2_deflation(spark, sf_dir):
+    """Spectral-gap probe (ml.pca_top2_deflation): top-2 eigenpairs by
+    power iteration + deflation over the full 64-dim embeddings —
+    λ₂/λ₁ is the rank-collapse signal a single-component PCA can't
+    see; includes the v₁ᵀv₂ orthogonality self-audit."""
+    return ML.pca_top2_deflation(
+        _t(spark, sf_dir, "embeddings"), n_steps=4, dim=64
+    )
+
+
+def _pca2_oracle_sql(n_steps: int, dim: int) -> str:
+    parts = [f"""
+data AS MATERIALIZED (
+  SELECT list_transform(embedding[1:{dim}],
+                        x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+mu AS (
+  SELECT list(m ORDER BY d) AS mu FROM (
+    SELECT u.d AS d, avg(x[u.d]) AS m
+    FROM data, (SELECT unnest(range(1, {dim + 1})) AS d) u
+    GROUP BY u.d
+  )
+),
+cdata AS MATERIALIZED (
+  SELECT list_transform(list_zip(x, mu.mu), z -> z[1] - z[2]) AS c
+  FROM data, mu
+),
+v0 AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim + 1}),
+                        d -> 1.0 / sqrt({dim}.0)) AS v, 0.0 AS lam
+)"""]
+    for i in range(1, n_steps + 1):
+        parts.append(f"""
+s{i} AS (
+  SELECT c, list_dot_product(c, v{i - 1}.v) AS s FROM cdata, v{i - 1}
+),
+uu{i} AS (
+  SELECT list(g ORDER BY d) AS u FROM (
+    SELECT u.d AS d, avg(s * c[u.d]) AS g
+    FROM s{i}, (SELECT unnest(range(1, {dim + 1})) AS d) u GROUP BY u.d
+  )
+),
+v{i} AS MATERIALIZED (
+  SELECT list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v,
+         sqrt(list_dot_product(u, u)) AS lam
+  FROM uu{i}
+)""")
+    parts.append(f"""
+w0 AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim + 1}),
+                        d -> 1.0 / sqrt({dim}.0)) AS w, 0.0 AS lam2
+)""")
+    vN = f"v{n_steps}"
+    for j in range(1, n_steps + 1):
+        parts.append(f"""
+t{j} AS (
+  SELECT c, list_dot_product(c, w{j - 1}.w) AS s FROM cdata, w{j - 1}
+),
+cw{j} AS (
+  SELECT list(g ORDER BY d) AS u FROM (
+    SELECT u.d AS d, avg(s * c[u.d]) AS g
+    FROM t{j}, (SELECT unnest(range(1, {dim + 1})) AS d) u GROUP BY u.d
+  )
+),
+wd{j} AS (
+  SELECT list_transform(list_zip(cw{j}.u, {vN}.v),
+           z -> z[1] - {vN}.lam
+                * list_dot_product({vN}.v, w{j - 1}.w) * z[2]) AS u
+  FROM cw{j}, {vN}, w{j - 1}
+),
+w{j} AS MATERIALIZED (
+  SELECT list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS w,
+         sqrt(list_dot_product(u, u)) AS lam2
+  FROM wd{j}
+)""")
+    wN = f"w{n_steps}"
+    parts.append(f"""
+nn AS (SELECT count(*) AS n FROM cdata),
+td1 AS (
+  SELECT CAST(d AS INT) - 1 AS top_dim_1 FROM (
+    SELECT u.d AS d, abs({vN}.v[u.d]) AS a
+    FROM {vN}, (SELECT unnest(range(1, {dim + 1})) AS d) u
+  ) ORDER BY a DESC, d ASC LIMIT 1
+),
+td2 AS (
+  SELECT CAST(d AS INT) - 1 AS top_dim_2 FROM (
+    SELECT u.d AS d, abs({wN}.w[u.d]) AS a
+    FROM {wN}, (SELECT unnest(range(1, {dim + 1})) AS d) u
+  ) ORDER BY a DESC, d ASC LIMIT 1
+)
+SELECT nn.n AS n, round({vN}.lam, 6) AS eigenvalue_1,
+       round({wN}.lam2, 6) AS eigenvalue_2,
+       round({wN}.lam2 / {vN}.lam, 4) AS spectral_ratio,
+       round(list_dot_product({vN}.v, {wN}.w), 4) AS orthogonality,
+       td1.top_dim_1 AS top_dim_1, td2.top_dim_2 AS top_dim_2
+FROM nn, {vN}, {wN}, td1, td2""")
+    return "WITH " + ",".join(parts)
+
+
+def _r9h_oracles() -> dict[str, str]:
+    """Oracle for the ninth round-8 registration wave."""
+    return {"pca_top2_deflation": _pca2_oracle_sql(4, 64)}

@@ -819,3 +819,164 @@ def decision_stump_fit(
         F.col("_b._err").alias("n_errors"),
         F.round(F.col("_b._err") / F.col("_b._n"), 6).alias("error_rate"),
     )
+
+
+def pca_top2_deflation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_steps: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Top TWO principal components by power iteration + deflation —
+    the spectral-gap probe behind :func:`pca_power_iteration` ("is
+    the embedding space collapsing onto one axis?" needs λ₂/λ₁, not
+    just λ₁: a ratio near 1 means two strong directions, near 0 means
+    rank collapse).
+
+    Phase 1 is the pca_power_iteration kernel (one corpus pass per
+    step: scalar projection rides each row, per-dimension averages
+    via posexplode → groupBy(dim)).  Phase 2 power-iterates the
+    DEFLATED operator C′w = C·w − λ₁·(v₁ᵀw)·v₁ — C·w is the same
+    corpus pass, the deflation term is pure 1-row state arithmetic,
+    and the covariance matrix is never materialized for either
+    component.  Both eigenvector states are eagerly
+    localCheckpoint-ed per step, NOT merely persisted: phase 2
+    references w twice per step (the covariance pass and the
+    deflation product), so a persist+count state still grows the
+    plan TREE ~2^steps and overflows the driver heap by step 4 —
+    the bpe_train_merges lineage-cut lesson applied to 1-row
+    state frames.
+
+    Output: ONE row — n, eigenvalue_1, eigenvalue_2 (6dp),
+    spectral_ratio λ₂/λ₁ (4dp), orthogonality v₁ᵀv₂ (4dp — a
+    self-audit, ~0 by construction), and the two top-loading dims
+    (smallest-dim tie rule, the pca_power_iteration max-struct)."""
+    data = df.select(_as_double_vec(vec_col, dim).alias("_x"))
+    mu = (
+        data.select(F.posexplode("_x").alias("_d", "_xd"))
+        .groupBy("_d")
+        .agg(F.avg("_xd").alias("_m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_mu")
+        )
+    )
+    centered = data.crossJoin(F.broadcast(mu)).select(
+        F.zip_with("_x", "_mu", lambda x, m: x - m).alias("_c")
+    )
+
+    def _dot(a, b) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _cov_apply(state: DataFrame, vcol: str) -> DataFrame:
+        """One corpus pass: per-dimension avg of (c·v)·c_d, assembled
+        in dim order — the covariance operator applied to v."""
+        proj = centered.crossJoin(F.broadcast(state)).select(
+            "_c", _dot(F.col("_c"), F.col(vcol)).alias("_s")
+        )
+        return (
+            proj.select("_s", F.posexplode("_c").alias("_d", "_cd"))
+            .groupBy("_d")
+            .agg(F.avg(F.col("_s") * F.col("_cd")).alias("_u"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_u"))),
+                    lambda s: s["_u"],
+                ).alias("_uvec")
+            )
+        )
+
+    centered = centered.persist()
+    inv = 1.0 / (dim ** 0.5)
+    v = centered.sparkSession.range(1).select(
+        F.array_repeat(F.lit(inv), dim).alias("_v"),
+        F.lit(0.0).alias("_lam"),
+    )
+    for _ in range(n_steps):
+        u = _cov_apply(v, "_v")
+        v = u.select(
+            F.sqrt(_dot(F.col("_uvec"), F.col("_uvec"))).alias("_lam"),
+            "_uvec",
+        ).select(
+            F.transform(
+                "_uvec", lambda x: x / F.col("_lam")
+            ).alias("_v"),
+            "_lam",
+        ).localCheckpoint(eager=True)
+    v1 = v  # flat leaf, read throughout phase 2
+    w = centered.sparkSession.range(1).select(
+        F.array_repeat(F.lit(inv), dim).alias("_w"),
+        F.lit(0.0).alias("_lam2"),
+    )
+    for _ in range(n_steps):
+        cw = _cov_apply(w, "_w")
+        merged = (
+            cw.crossJoin(F.broadcast(v1))
+            .crossJoin(F.broadcast(w.select(F.col("_w").alias("_wp"))))
+            .select(
+                F.zip_with(
+                    "_uvec", "_v",
+                    lambda u_, v_: u_
+                    - F.col("_lam")
+                    * _dot(F.col("_v"), F.col("_wp"))
+                    * v_,
+                ).alias("_u2")
+            )
+        )
+        w = merged.select(
+            F.sqrt(_dot(F.col("_u2"), F.col("_u2"))).alias("_lam2"),
+            "_u2",
+        ).select(
+            F.transform(
+                "_u2", lambda x: x / F.col("_lam2")
+            ).alias("_w"),
+            "_lam2",
+        ).localCheckpoint(eager=True)
+    n = centered.agg(F.count("*").alias("n"))
+
+    def _top_dim(frame: DataFrame, col: str) -> DataFrame:
+        return frame.select(
+            F.posexplode(col).alias("_d", "_vd")
+        ).agg(
+            (
+                -F.max(
+                    F.struct(
+                        F.abs(F.col("_vd")).alias("_a"),
+                        (-F.col("_d")).cast("long").alias("_nd"),
+                    )
+                )["_nd"]
+            ).cast("int").alias("td")
+        )
+
+    t1 = _top_dim(v1, "_v").withColumnRenamed("td", "top_dim_1")
+    t2 = _top_dim(w, "_w").withColumnRenamed("td", "top_dim_2")
+    # the limit(1) markers declare the checkpointed 1-row state
+    # leaves bounded for the broadcast-product lint (a raw RDD leaf
+    # carries no provable row bound)
+    return (
+        n.crossJoin(F.broadcast(v1.limit(1)))
+        .crossJoin(
+            F.broadcast(
+                w.select(F.col("_w").alias("_w2"), "_lam2").limit(1)
+            )
+        )
+        .crossJoin(F.broadcast(t1.limit(1)))
+        .crossJoin(F.broadcast(t2.limit(1)))
+        .select(
+            "n",
+            F.round("_lam", 6).alias("eigenvalue_1"),
+            F.round("_lam2", 6).alias("eigenvalue_2"),
+            F.round(F.col("_lam2") / F.col("_lam"), 4)
+            .alias("spectral_ratio"),
+            F.round(_dot(F.col("_v"), F.col("_w2")), 4)
+            .alias("orthogonality"),
+            "top_dim_1",
+            "top_dim_2",
+        )
+    )

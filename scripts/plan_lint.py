@@ -80,10 +80,13 @@ def unbounded_nested_loops(df) -> int:
         # row) or an explicit row limit anywhere in the build subtree
         # (GlobalLimit, or the fused sort+limit TakeOrderedAndProject
         # that orderBy().limit(n) compiles to).
+        # SortAggregate prints the grouping as `key=[]` (singular)
+        # where the hash aggregates print `keys=[]` — match both
         tiny = any(
-            f"{agg}(keys=[]" in sub
+            f"{agg}({kw}=[]" in sub
             for agg in ("HashAggregate", "SortAggregate",
                         "ObjectHashAggregate")
+            for kw in ("keys", "key")
         ) or "GlobalLimit" in sub or "TakeOrderedAndProject" in sub
         if not tiny:
             bad += 1
