@@ -5611,10 +5611,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     RAG context-assembly composite), an EIGHTH wave
     (difference-in-differences and the IVF-kNN label-learnability
     eval composite), a NINTH (top-2 PCA by deflation — the
-    spectral-gap probe), followed by 5 re-verification pads — the
-    oldest
-    driver-green rows (r01 block) per the rotation doctrine, since
-    round 7 closed driver coverage of all 334 prior entries.
+    spectral-gap probe), and a TENTH (Mann–Whitney rank-sum, LOO
+    target encoding, propensity-matched ATT, Monroe log-odds, MaxSim
+    late-interaction re-rank) — exactly 50 never-driver-verified
+    entries, so no re-verification pads this round (rotation
+    doctrine: new registrations claim the window first; round 7
+    closed driver coverage of all 334 prior entries, and the five
+    r01 pads the tenth wave displaced rejoin the round-9 queue).
 
     Round-7 window (per the round-6 verdict items 1-4):
     the 23 never-driver-checked wave-2/3/4 entries, agg_approx +
@@ -6169,6 +6172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 ninth wave: the spectral-gap probe (staged +
         # oracle-validated in tests/test_round9h_staged.py) ---
         "pca_top2_deflation": _pca_top2_deflation,
+        # --- round-8 tenth wave: rank-sum test, LOO target encoding,
+        # propensity matching, Monroe log-odds, MaxSim re-rank
+        # (staged + oracle-validated in tests/test_round9i_staged.py)
+        # ---
+        "agg_mann_whitney": _agg_mann_whitney,
+        "fe_target_encoding": _fe_target_encoding,
+        "psm_att": _psm_att,
+        "txt_log_odds": _txt_log_odds,
+        "sim_maxsim_rerank": _sim_maxsim_rerank,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -6181,11 +6193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retrieval, Kneser-Ney LM, energy distance, channel histograms,
     # the hashed-BoW classifier composite) and the FOURTH (Naive
     # Bayes, Wasserstein-1D, token entropy, n-gram diversity, audio
-    # silence); the remaining 20 slots are re-verification pads —
-    # after round 7 closed driver coverage of all 334 prior entries,
-    # the oldest driver-green rows are the r01 block, so the pads are
-    # the first 20 r01-verified entries in registry order (regression
-    # re-checks of the relational/filter core). ---
+    # silence); then the FIFTH through TENTH waves (see the reg-dict
+    # comments above) — 50 never-driver-verified entries exactly, so
+    # no re-verification pads this round (round 7 closed driver
+    # coverage of all 334 prior entries; the displaced r01 pads
+    # rejoin the round-9 queue). ---
     _r8_window = [
         "cuped_adjusted_lift",
         "active_user_counts",
@@ -6232,11 +6244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_estimator",
         "composite_knn_eval",
         "pca_top2_deflation",
-        "composite_shipping_priority",
-        "src_scan",
-        "prj_projection",
-        "prj_rename_cast",
-        "str_prefix_concat",
+        "agg_mann_whitney",
+        "fe_target_encoding",
+        "psm_att",
+        "txt_log_odds",
+        "sim_maxsim_rerank",
     ]
     out = {k: reg[k] for k in _r8_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -9481,6 +9493,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9f_oracles())
     base.update(_r9g_oracles())
     base.update(_r9h_oracles())
+    base.update(_r9i_oracles())
     return base
 
 
@@ -14454,3 +14467,333 @@ FROM nn, {vN}, {wN}, td1, td2""")
 def _r9h_oracles() -> dict[str, str]:
     """Oracle for the ninth round-8 registration wave."""
     return {"pca_top2_deflation": _pca2_oracle_sql(4, 64)}
+
+
+# ---------------------------------------------------------------------------
+# round-8 registrations, tenth wave: rank-sum test, LOO target
+# encoding, propensity matching, Monroe log-odds, ColBERT-style
+# MaxSim re-rank (staged + oracle-validated in
+# tests/test_round9i_staged.py)
+# ---------------------------------------------------------------------------
+
+
+def _agg_mann_whitney(spark, sf_dir):
+    """Two-sample Mann–Whitney rank-sum readout
+    (aggregates.mann_whitney_u): arms = the portable md5 user split
+    every experiment query shares (arm A = hash%2 == 0, encoded as
+    group 0), metric = event value.  One global-rank window + one
+    tie aggregate."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    ev = _t(spark, sf_dir, "events").select(
+        (base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "value",
+    )
+    return AG.mann_whitney_u(ev, "arm", "value")
+
+
+def _fe_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding of order priority against order
+    value (ml.target_encode_loo): the row-grain frame never
+    shuffles — category stats broadcast back.  Sums run in exact
+    DECIMAL cents upstream of the division (the wasserstein_cents
+    discipline), so 6dp encodings are engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    return ML.target_encode_loo(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+        id_cols=("o_orderkey",),
+        smoothing=20.0,
+        sum_decimals=2,
+    )
+
+
+def _psm_att(spark, sf_dir):
+    """Propensity-matched ATT over unit-grain event aggregates
+    (ml.psm_att): units = users, treatment = the md5 split,
+    covariates = activity volume (n_events, Σvalue), outcome =
+    purchase spend.  The matching kernel is the sorted-merge 1-NN
+    asof shape — no treated × control product."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.ml import psm_att
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("spend"),
+        )
+        .select(
+            "user_id",
+            (base_hash(F.col("user_id").cast("string")) % 2 == 0)
+            .alias("is_treat"),
+            "spend", "n_events", "sum_value",
+        )
+    )
+    return psm_att(
+        users, "user_id", "is_treat", "spend",
+        ["n_events", "sum_value"], caliper=0.05,
+    )
+
+
+def _txt_log_odds(spark, sf_dir):
+    """Monroe weighted log-odds with informative Dirichlet prior
+    (text_analysis.log_odds_ratio): which tokens distinguish English
+    documents from the rest — top-25 each side by z, rank cutoffs."""
+    return T.log_odds_ratio(
+        _t(spark, sf_dir, "documents"),
+        group_col="lang", group_a="en",
+        alpha0=500.0, top_n=25,
+    )
+
+
+def _sim_maxsim_rerank(spark, sf_dir):
+    """Two-stage late-interaction retrieval
+    (similarity.maxsim_rerank): SimHash hamming prunes to 20
+    candidates per query doc, token-level MaxSim re-ranks to top-3.
+    Every number is integer-exact (±1 md5-parity token vectors)."""
+    return S.maxsim_rerank(
+        _t(spark, sf_dir, "documents"),
+        every_n=40, n_candidates=20, k=3, rep_tokens=8, dim=16,
+    )
+
+
+_MANN_WHITNEY_SQL = """
+WITH s AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+         value AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), r AS (
+  SELECT is_a,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk
+  FROM s
+), t AS (
+  SELECT sum(tc * tc * tc - tc) AS tie3
+  FROM (SELECT count(*) AS tc FROM s GROUP BY v)
+), g AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(sum(1 - is_a) AS BIGINT) AS nb,
+         sum(CASE WHEN is_a = 1 THEN rk END) AS ra
+  FROM r
+)
+SELECT na AS n_a, nb AS n_b,
+       round(ra - na * (na + 1) / 2.0, 1) AS u_a,
+       round(CAST(na AS DOUBLE) * nb - (ra - na * (na + 1) / 2.0), 1)
+         AS u_b,
+       round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1)
+                       - tie3 / (CAST(na + nb AS DOUBLE)
+                                 * (na + nb - 1)))), 4) AS z_stat
+FROM g, t"""
+
+
+_TARGET_ENCODING_SQL = """
+WITH pc AS (
+  SELECT o_orderpriority AS cat, count(o_totalprice) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS s
+  FROM orders GROUP BY 1
+), pr AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+           / count(o_totalprice) AS prior
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+       round(CASE WHEN o.o_totalprice IS NOT NULL
+             THEN (pc.s - o.o_totalprice + 20.0 * pr.prior)
+                  / (pc.n - 1 + 20.0)
+             ELSE (pc.s + 20.0 * pr.prior) / (pc.n + 20.0) END,
+             6) AS encoded
+FROM orders o JOIN pc ON o.o_orderpriority IS NOT DISTINCT FROM pc.cat
+CROSS JOIN pr"""
+
+
+_PSM_ATT_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 = 0 AS is_treat,
+         count(*) AS n_events,
+         coalesce(sum(value), 0.0) AS sum_value,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0) AS spend
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), m AS (
+  SELECT avg(n_events) AS m0, stddev_pop(n_events) AS sd0,
+         avg(sum_value) AS m1, stddev_pop(sum_value) AS sd1
+  FROM u
+), p AS (
+  SELECT user_id, is_treat, spend,
+         round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS p
+  FROM (
+    SELECT u.*,
+           (coalesce((n_events - m0) / nullif(sd0, 0), 0)
+            + coalesce((sum_value - m1) / nullif(sd1, 0), 0)) / 2.0 AS z
+    FROM u, m
+  )
+), w AS (
+  SELECT is_treat, spend, p,
+         last_value(CASE WHEN NOT is_treat
+                         THEN struct_pack(p := p, y := spend) END
+                    IGNORE NULLS)
+           OVER (ORDER BY p, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pc,
+         first_value(CASE WHEN NOT is_treat
+                          THEN struct_pack(p := p, y := spend) END
+                     IGNORE NULLS)
+           OVER (ORDER BY p, user_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nc
+  FROM p
+), cand AS (
+  SELECT spend,
+         CASE WHEN pc IS NOT NULL
+                   AND (nc IS NULL OR (p - pc.p) <= (nc.p - p))
+              THEN pc ELSE nc END AS mt,
+         CASE WHEN pc IS NOT NULL
+                   AND (nc IS NULL OR (p - pc.p) <= (nc.p - p))
+              THEN p - pc.p ELSE nc.p - p END AS dist
+  FROM w WHERE is_treat
+), matched AS (
+  SELECT spend,
+         CASE WHEN mt IS NOT NULL AND dist <= 0.05 THEN mt.y END AS yc
+  FROM cand
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_treat,
+         CAST(count(yc) AS BIGINT) AS n_matched,
+         avg(spend - yc) AS att, stddev_samp(spend - yc) AS sd
+  FROM matched
+), nctl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_control FROM u WHERE NOT is_treat
+)
+SELECT n_treat, n_control, n_matched, round(att, 6) AS att,
+       round(sd / sqrt(n_matched), 6) AS se,
+       round(att / (sd / sqrt(n_matched)), 4) AS t_stat
+FROM s, nctl"""
+
+
+_LOG_ODDS_SQL = """
+WITH tk AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS w
+  FROM documents WHERE lang IS NOT NULL
+), c AS (
+  SELECT w, sum(a) AS ya, count(*) - sum(a) AS yb FROM tk GROUP BY w
+), tot AS (
+  SELECT sum(ya) AS na, sum(yb) AS nb FROM c
+), z AS (
+  SELECT w AS token, CAST(ya AS BIGINT) AS count_a,
+         CAST(yb AS BIGINT) AS count_b,
+         round((ln((ya + al) / (na + 500.0 - ya - al))
+                - ln((yb + al) / (nb + 500.0 - yb - al)))
+               / sqrt(1.0 / (ya + al) + 1.0 / (yb + al)), 4) AS z_score
+  FROM (SELECT c.*, tot.na, tot.nb,
+               500.0 * (ya + yb) / (na + nb) AS al
+        FROM c, tot)
+), ra AS (
+  SELECT token, count_a, count_b, z_score,
+         CAST(row_number() OVER (ORDER BY z_score DESC, token)
+              AS BIGINT) AS rank, 'a' AS side
+  FROM z QUALIFY rank <= 25
+), rb AS (
+  SELECT token, count_a, count_b, z_score,
+         CAST(row_number() OVER (ORDER BY z_score ASC, token)
+              AS BIGINT) AS rank, 'b' AS side
+  FROM z QUALIFY rank <= 25
+)
+SELECT * FROM ra UNION ALL SELECT * FROM rb"""
+
+
+def _maxsim_oracle_sql(
+    every_n: int = 40,
+    n_candidates: int = 20,
+    k: int = 3,
+    rep_tokens: int = 8,
+    dim: int = 16,
+) -> str:
+    """DuckDB replica of similarity.maxsim_rerank: same rep-token
+    selection, md5-parity sign vectors, packed SimHash signature,
+    hamming top-N prune, and token-level MaxSim re-rank."""
+    return f"""
+WITH reps AS (
+  SELECT doc_id AS id,
+         list_sort(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t <> '')))[1:{rep_tokens}] AS reps
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '')) > 0
+), tok AS (
+  SELECT id, unnest(reps) AS tok FROM reps
+), vocab AS (
+  SELECT tok,
+         list_transform(range({dim}), i -> CASE
+           WHEN CAST('0x' || substr(md5(tok || '#' || i), 1, 1)
+                AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS sv
+  FROM (SELECT DISTINCT tok FROM tok)
+), bit_sums AS (
+  SELECT t.id, p.pos, sum(v.sv[p.pos + 1]) AS s
+  FROM tok t JOIN vocab v USING (tok)
+  CROSS JOIN (SELECT unnest(range({dim})) AS pos) p
+  GROUP BY t.id, p.pos
+), sigs AS (
+  SELECT id,
+         sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << pos
+             ELSE 0 END) AS sig
+  FROM bit_sums GROUP BY id
+), ham AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         bit_count(xor(q.sig, c.sig)) AS h
+  FROM sigs q JOIN sigs c ON c.id <> q.id
+  WHERE q.id % {every_n} = 0
+), cands AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY h, neighbor_id) AS rn
+  FROM ham QUALIFY rn <= {n_candidates}
+), pair_best AS (
+  SELECT cd.query_id, cd.neighbor_id, qt.tok AS qtok,
+         max(list_sum(list_transform(range({dim}),
+               i -> qv.sv[i + 1] * cv.sv[i + 1])) / {dim}.0) AS best
+  FROM cands cd
+  JOIN tok qt ON qt.id = cd.query_id
+  JOIN tok ct ON ct.id = cd.neighbor_id
+  JOIN vocab qv ON qv.tok = qt.tok
+  JOIN vocab cv ON cv.tok = ct.tok
+  GROUP BY cd.query_id, cd.neighbor_id, qt.tok
+), scored AS (
+  SELECT query_id, neighbor_id, round(sum(best), 4) AS maxsim
+  FROM pair_best GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, maxsim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY maxsim DESC, neighbor_id)
+            AS INT) AS rank
+FROM scored QUALIFY rank <= {k}"""
+
+
+def _r9i_oracles() -> dict[str, str]:
+    """Oracles for the tenth round-8 registration wave."""
+    return {
+        "agg_mann_whitney": _MANN_WHITNEY_SQL,
+        "fe_target_encoding": _TARGET_ENCODING_SQL,
+        "psm_att": _PSM_ATT_SQL,
+        "txt_log_odds": _LOG_ODDS_SQL,
+        "sim_maxsim_rerank": _maxsim_oracle_sql(40, 20, 3, 8, 16),
+    }

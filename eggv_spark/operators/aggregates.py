@@ -3002,3 +3002,80 @@ def wasserstein_1d(
             6,
         ).alias("wasserstein_cents"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test — the
+    nonparametric two-arm A/B readout (``welch_ttest`` compares
+    means and assumes approximate normality; rank-sum compares the
+    whole distributions and survives the heavy-tailed revenue
+    metrics Welch chokes on).  ``kruskal_wallis`` is the k-sample
+    generalization; this is the canonical k=2 special case with the
+    U statistic and the tie-corrected normal approximation.
+
+    Arm coding follows welch_ttest: ``group_col == 0`` is arm A,
+    anything else non-null is arm B; NULL values / NULL groups are
+    excluded (an unranked observation is not an observation, and
+    engines disagree on where NULLs sort).
+
+    Mid-ranks come from the roc_auc kernel — rank() plus
+    (tie_count − 1)/2 from two window functions over the SAME sort,
+    so ranks are integers-or-halves and their sums exact in doubles.
+    U_A = R_A − n_A(n_A+1)/2, U_B = n_A·n_B − U_A; the z statistic
+    uses σ² = (n_A n_B / 12)·((n+1) − Σ(t³−t)/(n(n−1))) — the
+    standard tie correction, computed from the same per-value tie
+    counts (no second data pass).  No continuity correction (both
+    engines would have to agree on the ±0.5 direction; at the
+    event-table sample sizes it moves z by < 1e-3).  z rounds at
+    4dp; degenerate inputs (an empty arm, all values tied) yield
+    NULL via try_divide.
+
+    Scale: one global-sort window shuffle for the ranks (the
+    ranking-metric cost, same as roc_auc/kruskal) + one
+    value-distinct aggregate for ties; a table that exceeds one
+    executor's sort space needs the two-phase range-partitioned rank
+    decomposition noted in roc_auc."""
+    s = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        (F.col(group_col) == 0).cast("long").alias("_is_a"),
+        F.col(value_col).alias("_v"),
+    )
+    tie = Window.partitionBy("_v")
+    mid = (
+        F.rank().over(Window.orderBy("_v"))
+        + (F.count("*").over(tie) - 1) / 2.0
+    )
+    ranked = s.select("_is_a", "_v", mid.alias("_r"))
+    # per-value tie sizes once, from the already-grouped frame (the
+    # kruskal tie-correction shape): Σ(t³ − t) over distinct values
+    ties = (
+        ranked.groupBy("_v").agg(F.count("*").alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tie3")
+        )
+    )
+    g = ranked.agg(
+        F.sum("_is_a").alias("_na"),
+        F.sum(1 - F.col("_is_a")).alias("_nb"),
+        F.sum(F.when(F.col("_is_a") == 1, F.col("_r"))).alias("_ra"),
+    ).crossJoin(F.broadcast(ties))
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u_a = F.col("_ra") - na * (na + 1) / 2.0
+    u_b = na.cast("double") * nb - u_a
+    sigma2 = (
+        na * nb / 12.0
+        * ((n + 1) - F.try_divide(F.col("_tie3"), n * (n - 1)))
+    )
+    z = F.try_divide(u_a - na * nb / 2.0, F.sqrt(sigma2))
+    return g.select(
+        na.alias("n_a"), nb.alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round(u_b, 1).alias("u_b"),
+        F.round(z, 4).alias("z_stat"),
+    )

@@ -980,3 +980,219 @@ def pca_top2_deflation(
             "top_dim_2",
         )
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_cols: list[str] | tuple[str, ...] = (),
+    smoothing: float = 20.0,
+    sum_decimals: int | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    feature-prep step that turns a high-cardinality categorical into
+    one numeric column a downstream fit (logistic_regression_gd,
+    decision_stump_fit) can consume without one-hot blowup.
+    Leave-one-out is the leakage guard: a row's own target never
+    enters its encoding, so the encoded column is safe to train on
+    (plain mean encoding leaks the label and inflates offline
+    metrics — the classic target-leak bug).
+
+    enc_i = (Σ_cat y − y_i + m·prior) / (n_cat − 1 + m), prior the
+    global target mean, m = ``smoothing`` pseudo-observations.  A
+    singleton category falls out of the algebra as exactly the
+    prior — no special case.  Rows with a NULL target get the
+    INFERENCE-time posterior (Σ_cat y + m·prior)/(n_cat + m) over
+    the non-null targets (they contribute nothing and leak nothing;
+    this is the encoding a serving path would apply).  NULL
+    categories are their own category — the per-category join is
+    null-safe (the round-7 eqNullSafe lesson), so they get a real
+    encoding instead of silently vanishing.
+
+    Scale: one map-side-combined aggregate to CATEGORY grain, one
+    1-row prior broadcast, one broadcast-able join back (category
+    cardinality is the encoder's domain, orders of magnitude under
+    the row count) — the row-grain frame shuffles zero times.
+
+    ``sum_decimals``: when the target is fixed-point (money, counts),
+    pass its decimal places and the category/prior SUMS accumulate in
+    exact DECIMAL(38, d) instead of doubles — the wasserstein_cents
+    discipline.  Every remaining operation is then scalar double
+    arithmetic on order-independent inputs, so 6dp encodings are
+    bit-identical across engines and partitionings.  Left unset, the
+    double-sum partial-aggregation order contributes ~1e-15 relative
+    noise — harmless for training, but round coarser before hashing
+    encodings across engines.
+
+    Output: id_cols + category + target + ``encoded`` (6dp)."""
+    ids = list(id_cols)
+    y = F.col(target_col).cast("double")
+    if sum_decimals is not None:
+        acc = y.cast(f"decimal(38,{int(sum_decimals)})")
+        s_expr = F.sum(acc).cast("double")
+        prior_expr = (
+            F.sum(acc).cast("double") / F.count(acc)
+        )
+    else:
+        s_expr = F.sum(y)
+        prior_expr = F.avg(y)
+    per_cat = df.groupBy(F.col(cat_col).alias("_pc_cat")).agg(
+        F.count(y).alias("_n"), s_expr.alias("_s")
+    )
+    prior = df.agg(prior_expr.alias("_prior"))
+    joined = (
+        df.select(*ids, F.col(cat_col).alias("_cat"), y.alias("_y"))
+        .join(
+            F.broadcast(per_cat),
+            on=F.col("_cat").eqNullSafe(F.col("_pc_cat")),
+        )
+        .drop("_pc_cat")
+        .crossJoin(F.broadcast(prior))
+    )
+    m = F.lit(float(smoothing))
+    loo = (F.col("_s") - F.col("_y") + m * F.col("_prior")) / (
+        F.col("_n") - 1 + m
+    )
+    inference = (F.col("_s") + m * F.col("_prior")) / (F.col("_n") + m)
+    enc = F.when(F.col("_y").isNotNull(), loo).otherwise(inference)
+    return joined.select(
+        *ids,
+        F.col("_cat").alias(cat_col),
+        F.col("_y").alias(target_col),
+        F.round(enc, 6).alias("encoded"),
+    )
+
+
+def psm_att(
+    df: DataFrame,
+    unit_col: str,
+    treat_col: str,
+    outcome_col: str,
+    cov_cols: list[str] | tuple[str, ...],
+    caliper: float = 0.05,
+) -> DataFrame:
+    """Propensity-score matching ATT — the third leg of the
+    observational-causal family (``did_estimator`` needs a
+    pre-period, ``cuped_adjusted_lift`` needs randomization; PSM
+    handles the cross-section where neither holds): each treated
+    unit is matched to its nearest control BY PROPENSITY within a
+    caliper, with replacement, and ATT = mean(y_t − y_matched).
+
+    The propensity here is a deterministic index, not a fitted one:
+    covariates are standardized against their full-sample moments
+    (one 1-row broadcast) and squashed through the ALGEBRAIC
+    sigmoid p = 0.5 + z/(2(1+|z|)), z = Σ z_i/k — monotone, in
+    (0,1), and exp-free (exp's last ulp is not cross-engine
+    portable; the round-8 DSIR lesson).  p rounds at 6dp BEFORE
+    matching so distance comparisons are exact on both engines.  In
+    production the score column would come from
+    logistic_regression_gd — the matching kernel below is agnostic.
+
+    Matching is the sorted-merge 1-NN kernel (the asof-join shape,
+    both directions): sort units by (p, unit); each treated row
+    sees the nearest control at-or-below via last(IGNORE NULLS)
+    over the preceding frame and at-or-above via first(IGNORE
+    NULLS) over the following frame; the closer of the two wins,
+    ties to the lower-p side.  One global-sort window shuffle —
+    O(n log n), no treated×control pair blowup; a unit table
+    exceeding one executor's sort space takes the range-partitioned
+    two-phase variant (roc_auc note).
+
+    treat/outcome/covariates must be non-null — raised in-plan (a
+    NULL flag would silently leave both arms).  Output: ONE row —
+    n_treat, n_control, n_matched (within caliper), att (6dp),
+    se (6dp, paired-difference SE; the Abadie–Imbens correction is
+    out of scope and stated so), t_stat (4dp)."""
+    from pyspark.sql import Window
+
+    covs = list(cov_cols)
+    ok = F.col(treat_col).isNotNull() & F.col(outcome_col).isNotNull()
+    for c in covs:
+        ok = ok & F.col(c).isNotNull()
+
+    def _guard(c: Column) -> Column:
+        return F.when(ok, c).otherwise(
+            F.raise_error(
+                F.lit(
+                    "psm_att: treat/outcome/covariates must be"
+                    " non-null"
+                )
+            )
+        )
+
+    base = df.select(
+        F.col(unit_col).alias("_u"),
+        _guard(F.col(treat_col).cast("boolean")).alias("_t"),
+        _guard(F.col(outcome_col).cast("double")).alias("_y"),
+        *[
+            _guard(F.col(c).cast("double")).alias(f"_x{i}")
+            for i, c in enumerate(covs)
+        ],
+    )
+    moments = base.agg(
+        *[
+            a
+            for i in range(len(covs))
+            for a in (
+                F.avg(f"_x{i}").alias(f"_m{i}"),
+                F.stddev_pop(f"_x{i}").alias(f"_sd{i}"),
+            )
+        ]
+    )
+    z = None
+    for i in range(len(covs)):
+        zi = F.try_divide(
+            F.col(f"_x{i}") - F.col(f"_m{i}"), F.col(f"_sd{i}")
+        )
+        zi = F.coalesce(zi, F.lit(0.0))  # constant covariate
+        z = zi if z is None else z + zi
+    z = z / float(len(covs))
+    p = F.round(0.5 + z / (2.0 * (1.0 + F.abs(z))), 6)
+    units = base.crossJoin(F.broadcast(moments)).select(
+        "_u", "_t", "_y", p.alias("_p")
+    )
+    ordw = Window.orderBy("_p", "_u")
+    ctrl = F.when(
+        ~F.col("_t"), F.struct(F.col("_p"), F.col("_y"), F.col("_u"))
+    )
+    prev_c = F.last(ctrl, ignorenulls=True).over(
+        ordw.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_c = F.first(ctrl, ignorenulls=True).over(
+        ordw.rowsBetween(1, Window.unboundedFollowing)
+    )
+    cand = units.select(
+        "_t", "_y", "_p",
+        prev_c.alias("_pc"), next_c.alias("_nc"),
+    ).filter("_t")
+    d_prev = F.col("_p") - F.col("_pc._p")
+    d_next = F.col("_nc._p") - F.col("_p")
+    pick_prev = F.col("_pc").isNotNull() & (
+        F.col("_nc").isNull() | (d_prev <= d_next)
+    )
+    match = F.when(pick_prev, F.col("_pc")).otherwise(F.col("_nc"))
+    dist = F.when(pick_prev, d_prev).otherwise(d_next)
+    matched = cand.select(
+        "_y",
+        F.when(
+            match.isNotNull() & (dist <= F.lit(float(caliper))),
+            match["_y"],
+        ).alias("_yc"),
+    )
+    stats = matched.agg(
+        F.count("*").alias("n_treat"),
+        F.count("_yc").alias("n_matched"),
+        F.avg(F.col("_y") - F.col("_yc")).alias("_att"),
+        F.stddev_samp(F.col("_y") - F.col("_yc")).alias("_sd"),
+    )
+    n_ctrl = units.filter(~F.col("_t")).agg(
+        F.count("*").alias("n_control")
+    )
+    se = F.try_divide(F.col("_sd"), F.sqrt(F.col("n_matched")))
+    return stats.crossJoin(F.broadcast(n_ctrl)).select(
+        "n_treat", "n_control", "n_matched",
+        F.round("_att", 6).alias("att"),
+        F.round(se, 6).alias("se"),
+        F.round(F.try_divide(F.col("_att"), se), 4).alias("t_stat"),
+    )

@@ -1365,3 +1365,163 @@ def random_projection_distortion(
         F.round(F.max(ratio), 4).alias("max_ratio"),
         F.round(F.avg(F.abs(ratio - 1.0)), 4).alias("avg_abs_distortion"),
     )
+
+
+def _token_sign_vec(tok: Column, dim: int) -> Column:
+    """±1 sign vector for a token: dim independent md5 parities
+    (``base_hash``'s portable-digest family — bit i is the parity of
+    the first hex nibble of md5(token || '#' || i)).  Exact small
+    integers, so every dot product below is integer-exact."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(tok, F.lit("#"), i.cast("string"))),
+                    1, 1,
+                ),
+                16, 10,
+            ).cast("int") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+
+
+def maxsim_rerank(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    every_n: int = 40,
+    n_candidates: int = 20,
+    k: int = 3,
+    rep_tokens: int = 8,
+    dim: int = 16,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval as the production
+    two-stage shape: a CHEAP single-vector first stage prunes the
+    corpus to ``n_candidates`` per query, then MaxSim — the sum over
+    query token vectors of each one's best cosine against the
+    candidate's token vectors — re-ranks just those candidates to
+    the final top ``k``.  Single-vector retrieval scores a doc as
+    ONE point and misses partial topical overlap; MaxSim scores
+    token-to-token and is the standard late-interaction fix, but is
+    T² dots per pair — which is why it NEVER runs corpus-wide, only
+    over a bounded candidate set (the PLAID recipe).
+
+    Representation is deliberately hash-deterministic (the
+    sign-projection family of ``jl_sign``/``simhash``): each doc is
+    its ``rep_tokens`` lexicographically-smallest distinct word
+    tokens; each token embeds as a ±1 md5-parity vector
+    (``_token_sign_vec``); the stage-1 doc vector is the elementwise
+    SIGN of the summed token vectors, packed into a ``dim``-bit
+    integer so stage 1 is one XOR + bit_count per pair (SimHash
+    hamming).  Every number is integer-exact (token cosines are
+    multiples of 1/dim) — bit-reproducible across engines.  With a
+    learned embedding column the same two-stage plan applies
+    verbatim (stage 1 becomes ivf_topk).
+
+    Queries are every ``every_n``-th doc (``id % every_n == 0``);
+    self-matches excluded; empty-token docs cannot be represented
+    and are dropped with the same contract as the fingerprint ops.
+
+    Scale: stage 1 is the brute_force_topk posture — broadcast
+    QUERY side (|queries| << corpus), corpus streams once, one
+    window top-N on query_id; swap in the IVF index when the query
+    side grows.  Stage 2 is bounded by construction:
+    queries × n_candidates × rep_tokens² small-integer dots.  Sign
+    vectors are computed once per DISTINCT token (vocabulary grain,
+    broadcast-joined), never per occurrence.
+
+    Output: query_id, neighbor_id, maxsim (4dp), rank 1..k."""
+    from eggv_spark.operators.text_analysis import word_tokens_col
+
+    reps = docs.select(
+        F.col(id_col).alias("_id"),
+        F.slice(
+            F.array_sort(F.array_distinct(word_tokens_col(text_col))),
+            1, rep_tokens,
+        ).alias("_reps"),
+    ).filter(F.size("_reps") > 0)
+    tok = reps.select("_id", F.explode("_reps").alias("_tok"))
+    vocab = tok.select("_tok").distinct().select(
+        "_tok", _token_sign_vec(F.col("_tok"), dim).alias("_sv")
+    )
+    # stage-1 signature: sign of the summed token vectors, packed to
+    # a dim-bit int at (doc, bit) grain — one map-side-combined agg
+    bit_sums = (
+        tok.join(F.broadcast(vocab), "_tok")
+        .select("_id", F.posexplode("_sv").alias("_pos", "_s"))
+        .groupBy("_id", "_pos")
+        .agg(F.sum("_s").alias("_sum"))
+    )
+    sigs = bit_sums.groupBy("_id").agg(
+        F.sum(
+            F.when(
+                F.col("_sum") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), _pos)"),
+            ).otherwise(F.lit(0))
+        ).alias("_sig")
+    )
+    q_sigs = F.broadcast(
+        sigs.filter(F.col("_id") % every_n == 0).select(
+            F.col("_id").alias("query_id"), F.col("_sig").alias("_sq")
+        )
+    )
+    ham = (
+        sigs.select(F.col("_id").alias("neighbor_id"),
+                    F.col("_sig").alias("_sc"))
+        .crossJoin(q_sigs)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.bit_count(F.expr("_sq ^ _sc")).alias("_ham"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("_ham").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        ham.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: MaxSim over the bounded candidate set
+    q_tok = tok.select(
+        F.col("_id").alias("query_id"), F.col("_tok").alias("_qt")
+    )
+    c_tok = tok.select(
+        F.col("_id").alias("neighbor_id"), F.col("_tok").alias("_ct")
+    )
+    pair_toks = (
+        cands.join(q_tok, "query_id")
+        .join(c_tok, "neighbor_id")
+        .join(
+            F.broadcast(vocab.select(F.col("_tok").alias("_qt"),
+                                     F.col("_sv").alias("_qv"))),
+            "_qt",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("_tok").alias("_ct"),
+                                     F.col("_sv").alias("_cv"))),
+            "_ct",
+        )
+        .select(
+            "query_id", "neighbor_id", "_qt",
+            (dot_col(F.col("_qv"), F.col("_cv")) / float(dim))
+            .alias("_cos"),
+        )
+    )
+    best = pair_toks.groupBy("query_id", "neighbor_id", "_qt").agg(
+        F.max("_cos").alias("_best")
+    )
+    scored = best.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("_best"), 4).alias("maxsim")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "maxsim", "rank")
+    )

@@ -2204,3 +2204,80 @@ def rake_keywords(
         .orderBy(F.col("rake_score").desc(), F.col("phrase"))
         .limit(top_k)
     )
+
+
+def log_odds_ratio(
+    df: DataFrame,
+    group_col: str = "lang",
+    group_a: str = "en",
+    text_col: str = "text",
+    alpha0: float = 500.0,
+    top_n: int = 25,
+) -> DataFrame:
+    """Weighted log-odds-ratio with an informative Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — WHICH terms
+    distinguish corpus slice A from the rest, with a z-score that
+    raw frequency ratios and even PMI lack (both over-promote rare
+    terms; the Dirichlet prior shrinks low-count terms toward the
+    background so surviving terms are both distinctive AND
+    attested).  The corpus-comparison dual of ``label_chi2_terms``:
+    chi² ranks association strength, log-odds gives a SIGNED,
+    variance-normalized effect size per term.
+
+    δ_w = ln[(y_aw + α_w)/(n_a + α₀ − y_aw − α_w)]
+        − ln[(y_bw + α_w)/(n_b + α₀ − y_bw − α_w)],
+    σ²_w ≈ 1/(y_aw + α_w) + 1/(y_bw + α_w),  z_w = δ_w/σ_w,
+    with α_w = α₀ · (y_aw + y_bw)/(n_a + n_b) — the background
+    token distribution as the prior, Monroe's informative choice.
+
+    Output: the ``top_n`` most A-distinctive terms (side 'a', rank
+    by z desc) and the ``top_n`` most B-distinctive (side 'b', z
+    asc), tie-broken by token — RANK cutoffs, engine-identical.
+    Rows with a NULL group are excluded (membership unknown ≠ arm
+    B).  Tokenization is the shared whitespace front-end.
+
+    Scale: two vocabulary-sized aggregates (token counts per side
+    fold map-side), one 1-row totals broadcast, two top-N windows
+    over the VOCAB-sized scored frame — nothing document-sized
+    shuffles twice."""
+    toks = df.filter(F.col(group_col).isNotNull()).select(
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+        F.explode(tokens_col(text_col)).alias("_w"),
+    )
+    counts = toks.groupBy("_w").agg(
+        F.sum("_a").alias("_ya"),
+        (F.count("*") - F.sum("_a")).alias("_yb"),
+    )
+    totals = counts.agg(
+        F.sum("_ya").alias("_na"), F.sum("_yb").alias("_nb")
+    )
+    scored = counts.crossJoin(F.broadcast(totals))
+    alpha = alpha0 * (F.col("_ya") + F.col("_yb")) / (
+        F.col("_na") + F.col("_nb")
+    )
+    ya, yb = F.col("_ya"), F.col("_yb")
+    na, nb = F.col("_na"), F.col("_nb")
+    delta = F.log(
+        (ya + alpha) / (na + F.lit(alpha0) - ya - alpha)
+    ) - F.log((yb + alpha) / (nb + F.lit(alpha0) - yb - alpha))
+    sigma2 = 1.0 / (ya + alpha) + 1.0 / (yb + alpha)
+    z = delta / F.sqrt(sigma2)
+    zs = scored.select(
+        F.col("_w").alias("token"),
+        ya.alias("count_a"),
+        yb.alias("count_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+    w_a = Window.orderBy(F.col("z_score").desc(), "token")
+    w_b = Window.orderBy(F.col("z_score").asc(), "token")
+    top_a = (
+        zs.withColumn("rank", F.row_number().over(w_a))
+        .filter(F.col("rank") <= top_n)
+        .withColumn("side", F.lit("a"))
+    )
+    top_b = (
+        zs.withColumn("rank", F.row_number().over(w_b))
+        .filter(F.col("rank") <= top_n)
+        .withColumn("side", F.lit("b"))
+    )
+    return top_a.unionByName(top_b)

@@ -186,6 +186,11 @@ BNLJ_ALLOWLIST: dict[str, str] = {
                          "predicate; exact + per-dims truncated + "
                          "baseline passes), ANN contract "
                          "|queries| << |corpus|",
+    "sim_maxsim_rerank": "build is the query-signature batch (every "
+                         "40th doc, one packed int per row) for the "
+                         "stage-1 hamming prune — the "
+                         "sim_cosine_topk posture; stage 2 is "
+                         "bounded at n_candidates per query",
 }
 
 
