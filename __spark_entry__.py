@@ -6181,6 +6181,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psm_att": _psm_att,
         "txt_log_odds": _txt_log_odds,
         "sim_maxsim_rerank": _sim_maxsim_rerank,
+        # --- round-8 eleventh wave, registered BEHIND the full
+        # 50-entry window (claims the round-9 window first): k-center
+        # coreset, TextRank, Bloom audit, SPRT, IPS off-policy value
+        # (staged + oracle-validated in tests/test_round9j_staged.py)
+        # ---
+        "sim_kcenter_coreset": _sim_kcenter_coreset,
+        "txt_textrank": _txt_textrank,
+        "tbl_bloom_probe": _tbl_bloom_probe,
+        "evt_sprt": _evt_sprt,
+        "evt_ips_value": _evt_ips_value,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9494,6 +9504,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9g_oracles())
     base.update(_r9h_oracles())
     base.update(_r9i_oracles())
+    base.update(_r9j_oracles())
     return base
 
 
@@ -14796,4 +14807,339 @@ def _r9i_oracles() -> dict[str, str]:
         "psm_att": _PSM_ATT_SQL,
         "txt_log_odds": _LOG_ODDS_SQL,
         "sim_maxsim_rerank": _maxsim_oracle_sql(40, 20, 3, 8, 16),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 stagings, eleventh wave (registered BEHIND the full window —
+# these claim the round-9 window first): greedy k-center coreset,
+# TextRank keywords, Bloom-filter sizing audit, Wald SPRT, IPS
+# off-policy value (staged + oracle-validated in
+# tests/test_round9j_staged.py)
+# ---------------------------------------------------------------------------
+
+
+def _sim_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center over the embedding table
+    (similarity.kcenter_coreset): 5 centers, deterministic
+    farthest-point traversal, per-step coverage radius (the k-center
+    objective) as a built-in self-audit — non-increasing by
+    construction."""
+    return S.kcenter_coreset(
+        _t(spark, sf_dir, "embeddings"), k=5, dim=64
+    )
+
+
+def _txt_textrank(spark, sf_dir):
+    """TextRank keywords on the word co-occurrence graph
+    (text_analysis.textrank_keywords): adjacency over
+    stopword-filtered tokens, 3 weighted-PageRank iterations via the
+    shared graph.pagerank operator, top-20 rank cutoff."""
+    return T.textrank_keywords(
+        _t(spark, sf_dir, "documents"), top_n=20, iterations=3
+    )
+
+
+def _tbl_bloom_probe(spark, sf_dir):
+    """Bloom-filter sizing audit (tableops.bloom_filter_audit):
+    filter built over delinquent customers (c_acctbal < 0), probed
+    with every ordering customer — measured vs load-factor expected
+    FP rate, all integer counts."""
+    cust = _t(spark, sf_dir, "customer").filter("c_acctbal < 0")
+    orders = _t(spark, sf_dir, "orders")
+    return TO.bloom_filter_audit(
+        cust, orders, "c_custkey", "o_custkey",
+        m_bits=16384, n_hashes=4,
+    )
+
+
+def _evt_sprt(spark, sf_dir):
+    """Wald SPRT per experiment arm (events.sprt_test): the md5 user
+    split, conversion = purchase events, H0 p=0.18 vs H1 p=0.22 at
+    alpha 0.05 / beta 0.2, walk ordered by (ts, event_id)."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import sprt_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
+        (base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        (F.col("event_type") == "purchase").alias("converted"),
+        "ts", "event_id",
+    )
+    return sprt_test(
+        ev, "arm", "converted", ["ts", "event_id"],
+        p0=0.18, p1=0.22, alpha=0.05, beta=0.2,
+    )
+
+
+def _evt_ips_value(spark, sf_dir):
+    """Off-policy IPS/SNIPS value of a md5-personalized target policy
+    (events.ips_policy_value) against the logged event stream, with
+    a declared per-action logging-propensity table and weight clip
+    10."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import ips_policy_value
+
+    prop = (
+        F.when(F.col("event_type") == "view", 0.25)
+        .when(F.col("event_type") == "click", 0.25)
+        .when(F.col("event_type") == "signup", 0.20)
+        .when(F.col("event_type") == "error", 0.15)
+        .when(F.col("event_type") == "purchase", 0.15)
+        .otherwise(0.05)
+    )
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("action"),
+        (F.col("value") / 100.0).alias("reward"),
+        prop.alias("logging_propensity"),
+        F.when(
+            base_hash(F.col("user_id").cast("string")) % 2 == 0,
+            F.lit("purchase"),
+        ).otherwise(F.lit("click")).alias("target_action"),
+    )
+    return ips_policy_value(
+        ev, "action", "reward", "logging_propensity",
+        "target_action", clip=10.0,
+    )
+
+
+def _kcenter_oracle_sql(k: int = 5, dim: int = 64) -> str:
+    """DuckDB replica of similarity.kcenter_coreset: unrolled greedy
+    steps, 6dp-rounded squared L2, max-struct argmax as ORDER BY md
+    DESC, id LIMIT 1 — reused CTEs MATERIALIZED (the unrolled-
+    iterative lesson)."""
+    dist = (
+        "round(list_sum(list_transform(list_zip(p.v, {c}.cv),"
+        " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+        " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))), 6)"
+    )
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id AS id,"
+        f" embedding[1:{dim}] AS v FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT id AS cid, v AS cv FROM pts"
+        " WHERE id = (SELECT min(id) FROM pts))",
+        "d1 AS MATERIALIZED (SELECT p.id, p.v, "
+        + dist.format(c="c1")
+        + " AS md FROM pts p, c1)",
+    ]
+    selects = [
+        "SELECT 1 AS step, c1.cid AS center_id,"
+        " (SELECT max(md) FROM d1) AS coverage_radius FROM c1"
+    ]
+    for s in range(2, k + 1):
+        prev = s - 1
+        parts.append(
+            f"c{s} AS MATERIALIZED (SELECT id AS cid, v AS cv"
+            f" FROM d{prev} ORDER BY md DESC, id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"d{s} AS MATERIALIZED (SELECT p.id, p.v,"
+            f" least(p.md, " + dist.format(c=f"c{s}")
+            + f") AS md FROM d{prev} p, c{s})"
+        )
+        selects.append(
+            f"SELECT {s} AS step, c{s}.cid AS center_id,"
+            f" (SELECT max(md) FROM d{s}) AS coverage_radius FROM c{s}"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+_TEXTRANK_STOP_SQL = (
+    "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with']"
+)
+
+
+def _textrank_oracle_sql(iterations: int = 3, top_n: int = 20) -> str:
+    """DuckDB replica of text_analysis.textrank_keywords: the word
+    co-occurrence graph (adjacency after stopword filtering, both
+    directions) + the unrolled weighted-PageRank chain from the
+    graph_pagerank oracle, then the top-N rank cutoff."""
+    parts = [
+        "tk AS MATERIALIZED (SELECT list_filter(list_filter("
+        " regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> ''), t -> NOT list_contains("
+        + _TEXTRANK_STOP_SQL + ", t)) AS ts FROM documents)",
+        "dir AS MATERIALIZED (SELECT ts[i + 1] AS a, ts[i + 2] AS b"
+        " FROM tk, LATERAL (SELECT unnest(range(len(ts) - 1)) AS i)"
+        " WHERE ts[i + 1] <> ts[i + 2])",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, count(*) AS w"
+        " FROM (SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir)"
+        " GROUP BY 1, 2)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n"
+        " FROM nodes)",
+        "p AS MATERIALIZED (SELECT src, dst, w * 1.0 /"
+        " sum(w) OVER (PARTITION BY src) AS p FROM e)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS pr"
+        " FROM nodes, nn)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS m"
+            f" FROM r{i} WHERE node NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT p.dst AS node,"
+            f" sum(r.pr * p.p) AS contrib FROM p JOIN r{i} r"
+            f" ON p.src = r.node GROUP BY p.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT nd.node, 0.15 / nn.n"
+            f" + 0.85 * (coalesce(c{i}.contrib, 0.0) + m{i}.m / nn.n)"
+            f" AS pr FROM nodes nd CROSS JOIN nn CROSS JOIN m{i}"
+            f" LEFT JOIN c{i} ON nd.node = c{i}.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node AS token, round(pr, 6) AS rank_score,"
+        f" CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node)"
+        f" AS INT) AS position FROM r{iterations}"
+        f" QUALIFY position <= {top_n}"
+    )
+
+
+_BLOOM_SQL = """
+WITH bk AS MATERIALIZED (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+  WHERE c_acctbal < 0 AND c_custkey IS NOT NULL
+), bp AS MATERIALIZED (
+  SELECT k, unnest(list_transform(range(4), j ->
+    CAST('0x' || substr(md5(k || '#' || CAST(j AS VARCHAR)), 1, 8)
+         AS BIGINT) % 16384)) AS pos
+  FROM bk
+), fb AS MATERIALIZED (SELECT DISTINCT pos FROM bp),
+pk AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+  WHERE o_custkey IS NOT NULL
+), pp AS MATERIALIZED (
+  SELECT k, unnest(list_transform(range(4), j ->
+    CAST('0x' || substr(md5(k || '#' || CAST(j AS VARCHAR)), 1, 8)
+         AS BIGINT) % 16384)) AS pos
+  FROM pk
+), hits AS MATERIALIZED (
+  SELECT pp.k, sum(CASE WHEN f.setb IS NULL THEN 0 ELSE 1 END) = 4
+    AS bloom_pos
+  FROM pp LEFT JOIN (SELECT pos, 1 AS setb FROM fb) f USING (pos)
+  GROUP BY pp.k
+), truth AS MATERIALIZED (
+  SELECT h.bloom_pos, b.k IS NOT NULL AS member
+  FROM hits h LEFT JOIN bk b ON h.k = b.k
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe_keys,
+         CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_positive,
+         CAST(sum(CASE WHEN bloom_pos AND member THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_positive,
+         CAST(sum(CASE WHEN bloom_pos AND NOT member THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_positive,
+         CAST(sum(CASE WHEN NOT member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg
+  FROM truth
+), nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM fb),
+nk AS (SELECT CAST(count(*) AS BIGINT) AS n_build_keys FROM bk)
+SELECT n_build_keys, n_probe_keys,
+       16384 AS m_bits, 4 AS n_hashes, bits_set,
+       round(bits_set / 16384.0, 6) AS fill_ratio,
+       n_bloom_positive, n_true_positive, n_false_positive,
+       round(CAST(n_false_positive AS DOUBLE) / n_neg, 6) AS fp_rate,
+       round((bits_set / 16384.0) * (bits_set / 16384.0)
+             * (bits_set / 16384.0) * (bits_set / 16384.0), 6)
+         AS expected_fp_rate
+FROM s, nb, nk"""
+
+
+_SPRT_SQL = """
+WITH s AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+         ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), w AS (
+  SELECT arm,
+         count(*) OVER (PARTITION BY arm ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS t,
+         sum(x) OVER (PARTITION BY arm ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS n1
+  FROM s
+), llr AS (
+  SELECT arm, t, n1,
+         n1 * ln(0.22 / 0.18) + (t - n1) * ln(0.78 / 0.82) AS llr
+  FROM w
+), cross_first AS (
+  SELECT arm, min(t) AS t_dec
+  FROM llr
+  WHERE llr >= ln(0.8 / 0.05) OR llr <= ln(0.2 / 0.95)
+  GROUP BY arm
+), finals AS (
+  SELECT arm, max(t) AS n_total FROM llr GROUP BY arm
+), fin AS (
+  SELECT f.arm, f.n_total,
+         (SELECT n1 FROM llr WHERE llr.arm = f.arm
+          AND llr.t = f.n_total) AS conversions,
+         c.t_dec,
+         (SELECT l.llr FROM llr l WHERE l.arm = f.arm
+          AND l.t = c.t_dec) AS llr_dec,
+         (SELECT l.llr FROM llr l WHERE l.arm = f.arm
+          AND l.t = f.n_total) AS llr_fin
+  FROM finals f LEFT JOIN cross_first c ON f.arm = c.arm
+)
+SELECT arm, CAST(n_total AS BIGINT) AS n_total,
+       CAST(conversions AS BIGINT) AS conversions,
+       CASE WHEN llr_dec >= ln(0.8 / 0.05) THEN 'accept_h1'
+            WHEN llr_dec <= ln(0.2 / 0.95) THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(t_dec AS BIGINT) AS n_at_decision,
+       round(llr_dec, 6) AS llr_at_decision,
+       round(llr_fin, 6) AS llr_final,
+       round(ln(0.8 / 0.05), 6) AS boundary_h1,
+       round(ln(0.2 / 0.95), 6) AS boundary_h0
+FROM fin"""
+
+
+_IPS_SQL = """
+WITH e AS (
+  SELECT event_type AS action, value / 100.0 AS reward,
+         CASE event_type WHEN 'view' THEN 0.25 WHEN 'click' THEN 0.25
+              WHEN 'signup' THEN 0.20 WHEN 'error' THEN 0.15
+              WHEN 'purchase' THEN 0.15 ELSE 0.05 END AS prop,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                         1, 8) AS BIGINT) % 2 = 0
+              THEN 'purchase' ELSE 'click' END AS target
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), wts AS (
+  SELECT CASE WHEN action = target THEN 1.0 / prop ELSE 0.0 END AS w,
+         reward AS r
+  FROM e
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         sum(w * r) AS wr, sum(w) AS sw, sum(w * w) AS sw2,
+         sum(least(w, 10.0) * r) AS cwr
+  FROM wts
+)
+SELECT n, n_matched,
+       round(wr / n, 6) AS ips_value,
+       round(wr / sw, 6) AS snips_value,
+       round(cwr / n, 6) AS clipped_ips,
+       round(sw * sw / sw2, 2) AS ess
+FROM a"""
+
+
+def _r9j_oracles() -> dict[str, str]:
+    """Oracles for the eleventh round-8 staging wave."""
+    return {
+        "sim_kcenter_coreset": _kcenter_oracle_sql(5, 64),
+        "txt_textrank": _textrank_oracle_sql(3, 20),
+        "tbl_bloom_probe": _BLOOM_SQL,
+        "evt_sprt": _SPRT_SQL,
+        "evt_ips_value": _IPS_SQL,
     }

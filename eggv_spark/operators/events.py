@@ -1459,3 +1459,172 @@ def did_estimator(
         F.round(se, 6).alias("se"),
         F.round(did / se, 4).alias("t_stat"),
     )
+
+
+def sprt_test(
+    df: DataFrame,
+    arm_col: str,
+    flag_col: str,
+    order_cols: list[str] | tuple[str, ...],
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability-ratio test (SPRT) per arm — the
+    SEQUENTIAL member of the experiment family (``evt_ab_test`` and
+    ``welch_ttest`` are fixed-horizon; peeking at them inflates
+    false positives, while the SPRT's boundaries are valid at EVERY
+    look, which is how modern always-on experiment monitors stop
+    early).  Tests H0: p = p0 vs H1: p = p1 on a Bernoulli stream.
+
+    llr_t = n1_t·ln(p1/p0) + (t − n1_t)·ln((1−p1)/(1−p0)) over the
+    arm's observations in ``order_cols`` order (pass a unique
+    tiebreak — the house window rule); accept H1 at the first t
+    with llr ≥ A = ln((1−β)/α), H0 at the first llr ≤ B =
+    ln(β/(1−α)), else 'continue' at the horizon.  The llr is a
+    closed form of the two INTEGER window counts (t, n1_t), so the
+    walk is engine-exact up to the ln constants.
+
+    Output per arm: n_total, conversions, decision, n_at_decision
+    (NULL while continuing), llr_at_decision, llr_final (6dp), and
+    the two boundaries.  NULL flags/arms are excluded up front
+    (an unobserved outcome is not a trial).
+
+    Scale: one window shuffle partitioned BY ARM — each arm's walk
+    is inherently sequential; the window carries two running
+    integers, and the decision reduction is a min-struct aggregate.
+    Arms are the parallelism unit, as in every sequential monitor."""
+    import math
+
+    la = math.log(p1 / p0)
+    lb = math.log((1 - p1) / (1 - p0))
+    bound_a = math.log((1 - beta) / alpha)
+    bound_b = math.log(beta / (1 - alpha))
+    obs = df.filter(
+        F.col(arm_col).isNotNull() & F.col(flag_col).isNotNull()
+    ).select(
+        F.col(arm_col).alias("_arm"),
+        F.col(flag_col).cast("long").alias("_x"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("_arm").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = obs.select(
+        "_arm",
+        F.count("*").over(w).alias("_t"),
+        F.sum("_x").over(w).alias("_n1"),
+    ).select(
+        "_arm", "_t", "_n1",
+        (
+            F.col("_n1") * F.lit(la)
+            + (F.col("_t") - F.col("_n1")) * F.lit(lb)
+        ).alias("_llr"),
+    )
+    crossings = walked.filter(
+        (F.col("_llr") >= bound_a) | (F.col("_llr") <= bound_b)
+    ).groupBy("_arm").agg(
+        F.min(F.struct("_t", "_llr")).alias("_first")
+    )
+    finals = walked.groupBy("_arm").agg(
+        F.max(F.struct("_t", "_llr", "_n1")).alias("_last")
+    )
+    joined = finals.join(crossings, "_arm", "left")
+    llr_dec = F.col("_first._llr")
+    return joined.select(
+        F.col("_arm").alias("arm"),
+        F.col("_last._t").alias("n_total"),
+        F.col("_last._n1").alias("conversions"),
+        F.when(llr_dec >= bound_a, F.lit("accept_h1"))
+        .when(llr_dec <= bound_b, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.col("_first._t").alias("n_at_decision"),
+        F.round(llr_dec, 6).alias("llr_at_decision"),
+        F.round(F.col("_last._llr"), 6).alias("llr_final"),
+        F.round(F.lit(bound_a), 6).alias("boundary_h1"),
+        F.round(F.lit(bound_b), 6).alias("boundary_h0"),
+    )
+
+
+def ips_policy_value(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+    propensity_col: str,
+    target_col: str,
+    clip: float = 10.0,
+) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring — "what
+    would the TARGET policy's average reward have been" from logs
+    collected under a different policy, the counterfactual readout
+    every recommendation / ranking / curation-policy change needs
+    before an online test (and the observational cousin of
+    ``psm_att``: PSM reweights units by a matched control, IPS
+    reweights EVENTS by the logging propensity).
+
+    w_i = 1[a_i = π(x_i)] / p_log(a_i|x_i);
+    IPS   = Σ w·r / n          (unbiased, high variance),
+    SNIPS = Σ w·r / Σ w        (self-normalized, the production
+                                default — invariant to reward
+                                shifts),
+    clipped IPS caps w at ``clip`` (the variance/bias knob), and
+    ESS = (Σw)²/Σw² is the effective sample size — the
+    support-overlap diagnostic that says whether ANY of these
+    numbers deserve trust.
+
+    Propensities must be in (0, 1] and actions/rewards/targets
+    non-null — raised IN-PLAN (a zero or null propensity silently
+    yields ±inf weights and poisons every estimate).  One
+    map-side-combined 1-row aggregate; metrics at 6dp (ESS 2dp)."""
+    ok = (
+        F.col(action_col).isNotNull()
+        & F.col(reward_col).isNotNull()
+        & F.col(target_col).isNotNull()
+        & F.col(propensity_col).isNotNull()
+        & (F.col(propensity_col) > 0)
+        & (F.col(propensity_col) <= 1)
+    )
+
+    def _guard(c: Column) -> Column:
+        return F.when(ok, c).otherwise(
+            F.raise_error(
+                F.lit(
+                    "ips_policy_value: action/reward/target must be"
+                    " non-null and propensity in (0, 1]"
+                )
+            )
+        )
+
+    wcol = _guard(
+        F.when(
+            F.col(action_col) == F.col(target_col),
+            1.0 / F.col(propensity_col),
+        ).otherwise(0.0)
+    )
+    r = F.col(reward_col).cast("double")
+    base = df.select(
+        wcol.alias("_w"),
+        r.alias("_r"),
+    )
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("_w") > 0).cast("long")).alias("n_matched"),
+        F.sum(F.col("_w") * F.col("_r")).alias("_wr"),
+        F.sum("_w").alias("_sw"),
+        F.sum(F.col("_w") * F.col("_w")).alias("_sw2"),
+        F.sum(
+            F.least(F.col("_w"), F.lit(float(clip))) * F.col("_r")
+        ).alias("_cwr"),
+    )
+    return agg.select(
+        "n", "n_matched",
+        F.round(F.col("_wr") / F.col("n"), 6).alias("ips_value"),
+        F.round(F.try_divide(F.col("_wr"), F.col("_sw")), 6)
+        .alias("snips_value"),
+        F.round(F.col("_cwr") / F.col("n"), 6).alias("clipped_ips"),
+        F.round(
+            F.try_divide(F.col("_sw") * F.col("_sw"), F.col("_sw2")), 2
+        ).alias("ess"),
+    )

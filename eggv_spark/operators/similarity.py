@@ -1525,3 +1525,108 @@ def maxsim_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "maxsim", "rank")
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) coreset selection —
+    the DIVERSITY dual of the density samplers (``semantic_dedupe``
+    removes near-duplicates, ``mmr_diversify`` re-ranks a bounded
+    pool; k-center picks the k points that together COVER the
+    embedding space, the classic 2-approximation to the k-center
+    objective and the standard seed for coresets / active-learning
+    batches / kmeans++-style initialization without RNG).
+
+    Deterministic variant: the first center is the smallest id; each
+    subsequent center is the point FARTHEST from its nearest chosen
+    center (squared L2, rounded at 6dp before every comparison — the
+    mmr_diversify discipline: ties break to the smallest id, so the
+    selection is engine- and partitioning-invariant).
+
+    Iteration shape (the pagerank discipline): the state is the
+    corpus-sized (id, min_dist) frame, updated per step with ONE
+    broadcast of the single new center row and localCheckpoint-ed
+    eagerly (flat lineage — a chained ``least`` otherwise nests k
+    corpus scans); the argmax is a 1-row max-struct aggregate, never
+    a driver collect.  k corpus passes total — the optimal shape for
+    this algorithm on any engine.
+
+    Output: one row per step — (step, center_id, coverage_radius)
+    where coverage_radius is max_v min_c dist²(v, c) AFTER adding
+    that center; the sequence is non-increasing (self-audit)."""
+
+    def sq_dist(a: Column, b: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    a, b,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+        .alias("_v"),
+    ).localCheckpoint(eager=True)
+
+    first = F.broadcast(
+        pts.agg(F.min("_id").alias("_cid"))
+        .join(pts, F.col("_cid") == F.col("_id"))
+        .select("_cid", F.col("_v").alias("_cv"))
+    )
+    state = pts.crossJoin(first).select(
+        "_id", "_v",
+        sq_dist(F.col("_v"), F.col("_cv")).alias("_md"),
+    ).localCheckpoint(eager=True)
+    selected = [
+        first.crossJoin(
+            F.broadcast(state.agg(F.max("_md").alias("coverage_radius")))
+        ).select(
+            F.lit(1).alias("step"),
+            F.col("_cid").alias("center_id"),
+            "coverage_radius",
+        )
+    ]
+    for step in range(2, k + 1):
+        far = F.broadcast(
+            state.agg(
+                F.max(F.struct(F.col("_md"), (-F.col("_id")).alias("_n")))
+                .alias("_s")
+            ).select((-F.col("_s._n")).alias("_cid"))
+        )
+        center = F.broadcast(
+            state.join(far, F.col("_id") == F.col("_cid"))
+            .select("_cid", F.col("_v").alias("_cv"))
+        )
+        state = state.crossJoin(center).select(
+            "_id", "_v",
+            F.least(
+                F.col("_md"), sq_dist(F.col("_v"), F.col("_cv"))
+            ).alias("_md"),
+        ).localCheckpoint(eager=True)
+        selected.append(
+            center.crossJoin(
+                F.broadcast(
+                    state.agg(F.max("_md").alias("coverage_radius"))
+                )
+            ).select(
+                F.lit(step).alias("step"),
+                F.col("_cid").alias("center_id"),
+                "coverage_radius",
+            )
+        )
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    return out

@@ -1013,3 +1013,117 @@ def compaction_plan(
             "min_file_bytes", "max_file_bytes",
         )
     )
+
+
+def bloom_filter_audit(
+    build_df: DataFrame,
+    probe_df: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 16384,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a deterministic Bloom filter over ``build_df``'s keys,
+    probe it with ``probe_df``'s keys, and report the MEASURED false
+    -positive rate against exact membership — the sizing audit run
+    before shipping a bloom-pruned join (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` and every
+    data-skipping index make exactly this m/k trade; this operator
+    makes the trade measurable on real keys instead of the uniform
+    -hash formula).
+
+    Hashing is the portable md5 family: bit j of key x is
+    ``base_hash(x || '#' || j) mod m`` — engine-reproducible, no
+    RNG.  The filter materializes as the DISTINCT bit-position set
+    (≤ m rows, broadcast); a probe key is bloom-positive iff all
+    ``n_hashes`` of its positions are set (count == k after the
+    position join).  Exact membership via broadcast semi-join on
+    the raw keys.  Everything is an integer count — engine-exact.
+
+    Output: ONE row — n_build_keys, n_probe_keys, m_bits, n_hashes,
+    bits_set, fill_ratio (6dp), n_bloom_positive, n_true_positive,
+    n_false_positive, fp_rate (6dp, over true negatives), and
+    expected_fp_rate = fill_ratio^k (6dp, the load-factor bound —
+    exp-free on purpose).
+
+    Scale: build side aggregates to ≤ m distinct positions (map-side
+    combined) and broadcasts — the same shape as a real bloom
+    pushdown; the probe side streams once through the position join
+    and once through the membership semi-join."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        ks = df.select(
+            F.col(key).cast("string").alias("_k")
+        ).filter(F.col("_k").isNotNull()).distinct()
+        return ks.select(
+            "_k",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                    lambda j: base_hash(
+                        F.concat(F.col("_k"), F.lit("#"),
+                                 j.cast("string"))
+                    ) % m_bits,
+                )
+            ).alias("_pos"),
+        )
+    build_pos = positions(build_df, build_key)
+    filter_bits = build_pos.select("_pos").distinct()
+    build_keys = build_pos.select("_k").distinct()
+    probe_pos = positions(probe_df, probe_key)
+    hits = (
+        probe_pos.join(
+            F.broadcast(filter_bits.withColumn("_set", F.lit(1))),
+            "_pos", "left",
+        )
+        .groupBy("_k")
+        .agg(
+            (F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+             == n_hashes).alias("_bloom_pos")
+        )
+    )
+    truth = hits.join(
+        F.broadcast(build_keys.withColumn("_member", F.lit(1))),
+        "_k", "left",
+    )
+    n_bits = filter_bits.agg(F.count("*").alias("bits_set"))
+    stats = truth.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.sum(F.col("_bloom_pos").cast("long")).alias("n_bloom_positive"),
+        F.sum(
+            (F.col("_bloom_pos") & F.col("_member").isNotNull())
+            .cast("long")
+        ).alias("n_true_positive"),
+        F.sum(
+            (F.col("_bloom_pos") & F.col("_member").isNull())
+            .cast("long")
+        ).alias("n_false_positive"),
+        F.sum(F.col("_member").isNull().cast("long")).alias("_n_neg"),
+    )
+    n_build = build_keys.agg(F.count("*").alias("n_build_keys"))
+    fill = F.col("bits_set") / F.lit(float(m_bits))
+    return (
+        stats.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_build))
+        .select(
+            "n_build_keys", "n_probe_keys",
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+            "bits_set",
+            F.round(fill, 6).alias("fill_ratio"),
+            "n_bloom_positive", "n_true_positive", "n_false_positive",
+            F.round(
+                F.try_divide(F.col("n_false_positive"), F.col("_n_neg")),
+                6,
+            ).alias("fp_rate"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(n_hashes)),
+                    F.lit(1.0),
+                    lambda acc, _: acc * fill,
+                ),
+                6,
+            ).alias("expected_fp_rate"),
+        )
+    )

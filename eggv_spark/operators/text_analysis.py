@@ -2281,3 +2281,67 @@ def log_odds_ratio(
         .withColumn("side", F.lit("b"))
     )
     return top_a.unionByName(top_b)
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-centrality member of the keyword trifecta (RAKE scores
+    phrase runs, TF-IDF scores corpus contrast; TextRank scores a
+    word by the importance of the words it CO-OCCURS with): build
+    the word co-occurrence graph over adjacent non-stopword tokens
+    and run weighted PageRank on it.
+
+    The graph is vocabulary-sized, so the expensive step — the
+    per-document pair extraction — is one explode over the
+    ``bigrams_col`` kernel on the STOPWORD-FILTERED token sequence
+    (adjacency after filtering, the common simplification, stated
+    here as the contract); edges are undirected (both directions
+    emitted before the grouped count).  PageRank is the shared
+    ``graph.pagerank`` operator — per-iteration broadcast of the
+    vocab-sized rank table, map-side-combined contribution sums,
+    fixed iteration count.
+
+    Output: the ``top_n`` tokens by (rank 6dp desc, token) — a rank
+    cutoff, engine-identical."""
+    from eggv_spark.operators.graph import pagerank
+
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = df.select(
+        F.filter(
+            word_tokens_col(text_col),
+            lambda t: ~F.array_contains(stop_arr, t),
+        ).alias("_t")
+    )
+    pairs = toks.select(
+        F.explode(bigrams_col(F.col("_t"))).alias("_bg")
+    )
+    parts = F.split("_bg", " ")
+    directed = pairs.select(
+        F.get(parts, 0).alias("_a"), F.get(parts, 1).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    edges = (
+        directed.select("_a", "_b")
+        .unionAll(directed.select(
+            F.col("_b").alias("_a"), F.col("_a").alias("_b")
+        ))
+        .groupBy(F.col("_a").alias("src"), F.col("_b").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+    ranks = pagerank(
+        edges, iterations=iterations, damping=damping
+    )
+    scored = ranks.select(
+        F.col("node").alias("token"),
+        F.round("rank", 6).alias("rank_score"),
+    )
+    w = Window.orderBy(F.col("rank_score").desc(), "token")
+    return (
+        scored.withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= top_n)
+    )
