@@ -6191,6 +6191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_bloom_probe": _tbl_bloom_probe,
         "evt_sprt": _evt_sprt,
         "evt_ips_value": _evt_ips_value,
+        # --- round-8 twelfth wave, registered BEHIND the window
+        # (claims the round-9 window after wave 11): boosted stumps,
+        # personalized PageRank, Deming regression, group k-fold,
+        # image near-dup band join (staged + oracle-validated in
+        # tests/test_round9k_staged.py) ---
+        "gbrt_stumps": _gbrt_stumps,
+        "graph_ppr": _graph_ppr,
+        "agg_deming": _agg_deming,
+        "smp_group_kfold": _smp_group_kfold,
+        "mm_image_neardup": _mm_image_neardup,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9505,6 +9515,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9h_oracles())
     base.update(_r9i_oracles())
     base.update(_r9j_oracles())
+    base.update(_r9k_oracles())
     return base
 
 
@@ -15142,4 +15153,292 @@ def _r9j_oracles() -> dict[str, str]:
         "tbl_bloom_probe": _BLOOM_SQL,
         "evt_sprt": _SPRT_SQL,
         "evt_ips_value": _IPS_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 stagings, twelfth wave (registered BEHIND the window, claims
+# the round-9 window after wave 11): gradient-boosted stumps,
+# personalized PageRank, Deming regression, group k-fold, image
+# near-dup pairs (staged + oracle-validated in
+# tests/test_round9k_staged.py)
+# ---------------------------------------------------------------------------
+
+
+def _gbrt_stumps(spark, sf_dir):
+    """Gradient-boosted regression stumps on the embedding table
+    (ml.gbrt_stumps): 3 residual-fitting rounds over a 16-dim ×
+    7-threshold literal grid, target = the integer label — the
+    smallest real boosting loop, decimal-exact feedback."""
+    return ML.gbrt_stumps(
+        _t(spark, sf_dir, "embeddings"),
+        target_col="label", n_rounds=3, dim=16,
+    )
+
+
+def _graph_ppr(spark, sf_dir):
+    """Personalized PageRank from nation 0 on the trade graph
+    (graph.personalized_pagerank): restart-to-seed walk, 3
+    iterations — 'which nations are close to nation 0 under
+    multi-hop trade flow'."""
+    ranks = G.personalized_pagerank(
+        _trade_edges(spark, sf_dir), seeds=[0], iterations=3
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _agg_deming(spark, sf_dir):
+    """Per-returnflag Deming (orthogonal) regression — the genuine
+    errors-in-variables shape: two noisy MEASUREMENTS of the same
+    underlying quantity (x = qty + discount-scaled noise, y = 2·qty
+    + tax-scaled noise), where OLS attenuates the slope toward zero
+    and Deming recovers ≈2.  O(1)-magnitude moments, so 6dp rounding
+    sits far above float partial-sum noise (the reason the fixture
+    is NOT price-on-quantity: near-zero correlation explodes the
+    slope to 1e5+ magnitudes where no fixed rounding is portable)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity") + F.col("l_discount") * 10.0).alias("m1"),
+        (F.col("l_quantity") * 2.0 + F.col("l_tax") * 10.0).alias("m2"),
+    )
+    return AG.deming_regression(
+        li, x_col="m1", y_col="m2", delta=1.0, keys=["l_returnflag"]
+    )
+
+
+def _smp_group_kfold(spark, sf_dir):
+    """Group-aware 5-fold split of events by user
+    (relational.group_kfold_assign): every user's rows land in ONE
+    fold (leakage-safe CV), md5 assignment, per-fold balance
+    summary."""
+    return R.group_kfold_assign(
+        _t(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+        ),
+        group_col="user_id", k=5,
+    )
+
+
+def _mm_image_neardup(spark, sf_dir):
+    """Image near-duplicate pairs over REAL-decoded PPM aHashes
+    (multimodal.image_ahash -> image_neardup_pairs): 4 bit-bands of
+    the 16-bit hash generate candidates by equi-join (pigeonhole:
+    4 bands > 3 max hamming, exact recall), XOR+bit_count verifies —
+    the image twin of the MinHash band join."""
+    from eggv_spark.operators import multimodal as M
+
+    hashed = M.image_ahash(
+        M.synthesize_ppm_images(_t(spark, sf_dir, "documents"))
+    )
+    return M.image_neardup_pairs(
+        hashed, hash_bits=16, n_bands=4, max_hamming=3
+    )
+
+
+def _gbrt_oracle_sql(
+    n_rounds: int = 3,
+    dim: int = 16,
+    thresholds: tuple = (-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3),
+) -> str:
+    """DuckDB replica of ml.gbrt_stumps: unrolled residual-boosting
+    rounds; every row-sum in DECIMAL (residuals 12dp, squares 16dp),
+    all scoring math in DOUBLE on those exact sums, leaf values
+    rounded 6dp before the residual update — the same determinism
+    contract as the Spark side, so values match bit-for-bit."""
+    ths = ", ".join(str(float(t)) for t in thresholds)
+    parts = [
+        f"grid AS MATERIALIZED (SELECT ti, ths[ti + 1] AS t FROM"
+        f" (SELECT [{ths}] AS ths),"
+        f" LATERAL (SELECT unnest(range({len(thresholds)})) AS ti))",
+        f"base AS MATERIALIZED (SELECT"
+        f" CAST(embedding[1:{dim}] AS DOUBLE[]) AS x,"
+        f" CAST(label AS DOUBLE) AS y FROM embeddings)",
+        "tot0 AS (SELECT count(*) AS n,"
+        " round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)"
+        " / count(*), 6) AS mu0 FROM base)",
+        "r0 AS MATERIALIZED (SELECT x, y - tot0.mu0 AS r"
+        " FROM base, tot0)",
+        "s0 AS (SELECT round(CAST(sum(CAST(r * r AS DECIMAL(38,16)))"
+        " AS DOUBLE), 6) AS sse FROM r0)",
+    ]
+    selects = [
+        "SELECT 0 AS round, 0 AS dim, CAST(NULL AS DOUBLE) AS threshold,"
+        " tot0.mu0 AS left_value, tot0.mu0 AS right_value,"
+        " CAST(NULL AS DOUBLE) AS gain, s0.sse AS train_sse"
+        " FROM tot0, s0"
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(
+            f"cand{i} AS MATERIALIZED (SELECT dd.d, g.ti, g.t,"
+            f" count(*) AS n,"
+            f" sum(CAST(r AS DECIMAL(38,12))) AS s,"
+            f" sum(CASE WHEN x[dd.d + 1] <= g.t THEN 1 ELSE 0 END)"
+            f" AS nl,"
+            f" sum(CAST(CASE WHEN x[dd.d + 1] <= g.t THEN r"
+            f" ELSE 0.0 END AS DECIMAL(38,12))) AS sl"
+            f" FROM r{p}, (SELECT unnest(range({dim})) AS d) dd,"
+            f" grid g GROUP BY dd.d, g.ti, g.t)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT d, ti, t, n, nl,"
+            f" CASE WHEN nl > 0 THEN round(CAST(sl AS DOUBLE) / nl, 6)"
+            f" ELSE 0.0 END AS ml,"
+            f" CASE WHEN n - nl > 0 THEN round((CAST(s AS DOUBLE)"
+            f" - CAST(sl AS DOUBLE)) / (n - nl), 6) ELSE 0.0 END AS mr,"
+            f" CASE WHEN nl > 0 AND n - nl > 0 THEN"
+            f" CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl"
+            f" + (CAST(s AS DOUBLE) - CAST(sl AS DOUBLE))"
+            f" * (CAST(s AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - nl)"
+            f" - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n"
+            f" ELSE -1.0 END AS g"
+            f" FROM cand{i} ORDER BY g DESC, d ASC, ti ASC LIMIT 1)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT x,"
+            f" r - CASE WHEN x[b{i}.d + 1] <= b{i}.t THEN b{i}.ml"
+            f" ELSE b{i}.mr END AS r FROM r{p}, b{i})"
+        )
+        parts.append(
+            f"s{i} AS (SELECT round(CAST(sum(CAST(r * r"
+            f" AS DECIMAL(38,16))) AS DOUBLE), 6) AS sse FROM r{i})"
+        )
+        selects.append(
+            f"SELECT {i} AS round, CAST(b{i}.d + 1 AS INT) AS dim,"
+            f" b{i}.t AS threshold, b{i}.ml AS left_value,"
+            f" b{i}.mr AS right_value, round(b{i}.g, 6) AS gain,"
+            f" s{i}.sse AS train_sse FROM b{i}, s{i}"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def _ppr_oracle_sql(iterations: int = 3) -> str:
+    """DuckDB replica of graph.personalized_pagerank on the trade
+    graph, seed = {0}: the unrolled pagerank chain with the teleport
+    AND dangling mass restarting to the seed indicator."""
+    parts = [
+        "e AS MATERIALIZED (SELECT CAST(c_nationkey AS INT) AS src,"
+        " CAST(s_nationkey AS INT) AS dst, count(*) AS w"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON l_suppkey = s_suppkey GROUP BY src, dst)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst FROM e)",
+        "p AS MATERIALIZED (SELECT src, dst, w * 1.0 /"
+        " sum(w) OVER (PARTITION BY src) AS p FROM e)",
+        "sd AS MATERIALIZED (SELECT node,"
+        " CASE WHEN node = 0 THEN 1.0 ELSE 0.0 END AS s FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, s AS pr FROM sd)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"m{i} AS (SELECT coalesce(sum(pr), 0.0) AS m FROM r{i}"
+            f" WHERE node NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT p.dst AS node,"
+            f" sum(r.pr * p.p) AS contrib FROM p JOIN r{i} r"
+            f" ON p.src = r.node GROUP BY p.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT sd.node,"
+            f" 0.15 * sd.s + 0.85 * (coalesce(c{i}.contrib, 0.0)"
+            f" + m{i}.m * sd.s) AS pr"
+            f" FROM sd CROSS JOIN m{i}"
+            f" LEFT JOIN c{i} ON sd.node = c{i}.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, round(pr, 6) AS rank FROM r{iterations}"
+    )
+
+
+_DEMING_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         l_quantity + l_discount * 10.0 AS x,
+         l_quantity * 2.0 + l_tax * 10.0 AS y
+  FROM lineitem
+), g AS (
+  SELECT l_returnflag, count(*) AS n,
+         avg(x) AS mx, avg(y) AS my,
+         var_samp(x) AS sxx, var_samp(y) AS syy,
+         covar_samp(x, y) AS sxy
+  FROM m
+  WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round((syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+              + 4.0 * sxy * sxy)) / (2.0 * sxy), 6) AS slope,
+       round(my - (syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+              + 4.0 * sxy * sxy)) / (2.0 * sxy) * mx, 6) AS intercept,
+       round(sxy / sqrt(sxx * syy), 4) AS pearson_r
+FROM g"""
+
+
+_GROUP_KFOLD_SQL = """
+WITH pg AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 5 AS fold,
+         user_id, count(*) AS rows_
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), pf AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(rows_) AS BIGINT) AS n_rows
+  FROM pg GROUP BY 1
+), t AS (
+  SELECT sum(n_groups) AS tg, sum(n_rows) AS tr FROM pf
+)
+SELECT CAST(fold AS INT) AS fold, n_groups, n_rows,
+       round(n_rows / CAST(tr AS DOUBLE), 6) AS row_frac,
+       round(n_groups / CAST(tg AS DOUBLE), 6) AS group_frac
+FROM pf, t"""
+
+
+_IMAGE_NEARDUP_SQL = """
+WITH px AS (
+  SELECT doc_id, i,
+         ((doc_id*7 + (i*3)*13) % 256)
+         + ((doc_id*7 + (i*3+1)*13) % 256)
+         + ((doc_id*7 + (i*3+2)*13) % 256) AS s
+  FROM documents, unnest(generate_series(0, 15)) AS t(i)
+), a AS (
+  SELECT doc_id, sum(s) AS total, count(*) AS n FROM px GROUP BY 1
+), b AS (
+  SELECT px.doc_id,
+         CASE WHEN px.s * a.n >= a.total THEN 1 ELSE 0 END
+           << (15 - px.i) AS bit
+  FROM px JOIN a USING (doc_id)
+), h AS (
+  SELECT doc_id AS id, CAST(sum(bit) AS BIGINT) AS ahash
+  FROM b GROUP BY 1
+), dh AS (
+  SELECT ahash, min(id) AS rep, CAST(count(*) AS BIGINT) AS n
+  FROM h GROUP BY 1
+), bands AS (
+  SELECT ahash, rep, n, bi AS band,
+         (ahash >> (bi * 4)) & 15 AS val
+  FROM dh, LATERAL (SELECT unnest(range(4)) AS bi)
+), cand AS (
+  SELECT DISTINCT l.rep AS rep_a, r.rep AS rep_b,
+         l.n AS n_images_a, r.n AS n_images_b,
+         l.ahash AS ha, r.ahash AS hb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.val = r.val AND l.rep < r.rep
+)
+SELECT rep_a, rep_b, n_images_a, n_images_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3"""
+
+
+def _r9k_oracles() -> dict[str, str]:
+    """Oracles for the twelfth round-8 staging wave."""
+    return {
+        "gbrt_stumps": _gbrt_oracle_sql(3, 16),
+        "graph_ppr": _ppr_oracle_sql(3),
+        "agg_deming": _DEMING_SQL,
+        "smp_group_kfold": _GROUP_KFOLD_SQL,
+        "mm_image_neardup": _IMAGE_NEARDUP_SQL,
     }

@@ -90,6 +90,13 @@ HEADLINE = [
     # TakeOrdered cut, then driver-side rounds)
     "kmeans_lloyd",
     "mmr_diversify",
+    # round-8 wave-10/11 representatives: the two-stage MaxSim
+    # re-rank (packed-SimHash hamming prune + bounded token-level
+    # re-rank — the retrieval pipeline shape) and the greedy
+    # k-center coreset (k corpus passes with per-step checkpointed
+    # state — the iterative embedding-selection shape)
+    "sim_maxsim_rerank",
+    "sim_kcenter_coreset",
 ]
 
 

@@ -3079,3 +3079,60 @@ def mann_whitney_u(
         F.round(u_b, 1).alias("u_b"),
         F.round(z, 4).alias("z_stat"),
     )
+
+
+def deming_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    delta: float = 1.0,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Deming (errors-in-variables) regression — the symmetric
+    companion to :func:`linreg_by_group`: OLS assumes x is measured
+    exactly and minimizes VERTICAL distance, so regressing y-on-x
+    and x-on-y give different lines; Deming minimizes the
+    variance-weighted perpendicular distance and is the standard fit
+    when BOTH variables carry noise (method-comparison studies, and
+    in a data platform: reconciling two imperfect measurements of
+    the same quantity — two sensors, two pipelines, two estimators).
+
+    Closed form from the five distributive moments (one
+    map-side-combined pass): with s_xx, s_yy, s_xy the sample
+    (co)variances and δ the error-variance ratio var(y errs)/var(x
+    errs),
+    β = (s_yy − δ·s_xx + √((s_yy − δ·s_xx)² + 4δ·s_xy²)) / (2 s_xy),
+    α = ȳ − β·x̄.  δ=1 is orthogonal (total-least-squares)
+    regression.  Degenerate groups (s_xy = 0, n < 3) yield NULL via
+    try_divide.  Rows with a NULL x or y are excluded (they belong
+    to neither moment).  Slope/intercept at 6dp, r at 4dp."""
+    keys = list(keys)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    g = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(x).alias("_mx"),
+            F.avg(y).alias("_my"),
+            F.var_samp(x).alias("_sxx"),
+            F.var_samp(y).alias("_syy"),
+            F.covar_samp(x, y).alias("_sxy"),
+        )
+    )
+    d = F.lit(float(delta))
+    diff = F.col("_syy") - d * F.col("_sxx")
+    slope = F.try_divide(
+        diff + F.sqrt(diff * diff + 4.0 * d * F.col("_sxy") * F.col("_sxy")),
+        2.0 * F.col("_sxy"),
+    )
+    r = F.try_divide(
+        F.col("_sxy"), F.sqrt(F.col("_sxx") * F.col("_syy"))
+    )
+    return g.select(
+        *keys, "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
+        F.round(r, 4).alias("pearson_r"),
+    )

@@ -778,3 +778,79 @@ def hits_scores(
             ).alias("hub"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) — PageRank's
+    global teleport replaced by restart to a SEED set, which turns
+    the global-importance score into "importance relative to these
+    nodes": the standard graph recommendation / related-entities
+    kernel (seeds = a user's items → ranks = what to recommend;
+    seeds = one entity → ranks = its neighborhood weighted by
+    multi-hop connectivity).
+
+    rank_{t+1}(v) = (1−d)·s(v) + d·(Σ_{u→v} rank_t(u)·p(u→v)
+                                    + dangling_mass_t·s(v)),
+    with s uniform over ``seeds`` and zero elsewhere — BOTH the
+    teleport and the dangling redistribution restart to the seeds
+    (the walk never leaks mass to non-seed teleports, the defining
+    difference from :func:`pagerank`).
+
+    Same execution discipline as pagerank: per-iteration broadcast
+    of the O(|V|) rank table, map-side-combined contribution sums,
+    per-round cache, driver loops only over the iteration count.
+    Output: (node, rank) — mass sums to 1 over reachable nodes."""
+    edges = edges.cache()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    probs = out_weights(edges, src, dst, weight).cache()
+    seed_share = 1.0 / len(seeds)
+    seed_col = F.when(
+        F.col("node").isin(list(seeds)), F.lit(seed_share)
+    ).otherwise(F.lit(0.0))
+    with_seed = nodes.withColumn("_s", seed_col).cache()
+    with_seed.count()
+
+    ranks = with_seed.select("node", F.col("_s").alias("rank"))
+    src_nodes = probs.select(F.col(src).alias("node")).distinct().cache()
+    for _ in range(iterations):
+        ranks = ranks.cache()
+        dangling = (
+            ranks.join(src_nodes, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m"))
+        )
+        contribs = (
+            probs.join(
+                ranks.withColumnRenamed("node", src), src
+            )
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+        )
+        ranks = (
+            with_seed.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("_s")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_m") * F.col("_s")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -1196,3 +1196,166 @@ def psm_att(
         F.round(se, 6).alias("se"),
         F.round(F.try_divide(F.col("_att"), se), 4).alias("t_stat"),
     )
+
+
+def gbrt_stumps(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    target_col: str = "label",
+    n_rounds: int = 3,
+    dim: int = 16,
+    thresholds: tuple = (-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3),
+) -> DataFrame:
+    """Gradient-boosted regression stumps (squared loss) — the
+    smallest real boosting loop: round 0 fits the global mean, every
+    later round fits a depth-1 regression stump to the RESIDUALS and
+    subtracts its predictions.  Chosen over AdaBoost deliberately:
+    least-squares boosting needs no exp()/log() weight updates, so
+    the whole fit stays inside the cross-engine-exact arithmetic
+    this registry requires (the DSIR no-exp lesson), while still
+    exercising the real boosting structure (sequential dependence of
+    round k on the engine-computed output of round k−1 — the
+    hardest thing to keep deterministic, same class as
+    ``kmeans_lloyd``'s centroid feedback).
+
+    Determinism discipline (the kmeans_lloyd recipe, adapted):
+
+    * every SUM over rows runs in DECIMAL (residuals cast at 12dp,
+      squares at 16dp) — exact, order-independent;
+    * all scoring math (variance-reduction gain
+      S_l²/n_l + S_r²/n_r − S²/n) runs in DOUBLE on those exact
+      sums — identical scalars on both engines;
+    * leaf values round at 6dp before entering the residual update,
+      so round k's input is bit-identical everywhere;
+    * the candidate grid is dims × a FIXED literal threshold list
+      (the decision_stump_fit rule), argmax by
+      (gain, dim asc, threshold-index asc) via max-struct;
+    * the corpus-sized residual frame is localCheckpoint-ed per
+      round (flat lineage — the bpe/kcenter lesson).
+
+    A candidate that puts zero rows on one side scores gain −1
+    (never beats any real split); callers supply a grid that splits
+    their feature range.  Output: one row per round — round 0 is
+    the base prediction (left_value = right_value = ȳ, dim 0,
+    threshold NULL), rounds 1..n are stumps — with the exact
+    train_sse after each round (non-increasing: self-audit)."""
+    from pyspark.sql import Window as _W  # noqa: F401  (house import shape)
+
+    dec_r = "decimal(38,12)"
+    dec_s = "decimal(38,16)"
+    y = F.col(target_col).cast("double")
+    base = df.select(
+        y.alias("_y"),
+        guarded_vec(vec_col, dim, "gbrt_stumps").alias("_x"),
+    )
+    tot0 = base.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_y").cast(dec_r)).alias("_s"),
+    )
+    mu0 = F.round(F.col("_s").cast("double") / F.col("_n"), 6)
+    state = base.crossJoin(F.broadcast(tot0)).select(
+        "_x", (F.col("_y") - mu0).alias("_r")
+    ).localCheckpoint(eager=True)
+    sse = F.round(
+        F.sum((F.col("_r") * F.col("_r")).cast(dec_s)).cast("double"), 6
+    )
+    rounds = [
+        tot0.crossJoin(
+            F.broadcast(state.agg(sse.alias("train_sse")))
+        ).select(
+            F.lit(0).alias("round"),
+            F.lit(0).alias("dim"),
+            F.lit(None).cast("double").alias("threshold"),
+            mu0.alias("left_value"),
+            mu0.alias("right_value"),
+            F.lit(None).cast("double").alias("gain"),
+            "train_sse",
+        )
+    ]
+    spark = df.sparkSession
+    thr = spark.range(1).select(
+        F.posexplode(
+            F.array(*[F.lit(float(t)) for t in thresholds])
+        ).alias("_ti", "_t")
+    ).limit(len(thresholds))
+    for rnd in range(1, n_rounds + 1):
+        pts = state.select(
+            "_r", F.posexplode("_x").alias("_d", "_v")
+        )
+        cand = (
+            pts.crossJoin(F.broadcast(thr))
+            .groupBy("_d", "_ti", "_t")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(F.col("_r").cast(dec_r)).alias("_s"),
+                F.sum(
+                    F.when(F.col("_v") <= F.col("_t"), 1).otherwise(0)
+                ).alias("_nl"),
+                F.sum(
+                    F.when(F.col("_v") <= F.col("_t"), F.col("_r"))
+                    .otherwise(0.0).cast(dec_r)
+                ).alias("_sl"),
+            )
+        )
+        sl = F.col("_sl").cast("double")
+        sr = F.col("_s").cast("double") - sl
+        nl = F.col("_nl")
+        nr = F.col("_n") - nl
+        gain = F.when(
+            (nl > 0) & (nr > 0),
+            sl * sl / nl + sr * sr / nr
+            - F.col("_s").cast("double") * F.col("_s").cast("double")
+            / F.col("_n"),
+        ).otherwise(F.lit(-1.0))
+        best = F.broadcast(
+            cand.select(
+                "_d", "_ti", "_t", "_nl", "_n",
+                gain.alias("_g"),
+                F.round(F.try_divide(sl, nl), 6).alias("_ml"),
+                F.round(F.try_divide(sr, nr), 6).alias("_mr"),
+            )
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_g"),
+                        (-F.col("_d")).alias("_nd"),
+                        (-F.col("_ti")).alias("_nti"),
+                        "_t", "_ml", "_mr",
+                    )
+                ).alias("_b")
+            )
+            .select(
+                (-F.col("_b._nd")).alias("_bd"),
+                F.col("_b._t").alias("_bt"),
+                F.coalesce(F.col("_b._ml"), F.lit(0.0)).alias("_bml"),
+                F.coalesce(F.col("_b._mr"), F.lit(0.0)).alias("_bmr"),
+                F.col("_b._g").alias("_bg"),
+            )
+        )
+        state = state.crossJoin(best).select(
+            "_x",
+            (
+                F.col("_r")
+                - F.when(
+                    F.get("_x", F.col("_bd")) <= F.col("_bt"),
+                    F.col("_bml"),
+                ).otherwise(F.col("_bmr"))
+            ).alias("_r"),
+        ).localCheckpoint(eager=True)
+        rounds.append(
+            best.crossJoin(
+                F.broadcast(state.agg(sse.alias("train_sse")))
+            ).select(
+                F.lit(rnd).alias("round"),
+                (F.col("_bd") + 1).cast("int").alias("dim"),
+                F.col("_bt").alias("threshold"),
+                F.col("_bml").alias("left_value"),
+                F.col("_bmr").alias("right_value"),
+                F.round(F.col("_bg"), 6).alias("gain"),
+                "train_sse",
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1097,3 +1097,62 @@ def pps_stratified_sample(
         F.col("_w").alias("weight_cents"),
         F.col("_cum").alias("cum_weight_cents"),
     )
+
+
+def group_kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    keys: list | tuple = (),
+) -> DataFrame:
+    """Group-aware k-fold assignment summary — the leakage-safe CV
+    split: row-level k-fold (``kfold_assign``) puts rows of the SAME
+    user/document/session in different folds, so a model sees its
+    own eval groups during training and the offline metric lies.
+    Group k-fold assigns every row of a group to ONE fold — the
+    md5 hash of the group key (deterministic, partition-invariant,
+    and stable under re-runs: adding rows to a group never moves
+    it).
+
+    NULL groups raise in-plan (a NULL would silently hash to one
+    fold and concentrate every orphan row there — the caller decides
+    whether NULL is a real group).
+
+    Output: one row per fold — n_groups, n_rows, row_frac (6dp) and
+    group_frac (6dp), the balance numbers a split review checks
+    (group k-fold trades perfect balance for leakage safety; skewed
+    group sizes show up here).  One map-side-combined aggregation
+    over (fold, group) then fold; the row-grain frame never joins."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    gc = F.col(group_col)
+    fold = F.when(
+        gc.isNotNull(),
+        base_hash(gc.cast("string")) % k,
+    ).otherwise(
+        F.raise_error(
+            F.lit("group_kfold_assign: NULL group key")
+        )
+    )
+    per_group = (
+        df.select(fold.alias("_fold"), gc.alias("_g"))
+        .groupBy("_fold", "_g")
+        .agg(F.count("*").alias("_rows"))
+    )
+    per_fold = per_group.groupBy("_fold").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("_rows").alias("n_rows"),
+    )
+    totals = per_fold.agg(
+        F.sum("n_groups").alias("_tg"), F.sum("n_rows").alias("_tr")
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_fold").cast("int").alias("fold"),
+            "n_groups", "n_rows",
+            F.round(F.col("n_rows") / F.col("_tr"), 6).alias("row_frac"),
+            F.round(F.col("n_groups") / F.col("_tg"), 6)
+            .alias("group_frac"),
+        )
+    )
