@@ -6201,6 +6201,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_deming": _agg_deming,
         "smp_group_kfold": _smp_group_kfold,
         "mm_image_neardup": _mm_image_neardup,
+        # --- round-8 thirteenth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-12): event study,
+        # AR(1) half-life, audio fingerprint dedup, contrastive
+        # triplets, zone-map skipping (staged + oracle-validated in
+        # tests/test_round9l_staged.py) ---
+        "evt_event_study": _evt_event_study,
+        "evt_ar1_halflife": _evt_ar1_halflife,
+        "mm_audio_fingerprint": _mm_audio_fingerprint,
+        "composite_contrastive_pairs": _composite_contrastive_pairs,
+        "tbl_zonemap_skip": _tbl_zonemap_skip,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9516,6 +9526,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9i_oracles())
     base.update(_r9j_oracles())
     base.update(_r9k_oracles())
+    base.update(_r9l_oracles())
     return base
 
 
@@ -15441,4 +15452,297 @@ def _r9k_oracles() -> dict[str, str]:
         "agg_deming": _DEMING_SQL,
         "smp_group_kfold": _GROUP_KFOLD_SQL,
         "mm_image_neardup": _IMAGE_NEARDUP_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 stagings, thirteenth wave (registered BEHIND the window,
+# claims the round-9 window after waves 11-12): event study, AR(1)
+# half-life, audio fingerprint dedup, contrastive triplets, zone-map
+# skipping audit (staged + oracle-validated in
+# tests/test_round9l_staged.py)
+# ---------------------------------------------------------------------------
+
+
+def _evt_event_study(spark, sf_dir):
+    """Event-study effect path (events.event_study): adoption = each
+    user's first signup day (never-signed-up users are the
+    controls), outcome = daily purchase value on active days,
+    calendar-matched diff-in-means per relative period ±5."""
+    from eggv_spark.operators.events import event_study
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    panel = ev.groupBy(
+        F.col("user_id").alias("u"),
+        F.to_date("ts").alias("d"),
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                )
+            ),
+            F.lit(0.0),
+        ).alias("y")
+    )
+    adopt = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.min(F.to_date("ts")).alias("a"))
+    )
+    return event_study(
+        panel.join(adopt, "u", "left"), "u", "d", "a", "y", max_lag=5
+    )
+
+
+def _evt_ar1_halflife(spark, sf_dir):
+    """Mean-reversion half-life of each event type's daily value
+    series (events.ar1_halflife): lag-1 correlation of the
+    day-ordered daily sums, halflife = -ln2/ln(rho)."""
+    from eggv_spark.operators.events import ar1_halflife
+
+    return ar1_halflife(
+        _t(spark, sf_dir, "events").select(
+            "event_type", F.to_date("ts").alias("day"), "value"
+        ),
+        "event_type", "day", "value",
+    )
+
+
+def _mm_audio_fingerprint(spark, sf_dir):
+    """Audio near-dup pairs over REAL-decoded PCM energy-delta
+    fingerprints (multimodal.audio_fingerprint -> the hash-generic
+    band join): the audio leg of the one bucket-then-verify dedup
+    kernel (MinHash for text, aHash for images, this for audio)."""
+    from eggv_spark.operators import multimodal as M
+
+    fp = M.audio_fingerprint(
+        M.synthesize_wav_audio(_t(spark, sf_dir, "documents"))
+    )
+    return M.image_neardup_pairs(
+        fp, hash_col="fingerprint",
+        hash_bits=16, n_bands=4, max_hamming=3,
+    )
+
+
+def _composite_contrastive_pairs(spark, sf_dir):
+    """Contrastive TRAINING TRIPLETS as one plan — the artifact a
+    similarity-model fine-tune actually consumes: anchors/positives
+    from the MinHash near-dup pipeline on the dup-injected corpus,
+    negatives from the far hash bucket (bucket(anchor)+B/2 mod B,
+    smallest id — deterministic, bucket-local, NO global sort), with
+    an anti-join guard so a negative can never be a known near-dup
+    of its anchor.  Triplets whose negative collides with the pair
+    itself are dropped (documented contract; the far-bucket rule
+    makes collisions structurally rare)."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    n_buckets = 64
+    docs = _docs_with_dups(spark, sf_dir)
+    pos = D.minhash_neardup_pairs(docs, threshold=0.7)
+    bucket_min = F.broadcast(
+        docs.groupBy(
+            (base_hash(F.col("doc_id").cast("string")) % n_buckets)
+            .alias("_b")
+        ).agg(F.min("doc_id").alias("negative_id"))
+    )
+    trip = (
+        pos.select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("positive_id"),
+            "jaccard",
+            (
+                (base_hash(F.col("id_a").cast("string")) % n_buckets
+                 + n_buckets // 2) % n_buckets
+            ).alias("_tb"),
+        )
+        .join(bucket_min, F.col("_tb") == F.col("_b"))
+        .drop("_b", "_tb")
+        .filter(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+    )
+    guard = pos.select(
+        F.least("id_a", "id_b").alias("_ga"),
+        F.greatest("id_a", "id_b").alias("_gb"),
+    )
+    return trip.join(
+        guard,
+        (F.least("anchor_id", "negative_id") == F.col("_ga"))
+        & (F.greatest("anchor_id", "negative_id") == F.col("_gb")),
+        "left_anti",
+    ).select("anchor_id", "positive_id", "negative_id", "jaccard")
+
+
+def _tbl_zonemap_skip(spark, sf_dir):
+    """Zone-map file-skipping audit (tableops.zonemap_skip_audit):
+    synthetic manifest from orders (file = o_orderkey % 200, min/max
+    o_totalprice + row count per file), predicate = totalprice in
+    [150000, 200000] — how much IO the stats would save."""
+    stats = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 200).alias("file_id"))
+        .agg(
+            F.min("o_totalprice").alias("min_val"),
+            F.max("o_totalprice").alias("max_val"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return TO.zonemap_skip_audit(stats, 150000.0, 200000.0)
+
+
+_EVENT_STUDY_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d, event_type, value
+  FROM events WHERE user_id IS NOT NULL
+), panel AS (
+  SELECT u, d,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0) AS y
+  FROM ev GROUP BY u, d
+), adopt AS (
+  SELECT u, min(d) AS a FROM ev WHERE event_type = 'signup' GROUP BY u
+), base AS (
+  SELECT p.u, p.d, adopt.a, p.y
+  FROM panel p LEFT JOIN adopt ON p.u = adopt.u
+), treated AS (
+  SELECT datediff('day', a, d) AS tau, d,
+         count(*) AS n, avg(y) AS my
+  FROM base WHERE a IS NOT NULL
+    AND datediff('day', a, d) BETWEEN -5 AND 5
+  GROUP BY 1, 2
+), ctrl AS (
+  SELECT d, avg(y) AS mc FROM base WHERE a IS NULL GROUP BY d
+), j AS (
+  SELECT t.tau, t.n, t.my, c.mc
+  FROM treated t LEFT JOIN ctrl c ON t.d = c.d
+)
+SELECT CAST(tau AS INT) AS rel_period,
+       CAST(sum(n) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN mc IS NULL THEN n ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       round(sum(CASE WHEN mc IS NOT NULL THEN n * (my - mc)
+                 ELSE 0.0 END)
+             / sum(CASE WHEN mc IS NOT NULL THEN n ELSE 0 END), 6)
+         AS effect
+FROM j GROUP BY tau"""
+
+
+_AR1_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS x
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY d) AS xp
+  FROM daily
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(corr(x, xp), 4) AS rho
+  FROM lagged WHERE xp IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_pairs, rho,
+       CASE WHEN rho > 0 AND rho < 1
+            THEN round(-ln(2.0) / ln(rho), 4) END AS halflife
+FROM g"""
+
+
+_AUDIO_FP_SQL = """
+WITH en AS (
+  SELECT doc_id, w,
+         sum(abs(((doc_id * 31 + i * 17) % 4096) - 2048)) AS e
+  FROM documents,
+       LATERAL (SELECT unnest(range(64)) AS i),
+       LATERAL (SELECT i // 4 AS w)
+  GROUP BY doc_id, w
+), fp AS (
+  SELECT a.doc_id AS id,
+         CAST(sum(CASE WHEN b.e > a.e THEN 1 ELSE 0 END
+                  << (15 - a.w)) AS BIGINT) AS h
+  FROM en a JOIN en b
+    ON a.doc_id = b.doc_id AND b.w = (a.w + 1) % 16
+  GROUP BY a.doc_id
+), dh AS (
+  SELECT h AS ahash, min(id) AS rep, CAST(count(*) AS BIGINT) AS n
+  FROM fp GROUP BY 1
+), bands AS (
+  SELECT ahash, rep, n, bi AS band,
+         (ahash >> (bi * 4)) & 15 AS val
+  FROM dh, LATERAL (SELECT unnest(range(4)) AS bi)
+), cand AS (
+  SELECT DISTINCT l.rep AS rep_a, r.rep AS rep_b,
+         l.n AS n_images_a, r.n AS n_images_b,
+         l.ahash AS ha, r.ahash AS hb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.val = r.val AND l.rep < r.rep
+)
+SELECT rep_a, rep_b, n_images_a, n_images_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3"""
+
+
+def _contrastive_oracle_sql() -> str:
+    """Oracle for the contrastive-triplet composite: the validated
+    MinHash near-dup oracle as a derived table (the composite_knn_eval
+    pattern) + the far-bucket negative rule + the anti-join guard."""
+    return f"""
+WITH pos AS ({_minhash_oracle()}),
+corpus AS ({_DUPDOCS_SQL}),
+bm AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 64 AS b,
+         min(doc_id) AS negative_id
+  FROM corpus GROUP BY 1
+), trip AS (
+  SELECT p.id_a AS anchor_id, p.id_b AS positive_id, p.jaccard,
+         bm.negative_id
+  FROM pos p JOIN bm
+    ON bm.b = (CAST('0x' || substr(md5(CAST(p.id_a AS VARCHAR)), 1, 8)
+               AS BIGINT) % 64 + 32) % 64
+  WHERE bm.negative_id <> p.id_a AND bm.negative_id <> p.id_b
+)
+SELECT anchor_id, positive_id, negative_id, jaccard
+FROM trip t
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos g
+  WHERE least(t.anchor_id, t.negative_id) = least(g.id_a, g.id_b)
+    AND greatest(t.anchor_id, t.negative_id) = greatest(g.id_a, g.id_b)
+)"""
+
+
+_ZONEMAP_SQL = """
+WITH stats AS (
+  SELECT o_orderkey % 200 AS file_id,
+         min(o_totalprice) AS min_val, max(o_totalprice) AS max_val,
+         count(*) AS n_rows
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT *, (max_val < 150000.0 OR min_val > 200000.0) AS skipped
+  FROM stats
+)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skipped,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_skipped,
+       round(sum(CASE WHEN skipped THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS skip_ratio,
+       round(sum(CASE WHEN skipped THEN n_rows ELSE 0 END)
+             / CAST(sum(n_rows) AS DOUBLE), 6) AS row_skip_ratio
+FROM s"""
+
+
+def _r9l_oracles() -> dict[str, str]:
+    """Oracles for the thirteenth round-8 staging wave."""
+    return {
+        "evt_event_study": _EVENT_STUDY_SQL,
+        "evt_ar1_halflife": _AR1_SQL,
+        "mm_audio_fingerprint": _AUDIO_FP_SQL,
+        "composite_contrastive_pairs": _contrastive_oracle_sql(),
+        "tbl_zonemap_skip": _ZONEMAP_SQL,
     }

@@ -1628,3 +1628,129 @@ def ips_policy_value(
             F.try_divide(F.col("_sw") * F.col("_sw"), F.col("_sw2")), 2
         ).alias("ess"),
     )
+
+
+def event_study(
+    df: DataFrame,
+    unit_col: str,
+    day_col: str,
+    adoption_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Event-study readout — per-relative-period treatment effects
+    around a staggered adoption day, the dynamic companion to
+    :func:`did_estimator` (DiD gives ONE pre/post contrast; the
+    event study shows the full effect PATH — pre-trends to the left
+    of τ=0 are the standard parallel-trends diagnostic, the effect
+    ramp to the right is the payoff curve).
+
+    Inputs are unit-day observations: ``adoption_col`` is the unit's
+    adoption day (NULL = never-treated control).  For each relative
+    period τ = day − adoption ∈ [−max_lag, max_lag], the effect is
+    the calendar-matched diff-in-means
+        effect(τ) = Σ_d n_τd·(ȳ_treat(τ, d) − ȳ_ctrl(d)) / Σ_d n_τd
+    — treated cells compare against CONTROL units on the SAME
+    calendar day (never against other periods), weighted by treated
+    cell size, so calendar shocks common to both groups cancel.
+    Days with no control observations drop out of τ's average (no
+    counterfactual that day) — counted in ``n_unmatched``.
+
+    Two map-side-combined aggregations (treated cells, control
+    day-means) + one day-keyed join of day-grain frames; nothing
+    unit-grain shuffles twice.  Output: one row per τ with
+    n_obs / n_unmatched / effect (6dp)."""
+    day = F.col(day_col)
+    adopt = F.col(adoption_col)
+    base = df.select(
+        F.col(unit_col).alias("_u"),
+        day.alias("_d"),
+        adopt.alias("_a"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    treated = (
+        base.filter(F.col("_a").isNotNull())
+        .select(
+            "_d", "_y",
+            F.datediff(F.col("_d"), F.col("_a")).alias("_tau"),
+        )
+        .filter(F.col("_tau").between(-max_lag, max_lag))
+        .groupBy("_tau", "_d")
+        .agg(
+            F.count("*").alias("_n"),
+            F.avg("_y").alias("_my"),
+        )
+    )
+    ctrl = (
+        base.filter(F.col("_a").isNull())
+        .groupBy("_d")
+        .agg(F.avg("_y").alias("_mc"))
+    )
+    joined = treated.join(ctrl, "_d", "left")
+    return (
+        joined.groupBy(F.col("_tau").alias("rel_period"))
+        .agg(
+            F.sum("_n").alias("n_obs"),
+            F.sum(F.when(F.col("_mc").isNull(), F.col("_n"))
+                  .otherwise(0)).alias("n_unmatched"),
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            F.col("_mc").isNotNull(),
+                            F.col("_n") * (F.col("_my") - F.col("_mc")),
+                        ).otherwise(0.0)
+                    ),
+                    F.sum(
+                        F.when(F.col("_mc").isNotNull(), F.col("_n"))
+                        .otherwise(0)
+                    ),
+                ),
+                6,
+            ).alias("effect"),
+        )
+    )
+
+
+def ar1_halflife(
+    df: DataFrame,
+    series_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """AR(1) mean-reversion half-life per series — "how long does a
+    shock to this daily metric persist": fit x_t = ρ·x_{t−1} + ε by
+    the lag-1 correlation over the series' day-ordered values and
+    report halflife = −ln 2 / ln ρ (the time for a deviation to
+    decay halfway back).  The metric a monitoring/forecast pass
+    computes next to ``acf_lags`` (full correlogram) and
+    ``evt_changepoint`` (level breaks): ρ near 1 means shocks are
+    structural, near 0 means noise.
+
+    One window shuffle partitioned BY SERIES for the lag, one
+    moments aggregate.  Consecutive-row lag: a calendar gap is
+    treated as adjacent (documented; gapfill upstream with
+    ``evt_gapfill`` when closing the gaps matters).  halflife is
+    NULL outside 0 < ρ < 1 (no mean reversion to halve).  ρ at 4dp,
+    halflife at 4dp."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.groupBy(
+            F.col(series_col).alias("_s"), F.col(day_col).alias("_d")
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_x"))
+    )
+    w = Window.partitionBy("_s").orderBy("_d")
+    lagged = daily.select(
+        "_s", "_x", F.lag("_x").over(w).alias("_xp")
+    ).filter(F.col("_xp").isNotNull())
+    g = lagged.groupBy(F.col("_s").alias(series_col)).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.corr("_x", "_xp"), 4).alias("rho"),
+    )
+    hl = F.when(
+        (F.col("rho") > 0) & (F.col("rho") < 1),
+        F.round(-F.log(F.lit(2.0)) / F.log(F.col("rho")), 4),
+    )
+    return g.select(series_col, "n_pairs", "rho", hl.alias("halflife"))

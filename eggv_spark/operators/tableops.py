@@ -1127,3 +1127,45 @@ def bloom_filter_audit(
             ).alias("expected_fp_rate"),
         )
     )
+
+
+def zonemap_skip_audit(
+    file_stats: DataFrame,
+    lower: Column | float,
+    upper: Column | float,
+) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit — the OTHER
+    data-skipping mechanism next to partition pruning
+    (``partition_pruning_report``): partition pruning skips by
+    directory value, zone maps skip a FILE whenever its [min, max]
+    stat range cannot intersect the predicate range — the mechanism
+    behind parquet row-group stats, Delta/Iceberg file stats, and
+    every warehouse's block-range index.  Run against a table's
+    manifest before choosing sort/cluster keys: a skip ratio near 0
+    on the hot predicate column means the layout (not the engine)
+    is the bottleneck — the same decision ``zorder_key`` feeds.
+
+    Input: one row per file with ``min_val``/``max_val``/``n_rows``.
+    A file is skipped iff max_val < lower OR min_val > upper.  One
+    1-row aggregate; everything integer-or-comparison exact.
+
+    Output: n_files, n_skipped, rows_total, rows_skipped,
+    skip_ratio (6dp), row_skip_ratio (6dp)."""
+    lo = lower if isinstance(lower, Column) else F.lit(float(lower))
+    hi = upper if isinstance(upper, Column) else F.lit(float(upper))
+    skipped = (F.col("max_val") < lo) | (F.col("min_val") > hi)
+    return file_stats.agg(
+        F.count("*").alias("n_files"),
+        F.sum(skipped.cast("long")).alias("n_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+        .alias("rows_skipped"),
+        F.round(
+            F.sum(skipped.cast("long")) / F.count("*"), 6
+        ).alias("skip_ratio"),
+        F.round(
+            F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows"),
+            6,
+        ).alias("row_skip_ratio"),
+    )
