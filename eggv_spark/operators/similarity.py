@@ -1170,11 +1170,14 @@ def mmr_diversify(
     the same passage.  score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s).
 
     Shape: ONE data-sized pass scores relevance against the broadcast
-    query vector and TakeOrdered cuts the ``n_candidates`` pool;
-    everything after (the n²-pair similarity table and the k greedy
-    rounds) runs on that bounded pool — the greedy loop is inherently
-    sequential, so it loops on the DRIVER over candidate-pool-sized
-    frames, never over data.
+    query vector and TakeOrdered cuts the ``n_candidates`` pool; the
+    n²-pair similarity table is one broadcast join on that bounded
+    pool; then the pool and pair table — ≤ n_candidates² rows BY
+    CONSTRUCTION — are collected and the inherently-sequential
+    greedy runs in plain driver Python (the 25-row-fixture rule:
+    collecting a provably bounded frame is not a distributed-ness
+    violation, and round-tripping k Spark jobs over 20 rows was
+    measured at ~6 s of pure scheduling overhead).
 
     Determinism: relevance and pairwise similarities round to 6dp
     BEFORE any cut or argmax (sequential-fold cosine — identical
@@ -1200,7 +1203,8 @@ def mmr_diversify(
         .limit(n_candidates)
         .persist()
     )
-    if cand.count() == 0:
+    pool = cand.select("_id", "_rel").collect()
+    if not pool:
         raise ValueError(
             "mmr_diversify: empty candidate pool — query id "
             f"{query_id} not found in {id_col}, or the corpus has no"
@@ -1220,59 +1224,46 @@ def mmr_diversify(
                 cosine_col(F.col("_xa"), F.col("_xb")), 6
             ).alias("_sim"),
         )
-        .persist()
+        .collect()
     )
-    pairs.count()
-    selected = (
-        cand.orderBy(F.col("_rel").desc(), F.col("_id"))
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"),
-            F.col("_id").alias("id"),
-            F.col("_rel").alias("relevance"),
-            F.col("_rel").alias("mmr_score"),
+    cand.unpersist()
+
+    # Spark's round(double, 6) is BigDecimal.valueOf(d) (shortest
+    # decimal repr, same as Python repr) + HALF_UP — replicate it
+    # exactly so the driver-side scores match the SQL oracle bit for
+    # bit (Python's builtin round is banker's and would not).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
         )
-        .persist()
-    )
-    selected.count()
-    prev = selected
+
+    rel = {r["_id"]: r["_rel"] for r in pool}
+    sim = {(r["_ia"], r["_ib"]): r["_sim"] for r in pairs}
+    first = min(pool, key=lambda r: (-r["_rel"], r["_id"]))
+    out = [(1, first["_id"], first["_rel"], first["_rel"])]
+    chosen = [first["_id"]]
     for step in range(2, k + 1):
-        pen = (
-            pairs.join(
-                selected.select(F.col("id").alias("_ib")), "_ib"
-            )
-            .groupBy("_ia")
-            .agg(F.max("_sim").alias("_pen"))
-        )
-        pick = (
-            cand.join(
-                selected.select(F.col("id").alias("_id")),
-                "_id",
-                "left_anti",
-            )
-            .join(pen.withColumnRenamed("_ia", "_id"), "_id")
-            .select(
-                "_id", "_rel",
-                F.round(
-                    F.lit(lam) * F.col("_rel")
-                    - F.lit(1.0 - lam) * F.col("_pen"),
-                    6,
-                ).alias("_score"),
-            )
-            .orderBy(F.col("_score").desc(), F.col("_id"))
-            .limit(1)
-            .select(
-                F.lit(step).alias("rank"),
-                F.col("_id").alias("id"),
-                F.col("_rel").alias("relevance"),
-                F.col("_score").alias("mmr_score"),
-            )
-        )
-        selected = selected.unionByName(pick).persist()
-        selected.count()
-        prev.unpersist()
-        prev = selected
-    return selected
+        best = None
+        for r in pool:
+            cid = r["_id"]
+            if cid in chosen:
+                continue
+            pen = max(sim[(cid, s)] for s in chosen)
+            score = _round6(lam * rel[cid] - (1.0 - lam) * pen)
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel[cid], score)
+        if best is None:
+            break
+        out.append((step, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return df.sparkSession.createDataFrame(
+        out, "rank int, id long, relevance double, mmr_score double"
+    )
 
 
 def jl_sign(j: int, d: int) -> float:
