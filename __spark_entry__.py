@@ -6211,6 +6211,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_fingerprint": _mm_audio_fingerprint,
         "composite_contrastive_pairs": _composite_contrastive_pairs,
         "tbl_zonemap_skip": _tbl_zonemap_skip,
+        # --- round-8 fourteenth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-13): minhash
+        # recall eval, raking weights, instruction scorer (staged +
+        # oracle-validated in tests/test_round9m_staged.py) ---
+        "ddp_minhash_eval": _ddp_minhash_eval,
+        "smp_raking_weights": _smp_raking_weights,
+        "txt_instruction_score": _txt_instruction_score,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9527,6 +9534,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9j_oracles())
     base.update(_r9k_oracles())
     base.update(_r9l_oracles())
+    base.update(_r9m_oracles())
     return base
 
 
@@ -15745,4 +15753,169 @@ def _r9l_oracles() -> dict[str, str]:
         "mm_audio_fingerprint": _AUDIO_FP_SQL,
         "composite_contrastive_pairs": _contrastive_oracle_sql(),
         "tbl_zonemap_skip": _ZONEMAP_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 stagings, fourteenth wave (registered BEHIND the window,
+# claims the round-9 window after waves 11-13): minhash recall eval,
+# raking weights, instruction-data scorer (staged + oracle-validated
+# in tests/test_round9m_staged.py)
+# ---------------------------------------------------------------------------
+
+
+def _ddp_minhash_eval(spark, sf_dir):
+    """Recall eval of the MinHash near-dup pipeline against the
+    PLANTED ground truth (every 10th doc duplicated at +1,000,000 —
+    known by construction, the dedup twin of sim_recall_eval): how
+    many planted pairs the banded LSH recovered, plus the extra
+    verified near-dups it found beyond the plant.  The QA a dedup
+    config change (bands, shingle size, threshold) must pass before
+    rollout."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pred = D.minhash_neardup_pairs(docs, threshold=0.7)
+    truth = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id % 10 = 0")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+    )
+    hits = pred.join(truth, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    stats = pred.agg(F.count("*").alias("n_pred")).crossJoin(
+        F.broadcast(hits.agg(F.count("*").alias("n_recovered")))
+    ).crossJoin(F.broadcast(n_truth))
+    return stats.select(
+        "n_truth", "n_pred", "n_recovered",
+        (F.col("n_pred") - F.col("n_recovered")).alias("n_extra"),
+        F.round(
+            F.try_divide(F.col("n_recovered"), F.col("n_truth")), 4
+        ).alias("recall"),
+    )
+
+
+_RAKING_TARGETS_1 = {
+    "AUTOMOBILE": 0.2, "BUILDING": 0.2, "FURNITURE": 0.2,
+    "HOUSEHOLD": 0.2, "MACHINERY": 0.2,
+}
+_RAKING_TARGETS_2 = {0: 0.2, 1: 0.2, 2: 0.2, 3: 0.2, 4: 0.2}
+
+
+def _smp_raking_weights(spark, sf_dir):
+    """Raking / IPF weight calibration (relational.raking_weights):
+    calibrate customer weights to UNIFORM margins over market
+    segment × nation bucket simultaneously — the mixture-hitting
+    weighting a domain × language recipe needs, 3 iterations at the
+    25-cell grain."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).cast("int").alias("nation_bucket"),
+    )
+    return R.raking_weights(
+        cust, "c_mktsegment", "nation_bucket",
+        _RAKING_TARGETS_1, _RAKING_TARGETS_2, iterations=3,
+    )
+
+
+def _txt_instruction_score(spark, sf_dir):
+    """Instruction-data mining heuristics over documents
+    (text_analysis.instruction_score): imperative/interrogative/
+    enumeration/request cues as literal sets, 2dp-exact score."""
+    return T.instruction_score(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_eval_oracle_sql() -> str:
+    """Oracle for the minhash recall eval: the validated near-dup
+    oracle as a derived table + the planted-pair arithmetic."""
+    return f"""
+WITH pos AS ({_minhash_oracle()}),
+truth AS (
+  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+  FROM documents WHERE doc_id % 10 = 0
+), rec AS (
+  SELECT count(*) AS n_recovered
+  FROM pos JOIN truth USING (id_a, id_b)
+), np AS (SELECT count(*) AS n_pred FROM pos),
+nt AS (SELECT count(*) AS n_truth FROM truth)
+SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+       CAST(np.n_pred AS BIGINT) AS n_pred,
+       CAST(rec.n_recovered AS BIGINT) AS n_recovered,
+       CAST(np.n_pred - rec.n_recovered AS BIGINT) AS n_extra,
+       round(CAST(rec.n_recovered AS DOUBLE) / nt.n_truth, 4)
+         AS recall
+FROM np, rec, nt"""
+
+
+def _raking_oracle_sql(iterations: int = 3) -> str:
+    """Oracle for raking_weights: cell-grain IPF unrolled, factors
+    rounded at 8dp before each multiplication (matching the
+    operator's determinism contract)."""
+    parts = [
+        "cells0 AS MATERIALIZED (SELECT c_mktsegment AS d1,"
+        " CAST(c_nationkey % 5 AS INT) AS d2, count(*) AS n,"
+        " CAST(count(*) AS DOUBLE) AS w"
+        " FROM customer GROUP BY 1, 2)",
+        "tot AS (SELECT sum(n) AS t FROM cells0)",
+    ]
+    cur = "cells0"
+    step = 0
+    for _ in range(iterations):
+        for dim in ("d1", "d2"):
+            step += 1
+            parts.append(
+                f"m{step} AS (SELECT {dim}, sum(w) AS mw"
+                f" FROM {cur} GROUP BY 1)"
+            )
+            parts.append(
+                f"cells{step} AS MATERIALIZED (SELECT c.d1, c.d2,"
+                f" c.n, c.w * round(0.2 * tot.t / m{step}.mw, 8) AS w"
+                f" FROM {cur} c JOIN m{step} USING ({dim}), tot)"
+            )
+            cur = f"cells{step}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT d1 AS c_mktsegment, d2 AS nation_bucket,"
+        f" CAST(n AS BIGINT) AS n_rows, round(w, 6) AS weight_sum,"
+        f" round(w / n, 6) AS row_weight FROM {cur}"
+    )
+
+
+_INSTRUCTION_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         coalesce(list_contains(
+           ['write', 'explain', 'describe', 'list', 'summarize',
+            'translate', 'create', 'give', 'make', 'find'],
+           toks[1]), false) AS imperative_start,
+         (coalesce(list_contains(
+            ['what', 'how', 'why', 'when', 'where', 'which', 'who'],
+            toks[1]), false)
+          OR contains(text, '?')) AS is_question,
+         regexp_matches(text, '(^|\\n)\\s*([0-9]+[.)]|[-*] )')
+           AS has_enumeration,
+         contains(lower(text), 'please') AS has_request
+  FROM t
+)
+SELECT doc_id, imperative_start, is_question, has_enumeration,
+       has_request,
+       round(CAST(imperative_start AS INT) * 0.35
+             + CAST(is_question AS INT) * 0.35
+             + CAST(has_enumeration AS INT) * 0.2
+             + CAST(has_request AS INT) * 0.1, 2) AS instruction_score
+FROM f"""
+
+
+def _r9m_oracles() -> dict[str, str]:
+    """Oracles for the fourteenth round-8 staging wave."""
+    return {
+        "ddp_minhash_eval": _minhash_eval_oracle_sql(),
+        "smp_raking_weights": _raking_oracle_sql(3),
+        "txt_instruction_score": _INSTRUCTION_SQL,
     }

@@ -1156,3 +1156,95 @@ def group_kfold_assign(
             .alias("group_frac"),
         )
     )
+
+
+def raking_weights(
+    df: DataFrame,
+    dim1_col: str,
+    dim2_col: str,
+    target1: dict,
+    target2: dict,
+    iterations: int = 3,
+) -> DataFrame:
+    """Iterative proportional fitting (raking / IPF) — calibrate
+    sample weights so BOTH categorical margins match target shares
+    simultaneously, the survey-statistics workhorse that a training
+    -data pipeline reuses verbatim to hit a prescribed domain × 
+    language (or source × topic) mixture when independent per-dim
+    sampling can't (scaling one margin breaks the other; raking
+    alternates until both hold).
+
+    Works entirely at the CELL grain: every row of a (dim1, dim2)
+    cell shares the same adjustment factor, so the row table
+    collapses to |dim1|·|dim2| cells ONCE (map-side combined) and
+    each iteration is two margin aggregates + factor joins on the
+    cell frame — data is touched exactly once regardless of
+    iteration count.  Per-row weight = cell_weight / cell_n.
+
+    Determinism (the kmeans feedback discipline): margin factors
+    round at 8dp before multiplying into the cell weights, so every
+    iteration's input is engine-identical; cells are
+    localCheckpoint-ed per iteration (flat lineage).  Cells whose
+    dim value is missing from the target dict raise in-plan — a
+    silently-unweighted stratum is the classic raking bug.
+
+    Output: one row per cell — n_rows, weight_sum (6dp), the
+    per-row weight (6dp), both dim values."""
+    t1 = F.create_map(
+        *[F.lit(x) for kv in target1.items() for x in kv]
+    )
+    t2 = F.create_map(
+        *[F.lit(x) for kv in target2.items() for x in kv]
+    )
+    cells = (
+        df.groupBy(
+            F.col(dim1_col).alias("_d1"), F.col(dim2_col).alias("_d2")
+        )
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_d1", "_d2", "_n",
+            F.col("_n").cast("double").alias("_w"),
+        )
+    )
+    total = cells.agg(F.sum("_n").alias("_tot"))
+    cells = cells.crossJoin(F.broadcast(total))
+
+    def _tshare(m: Column, key: Column, op: str) -> Column:
+        share = m[key]
+        return F.when(share.isNotNull(), share).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"raking_weights: no {op} target for "),
+                    key.cast("string"),
+                )
+            )
+        )
+
+    cells = cells.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        for dim, tmap, op in (("_d1", t1, "dim1"), ("_d2", t2, "dim2")):
+            margins = cells.groupBy(dim).agg(
+                F.sum("_w").alias("_mw")
+            )
+            cells = (
+                cells.join(F.broadcast(margins), dim)
+                .select(
+                    "_d1", "_d2", "_n", "_tot",
+                    (
+                        F.col("_w")
+                        * F.round(
+                            _tshare(tmap, F.col(dim), op)
+                            * F.col("_tot") / F.col("_mw"),
+                            8,
+                        )
+                    ).alias("_w"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return cells.select(
+        F.col("_d1").alias(dim1_col),
+        F.col("_d2").alias(dim2_col),
+        F.col("_n").alias("n_rows"),
+        F.round("_w", 6).alias("weight_sum"),
+        F.round(F.col("_w") / F.col("_n"), 6).alias("row_weight"),
+    )

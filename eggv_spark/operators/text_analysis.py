@@ -2345,3 +2345,56 @@ def textrank_keywords(
         scored.withColumn("position", F.row_number().over(w))
         .filter(F.col("position") <= top_n)
     )
+
+
+#: Literal cue sets for the instruction-data miner — data-independent
+#: so both engines share them (the decision_stump grid rule).
+INSTRUCTION_VERBS = (
+    "write", "explain", "describe", "list", "summarize", "translate",
+    "create", "give", "make", "find",
+)
+QUESTION_WORDS = ("what", "how", "why", "when", "where", "which", "who")
+
+
+def instruction_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Instruction-data mining heuristics — the cheap first-pass
+    filter for harvesting instruction-tuning candidates from a web
+    corpus (the fasttext-classifier stage trains on what THIS stage
+    surfaces): imperative-verb openings, interrogatives, enumerated
+    structure, and request phrasing, combined into one score.
+
+    Pure Column expressions over the shared tokenization (no UDFs,
+    no regex backtracking risk: enumeration detection is a simple
+    anchored pattern).  Weights are declared literals; the score is
+    a 2dp-exact sum of flag·weight products — engine-identical.
+
+    Output: doc id + the four flags + instruction_score (0..1).
+    Flags: imperative_start (0.35), is_question (0.35 — wh-word
+    start or a '?'), has_enumeration (0.2), has_request (0.1)."""
+    toks = tokens_col(text_col)
+    first = F.get(toks, 0)
+    verbs = F.array(*[F.lit(v) for v in INSTRUCTION_VERBS])
+    wh = F.array(*[F.lit(w) for w in QUESTION_WORDS])
+    imperative = F.coalesce(
+        F.array_contains(verbs, first), F.lit(False)
+    )
+    question = F.coalesce(
+        F.array_contains(wh, first), F.lit(False)
+    ) | F.col(text_col).contains("?")
+    enumerated = F.col(text_col).rlike(r"(^|\n)\s*([0-9]+[.)]|[-*] )")
+    request = F.lower(F.col(text_col)).contains("please")
+    score = F.round(
+        imperative.cast("double") * 0.35
+        + question.cast("double") * 0.35
+        + enumerated.cast("double") * 0.2
+        + request.cast("double") * 0.1,
+        2,
+    )
+    return df.select(
+        "doc_id",
+        imperative.alias("imperative_start"),
+        question.alias("is_question"),
+        enumerated.alias("has_enumeration"),
+        request.alias("has_request"),
+        score.alias("instruction_score"),
+    )
