@@ -6218,6 +6218,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddp_minhash_eval": _ddp_minhash_eval,
         "smp_raking_weights": _smp_raking_weights,
         "txt_instruction_score": _txt_instruction_score,
+        # --- round-8 fifteenth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-14): integer-exact
+        # batch perceptron, Kendall tau-b, CUSUM drift chart, harmonic
+        # centrality, vacuum audit (staged + oracle-validated in
+        # tests/test_round9n_staged.py) ---
+        "perceptron_fit": _perceptron_fit,
+        "agg_kendall_tau": _agg_kendall_tau,
+        "evt_cusum": _evt_cusum,
+        "graph_harmonic": _graph_harmonic,
+        "tbl_vacuum_plan": _tbl_vacuum_plan,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9535,6 +9545,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9k_oracles())
     base.update(_r9l_oracles())
     base.update(_r9m_oracles())
+    base.update(_r9n_oracles())
     return base
 
 
@@ -15918,4 +15929,322 @@ def _r9m_oracles() -> dict[str, str]:
         "ddp_minhash_eval": _minhash_eval_oracle_sql(),
         "smp_raking_weights": _raking_oracle_sql(3),
         "txt_instruction_score": _INSTRUCTION_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 fifteenth wave: integer-exact perceptron, Kendall tau-b,
+# CUSUM control chart, harmonic centrality, vacuum audit
+# ---------------------------------------------------------------------------
+
+
+def _perceptron_fit(spark, sf_dir):
+    """Batch perceptron (ml.perceptron_fit) on millis-quantized
+    embeddings: x = floor(e_d * 1000) over the first 8 dims, label
+    +1/-1 by the sign of the quantized first dim, 3 epochs.  Every
+    weight/bias/count is an exact BIGINT — the bit-reproducible
+    member of the linear-fit family."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.transform(
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8),
+        lambda e: F.floor(e * 1000).cast("bigint"),
+    )
+    data = emb.select(x.alias("x")).select(
+        "x",
+        F.when(F.element_at("x", 1) >= 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    return ML.perceptron_fit(data, "x", "y", n_epochs=3, dim=8)
+
+
+def _agg_kendall_tau(spark, sf_dir):
+    """Kendall tau-b (aggregates.kendall_tau) between segment size and
+    total balance at the (nation, mktsegment) grain — 125 rows, so the
+    documented pre-aggregated-grain contract holds and the pair cross
+    join broadcasts.  Balances quantize to integer cents per row
+    before summing (exact comparisons, no float ties)."""
+    grain = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .alias("bal_cents"),
+        )
+    )
+    return AG.kendall_tau(grain, "n_cust", "bal_cents")
+
+
+def _evt_cusum(spark, sf_dir):
+    """Two-sided CUSUM drift chart (events.cusum_chart) over the daily
+    mean-centered event-value series: per-event increments are
+    (value - 250) quantized to cents, so the chart accumulates only
+    deviation from the nominal level, target 0, slack 0, alarm at
+    500.00 units of accumulated drift."""
+    from eggv_spark.operators.events import cusum_chart
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", (F.col("value") - 250).alias("value")
+    )
+    return cusum_chart(
+        ev, "ts", "value",
+        target_cents=0, slack_cents=0, threshold_cents=50000,
+    )
+
+
+def _graph_harmonic(spark, sf_dir):
+    """Hop-limited harmonic centrality (graph.harmonic_centrality,
+    3 directed hops) over the same top-100 rank-thresholded trade
+    graph graph_wcc / graph_modularity use: integer per-hop reach
+    counts, fixed-order 1/d assembly."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("src", "dst")
+    )
+    return G.harmonic_centrality(edges, max_hops=3)
+
+
+def _tbl_vacuum_plan(spark, sf_dir):
+    """Vacuum planning audit (tableops.vacuum_audit) over a versioned
+    file layout synthesized from orders (700 path groups x 3
+    versions; modified = the group-version's max order date; the
+    current snapshot references only version 2): live /
+    orphan_retained / orphan_delete reclaim report at 365-day
+    retention, "now" = the table's max order date carried as a
+    column."""
+    orders = _t(spark, sf_dir, "orders")
+    files = (
+        orders.groupBy(
+            (F.col("o_orderkey") % 700).alias("_g"),
+            (F.col("o_orderkey") % 3).alias("_v"),
+        )
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.max(F.to_date("o_orderdate")).alias("modified_day"),
+        )
+        .select(
+            F.concat(
+                F.lit("part-"), F.col("_g").cast("string"),
+                F.lit("-v"), F.col("_v").cast("string"),
+            ).alias("path"),
+            (F.col("_cnt") * 500).alias("size_bytes"),
+            "modified_day",
+            "_v",
+        )
+    )
+    now = orders.agg(F.max(F.to_date("o_orderdate")).alias("now_day"))
+    listing = files.crossJoin(F.broadcast(now))
+    manifest = files.filter(F.col("_v") == 2).select("path")
+    return TO.vacuum_audit(listing, manifest, retention_days=365)
+
+
+_KENDALL_SQL = """
+WITH g AS MATERIALIZED (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM customer GROUP BY 1, 2
+), p AS (
+  SELECT CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                         OR (a.x > b.x AND a.y > b.y)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         OR (a.x > b.x AND a.y < b.y)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM g a CROSS JOIN g b
+), tx AS (
+  SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT count(*) AS t FROM g GROUP BY x)
+), ty AS (
+  SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT count(*) AS t FROM g GROUP BY y)
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+SELECT n, CAST(c2 / 2 AS BIGINT) AS concordant,
+       CAST(d2 / 2 AS BIGINT) AS discordant,
+       n1 AS tie_pairs_x, n2 AS tie_pairs_y,
+       round((c2 / 2.0 - d2 / 2.0)
+             / sqrt(CAST((n * (n - 1) / 2 - n1) AS DOUBLE)
+                    * CAST((n * (n - 1) / 2 - n2) AS DOUBLE)), 6)
+         AS tau_b
+FROM p, tx, ty, nn"""
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round((value - 250) * 100) AS BIGINT))
+              AS BIGINT) AS x_cents
+  FROM events GROUP BY 1
+), pre AS (
+  SELECT day, x_cents,
+         sum(x_cents) OVER w AS p_pos,
+         sum(-x_cents) OVER w AS p_neg
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), s AS (
+  SELECT day, x_cents,
+         CAST(p_pos - least(CAST(0 AS BIGINT), min(p_pos) OVER w)
+              AS BIGINT) AS s_pos,
+         CAST(p_neg - least(CAST(0 AS BIGINT), min(p_neg) OVER w)
+              AS BIGINT) AS s_neg
+  FROM pre
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day, x_cents, s_pos, s_neg,
+       (s_pos > 50000 OR s_neg > 50000) AS alarm
+FROM s"""
+
+
+def _harmonic_oracle_sql(max_hops: int = 3) -> str:
+    """Unrolled multi-source BFS over the thresholded trade graph:
+    frontier h = (frontier h-1 join edges) EXCEPT everything already
+    reached; integer per-hop counts; fixed-order harmonic assembly."""
+    parts = [
+        _TRADE_TOPK_SQL,
+        "nodes AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        " SELECT src AS v FROM topk"
+        " UNION ALL SELECT dst AS v FROM topk))",
+        "f0 AS (SELECT v AS src, v AS cur FROM nodes)",
+    ]
+    reach_union = "SELECT src, cur FROM f0"
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS MATERIALIZED ("
+            f" SELECT DISTINCT f.src, e.dst AS cur"
+            f" FROM f{h - 1} f JOIN topk e ON f.cur = e.src"
+            f" EXCEPT ({reach_union}))"
+        )
+        reach_union += f" UNION ALL SELECT src, cur FROM f{h}"
+    counts = " UNION ALL ".join(
+        f"SELECT src, {h} AS h, count(*) AS nh FROM f{h} GROUP BY src"
+        for h in range(1, max_hops + 1)
+    )
+    harmonic = " + ".join(
+        f"sum(CASE WHEN h = {h} THEN nh ELSE 0 END) / {float(h)!r}"
+        for h in range(1, max_hops + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+cnt AS ({counts}),
+agg AS (
+  SELECT src, CAST(sum(nh) AS BIGINT) AS n_reached,
+         round({harmonic}, 6) AS harmonic
+  FROM cnt GROUP BY src
+)
+SELECT CAST(n.v AS INT) AS node,
+       coalesce(a.n_reached, 0) AS n_reached,
+       coalesce(a.harmonic, 0.0) AS harmonic
+FROM nodes n LEFT JOIN agg a ON n.v = a.src"""
+    )
+
+
+_VACUUM_SQL = """
+WITH files AS MATERIALIZED (
+  SELECT 'part-' || CAST(o_orderkey % 700 AS VARCHAR)
+           || '-v' || CAST(o_orderkey % 3 AS VARCHAR) AS path,
+         CAST(count(*) * 500 AS BIGINT) AS size_bytes,
+         max(CAST(o_orderdate AS DATE)) AS modified_day,
+         o_orderkey % 3 AS v
+  FROM orders GROUP BY o_orderkey % 700, o_orderkey % 3
+), now_d AS (SELECT max(CAST(o_orderdate AS DATE)) AS now_day
+             FROM orders),
+cls AS (
+  SELECT CASE WHEN f.v = 2 THEN 'live'
+              WHEN date_diff('day', f.modified_day, n.now_day) >= 365
+                THEN 'orphan_delete'
+              ELSE 'orphan_retained' END AS status,
+         f.size_bytes,
+         date_diff('day', f.modified_day, n.now_day) AS age
+  FROM files f, now_d n
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(age) AS BIGINT) AS min_age_days,
+       CAST(max(age) AS BIGINT) AS max_age_days
+FROM cls GROUP BY status"""
+
+
+def _perceptron_oracle_sql(n_epochs: int = 3, dim: int = 8) -> str:
+    """Unrolled batch perceptron: per-dim misclassified sums at the
+    (epoch, dim) grain, list-assembled weights, every quantity BIGINT
+    (DuckDB integer sums are exact, cast back from HUGEINT)."""
+    parts = [
+        f"""d AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {dim}),
+           i -> CAST(floor(CAST(embedding AS DOUBLE[])[i] * 1000)
+                     AS BIGINT)) AS x
+  FROM embeddings
+)""",
+        """d2 AS MATERIALIZED (
+  SELECT x, CASE WHEN x[1] >= 0 THEN CAST(1 AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS y FROM d
+)""",
+        f"""w0 AS (SELECT list_transform(generate_series(1, {dim}),
+  i -> CAST(0 AS BIGINT)) AS w, CAST(0 AS BIGINT) AS b)""",
+    ]
+    for e in range(1, n_epochs + 1):
+        parts.append(
+            f"""s{e} AS MATERIALIZED (
+  SELECT x, y,
+    (y * (list_sum(list_transform(generate_series(1, {dim}),
+          i -> x[i] * w[i])) + b) <= 0) AS mis
+  FROM d2, w{e - 1})"""
+        )
+        parts.append(
+            f"""g{e} AS MATERIALIZED (
+  SELECT i, CAST(sum(CASE WHEN mis THEN y * x[i] ELSE 0 END)
+                 AS BIGINT) AS g
+  FROM s{e}, generate_series(1, {dim}) t(i) GROUP BY i)"""
+        )
+        parts.append(
+            f"""w{e} AS (
+  SELECT list_transform(generate_series(1, {dim}),
+           i -> w[i] + gv.dw[i]) AS w,
+         b + db.v AS b
+  FROM w{e - 1},
+       (SELECT list(g ORDER BY i) AS dw FROM g{e}) gv,
+       (SELECT CAST(sum(CASE WHEN mis THEN y ELSE 0 END) AS BIGINT)
+          AS v FROM s{e}) db)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+f AS (
+  SELECT (y * (list_sum(list_transform(generate_series(1, {dim}),
+           i -> x[i] * w[i])) + b) <= 0) AS mis, w, b
+  FROM d2, w{n_epochs})
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       round(1.0 - avg(CASE WHEN mis THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy,
+       any_value(b) AS bias,
+       CAST(any_value(list_sum(list_transform(w, t -> abs(t))))
+            AS BIGINT) AS w_l1,
+       CAST(any_value(list_max(list_transform(w, t -> abs(t))))
+            AS BIGINT) AS w_abs_max
+FROM f"""
+    )
+
+
+def _r9n_oracles() -> dict[str, str]:
+    """Oracles for the fifteenth round-8 staging wave."""
+    return {
+        "perceptron_fit": _perceptron_oracle_sql(3, 8),
+        "agg_kendall_tau": _KENDALL_SQL,
+        "evt_cusum": _CUSUM_SQL,
+        "graph_harmonic": _harmonic_oracle_sql(3),
+        "tbl_vacuum_plan": _VACUUM_SQL,
     }

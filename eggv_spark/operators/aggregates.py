@@ -3136,3 +3136,87 @@ def deming_regression(
         F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
         F.round(r, 4).alias("pearson_r"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two columns, with the
+    full tie correction — the rank-based dependence measure that
+    (unlike Spearman) is a direct probability statement: P(concordant)
+    − P(discordant).
+
+    Pair counting is an ALL-ORDERED-PAIRS self cross-join: a pair
+    (a, b) is concordant when x and y move the same way, discordant
+    when they move opposite ways; ordered counts are exactly 2C and
+    2D (a==b and tied pairs contribute 0), so no row id / tiebreak
+    column is ever needed.  Tie terms n1 = Σ t(t−1)/2 over x-value
+    groups and n2 over y-value groups come from two grouped passes.
+    Every count is an exact integer; only the final
+    τ_b = (C−D)/√((n0−n1)(n0−n2)) is floating (6dp).
+
+    SCALE CONTRACT (same as agg_corr's pairwise cousins): the cross
+    join is O(n²) — callers run this at a PRE-AGGREGATED grain
+    (segments, buckets, days: hundreds-to-thousands of rows), never
+    at raw-event grain.  At that grain the join broadcasts and the
+    whole statistic is one stage.  For raw-scale tau, use
+    agg_spearman (rank + corr, O(n log n)) as the screen and reserve
+    tau-b for the grains where its exact-pair semantics matter.
+
+    NULL rows (either column) are dropped first — a NULL comparison
+    would silently land every pair in the "tied" bucket.
+
+    Output: one row (n, concordant, discordant, tie_pairs_x,
+    tie_pairs_y, tau_b)."""
+    base = (
+        df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    )
+    a = base.select(F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = base.select(F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = a.crossJoin(b)
+    ordered = pairs.agg(
+        F.sum(
+            (
+                ((F.col("_xa") < F.col("_xb")) & (F.col("_ya") < F.col("_yb")))
+                | ((F.col("_xa") > F.col("_xb")) & (F.col("_ya") > F.col("_yb")))
+            ).cast("bigint")
+        ).alias("_c2"),
+        F.sum(
+            (
+                ((F.col("_xa") < F.col("_xb")) & (F.col("_ya") > F.col("_yb")))
+                | ((F.col("_xa") > F.col("_xb")) & (F.col("_ya") < F.col("_yb")))
+            ).cast("bigint")
+        ).alias("_d2"),
+    )
+    tx = base.groupBy("_x").agg(F.count("*").alias("_t")).agg(
+        F.sum(F.col("_t") * (F.col("_t") - 1) / 2).cast("bigint").alias("_n1")
+    )
+    ty = base.groupBy("_y").agg(F.count("*").alias("_t")).agg(
+        F.sum(F.col("_t") * (F.col("_t") - 1) / 2).cast("bigint").alias("_n2")
+    )
+    nrow = base.agg(F.count("*").alias("n"))
+    c = F.col("_c2") / F.lit(2)
+    d = F.col("_d2") / F.lit(2)
+    n0 = F.col("n") * (F.col("n") - 1) / F.lit(2)
+    return (
+        ordered.crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            c.cast("bigint").alias("concordant"),
+            d.cast("bigint").alias("discordant"),
+            F.col("_n1").alias("tie_pairs_x"),
+            F.col("_n2").alias("tie_pairs_y"),
+            F.round(
+                F.try_divide(
+                    c - d,
+                    F.sqrt((n0 - F.col("_n1")) * (n0 - F.col("_n2"))),
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )

@@ -1754,3 +1754,67 @@ def ar1_halflife(
         F.round(-F.log(F.lit(2.0)) / F.log(F.col("rho")), 4),
     )
     return g.select(series_col, "n_pairs", "rho", hl.alias("halflife"))
+
+
+def cusum_chart(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target_cents: int = 0,
+    slack_cents: int = 0,
+    threshold_cents: int = 0,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Two-sided CUSUM control chart over a daily-aggregated series —
+    the sequential drift detector that fires on SMALL persistent
+    shifts an outlier rule (z-score, Tukey) never accumulates.
+
+    Standard recursions, k = slack, T = target:
+
+        S⁺_t = max(0, S⁺_{t−1} + x_t − T − k)
+        S⁻_t = max(0, S⁻_{t−1} + T − k − x_t)
+
+    A driver-side loop over days would serialize the scan, so both
+    recursions are rewritten with the prefix-minimum identity
+    ``S_t = P_t − min(0, min_{j<=t} P_j)`` where P is the running sum
+    of the per-day increments — two window sums + two running mins,
+    one pass, still one partition PER SERIES (pass ``keys`` to shard
+    a fleet of independent series across executors; an unkeyed call
+    is a single global series and is documented as the small-grain
+    form, like the other calendar-spine ops).
+
+    Exactness: per-event values quantize to integer cents BEFORE
+    summing (round(value·100) per row, then integer sums), so every
+    statistic is an exact integer — no floating accumulation anywhere.
+
+    Output per (keys…, day): x_cents, s_pos, s_neg, alarm
+    (either side exceeding ``threshold_cents``)."""
+    keys = list(keys)
+    daily = (
+        df.select(
+            *keys,
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("_cents"),
+        )
+        .groupBy(*keys, "day")
+        .agg(F.sum("_cents").alias("x_cents"))
+    )
+    w = Window.partitionBy(*keys).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_plus = F.lit(int(target_cents) + int(slack_cents)).cast("bigint")
+    t_minus = F.lit(int(target_cents) - int(slack_cents)).cast("bigint")
+    p_pos = F.sum(F.col("x_cents") - t_plus).over(w)
+    p_neg = F.sum(t_minus - F.col("x_cents")).over(w)
+    staged = daily.select(
+        *keys, "day", "x_cents",
+        (p_pos - F.least(F.lit(0).cast("bigint"), F.min(p_pos).over(w)))
+        .alias("s_pos"),
+        (p_neg - F.least(F.lit(0).cast("bigint"), F.min(p_neg).over(w)))
+        .alias("s_neg"),
+    )
+    h = F.lit(int(threshold_cents)).cast("bigint")
+    return staged.select(
+        *keys, "day", "x_cents", "s_pos", "s_neg",
+        ((F.col("s_pos") > h) | (F.col("s_neg") > h)).alias("alarm"),
+    )

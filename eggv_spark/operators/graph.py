@@ -854,3 +854,90 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Hop-limited harmonic centrality: for every node v, the sum of
+    ``1/d(v, u)`` over the nodes u reachable within ``max_hops``
+    DIRECTED hops (following out-edges).  Harmonic is the
+    closeness variant that is well-defined on disconnected graphs
+    (unreachable nodes contribute 0, not a divide-by-infinity), which
+    is why it is the form production graph QA uses.
+
+    Execution is multi-source BFS as relational ops: the state is the
+    (source, reached-node) pair set; each round is one join (frontier
+    ⋈ edges) + distinct + anti-join against the visited set, so round
+    h costs O(edges within h hops of any source), never O(paths).
+    Per-hop reach COUNTS are integers (exact, order-independent); the
+    harmonic sum is assembled from them in one fixed-order expression
+    ``n1/1 + n2/2 + ... + nH/H``, so the 6dp rounding is stable
+    across engines and partitionings.
+
+    Scale contract: the state is O(Σ_v |B_H(v)|) — on a bounded-degree
+    or hop-limited graph this is linear-ish in |V|; on a dense graph
+    it approaches |V|², so callers at web scale pass a LANDMARK-sampled
+    source subset (filter the node spine before seeding) — the plan
+    below is unchanged.  Each round's frontier is localCheckpoint-ed
+    (lazy) so round h's join does not replay rounds 1..h-1.
+
+    Output: (node, n_reached, harmonic) for every node of the graph,
+    0 / 0.0 where nothing is reachable within the bound."""
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_a").alias("node"))
+        .union(e.select(F.col("_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = nodes.select(
+        F.col("node").alias("_src"), F.col("node").alias("_cur")
+    )
+    frontier = visited
+    hop_counts = []  # list of (h, DataFrame[_src, _n])
+    for h in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(e, frontier["_cur"] == e["_a"])
+            .select("_src", F.col("_b").alias("_cur"))
+            .distinct()
+            .join(visited, ["_src", "_cur"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        hop_counts.append(
+            (h, frontier.groupBy("_src").agg(F.count("*").alias("_n")))
+        )
+    per_hop = None
+    for h, cnt in hop_counts:
+        tagged = cnt.select("_src", F.lit(h).alias("_h"), "_n")
+        per_hop = tagged if per_hop is None else per_hop.unionByName(tagged)
+    # fixed-order harmonic assembly from exact integer per-hop counts
+    harmonic = sum(
+        (
+            F.sum(F.when(F.col("_h") == h, F.col("_n")).otherwise(0))
+            / float(h)
+            for h, _ in hop_counts
+        ),
+        F.lit(0.0),
+    )
+    stats = per_hop.groupBy("_src").agg(
+        F.sum("_n").alias("n_reached"),
+        F.round(harmonic, 6).alias("harmonic"),
+    )
+    return (
+        nodes.join(stats, nodes["node"] == stats["_src"], "left")
+        .select(
+            F.col("node").cast("int").alias("node"),
+            F.coalesce(F.col("n_reached"), F.lit(0)).alias("n_reached"),
+            F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+        )
+    )

@@ -1359,3 +1359,135 @@ def gbrt_stumps(
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out
+
+
+def perceptron_fit(
+    df: DataFrame,
+    features_col: str = "x",
+    label_col: str = "y",
+    n_epochs: int = 3,
+    dim: int = 8,
+) -> DataFrame:
+    """Batch perceptron on INTEGER features — the fully exact member
+    of the in-plan linear-fit family (logistic_regression_gd is its
+    floating sibling).  Per epoch, with integer weights w and bias b
+    broadcast as a 1-row frame:
+
+        mis_i   = y_i * (w·x_i + b) <= 0        (batch margin test)
+        w      += Σ_{mis} y_i * x_i              (per-dim integer sum)
+        b      += Σ_{mis} y_i
+
+    Everything is BIGINT: integer sums are associative-exact, so the
+    result is bit-identical across engines, partitionings, and
+    shuffle orders — no rounding contract needed anywhere.  Labels
+    must be ±1 (raise_error in-plan otherwise); features must be a
+    length>=dim integer vector (same loud guard).  Overflow bound
+    (caller's contract): |w_d| <= n_epochs·N·max|x_d|, and the
+    activation magnitude dim·max|w|·max|x| must stay < 2^63 — cents
+    or millis-quantized embeddings at corpus scale are orders of
+    magnitude inside it.
+
+    The per-dim gradient is computed with a conditional inside the
+    aggregate (``Σ CASE WHEN mis THEN y·x_d ELSE 0``) over a
+    posexplode of ALL rows, so the zero-misclassified epoch still
+    yields a dim-row frame (an empty-delta epoch is a fixed point,
+    not a crash).  One corpus pass per epoch; each epoch's 1-row
+    model state is materialized (_step_state) so step k's plan does
+    not nest k corpus scans.
+
+    Output: one diagnostics row — n, errors (final misclassified
+    count), accuracy (4dp), bias, w_l1 = Σ|w_d|, w_abs_max (all
+    exact integers except accuracy)."""
+    y_raw = F.col(label_col).cast("bigint")
+    v = F.slice(F.col(features_col).cast("array<bigint>"), 1, dim)
+    data = df.select(
+        F.when(v.isNotNull() & (F.size(v) >= dim), v)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"perceptron_fit: {features_col} must be a"
+                    f" non-null integer vector with >= {dim} dims"
+                )
+            )
+        )
+        .alias("_x"),
+        F.when(y_raw.isin(-1, 1), y_raw)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("perceptron_fit: labels must be -1/+1, got "),
+                    y_raw.cast("string"),
+                )
+            )
+        )
+        .alias("_y"),
+    )
+    zero = F.lit(0).cast("bigint")
+
+    def _margin(w_col: str, b_col: str) -> Column:
+        return F.col("_y") * (
+            F.aggregate(
+                F.zip_with("_x", w_col, lambda x, wd: x * wd),
+                zero,
+                lambda acc, t: acc + t,
+            )
+            + F.col(b_col)
+        )
+
+    w = data.sparkSession.range(1).select(
+        F.array_repeat(zero, dim).alias("_w"), zero.alias("_b")
+    )
+    prev = None
+    for _ in range(n_epochs):
+        scored = data.crossJoin(F.broadcast(w)).select(
+            "_x", "_y", (_margin("_w", "_b") <= 0).alias("_mis")
+        )
+        dw = (
+            scored.select(
+                F.when(F.col("_mis"), F.col("_y")).otherwise(zero).alias("_yy"),
+                F.posexplode("_x").alias("_d", "_xd"),
+            )
+            .groupBy("_d")
+            .agg(F.sum(F.col("_yy") * F.col("_xd")).alias("_g"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_g"))),
+                    lambda s: s["_g"],
+                ).alias("_dw")
+            )
+        )
+        db = scored.agg(
+            F.sum(F.when(F.col("_mis"), F.col("_y")).otherwise(zero))
+            .alias("_db")
+        )
+        w = (
+            w.crossJoin(F.broadcast(dw))
+            .crossJoin(F.broadcast(db))
+            .select(
+                F.zip_with("_w", "_dw", lambda wd, gd: wd + gd).alias("_w"),
+                (F.col("_b") + F.col("_db")).alias("_b"),
+            )
+        )
+        w = _step_state(w, prev)
+        prev = w
+    final = data.crossJoin(F.broadcast(w)).select(
+        (_margin("_w", "_b") <= 0).alias("_mis"), "_w", "_b"
+    )
+    return final.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_mis").cast("bigint")).alias("errors"),
+        F.round(
+            F.lit(1.0) - F.avg(F.col("_mis").cast("double")), 4
+        ).alias("accuracy"),
+        F.any_value("_b").alias("bias"),
+        F.any_value(
+            F.aggregate(
+                F.transform("_w", lambda wd: F.abs(wd)),
+                zero,
+                lambda acc, t: acc + t,
+            )
+        ).alias("w_l1"),
+        F.any_value(
+            F.array_max(F.transform("_w", lambda wd: F.abs(wd)))
+        ).alias("w_abs_max"),
+    )

@@ -1169,3 +1169,64 @@ def zonemap_skip_audit(
             6,
         ).alias("row_skip_ratio"),
     )
+
+
+def vacuum_audit(
+    listing: DataFrame,
+    manifest: DataFrame,
+    retention_days: int,
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+    modified_col: str = "modified_day",
+    now_col: str = "now_day",
+) -> DataFrame:
+    """Vacuum planning audit for a snapshot-based table layout
+    (Iceberg/Delta-style): classify every file in the physical
+    ``listing`` against the current-snapshot ``manifest`` and the
+    retention window, and report the reclaim opportunity per class.
+
+        live            — referenced by the current snapshot
+        orphan_retained — unreferenced, but younger than retention
+                          (still needed for time travel / readers)
+        orphan_delete   — unreferenced AND older than retention:
+                          safe to reclaim
+
+    ``listing`` must carry a ``now_col`` column (same value on every
+    row — the caller derives "now" from its own data or clock and
+    joins it on; keeping it a COLUMN rather than a Python literal
+    keeps the plan deterministic and oracle-checkable).  Age is
+    ``datediff(now, modified)`` in whole days.
+
+    Plan shape: one left join on path (the manifest side is the
+    small one at any scale that matters — a snapshot's file count,
+    not the bucket's full listing — and broadcasts), one grouped
+    pass.  No collect, no per-file driver work: at a 100 TB table
+    with millions of listed files this is exactly the metadata-scale
+    join a real vacuum planner runs.
+
+    Output per status: n_files, total_bytes, min_age_days,
+    max_age_days — the "what would a vacuum reclaim, and is anything
+    dangerously young about to be deleted" report."""
+    m = manifest.select(F.col(path_col).alias("_mpath")).distinct()
+    age = F.datediff(F.col(now_col), F.col(modified_col))
+    classified = (
+        listing.join(
+            F.broadcast(m),
+            listing[path_col] == m["_mpath"],
+            "left",
+        )
+        .select(
+            F.when(F.col("_mpath").isNotNull(), F.lit("live"))
+            .when(age >= retention_days, F.lit("orphan_delete"))
+            .otherwise(F.lit("orphan_retained"))
+            .alias("status"),
+            F.col(size_col).alias("_sz"),
+            age.alias("_age"),
+        )
+    )
+    return classified.groupBy("status").agg(
+        F.count("*").alias("n_files"),
+        F.sum("_sz").alias("total_bytes"),
+        F.min("_age").alias("min_age_days"),
+        F.max("_age").alias("max_age_days"),
+    )

@@ -186,6 +186,12 @@ BNLJ_ALLOWLIST: dict[str, str] = {
                          "predicate; exact + per-dims truncated + "
                          "baseline passes), ANN contract "
                          "|queries| << |corpus|",
+    "agg_kendall_tau": "the operator IS an all-pairs statistic; both "
+                       "sides are the same pre-aggregated grain "
+                       "(fixture: 125 (nation, segment) rows) — the "
+                       "documented pre-aggregated-grain contract, "
+                       "same bounded-by-construction class as "
+                       "sim_centroid_cosine",
     "sim_maxsim_rerank": "build is the query-signature batch (every "
                          "40th doc, one packed int per row) for the "
                          "stage-1 hamming prune — the "
