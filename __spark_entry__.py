@@ -6228,6 +6228,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_cusum": _evt_cusum,
         "graph_harmonic": _graph_harmonic,
         "tbl_vacuum_plan": _tbl_vacuum_plan,
+        # --- round-8 sixteenth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-15): Nelson-Aalen
+        # hazard, degree assortativity, Cochran-Armitage trend test,
+        # clustering-depth sweep, metadata-filtered ANN (staged +
+        # oracle-validated in tests/test_round9o_staged.py) ---
+        "evt_nelson_aalen": _evt_nelson_aalen,
+        "graph_assortativity": _graph_assortativity,
+        "agg_cochran_armitage": _agg_cochran_armitage,
+        "tbl_file_overlap_depth": _tbl_file_overlap_depth,
+        "sim_filtered_ivf_topk": _sim_filtered_ivf_topk,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9546,6 +9556,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9l_oracles())
     base.update(_r9m_oracles())
     base.update(_r9n_oracles())
+    base.update(_r9o_oracles())
     return base
 
 
@@ -16247,4 +16258,258 @@ def _r9n_oracles() -> dict[str, str]:
         "evt_cusum": _CUSUM_SQL,
         "graph_harmonic": _harmonic_oracle_sql(3),
         "tbl_vacuum_plan": _VACUUM_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 sixteenth wave: Nelson-Aalen hazard, assortativity,
+# Cochran-Armitage trend, file overlap depth, filtered ANN
+# ---------------------------------------------------------------------------
+
+
+def _evt_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of time-to-conversion
+    (events.nelson_aalen) over the same signup -> purchase risk table
+    km_survival uses: H(t) = sum d/n, Var = sum d/n^2, ordered-window
+    prefix sums over the unique day grain (fold order total, 6dp)."""
+    from eggv_spark.operators.events import nelson_aalen
+
+    return nelson_aalen(_t(spark, sf_dir, "events"))
+
+
+def _graph_assortativity(spark, sf_dir):
+    """Directed degree assortativity (graph.assortativity) of the
+    top-100 rank-thresholded trade graph: Pearson r of (src
+    out-degree, dst in-degree) across edges, assembled from six
+    exact integer sums."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("src", "dst")
+    )
+    return G.assortativity(edges)
+
+
+def _agg_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test (aggregates.cochran_armitage):
+    does the order-failure rate (o_orderstatus = 'F') trend with
+    priority order?  Score = the priority's leading digit (1-URGENT
+    .. 5-LOW — a genuine ordinal), exact integer sums, 6dp z."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio"),
+        (F.col("o_orderstatus") == "F").alias("failed"),
+    )
+    return AG.cochran_armitage(orders, "prio", "failed")
+
+
+def _tbl_file_overlap_depth(spark, sf_dir):
+    """Clustering-depth sweep (tableops.file_overlap_depth) over 300
+    file ranges synthesized from orders (min/max total-price cents
+    per o_orderkey%300 group — heavily overlapping, i.e. an
+    unclustered layout): +1/-1 boundary deltas, one cumulative
+    window, exact integer depths."""
+    files = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 300).alias("_g"))
+        .agg(
+            F.min(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("min_key"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("max_key"),
+        )
+        .select(
+            F.concat(F.lit("part-"), F.col("_g").cast("string"))
+            .alias("path"),
+            "min_key", "max_key",
+        )
+    )
+    return TO.file_overlap_depth(files)
+
+
+def _sim_filtered_ivf_topk(spark, sf_dir):
+    """Metadata-FILTERED ANN — the production "vector search with a
+    WHERE clause" shape: restrict the corpus to label <= 4 (half the
+    classes) and run the same IVF probe as sim_ivf_topk.  Because
+    the centroids are fixed literals, per-vector cell assignment is
+    row-independent, so pushing the filter below the index build is
+    EXACTLY pre-filtered IVF (filter the postings, then probe) —
+    predicate pushdown reaches the parquet scan, the index is built
+    over only the matching half, and recall semantics are exact
+    post-filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("label") <= 4),
+        emb.filter("vec_id % 50 = 0"),
+        k=5, n_probe=10,
+    )
+
+
+_NELSON_AALEN_SQL = (
+    "WITH tmax AS (SELECT max(ts) AS tm FROM events),"
+    " pu AS (SELECT user_id,"
+    "  min(CASE WHEN event_type = 'signup' THEN ts END) AS t0"
+    "  FROM events GROUP BY 1),"
+    " ft AS (SELECT e.user_id, min(e.ts) AS tp FROM events e"
+    "  JOIN pu ON e.user_id = pu.user_id"
+    "  WHERE e.event_type = 'purchase' AND pu.t0 IS NOT NULL"
+    "  AND e.ts >= pu.t0 GROUP BY 1),"
+    " dur AS (SELECT CASE WHEN ft.tp IS NOT NULL THEN"
+    "   datediff('day', CAST(pu.t0 AS DATE), CAST(ft.tp AS DATE))"
+    "  ELSE datediff('day', CAST(pu.t0 AS DATE), CAST(tmax.tm AS DATE))"
+    "  END AS day,"
+    "  CASE WHEN ft.tp IS NOT NULL THEN 1 ELSE 0 END AS ev"
+    "  FROM pu LEFT JOIN ft USING (user_id), tmax"
+    "  WHERE pu.t0 IS NOT NULL),"
+    " pd AS (SELECT day, sum(ev) AS d_events, count(*) AS total"
+    "  FROM dur GROUP BY 1),"
+    " st AS (SELECT day, d_events, sum(total) OVER (ORDER BY day DESC"
+    "  ROWS UNBOUNDED PRECEDING) AS n_at_risk FROM pd)"
+    " SELECT day, CAST(d_events AS BIGINT) AS d_events,"
+    " CAST(n_at_risk AS BIGINT) AS n_at_risk,"
+    " round(sum(CAST(d_events AS DOUBLE) / n_at_risk)"
+    "  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS cum_hazard,"
+    " round(sum(CAST(d_events AS DOUBLE)"
+    "   / (CAST(n_at_risk AS DOUBLE) * n_at_risk))"
+    "  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS hazard_var"
+    " FROM st"
+)
+
+
+_ASSORTATIVITY_SQL = f"""
+WITH {_TRADE_TOPK_SQL},
+od AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS od
+       FROM topk GROUP BY src),
+idg AS (SELECT dst AS n, CAST(count(*) AS BIGINT) AS id
+        FROM topk GROUP BY dst),
+t AS (SELECT od.od AS x, idg.id AS y
+      FROM topk e JOIN od ON e.src = od.n JOIN idg ON e.dst = idg.n),
+s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM t)
+SELECT m AS n_edges,
+       round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * (m * syy - sy * sy)), 6) AS r
+FROM s"""
+
+
+_COCHRAN_ARMITAGE_SQL = """
+WITH b AS (
+  SELECT CAST(left(o_orderpriority, 1) AS BIGINT) AS t,
+         CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS y
+  FROM orders
+), lev AS (
+  SELECT t, CAST(sum(y) AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY t
+), s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS n_success,
+         CAST(count(*) AS BIGINT) AS n_levels,
+         CAST(sum(t * r) AS BIGINT) AS str,
+         CAST(sum(t * n) AS BIGINT) AS stn,
+         CAST(sum(t * t * n) AS BIGINT) AS sttn
+  FROM lev
+)
+SELECT n, n_success, n_levels,
+       round(str - CAST(n_success AS DOUBLE) / n * stn, 6) AS t_stat,
+       round((str - CAST(n_success AS DOUBLE) / n * stn)
+             / sqrt(CAST(n_success AS DOUBLE) / n
+                    * (1.0 - CAST(n_success AS DOUBLE) / n)
+                    * (sttn - CAST(stn AS DOUBLE) * stn / n)), 6)
+         AS z
+FROM s"""
+
+
+_OVERLAP_DEPTH_SQL = """
+WITH files AS MATERIALIZED (
+  SELECT o_orderkey % 300 AS g,
+         CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS mn,
+         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS mx
+  FROM orders GROUP BY 1
+), pts AS (
+  SELECT mn AS boundary, CAST(1 AS BIGINT) AS d,
+         CAST(1 AS BIGINT) AS st, CAST(0 AS BIGINT) AS en FROM files
+  UNION ALL
+  SELECT mx + 1, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(1 AS BIGINT) FROM files
+), pp AS (
+  SELECT boundary, CAST(sum(d) AS BIGINT) AS dd,
+         CAST(sum(st) AS BIGINT) AS n_starting,
+         CAST(sum(en) AS BIGINT) AS n_ending
+  FROM pts GROUP BY boundary
+)
+SELECT boundary,
+       CAST(sum(dd) OVER (ORDER BY boundary ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS depth,
+       n_starting, n_ending
+FROM pp"""
+
+
+def _filtered_ivf_oracle() -> str:
+    """The sim_ivf_topk oracle with the corpus restricted to
+    label <= 4 (queries stay unfiltered): cell assignment is
+    row-independent (fixed centroid literals), so pre-filtering the
+    postings is exact."""
+    from eggv_spark.operators.similarity import _centroid_values
+
+    dim, n_centroids, n_probe, k = 64, 16, 10, 5
+    cent_rows = ", ".join(
+        f"({c}, ["
+        + ", ".join(repr(w) for w in _centroid_values(c, dim))
+        + "])"
+        for c in range(n_centroids)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+cellcos AS (SELECT vec_id, label, v, cell,
+    round(list_dot_product(v, cv)
+          / (sqrt(list_dot_product(v, v))
+             * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+    FROM v CROSS JOIN cent),
+ranked_cells AS (SELECT vec_id, label, v, cell, row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crank
+    FROM cellcos),
+assign AS (SELECT vec_id AS neighbor_id, v AS c_vec, cell
+           FROM ranked_cells WHERE label <= 4 AND crank = 1),
+probes AS (SELECT vec_id AS query_id, v AS q_vec, cell
+           FROM ranked_cells
+           WHERE vec_id % 50 = 0 AND crank <= {n_probe}),
+scored AS (SELECT query_id, neighbor_id,
+    round(list_dot_product(q_vec, c_vec)
+          / (sqrt(list_dot_product(q_vec, q_vec))
+             * sqrt(list_dot_product(c_vec, c_vec))), 4) AS cosine
+    FROM assign JOIN probes USING (cell)
+    WHERE neighbor_id <> query_id),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {k}"""
+
+
+def _r9o_oracles() -> dict[str, str]:
+    """Oracles for the sixteenth round-8 staging wave."""
+    return {
+        "evt_nelson_aalen": _NELSON_AALEN_SQL,
+        "graph_assortativity": _ASSORTATIVITY_SQL,
+        "agg_cochran_armitage": _COCHRAN_ARMITAGE_SQL,
+        "tbl_file_overlap_depth": _OVERLAP_DEPTH_SQL,
+        "sim_filtered_ivf_topk": _filtered_ivf_oracle(),
     }

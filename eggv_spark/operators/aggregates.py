@@ -3220,3 +3220,64 @@ def kendall_tau(
             ).alias("tau_b"),
         )
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test: is a binary outcome's rate
+    monotonically associated with an ORDERED grouping score?  The
+    dose-response test a plain chi-square (agg_chi2_cells) cannot
+    express — chi-square asks "any difference", this asks "a trend in
+    score order", and is far more powerful when order is real.
+
+    With integer scores t, successes r_i and totals n_i per score
+    level (R, N overall):
+
+        T   = Σ t_i·r_i − R/N · Σ t_i·n_i
+        Var = R/N·(1−R/N) · (Σ t_i²·n_i − (Σ t_i·n_i)²/N)
+        z   = T / √Var
+
+    Every building block is an exact integer sum (one grouped pass at
+    the score-level grain, then one keys=[] fold); only the final
+    three-line expression floats, in one fixed order, so the 6dp z is
+    engine-exact.  ``outcome_col`` must be boolean-like (0/1 after an
+    int cast); NULL scores or outcomes are dropped (documented, same
+    contract as kendall_tau).
+
+    Output: one row (n, n_success, n_levels, t_stat, z)."""
+    base = (
+        df.select(
+            F.col(score_col).cast("bigint").alias("_t"),
+            F.col(outcome_col).cast("int").cast("bigint").alias("_y"),
+        )
+        .filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+    )
+    lev = base.groupBy("_t").agg(
+        F.sum("_y").alias("_r"), F.count("*").alias("_n")
+    )
+    sums = lev.agg(
+        F.sum("_n").alias("n"),
+        F.sum("_r").alias("n_success"),
+        F.count("*").alias("n_levels"),
+        F.sum(F.col("_t") * F.col("_r")).alias("_str"),
+        F.sum(F.col("_t") * F.col("_n")).alias("_stn"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_n")).alias("_sttn"),
+    )
+    p = F.col("n_success").cast("double") / F.col("n")
+    t_stat = F.col("_str") - p * F.col("_stn")
+    var = (
+        p
+        * (1.0 - p)
+        * (
+            F.col("_sttn")
+            - F.col("_stn").cast("double") * F.col("_stn") / F.col("n")
+        )
+    )
+    return sums.select(
+        "n", "n_success", "n_levels",
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(F.try_divide(t_stat, F.sqrt(var)), 6).alias("z"),
+    )

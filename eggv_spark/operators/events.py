@@ -595,6 +595,46 @@ def km_survival(
     (per-user, per-day) + one window over <=31 rows; the max-ts
     scalar broadcasts.  A day where everyone at risk converts drives
     ln(0) -> -inf -> S = 0 identically in both engines."""
+    staged = _risk_table(
+        df, start_event, terminal_event, user_col, type_col, ts_col
+    )
+    w_fwd = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # a day where everyone at risk converts (d = n, necessarily the
+    # final day) would be ln(0): DuckDB ERRORS on that where Spark
+    # returns -inf, so the zero is carried explicitly in both
+    log_s = F.sum(
+        F.when(
+            F.col("d_events") < F.col("n_at_risk"),
+            F.log(1.0 - F.col("d_events") / F.col("n_at_risk")),
+        )
+    ).over(w_fwd)
+    hit_zero = F.max(
+        (F.col("d_events") == F.col("n_at_risk")).cast("int")
+    ).over(w_fwd)
+    return staged.select(
+        "day", "d_events", "n_at_risk",
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(log_s), 6))
+        .alias("survival"),
+    )
+
+
+def _risk_table(
+    df: DataFrame,
+    start_event: str,
+    terminal_event: str,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Shared time-to-event rollup for the survival estimators
+    (Kaplan–Meier above, Nelson–Aalen below): per-user durations from
+    the first start event to the first at-or-after terminal event
+    (else right-censored at the corpus max ts), rolled up to the
+    per-day (day, d_events, n_at_risk) risk table — two keyed
+    aggregations + one reverse-cumsum window over the day grain."""
     first_start = F.min(
         F.when(F.col(type_col) == start_event, F.col(ts_col))
     ).alias("_t0")
@@ -633,29 +673,47 @@ def km_survival(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     at_risk = F.sum("_total").over(w_rev)
-    staged = per_day.select(
+    return per_day.select(
         "day", "d_events", at_risk.alias("n_at_risk")
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    start_event: str = "signup",
+    terminal_event: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard for time-to-conversion — the
+    additive counterpart of :func:`km_survival` over the SAME risk
+    table: H(t) = Σ_{t_i<=t} d_i/n_i with the standard variance
+    Σ d_i/n_i².  Where KM answers "what fraction survives past t",
+    NA answers "how much hazard has accumulated by t" — better
+    behaved in small-risk-set tails and the quantity hazard-ratio
+    eyeballing wants.
+
+    The cumulative sums are ordered-window prefix sums over the tiny
+    per-day frame (day is unique after the rollup, so the fold order
+    — and therefore the float result — is identical in any engine);
+    6dp rounding on output.  Same plan posture as KM: two keyed
+    aggregations, one day-grain window."""
+    staged = _risk_table(
+        df, start_event, terminal_event, user_col, type_col, ts_col
     )
     w_fwd = (
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     )
-    # a day where everyone at risk converts (d = n, necessarily the
-    # final day) would be ln(0): DuckDB ERRORS on that where Spark
-    # returns -inf, so the zero is carried explicitly in both
-    log_s = F.sum(
-        F.when(
-            F.col("d_events") < F.col("n_at_risk"),
-            F.log(1.0 - F.col("d_events") / F.col("n_at_risk")),
-        )
-    ).over(w_fwd)
-    hit_zero = F.max(
-        (F.col("d_events") == F.col("n_at_risk")).cast("int")
+    h = F.sum(F.col("d_events") / F.col("n_at_risk")).over(w_fwd)
+    v = F.sum(
+        F.col("d_events")
+        / (F.col("n_at_risk").cast("double") * F.col("n_at_risk"))
     ).over(w_fwd)
     return staged.select(
         "day", "d_events", "n_at_risk",
-        F.when(hit_zero == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp(log_s), 6))
-        .alias("survival"),
+        F.round(h, 6).alias("cum_hazard"),
+        F.round(v, 6).alias("hazard_var"),
     )
 
 

@@ -941,3 +941,68 @@ def harmonic_centrality(
             F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
         )
     )
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed degree assortativity: the Pearson correlation, across
+    EDGES, of the source's out-degree with the destination's
+    in-degree — positive means hubs feed hubs (core-periphery),
+    negative means hubs feed leaves (star-like).  The one-number
+    wiring-shape diagnostic next to degree_stats' distributions.
+
+    Computed from exact integer moments: per-node out/in degrees are
+    grouped counts (integers), joined back onto the edge list, and
+    the correlation is assembled from the six integer sums
+    (M, Σx, Σy, Σx², Σy², Σxy) in one fixed-order expression — no
+    float accumulates anywhere before the final 6dp division, so the
+    value is engine- and partitioning-exact.
+
+    Plan: two map-side-combined degree counts, two equi-joins back
+    to edges (broadcast while the node table fits, shuffle-hash
+    beyond), one keys=[] aggregate.  Self-loops are excluded (they
+    correlate a node with itself by construction).
+
+    Output: one row (n_edges, r) — r NULL on a degenerate graph
+    (uniform degrees on either side)."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("_s").alias("_n")).agg(
+        F.count("*").alias("_od")
+    )
+    in_deg = e.groupBy(F.col("_d").alias("_n")).agg(
+        F.count("*").alias("_id")
+    )
+    tagged = (
+        e.join(out_deg, e["_s"] == out_deg["_n"])
+        .drop("_n")
+        .join(in_deg, e["_d"] == in_deg["_n"])
+        .select(
+            F.col("_od").cast("bigint").alias("_x"),
+            F.col("_id").cast("bigint").alias("_y"),
+        )
+    )
+    sums = tagged.agg(
+        F.count("*").alias("m"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("m").alias("n_edges"),
+        F.round(F.try_divide(num.cast("double"), den), 6).alias("r"),
+    )

@@ -1230,3 +1230,60 @@ def vacuum_audit(
         F.min("_age").alias("min_age_days"),
         F.max("_age").alias("max_age_days"),
     )
+
+
+def file_overlap_depth(
+    files: DataFrame,
+    min_col: str = "min_key",
+    max_col: str = "max_key",
+    path_col: str = "path",
+) -> DataFrame:
+    """Clustering-depth profile of a file layout: at every distinct
+    range boundary, how many files' [min_key, max_key] stat ranges
+    cover the keys from that boundary up to the next one.  Depth 1
+    everywhere = perfectly clustered (a point lookup reads one
+    file); depth ≈ n_files = unclustered (every lookup reads
+    everything).  This is the measurement that justifies a sort or
+    Z-order rewrite — zonemap_skip_audit shows the symptom (low skip
+    ratio), this shows the cause, and compaction_plan acts on it.
+
+    Classic sweep-line, fully relational: +1 at each min, −1 just
+    past each max (integer key space: max+1), deltas aggregated per
+    boundary point (the point grain is unique, so the prefix-sum
+    window order is total), one cumulative window.  All counts are
+    exact integers; no floats anywhere.  The output is
+    boundary-grain — O(2·n_files) rows — metadata-sized at any table
+    scale, same class as compaction_plan.
+
+    Output: (boundary, depth, n_starting, n_ending) ordered by
+    boundary; ``depth`` covers [boundary, next_boundary)."""
+    starts = files.select(
+        F.col(min_col).cast("bigint").alias("boundary"),
+        F.lit(1).cast("bigint").alias("_delta"),
+        F.lit(1).cast("bigint").alias("_starting"),
+        F.lit(0).cast("bigint").alias("_ending"),
+    )
+    ends = files.select(
+        (F.col(max_col).cast("bigint") + 1).alias("boundary"),
+        F.lit(-1).cast("bigint").alias("_delta"),
+        F.lit(0).cast("bigint").alias("_starting"),
+        F.lit(1).cast("bigint").alias("_ending"),
+    )
+    per_point = (
+        starts.unionByName(ends)
+        .groupBy("boundary")
+        .agg(
+            F.sum("_delta").alias("_d"),
+            F.sum("_starting").alias("n_starting"),
+            F.sum("_ending").alias("n_ending"),
+        )
+    )
+    w = Window.orderBy("boundary").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_point.select(
+        "boundary",
+        F.sum("_d").over(w).alias("depth"),
+        "n_starting",
+        "n_ending",
+    )
