@@ -2145,14 +2145,18 @@ _SHINGLES_SQL = (
 _BASEHASH_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source_sql: str | None = None) -> str:
+    """Banded-LSH near-dup oracle; ``source_sql`` overrides the
+    (doc_id, text) source (default: the planted-dups corpus) so
+    composites can run the same validated chain over a derived
+    survivor set."""
     consts = ", ".join(
         f"({j}, {a}, {b})"
         for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
     )
     p = D.MINHASH_PRIME
     return f"""
-WITH alldocs AS ({_DUPDOCS_SQL}),
+WITH alldocs AS ({source_sql or _DUPDOCS_SQL}),
 toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM alldocs),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
 hs AS (SELECT doc_id, shingles,
@@ -6238,6 +6242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cochran_armitage": _agg_cochran_armitage,
         "tbl_file_overlap_depth": _tbl_file_overlap_depth,
         "sim_filtered_ivf_topk": _sim_filtered_ivf_topk,
+        # --- round-8 seventeenth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-16): log-rank
+        # survival comparison, dedup funnel composite, IVF cell
+        # stats, Fleiss kappa (staged + oracle-validated in
+        # tests/test_round9p_staged.py) ---
+        "evt_logrank": _evt_logrank,
+        "composite_dedup_funnel": _composite_dedup_funnel,
+        "sim_ivf_cell_stats": _sim_ivf_cell_stats,
+        "agg_fleiss_kappa": _agg_fleiss_kappa,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9557,6 +9570,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9m_oracles())
     base.update(_r9n_oracles())
     base.update(_r9o_oracles())
+    base.update(_r9p_oracles())
     return base
 
 
@@ -16512,4 +16526,266 @@ def _r9o_oracles() -> dict[str, str]:
         "agg_cochran_armitage": _COCHRAN_ARMITAGE_SQL,
         "tbl_file_overlap_depth": _OVERLAP_DEPTH_SQL,
         "sim_filtered_ivf_topk": _filtered_ivf_oracle(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 seventeenth wave: log-rank test, dedup funnel, IVF cell
+# stats, Fleiss kappa
+# ---------------------------------------------------------------------------
+
+
+def _evt_logrank(spark, sf_dir):
+    """Two-group log-rank test (events.logrank_test) on
+    time-to-conversion, users split 50/50 by the portable md5 hash
+    (the same assignment as evt_ab_test / cuped): O/E/V accumulated
+    as ordered prefix sums over the union day spine, read off the
+    max-day row."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import logrank_test
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(base_hash(F.col("user_id").cast("string")) % 2 == 0, "A")
+        .otherwise("B"),
+    )
+    return logrank_test(ev)
+
+
+def _composite_dedup_funnel(spark, sf_dir):
+    """The dedup pipeline as a FUNNEL readout — the one-row survivor
+    accounting a corpus-curation dashboard leads with: input docs
+    (plants included) -> exact-unique survivors (md5 content hash,
+    min-id keeper) -> verified near-dup pairs among the survivors
+    (the full banded-MinHash chain over the exact-dedup OUTPUT — the
+    production staging order: exact first, it is 100x cheaper) ->
+    docs implicated in a near-dup pair.  One plan: the exact stage's
+    keeper semi-join feeds the LSH stage directly."""
+    docs = _docs_with_dups(spark, sf_dir)
+    keepers = D.exact_dedupe(docs)
+    survivors = docs.join(
+        keepers.select(F.col("keeper_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = D.minhash_neardup_pairs(survivors, threshold=0.7)
+    n_input = docs.agg(F.count("*").alias("n_input"))
+    n_unique = keepers.agg(F.count("*").alias("n_exact_unique"))
+    n_pairs = pairs.agg(F.count("*").alias("n_neardup_pairs"))
+    n_docs_in_pairs = (
+        pairs.select(F.col("id_a").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("d")))
+        .agg(F.count_distinct("d").alias("n_docs_in_pairs"))
+    )
+    return (
+        n_input.crossJoin(F.broadcast(n_unique))
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_docs_in_pairs))
+        .select(
+            "n_input", "n_exact_unique",
+            (F.col("n_input") - F.col("n_exact_unique"))
+            .alias("n_exact_removed"),
+            "n_neardup_pairs", "n_docs_in_pairs",
+        )
+    )
+
+
+def _sim_ivf_cell_stats(spark, sf_dir):
+    """IVF index health (similarity.ivf_cell_stats): per-cell
+    occupancy with empty cells kept as zero rows, plus the global
+    imbalance factor n_cells*max/total — the probe-latency-skew
+    predictor a centroid-refresh decision reads."""
+    return S.ivf_cell_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def _agg_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (aggregates.fleiss_kappa) across three
+    deterministic raters of the events stream (threshold labeler +
+    two md5 judges — the multi-model-judge labeling QA): binary
+    categories, exact integer count sums, 6dp kappa."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    r1 = (F.col("value") > 50).cast("bigint")
+    r2 = (
+        F.pmod(base_hash(F.col("event_id").cast("string")), F.lit(100)) < 40
+    ).cast("bigint")
+    r3 = (
+        F.pmod(
+            base_hash(F.concat(F.col("event_id").cast("string"), F.lit("r3"))),
+            F.lit(100),
+        )
+        < 60
+    ).cast("bigint")
+    items = ev.select(
+        (r1 + r2 + r3).alias("c_yes"),
+        (F.lit(3) - r1 - r2 - r3).alias("c_no"),
+    )
+    return AG.fleiss_kappa(items, ["c_yes", "c_no"])
+
+
+_LOGRANK_SQL = f"""
+WITH tmax AS (SELECT max(ts) AS tm FROM events),
+pu AS (SELECT user_id,
+  min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+  FROM events GROUP BY 1),
+uv AS (SELECT user_id, {_AB_VARIANT_SQL} AS variant
+       FROM (SELECT DISTINCT user_id FROM events)),
+ft AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+  JOIN pu ON e.user_id = pu.user_id
+  WHERE e.event_type = 'purchase' AND pu.t0 IS NOT NULL
+  AND e.ts >= pu.t0 GROUP BY 1),
+dur AS (SELECT CASE WHEN ft.tp IS NOT NULL THEN
+   datediff('day', CAST(pu.t0 AS DATE), CAST(ft.tp AS DATE))
+  ELSE datediff('day', CAST(pu.t0 AS DATE), CAST(tmax.tm AS DATE))
+  END AS day,
+  CASE WHEN ft.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+  (uv.variant = 'A') AS is_a
+  FROM pu LEFT JOIN ft USING (user_id)
+       JOIN uv USING (user_id), tmax
+  WHERE pu.t0 IS NOT NULL),
+pd AS (SELECT day,
+  CAST(sum(CASE WHEN is_a THEN ev ELSE 0 END) AS BIGINT) AS d_a,
+  CAST(sum(CASE WHEN is_a THEN 0 ELSE ev END) AS BIGINT) AS d_b,
+  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+  CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS t_b
+  FROM dur GROUP BY 1),
+st AS (SELECT day, d_a, d_b,
+  CAST(sum(t_a) OVER (ORDER BY day DESC ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS n_a,
+  CAST(sum(t_b) OVER (ORDER BY day DESC ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS n_b
+  FROM pd),
+cum AS (SELECT day,
+  CAST(sum(d_a) OVER w AS BIGINT) AS observed_a,
+  sum((d_a + d_b) * n_a / (n_a + n_b)) OVER w AS e,
+  sum(CASE WHEN n_a + n_b > 1 THEN
+    (d_a + d_b) * (n_a / CAST(n_a + n_b AS DOUBLE))
+    * (CAST(n_b AS DOUBLE) / (n_a + n_b))
+    * ((n_a + n_b) - (d_a + d_b)) / ((n_a + n_b) - 1)
+    ELSE 0.0 END) OVER w AS v,
+  max(n_a) OVER w AS n_users_a,
+  max(n_b) OVER w AS n_users_b
+  FROM st
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+SELECT CAST(n_users_a AS BIGINT) AS n_users_a,
+       CAST(n_users_b AS BIGINT) AS n_users_b,
+       observed_a,
+       round(e, 6) AS expected_a,
+       round(v, 6) AS variance,
+       round((observed_a - e) / sqrt(v), 6) AS z,
+       round(((observed_a - e) / sqrt(v))
+             * ((observed_a - e) / sqrt(v)), 6) AS chi2
+FROM cum WHERE day = (SELECT max(day) FROM cum)"""
+
+
+def _dedup_funnel_oracle_sql() -> str:
+    """Funnel oracle: the exact-hash keeper set as a derived table,
+    the VALIDATED minhash chain re-run over the survivors."""
+    survivors_sql = f"""
+SELECT a.doc_id, a.text FROM ({_DUPDOCS_SQL}) a
+JOIN (SELECT min(doc_id) AS doc_id FROM ({_DUPDOCS_SQL})
+      GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) k
+  ON a.doc_id = k.doc_id"""
+    return f"""
+WITH pos AS ({_minhash_oracle(survivors_sql)}),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_input
+       FROM ({_DUPDOCS_SQL})),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_unique FROM
+       (SELECT min(doc_id) FROM ({_DUPDOCS_SQL})
+        GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs FROM pos),
+nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_docs_in_pairs
+       FROM (SELECT id_a AS d FROM pos
+             UNION ALL SELECT id_b AS d FROM pos))
+SELECT n_input, n_exact_unique,
+       n_input - n_exact_unique AS n_exact_removed,
+       n_neardup_pairs, n_docs_in_pairs
+FROM ni, nu, np, nd"""
+
+
+def _ivf_cell_stats_oracle() -> str:
+    """Per-cell occupancy + imbalance over the same deterministic
+    assignment CTE as the IVF probe oracle, empty cells kept via the
+    generate_series spine."""
+    from eggv_spark.operators.similarity import _centroid_values
+
+    dim, n_centroids = 64, 16
+    cent_rows = ", ".join(
+        f"({c}, ["
+        + ", ".join(repr(w) for w in _centroid_values(c, dim))
+        + "])"
+        for c in range(n_centroids)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cellcos AS (SELECT vec_id, cell,
+    round(list_dot_product(v, cv)
+          / (sqrt(list_dot_product(v, v))
+             * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+    FROM v CROSS JOIN cent),
+assign AS (SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crank
+    FROM cellcos) WHERE crank = 1),
+pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assign
+       GROUP BY cell),
+spine AS (SELECT CAST(g AS INT) AS cell
+          FROM generate_series(0, {n_centroids - 1}) t(g)),
+filled AS (SELECT s.cell, coalesce(pc.n, 0) AS n_vectors
+           FROM spine s LEFT JOIN pc ON s.cell = pc.cell),
+g AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS tot,
+             CAST(max(n_vectors) AS BIGINT) AS mx FROM filled)
+SELECT cell, CAST(n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(n_vectors AS DOUBLE) / tot, 6) AS share,
+       round(CAST({n_centroids} * mx AS DOUBLE) / tot, 6)
+         AS imbalance_factor
+FROM filled, g"""
+
+
+_FLEISS_SQL = f"""
+WITH r AS (
+  SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END
+         + CASE WHEN {_BASEHASH_SQL.format(x="CAST(event_id AS VARCHAR)")}
+                % 100 < 40 THEN 1 ELSE 0 END
+         + CASE WHEN {_BASEHASH_SQL.format(
+             x="concat(CAST(event_id AS VARCHAR), 'r3')")}
+                % 100 < 60 THEN 1 ELSE 0 END AS c_yes
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(c_yes * c_yes + (3 - c_yes) * (3 - c_yes))
+              AS BIGINT) AS ssq,
+         CAST(sum(c_yes) AS BIGINT) AS s_yes,
+         CAST(sum(3 - c_yes) AS BIGINT) AS s_no
+  FROM r
+)
+SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+       round(CAST(ssq - n_items * 3 AS DOUBLE)
+             / (n_items * 3 * 2), 6) AS p_bar,
+       round((CAST(s_yes AS DOUBLE) / (n_items * 3))
+             * (CAST(s_yes AS DOUBLE) / (n_items * 3))
+             + (CAST(s_no AS DOUBLE) / (n_items * 3))
+             * (CAST(s_no AS DOUBLE) / (n_items * 3)), 6) AS p_e,
+       round((CAST(ssq - n_items * 3 AS DOUBLE) / (n_items * 3 * 2)
+              - ((CAST(s_yes AS DOUBLE) / (n_items * 3))
+                 * (CAST(s_yes AS DOUBLE) / (n_items * 3))
+                 + (CAST(s_no AS DOUBLE) / (n_items * 3))
+                 * (CAST(s_no AS DOUBLE) / (n_items * 3))))
+             / (1.0 - ((CAST(s_yes AS DOUBLE) / (n_items * 3))
+                 * (CAST(s_yes AS DOUBLE) / (n_items * 3))
+                 + (CAST(s_no AS DOUBLE) / (n_items * 3))
+                 * (CAST(s_no AS DOUBLE) / (n_items * 3)))), 6)
+         AS kappa
+FROM s"""
+
+
+def _r9p_oracles() -> dict[str, str]:
+    """Oracles for the seventeenth round-8 staging wave."""
+    return {
+        "evt_logrank": _LOGRANK_SQL,
+        "composite_dedup_funnel": _dedup_funnel_oracle_sql(),
+        "sim_ivf_cell_stats": _ivf_cell_stats_oracle(),
+        "agg_fleiss_kappa": _FLEISS_SQL,
     }

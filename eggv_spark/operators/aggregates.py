@@ -3281,3 +3281,136 @@ def cochran_armitage(
         F.round(t_stat, 6).alias("t_stat"),
         F.round(F.try_divide(t_stat, F.sqrt(var)), 6).alias("z"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    count_cols: Sequence[str],
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for MANY raters
+    (cohen_kappa handles exactly two).  The labeling-pipeline QA
+    number: when several model judges or annotators vote per item,
+    is their agreement above what label marginals alone would give?
+
+    Input grain is one row per ITEM; ``count_cols`` are the per-
+    category vote counts (summing to the same n per item — enforced
+    in-plan with raise_error, since a ragged panel silently biases
+    P̄ toward disagreement).  With N items, n votes per item, and
+    category shares p_j:
+
+        P_i = (Σ_j c_ij² − n) / (n(n−1))      per-item agreement
+        κ   = (P̄ − P̄_e) / (1 − P̄_e),  P̄_e = Σ_j p_j²
+
+    All sums are exact integers (Σc², Σc per category, N) folded in
+    one keys=[] pass; the κ assembly is one fixed-order float
+    expression, 6dp.  Output: one row (n_items, n_raters, p_bar,
+    p_e, kappa)."""
+    cols = [F.col(c).cast("bigint") for c in count_cols]
+    n_votes = sum(cols[1:], cols[0])
+    sum_sq = sum(
+        (c * c for c in cols[1:]), cols[0] * cols[0]
+    )
+    # min == max of per-item vote totals proves the panel rectangular
+    stats = df.agg(
+        F.count("*").alias("_n_items"),
+        F.min(n_votes).alias("_nv_min"),
+        F.max(n_votes).alias("_nv_max"),
+        F.sum(sum_sq).alias("_ssq"),
+        *[F.sum(c).alias(f"_s{i}") for i, c in enumerate(cols)],
+    )
+    n = F.when(
+        F.col("_nv_min") == F.col("_nv_max"), F.col("_nv_max")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "fleiss_kappa: every item must have the same total"
+                " vote count across count_cols"
+            )
+        )
+    )
+    total_votes = F.col("_n_items") * n
+    p_bar = (
+        (F.col("_ssq") - total_votes).cast("double")
+        / (F.col("_n_items") * n * (n - 1))
+    )
+    p_e = sum(
+        (
+            (F.col(f"_s{i}").cast("double") / total_votes)
+            * (F.col(f"_s{i}").cast("double") / total_votes)
+            for i in range(1, len(count_cols))
+        ),
+        (F.col("_s0").cast("double") / total_votes)
+        * (F.col("_s0").cast("double") / total_votes),
+    )
+    return stats.select(
+        F.col("_n_items").alias("n_items"),
+        n.alias("n_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(F.try_divide(p_bar - p_e, F.lit(1.0) - p_e), 6)
+        .alias("kappa"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test: is exposure associated with a
+    binary outcome AFTER controlling for a confounding stratum?  The
+    stratified 2×2 companion of cochran_armitage — a pooled
+    chi-square over strata is Simpson's-paradox bait; CMH compares
+    within strata and pools the evidence.
+
+    Per stratum k with table (a=exposed∧outcome, r1=exposed total,
+    c1=outcome total, n):
+
+        T = Σ a_k,   E = Σ r1_k·c1_k / n_k,
+        V = Σ r1_k·(n_k−r1_k)·c1_k·(n_k−c1_k) / (n_k²·(n_k−1)),
+        χ² = (T−E)²/V            (no continuity correction — exact
+                                  cross-engine reproducibility wins)
+
+    Per-stratum counts are exact integers (one grouped pass); the E
+    and V pools are ORDERED prefix sums over the stratum key (the
+    logrank_test discipline — never a free-order float aggregate),
+    read off the last row.  Strata with n<2 contribute their exact
+    zero variance.  Output: one row (n_strata, observed, expected,
+    variance, chi2)."""
+    base = df.select(
+        F.col(stratum_col).alias("_k"),
+        F.col(exposed_col).cast("boolean").alias("_e"),
+        F.col(outcome_col).cast("boolean").alias("_y"),
+    )
+    per_k = base.groupBy("_k").agg(
+        F.sum((F.col("_e") & F.col("_y")).cast("bigint")).alias("_a"),
+        F.sum(F.col("_e").cast("bigint")).alias("_r1"),
+        F.sum(F.col("_y").cast("bigint")).alias("_c1"),
+        F.count("*").alias("_n"),
+    )
+    n = F.col("_n")
+    e_k = F.col("_r1") * F.col("_c1") / n
+    v_k = F.when(
+        n > 1,
+        (F.col("_r1") * (n - F.col("_r1"))).cast("double")
+        * (F.col("_c1") * (n - F.col("_c1")))
+        / (n * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    w = Window.orderBy("_k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_k.select(
+        "_k",
+        F.count("*").over(w).alias("n_strata"),
+        F.sum("_a").over(w).alias("observed"),
+        F.sum(e_k).over(w).alias("_e_cum"),
+        F.sum(v_k).over(w).alias("_v_cum"),
+    )
+    last = cum.orderBy(F.col("_k").desc()).limit(1)
+    dev = F.col("observed") - F.col("_e_cum")
+    return last.select(
+        "n_strata", "observed",
+        F.round("_e_cum", 6).alias("expected"),
+        F.round("_v_cum", 6).alias("variance"),
+        F.round(F.try_divide(dev * dev, F.col("_v_cum")), 6)
+        .alias("chi2"),
+    )

@@ -1876,3 +1876,124 @@ def cusum_chart(
         *keys, "day", "x_cents", "s_pos", "s_neg",
         ((F.col("s_pos") > h) | (F.col("s_neg") > h)).alias("alarm"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    variant_col: str = "variant",
+    variant_a: str = "A",
+    variant_b: str = "B",
+    start_event: str = "signup",
+    terminal_event: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-group log-rank test: do variants A and B have the same
+    time-to-conversion distribution?  The survival-curve counterpart
+    of the two-proportion z in evt_ab_test — a raw conversion-rate
+    comparison throws away WHEN conversions happen and is confounded
+    by censoring; log-rank compares the full curves.
+
+    Standard Mantel-Haenszel form over the union day spine: at each
+    day t with d_t total events, group A contributes observed d_At,
+    expected d_t·n_At/n_t, and hypergeometric variance
+    d_t·(n_A/n)·(n_B/n)·(n−d)/(n−1).  Z = (O−E)/√V, χ² = Z².
+
+    Determinism: per-day d and n are exact integers (conditional
+    sums + reverse-cumsum windows on the unique day grain); the E
+    and V accumulations are ORDERED prefix sums over that same day
+    window (fold order total), read off the max-day row — never a
+    free-order float aggregate.  A row whose variant is neither
+    ``variant_a`` nor ``variant_b`` raises in-plan (the
+    uplift_by_segment foreign-label guard), riding the consumed
+    duration column so Catalyst cannot prune it.
+
+    Plan: one per-user aggregation, one day-grain rollup, three
+    windows over the tiny day frame, TakeOrdered(1)."""
+    is_a = F.col("_v") == variant_a
+    guard = F.when(
+        F.col("_v").isin(variant_a, variant_b), F.col("_t0")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("logrank_test: unknown variant "),
+                F.col("_v").cast("string"),
+            )
+        )
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.min(
+            F.when(F.col(type_col) == start_event, F.col(ts_col))
+        ).alias("_t0"),
+        F.max(F.col(variant_col)).alias("_v"),
+        F.collect_list(
+            F.when(F.col(type_col) == terminal_event, F.col(ts_col))
+        ).alias("_terms"),
+    )
+    tmax = df.agg(F.max(ts_col).alias("_tmax"))
+    first_term = F.array_min(
+        F.filter("_terms", lambda t: t >= F.col("_t0"))
+    )
+    durations = (
+        per_user.withColumn("_t0", guard)
+        .filter(F.col("_t0").isNotNull())
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.when(
+                first_term.isNotNull(),
+                F.datediff(first_term.cast("date"), F.col("_t0").cast("date")),
+            ).otherwise(
+                F.datediff(F.col("_tmax").cast("date"), F.col("_t0").cast("date"))
+            ).alias("day"),
+            first_term.isNotNull().cast("bigint").alias("_event"),
+            is_a.alias("_is_a"),
+        )
+    )
+    per_day = durations.groupBy("day").agg(
+        F.sum(F.when(F.col("_is_a"), F.col("_event")).otherwise(0))
+        .alias("d_a"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_event")).otherwise(0))
+        .alias("d_b"),
+        F.sum(F.col("_is_a").cast("bigint")).alias("t_a"),
+        F.sum((~F.col("_is_a")).cast("bigint")).alias("t_b"),
+    )
+    w_rev = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = per_day.select(
+        "day", "d_a", "d_b",
+        F.sum("t_a").over(w_rev).alias("n_a"),
+        F.sum("t_b").over(w_rev).alias("n_b"),
+    )
+    d = F.col("d_a") + F.col("d_b")
+    n = F.col("n_a") + F.col("n_b")
+    e_a = d * F.col("n_a") / n
+    v = F.when(
+        n > 1,
+        d
+        * (F.col("n_a") / n)
+        * (F.col("n_b").cast("double") / n)
+        * (n - d)
+        / (n - 1),
+    ).otherwise(F.lit(0.0))
+    w_fwd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = staged.select(
+        "day",
+        F.sum("d_a").over(w_fwd).alias("observed_a"),
+        F.sum(e_a).over(w_fwd).alias("_e"),
+        F.sum(v).over(w_fwd).alias("_v"),
+        F.max("n_a").over(w_fwd).alias("n_users_a"),
+        F.max("n_b").over(w_fwd).alias("n_users_b"),
+    )
+    last = cum.orderBy(F.col("day").desc()).limit(1)
+    z = F.try_divide(F.col("observed_a") - F.col("_e"), F.sqrt("_v"))
+    return last.select(
+        "n_users_a", "n_users_b", "observed_a",
+        F.round("_e", 6).alias("expected_a"),
+        F.round("_v", 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+    )

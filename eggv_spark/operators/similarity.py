@@ -1621,3 +1621,54 @@ def kcenter_coreset(
     for s in selected[1:]:
         out = out.unionByName(s)
     return out
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF index health report: per-cell occupancy of the inverted
+    lists, plus the global imbalance factor n_cells·max/total — the
+    number that predicts probe-latency skew (a probe that lands on a
+    10×-overfull cell scans 10× the vectors; imbalance 1.0 is
+    perfectly even).  This is the QA a centroid refresh decision
+    reads, the index-side sibling of sim_recall_eval's query-side
+    gauge.
+
+    One grouped count over the index assignment (map-side combined),
+    a 1-row global fold broadcast back, and a left join against the
+    full cell spine so EMPTY cells appear as zero rows — an empty
+    cell is wasted fanout budget and must not vanish from the
+    report.  Integer counts; shares 6dp.
+
+    Output per cell: (cell, n_vectors, share, imbalance_factor) —
+    the factor repeated per row for one-scan consumption."""
+    index = ivf_index(corpus, n_centroids, vec_col, id_col, dim=dim)
+    per_cell = index.groupBy("cell").agg(
+        F.count("*").alias("n_vectors")
+    )
+    spine = corpus.sparkSession.range(n_centroids).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    filled = spine.join(per_cell, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("n_vectors"), F.lit(0)).alias("n_vectors"),
+    )
+    glob = filled.agg(
+        F.sum("n_vectors").alias("_tot"),
+        F.max("n_vectors").alias("_mx"),
+    )
+    return filled.crossJoin(F.broadcast(glob)).select(
+        "cell", "n_vectors",
+        F.round(F.try_divide(F.col("n_vectors"), F.col("_tot")), 6)
+        .alias("share"),
+        F.round(
+            F.try_divide(
+                F.lit(n_centroids) * F.col("_mx"), F.col("_tot")
+            ),
+            6,
+        ).alias("imbalance_factor"),
+    )
