@@ -6251,6 +6251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_dedup_funnel": _composite_dedup_funnel,
         "sim_ivf_cell_stats": _sim_ivf_cell_stats,
         "agg_fleiss_kappa": _agg_fleiss_kappa,
+        # --- round-8 eighteenth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-17): CMH
+        # stratified test, reciprocity, local clustering, PQ
+        # distortion audit, Qini curve (staged + oracle-validated in
+        # tests/test_round9q_staged.py) ---
+        "agg_cmh_test": _agg_cmh_test,
+        "graph_reciprocity": _graph_reciprocity,
+        "graph_local_clustering": _graph_local_clustering,
+        "sim_pq_distortion": _sim_pq_distortion,
+        "evt_qini_curve": _evt_qini_curve,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9571,6 +9581,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9n_oracles())
     base.update(_r9o_oracles())
     base.update(_r9p_oracles())
+    base.update(_r9q_oracles())
     return base
 
 
@@ -16788,4 +16799,256 @@ def _r9p_oracles() -> dict[str, str]:
         "composite_dedup_funnel": _dedup_funnel_oracle_sql(),
         "sim_ivf_cell_stats": _ivf_cell_stats_oracle(),
         "agg_fleiss_kappa": _FLEISS_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 eighteenth wave: CMH test, reciprocity, local clustering,
+# PQ distortion audit, Qini curve
+# ---------------------------------------------------------------------------
+
+
+def _agg_cmh_test(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified association
+    (aggregates.cmh_test): exposure = md5 customer split, outcome =
+    order failure, stratified by priority — the Simpson's-paradox-
+    safe pooled 2x2, E/V pooled as ordered prefix sums."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        (base_hash(F.col("o_custkey").cast("string")) % 2 == 0)
+        .alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("failed"),
+    )
+    return AG.cmh_test(orders, "stratum", "exposed", "failed")
+
+
+def _graph_reciprocity(spark, sf_dir):
+    """Directed reciprocity (graph.reciprocity) of the top-100
+    rank-thresholded trade graph: distinct pass + swapped-pair
+    left-semi self-join, exact integer counts."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("src", "dst")
+    )
+    return G.reciprocity(edges)
+
+
+def _graph_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient
+    (graph.local_clustering) on the thresholded trade graph:
+    wedge-join + closing-edge probe kept as rows, 3-corner explode
+    credit, exact integer degrees/triangles."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("src", "dst")
+    )
+    return G.local_clustering(edges)
+
+
+def _sim_pq_distortion(spark, sf_dir):
+    """PQ reconstruction-error audit (similarity.pq_distortion):
+    per-subspace mean/max of the encoder's own argmin squared
+    distance — the codebook-refresh budget allocator."""
+    return S.pq_distortion(_t(spark, sf_dir, "embeddings"))
+
+
+def _evt_qini_curve(spark, sf_dir):
+    """Qini uplift curve (events.qini_curve): md5 50/50 treatment,
+    high-value-purchase conversion (the evt_ab_test outcome), score
+    deciles from an independent md5 hash (integer-div bucket
+    assignment — engine-exact), cumulative incremental conversions
+    per prefix."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import qini_curve
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 450),
+                1,
+            ).otherwise(0)
+        ).alias("_conv")
+    ).select(
+        (
+            F.pmod(
+                base_hash(
+                    F.concat(F.col("user_id").cast("string"), F.lit("score"))
+                ),
+                F.lit(100),
+            )
+            / F.lit(10)
+        ).cast("int").alias("bucket"),
+        (base_hash(F.col("user_id").cast("string")) % 2 == 0)
+        .alias("treated"),
+        (F.col("_conv") == 1).alias("converted"),
+    )
+    return qini_curve(units)
+
+
+_CMH_SQL = f"""
+WITH b AS (
+  SELECT o_orderpriority AS k,
+         ({_BASEHASH_SQL.format(x="CAST(o_custkey AS VARCHAR)")} % 2 = 0)
+           AS e,
+         (o_orderstatus = 'F') AS y
+  FROM orders
+), pk AS (
+  SELECT k,
+         CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY k
+), cum AS (
+  SELECT k,
+         CAST(count(*) OVER w AS BIGINT) AS n_strata,
+         CAST(sum(a) OVER w AS BIGINT) AS observed,
+         sum(r1 * c1 / n) OVER w AS e_cum,
+         sum(CASE WHEN n > 1 THEN
+               CAST(r1 * (n - r1) AS DOUBLE) * (c1 * (n - c1))
+               / (n * n * (n - 1))
+             ELSE 0.0 END) OVER w AS v_cum
+  FROM pk
+  WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)
+)
+SELECT n_strata, observed,
+       round(e_cum, 6) AS expected,
+       round(v_cum, 6) AS variance,
+       round((observed - e_cum) * (observed - e_cum) / v_cum, 6)
+         AS chi2
+FROM cum WHERE k = (SELECT max(k) FROM pk)"""
+
+
+_RECIPROCITY_SQL = f"""
+WITH {_TRADE_TOPK_SQL},
+e AS (SELECT DISTINCT src AS a, dst AS b FROM topk WHERE src <> dst),
+r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocated
+      FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                           WHERE e2.a = e.b AND e2.b = e.a)),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_edges, n_reciprocated,
+       round(CAST(n_reciprocated AS DOUBLE) / n_edges, 6)
+         AS reciprocity
+FROM t, r"""
+
+
+_LOCAL_CLUSTERING_SQL = f"""
+WITH {_TRADE_TOPK_SQL},
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM topk WHERE src <> dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon)
+  GROUP BY node),
+tri AS MATERIALIZED (
+  SELECT l.a AS x, l.b AS y, r.b AS z
+  FROM canon l JOIN canon r ON l.b = r.a
+  WHERE EXISTS (SELECT 1 FROM canon c
+                WHERE c.a = l.a AND c.b = r.b)),
+credits AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri) GROUP BY node)
+SELECT CAST(d.node AS INT) AS node, d.degree,
+       coalesce(c.triangles, 0) AS triangles,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE round(coalesce(c.triangles, 0)
+                       / (d.degree * (d.degree - 1) / 2.0), 6)
+       END AS lcc
+FROM deg d LEFT JOIN credits c ON d.node = c.node"""
+
+
+def _pq_distortion_oracle() -> str:
+    """Per-subspace min-distance stats over the same codebook
+    literals and 6dp per-pair rounding as the PQ encode oracle."""
+    from eggv_spark.operators.similarity import _pq_codebook
+
+    dim, m, k = 64, 8, 16
+    sub_dim = dim // m
+    rows = ", ".join(
+        f"({s}, {c}, ["
+        + ", ".join(repr(w) for w in _pq_codebook(s, k, sub_dim)[c])
+        + "])"
+        for s in range(m)
+        for c in range(k)
+    )
+    return f"""
+WITH cb(sub, c, cv) AS (VALUES {rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sd AS (SELECT vec_id, sub,
+    min(round(list_sum(list_transform(generate_series(1, {sub_dim}),
+        i -> (v[sub * {sub_dim} + i] - cv[i])
+             * (v[sub * {sub_dim} + i] - cv[i]))), 6)) AS d
+    FROM v CROSS JOIN cb GROUP BY vec_id, sub)
+SELECT CAST(sub AS INT) AS sub,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(d), 4) AS mean_sqdist,
+       round(max(d), 6) AS max_sqdist
+FROM sd GROUP BY sub"""
+
+
+_QINI_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 450
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), units AS (
+  SELECT CAST({_BASEHASH_SQL.format(
+      x="concat(CAST(user_id AS VARCHAR), 'score')")} % 100 // 10
+      AS INT) AS b,
+    ({_BASEHASH_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2 = 0)
+      AS t,
+    (conv = 1) AS y
+  FROM u
+), pb AS (
+  SELECT b,
+    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+    CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+    CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT) AS cc
+  FROM units GROUP BY b
+), cum AS (
+  SELECT CAST(b AS INT) AS bucket,
+    CAST(sum(nt) OVER w AS BIGINT) AS n_treated_cum,
+    CAST(sum(nc) OVER w AS BIGINT) AS n_control_cum,
+    CAST(sum(ct) OVER w AS BIGINT) AS conv_treated_cum,
+    CAST(sum(cc) OVER w AS BIGINT) AS conv_control_cum
+  FROM pb
+  WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+)
+SELECT bucket, n_treated_cum, n_control_cum, conv_treated_cum,
+       conv_control_cum,
+       round(conv_treated_cum - conv_control_cum
+             * (CAST(n_treated_cum AS DOUBLE) / n_control_cum), 6)
+         AS qini
+FROM cum"""
+
+
+def _r9q_oracles() -> dict[str, str]:
+    """Oracles for the eighteenth round-8 staging wave."""
+    return {
+        "agg_cmh_test": _CMH_SQL,
+        "graph_reciprocity": _RECIPROCITY_SQL,
+        "graph_local_clustering": _LOCAL_CLUSTERING_SQL,
+        "sim_pq_distortion": _pq_distortion_oracle(),
+        "evt_qini_curve": _QINI_SQL,
     }

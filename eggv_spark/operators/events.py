@@ -1997,3 +1997,80 @@ def logrank_test(
         F.round(z, 6).alias("z"),
         F.round(z * z, 6).alias("chi2"),
     )
+
+
+def qini_curve(
+    units: DataFrame,
+    bucket_col: str = "bucket",
+    treated_col: str = "treated",
+    outcome_col: str = "converted",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini (uplift) curve over score buckets — the targeting-model
+    QA behind uplift_by_segment: walk the population from the
+    model's best-scored bucket down, and at each prefix report the
+    incremental conversions versus a control scaled to the treated
+    prefix size:
+
+        qini_k = ΣconvT_k − ΣconvC_k · (Σn_T_k / Σn_C_k)
+
+    A model that ranks persuadables first climbs steeply then
+    flattens; random targeting is the straight line to the same
+    endpoint (the endpoint IS the overall incremental lift, so the
+    last row doubles as the experiment readout).
+
+    Input is UNIT grain (one row per user — the caller aggregates,
+    exactly like uplift_by_segment) with an INTEGER ``bucket_col``
+    in [0, n_buckets): bucket 0 = best-scored.  Buckets arrive as
+    integers rather than raw scores so the assignment stays
+    engine-exact (a float score × n_buckets floor flips at binary
+    representation boundaries — the perplexity_bins lesson);
+    out-of-range buckets raise in-plan.  Counts are exact integers;
+    cumulations are ordered prefix sums over the bucket spine; only
+    the control scaling floats (6dp).
+
+    Output per bucket: (bucket, n_treated_cum, n_control_cum,
+    conv_treated_cum, conv_control_cum, qini)."""
+    b = F.col(bucket_col).cast("bigint")
+    guarded = F.when((b >= 0) & (b < n_buckets), b).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"qini_curve: bucket must be in [0, {n_buckets}),"
+                    " got "
+                ),
+                b.cast("string"),
+            )
+        )
+    )
+    base = units.select(
+        guarded.alias("_b"),
+        F.col(treated_col).cast("boolean").alias("_t"),
+        F.col(outcome_col).cast("boolean").alias("_y"),
+    )
+    per_b = base.groupBy("_b").agg(
+        F.sum(F.col("_t").cast("bigint")).alias("_nt"),
+        F.sum((~F.col("_t")).cast("bigint")).alias("_nc"),
+        F.sum((F.col("_t") & F.col("_y")).cast("bigint")).alias("_ct"),
+        F.sum((~F.col("_t") & F.col("_y")).cast("bigint")).alias("_cc"),
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_b.select(
+        F.col("_b").cast("int").alias("bucket"),
+        F.sum("_nt").over(w).alias("n_treated_cum"),
+        F.sum("_nc").over(w).alias("n_control_cum"),
+        F.sum("_ct").over(w).alias("conv_treated_cum"),
+        F.sum("_cc").over(w).alias("conv_control_cum"),
+    )
+    return cum.select(
+        "bucket", "n_treated_cum", "n_control_cum",
+        "conv_treated_cum", "conv_control_cum",
+        F.round(
+            F.col("conv_treated_cum")
+            - F.col("conv_control_cum")
+            * F.try_divide(
+                F.col("n_treated_cum"), F.col("n_control_cum")
+            ),
+            6,
+        ).alias("qini"),
+    )

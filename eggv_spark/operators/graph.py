@@ -1006,3 +1006,108 @@ def assortativity(
         F.col("m").alias("n_edges"),
         F.round(F.try_divide(num.cast("double"), den), 6).alias("r"),
     )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of (distinct,
+    non-loop) edges whose reverse edge also exists — 1.0 on an
+    effectively undirected graph, ~0 on a strict hierarchy.  The
+    third one-number shape diagnostic next to assortativity and the
+    global clustering coefficient.
+
+    One distinct pass + one LEFT SEMI self-join keyed on the swapped
+    pair (never a product), one keys=[] fold.  Counts are exact
+    integers; the ratio is the only float (6dp)."""
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .cache()
+    )
+    rev = e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    recip = e.join(rev, ["_a", "_b"], "left_semi").agg(
+        F.count("*").alias("n_reciprocated")
+    )
+    tot = e.agg(F.count("*").alias("n_edges"))
+    return tot.crossJoin(F.broadcast(recip)).select(
+        "n_edges", "n_reciprocated",
+        F.round(
+            F.try_divide(F.col("n_reciprocated"), F.col("n_edges")), 6
+        ).alias("reciprocity"),
+    )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient — triangle_count's
+    global census, refined to the node grain: lcc(v) = t_v /
+    C(d_v, 2), the probability two of v's neighbors know each other.
+    The node-level signal community detection sanity-checks against
+    (a "community" of lcc≈0 nodes is a star, not a community).
+
+    Same canonical a<b orientation and wedge-join ⋈ semi-probe as
+    triangle_count, but the closing-edge probe is an INNER join so
+    each found triangle (a<b<c) survives as a row and credits all
+    three corners via a 3-element explode — one extra map stage over
+    the census, no new shuffle shape.  Degrees and triangle credits
+    are exact integers; lcc floats only at the final 6dp division.
+    Degree<2 nodes have no wedge: lcc = 0.0 by convention.
+
+    Output: (node, degree, triangles, lcc)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # wedges (a<b<c): (a,b) joins (b,c); the closing edge (a,c)
+    # keeps the triangle
+    left = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    right = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        left.join(right, "y")
+        .join(
+            canon.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            ["x", "z"],
+            "left_semi",
+        )
+    )
+    credits = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    wedges = F.col("degree") * (F.col("degree") - 1) / 2
+    return (
+        deg.join(credits, "node", "left")
+        .select(
+            F.col("node").cast("int").alias("node"),
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("triangles"), F.lit(0)) / wedges, 6
+                )
+            )
+            .alias("lcc"),
+        )
+    )

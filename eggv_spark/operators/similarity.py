@@ -1672,3 +1672,55 @@ def ivf_cell_stats(
             6,
         ).alias("imbalance_factor"),
     )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ reconstruction-error audit — the int8_quantize RMSE gauge
+    for the product-quantized index: per subspace, the mean and max
+    squared L2 between each vector's sub-slice and its chosen
+    codeword (the per-(vector, subspace) argmin distance the encoder
+    already minimizes).  A subspace whose distortion dwarfs the rest
+    is where recall dies first and where the codebook refresh should
+    spend its budget.
+
+    Shuffle shape: one shuffle-free map pass computes the m
+    per-subspace min-distances per row (the same 6dp-rounded
+    codebook transform pq_codes_col uses, so this audit measures
+    EXACTLY what the encoder stores), a posexplode to (sub, dist)
+    grain, one map-side-combined aggregate to m rows.  Per-row
+    distances are deterministic (6dp); the cross-row mean is rounded
+    at 4dp (the kmeans-inertia rounding discipline for free-order
+    double sums).
+
+    Output: (sub, n_vectors, mean_sqdist, max_sqdist)."""
+    sub_dim = dim // m
+    cb = _pq_codebook_lit(m, k, sub_dim)
+    vec = F.col(vec_col)
+    min_dists = F.transform(
+        cb,
+        lambda subtable, s: F.array_min(
+            F.transform(
+                subtable,
+                lambda cen, c: F.struct(
+                    F.round(_pq_sub_sq_dist(vec, s, sub_dim, cen), 6)
+                    .alias("dist"),
+                    c.alias("idx"),
+                ),
+            )
+        ).getField("dist"),
+    )
+    exploded = corpus.select(
+        F.posexplode(min_dists).alias("sub", "dist")
+    )
+    return exploded.groupBy("sub").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("dist"), 4).alias("mean_sqdist"),
+        F.round(F.max("dist"), 6).alias("max_sqdist"),
+    )
