@@ -6261,6 +6261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_clustering": _graph_local_clustering,
         "sim_pq_distortion": _sim_pq_distortion,
         "evt_qini_curve": _evt_qini_curve,
+        # --- round-8 nineteenth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-18): LSH band
+        # stats, G-test, SMD balance, Wilson CI, seasonal-naive
+        # backtest (staged + oracle-validated in
+        # tests/test_round9r_staged.py) ---
+        "ddp_lsh_band_stats": _ddp_lsh_band_stats,
+        "agg_g_test": _agg_g_test,
+        "agg_smd_balance": _agg_smd_balance,
+        "agg_wilson_ci": _agg_wilson_ci,
+        "evt_seasonal_naive_error": _evt_seasonal_naive_error,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9582,6 +9592,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9o_oracles())
     base.update(_r9p_oracles())
     base.update(_r9q_oracles())
+    base.update(_r9r_oracles())
     return base
 
 
@@ -17051,4 +17062,229 @@ def _r9q_oracles() -> dict[str, str]:
         "graph_local_clustering": _LOCAL_CLUSTERING_SQL,
         "sim_pq_distortion": _pq_distortion_oracle(),
         "evt_qini_curve": _QINI_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 nineteenth wave: LSH band stats, G-test, SMD balance,
+# Wilson CI, seasonal-naive backtest
+# ---------------------------------------------------------------------------
+
+
+def _ddp_lsh_band_stats(spark, sf_dir):
+    """LSH bucket-size profile (dedupe.lsh_band_stats) over the
+    planted-dups corpus — the quadratic-blowup early warning: per
+    band, bucket counts, max bucket, and the implied candidate-pair
+    load, computed arithmetically (no pair join materialized)."""
+    return D.lsh_band_stats(_docs_with_dups(spark, sf_dir))
+
+
+def _agg_g_test(spark, sf_dir):
+    """Likelihood-ratio G-test (aggregates.g_test) of priority ×
+    status independence on orders: exact integer cells/margins,
+    cell terms pooled as ordered prefix sums."""
+    return AG.g_test(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+def _agg_smd_balance(spark, sf_dir):
+    """Covariate balance check (aggregates.smd_balance) for the md5
+    customer split on orders: price cents, epoch order day, priority
+    digit — integer-quantized per the operator contract; a hash
+    split should balance (|SMD| small), making this the negative
+    control a causal pipeline must pass."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (base_hash(F.col("o_custkey").cast("string")) % 2 == 0)
+        .alias("treated"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).cast("bigint").alias("order_epoch_day"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint")
+        .alias("prio_digit"),
+    )
+    return AG.smd_balance(
+        orders, "treated",
+        ["price_cents", "order_epoch_day", "prio_digit"],
+    )
+
+
+def _agg_wilson_ci(spark, sf_dir):
+    """Wilson score interval (aggregates.wilson_ci) for the order
+    failure rate per priority — the boundary-safe proportion CI,
+    exactly reproducible from (n, s)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderstatus") == "F").alias("failed"),
+    )
+    return AG.wilson_ci(orders, "prio", "failed")
+
+
+def _evt_seasonal_naive_error(spark, sf_dir):
+    """Seasonal-naive MAE/MAPE backtest (events.seasonal_naive_error,
+    season=7) over the daily cents series — the baseline every
+    forecaster must beat and the model-free drift tripwire."""
+    from eggv_spark.operators.events import seasonal_naive_error
+
+    return seasonal_naive_error(_t(spark, sf_dir, "events"))
+
+
+def _lsh_band_stats_oracle() -> str:
+    """Bucket-size stats over the same shingle/signature/band CTEs
+    as the validated minhash oracle."""
+    consts = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    p = D.MINHASH_PRIME
+    return f"""
+WITH alldocs AS ({_DUPDOCS_SQL}),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM alldocs),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+hs AS (SELECT doc_id,
+       list_distinct(list_transform(shingles,
+         s -> {_BASEHASH_SQL.format(x='s')} % {p})) AS hashes FROM sh),
+consts(j, a, b) AS (VALUES {consts}),
+sig AS (SELECT doc_id, j,
+        list_min(list_transform(hashes, x -> (a * x + b) % {p})) AS m
+        FROM hs CROSS JOIN consts),
+bands AS (SELECT doc_id, j // {D.MINHASH_ROWS} AS band,
+          string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS band_key
+          FROM sig GROUP BY doc_id, j // {D.MINHASH_ROWS}),
+buckets AS (SELECT band, band_key, CAST(count(*) AS BIGINT) AS s
+            FROM bands GROUP BY band, band_key)
+SELECT CAST(band AS INT) AS band,
+       CAST(sum(s) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(s) AS BIGINT) AS max_bucket_size,
+       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs,
+       round(CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS singleton_frac
+FROM buckets GROUP BY band"""
+
+
+_G_TEST_SQL = """
+WITH b AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c FROM orders
+), cells AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM b GROUP BY r, c
+), rm AS (SELECT r, CAST(count(*) AS BIGINT) AS rn FROM b GROUP BY r),
+cm AS (SELECT c, CAST(count(*) AS BIGINT) AS cn FROM b GROUP BY c),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_cols FROM b),
+cum AS (
+  SELECT cells.r, cells.c, g.n, g.n_rows, g.n_cols,
+         sum(CASE WHEN o > 0 THEN
+               2.0 * o * ln(o / (rm.rn * cm.cn / g.n))
+             ELSE 0.0 END)
+           OVER (ORDER BY cells.r, cells.c
+                 ROWS UNBOUNDED PRECEDING) AS gs
+  FROM cells JOIN rm USING (r) JOIN cm USING (c), g
+)
+SELECT n, n_rows, n_cols,
+       (n_rows - 1) * (n_cols - 1) AS dof,
+       round(gs, 6) AS g_stat
+FROM cum ORDER BY r DESC, c DESC LIMIT 1"""
+
+
+_SMD_SQL = f"""
+WITH base AS (
+  SELECT ({_BASEHASH_SQL.format(x="CAST(o_custkey AS VARCHAR)")} % 2 = 0)
+           AS t,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(datediff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS order_epoch_day,
+         CAST(left(o_orderpriority, 1) AS BIGINT) AS prio_digit
+  FROM orders
+), melted AS (
+  SELECT t, 'price_cents' AS cov, price_cents AS v FROM base
+  UNION ALL
+  SELECT t, 'order_epoch_day', order_epoch_day FROM base
+  UNION ALL
+  SELECT t, 'prio_digit', prio_digit FROM base
+), per AS (
+  SELECT cov,
+    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_control,
+    CAST(sum(CASE WHEN t THEN v ELSE 0 END) AS BIGINT) AS st,
+    CAST(sum(CASE WHEN t THEN 0 ELSE v END) AS BIGINT) AS sc,
+    sum(CASE WHEN t THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qt,
+    sum(CASE WHEN t THEN 0 ELSE CAST(v AS HUGEINT) * v END) AS qc
+  FROM melted GROUP BY cov
+)
+SELECT cov AS covariate, n_treated, n_control,
+       round(st / n_treated, 6) AS mean_treated,
+       round(sc / n_control, 6) AS mean_control,
+       round((st / n_treated - sc / n_control)
+             / sqrt(((CAST(qt AS DOUBLE)
+                      - CAST(st AS DOUBLE) * st / n_treated)
+                     / (n_treated - 1)
+                     + (CAST(qc AS DOUBLE)
+                        - CAST(sc AS DOUBLE) * sc / n_control)
+                     / (n_control - 1)) / 2.0), 6) AS smd
+FROM per"""
+
+
+_WILSON_SQL = """
+WITH per AS (
+  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM orders GROUP BY 1
+)
+SELECT grp AS "group", n, s AS successes,
+       round(s / n, 6) AS p_hat,
+       round((s / n + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+             - 1.96 * sqrt((s / n) * (1.0 - s / n) / n
+                           + (1.96 * 1.96) / (4.0 * n * n))
+               / (1.0 + (1.96 * 1.96) / n), 6) AS ci_low,
+       round((s / n + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+             + 1.96 * sqrt((s / n) * (1.0 - s / n) / n
+                           + (1.96 * 1.96) / (4.0 * n * n))
+               / (1.0 + (1.96 * 1.96) / n), 6) AS ci_high
+FROM per"""
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS x_cents
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT day, x_cents,
+         lag(x_cents, 7) OVER (ORDER BY day) AS pred
+  FROM daily
+), cum AS (
+  SELECT day,
+    CAST(count(*) OVER w AS BIGINT) AS n_days,
+    CAST(count(pred) OVER w AS BIGINT) AS n_scored,
+    CAST(sum(CASE WHEN pred IS NOT NULL THEN abs(x_cents - pred)
+             ELSE 0 END) OVER w AS BIGINT) AS total_abs_err_cents,
+    sum(CASE WHEN pred IS NOT NULL THEN
+          CAST(abs(x_cents - pred) AS DOUBLE)
+          / CAST(abs(x_cents) AS DOUBLE) END) OVER w AS ape_sum
+  FROM scored
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT n_days, n_scored, total_abs_err_cents,
+       round(CAST(total_abs_err_cents AS DOUBLE) / n_scored / 100.0,
+             4) AS mae,
+       round(ape_sum / n_scored, 6) AS mape
+FROM cum ORDER BY day DESC LIMIT 1"""
+
+
+def _r9r_oracles() -> dict[str, str]:
+    """Oracles for the nineteenth round-8 staging wave."""
+    return {
+        "ddp_lsh_band_stats": _lsh_band_stats_oracle(),
+        "agg_g_test": _G_TEST_SQL,
+        "agg_smd_balance": _SMD_SQL,
+        "agg_wilson_ci": _WILSON_SQL,
+        "evt_seasonal_naive_error": _SEASONAL_NAIVE_SQL,
     }

@@ -3414,3 +3414,179 @@ def cmh_test(
         F.round(F.try_divide(dev * dev, F.col("_v_cum")), 6)
         .alias("chi2"),
     )
+
+
+def g_test(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Likelihood-ratio G-test of independence for a two-way
+    contingency table — chi-square's information-theoretic twin
+    (G = 2·Σ O·ln(O/E) is exactly 2N·MI in nats, which is why the
+    feature-selection ops report MI and the hypothesis-test surface
+    reports G).  Preferable to Pearson when any expected cell is
+    small.
+
+    Cell counts and margins are exact integers from grouped passes;
+    E_ij = r_i·c_j/N floats deterministically from them.  The sum
+    over cells is an ORDERED prefix sum over the (row, col) key
+    (the logrank/CMH discipline), read off the last cell.  Zero
+    cells contribute 0 (lim x·ln x = 0), explicitly.
+
+    Output: one row (n, n_rows, n_cols, dof, g_stat)."""
+    base = df.select(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).filter(F.col("_r").isNotNull() & F.col("_c").isNotNull())
+    cells = base.groupBy("_r", "_c").agg(F.count("*").alias("_o"))
+    rows = base.groupBy("_r").agg(F.count("*").alias("_rn"))
+    colss = base.groupBy("_c").agg(F.count("*").alias("_cn"))
+    glob = base.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("_r").alias("n_rows"),
+        F.count_distinct("_c").alias("n_cols"),
+    )
+    tagged = (
+        cells.join(rows, "_r")
+        .join(colss, "_c")
+        .crossJoin(F.broadcast(glob))
+    )
+    e = F.col("_rn") * F.col("_cn") / F.col("n")
+    term = F.when(
+        F.col("_o") > 0,
+        2.0 * F.col("_o") * F.log(F.col("_o") / e),
+    ).otherwise(F.lit(0.0))
+    w = Window.orderBy("_r", "_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = tagged.select(
+        "_r", "_c", "n", "n_rows", "n_cols",
+        F.sum(term).over(w).alias("_g"),
+    )
+    last = cum.orderBy(F.col("_r").desc(), F.col("_c").desc()).limit(1)
+    return last.select(
+        "n", "n_rows", "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        F.round("_g", 6).alias("g_stat"),
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    treated_col: str,
+    covariate_cols: Sequence[str],
+) -> DataFrame:
+    """Standardized mean difference balance check — the diagnostic
+    that decides whether a matching/weighting step (psm_att, IPW)
+    actually worked: per covariate, (mean_T − mean_C) / √((v_T +
+    v_C)/2).  |SMD| < 0.1 is the conventional "balanced" bar; a
+    covariate failing it after matching invalidates the effect
+    estimate.
+
+    Covariates must be INTEGER-quantized by the caller (cents,
+    epoch days — the perceptron contract): group sums are exact
+    BIGINTs and the sum-of-squares is held in DECIMAL(38,0) (the
+    graph_hits discipline — cents² · row-count overflows 2⁶³ at
+    quite ordinary scales, measured at sf0.1; bound is now 10³⁸).
+    The square of the SUM is taken in doubles.  Means and
+    variances assemble from those integers in one fixed-order float
+    expression, 6dp.
+
+    One melt (explode to (covariate, value) grain) + one grouped
+    pass; output per covariate: (covariate, n_treated, n_control,
+    mean_treated, mean_control, smd)."""
+    melted = df.select(
+        F.col(treated_col).cast("boolean").alias("_t"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_cov"),
+                        F.col(c).cast("bigint").alias("_v"),
+                    )
+                    for c in covariate_cols
+                ]
+            )
+        ).alias("_kv"),
+    ).select("_t", "_kv._cov", "_kv._v")
+    per = melted.groupBy("_cov").agg(
+        F.sum(F.col("_t").cast("bigint")).alias("n_treated"),
+        F.sum((~F.col("_t")).cast("bigint")).alias("n_control"),
+        F.sum(F.when(F.col("_t"), F.col("_v")).otherwise(0)).alias("_st"),
+        F.sum(F.when(~F.col("_t"), F.col("_v")).otherwise(0)).alias("_sc"),
+        F.sum(
+            F.when(
+                F.col("_t"),
+                F.col("_v").cast("decimal(38,0)") * F.col("_v"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("_qt"),
+        F.sum(
+            F.when(
+                ~F.col("_t"),
+                F.col("_v").cast("decimal(38,0)") * F.col("_v"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("_qc"),
+    )
+    nt, nc = F.col("n_treated"), F.col("n_control")
+    mt = F.col("_st") / nt
+    mc = F.col("_sc") / nc
+    vt = (
+        F.col("_qt").cast("double")
+        - F.col("_st").cast("double") * F.col("_st") / nt
+    ) / (nt - 1)
+    vc = (
+        F.col("_qc").cast("double")
+        - F.col("_sc").cast("double") * F.col("_sc") / nc
+    ) / (nc - 1)
+    return per.select(
+        F.col("_cov").alias("covariate"),
+        "n_treated", "n_control",
+        F.round(mt, 6).alias("mean_treated"),
+        F.round(mc, 6).alias("mean_control"),
+        F.round(
+            F.try_divide(mt - mc, F.sqrt((vt + vc) / 2.0)), 6
+        ).alias("smd"),
+    )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score interval for a per-group proportion — the
+    proportion CI that behaves at the boundaries where the Wald
+    interval (p̂ ± z√(p̂q̂/n)) collapses to zero width at p̂∈{0,1}
+    and escapes [0,1].  Closed form, so unlike the bootstrap CI it
+    is exactly reproducible from the two integers (n, s):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    One grouped pass; integer n/s; one fixed-order float expression
+    per group, 6dp.  Output: (group, n, successes, p_hat, ci_low,
+    ci_high)."""
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(success_col).cast("int").cast("bigint").alias("_y"),
+    )
+    per = base.groupBy("group").agg(
+        F.count("*").alias("n"), F.sum("_y").alias("successes")
+    )
+    n = F.col("n")
+    p = F.col("successes") / n
+    z2 = F.lit(z * z)
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return per.select(
+        "group", "n", "successes",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_low"),
+        F.round(center + half, 6).alias("ci_high"),
+    )

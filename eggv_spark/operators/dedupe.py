@@ -1301,3 +1301,44 @@ def chunk_dedup_stats(
             1.0 - F.count_distinct("chunk_hash") / F.count("*"), 6
         ).alias("dup_frac"),
     )
+
+
+def lsh_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """LSH bucket-size profile per band — the dedup-side index
+    health gauge (the sibling of similarity.ivf_cell_stats): bucket
+    counts, the largest bucket, and the implied candidate-pair load
+    Σ s(s−1)/2.  This is the EARLY WARNING for the quadratic-blowup
+    failure mode the containment join's frequent-bucket cap guards
+    against — a boilerplate shingle that funnels thousands of docs
+    into one bucket shows up here as max_bucket_size long before the
+    pair join melts, and is what a bands/rows retune decision reads.
+
+    Plan: the same shingle → signature → band explode the candidate
+    generator uses (so the stats measure EXACTLY the buckets the
+    join would see), then two grouped integer passes (bucket grain,
+    band grain).  No pair join is ever materialized — the pair count
+    is computed from bucket sizes arithmetically.
+
+    Output per band: (band, n_docs, n_buckets, max_bucket_size,
+    candidate_pairs, singleton_frac)."""
+    signed = with_minhash_signature(
+        with_shingle_hashes(df, text_col, shingle_size)
+    )
+    bands = _band_rows(signed, id_col)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.count("*").alias("_s")
+    )
+    return buckets.groupBy("band").agg(
+        F.sum("_s").alias("n_docs"),
+        F.count("*").alias("n_buckets"),
+        F.max("_s").alias("max_bucket_size"),
+        F.sum(F.expr("_s * (_s - 1) DIV 2")).alias("candidate_pairs"),
+        F.round(
+            F.sum((F.col("_s") == 1).cast("bigint")) / F.count("*"), 6
+        ).alias("singleton_frac"),
+    )

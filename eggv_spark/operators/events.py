@@ -2074,3 +2074,70 @@ def qini_curve(
             6,
         ).alias("qini"),
     )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive backtest: forecast each day's total as the
+    value ``season`` days earlier and report MAE/MAPE — the baseline
+    every real forecasting model must beat, and the cheapest
+    data-drift tripwire (a regime change shows up as a MAPE jump
+    with no model in the loop at all).
+
+    The series is the daily integer-cents rollup (per-event
+    round(value·100), then exact integer sums — the cusum_chart
+    quantization).  The lag is ``season`` ROWS over the day-ordered
+    spine: correct on a DENSE daily series (the events fixture is
+    dense); a gappy series needs evt_gapfill first — documented
+    contract, same as the other calendar-spine ops.  Absolute errors
+    are exact integers; MAPE terms and both finals accumulate as
+    ORDERED prefix sums (the logrank discipline), read off the
+    max-day row.
+
+    Output: one row (n_days, n_scored, total_abs_err_cents, mae,
+    mape) — mae in value units (4dp), mape as a ratio (6dp)."""
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("x_cents"))
+    )
+    w_lag = Window.orderBy("day")
+    scored = daily.select(
+        "day", "x_cents",
+        F.lag("x_cents", season).over(w_lag).alias("_pred"),
+    )
+    ae = F.abs(F.col("x_cents") - F.col("_pred"))
+    ape = F.try_divide(
+        ae.cast("double"), F.abs(F.col("x_cents")).cast("double")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = scored.select(
+        "day",
+        F.count("*").over(w).alias("n_days"),
+        F.count("_pred").over(w).alias("n_scored"),
+        F.sum(F.when(F.col("_pred").isNotNull(), ae).otherwise(0))
+        .over(w).alias("total_abs_err_cents"),
+        F.sum(F.when(F.col("_pred").isNotNull(), ape))
+        .over(w).alias("_ape_sum"),
+    )
+    last = cum.orderBy(F.col("day").desc()).limit(1)
+    return last.select(
+        "n_days", "n_scored", "total_abs_err_cents",
+        F.round(
+            F.try_divide(
+                F.col("total_abs_err_cents"), F.col("n_scored")
+            )
+            / 100.0,
+            4,
+        ).alias("mae"),
+        F.round(
+            F.try_divide(F.col("_ape_sum"), F.col("n_scored")), 6
+        ).alias("mape"),
+    )
