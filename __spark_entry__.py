@@ -6271,6 +6271,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_smd_balance": _agg_smd_balance,
         "agg_wilson_ci": _agg_wilson_ci,
         "evt_seasonal_naive_error": _evt_seasonal_naive_error,
+        # --- round-8 twentieth wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-19): hop-bounded
+        # SCC, MH common odds ratio, WOE encoding, streaming CUSUM
+        # (staged + oracle-validated in tests/test_round9s_staged.py)
+        "graph_scc": _graph_scc,
+        "agg_mh_odds_ratio": _agg_mh_odds_ratio,
+        "fe_woe_encoding": _fe_woe_encoding,
+        "stream_cusum": _stream_cusum,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9593,6 +9601,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9p_oracles())
     base.update(_r9q_oracles())
     base.update(_r9r_oracles())
+    base.update(_r9s_oracles())
     return base
 
 
@@ -17287,4 +17296,194 @@ def _r9r_oracles() -> dict[str, str]:
         "agg_smd_balance": _SMD_SQL,
         "agg_wilson_ci": _WILSON_SQL,
         "evt_seasonal_naive_error": _SEASONAL_NAIVE_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 twentieth wave: SCC, MH odds ratio, WOE encoding,
+# streaming CUSUM
+# ---------------------------------------------------------------------------
+
+
+def _graph_scc(spark, sf_dir):
+    """Hop-bounded strongly connected components (graph.scc,
+    max_hops=4) on the thresholded trade graph: frontier closure +
+    ONE swapped self-join for mutual reachability, min-label ids,
+    component sizes."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("src", "dst")
+    )
+    return G.scc(edges, max_hops=4)
+
+
+def _agg_mh_odds_ratio(spark, sf_dir):
+    """Mantel-Haenszel common odds ratio (aggregates.mh_odds_ratio)
+    on the same stratified fixture as agg_cmh_test — the effect size
+    to cmh_test's significance."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        (base_hash(F.col("o_custkey").cast("string")) % 2 == 0)
+        .alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("failed"),
+    )
+    return AG.mh_odds_ratio(orders, "stratum", "exposed", "failed")
+
+
+def _fe_woe_encoding(spark, sf_dir):
+    """Weight-of-evidence + information value per market segment for
+    the high-balance label (aggregates.woe_encoding, Laplace 0.5):
+    the risk-model categorical encoder, integer counts + one 1-row
+    totals broadcast."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", (F.col("c_acctbal") > 5000).alias("rich")
+    )
+    return AG.woe_encoding(cust, "c_mktsegment", "rich")
+
+
+def _stream_cusum(spark, sf_dir):
+    """Stateful streaming CUSUM per user (applyInPandasWithState,
+    two BIGINT scalars of state): integer recursion held directly;
+    availableNow replay must equal the batch prefix-minimum window
+    SQL — which is the oracle."""
+    from eggv_spark.streaming import events_stream as ES
+
+    return ES.run_available_now(
+        ES.streaming_cusum(ES.read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+def _scc_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled closure + swapped mutual join + min-label + sizes."""
+    parts = [
+        _TRADE_TOPK_SQL,
+        "nodes AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        " SELECT src AS v FROM topk"
+        " UNION ALL SELECT dst AS v FROM topk))",
+        "f0 AS (SELECT v AS src, v AS cur FROM nodes)",
+    ]
+    reach_union = "SELECT src, cur FROM f0"
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS MATERIALIZED ("
+            f" SELECT DISTINCT f.src, e.dst AS cur"
+            f" FROM f{h - 1} f JOIN topk e ON f.cur = e.src"
+            f" EXCEPT ({reach_union}))"
+        )
+        reach_union += f" UNION ALL SELECT src, cur FROM f{h}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+reach AS MATERIALIZED ({reach_union}),
+mutual AS (SELECT r.src, r.cur FROM reach r
+           WHERE EXISTS (SELECT 1 FROM reach s
+                         WHERE s.src = r.cur AND s.cur = r.src)),
+labels AS (SELECT src, min(cur) AS scc_id FROM mutual GROUP BY src),
+sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+          FROM labels GROUP BY scc_id)
+SELECT CAST(l.src AS INT) AS node, CAST(l.scc_id AS INT) AS scc_id,
+       s.scc_size
+FROM labels l JOIN sizes s USING (scc_id)"""
+    )
+
+
+_MH_OR_SQL = f"""
+WITH b AS (
+  SELECT o_orderpriority AS k,
+         ({_BASEHASH_SQL.format(x="CAST(o_custkey AS VARCHAR)")} % 2 = 0)
+           AS e,
+         (o_orderstatus = 'F') AS y
+  FROM orders
+), pk AS (
+  SELECT k,
+    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+      AS d,
+    CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY k
+), cum AS (
+  SELECT k,
+    CAST(count(*) OVER w AS BIGINT) AS n_strata,
+    sum(a * d / n) OVER w AS sad,
+    sum(bb * c / n) OVER w AS sbc
+  FROM pk
+  WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)
+)
+SELECT n_strata, round(sad, 6) AS sum_ad_n, round(sbc, 6) AS sum_bc_n,
+       round(sad / sbc, 6) AS or_mh,
+       round(ln(sad / sbc), 6) AS log_or_mh
+FROM cum WHERE k = (SELECT max(k) FROM pk)"""
+
+
+_WOE_SQL = """
+WITH per AS (
+  SELECT c_mktsegment AS category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_events
+  FROM customer GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn,
+         CAST(sum(n_events) AS BIGINT) AS te,
+         CAST(count(*) AS BIGINT) AS k
+  FROM per
+)
+SELECT category, n, n_events,
+       round(ln(((n_events + 0.5) / (te + 0.5 * k))
+                / ((n - n_events + 0.5) / (tn - te + 0.5 * k))), 6)
+         AS woe,
+       round(((n_events + 0.5) / (te + 0.5 * k)
+              - (n - n_events + 0.5) / (tn - te + 0.5 * k))
+             * ln(((n_events + 0.5) / (te + 0.5 * k))
+                  / ((n - n_events + 0.5) / (tn - te + 0.5 * k))), 6)
+         AS iv
+FROM per, tot"""
+
+
+_STREAM_CUSUM_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS x_cents
+  FROM events
+), p AS (
+  SELECT event_id, user_id, ts, x_cents,
+         sum(x_cents - 16000) OVER w AS p_pos,
+         sum(16000 - x_cents) OVER w AS p_neg
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), s AS (
+  SELECT event_id, user_id, x_cents,
+         CAST(p_pos - least(CAST(0 AS BIGINT), min(p_pos) OVER w)
+              AS BIGINT) AS s_pos,
+         CAST(p_neg - least(CAST(0 AS BIGINT), min(p_neg) OVER w)
+              AS BIGINT) AS s_neg
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, x_cents, s_pos, s_neg,
+       (s_pos > 100000 OR s_neg > 100000) AS alarm
+FROM s"""
+
+
+def _r9s_oracles() -> dict[str, str]:
+    """Oracles for the twentieth round-8 staging wave."""
+    return {
+        "graph_scc": _scc_oracle_sql(4),
+        "agg_mh_odds_ratio": _MH_OR_SQL,
+        "fe_woe_encoding": _WOE_SQL,
+        "stream_cusum": _STREAM_CUSUM_SQL,
     }

@@ -97,6 +97,11 @@ HEADLINE = [
     # state — the iterative embedding-selection shape)
     "sim_maxsim_rerank",
     "sim_kcenter_coreset",
+    # round-8 wave-17 representative: the staged dedup funnel (exact
+    # hash -> keeper semi-join -> banded LSH over the survivors in
+    # ONE plan — the production curation pipeline shape, exact stage
+    # first because it is ~100x cheaper than the LSH stage)
+    "composite_dedup_funnel",
 ]
 
 

@@ -3590,3 +3590,107 @@ def wilson_ci(
         F.round(center - half, 6).alias("ci_low"),
         F.round(center + half, 6).alias("ci_high"),
     )
+
+
+def mh_odds_ratio(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel common odds ratio — the EFFECT-SIZE companion
+    of :func:`cmh_test` (which only answers "is there an
+    association"): the stratification-adjusted odds ratio
+
+        OR_MH = Σ_k (a_k·d_k/n_k) / Σ_k (b_k·c_k/n_k)
+
+    over per-stratum 2×2 tables (a=e∧y, b=e∧¬y, c=¬e∧y, d=¬e∧¬y).
+    Robust at small strata (no per-stratum OR blows up on a zero
+    cell — zero cells simply contribute zero weight).
+
+    Cell counts are exact integers; both pooled sums are ORDERED
+    prefix sums over the stratum key, read off the last row, so the
+    6dp ratio and its log are engine-exact.  OR is NULL when the
+    denominator pool is zero (no discordant-direction pairs).
+
+    Output: one row (n_strata, sum_ad_n, sum_bc_n, or_mh,
+    log_or_mh)."""
+    base = df.select(
+        F.col(stratum_col).alias("_k"),
+        F.col(exposed_col).cast("boolean").alias("_e"),
+        F.col(outcome_col).cast("boolean").alias("_y"),
+    )
+    per_k = base.groupBy("_k").agg(
+        F.sum((F.col("_e") & F.col("_y")).cast("bigint")).alias("_a"),
+        F.sum((F.col("_e") & ~F.col("_y")).cast("bigint")).alias("_b"),
+        F.sum((~F.col("_e") & F.col("_y")).cast("bigint")).alias("_c"),
+        F.sum((~F.col("_e") & ~F.col("_y")).cast("bigint")).alias("_d"),
+        F.count("*").alias("_n"),
+    )
+    ad = F.col("_a") * F.col("_d") / F.col("_n")
+    bc = F.col("_b") * F.col("_c") / F.col("_n")
+    w = Window.orderBy("_k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_k.select(
+        "_k",
+        F.count("*").over(w).alias("n_strata"),
+        F.sum(ad).over(w).alias("_sad"),
+        F.sum(bc).over(w).alias("_sbc"),
+    )
+    last = cum.orderBy(F.col("_k").desc()).limit(1)
+    or_mh = F.try_divide(F.col("_sad"), F.col("_sbc"))
+    return last.select(
+        "n_strata",
+        F.round("_sad", 6).alias("sum_ad_n"),
+        F.round("_sbc", 6).alias("sum_bc_n"),
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(F.log(or_mh), 6).alias("log_or_mh"),
+    )
+
+
+def woe_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category —
+    the risk-modeling categorical encoder next to fe_target_encoding
+    (LOO means for regression targets; WOE for binary ones):
+
+        WOE_i = ln( (e_i+s)/(E+s·K) ÷ (ne_i+s)/(NE+s·K) )
+        IV_i  = (ẽ_i − ñe_i) · WOE_i     (smoothed shares)
+
+    with e/ne the per-category event/non-event counts, E/NE the
+    totals, K the category count, and Laplace smoothing ``s`` so a
+    pure category cannot emit ±inf.  All counts integer-exact (one
+    grouped pass + a 1-row broadcast of the totals); the WOE/IV
+    assembly is one fixed-order float expression per category, 6dp.
+
+    Output per category: (category, n, n_events, woe, iv)."""
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        F.col(label_col).cast("boolean").cast("int").cast("bigint")
+        .alias("_y"),
+    )
+    per = base.groupBy("category").agg(
+        F.count("*").alias("n"), F.sum("_y").alias("n_events")
+    )
+    tot = per.agg(
+        F.sum("n").alias("_tn"),
+        F.sum("n_events").alias("_te"),
+        F.count("*").alias("_k"),
+    )
+    s = F.lit(float(smoothing))
+    tagged = per.crossJoin(F.broadcast(tot))
+    e_share = (F.col("n_events") + s) / (
+        F.col("_te") + s * F.col("_k")
+    )
+    ne_share = (F.col("n") - F.col("n_events") + s) / (
+        F.col("_tn") - F.col("_te") + s * F.col("_k")
+    )
+    woe = F.log(e_share / ne_share)
+    return tagged.select(
+        "category", "n", "n_events",
+        F.round(woe, 6).alias("woe"),
+        F.round((e_share - ne_share) * woe, 6).alias("iv"),
+    )

@@ -1111,3 +1111,70 @@ def local_clustering(
             .alias("lcc"),
         )
     )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Strongly connected components within a hop bound — the
+    DIRECTED counterpart of graph_wcc: node u and v share a
+    component iff each reaches the other in <= ``max_hops`` directed
+    hops, and the component id is the smallest mutual-reach node.
+    On a graph whose diameter fits the bound this IS the exact SCC
+    partition; the bound is the operator's documented contract (the
+    harmonic_centrality posture), keeping plan depth fixed and the
+    result oracle-checkable.
+
+    Execution: the same multi-source frontier closure as
+    harmonic_centrality (join + distinct + anti-join per hop,
+    lazily checkpointed), then ONE self-join of the closure with its
+    swap — (v,u) ∧ (u,v) — a pair-keyed equi-join, never a product;
+    min-label per node and a component-size rollup.  The closure is
+    O(Σ|B_H(v)|) rows: linear-ish on bounded-degree graphs, so the
+    same landmark/sampling caveat as harmonic applies at web scale
+    (or run wcc first and scc per weak component).
+
+    Output: (node, scc_id, scc_size) — singletons keep themselves
+    as scc_id with size 1."""
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_a").alias("node"))
+        .union(e.select(F.col("_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = nodes.select(
+        F.col("node").alias("_src"), F.col("node").alias("_cur")
+    )
+    frontier = visited
+    for _ in range(max_hops):
+        frontier = (
+            frontier.join(e, frontier["_cur"] == e["_a"])
+            .select("_src", F.col("_b").alias("_cur"))
+            .distinct()
+            .join(visited, ["_src", "_cur"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+    swapped = visited.select(
+        F.col("_cur").alias("_src"), F.col("_src").alias("_cur")
+    )
+    mutual = visited.join(swapped, ["_src", "_cur"], "left_semi")
+    labels = mutual.groupBy("_src").agg(F.min("_cur").alias("scc_id"))
+    sizes = labels.groupBy("scc_id").agg(F.count("*").alias("scc_size"))
+    return (
+        labels.join(sizes, "scc_id")
+        .select(
+            F.col("_src").cast("int").alias("node"),
+            F.col("scc_id").cast("int").alias("scc_id"),
+            "scc_size",
+        )
+    )

@@ -653,3 +653,69 @@ def streaming_user_profile_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target_cents: int = 16000,
+    slack_cents: int = 0,
+    threshold_cents: int = 100000,
+) -> DataFrame:
+    """Stateful streaming CUSUM per user — the online twin of
+    ``events.cusum_chart``'s batch prefix-minimum rewrite: each
+    event's value quantizes to integer cents and feeds the two
+    one-sided recursions
+
+        S⁺ = max(0, S⁺ + x − T − k),   S⁻ = max(0, S⁻ + T − k − x)
+
+    held directly as per-key state (two BIGINT scalars — on a
+    stream the recursion IS the cheap form; the prefix-min identity
+    is only needed to parallelize a batch scan).  Integer state,
+    integer updates: bit-exact replay, which is why the oracle can
+    be the batch window SQL over the same rows.
+
+    Rows sort by (ts, event_id) within each poll; the operator
+    assumes event-time-ordered arrival per key across batches (the
+    prefix-state contract shared with streaming_running_zscore).
+    Output per event: (event_id, user_id, x_cents, s_pos, s_neg,
+    alarm)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id long, user_id long, x_cents long, s_pos long,"
+        " s_neg long, alarm boolean"
+    )
+    state_schema = "sp long, sn long"
+    t_plus = int(target_cents) + int(slack_cents)
+    t_minus = int(target_cents) - int(slack_cents)
+    h = int(threshold_cents)
+
+    def step(key, pdf_iter, state: GroupState):
+        sp, sn = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out = {
+                "event_id": [], "user_id": [], "x_cents": [],
+                "s_pos": [], "s_neg": [], "alarm": [],
+            }
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                x = int(round(float(v) * 100))
+                sp = max(0, sp + x - t_plus)
+                sn = max(0, sn + t_minus - x)
+                out["event_id"].append(eid)
+                out["user_id"].append(key[0])
+                out["x_cents"].append(x)
+                out["s_pos"].append(sp)
+                out["s_neg"].append(sn)
+                out["alarm"].append(sp > h or sn > h)
+            yield pd.DataFrame(out)
+        state.update((sp, sn))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
