@@ -6279,6 +6279,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mh_odds_ratio": _agg_mh_odds_ratio,
         "fe_woe_encoding": _fe_woe_encoding,
         "stream_cusum": _stream_cusum,
+        # --- round-8 twenty-first wave, registered BEHIND the window
+        # (claims the round-9 window after waves 11-20): repeated-
+        # sentence audit, partial correlation, peak detection, ANN
+        # health gate (staged + oracle-validated in
+        # tests/test_round9t_staged.py) ---
+        "txt_dup_sentence_filter": _txt_dup_sentence_filter,
+        "agg_partial_corr": _agg_partial_corr,
+        "evt_peaks": _evt_peaks,
+        "composite_ann_health": _composite_ann_health,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9602,6 +9611,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9q_oracles())
     base.update(_r9r_oracles())
     base.update(_r9s_oracles())
+    base.update(_r9t_oracles())
     return base
 
 
@@ -17486,4 +17496,205 @@ def _r9s_oracles() -> dict[str, str]:
         "agg_mh_odds_ratio": _MH_OR_SQL,
         "fe_woe_encoding": _WOE_SQL,
         "stream_cusum": _STREAM_CUSUM_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 twenty-first wave: duplicated-sentence audit, partial
+# correlation, peak detection, ANN health gate
+# ---------------------------------------------------------------------------
+
+
+def _txt_dup_sentence_filter(spark, sf_dir):
+    """Repeated-sentence audit (text_analysis.dup_sentence_filter,
+    min_count=2) over the planted-dups corpus — every plant's
+    sentences occur in >=2 docs by construction, so the C4-style
+    boilerplate signal is exercised end to end; counts group on the
+    sentence md5, never shuffling text."""
+    return T.dup_sentence_filter(_docs_with_dups(spark, sf_dir))
+
+
+def _agg_partial_corr(spark, sf_dir):
+    """First-order partial correlation (aggregates.partial_corr):
+    price vs order date with priority partialled out, from exact
+    integer-quantized moment sums (DECIMAL(38,0) second moments)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).cast("bigint").alias("order_epoch_day"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint")
+        .alias("prio_digit"),
+    )
+    return AG.partial_corr(
+        orders, "price_cents", "order_epoch_day", "prio_digit"
+    )
+
+
+def _evt_peaks(spark, sf_dir):
+    """Local-peak detection (events.peaks) on the daily cents series:
+    strict-exceeds-both-neighbors, one lag + one lead, exact
+    integers, one-step prominence."""
+    from eggv_spark.operators.events import peaks
+
+    return peaks(_t(spark, sf_dir, "events"))
+
+
+def _composite_ann_health(spark, sf_dir):
+    """The ANN index go/no-go gate as ONE row — the three validated
+    gauges composed: mean recall@5 of the IVF probe vs brute force
+    (query side), the cell imbalance factor (index side), and the
+    mean PQ distortion (compression side), plus the boolean verdict
+    a refresh pipeline branches on.  Each sub-gauge reuses its
+    already-validated plan; the composite is three 1-row folds
+    crossJoined."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id % 50 = 0")
+    rec = S.ann_recall(
+        S.brute_force_topk(emb, q, k=5),
+        S.ivf_topk(emb, q, k=5, n_probe=10),
+        k=5,
+    ).agg(F.round(F.avg("recall_at_5"), 4).alias("mean_recall_at_5"))
+    imb = S.ivf_cell_stats(emb).agg(
+        F.max("imbalance_factor").alias("imbalance_factor")
+    )
+    dist = S.pq_distortion(emb).agg(
+        F.round(F.avg("mean_sqdist"), 4).alias("mean_pq_sqdist")
+    )
+    return (
+        rec.crossJoin(F.broadcast(imb))
+        .crossJoin(F.broadcast(dist))
+        .select(
+            "mean_recall_at_5", "imbalance_factor", "mean_pq_sqdist",
+            (
+                (F.col("mean_recall_at_5") >= 0.5)
+                & (F.col("imbalance_factor") <= 4.0)
+            ).alias("healthy"),
+        )
+    )
+
+
+def _dup_sentence_oracle_sql() -> str:
+    return f"""
+WITH alldocs AS ({_DUPDOCS_SQL}),
+sent AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(text, '[.!?]+\\s+'),
+              s -> len(trim(s)) > 0) AS ss FROM alldocs),
+srows AS (SELECT doc_id, CAST(len(ss[i]) AS INT) AS n_chars,
+          md5(lower(trim(ss[i]))) AS h
+          FROM sent, lateral unnest(generate_series(1, len(ss))) t(i)),
+corpus AS (SELECT h, count(DISTINCT doc_id) AS docs
+           FROM srows GROUP BY h),
+tagged AS (SELECT doc_id, n_chars, (docs >= 2) AS dup
+           FROM srows JOIN corpus USING (h))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_sentences,
+       round(sum(CASE WHEN dup THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS dup_frac,
+       CAST(sum(CASE WHEN dup THEN n_chars ELSE 0 END) AS BIGINT)
+         AS dup_chars
+FROM tagged GROUP BY doc_id"""
+
+
+_PARTIAL_CORR_SQL = """
+WITH b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+         CAST(left(o_orderpriority, 1) AS BIGINT) AS z
+  FROM orders
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(z AS HUGEINT) * z) AS szz,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * z) AS sxz,
+         sum(CAST(y AS HUGEINT) * z) AS syz
+  FROM b
+), r AS (
+  SELECT n,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * sy)
+    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * sx)
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * sy)) AS rxy,
+    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+     - CAST(sx AS DOUBLE) * sz)
+    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * sx)
+           * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * sz)) AS rxz,
+    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+     - CAST(sy AS DOUBLE) * sz)
+    / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * sy)
+           * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * sz)) AS ryz
+  FROM s
+)
+SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         AS partial_r
+FROM r"""
+
+
+_PEAKS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS x_cents
+  FROM events GROUP BY 1
+), nb AS (
+  SELECT day, x_cents,
+         lag(x_cents) OVER (ORDER BY day) AS prev,
+         lead(x_cents) OVER (ORDER BY day) AS nxt
+  FROM daily
+)
+SELECT day, x_cents,
+       (prev IS NOT NULL AND nxt IS NOT NULL
+        AND x_cents > prev AND x_cents > nxt) AS is_peak,
+       CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                 AND x_cents > prev AND x_cents > nxt
+            THEN x_cents - greatest(prev, nxt) END AS prominence
+FROM nb"""
+
+
+def _ann_health_oracle_sql() -> str:
+    return f"""
+WITH bf AS ({_cosine_topk_oracle()}),
+ivf AS ({_ivf_topk_oracle()}),
+rec AS (
+  SELECT round(avg(r), 4) AS mean_recall_at_5 FROM (
+    SELECT round(count(i.neighbor_id) / 5.0, 4) AS r
+    FROM bf b LEFT JOIN ivf i
+      ON b.query_id = i.query_id
+      AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id)
+),
+cells AS ({_ivf_cell_stats_oracle()}),
+imb AS (SELECT max(imbalance_factor) AS imbalance_factor FROM cells),
+pq AS ({_pq_distortion_oracle()}),
+dist AS (SELECT round(avg(mean_sqdist), 4) AS mean_pq_sqdist FROM pq)
+SELECT mean_recall_at_5, imbalance_factor, mean_pq_sqdist,
+       (mean_recall_at_5 >= 0.5 AND imbalance_factor <= 4.0)
+         AS healthy
+FROM rec, imb, dist"""
+
+
+def _r9t_oracles() -> dict[str, str]:
+    """Oracles for the twenty-first round-8 staging wave."""
+    return {
+        "txt_dup_sentence_filter": _dup_sentence_oracle_sql(),
+        "agg_partial_corr": _PARTIAL_CORR_SQL,
+        "evt_peaks": _PEAKS_SQL,
+        "composite_ann_health": _ann_health_oracle_sql(),
     }

@@ -3694,3 +3694,83 @@ def woe_encoding(
         F.round(woe, 6).alias("woe"),
         F.round((e_share - ne_share) * woe, 6).alias("iv"),
     )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation — the dependence between x
+    and y with a confounder z regressed out of both:
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+
+    The causal-screening companion of agg_corr: a large r_xy that
+    collapses when z is partialled out was z's doing all along.
+
+    Inputs must be INTEGER-quantized (the smd_balance contract):
+    first-moment sums are exact BIGINTs and every second-moment sum
+    (Σx², Σxy, …) is held in DECIMAL(38,0) — the measured-at-sf0.1
+    bigint-overflow lesson.  The three pairwise correlations and the
+    partial assemble from those exact sums in one fixed-order float
+    expression, 6dp.  NULL rows (any column) are dropped first.
+
+    Output: one row (n, r_xy, r_xz, r_yz, partial_r)."""
+    cols = {"_x": x_col, "_y": y_col, "_z": z_col}
+    base = df.select(
+        *[F.col(src).cast("bigint").alias(dst) for dst, src in cols.items()]
+    ).filter(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_z").isNotNull()
+    )
+
+    def _dec(c: str) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    sums = base.agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_z").alias("_sz"),
+        F.sum(_dec("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(_dec("_y") * F.col("_y")).alias("_syy"),
+        F.sum(_dec("_z") * F.col("_z")).alias("_szz"),
+        F.sum(_dec("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(_dec("_x") * F.col("_z")).alias("_sxz"),
+        F.sum(_dec("_y") * F.col("_z")).alias("_syz"),
+    )
+
+    def _r(sab: str, sa: str, sb: str, saa: str, sbb: str) -> Column:
+        n = F.col("n").cast("double")
+        num = n * F.col(sab).cast("double") - (
+            F.col(sa).cast("double") * F.col(sb)
+        )
+        den = F.sqrt(
+            (
+                n * F.col(saa).cast("double")
+                - F.col(sa).cast("double") * F.col(sa)
+            )
+            * (
+                n * F.col(sbb).cast("double")
+                - F.col(sb).cast("double") * F.col(sb)
+            )
+        )
+        return F.try_divide(num, den)
+
+    rxy = _r("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    rxz = _r("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    ryz = _r("_syz", "_sy", "_sz", "_syy", "_szz")
+    partial = F.try_divide(
+        rxy - rxz * ryz,
+        F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+    )
+    return sums.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("partial_r"),
+    )

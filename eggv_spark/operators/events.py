@@ -2141,3 +2141,48 @@ def seasonal_naive_error(
             F.try_divide(F.col("_ape_sum"), F.col("n_scored")), 6
         ).alias("mape"),
     )
+
+
+def peaks(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Local-peak detection on the daily series: a day is a peak when
+    it strictly exceeds BOTH calendar-adjacent observations — the
+    burst-day readout that feeds incident review (evt_anomaly flags
+    outliers against a distribution; this flags local maxima
+    regardless of global scale).
+
+    Same integer-cents quantization and dense-spine contract as
+    cusum_chart / seasonal_naive_error; one lag + one lead over the
+    unique day spine, everything exact integers.  Edge days (no
+    neighbor on one side) are never peaks.  ``prominence`` is the
+    margin over the higher neighbor — the simple one-step form, the
+    ranking key for "which spikes matter".
+
+    Output per day: (day, x_cents, is_peak, prominence) —
+    prominence NULL off-peak."""
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("x_cents"))
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("x_cents").over(w)
+    nxt = F.lead("x_cents").over(w)
+    is_peak = (
+        prev.isNotNull()
+        & nxt.isNotNull()
+        & (F.col("x_cents") > prev)
+        & (F.col("x_cents") > nxt)
+    )
+    return daily.select(
+        "day", "x_cents",
+        is_peak.alias("is_peak"),
+        F.when(is_peak, F.col("x_cents") - F.greatest(prev, nxt))
+        .alias("prominence"),
+    )

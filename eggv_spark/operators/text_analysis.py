@@ -2398,3 +2398,52 @@ def instruction_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         request.alias("has_request"),
         score.alias("instruction_score"),
     )
+
+
+def dup_sentence_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Repeated-sentence audit — the C4 / RefinedWeb curation rule
+    at its native grain: a sentence whose NORMALIZED form occurs in
+    >= ``min_count`` documents corpus-wide is boilerplate (cookie
+    banners, nav text, license footers), and a document dominated by
+    such sentences is a template, not content.  Reports, per doc,
+    how much of it is corpus-duplicated — the score the line-level
+    filter thresholds on.
+
+    Grain discipline for 100 TB: sentences explode 1→N but NEVER
+    carry text into the shuffle — the corpus count groups on the
+    md5 of the lowercased trimmed sentence (fixed-width key,
+    map-side combined), the duplicate set joins back on that same
+    hash, and the per-doc rollup re-aggregates on the doc key the
+    explode inherited.  Distinct DOCS per sentence (count_distinct
+    on the doc key), not occurrences, so a doc repeating its own
+    sentence isn't counted as corpus duplication.
+
+    Output per doc: (doc_id, n_sentences, n_dup_sentences,
+    dup_frac 4dp, dup_chars)."""
+    sents = split_sentences(df, text_col, id_col).select(
+        id_col,
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("sentence")))).alias("_h"),
+    )
+    corpus = sents.groupBy("_h").agg(
+        F.count_distinct(id_col).alias("_docs")
+    )
+    tagged = sents.join(corpus, "_h").select(
+        id_col, "n_chars",
+        (F.col("_docs") >= min_count).alias("_dup"),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.col("_dup").cast("bigint")).alias("n_dup_sentences"),
+        F.round(
+            F.sum(F.col("_dup").cast("bigint")) / F.count("*"), 4
+        ).alias("dup_frac"),
+        F.sum(
+            F.when(F.col("_dup"), F.col("n_chars")).otherwise(0)
+        ).cast("bigint").alias("dup_chars"),
+    )

@@ -181,6 +181,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "sim_pq_topk": "same query-batch broadcast as sim_cosine_topk",
     "sim_recall_eval": "same query-batch broadcast as "
                        "sim_cosine_topk (exact + IVF sides)",
+    "composite_ann_health": "same query-batch broadcast as "
+                            "sim_recall_eval (its recall stage IS "
+                            "that plan, folded to one row)",
     "prefix_dim_recall": "same query-batch broadcast as "
                          "sim_cosine_topk (pushed-down vec_id < 20 "
                          "predicate; exact + per-dims truncated + "
