@@ -6288,6 +6288,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_partial_corr": _agg_partial_corr,
         "evt_peaks": _evt_peaks,
         "composite_ann_health": _composite_ann_health,
+        # --- round-8 twenty-second wave, registered BEHIND the
+        # window: path-length census, dedup savings report, growth
+        # accounting (staged + oracle-validated in
+        # tests/test_round9u_staged.py) ---
+        "graph_path_stats": _graph_path_stats,
+        "ddp_dedup_savings": _ddp_dedup_savings,
+        "evt_growth_accounting": _evt_growth_accounting,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9612,6 +9619,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9r_oracles())
     base.update(_r9s_oracles())
     base.update(_r9t_oracles())
+    base.update(_r9u_oracles())
     return base
 
 
@@ -17697,4 +17705,173 @@ def _r9t_oracles() -> dict[str, str]:
         "agg_partial_corr": _PARTIAL_CORR_SQL,
         "evt_peaks": _PEAKS_SQL,
         "composite_ann_health": _ann_health_oracle_sql(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 twenty-second wave: path-length census, dedup savings
+# report, growth accounting
+# ---------------------------------------------------------------------------
+
+
+def _graph_path_stats(spark, sf_dir):
+    """Hop-bounded path-length census (graph.path_length_stats,
+    4 hops) over the thresholded trade graph: reachable-pair count,
+    reach fraction, mean distance, in-bound diameter — exact per-hop
+    integers, fixed-order assembly."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), "src", "dst")
+            ),
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("src", "dst")
+    )
+    return G.path_length_stats(edges, max_hops=4)
+
+
+def _ddp_dedup_savings(spark, sf_dir):
+    """The dedup BUSINESS CASE as one row: whitespace-token totals
+    before and after exact dedup on the planted corpus — tokens a
+    training run would re-consume, tokens dedup reclaims, and the
+    saved fraction.  Token counting shares the corpus tokenizer
+    (word_tokens_col); the keeper set is exact_dedupe's min-id
+    keeper semi-join — both already-validated kernels, composed."""
+    from eggv_spark.operators.text_analysis import word_tokens_col
+
+    docs = _docs_with_dups(spark, sf_dir).select(
+        "doc_id", F.size(word_tokens_col("text")).cast("bigint")
+        .alias("_ntok"),
+        "text",
+    )
+    keepers = D.exact_dedupe(docs)
+    kept = docs.join(
+        keepers.select(F.col("keeper_id").alias("doc_id")),
+        "doc_id", "left_semi",
+    )
+    before = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("tokens_total"),
+    )
+    after = kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("_ntok").alias("tokens_kept"),
+    )
+    return before.crossJoin(F.broadcast(after)).select(
+        "n_docs", "n_docs_kept", "tokens_total", "tokens_kept",
+        (F.col("tokens_total") - F.col("tokens_kept"))
+        .alias("tokens_saved"),
+        F.round(
+            F.try_divide(
+                F.col("tokens_total") - F.col("tokens_kept"),
+                F.col("tokens_total"),
+            ),
+            6,
+        ).alias("saved_frac"),
+    )
+
+
+def _evt_growth_accounting(spark, sf_dir):
+    """Growth accounting (events.growth_accounting, 7-day churn gap):
+    per day, the active count decomposed into new / retained /
+    resurrected — one user-day dedup, one lag per user, one day
+    rollup, exact integers."""
+    from eggv_spark.operators.events import growth_accounting
+
+    return growth_accounting(_t(spark, sf_dir, "events"))
+
+
+def _path_stats_oracle_sql(max_hops: int = 4) -> str:
+    parts = [
+        _TRADE_TOPK_SQL,
+        "nodes AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        " SELECT src AS v FROM topk"
+        " UNION ALL SELECT dst AS v FROM topk))",
+        "f0 AS (SELECT v AS src, v AS cur FROM nodes)",
+    ]
+    reach_union = "SELECT src, cur FROM f0"
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS MATERIALIZED ("
+            f" SELECT DISTINCT f.src, e.dst AS cur"
+            f" FROM f{h - 1} f JOIN topk e ON f.cur = e.src"
+            f" EXCEPT ({reach_union}))"
+        )
+        reach_union += f" UNION ALL SELECT src, cur FROM f{h}"
+    counts = ", ".join(
+        f"(SELECT count(*) FROM f{h}) AS n{h}"
+        for h in range(1, max_hops + 1)
+    )
+    total = " + ".join(f"n{h}" for h in range(1, max_hops + 1))
+    weighted = " + ".join(
+        f"n{h} * {h}" for h in range(1, max_hops + 1)
+    )
+    diam = "greatest(" + ", ".join(
+        f"CASE WHEN n{h} > 0 THEN {h} ELSE 0 END"
+        for h in range(1, max_hops + 1)
+    ) + ")"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+c AS (SELECT (SELECT count(*) FROM nodes) AS n_nodes, {counts})
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST({total} AS BIGINT) AS n_pairs_reachable,
+       round(CAST({total} AS DOUBLE) / (n_nodes * (n_nodes - 1)), 6)
+         AS reach_frac,
+       round(CAST({weighted} AS DOUBLE) / ({total}), 6) AS mean_dist,
+       CAST({diam} AS INT) AS diameter
+FROM c"""
+    )
+
+
+def _dedup_savings_oracle_sql() -> str:
+    return f"""
+WITH alldocs AS ({_DUPDOCS_SQL}),
+tok AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS ntok,
+        text FROM alldocs),
+keep AS (SELECT min(doc_id) AS doc_id FROM alldocs
+         GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+before AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS tokens_total FROM tok),
+after AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+          CAST(sum(ntok) AS BIGINT) AS tokens_kept
+          FROM tok JOIN keep USING (doc_id))
+SELECT n_docs, n_docs_kept, tokens_total, tokens_kept,
+       tokens_total - tokens_kept AS tokens_saved,
+       round(CAST(tokens_total - tokens_kept AS DOUBLE)
+             / tokens_total, 6) AS saved_frac
+FROM before, after"""
+
+
+_GROWTH_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+), tagged AS (
+  SELECT day,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN datediff('day', prev, day) > 7 THEN 'resurrected'
+              ELSE 'retained' END AS state
+  FROM (SELECT u, day, lag(day) OVER (PARTITION BY u ORDER BY day)
+          AS prev FROM ud)
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected
+FROM tagged GROUP BY day"""
+
+
+def _r9u_oracles() -> dict[str, str]:
+    """Oracles for the twenty-second round-8 staging wave."""
+    return {
+        "graph_path_stats": _path_stats_oracle_sql(4),
+        "ddp_dedup_savings": _dedup_savings_oracle_sql(),
+        "evt_growth_accounting": _GROWTH_SQL,
     }

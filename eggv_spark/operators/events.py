@@ -2186,3 +2186,55 @@ def peaks(
         F.when(is_peak, F.col("x_cents") - F.greatest(prev, nxt))
         .alias("prominence"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Growth accounting at day grain — every active user-day is
+    classified ``new`` (first day ever), ``resurrected`` (returning
+    after more than ``churn_gap_days`` away), or ``retained``
+    (anything quicker), then rolled up per day.  The standard
+    new/retained/resurrected decomposition a DAU chart hides: flat
+    DAU with rising resurrection is a leaky product, and the CLASS
+    mix — not the total — is the actionable number.
+
+    Shape: one user-day dedup (map-side combined), one lag per user
+    over the day spine (shuffle keyed on user — the same posture as
+    active_user_counts' contributor build), one day-grain rollup.
+    Gap arithmetic is whole integer days; everything exact.
+
+    Output per day: (day, n_active, n_new, n_retained,
+    n_resurrected)."""
+    user_days = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("_u").orderBy("day")
+    tagged = user_days.select(
+        "day",
+        F.lag("day").over(w).alias("_prev"),
+    ).select(
+        "day",
+        F.when(F.col("_prev").isNull(), F.lit("new"))
+        .when(
+            F.datediff(F.col("day"), F.col("_prev")) > churn_gap_days,
+            F.lit("resurrected"),
+        )
+        .otherwise(F.lit("retained"))
+        .alias("_state"),
+    )
+    return tagged.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum((F.col("_state") == "new").cast("bigint")).alias("n_new"),
+        F.sum((F.col("_state") == "retained").cast("bigint"))
+        .alias("n_retained"),
+        F.sum((F.col("_state") == "resurrected").cast("bigint"))
+        .alias("n_resurrected"),
+    )

@@ -1178,3 +1178,83 @@ def scc(
             "scc_size",
         )
     )
+
+
+def path_length_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop-bounded path-length census: over all ordered node pairs
+    (u≠v), how many are reachable within ``max_hops`` directed hops,
+    at what mean distance, and what the observed diameter (within
+    the bound) is — the one-row "how navigable is this graph"
+    summary next to harmonic_centrality's per-node view, sharing its
+    frontier-closure plan and its landmark-sampling scale caveat.
+
+    Per-hop pair counts are exact integers; the mean is assembled
+    from them in one fixed-order expression Σh·n_h / Σn_h (6dp).
+    ``reach_frac`` divides by the n·(n−1) ordered-pair universe.
+
+    Output: one row (n_nodes, n_pairs_reachable, reach_frac,
+    mean_dist, diameter)."""
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_a").alias("node"))
+        .union(e.select(F.col("_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = nodes.select(
+        F.col("node").alias("_src"), F.col("node").alias("_cur")
+    )
+    frontier = visited
+    hop_counts = []
+    for h in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(e, frontier["_cur"] == e["_a"])
+            .select("_src", F.col("_b").alias("_cur"))
+            .distinct()
+            .join(visited, ["_src", "_cur"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        hop_counts.append(
+            (h, frontier.agg(F.count("*").alias("_n")))
+        )
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    out = n_nodes
+    for h, cnt in hop_counts:
+        out = out.crossJoin(
+            F.broadcast(cnt.select(F.col("_n").alias(f"_n{h}")))
+        )
+    total = sum(
+        (F.col(f"_n{h}") for h, _ in hop_counts[1:]),
+        F.col(f"_n{hop_counts[0][0]}"),
+    )
+    weighted = sum(
+        (F.col(f"_n{h}") * h for h, _ in hop_counts[1:]),
+        F.col(f"_n{hop_counts[0][0]}") * hop_counts[0][0],
+    )
+    diameter = F.greatest(
+        *[
+            F.when(F.col(f"_n{h}") > 0, F.lit(h)).otherwise(0)
+            for h, _ in hop_counts
+        ]
+    ) if len(hop_counts) > 1 else F.when(
+        F.col("_n1") > 0, F.lit(1)
+    ).otherwise(0)
+    universe = F.col("n_nodes") * (F.col("n_nodes") - 1)
+    return out.select(
+        "n_nodes",
+        total.alias("n_pairs_reachable"),
+        F.round(F.try_divide(total, universe), 6).alias("reach_frac"),
+        F.round(F.try_divide(weighted, total), 6).alias("mean_dist"),
+        diameter.cast("int").alias("diameter"),
+    )
