@@ -2574,7 +2574,7 @@ FROM ranked WHERE rank <= {kn}
 """
 
 
-def _ivf_topk_oracle() -> str:
+def _ivf_topk_oracle(k: int = 5) -> str:
     """IVF is deterministic end-to-end (md5-derived centroid
     literals, 6dp-rounded cosine argmax with a max-cell tiebreak —
     mirror of similarity._best_cells' reverse(array_sort(struct))),
@@ -2584,7 +2584,7 @@ def _ivf_topk_oracle() -> str:
     queries' n_probe — see _sim_ivf_topk/_sim_recall_eval)."""
     from eggv_spark.operators.similarity import _centroid_values
 
-    dim, n_centroids, n_probe, k = 64, 16, 10, 5
+    dim, n_centroids, n_probe = 64, 16, 10
     cent_rows = ", ".join(
         f"({c}, [" + ", ".join(repr(w) for w in _centroid_values(c, dim)) + "])"
         for c in range(n_centroids)
@@ -6295,6 +6295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_path_stats": _graph_path_stats,
         "ddp_dedup_savings": _ddp_dedup_savings,
         "evt_growth_accounting": _evt_growth_accounting,
+        # --- round-8 twenty-third wave, registered BEHIND the
+        # window: hybrid RRF retrieval, DOW-conditioned anomalies,
+        # hash collision audit (staged + oracle-validated in
+        # tests/test_round9v_staged.py) ---
+        "sim_rrf_fusion": _sim_rrf_fusion,
+        "evt_dow_anomaly": _evt_dow_anomaly,
+        "txt_hash_collision_audit": _txt_hash_collision_audit,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9620,6 +9627,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9s_oracles())
     base.update(_r9t_oracles())
     base.update(_r9u_oracles())
+    base.update(_r9v_oracles())
     return base
 
 
@@ -17874,4 +17882,152 @@ def _r9u_oracles() -> dict[str, str]:
         "graph_path_stats": _path_stats_oracle_sql(4),
         "ddp_dedup_savings": _dedup_savings_oracle_sql(),
         "evt_growth_accounting": _GROWTH_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 twenty-third wave: hybrid RRF retrieval, DOW-conditioned
+# anomalies, feature-hash collision audit
+# ---------------------------------------------------------------------------
+
+
+def _sim_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval (similarity.rrf_fusion): the lexical
+    token-Jaccard top-20 (query batch broadcast, corpus streams
+    once) fused with the IVF vector top-20 by reciprocal-rank
+    fusion, final top-10 — the standard two-tower + BM25-ish serving
+    shape; doc_id and vec_id share the 0..N id domain, so both
+    systems rank the same corpus."""
+    lex = S.lexical_jaccard_topk(
+        _t(spark, sf_dir, "documents"), every_n=50, k=20
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = S.ivf_topk(
+        emb, emb.filter("vec_id % 50 = 0"), k=20, n_probe=10
+    )
+    return S.rrf_fusion(lex, vec, k=10)
+
+
+def _evt_dow_anomaly(spark, sf_dir):
+    """Day-of-week-conditioned anomaly flags (events.dow_anomaly):
+    each day's cents total z-scored leave-one-out against its own
+    weekday cohort — the weekly rhythm conditioned away."""
+    from eggv_spark.operators.events import dow_anomaly
+
+    return dow_anomaly(_t(spark, sf_dir, "events"))
+
+
+def _txt_hash_collision_audit(spark, sf_dir):
+    """Feature-hashing collision audit (text_analysis.
+    hash_collision_audit, 1024 buckets): distinct-vocab bucket
+    occupancy with the SAME portable hash the hashed-features op
+    uses — the widen-the-dimension tripwire."""
+    return T.hash_collision_audit(_t(spark, sf_dir, "documents"))
+
+
+def _rrf_fusion_oracle_sql() -> str:
+    """Lexical Jaccard top-20 + IVF top-20 (k-parameterized validated
+    oracle) fused with reciprocal ranks."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents
+), toks_ne AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+q AS (SELECT doc_id AS query_id, t AS qt FROM toks_ne
+      WHERE doc_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.doc_id AS neighbor_id,
+         round(CAST(len(list_intersect(c.t, q.qt)) AS DOUBLE)
+               / len(list_distinct(list_concat(c.t, q.qt))), 4)
+           AS jaccard
+  FROM toks_ne c CROSS JOIN q WHERE c.doc_id <> q.query_id
+),
+lex AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY jaccard DESC, neighbor_id ASC) AS r
+  FROM scored QUALIFY r <= 20
+),
+vec AS (
+  SELECT query_id, neighbor_id, rank AS r
+  FROM ({_ivf_topk_oracle(20)})
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+         coalesce(1.0 / (60 + l.r), 0.0)
+         + coalesce(1.0 / (60 + v.r), 0.0) AS s
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id
+)
+SELECT query_id, neighbor_id, round(s, 6) AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY s DESC, neighbor_id ASC) AS INT) AS rank
+FROM fused
+QUALIFY rank <= 10"""
+
+
+_DOW_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS x_cents
+  FROM events GROUP BY 1
+), d2 AS (
+  SELECT day, x_cents,
+         CAST(dayofweek(day) + 1 AS INT) AS dow
+  FROM daily
+), g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS gn,
+         CAST(sum(x_cents) AS BIGINT) AS gs,
+         sum(CAST(x_cents AS HUGEINT) * x_cents) AS gq
+  FROM d2 GROUP BY dow
+), t AS (
+  SELECT d2.day, d2.dow, d2.x_cents, g.gn, g.gs, g.gq,
+         g.gs - d2.x_cents AS ls
+  FROM d2 JOIN g USING (dow)
+), z AS (
+  SELECT day, dow, x_cents, gn, ls,
+         CASE WHEN gn - 1 > 1 THEN
+           (CAST(gq AS DOUBLE)
+            - CAST(x_cents AS DOUBLE) * x_cents
+            - CAST(ls AS DOUBLE) * ls / (gn - 1)) / (gn - 2)
+         END AS lv,
+         (x_cents - CAST(ls AS DOUBLE) / (gn - 1)) AS dev
+  FROM t WHERE true
+)
+SELECT day, dow, x_cents,
+       round(CASE WHEN gn - 1 > 1 AND lv > 0
+                  THEN dev / sqrt(lv) END, 4) AS z_loo,
+       CASE WHEN gn - 1 > 1 AND lv = 0
+            THEN x_cents * (gn - 1) <> ls
+            ELSE coalesce(abs(round(CASE WHEN gn - 1 > 1 AND lv > 0
+                 THEN dev / sqrt(lv) END, 4)) > 2.0, false)
+       END AS is_anomaly
+FROM z"""
+
+
+_HASH_COLLISION_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest({_TOKS_SQL}) AS t FROM documents
+), b AS (
+  SELECT {_BASEHASH_SQL.format(x="t")} % 1024 AS bkt FROM vocab
+), pb AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bkt
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_colliding_terms,
+       round(sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+             / CAST(sum(n) AS DOUBLE), 6) AS collision_frac,
+       CAST(max(n) AS BIGINT) AS max_bucket_terms
+FROM pb"""
+
+
+def _r9v_oracles() -> dict[str, str]:
+    """Oracles for the twenty-third round-8 staging wave."""
+    return {
+        "sim_rrf_fusion": _rrf_fusion_oracle_sql(),
+        "evt_dow_anomaly": _DOW_ANOMALY_SQL,
+        "txt_hash_collision_audit": _HASH_COLLISION_SQL,
     }

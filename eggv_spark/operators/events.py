@@ -2238,3 +2238,76 @@ def growth_accounting(
         F.sum((F.col("_state") == "resurrected").cast("bigint"))
         .alias("n_resurrected"),
     )
+
+
+def dow_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags on the daily series: each
+    day's total is z-scored against the OTHER days sharing its
+    day-of-week — a Sunday is judged against Sundays, so the weekly
+    rhythm that makes a plain z-score (evt_anomaly) fire every
+    weekend is conditioned away.  Leave-one-out moments: the scored
+    day is excluded from its own baseline (n−1 mean/variance via
+    the group sums), otherwise a single huge spike suppresses its
+    own z.
+
+    Integer-cents daily rollup (the cusum quantization), exact
+    group sums per weekday, LOO mean/var assembled per row in one
+    fixed-order float expression, 4dp z.  A ZERO-VARIANCE baseline
+    (every other same-weekday total identical) makes z undefined —
+    and that is exactly when a deviating day is most obviously
+    anomalous, so the flag is decided by the exact integer test
+    x·(n−1) ≠ Σ_others there (z_loo stays NULL) rather than letting
+    the divide-by-zero hide the spike.  Output per day:
+    (day, dow, x_cents, z_loo, is_anomaly)."""
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("x_cents"))
+        .withColumn("dow", F.dayofweek("day").cast("int"))
+    )
+    g = daily.groupBy("dow").agg(
+        F.count("*").alias("_gn"),
+        F.sum("x_cents").alias("_gs"),
+        F.sum(
+            F.col("x_cents").cast("decimal(38,0)") * F.col("x_cents")
+        ).alias("_gq"),
+    )
+    t = daily.join(g, "dow")
+    n1 = F.col("_gn") - 1
+    loo_sum = F.col("_gs") - F.col("x_cents")
+    loo_mean = loo_sum.cast("double") / n1
+    loo_var = F.when(
+        n1 > 1,
+        (
+            F.col("_gq").cast("double")
+            - F.col("x_cents").cast("double") * F.col("x_cents")
+            - loo_sum.cast("double") * loo_sum / n1
+        )
+        / (n1 - 1),
+    )
+    z = F.when(
+        loo_var > 0,
+        (F.col("x_cents") - loo_mean) / F.sqrt(loo_var),
+    )
+    zero_var_dev = (
+        (n1 > 1)
+        & (loo_var == 0)
+        & (F.col("x_cents") * n1 != loo_sum)
+    )
+    return t.select(
+        "day", "dow", "x_cents",
+        F.round(z, 4).alias("z_loo"),
+        F.when((n1 > 1) & (loo_var == 0), zero_var_dev)
+        .otherwise(
+            F.coalesce(F.abs(F.round(z, 4)) > z_threshold, F.lit(False))
+        )
+        .alias("is_anomaly"),
+    )

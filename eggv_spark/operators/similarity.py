@@ -1724,3 +1724,105 @@ def pq_distortion(
         F.round(F.avg("dist"), 4).alias("mean_sqdist"),
         F.round(F.max("dist"), 6).alias("max_sqdist"),
     )
+
+
+def rrf_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists — THE
+    standard hybrid-retrieval combiner (lexical BM25/Jaccard list ⊕
+    vector ANN list): per (query, candidate),
+
+        score = Σ_systems 1 / (rrf_k + rank_in_that_system)
+
+    summed over the systems that returned the candidate.  RRF needs
+    no score calibration between systems (only ranks), which is why
+    it wins in practice over weighted-score mixes.
+
+    Inputs use the (query_id, neighbor_id, rank) shape every ranked
+    op here emits.  The join is a per-query full outer on the
+    candidate key — each side carries at most its own top-k per
+    query, so the fused frame is bounded at 2k rows per query
+    regardless of corpus size.  Scores are sums of at most two exact
+    rationals (6dp); the final cut re-ranks by (score desc,
+    neighbor_id asc) — a total order, both engines agree.
+
+    Output: (query_id, neighbor_id, rrf_score, rank) — rank 1..k."""
+    a = ranked_a.select(
+        "query_id", "neighbor_id", F.col("rank").alias("_ra")
+    )
+    b = ranked_b.select(
+        "query_id", "neighbor_id", F.col("rank").alias("_rb")
+    )
+    fused = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id", "neighbor_id",
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_rb")), F.lit(0.0))
+        ).alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("_s", 6).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def lexical_jaccard_topk(
+    docs: DataFrame,
+    every_n: int = 50,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical retrieval stage for the hybrid fusion: per query doc
+    (every ``every_n``-th id), the top-k corpus docs by distinct-
+    word-token Jaccard.  The query batch broadcasts and the corpus
+    streams once (the sim_cosine_topk posture — |queries| <<
+    corpus); Jaccard is a ratio of exact integers, 4dp, and the cut
+    orders by (jaccard desc, id asc) — total, engine-stable.
+
+    Output: (query_id, neighbor_id, jaccard, rank)."""
+    from eggv_spark.operators.text_analysis import word_tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_tokens_col(text_col)).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    q = F.broadcast(
+        toks.filter(F.col("_id") % every_n == 0).select(
+            F.col("_id").alias("query_id"), F.col("_t").alias("_qt")
+        )
+    )
+    scored = toks.join(
+        q, toks["_id"] != q["query_id"]
+    ).select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        F.round(
+            F.size(F.array_intersect("_t", "_qt"))
+            / F.size(F.array_union("_t", "_qt")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "jaccard",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

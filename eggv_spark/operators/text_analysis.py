@@ -2447,3 +2447,44 @@ def dup_sentence_filter(
             F.when(F.col("_dup"), F.col("n_chars")).otherwise(0)
         ).cast("bigint").alias("dup_chars"),
     )
+
+
+def hash_collision_audit(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing collision audit — the QA behind
+    txt_hashed_features: at dimension ``n_buckets``, how much of the
+    vocabulary collides?  A collision_frac creeping up as the corpus
+    grows is the signal to widen the hash dimension before model
+    quality quietly degrades.
+
+    Vocabulary = distinct lowercased whitespace tokens (the corpus
+    tokenizer); bucket = portable md5 hash mod n_buckets (the same
+    base_hash the hashed-features op uses, so the audit measures the
+    REAL buckets).  One distinct at vocab grain, one grouped count at
+    bucket grain, one keys=[] fold — all exact integers.
+
+    Output: one row (n_terms, n_buckets_used, n_colliding_terms,
+    collision_frac, max_bucket_terms)."""
+    from eggv_spark.operators.dedupe import base_hash
+
+    vocab = (
+        df.select(F.explode(word_tokens_col(text_col)).alias("_t"))
+        .distinct()
+        .select(F.pmod(base_hash(F.col("_t")), F.lit(n_buckets)).alias("_b"))
+    )
+    per_bucket = vocab.groupBy("_b").agg(F.count("*").alias("_n"))
+    return per_bucket.agg(
+        F.sum("_n").alias("n_terms"),
+        F.count("*").alias("n_buckets_used"),
+        F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0))
+        .cast("bigint").alias("n_colliding_terms"),
+        F.round(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0))
+            / F.sum("_n").cast("double"),
+            6,
+        ).alias("collision_frac"),
+        F.max("_n").alias("max_bucket_terms"),
+    )

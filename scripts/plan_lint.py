@@ -184,6 +184,10 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "composite_ann_health": "same query-batch broadcast as "
                             "sim_recall_eval (its recall stage IS "
                             "that plan, folded to one row)",
+    "sim_rrf_fusion": "build is the lexical stage's query-token "
+                      "batch (every 50th doc, the sim_cosine_topk "
+                      "|queries| << corpus contract); the <> join "
+                      "condition makes it a BNLJ by necessity",
     "prefix_dim_recall": "same query-batch broadcast as "
                          "sim_cosine_topk (pushed-down vec_id < 20 "
                          "predicate; exact + per-dims truncated + "
