@@ -6302,6 +6302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_rrf_fusion": _sim_rrf_fusion,
         "evt_dow_anomaly": _evt_dow_anomaly,
         "txt_hash_collision_audit": _txt_hash_collision_audit,
+        # --- round-8 twenty-fourth wave, registered BEHIND the
+        # window: streaming growth states (staged + oracle-validated
+        # in tests/test_round9w_staged.py) ---
+        "stream_growth_states": _stream_growth_states,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9628,6 +9632,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9t_oracles())
     base.update(_r9u_oracles())
     base.update(_r9v_oracles())
+    base.update(_r9w_oracles())
     return base
 
 
@@ -18031,3 +18036,44 @@ def _r9v_oracles() -> dict[str, str]:
         "evt_dow_anomaly": _DOW_ANOMALY_SQL,
         "txt_hash_collision_audit": _HASH_COLLISION_SQL,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-8 twenty-fourth wave: streaming growth states
+# ---------------------------------------------------------------------------
+
+
+def _stream_growth_states(spark, sf_dir):
+    """Stateful streaming growth accounting
+    (streaming.events_stream.streaming_growth_states): per (user,
+    active day), new/retained/resurrected decided online with ONE
+    int of state per user; availableNow replay must equal the batch
+    lag-over-user window SQL — which is the oracle."""
+    from eggv_spark.streaming import events_stream as ES
+
+    return ES.run_available_now(
+        ES.streaming_growth_states(ES.read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+_STREAM_GROWTH_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           AS day_epoch
+  FROM events
+)
+SELECT user_id, CAST(day_epoch AS BIGINT) AS day_epoch,
+       CASE WHEN prev IS NULL THEN 'new'
+            WHEN day_epoch - prev > 7 THEN 'resurrected'
+            ELSE 'retained' END AS state
+FROM (SELECT user_id, day_epoch,
+        lag(day_epoch) OVER (PARTITION BY user_id ORDER BY day_epoch)
+          AS prev
+      FROM ud)"""
+
+
+def _r9w_oracles() -> dict[str, str]:
+    """Oracles for the twenty-fourth round-8 staging wave."""
+    return {"stream_growth_states": _STREAM_GROWTH_SQL}

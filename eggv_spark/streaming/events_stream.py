@@ -719,3 +719,62 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_growth_states(events: DataFrame, churn_gap_days: int = 7):
+    """Stateful streaming growth accounting — the online twin of
+    ``events.growth_accounting``: per user, every new ACTIVE DAY is
+    classified new / retained / resurrected the moment it first
+    appears on the stream, with the user's last-active epoch-day as
+    the entire state (one INT per key — the minimal lifecycle state
+    a growth dashboard needs, bounded by user cardinality).
+
+    Day arithmetic is whole integer days on epoch-day numbers, so
+    replay is bit-exact and the oracle is the batch lag-over-user
+    window SQL.  Rows sort by (ts, event_id) within each poll; the
+    cross-batch contract is event-time-ordered arrival per key (the
+    prefix-state contract shared with streaming_running_zscore /
+    streaming_cusum).
+
+    Output: one row per (user, active day) — (user_id, day_epoch,
+    state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, day_epoch long, state string"
+    state_schema = "last_day long"
+    gap = int(churn_gap_days)
+
+    def step(key, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out = {"user_id": [], "day_epoch": [], "state": []}
+            for ts in pdf["ts"]:
+                day = pd.Timestamp(ts).normalize()
+                epoch = (
+                    day - pd.Timestamp("1970-01-01")
+                ).days
+                if last is not None and epoch == last:
+                    continue  # same active day, already classified
+                if last is None:
+                    st = "new"
+                elif epoch - last > gap:
+                    st = "resurrected"
+                else:
+                    st = "retained"
+                out["user_id"].append(key[0])
+                out["day_epoch"].append(epoch)
+                out["state"].append(st)
+                last = epoch
+            yield pd.DataFrame(out)
+        if last is not None:
+            state.update((last,))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
