@@ -6306,6 +6306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window: streaming growth states (staged + oracle-validated
         # in tests/test_round9w_staged.py) ---
         "stream_growth_states": _stream_growth_states,
+        # --- round-8 twenty-fifth wave, registered BEHIND the
+        # window: quantile treatment effects, quality-vs-duplication
+        # cross-audit (staged + oracle-validated in
+        # tests/test_round9x_staged.py) ---
+        "evt_qte": _evt_qte,
+        "composite_quality_vs_dup": _composite_quality_vs_dup,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9633,6 +9639,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9u_oracles())
     base.update(_r9v_oracles())
     base.update(_r9w_oracles())
+    base.update(_r9x_oracles())
     return base
 
 
@@ -18077,3 +18084,156 @@ FROM (SELECT user_id, day_epoch,
 def _r9w_oracles() -> dict[str, str]:
     """Oracles for the twenty-fourth round-8 staging wave."""
     return {"stream_growth_states": _STREAM_GROWTH_SQL}
+
+
+# ---------------------------------------------------------------------------
+# round-8 twenty-fifth wave: quantile treatment effects, quality-vs-
+# duplication cross-audit
+# ---------------------------------------------------------------------------
+
+
+def _evt_qte(spark, sf_dir):
+    """Quantile treatment effects (events.quantile_treatment_effects)
+    on per-user purchase spend (integer cents), md5 50/50 split:
+    type-1 order statistics per arm at 5 quantiles — every reported
+    number an exact integer, no interpolation scheme to diverge."""
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.operators.events import quantile_treatment_effects
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("outcome_cents")
+    ).select(
+        (base_hash(F.col("user_id").cast("string")) % 2 == 0)
+        .alias("treated"),
+        "outcome_cents",
+    )
+    return quantile_treatment_effects(units)
+
+
+def _composite_quality_vs_dup(spark, sf_dir):
+    """Quality × duplication cross-audit as one 2x2 row: are
+    duplicated documents lower quality?  Quality keep flag from the
+    validated quality_filter chain; duplication membership = content
+    hash shared by >= 2 docs (the exact-dedup hash).  Counts are
+    exact integers; the association is the Haldane-corrected odds
+    ratio (+0.5 per cell so empty cells stay finite), 6dp — the
+    number that justifies (or refutes) 'dedup doubles as a quality
+    filter' for THIS corpus."""
+    docs = _docs_with_dups(spark, sf_dir)
+    quality = T.quality_filter(docs).select("doc_id", "keep")
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    hashed = docs.select("doc_id", F.md5(normalized).alias("_h"))
+    counts = hashed.groupBy("_h").agg(F.count("*").alias("_nc"))
+    flags = (
+        hashed.join(counts, "_h")
+        .select("doc_id", (F.col("_nc") >= 2).alias("_dup"))
+        .join(quality, "doc_id")
+    )
+    cells = flags.agg(
+        F.sum((F.col("keep") & F.col("_dup")).cast("bigint"))
+        .alias("n_keep_dup"),
+        F.sum((F.col("keep") & ~F.col("_dup")).cast("bigint"))
+        .alias("n_keep_uniq"),
+        F.sum((~F.col("keep") & F.col("_dup")).cast("bigint"))
+        .alias("n_drop_dup"),
+        F.sum((~F.col("keep") & ~F.col("_dup")).cast("bigint"))
+        .alias("n_drop_uniq"),
+    )
+    orr = (
+        (F.col("n_keep_uniq") + 0.5) * (F.col("n_drop_dup") + 0.5)
+    ) / ((F.col("n_keep_dup") + 0.5) * (F.col("n_drop_uniq") + 0.5))
+    return cells.select(
+        "n_keep_dup", "n_keep_uniq", "n_drop_dup", "n_drop_uniq",
+        F.round(orr, 6).alias("uniq_quality_odds_ratio"),
+        F.round(F.log(orr), 6).alias("log_or"),
+    )
+
+
+_QTE_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+), units AS (
+  SELECT ({_BASEHASH_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2 = 0)
+           AS t, v
+  FROM u
+), ranked AS (
+  SELECT t, v,
+         row_number() OVER (PARTITION BY t ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY t) AS n
+  FROM units
+), spine(p) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) t(x)),
+picked AS (
+  SELECT spine.p, ranked.t, ranked.v, ranked.n
+  FROM ranked JOIN spine ON ranked.rn = ceil(spine.p * ranked.n)
+)
+SELECT p,
+       CAST(max(CASE WHEN t THEN n END) AS BIGINT) AS n_treated,
+       CAST(max(CASE WHEN NOT t THEN n END) AS BIGINT) AS n_control,
+       CAST(max(CASE WHEN t THEN v END) AS BIGINT) AS q_treated,
+       CAST(max(CASE WHEN NOT t THEN v END) AS BIGINT) AS q_control,
+       CAST(max(CASE WHEN t THEN v END)
+            - max(CASE WHEN NOT t THEN v END) AS BIGINT) AS qte
+FROM picked GROUP BY p"""
+
+
+_QUALITY_VS_DUP_SQL = f"""
+WITH alldocs AS ({_DUPDOCS_SQL}),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM alldocs),
+w AS (SELECT doc_id, len(t) AS n, unnest(t) AS word FROM toks),
+wc AS (SELECT doc_id, any_value(n) AS n, word, count(*) AS c
+       FROM w GROUP BY doc_id, word),
+wagg AS (SELECT doc_id, any_value(n) AS n, count(*) AS nd
+         FROM wc GROUP BY doc_id),
+stop AS (SELECT doc_id,
+  len(list_filter(t, x -> list_contains(
+    ['the','a','of','and','to','in','is','on','for','with'], x)))
+    AS n_stop, len(t) AS n FROM toks),
+q AS (SELECT s.doc_id,
+  (round((s.n - coalesce(w.nd, 0))
+         / CAST(greatest(s.n, 1) AS DOUBLE), 4) <= 0.75
+   AND CAST(s.n AS INT) >= 10
+   AND round(s.n_stop / CAST(greatest(s.n, 1) AS DOUBLE), 4) >= 0.0)
+    AS keep
+  FROM stop s LEFT JOIN wagg w ON w.doc_id = s.doc_id),
+h AS (SELECT doc_id,
+      md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS hh
+      FROM alldocs),
+hc AS (SELECT hh, count(*) AS nc FROM h GROUP BY hh),
+flags AS (SELECT h.doc_id, (hc.nc >= 2) AS dup, q.keep
+          FROM h JOIN hc USING (hh) JOIN q USING (doc_id)),
+cells AS (SELECT
+  CAST(sum(CASE WHEN keep AND dup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_keep_dup,
+  CAST(sum(CASE WHEN keep AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_keep_uniq,
+  CAST(sum(CASE WHEN NOT keep AND dup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_drop_dup,
+  CAST(sum(CASE WHEN NOT keep AND NOT dup THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_drop_uniq
+  FROM flags)
+SELECT n_keep_dup, n_keep_uniq, n_drop_dup, n_drop_uniq,
+       round((n_keep_uniq + 0.5) * (n_drop_dup + 0.5)
+             / ((n_keep_dup + 0.5) * (n_drop_uniq + 0.5)), 6)
+         AS uniq_quality_odds_ratio,
+       round(ln((n_keep_uniq + 0.5) * (n_drop_dup + 0.5)
+                / ((n_keep_dup + 0.5) * (n_drop_uniq + 0.5))), 6)
+         AS log_or
+FROM cells"""
+
+
+def _r9x_oracles() -> dict[str, str]:
+    """Oracles for the twenty-fifth round-8 staging wave."""
+    return {
+        "evt_qte": _QTE_SQL,
+        "composite_quality_vs_dup": _QUALITY_VS_DUP_SQL,
+    }

@@ -2311,3 +2311,63 @@ def dow_anomaly(
         )
         .alias("is_anomaly"),
     )
+
+
+def quantile_treatment_effects(
+    units: DataFrame,
+    treated_col: str = "treated",
+    outcome_col: str = "outcome_cents",
+    quantiles: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects — where in the outcome
+    DISTRIBUTION an experiment moved things: the mean lift
+    (evt_ab_test) of +2 could be everyone +2 or the top decile +20,
+    and QTE is the readout that tells them apart.
+
+    Per arm, the type-1 (lower) sample quantile at each requested p:
+    the value at sorted position ceil(p·n) — an ORDER STATISTIC of
+    the integer-quantized outcome, so every reported number is an
+    exact integer no interpolation scheme can smear differently
+    across engines (the reason this does not use percentile()
+    interpolation).  Ties in the outcome order are broken by the
+    value itself only — position selection depends only on the
+    sorted multiset, so no extra tiebreak column is needed.
+
+    Plan: one rank window per arm (partitionBy treated), one
+    broadcast of the tiny p-spine, position equi-join — no
+    per-quantile scans.  Input is UNIT grain with an integer
+    outcome (the caller quantizes — the smd_balance contract).
+
+    Output per p: (p, n_treated, n_control, q_treated, q_control,
+    qte) — qte = q_treated − q_control, exact integers."""
+    base = units.select(
+        F.col(treated_col).cast("boolean").alias("_t"),
+        F.col(outcome_col).cast("bigint").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = Window.partitionBy("_t").orderBy("_v")
+    ranked = base.select(
+        "_t", "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(
+            Window.partitionBy("_t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    spine = base.sparkSession.createDataFrame(
+        [(float(p),) for p in quantiles], "p double"
+    )
+    picked = ranked.join(
+        F.broadcast(spine),
+        ranked["_rn"] == F.ceil(F.col("p") * ranked["_n"]),
+    )
+    per_arm = picked.groupBy("p").agg(
+        F.max(F.when(F.col("_t"), F.col("_v"))).alias("q_treated"),
+        F.max(F.when(~F.col("_t"), F.col("_v"))).alias("q_control"),
+        F.max(F.when(F.col("_t"), F.col("_n"))).alias("n_treated"),
+        F.max(F.when(~F.col("_t"), F.col("_n"))).alias("n_control"),
+    )
+    return per_arm.select(
+        "p", "n_treated", "n_control", "q_treated", "q_control",
+        (F.col("q_treated") - F.col("q_control")).alias("qte"),
+    )

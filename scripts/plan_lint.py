@@ -184,6 +184,10 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "composite_ann_health": "same query-batch broadcast as "
                             "sim_recall_eval (its recall stage IS "
                             "that plan, folded to one row)",
+    "evt_qte": "build is the literal quantile spine (5 rows by "
+               "construction — a LocalTableScan of the requested "
+               "p values); the rn = ceil(p*n) position condition "
+               "is inherently non-equi",
     "sim_rrf_fusion": "build is the lexical stage's query-token "
                       "batch (every 50th doc, the sim_cosine_topk "
                       "|queries| << corpus contract); the <> join "
