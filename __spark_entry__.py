@@ -6312,6 +6312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_round9x_staged.py) ---
         "evt_qte": _evt_qte,
         "composite_quality_vs_dup": _composite_quality_vs_dup,
+        # --- round-8 twenty-sixth wave, registered BEHIND the
+        # window: embedding quality gate, rare-category collapse
+        # (staged + oracle-validated in tests/test_round9y_staged.py)
+        "sim_vector_quality_audit": _sim_vector_quality_audit,
+        "fe_rare_category_collapse": _fe_rare_category_collapse,
     }
     # --- round-8 verification window (the first 50 of the returned
     # dict): the 13 queued round-8 registrations, the new
@@ -9640,6 +9645,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_r9v_oracles())
     base.update(_r9w_oracles())
     base.update(_r9x_oracles())
+    base.update(_r9y_oracles())
     return base
 
 
@@ -18236,4 +18242,74 @@ def _r9x_oracles() -> dict[str, str]:
     return {
         "evt_qte": _QTE_SQL,
         "composite_quality_vs_dup": _QUALITY_VS_DUP_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-8 twenty-sixth wave: embedding quality gate, rare-category
+# collapse
+# ---------------------------------------------------------------------------
+
+
+def _sim_vector_quality_audit(spark, sf_dir):
+    """Embedding-column quality gate (similarity.vector_quality_audit):
+    NULL / wrong-width / zero-norm counts plus the norm spread — the
+    fail-fast checks an index build runs before spending cluster
+    time; one shuffle-free pass."""
+    return S.vector_quality_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def _fe_rare_category_collapse(spark, sf_dir):
+    """Rare-category collapse audit (relational.rare_category_collapse,
+    min_count=10) over part brands: the post-collapse category table
+    an encoder would actually consume, with the __OTHER__ absorption
+    accounting.  The fixed threshold deliberately flips behavior
+    across scales (everything collapses at sf0.001, nothing at
+    sf0.01+), so the dual-scale gate exercises BOTH branches."""
+    return R.rare_category_collapse(
+        _t(spark, sf_dir, "part"), "p_brand", min_count=10
+    )
+
+
+_VECTOR_QUALITY_SQL = """
+WITH rows_ AS (
+  SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+         CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+              THEN 1 ELSE 0 END AS wrong,
+         CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+              THEN sqrt(list_sum(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> x * x)))
+         END AS nrm
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(is_null) AS BIGINT) AS n_null,
+       CAST(sum(wrong) AS BIGINT) AS n_wrong_width,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(avg(nrm), 4) AS mean_norm
+FROM rows_"""
+
+
+_RARE_CATEGORY_SQL = """
+WITH per AS (
+  SELECT p_brand AS c, CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY p_brand
+), mapped AS (
+  SELECT CASE WHEN n >= 10 THEN c ELSE '__OTHER__' END AS category, n
+  FROM per
+)
+SELECT category, CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_source_categories,
+       (category = '__OTHER__') AS is_collapsed
+FROM mapped GROUP BY category"""
+
+
+def _r9y_oracles() -> dict[str, str]:
+    """Oracles for the twenty-sixth round-8 staging wave."""
+    return {
+        "sim_vector_quality_audit": _VECTOR_QUALITY_SQL,
+        "fe_rare_category_collapse": _RARE_CATEGORY_SQL,
     }

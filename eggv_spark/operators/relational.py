@@ -1248,3 +1248,51 @@ def raking_weights(
         F.round("_w", 6).alias("weight_sum"),
         F.round(F.col("_w") / F.col("_n"), 6).alias("row_weight"),
     )
+
+
+def rare_category_collapse(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int = 100,
+    other_label: str = "__OTHER__",
+) -> DataFrame:
+    """Rare-category collapse — the standard cardinality guard before
+    one-hot/target/WOE encoding: every category with fewer than
+    ``min_count`` rows folds into ``other_label``, and the output
+    reports the POST-collapse category table (the encoder's true
+    input domain) with how many source categories each output
+    absorbs.  Unbounded-cardinality features (raw domains, user
+    agents) otherwise explode encoder width and overfit the tail.
+
+    Two grouped integer passes at category grain (map-side
+    combined); no row-level output — at 100 TB the row rewrite is a
+    cheap broadcast-join the caller applies with this table, and the
+    AUDIT (did __OTHER__ swallow 2% or 60%?) is what needs eyes
+    first.  A literal category equal to ``other_label`` raises
+    in-plan rather than silently merging with the collapse bucket.
+
+    Output per output-category: (category, n_rows,
+    n_source_categories, is_collapsed)."""
+    guarded = F.when(
+        F.col(cat_col) == other_label,
+        F.raise_error(
+            F.lit(
+                f"rare_category_collapse: input already contains"
+                f" the sentinel {other_label!r}"
+            )
+        ),
+    ).otherwise(F.col(cat_col))
+    per_cat = df.select(guarded.alias("_c")).groupBy("_c").agg(
+        F.count("*").alias("_n")
+    )
+    mapped = per_cat.select(
+        F.when(F.col("_n") >= min_count, F.col("_c"))
+        .otherwise(F.lit(other_label))
+        .alias("category"),
+        "_n",
+    )
+    return mapped.groupBy("category").agg(
+        F.sum("_n").alias("n_rows"),
+        F.count("*").alias("n_source_categories"),
+        F.max(F.col("category") == other_label).alias("is_collapsed"),
+    )

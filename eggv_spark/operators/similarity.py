@@ -1826,3 +1826,45 @@ def lexical_jaccard_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def vector_quality_audit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-column data-quality gate — the checks an ANN index
+    build should fail FAST on instead of silently degrading: NULL
+    vectors, wrong-width vectors, and zero-norm vectors (a zero
+    vector has no direction — cosine against it is undefined and
+    most engines quietly emit NULL or NaN mid-index).  Plus the norm
+    spread, because a wildly varying norm under dot-product scoring
+    means the corpus needs normalizing before indexing.
+
+    One shuffle-free map pass + one keys=[] fold.  Counts are exact
+    integers; norms are per-row doubles folded in a fixed order
+    within each row, with the cross-row min/max exact under any
+    partitioning (order-free) and the mean 4dp.
+
+    Output: one row (n, n_null, n_wrong_width, n_zero_norm,
+    min_norm, max_norm, mean_norm)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm2 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    ok_shape = v.isNotNull() & (F.size(v) == dim)
+    rows = corpus.select(
+        v.isNull().cast("bigint").alias("_null"),
+        (v.isNotNull() & (F.size(v) != dim)).cast("bigint")
+        .alias("_wrong"),
+        F.when(ok_shape, F.sqrt(norm2)).alias("_norm"),
+    )
+    return rows.agg(
+        F.count("*").alias("n"),
+        F.sum("_null").alias("n_null"),
+        F.sum("_wrong").alias("n_wrong_width"),
+        F.sum((F.col("_norm") == 0.0).cast("bigint")).alias("n_zero_norm"),
+        F.round(F.min("_norm"), 6).alias("min_norm"),
+        F.round(F.max("_norm"), 6).alias("max_norm"),
+        F.round(F.avg("_norm"), 4).alias("mean_norm"),
+    )
