@@ -5584,8 +5584,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_reference_parity.py and scripts/check_correctness.py
     which runs ALL entries locally at two scales.
 
-    Round-8 window (the first 50 of the returned dict — see the
-    ``_r8_window`` list at the bottom of this function): the THIRTEEN
+    Round-9 window (the first 50 of the returned dict — see the
+    ``_r9_window`` list at the bottom of this function): the entire
+    never-driver-verified backlog, i.e. the round-8 waves 11-21 that
+    registered behind the full round-8 window, in oldest-wave-first
+    order (``sim_kcenter_coreset`` … ``composite_ann_health``), per
+    the round-8 verdict.  The registry is FROZEN at 445 this round;
+    waves 22-26's 11 remaining never-driver-verified entries plus the
+    displaced r01-block pads lead the round-10 queue
+    (ROUND9_QUEUE.md / ROUND10_QUEUE.md).
+
+    Round-8 window (verified 50/50 green in CORRECTNESS_r08.json):
+    the THIRTEEN
     round-7-staged operators registered this round per ROUND8_QUEUE.md
     (CUPED adjusted lift, DAU/WAU/MAU actives, funnel paths, HHI
     concentration, MCC confusion, Brier decomposition, PPS systematic
@@ -6318,75 +6328,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_vector_quality_audit": _sim_vector_quality_audit,
         "fe_rare_category_collapse": _fe_rare_category_collapse,
     }
-    # --- round-8 verification window (the first 50 of the returned
-    # dict): the 13 queued round-8 registrations, the new
-    # composite_tokenizer_pipeline, the five operators staged earlier
-    # this round and pulled forward once their oracles validated
-    # (logistic GD, PCA power iteration, readability, contamination
-    # report, DSIR weights), and the DSIR -> stratified-PPS
-    # composite claim the window first (rotation doctrine:
-    # never-driver-verified entries lead); then the THIRD wave (BM25
-    # retrieval, Kneser-Ney LM, energy distance, channel histograms,
-    # the hashed-BoW classifier composite) and the FOURTH (Naive
-    # Bayes, Wasserstein-1D, token entropy, n-gram diversity, audio
-    # silence); then the FIFTH through TENTH waves (see the reg-dict
-    # comments above) — 50 never-driver-verified entries exactly, so
-    # no re-verification pads this round (round 7 closed driver
-    # coverage of all 334 prior entries; the displaced r01 pads
-    # rejoin the round-9 queue). ---
-    _r8_window = [
-        "cuped_adjusted_lift",
-        "active_user_counts",
-        "funnel_paths",
-        "hhi_concentration",
-        "mcc_confusion",
-        "brier_decomposition",
-        "pps_systematic_sample",
-        "pps_stratified_sample",
-        "compaction_plan",
-        "graph_modularity",
-        "perplexity_bins",
-        "bpe_apply_merges",
-        "image_patches",
-        "composite_tokenizer_pipeline",
-        "logistic_regression_gd",
-        "pca_power_iteration",
-        "readability_scores",
-        "contamination_report",
-        "dsir_log_weights",
-        "composite_importance_mixture",
-        "bm25_topk",
-        "kneser_ney_logprob",
-        "energy_distance",
-        "image_channel_hist",
-        "composite_hashed_classifier",
-        "naive_bayes_fit",
-        "wasserstein_1d",
-        "token_entropy",
-        "ngram_diversity",
-        "audio_silence_report",
-        "kmeans_lloyd",
-        "isotonic_calibration",
-        "acf_lags",
-        "image_entropy",
-        "embedding_coherence",
-        "composite_coherence_gate",
-        "decision_stump",
-        "graph_hits",
-        "mmr_diversify",
-        "rake_keywords",
-        "sim_random_projection",
-        "composite_rag_pipeline",
-        "did_estimator",
-        "composite_knn_eval",
-        "pca_top2_deflation",
-        "agg_mann_whitney",
-        "fe_target_encoding",
-        "psm_att",
-        "txt_log_odds",
-        "sim_maxsim_rerank",
+    # --- round-9 verification window (the first 50 of the returned
+    # dict): the ENTIRE round-9 window is the never-driver-verified
+    # backlog — the round-8 waves 11-21 that registered BEHIND the
+    # (already full) round-8 window, oldest wave first, exactly as
+    # the round-8 verdict ordered ("spend the entire round-9 driver
+    # window on the 61-entry verification backlog; register nothing
+    # new ahead of it").  Waves 11-21 are 50 entries, filling the
+    # window exactly; waves 22-26's remaining 11 entries plus the
+    # displaced r01-block pads lead the round-10 queue.  The registry
+    # is FROZEN at 445 for round 9 (verdict item 2).  Every one of
+    # these entries is dual-scale oracle-green locally
+    # (CORRECTNESS_LOCAL_r08.json) — this window gives them their
+    # first hard-gate driver rows. ---
+    _r9_window = [
+        # wave 11 (tests/test_round9j_staged.py)
+        "sim_kcenter_coreset",
+        "txt_textrank",
+        "tbl_bloom_probe",
+        "evt_sprt",
+        "evt_ips_value",
+        # wave 12 (tests/test_round9k_staged.py)
+        "gbrt_stumps",
+        "graph_ppr",
+        "agg_deming",
+        "smp_group_kfold",
+        "mm_image_neardup",
+        # wave 13 (tests/test_round9l_staged.py)
+        "evt_event_study",
+        "evt_ar1_halflife",
+        "mm_audio_fingerprint",
+        "composite_contrastive_pairs",
+        "tbl_zonemap_skip",
+        # wave 14 (tests/test_round9m_staged.py)
+        "ddp_minhash_eval",
+        "smp_raking_weights",
+        "txt_instruction_score",
+        # wave 15 (tests/test_round9n_staged.py)
+        "perceptron_fit",
+        "agg_kendall_tau",
+        "evt_cusum",
+        "graph_harmonic",
+        "tbl_vacuum_plan",
+        # wave 16 (tests/test_round9o_staged.py)
+        "evt_nelson_aalen",
+        "graph_assortativity",
+        "agg_cochran_armitage",
+        "tbl_file_overlap_depth",
+        "sim_filtered_ivf_topk",
+        # wave 17 (tests/test_round9p_staged.py)
+        "evt_logrank",
+        "composite_dedup_funnel",
+        "sim_ivf_cell_stats",
+        "agg_fleiss_kappa",
+        # wave 18 (tests/test_round9q_staged.py)
+        "agg_cmh_test",
+        "graph_reciprocity",
+        "graph_local_clustering",
+        "sim_pq_distortion",
+        "evt_qini_curve",
+        # wave 19 (tests/test_round9r_staged.py)
+        "ddp_lsh_band_stats",
+        "agg_g_test",
+        "agg_smd_balance",
+        "agg_wilson_ci",
+        "evt_seasonal_naive_error",
+        # wave 20 (tests/test_round9s_staged.py)
+        "graph_scc",
+        "agg_mh_odds_ratio",
+        "fe_woe_encoding",
+        "stream_cusum",
+        # wave 21 (tests/test_round9t_staged.py)
+        "txt_dup_sentence_filter",
+        "agg_partial_corr",
+        "evt_peaks",
+        "composite_ann_health",
     ]
-    out = {k: reg[k] for k in _r8_window}
+    out = {k: reg[k] for k in _r9_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
