@@ -17371,7 +17371,11 @@ def _graph_scc(spark, sf_dir):
     """Hop-bounded strongly connected components (graph.scc,
     max_hops=4) on the thresholded trade graph: frontier closure +
     ONE swapped self-join for mutual reachability, min-label ids,
-    component sizes."""
+    component sizes.  Output columns are bounded_scc_id /
+    bounded_scc_size — the bound is part of the contract (round-8
+    advice): mutual reach within 4 hops is not transitive, so the
+    labels are an exact SCC partition only when every component's
+    diameter fits the bound."""
     edges = (
         _trade_edges(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
@@ -17454,8 +17458,9 @@ mutual AS (SELECT r.src, r.cur FROM reach r
 labels AS (SELECT src, min(cur) AS scc_id FROM mutual GROUP BY src),
 sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
           FROM labels GROUP BY scc_id)
-SELECT CAST(l.src AS INT) AS node, CAST(l.scc_id AS INT) AS scc_id,
-       s.scc_size
+SELECT CAST(l.src AS INT) AS node,
+       CAST(l.scc_id AS INT) AS bounded_scc_id,
+       s.scc_size AS bounded_scc_size
 FROM labels l JOIN sizes s USING (scc_id)"""
     )
 
@@ -18195,10 +18200,15 @@ WITH u AS (
          row_number() OVER (PARTITION BY t ORDER BY v) AS rn,
          count(*) OVER (PARTITION BY t) AS n
   FROM units
-), spine(p) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) t(x)),
+), spine(p, p_num, p_den) AS (
+  SELECT CAST(x AS DOUBLE), CAST(nu AS BIGINT), CAST(de AS BIGINT)
+  FROM (VALUES (0.1, 1, 10), (0.25, 1, 4), (0.5, 1, 2),
+               (0.75, 3, 4), (0.9, 9, 10)) t(x, nu, de)),
 picked AS (
   SELECT spine.p, ranked.t, ranked.v, ranked.n
-  FROM ranked JOIN spine ON ranked.rn = ceil(spine.p * ranked.n)
+  FROM ranked JOIN spine
+    ON (ranked.rn - 1) * spine.p_den < spine.p_num * ranked.n
+   AND spine.p_num * ranked.n <= ranked.rn * spine.p_den
 )
 SELECT p,
        CAST(max(CASE WHEN t THEN n END) AS BIGINT) AS n_treated,

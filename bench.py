@@ -216,12 +216,21 @@ def main() -> None:
     # the record stays contention-stamped rather than the bench
     # hanging a driver window.
     idle_max = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_MAX", "1.0"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "90"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "180"))
     idle_waited = 0.0
     while os.getloadavg()[0] > idle_max and idle_waited < wait_budget:
         time.sleep(5.0)
         idle_waited += 5.0
     load_start = os.getloadavg()
+    # Contended-by-construction stamp (VERDICT r08 item 7): if the
+    # idle wait expires with the host still loaded, the record that
+    # prints is NOT an official engine measurement — it carries a
+    # top-level ``"contended": true`` so no human adjudication is
+    # needed to disqualify it (rounds 4, 5, and 8 each shipped an
+    # official record that understated the engine by 20-40% and cost
+    # a verdict cycle to re-litigate).  The bench still runs — the
+    # driver needs its one JSON line — but the stamp is machine-read.
+    contended = load_start[0] > idle_max
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_session(
@@ -283,10 +292,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
+    if contended:
+        print(
+            "WARNING: loadavg_1m_start {:.2f} > idle_max {:.2f} after a "
+            "{:.0f}s wait - this record is stamped contended=true and "
+            "must not be read as an engine measurement".format(
+                load_start[0], idle_max, idle_waited
+            ),
+            file=sys.stderr,
+        )
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "contended": contended,
         "queries": timings,
         "contention": {
             "nproc": os.cpu_count(),

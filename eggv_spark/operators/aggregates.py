@@ -3318,8 +3318,14 @@ def fleiss_kappa(
         F.sum(sum_sq).alias("_ssq"),
         *[F.sum(c).alias(f"_s{i}") for i, c in enumerate(cols)],
     )
+    # the empty case is explicit (round-8 advice): with zero rows
+    # min/max are NULL, the equality is NULL, and the when() would
+    # otherwise fall through to the ragged-panel raise — a
+    # misleading failure; instead emit the 1-row all-NULL readout.
     n = F.when(
-        F.col("_nv_min") == F.col("_nv_max"), F.col("_nv_max")
+        (F.col("_n_items") == 0)
+        | (F.col("_nv_min") == F.col("_nv_max")),
+        F.col("_nv_max"),
     ).otherwise(
         F.raise_error(
             F.lit(
@@ -3528,16 +3534,22 @@ def smd_balance(
         ).alias("_qc"),
     )
     nt, nc = F.col("n_treated"), F.col("n_control")
-    mt = F.col("_st") / nt
-    mc = F.col("_sc") / nc
-    vt = (
+    # try_divide throughout (round-8 advice): a single-row or empty
+    # arm must yield NULL means/variances — not a raw /0, which is
+    # NULL only in default mode and THROWS under
+    # spark.sql.ansi.enabled=true, unlike the final smd's guard.
+    mt = F.try_divide(F.col("_st"), nt)
+    mc = F.try_divide(F.col("_sc"), nc)
+    vt = F.try_divide(
         F.col("_qt").cast("double")
-        - F.col("_st").cast("double") * F.col("_st") / nt
-    ) / (nt - 1)
-    vc = (
+        - F.try_divide(F.col("_st").cast("double") * F.col("_st"), nt),
+        (nt - 1).cast("double"),
+    )
+    vc = F.try_divide(
         F.col("_qc").cast("double")
-        - F.col("_sc").cast("double") * F.col("_sc") / nc
-    ) / (nc - 1)
+        - F.try_divide(F.col("_sc").cast("double") * F.col("_sc"), nc),
+        (nc - 1).cast("double"),
+    )
     return per.select(
         F.col("_cov").alias("covariate"),
         "n_treated", "n_control",

@@ -1907,12 +1907,26 @@ def logrank_test(
     free-order float aggregate.  A row whose variant is neither
     ``variant_a`` nor ``variant_b`` raises in-plan (the
     uplift_by_segment foreign-label guard), riding the consumed
-    duration column so Catalyst cannot prune it.
+    duration column so Catalyst cannot prune it; a user appearing
+    under BOTH variants (min(variant) != max(variant)) raises the
+    same way (round-8 advice) — silently resolving the conflict to
+    max() would quietly bias the test on dirty assignment logs.
 
     Plan: one per-user aggregation, one day-grain rollup, three
     windows over the tiny day frame, TakeOrdered(1)."""
     is_a = F.col("_v") == variant_a
     guard = F.when(
+        F.col("_v_min") != F.col("_v"),
+        F.raise_error(
+            F.concat(
+                F.lit("logrank_test: mixed variant assignment "),
+                F.col("_v_min").cast("string"),
+                F.lit("/"),
+                F.col("_v").cast("string"),
+                F.lit(" for one user"),
+            )
+        ),
+    ).when(
         F.col("_v").isin(variant_a, variant_b), F.col("_t0")
     ).otherwise(
         F.raise_error(
@@ -1927,6 +1941,7 @@ def logrank_test(
             F.when(F.col(type_col) == start_event, F.col(ts_col))
         ).alias("_t0"),
         F.max(F.col(variant_col)).alias("_v"),
+        F.min(F.col(variant_col)).alias("_v_min"),
         F.collect_list(
             F.when(F.col(type_col) == terminal_event, F.col(ts_col))
         ).alias("_terms"),
@@ -2333,6 +2348,14 @@ def quantile_treatment_effects(
     value itself only — position selection depends only on the
     sorted multiset, so no extra tiebreak column is needed.
 
+    The position itself is selected with INTEGER arithmetic
+    (round-8 advice): each p is read as the exact rational of its
+    decimal representation (0.25 → 1/4) and the rank test is
+    ``(rn−1)·den < num·n ≤ rn·den`` — equivalent to
+    rn = ceil(num·n/den) with no floating product, so a p·n that
+    would round just above an exact integer in IEEE doubles cannot
+    shift the picked rank off the type-1 definition.
+
     Plan: one rank window per arm (partitionBy treated), one
     broadcast of the tiny p-spine, position equi-join — no
     per-quantile scans.  Input is UNIT grain with an integer
@@ -2354,12 +2377,26 @@ def quantile_treatment_effects(
             )
         ).alias("_n"),
     )
+    from fractions import Fraction
+
     spine = base.sparkSession.createDataFrame(
-        [(float(p),) for p in quantiles], "p double"
+        [
+            (
+                float(p),
+                int(Fraction(str(float(p))).numerator),
+                int(Fraction(str(float(p))).denominator),
+            )
+            for p in quantiles
+        ],
+        "p double, p_num bigint, p_den bigint",
     )
     picked = ranked.join(
         F.broadcast(spine),
-        ranked["_rn"] == F.ceil(F.col("p") * ranked["_n"]),
+        (
+            (ranked["_rn"] - F.lit(1)) * F.col("p_den")
+            < F.col("p_num") * ranked["_n"]
+        )
+        & (F.col("p_num") * ranked["_n"] <= ranked["_rn"] * F.col("p_den")),
     )
     per_arm = picked.groupBy("p").agg(
         F.max(F.when(F.col("_t"), F.col("_v"))).alias("q_treated"),

@@ -1137,8 +1137,15 @@ def scc(
     same landmark/sampling caveat as harmonic applies at web scale
     (or run wcc first and scc per weak component).
 
-    Output: (node, scc_id, scc_size) — singletons keep themselves
-    as scc_id with size 1."""
+    Output: (node, bounded_scc_id, bounded_scc_size) — singletons
+    keep themselves as bounded_scc_id with size 1.  The column names
+    carry the bound deliberately (round-8 advice): mutual
+    reachability within ``max_hops`` is NOT transitive, so when the
+    bound is smaller than a true component's internal diameter the
+    min-labels need not form a consistent partition —
+    ``bounded_scc_size`` counts label groups, not guaranteed SCCs.
+    Only when every component's diameter fits the bound do the
+    bounded labels coincide with the exact SCC partition."""
     e = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
@@ -1168,14 +1175,18 @@ def scc(
         F.col("_cur").alias("_src"), F.col("_src").alias("_cur")
     )
     mutual = visited.join(swapped, ["_src", "_cur"], "left_semi")
-    labels = mutual.groupBy("_src").agg(F.min("_cur").alias("scc_id"))
-    sizes = labels.groupBy("scc_id").agg(F.count("*").alias("scc_size"))
+    labels = mutual.groupBy("_src").agg(
+        F.min("_cur").alias("bounded_scc_id")
+    )
+    sizes = labels.groupBy("bounded_scc_id").agg(
+        F.count("*").alias("bounded_scc_size")
+    )
     return (
-        labels.join(sizes, "scc_id")
+        labels.join(sizes, "bounded_scc_id")
         .select(
             F.col("_src").cast("int").alias("node"),
-            F.col("scc_id").cast("int").alias("scc_id"),
-            "scc_size",
+            F.col("bounded_scc_id").cast("int").alias("bounded_scc_id"),
+            "bounded_scc_size",
         )
     )
 

@@ -40,7 +40,7 @@ def test_scc_cycle_plus_tail(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4)], "src int, dst int"
     )
-    out = {r["node"]: (r["scc_id"], r["scc_size"])
+    out = {r["node"]: (r["bounded_scc_id"], r["bounded_scc_size"])
            for r in scc(edges, max_hops=3).collect()}
     assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
     assert out[4] == (4, 1)
@@ -53,7 +53,8 @@ def test_scc_two_cycles_one_bridge(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)], "src int, dst int"
     )
-    out = {r["node"]: r["scc_id"] for r in scc(edges, max_hops=4).collect()}
+    out = {r["node"]: r["bounded_scc_id"]
+           for r in scc(edges, max_hops=4).collect()}
     assert out[1] == out[2] == 1
     assert out[3] == out[4] == 3
 
