@@ -1296,3 +1296,93 @@ def rare_category_collapse(
         F.count("*").alias("n_source_categories"),
         F.max(F.col("category") == other_label).alias("is_collapsed"),
     )
+
+
+def quantile_binning(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning of an INTEGER-quantized
+    feature — the discretizer feeding WOE/target encoders and
+    monotone-binned quality scores (rare_category_collapse's numeric
+    sibling: that guards categorical cardinality, this turns a
+    continuous column into a bounded categorical).
+
+    Bin edges are TYPE-1 order statistics at p = j/n_bins: edge_j =
+    value at sorted rank ceil(j·n/n_bins), selected with pure
+    INTEGER arithmetic ((rn−1)·n_bins < j·n ≤ rn·n_bins — the
+    quantile_treatment_effects discipline, immune to IEEE p·n
+    boundary rounding).  Row r lands in the SMALLEST bin j whose
+    edge_j ≥ its value — with duplicate-heavy data adjacent edges
+    can collide, in which case the colliding UPPER bins report zero
+    rows rather than the edges re-spreading (the deterministic
+    convention; a zero-row bin is the caller's signal the feature
+    has too few distinct values for n_bins).
+
+    Plan: one rank window over the value (single corpus shuffle),
+    the n_bins-row edge spine folded in a broadcast, one grouped
+    count.  Output: n_bins rows (bin, upper_edge, n_rows) — exact
+    integers only, no rounding contract needed."""
+    if n_bins < 2:
+        raise ValueError("quantile_binning: n_bins must be >= 2")
+    base = df.select(F.col(value_col).cast("bigint").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    w = Window.orderBy("_v")
+    ranked = base.select(
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    spine = base.sparkSession.range(1, n_bins + 1).select(
+        F.col("id").cast("bigint").alias("_j")
+    )
+    edges = (
+        ranked.join(
+            F.broadcast(spine),
+            (
+                (ranked["_rn"] - F.lit(1)) * F.lit(n_bins)
+                < F.col("_j") * ranked["_n"]
+            )
+            & (F.col("_j") * ranked["_n"] <= ranked["_rn"] * F.lit(n_bins)),
+        )
+        .groupBy("_j")
+        .agg(F.max("_v").alias("_edge"))
+    )
+    edge_arr = edges.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_j", "_edge"))),
+            lambda s: s["_edge"],
+        ).alias("_edges")
+    )
+    assigned = base.crossJoin(F.broadcast(edge_arr)).select(
+        # smallest j with edge_j >= v; the last edge is the exact max
+        # so the fallback never fires on real rows — kept as a loud
+        # invariant rather than a silent overflow bin
+        F.coalesce(
+            F.array_position(
+                F.transform("_edges", lambda e: F.col("_v") <= e),
+                F.lit(True),
+            ),
+            F.lit(n_bins).cast("bigint"),
+        ).alias("bin"),
+    )
+    counts = assigned.groupBy("bin").agg(F.count("*").alias("n_rows"))
+    spine_all = edge_arr.crossJoin(F.broadcast(spine)).select(
+        F.col("_j").alias("bin"),
+        F.element_at("_edges", F.col("_j").cast("int")).alias(
+            "upper_edge"
+        ),
+    )
+    return spine_all.join(counts, "bin", "left").select(
+        "bin",
+        "upper_edge",
+        F.coalesce(F.col("n_rows"), F.lit(0).cast("bigint")).alias(
+            "n_rows"
+        ),
+    )

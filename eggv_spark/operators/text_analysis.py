@@ -2488,3 +2488,95 @@ def hash_collision_audit(
         ).alias("collision_frac"),
         F.max("_n").alias("max_bucket_terms"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): the local-minimum k-gram selection that
+    guarantees any shared substring of length >= w+k-1 contributes at
+    least one COMMON fingerprint to both documents — the
+    position-aware plagiarism/clone detector that MinHash (a global
+    sketch) cannot provide.
+
+    Per document: normalize (lowercase, strip non-alphanumerics —
+    whitespace/punctuation never perturb fingerprints), slide char
+    k-grams, hash each (base_hash — the portable md5-prefix hash),
+    then over every window of ``w`` consecutive gram hashes select
+    the minimum, breaking ties by RIGHTMOST position (the paper's
+    rule — it maximizes window overlap so consecutive windows
+    usually re-select the same gram), and emit the distinct
+    (position, hash) selections.
+
+    Determinism: positions and hashes are exact integers; min-of-
+    struct((hash, −pos)) makes the rightmost-tie rule a total order.
+    No floats anywhere.
+
+    Scale: the k-gram explode is ~|text| rows per doc — the
+    tokenizer-family shape (bpe_apply_merges explodes the same way);
+    the selection window partitions BY DOCUMENT (one shuffle on the
+    doc id, each partition a private sequential scan), and the
+    distinct collapses in-partition before exchange.  Fingerprint
+    density is ~2/(w+1) of grams, so the output is a small fraction
+    of the exploded frame.  Near-dup detection then equi-joins
+    fingerprint hashes — the banded-LSH posture, never all-pairs.
+
+    Output: (doc_id, pos, gram_hash) — one row per selected
+    fingerprint, pos is the 1-based char offset of the selected
+    k-gram in the NORMALIZED text."""
+    if k < 1 or w < 1:
+        raise ValueError("winnowing_fingerprints: k and w must be >= 1")
+    from eggv_spark.operators.dedupe import base_hash
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    grams = (
+        docs.select(F.col(id_col).alias("_doc"), norm.alias("_t"))
+        .filter(F.length("_t") >= k)
+        .select(
+            "_doc",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - F.lit(k - 1))
+            ).alias("pos"),
+            "_t",
+        )
+        .select(
+            "_doc",
+            "pos",
+            base_hash(F.substring(F.col("_t"), F.col("pos"), k)).alias(
+                "_h"
+            ),
+        )
+    )
+    sel_w = (
+        Window.partitionBy("_doc")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    n_w = Window.partitionBy("_doc")
+    picked = (
+        grams.select(
+            "_doc",
+            "pos",
+            F.count("*").over(n_w).alias("_n_grams"),
+            F.min(F.struct(F.col("_h"), (-F.col("pos")).alias("_np")))
+            .over(sel_w)
+            .alias("_sel"),
+        )
+        # a window STARTS at every pos <= n_grams - w + 1; later
+        # starts see a short frame and would duplicate the tail
+        .filter(F.col("pos") <= F.col("_n_grams") - F.lit(w - 1))
+        .select(
+            F.col("_doc"),
+            (-F.col("_sel._np")).alias("pos"),
+            F.col("_sel._h").alias("gram_hash"),
+        )
+        .distinct()
+    )
+    return picked.select(
+        F.col("_doc").alias(id_col), "pos", "gram_hash"
+    )
