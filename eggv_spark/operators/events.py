@@ -2408,3 +2408,58 @@ def quantile_treatment_effects(
         "p", "n_treated", "n_control", "q_treated", "q_control",
         (F.col("q_treated") - F.col("q_control")).alias("qte"),
     )
+
+
+def retention_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle — the product-analytics companion of
+    :func:`growth_accounting` (that is a per-day class mix; this is
+    per-COHORT decay: of the users who first appeared in period p,
+    what fraction was active again p+o?).
+
+    Cohort = each user's first active period (floor of days-since-
+    epoch / ``period_days`` — whole-integer calendar math, no
+    timezone or DST hazards); a user is "active at offset o" when
+    they have ANY event in cohort+o.  Counts are DISTINCT users at
+    (cohort, offset) grain; retention = n_active / n_cohort, 6dp —
+    the only float, derived from two exact integers.  Offset 0 is
+    kept (retention 1.0 by construction — its absence is the classic
+    off-by-one audit signal).
+
+    Plan: one per-user min (cohort assignment), one distinct on
+    (user, period) BEFORE the cohort join collapses the frame to
+    user-period grain, a broadcast-joined cohort-size rollup, one
+    grouped count.  Nothing wider than user-period grain ever
+    shuffles.  Output: (cohort_period, offset, n_cohort, n_active,
+    retention)."""
+    period = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(86400 * period_days)
+    ).cast("bigint")
+    user_periods = (
+        df.select(F.col(user_col).alias("_u"), period.alias("_p"))
+        .filter(F.col("_u").isNotNull() & F.col("_p").isNotNull())
+        .distinct()
+    )
+    cohorts = user_periods.groupBy("_u").agg(F.min("_p").alias("_c"))
+    sizes = cohorts.groupBy("_c").agg(F.count("*").alias("n_cohort"))
+    active = (
+        user_periods.join(cohorts, "_u")
+        .groupBy("_c", (F.col("_p") - F.col("_c")).alias("offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "_c")
+        .select(
+            F.col("_c").alias("cohort_period"),
+            "offset",
+            "n_cohort",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("n_cohort").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

@@ -2580,3 +2580,76 @@ def winnowing_fingerprints(
     return picked.select(
         F.col("_doc").alias(id_col), "pos", "gram_hash"
     )
+
+
+def winnow_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_docs: int = 64,
+) -> DataFrame:
+    """Near-duplicate / clone-pair detection over winnowing
+    fingerprints — the position-aware sibling of MinHash banding:
+    two documents pair when they share >= ``min_shared`` selected
+    fingerprint HASHES, which by the winnowing guarantee captures
+    any shared run of >= w+k-1 normalized characters (the
+    contiguous-plagiarism case Jaccard-of-shingles dilutes on long
+    documents).
+
+    Candidate generation is a fingerprint-hash EQUI-JOIN — the
+    banded-LSH posture, never an all-pairs product: fingerprints
+    collapse to DISTINCT (doc, hash) first, hashes seen in more than
+    ``max_hash_docs`` documents are dropped as boilerplate BEFORE
+    pairing (the containment_pairs frequent-bucket cap — one ubiquitous
+    license-header gram would otherwise contribute n² pair rows), and
+    pair credit is counted per shared hash with a < ordering so each
+    pair appears once.
+
+    Output: (doc_a, doc_b, shared, fp_a, fp_b, overlap) where
+    overlap = shared / min(fp_a, fp_b) on distinct-hash counts, 6dp
+    — exact integers everywhere else."""
+    fps = (
+        winnowing_fingerprints(docs, text_col, id_col, k, w)
+        .select(F.col(id_col).alias("_doc"), "gram_hash")
+        .distinct()
+    )
+    per_doc = fps.groupBy("_doc").agg(F.count("*").alias("_fp"))
+    hash_docs = fps.groupBy("gram_hash").agg(F.count("*").alias("_nd"))
+    kept = fps.join(
+        hash_docs.filter(F.col("_nd") <= max_hash_docs).select("gram_hash"),
+        "gram_hash",
+    )
+    left = kept.select(F.col("_doc").alias("_a"), "gram_hash")
+    right = kept.select(F.col("_doc").alias("_b"), "gram_hash")
+    pairs = (
+        left.join(right, "gram_hash")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            per_doc.select(F.col("_doc").alias("_a"), F.col("_fp").alias("fp_a")),
+            "_a",
+        )
+        .join(
+            per_doc.select(F.col("_doc").alias("_b"), F.col("_fp").alias("fp_b")),
+            "_b",
+        )
+        .select(
+            F.col("_a").alias("doc_a"),
+            F.col("_b").alias("doc_b"),
+            "shared",
+            "fp_a",
+            "fp_b",
+            F.round(
+                F.col("shared")
+                / F.least("fp_a", "fp_b").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )

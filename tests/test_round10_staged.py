@@ -278,3 +278,92 @@ def test_winnowing_short_and_empty_docs(spark):
         [(1, "ab"), (2, ""), (3, None)], "doc_id long, text string"
     )
     assert winnowing_fingerprints(df, k=5, w=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# winnow_neardup_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_neardup_detects_clone(spark):
+    from eggv_spark.operators.text_analysis import winnow_neardup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "intro text " + shared + " outro one"),
+            (2, "other start " + shared + " different end"),
+            (3, "entirely unrelated content with zero overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_neardup_pairs(df, k=5, w=4, min_shared=2).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    r12 = [r for r in out if (r["doc_a"], r["doc_b"]) == (1, 2)][0]
+    assert r12["shared"] >= 2
+    assert 0.0 < r12["overlap"] <= 1.0
+    assert r12["shared"] <= min(r12["fp_a"], r12["fp_b"])
+
+
+def test_winnow_neardup_boilerplate_cap(spark):
+    """A hash present in more docs than max_hash_docs must not
+    generate pairs (the frequent-bucket quadratic guard)."""
+    from eggv_spark.operators.text_analysis import winnow_neardup_pairs
+
+    boiler = "standard license header text appears everywhere"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 7)], "doc_id long, text string"
+    )
+    # identical docs: with the cap above 6 they all pair...
+    assert winnow_neardup_pairs(df, k=5, w=4, max_hash_docs=6).count() == 15
+    # ...with the cap below 6 every shared hash is boilerplate-dropped
+    assert winnow_neardup_pairs(df, k=5, w=4, max_hash_docs=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# retention_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_retention_matrix_hand_example(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import retention_matrix
+
+    day = lambda d: dt.datetime(1970, 1, 1) + dt.timedelta(days=d)
+    # period_days=7: cohort period = floor(day/7)
+    rows = [
+        # u1, u2 first in period 0; u1 back in periods 1 and 2
+        ("u1", day(1)), ("u2", day(2)),
+        ("u1", day(8)), ("u1", day(15)),
+        # u3 first in period 1, never again
+        ("u3", day(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (r["cohort_period"], r["offset"]): r
+        for r in retention_matrix(df, period_days=7).collect()
+    }
+    assert out[(0, 0)]["n_cohort"] == 2 and out[(0, 0)]["n_active"] == 2
+    assert out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+    assert out[(0, 2)]["n_active"] == 1
+    assert out[(1, 0)]["n_cohort"] == 1 and out[(1, 0)]["retention"] == 1.0
+    assert (1, 1) not in out  # no zero-fill rows: absent means 0 active
+
+
+def test_retention_matrix_multiple_events_one_period(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import retention_matrix
+
+    t0 = dt.datetime(1970, 1, 1)
+    rows = [("u1", t0 + dt.timedelta(days=d, hours=h))
+            for d in (0, 1, 2) for h in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = retention_matrix(df, period_days=7).collect()
+    # nine events, one user, one period -> exactly one matrix cell
+    assert len(out) == 1
+    assert out[0]["n_cohort"] == 1 and out[0]["n_active"] == 1
