@@ -1,0 +1,281 @@
+"""DuckDB-side oracle drafts for the round-9 STAGED (unregistered)
+operators — validated here against pure-Python references on
+sf0.001 so that registration in a later round only needs the
+Spark-vs-oracle cross-check, not oracle design.
+
+No SparkSession in this module: it exercises the DuckDB half of the
+future driver pair plus the Python reference implementations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# The portable hash both engines share (dedupe.base_hash).
+BASEHASH = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+# ---------------------------------------------------------------------------
+# ridge_fit oracle: exact HUGEINT moments + the identical fixed-order
+# double assembly (the smd_balance cross-engine discipline)
+# ---------------------------------------------------------------------------
+
+RIDGE_SQL = """
+WITH u AS (
+  SELECT CAST(o_custkey % 100 AS BIGINT) AS x1,
+         CAST(o_orderkey % 97 AS BIGINT) AS x2,
+         CAST(round(o_totalprice) AS BIGINT) AS y
+  FROM orders
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+         sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+         sum(x2 * y) AS s2y, sum(y * y) AS syy
+  FROM u
+), c AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mx1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS mx2,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+         CAST(s12 AS DOUBLE) AS d12, CAST(s1y AS DOUBLE) AS d1y,
+         CAST(s2y AS DOUBLE) AS d2y, CAST(syy AS DOUBLE) AS dyy
+  FROM m
+), k AS (
+  SELECT n, mx1, mx2, my,
+         d11 - CAST(n AS DOUBLE) * mx1 * mx1 AS c11,
+         d22 - CAST(n AS DOUBLE) * mx2 * mx2 AS c22,
+         d12 - CAST(n AS DOUBLE) * mx1 * mx2 AS c12,
+         d1y - CAST(n AS DOUBLE) * mx1 * my AS c1y,
+         d2y - CAST(n AS DOUBLE) * mx2 * my AS c2y,
+         dyy - CAST(n AS DOUBLE) * my * my AS cyy
+  FROM c
+), b AS (
+  SELECT n, mx1, mx2, my, c11, c22, c12, c1y, c2y, cyy,
+         (c1y * (c22 + {lam}) - c12 * c2y)
+           / ((c11 + {lam}) * (c22 + {lam}) - c12 * c12) AS b1,
+         ((c11 + {lam}) * c2y - c12 * c1y)
+           / ((c11 + {lam}) * (c22 + {lam}) - c12 * c12) AS b2
+  FROM k
+)
+SELECT n,
+       round(b1, 6) AS b1,
+       round(b2, 6) AS b2,
+       round(my - b1 * mx1 - b2 * mx2, 6) AS intercept,
+       round((cyy - 2.0 * b1 * c1y - 2.0 * b2 * c2y
+              + b1 * b1 * c11 + 2.0 * b1 * b2 * c12
+              + b2 * b2 * c22) / CAST(n AS DOUBLE), 6) AS mse,
+       CAST({lam} AS DOUBLE) AS lambda
+FROM b
+"""
+
+
+def test_ridge_oracle_matches_python_reference(con):
+    lam = 1000.0
+    rows = con.execute(
+        "SELECT CAST(o_custkey % 100 AS BIGINT),"
+        " CAST(o_orderkey % 97 AS BIGINT),"
+        " CAST(round(o_totalprice) AS BIGINT) FROM orders"
+    ).fetchall()
+    got = con.execute(RIDGE_SQL.format(lam=repr(lam))).fetchone()
+    n = len(rows)
+    nf = float(n)
+    s1 = sum(r[0] for r in rows); s2 = sum(r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    s11 = sum(r[0] * r[0] for r in rows)
+    s22 = sum(r[1] * r[1] for r in rows)
+    s12 = sum(r[0] * r[1] for r in rows)
+    s1y = sum(r[0] * r[2] for r in rows)
+    s2y = sum(r[1] * r[2] for r in rows)
+    syy = sum(r[2] * r[2] for r in rows)
+    mx1, mx2, my = s1 / nf, s2 / nf, sy / nf
+    c11 = s11 - nf * mx1 * mx1; c22 = s22 - nf * mx2 * mx2
+    c12 = s12 - nf * mx1 * mx2
+    c1y = s1y - nf * mx1 * my; c2y = s2y - nf * mx2 * my
+    cyy = syy - nf * my * my
+    det = (c11 + lam) * (c22 + lam) - c12 * c12
+    b1 = (c1y * (c22 + lam) - c12 * c2y) / det
+    b2 = ((c11 + lam) * c2y - c12 * c1y) / det
+    assert got[0] == n
+    assert got[1] == pytest.approx(round(b1, 6), abs=1e-6)
+    assert got[2] == pytest.approx(round(b2, 6), abs=1e-6)
+    sse = (cyy - 2 * b1 * c1y - 2 * b2 * c2y
+           + b1 * b1 * c11 + 2 * b1 * b2 * c12 + b2 * b2 * c22)
+    assert got[4] == pytest.approx(round(sse / nf, 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# quantile_binning oracle: the qte-style integer-safe spine join
+# ---------------------------------------------------------------------------
+
+QBIN_SQL = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS v FROM orders
+  WHERE o_totalprice IS NOT NULL
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM base
+), spine AS (
+  SELECT CAST(j AS BIGINT) AS j FROM generate_series(1, {nb}) t(j)
+), edges AS (
+  SELECT spine.j, max(ranked.v) AS edge
+  FROM ranked JOIN spine
+    ON (ranked.rn - 1) * {nb} < spine.j * ranked.n
+   AND spine.j * ranked.n <= ranked.rn * {nb}
+  GROUP BY spine.j
+), assigned AS (
+  SELECT (SELECT min(j) FROM edges WHERE edge >= base.v) AS bin
+  FROM base
+), counts AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_rows FROM assigned GROUP BY bin
+)
+SELECT e.j AS bin, e.edge AS upper_edge,
+       coalesce(c.n_rows, 0) AS n_rows
+FROM edges e LEFT JOIN counts c ON c.bin = e.j
+"""
+
+
+def test_qbin_oracle_shape_and_totals(con):
+    nb = 8
+    rows = sorted(con.execute(QBIN_SQL.format(nb=nb)).fetchall())
+    assert len(rows) == nb
+    n = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    assert sum(r[2] for r in rows) == n
+    edges = [r[1] for r in rows]
+    assert edges == sorted(edges)
+    # exact type-1 edge check against Python on the sorted values
+    vals = sorted(
+        v for (v,) in con.execute(
+            "SELECT CAST(round(o_totalprice) AS BIGINT) FROM orders"
+        ).fetchall()
+    )
+    for j in range(1, nb + 1):
+        rank = -((-j * len(vals)) // nb)  # ceil(j*n/nb) integer-safe
+        assert edges[j - 1] == vals[rank - 1]
+
+
+# ---------------------------------------------------------------------------
+# retention_matrix oracle
+# ---------------------------------------------------------------------------
+
+RETENTION_SQL = """
+WITH up AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts) / (86400 * {pd})) AS BIGINT) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), cohorts AS (
+  SELECT u, min(p) AS c FROM up GROUP BY u
+), sizes AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_cohort FROM cohorts GROUP BY c
+), active AS (
+  SELECT cohorts.c, up.p - cohorts.c AS "offset",
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM up JOIN cohorts USING (u)
+  GROUP BY cohorts.c, up.p - cohorts.c
+)
+SELECT active.c AS cohort_period, "offset", n_cohort, n_active,
+       round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+         AS retention
+FROM active JOIN sizes ON sizes.c = active.c
+"""
+
+
+def test_retention_oracle_invariants(con):
+    rows = con.execute(RETENTION_SQL.format(pd=7)).fetchall()
+    assert rows, "events testdata must produce at least one cell"
+    by_cell = {(r[0], r[1]): r for r in rows}
+    for (c, o), r in by_cell.items():
+        assert 0 <= r[3] <= r[2]
+        if o == 0:
+            assert r[3] == r[2] and r[4] == 1.0
+    # offset-0 row exists for every cohort
+    cohorts = {c for (c, _) in by_cell}
+    assert all((c, 0) in by_cell for c in cohorts)
+
+
+# ---------------------------------------------------------------------------
+# winnowing oracle: k-grams + window-min with the rightmost-tie rule
+# ---------------------------------------------------------------------------
+
+WINNOW_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+), gi AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {k} + 1)) AS i
+  FROM d WHERE len(t) >= {k}
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {h} AS h
+  FROM gi
+), n AS (
+  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+), sel AS (
+  SELECT doc_id, pos,
+         min(struct_pack(h := h, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING
+         ) AS pick
+  FROM g
+)
+SELECT DISTINCT sel.doc_id, -(pick.np) AS pos, pick.h AS gram_hash
+FROM sel JOIN n USING (doc_id)
+WHERE sel.pos <= n.ng - {wm1}
+"""
+
+
+def _ref_winnow(text: str, k: int, w: int):
+    norm = "".join(c for c in text.lower() if c.isalnum())
+    if len(norm) < k:
+        return set()
+    hs = [
+        (int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:8], 16),
+         i + 1)
+        for i in range(len(norm) - k + 1)
+    ]
+    picks = set()
+    for s in range(len(hs) - w + 1):
+        best = min(hs[s:s + w], key=lambda t: (t[0], -t[1]))
+        picks.add((best[1], best[0]))
+    return picks
+
+
+def test_winnow_oracle_matches_python_reference(con):
+    k, w = 5, 4
+    sql = WINNOW_SQL.format(
+        h=BASEHASH.format(x=f"substr(t, i, {k})"), k=k, wm1=w - 1
+    )
+    got = {
+        (r[0], r[1], r[2])
+        for r in con.execute(sql).fetchall()
+    }
+    texts = con.execute(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    exp = {
+        (d, pos, h)
+        for d, t in texts
+        for (pos, h) in _ref_winnow(t, k, w)
+    }
+    assert got == exp
