@@ -279,3 +279,139 @@ def test_winnow_oracle_matches_python_reference(con):
         for (pos, h) in _ref_winnow(t, k, w)
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# winnow_neardup_pairs oracle: distinct hashes -> frequency cap ->
+# ordered pair join (extends WINNOW_SQL)
+# ---------------------------------------------------------------------------
+
+WINNOW_PAIRS_SQL = """
+WITH fp0 AS ({winnow}),
+fps AS (SELECT DISTINCT doc_id, gram_hash FROM fp0),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS fp
+            FROM fps GROUP BY doc_id),
+hd AS (SELECT gram_hash FROM fps GROUP BY gram_hash
+       HAVING count(*) <= {cap}),
+kept AS (SELECT fps.doc_id, fps.gram_hash FROM fps JOIN hd USING (gram_hash)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b
+    ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {ms}
+)
+SELECT doc_a, doc_b, shared, pa.fp AS fp_a, pb.fp AS fp_b,
+       round(CAST(shared AS DOUBLE) / CAST(least(pa.fp, pb.fp) AS DOUBLE), 6)
+         AS overlap
+FROM pairs
+JOIN per_doc pa ON pa.doc_id = doc_a
+JOIN per_doc pb ON pb.doc_id = doc_b
+"""
+
+
+def test_winnow_pairs_oracle_matches_python_reference(con):
+    k, w, cap, ms = 5, 4, 64, 2
+    winnow = WINNOW_SQL.format(
+        h=BASEHASH.format(x=f"substr(t, i, {k})"), k=k, wm1=w - 1
+    )
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(
+            WINNOW_PAIRS_SQL.format(winnow=winnow, cap=cap, ms=ms)
+        ).fetchall()
+    }
+    texts = con.execute(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    fps = {d: {h for (_, h) in _ref_winnow(t, k, w)} for d, t in texts}
+    from collections import Counter
+
+    freq = Counter(h for s in fps.values() for h in s)
+    kept = {d: {h for h in s if freq[h] <= cap} for d, s in fps.items()}
+    # Spark's round() and DuckDB's round() are HALF_UP; Python's is
+    # banker's — replicate engine rounding via Decimal (the
+    # mmr_diversify driver-side lesson, SCALING.md)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    exp = {}
+    docs = sorted(kept)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            shared = len(kept[a] & kept[b])
+            if shared >= ms:
+                exp[(a, b)] = (
+                    shared, len(fps[a]), len(fps[b]),
+                    _round6(shared / min(len(fps[a]), len(fps[b]))),
+                )
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# rank_metrics oracle: the pooled scoreboard on a literal spine
+# (fixture pairing with a validated top-k chain happens at
+# registration; this pins the metric SQL itself)
+# ---------------------------------------------------------------------------
+
+RANK_METRICS_SQL = """
+WITH ranked(q, i, rk) AS (VALUES {ranked}),
+truth(q, i) AS (VALUES {truth}),
+hits AS (
+  SELECT r.q, CAST(min(r.rk) AS BIGINT) AS first,
+         CAST(count(*) AS BIGINT) AS hits
+  FROM ranked r JOIN truth t ON r.q = t.q AND r.i = t.i
+  WHERE r.rk <= {k}
+  GROUP BY r.q
+),
+per_q AS (
+  SELECT t.q,
+         coalesce(1.0 / CAST(h.first AS DOUBLE), 0.0) AS rr,
+         coalesce(CAST(h.hits AS DOUBLE)
+                  / CAST(n_rel AS DOUBLE), 0.0) AS rec,
+         coalesce(CAST(h.hits AS DOUBLE) / {kf}, 0.0) AS prec,
+         CAST(coalesce(h.hits > 0, FALSE) AS BIGINT) AS hit
+  FROM (SELECT q, CAST(count(*) AS BIGINT) AS n_rel
+        FROM truth GROUP BY q) t
+  LEFT JOIN hits h ON h.q = t.q
+),
+pooled AS (
+  SELECT q,
+         count(*) OVER w AS nq,
+         sum(rr) OVER w AS srr,
+         sum(rec) OVER w AS srec,
+         sum(prec) OVER w AS sprec,
+         sum(hit) OVER w AS shit
+  FROM per_q
+  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(nq AS BIGINT) AS n_queries,
+       round(srr / nq, 6) AS mrr,
+       round(srec / nq, 6) AS recall_at_k,
+       round(sprec / nq, 6) AS precision_at_k,
+       round(CAST(shit AS DOUBLE) / nq, 6) AS hit_rate,
+       {k} AS k
+FROM pooled ORDER BY q DESC LIMIT 1
+"""
+
+
+def test_rank_metrics_oracle_hand_example(con):
+    ranked = (
+        "('q1','x',1),('q1','a',2),('q1','z',3),('q1','b',5),"
+        "('q2','u',1),('q2','v',2),('q2','w',3)"
+    )
+    truth = "('q1','a'),('q1','b'),('q2','c'),('q3','d')"
+    r = con.execute(
+        RANK_METRICS_SQL.format(ranked=ranked, truth=truth, k=3, kf="3.0")
+    ).fetchone()
+    assert r[0] == 3
+    assert r[1] == round((0.5 + 0.0 + 0.0) / 3.0, 6)
+    assert r[2] == round(0.5 / 3.0, 6)
+    assert r[3] == round((1.0 / 3.0) / 3.0, 6)
+    assert r[4] == round(1.0 / 3.0, 6)
