@@ -1322,8 +1322,13 @@ def quantile_binning(
 
     Plan: one rank window over the value (single corpus shuffle),
     the n_bins-row edge spine folded in a broadcast, one grouped
-    count.  Output: n_bins rows (bin, upper_edge, n_rows) — exact
-    integers only, no rounding contract needed."""
+    count.  The spine join is a BroadcastNestedLoopJoin BY CONTRACT
+    (the evt_qte literal-spine class: the broadcast side is exactly
+    n_bins rows, so the loop is n_bins comparisons per input row —
+    bounded by construction; registration needs the matching
+    plan_lint allowlist entry).  Output: n_bins rows (bin,
+    upper_edge, n_rows) — exact integers only, no rounding contract
+    needed."""
     if n_bins < 2:
         raise ValueError("quantile_binning: n_bins must be >= 2")
     base = df.select(F.col(value_col).cast("bigint").alias("_v")).filter(
