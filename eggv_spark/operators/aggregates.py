@@ -3786,3 +3786,70 @@ def partial_corr(
         F.round(ryz, 6).alias("r_yz"),
         F.round(partial, 6).alias("partial_r"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: Sequence[str],
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    multi-item panel (the "do my k model judges measure the same
+    construct" QA, completing the agreement family: cohen_kappa is
+    2-rater categorical, fleiss_kappa is n-rater categorical, alpha
+    is k-item CONTINUOUS/ordinal):
+
+        α = k/(k−1) · (1 − Σ_j var_j / var_total)
+
+    with var_j the sample variance of item j over subjects and
+    var_total the sample variance of per-subject TOTAL scores.
+    Scores must be integer-quantized by the caller (the smd_balance
+    contract).
+
+    Determinism: one keys=[] pass folds Σx_j, Σx_j² (DECIMAL(38,0) —
+    the measured bigint-overflow lesson), Σtot, Σtot², and n as
+    exact integers; the α assembly is one fixed-order float
+    expression, 6dp.  Degenerate inputs (n < 2, zero total variance)
+    yield NULL via try_divide, never a raw /0.
+
+    Output: one row (n_subjects, k_items, sum_item_var, total_var,
+    alpha)."""
+    item_cols = list(item_cols)
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha: need >= 2 item columns")
+    d0 = F.lit(0).cast("decimal(38,0)")
+    cols = [F.col(c).cast("decimal(38,0)") for c in item_cols]
+    tot = sum(cols[1:], cols[0])
+    aggs = [F.count("*").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.coalesce(F.sum(c), d0).alias(f"_s{i}"))
+        aggs.append(F.coalesce(F.sum(c * c), d0).alias(f"_q{i}"))
+    aggs.append(F.coalesce(F.sum(tot), d0).alias("_st"))
+    aggs.append(F.coalesce(F.sum(tot * tot), d0).alias("_qt"))
+    m = df.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def _var(s: str, q: str):
+        return F.try_divide(
+            F.col(q).cast("double")
+            - F.try_divide(
+                F.col(s).cast("double") * F.col(s).cast("double"), n
+            ),
+            n - F.lit(1.0),
+        )
+
+    sum_item_var = _var("_s0", "_q0")
+    for i in range(1, k):
+        sum_item_var = sum_item_var + _var(f"_s{i}", f"_q{i}")
+    total_var = _var("_st", "_qt")
+    alpha = (
+        F.lit(float(k) / (k - 1.0))
+        * (F.lit(1.0) - F.try_divide(sum_item_var, total_var))
+    )
+    return m.select(
+        F.col("_n").alias("n_subjects"),
+        F.lit(k).alias("k_items"),
+        F.round(sum_item_var, 6).alias("sum_item_var"),
+        F.round(total_var, 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )

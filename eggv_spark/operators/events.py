@@ -2463,3 +2463,74 @@ def retention_matrix(
             ).alias("retention"),
         )
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delta_cents: int = 0,
+    lambda_cents: int = 0,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Page–Hinkley drift detector over a daily-aggregated series —
+    the RUNNING-MEAN sibling of :func:`cusum_chart`: CUSUM needs a
+    known target level T, Page–Hinkley self-references (deviation
+    from the series' own expanding mean), which is what a data-quality
+    monitor wants when the "normal" level is not known a priori
+    (e.g. mean document quality score of each incoming shard).
+
+        m_t  = Σ_{i≤t} (x_i − x̄_i − δ)     x̄_i = mean(x_1..x_i)
+        PH_t = m_t − min_{s≤t} m_s          alarm when PH_t > λ
+
+    Determinism: per-day x quantizes to integer cents before any
+    accumulation; x̄_i is a ratio of two exact integers evaluated
+    identically per row; m is an ORDERED prefix sum over the day
+    spine (the logrank fold discipline — one partition per series,
+    never a free-order float aggregate), the running minimum is a
+    window min of those prefixes.  PH reported 6dp.
+
+    Scale: one shuffle to the (keys…, day) grain, then window ops on
+    the day spine — one partition PER SERIES; pass ``keys`` to shard
+    a fleet of independent monitors (per-source, per-pipeline), the
+    unkeyed call is the single-series small-grain form like the
+    other calendar-spine ops.
+
+    Output per (keys…, day): x_cents, ph (6dp), alarm."""
+    keys = list(keys)
+    daily = (
+        df.select(
+            *keys,
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("_cents"),
+        )
+        .groupBy(*keys, "day")
+        .agg(F.sum("_cents").alias("x_cents"))
+    )
+    w = Window.partitionBy(*keys).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = daily.select(
+        *keys,
+        "day",
+        "x_cents",
+        (
+            F.col("x_cents").cast("double")
+            - F.sum("x_cents").over(w).cast("double")
+            / F.count("*").over(w)
+            - F.lit(float(delta_cents))
+        ).alias("_dev"),
+    )
+    with_m = staged.select(
+        *keys, "day", "x_cents", F.sum("_dev").over(w).alias("_m")
+    )
+    return with_m.select(
+        *keys,
+        "day",
+        "x_cents",
+        F.round(F.col("_m") - F.min("_m").over(w), 6).alias("ph"),
+        (
+            F.round(F.col("_m") - F.min("_m").over(w), 6)
+            > F.lit(float(lambda_cents))
+        ).alias("alarm"),
+    )

@@ -367,3 +367,120 @@ def test_retention_matrix_multiple_events_one_period(spark):
     # nine events, one user, one period -> exactly one matrix cell
     assert len(out) == 1
     assert out[0]["n_cohort"] == 1 and out[0]["n_active"] == 1
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley
+# ---------------------------------------------------------------------------
+
+
+def _ph_reference(xs, delta):
+    """Sequential Page-Hinkley over daily cents values."""
+    out = []
+    s = 0.0
+    m = 0.0
+    mmin = float("inf")
+    for i, x in enumerate(xs, start=1):
+        s += x
+        mean = s / i
+        m += x - mean - delta
+        mmin = min(mmin, m)
+        out.append(round(m - mmin, 6))
+    return out
+
+
+def test_page_hinkley_matches_sequential_reference(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import page_hinkley
+
+    # stable level 10.00 for 8 days, then a +3.00 shift
+    vals = [10.0] * 8 + [13.0] * 6
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(
+        page_hinkley(df, delta_cents=50, lambda_cents=400).collect(),
+        key=lambda r: r["day"],
+    )
+    exp = _ph_reference([v * 100 for v in vals], 50)
+    assert [r["ph"] for r in out] == exp
+    # the shift must alarm eventually; the stable prefix must not
+    assert not any(r["alarm"] for r in out[:8])
+    assert any(r["alarm"] for r in out[8:])
+
+
+def test_page_hinkley_keyed_series_are_independent(spark):
+    import datetime as dt
+
+    from eggv_spark.operators.events import page_hinkley
+
+    rows = []
+    for i in range(10):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        rows.append(("steady", ts, 5.0))
+        rows.append(("drift", ts, 5.0 + (3.0 if i >= 5 else 0.0)))
+    df = spark.createDataFrame(rows, "src string, ts timestamp, value double")
+    out = page_hinkley(
+        df, delta_cents=20, lambda_cents=300, keys=["src"]
+    ).collect()
+    steady = [r for r in out if r["src"] == "steady"]
+    drift = [r for r in out if r["src"] == "drift"]
+    assert not any(r["alarm"] for r in steady)
+    assert any(r["alarm"] for r in drift)
+
+
+# ---------------------------------------------------------------------------
+# cronbach_alpha
+# ---------------------------------------------------------------------------
+
+
+def test_cronbach_alpha_hand_example(spark):
+    from eggv_spark.operators.aggregates import cronbach_alpha
+
+    # 4 subjects x 3 items, hand-computed sample variances
+    rows = [(2, 3, 3), (4, 4, 5), (6, 5, 6), (8, 8, 8)]
+    df = spark.createDataFrame(rows, "i1 long, i2 long, i3 long")
+    r = cronbach_alpha(df, ["i1", "i2", "i3"]).collect()[0]
+    import statistics
+
+    v1 = statistics.variance([2, 4, 6, 8])
+    v2 = statistics.variance([3, 4, 5, 8])
+    v3 = statistics.variance([3, 5, 6, 8])
+    vt = statistics.variance([8, 13, 17, 24])
+    exp = (3 / 2) * (1 - (v1 + v2 + v3) / vt)
+    assert r["n_subjects"] == 4 and r["k_items"] == 3
+    assert r["sum_item_var"] == pytest.approx(round(v1 + v2 + v3, 6), abs=1e-6)
+    assert r["total_var"] == pytest.approx(round(vt, 6), abs=1e-6)
+    assert r["alpha"] == pytest.approx(round(exp, 6), abs=1e-6)
+
+
+def test_cronbach_alpha_perfectly_parallel_items(spark):
+    from eggv_spark.operators.aggregates import cronbach_alpha
+
+    # identical items: var_total = k^2 * var_item, alpha = 1 exactly
+    rows = [(v, v) for v in (1, 3, 5, 9)]
+    df = spark.createDataFrame(rows, "i1 long, i2 long")
+    r = cronbach_alpha(df, ["i1", "i2"]).collect()[0]
+    assert r["alpha"] == 1.0
+
+
+def test_cronbach_alpha_degenerate_inputs(spark):
+    from eggv_spark.operators.aggregates import cronbach_alpha
+
+    with pytest.raises(ValueError, match=">= 2 item"):
+        cronbach_alpha(
+            spark.createDataFrame([(1,)], "i1 long"), ["i1"]
+        )
+    # single subject: variances undefined -> NULL alpha, no error
+    one = spark.createDataFrame([(1, 2)], "i1 long, i2 long")
+    r = cronbach_alpha(one, ["i1", "i2"]).collect()[0]
+    assert r["n_subjects"] == 1 and r["alpha"] is None
+    # zero total variance (constant totals): NULL via try_divide
+    const = spark.createDataFrame(
+        [(1, 4), (4, 1), (2, 3)], "i1 long, i2 long"
+    )
+    r2 = cronbach_alpha(const, ["i1", "i2"]).collect()[0]
+    assert r2["total_var"] == 0.0 and r2["alpha"] is None

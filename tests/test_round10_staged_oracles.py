@@ -415,3 +415,109 @@ def test_rank_metrics_oracle_hand_example(con):
     assert r[2] == round(0.5 / 3.0, 6)
     assert r[3] == round((1.0 / 3.0) / 3.0, 6)
     assert r[4] == round(1.0 / 3.0, 6)
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley oracle: ordered-prefix windows over the daily spine
+# ---------------------------------------------------------------------------
+
+PH_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS x_cents
+  FROM events GROUP BY CAST(ts AS DATE)
+), staged AS (
+  SELECT day, x_cents,
+         CAST(x_cents AS DOUBLE)
+           - sum(CAST(x_cents AS DOUBLE)) OVER w / count(*) OVER w
+           - {delta} AS dev
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), m AS (
+  SELECT day, x_cents, sum(dev) OVER w AS m
+  FROM staged
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day, x_cents,
+       round(m - min(m) OVER w, 6) AS ph,
+       round(m - min(m) OVER w, 6) > {lam} AS alarm
+FROM m
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+def test_page_hinkley_oracle_matches_python_reference(con):
+    delta, lam = 50.0, 400.0
+    rows = sorted(
+        con.execute(PH_SQL.format(delta=repr(delta), lam=repr(lam))).fetchall()
+    )
+    xs = [r[1] for r in rows]
+    s = 0.0
+    m = 0.0
+    mmin = float("inf")
+    for i, (r, x) in enumerate(zip(rows, xs), start=1):
+        s += x
+        m += x - s / i - delta
+        mmin = min(mmin, m)
+        assert r[2] == pytest.approx(round(m - mmin, 6), abs=1e-6)
+        assert r[3] == (round(m - mmin, 6) > lam)
+
+
+# ---------------------------------------------------------------------------
+# cronbach_alpha oracle: exact HUGEINT moments, fixed-order assembly
+# ---------------------------------------------------------------------------
+
+ALPHA_SQL = """
+WITH u AS (
+  SELECT CAST(o_custkey % 7 AS BIGINT) AS i1,
+         CAST(o_orderkey % 5 AS BIGINT) AS i2,
+         CAST(round(o_totalprice) % 9 AS BIGINT) AS i3
+  FROM orders
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(i1) AS s1, sum(i1 * i1) AS q1,
+         sum(i2) AS s2, sum(i2 * i2) AS q2,
+         sum(i3) AS s3, sum(i3 * i3) AS q3,
+         sum(i1 + i2 + i3) AS st,
+         sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS qt
+  FROM u
+), v AS (
+  SELECT n,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+         + (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS siv,
+         (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS tv
+  FROM m
+)
+SELECT n AS n_subjects, 3 AS k_items,
+       round(siv, 6) AS sum_item_var,
+       round(tv, 6) AS total_var,
+       round(1.5 * (1.0 - siv / tv), 6) AS alpha
+FROM v
+"""
+
+
+def test_cronbach_oracle_matches_python_reference(con):
+    got = con.execute(ALPHA_SQL).fetchone()
+    rows = con.execute(
+        "SELECT CAST(o_custkey % 7 AS BIGINT),"
+        " CAST(o_orderkey % 5 AS BIGINT),"
+        " CAST(round(o_totalprice) % 9 AS BIGINT) FROM orders"
+    ).fetchall()
+    import statistics
+
+    v = sum(statistics.variance([r[j] for r in rows]) for j in range(3))
+    vt = statistics.variance([sum(r) for r in rows])
+    exp = 1.5 * (1 - v / vt)
+    assert got[0] == len(rows)
+    assert got[2] == pytest.approx(round(v, 6), abs=1e-6)
+    assert got[3] == pytest.approx(round(vt, 6), abs=1e-6)
+    assert got[4] == pytest.approx(round(exp, 6), abs=1e-6)
