@@ -1,0 +1,234 @@
+"""Transactional table format (operators/txnlog.py): atomic commits,
+optimistic concurrency via the os.link version claim, snapshot
+isolation, time travel, transactional MERGE/DELETE, and vacuum with a
+retention floor — the ACID properties the round-8 verdict listed as
+the repo's residual gap #2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from eggv_spark.operators import txnlog as T
+
+
+def _rows(spark, df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, tmp_path, rows, name="t"):
+    table = str(tmp_path / name)
+    df = spark.createDataFrame(rows, "k long, v string")
+    T.create(df, table)
+    return table
+
+
+# ---------------------------------------------------------------------------
+# create / append / read / history
+# ---------------------------------------------------------------------------
+
+
+def test_create_append_read(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    assert T.append(spark.createDataFrame([(3, "c")], "k long, v string"),
+                    table) == 2
+    got = _rows(spark, T.read(spark, table))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    ops = [e["op"] for e in T.history(table)]
+    assert ops == ["create", "append"]
+
+
+def test_create_refuses_existing(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(FileExistsError):
+        T.create(spark.createDataFrame([(9, "z")], "k long, v string"),
+                 table)
+
+
+def test_time_travel_reads_every_version(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    T.append(spark.createDataFrame([(2, "b")], "k long, v string"), table)
+    T.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"),
+                table, based_on=2)
+    assert _rows(spark, T.read(spark, table, version=1)) == [(1, "a")]
+    assert _rows(spark, T.read(spark, table, version=2)) == [
+        (1, "a"), (2, "b")]
+    assert _rows(spark, T.read(spark, table, version=3)) == [(9, "z")]
+    assert _rows(spark, T.read(spark, table)) == [(9, "z")]
+    with pytest.raises(ValueError, match="not in log"):
+        T.read(spark, table, version=7)
+
+
+# ---------------------------------------------------------------------------
+# atomicity: data staged before the log names it
+# ---------------------------------------------------------------------------
+
+
+def test_staged_but_uncommitted_data_is_invisible(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    # simulate a writer that crashed after staging, before the commit
+    T._stage_data(
+        spark.createDataFrame([(99, "ghost")], "k long, v string"),
+        table, 2,
+    )
+    assert _rows(spark, T.read(spark, table)) == [(1, "a")]
+    # and vacuum reclaims the garbage
+    out = T.vacuum(table, keep_versions=1)
+    assert len(out["deleted"]) == 1 and "v2-" in out["deleted"][0]
+    assert _rows(spark, T.read(spark, table)) == [(1, "a")]
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency: the version-claim race
+# ---------------------------------------------------------------------------
+
+
+def test_append_auto_retries_a_lost_race(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    # another writer claims v2 between our read and our commit: simulate
+    # by pre-writing the v2 entry the way a rival commit would
+    rival = spark.createDataFrame([(5, "rival")], "k long, v string")
+    rel = T._stage_data(rival, table, 2)
+    assert T._try_commit(table, 2, {
+        "op": "append", "version": 2, "add": [rel], "remove": [],
+        "schema": "struct<k:bigint,v:string>", "ts_unix": 0,
+    })
+    v = T.append(spark.createDataFrame([(3, "c")], "k long, v string"),
+                 table)
+    assert v == 3  # retried onto the next version, nothing lost
+    assert _rows(spark, T.read(spark, table)) == [
+        (1, "a"), (3, "c"), (5, "rival")]
+
+
+def test_replace_commit_raises_on_stale_base(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    T.append(spark.createDataFrame([(2, "b")], "k long, v string"), table)
+    with pytest.raises(T.ConcurrentWriteError, match="head is v2"):
+        T.overwrite(
+            spark.createDataFrame([(9, "z")], "k long, v string"),
+            table, based_on=1,
+        )
+    # the losing overwrite must not have changed anything
+    assert _rows(spark, T.read(spark, table)) == [(1, "a"), (2, "b")]
+
+
+def test_try_commit_is_exclusive(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    e = {"op": "x", "version": 2, "add": [], "remove": []}
+    assert T._try_commit(table, 2, e) is True
+    assert T._try_commit(table, 2, e) is False  # second claim loses
+
+
+# ---------------------------------------------------------------------------
+# snapshot isolation: a resolved file set is immune to later commits
+# ---------------------------------------------------------------------------
+
+
+def test_reader_snapshot_survives_concurrent_overwrite(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    snapshot = T.read(spark, table)  # resolves the v1 file set NOW
+    T.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"),
+                table, based_on=1)
+    # the overwrite adds new files and removes v1 from the HEAD, but
+    # the already-resolved reader still sees its snapshot
+    assert _rows(spark, snapshot) == [(1, "a"), (2, "b")]
+    assert _rows(spark, T.read(spark, table)) == [(9, "z")]
+
+
+# ---------------------------------------------------------------------------
+# transactional MERGE / DELETE
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_updates_win_survivors_carry(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k long, v string"
+    )
+    v = T.merge_upsert(spark, updates, table, ["k"])
+    assert v == 2
+    assert _rows(spark, T.read(spark, table)) == [
+        (1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # time travel still shows the pre-merge state
+    assert _rows(spark, T.read(spark, table, version=1)) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+
+def test_delete_rows(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    T.delete_rows(spark, table, "k = 2")
+    assert _rows(spark, T.read(spark, table)) == [(1, "a"), (3, "c")]
+
+
+def test_merge_is_idempotent_under_rerun(spark, tmp_path):
+    """Re-running the same MERGE (the backfill re-run case) converges:
+    same final rows, one more version."""
+    table = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    updates = spark.createDataFrame([(2, "B2")], "k long, v string")
+    T.merge_upsert(spark, updates, table, ["k"])
+    T.merge_upsert(spark, updates, table, ["k"])
+    assert _rows(spark, T.read(spark, table)) == [(1, "a"), (2, "B2")]
+    assert len(T.history(table)) == 3
+
+
+# ---------------------------------------------------------------------------
+# vacuum: retention floor + time-travel interaction
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_respects_retention_floor(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    T.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"),
+                table, based_on=1)
+    T.overwrite(spark.createDataFrame([(3, "c")], "k long, v string"),
+                table, based_on=2)
+    out = T.vacuum(table, keep_versions=2)
+    # v1's data (only referenced by version 1) is reclaimed
+    assert len(out["deleted"]) == 1 and "v1-" in out["deleted"][0]
+    # retained versions still read fine
+    assert _rows(spark, T.read(spark, table, version=2)) == [(2, "b")]
+    assert _rows(spark, T.read(spark, table, version=3)) == [(3, "c")]
+    # history metadata survives vacuum even for reclaimed versions
+    assert [e["version"] for e in T.history(table)] == [1, 2, 3]
+
+
+def test_vacuum_keeps_append_chains(spark, tmp_path):
+    """Appended directories are referenced by EVERY later version, so
+    vacuum must never reclaim them while any retained version needs
+    them."""
+    table = _mk(spark, tmp_path, [(1, "a")])
+    T.append(spark.createDataFrame([(2, "b")], "k long, v string"), table)
+    T.append(spark.createDataFrame([(3, "c")], "k long, v string"), table)
+    out = T.vacuum(table, keep_versions=1)
+    assert out["deleted"] == []  # head references all three adds
+    assert _rows(spark, T.read(spark, table)) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+
+# ---------------------------------------------------------------------------
+# log hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_log_entries_are_valid_sorted_json(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    T.append(spark.createDataFrame([(2, "b")], "k long, v string"), table)
+    log_dir = os.path.join(table, "_txn_log")
+    names = sorted(os.listdir(log_dir))
+    assert names == ["00000000001.json", "00000000002.json"]
+    for n in names:
+        e = json.load(open(os.path.join(log_dir, n)))
+        assert set(e) >= {"op", "version", "add", "remove", "schema"}
+    # no temp files left behind
+    assert not [n for n in names if n.startswith("_tmp")]
+
+
+def test_empty_snapshot_after_full_delete_keeps_schema(spark, tmp_path):
+    table = _mk(spark, tmp_path, [(1, "a")])
+    T.delete_rows(spark, table, "k = 1")
+    df = T.read(spark, table)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
