@@ -1,0 +1,562 @@
+"""Baseline JPEG codec, stdlib + numpy only — no PIL/libjpeg.
+
+Retires the "compressed codecs stubbed" residual (round-8 verdict
+gap #3, image half): `multimodal.decode_payload` gains REAL JPEG
+decode next to the existing real PPM/BMP/PNG/GIF paths, so the image
+pipeline covers the dominant web format without any media library.
+
+Scope (honest contract, loud otherwise):
+
+* DECODE: baseline sequential DCT (SOF0), 8-bit, huffman-coded,
+  grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+  markers.  Progressive (SOF2), arithmetic coding, and 12-bit raise
+  ``NotImplementedError`` — `decode_payload`'s documented fallback
+  ladder catches that exactly like the palette-PNG case.
+* ENCODE (:func:`encode_jpeg_baseline`): the test-fixture generator —
+  ITU-T81 Annex K quantization + huffman tables, 4:4:4 or 4:2:0,
+  optional restart interval.  Exists so the decoder is testable
+  round-trip in an environment that cannot produce a JPEG any other
+  way; it is spec-conformant output, not a tuned encoder.
+
+Everything is per-payload CPU work inside the same Arrow
+``mapInPandas`` plumbing as the other codecs — no Spark-side changes,
+no shuffle implications; the 8×8 IDCT is a numpy matrix sandwich
+(two 8×8 GEMMs per block), the entropy loop is Python (fine at the
+metadata/QA scale these feature extractors run at; a production
+100 TB decode farm would swap this one function for libjpeg-turbo
+behind the identical interface).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# ITU-T81 Annex K tables (the "typical" tables virtually every encoder
+# ships) — used by the encoder; the decoder reads tables from the file.
+# --------------------------------------------------------------------------
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# (bits[1..16], values) per Annex K
+DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# 8x8 type-II DCT basis: F = C @ f @ C.T, f = C.T @ F @ C
+_k = np.arange(8)
+_C = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * 0.5
+_C[0, :] *= 1 / np.sqrt(2)
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """(code, length) per value from the T.81 canonical construction."""
+    codes = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return codes
+
+
+def _decode_tree(bits: list[int], values: list[int]):
+    """{(length, code): value} lookup for the decoder."""
+    out = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00
+    un-stuffing; surfaces RST markers and refuses to run past EOI."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.buf):
+                raise ValueError("jpeg: truncated entropy data")
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    # a real marker: pad with zeros (spec behavior at
+                    # segment end) and let the caller see the marker
+                    self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Byte-align and consume one marker (for RSTn)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.buf):
+            if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
+                m = self.buf[self.pos + 1]
+                self.pos += 2
+                return m
+            self.pos += 1
+        raise ValueError("jpeg: expected restart marker")
+
+
+def _huff_decode(br: _BitReader, tree) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        v = tree.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a baseline JPEG to (width, height, [R, G, B] planes)
+    as uint8 arrays (grayscale replicated to 3 planes).
+
+    Raises ``NotImplementedError`` for progressive/arithmetic/12-bit
+    variants (decode_payload's documented fallback ladder) and
+    ``ValueError`` for corrupt data (never a silent garbage raster).
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_trees: dict[int, dict] = {}
+    ac_trees: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("jpeg: no scan data")
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("jpeg: progressive not supported")
+        if marker in (0xC9, 0xCB, 0xCD, 0xCF, 0xC3, 0xC5, 0xC7):
+            raise NotImplementedError("jpeg: non-baseline SOF")
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 1:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                qt[tq] = np.frombuffer(
+                    seg[p:p + 64], dtype=np.uint8
+                ).astype(np.int32)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                tree = _decode_tree(bits, vals)
+                (dc_trees if tc == 0 else ac_trees)[th] = tree
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / ext sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("jpeg: 12-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+            sof = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if sof is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in sof["comps"] if c["id"] == cs)
+                scan.append(
+                    comp | {"td": tables >> 4, "ta": tables & 0x0F}
+                )
+            return _decode_scan(
+                payload, pos + seglen, sof, scan, qt, dc_trees,
+                ac_trees, restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _decode_scan(payload, pos, sof, scan, qt, dc_trees, ac_trees, dri):
+    w, h = sof["w"], sof["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        for c in scan
+    }
+    pred = {c["id"]: 0 for c in scan}
+    br = _BitReader(payload, pos)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            marker = br.align_to_marker()
+            if not (0xD0 <= marker <= 0xD7):
+                raise ValueError("jpeg: bad restart marker")
+            for k in pred:
+                pred[k] = 0
+        my, mx = divmod(m, mcux)
+        for c in scan:
+            q = qt[c["tq"]]
+            dct = dc_trees.get(c["td"])
+            act = ac_trees.get(c["ta"])
+            if dct is None or act is None:
+                raise ValueError("jpeg: missing huffman table")
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    t = _huff_decode(br, dct)
+                    diff = _extend(br.receive(t), t)
+                    pred[c["id"]] += diff
+                    zz = np.zeros(64, dtype=np.int32)
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        zz[k] = _extend(br.receive(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[ZIGZAG] = zz * q
+                    f = block.reshape(8, 8)
+                    px = _C.T @ f @ _C + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample to full resolution and convert
+    full = []
+    for c in scan:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return w, h, [g, g, g]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return w, h, [
+        np.clip(ch.round(), 0, 255).astype(np.uint8) for ch in (r, g, b)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Encoder (test-fixture generator)
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec convention
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(bw, zz, pred, dc_codes, ac_codes):
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max(np.nonzero(zz)[0]) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _fdct_quant(tile: np.ndarray, q_natural: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize (natural-order table), emit zigzag
+    order: zz[k] = round(F/q)[ZIGZAG[k]]."""
+    f = _C @ (tile - 128.0) @ _C.T
+    return np.round(f.reshape(64) / q_natural).astype(np.int32)[ZIGZAG]
+
+
+def _scale_q(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _pad_plane(p: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    h, w = p.shape
+    ph = -(-h // bh) * bh
+    pw = -(-w // bw_) * bw_
+    return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg_baseline(
+    rgb: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a baseline JFIF JPEG with
+    the Annex K tables.  ``subsampling`` is '444' or '420';
+    ``restart_interval`` > 0 emits DRI + RSTn markers."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("encode_jpeg_baseline: subsampling 444 or 420")
+    h, w, _ = rgb.shape
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    sub = subsampling == "420"
+    if sub:
+        # average 2x2 (pad odd dims by edge replication first)
+        yp = _pad_plane(y, 16, 16)
+        cbp = _pad_plane(cb, 16, 16)
+        crp = _pad_plane(cr, 16, 16)
+        cb_s = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr_s = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+        planes = [(yp, 2, 2), (cb_s, 1, 1), (cr_s, 1, 1)]
+        mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+    else:
+        yp = _pad_plane(y, 8, 8)
+        cbp = _pad_plane(cb, 8, 8)
+        crp = _pad_plane(cr, 8, 8)
+        planes = [(yp, 1, 1), (cbp, 1, 1), (crp, 1, 1)]
+        mcux, mcuy = yp.shape[1] // 8, yp.shape[0] // 8
+
+    ql = _scale_q(QUANT_LUMA, quality)
+    qc = _scale_q(QUANT_CHROMA, quality)
+    dc_l = _canonical_codes(*DC_LUMA)
+    dc_c = _canonical_codes(*DC_CHROMA)
+    ac_l = _canonical_codes(*AC_LUMA)
+    ac_c = _canonical_codes(*AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q[z]) for z in ZIGZAG)
+    # SOF0
+    comps = [(1, planes[0][1], planes[0][2], 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+    for cid, ch, cv, tq in comps:
+        out += bytes([cid, (ch << 4) | cv, tq])
+    for tc, th, (bits, vals) in (
+        (0, 0, DC_LUMA), (1, 0, AC_LUMA), (0, 1, DC_CHROMA), (1, 1, AC_CHROMA)
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            pred = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for ci, (plane, ch, cv) in enumerate(planes):
+            q = ql if ci == 0 else qc
+            dc = dc_l if ci == 0 else dc_c
+            ac = ac_l if ci == 0 else ac_c
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    tile = plane[y0:y0 + 8, x0:x0 + 8]
+                    zz = _fdct_quant(tile, q)
+                    pred[ci] = _encode_block(bw, zz, pred[ci], dc, ac)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -33,11 +33,16 @@ modality:
   ``FRAME`` markers and slices raw planar YUV frames (stdlib only);
   :func:`synthesize_y4m_videos` emits genuine Y4M payloads in Column
   exprs, so frame sampling runs with ``fake=False`` end-to-end.
-- compressed codecs (JPEG/MP3/H.264 …): STUBBED — the container has
-  no ffmpeg/PIL/librosa, so ``decode_payload`` raises
-  ``NotImplementedError`` unless ``fake=True``, which produces a
-  deterministic md5-derived feature vector with the same shape a
-  real decoder would emit.
+- **baseline JPEG: REAL** — :func:`decode_jpeg_features` drives
+  ``operators/jpegcodec.py`` (marker parse, huffman entropy decode,
+  dequantize, 8×8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsample, restart
+  markers; stdlib + numpy, no PIL/libjpeg), with a spec-conformant
+  Annex-K encoder for round-trip tests.
+- remaining compressed codecs (progressive JPEG, MP3/H.264 …):
+  STUBBED — the container has no ffmpeg/PIL/librosa, so
+  ``decode_payload`` raises ``NotImplementedError`` unless
+  ``fake=True``, which produces a deterministic md5-derived feature
+  vector with the same shape a real decoder would emit.
 """
 
 from __future__ import annotations
@@ -593,9 +598,11 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     (``GIF87a``/``GIF89a``) via :func:`decode_gif` (full
     variable-width LZW); likewise WAV (``RIFF``) via
     :func:`decode_wav` and Y4M video (``YUV4MPEG2``) via
-    :func:`decode_y4m`.  The remaining compressed formats
-    (JPEG/MP3/H.264 classes) need PIL/librosa/ffmpeg, which this
-    environment does not ship:
+    :func:`decode_y4m`; baseline JPEG (``FF D8``) via
+    :func:`decode_jpeg_features` (operators/jpegcodec.py — huffman +
+    IDCT, stdlib + numpy).  The remaining compressed formats
+    (progressive JPEG, MP3/H.264 classes) need PIL/librosa/ffmpeg,
+    which this environment does not ship:
     ``fake=True`` derives a deterministic FEATURE_DIM-float vector
     from the md5 digest — shape-compatible with a real embedding so
     the distributed plumbing is exercised end-to-end.
@@ -623,6 +630,12 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         try:
             return decode_gif(payload)
+        except NotImplementedError:
+            if not fake:
+                raise
+    elif payload[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg_features(payload)
         except NotImplementedError:
             if not fake:
                 raise
@@ -1829,3 +1842,29 @@ def audio_fingerprint(
         .select("asset_id", "payload")
         .mapInPandas(_fp, "asset_id long, fingerprint long")
     )
+
+
+def decode_jpeg_features(payload: bytes) -> list[float]:
+    """REAL baseline-JPEG decode (operators/jpegcodec.py: huffman +
+    dequantize + IDCT + chroma upsample, stdlib + numpy — no
+    PIL/libjpeg) — the fifth real image container and the second
+    entropy-coded one, retiring the "compressed codecs stubbed"
+    residual for images.  Emits the shared FEATURE_DIM stat layout
+    ``[width, height, 255, mean_r, mean_g, mean_b, max_px, min_px]``.
+
+    Progressive/arithmetic/12-bit variants raise
+    ``NotImplementedError`` and take :func:`decode_payload`'s
+    documented fake fallback, exactly like palette PNG."""
+    from eggv_spark.operators.jpegcodec import decode_jpeg
+
+    w, h, (r, g, b) = decode_jpeg(payload)
+    return [
+        float(w),
+        float(h),
+        255.0,
+        float(r.mean()),
+        float(g.mean()),
+        float(b.mean()),
+        float(max(int(r.max()), int(g.max()), int(b.max()))),
+        float(min(int(r.min()), int(g.min()), int(b.min()))),
+    ]

@@ -1,0 +1,192 @@
+"""Baseline JPEG codec (operators/jpegcodec.py): huffman entropy
+round trips, IDCT/FDCT inversion, chroma subsampling, restart
+markers, and the decode_payload integration that retires the
+"compressed image codecs stubbed" residual (round-8 verdict gap #3,
+image half).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from eggv_spark.operators.jpegcodec import (
+    _canonical_codes,
+    _decode_tree,
+    _extend,
+    AC_LUMA,
+    DC_LUMA,
+    decode_jpeg,
+    encode_jpeg_baseline,
+)
+from eggv_spark.operators.multimodal import decode_jpeg_features, decode_payload
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 5 % 256), (yy * 7 % 256), ((xx + yy) * 3 % 256)], axis=2
+    ).astype(np.uint8)
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        128 + 100 * np.sin(xx / 10) * np.cos(yy / 12),
+        128 + 80 * np.cos(xx / 14),
+        128 + 60 * np.sin(yy / 9),
+    ], axis=2).clip(0, 255).astype(np.uint8)
+
+
+def _mean_abs_err(img, chans):
+    return float(np.mean([
+        np.abs(c.astype(int) - img[:, :, i].astype(int)).mean()
+        for i, c in enumerate(chans)
+    ]))
+
+
+# ---------------------------------------------------------------------------
+# huffman plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_codes_match_decode_tree():
+    for table in (DC_LUMA, AC_LUMA):
+        enc = _canonical_codes(*table)
+        dec = _decode_tree(*table)
+        for value, (code, length) in enc.items():
+            assert dec[(length, code)] == value
+        # prefix-free: no code is a prefix of another
+        codes = sorted(
+            (length, code) for code, length in enc.values()
+        )
+        strings = [format(c, f"0{ln}b") for ln, c in codes]
+        for i, s in enumerate(strings):
+            for t in strings[i + 1:]:
+                assert not t.startswith(s)
+
+
+def test_extend_is_t81_signed_mapping():
+    # category 3 covers -7..-4 and 4..7
+    assert _extend(0b100, 3) == 4 and _extend(0b111, 3) == 7
+    assert _extend(0b011, 3) == -4 and _extend(0b000, 3) == -7
+    assert _extend(0, 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+def test_flat_image_is_lossless():
+    img = np.full((16, 24, 3), 128, dtype=np.uint8)
+    w, h, chans = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    assert (w, h) == (24, 16)
+    for c in chans:
+        assert np.abs(c.astype(int) - 128).max() == 0
+
+
+def test_gradient_roundtrip_444():
+    img = _gradient(32, 48)
+    w, h, chans = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    assert (w, h) == (48, 32)
+    assert _mean_abs_err(img, chans) < 2.0
+
+
+def test_smooth_roundtrip_tight():
+    img = _smooth(40, 56)
+    _, _, chans = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    assert _mean_abs_err(img, chans) < 1.0
+
+
+def test_roundtrip_420_subsampling():
+    img = _smooth(32, 48)
+    w, h, chans = decode_jpeg(
+        encode_jpeg_baseline(img, quality=90, subsampling="420")
+    )
+    assert (w, h) == (48, 32)
+    assert _mean_abs_err(img, chans) < 3.0
+
+
+def test_roundtrip_with_restart_markers():
+    img = _gradient(32, 48)
+    buf = encode_jpeg_baseline(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in buf  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in buf for i in range(8))
+    _, _, chans = decode_jpeg(buf)
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=90))[2]
+    for a, b in zip(chans, base):
+        assert np.array_equal(a, b)  # restarts change framing, not pixels
+
+
+def test_non_multiple_of_8_dimensions():
+    img = _smooth(19, 37)  # forces edge padding both ways
+    w, h, chans = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    assert (w, h) == (37, 19)
+    assert chans[0].shape == (19, 37)
+    assert _mean_abs_err(img, chans) < 1.5
+
+
+def test_quality_monotonicity():
+    img = _smooth(32, 32)
+    errs = []
+    sizes = []
+    for q in (95, 75, 40):
+        buf = encode_jpeg_baseline(img, quality=q)
+        sizes.append(len(buf))
+        errs.append(_mean_abs_err(img, decode_jpeg(buf)[2]))
+    assert errs[0] < errs[1] < errs[2]
+    assert sizes[0] > sizes[2]
+
+
+# ---------------------------------------------------------------------------
+# error contracts
+# ---------------------------------------------------------------------------
+
+
+def test_corrupt_payloads_raise_value_error():
+    img = _gradient(16, 16)
+    buf = encode_jpeg_baseline(img, quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + buf[2:])  # missing SOI
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[:40])  # truncated mid-header
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[:-20])  # truncated entropy data
+
+
+def test_progressive_raises_not_implemented():
+    img = _gradient(16, 16)
+    buf = bytearray(encode_jpeg_baseline(img, quality=90))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# decode_payload integration (the stub-retirement surface)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_payload_routes_jpeg_for_real():
+    img = _gradient(16, 16)
+    buf = encode_jpeg_baseline(img, quality=95)
+    feats = decode_payload(buf, "image", fake=False)  # no fallback needed
+    assert feats == decode_jpeg_features(buf)
+    assert feats[0] == 16.0 and feats[1] == 16.0 and feats[2] == 255.0
+    exp_means = [img[:, :, c].mean() for c in range(3)]
+    for got, exp in zip(feats[3:6], exp_means):
+        assert abs(got - exp) < 2.0
+    assert 0.0 <= feats[7] <= feats[6] <= 255.0
+
+
+def test_decode_payload_progressive_falls_back_like_palette_png():
+    img = _gradient(16, 16)
+    buf = bytearray(encode_jpeg_baseline(img, quality=90))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_payload(bytes(buf), "image", fake=False)
+    faked = decode_payload(bytes(buf), "image", fake=True)
+    assert len(faked) == 8  # FEATURE_DIM stand-in, documented ladder
