@@ -33,6 +33,11 @@ modality:
   ``FRAME`` markers and slices raw planar YUV frames (stdlib only);
   :func:`synthesize_y4m_videos` emits genuine Y4M payloads in Column
   exprs, so frame sampling runs with ``fake=False`` end-to-end.
+- **FLAC audio: REAL** — :func:`decode_flac_features` drives
+  ``operators/flaccodec.py`` (rice residuals, FIXED + LPC
+  predictors, left/right/mid-side decorrelation, CRC-8/16 verified;
+  stdlib only) with a spec-conformant FIXED-predictor encoder for
+  LOSSLESS round-trip tests — compressed audio without librosa.
 - **baseline JPEG: REAL** — :func:`decode_jpeg_features` drives
   ``operators/jpegcodec.py`` (marker parse, huffman entropy decode,
   dequantize, 8×8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsample, restart
@@ -641,6 +646,12 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
                 raise
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)
+    if payload.startswith(b"fLaC"):
+        try:
+            return decode_flac_features(payload)
+        except NotImplementedError:
+            if not fake:
+                raise
     if payload.startswith(b"YUV4MPEG2"):
         w, h, fps_num, fps_den, frames = decode_y4m(payload)
         plane = w * h
@@ -1867,4 +1878,32 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
         float(b.mean()),
         float(max(int(r.max()), int(g.max()), int(b.max()))),
         float(min(int(r.min()), int(g.min()), int(b.min()))),
+    ]
+
+
+def decode_flac_features(payload: bytes) -> list[float]:
+    """REAL FLAC decode (operators/flaccodec.py: rice residuals,
+    FIXED + LPC predictors, stereo decorrelation, CRC-verified —
+    stdlib only, no libFLAC) — the first COMPRESSED audio format
+    next to the WAV path, and because FLAC is lossless the feature
+    row is bit-identical to the same audio's WAV row by construction.
+    Emits decode_wav's FEATURE_DIM stat layout: ``[n_channels,
+    sample_rate, sample_width_bits, n_frames, mean, rms, peak,
+    zero_crossings]`` (stats over the interleaved sample stream,
+    matching decode_wav exactly)."""
+    import math
+
+    from eggv_spark.operators.flaccodec import decode_flac
+
+    n_ch, rate, bps, channels = decode_flac(payload)
+    n_frames = len(channels[0])
+    vals = [channels[c][i] for i in range(n_frames) for c in range(n_ch)]
+    n = len(vals) or 1
+    mean = sum(vals) / n
+    rms = math.sqrt(sum(v * v for v in vals) / n)
+    peak = float(max(abs(v) for v in vals)) if vals else 0.0
+    zc = sum(1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0))
+    return [
+        float(n_ch), float(rate), float(bps), float(n_frames),
+        mean, rms, peak, float(zc),
     ]
