@@ -5584,15 +5584,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_reference_parity.py and scripts/check_correctness.py
     which runs ALL entries locally at two scales.
 
-    Round-9 window (the first 50 of the returned dict — see the
-    ``_r9_window`` list at the bottom of this function): the entire
+    Round-10 window (the first 50 of the returned dict — see the
+    ``_r10_window`` list at the bottom of this function): round 9 ran
+    50/50 green with zero flags, so per the rotation doctrine the
+    window is the 11 last never-driver-verified entries (waves 22-26,
+    ``graph_path_stats`` … ``fe_rare_category_collapse``) — a green
+    round 10 closes CUMULATIVE driver coverage at 445/445 — followed
+    by 39 r01-block §2 parity pads, oldest-first (their only driver
+    rows date to round 1).  The registry stays FROZEN at 445 through
+    round 10 (round-9 verdict item 2); the staged operators'
+    registration recipe for round 11 is in ROUND10_QUEUE.md /
+    ROUND11_QUEUE.md.
+
+    Round-9 window (verified 50/50 green in CORRECTNESS_r09.json):
+    the entire
     never-driver-verified backlog, i.e. the round-8 waves 11-21 that
     registered behind the full round-8 window, in oldest-wave-first
     order (``sim_kcenter_coreset`` … ``composite_ann_health``), per
-    the round-8 verdict.  The registry is FROZEN at 445 this round;
-    waves 22-26's 11 remaining never-driver-verified entries plus the
-    displaced r01-block pads lead the round-10 queue
-    (ROUND9_QUEUE.md / ROUND10_QUEUE.md).
+    the round-8 verdict.  The registry was FROZEN at 445 that round.
 
     Round-8 window (verified 50/50 green in CORRECTNESS_r08.json):
     the THIRTEEN
@@ -6328,83 +6337,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_vector_quality_audit": _sim_vector_quality_audit,
         "fe_rare_category_collapse": _fe_rare_category_collapse,
     }
-    # --- round-9 verification window (the first 50 of the returned
-    # dict): the ENTIRE round-9 window is the never-driver-verified
-    # backlog — the round-8 waves 11-21 that registered BEHIND the
-    # (already full) round-8 window, oldest wave first, exactly as
-    # the round-8 verdict ordered ("spend the entire round-9 driver
-    # window on the 61-entry verification backlog; register nothing
-    # new ahead of it").  Waves 11-21 are 50 entries, filling the
-    # window exactly; waves 22-26's remaining 11 entries plus the
-    # displaced r01-block pads lead the round-10 queue.  The registry
-    # is FROZEN at 445 for round 9 (verdict item 2).  Every one of
-    # these entries is dual-scale oracle-green locally
-    # (CORRECTNESS_LOCAL_r08.json) — this window gives them their
-    # first hard-gate driver rows. ---
-    _r9_window = [
-        # wave 11 (tests/test_round9j_staged.py)
-        "sim_kcenter_coreset",
-        "txt_textrank",
-        "tbl_bloom_probe",
-        "evt_sprt",
-        "evt_ips_value",
-        # wave 12 (tests/test_round9k_staged.py)
-        "gbrt_stumps",
-        "graph_ppr",
-        "agg_deming",
-        "smp_group_kfold",
-        "mm_image_neardup",
-        # wave 13 (tests/test_round9l_staged.py)
-        "evt_event_study",
-        "evt_ar1_halflife",
-        "mm_audio_fingerprint",
-        "composite_contrastive_pairs",
-        "tbl_zonemap_skip",
-        # wave 14 (tests/test_round9m_staged.py)
-        "ddp_minhash_eval",
-        "smp_raking_weights",
-        "txt_instruction_score",
-        # wave 15 (tests/test_round9n_staged.py)
-        "perceptron_fit",
-        "agg_kendall_tau",
-        "evt_cusum",
-        "graph_harmonic",
-        "tbl_vacuum_plan",
-        # wave 16 (tests/test_round9o_staged.py)
-        "evt_nelson_aalen",
-        "graph_assortativity",
-        "agg_cochran_armitage",
-        "tbl_file_overlap_depth",
-        "sim_filtered_ivf_topk",
-        # wave 17 (tests/test_round9p_staged.py)
-        "evt_logrank",
-        "composite_dedup_funnel",
-        "sim_ivf_cell_stats",
-        "agg_fleiss_kappa",
-        # wave 18 (tests/test_round9q_staged.py)
-        "agg_cmh_test",
-        "graph_reciprocity",
-        "graph_local_clustering",
-        "sim_pq_distortion",
-        "evt_qini_curve",
-        # wave 19 (tests/test_round9r_staged.py)
-        "ddp_lsh_band_stats",
-        "agg_g_test",
-        "agg_smd_balance",
-        "agg_wilson_ci",
-        "evt_seasonal_naive_error",
-        # wave 20 (tests/test_round9s_staged.py)
-        "graph_scc",
-        "agg_mh_odds_ratio",
-        "fe_woe_encoding",
-        "stream_cusum",
-        # wave 21 (tests/test_round9t_staged.py)
-        "txt_dup_sentence_filter",
-        "agg_partial_corr",
-        "evt_peaks",
-        "composite_ann_health",
+    # --- round-10 verification window (the first 50 of the returned
+    # dict), per the round-9 verdict item 1 / ROUND10_QUEUE.md: the
+    # round-9 driver run was 50/50 green (zero flags), so the window
+    # is (a) the 11 remaining never-driver-verified entries — waves
+    # 22-26, oldest wave first — which closes CUMULATIVE driver
+    # coverage at 445/445, then (b) the displaced r01-block §2 parity
+    # pads, oldest-first (no driver row since r01, four rounds of
+    # displacement), filling the remaining 39 slots.  The registry
+    # stays FROZEN at 445 through round 10 (verdict item 2); the
+    # staged round-9/10 operators register in round 11 per the
+    # mechanical recipe in ROUND10_QUEUE.md / ROUND11_QUEUE.md.
+    # Every window entry is dual-scale oracle-green locally
+    # (CORRECTNESS_LOCAL_r09.json). ---
+    _r10_window = [
+        # (a) waves 22-26 — the last never-driver-verified entries
+        # wave 22 (tests/test_round9u_staged.py)
+        "graph_path_stats",
+        "ddp_dedup_savings",
+        "evt_growth_accounting",
+        # wave 23 (tests/test_round9v_staged.py)
+        "sim_rrf_fusion",
+        "evt_dow_anomaly",
+        "txt_hash_collision_audit",
+        # wave 24 (tests/test_round9w_staged.py)
+        "stream_growth_states",
+        # wave 25 (tests/test_round9x_staged.py; evt_qte carries the
+        # round-9 advice fix — integer-rational rank selection — and
+        # the round-10 bounded-rational hardening)
+        "evt_qte",
+        "composite_quality_vs_dup",
+        # wave 26 (tests/test_round9y_staged.py)
+        "sim_vector_quality_audit",
+        "fe_rare_category_collapse",
+        # (b) r01-block §2 parity pads, oldest-first rotation
+        "composite_shipping_priority",
+        "src_scan",
+        "prj_projection",
+        "prj_rename_cast",
+        "str_prefix_concat",
+        "str_regexp_extract",
+        "str_strip_cast",
+        "str_json_field",
+        "str_attr_map",
+        "dt_date_parts",
+        "arr_vector_stats",
+        "agg_percentiles",
+        "agg_pivot",
+        "str_concat_ws",
+        "str_split_get",
+        "exp_explode",
+        "nul_fill",
+        "nul_drop",
+        "flt_eq",
+        "flt_isin",
+        "flt_neg_notnull",
+        "join_left_broadcast",
+        "join_semi",
+        "join_anti",
+        "rng_range_join",
+        "join_asof",
+        "set_union_distinct",
+        "set_intersect",
+        "set_except",
+        "srt_global_topk",
+        "agg_rollup",
+        "agg_cube",
+        "agg_grouping_sets",
+        "agg_distinct_counts",
+        "win_lag_lead",
+        "win_running_sum",
+        "win_moving_avg",
+        "ddp_dedup_all",
+        "ddp_dedup_keys",
     ]
-    out = {k: reg[k] for k in _r9_window}
+    out = {k: reg[k] for k in _r10_window}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 

@@ -3811,6 +3811,14 @@ def cronbach_alpha(
     expression, 6dp.  Degenerate inputs (n < 2, zero total variance)
     yield NULL via try_divide, never a raw /0.
 
+    NULL items are REFUSED in-plan (round-9 advice, the fleiss_kappa
+    ragged-panel pattern): F.sum would skip a row's NULL for that
+    item's Σx/Σx² while the row total goes NULL and drops the whole
+    row from Σtot/Σtot² — item and total variances over DIFFERENT
+    effective populations, a silently biased α.  The caller decides
+    whether to drop or impute incomplete subjects; this operator
+    will not decide silently.
+
     Output: one row (n_subjects, k_items, sum_item_var, total_var,
     alpha)."""
     item_cols = list(item_cols)
@@ -3820,13 +3828,39 @@ def cronbach_alpha(
     d0 = F.lit(0).cast("decimal(38,0)")
     cols = [F.col(c).cast("decimal(38,0)") for c in item_cols]
     tot = sum(cols[1:], cols[0])
-    aggs = [F.count("*").alias("_n")]
+    any_null = F.col(item_cols[0]).isNull()
+    for c in item_cols[1:]:
+        any_null = any_null | F.col(c).isNull()
+    aggs = [
+        F.count("*").alias("_n"),
+        F.coalesce(
+            F.sum(F.when(any_null, 1).otherwise(0)), F.lit(0)
+        ).alias("_n_null"),
+    ]
     for i, c in enumerate(cols):
         aggs.append(F.coalesce(F.sum(c), d0).alias(f"_s{i}"))
         aggs.append(F.coalesce(F.sum(c * c), d0).alias(f"_q{i}"))
     aggs.append(F.coalesce(F.sum(tot), d0).alias("_st"))
     aggs.append(F.coalesce(F.sum(tot * tot), d0).alias("_qt"))
     m = df.agg(*aggs)
+    # raise-on-dirty-input, evaluated in-plan on the 1-row aggregate
+    m = m.select(
+        F.when(
+            F.col("_n_null") == 0, F.col("_n")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cronbach_alpha: "),
+                    F.col("_n_null").cast("string"),
+                    F.lit(
+                        " subject row(s) have NULL item values; drop"
+                        " or impute incomplete subjects first"
+                    ),
+                )
+            )
+        ).alias("_n"),
+        *[c for c in m.columns if c != "_n"],
+    )
     n = F.col("_n").cast("double")
 
     def _var(s: str, q: str):

@@ -2354,7 +2354,11 @@ def quantile_treatment_effects(
     ``(rn−1)·den < num·n ≤ rn·den`` — equivalent to
     rn = ceil(num·n/den) with no floating product, so a p·n that
     would round just above an exact integer in IEEE doubles cannot
-    shift the picked rank off the type-1 definition.
+    shift the picked rank off the type-1 definition.  The products
+    are computed in DECIMAL(38,0) and p is refused loudly when its
+    rational denominator exceeds 1e6 (round-9 advice: a float
+    artifact like 1/3 carries a ~1e16 denominator whose bigint
+    product would silently wrap under non-ANSI Spark).
 
     Plan: one rank window per arm (partitionBy treated), one
     broadcast of the tiny p-spine, position equi-join — no
@@ -2379,24 +2383,40 @@ def quantile_treatment_effects(
     )
     from fractions import Fraction
 
-    spine = base.sparkSession.createDataFrame(
-        [
-            (
-                float(p),
-                int(Fraction(str(float(p))).numerator),
-                int(Fraction(str(float(p))).denominator),
+    # Round-9 advice fix: a p whose decimal expansion is long (or a
+    # float artifact like 1/3 → 0.3333333333333333) yields a ~1e16
+    # denominator, and num·n / rn·den then silently wrap bigint under
+    # non-ANSI Spark for n beyond a few thousand.  Two guards:
+    # (1) refuse huge rationals loudly — every sane quantile spec
+    #     (0.25, 0.5, 0.999, …) has den ≤ 1e6, and a p that does not
+    #     is almost certainly a float-repr accident the caller should
+    #     state exactly; (2) do the rank comparison in DECIMAL(38,0)
+    #     so even den=1e6 × n~1e13-row arms cannot overflow in-plan.
+    fracs = []
+    for p in quantiles:
+        fr = Fraction(str(float(p)))
+        if fr.denominator > 10**6:
+            raise ValueError(
+                f"quantile p={p!r} has rational denominator "
+                f"{fr.denominator} > 1e6; pass p as an exact decimal "
+                "(e.g. 0.333333 rather than 1/3) — huge denominators "
+                "risk 64-bit overflow in the rank-selection product"
             )
-            for p in quantiles
-        ],
-        "p double, p_num bigint, p_den bigint",
+        fracs.append((float(p), int(fr.numerator), int(fr.denominator)))
+    spine = base.sparkSession.createDataFrame(
+        fracs, "p double, p_num bigint, p_den bigint"
     )
+    dec = "decimal(38,0)"
     picked = ranked.join(
         F.broadcast(spine),
         (
-            (ranked["_rn"] - F.lit(1)) * F.col("p_den")
-            < F.col("p_num") * ranked["_n"]
+            (ranked["_rn"] - F.lit(1)).cast(dec) * F.col("p_den").cast(dec)
+            < F.col("p_num").cast(dec) * ranked["_n"].cast(dec)
         )
-        & (F.col("p_num") * ranked["_n"] <= ranked["_rn"] * F.col("p_den")),
+        & (
+            F.col("p_num").cast(dec) * ranked["_n"].cast(dec)
+            <= ranked["_rn"].cast(dec) * F.col("p_den").cast(dec)
+        ),
     )
     per_arm = picked.groupBy("p").agg(
         F.max(F.when(F.col("_t"), F.col("_v"))).alias("q_treated"),

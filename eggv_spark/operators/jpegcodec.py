@@ -295,6 +295,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             if sof is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(sof["comps"]):
+                # A baseline image may legally carry one scan PER
+                # component (non-interleaved); decoding such a scan
+                # with the component's sampling factors as MCU
+                # geometry yields a silently wrong raster (round-9
+                # advice).  Refuse loudly — decode_payload's fallback
+                # ladder degrades this to fake features, same as
+                # progressive.
+                raise NotImplementedError(
+                    "jpeg: non-interleaved scans "
+                    f"(SOS has {ns} of {len(sof['comps'])} components)"
+                )
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -477,10 +489,10 @@ def encode_jpeg_baseline(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 array as a baseline JFIF JPEG with
-    the Annex K tables.  ``subsampling`` is '444' or '420';
+    the Annex K tables.  ``subsampling`` is '444', '422', or '420';
     ``restart_interval`` > 0 emits DRI + RSTn markers."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("encode_jpeg_baseline: subsampling 444 or 420")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("encode_jpeg_baseline: subsampling 444/422/420")
     h, w, _ = rgb.shape
     r = rgb[:, :, 0].astype(np.float64)
     g = rgb[:, :, 1].astype(np.float64)
@@ -488,8 +500,7 @@ def encode_jpeg_baseline(
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    sub = subsampling == "420"
-    if sub:
+    if subsampling == "420":
         # average 2x2 (pad odd dims by edge replication first)
         yp = _pad_plane(y, 16, 16)
         cbp = _pad_plane(cb, 16, 16)
@@ -498,6 +509,16 @@ def encode_jpeg_baseline(
         cr_s = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
         planes = [(yp, 2, 2), (cb_s, 1, 1), (cr_s, 1, 1)]
         mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+    elif subsampling == "422":
+        # halve chroma horizontally only: MCU is 16 wide x 8 tall
+        # (luma h=2 v=1) — the round-9 advice's untested decode path
+        yp = _pad_plane(y, 8, 16)
+        cbp = _pad_plane(cb, 8, 16)
+        crp = _pad_plane(cr, 8, 16)
+        cb_s = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(2)
+        cr_s = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(2)
+        planes = [(yp, 2, 1), (cb_s, 1, 1), (cr_s, 1, 1)]
+        mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 8
     else:
         yp = _pad_plane(y, 8, 8)
         cbp = _pad_plane(cb, 8, 8)

@@ -292,7 +292,25 @@ def delete_rows(
     )
 
 
-def vacuum(table: str, keep_versions: int = 2) -> dict[str, list[str]]:
+def _newest_mtime(path: str) -> float:
+    """Newest mtime under ``path`` (the directory itself included) —
+    a staged-but-uncommitted parquet write keeps touching files, so
+    this is the liveness signal the retention window gates on."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except FileNotFoundError:
+                continue  # concurrent writer renamed a temp file mid-walk
+    return newest
+
+
+def vacuum(
+    table: str,
+    keep_versions: int = 2,
+    retention_seconds: float = 7 * 24 * 3600.0,
+) -> dict[str, list[str]]:
     """Delete data directories no RETAINED version references.
 
     Retains the last ``keep_versions`` snapshots (time travel floor);
@@ -300,7 +318,25 @@ def vacuum(table: str, keep_versions: int = 2) -> dict[str, list[str]]:
     staging garbage — is removed.  Log entries stay (history is
     metadata-cheap); only their data becomes unreadable, and
     ``snapshot_files`` on a vacuumed version raises at read time via
-    the missing files.  Returns {"deleted": [...], "retained": [...]}."""
+    the missing files.
+
+    Concurrency (round-9 advice fix): an unreferenced directory is NOT
+    proof of garbage — ``_stage_data`` writes files BEFORE the log
+    names them, and a commit can land between this function computing
+    the needed-set and the delete loop.  Two guards close the race,
+    the same way Delta's VACUUM does:
+
+    * **retention window** — a directory whose newest mtime is within
+      ``retention_seconds`` of now is skipped (reported under
+      ``"skipped_recent"``): it may be an in-flight writer's staged
+      data.  The 7-day default matches Delta; pass ``0`` ONLY when all
+      writers are quiesced (the tests do, single-process).
+    * **log re-list** — versions are re-listed immediately before
+      deleting, and directories added by any commit that landed after
+      the needed-set was computed are treated as needed.
+
+    Returns {"deleted": [...], "retained": [...], "skipped_recent": [...]}.
+    """
     versions = _list_versions(table)
     if keep_versions < 1:
         raise ValueError("vacuum: keep_versions must be >= 1")
@@ -309,17 +345,27 @@ def vacuum(table: str, keep_versions: int = 2) -> dict[str, list[str]]:
     for v in keep:
         for p in snapshot_files(table, v):
             needed.add(os.path.relpath(p, table))
+    # Close the compute→delete window: any version that landed since
+    # the first listing references directories staged mid-vacuum.
+    for v in _list_versions(table):
+        if v not in versions:
+            needed.update(_read_entry(table, v).get("add", []))
     data_root = os.path.join(table, _DATA_DIR)
-    deleted, retained = [], []
+    now = time.time()
+    deleted, retained, skipped = [], [], []
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         rel = os.path.join(_DATA_DIR, d)
         if rel in needed:
             retained.append(rel)
             continue
         full = os.path.join(data_root, d)
+        if now - _newest_mtime(full) < retention_seconds:
+            skipped.append(rel)  # possibly an in-flight writer's staging
+            continue
         for root, _dirs, files in os.walk(full, topdown=False):
             for fn in files:
                 os.unlink(os.path.join(root, fn))
             os.rmdir(root)
         deleted.append(rel)
-    return {"deleted": deleted, "retained": retained}
+    return {"deleted": deleted, "retained": retained,
+            "skipped_recent": skipped}

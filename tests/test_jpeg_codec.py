@@ -108,6 +108,45 @@ def test_roundtrip_420_subsampling():
     assert _mean_abs_err(img, chans) < 3.0
 
 
+def test_roundtrip_422_subsampling():
+    """4:2:2 (chroma halved horizontally only) — the decode path the
+    round-9 advice flagged as fixture-untested.  MCU geometry is
+    16x8, distinct from both 444 (8x8) and 420 (16x16)."""
+    img = _smooth(32, 48)
+    w, h, chans = decode_jpeg(
+        encode_jpeg_baseline(img, quality=90, subsampling="422")
+    )
+    assert (w, h) == (48, 32)
+    assert _mean_abs_err(img, chans) < 3.0
+
+
+def test_422_preserves_vertical_chroma_detail():
+    """Row-striped chroma (constant luma) survives 4:2:2 — which only
+    averages horizontally — but is destroyed by 4:2:0's vertical
+    averaging; this pins the h=2,v=1 sampling factors actually doing
+    what they claim, not silently decoding as 420."""
+    h, w = 32, 48
+    yy = np.mgrid[0:h, 0:w][0]
+    stripe = (yy % 2) * 120 + 60  # alternate rows, chroma-only signal
+    img = np.stack([stripe, np.full((h, w), 128), 255 - stripe],
+                   axis=2).astype(np.uint8)
+    err_422 = _mean_abs_err(img, decode_jpeg(
+        encode_jpeg_baseline(img, quality=95, subsampling="422"))[2])
+    err_420 = _mean_abs_err(img, decode_jpeg(
+        encode_jpeg_baseline(img, quality=95, subsampling="420"))[2])
+    assert err_422 < err_420 * 0.5
+
+
+def test_422_non_multiple_of_16_width():
+    img = _smooth(19, 37)  # pads to 24x48 at 8x16 MCU grain
+    w, h, chans = decode_jpeg(
+        encode_jpeg_baseline(img, quality=95, subsampling="422")
+    )
+    assert (w, h) == (37, 19)
+    assert chans[0].shape == (19, 37)
+    assert _mean_abs_err(img, chans) < 2.5
+
+
 def test_roundtrip_with_restart_markers():
     img = _gradient(32, 48)
     buf = encode_jpeg_baseline(img, quality=90, restart_interval=2)
@@ -162,6 +201,31 @@ def test_progressive_raises_not_implemented():
     buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(bytes(buf))
+
+
+def test_non_interleaved_scan_raises_not_implemented():
+    """A baseline JPEG may carry one scan PER component; decoding the
+    first single-component scan as if interleaved silently returned a
+    wrong grayscale raster before the round-9 advice fix.  Rewrite a
+    valid 3-component SOS header to declare ns=1: the decoder must
+    refuse at header parse, before touching entropy data."""
+    import struct
+
+    img = _gradient(16, 16)
+    buf = bytearray(encode_jpeg_baseline(img, quality=90))
+    i = buf.find(b"\xff\xda")
+    old = b"\xff\xda" + struct.pack(">HB", 12, 3) \
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    assert bytes(buf[i:i + len(old)]) == old
+    new = b"\xff\xda" + struct.pack(">HB", 8, 1) \
+        + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    buf[i:i + len(old)] = new
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(buf))
+    # and the decode_payload ladder degrades it to fake features,
+    # exactly like progressive
+    faked = decode_payload(bytes(buf), "image", fake=True)
+    assert len(faked) == 8
 
 
 # ---------------------------------------------------------------------------

@@ -75,8 +75,8 @@ def test_staged_but_uncommitted_data_is_invisible(spark, tmp_path):
         table, 2,
     )
     assert _rows(spark, T.read(spark, table)) == [(1, "a")]
-    # and vacuum reclaims the garbage
-    out = T.vacuum(table, keep_versions=1)
+    # and vacuum reclaims the garbage (writers quiesced -> retention 0)
+    out = T.vacuum(table, keep_versions=1, retention_seconds=0)
     assert len(out["deleted"]) == 1 and "v2-" in out["deleted"][0]
     assert _rows(spark, T.read(spark, table)) == [(1, "a")]
 
@@ -185,7 +185,7 @@ def test_vacuum_respects_retention_floor(spark, tmp_path):
                 table, based_on=1)
     T.overwrite(spark.createDataFrame([(3, "c")], "k long, v string"),
                 table, based_on=2)
-    out = T.vacuum(table, keep_versions=2)
+    out = T.vacuum(table, keep_versions=2, retention_seconds=0)
     # v1's data (only referenced by version 1) is reclaimed
     assert len(out["deleted"]) == 1 and "v1-" in out["deleted"][0]
     # retained versions still read fine
@@ -202,10 +202,69 @@ def test_vacuum_keeps_append_chains(spark, tmp_path):
     table = _mk(spark, tmp_path, [(1, "a")])
     T.append(spark.createDataFrame([(2, "b")], "k long, v string"), table)
     T.append(spark.createDataFrame([(3, "c")], "k long, v string"), table)
-    out = T.vacuum(table, keep_versions=1)
+    out = T.vacuum(table, keep_versions=1, retention_seconds=0)
     assert out["deleted"] == []  # head references all three adds
     assert _rows(spark, T.read(spark, table)) == [
         (1, "a"), (2, "b"), (3, "c")]
+
+
+# ---------------------------------------------------------------------------
+# vacuum vs concurrent writers (round-9 advice fix)
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_retention_window_protects_staged_data(spark, tmp_path):
+    """The default retention window must NOT reclaim a freshly-staged
+    directory: a concurrent writer stages data BEFORE the log names
+    it, so mtime-recent unreferenced directories are in-flight
+    commits, not garbage (the Delta VACUUM rule)."""
+    table = _mk(spark, tmp_path, [(1, "a")])
+    rel = T._stage_data(
+        spark.createDataFrame([(2, "inflight")], "k long, v string"),
+        table, 2,
+    )
+    out = T.vacuum(table, keep_versions=1)  # default 7-day retention
+    assert out["deleted"] == []
+    assert out["skipped_recent"] == [rel]
+    # the in-flight writer can still commit and its data is intact
+    assert T._try_commit(table, 2, {
+        "op": "append", "version": 2, "add": [rel], "remove": [],
+        "schema": "struct<k:bigint,v:string>", "ts_unix": 0,
+    })
+    assert _rows(spark, T.read(spark, table)) == [(1, "a"), (2, "inflight")]
+
+
+def test_vacuum_relists_log_before_deleting(spark, tmp_path, monkeypatch):
+    """A commit that lands between vacuum computing its needed-set and
+    the delete loop must be protected even when the mtime guard is
+    disabled: vacuum re-lists the log and treats directories added by
+    any newly-landed version as needed."""
+    table = _mk(spark, tmp_path, [(1, "a")])
+    # the rival's commit is fully on disk...
+    rival = spark.createDataFrame([(2, "rival")], "k long, v string")
+    rel = T._stage_data(rival, table, 2)
+    assert T._try_commit(table, 2, {
+        "op": "append", "version": 2, "add": [rel], "remove": [],
+        "schema": "struct<k:bigint,v:string>", "ts_unix": 0,
+    })
+    # ...but vacuum's INITIAL listing raced it: hide v2 from the first
+    # _list_versions call (and the snapshot_files call that follows),
+    # reveal it on the re-list.
+    real = T._list_versions
+    calls = {"n": 0}
+
+    def racing_list(t):
+        calls["n"] += 1
+        vs = real(t)
+        return [v for v in vs if v == 1] if calls["n"] <= 2 else vs
+
+    monkeypatch.setattr(T, "_list_versions", racing_list)
+    out = T.vacuum(table, keep_versions=1, retention_seconds=0)
+    assert calls["n"] >= 3  # initial + snapshot replay + re-list
+    assert out["deleted"] == []
+    assert rel in out["retained"]
+    monkeypatch.undo()
+    assert _rows(spark, T.read(spark, table)) == [(1, "a"), (2, "rival")]
 
 
 # ---------------------------------------------------------------------------
