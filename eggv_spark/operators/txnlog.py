@@ -53,9 +53,12 @@ Conflict semantics on a lost race:
 * **100 TB posture** — commits move METADATA (one small JSON link),
   never data; readers plan from the log (O(#versions) tiny files,
   checkpointable the Delta way if it ever grows); MERGE rewrites only
-  the files it logically touches (here: the whole prior snapshot at
-  this milestone's granularity — file-level pruning composes later
-  via zonemap_skip_audit's min/max stats, the natural next step).
+  the directories whose recorded [min, max] zone-map stats intersect
+  the updates' key range (zonemap_skip_audit's skip rule composed
+  into the commit protocol — round-9 verdict item 4), and DELETE
+  WHERE rewrites only the directories an exact predicate-pushed
+  probe shows to contain matches; everything else stays live,
+  byte-identical on disk, across the commit.
 
 Scale caveat (documented, same class as SNK-02): ``os.link``
 atomicity holds on POSIX filesystems; object stores need the
@@ -135,6 +138,63 @@ def _stage_data(df: DataFrame, table: str, version: int) -> str:
     return rel
 
 
+def _collect_stats(
+    spark: SparkSession, table: str, rel: str, cols: list[str]
+) -> dict[str, list[Any]]:
+    """Per-directory [min, max] zone-map stats for ``cols`` — the
+    Delta-style file statistics that let MERGE prune untouched
+    directories (zonemap_skip_audit's skip rule applied to the commit
+    protocol).  Read back from the just-staged parquet so the numbers
+    are exactly what a later scan would see.  Only JSON-exact types
+    are recorded (int/str/bool); anything else is silently omitted,
+    which downstream treats as "no stats" = conservatively rewritten."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(table, rel))
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return {}
+    aggs = []
+    for c in present:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    stats: dict[str, list[Any]] = {}
+    for c in present:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is None or hi is None:
+            continue
+        if isinstance(lo, bool) or not isinstance(lo, (int, str)):
+            continue  # floats/timestamps: JSON round-trip not exact
+        stats[c] = [lo, hi]
+    return stats
+
+
+def snapshot_stats(
+    table: str, version: int | None = None
+) -> dict[str, dict[str, list[Any]]]:
+    """Zone-map stats for every LIVE directory at ``version`` (rel →
+    {col: [min, max]}), assembled from the immutable log entries.
+    Directories committed without stats map to {} — pruning treats
+    them as always-overlapping (conservative)."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"not a txn table (no {_LOG_DIR}): {table}")
+    if version is None:
+        version = versions[-1]
+    live: dict[str, dict[str, list[Any]]] = {}
+    for v in versions:
+        if v > version:
+            break
+        e = _read_entry(table, v)
+        for r in e.get("remove", []):
+            live.pop(r, None)
+        st = e.get("stats", {})
+        for r in e.get("add", []):
+            live[r] = st.get(r, {})
+    return live
+
+
 def snapshot_files(table: str, version: int | None = None) -> list[str]:
     """Resolve the ADD−REMOVE file set at ``version`` (default: latest)."""
     versions = _list_versions(table)
@@ -192,22 +252,40 @@ def _base_entry(op: str, df: DataFrame | None) -> dict[str, Any]:
     }
 
 
-def create(df: DataFrame, table: str) -> int:
-    """Create a txn table at ``table`` with ``df`` as version 1."""
+def _maybe_stats(
+    df: DataFrame, table: str, rel: str, stats_cols
+) -> dict[str, dict[str, list[Any]]]:
+    if not stats_cols:
+        return {}
+    s = _collect_stats(df.sparkSession, table, rel, list(stats_cols))
+    return {rel: s} if s else {}
+
+
+def create(df: DataFrame, table: str, stats_cols=None) -> int:
+    """Create a txn table at ``table`` with ``df`` as version 1.
+    ``stats_cols`` records per-directory [min, max] zone-map stats in
+    the commit entry, enabling file-level MERGE/DELETE pruning."""
     if _list_versions(table):
         raise FileExistsError(f"txn table already exists: {table}")
     rel = _stage_data(df, table, 1)
     entry = _base_entry("create", df) | {"version": 1, "add": [rel],
                                          "remove": []}
+    stats = _maybe_stats(df, table, rel, stats_cols)
+    if stats:
+        entry["stats"] = stats
     if not _try_commit(table, 1, entry):
         raise ConcurrentWriteError(f"lost the create race for {table}")
     return 1
 
 
-def append(df: DataFrame, table: str, max_retries: int = 10) -> int:
+def append(
+    df: DataFrame, table: str, max_retries: int = 10, stats_cols=None
+) -> int:
     """Append-commit; appends commute, so a lost version race is
-    retried automatically against the new head."""
+    retried automatically against the new head.  ``stats_cols`` as in
+    :func:`create`."""
     rel = None
+    stats: dict[str, Any] = {}
     for _ in range(max_retries):
         versions = _list_versions(table)
         if not versions:
@@ -215,8 +293,11 @@ def append(df: DataFrame, table: str, max_retries: int = 10) -> int:
         v = versions[-1] + 1
         if rel is None:  # stage once, re-point the entry on retry
             rel = _stage_data(df, table, v)
+            stats = _maybe_stats(df, table, rel, stats_cols)
         entry = _base_entry("append", df) | {"version": v, "add": [rel],
                                              "remove": []}
+        if stats:
+            entry["stats"] = stats
         if _try_commit(table, v, entry):
             return v
     raise ConcurrentWriteError(
@@ -225,11 +306,19 @@ def append(df: DataFrame, table: str, max_retries: int = 10) -> int:
 
 
 def _replace_commit(
-    df: DataFrame, table: str, op: str, based_on: int
+    df: DataFrame,
+    table: str,
+    op: str,
+    based_on: int,
+    remove_rels: list[str] | None = None,
+    stats_cols=None,
 ) -> int:
-    """Commit ``df`` as the FULL new snapshot, valid only if
+    """Commit ``df`` as the new data for the directories in
+    ``remove_rels`` (default: the FULL prior snapshot), valid only if
     ``based_on`` is still the head (otherwise the derivation is
-    stale and retrying would drop the winner's changes)."""
+    stale and retrying would drop the winner's changes).  Directories
+    NOT in ``remove_rels`` stay live — this is what lets MERGE/DELETE
+    rewrite only the files they logically touch."""
     versions = _list_versions(table)
     head = versions[-1]
     if head != based_on:
@@ -240,14 +329,18 @@ def _replace_commit(
     v = head + 1
     # add/remove units are whole data directories (what _stage_data
     # writes and snapshot_files returns)
-    removed_dirs = sorted(
-        os.path.relpath(p, table) for p in snapshot_files(table, head)
-    )
+    if remove_rels is None:
+        remove_rels = sorted(
+            os.path.relpath(p, table) for p in snapshot_files(table, head)
+        )
     rel = _stage_data(df, table, v)
     entry = _base_entry(op, df) | {
-        "version": v, "add": [rel], "remove": removed_dirs,
+        "version": v, "add": [rel], "remove": sorted(remove_rels),
         "based_on": based_on,
     }
+    stats = _maybe_stats(df, table, rel, stats_cols)
+    if stats:
+        entry["stats"] = stats
     if not _try_commit(table, v, entry):
         raise ConcurrentWriteError(
             f"{op} on {table} lost the race for v{v}: re-derive"
@@ -255,9 +348,18 @@ def _replace_commit(
     return v
 
 
-def overwrite(df: DataFrame, table: str, based_on: int) -> int:
+def overwrite(
+    df: DataFrame, table: str, based_on: int, stats_cols=None
+) -> int:
     """Replace the snapshot ``based_on`` with ``df`` atomically."""
-    return _replace_commit(df, table, "overwrite", based_on)
+    return _replace_commit(df, table, "overwrite", based_on,
+                           stats_cols=stats_cols)
+
+
+def _read_rels(spark: SparkSession, table: str, rels: list[str]) -> DataFrame:
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, r) for r in rels]
+    )
 
 
 def merge_upsert(
@@ -265,30 +367,112 @@ def merge_upsert(
     updates: DataFrame,
     table: str,
     key_cols: list[str],
+    prune_on: str | None = None,
 ) -> int:
     """Transactional MERGE: updates win on key collision, survivors
     carried over — the tableops.merge_upsert semantics, upgraded from
     swap-written parquet to a log commit that either fully lands or
-    raises on a lost race (never half-merges)."""
+    raises on a lost race (never half-merges).
+
+    File-level pruning (round-9 verdict item 4): directories whose
+    recorded [min, max] zone-map stats on ``prune_on`` (default
+    ``key_cols[0]``) cannot intersect the updates' key range are NOT
+    rewritten — they stay live across the commit, untouched on disk
+    (zonemap_skip_audit's skip rule, ``max < lo OR min > hi``,
+    composed into the commit protocol the way Delta prunes MERGE by
+    file stats).  Directories committed without stats, and non-
+    integer/string key ranges, are conservatively rewritten.  At
+    100 TB this is the difference between rewriting the whole table
+    per MERGE and rewriting the handful of directories a keyed
+    update actually touches."""
+    from pyspark.sql import functions as F
+
     versions = _list_versions(table)
     head = versions[-1]
-    current = read(spark, table, head)
-    survivors = current.join(
-        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    if prune_on is None:
+        prune_on = key_cols[0]
+    bounds = updates.agg(
+        F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    can_prune = (
+        lo is not None
+        and not isinstance(lo, bool)
+        and isinstance(lo, (int, str))
     )
-    merged = survivors.unionByName(updates, allowMissingColumns=True)
-    return _replace_commit(merged, table, "merge", head)
+    overlap: list[str] = []
+    for rel, st in snapshot_stats(table, head).items():
+        rng = st.get(prune_on)
+        if can_prune and rng is not None and (rng[1] < lo or rng[0] > hi):
+            continue  # zone-map miss: directory carried over untouched
+        overlap.append(rel)
+    if overlap:
+        current = _read_rels(spark, table, overlap)
+        survivors = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    return _replace_commit(
+        merged, table, "merge", head,
+        remove_rels=sorted(overlap), stats_cols=list(key_cols),
+    )
 
 
 def delete_rows(
     spark: SparkSession, table: str, condition: str
 ) -> int:
-    """Transactional DELETE WHERE: survivors become the new snapshot."""
+    """Transactional DELETE WHERE: survivors become the new snapshot.
+
+    File-level pruning (round-9 verdict item 4): one probe pass —
+    predicate-pushed, reading only the condition's columns — maps
+    matching rows to their data directories via input_file_name();
+    only directories that actually contain matches are rewritten, the
+    rest stay live untouched.  (The probe is exact where MERGE's
+    zone-map test is conservative, because an arbitrary SQL condition
+    has no precomputable key range; the collect is bounded by the
+    number of live directories, i.e. O(#versions), not rows.)  A
+    delete that matches nothing commits an explicit no-op entry, so
+    the operation is still journaled."""
+    from pyspark.sql import functions as F
+
     versions = _list_versions(table)
     head = versions[-1]
-    current = read(spark, table, head)
+    stats = snapshot_stats(table, head)
+    live = list(stats.keys())
+    if live:
+        current = _read_rels(spark, table, live)
+        hit_rows = (
+            current.filter(condition)
+            .select(
+                F.regexp_extract(
+                    F.input_file_name(), r"(data/v\d+-[0-9a-f]+)/", 1
+                ).alias("d")
+            )
+            .distinct()
+            .collect()
+        )
+        hit = sorted(r["d"] for r in hit_rows)
+    else:
+        hit = []
+    if not hit:
+        v = head + 1
+        entry = _base_entry("delete", None) | {
+            "version": v, "add": [], "remove": [], "based_on": head,
+            "schema": _read_entry(table, head).get("schema"),
+        }
+        if not _try_commit(table, v, entry):
+            raise ConcurrentWriteError(
+                f"delete on {table} lost the race for v{v}: re-derive"
+            )
+        return v
+    survivors = _read_rels(spark, table, hit).filter(f"NOT ({condition})")
+    # carry forward the stats columns the rewritten dirs were tracking
+    carried_cols = sorted({c for r in hit for c in stats.get(r, {})})
     return _replace_commit(
-        current.filter(f"NOT ({condition})"), table, "delete", head
+        survivors, table, "delete", head,
+        remove_rels=hit, stats_cols=carried_cols or None,
     )
 
 
