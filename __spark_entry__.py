@@ -38,7 +38,9 @@ from eggv_spark.operators import graph as G
 from eggv_spark.operators.events import (
     funnel_counts,
     gapfill_hourly,
+    page_hinkley,
     retention_cohorts,
+    retention_matrix,
     rfm_segments,
     sessionize,
     sliding_window_counts,
@@ -5569,6 +5571,460 @@ def _txt_vocab_coverage(spark, sf_dir):
     order — token counts + one vocab-sized cumulative window
     (text_analysis.vocab_coverage)."""
     return T.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ROUND-11 STAGED REGISTRATIONS — NOT in queries()/oracle_sql().
+#
+# The registry is frozen at 445 through round 10 (round-9 verdict
+# item 2).  These fixtures + oracles make the round-11 registration
+# purely mechanical (verdict item 3): when a window has room, append
+# the R11_STAGED_QUERIES items to the ``reg`` dict and the
+# R11_STAGED_ORACLES items to ``oracle_sql()`` — nothing else.
+# Fixture parameters are pinned per ROUND10_QUEUE.md's recipe table;
+# the oracle bodies were validated against pure-Python references in
+# tests/test_round10_staged_oracles.py, and the PAIRED Spark-vs-DuckDB
+# cross-check runs every session in tests/test_round11_registration.py.
+# fe_quantile_binning's plan_lint BNLJ allowlist entry is pre-added
+# (bounded literal n_bins spine, the evt_qte class).
+# ---------------------------------------------------------------------------
+
+
+def _ml_ridge_fit(spark, sf_dir):
+    """Closed-form 2-feature ridge regression on integer-quantized
+    orders features (ml.ridge_fit): one corpus pass folds the exact
+    DECIMAL(38,0) moment matrix; the λ-damped normal-equation solve
+    is a fixed-order float expression on the 1-row aggregate."""
+    u = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).cast("bigint").alias("x1"),
+        (F.col("o_orderkey") % 97).cast("bigint").alias("x2"),
+        F.round("o_totalprice").cast("bigint").alias("y"),
+    )
+    return ML.ridge_fit(u, "x1", "x2", "y", lam=1000.0)
+
+
+_R11_RIDGE_SQL = """
+WITH u AS (
+  SELECT CAST(o_custkey % 100 AS BIGINT) AS x1,
+         CAST(o_orderkey % 97 AS BIGINT) AS x2,
+         CAST(round(o_totalprice) AS BIGINT) AS y
+  FROM orders
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+         sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+         sum(x2 * y) AS s2y, sum(y * y) AS syy
+  FROM u
+), c AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mx1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS mx2,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+         CAST(s12 AS DOUBLE) AS d12, CAST(s1y AS DOUBLE) AS d1y,
+         CAST(s2y AS DOUBLE) AS d2y, CAST(syy AS DOUBLE) AS dyy
+  FROM m
+), k AS (
+  SELECT n, mx1, mx2, my,
+         d11 - CAST(n AS DOUBLE) * mx1 * mx1 AS c11,
+         d22 - CAST(n AS DOUBLE) * mx2 * mx2 AS c22,
+         d12 - CAST(n AS DOUBLE) * mx1 * mx2 AS c12,
+         d1y - CAST(n AS DOUBLE) * mx1 * my AS c1y,
+         d2y - CAST(n AS DOUBLE) * mx2 * my AS c2y,
+         dyy - CAST(n AS DOUBLE) * my * my AS cyy
+  FROM c
+), b AS (
+  SELECT n, mx1, mx2, my, c11, c22, c12, c1y, c2y, cyy,
+         (c1y * (c22 + 1000.0) - c12 * c2y)
+           / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b1,
+         ((c11 + 1000.0) * c2y - c12 * c1y)
+           / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b2
+  FROM k
+)
+SELECT n,
+       round(b1, 6) AS b1,
+       round(b2, 6) AS b2,
+       round(my - b1 * mx1 - b2 * mx2, 6) AS intercept,
+       round((cyy - 2.0 * b1 * c1y - 2.0 * b2 * c2y
+              + b1 * b1 * c11 + 2.0 * b1 * b2 * c12
+              + b2 * b2 * c22) / CAST(n AS DOUBLE), 6) AS mse,
+       CAST(1000.0 AS DOUBLE) AS lambda
+FROM b
+"""
+
+
+def _fe_quantile_binning(spark, sf_dir):
+    """Equal-frequency binning of rounded order totals into 8 bins
+    (relational.quantile_binning) — integer-rational type-1 edges on
+    the evt_qte spine-join kernel.  plan_lint: 4 bounded BNLJs from
+    the 8-row literal bin spine (allowlisted, the evt_qte class)."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.round("o_totalprice").cast("bigint").alias("v")
+    )
+    return R.quantile_binning(v, "v", n_bins=8)
+
+
+_R11_QBIN_SQL = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS v FROM orders
+  WHERE o_totalprice IS NOT NULL
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM base
+), spine AS (
+  SELECT CAST(j AS BIGINT) AS j FROM generate_series(1, 8) t(j)
+), edges AS (
+  SELECT spine.j, max(ranked.v) AS edge
+  FROM ranked JOIN spine
+    ON (ranked.rn - 1) * 8 < spine.j * ranked.n
+   AND spine.j * ranked.n <= ranked.rn * 8
+  GROUP BY spine.j
+), assigned AS (
+  SELECT (SELECT min(j) FROM edges WHERE edge >= base.v) AS bin
+  FROM base
+), counts AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_rows FROM assigned GROUP BY bin
+)
+SELECT e.j AS bin, e.edge AS upper_edge,
+       coalesce(c.n_rows, 0) AS n_rows
+FROM edges e LEFT JOIN counts c ON c.bin = e.j
+"""
+
+
+def _evt_retention_matrix(spark, sf_dir):
+    """Weekly cohort retention triangle over events
+    (events.retention_matrix): cohort = each user's first 7-day
+    period, DISTINCT-user counts at (cohort, offset) grain."""
+    return retention_matrix(_t(spark, sf_dir, "events"), period_days=7)
+
+
+_R11_RETENTION_SQL = """
+WITH up AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts) / (86400 * 7)) AS BIGINT) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), cohorts AS (
+  SELECT u, min(p) AS c FROM up GROUP BY u
+), sizes AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_cohort FROM cohorts GROUP BY c
+), active AS (
+  SELECT cohorts.c, up.p - cohorts.c AS "offset",
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM up JOIN cohorts USING (u)
+  GROUP BY cohorts.c, up.p - cohorts.c
+)
+SELECT active.c AS cohort_period, "offset", n_cohort, n_active,
+       round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+         AS retention
+FROM active JOIN sizes ON sizes.c = active.c
+"""
+
+
+def _txt_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints, k=5 w=4
+    (text_analysis.winnowing_fingerprints): local-minimum k-gram
+    selection with the rightmost-tie rule; one per-doc window is the
+    only exchange."""
+    return T.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
+_R11_WINNOW_BODY = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+), gi AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - 5 + 1)) AS i
+  FROM d WHERE len(t) >= 5
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {_BASEHASH_SQL.format(x='substr(t, i, 5)')} AS h
+  FROM gi
+), n AS (
+  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+), sel AS (
+  SELECT doc_id, pos,
+         min(struct_pack(h := h, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS pick
+  FROM g
+)
+SELECT DISTINCT sel.doc_id, -(pick.np) AS pos, pick.h AS gram_hash
+FROM sel JOIN n USING (doc_id)
+WHERE sel.pos <= n.ng - 3
+"""
+
+_R11_WINNOW_SQL = _R11_WINNOW_BODY
+
+
+def _ddp_winnow_neardup(spark, sf_dir):
+    """Winnowing near-dup pair audit, rolled up by shared-fingerprint
+    count (text_analysis.winnow_neardup_pairs + an integer-exact
+    rollup): the raw pair set is too wide for a driver row at sf0.1
+    (ROUND10_QUEUE.md), so the registry form reports, per ``shared``
+    level, the pair count and the exact integer sum of the smaller
+    fingerprint set — mean_fp_min is the only float, derived from
+    two exact integers in fixed order."""
+    pairs = T.winnow_neardup_pairs(
+        _t(spark, sf_dir, "documents"), k=5, w=4,
+        min_shared=2, max_hash_docs=64,
+    )
+    return pairs.groupBy("shared").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.least("fp_a", "fp_b")).alias("sum_fp_min"),
+    ).select(
+        "shared", "n_pairs", "sum_fp_min",
+        F.round(
+            F.col("sum_fp_min").cast("double")
+            / F.col("n_pairs").cast("double"), 6
+        ).alias("mean_fp_min"),
+    )
+
+
+_R11_WINNOW_PAIRS_SQL = f"""
+WITH fp0 AS ({_R11_WINNOW_BODY}),
+fps AS (SELECT DISTINCT doc_id, gram_hash FROM fp0),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS fp
+            FROM fps GROUP BY doc_id),
+hd AS (SELECT gram_hash FROM fps GROUP BY gram_hash
+       HAVING count(*) <= 64),
+kept AS (SELECT fps.doc_id, fps.gram_hash FROM fps JOIN hd USING (gram_hash)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b
+    ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+)
+SELECT shared, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(least(pa.fp, pb.fp)) AS BIGINT) AS sum_fp_min,
+       round(CAST(sum(least(pa.fp, pb.fp)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_fp_min
+FROM pairs
+JOIN per_doc pa ON pa.doc_id = doc_a
+JOIN per_doc pb ON pb.doc_id = doc_b
+GROUP BY shared
+"""
+
+
+def _sim_rank_metrics(spark, sf_dir):
+    """Pooled retrieval scoreboard (similarity.rank_metrics): MRR@5 +
+    macro recall/precision@5 + hit-rate@5 of the IVF probe against
+    the exact brute-force top-5 — the one-row summary on the same
+    validated chains sim_recall_eval compares per-query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id % 50 = 0")
+    ranked = S.ivf_topk(emb, q, k=5, n_probe=10)
+    truth = S.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return S.rank_metrics(ranked, truth, k=5)
+
+
+def _r11_rank_metrics_sql() -> str:
+    return f"""
+WITH truth0 AS ({_cosine_topk_oracle()}),
+ranked0 AS ({_ivf_topk_oracle()}),
+hits AS (
+  SELECT r.query_id AS q, CAST(min(r.rank) AS BIGINT) AS first,
+         CAST(count(*) AS BIGINT) AS hits
+  FROM ranked0 r JOIN truth0 t
+    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+  WHERE r.rank <= 5
+  GROUP BY r.query_id
+),
+per_q AS (
+  SELECT t.q,
+         coalesce(1.0 / CAST(h.first AS DOUBLE), 0.0) AS rr,
+         coalesce(CAST(h.hits AS DOUBLE)
+                  / CAST(n_rel AS DOUBLE), 0.0) AS rec,
+         coalesce(CAST(h.hits AS DOUBLE) / 5.0, 0.0) AS prec,
+         CAST(coalesce(h.hits > 0, FALSE) AS BIGINT) AS hit
+  FROM (SELECT query_id AS q, CAST(count(*) AS BIGINT) AS n_rel
+        FROM truth0 GROUP BY query_id) t
+  LEFT JOIN hits h ON h.q = t.q
+),
+pooled AS (
+  SELECT q,
+         count(*) OVER w AS nq,
+         sum(rr) OVER w AS srr,
+         sum(rec) OVER w AS srec,
+         sum(prec) OVER w AS sprec,
+         sum(hit) OVER w AS shit
+  FROM per_q
+  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(nq AS BIGINT) AS n_queries,
+       round(srr / nq, 6) AS mrr,
+       round(srec / nq, 6) AS recall_at_k,
+       round(sprec / nq, 6) AS precision_at_k,
+       round(CAST(shit AS DOUBLE) / nq, 6) AS hit_rate,
+       5 AS k
+FROM pooled ORDER BY q DESC LIMIT 1
+"""
+
+
+def _evt_page_hinkley(spark, sf_dir):
+    """Page–Hinkley drift detector over the daily event-value series,
+    delta=50 lambda=400 cents (events.page_hinkley); day crosses the
+    oracle boundary as epoch-day BIGINT per the driver convention."""
+    out = page_hinkley(
+        _t(spark, sf_dir, "events"), delta_cents=50, lambda_cents=400
+    )
+    return out.select(
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        .cast("bigint").alias("day_num"),
+        "x_cents", "ph", "alarm",
+    )
+
+
+_R11_PH_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS x_cents
+  FROM events GROUP BY CAST(ts AS DATE)
+), staged AS (
+  SELECT day, x_cents,
+         CAST(x_cents AS DOUBLE)
+           - sum(CAST(x_cents AS DOUBLE)) OVER w / count(*) OVER w
+           - 50.0 AS dev
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), m AS (
+  SELECT day, x_cents, sum(dev) OVER w AS m
+  FROM staged
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num, x_cents,
+       round(m - min(m) OVER w, 6) AS ph,
+       round(m - min(m) OVER w, 6) > 400.0 AS alarm
+FROM m
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+def _agg_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha over a 3-item integer panel derived from
+    orders (aggregates.cronbach_alpha): exact DECIMAL(38,0) moments,
+    fixed-order α assembly; NULL items are refused in-plan."""
+    u = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 7).cast("bigint").alias("i1"),
+        (F.col("o_orderkey") % 5).cast("bigint").alias("i2"),
+        (F.round("o_totalprice").cast("bigint") % 9).alias("i3"),
+    )
+    return AG.cronbach_alpha(u, ["i1", "i2", "i3"])
+
+
+_R11_ALPHA_SQL = """
+WITH u AS (
+  SELECT CAST(o_custkey % 7 AS BIGINT) AS i1,
+         CAST(o_orderkey % 5 AS BIGINT) AS i2,
+         CAST(round(o_totalprice) % 9 AS BIGINT) AS i3
+  FROM orders
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(i1) AS s1, sum(i1 * i1) AS q1,
+         sum(i2) AS s2, sum(i2 * i2) AS q2,
+         sum(i3) AS s3, sum(i3 * i3) AS q3,
+         sum(i1 + i2 + i3) AS st,
+         sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS qt
+  FROM u
+), v AS (
+  SELECT n,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+         + (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS siv,
+         (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS tv
+  FROM m
+)
+SELECT n AS n_subjects, 3 AS k_items,
+       round(siv, 6) AS sum_item_var,
+       round(tv, 6) AS total_var,
+       round(1.5 * (1.0 - siv / tv), 6) AS alpha
+FROM v
+"""
+
+
+def _tbl_txn_time_travel(spark, sf_dir):
+    """Transactional-table time travel (operators/txnlog.py, the
+    round-9 verdict item 5 driver query): create v1 from a keyed
+    orders slice (with zone-map stats), MERGE v2 (keyed patch + one
+    new row, file-level pruned), DELETE v3 — then read VERSION 2,
+    proving the snapshot is immune to the later delete.  The oracle
+    reproduces v2 purely relationally: v1 with the %3-keyed patch
+    applied, plus the inserted row."""
+    base = _t(spark, sf_dir, "orders").filter("o_orderkey % 10 = 0").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.round("o_totalprice").cast("bigint").alias("cents"),
+    )
+    tbl = _scratch_dir("txn_tt_") + "/t"
+    from eggv_spark.operators import txnlog as TX
+
+    TX.create(base, tbl, stats_cols=["k"])
+    updates = base.filter("k % 3 = 0").select(
+        "k", (F.col("cents") + 1000).alias("cents")
+    ).unionByName(
+        spark.createDataFrame([(-42, 123)], "k bigint, cents bigint")
+    )
+    TX.merge_upsert(spark, updates, tbl, ["k"])
+    TX.delete_rows(spark, tbl, "k % 7 = 0")  # v3: invisible at v2
+    return TX.read(spark, tbl, version=2).select("k", "cents")
+
+
+_R11_TXN_TT_SQL = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(round(o_totalprice) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT k,
+       CASE WHEN k % 3 = 0 THEN cents + 1000 ELSE cents END AS cents
+FROM base
+UNION ALL
+SELECT CAST(-42 AS BIGINT) AS k, CAST(123 AS BIGINT) AS cents
+"""
+
+
+R11_STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ml_ridge_fit": _ml_ridge_fit,
+    "fe_quantile_binning": _fe_quantile_binning,
+    "evt_retention_matrix": _evt_retention_matrix,
+    "txt_winnowing": _txt_winnowing,
+    "ddp_winnow_neardup": _ddp_winnow_neardup,
+    "sim_rank_metrics": _sim_rank_metrics,
+    "evt_page_hinkley": _evt_page_hinkley,
+    "agg_cronbach_alpha": _agg_cronbach_alpha,
+    "tbl_txn_time_travel": _tbl_txn_time_travel,
+}
+
+
+def r11_staged_oracles() -> dict[str, str]:
+    return {
+        "ml_ridge_fit": _R11_RIDGE_SQL,
+        "fe_quantile_binning": _R11_QBIN_SQL,
+        "evt_retention_matrix": _R11_RETENTION_SQL,
+        "txt_winnowing": _R11_WINNOW_SQL,
+        "ddp_winnow_neardup": _R11_WINNOW_PAIRS_SQL,
+        "sim_rank_metrics": _r11_rank_metrics_sql(),
+        "evt_page_hinkley": _R11_PH_SQL,
+        "agg_cronbach_alpha": _R11_ALPHA_SQL,
+        "tbl_txn_time_travel": _R11_TXN_TT_SQL,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
