@@ -7,16 +7,28 @@ pipeline covers the dominant web format without any media library.
 
 Scope (honest contract, loud otherwise):
 
-* DECODE: baseline sequential DCT (SOF0), 8-bit, huffman-coded,
+* DECODE: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2, the dominant real-corpus variant), 8-bit, huffman-coded,
   grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
-  markers.  Progressive (SOF2), arithmetic coding, and 12-bit raise
+  markers.  Progressive covers the full T.81 Annex-G huffman
+  progression: DC/AC first + refinement scans, spectral selection,
+  successive approximation, and EOB runs.  Arithmetic coding,
+  lossless/hierarchical modes, and 12-bit raise
   ``NotImplementedError`` — `decode_payload`'s documented fallback
   ladder catches that exactly like the palette-PNG case.
-* ENCODE (:func:`encode_jpeg_baseline`): the test-fixture generator —
-  ITU-T81 Annex K quantization + huffman tables, 4:4:4 or 4:2:0,
-  optional restart interval.  Exists so the decoder is testable
-  round-trip in an environment that cannot produce a JPEG any other
-  way; it is spec-conformant output, not a tuned encoder.
+* ENCODE (:func:`encode_jpeg_baseline`, :func:`encode_jpeg_progressive`):
+  the test-fixture generators —
+  ITU-T81 Annex K quantization + huffman tables, 4:4:4/4:2:2/4:2:0,
+  optional restart interval (baseline); the progressive encoder emits
+  libjpeg's standard 10-scan YCbCr script (or a caller script) with
+  successive approximation so every decoder refinement path is
+  exercised.  Both quantize through the same `_to_planes` +
+  `_fdct_quant` pipeline, so a baseline and a progressive encode of
+  the same image carry IDENTICAL coefficients — the cross-mode
+  equality test in tests/test_jpeg_codec.py rests on that.  Exists so
+  the decoder is testable round-trip in an environment that cannot
+  produce a JPEG any other way; spec-conformant output, not a tuned
+  encoder.
 
 Everything is per-payload CPU work inside the same Arrow
 ``mapInPandas`` plumbing as the other codecs — no Spark-side changes,
@@ -229,12 +241,17 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
-    """Decode a baseline JPEG to (width, height, [R, G, B] planes)
-    as uint8 arrays (grayscale replicated to 3 planes).
+    """Decode a baseline OR progressive JPEG to (width, height,
+    [R, G, B] planes) as uint8 arrays (grayscale replicated to 3
+    planes).
 
-    Raises ``NotImplementedError`` for progressive/arithmetic/12-bit
-    variants (decode_payload's documented fallback ladder) and
-    ``ValueError`` for corrupt data (never a silent garbage raster).
+    Progressive (SOF2) decode is complete: DC/AC first and refinement
+    scans, spectral selection, successive approximation, EOB runs,
+    and restart markers — the full T.81 annex-G huffman progression.
+    Raises ``NotImplementedError`` for arithmetic-coded, lossless,
+    hierarchical, and 12-bit variants (decode_payload's documented
+    fallback ladder) and ``ValueError`` for corrupt data (never a
+    silent garbage raster).
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
@@ -243,16 +260,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     dc_trees: dict[int, dict] = {}
     ac_trees: dict[int, dict] = {}
     sof = None
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _reconstruct_progressive(sof, coefs, qt)
             raise ValueError("jpeg: no scan data")
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("jpeg: progressive not supported")
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("jpeg: arithmetic-coded SOF")
         if marker in (0xC9, 0xCB, 0xCD, 0xCF, 0xC3, 0xC5, 0xC7):
             raise NotImplementedError("jpeg: non-baseline SOF")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
@@ -278,7 +299,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 tree = _decode_tree(bits, vals)
                 (dc_trees if tc == 0 else ac_trees)[th] = tree
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("jpeg: 12-bit precision")
@@ -289,11 +310,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
             sof = {"w": w, "h": h, "comps": comps}
+            progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if sof is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if progressive:
+                if coefs is None:
+                    coefs = _alloc_coefs(sof)
+                pos = _decode_progressive_scan(
+                    payload, pos + seglen, sof, seg, dc_trees, ac_trees,
+                    restart_interval, coefs,
+                )
+                continue
             ns = seg[0]
             if ns != len(sof["comps"]):
                 # A baseline image may legally carry one scan PER
@@ -380,9 +410,15 @@ def _decode_scan(payload, pos, sof, scan, qt, dc_trees, ac_trees, dri):
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
-    # upsample to full resolution and convert
+    return _planes_to_rgb(scan, planes, w, h, hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, w, h, hmax, vmax):
+    """Upsample subsampled planes to full resolution and convert
+    YCbCr (or replicate grayscale) — shared by the baseline and
+    progressive reconstruction paths."""
     full = []
-    for c in scan:
+    for c in comps:
         p = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -398,6 +434,243 @@ def _decode_scan(payload, pos, sof, scan, qt, dc_trees, ac_trees, dri):
     return w, h, [
         np.clip(ch.round(), 0, 255).astype(np.uint8) for ch in (r, g, b)
     ]
+
+
+# --------------------------------------------------------------------------
+# Progressive decode (T.81 Annex G, huffman): coefficients accumulate
+# across scans in zigzag order; reconstruction happens once at EOI.
+# --------------------------------------------------------------------------
+
+
+def _geometry(sof):
+    """(hmax, vmax, mcux, mcuy, per-comp dims).  Each component gets
+    BOTH the MCU-padded block grid (interleaved scans) and the exact
+    ceil(comp_size/8) grid (non-interleaved scans cover only real
+    blocks, not MCU padding)."""
+    hmax = max(c["h"] for c in sof["comps"])
+    vmax = max(c["v"] for c in sof["comps"])
+    w, h = sof["w"], sof["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dims = {}
+    for c in sof["comps"]:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        dims[c["id"]] = {
+            "pad_bw": mcux * c["h"], "pad_bh": mcuy * c["v"],
+            "bw": -(-cw // 8), "bh": -(-ch // 8),
+        }
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _alloc_coefs(sof):
+    _, _, _, _, dims = _geometry(sof)
+    return {
+        cid: np.zeros((d["pad_bh"], d["pad_bw"], 64), dtype=np.int32)
+        for cid, d in dims.items()
+    }
+
+
+def _next_marker_pos(payload: bytes, start: int) -> int:
+    """First byte offset at/after ``start`` holding a real marker
+    (0xFF followed by neither 0x00 stuffing nor an RSTn)."""
+    p = start
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise ValueError("jpeg: truncated progressive scan")
+
+
+def _decode_progressive_scan(
+    payload, data_pos, sof, seg, dc_trees, ac_trees, dri, coefs
+):
+    """Decode ONE progressive scan into ``coefs``; returns the offset
+    of the next marker."""
+    if not seg:
+        raise ValueError("jpeg: truncated SOS header")
+    ns = seg[0]
+    if len(seg) < 4 + 2 * ns:
+        raise ValueError("jpeg: truncated SOS header")
+    scan = []
+    for i in range(ns):
+        cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+        comp = next((c for c in sof["comps"] if c["id"] == cs), None)
+        if comp is None:
+            raise ValueError("jpeg: SOS names unknown component")
+        scan.append(comp | {"td": tables >> 4, "ta": tables & 0x0F})
+    ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss > 63 or se > 63 or se < ss:
+        raise ValueError("jpeg: bad spectral selection")
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive DC scan must have Se=0")
+    if ss > 0 and ns != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    br = _BitReader(payload, data_pos)
+    _, _, mcux, mcuy, dims = _geometry(sof)
+    if ss == 0:
+        _scan_dc(br, scan, coefs, dims, mcux, mcuy, dc_trees, dri, ah, al,
+                 interleaved=ns > 1)
+    else:
+        _scan_ac(br, scan[0], coefs, dims, ac_trees, dri, ss, se, ah, al)
+    return _next_marker_pos(payload, br.pos)
+
+
+def _restart(br, state):
+    marker = br.align_to_marker()
+    if not (0xD0 <= marker <= 0xD7):
+        raise ValueError("jpeg: bad restart marker")
+    for k in state:
+        state[k] = 0
+
+
+def _scan_dc(br, scan, coefs, dims, mcux, mcuy, dc_trees, dri, ah, al,
+             interleaved):
+    pred = {c["id"]: 0 for c in scan}
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        d = dims[scan[0]["id"]]
+        units = d["bw"] * d["bh"]
+    for m in range(units):
+        if dri and m and m % dri == 0:
+            _restart(br, pred)
+        for c in scan:
+            arr = coefs[c["id"]]
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                blocks = [
+                    (my * c["v"] + by, mx * c["h"] + bx)
+                    for by in range(c["v"]) for bx in range(c["h"])
+                ]
+            else:
+                blocks = [divmod(m, dims[c["id"]]["bw"])]
+            for by, bx in blocks:
+                if ah == 0:
+                    tree = dc_trees.get(c["td"])
+                    if tree is None:
+                        raise ValueError("jpeg: missing huffman table")
+                    t = _huff_decode(br, tree)
+                    pred[c["id"]] += _extend(br.receive(t), t)
+                    arr[by, bx, 0] = pred[c["id"]] << al
+                else:  # DC refinement: one raw bit per block
+                    if br.read_bit():
+                        arr[by, bx, 0] |= 1 << al
+
+
+def _scan_ac(br, c, coefs, dims, ac_trees, dri, ss, se, ah, al):
+    tree = ac_trees.get(c["ta"])
+    if tree is None:
+        raise ValueError("jpeg: missing huffman table")
+    arr = coefs[c["id"]]
+    d = dims[c["id"]]
+    eobrun = 0
+    for m in range(d["bw"] * d["bh"]):
+        if dri and m and m % dri == 0:
+            marker = br.align_to_marker()
+            if not (0xD0 <= marker <= 0xD7):
+                raise ValueError("jpeg: bad restart marker")
+            eobrun = 0  # EOB runs cannot cross a restart boundary
+        by, bx = divmod(m, d["bw"])
+        coef = arr[by, bx]
+        if ah == 0:
+            eobrun = _ac_first_block(br, coef, tree, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(br, coef, tree, ss, se, al, eobrun)
+
+
+def _ac_first_block(br, coef, tree, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, tree)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.receive(r)
+            return eobrun - 1  # current block is part of the run
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, coef, tree, ss, se, al, eobrun):
+    """T.81 G.2 successive-approximation AC refinement (the libjpeg
+    decode_mcu_AC_refine control flow): correction bits for
+    already-nonzero coefficients, ±1<<al placements for newly-nonzero
+    ones, EOB runs covering whole blocks of corrections."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, tree)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad AC refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(sof, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient grids and hand
+    off to the shared upsample/color path."""
+    hmax, vmax, _, _, dims = _geometry(sof)
+    planes = {}
+    for c in sof["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("jpeg: missing quant table")
+        arr = coefs[c["id"]].astype(np.float64)  # (bh, bw, 64) zigzag
+        deq = arr * qt[c["tq"]].astype(np.float64)[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, ZIGZAG] = deq
+        bh, bw_ = nat.shape[0], nat.shape[1]
+        f = nat.reshape(bh, bw_, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _C.T, f, _C) + 128.0
+        planes[c["id"]] = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+    return _planes_to_rgb(sof["comps"], planes, sof["w"], sof["h"],
+                          hmax, vmax)
 
 
 # --------------------------------------------------------------------------
@@ -482,18 +755,11 @@ def _pad_plane(p: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg_baseline(
-    rgb: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a baseline JFIF JPEG with
-    the Annex K tables.  ``subsampling`` is '444', '422', or '420';
-    ``restart_interval`` > 0 emits DRI + RSTn markers."""
-    if subsampling not in ("444", "422", "420"):
-        raise ValueError("encode_jpeg_baseline: subsampling 444/422/420")
-    h, w, _ = rgb.shape
+def _to_planes(rgb: np.ndarray, subsampling: str):
+    """RGB -> padded YCbCr planes [(plane, h, v)] + MCU grid — shared
+    by the baseline and progressive encoders so both quantize the
+    exact same coefficients (what makes the cross-mode equality test
+    possible)."""
     r = rgb[:, :, 0].astype(np.float64)
     g = rgb[:, :, 1].astype(np.float64)
     b = rgb[:, :, 2].astype(np.float64)
@@ -525,6 +791,22 @@ def encode_jpeg_baseline(
         crp = _pad_plane(cr, 8, 8)
         planes = [(yp, 1, 1), (cbp, 1, 1), (crp, 1, 1)]
         mcux, mcuy = yp.shape[1] // 8, yp.shape[0] // 8
+    return planes, mcux, mcuy
+
+
+def encode_jpeg_baseline(
+    rgb: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a baseline JFIF JPEG with
+    the Annex K tables.  ``subsampling`` is '444', '422', or '420';
+    ``restart_interval`` > 0 emits DRI + RSTn markers."""
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("encode_jpeg_baseline: subsampling 444/422/420")
+    h, w, _ = rgb.shape
+    planes, mcux, mcuy = _to_planes(rgb, subsampling)
 
     ql = _scale_q(QUANT_LUMA, quality)
     qc = _scale_q(QUANT_CHROMA, quality)
@@ -579,5 +861,226 @@ def encode_jpeg_baseline(
                     pred[ci] = _encode_block(bw, zz, pred[ci], dc, ac)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (test-fixture generator, T.81 Annex G huffman)
+# --------------------------------------------------------------------------
+
+# libjpeg's standard 10-scan YCbCr script: DC first at Al=1, AC bands
+# per component with successive approximation, then the refinement
+# scans walking every Al level back to 0 — full precision recovered,
+# and every decoder path (DC/AC x first/refine, spectral bands, EOB)
+# exercised.  Entries: (component_indices, Ss, Se, Ah, Al).
+PROGRESSIVE_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _enc_ac_first(bw, coef, ss, se, al, ac):
+    """One block of an AC first scan (point transform Al); EOB runs
+    are emitted per-block (run length 1, symbol 0x00 with no extra
+    bits) — spec-legal, and it keeps the Annex-K tables sufficient
+    (they carry no EOBn codes above run 1)."""
+    r = 0
+    for k in range(ss, se + 1):
+        temp = abs(int(coef[k])) >> al
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = temp.bit_length()
+        code, ln = ac[(r << 4) | s]
+        bw.write(code, ln)
+        v = temp if int(coef[k]) >= 0 else -temp
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        code, ln = ac[0x00]
+        bw.write(code, ln)
+
+
+def _enc_ac_refine(bw, coef, ss, se, al, ac):
+    """One block of an AC refinement scan (Ah = Al+1 -> Al): the
+    libjpeg encode_mcu_AC_refine control flow — correction bits for
+    history-nonzero coefficients buffered and flushed after each
+    emitted symbol; per-block EOB (run 1) carries the tail bits."""
+    absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    pending: list[int] = []
+
+    def _flush() -> None:
+        for b in pending:
+            bw.write(b, 1)
+        pending.clear()
+
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            _flush()
+            r -= 16
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        code, ln = ac[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(coef[ss + i]) >= 0 else 0, 1)
+        _flush()
+        r = 0
+    if r > 0 or pending:
+        code, ln = ac[0x00]
+        bw.write(code, ln)
+        _flush()
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    scans=None,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a PROGRESSIVE (SOF2) JFIF
+    JPEG with the Annex K tables.  ``scans`` overrides the default
+    :data:`PROGRESSIVE_SCRIPT` (entries ``(comp_idxs, Ss, Se, Ah,
+    Al)``); the script must end with every coefficient refined to
+    Al=0 for full-precision reconstruction.  Coefficients come from
+    the same `_to_planes` + `_fdct_quant` pipeline as the baseline
+    encoder, so both modes encode identical quantized data."""
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("encode_jpeg_progressive: subsampling 444/422/420")
+    h, w, _ = rgb.shape
+    planes, mcux, mcuy = _to_planes(rgb, subsampling)
+    ql = _scale_q(QUANT_LUMA, quality)
+    qc = _scale_q(QUANT_CHROMA, quality)
+    hmax = max(p[1] for p in planes)
+    comps = []
+    for ci, (plane, chs, cvs) in enumerate(planes):
+        q = ql if ci == 0 else qc
+        pbh, pbw = plane.shape[0] // 8, plane.shape[1] // 8
+        coef = np.zeros((pbh, pbw, 64), dtype=np.int32)
+        for by in range(pbh):
+            for bx in range(pbw):
+                coef[by, bx] = _fdct_quant(
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q
+                )
+        cw = -(-w * chs // hmax)
+        cv_max = max(p[2] for p in planes)
+        chh = -(-h * cvs // cv_max)
+        comps.append({
+            "coef": coef, "h": chs, "v": cvs,
+            "bw": -(-cw // 8), "bh": -(-chh // 8),
+        })
+    if scans is None:
+        scans = PROGRESSIVE_SCRIPT
+
+    dc_codes = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+    ac_codes = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q[z]) for z in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+    for ci, c in enumerate(comps):
+        out += bytes([ci + 1, (c["h"] << 4) | c["v"], 0 if ci == 0 else 1])
+    for tc, th, (bits, vals) in (
+        (0, 0, DC_LUMA), (1, 0, AC_LUMA), (0, 1, DC_CHROMA), (1, 1, AC_CHROMA)
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    for comp_idxs, ss, se, ah, al in scans:
+        ns = len(comp_idxs)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idxs:
+            tbl = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (tbl << 4) | tbl])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw_w = _BitWriter()
+        if ss == 0:
+            pred = [0] * len(comps)
+            if ns > 1:  # interleaved DC scan over the padded MCU grid
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for ci in comp_idxs:
+                        c = comps[ci]
+                        dc = dc_codes[0 if ci == 0 else 1]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coef0 = int(
+                                    c["coef"][my * c["v"] + by,
+                                              mx * c["h"] + bx, 0]
+                                )
+                                if ah == 0:
+                                    v = coef0 >> al
+                                    diff = v - pred[ci]
+                                    pred[ci] = v
+                                    t = _category(diff)
+                                    code, ln = dc[t]
+                                    bw_w.write(code, ln)
+                                    if t:
+                                        bw_w.write(
+                                            diff if diff >= 0
+                                            else diff + (1 << t) - 1, t
+                                        )
+                                else:
+                                    bw_w.write((coef0 >> al) & 1, 1)
+            else:  # non-interleaved DC scan: real blocks only
+                ci = comp_idxs[0]
+                c = comps[ci]
+                dc = dc_codes[0 if ci == 0 else 1]
+                for m in range(c["bw"] * c["bh"]):
+                    by, bx = divmod(m, c["bw"])
+                    coef0 = int(c["coef"][by, bx, 0])
+                    if ah == 0:
+                        v = coef0 >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = _category(diff)
+                        code, ln = dc[t]
+                        bw_w.write(code, ln)
+                        if t:
+                            bw_w.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                    else:
+                        bw_w.write((coef0 >> al) & 1, 1)
+        else:
+            ci = comp_idxs[0]
+            c = comps[ci]
+            ac = ac_codes[0 if ci == 0 else 1]
+            for m in range(c["bw"] * c["bh"]):
+                by, bx = divmod(m, c["bw"])
+                block = c["coef"][by, bx]
+                if ah == 0:
+                    _enc_ac_first(bw_w, block, ss, se, al, ac)
+                else:
+                    _enc_ac_refine(bw_w, block, ss, se, al, ac)
+        bw_w.flush()
+        out += bw_w.out
     out += b"\xff\xd9"
     return bytes(out)

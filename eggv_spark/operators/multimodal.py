@@ -38,12 +38,14 @@ modality:
   predictors, left/right/mid-side decorrelation, CRC-8/16 verified;
   stdlib only) with a spec-conformant FIXED-predictor encoder for
   LOSSLESS round-trip tests — compressed audio without librosa.
-- **baseline JPEG: REAL** — :func:`decode_jpeg_features` drives
-  ``operators/jpegcodec.py`` (marker parse, huffman entropy decode,
+- **JPEG (baseline AND progressive): REAL** — :func:`decode_jpeg_features`
+  drives ``operators/jpegcodec.py`` (marker parse, huffman entropy
+  decode — sequential and full T.81 Annex-G progression with
+  spectral selection / successive approximation / EOB runs —
   dequantize, 8×8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsample, restart
-  markers; stdlib + numpy, no PIL/libjpeg), with a spec-conformant
-  Annex-K encoder for round-trip tests.
-- remaining compressed codecs (progressive JPEG, MP3/H.264 …):
+  markers; stdlib + numpy, no PIL/libjpeg), with spec-conformant
+  Annex-K baseline and progressive encoders for round-trip tests.
+- remaining compressed codecs (arithmetic-coded JPEG, MP3/H.264 …):
   STUBBED — the container has no ffmpeg/PIL/librosa, so
   ``decode_payload`` raises ``NotImplementedError`` unless
   ``fake=True``, which produces a deterministic md5-derived feature
@@ -603,10 +605,10 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     (``GIF87a``/``GIF89a``) via :func:`decode_gif` (full
     variable-width LZW); likewise WAV (``RIFF``) via
     :func:`decode_wav` and Y4M video (``YUV4MPEG2``) via
-    :func:`decode_y4m`; baseline JPEG (``FF D8``) via
+    :func:`decode_y4m`; baseline and progressive JPEG (``FF D8``) via
     :func:`decode_jpeg_features` (operators/jpegcodec.py — huffman +
     IDCT, stdlib + numpy).  The remaining compressed formats
-    (progressive JPEG, MP3/H.264 classes) need PIL/librosa/ffmpeg,
+    (arithmetic-coded JPEG, MP3/H.264 classes) need PIL/librosa/ffmpeg,
     which this environment does not ship:
     ``fake=True`` derives a deterministic FEATURE_DIM-float vector
     from the md5 digest — shape-compatible with a real embedding so

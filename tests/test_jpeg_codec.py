@@ -18,6 +18,7 @@ from eggv_spark.operators.jpegcodec import (
     DC_LUMA,
     decode_jpeg,
     encode_jpeg_baseline,
+    encode_jpeg_progressive,
 )
 from eggv_spark.operators.multimodal import decode_jpeg_features, decode_payload
 
@@ -179,6 +180,203 @@ def test_quality_monotonicity():
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2): full Annex-G huffman progression
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_progressive_decodes_identically_to_baseline(sub):
+    """Baseline and progressive encodes share the quantization
+    pipeline, so once every refinement scan has run the decoder must
+    reconstruct the IDENTICAL coefficients — pixel-exact equality, no
+    tolerance.  This one assertion covers DC/AC first scans, spectral
+    selection, successive approximation, refinement, and EOB runs."""
+    img = _smooth(32, 48)
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=85, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, subsampling=sub)
+    )
+    assert base[:2] == prog[:2] == (48, 32)
+    for a, b in zip(base[2], prog[2]):
+        assert np.array_equal(a, b)
+
+
+def test_progressive_equality_odd_dimensions_and_noise():
+    """Edge-padding geometry: non-multiple-of-8/16 dims force MCU
+    padding blocks that the interleaved DC scan covers but the
+    non-interleaved AC scans must NOT; noise maximizes coefficient
+    density through the refinement encoder."""
+    rng = np.random.default_rng(7)
+    for (h, w), sub in (((19, 37), "420"), ((17, 23), "422"),
+                        ((33, 31), "444")):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(
+            encode_jpeg_baseline(img, quality=50, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=50, subsampling=sub))
+        for a, b in zip(base[2], prog[2]):
+            assert np.array_equal(a, b), (h, w, sub)
+
+
+def test_progressive_flat_image_is_lossless():
+    flat = np.full((24, 24, 3), 77, dtype=np.uint8)
+    w, h, chans = decode_jpeg(encode_jpeg_progressive(flat, quality=95))
+    assert (w, h) == (24, 24)
+    for i, c in enumerate(chans):
+        assert np.array_equal(c, flat[:, :, i])
+
+
+def test_progressive_spectral_selection_only_script():
+    """A script with NO successive approximation (all Al=0) is pure
+    spectral selection — still full precision, still pixel-equal to
+    baseline; pins the Ah=0 paths independently of refinement."""
+    img = _gradient(24, 40)
+    scans = (
+        ((0, 1, 2), 0, 0, 0, 0),   # DC, full precision
+        ((0,), 1, 5, 0, 0),
+        ((0,), 6, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    )
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=85))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, scans=scans)
+    )
+    for a, b in zip(base[2], prog[2]):
+        assert np.array_equal(a, b)
+
+
+def _flat_dqt():
+    import struct
+
+    return b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+
+
+def _sof2(w, h):
+    import struct
+
+    return b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes([1, 0x11, 0])
+
+
+def _dht(tc, th, bits, vals):
+    import struct
+
+    return b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+        + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+
+def _sos1(ss, se, ahal):
+    import struct
+
+    return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+        + bytes([ss, se, ahal])
+
+
+def test_progressive_eob_run_longer_than_one_block():
+    """EOBn runs (run length > 1) span whole blocks; the fixture
+    encoder never emits them (Annex-K tables carry no EOBn codes), so
+    this hand-assembles a 2-block grayscale stream whose AC scan codes
+    EOB2 — coefficient 1 of block 1 set, everything after covered by
+    one run crossing into block 2."""
+    from eggv_spark.operators.jpegcodec import ZIGZAG, _BitWriter, _C
+
+    dc_codes = _canonical_codes(*DC_LUMA)
+    # custom AC table: two 1-bit codes — 0x01 (r=0,s=1), 0x10 (EOB2)
+    ac_bits = [2] + [0] * 15
+    ac_vals = [0x01, 0x10]
+    buf = bytearray(b"\xff\xd8")
+    buf += _flat_dqt() + _sof2(16, 8)
+    buf += _dht(0, 0, DC_LUMA[0], DC_LUMA[1])
+    buf += _dht(1, 0, ac_bits, ac_vals)
+    # scan 1: DC first, al=0 — blocks DC = 16, 16 (diff 16 then 0)
+    bw = _BitWriter()
+    code, ln = dc_codes[5]
+    bw.write(code, ln)
+    bw.write(16, 5)
+    code, ln = dc_codes[0]
+    bw.write(code, ln)
+    bw.flush()
+    buf += _sos1(0, 0, 0x00) + bw.out
+    # scan 2: AC first 1..63, al=0 — block1 coef[1] = -1, then EOB2
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+    bw = _BitWriter()
+    code, ln = ac_codes[0x01]
+    bw.write(code, ln)
+    bw.write(0, 1)           # magnitude bits for -1 (s=1, negative)
+    code, ln = ac_codes[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)           # EOB run = (1<<1) + 0 = 2 blocks
+    bw.flush()
+    buf += _sos1(1, 63, 0x00) + bw.out
+    buf += b"\xff\xd9"
+    w, h, chans = decode_jpeg(bytes(buf))
+    assert (w, h) == (16, 8)
+    # expected rasters from the same IDCT math
+    f1 = np.zeros(64)
+    f1[ZIGZAG[0]] = 16.0
+    f1[ZIGZAG[1]] = -1.0
+    px1 = _C.T @ f1.reshape(8, 8) @ _C + 128.0
+    px2 = np.full((8, 8), 16.0 / 8.0 + 128.0)
+    exp = np.clip(np.hstack([px1, px2]).round(), 0, 255).astype(np.uint8)
+    assert np.array_equal(chans[0], exp)
+    assert np.array_equal(chans[0], chans[2])  # grayscale replication
+
+
+def test_progressive_restart_markers_reset_dc_prediction():
+    """DRI=1 DC scan with RSTn between every block: prediction resets
+    to zero at each restart, so three blocks code their ABSOLUTE DC
+    values — flat 8x8 tiles at 130/131/127 (quant 1, DC/8 + 128)."""
+    import struct
+
+    from eggv_spark.operators.jpegcodec import _BitWriter
+
+    dc_codes = _canonical_codes(*DC_LUMA)
+    buf = bytearray(b"\xff\xd8")
+    buf += _flat_dqt() + _sof2(24, 8)
+    buf += _dht(0, 0, DC_LUMA[0], DC_LUMA[1])
+    buf += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1
+    segs = []
+    for dc in (16, 24, -8):
+        bw = _BitWriter()
+        t = abs(dc).bit_length()
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        bw.write(dc if dc >= 0 else dc + (1 << t) - 1, t)
+        bw.flush()
+        segs.append(bytes(bw.out))
+    entropy = segs[0] + b"\xff\xd0" + segs[1] + b"\xff\xd1" + segs[2]
+    buf += _sos1(0, 0, 0x00) + entropy + b"\xff\xd9"
+    w, h, chans = decode_jpeg(bytes(buf))
+    assert (w, h) == (24, 8)
+    assert np.array_equal(np.unique(chans[0][:, 0:8]), [130])
+    assert np.array_equal(np.unique(chans[0][:, 8:16]), [131])
+    assert np.array_equal(np.unique(chans[0][:, 16:24]), [127])
+
+
+def test_progressive_truncated_scan_raises():
+    img = _smooth(16, 16)
+    buf = encode_jpeg_progressive(img, quality=85)
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[:-30])
+    # an AC scan claiming multiple components is structurally invalid
+    img2 = encode_jpeg_progressive(img, quality=85)
+    assert b"\xff\xda" in img2
+
+
+def test_decode_payload_routes_progressive_for_real():
+    from eggv_spark.operators.multimodal import FEATURE_DIM
+
+    img = _smooth(16, 16)
+    bufb = encode_jpeg_baseline(img, quality=85)
+    bufp = encode_jpeg_progressive(img, quality=85)
+    fb = decode_payload(bufb, "image", fake=False)
+    fp = decode_payload(bufp, "image", fake=False)
+    assert len(fp) == FEATURE_DIM
+    assert fb == fp  # identical rasters -> identical feature rows
+
+
+# ---------------------------------------------------------------------------
 # error contracts
 # ---------------------------------------------------------------------------
 
@@ -194,12 +392,12 @@ def test_corrupt_payloads_raise_value_error():
         decode_jpeg(buf[:-20])  # truncated entropy data
 
 
-def test_progressive_raises_not_implemented():
+def test_arithmetic_sof_raises_not_implemented():
     img = _gradient(16, 16)
     buf = bytearray(encode_jpeg_baseline(img, quality=90))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    buf[i + 1] = 0xCA  # rewrite SOF0 -> SOF10 (arithmetic progressive)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(buf))
 
 
@@ -245,11 +443,11 @@ def test_decode_payload_routes_jpeg_for_real():
     assert 0.0 <= feats[7] <= feats[6] <= 255.0
 
 
-def test_decode_payload_progressive_falls_back_like_palette_png():
+def test_decode_payload_arithmetic_falls_back_like_palette_png():
     img = _gradient(16, 16)
     buf = bytearray(encode_jpeg_baseline(img, quality=90))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
+    buf[i + 1] = 0xCA  # arithmetic coding: the remaining honest stub
     with pytest.raises(NotImplementedError):
         decode_payload(bytes(buf), "image", fake=False)
     faked = decode_payload(bytes(buf), "image", fake=True)
