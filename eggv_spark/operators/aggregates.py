@@ -3887,3 +3887,114 @@ def cronbach_alpha(
         F.round(total_var, 6).alias("total_var"),
         F.round(alpha, 6).alias("alpha"),
     )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque–Bera normality test — the residual-QA member of the
+    distribution-test family (agg_ks_test compares two samples,
+    agg_runs_test checks sequence randomness, agg_ljung_box checks
+    autocorrelation; JB asks "is this sample plausibly Gaussian" from
+    its skewness and excess kurtosis):
+
+        JB = n/6 · (g1² + g2²/4),   g1 = m3/m2^1.5,  g2 = m4/m2² − 3
+
+    Input must be INTEGER-quantized (the smd_balance contract): one
+    keys=[] pass folds n and the exact raw power sums Σx, Σx², Σx³,
+    Σx⁴ in DECIMAL(38,0) (the measured bigint-overflow lesson — x⁴ of
+    cents-scale values passes 1e30); central moments and the JB stat
+    assemble in ONE fixed-order float expression, 6dp.  NULLs are
+    dropped first.  The 5% decision threshold is the χ²₂ quantile
+    written as the same literal on both engine sides (the z² lesson).
+
+    Plan: single aggregate, no shuffle beyond the final fold —
+    100 TB safe by construction.
+
+    Output: one row (n, skewness, kurtosis_excess, jb, reject_5pct).
+    """
+    base = df.select(F.col(value_col).cast("bigint").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+
+    def _dec(c) -> Column:
+        return c.cast("decimal(38,0)")
+
+    x = F.col("_x")
+    m = base.agg(
+        F.count("*").alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(_dec(x) * x).alias("_s2"),
+        F.sum(_dec(x) * x * x).alias("_s3"),
+        F.sum((_dec(x) * x) * (_dec(x) * x)).alias("_s4"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4.0 * mu * (s3 / n)
+        + 6.0 * mu * mu * (s2 / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    g1 = F.try_divide(m3, F.sqrt(m2 * m2 * m2))
+    g2 = F.try_divide(m4, m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    return m.select(
+        F.col("_n").alias("n"),
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("kurtosis_excess"),
+        F.round(jb, 6).alias("jb"),
+        (F.round(jb, 6) > F.lit(5.991465)).alias("reject_5pct"),
+    )
+
+
+def macd(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    max_lags: int = 60,
+) -> DataFrame:
+    """MACD — the trend-momentum companion of win_bollinger / win_rsi:
+    macd = EMA(fast) − EMA(slow), signal_line = EMA(signal) of macd,
+    histogram = macd − signal_line, with every EMA the same
+    FINITE-MEMORY truncated form as :func:`with_ewma` (α = 2/(n+1),
+    lags capped at ``max_lags`` where the dropped tail weight is
+    (1−α)^K — ~0.8% for the slow line at the default 60).  The
+    textbook recursion is inherently sequential; truncation turns all
+    three lines into bounded window expressions sharing ONE sort
+    shuffle on the group key (signal needs a second pass over the
+    derived macd column, same partitioning, no extra exchange).
+    ``order_col`` must be unique per group; 6dp rounding on output so
+    the summation-order-free lag sums hash identically cross-engine.
+
+    Output: df + (macd, signal_line, histogram)."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+
+    def _ema(col: Column, n_periods: int) -> Column:
+        a = 2.0 / (n_periods + 1.0)
+        num = F.lit(0.0)
+        den = F.lit(0.0)
+        for j in range(max_lags + 1):
+            lagged = F.lag(col, j).over(w) if j else col
+            wt = F.lit(a * (1.0 - a) ** j)
+            num = num + F.coalesce(lagged * wt, F.lit(0.0))
+            den = den + F.when(lagged.isNotNull(), wt).otherwise(F.lit(0.0))
+        return F.try_divide(num, den)
+
+    v = F.col(value_col).cast("double")
+    macd_raw = F.round(_ema(v, fast) - _ema(v, slow), 6)
+    out = df.withColumn("macd", macd_raw)
+    sig = F.round(_ema(F.col("macd"), signal), 6)
+    out = out.withColumn("signal_line", sig)
+    return out.withColumn(
+        "histogram", F.round(F.col("macd") - F.col("signal_line"), 6)
+    )

@@ -1,0 +1,248 @@
+"""Staging tests for the round-10 wave destined for round 12 (the
+registry is frozen at 445 through round 10; the round-11 window is
+already claimed by the nine staged registrations):
+
+- aggregates.jarque_bera — normality from exact integer power sums
+- aggregates.macd — truncated-EMA trend momentum (12/26/9)
+- relational.binned_target_rate — per-quantile-bin event rate with
+  Wilson CI, sharing quantile_binning's edge kernel
+
+Hand-computed unit tests + the Spark-vs-DuckDB pairing at sf0.001
+against the oracle drafts validated in
+tests/test_round12_staged_oracles.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+def _spark_vs_oracle(con, df, sql):
+    got = sorted(tuple(r) for r in df.collect())
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp, f"\ngot: {got[:4]}\nexp: {exp[:4]}"
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera
+# ---------------------------------------------------------------------------
+
+
+def test_jarque_bera_hand_example(spark):
+    from eggv_spark.operators.aggregates import jarque_bera
+
+    xs = [1, 2, 3, 4, 5, 6, 7, 8, 100]  # one huge outlier
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    r = jarque_bera(df, "x").collect()[0]
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    m3 = sum((x - mu) ** 3 for x in xs) / n
+    m4 = sum((x - mu) ** 4 for x in xs) / n
+    g1 = m3 / m2 ** 1.5
+    g2 = m4 / m2 ** 2 - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    assert r["n"] == n
+    assert r["skewness"] == pytest.approx(round(g1, 6), abs=1e-6)
+    assert r["kurtosis_excess"] == pytest.approx(round(g2, 6), abs=1e-6)
+    assert r["jb"] == pytest.approx(round(jb, 6), abs=1e-5)
+    assert r["reject_5pct"] is True  # the outlier wrecks normality
+
+
+def test_jarque_bera_symmetric_small_sample_accepts(spark):
+    from eggv_spark.operators.aggregates import jarque_bera
+
+    # symmetric, light-tailed: g1 = 0, JB tiny -> not rejected
+    df = spark.createDataFrame(
+        [(x,) for x in (-2, -1, -1, 0, 0, 0, 0, 1, 1, 2)], "x long"
+    )
+    r = jarque_bera(df, "x").collect()[0]
+    assert r["skewness"] == 0.0
+    assert r["reject_5pct"] is False
+
+
+def test_jarque_bera_degenerate_constant_is_null(spark):
+    from eggv_spark.operators.aggregates import jarque_bera
+
+    df = spark.createDataFrame([(5,), (5,), (5,)], "x long")
+    r = jarque_bera(df, "x").collect()[0]
+    assert r["skewness"] is None and r["jb"] is None
+
+
+def test_jarque_bera_oracle_sf0001(spark, con):
+    from eggv_spark.operators.aggregates import jarque_bera
+    from eggv_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from tests.test_round12_staged_oracles import JB_SQL
+
+    u = read_table(spark, SF_DIR, "orders").select(
+        F.round("o_totalprice").cast("bigint").alias("x")
+    )
+    _spark_vs_oracle(con, jarque_bera(u, "x"), JB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# macd
+# ---------------------------------------------------------------------------
+
+
+def _py_trunc_ema(xs, n_periods, max_lags=60):
+    a = 2.0 / (n_periods + 1.0)
+    out = []
+    for t in range(len(xs)):
+        num = den = 0.0
+        for j in range(max_lags + 1):
+            if t - j >= 0:
+                wt = a * (1.0 - a) ** j
+                num += xs[t - j] * wt
+                den += wt
+        out.append(num / den)
+    return out
+
+
+def test_macd_matches_sequential_reference(spark):
+    from eggv_spark.operators.aggregates import macd
+
+    xs = [float(100 + (i % 7) * 10 + (i % 3)) for i in range(45)]
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, v double")
+    got = {r["t"]: r for r in macd(df, [], "t", "v").collect()}
+    fast = _py_trunc_ema(xs, 12)
+    slow = _py_trunc_ema(xs, 26)
+    mac = [round(f - s, 6) for f, s in zip(fast, slow)]
+    sig = _py_trunc_ema(mac, 9)
+    for t in range(len(xs)):
+        assert got[t]["macd"] == pytest.approx(mac[t], abs=2e-6)
+        assert got[t]["signal_line"] == pytest.approx(sig[t], abs=2e-6)
+        assert got[t]["histogram"] == pytest.approx(
+            round(got[t]["macd"] - got[t]["signal_line"], 6), abs=2e-6
+        )
+
+
+def test_macd_keyed_series_are_independent(spark):
+    from eggv_spark.operators.aggregates import macd
+
+    rows = [("a", i, float(10 * i)) for i in range(20)] + [
+        ("b", i, 5.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = macd(df, ["k"], "t", "v").collect()
+    b_rows = [r for r in out if r["k"] == "b"]
+    # constant series: every EMA equals the constant -> macd exactly 0
+    assert all(r["macd"] == 0.0 and r["histogram"] == 0.0 for r in b_rows)
+    a_tail = [r for r in out if r["k"] == "a"][-1]
+    assert a_tail["macd"] > 0.0  # rising series: fast EMA above slow
+
+
+def test_macd_oracle_sf0001(spark, con):
+    from eggv_spark.operators.aggregates import macd
+    from eggv_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from tests.test_round12_staged_oracles import macd_sql
+
+    daily = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint").alias("x_cents")
+        )
+    )
+    out = macd(daily, [], "day", "x_cents").select(
+        F.datediff("day", F.lit("1970-01-01")).cast("bigint")
+        .alias("day_num"),
+        "x_cents", "macd", "signal_line", "histogram",
+    )
+    _spark_vs_oracle(con, out, macd_sql())
+
+
+# ---------------------------------------------------------------------------
+# binned_target_rate
+# ---------------------------------------------------------------------------
+
+
+def test_btr_hand_example(spark):
+    from eggv_spark.operators.relational import binned_target_rate
+
+    rows = [(i, 1 if i % 3 == 0 else 0) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "v long, y long")
+    got = {r["bin"]: r for r in
+           binned_target_rate(df, "v", "y", n_bins=4).collect()}
+    assert [got[j]["upper_edge"] for j in (1, 2, 3, 4)] == [10, 20, 30, 40]
+    assert all(got[j]["n_rows"] == 10 for j in (1, 2, 3, 4))
+    # events of i%3==0 per decade: 3,3,4,3
+    assert [got[j]["n_events"] for j in (1, 2, 3, 4)] == [3, 3, 4, 3]
+    p = 0.3
+    z2 = 1.96 * 1.96
+    denom = 1.0 + z2 / 10.0
+    center = (p + z2 / 20.0) / denom
+    half = 1.96 * math.sqrt(p * 0.7 / 10.0 + z2 / 400.0) / denom
+    assert got[1]["rate"] == pytest.approx(0.3, abs=1e-6)
+    assert got[1]["ci_lo"] == pytest.approx(round(center - half, 6),
+                                            abs=1e-6)
+    assert got[1]["ci_hi"] == pytest.approx(round(center + half, 6),
+                                            abs=1e-6)
+
+
+def test_btr_bins_align_with_quantile_binning(spark):
+    from eggv_spark.operators.relational import (
+        binned_target_rate,
+        quantile_binning,
+    )
+
+    rows = [(i * 7 % 97, i % 2) for i in range(1, 80)]
+    df = spark.createDataFrame(rows, "v long, y long")
+    qb = {r["bin"]: r for r in quantile_binning(df, "v", 5).collect()}
+    btr = {r["bin"]: r for r in
+           binned_target_rate(df, "v", "y", n_bins=5).collect()}
+    for j in qb:
+        assert qb[j]["upper_edge"] == btr[j]["upper_edge"]
+        assert qb[j]["n_rows"] == btr[j]["n_rows"]
+
+
+def test_btr_duplicate_heavy_empty_bins_are_null(spark):
+    from eggv_spark.operators.relational import binned_target_rate
+
+    df = spark.createDataFrame(
+        [(1, 0)] * 9 + [(2, 1)], "v long, y long"
+    )
+    got = {r["bin"]: r for r in
+           binned_target_rate(df, "v", "y", n_bins=4).collect()}
+    empty = [j for j in got if got[j]["n_rows"] == 0]
+    assert empty, "duplicate-heavy data must produce empty upper bins"
+    for j in empty:
+        assert got[j]["rate"] is None
+        assert got[j]["ci_lo"] is None and got[j]["ci_hi"] is None
+
+
+def test_btr_oracle_sf0001(spark, con):
+    from eggv_spark.operators.relational import binned_target_rate
+    from eggv_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from tests.test_round12_staged_oracles import BTR_SQL
+
+    u = read_table(spark, SF_DIR, "orders").select(
+        F.round("o_totalprice").cast("bigint").alias("v"),
+        (F.col("o_orderkey") % 3 == 0).cast("int").alias("y"),
+    )
+    _spark_vs_oracle(con, binned_target_rate(u, "v", "y", n_bins=8),
+                     BTR_SQL)

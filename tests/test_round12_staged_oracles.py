@@ -1,0 +1,266 @@
+"""DuckDB-side oracle drafts for the round-10 STAGED (unregistered)
+wave — Jarque–Bera normality, truncated-EMA MACD, and the binned
+target rate — validated against pure-Python references on sf0.001 so
+a later registration only needs the Spark-vs-oracle cross-check.
+
+No SparkSession in this module (the cross-engine pairing lives in
+tests/test_round12_staged.py).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera oracle: exact HUGEINT power sums, fixed-order assembly
+# (fixture: orders, x = round(o_totalprice))
+# ---------------------------------------------------------------------------
+
+JB_SQL = """
+WITH u AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS s1, sum(x * x) AS s2, sum(x * x * x) AS s3,
+         sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+  FROM u
+), a AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM m
+), b AS (
+  SELECT n,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+            - 3.0 * mu * mu * mu * mu AS m4
+  FROM a
+), c AS (
+  SELECT n, m3 / sqrt(m2 * m2 * m2) AS g1,
+         m4 / (m2 * m2) - 3.0 AS g2
+  FROM b
+)
+SELECT n, round(g1, 6) AS skewness, round(g2, 6) AS kurtosis_excess,
+       round(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6) AS jb,
+       round(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)
+         > 5.991465 AS reject_5pct
+FROM c
+"""
+
+
+def test_jarque_bera_oracle_matches_python_reference(con):
+    got = con.execute(JB_SQL).fetchone()
+    xs = [
+        x for (x,) in con.execute(
+            "SELECT CAST(round(o_totalprice) AS BIGINT) FROM orders"
+            " WHERE o_totalprice IS NOT NULL"
+        ).fetchall()
+    ]
+    n = len(xs)
+    s1 = sum(xs)
+    s2 = sum(x * x for x in xs)
+    s3 = sum(x ** 3 for x in xs)
+    s4 = sum(x ** 4 for x in xs)
+    mu, r2, r3, r4 = s1 / n, s2 / n, s3 / n, s4 / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3.0 * mu * r2 + 2.0 * mu ** 3
+    m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu ** 4
+    g1 = m3 / (m2 ** 1.5)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    assert got[0] == n
+    assert got[1] == pytest.approx(round(g1, 6), abs=1e-6)
+    assert got[2] == pytest.approx(round(g2, 6), abs=1e-6)
+    assert got[3] == pytest.approx(round(jb, 6), abs=1e-6)
+    assert got[4] == (round(jb, 6) > 5.991465)
+
+
+# ---------------------------------------------------------------------------
+# macd oracle: generated truncated-EMA lag sums over the daily spine
+# (fixture: events daily cents, keys=[], 12/26/9, max_lags=60)
+# ---------------------------------------------------------------------------
+
+
+def _ema_sql(col: str, n_periods: int, max_lags: int = 60) -> str:
+    """Same finite-memory EWMA as aggregates.macd, with each weight
+    emitted via repr() so both engines parse the identical double."""
+    a = 2.0 / (n_periods + 1.0)
+    num, den = ["0.0"], ["0.0"]
+    for j in range(max_lags + 1):
+        wt = repr(a * (1.0 - a) ** j)
+        lag = col if j == 0 else f"lag({col}, {j}) OVER w"
+        num.append(f"coalesce({lag} * {wt}, 0.0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    return "(" + " + ".join(num) + ") / (" + " + ".join(den) + ")"
+
+
+def macd_sql(fast: int = 12, slow: int = 26, signal: int = 9,
+             max_lags: int = 60) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_cents
+  FROM events GROUP BY CAST(ts AS DATE)
+), t1 AS (
+  SELECT day, x_cents, CAST(x_cents AS DOUBLE) AS v FROM daily
+), t2 AS (
+  SELECT day, x_cents,
+         round({_ema_sql('v', fast, max_lags)}
+               - {_ema_sql('v', slow, max_lags)}, 6) AS macd
+  FROM t1
+  WINDOW w AS (ORDER BY day)
+), t3 AS (
+  SELECT day, x_cents, macd,
+         round({_ema_sql('macd', signal, max_lags)}, 6) AS signal_line
+  FROM t2
+  WINDOW w AS (ORDER BY day)
+)
+SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num, x_cents,
+       macd, signal_line,
+       round(macd - signal_line, 6) AS histogram
+FROM t3
+"""
+
+
+def _py_ema(xs, n_periods, max_lags=60):
+    a = 2.0 / (n_periods + 1.0)
+    out = []
+    for t in range(len(xs)):
+        num = 0.0
+        den = 0.0
+        for j in range(max_lags + 1):
+            wt = a * (1.0 - a) ** j
+            if t - j >= 0 and xs[t - j] is not None:
+                num += xs[t - j] * wt
+                den += wt
+        out.append(num / den if den else None)
+    return out
+
+
+def _round6(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           ROUND_HALF_UP))
+
+
+def test_macd_oracle_matches_python_reference(con):
+    rows = con.execute(macd_sql() + " ORDER BY day_num").fetchall()
+    xs = [float(r[1]) for r in rows]
+    fast = _py_ema(xs, 12)
+    slow = _py_ema(xs, 26)
+    mac = [_round6(f - s) for f, s in zip(fast, slow)]
+    sig = [_round6(s) for s in _py_ema(mac, 9)]
+    for i, r in enumerate(rows):
+        assert r[2] == pytest.approx(mac[i], abs=1e-6), i
+        assert r[3] == pytest.approx(sig[i], abs=1e-6), i
+        assert r[4] == pytest.approx(_round6(r[2] - r[3]), abs=1e-6), i
+    assert len(rows) >= 20  # the daily spine is long enough to matter
+
+
+# ---------------------------------------------------------------------------
+# binned_target_rate oracle: QBIN edges + per-bin Wilson interval
+# (fixture: orders, v = round(o_totalprice), y = o_orderkey % 3 = 0,
+#  n_bins = 8)
+# ---------------------------------------------------------------------------
+
+BTR_SQL = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS v,
+         CAST(o_orderkey % 3 = 0 AS INT) AS y
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM base
+), spine AS (
+  SELECT CAST(j AS BIGINT) AS j FROM generate_series(1, 8) t(j)
+), edges AS (
+  SELECT spine.j, max(ranked.v) AS edge
+  FROM ranked JOIN spine
+    ON (ranked.rn - 1) * 8 < spine.j * ranked.n
+   AND spine.j * ranked.n <= ranked.rn * 8
+  GROUP BY spine.j
+), assigned AS (
+  SELECT (SELECT min(j) FROM edges WHERE edge >= base.v) AS bin, y
+  FROM base
+), per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(y) AS BIGINT) AS n_events
+  FROM assigned GROUP BY bin
+), wil AS (
+  SELECT bin, n_rows, n_events,
+         CAST(n_events AS DOUBLE) / CAST(n_rows AS DOUBLE) AS p,
+         CAST(n_rows AS DOUBLE) AS nf,
+         1.0 + (1.96 * 1.96) / CAST(n_rows AS DOUBLE) AS denom
+  FROM per
+)
+SELECT e.j AS bin, e.edge AS upper_edge,
+       coalesce(w.n_rows, 0) AS n_rows,
+       coalesce(w.n_events, 0) AS n_events,
+       round(w.p, 6) AS rate,
+       round((w.p + (1.96 * 1.96) / (2.0 * w.nf)) / w.denom
+             - 1.96 * sqrt(w.p * (1.0 - w.p) / w.nf
+                           + (1.96 * 1.96) / (4.0 * w.nf * w.nf))
+               / w.denom, 6) AS ci_lo,
+       round((w.p + (1.96 * 1.96) / (2.0 * w.nf)) / w.denom
+             + 1.96 * sqrt(w.p * (1.0 - w.p) / w.nf
+                           + (1.96 * 1.96) / (4.0 * w.nf * w.nf))
+               / w.denom, 6) AS ci_hi
+FROM edges e LEFT JOIN wil w ON w.bin = e.j
+"""
+
+
+def test_btr_oracle_matches_python_reference(con):
+    import math
+
+    got = sorted(con.execute(BTR_SQL).fetchall())
+    rows = con.execute(
+        "SELECT CAST(round(o_totalprice) AS BIGINT),"
+        " CAST(o_orderkey % 3 = 0 AS INT) FROM orders"
+        " WHERE o_totalprice IS NOT NULL"
+    ).fetchall()
+    vals = sorted(v for v, _ in rows)
+    n = len(vals)
+    edges = [vals[-((-j * n) // 8) - 1] for j in range(1, 9)]
+    per = {}
+    for v, y in rows:
+        b = next(j + 1 for j, e in enumerate(edges) if v <= e)
+        cnt, ev = per.get(b, (0, 0))
+        per[b] = (cnt + 1, ev + y)
+    assert len(got) == 8
+    for j, edge, n_rows, n_events, rate, lo, hi in got:
+        cnt, ev = per.get(j, (0, 0))
+        assert (edge, n_rows, n_events) == (edges[j - 1], cnt, ev)
+        if cnt == 0:
+            assert rate is None and lo is None and hi is None
+            continue
+        p = ev / cnt
+        z2 = 1.96 * 1.96
+        denom = 1.0 + z2 / cnt
+        center = (p + z2 / (2.0 * cnt)) / denom
+        half = 1.96 * math.sqrt(p * (1 - p) / cnt
+                                + z2 / (4.0 * cnt * cnt)) / denom
+        assert rate == pytest.approx(round(p, 6), abs=1e-6)
+        assert lo == pytest.approx(round(center - half, 6), abs=1e-6)
+        assert hi == pytest.approx(round(center + half, 6), abs=1e-6)
