@@ -51,8 +51,12 @@ Conflict semantics on a lost race:
 * **Time travel** — every historical version stays readable until
   ``vacuum`` with a retention floor removes its unreferenced files.
 * **100 TB posture** — commits move METADATA (one small JSON link),
-  never data; readers plan from the log (O(#versions) tiny files,
-  checkpointable the Delta way if it ever grows); MERGE rewrites only
+  never data; readers plan from the newest CHECKPOINT plus the
+  entries after it (auto-written every ``_CKPT_INTERVAL`` commits the
+  Delta way, so metadata reads stay O(interval) no matter how long
+  the table lives — checkpoints are derived data, atomically
+  replaced, and any malformed one degrades to full replay, never to
+  a wrong answer); MERGE rewrites only
   the directories whose recorded [min, max] zone-map stats intersect
   the updates' key range (zonemap_skip_audit's skip rule composed
   into the commit protocol — round-9 verdict item 4), and DELETE
@@ -174,18 +178,119 @@ def snapshot_stats(
     table: str, version: int | None = None
 ) -> dict[str, dict[str, list[Any]]]:
     """Zone-map stats for every LIVE directory at ``version`` (rel →
-    {col: [min, max]}), assembled from the immutable log entries.
-    Directories committed without stats map to {} — pruning treats
-    them as always-overlapping (conservative)."""
+    {col: [min, max]}), assembled from the newest checkpoint plus the
+    immutable log entries after it.  Directories committed without
+    stats map to {} — pruning treats them as always-overlapping
+    (conservative)."""
     versions = _list_versions(table)
     if not versions:
         raise FileNotFoundError(f"not a txn table (no {_LOG_DIR}): {table}")
     if version is None:
         version = versions[-1]
-    live: dict[str, dict[str, list[Any]]] = {}
+    return _live_state(table, version)
+
+
+_CKPT_INTERVAL = 10  # auto-checkpoint every N commits (Delta: 10)
+
+
+def _ckpt_path(table: str, version: int) -> str:
+    return os.path.join(
+        _log_path(table), f"{version:0{_WIDTH}d}.checkpoint.json"
+    )
+
+
+def _list_checkpoints(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    suffix = ".checkpoint.json"
+    for name in os.listdir(d):
+        if name.endswith(suffix) and not name.startswith("_"):
+            try:
+                out.append(int(name[: -len(suffix)]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_checkpoint(table: str, version: int | None = None) -> str:
+    """Materialize the live directory set (+ stats) at ``version``
+    into ``<version>.checkpoint.json`` — the Delta _checkpoint idea:
+    snapshot resolution becomes O(entries since the checkpoint)
+    instead of O(#versions), which is what keeps a long-lived table's
+    metadata read constant-time at 100 TB.  Checkpoints are DERIVED
+    data: written via tmp + atomic replace, safe to lose or rewrite
+    (readers fall back to full log replay on any malformed file), and
+    version claims still go through the plain entry link — the
+    concurrency protocol is unchanged."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"not a txn table: {table}")
+    if version is None:
+        version = versions[-1]
+    live = _live_state(table, version, use_checkpoint=False)
+    payload = {
+        "version": version,
+        "live": [[rel, stats] for rel, stats in live.items()],
+        "schema": next(
+            (
+                _read_entry(table, v).get("schema")
+                for v in reversed([x for x in versions if x <= version])
+                if _read_entry(table, v).get("schema")
+            ),
+            None,
+        ),
+    }
+    path = _ckpt_path(table, version)
+    tmp = os.path.join(_log_path(table), f"_tmp-ckpt-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic; identical-content last-writer-wins
+    return path
+
+
+def _maybe_checkpoint(table: str, version: int) -> None:
+    if _CKPT_INTERVAL and version % _CKPT_INTERVAL == 0:
+        try:
+            write_checkpoint(table, version)
+        except OSError:
+            pass  # derived data — a failed checkpoint costs only speed
+
+
+def _live_state(
+    table: str, version: int, use_checkpoint: bool = True
+) -> dict[str, dict[str, Any]]:
+    """Ordered {rel: stats} of live data directories at ``version``,
+    resolved from the newest usable checkpoint ≤ version plus the
+    entries after it (or a full replay when none exists / one is
+    malformed)."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"not a txn table (no {_LOG_DIR}): {table}")
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
+        )
+    live: dict[str, dict[str, Any]] = {}
+    start = 0
+    if use_checkpoint:
+        for ck in reversed(_list_checkpoints(table)):
+            if ck > version:
+                continue
+            try:
+                with open(_ckpt_path(table, ck)) as f:
+                    data = json.load(f)
+                live = {rel: stats for rel, stats in data["live"]}
+                start = ck
+                break
+            except (OSError, ValueError, KeyError, TypeError):
+                continue  # malformed checkpoint: try older, else replay
     for v in versions:
-        if v > version:
-            break
+        if v <= start or v > version:
+            continue
         e = _read_entry(table, v)
         for r in e.get("remove", []):
             live.pop(r, None)
@@ -202,19 +307,9 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
         raise FileNotFoundError(f"not a txn table (no {_LOG_DIR}): {table}")
     if version is None:
         version = versions[-1]
-    if version not in versions:
-        raise ValueError(
-            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
-        )
-    live: list[str] = []
-    for v in versions:
-        if v > version:
-            break
-        e = _read_entry(table, v)
-        removed = set(e.get("remove", []))
-        live = [p for p in live if p not in removed]
-        live.extend(e.get("add", []))
-    return [os.path.join(table, p) for p in live]
+    return [
+        os.path.join(table, p) for p in _live_state(table, version)
+    ]
 
 
 def read(
@@ -275,6 +370,7 @@ def create(df: DataFrame, table: str, stats_cols=None) -> int:
         entry["stats"] = stats
     if not _try_commit(table, 1, entry):
         raise ConcurrentWriteError(f"lost the create race for {table}")
+    _maybe_checkpoint(table, 1)
     return 1
 
 
@@ -299,6 +395,7 @@ def append(
         if stats:
             entry["stats"] = stats
         if _try_commit(table, v, entry):
+            _maybe_checkpoint(table, v)
             return v
     raise ConcurrentWriteError(
         f"append to {table} lost {max_retries} version races"
@@ -345,6 +442,7 @@ def _replace_commit(
         raise ConcurrentWriteError(
             f"{op} on {table} lost the race for v{v}: re-derive"
         )
+    _maybe_checkpoint(table, v)
     return v
 
 
@@ -466,6 +564,7 @@ def delete_rows(
             raise ConcurrentWriteError(
                 f"delete on {table} lost the race for v{v}: re-derive"
             )
+        _maybe_checkpoint(table, v)
         return v
     survivors = _read_rels(spark, table, hit).filter(f"NOT ({condition})")
     # carry forward the stats columns the rewritten dirs were tracking

@@ -374,6 +374,88 @@ def test_vacuum_relists_log_before_deleting(spark, tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# checkpoints: O(interval) snapshot resolution (the Delta _checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _mk_chain(spark, tmp_path, n_appends):
+    table = _mk(spark, tmp_path, [(0, "v0")])
+    for i in range(1, n_appends + 1):
+        T.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"), table
+        )
+    return table
+
+
+def test_checkpoint_written_at_interval_and_excluded_from_log(
+    spark, tmp_path,
+):
+    table = _mk_chain(spark, tmp_path, T._CKPT_INTERVAL)  # versions 1..11
+    cks = T._list_checkpoints(table)
+    assert cks == [T._CKPT_INTERVAL]
+    # checkpoint files never masquerade as versions
+    assert T._list_versions(table) == list(range(1, T._CKPT_INTERVAL + 2))
+
+
+def test_checkpoint_resolution_equals_full_replay(spark, tmp_path):
+    table = _mk_chain(spark, tmp_path, T._CKPT_INTERVAL + 2)
+    head = T._list_versions(table)[-1]
+    with_ck = T._live_state(table, head)
+    without = T._live_state(table, head, use_checkpoint=False)
+    assert with_ck == without
+    assert len(_rows(spark, T.read(spark, table))) == T._CKPT_INTERVAL + 3
+
+
+def test_checkpoint_resolution_after_merge_carries_stats(spark, tmp_path):
+    """A checkpoint must snapshot the zone-map stats too: a MERGE
+    after the checkpoint still prunes directories whose stats were
+    folded INTO the checkpoint rather than replayed from entries."""
+    table = str(tmp_path / "t")
+    T.create(spark.createDataFrame([(i, "low") for i in range(1, 6)],
+                                   "k long, v string"),
+             table, stats_cols=["k"])
+    for i in range(2, T._CKPT_INTERVAL + 1):  # drive past the interval
+        T.append(
+            spark.createDataFrame([(100 * i, f"hi{i}")], "k long, v string"),
+            table, stats_cols=["k"],
+        )
+    assert T._list_checkpoints(table) == [T._CKPT_INTERVAL]
+    stats = T.snapshot_stats(table)
+    assert stats and all(s.get("k") for s in stats.values())
+    low_rel = next(r for r, s in stats.items() if s["k"] == [1, 5])
+    before = _file_state(table, low_rel)
+    T.merge_upsert(
+        spark, spark.createDataFrame([(200, "patch")], "k long, v string"),
+        table, ["k"],
+    )
+    e = T.history(table)[-1]
+    assert low_rel not in e["remove"]  # pruned via checkpointed stats
+    assert _file_state(table, low_rel) == before
+
+
+def test_time_travel_before_checkpoint_still_replays(spark, tmp_path):
+    table = _mk_chain(spark, tmp_path, T._CKPT_INTERVAL + 1)
+    # version 3 predates the checkpoint at _CKPT_INTERVAL
+    got = _rows(spark, T.read(spark, table, version=3))
+    assert got == [(i, f"v{i}") for i in range(3)]
+
+
+def test_malformed_checkpoint_degrades_to_replay(spark, tmp_path):
+    table = _mk_chain(spark, tmp_path, T._CKPT_INTERVAL)
+    ck = T._ckpt_path(table, T._CKPT_INTERVAL)
+    with open(ck, "w") as f:
+        f.write("{corrupt json")
+    got = _rows(spark, T.read(spark, table))
+    assert len(got) == T._CKPT_INTERVAL + 1  # full replay, right answer
+    # and write_checkpoint repairs it atomically
+    T.write_checkpoint(table)
+    head = T._list_versions(table)[-1]
+    assert T._live_state(table, head) == T._live_state(
+        table, head, use_checkpoint=False
+    )
+
+
+# ---------------------------------------------------------------------------
 # log hygiene
 # ---------------------------------------------------------------------------
 
