@@ -3998,3 +3998,156 @@ def macd(
     return out.withColumn(
         "histogram", F.round(F.col("macd") - F.col("signal_line"), 6)
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    order_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Durbin–Watson residual-autocorrelation test — the third leg of
+    the regression-diagnostics family (agg_linreg fits, jarque_bera
+    checks residual normality, DW checks residual INDEPENDENCE over
+    the sequence order: DW ≈ 2(1−ρ), ≈2 means uncorrelated, →0
+    positive serial correlation, →4 negative):
+
+        DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ_t e_t²
+
+    with e the OLS residuals of y on x.  Inputs must be
+    INTEGER-quantized (the smd_balance contract) and ``order_col``
+    unique (the sequence).  Slope/intercept come from one exact-sum
+    aggregate (DECIMAL(38,0) second moments) assembled in a fixed
+    float order; residuals are then a per-row pure expression of
+    (a, b, x, y), BIT-identical across engines, and both quadratic
+    sums pool through ONE ordered prefix-sum window with the final
+    row read back (the logrank free-order-float lesson: a plain
+    F.sum over doubles hashes differently run-to-run; a sequential
+    prefix fold does not).
+
+    Plan: one keys=[] aggregate + one global-ordered window (the
+    sequence is one series by definition — same class as the other
+    single-series readouts) + a 1-row filter.  Output: one row
+    (n, slope, intercept, dw, rho_approx), 6dp."""
+    base = df.select(
+        F.col(order_col).alias("_t"),
+        F.col(y_col).cast("bigint").alias("_y"),
+        F.col(x_col).cast("bigint").alias("_x"),
+    ).filter(F.col("_y").isNotNull() & F.col("_x").isNotNull())
+
+    def _dec(c) -> Column:
+        return c.cast("decimal(38,0)")
+
+    x, y = F.col("_x"), F.col("_y")
+    sums = base.agg(
+        F.count("*").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(_dec(x) * x).alias("_sxx"),
+        F.sum(_dec(x) * y).alias("_sxy"),
+    )
+    nf = F.col("_n").cast("double")
+    b = F.try_divide(
+        nf * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double"),
+        nf * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double"),
+    )
+    ab = sums.select(
+        F.col("_n"),
+        b.alias("_b"),
+        ((F.col("_sy").cast("double") - b * F.col("_sx").cast("double"))
+         / nf).alias("_a"),
+    )
+    e = (
+        F.col("_y").cast("double")
+        - F.col("_a")
+        - F.col("_b") * F.col("_x").cast("double")
+    )
+    w = Window.orderBy("_t")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = base.crossJoin(F.broadcast(ab)).select(
+        "_t", "_n",
+        e.alias("_e"),
+    )
+    # layered windows (nested window calls are illegal in ANSI/DuckDB;
+    # keep both engines on the identical two-step shape): first the
+    # lag + row number, then the prefix folds over the derived columns
+    staged = staged.select(
+        "_t", "_n", "_e",
+        F.lag("_e", 1).over(w).alias("_ep"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    staged = staged.select(
+        "_t", "_n", "_rn",
+        F.sum(F.col("_e") * F.col("_e")).over(wcum).alias("_sse"),
+        F.sum(
+            F.coalesce(
+                (F.col("_e") - F.col("_ep"))
+                * (F.col("_e") - F.col("_ep")),
+                F.lit(0.0),
+            )
+        ).over(wcum).alias("_sd2"),
+    )
+    last = staged.filter(F.col("_rn") == F.col("_n"))
+    dw = F.try_divide(F.col("_sd2"), F.col("_sse"))
+    return last.crossJoin(F.broadcast(ab.select(
+        F.col("_b").alias("_b2"), F.col("_a").alias("_a2")
+    ))).select(
+        F.col("_n").alias("n"),
+        F.round(F.col("_b2"), 6).alias("slope"),
+        F.round(F.col("_a2"), 6).alias("intercept"),
+        F.round(dw, 6).alias("dw"),
+        F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_approx"),
+    )
+
+
+def stochastic_oscillator(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    high_col: str,
+    low_col: str,
+    close_col: str,
+    n_periods: int = 14,
+    d_periods: int = 3,
+) -> DataFrame:
+    """Stochastic oscillator — %K/%D momentum, completing the
+    technical-window family (win_bollinger = volatility bands,
+    win_rsi = gain/loss ratio, macd = EMA spread; %K locates the
+    close inside the trailing n-period high/low RANGE):
+
+        %K = 100·(close − min(low, n)) / (max(high, n) − min(low, n))
+        %D = SMA(d) of %K
+
+    Rolling extrema are exact integer window aggregates (inputs must
+    be integer-quantized); %K is one fixed-order float expression per
+    row; %D averages the trailing d %K values in frame order (a
+    sequential fold, deterministic both engines).  Flat windows
+    (max = min) yield NULL %K via try_divide — the caller's signal
+    the range is degenerate, never a /0.  Partial head windows use
+    the rows present (min_periods = 1 semantics, documented).
+
+    Plan: one sort shuffle on the group key; every aggregate rides
+    the same window spec.  Output: df + (pct_k, pct_d), 6dp."""
+    keys = list(keys)
+    wn = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        .rowsBetween(-(n_periods - 1), 0)
+    )
+    lo = F.min(F.col(low_col).cast("bigint")).over(wn)
+    hi = F.max(F.col(high_col).cast("bigint")).over(wn)
+    k = F.round(
+        F.lit(100.0)
+        * F.try_divide(
+            (F.col(close_col).cast("bigint") - lo).cast("double"),
+            (hi - lo).cast("double"),
+        ),
+        6,
+    )
+    out = df.withColumn("pct_k", k)
+    wd = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        .rowsBetween(-(d_periods - 1), 0)
+    )
+    return out.withColumn("pct_d", F.round(F.avg("pct_k").over(wd), 6))

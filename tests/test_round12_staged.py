@@ -6,6 +6,10 @@ already claimed by the nine staged registrations):
 - aggregates.macd — truncated-EMA trend momentum (12/26/9)
 - relational.binned_target_rate — per-quantile-bin event rate with
   Wilson CI, sharing quantile_binning's edge kernel
+- aggregates.durbin_watson (wave 2) — residual autocorrelation via
+  ordered prefix-sum pooling
+- aggregates.stochastic_oscillator (wave 2) — %K/%D rolling-extrema
+  momentum windows
 
 Hand-computed unit tests + the Spark-vs-DuckDB pairing at sf0.001
 against the oracle drafts validated in
@@ -246,3 +250,142 @@ def test_btr_oracle_sf0001(spark, con):
     )
     _spark_vs_oracle(con, binned_target_rate(u, "v", "y", n_bins=8),
                      BTR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_alternating_residuals_near_four(spark):
+    from eggv_spark.operators.aggregates import durbin_watson
+
+    # y = 2t ± 7 alternating: residuals flip sign every step -> DW ~ 4
+    rows = [(t, 2 * t + (7 if t % 2 == 0 else -7), t) for t in range(1, 31)]
+    df = spark.createDataFrame(rows, "t long, y long, x long")
+    r = durbin_watson(df, "t", "y", "x").collect()[0]
+    assert r["n"] == 30
+    assert r["dw"] > 3.5 and r["rho_approx"] < -0.75
+
+
+def test_durbin_watson_trending_residuals_near_zero(spark):
+    from eggv_spark.operators.aggregates import durbin_watson
+
+    # x is noise, y is a smooth ramp the x-regression cannot explain:
+    # residuals walk slowly -> strong positive autocorrelation, DW -> 0
+    rows = [(t, t * t // 10, (t * 7) % 5) for t in range(1, 41)]
+    df = spark.createDataFrame(rows, "t long, y long, x long")
+    r = durbin_watson(df, "t", "y", "x").collect()[0]
+    assert r["dw"] < 0.5 and r["rho_approx"] > 0.75
+
+
+def test_durbin_watson_matches_sequential_reference(spark):
+    from eggv_spark.operators.aggregates import durbin_watson
+
+    rows = [(t, (t * 13) % 50, (t * 7) % 23) for t in range(1, 26)]
+    df = spark.createDataFrame(rows, "t long, y long, x long")
+    r = durbin_watson(df, "t", "y", "x").collect()[0]
+    n = len(rows)
+    sx = sum(x for _, _, x in rows); sy = sum(y for _, y, _ in rows)
+    sxx = sum(x * x for _, _, x in rows)
+    sxy = sum(x * y for _, y, x in rows)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    es = [y - a - b * x for _, y, x in rows]
+    sse = sum(e * e for e in es)
+    sd2 = sum((es[i] - es[i - 1]) ** 2 for i in range(1, n))
+    assert r["slope"] == pytest.approx(round(b, 6), abs=1e-6)
+    assert r["intercept"] == pytest.approx(round(a, 6), abs=1e-6)
+    assert r["dw"] == pytest.approx(round(sd2 / sse, 6), abs=1e-5)
+
+
+def test_durbin_watson_oracle_sf0001(spark, con):
+    from eggv_spark.operators.aggregates import durbin_watson
+    from eggv_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from tests.test_round12_staged_oracles import DW_SQL
+
+    u = read_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("t"),
+        F.round("o_totalprice").cast("bigint").alias("y"),
+        (F.col("o_custkey") % 100).cast("bigint").alias("x"),
+    )
+    _spark_vs_oracle(con, durbin_watson(u, "t", "y", "x"), DW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stochastic_oscillator (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_stochastic_hand_example(spark):
+    from eggv_spark.operators.aggregates import stochastic_oscillator
+
+    # close at the window low -> %K = 0; at the high -> %K = 100
+    rows = [(1, 10, 0, 5), (2, 10, 0, 0), (3, 10, 0, 10), (4, 20, 0, 5)]
+    df = spark.createDataFrame(rows, "t long, h long, l long, c long")
+    got = {r["t"]: r for r in
+           stochastic_oscillator(df, [], "t", "h", "l", "c",
+                                 n_periods=3, d_periods=2).collect()}
+    assert got[1]["pct_k"] == 50.0
+    assert got[2]["pct_k"] == 0.0
+    assert got[3]["pct_k"] == 100.0
+    assert got[4]["pct_k"] == 25.0  # range widened to 0..20
+    assert got[4]["pct_d"] == pytest.approx(round((100.0 + 25.0) / 2, 6))
+
+
+def test_stochastic_flat_window_is_null(spark):
+    from eggv_spark.operators.aggregates import stochastic_oscillator
+
+    df = spark.createDataFrame(
+        [(t, 5, 5, 5) for t in range(1, 6)], "t long, h long, l long, c long"
+    )
+    out = stochastic_oscillator(df, [], "t", "h", "l", "c").collect()
+    assert all(r["pct_k"] is None and r["pct_d"] is None for r in out)
+
+
+def test_stochastic_keyed_groups_independent(spark):
+    from eggv_spark.operators.aggregates import stochastic_oscillator
+
+    rows = [("a", t, 10 + t, t, 5 + t) for t in range(1, 8)] + [
+        ("b", t, 1000, 0, 500) for t in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, h long, l long, c long")
+    out = stochastic_oscillator(df, ["k"], "t", "h", "l", "c").collect()
+    b_rows = [r for r in out if r["k"] == "b"]
+    assert all(r["pct_k"] == 50.0 for r in b_rows)  # constant 0..1000 range
+
+
+def test_stochastic_oracle_sf0001(spark, con):
+    from eggv_spark.operators.aggregates import stochastic_oscillator
+    from eggv_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from tests.test_round12_staged_oracles import STOCH_SQL
+
+    ev = read_table(spark, SF_DIR, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("ts").cast("date").alias("day"), "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.max("c").alias("high_cents"), F.min("c").alias("low_cents")
+    )
+    lastts = ev.groupBy("day").agg(F.max("ts").alias("mts"))
+    closes = (
+        ev.join(lastts, "day")
+        .filter(F.col("ts") == F.col("mts"))
+        .groupBy("day").agg(F.max("c").alias("close_cents"))
+    )
+    ser = daily.join(closes, "day")
+    out = stochastic_oscillator(
+        ser, [], "day", "high_cents", "low_cents", "close_cents",
+        n_periods=14, d_periods=3,
+    ).select(
+        F.datediff("day", F.lit("1970-01-01")).cast("bigint")
+        .alias("day_num"),
+        "high_cents", "low_cents", "close_cents", "pct_k", "pct_d",
+    )
+    _spark_vs_oracle(con, out, STOCH_SQL)

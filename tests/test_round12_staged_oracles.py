@@ -264,3 +264,157 @@ def test_btr_oracle_matches_python_reference(con):
         assert rate == pytest.approx(round(p, 6), abs=1e-6)
         assert lo == pytest.approx(round(center - half, 6), abs=1e-6)
         assert hi == pytest.approx(round(center + half, 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson oracle: exact moments -> broadcast (a, b) -> ordered
+# prefix-sum pooling (fixture: orders ordered by o_orderkey,
+# y = round(o_totalprice), x = o_custkey % 100)
+# ---------------------------------------------------------------------------
+
+DW_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS t,
+         CAST(round(o_totalprice) AS BIGINT) AS y,
+         CAST(o_custkey % 100 AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM base
+), ab AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+  FROM m
+), ab2 AS (
+  SELECT n, b,
+         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM ab
+), e AS (
+  SELECT base.t, ab2.n, ab2.a, ab2.b,
+         CAST(base.y AS DOUBLE) - ab2.a
+           - ab2.b * CAST(base.x AS DOUBLE) AS e
+  FROM base CROSS JOIN ab2
+), e2 AS (
+  SELECT t, n, a, b, e,
+         lag(e, 1) OVER (ORDER BY t) AS ep,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM e
+), s AS (
+  SELECT t, n, a, b, rn,
+         sum(e * e) OVER w AS sse,
+         sum(coalesce((e - ep) * (e - ep), 0.0)) OVER w AS sd2
+  FROM e2
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT n, round(b, 6) AS slope, round(a, 6) AS intercept,
+       round(sd2 / sse, 6) AS dw,
+       round(1.0 - (sd2 / sse) / 2.0, 6) AS rho_approx
+FROM s WHERE rn = n
+"""
+
+
+def test_durbin_watson_oracle_matches_python_reference(con):
+    got = con.execute(DW_SQL).fetchone()
+    rows = sorted(con.execute(
+        "SELECT o_orderkey, CAST(round(o_totalprice) AS BIGINT),"
+        " CAST(o_custkey % 100 AS BIGINT) FROM orders"
+        " WHERE o_totalprice IS NOT NULL"
+    ).fetchall())
+    n = len(rows)
+    sx = sum(r[2] for r in rows); sy = sum(r[1] for r in rows)
+    sxx = sum(r[2] * r[2] for r in rows)
+    sxy = sum(r[2] * r[1] for r in rows)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    es = [r[1] - a - b * r[2] for r in rows]
+    sse = 0.0
+    sd2 = 0.0
+    prev = None
+    for e in es:
+        sse += e * e
+        if prev is not None:
+            sd2 += (e - prev) * (e - prev)
+        prev = e
+    dw = sd2 / sse
+    assert got[0] == n
+    assert got[1] == pytest.approx(round(b, 6), abs=1e-6)
+    assert got[2] == pytest.approx(round(a, 6), abs=1e-6)
+    assert got[3] == pytest.approx(round(dw, 6), abs=1e-5)
+    assert got[4] == pytest.approx(round(1.0 - dw / 2.0, 6), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# stochastic oscillator oracle: daily OHLC-ish series from events
+# (fixture: high = max cents, low = min cents, close = cents at the
+#  day's last ts with max-cents tiebreak; n = 14, d = 3)
+# ---------------------------------------------------------------------------
+
+STOCH_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), daily AS (
+  SELECT day, max(c) AS h, min(c) AS l FROM ev GROUP BY day
+), lastts AS (
+  SELECT day, max(ts) AS mts FROM ev GROUP BY day
+), closes AS (
+  SELECT ev.day, max(ev.c) AS cl
+  FROM ev JOIN lastts ON ev.day = lastts.day AND ev.ts = lastts.mts
+  GROUP BY ev.day
+), ser AS (
+  SELECT d.day, d.h, d.l, c.cl FROM daily d JOIN closes c USING (day)
+), k AS (
+  SELECT day, h, l, cl,
+         round(100.0 * (CAST(cl - min(l) OVER wn AS DOUBLE)
+                        / CAST(max(h) OVER wn - min(l) OVER wn
+                               AS DOUBLE)), 6) AS pct_k
+  FROM ser
+  WINDOW wn AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num,
+       h AS high_cents, l AS low_cents, cl AS close_cents, pct_k,
+       round(avg(pct_k) OVER wd, 6) AS pct_d
+FROM k WINDOW wd AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def test_stochastic_oracle_matches_python_reference(con):
+    got = sorted(con.execute(STOCH_SQL).fetchall())
+    # python reference straight off the daily series
+    rows = sorted(con.execute(
+        "WITH ev AS (SELECT CAST(ts AS DATE) AS day, ts,"
+        " CAST(round(value * 100) AS BIGINT) AS c FROM events"
+        " WHERE value IS NOT NULL AND ts IS NOT NULL),"
+        " daily AS (SELECT day, max(c) h, min(c) l FROM ev GROUP BY day),"
+        " lastts AS (SELECT day, max(ts) mts FROM ev GROUP BY day),"
+        " closes AS (SELECT ev.day, max(ev.c) cl FROM ev JOIN lastts"
+        "  ON ev.day = lastts.day AND ev.ts = lastts.mts GROUP BY ev.day)"
+        " SELECT d.day, d.h, d.l, c.cl FROM daily d"
+        " JOIN closes c USING (day)"
+    ).fetchall())
+    ks = []
+    for i in range(len(rows)):
+        win = rows[max(0, i - 13):i + 1]
+        lo = min(r[2] for r in win)
+        hi = max(r[1] for r in win)
+        cl = rows[i][3]
+        ks.append(None if hi == lo
+                  else _round6(100.0 * ((cl - lo) / (hi - lo))))
+    for i, r in enumerate(got):
+        assert (r[1], r[2], r[3]) == (rows[i][1], rows[i][2], rows[i][3])
+        if ks[i] is None:
+            assert r[4] is None
+        else:
+            assert r[4] == pytest.approx(ks[i], abs=1e-6)
+        dwin = [k for k in ks[max(0, i - 2):i + 1] if k is not None]
+        if dwin:
+            assert r[5] == pytest.approx(
+                _round6(sum(dwin) / len(dwin)), abs=1e-6)
+    assert len(got) >= 20
