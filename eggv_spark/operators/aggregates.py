@@ -3900,14 +3900,19 @@ def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
 
     Input must be INTEGER-quantized (the smd_balance contract): one
     keys=[] pass folds n and the exact raw power sums Σx, Σx², Σx³,
-    Σx⁴ in DECIMAL(38,0) (the measured bigint-overflow lesson — x⁴ of
-    cents-scale values passes 1e30); central moments and the JB stat
+    Σx⁴, ALL in DECIMAL(38,0) (the measured bigint-overflow lesson);
+    central moments and the JB stat
     assemble in ONE fixed-order float expression, 6dp.  NULLs are
     dropped first.  The 5% decision threshold is the χ²₂ quantile
     written as the same literal on both engine sides (the z² lesson).
 
-    Plan: single aggregate, no shuffle beyond the final fold —
-    100 TB safe by construction.
+    Magnitude contract (honest bound, not "unbounded"): Σx⁴ must fit
+    38 digits — |x| ≤ 1e5 (typical cents-scale scores) is safe to
+    ~1e17 rows, |x| ≤ 1e7 to ~1e9 rows; beyond that the decimal sum
+    overflows to NULL (non-ANSI) and the readout goes NULL rather
+    than silently wrapping — quantize coarser first.
+
+    Plan: single aggregate, no shuffle beyond the final fold.
 
     Output: one row (n, skewness, kurtosis_excess, jb, reject_5pct).
     """
@@ -3921,7 +3926,7 @@ def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
     x = F.col("_x")
     m = base.agg(
         F.count("*").alias("_n"),
-        F.sum(x).alias("_s1"),
+        F.sum(_dec(x)).alias("_s1"),
         F.sum(_dec(x) * x).alias("_s2"),
         F.sum(_dec(x) * x * x).alias("_s3"),
         F.sum((_dec(x) * x) * (_dec(x) * x)).alias("_s4"),
@@ -4041,8 +4046,8 @@ def durbin_watson(
     x, y = F.col("_x"), F.col("_y")
     sums = base.agg(
         F.count("*").alias("_n"),
-        F.sum(x).alias("_sx"),
-        F.sum(y).alias("_sy"),
+        F.sum(_dec(x)).alias("_sx"),
+        F.sum(_dec(y)).alias("_sy"),
         F.sum(_dec(x) * x).alias("_sxx"),
         F.sum(_dec(x) * y).alias("_sxy"),
     )
@@ -4066,20 +4071,23 @@ def durbin_watson(
     )
     w = Window.orderBy("_t")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # carry (_a, _b) as constant columns through every stage: the
+    # 1-row aggregate is broadcast ONCE, not recomputed by a second
+    # crossJoin subtree (that would re-scan the corpus per call)
     staged = base.crossJoin(F.broadcast(ab)).select(
-        "_t", "_n",
+        "_t", "_n", "_a", "_b",
         e.alias("_e"),
     )
     # layered windows (nested window calls are illegal in ANSI/DuckDB;
     # keep both engines on the identical two-step shape): first the
     # lag + row number, then the prefix folds over the derived columns
     staged = staged.select(
-        "_t", "_n", "_e",
+        "_t", "_n", "_a", "_b", "_e",
         F.lag("_e", 1).over(w).alias("_ep"),
         F.row_number().over(w).alias("_rn"),
     )
     staged = staged.select(
-        "_t", "_n", "_rn",
+        "_t", "_n", "_a", "_b", "_rn",
         F.sum(F.col("_e") * F.col("_e")).over(wcum).alias("_sse"),
         F.sum(
             F.coalesce(
@@ -4091,12 +4099,10 @@ def durbin_watson(
     )
     last = staged.filter(F.col("_rn") == F.col("_n"))
     dw = F.try_divide(F.col("_sd2"), F.col("_sse"))
-    return last.crossJoin(F.broadcast(ab.select(
-        F.col("_b").alias("_b2"), F.col("_a").alias("_a2")
-    ))).select(
+    return last.select(
         F.col("_n").alias("n"),
-        F.round(F.col("_b2"), 6).alias("slope"),
-        F.round(F.col("_a2"), 6).alias("intercept"),
+        F.round(F.col("_b"), 6).alias("slope"),
+        F.round(F.col("_a"), 6).alias("intercept"),
         F.round(dw, 6).alias("dw"),
         F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_approx"),
     )

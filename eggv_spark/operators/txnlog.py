@@ -230,17 +230,15 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
     if version is None:
         version = versions[-1]
     live = _live_state(table, version, use_checkpoint=False)
+    schema = None
+    for v in reversed([x for x in versions if x <= version]):
+        schema = _read_entry(table, v).get("schema")
+        if schema:
+            break
     payload = {
         "version": version,
         "live": [[rel, stats] for rel, stats in live.items()],
-        "schema": next(
-            (
-                _read_entry(table, v).get("schema")
-                for v in reversed([x for x in versions if x <= version])
-                if _read_entry(table, v).get("schema")
-            ),
-            None,
-        ),
+        "schema": schema,
     }
     path = _ckpt_path(table, version)
     tmp = os.path.join(_log_path(table), f"_tmp-ckpt-{uuid.uuid4().hex}.json")
@@ -256,8 +254,13 @@ def _maybe_checkpoint(table: str, version: int) -> None:
     if _CKPT_INTERVAL and version % _CKPT_INTERVAL == 0:
         try:
             write_checkpoint(table, version)
-        except OSError:
-            pass  # derived data — a failed checkpoint costs only speed
+        except Exception:  # noqa: BLE001 — derived data: the COMMIT
+            # already durably landed, so NOTHING raised here may reach
+            # the caller (it would look like a failed commit and
+            # provoke a duplicate retry).  Any failure — I/O, a
+            # corrupt historical entry breaking the replay — costs
+            # only speed; the next interval retries.
+            pass
 
 
 def _live_state(
@@ -320,14 +323,29 @@ def read(
     scan (no reader ever lists data/)."""
     files = snapshot_files(table, version)
     if not files:
-        # an empty snapshot still has a schema: replay it from the log
+        # an empty snapshot still has a schema: the newest usable
+        # checkpoint <= v carries it (O(interval)); entries after the
+        # checkpoint — or the whole log when none exists — fill in
         versions = _list_versions(table)
         v = versions[-1] if version is None else version
         ddl = None
-        for vv in reversed([x for x in versions if x <= v]):
-            ddl = _read_entry(table, vv).get("schema") or ddl
-            if ddl:
+        floor = 0
+        for ck in reversed(_list_checkpoints(table)):
+            if ck > v:
+                continue
+            try:
+                with open(_ckpt_path(table, ck)) as f:
+                    ddl = json.load(f).get("schema")
+                floor = ck
                 break
+            except (OSError, ValueError):
+                continue
+        entry_ddl = None
+        for vv in reversed([x for x in versions if floor < x <= v]):
+            entry_ddl = _read_entry(table, vv).get("schema")
+            if entry_ddl:
+                break  # an entry after the checkpoint is newer
+        ddl = entry_ddl or ddl
         if ddl is None:
             raise ValueError(f"{table}: empty snapshot with no schema")
         return spark.createDataFrame([], ddl)
@@ -501,8 +519,16 @@ def merge_upsert(
     overlap: list[str] = []
     for rel, st in snapshot_stats(table, head).items():
         rng = st.get(prune_on)
-        if can_prune and rng is not None and (rng[1] < lo or rng[0] > hi):
-            continue  # zone-map miss: directory carried over untouched
+        if can_prune and rng is not None:
+            try:
+                if rng[1] < lo or rng[0] > hi:
+                    continue  # zone-map miss: carried over untouched
+            except TypeError:
+                # stats recorded under a different key type (schema
+                # drift across commits): cannot prove disjointness —
+                # fall through to the conservative rewrite rather
+                # than crash the MERGE
+                pass
         overlap.append(rel)
     if overlap:
         current = _read_rels(spark, table, overlap)
@@ -566,7 +592,14 @@ def delete_rows(
             )
         _maybe_checkpoint(table, v)
         return v
-    survivors = _read_rels(spark, table, hit).filter(f"NOT ({condition})")
+    # SQL DELETE semantics: only rows where the predicate is TRUE are
+    # removed — a NULL predicate keeps the row.  A bare NOT(cond)
+    # would also drop NULL-predicate rows, and after pruning that
+    # loss would be DATA-DEPENDENT (only rows sharing a directory
+    # with a real match would die) — the worst kind of wrong.
+    survivors = _read_rels(spark, table, hit).filter(
+        f"NOT coalesce(({condition}), false)"
+    )
     # carry forward the stats columns the rewritten dirs were tracking
     carried_cols = sorted({c for r in hit for c in stats.get(r, {})})
     return _replace_commit(

@@ -67,15 +67,15 @@ def test_cronbach_alpha_null_items_raise_in_plan(spark):
     effective populations (F.sum skips the item's NULL, but the row
     total goes NULL and drops the row from Σtot) — silently biased
     alpha.  Now it raises, the fleiss ragged-panel pattern."""
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PySparkRuntimeError
+    from pyspark.errors.exceptions.base import SparkRuntimeException
 
     from eggv_spark.operators.aggregates import cronbach_alpha
 
     rows = [(2, 3, 3), (4, None, 5), (6, 5, 6)]
     df = spark.createDataFrame(rows, "i1 long, i2 long, i3 long")
-    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
-                       match="cronbach_alpha"):
+    # raise_error fires at EXECUTION (runtime error class only — a
+    # plan-build AnalysisException regression must NOT pass this test)
+    with pytest.raises(SparkRuntimeException, match="cronbach_alpha"):
         cronbach_alpha(df, ["i1", "i2", "i3"]).collect()
 
 
@@ -109,7 +109,6 @@ def test_qte_standard_quantiles_unchanged(spark):
         for r in quantile_treatment_effects(units).collect()
     }
     for p, (qt, qc) in out.items():
-        rank = math.ceil(p * 7 - 1e-12)
         # exact rational rank: ceil(num*7/den) with no float fuzz
         from fractions import Fraction
 

@@ -281,6 +281,34 @@ def test_merge_rewrites_statless_directories_conservatively(spark, tmp_path):
     assert v == 2
 
 
+def test_merge_stat_type_drift_rewrites_conservatively(
+    spark, tmp_path, monkeypatch,
+):
+    """Stats recorded under one key type must not crash a MERGE whose
+    updates carry a different type: an int-vs-str range comparison is
+    unprovable, so the directory is rewritten, not TypeError'd.  The
+    drift is injected at the stats layer (a historical commit's stats
+    typed differently from today's key column)."""
+    table = str(tmp_path / "t")
+    T.create(spark.createDataFrame([("a", 1), ("b", 2)],
+                                   "k string, n long"),
+             table, stats_cols=["k"])
+    rel = next(iter(T.snapshot_stats(table)))
+    # simulate a commit whose stats were recorded under an INT key
+    monkeypatch.setattr(
+        T, "snapshot_stats", lambda t, v=None: {rel: {"k": [1, 9]}}
+    )
+    v = T.merge_upsert(
+        spark, spark.createDataFrame([("zzz", 9)], "k string, n long"),
+        table, ["k"],
+    )
+    monkeypatch.undo()
+    e = T.history(table)[-1]
+    assert v == 2 and e["remove"] == [rel]  # conservative rewrite
+    got = sorted(tuple(r) for r in T.read(spark, table).collect())
+    assert got == [("a", 1), ("b", 2), ("zzz", 9)]
+
+
 def test_delete_probe_prunes_unmatched_directories(spark, tmp_path):
     """DELETE WHERE rewrites only directories the predicate-pushed
     probe finds matches in; a delete matching nothing journals an
@@ -371,6 +399,33 @@ def test_vacuum_relists_log_before_deleting(spark, tmp_path, monkeypatch):
     assert rel in out["retained"]
     monkeypatch.undo()
     assert _rows(spark, T.read(spark, table)) == [(1, "a"), (2, "rival")]
+
+
+def test_delete_null_predicate_rows_survive_everywhere(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate keeps the row.  With
+    file-level pruning this must hold in BOTH directory classes — a
+    NULL-key row sharing a directory with a real match (rewritten)
+    and one in a pruned directory — or the loss becomes
+    data-dependent, the worst kind of wrong."""
+    table = str(tmp_path / "t")
+    # dir A: contains the match (k=7) AND a NULL-k row
+    T.create(
+        spark.createDataFrame([(7, "hit"), (None, "null_a"), (1, "keep")],
+                              "k long, v string"),
+        table, stats_cols=["k"],
+    )
+    # dir B: no match, plus its own NULL-k row
+    T.append(
+        spark.createDataFrame([(100, "far"), (None, "null_b")],
+                              "k long, v string"),
+        table, stats_cols=["k"],
+    )
+    T.delete_rows(spark, table, "k % 7 = 0")
+    got = {(r["k"], r["v"]) for r in T.read(spark, table).collect()}
+    assert (7, "hit") not in got
+    assert (None, "null_a") in got  # survived the rewritten directory
+    assert (None, "null_b") in got  # survived the pruned directory
+    assert (1, "keep") in got and (100, "far") in got
 
 
 # ---------------------------------------------------------------------------
