@@ -4157,3 +4157,83 @@ def stochastic_oscillator(
         .rowsBetween(-(d_periods - 1), 0)
     )
     return out.withColumn("pct_d", F.round(F.avg("pct_k").over(wd), 6))
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit — the hypothesis-test member
+    of the calibration family (agg_calibration shows the reliability
+    curve, isotonic_fit repairs it; HL asks "is the miscalibration
+    larger than chance", χ² with n_bins−2 df):
+
+        HL = Σ_g (O_g − E_g)² / (E_g · (1 − p̄_g))
+
+    over fixed-width risk bins of an INTEGER-quantized score in
+    [0, scale] (milli-probabilities; the caller quantizes — fixed
+    edges rather than risk deciles is the documented deterministic
+    variant: quantile edges over heavily-tied hash scores are
+    tie-broken arbitrarily, fixed edges are not).  Per bin, n, O = Σy
+    and Σs are EXACT integers; E = Σs/scale and the χ² contribution
+    assemble in one fixed float order.  Degenerate bins (p̄ = 0 or 1,
+    or empty) contribute NULL and are EXCLUDED, with the readout
+    reporting how many bins actually entered the statistic — silent
+    df shrinkage is the classic HL implementation bug.  The bin
+    contributions pool through an ordered prefix-sum window over the
+    bin index (the free-order-float lesson), and the 5% threshold for
+    the default 10−2 df is the same literal on both engine sides.
+
+    Plan: one grouped aggregate (n_bins rows) + one tiny ordered
+    window + a 1-row filter.  Output: one row (n, n_bins_used, hl,
+    reject_5pct)."""
+    if not 2 < n_bins <= scale:
+        raise ValueError("hosmer_lemeshow: need 2 < n_bins <= scale")
+    base = df.select(
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    b = F.least(
+        F.floor(F.col("_s") * n_bins / scale).cast("bigint"),
+        F.lit(n_bins - 1).cast("bigint"),
+    )
+    per = base.select(b.alias("_b"), "_y", "_s").groupBy("_b").agg(
+        F.count("*").alias("_n"),
+        F.sum("_y").cast("bigint").alias("_o"),
+        F.sum("_s").cast("bigint").alias("_ss"),
+    )
+    nf = F.col("_n").cast("double")
+    pbar = F.col("_ss").cast("double") / (nf * F.lit(float(scale)))
+    e = F.col("_ss").cast("double") / F.lit(float(scale))
+    contrib = F.try_divide(
+        (F.col("_o").cast("double") - e) * (F.col("_o").cast("double") - e),
+        e * (F.lit(1.0) - pbar),
+    )
+    staged = per.select(
+        "_b", "_n",
+        contrib.alias("_c"),
+    )
+    w = Window.orderBy("_b")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = staged.select(
+        "_b",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wall).alias("_nb"),
+        F.sum("_n").over(wcum).alias("_ntot"),
+        F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))
+        .over(wcum).alias("_used"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0.0))).over(wcum).alias("_hl"),
+    )
+    last = staged.filter(F.col("_rn") == F.col("_nb"))
+    return last.select(
+        F.col("_ntot").alias("n"),
+        F.col("_used").cast("bigint").alias("n_bins_used"),
+        F.round(F.col("_hl"), 6).alias("hl"),
+        (F.round(F.col("_hl"), 6) > F.lit(15.507313)).alias("reject_5pct"),
+    )

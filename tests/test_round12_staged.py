@@ -10,6 +10,8 @@ already claimed by the nine staged registrations):
   ordered prefix-sum pooling
 - aggregates.stochastic_oscillator (wave 2) — %K/%D rolling-extrema
   momentum windows
+- aggregates.hosmer_lemeshow (wave 2) — calibration χ² over
+  fixed-width risk bins, degenerate bins excluded loudly
 
 Hand-computed unit tests + the Spark-vs-DuckDB pairing at sf0.001
 against the oracle drafts validated in
@@ -389,3 +391,66 @@ def test_stochastic_oracle_sf0001(spark, con):
         "high_cents", "low_cents", "close_cents", "pct_k", "pct_d",
     )
     _spark_vs_oracle(con, out, STOCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hosmer_lemeshow (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_hosmer_lemeshow_hand_example(spark):
+    from eggv_spark.operators.aggregates import hosmer_lemeshow
+
+    # 2 bins (scale 10, n_bins... use 4 bins of width 250 on scale 1000)
+    # bin 0: scores 100 (p=0.1), 10 rows, 1 event  -> E = 1,  contrib 0
+    # bin 3: scores 900 (p=0.9), 10 rows, 5 events -> E = 9
+    rows = [(100, 1 if i == 0 else 0) for i in range(10)] + [
+        (900, 1 if i < 5 else 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "s long, y long")
+    r = hosmer_lemeshow(df, "s", "y", n_bins=4).collect()[0]
+    assert r["n"] == 20 and r["n_bins_used"] == 2
+    exp = (1 - 1.0) ** 2 / (1.0 * 0.9) + (5 - 9.0) ** 2 / (9.0 * 0.1)
+    assert r["hl"] == pytest.approx(round(exp, 6), abs=1e-6)
+    assert r["reject_5pct"] is True  # wildly miscalibrated top bin
+
+
+def test_hosmer_lemeshow_perfectly_calibrated(spark):
+    from eggv_spark.operators.aggregates import hosmer_lemeshow
+
+    # every bin's observed rate equals its mean score -> HL = 0
+    rows = []
+    for s, k in ((200, 1), (600, 3), (800, 4)):
+        rows += [(s, 1 if i < k else 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    r = hosmer_lemeshow(df, "s", "y", n_bins=5).collect()[0]
+    assert r["hl"] == 0.0 and r["reject_5pct"] is False
+    assert r["n_bins_used"] == 3
+
+
+def test_hosmer_lemeshow_degenerate_bins_excluded_loudly(spark):
+    from eggv_spark.operators.aggregates import hosmer_lemeshow
+
+    # p̄ = 0 (score 0) and p̄ = 1 (score 1000) bins cannot enter the
+    # statistic; n_bins_used reports the shrinkage instead of hiding it
+    rows = [(0, 0)] * 5 + [(1000, 1)] * 5 + [(500, 1), (500, 0)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    r = hosmer_lemeshow(df, "s", "y", n_bins=10).collect()[0]
+    assert r["n"] == 12 and r["n_bins_used"] == 1
+
+
+def test_hosmer_lemeshow_oracle_sf0001(spark, con):
+    from eggv_spark.operators.aggregates import hosmer_lemeshow
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from tests.test_round12_staged_oracles import HL_SQL
+
+    ev = read_table(spark, SF_DIR, "events").filter(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (base_hash(F.col("event_id").cast("string")) % 1001).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    _spark_vs_oracle(con, hosmer_lemeshow(ev, "s", "y", n_bins=10), HL_SQL)

@@ -418,3 +418,81 @@ def test_stochastic_oracle_matches_python_reference(con):
             assert r[5] == pytest.approx(
                 _round6(sum(dwin) / len(dwin)), abs=1e-6)
     assert len(got) >= 20
+
+
+# ---------------------------------------------------------------------------
+# hosmer_lemeshow oracle (fixture: events, score = base_hash(event_id)
+# % 1001 milli-probability, label = event_type = 'purchase', 10 bins)
+# ---------------------------------------------------------------------------
+
+HL_SQL = """
+WITH base AS (
+  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1001 AS s,
+         CAST(event_type = 'purchase' AS INT) AS y
+  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+), binned AS (
+  SELECT least(CAST(floor(s * 10 / 1000) AS BIGINT), 9) AS b, y, s
+  FROM base
+), per AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS o, CAST(sum(s) AS BIGINT) AS ss
+  FROM binned GROUP BY b
+), c AS (
+  SELECT b, n,
+         CASE WHEN (CAST(ss AS DOUBLE) / 1000.0)
+                   * (1.0 - CAST(ss AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * 1000.0)) = 0.0 THEN NULL
+              ELSE (CAST(o AS DOUBLE) - CAST(ss AS DOUBLE) / 1000.0)
+                   * (CAST(o AS DOUBLE) - CAST(ss AS DOUBLE) / 1000.0)
+                   / ((CAST(ss AS DOUBLE) / 1000.0)
+                      * (1.0 - CAST(ss AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1000.0)))
+         END AS contrib
+  FROM per
+), pooled AS (
+  SELECT b, row_number() OVER (ORDER BY b) AS rn,
+         count(*) OVER () AS nb,
+         sum(n) OVER w AS ntot,
+         sum(CASE WHEN contrib IS NOT NULL THEN 1 ELSE 0 END)
+           OVER w AS used,
+         sum(coalesce(contrib, 0.0)) OVER w AS hl
+  FROM c
+  WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT ntot AS n, CAST(used AS BIGINT) AS n_bins_used,
+       round(hl, 6) AS hl,
+       round(hl, 6) > 15.507313 AS reject_5pct
+FROM pooled WHERE rn = nb
+"""
+
+
+def test_hosmer_lemeshow_oracle_matches_python_reference(con):
+    got = con.execute(HL_SQL).fetchone()
+    rows = con.execute(
+        "SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT) % 1001, CAST(event_type = 'purchase' AS INT)"
+        " FROM events WHERE event_id IS NOT NULL"
+        " AND event_type IS NOT NULL"
+    ).fetchall()
+    per = {}
+    for s, y in rows:
+        b = min(s * 10 // 1000, 9)
+        n, o, ss = per.get(b, (0, 0, 0))
+        per[b] = (n + 1, o + y, ss + s)
+    hl = 0.0
+    used = 0
+    for b in sorted(per):
+        n, o, ss = per[b]
+        e = ss / 1000.0
+        pbar = ss / (n * 1000.0)
+        den = e * (1.0 - pbar)
+        if den == 0.0:
+            continue
+        used += 1
+        hl += (o - e) * (o - e) / den
+    assert got[0] == len(rows)
+    assert got[1] == used
+    assert got[2] == pytest.approx(round(hl, 6), abs=1e-6)
+    assert got[3] == (round(hl, 6) > 15.507313)
