@@ -4237,3 +4237,74 @@ def hosmer_lemeshow(
         F.round(F.col("_hl"), 6).alias("hl"),
         (F.round(F.col("_hl"), 6) > F.lit(15.507313)).alias("reject_5pct"),
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Kish effective sample size — the did-my-weights-destroy-the-
+    sample readout the weighting family (raking, Horvitz–Thompson,
+    importance/DSIR weights) hands its output to:
+
+        ESS = (Σw)² / Σw²,   deff = n / ESS  (≥ 1; 1 = unweighted)
+
+    Weights must be INTEGER-quantized (milli-weights — the
+    smd_balance contract): Σw and Σw² fold as exact DECIMAL(38,0)
+    integers, so the only floats are the final two ratios, assembled
+    in one fixed order, 6dp.  Zero/negative weights are REFUSED
+    in-plan (the fleiss raise pattern): a zero-weight row silently
+    deflates ESS's denominator semantics, and negative weights make
+    Kish's formula meaningless — the caller decides whether to drop
+    or re-derive.  NULL weights are dropped (consistent with every
+    weighted aggregate here).
+
+    Plan: one grouped aggregate per key set — no shuffle beyond the
+    group-by; at keys=() a single fold.  Output per group: (keys...,
+    n, sum_w_milli, ess, deff, ess_ratio)."""
+    keys = list(keys)
+    base = df.select(
+        *keys, F.col(weight_col).cast("bigint").alias("_w")
+    ).filter(F.col("_w").isNotNull())
+
+    def _dec(c) -> Column:
+        return c.cast("decimal(38,0)")
+
+    w = F.col("_w")
+    agged = base.groupBy(*keys).agg(
+        F.count("*").alias("_n"),
+        F.coalesce(
+            F.sum(F.when(w <= 0, 1).otherwise(0)), F.lit(0)
+        ).alias("_n_bad"),
+        F.sum(_dec(w)).alias("_sw"),
+        F.sum(_dec(w) * w).alias("_sw2"),
+    )
+    agged = agged.select(
+        *keys,
+        F.when(F.col("_n_bad") == 0, F.col("_n")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("effective_sample_size: "),
+                    F.col("_n_bad").cast("string"),
+                    F.lit(
+                        " row(s) have non-positive weights; drop or"
+                        " re-derive the weights first"
+                    ),
+                )
+            )
+        ).alias("_n"),
+        "_sw", "_sw2",
+    )
+    sw = F.col("_sw").cast("double")
+    sw2 = F.col("_sw2").cast("double")
+    ess = F.try_divide(sw * sw, sw2)
+    nf = F.col("_n").cast("double")
+    return agged.select(
+        *keys,
+        F.col("_n").alias("n"),
+        F.col("_sw").cast("bigint").alias("sum_w_milli"),
+        F.round(ess, 6).alias("ess"),
+        F.round(F.try_divide(nf, ess), 6).alias("deff"),
+        F.round(F.try_divide(ess, nf), 6).alias("ess_ratio"),
+    )

@@ -12,6 +12,8 @@ already claimed by the nine staged registrations):
   momentum windows
 - aggregates.hosmer_lemeshow (wave 2) — calibration χ² over
   fixed-width risk bins, degenerate bins excluded loudly
+- aggregates.effective_sample_size (wave 2) — Kish ESS/deff from
+  exact integer weight sums, non-positive weights refused in-plan
 
 Hand-computed unit tests + the Spark-vs-DuckDB pairing at sf0.001
 against the oracle drafts validated in
@@ -454,3 +456,65 @@ def test_hosmer_lemeshow_oracle_sf0001(spark, con):
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
     _spark_vs_oracle(con, hosmer_lemeshow(ev, "s", "y", n_bins=10), HL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# effective_sample_size (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_ess_hand_examples(spark):
+    from eggv_spark.operators.aggregates import effective_sample_size
+
+    # equal weights -> ESS = n, deff = 1
+    eq = spark.createDataFrame([(7,)] * 5, "w long")
+    r = effective_sample_size(eq, "w").collect()[0]
+    assert (r["n"], r["ess"], r["deff"], r["ess_ratio"]) == (5, 5.0, 1.0, 1.0)
+    # one dominant weight: ESS -> ~1
+    sk = spark.createDataFrame([(1,)] * 9 + [(1000,)], "w long")
+    r2 = effective_sample_size(sk, "w").collect()[0]
+    ess = (9 + 1000) ** 2 / (9 + 1000000)
+    assert r2["ess"] == pytest.approx(round(ess, 6), abs=1e-6)
+    assert r2["deff"] > 9.0
+
+
+def test_ess_refuses_nonpositive_weights(spark):
+    from pyspark.errors.exceptions.base import SparkRuntimeException
+
+    from eggv_spark.operators.aggregates import effective_sample_size
+
+    df = spark.createDataFrame([(3,), (0,), (2,)], "w long")
+    with pytest.raises(SparkRuntimeException,
+                       match="effective_sample_size"):
+        effective_sample_size(df, "w").collect()
+
+
+def test_ess_keyed_groups(spark):
+    from eggv_spark.operators.aggregates import effective_sample_size
+
+    rows = [("a", 1), ("a", 1), ("b", 1), ("b", 99)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    got = {r["k"]: r for r in
+           effective_sample_size(df, "w", keys=["k"]).collect()}
+    assert got["a"]["ess"] == 2.0
+    assert got["b"]["ess"] == pytest.approx(
+        round(100 * 100 / (1 + 99 * 99), 6), abs=1e-6)
+
+
+def test_ess_oracle_sf0001(spark, con):
+    from eggv_spark.operators.aggregates import effective_sample_size
+    from eggv_spark.operators.dedupe import base_hash
+    from eggv_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from tests.test_round12_staged_oracles import ESS_SQL
+
+    ev = read_table(spark, SF_DIR, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        (base_hash(F.col("user_id").cast("string")) % 1000 + 1).alias("w"),
+    )
+    _spark_vs_oracle(
+        con, effective_sample_size(ev, "w", keys=["event_type"]), ESS_SQL
+    )

@@ -496,3 +496,54 @@ def test_hosmer_lemeshow_oracle_matches_python_reference(con):
     assert got[1] == used
     assert got[2] == pytest.approx(round(hl, 6), abs=1e-6)
     assert got[3] == (round(hl, 6) > 15.507313)
+
+
+# ---------------------------------------------------------------------------
+# effective_sample_size oracle (fixture: events per event_type,
+# w = base_hash(user_id) % 1000 + 1 milli-weights)
+# ---------------------------------------------------------------------------
+
+ESS_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 + 1 AS w
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(w) AS sw, sum(w * w) AS sw2
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n, CAST(sw AS BIGINT) AS sum_w_milli,
+       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sw2 AS DOUBLE), 6) AS ess,
+       round(CAST(n AS DOUBLE)
+             / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                / CAST(sw2 AS DOUBLE)), 6) AS deff,
+       round((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+              / CAST(sw2 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+         AS ess_ratio
+FROM m
+"""
+
+
+def test_ess_oracle_matches_python_reference(con):
+    got = {r[0]: r[1:] for r in con.execute(ESS_SQL).fetchall()}
+    rows = con.execute(
+        "SELECT event_type,"
+        " CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT) % 1000 + 1 FROM events"
+        " WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    ).fetchall()
+    per = {}
+    for t, w in rows:
+        n, sw, sw2 = per.get(t, (0, 0, 0))
+        per[t] = (n + 1, sw + w, sw2 + w * w)
+    assert set(got) == set(per) and len(per) >= 2
+    for t, (n, sw, sw2) in per.items():
+        ess = sw * sw / sw2
+        g = got[t]
+        assert g[0] == n and g[1] == sw
+        assert g[2] == pytest.approx(round(ess, 6), abs=1e-6)
+        assert g[3] == pytest.approx(round(n / ess, 6), abs=1e-6)
+        assert g[4] == pytest.approx(round(ess / n, 6), abs=1e-6)
