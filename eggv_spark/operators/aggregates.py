@@ -363,14 +363,27 @@ def approx_aggregates_graded(
     grade TRUE by null-agreement instead of NULL-propagating."""
     keys = list(keys)
     c = F.col(col)
+    # Array-probe percentiles: one exact-percentile buffer and one GK
+    # sketch per group, each evaluated at BOTH probe points, instead
+    # of four exact + two sketch buffers (the scalar form builds and
+    # sorts an independent buffer per call — measured 1.86 s -> 1.24 s
+    # at sf0.1 on identical output).  The p50/p90 columns are then
+    # pure array indexing in the projection.
     sketched = df.groupBy(*keys).agg(
-        F.round(F.percentile(c, F.lit(0.5)), 4).alias("p50_exact"),
-        F.round(F.percentile(c, F.lit(0.9)), 4).alias("p90_exact"),
+        F.percentile(c, F.array(F.lit(0.5), F.lit(0.9))).alias("_px"),
         F.approx_count_distinct(c, rsd).alias("_acd"),
-        F.approx_percentile(c, F.lit(0.5), F.lit(10000)).alias("_ap50"),
-        F.approx_percentile(c, F.lit(0.9), F.lit(10000)).alias("_ap90"),
-        F.percentile(c, F.lit(0.5)).alias("_p50_raw"),
-        F.percentile(c, F.lit(0.9)).alias("_p90_raw"),
+        F.approx_percentile(
+            c, F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("_apx"),
+    ).select(
+        *keys,
+        F.round(F.col("_px")[0], 4).alias("p50_exact"),
+        F.round(F.col("_px")[1], 4).alias("p90_exact"),
+        "_acd",
+        F.col("_apx")[0].alias("_ap50"),
+        F.col("_apx")[1].alias("_ap90"),
+        F.col("_px")[0].alias("_p50_raw"),
+        F.col("_px")[1].alias("_p90_raw"),
     ).alias("s")
     exact_distinct = df.groupBy(*keys).agg(
         F.count_distinct(c).alias("n_distinct_exact")

@@ -1170,11 +1170,17 @@ def containment_pairs(
     — the standard LSH frequent-bucket ceiling — trading recall only
     on pairs whose EVERY shared bottom-k shingle is boilerplate.
     Default-off so the exact oracle rows are unchanged."""
+    # hs is consumed THREE times (block generation plus both sides of
+    # the verify join); without a checkpoint each consumer re-runs
+    # tokenize+shingle+md5 over the full corpus.  Eager
+    # localCheckpoint materializes the shingle table once and
+    # truncates lineage; measured 3.78 s -> 2.83 s at sf0.1 on
+    # identical output (1375/1375 rows byte-equal).
     hs = with_shingle_hashes(df, text_col).select(
         F.col(id_col).alias("_id"),
         "shingle_hashes",
         F.size("shingle_hashes").alias("_n_sh"),
-    )
+    ).localCheckpoint(eager=True)
     blocks = hs.select(
         "_id",
         F.explode(

@@ -1433,10 +1433,18 @@ def maxsim_rerank(
             1, rep_tokens,
         ).alias("_reps"),
     ).filter(F.size("_reps") > 0)
-    tok = reps.select("_id", F.explode("_reps").alias("_tok"))
+    # tok is consumed FOUR times (signature build, q_tok, c_tok) and
+    # vocab THREE times (signature join, the two stage-2 vector
+    # joins): without a checkpoint each consumer re-tokenizes the
+    # corpus from parquet, so the tokenize+sort+slice work ran 4x per
+    # query.  Eager localCheckpoint materializes each shared frame
+    # once (token grain — tiny: rep_tokens rows/doc) and truncates
+    # lineage; measured 3.39 s -> 2.39 s at sf0.1 on identical output.
+    tok = reps.select("_id", F.explode("_reps").alias("_tok")) \
+        .localCheckpoint(eager=True)
     vocab = tok.select("_tok").distinct().select(
         "_tok", _token_sign_vec(F.col("_tok"), dim).alias("_sv")
-    )
+    ).localCheckpoint(eager=True)
     # stage-1 signature: sign of the summed token vectors, packed to
     # a dim-bit int at (doc, bit) grain — one map-side-combined agg
     bit_sums = (
@@ -1445,6 +1453,9 @@ def maxsim_rerank(
         .groupBy("_id", "_pos")
         .agg(F.sum("_s").alias("_sum"))
     )
+    # sigs feeds both the broadcast query side and the streamed
+    # corpus side of the hamming stage — checkpoint so the two-agg
+    # signature build runs once, not twice.
     sigs = bit_sums.groupBy("_id").agg(
         F.sum(
             F.when(
@@ -1452,7 +1463,7 @@ def maxsim_rerank(
                 F.expr("shiftleft(CAST(1 AS BIGINT), _pos)"),
             ).otherwise(F.lit(0))
         ).alias("_sig")
-    )
+    ).localCheckpoint(eager=True)
     q_sigs = F.broadcast(
         sigs.filter(F.col("_id") % every_n == 0).select(
             F.col("_id").alias("query_id"), F.col("_sig").alias("_sq")

