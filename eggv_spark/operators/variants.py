@@ -24,7 +24,16 @@ _MAF_PATTERN = r"global_minor_allele_frequency=\d+\|([.0-9]+)"
 #: Requires the trailing ';' — a last-attribute effect is missed.
 #: Kept for parity with eggv/process.py:158 (SURVEY §7.5.6), covered
 #: by test_effect_grammar_requires_trailing_semicolon.
-_EFFECT_PATTERN = r"Variant_effect=(.+?);"
+#: Written as the backtrack-free equivalent of the reference's lazy
+#: ``(.+?);``: the lazy form matches the shortest ≥1-char prefix
+#: ending at a ';', i.e. exactly "any first char, then up to the
+#: next ';'" — ``(.[^;]*);`` — but the lazy engine re-tries the
+#: tail per character (measured ~1.5 s of the variant stage at the
+#: 5 GB bench scale), while the char-class form scans each attr
+#: byte once.  Same match on every single-line input, including the
+#: leading-';' and no-trailing-';' edge cases (pinned in
+#: tests/test_round10_opt.py).
+_EFFECT_PATTERN = r"Variant_effect=(.[^;]*);"
 
 
 def extract_variant_fields(
