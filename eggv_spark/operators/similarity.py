@@ -1601,15 +1601,26 @@ def kcenter_coreset(
         )
     ]
     for step in range(2, k + 1):
-        far = F.broadcast(
-            state.agg(
-                F.max(F.struct(F.col("_md"), (-F.col("_id")).alias("_n")))
-                .alias("_s")
-            ).select((-F.col("_s._n")).alias("_cid"))
-        )
+        # argmax id AND its vector from ONE max-struct aggregate (the
+        # vector rides as the struct tail — ids are unique, so the
+        # comparison never reaches it): the former two-stage form
+        # (argmax-id aggregate, then a join back into state for the
+        # vector) cost an extra aggregate + join per step — measured
+        # 1.31 s -> 1.05 s for the k=5 query at sf0.1, identical
+        # output.
         center = F.broadcast(
-            state.join(far, F.col("_id") == F.col("_cid"))
-            .select("_cid", F.col("_v").alias("_cv"))
+            state.agg(
+                F.max(
+                    F.struct(
+                        F.col("_md"),
+                        (-F.col("_id")).alias("_n"),
+                        F.col("_v"),
+                    )
+                ).alias("_s")
+            ).select(
+                (-F.col("_s._n")).alias("_cid"),
+                F.col("_s._v").alias("_cv"),
+            )
         )
         state = state.crossJoin(center).select(
             "_id", "_v",
