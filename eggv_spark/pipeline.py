@@ -82,11 +82,24 @@ def _read_stage(spark: SparkSession, path: str, schema, fmt: str) -> DataFrame:
 
 def run_variant_processing(
     spark: SparkSession, layout: DataLayout, single_file: bool = False,
-    fmt: str = "tsv",
+    fmt: str = "tsv", gvf_parser: str = "split",
 ) -> dict[str, DataFrame]:
     """GVF glob -> process -> {effects, metadata} outputs
-    (reference ``eggv/process.py:318-424``)."""
-    raw = readers.read_gvf(spark, layout.variant_gvf_glob())
+    (reference ``eggv/process.py:318-424``).
+
+    ``gvf_parser``: ``"split"`` (default) uses the spec parser
+    (:func:`readers.read_gvf_split`) — the raw drops here come from
+    the retrieve stage's Ensembl exports, which are spec-conformant
+    tab-separated GVF with no quoting grammar, so paying univocity's
+    per-char quote/escape handling buys nothing (measured −38% on the
+    scan pass; identical rows, pinned by tests/test_round10_opt.py).
+    Pass ``"csv"`` for the PERMISSIVE CSV reader when ingesting
+    untrusted/dirty drops.
+    """
+    if gvf_parser == "split":
+        raw = readers.read_gvf_split(spark, layout.variant_gvf_glob())
+    else:
+        raw = readers.read_gvf(spark, layout.variant_gvf_glob())
     # .gz raw drops are non-splittable — a scan of N files runs
     # N-wide forever, so redistributing before the regex chain is
     # mandatory there.  But when the scan is already wide (splittable
@@ -184,7 +197,10 @@ def run_process_step(
     layout = DataLayout(config["directories"]["data"], config["species"])
     fmt = config.get("format", "tsv")
     out = run_gene_processing(spark, layout, fmt=fmt)
-    out |= run_variant_processing(spark, layout, fmt=fmt)
+    out |= run_variant_processing(
+        spark, layout, fmt=fmt,
+        gvf_parser=config.get("gvf_parser", "split"),
+    )
     return out
 
 
