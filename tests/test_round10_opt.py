@@ -176,3 +176,32 @@ def test_split_parser_per_field_degradation_documented(spark, tmp_path):
     assert rows["SNV"].start in (100, None)  # two SNV rows; see below
     by_attr = {r.attr: r for r in read_gvf_split(spark, str(p)).collect()}
     assert by_attr["ID=2"].start is None and by_attr["ID=2"].end == 9
+
+
+# ---------------------------------------------------------------------------
+# 5. staged rsid drop (_rsid_raw != '') vs the old na.drop(rsid)
+# ---------------------------------------------------------------------------
+
+_RSID_EDGE_GVF = (
+    "7\tdbSNP\tSNV\t1\t1\t.\t+\t.\tID=1;Dbxref=dbSNP_151:rs1;Variant_seq=A\n"
+    "7\tdbSNP\tSNV\t2\t2\t.\t+\t.\tID=2;Variant_seq=C\n"          # no rsid -> drop
+    "7\tdbSNP\tSNV\t3\t3\t.\t+\t.\tID=3;Dbxref=dbSNP_1:rs007\n"   # leading zeros
+    "7\tdbSNP\tSNV\t4\t4\t.\t+\t.\tDbxref=dbSNP_:rs5\n"           # no \d+ after dbSNP_ -> no match -> drop
+)
+
+
+def test_staged_rsid_drop_equals_na_drop(spark, tmp_path):
+    """The optimized drop (filter _rsid_raw != '' before the typed
+    projection) keeps exactly the rows the old na.drop(rsid) kept:
+    rsid is null iff the raw capture is empty, because the \\d+
+    capture always casts."""
+    from eggv_spark.operators.variants import extract_variant_fields
+    from eggv_spark.sources.readers import read_gvf_split
+
+    p = tmp_path / "edge.gvf"
+    p.write_text(_RSID_EDGE_GVF)
+    got = extract_variant_fields(read_gvf_split(spark, str(p)))
+    rows = sorted(map(tuple, got.collect()))
+    # via the old semantics: typed projection then drop null rsid
+    assert [r[3] for r in rows] == sorted([1, 7])  # rsid values kept
+    assert got.filter("rsid IS NULL").count() == 0
