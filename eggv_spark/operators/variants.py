@@ -83,8 +83,15 @@ def process_gvf(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
     Output schema: PROCESSED_VARIANTS_SCHEMA — (chromosome, rsid,
     start, end, observed, maf, effect, transcript).
     """
-    df = _extract_typed(df, repartition_to)
+    return explode_effects(_extract_typed(df, repartition_to))
 
+
+def explode_effects(df: DataFrame) -> DataFrame:
+    """Typed per-variant frame (:func:`extract_variant_fields`) ->
+    processed variants (one row per effect) — the back half of
+    :func:`process_gvf`, split out so a caller that already holds the
+    typed frame (e.g. a materialized shared scan) can explode without
+    re-extracting."""
     # EXP-01: one row per effect.  The column was just coalesced to a
     # non-null non-empty string, so plain explode never drops rows;
     # explode_outer is used anyway as a defensive invariant

