@@ -125,8 +125,14 @@ def run_variant_processing(
         # ~30x narrower than the raw lines, NOT the exploded/wide frame
         # the round-3 measurement rejected — costs one extra regex
         # (5 vs the 6 the two branches pay combined) and removes a
-        # whole 5 GB scan+parse: variant stage 15.6 s -> 11.3 s floor
-        # (−28%) at the 5 GB bench scale, outputs byte-identical.
+        # whole 5 GB scan+parse pass.  Measured (interleaved paired
+        # A/B, 5.6 GB corpus, scripts/ab_share_scan_lowcore.py): at
+        # local[8] — the scan serializes when cores are scarce, i.e.
+        # the driver's low-core scaling leg and the I/O-bound cluster
+        # shape — 67.9 s -> 58.1 s (−14%); at saturated local[32] the
+        # two branches' recompute overlaps and the shapes tie (17.1
+        # vs 17.2 s floors).  Outputs byte-identical both ways (row
+        # count + order-insensitive hash, scripts/ab_share_scan.py).
         # localCheckpoint (MEMORY_AND_DISK) lives inside this one
         # invocation — nothing persists across runs.
         typed = V.extract_variant_fields(raw, repartition_to=width)
