@@ -14,6 +14,10 @@ pushdown + column pruning + row-group skipping.
 
 from __future__ import annotations
 
+import os
+import weakref
+from typing import MutableMapping
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructType
 
@@ -143,6 +147,23 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataF
     return spark.read.schema(schema).json(path)
 
 
+#: Per-SESSION memo of the lazy table DataFrames handed out by
+#: :func:`read_table`.  ``spark.read.parquet(path)`` eagerly lists the
+#: path and reads a footer to resolve the schema — a driver/job cost
+#: (~0.1 s on local[32]) that path-based reads re-pay on EVERY call,
+#: while catalog tables amortize it in the session listing cache
+#: (guide §6: repeated listings of the same table are pure waste; at
+#: 100 TB a listing is minutes, which is the argument for manifest
+#: formats).  The memo holds ONLY metadata-resolved lazy plans — no
+#: rows, no results: every action on the returned frame still scans
+#: the parquet files.  Keyed weakly by the session so adversarial
+#: sweeps (fresh sessions per config) never share state and stopped
+#: sessions free their entries.
+_TABLE_MEMO: MutableMapping[SparkSession, dict[str, DataFrame]] = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Native parquet table reader for the driver testdata layout.
 
@@ -158,11 +179,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP_NTZ columns (timezone-less micros footers) are cast
       to TIMESTAMP; with the session timezone pinned to UTC
       (session.py) the instant is unchanged.
+
+    Repeat reads of the same path in the same session return the same
+    lazy DataFrame (see ``_TABLE_MEMO`` — file listing + schema
+    resolution are paid once per session, like a catalog table; the
+    data path is re-scanned by every action as always).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
 
     path = f"{sf_dir}/{name}.parquet"
+    # EGGV_TABLE_MEMO=0 restores list-per-call (interleaved A/B runs).
+    if os.environ.get("EGGV_TABLE_MEMO", "1") == "0":
+        per_session = None
+    else:
+        per_session = _TABLE_MEMO.setdefault(spark, {})
+        memo = per_session.get(path)
+        if memo is not None:
+            return memo
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -178,6 +212,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     if ntz_cols:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    if per_session is not None:
+        per_session[path] = df
     return df
 
 

@@ -251,3 +251,28 @@ def test_share_scan_outputs_identical(spark, tmp_path):
     assert [m[3] for m in meta] == [1, 2]
 
 
+
+
+def test_read_table_session_memo(spark, monkeypatch):
+    """read_table memoizes the lazy table frame per (session, path):
+    repeat reads return the SAME DataFrame object (no re-listing), the
+    EGGV_TABLE_MEMO=0 escape hatch restores list-per-call, and results
+    are unchanged either way (the memo holds metadata, never rows)."""
+    from eggv_spark.sources import readers
+
+    SF_DIR = "/root/testdata/sf0.001"
+
+    monkeypatch.delenv("EGGV_TABLE_MEMO", raising=False)
+    a = readers.read_table(spark, SF_DIR, "nation")
+    b = readers.read_table(spark, SF_DIR, "nation")
+    assert a is b
+
+    monkeypatch.setenv("EGGV_TABLE_MEMO", "0")
+    c = readers.read_table(spark, SF_DIR, "nation")
+    assert c is not a
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, a.collect()))
+
+    # distinct paths never collide in the memo
+    monkeypatch.delenv("EGGV_TABLE_MEMO", raising=False)
+    d = readers.read_table(spark, SF_DIR, "region")
+    assert d is not a and d.columns != a.columns
