@@ -63,7 +63,7 @@ def _run_shared(spark, layout):
 def _fingerprint(spark, path):
     df = spark.read.parquet(path)
     r = df.select(
-        F.count("*").alias("n"), F.sum(F.xxhash64(*df.columns)).alias("h")
+        F.count("*").alias("n"), F.bit_xor(F.xxhash64(*df.columns)).alias("h")
     ).collect()[0]
     return (r.n, r.h)
 
