@@ -1225,13 +1225,23 @@ def _ddp_index_dedup(spark, sf_dir):
     O(corpus).  Each shard doc is an exact copy of its source, so the
     signature-agreement estimate is 1.0 and dup_of resolves to the
     smallest matching corpus id (dedupe.minhash_band_index /
-    dedupe_against_index)."""
+    dedupe_against_index).
+
+    hash_family='xxhash64' (round 11, guide §1.2 per-task work): the
+    md5-hex-substring gram hash was ~3x the cost of the whole rest of
+    the operator; the output is hash-independent here (matches are
+    exact copies -> signature agreement 1.0 under any family), proven
+    row-identical md5-vs-xxhash64 at sf0.001/0.01/0.1
+    (scripts/ab_index_hash.py) and still oracle-hash-matched against
+    the md5-based DuckDB replica."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    index = D.minhash_band_index(docs)
+    index = D.minhash_band_index(docs, hash_family="xxhash64")
     shard = docs.filter("doc_id % 10 = 0").withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
-    return D.dedupe_against_index(shard, index, threshold=0.7)
+    return D.dedupe_against_index(
+        shard, index, threshold=0.7, hash_family="xxhash64"
+    )
 
 
 def _ddp_window_dedup(spark, sf_dir):
@@ -1260,8 +1270,9 @@ def _stream_index_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # persist: the static side of a stream-static join re-evaluates
     # every micro-batch — unpersisted, the whole corpus would
-    # re-shingle per batch
-    index = D.minhash_band_index(docs).persist()
+    # re-shingle per batch.  hash_family mirrors the batch twin
+    # (_ddp_index_dedup): output proven hash-independent, same oracle.
+    index = D.minhash_band_index(docs, hash_family="xxhash64").persist()
     shard_stream = (
         ES.read_documents_stream(spark, sf_dir)
         .select("doc_id", "text")
@@ -1270,7 +1281,9 @@ def _stream_index_dedup(spark, sf_dir):
     )
     try:
         matches = ES.run_available_now(
-            ES.streaming_index_dedupe(shard_stream, index)
+            ES.streaming_index_dedupe(
+                shard_stream, index, hash_family="xxhash64"
+            )
         )
         shard_ids = docs.filter("doc_id % 10 = 0").select(
             (F.col("doc_id") + F.lit(1000000)).alias("doc_id")

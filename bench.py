@@ -105,6 +105,18 @@ HEADLINE = [
 ]
 
 
+#: Bench-epoch clock and per-query telemetry sink.  Every timed unit
+#: records {t_start (s since bench start), loadavg_1m (at its start)}
+#: so a contended STRETCH mid-run is identifiable from the artifact
+#: alone (VERDICT r10 item 1: the start-only contention gate missed a
+#: mid-run neighbor burst that inflated 21 queries 2-3x and cost a
+#: verdict cycle to re-litigate).  The telemetry goes to the SIDECAR
+#: file, not the printed line: the driver's output-tail capture
+#: truncated the round-9 line mid-JSON, so the line must stay small.
+_BENCH_T0 = time.perf_counter()
+_TELEMETRY: dict[str, dict] = {}
+
+
 def bench_pipeline(spark) -> dict | None:
     """GB-scale end-to-end parity-pipeline bench: generate (once,
     cached) a synthetic mm10-shaped GVF+GTF of $SPARK_GRAFT_PIPELINE_GB
@@ -162,7 +174,12 @@ def bench_pipeline(spark) -> dict | None:
     sec = float("inf")
     stage_best = {"genes": float("inf"), "variants": float("inf"),
                   "annotate": float("inf")}
+    runs_telemetry = []
     for _ in range(3):
+        runs_telemetry.append(
+            {"t_start": round(time.perf_counter() - _BENCH_T0, 1),
+             "loadavg_1m": round(os.getloadavg()[0], 2)}
+        )
         start = time.perf_counter()
         P.run_gene_processing(spark, layout, fmt="parquet")
         t1 = time.perf_counter()
@@ -174,6 +191,11 @@ def bench_pipeline(spark) -> dict | None:
         stage_best["genes"] = min(stage_best["genes"], t1 - start)
         stage_best["variants"] = min(stage_best["variants"], t2 - t1)
         stage_best["annotate"] = min(stage_best["annotate"], t3 - t2)
+    _TELEMETRY["pipeline_complete"] = dict(
+        runs_telemetry[0],
+        runs=runs_telemetry,
+        stage_floors={k: round(v, 3) for k, v in stage_best.items()},
+    )
     # Per-stage floor (diagnostic, stderr only): where a regression
     # lives matters more than that it exists — the three stages have
     # very different plans (GTF regex+persist / double GVF scan with
@@ -271,6 +293,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _TELEMETRY[name] = {
+            "t_start": round(time.perf_counter() - _BENCH_T0, 1),
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+        }
         best = float("inf")
         runs = 0
         while runs < 2 or (best < 1.0 and runs < 3):
@@ -301,27 +327,47 @@ def main() -> None:
             ),
             file=sys.stderr,
         )
-    out = {
+    # The printed line stays COMPACT and is the LAST stdout line: the
+    # round-9 line (which embedded multi-hundred-char prose strings)
+    # was truncated mid-JSON by the driver's output-tail capture and
+    # the round-over-round comparison could not be computed (VERDICT
+    # r10 item 1).  The methodology prose, per-query telemetry and
+    # stage floors live in a sidecar JSON file next to this script;
+    # the line carries only the machine-read fields (same metric, same
+    # query set, same methodology — this is a formatting fix, not a
+    # measurement change).
+    contention = {
+        "nproc": os.cpu_count(),
+        "idle_wait_s": round(idle_waited, 1),
+        "loadavg_1m_start": round(load_start[0], 2),
+        "loadavg_5m_start": round(load_start[1], 2),
+        "loadavg_1m_end": round(load_end[0], 2),
+        "loadavg_5m_end": round(load_end[1], 2),
+    }
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_sidecar.json"),
+    )
+    sidecar = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "contended": contended,
         "queries": timings,
-        "contention": {
-            "nproc": os.cpu_count(),
-            "idle_wait_s": round(idle_waited, 1),
-            "loadavg_1m_start": round(load_start[0], 2),
-            "loadavg_5m_start": round(load_start[1], 2),
-            "loadavg_1m_end": round(load_end[0], 2),
-            "loadavg_5m_end": round(load_end[1], 2),
-            "note": (
+        "contention": dict(
+            contention,
+            note=(
                 "this bench saturates local[{}] itself; a 1-min load "
                 "far above nproc at START, or >15% uniform inflation "
                 "vs the prior round with unchanged plans, means "
                 "neighbor contention - re-run once and keep the "
-                "per-query min".format(cpus)
+                "per-query min; a contended STRETCH mid-run shows as "
+                "a loadavg_1m ramp in the per-query telemetry "
+                "below".format(cpus)
             ),
-        },
+        ),
+        "telemetry": _TELEMETRY,
         "sf": sf,
         "notes": (
             "timed runs are min-of-2 after one untimed warm-up, "
@@ -331,13 +377,38 @@ def main() -> None:
             "spike up to ~2.3x under neighbor contention (root cause "
             "of the round-2 txt_repetition 1.43->1.88s blip: a 7-run "
             "steady-state sweep measured 1.40-1.55s with one 3.24s "
-            "outlier, same plan); pipeline stage is min-of-3"
+            "outlier, same plan); pipeline stage is min-of-3; "
+            "telemetry[name] = {t_start: seconds since bench start "
+            "at the query's first timed run, loadavg_1m: host 1-min "
+            "load at that moment}"
         ),
     }
     if pipeline is not None:
+        sidecar["pipeline"] = pipeline
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # noqa: PERF203 — the line must still print
+        print(f"sidecar write failed: {exc}", file=sys.stderr)
+        sidecar_path = None
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "contended": contended,
+        "queries": timings,
+        "contention": contention,
+        "sf": sf,
+        "sidecar": sidecar_path,
+    }
+    if pipeline is not None:
         out["pipeline"] = pipeline
-    print(json.dumps(out))
-    spark.stop()
+    try:
+        spark.stop()  # stop FIRST so no late JVM output follows the line
+    except Exception as exc:  # noqa: BLE001 — the line must still print
+        print(f"spark.stop failed: {exc}", file=sys.stderr)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eggv_spark.materialize import materialize, materialize_lazy
+
 from eggv_spark.operators.text_analysis import shingles_col, tokens_col
 
 #: MinHash parameters: 16 permutations = 4 bands x 4 rows
@@ -47,6 +49,26 @@ def base_hash(col: Column) -> Column:
     long.  Identical expression exists in DuckDB
     (``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _gram_hash(col: Column, hash_family: str) -> Column:
+    """Shingle -> [0, MINHASH_PRIME) hash under the chosen family.
+
+    - ``md5`` (default everywhere): oracle-portable — DuckDB
+      recomputes the identical value, so operators whose OUTPUT
+      exposes hash-derived numbers (band stats, jaccard estimates
+      between near-dup pairs) stay bit-reproducible in the oracle.
+    - ``xxhash64``: JVM-native 64-bit hash, no hex-string
+      materialization — measured ~3x cheaper per shingle (the r08
+      txt_repetition precedent: −31% on the operator).  Only for
+      paths whose OUTPUT is hash-independent: the index-probe dedup's
+      matches are exact copies (signature agreement 1.0 under ANY
+      hash family), so is_dup/dup_of/n_matches/best_est are identical
+      and the md5-based DuckDB oracle still matches (verified at
+      sf0.001/0.01/0.1, scripts/ab_index_hash.py)."""
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(MINHASH_PRIME))
+    return base_hash(col) % MINHASH_PRIME
 
 
 # ---------------------------------------------------------------------------
@@ -76,14 +98,17 @@ def exact_dedupe(
 # ---------------------------------------------------------------------------
 
 def with_shingle_hashes(
-    df: DataFrame, text_col: str = "text", shingle_size: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Distinct word-shingle set and its 32-bit hashes per document."""
     shingles = shingles_col(tokens_col(text_col), shingle_size)
     return df.withColumn("shingles", shingles).withColumn(
         "shingle_hashes",
         F.array_distinct(
-            F.transform(F.col("shingles"), lambda s: base_hash(s) % MINHASH_PRIME)
+            F.transform(F.col("shingles"), lambda s: _gram_hash(s, hash_family))
         ),
     )
 
@@ -259,6 +284,7 @@ def minhash_band_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_size: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Persistable MinHash band index of a corpus: one row per
     (doc, band) carrying (id, band, band_key, minhash_sig).
@@ -272,7 +298,7 @@ def minhash_band_index(
     verification is signature agreement — no corpus text re-read.
     """
     sigs = with_minhash_signature(
-        with_shingle_hashes(df, text_col, shingle_size)
+        with_shingle_hashes(df, text_col, shingle_size, hash_family)
     )
     return _band_rows(sigs, id_col, extra=("minhash_sig",))
 
@@ -284,6 +310,7 @@ def dedupe_against_index(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_size: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Incremental near-dup: probe a NEW shard against a persisted
     :func:`minhash_band_index` of the existing corpus — the
@@ -306,7 +333,7 @@ def dedupe_against_index(
     """
     matches = index_probe_matches(
         new_docs, index, text_col=text_col, id_col=id_col,
-        shingle_size=shingle_size,
+        shingle_size=shingle_size, hash_family=hash_family,
     )
     return collapse_index_matches(
         matches, new_docs.select(F.col(id_col)), id_col, threshold
@@ -333,6 +360,7 @@ def index_probe_matches(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_size: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Band-probe stage shared by batch and streaming index dedup:
     shingle + sign the new docs, equi-join their band rows to the
@@ -340,7 +368,7 @@ def index_probe_matches(
     (id, old_id, est_jaccard).  Stateless — safe as the map side of
     a stream-static join."""
     sigs_new = with_minhash_signature(
-        with_shingle_hashes(new_docs, text_col, shingle_size)
+        with_shingle_hashes(new_docs, text_col, shingle_size, hash_family)
     )
     probe = _band_rows(sigs_new, id_col, extra=("minhash_sig",)).select(
         F.col(id_col),
@@ -708,7 +736,7 @@ def connected_components(
         # cost stays flat and a late-stage executor loss doesn't
         # recompute the whole iteration chain.
         if i % 3 == 2:
-            new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.transform(materialize_lazy)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -804,11 +832,11 @@ def connected_components_star(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     converged = False
     for _ in range(max_iterations):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_edges = _small_star(_large_star(edges)).transform(materialize)
         # set equality needs both a no-new-edges probe and a count
         # match (new ⊂ old would pass the probe alone)
         changed = (
@@ -1000,7 +1028,7 @@ def sliding_window_dedup(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_i", "_h"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     dup_keys = grams.groupBy("_h").count().filter(F.col("count") > 1)
     dup_starts = (
         grams.join(dup_keys, "_h", "semi")
@@ -1186,7 +1214,7 @@ def containment_pairs(
         F.col(id_col).alias("_id"),
         "shingle_hashes",
         F.size("shingle_hashes").alias("_n_sh"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     blocks = hs.select(
         "_id",
         F.explode(

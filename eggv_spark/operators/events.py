@@ -1088,9 +1088,15 @@ def uplift_by_segment(
     pooled = F.try_divide(
         F.col("c_a") + F.col("c_b"), F.col("n_a") + F.col("n_b")
     )
+    # try_divide like every other ratio here: a segment missing one
+    # variant entirely (n_a or n_b = 0) yields NULL se/z_stat instead
+    # of an ANSI DIVIDE_BY_ZERO — which also raced (and could mask)
+    # the foreign-label raise_error guard above when both conditions
+    # held, making the surfaced error non-deterministic under load.
     se = F.sqrt(
         pooled * (1 - pooled)
-        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        * (F.try_divide(F.lit(1.0), F.col("n_a"))
+           + F.try_divide(F.lit(1.0), F.col("n_b")))
     )
     return both.select(
         F.col("_s").alias(segment_col),

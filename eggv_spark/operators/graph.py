@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from eggv_spark.materialize import materialize_lazy
+
 
 def _cap_neighborhoods(neigh: DataFrame, node_col: str, nbr_col: str,
                        max_degree: int) -> DataFrame:
@@ -386,7 +388,7 @@ def kcore_prune(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     cur = und
 
@@ -396,7 +398,7 @@ def kcore_prune(
         return (
             frame.join(alive, "a", "left_semi")
             .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(materialize_lazy)
         )
 
     if to_fixpoint:
@@ -452,7 +454,7 @@ def adamic_adar(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     deg = und.groupBy(F.col("a").alias("z")).agg(
         F.count("*").alias("_deg")
@@ -516,7 +518,7 @@ def bfs_reach(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     if isinstance(seed, DataFrame):
         visited = seed.select(
@@ -542,15 +544,15 @@ def bfs_reach(
         d = 0
         while d < max_iterations:
             d += 1
-            nxt = _expand(frontier, visited, d).localCheckpoint(eager=False)
+            nxt = _expand(frontier, visited, d).transform(materialize_lazy)
             if nxt.count() == 0:
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            visited = visited.unionByName(nxt).transform(materialize_lazy)
             frontier = nxt.select("node")
     else:
         for d in range(1, max_depth + 1):
             nxt = _expand(frontier, visited, d)
-            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            visited = visited.unionByName(nxt).transform(materialize_lazy)
             frontier = nxt.select("node")
     return visited.select(F.col("node").cast("int").alias("node"), "depth")
 
@@ -891,13 +893,13 @@ def harmonic_centrality(
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     nodes = (
         e.select(F.col("_a").alias("node"))
         .union(e.select(F.col("_b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     visited = nodes.select(
         F.col("node").alias("_src"), F.col("node").alias("_cur")
@@ -910,9 +912,9 @@ def harmonic_centrality(
             .select("_src", F.col("_b").alias("_cur"))
             .distinct()
             .join(visited, ["_src", "_cur"], "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(materialize_lazy)
         )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).transform(materialize_lazy)
         hop_counts.append(
             (h, frontier.groupBy("_src").agg(F.count("*").alias("_n")))
         )
@@ -1150,13 +1152,13 @@ def scc(
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     nodes = (
         e.select(F.col("_a").alias("node"))
         .union(e.select(F.col("_b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     visited = nodes.select(
         F.col("node").alias("_src"), F.col("node").alias("_cur")
@@ -1168,9 +1170,9 @@ def scc(
             .select("_src", F.col("_b").alias("_cur"))
             .distinct()
             .join(visited, ["_src", "_cur"], "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(materialize_lazy)
         )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).transform(materialize_lazy)
     swapped = visited.select(
         F.col("_cur").alias("_src"), F.col("_src").alias("_cur")
     )
@@ -1214,13 +1216,13 @@ def path_length_stats(
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     nodes = (
         e.select(F.col("_a").alias("node"))
         .union(e.select(F.col("_b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     visited = nodes.select(
         F.col("node").alias("_src"), F.col("node").alias("_cur")
@@ -1233,9 +1235,9 @@ def path_length_stats(
             .select("_src", F.col("_b").alias("_cur"))
             .distinct()
             .join(visited, ["_src", "_cur"], "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(materialize_lazy)
         )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).transform(materialize_lazy)
         hop_counts.append(
             (h, frontier.agg(F.count("*").alias("_n")))
         )

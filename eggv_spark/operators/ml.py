@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eggv_spark.materialize import materialize
+
 
 def _as_double_vec(col: str, dim: int) -> Column:
     return F.slice(F.col(col).cast("array<double>"), 1, dim)
@@ -908,7 +910,7 @@ def pca_top2_deflation(
                 "_uvec", lambda x: x / F.col("_lam")
             ).alias("_v"),
             "_lam",
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     v1 = v  # flat leaf, read throughout phase 2
     w = centered.sparkSession.range(1).select(
         F.array_repeat(F.lit(inv), dim).alias("_w"),
@@ -937,7 +939,7 @@ def pca_top2_deflation(
                 "_u2", lambda x: x / F.col("_lam2")
             ).alias("_w"),
             "_lam2",
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     n = centered.agg(F.count("*").alias("n"))
 
     def _top_dim(frame: DataFrame, col: str) -> DataFrame:
@@ -1255,7 +1257,7 @@ def gbrt_stumps(
     mu0 = F.round(F.col("_s").cast("double") / F.col("_n"), 6)
     state = base.crossJoin(F.broadcast(tot0)).select(
         "_x", (F.col("_y") - mu0).alias("_r")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sse = F.round(
         F.sum((F.col("_r") * F.col("_r")).cast(dec_s)).cast("double"), 6
     )
@@ -1341,7 +1343,7 @@ def gbrt_stumps(
                     F.col("_bml"),
                 ).otherwise(F.col("_bmr"))
             ).alias("_r"),
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         rounds.append(
             best.crossJoin(
                 F.broadcast(state.agg(sse.alias("train_sse")))

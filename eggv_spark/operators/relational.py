@@ -15,6 +15,8 @@ from typing import Iterable, Mapping, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eggv_spark.materialize import materialize
+
 
 def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """PRJ-01: column projection (reference eggv/process.py:115)."""
@@ -1220,7 +1222,7 @@ def raking_weights(
             )
         )
 
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.transform(materialize)
     for _ in range(iterations):
         for dim, tmap, op in (("_d1", t1, "dim1"), ("_d2", t2, "dim2")):
             margins = cells.groupBy(dim).agg(
@@ -1239,7 +1241,7 @@ def raking_weights(
                         )
                     ).alias("_w"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
     return cells.select(
         F.col("_d1").alias(dim1_col),

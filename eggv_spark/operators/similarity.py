@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eggv_spark.materialize import materialize
+
 from eggv_spark.operators.dedupe import base_hash, cosine_col, dot_col, norm_col
 
 
@@ -1441,10 +1443,10 @@ def maxsim_rerank(
     # once (token grain — tiny: rep_tokens rows/doc) and truncates
     # lineage; measured 3.39 s -> 2.39 s at sf0.1 on identical output.
     tok = reps.select("_id", F.explode("_reps").alias("_tok")) \
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     vocab = tok.select("_tok").distinct().select(
         "_tok", _token_sign_vec(F.col("_tok"), dim).alias("_sv")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # stage-1 signature: sign of the summed token vectors, packed to
     # a dim-bit int at (doc, bit) grain — one map-side-combined agg
     bit_sums = (
@@ -1463,7 +1465,7 @@ def maxsim_rerank(
                 F.expr("shiftleft(CAST(1 AS BIGINT), _pos)"),
             ).otherwise(F.lit(0))
         ).alias("_sig")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     q_sigs = F.broadcast(
         sigs.filter(F.col("_id") % every_n == 0).select(
             F.col("_id").alias("query_id"), F.col("_sig").alias("_sq")
@@ -1580,7 +1582,7 @@ def kcenter_coreset(
         F.col(id_col).alias("_id"),
         F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
         .alias("_v"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     first = F.broadcast(
         pts.agg(F.min("_id").alias("_cid"))
@@ -1590,7 +1592,7 @@ def kcenter_coreset(
     state = pts.crossJoin(first).select(
         "_id", "_v",
         sq_dist(F.col("_v"), F.col("_cv")).alias("_md"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     selected = [
         first.crossJoin(
             F.broadcast(state.agg(F.max("_md").alias("coverage_radius")))
@@ -1627,7 +1629,7 @@ def kcenter_coreset(
             F.least(
                 F.col("_md"), sq_dist(F.col("_v"), F.col("_cv"))
             ).alias("_md"),
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         selected.append(
             center.crossJoin(
                 F.broadcast(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eggv_spark.materialize import materialize
+
 #: Small fixed stopword list used by quality scoring (order matters
 #: only for documentation; membership tests are set semantics).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -1258,7 +1260,7 @@ def bpe_train_merges(
         # 6 of the composed train+apply query; checkpointed frames
         # are flat leaves.  The abandoned step RDDs are reclaimed by
         # the ContextCleaner when the frames go out of scope.
-        words = words.localCheckpoint(eager=True)
+        words = words.transform(materialize)
         n1 = F.greatest(F.size("_s") - 1, F.lit(0))
         pair_counts = (
             words.select(
@@ -1289,7 +1291,7 @@ def bpe_train_merges(
             )
             # flat 1-row leaf: the merge table and the next fold both
             # read this row without re-running the TakeOrdered
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         merges.append(
             best.select(
@@ -1353,7 +1355,7 @@ def bpe_train_with_sizes(
     )
     merges = []
     for step in range(1, n_merges + 1):
-        words = words.localCheckpoint(eager=True)
+        words = words.transform(materialize)
         n1 = F.greatest(F.size("_s") - 1, F.lit(0))
         pair_counts = (
             words.select(
@@ -1382,7 +1384,7 @@ def bpe_train_with_sizes(
                 F.col("_p.b").alias("_bb"),
                 F.col("_cnt").alias("_bcnt"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         merges.append(
             best.select(
@@ -1411,7 +1413,7 @@ def bpe_train_with_sizes(
         )
     word_sizes = words.select(
         "_w", F.size("_s").alias("_n_syms")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -1667,12 +1669,12 @@ def bpe_word_sizes(
         # print size — see bpe_train_merges), and leaves the
         # abandoned step RDDs to the ContextCleaner instead of
         # accumulating cached copies across invocations
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     # hand back the SMALL (word, count) map as a flat leaf — the
     # heavy symbol-array frame goes out of scope with the loop
     return words.select(
         "_w", F.size("_s").alias("_n_syms")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
 
 def tokenizer_pipeline(

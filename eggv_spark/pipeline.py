@@ -29,6 +29,8 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
+from eggv_spark.materialize import materialize
+
 from eggv_spark import retrieve as R
 from eggv_spark.config import validate_config
 from eggv_spark.layout import DataLayout
@@ -136,7 +138,7 @@ def run_variant_processing(
         # localCheckpoint (MEMORY_AND_DISK) lives inside this one
         # invocation — nothing persists across runs.
         typed = V.extract_variant_fields(raw, repartition_to=width)
-        typed = typed.localCheckpoint(eager=True)
+        typed = typed.transform(materialize)
         effects = V.isolate_variant_effects(V.explode_effects(typed))
         meta = (
             typed.select("chromosome", "start", "end", "rsid", "observed", "maf")

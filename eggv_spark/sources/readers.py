@@ -15,8 +15,6 @@ pushdown + column pruning + row-group skipping.
 from __future__ import annotations
 
 import os
-import weakref
-from typing import MutableMapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructType
@@ -147,21 +145,30 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataF
     return spark.read.schema(schema).json(path)
 
 
-#: Per-SESSION memo of the lazy table DataFrames handed out by
-#: :func:`read_table`.  ``spark.read.parquet(path)`` eagerly lists the
-#: path and reads a footer to resolve the schema — a driver/job cost
-#: (~0.1 s on local[32]) that path-based reads re-pay on EVERY call,
-#: while catalog tables amortize it in the session listing cache
-#: (guide §6: repeated listings of the same table are pure waste; at
-#: 100 TB a listing is minutes, which is the argument for manifest
-#: formats).  The memo holds ONLY metadata-resolved lazy plans — no
-#: rows, no results: every action on the returned frame still scans
-#: the parquet files.  Keyed weakly by the session so adversarial
-#: sweeps (fresh sessions per config) never share state and stopped
-#: sessions free their entries.
-_TABLE_MEMO: MutableMapping[SparkSession, dict[str, DataFrame]] = (
-    weakref.WeakKeyDictionary()
-)
+def _table_memo(spark: SparkSession) -> dict[str, tuple[DataFrame, bool]]:
+    """Per-SESSION memo of the lazy table DataFrames handed out by
+    :func:`read_table`.  ``spark.read.parquet(path)`` eagerly lists the
+    path and reads a footer to resolve the schema — a driver/job cost
+    (~0.1 s on local[32]) that path-based reads re-pay on EVERY call,
+    while catalog tables amortize it in the session listing cache
+    (guide §6: repeated listings of the same table are pure waste; at
+    100 TB a listing is minutes, which is the argument for manifest
+    formats).  The memo holds ONLY metadata-resolved lazy plans — no
+    rows, no results: every action on the returned frame still scans
+    the parquet files.
+
+    Stored ON the session object (not a module-level weak map): the
+    DataFrame values hold strong refs back to the session, so a
+    WeakKeyDictionary entry could never be collected (round-10 ADVICE)
+    — attaching the dict to the session gives it exactly the session's
+    lifetime and keeps adversarial sweeps (fresh session per config)
+    isolated for free.  Each entry carries the nanosAsLong flag so a
+    memo hit can re-assert the session conf the plan needs."""
+    memo = getattr(spark, "_eggv_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._eggv_table_memo = memo
+    return memo
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -181,9 +188,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (session.py) the instant is unchanged.
 
     Repeat reads of the same path in the same session return the same
-    lazy DataFrame (see ``_TABLE_MEMO`` — file listing + schema
+    lazy DataFrame (see :func:`_table_memo` — file listing + schema
     resolution are paid once per session, like a catalog table; the
     data path is re-scanned by every action as always).
+
+    CONTRACT: a memoized path is assumed immutable for the session's
+    lifetime, exactly like a catalog table's listing cache — if files
+    under ``path`` are rewritten/compacted mid-session, later reads
+    see the first read's file listing (stale rows or
+    FileNotFoundException).  For mutable paths call
+    :func:`refresh_table` after writing, or disable the memo with
+    ``EGGV_TABLE_MEMO=0``.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
@@ -193,10 +208,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if os.environ.get("EGGV_TABLE_MEMO", "1") == "0":
         per_session = None
     else:
-        per_session = _TABLE_MEMO.setdefault(spark, {})
-        memo = per_session.get(path)
-        if memo is not None:
-            return memo
+        per_session = _table_memo(spark)
+        hit = per_session.get(path)
+        if hit is not None:
+            df, needs_nanos = hit
+            if needs_nanos:
+                # the memoized plan reads raw nanos longs; re-assert
+                # the conf in case something reset it between calls
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return df
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -213,8 +233,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ntz_cols:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     if per_session is not None:
-        per_session[path] = df
+        per_session[path] = (df, bool(nanos_cols))
     return df
+
+
+def refresh_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Drop the session's memo entry for ``sf_dir/name`` so the next
+    :func:`read_table` re-lists the path (the invalidation hook for
+    the otherwise immutable-path memo contract)."""
+    _table_memo(spark).pop(f"{sf_dir}/{name}.parquet", None)
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:

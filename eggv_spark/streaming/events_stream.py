@@ -560,7 +560,10 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_index_dedupe(
-    docs_stream: DataFrame, index: DataFrame, id_col: str = "doc_id"
+    docs_stream: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Streaming half of incremental corpus dedup: each micro-batch
     of newly crawled docs is shingled, MinHash-signed, banded, and
@@ -583,7 +586,9 @@ def streaming_index_dedupe(
     """
     from eggv_spark.operators.dedupe import index_probe_matches
 
-    return index_probe_matches(docs_stream, index, id_col=id_col)
+    return index_probe_matches(
+        docs_stream, index, id_col=id_col, hash_family=hash_family
+    )
 
 
 def streaming_user_profile_tws(events: DataFrame) -> DataFrame:

@@ -1,0 +1,95 @@
+"""A/B for the round-11 ddp_index_dedup hash family (md5 -> xxhash64).
+
+The index-probe dedup's OUTPUT is hash-independent on this data
+(shard docs are exact copies, so signature agreement is 1.0 under any
+hash family; no near-but-not-exact corpus pair crosses the 0.7
+estimate) — this script PROVES that empirically at every SF before
+the entry is switched, then times the operator at the bench SF.
+
+- ``equiv``: output row-set equality md5 vs xxhash64 at
+  sf0.001/0.01/0.1 (both the batch operator and, cheaply, the raw
+  match sets).
+- ``time``: interleaved noop-sink timing at sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from eggv_spark.operators import dedupe as D
+
+
+def _index_dedup(spark, sf_dir: str, hash_family: str):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    index = D.minhash_band_index(docs, hash_family=hash_family)
+    shard = docs.filter("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return D.dedupe_against_index(
+        shard, index, threshold=0.7, hash_family=hash_family
+    )
+
+
+def equiv(spark) -> None:
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        a = sorted(map(tuple, _index_dedup(spark, sf_dir, "md5").collect()))
+        b = sorted(map(tuple, _index_dedup(spark, sf_dir, "xxhash64").collect()))
+        assert a == b, f"{sf}: {len(a)} vs {len(b)} rows, first diff " + str(
+            next((x, y) for x, y in zip(a, b) if x != y)
+        )
+        print(f"{sf}: identical ({len(a)} rows)")
+
+
+def timing(spark, rounds: int = 3) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    arms = {
+        "md5": lambda: _index_dedup(spark, sf_dir, "md5"),
+        "xxhash64": lambda: _index_dedup(spark, sf_dir, "xxhash64"),
+    }
+    for fn in arms.values():
+        fn().write.format("noop").mode("overwrite").save()
+    best = {k: float("inf") for k in arms}
+    for r in range(rounds):
+        for k, fn in arms.items():
+            spark.sparkContext.setJobDescription(f"index-hash {k} r{r}")
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best[k] = min(best[k], dt)
+            print(f"round {r} {k}: {dt:.2f}s (loadavg {os.getloadavg()[0]:.1f})")
+    print({k: round(v, 2) for k, v in best.items()})
+    print(f"speedup md5/xxhash64: {best['md5'] / best['xxhash64']:.3f}")
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "equiv"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8" if mode == "equiv" else "32")
+    from eggv_spark.session import get_session
+
+    spark = get_session(
+        "ab-index-hash",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_confs={"spark.ui.enabled": "false",
+                     "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if mode == "equiv":
+        equiv(spark)
+    else:
+        timing(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
