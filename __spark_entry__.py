@@ -1227,21 +1227,22 @@ def _ddp_index_dedup(spark, sf_dir):
     smallest matching corpus id (dedupe.minhash_band_index /
     dedupe_against_index).
 
-    hash_family='xxhash64' (round 11, guide §1.2 per-task work): the
-    md5-hex-substring gram hash was ~3x the cost of the whole rest of
-    the operator; the output is hash-independent here (matches are
-    exact copies -> signature agreement 1.0 under any family), proven
-    row-identical md5-vs-xxhash64 at sf0.001/0.01/0.1
-    (scripts/ab_index_hash.py) and still oracle-hash-matched against
-    the md5-based DuckDB replica."""
+    ROUND-11 NEGATIVE RESULT: an xxhash64 gram-hash variant
+    (hash_family parameter, output proven row-identical at
+    sf0.001/0.01/0.1 — scripts/ab_index_hash.py) measured NEUTRAL
+    (0.87-1.05x across idle-host A/Bs), as did a fused one-pass
+    signature build: at this SF the operator is bound by interpreted
+    higher-order-function overhead in the shingle construction
+    (phase bisect: shingle strings 0.85 s of the 1.76 s floor), not
+    by the hash.  md5 stays — uniform oracle portability at zero
+    measured cost; the parameter remains for scale deployments where
+    md5's per-byte CPU actually shows."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    index = D.minhash_band_index(docs, hash_family="xxhash64")
+    index = D.minhash_band_index(docs)
     shard = docs.filter("doc_id % 10 = 0").withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
-    return D.dedupe_against_index(
-        shard, index, threshold=0.7, hash_family="xxhash64"
-    )
+    return D.dedupe_against_index(shard, index, threshold=0.7)
 
 
 def _ddp_window_dedup(spark, sf_dir):
@@ -1270,9 +1271,9 @@ def _stream_index_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # persist: the static side of a stream-static join re-evaluates
     # every micro-batch — unpersisted, the whole corpus would
-    # re-shingle per batch.  hash_family mirrors the batch twin
-    # (_ddp_index_dedup): output proven hash-independent, same oracle.
-    index = D.minhash_band_index(docs, hash_family="xxhash64").persist()
+    # re-shingle per batch.  hash family mirrors the batch twin
+    # (_ddp_index_dedup): md5 — see its round-11 negative result.
+    index = D.minhash_band_index(docs).persist()
     shard_stream = (
         ES.read_documents_stream(spark, sf_dir)
         .select("doc_id", "text")
@@ -1281,9 +1282,7 @@ def _stream_index_dedup(spark, sf_dir):
     )
     try:
         matches = ES.run_available_now(
-            ES.streaming_index_dedupe(
-                shard_stream, index, hash_family="xxhash64"
-            )
+            ES.streaming_index_dedupe(shard_stream, index)
         )
         shard_ids = docs.filter("doc_id % 10 = 0").select(
             (F.col("doc_id") + F.lit(1000000)).alias("doc_id")

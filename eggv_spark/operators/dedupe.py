@@ -59,13 +59,15 @@ def _gram_hash(col: Column, hash_family: str) -> Column:
       exposes hash-derived numbers (band stats, jaccard estimates
       between near-dup pairs) stay bit-reproducible in the oracle.
     - ``xxhash64``: JVM-native 64-bit hash, no hex-string
-      materialization — measured ~3x cheaper per shingle (the r08
-      txt_repetition precedent: −31% on the operator).  Only for
-      paths whose OUTPUT is hash-independent: the index-probe dedup's
-      matches are exact copies (signature agreement 1.0 under ANY
-      hash family), so is_dup/dup_of/n_matches/best_est are identical
-      and the md5-based DuckDB oracle still matches (verified at
-      sf0.001/0.01/0.1, scripts/ab_index_hash.py)."""
+      materialization — only usable on paths whose OUTPUT is
+      hash-independent (e.g. the index-probe dedup, whose matches are
+      exact copies: agreement 1.0 under any family, proven
+      row-identical at sf0.001/0.01/0.1 — scripts/ab_index_hash.py).
+      Round-11 measurement: NEUTRAL at bench scale (0.87-1.05x across
+      idle-host A/Bs — the minhash operators are bound by interpreted
+      higher-order-function overhead, not the gram hash), so no
+      registry entry uses it; the option exists for deployments at a
+      scale where md5's ~10x per-byte CPU actually surfaces."""
     if hash_family == "xxhash64":
         return F.pmod(F.xxhash64(col), F.lit(MINHASH_PRIME))
     return base_hash(col) % MINHASH_PRIME

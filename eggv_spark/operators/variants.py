@@ -35,18 +35,6 @@ _MAF_PATTERN = r"global_minor_allele_frequency=\d+\|([.0-9]+)"
 #: tests/test_round10_opt.py).
 _EFFECT_PATTERN = r"Variant_effect=(.[^;]*);"
 
-#: Anchored VALUE grammars for the one-pass attr parse (round 11).
-#: Each is the corresponding full-attr pattern with the ``Key=``
-#: literal stripped: the pair's value has already been located by a
-#: plain (non-regex) ``locate``/``substring`` pass, so the regex only
-#: validates/extracts over the ~5-30 char value instead of re-scanning
-#: the ~200 char attr string.  ``^`` anchors keep the reference
-#: semantics: the full pattern requires its capture to start
-#: immediately after ``Key=``.
-_DBX_VALUE_PATTERN = r"^dbSNP_\d+:rs(\d+)"
-_ALLELE_VALUE_PATTERN = r"^[-,ACGT]+"
-_MAF_VALUE_PATTERN = r"^\d+\|([.0-9]+)"
-
 
 def extract_variant_fields(
     df: DataFrame, repartition_to: int | None = None
@@ -123,49 +111,6 @@ def explode_effects(df: DataFrame) -> DataFrame:
     )
 
 
-def _pair_tail(pos_col: str, key: str, clip: bool):
-    """Chars after the pair-anchored ``key=`` (null when the pair is
-    absent): the whole remaining tail, or (``clip``) only up to the
-    next ';' / end of string — the value as the non-effect grammars
-    see it.
-
-    The extra ``instr == pos`` guard makes the fast path PROVABLY
-    identical to the full-attr regex: it only fires when the
-    pair-anchored occurrence is also the FIRST ``key=`` substring
-    occurrence in attr — at that position the full pattern's
-    post-``key=`` grammar (none of whose chars can match ';') sees
-    exactly this value, so anchored-extract-on-the-value == full-regex
-    capture whenever the anchored extract is non-empty.  Every other
-    case (no pair, an earlier mid-value occurrence, empty/invalid
-    value) yields null here and is routed to the original full-attr
-    regex by :func:`_raw_with_fallback` — reference semantics
-    bit-for-bit, no exceptions."""
-    anchored = (F.col(pos_col) > 0) & (
-        F.instr(F.col("attr"), key + "=") == F.col(pos_col)
-    )
-    start = F.col(pos_col) + F.lit(len(key) + 2)  # skip ';key='
-    tail = F.col("_a").substr(start, F.lit(1 << 30))
-    if clip:
-        tail = F.substring_index(tail, ";", 1)
-    return F.when(anchored, tail)
-
-
-def _raw_with_fallback(fast_col: str, key_eq: str, full_pattern: str, group: int):
-    """The fast pair-anchored capture when it hit; otherwise, ONLY for
-    rows where ``key=`` occurs anywhere in attr (mid-value occurrence,
-    empty value, missing trailing ';'), the original full-attr regex —
-    reference semantics bit-for-bit on every such edge case.  Rows
-    without the key substring never pay a regex at all."""
-    return (
-        F.when(F.col(fast_col) != "", F.col(fast_col))
-        .when(
-            F.instr(F.col("attr"), key_eq) > 0,
-            F.regexp_extract("attr", full_pattern, group),
-        )
-        .otherwise(F.lit(""))
-    )
-
-
 def _extract_typed(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
     """Projection + staged regex extraction + null/cast handling —
     the pre-explode front of :func:`process_gvf`."""
@@ -180,91 +125,38 @@ def _extract_typed(df: DataFrame, repartition_to: int | None = None) -> DataFram
     if repartition_to:
         df = df.repartition(repartition_to)
 
-    # STR-02: one-pass attr parse (round 11, guide §1.2 "per-task
-    # work").  The previous shape ran FIVE independent full-attr Java
-    # regex scans per line; each key=value pair in a GVF attr column
-    # is ';'-delimited, so the pair-anchored value can be found with
-    # plain ``locate``/``substring`` intrinsics (codegen string ops,
-    # no regex) and only the short VALUE (~5-30 chars) needs a regex
-    # to validate/extract — never the ~200 char attr.  Reference
-    # semantics are preserved exactly by a when-gated fallback: if the
-    # fast pair-anchored path misses but the ``Key=`` substring occurs
-    # anywhere in attr (mid-value occurrence, empty-value ``;`` weird
-    # captures, missing trailing ';'), the original full-attr pattern
-    # runs for that row only — so every edge case pinned in
-    # tests/test_round10_opt.py (EFFECT_EDGE_CASES) and the SURVEY
-    # §7.5.6 trailing-';' quirk produce byte-identical rows.  The only
-    # divergence is when a pair-anchored occurrence AND an earlier
-    # mid-value occurrence of the same key both exist with different
-    # captures (the fast path prefers the pair) — impossible in
-    # spec-conformant GVF and pinned nowhere.
+    # ROUND-11 NEGATIVE RESULT (guide §1.1 "a fresh implementation of
+    # the ideal plan is usually slower because of some gotcha"): a
+    # pair-anchored locate/substring parse (split the attr once, regex
+    # only the short values) was built, proven bit-identical on a
+    # 5000-attr adversarial corpus, and measured 2.5-4.5x SLOWER than
+    # this five-regex shape (scripts/ab_attr_parse.py; per-expression
+    # bisect in OPTIMIZATION_r11.md).  Two causes: (a) Java's regex
+    # engine runs literal-prefix patterns at optimized-search speed
+    # (~1 s for all four extracts over the 5.6 GB corpus), while
+    # Spark's locate/instr are naive byte loops (4 locates alone cost
+    # more than the 4 regexes); (b) any multi-reference predicate
+    # pushed into the scan re-evaluates attr's defining line-split per
+    # reference (no CSE in pushed filters).  The regex chain stays.
     #
-    # Evaluation-count discipline (the round-2 lesson): every slot
-    # referenced more than once is staged as its own column so
-    # CollapseProject cannot inline (and codegen re-evaluate) it.
-    def _pair_value(key: str):
-        # position of the pair-anchored 'Key=' (';' prepended to _a so
-        # a first-position pair anchors too); 0 = not present as a pair
-        return F.locate(";" + key + "=", F.col("_a"))
-
+    # STR-02: ALL raw regex extracts in ONE projection, null handling
+    # on the materialized slots in the NEXT.  Load-bearing split: a
+    # nullif(regexp_extract(..)) single-expression form references the
+    # regex twice inside a conditional branch, which codegen cannot
+    # hoist — measured 12x slower on a 1 GB GVF (70 s -> 6 s for the
+    # two allele extracts alone).  Staging the raw extract as its own
+    # column evaluates each regex exactly once; CollapseProject keeps
+    # the stage because every *_raw slot is referenced twice by its
+    # nullif consumer.
     df = df.select(
-        "chromosome", "start", "end", "attr",
-        F.concat(F.lit(";"), F.col("attr")).alias("_a"),
-    ).select(
-        "chromosome", "start", "end", "attr", "_a",
-        _pair_value("Dbxref").alias("_p_dbx"),
-        _pair_value("Variant_seq").alias("_p_var"),
-        _pair_value("Reference_seq").alias("_p_ref"),
-        _pair_value("global_minor_allele_frequency").alias("_p_maf"),
-        _pair_value("Variant_effect").alias("_p_eff"),
-    ).select(
-        "chromosome", "start", "end", "attr",
-        # value = chars after 'Key=' up to the next ';' (or the end —
-        # the four non-effect grammars do not require a trailing ';')
-        _pair_tail("_p_dbx", "Dbxref", clip=True).alias("_v_dbx"),
-        _pair_tail("_p_var", "Variant_seq", clip=True).alias("_v_var"),
-        _pair_tail("_p_ref", "Reference_seq", clip=True).alias("_v_ref"),
-        _pair_tail(
-            "_p_maf", "global_minor_allele_frequency", clip=True
-        ).alias("_v_maf"),
-        # effect keeps the raw UNCLIPPED tail: its grammar REQUIRES
-        # the trailing ';' (SURVEY §7.5.6), checked on the tail below
-        _pair_tail("_p_eff", "Variant_effect", clip=False).alias("_rest_eff"),
-    ).select(
-        "chromosome", "start", "end", "attr",
-        F.regexp_extract(
-            F.coalesce(F.col("_v_dbx"), F.lit("")), _DBX_VALUE_PATTERN, 1
-        ).alias("_rsid_fast"),
-        F.regexp_extract(
-            F.coalesce(F.col("_v_var"), F.lit("")), _ALLELE_VALUE_PATTERN, 0
-        ).alias("_var_fast"),
-        F.regexp_extract(
-            F.coalesce(F.col("_v_ref"), F.lit("")), _ALLELE_VALUE_PATTERN, 0
-        ).alias("_ref_fast"),
-        F.regexp_extract(
-            F.coalesce(F.col("_v_maf"), F.lit("")), _MAF_VALUE_PATTERN, 1
-        ).alias("_maf_fast"),
-        F.when(
-            F.instr(F.col("_rest_eff"), ";") > 0,
-            F.substring_index(F.col("_rest_eff"), ";", 1),
-        ).otherwise(F.lit("")).alias("_eff_fast"),
-    ).select(
-        "chromosome", "start", "end",
-        _raw_with_fallback("_rsid_fast", "Dbxref=", _RSID_PATTERN, 1).alias(
-            "_rsid_raw"
-        ),
-        _raw_with_fallback(
-            "_var_fast", "Variant_seq=", _VAR_ALLELE_PATTERN, 1
-        ).alias("_var_raw"),
-        _raw_with_fallback(
-            "_ref_fast", "Reference_seq=", _REF_ALLELE_PATTERN, 1
-        ).alias("_ref_raw"),
-        _raw_with_fallback(
-            "_maf_fast", "global_minor_allele_frequency=", _MAF_PATTERN, 1
-        ).alias("_maf_raw"),
-        _raw_with_fallback(
-            "_eff_fast", "Variant_effect=", _EFFECT_PATTERN, 1
-        ).alias("_eff_raw"),
+        "chromosome",
+        "start",
+        "end",
+        F.regexp_extract("attr", _RSID_PATTERN, 1).alias("_rsid_raw"),
+        F.regexp_extract("attr", _VAR_ALLELE_PATTERN, 1).alias("_var_raw"),
+        F.regexp_extract("attr", _REF_ALLELE_PATTERN, 1).alias("_ref_raw"),
+        F.regexp_extract("attr", _MAF_PATTERN, 1).alias("_maf_raw"),
+        F.regexp_extract("attr", _EFFECT_PATTERN, 1).alias("_eff_raw"),
     )
 
     # NUL-02 here, on the staged slot, NOT as na.drop(rsid) after the

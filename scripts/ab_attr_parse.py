@@ -1,4 +1,16 @@
-"""A/B harness for the round-11 one-pass attr parse (variants.py).
+"""A/B harness for the round-11 one-pass attr parse experiment
+(variants.py) — **experiment REJECTED and reverted**: the
+pair-anchored locate/substring parse was proven bit-identical on a
+5031-attr adversarial corpus but measured 2.5-4.5x SLOWER than the
+five-full-regex shape (old 6.37 s vs new 16.25 s isolated extraction
+pass at local[32]; per-expression bisect: 4 full-attr regexes ~1 s,
+4 locates alone ~1.5 s, +instr ~5 s, +substr ~8 s, +small regexes
+~21 s — Java regex literal-prefix search is optimized, Spark's
+locate/instr are naive byte loops; additionally a multi-reference
+rsid predicate pushed into the scan re-evaluates the line split per
+reference and alone cost 4.5x).  The script is kept as the record:
+`_extract_typed_old` below IS the live shape again, and the `new`
+arm of `time` mode now measures the same thing twice.
 
 Two modes:
 

@@ -1,10 +1,17 @@
-"""A/B for the round-11 ddp_index_dedup hash family (md5 -> xxhash64).
+"""A/B for the round-11 ddp_index_dedup hash family (md5 -> xxhash64)
+— **measured NEUTRAL, entries stay md5**: timing legs across idle-host
+runs landed 0.87-1.05x (min md5 2.61-3.11 s vs xxhash64 2.52-3.17 s),
+i.e. inside host noise, because at sf0.1 the operator is bound by
+interpreted higher-order-function overhead in the shingle build
+(phase bisect: shingle strings 0.85 s of the 1.76 s noop floor), not
+the gram hash.  The hash_family parameter and this proof remain for
+scale deployments.
 
 The index-probe dedup's OUTPUT is hash-independent on this data
 (shard docs are exact copies, so signature agreement is 1.0 under any
 hash family; no near-but-not-exact corpus pair crosses the 0.7
-estimate) — this script PROVES that empirically at every SF before
-the entry is switched, then times the operator at the bench SF.
+estimate) — this script PROVES that empirically at every SF, then
+times the operator at the bench SF.
 
 - ``equiv``: output row-set equality md5 vs xxhash64 at
   sf0.001/0.01/0.1 (both the batch operator and, cheaply, the raw

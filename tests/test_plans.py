@@ -216,29 +216,19 @@ def test_gvf_regex_extracts_are_staged_single_eval(spark):
     with open(path, "w") as f:
         f.write(GVF_TEXT)
     plan = _plan(process_gvf(read_gvf(spark, path)))
-    # Round-11 one-pass attr parse: the full-attr regex patterns
-    # survive ONLY as when-gated fallback branches (evaluated for a
-    # row only when the plain locate/substr fast path misses), each
-    # appearing exactly once in the projection chain; the fast path
-    # itself is staged once per key (a single pair-anchored locate).
-    for pattern in (
-        r"Variant_seq=([-,ACGT]+)",
-        r"Reference_seq=([-,ACGT]+)",
-        r"global_minor_allele_frequency=\d+\|([.0-9]+)",
-        r"Variant_effect=(.[^;]*);",
-    ):
+    # One regexp_extract per expensive attr grammar — the staged
+    # two-projection form.  The nullif single-expression form
+    # duplicates each regex into the conditional's branches.  (The
+    # rsid extract legitimately appears again inside the pushed-down
+    # na.drop Filter — that pushdown prunes rsid-less rows before the
+    # other four extracts run, which is the right trade.)  A round-11
+    # locate/substring rewrite of this block measured 2.5-4.5x SLOWER
+    # (scripts/ab_attr_parse.py — Java regex literal search beats
+    # Spark's naive locate/instr byte loops) and was reverted; this
+    # pin guards the five-regex shape.
+    for pattern in ("Variant_seq=", "Reference_seq=",
+                    "global_minor_allele_frequency=", "Variant_effect="):
         assert plan.count(pattern) == 1, pattern
-    # rsid's full pattern appears once in the projection chain plus
-    # (legitimately) inside the pushed-down rsid Filter's fallback
-    # branch — that pushdown prunes rsid-less rows at the scan before
-    # the other four grammars run, which is the right trade.
-    assert 1 <= plan.count(r"Dbxref=dbSNP_\d+:rs(\d+)") <= 2
-    # the fast path: one pair-anchored locate per key in the
-    # projection chain (rsid's is additionally inlined into the
-    # pushed-down filter, so it is exempted from the == 1 pin)
-    for key in ("Variant_seq", "Reference_seq",
-                "global_minor_allele_frequency", "Variant_effect"):
-        assert plan.count(f"locate(;{key}=") == 1, key
 
 
 def test_embedding_neardup_candidates_use_equijoin(spark):

@@ -163,6 +163,61 @@ def test_materialize_reliable_requires_checkpoint_dir():
         spark.conf.unset(MODE_CONF)
 
 
+#: A dirty GVF drop: one clean line, one line with an UNCASTABLE
+#: start field, one line with MORE than 9 fields (extra trailing
+#: tab-separated token), one truncated 4-field line.
+DIRTY_GVF = (
+    "##gff-version 3\n"
+    "7\tdbSNP\tSNV\t10\t10\t.\t+\t.\t"
+    "ID=1;Dbxref=dbSNP_151:rs1;Variant_seq=A;Reference_seq=T;x=1\n"
+    "7\tdbSNP\tSNV\tBAD\t20\t.\t+\t.\t"
+    "ID=2;Dbxref=dbSNP_151:rs2;Variant_seq=G;Reference_seq=C;x=1\n"
+    "7\tdbSNP\tSNV\t30\t30\t.\t+\t.\t"
+    "ID=3;Dbxref=dbSNP_151:rs3;Variant_seq=C;Reference_seq=G;x=1\tEXTRA\n"
+    "7\tdbSNP\tSNV\t40\n"
+)
+
+
+def test_dirty_gvf_parser_paths_keep_their_contracts(spark, tmp_path):
+    """Pipeline-level pin of the two gvf_parser contracts on a DIRTY
+    drop (VERDICT r10 item 4): the default split parser degrades
+    PER-FIELD (uncastable start -> null start, >9 fields -> 9th kept
+    as attr, truncated line -> null attr -> dropped by the rsid
+    filter), while the untrusted-input CSV path quarantines whole
+    malformed rows via capture_corrupt."""
+    import gzip
+
+    from eggv_spark import pipeline
+    from eggv_spark.layout import DataLayout
+    from eggv_spark.sources.readers import read_gvf, split_corrupt
+
+    lay = DataLayout(str(tmp_path / "data"), "mm10")
+    lay.create()
+    with gzip.open(lay.variant_gvf(), "wt") as fh:
+        fh.write(DIRTY_GVF)
+
+    # split parser (pipeline default): per-field degradation — all
+    # three rsid-carrying lines survive, the uncastable start is null
+    out = pipeline.run_variant_processing(spark, lay, fmt="parquet")
+    meta = {r.rsid: r for r in out["metadata"].collect()}
+    assert set(meta) == {1, 2, 3}
+    assert meta[2].start is None          # BAD start -> null field
+    assert meta[3].start == 30            # >9 fields: attr still field 9
+
+    # CSV path: PERMISSIVE nulls malformed fields and quarantines the
+    # raw line; split_corrupt isolates exactly the two dirty lines
+    good, bad = split_corrupt(
+        read_gvf(spark, lay.variant_gvf_glob(), capture_corrupt=True)
+    )
+    bad_lines = {r._corrupt for r in bad.collect()}
+    # quarantined: uncastable start, >9 fields, truncated line —
+    # PERMISSIVE marks under-length rows malformed too
+    assert len(bad_lines) == 3
+    assert any("BAD" in b for b in bad_lines)
+    assert any(b.endswith("EXTRA") for b in bad_lines)
+    assert good.count() == 1  # only the clean line parses whole
+
+
 def test_read_table_memo_on_session_and_refresh(spark):
     from eggv_spark.sources import readers
 
