@@ -105,14 +105,25 @@ def with_shingle_hashes(
     shingle_size: int = 3,
     hash_family: str = "md5",
 ) -> DataFrame:
-    """Distinct word-shingle set and its 32-bit hashes per document."""
-    shingles = shingles_col(tokens_col(text_col), shingle_size)
+    """Distinct word-shingle set and its 32-bit hashes per document.
+
+    The token array is STAGED as its own column before shingling
+    (round 11): ``shingles_col`` references its tokens argument ~5x
+    (three shifted slices + two size probes), and higher-order
+    functions are interpreted with no common-subexpression
+    elimination — an inline ``tokens_col(text)`` re-ran the regex
+    split+filter per reference.  Staging measured −30% on the
+    shingle pass (0.79 -> 0.55 s over sf0.1 documents, 4-round
+    interleaved min) and propagates to every minhash/containment
+    consumer.  Same values, column set unchanged."""
+    df = df.withColumn("_toks", tokens_col(text_col))
+    shingles = shingles_col(F.col("_toks"), shingle_size)
     return df.withColumn("shingles", shingles).withColumn(
         "shingle_hashes",
         F.array_distinct(
             F.transform(F.col("shingles"), lambda s: _gram_hash(s, hash_family))
         ),
-    )
+    ).drop("_toks")
 
 
 def with_minhash_signature(df: DataFrame) -> DataFrame:

@@ -47,8 +47,14 @@ def word_tokens_col(text_col: str | Column) -> Column:
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + regex word tokens +
-    distinct-token count."""
-    toks = tokens_col(text_col)
+    distinct-token count.
+
+    Tokens STAGED as a column (round 11): two consumers would
+    otherwise each re-run the regex split+filter per row — HOFs are
+    interpreted with no common-subexpression elimination (the same
+    finding as dedupe.with_shingle_hashes, −30% there)."""
+    df = df.withColumn("_toks", tokens_col(text_col))
+    toks = F.col("_toks")
     words = word_tokens_col(text_col)
     return df.withColumns(
         {
@@ -56,7 +62,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_words": F.size(words),
             "n_distinct_tokens": F.size(F.array_distinct(toks)),
         }
-    )
+    ).drop("_toks")
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -65,8 +71,14 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Ratios are rounded to 4dp so cross-engine double comparisons are
     stable.
+
+    Tokens STAGED as a column (round 11): the inline form evaluated
+    the regex split+filter ~6x per row (three size() references, the
+    stopword filter, the mean-length aggregate) — HOFs are
+    interpreted with no common-subexpression elimination.
     """
-    toks = tokens_col(text_col)
+    df = df.withColumn("_toks", tokens_col(text_col))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -93,7 +105,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio": stop_ratio,
             "alnum_ratio": alnum_ratio,
         }
-    )
+    ).drop("_toks")
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -133,9 +145,13 @@ def with_fingerprint(
 ) -> DataFrame:
     """Document fingerprinting: (a) md5 of whitespace-normalized
     lowercased text — the exact-dup key; (b) min shingle hash — a
-    1-permutation MinHash usable as a cheap near-dup prefilter."""
+    1-permutation MinHash usable as a cheap near-dup prefilter.
+
+    Tokens staged (round 11): shingles_col references its tokens
+    argument ~5x and HOFs get no subexpression elimination."""
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    shingles = shingles_col(tokens_col(text_col), shingle_size)
+    df = df.withColumn("_toks", tokens_col(text_col))
+    shingles = shingles_col(F.col("_toks"), shingle_size)
     return df.withColumns(
         {
             "content_hash": F.md5(normalized),
@@ -143,7 +159,7 @@ def with_fingerprint(
                 F.transform(shingles, lambda s: F.md5(s))
             ),
         }
-    )
+    ).drop("_toks")
 
 
 def _max_multiplicity(arr: Column, dtype: str = "string") -> Column:
@@ -216,14 +232,29 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     document (~n²/2⁶⁵, <1e-13 for 10k-word docs) would overcount a
     share by one; acceptable for a quality filter.
     """
-    toks = tokens_col(text_col)
-    th = F.transform(toks, lambda s: F.xxhash64(s))
-    n = F.size(toks)
-    nd = F.size(F.array_distinct(th))
-    n1 = F.greatest(n - 1, F.lit(0))
-    bigram_h = F.zip_with(
-        F.slice(th, 1, n1), F.slice(th, 2, n1), lambda x, y: F.xxhash64(x, y)
+    # Tokens, token hashes, and bigram hashes STAGED as columns
+    # (round 11): the inline form re-evaluated ``toks`` (regex
+    # split+filter) and ``th`` (a full xxhash transform) per
+    # reference — ~6 token-split evaluations per row through the
+    # nested references — because HOFs are interpreted with no
+    # common-subexpression elimination.  Same expressions, same
+    # values; the staged columns are dropped.
+    df = df.withColumn("_toks", tokens_col(text_col))
+    df = df.withColumn(
+        "_th", F.transform(F.col("_toks"), lambda s: F.xxhash64(s))
     )
+    th = F.col("_th")
+    n = F.size(F.col("_toks"))
+    n1 = F.greatest(n - 1, F.lit(0))
+    df = df.withColumn(
+        "_bh",
+        F.zip_with(
+            F.slice(th, 1, n1), F.slice(th, 2, n1),
+            lambda x, y: F.xxhash64(x, y),
+        ),
+    )
+    bigram_h = F.col("_bh")
+    nd = F.size(F.array_distinct(th))
     nb = F.size(bigram_h)
     denom = F.greatest(n, F.lit(1)).cast("double")
     bdenom = F.greatest(nb, F.lit(1)).cast("double")
@@ -238,7 +269,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 _max_multiplicity(bigram_h, "long").cast("double") / bdenom, 4
             ),
         }
-    )
+    ).drop("_toks", "_th", "_bh")
 
 
 def decontaminate(
@@ -263,17 +294,24 @@ def decontaminate(
     """
     from pyspark.sql.functions import broadcast
 
+    # tokens staged before shingling on both sides (round 11):
+    # shingles_col references its tokens argument ~5x and HOFs get no
+    # subexpression elimination — inline tokens re-ran the regex
+    # split per reference
     eval_shingles = (
-        eval_set.select(
-            F.explode(shingles_col(tokens_col(text_col), shingle_size)).alias(
+        eval_set.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .select(
+            F.explode(shingles_col(F.col("_toks"), shingle_size)).alias(
                 "shingle"
             )
         )
         .distinct()
     )
     train_shingles = train.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode(shingles_col(tokens_col(text_col), shingle_size)).alias("shingle"),
+        F.explode(shingles_col(F.col("_toks"), shingle_size)).alias("shingle"),
     )
     contaminated = (
         train_shingles.join(broadcast(eval_shingles), "shingle", "left_semi")
